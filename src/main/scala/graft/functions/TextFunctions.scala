@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, built
+  * from Spark's codegen'd built-ins wherever possible (no UDFs) so every
+  * metric stays inside whole-stage codegen and is expressible in ANSI SQL for
+  * oracle checks. All ratios are computed as exact-int numerator/denominator
+  * followed by one double division — IEEE-deterministic, so DuckDB produces
+  * bit-identical values.
+  */
+object TextFunctions {
+
+  /** Canonical whitespace/case normalization used by exact dedup. */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normText(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: word-pieces of <=4 chars. A word of
+    * length L contributes ceil(L/4) pieces; computed without exploding.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+
+  private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(StopWords.map(lit): _*)))
+
+  /** Characters that are neither word characters nor whitespace. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[\\w\\s]", ""))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Heuristic quality signals (length, punctuation ratio, stopword ratio,
+    * lexical diversity, mean word length). Ratios emitted as doubles via one
+    * exact int/int division.
+    */
+  def qualityMetrics(text: Column): Seq[Column] = {
+    val nTok = tokenCount(text).cast("long")
+    val nChar = length(text).cast("long")
+    Seq(
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      distinctTokenCount(text).cast("long").as("n_distinct_tokens"),
+      stopwordCount(text).cast("long").as("n_stopwords"),
+      punctCount(text).cast("long").as("n_punct"),
+      (stopwordCount(text).cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      (distinctTokenCount(text).cast("double") / nTok.cast("double")).as("lexical_diversity"),
+      (nChar.cast("double") / nTok.cast("double")).as("chars_per_token")
+    )
+  }
+
+  /** Language-ID by marker-stopword voting: count hits of per-language marker
+    * words among the tokens; highest count wins, ties broken by fixed
+    * language order, zero hits -> "und". Deterministic and SQL-expressible,
+    * so the oracle can replicate it exactly. Marker lists are the usual
+    * top-frequency function words per language.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "dans", "est", "pour", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这")
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(tokens(text), w => w.isin(markers.map(lit): _*)))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in declaration order) achieving the max, if max > 0
+    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

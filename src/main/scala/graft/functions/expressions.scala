@@ -1,0 +1,341 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftSQLBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit hash family used by the sketch expressions.
+  * Derived seeds are generated with a splitmix64 step so that the k minhash
+  * permutations are pairwise independent-ish yet fully deterministic across
+  * executors and rounds (no Random state shipped in closures).
+  */
+private[graft] object HashFamily {
+  final val BaseSeed = 42L
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  /** Odd multiplier + offset for the i-th affine permutation. */
+  def affine(i: Int): (Long, Long) = {
+    val a = splitmix64(BaseSeed + 2L * i) | 1L
+    val b = splitmix64(BaseSeed + 2L * i + 1)
+    (a, b)
+  }
+  def hashString(s: UTF8String, seed: Long): Long =
+    XxHash64Function.hash(s, StringType, seed)
+}
+
+/** MinHash signature of an array<string> token/shingle column.
+  *
+  * One pass per row: each element is hashed once with xxhash64, then the k
+  * "permutations" are affine transforms (a_i*h + b_i) of that base hash —
+  * the standard one-permutation-free trick (Broder '97). Map-side only; no
+  * shuffle. Scales to 100 TB because the signature is computed where the row
+  * lives and only `k*8` bytes per row move afterwards.
+  *
+  * Capability parity note: the reference (zetaris/lightning-metastore) has no
+  * sketching; this is part of the training-data-pipeline extension surface.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash expects array<string>, got $t")
+  }
+  private lazy val coeffs: Array[(Long, Long)] =
+    Array.tabulate(numHashes)(HashFamily.affine)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashFamily.hashString(arr.getUTF8String(i), HashFamily.BaseSeed)
+        var j = 0
+        while (j < numHashes) {
+          val (a, b) = coeffs(j)
+          val v = a * h + b
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash (Charikar '02) of an array<string> column. Map-side only. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash expects array<string>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashFamily.hashString(arr.getUTF8String(i), HashFamily.BaseSeed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Sliding word n-gram shingles over an array<string>: ["a","b","c"], n=2 ->
+  * ["a b","b c"]. Arrays shorter than n yield the whole-array join (one
+  * shingle) so short docs still participate in dedup.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingles expects array<string>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val words = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { words(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    if (len == 0) new GenericArrayData(Array.empty[Any])
+    else if (len <= n) new GenericArrayData(Array[Any](UTF8String.concatWs(sep, words.toIndexedSeq: _*)))
+    else {
+      val out = new Array[Any](len - n + 1)
+      var s = 0
+      while (s <= len - n) {
+        val slice = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { slice(j) = words(s + j); j += 1 }
+        out(s) = UTF8String.concatWs(sep, slice.toIndexedSeq: _*)
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
+/** Cosine similarity of two float/double vectors with whole-stage codegen.
+  *
+  * Accumulates dot and norms sequentially in double (IEEE-deterministic, so
+  * results are bit-identical across engines that do the same), which makes it
+  * oracle-comparable against DuckDB's list_cosine_similarity. This is the hot
+  * inner loop of brute-force ANN — doGenCode keeps it inside whole-stage
+  * codegen instead of falling back to interpreted eval.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+  override def checkInputDataTypes(): TypeCheckResult = (elemType(left), elemType(right)) match {
+    case (FloatType, FloatType) | (DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cosine expects two array<float> or two array<double>, got $t")
+  }
+  private lazy val isFloat = elemType(left) == FloatType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$getter($i);
+         |  double $y = (double) $b.$getter($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** Sign-bit LSH bucket for a float/double vector: the i-th bit is the sign of
+  * the dot product with a deterministic pseudo-random hyperplane (random
+  * hypercube rounding, Charikar '02). Used as the coarse quantizer for
+  * bucketed ANN — vectors in the same bucket are likely cosine-close.
+  * Hyperplane components are derived per (plane, dim) with splitmix64 and
+  * mapped to {-1,+1} (Achlioptas-style sparse projections work as well and
+  * this avoids materializing a dense random matrix on the driver).
+  */
+case class HyperplaneLshBucket(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 32)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsh_bucket expects array<float|double>, got $t")
+  }
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((HashFamily.splitmix64(p.toLong << 32 | i.toLong) & 1L) == 0L) 1.0 else -1.0
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += sign * v
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneLshBucket = copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+/** Karp-Rabin rolling fingerprints + winnowing (Schleimer et al. '03):
+  * polynomial hashes of every k-char window, then the min hash of each
+  * w-window is kept. Output: array<long> document fingerprint, robust to
+  * local edits — complements md5 exact fingerprints.
+  */
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fingerprints expects string, got $t")
+  }
+  private final val B = 1000000007L
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val nh = n - k + 1
+    val hashes = new Array[Long](nh)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); if (i < k - 1) pow = pow * B; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nh) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: min of each window of w consecutive hashes, deduped consecutively
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var last = Long.MinValue
+    if (nh <= w) {
+      out += hashes.min
+    } else {
+      var start = 0
+      while (start <= nh - w) {
+        var m = Long.MaxValue
+        var j = start
+        while (j < start + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        if (out.isEmpty || m != last) { out += m; last = m }
+        start += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowedFingerprints = copy(child = c)
+  override def prettyName: String = "winnowed_fingerprints"
+}
+
+/** Column-API wrappers (ExpressionUtils bridges Column <-> Expression on Spark 4). */
+object GraftFunctions {
+  private def col(e: Expression): Column = GraftSQLBridge.column(e)
+  private def expr(c: Column): Expression = GraftSQLBridge.expression(c)
+
+  def minhash_signature(c: Column, numHashes: Int = 128): Column =
+    col(MinHashSignature(expr(c), numHashes))
+  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+  def word_shingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
+  def cosine_similarity(a: Column, b: Column): Column =
+    col(CosineSimilarity(expr(a), expr(b)))
+  def lsh_bucket(c: Column, bits: Int = 8): Column = col(HyperplaneLshBucket(expr(c), bits))
+  def winnowed_fingerprints(c: Column, k: Int = 9, w: Int = 4): Column =
+    col(WinnowedFingerprints(expr(c), k, w))
+
+  /** SQL registration so spark.sql("SELECT cosine_similarity(a,b) ...") works. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(es.head, es.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(128)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es.head, es(1).eval(null).asInstanceOf[Number].intValue), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      es => HyperplaneLshBucket(es.head, es.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(8)), "scala_udf")
+    reg.createOrReplaceTempFunction("winnowed_fingerprints",
+      es => WinnowedFingerprints(es.head, 9, 4), "scala_udf")
+  }
+}

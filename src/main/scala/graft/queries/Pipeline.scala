@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions => F, TextFunctions => T}
+import graft.operators.{Dedup, Similarity}
+import QueryPack.t
+
+/** Training-data-pipeline operator coverage: dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard), ANN similarity search, and text analysis over
+  * the `documents` / `embeddings` testdata tables.
+  *
+  * Oracle notes: DuckDB regexp functions need the explicit 'g' flag to match
+  * Spark's replace-all semantics; shingle Jaccard is int/int with one double
+  * division (bit-identical across engines); cosine similarity is rounded to 6
+  * decimals on BOTH sides because the two engines may differ in the last ulp
+  * of the sqrt/divide.
+  */
+object Pipeline {
+
+  // Shared DuckDB SQL fragments for the oracle side.
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val toksSql = s"string_split($normSql, ' ')"
+  // 3-gram shingles of the token list, distinct, as DuckDB list comprehension.
+  private val shingleSql =
+    s"""CASE WHEN len($toksSql) <= 3
+        THEN [array_to_string($toksSql, ' ')]
+        ELSE list_distinct([ tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+               for i in generate_series(1, len(tk) - 2) ])
+        END"""
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- Exact dedup: hash-groupBy on normalized text (one keyed shuffle) ----
+    QuerySpec("dedup_exact",
+      (s, dir) => Dedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+      Some(s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, $normSql AS norm FROM documents)
+        GROUP BY norm ORDER BY keep_id""")),
+
+    // ---- MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
+    // Oracle is the brute-force all-pairs Jaccard: at threshold 0.7 the LSH
+    // (128 hashes / 32 bands; miss prob (1-s^4)^32 ~ 1e-4 at s=0.7) finds
+    // every qualifying pair in this corpus, so the two agree exactly. ----
+    QuerySpec("dedup_minhash",
+      (s, dir) => Dedup.minHashDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH sh AS (
+          SELECT doc_id, $shingleSql AS s
+          FROM (SELECT doc_id, $toksSql AS tk, text FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) AS jaccard
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.7
+        ORDER BY id_a, id_b""")),
+
+    // ---- Exact n-gram Jaccard on a fixed candidate set (all pairs within a
+    // doc_id window — exercises the verifier independently of LSH) ----
+    QuerySpec("dedup_ngram_jaccard",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val ids = d.select(col("doc_id").as("id_a")).where(col("id_a") < 30)
+        val pairs = ids.crossJoin(d.select(col("doc_id").as("id_b")).where(col("id_b") < 30))
+          .where(col("id_a") < col("id_b"))
+        Dedup.ngramJaccard(pairs, d, "doc_id", "text")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, $shingleSql AS s
+          FROM (SELECT doc_id, $toksSql AS tk, text FROM documents) WHERE doc_id < 30
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) AS jaccard
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""")),
+
+    // ---- SimHash near-dup (Hamming-LSH, 4x16-bit bands). Not expressible in
+    // ANSI SQL (xxhash64) -> rows-only check. ----
+    QuerySpec("dedup_simhash",
+      (s, dir) => Dedup.simHashDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ---- Embedding near-dup via hyperplane LSH + exact cosine verify.
+    // Rows-only (LSH recall < 1 at this threshold is by design). ----
+    QuerySpec("dedup_embedding",
+      (s, dir) => Dedup.embeddingDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, bits = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ---- ANN: brute-force exact top-5 cosine neighbors for 20 query vectors.
+    // Corpus never shuffles: queries broadcast, scoring is map-side codegen,
+    // only k*|queries| rows reach the window. ----
+    QuerySpec("ann_bruteforce",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 20),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS nn_id,
+              round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+          ), ranked AS (
+            SELECT query_id, nn_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS rank
+            FROM scored
+          )
+          SELECT query_id, nn_id, cosine, CAST(rank AS INT) AS rank FROM ranked
+          WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- ANN: LSH-bucketed variant (multi-probe). Rows-only: bucketing uses
+    // splitmix64 hyperplanes, not SQL-expressible. ----
+    QuerySpec("ann_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+        Similarity.lshTopK(e, q, "vec_id", "embedding", "vec_id", "embedding",
+            k = 5, bits = 6, multiProbe = true)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---- Text quality metrics, one row per document ----
+    QuerySpec("text_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id") +: T.qualityMetrics(col("text")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+          len(text) AS n_chars,
+          len(tk) AS n_tokens,
+          len(list_distinct(tk)) AS n_distinct_tokens,
+          len(list_filter(tk, w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stopwords,
+          len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+          len(list_filter(tk, w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0 / len(tk) AS stopword_ratio,
+          len(list_distinct(tk)) * 1.0 / len(tk) AS lexical_diversity,
+          len(text) * 1.0 / len(tk) AS chars_per_token
+        FROM (SELECT doc_id, text, $toksSql AS tk FROM documents)
+        ORDER BY doc_id""")),
+
+    // ---- Language-ID by marker-word voting + token counting, aggregated ----
+    QuerySpec("text_langid",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"), T.langId(col("text")).as("lang_pred"),
+            T.tokenCount(col("text")).cast("long").as("n_tokens"),
+            T.subwordCount(col("text")).as("n_subwords"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH scored AS (
+          SELECT doc_id, tk,
+            len(list_filter(tk, w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+            len(list_filter(tk, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+            len(list_filter(tk, w -> w IN ('el','la','de','que','y','en','un','una','por','con'))) AS s_es,
+            len(list_filter(tk, w -> w IN ('le','la','les','et','un','une','dans','est','pour','que'))) AS s_fr,
+            len(list_filter(tk, w -> w IN ('的','是','了','在','我','有','和','不','人','这'))) AS s_zh
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+        )
+        SELECT doc_id,
+          CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+               WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+               WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+               WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+               ELSE 'zh' END AS lang_pred,
+          len(tk) AS n_tokens,
+          CAST(list_sum(list_transform(tk, w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+        FROM scored ORDER BY doc_id""")),
+
+    // ---- Corpus stats by source (exact int sums, one double division) ----
+    QuerySpec("text_source_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(T.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            sum(length(col("text")).cast("long")).as("total_chars"),
+            (sum(length(col("text")).cast("long")).cast("double") /
+              sum(T.tokenCount(col("text")).cast("long")).cast("double")).as("avg_chars_per_token"))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(tk)) AS BIGINT) AS total_tokens,
+          CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+          SUM(len(text)) * 1.0 / SUM(len(tk)) AS avg_chars_per_token
+        FROM (SELECT source, text, $toksSql AS tk FROM documents)
+        GROUP BY source ORDER BY source""")),
+
+    // ---- Winnowed rolling-hash fingerprints (Schleimer '03). Rows-only. ----
+    QuerySpec("text_fingerprint",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"), F.winnowed_fingerprints(col("text")).as("fp"))
+          .select(col("doc_id"), size(col("fp")).as("n_fp"),
+            array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import QueryPack.t
+
+/** Relational operator coverage (SURVEY.md §2.5): scan/filter, multi-way
+  * equi-joins, semi/anti joins, hash aggregation, distinct aggregation,
+  * rollup/cube, window functions (ranking, running, lag/gap sessionization),
+  * as-of join, set operations, scalar functions, sort/limit/top-k, and the
+  * data-quality plan shapes from SURVEY.md §2.2.
+  *
+  * Determinism contract with the DuckDB oracle: every floating aggregate is
+  * accumulated exactly (per-term cast to DECIMAL, exact decimal sum) and only
+  * then cast to DOUBLE, so both engines produce bit-identical values
+  * regardless of accumulation order. Per-row double arithmetic is IEEE-
+  * deterministic and safe as-is. Ranking windows always carry a unique
+  * tie-break key.
+  */
+object Relational {
+
+  /** Exact sum of a double column: per-term decimal cast -> exact sum ->
+    * double. Matches `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`.
+    */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def dsumSql(x: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- TPC-H Q1: pricing summary (scan + filter + hash agg, partial agg) ----
+    QuerySpec("q1_pricing_summary",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity"), 2).as("sum_qty"),
+            dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity", 2)} AS sum_qty,
+        ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- TPC-H Q6: forecast revenue (tight filter -> pushdown showcase) ----
+    QuerySpec("q6_forecast_revenue",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue")),
+      Some(s"""SELECT ${dsumSql("l_extendedprice * l_discount", 4)} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")),
+
+    // ---- TPC-H Q3-ish: 3-way join + agg + top-k (TakeOrderedAndProject) ----
+    QuerySpec("q3_shipping_priority",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
+    // ---- TPC-H Q5-ish: 6-way join + agg (the reference's own federated
+    // revenue example, doc/doc/lightning-commands.md:113-128, on testdata) ----
+    QuerySpec("q5_revenue_by_nation",
+      (s, dir) => {
+        val r = t(s, dir, "region")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+          .join(n, sup("s_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some(s"""SELECT n_name,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
+
+    // ---- Semi join via IN subquery (DQ FK-check shape, SURVEY §2.2) ----
+    QuerySpec("q_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        ORDER BY c_custkey""")),
+
+    // ---- Anti join (NOT EXISTS): customers with no big order ----
+    QuerySpec("q_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        ORDER BY c_custkey""")),
+
+    // ---- Ranking window: top-3 orders per customer ----
+    QuerySpec("q_window_topk",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3 && col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+          .orderBy(col("o_custkey"), col("rk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        FROM orders) WHERE rk <= 3 AND o_custkey < 100
+        ORDER BY o_custkey, rk""")),
+
+    // ---- Running-total window over the events stream table ----
+    QuerySpec("q_window_running",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("user_id") < 50)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        e.select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ts_ms"),
+            sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double").as("running_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        FROM events WHERE user_id < 50 ORDER BY user_id, event_id""")),
+
+    // ---- Sessionization: gaps-and-islands via lag + conditional running sum ----
+    QuerySpec("q_sessionize",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("user_id") < 50)
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val gapped = e.select(col("user_id"), col("event_id"), col("ts"),
+          when(unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser)) > 1800000L, 1L)
+            .otherwise(0L).as("new_session"))
+        gapped.select(col("user_id"), col("event_id"),
+            sum(col("new_session")).over(byUser).as("session_id"))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH gapped AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts, 1) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE user_id < 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+          SELECT user_id, event_id,
+            CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM gapped
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events FROM sess
+        GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ---- Rollup (multi-level agg) over region/nation ----
+    QuerySpec("q_rollup",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        val c = t(s, dir, "customer")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal"), 2).as("sum_acctbal"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+        ${dsumSql("c_acctbal", 2)} AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    // ---- Exact distinct aggregation ----
+    QuerySpec("q_count_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Set operations: UNION / INTERSECT / EXCEPT ----
+    QuerySpec("q_set_ops",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val buyers = t(s, dir, "orders").select(col("o_custkey").as("k"))
+        val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+        val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("k"))
+        building.intersect(buyers).union(auto.except(buyers)).distinct()
+          .orderBy(col("k"))
+      },
+      Some("""SELECT k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT SELECT o_custkey AS k FROM orders
+        UNION
+        (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         EXCEPT SELECT o_custkey AS k FROM orders)
+      ) ORDER BY k""")),
+
+    // ---- Scalar function showcase (string/date/math/conditional) ----
+    QuerySpec("q_scalar_funcs",
+      (s, dir) => t(s, dir, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          concat(upper(col("o_orderstatus")), lit("#"), col("o_orderpriority")).as("status_tag"),
+          length(col("o_orderpriority")).as("prio_len"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          floor(col("o_totalprice")).as("price_floor"),
+          when(col("o_totalprice") > 200000.0, lit("big")).otherwise(lit("small")).as("size_class"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        upper(o_orderstatus) || '#' || o_orderpriority AS status_tag,
+        CAST(length(o_orderpriority) AS INT) AS prio_len,
+        substring(o_orderpriority, 1, 1) AS prio_code,
+        CAST(year(o_orderdate) AS INT) AS o_year,
+        CAST(month(o_orderdate) AS INT) AS o_month,
+        CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class
+        FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")),
+
+    // ---- Conditional aggregation (CASE inside SUM) ----
+    QuerySpec("q_conditional_agg",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("n_high"),
+          dsum(when(col("value") > 50.0, col("value")).otherwise(lit(0.0)), 6).as("sum_high"))
+        .orderBy(col("event_type")),
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        ${dsumSql("CASE WHEN value > 50.0 THEN value ELSE 0.0 END", 6)} AS sum_high
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Time-bucketed aggregation (the batch shape of a streaming
+    // tumbling-window agg) ----
+    QuerySpec("q_time_bucket",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+        .select(unix_millis(col("day")).as("day_ms"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("day_ms"), col("event_type")),
+      Some(s"""SELECT epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day_ms, event_type,
+        COUNT(*) AS n, ${dsumSql("value", 6)} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day_ms, event_type""")),
+
+    // ---- As-of join: latest purchase at-or-before each click, per user.
+    // Spark-side: single-shuffle union + last_value(ignoreNulls) window —
+    // no range join, no cartesian; scales as one sort per user partition. ----
+    QuerySpec("q_asof_join",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("user_id") < 50)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("p_event_id"))
+        val unioned = clicks.select(col("user_id"), col("ts"), lit(1).as("is_click"),
+            col("event_id"), lit(null).cast("long").as("p_event_id"))
+          .unionByName(purch.select(col("user_id"), col("ts"), lit(0).as("is_click"),
+            lit(null).cast("long").as("event_id"), col("p_event_id")))
+        // purchases sort before clicks at equal ts => "at or before" semantics
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_click").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("last_purchase", last(col("p_event_id"), ignoreNulls = true).over(w))
+          .filter(col("is_click") === 1)
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("last_purchase"))
+          .orderBy(col("user_id"), col("click_id"))
+      },
+      Some("""WITH clicks AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'click' AND user_id < 50
+        ), purch AS (
+          SELECT user_id, ts, MAX(event_id) AS p_event_id FROM events
+          WHERE event_type = 'purchase' AND user_id < 50 GROUP BY user_id, ts
+        )
+        SELECT c.user_id AS user_id, c.event_id AS click_id, epoch_ms(c.ts) AS ts_ms,
+          (SELECT p.p_event_id FROM purch p
+            WHERE p.user_id = c.user_id AND p.ts <= c.ts
+            ORDER BY p.ts DESC LIMIT 1) AS last_purchase
+        FROM clicks c ORDER BY user_id, click_id""")),
+
+    // ---- DQ plan shapes (SURVEY §2.2): PK / FK / custom-expression checks
+    // expressed over testdata exactly as the reference generates them ----
+    QuerySpec("dq_pk_check",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val total = c.agg(count(lit(1)).as("total"))
+        val valid = c.groupBy(col("c_custkey")).agg(count(col("c_custkey")).as("cnt"))
+          .filter(col("cnt") === 1).agg(count(lit(1)).as("valid"))
+        total.crossJoin(valid)
+          .select(lit("pk_customer").as("name"), col("total"), col("valid"),
+            (col("total") - col("valid")).as("invalid"))
+      },
+      Some("""SELECT 'pk_customer' AS name,
+        (SELECT COUNT(*) FROM customer) AS total,
+        (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(c_custkey) = 1)) AS valid,
+        (SELECT COUNT(*) FROM customer) -
+        (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(c_custkey) = 1)) AS invalid""")),
+
+    QuerySpec("dq_fk_check",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val total = o.agg(count(lit(1)).as("total"))
+        val valid = o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("valid"))
+        total.crossJoin(valid)
+          .select(lit("fk_orders_customer").as("name"), col("total"), col("valid"),
+            (col("total") - col("valid")).as("invalid"))
+      },
+      Some("""SELECT 'fk_orders_customer' AS name,
+        (SELECT COUNT(*) FROM orders) AS total,
+        (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS valid,
+        (SELECT COUNT(*) FROM orders) -
+        (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS invalid""")),
+
+    QuerySpec("dq_custom_check",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val total = o.agg(count(lit(1)).as("total"))
+        val valid = o.filter(col("o_totalprice") > 0.0 && col("o_orderstatus").isin("O", "F", "P"))
+          .agg(count(lit(1)).as("valid"))
+        total.crossJoin(valid)
+          .select(lit("orders_sane").as("name"), col("total"), col("valid"),
+            (col("total") - col("valid")).as("invalid"))
+      },
+      Some("""SELECT 'orders_sane' AS name,
+        (SELECT COUNT(*) FROM orders) AS total,
+        (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0.0 AND o_orderstatus IN ('O','F','P')) AS valid,
+        (SELECT COUNT(*) FROM orders) -
+        (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0.0 AND o_orderstatus IN ('O','F','P')) AS invalid"""))
+  )
+}
