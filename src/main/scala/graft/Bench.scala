@@ -2,6 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // sbt runMain loads app classes in a URLClassLoader; Spark resolves
+    // extension/catalog class names via the context classloader.
+    Thread.currentThread().setContextClassLoader(getClass.getClassLoader)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -5,6 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // sbt runMain loads app classes in a URLClassLoader; Spark resolves
+    // extension/catalog class names via the context classloader.
+    Thread.currentThread().setContextClassLoader(getClass.getClassLoader)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -1,0 +1,161 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog}
+import org.apache.spark.sql.execution.datasources.FileFormat
+import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
+import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
+import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.csv.CSVTable
+import org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog
+import org.apache.spark.sql.execution.datasources.v2.json.JsonTable
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.hadoop.fs.Path
+
+import graft.model.{DataSourceSpec, SourceType}
+import scala.jdk.CollectionConverters._
+
+/** Per-source-type table resolution, delegating to Spark's own DSv2 tables
+  * (reference: catalog/CatalogUnit.scala:53-152, catalog/FileCatalogUnit.scala:53-164,
+  * catalog/JDBCDataSourceCatalogUnit.scala:36-180). We never re-implement IO:
+  * a JDBC table is Spark's JDBC table (remote filter/limit/agg pushdown for
+  * free), a parquet table is Spark's ParquetTable (vectorized reader, filter
+  * pushdown, partition pruning for free).
+  */
+trait CatalogUnit {
+  def loadTable(spark: SparkSession, rest: Seq[String], name: String,
+      schemaOverride: Option[StructType]): Table
+  def listTables(spark: SparkSession, rest: Seq[String]): Seq[String]
+  def listNamespaces(spark: SparkSession, rest: Seq[String]): Seq[Seq[String]] = Nil
+}
+
+object CatalogUnit {
+  def apply(ds: DataSourceSpec): CatalogUnit = ds.typ match {
+    case SourceType.JDBC => new JdbcCatalogUnit(ds)
+    case t if SourceType.fileTypes.contains(t) => new FileCatalogUnit(ds)
+    case t if SourceType.unstructuredTypes.contains(t) =>
+      new graft.sources.unstructured.UnstructuredCatalogUnit(ds)
+    case SourceType.ICEBERG => new ReflectiveCatalogUnit(ds,
+      "org.apache.iceberg.spark.SparkCatalog")
+    case SourceType.DELTA => new ReflectiveCatalogUnit(ds,
+      "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+    case t => throw new UnsupportedOperationException(
+      s"source type $t is registered but has no catalog unit (matches reference behavior " +
+        "for REST/AUDIO/XML, execution/command/DataSourceType.scala:26-73)")
+  }
+}
+
+/** Parquet/ORC/CSV/JSON/Avro directories. A registered path is a directory of
+  * tables: table `t` resolves to `<path>/t`, `<path>/t.<ext>`, or — when the
+  * datasource name itself is queried — `<path>` (single-table source).
+  */
+final class FileCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
+  private val format = ds.sourceType.toLowerCase
+  private val basePath = ds.options.getOrElse("path",
+    throw new IllegalArgumentException(s"file datasource ${ds.name} needs a path option"))
+
+  private def candidatePaths(name: String): Seq[String] =
+    Seq(s"$basePath/$name.$format", s"$basePath/$name.parquet", s"$basePath/$name") ++
+      (if (name == ds.name) Seq(basePath) else Nil)
+
+  private def resolvePath(spark: SparkSession, name: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    candidatePaths(name).find { p =>
+      val hp = new Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }.getOrElse(throw new NoSuchElementException(
+      s"table $name not found under $basePath (tried ${candidatePaths(name).mkString(", ")})"))
+  }
+
+  override def loadTable(spark: SparkSession, rest: Seq[String], name: String,
+      schemaOverride: Option[StructType]): Table = {
+    val path = resolvePath(spark, name)
+    val opts = new CaseInsensitiveStringMap((ds.options ++ Map("path" -> path)).asJava)
+    val paths = Seq(path)
+    format match {
+      case "parquet" => ParquetTable(name, spark, opts, paths, schemaOverride, classOf[ParquetFileFormat])
+      case "orc" => OrcTable(name, spark, opts, paths, schemaOverride, classOf[OrcFileFormat])
+      case "csv" => CSVTable(name, spark, opts, paths, schemaOverride, classOf[CSVFileFormat])
+      case "json" => JsonTable(name, spark, opts, paths, schemaOverride, classOf[JsonFileFormat])
+      case "avro" =>
+        // avro ships as an optional module; reflective like iceberg/delta
+        ReflectiveCatalogUnit.fileTable("org.apache.spark.sql.v2.avro.AvroTable",
+          "org.apache.spark.sql.avro.AvroFileFormat", name, spark, opts, paths, schemaOverride)
+      case other => throw new UnsupportedOperationException(s"file format $other")
+    }
+  }
+
+  override def listTables(spark: SparkSession, rest: Seq[String]): Seq[String] = {
+    val hp = new Path(basePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Nil
+    else fs.listStatus(hp).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("_"))
+      .map(n => if (n.contains('.')) n.substring(0, n.lastIndexOf('.')) else n)
+      .distinct.sorted
+  }
+}
+
+/** JDBC endpoints via Spark's own JDBCTableCatalog, constructed per call like
+  * the reference (JDBCDataSourceCatalogUnit.scala:43-61). Gets remote
+  * pushdown (filters, required columns, and on 4.x aggregates/limits) free.
+  */
+final class JdbcCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
+  private def delegate(): JDBCTableCatalog = {
+    val cat = new JDBCTableCatalog()
+    cat.initialize(ds.name, new CaseInsensitiveStringMap(ds.options.asJava))
+    cat
+  }
+
+  override def loadTable(spark: SparkSession, rest: Seq[String], name: String,
+      schemaOverride: Option[StructType]): Table =
+    delegate().loadTable(Identifier.of(rest.toArray, name))
+
+  override def listTables(spark: SparkSession, rest: Seq[String]): Seq[String] =
+    delegate().listTables(rest.toArray).map(_.name).toSeq.sorted
+
+  override def listNamespaces(spark: SparkSession, rest: Seq[String]): Seq[Seq[String]] =
+    delegate().listNamespaces(rest.toArray).map(_.toSeq).toSeq
+
+  def tableCatalog: TableCatalog = delegate()
+}
+
+/** Iceberg/Delta (and avro file tables): reflective so the unit lights up
+  * when the jar is present and raises a clear error offline
+  * (reference: v3.5/.../IcebergCatalogUnit.scala:30-42).
+  */
+final class ReflectiveCatalogUnit(ds: DataSourceSpec, catalogClass: String) extends CatalogUnit {
+  private def delegate(): TableCatalog = {
+    val cls = try Class.forName(catalogClass) catch {
+      case _: ClassNotFoundException => throw new UnsupportedOperationException(
+        s"${ds.sourceType} support requires $catalogClass on the classpath " +
+          s"(jar not present in this deployment)")
+    }
+    val cat = cls.getDeclaredConstructor().newInstance().asInstanceOf[TableCatalog]
+    cat.initialize(ds.name, new CaseInsensitiveStringMap(ds.options.asJava))
+    cat
+  }
+  override def loadTable(spark: SparkSession, rest: Seq[String], name: String,
+      schemaOverride: Option[StructType]): Table =
+    delegate().loadTable(Identifier.of(rest.toArray, name))
+  override def listTables(spark: SparkSession, rest: Seq[String]): Seq[String] =
+    delegate().listTables(rest.toArray).map(_.name).toSeq.sorted
+}
+
+object ReflectiveCatalogUnit {
+  def fileTable(tableClass: String, formatClass: String, name: String,
+      spark: SparkSession, opts: CaseInsensitiveStringMap, paths: Seq[String],
+      schema: Option[StructType]): Table = {
+    val cls = try Class.forName(tableClass) catch {
+      case _: ClassNotFoundException => throw new UnsupportedOperationException(
+        s"$tableClass not on classpath (optional module)")
+    }
+    val fmt = Class.forName(formatClass).asInstanceOf[Class[_ <: FileFormat]]
+    cls.getConstructors.head.newInstance(name, spark, opts, paths, schema, fmt)
+      .asInstanceOf[Table]
+  }
+}

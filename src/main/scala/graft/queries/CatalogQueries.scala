@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Correctness-gate queries that exercise the federation layer end-to-end
+  * through the PUBLIC surface (Graft.sql / spark.sql with the graft catalog):
+  * datasource registration, FQN resolution, USL activation, RUN DQ, and the
+  * unstructured text scan — each checked against a DuckDB oracle over the
+  * same parquet.
+  */
+object CatalogQueries {
+
+  private def wh(dir: String): String =
+    "/tmp/graft-verify-wh-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Idempotent setup: catalog + datasource + USL + activation + DQ rules. */
+  private def setup(s: SparkSession, dir: String): Unit = synchronized {
+    Graft.install(s, wh(dir))
+    Graft.sql(s,
+      s"REGISTER OR REPLACE PARQUET DATASOURCE tpch OPTIONS (path '$dir') NAMESPACE graft.datasource.file")
+    try {
+      Graft.sql(s,
+        """COMPILE USL ordermart DEPLOY NAMESPACE graft.metastore DDL
+          |create table customer (
+          |  c_custkey bigint primary key,
+          |  c_name string,
+          |  c_mktsegment string
+          |);
+          |create table orders (
+          |  o_orderkey bigint primary key,
+          |  o_custkey bigint references customer(c_custkey),
+          |  o_totalprice double,
+          |  o_orderstatus string
+          |)""".stripMargin)
+    } catch { case _: IllegalStateException => /* already compiled */ }
+    Graft.sql(s,
+      "ACTIVATE USL TABLE graft.metastore.ordermart.customer AS SELECT c_custkey, c_name, c_mktsegment FROM graft.datasource.file.tpch.customer")
+    Graft.sql(s,
+      "ACTIVATE USL TABLE graft.metastore.ordermart.orders AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM graft.datasource.file.tpch.orders")
+    Graft.sql(s,
+      "REGISTER DQ price_positive TABLE graft.metastore.ordermart.orders AS o_totalprice > 0")
+    Graft.sql(s,
+      "REGISTER DQ status_known TABLE graft.metastore.ordermart.orders AS o_orderstatus IN ('O','F','P')")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- federated FQN join through the DSv2 catalog ----
+    QuerySpec("cat_fqn_join",
+      (s, dir) => {
+        setup(s, dir)
+        s.sql(
+          """SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+            |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM graft.datasource.file.tpch.orders o
+            |JOIN graft.datasource.file.tpch.customer c ON o.o_custkey = c.c_custkey
+            |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY segment""")),
+
+    // ---- USL activated-table readback (nested query lifecycle via V1Scan) ----
+    QuerySpec("usl_readback",
+      (s, dir) => {
+        setup(s, dir)
+        s.sql(
+          """SELECT c.c_mktsegment AS segment, COUNT(*) AS n
+            |FROM graft.metastore.ordermart.orders o
+            |JOIN graft.metastore.ordermart.customer c ON o.o_custkey = c.c_custkey
+            |WHERE o.o_totalprice > 100000.0
+            |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 100000.0
+        GROUP BY c_mktsegment ORDER BY segment""")),
+
+    // ---- RUN DQ: constraint + custom checks, exact reference plan shapes ----
+    QuerySpec("dq_run_summary",
+      (s, dir) => {
+        setup(s, dir)
+        Graft.sql(s, "RUN DQ TABLE graft.metastore.ordermart.orders")
+          .select(col("name"), col("type"), col("total"), col("valid"), col("invalid"))
+          .orderBy(col("name"))
+      },
+      Some("""WITH t AS (SELECT COUNT(*) AS total FROM orders),
+          pk AS (SELECT COUNT(*) AS valid FROM
+            (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) = 1)),
+          fk AS (SELECT COUNT(*) AS valid FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer)),
+          price AS (SELECT COUNT(*) AS valid FROM orders WHERE o_totalprice > 0),
+          status AS (SELECT COUNT(*) AS valid FROM orders WHERE o_orderstatus IN ('O','F','P'))
+        SELECT * FROM (
+          SELECT 'o_orderkey' AS name, 'PK' AS type, t.total, pk.valid, t.total - pk.valid AS invalid FROM t, pk
+          UNION ALL
+          SELECT 'o_custkey', 'FK', t.total, fk.valid, t.total - fk.valid FROM t, fk
+          UNION ALL
+          SELECT 'price_positive', 'DQ', t.total, price.valid, t.total - price.valid FROM t, price
+          UNION ALL
+          SELECT 'status_known', 'DQ', t.total, status.valid, t.total - status.valid FROM t, status
+        ) ORDER BY name""")),
+
+    // ---- unstructured TEXT scan: write one .txt per document, register the
+    // dir, and read sizes back through the metadata table. Oracle checks the
+    // byte sizes against octet_length(text) in the source parquet. ----
+    QuerySpec("unstructured_text_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "textfiles")
+        if (!fixture.exists()) {
+          fixture.mkdirs()
+          QueryPack.t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .collect().foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(fixture.toString, f"${r.getLong(0)}%05d.txt"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE TEXT DATASOURCE corpus OPTIONS (path '$fixture') NAMESPACE graft.datasource.un")
+        s.sql("SELECT path, sizeinbytes FROM graft.datasource.un.corpus.corpus")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+            col("sizeinbytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS sizeinbytes
+        FROM documents ORDER BY doc_id"""))
+  )
+}

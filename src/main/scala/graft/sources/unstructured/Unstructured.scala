@@ -1,0 +1,227 @@
+package graft.sources.unstructured
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{DataSourceSpec, TagField}
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+/** Unstructured file sources (SURVEY.md §2.3-2.4) re-expressed Spark-first:
+  * instead of a hand-rolled FileScan/PartitionReaderFactory (the reference's
+  * UnstructuredFilePartitionReaderFactory.scala), every table is a DataFrame
+  * program over Spark's `binaryFile` format — which already provides
+  * distributed listing, partition discovery (parts_scan), recursive lookup,
+  * column pruning (content bytes are only read when the content column is
+  * projected) and path/length filter pushdown.
+  *
+  * Scan types (reference: UnstructuredData.ScanType:76-89):
+  *  - file_scan       top-level files only
+  *  - recursive_scan  walks subdirs, adds a `subdir` column
+  *  - parts_scan      Hive-style key=value partition dirs become columns
+  *
+  * Tag sidecars: `<file>.tag` JSON files joined on path (reference:
+  * UnstructuredFilePartitionReaderFactory.scala:106-116). The sidecar frame
+  * is tiny (one row per tagged file) so Spark broadcasts the join.
+  *
+  * PDF text extraction and video codec metadata need PDFBox /
+  * metadata-extractor which are not shipped offline; those fields go through
+  * the pluggable [[ContentExtractor]] whose default emits a documented
+  * deterministic fallback (byte-preview / extension-derived format). Image
+  * width/height/thumbnail use JDK javax.imageio + java.awt only.
+  */
+object Unstructured {
+
+  val PreviewBytes = 1024
+  val ThumbnailMaxDim = 96
+
+  /** Common metadata columns (reference: UnstructuredFileTable.scala:37-153). */
+  def metadataSchema(filetype: String): StructType = {
+    val base = StructType(Seq(
+      StructField("filetype", StringType),
+      StructField("path", StringType),
+      StructField("modifiedat", TimestampType),
+      StructField("sizeinbytes", LongType)))
+    filetype match {
+      case "text" | "pdf" => base.add("preview", StringType)
+      case "image" => base.add("width", IntegerType).add("height", IntegerType)
+        .add("imagethumbnail", BinaryType)
+      case "video" => base.add("format", StringType).add("duration", LongType)
+        .add("width", IntegerType).add("height", IntegerType)
+      case _ => base
+    }
+  }
+
+  def contentSchema(filetype: String): StructType = filetype match {
+    case "text" => StructType(Seq(StructField("path", StringType),
+      StructField("textcontent", StringType)))
+    case "pdf" => StructType(Seq(StructField("path", StringType),
+      StructField("textcontent", StringType), StructField("bincontent", BinaryType)))
+    case "image" => StructType(Seq(StructField("path", StringType),
+      StructField("imagecontent", BinaryType)))
+    case _ => StructType(Seq(StructField("path", StringType),
+      StructField("bincontent", BinaryType)))
+  }
+
+  private def reader(spark: SparkSession, ds: DataSourceSpec) = {
+    val scanType = ds.options.getOrElse("scanType", "file_scan")
+    var r = spark.read.format("binaryFile")
+    if (scanType == "recursive_scan") r = r.option("recursiveFileLookup", "true")
+    ds.options.get("pathGlobFilter").foreach(g => r = r.option("pathGlobFilter", g))
+    r
+  }
+
+  private def basePath(ds: DataSourceSpec): String = ds.options("path")
+
+  /** Raw (path, modificationTime, length, content) excluding tag sidecars. */
+  private def rawFiles(spark: SparkSession, ds: DataSourceSpec): DataFrame =
+    reader(spark, ds).load(basePath(ds)).where(!col("path").endsWith(".tag"))
+
+  /** Per-file tag values parsed from sidecar JSON; null-filled when absent. */
+  private def withTags(spark: SparkSession, ds: DataSourceSpec, df: DataFrame): DataFrame = {
+    if (ds.tags.isEmpty) return df
+    val tagSchema = StructType(ds.tags.map(_.toStructField))
+    val sidecars = reader(spark, ds).option("pathGlobFilter", "*.tag").load(basePath(ds))
+      .select(
+        expr("substring(path, 1, length(path) - 4)").as("__data_path"),
+        from_json(col("content").cast("string"), tagSchema).as("__tags"))
+    df.join(broadcast(sidecars), df("path") === sidecars("__data_path"), "left")
+      .drop("__data_path")
+      .select((df.columns.map(col) ++ ds.tags.map(t => col(s"__tags.${t.name}").as(t.name))).toIndexedSeq: _*)
+  }
+
+  /** subdir (recursive_scan) / partition columns (parts_scan) extras. */
+  private def scanTypeColumns(ds: DataSourceSpec, df: DataFrame): DataFrame = {
+    val scanType = ds.options.getOrElse("scanType", "file_scan")
+    if (scanType != "recursive_scan") df
+    else {
+      val base = basePath(ds).stripSuffix("/")
+      df.withColumn("subdir",
+        regexp_extract(col("path"), s"^(?:file:)?${java.util.regex.Pattern.quote(base)}/(.*)/[^/]+$$", 1))
+    }
+  }
+
+  // ---- per-format metadata tables ----
+
+  def metadataTable(spark: SparkSession, ds: DataSourceSpec): DataFrame = {
+    val filetype = ds.sourceType.toLowerCase
+    val raw = rawFiles(spark, ds)
+    val base = raw.select(
+      lit(filetype).as("filetype"),
+      col("path"),
+      col("modificationTime").as("modifiedat"),
+      col("length").as("sizeinbytes"),
+      col("content"))
+    val typed = filetype match {
+      case "text" | "pdf" =>
+        base.withColumn("preview", ContentExtractor.textPreview(col("content")))
+      case "image" =>
+        base
+          .withColumn("__dims", ContentExtractor.imageDims(col("content")))
+          .withColumn("width", col("__dims._1"))
+          .withColumn("height", col("__dims._2"))
+          .withColumn("imagethumbnail", ContentExtractor.thumbnail(col("content")))
+          .drop("__dims")
+      case "video" =>
+        base
+          .withColumn("format", ContentExtractor.videoFormat(col("path")))
+          .withColumn("duration", ContentExtractor.videoDuration(col("content")))
+          .withColumn("width", lit(null).cast(IntegerType))
+          .withColumn("height", lit(null).cast(IntegerType))
+      case _ => base
+    }
+    scanTypeColumns(ds, withTags(spark, ds, typed.drop("content")))
+  }
+
+  /** The `<ds>.content` sub-table (reference: PdfTable.scala:37-51). */
+  def contentTable(spark: SparkSession, ds: DataSourceSpec): DataFrame = {
+    val filetype = ds.sourceType.toLowerCase
+    val raw = rawFiles(spark, ds)
+    filetype match {
+      case "text" => raw.select(col("path"),
+        col("content").cast("string").as("textcontent"))
+      case "pdf" => raw.select(col("path"),
+        ContentExtractor.pdfText(col("content")).as("textcontent"),
+        col("content").as("bincontent"))
+      case "image" => raw.select(col("path"), col("content").as("imagecontent"))
+      case _ => raw.select(col("path"), col("content").as("bincontent"))
+    }
+  }
+
+  def tableSchema(spark: SparkSession, ds: DataSourceSpec): StructType =
+    StructType(metadataTable(spark, ds).schema.fields)
+}
+
+/** Pluggable content extraction. PDF text and video stream metadata require
+  * libs absent offline (PDFBox, metadata-extractor) — their defaults here are
+  * clearly-marked deterministic fallbacks; image handling is full-fidelity
+  * via the JDK (reference equivalents: PdfReaderFactory.scala:52-67,
+  * ImageReaderFactory.scala:37-69, VideoReaderFactory.scala:36-107).
+  */
+object ContentExtractor {
+
+  /** UTF-8 preview of the first [[Unstructured.PreviewBytes]] bytes. */
+  def textPreview(content: Column): Column = {
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else new String(bytes.take(Unstructured.PreviewBytes), java.nio.charset.StandardCharsets.UTF_8)
+    }
+    f(content)
+  }
+
+  /** STUB (offline): real extraction needs PDFBox. Falls back to decoding
+    * printable ASCII runs — enough to exercise the plumbing deterministically.
+    */
+  def pdfText(content: Column): Column = {
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .replaceAll("[^\\x20-\\x7E\\n]+", " ").trim.take(10000)
+    }
+    f(content)
+  }
+
+  def imageDims(content: Column): Column = {
+    val f = udf { bytes: Array[Byte] =>
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) (null: Option[Int], null: Option[Int]) else (Some(img.getWidth), Some(img.getHeight))
+      } catch { case _: Exception => (None, None) }
+    }
+    f(content)
+  }
+
+  /** PNG thumbnail scaled to fit [[Unstructured.ThumbnailMaxDim]], JDK-only
+    * (java.awt scaling, reference uses Thumbnailator: UnstructuredData.thumbnailImage:195-202).
+    */
+  def thumbnail(content: Column): Column = {
+    val f = udf { bytes: Array[Byte] =>
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) null
+        else {
+          val m = Unstructured.ThumbnailMaxDim
+          val scale = math.min(1.0, m.toDouble / math.max(img.getWidth, img.getHeight))
+          val (w, h) = (math.max(1, (img.getWidth * scale).toInt), math.max(1, (img.getHeight * scale).toInt))
+          val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      } catch { case _: Exception => null }
+    }
+    f(content)
+  }
+
+  def videoFormat(path: Column): Column =
+    upper(regexp_extract(path, "\\.([^.]+)$", 1))
+
+  /** STUB (offline): real duration needs metadata-extractor; emits null. */
+  def videoDuration(content: Column): Column =
+    lit(null).cast(LongType)
+}

@@ -1,14 +1,29 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Thin bridge into private[sql] APIs (Spark 4 moved Column<->Expression
-  * conversion behind org.apache.spark.sql.classic.ExpressionUtils). Mirrors
-  * the technique the reference uses in its own SparkSQLBridge
+  * conversion behind org.apache.spark.sql.classic.ExpressionUtils and split
+  * SparkSession into an interface + classic impl). Mirrors the technique the
+  * reference uses in its own SparkSQLBridge
   * (reference: spark/spark-common/src/main/scala/org/apache/spark/sql/SparkSQLBridge.scala:34-74).
   */
 object GraftSQLBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def classicSession(spark: SparkSession): classic.SparkSession =
+    spark.asInstanceOf[classic.SparkSession]
+
+  /** Dataset.ofRows is private[sql]; commands and the USL scan need to turn
+    * hand-built logical plans into DataFrames
+    * (reference: SparkSQLBridge.scala:70-72).
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(classicSession(spark), plan)
+
+  def structTypeToV2Columns(schema: types.StructType): Array[connector.catalog.Column] =
+    connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
 }

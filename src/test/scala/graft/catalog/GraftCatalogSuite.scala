@@ -1,0 +1,131 @@
+package graft.catalog
+
+import org.apache.spark.sql.Row
+
+import graft.SparkTestBase
+
+/** End-to-end catalog federation: register datasources, query through the
+  * lightning-style FQN, ingest a catalog snapshot, compile + activate a USL,
+  * run data-quality checks (covers the reference suites
+  * RegisterFileDataSourceTestSuite / RegisterCatalogTestSuite /
+  * CompileUCLTestSuite / ActivateUCLTableTestSuite / RegisterDataQualityTestSuite).
+  */
+class GraftCatalogSuite extends SparkTestBase {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql(
+      s"REGISTER PARQUET DATASOURCE tpch OPTIONS (path '${sf()}') NAMESPACE graft.datasource.file")
+  }
+
+  test("registered parquet datasource resolves tables by FQN") {
+    val n = spark.sql("SELECT COUNT(*) FROM graft.datasource.file.tpch.nation").head().getLong(0)
+    assert(n == 25)
+    val joined = spark.sql(
+      """SELECT r.r_name, COUNT(*) AS n FROM graft.datasource.file.tpch.nation n
+        |JOIN graft.datasource.file.tpch.region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
+    assert(joined.count() == 5)
+  }
+
+  test("filter pushdown reaches the parquet scan through the catalog") {
+    val df = spark.sql(
+      "SELECT l_orderkey FROM graft.datasource.file.tpch.lineitem WHERE l_quantity < 2.0")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,2.0)]"),
+      s"expected pushdown in plan:\n$physical")
+  }
+
+  test("SHOW NAMESPACES / SHOW TABLES navigate the catalog") {
+    val roots = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).sorted
+    assert(roots.toSeq == Seq("datasource", "metastore"))
+    val tables = spark.sql("SHOW TABLES IN graft.datasource.file.tpch")
+      .collect().map(_.getString(1))
+    assert(tables.contains("lineitem") && tables.contains("customer"))
+  }
+
+  test("REGISTER CATALOG ingests schema snapshots into the metastore") {
+    spark.sql(
+      "REGISTER CATALOG tiny SOURCE graft.datasource.file.tpch NAME LIKE 'nation' NAMESPACE graft.metastore")
+    val n = spark.sql("SELECT COUNT(*) FROM graft.metastore.tiny.nation").head().getLong(0)
+    assert(n == 25)
+  }
+
+  test("USL compile + activate + query + DQ lifecycle") {
+    spark.sql(
+      s"""COMPILE USL ordermart DEPLOY NAMESPACE graft.metastore DDL
+         |create table customer (
+         |  c_custkey bigint primary key,
+         |  c_name string,
+         |  c_acctbal double
+         |);
+         |create table orders (
+         |  o_orderkey bigint primary key,
+         |  o_custkey bigint references customer(c_custkey),
+         |  o_totalprice double
+         |)""".stripMargin)
+
+    // unactivated read fails with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.metastore.ordermart.customer").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("activate"))
+
+    spark.sql(
+      "ACTIVATE USL TABLE graft.metastore.ordermart.customer AS SELECT c_custkey, c_name, c_acctbal FROM graft.datasource.file.tpch.customer")
+    spark.sql(
+      "ACTIVATE USL TABLE graft.metastore.ordermart.orders AS SELECT o_orderkey, o_custkey, o_totalprice FROM graft.datasource.file.tpch.orders")
+
+    val cnt = spark.sql("SELECT COUNT(*) FROM graft.metastore.ordermart.orders").head().getLong(0)
+    assert(cnt > 0)
+
+    // widening violation: string into bigint column
+    val bad = intercept[Exception] {
+      spark.sql("ACTIVATE USL TABLE graft.metastore.ordermart.customer AS SELECT c_name, c_name, c_acctbal FROM graft.datasource.file.tpch.customer")
+    }
+    assert(bad.getMessage.contains("cannot be served"))
+
+    // custom DQ + constraint checks
+    spark.sql("REGISTER DQ price_positive TABLE graft.metastore.ordermart.orders AS o_totalprice > 0")
+    val dqs = spark.sql("LIST DQ USL graft.metastore.ordermart").collect()
+    assert(dqs.exists(r => r.getString(0) == "price_positive" && r.getString(2) == "DQ"))
+    assert(dqs.exists(r => r.getString(2) == "PK" && r.getString(1) == "customer"))
+    assert(dqs.exists(r => r.getString(2) == "FK" && r.getString(1) == "orders"))
+
+    val run = spark.sql("RUN DQ TABLE graft.metastore.ordermart.orders").collect()
+    assert(run.nonEmpty)
+    run.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4) + r.getLong(5)) // total = valid + invalid
+      assert(r.getLong(5) == 0, s"check ${r.getString(0)} found invalid rows: $r")
+    }
+
+    val shown = spark.sql(
+      "SHOW DQ VALID RECORD price_positive TABLE graft.metastore.ordermart.orders LIMIT 5").collect()
+    assert(shown.length == 5 && shown.head.getString(0).contains("o_orderkey"))
+
+    // LOAD / REMOVE USL
+    val json = spark.sql("LOAD USL ordermart NAMESPACE graft.metastore").head().getString(0)
+    assert(json.contains("\"ordermart\"") && json.contains("price_positive"))
+    spark.sql("REMOVE USL ordermart NAMESPACE graft.metastore")
+    intercept[Exception] { spark.sql("LOAD USL ordermart NAMESPACE graft.metastore").collect() }
+  }
+
+  test("SHOW NAMESPACES OR TABLES labels kinds") {
+    val rows = spark.sql("SHOW NAMESPACES OR TABLES IN graft.datasource").collect()
+    assert(rows.exists(r => r.getString(0) == "file" && r.getString(1) == "namespace"))
+  }
+
+  test("jdbc datasource registers and round-trips through Derby") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    spark.sql(
+      s"""REGISTER JDBC DATASOURCE emb OPTIONS (
+         |  url 'jdbc:derby:$dbDir/db;create=true', driver 'org.apache.derby.jdbc.EmbeddedDriver'
+         |) NAMESPACE graft.datasource.jdbc""".stripMargin)
+    // create + insert through the federated catalog
+    spark.sql("CREATE TABLE graft.datasource.jdbc.emb.APP.people (id INT, name STRING)")
+    spark.sql("INSERT INTO graft.datasource.jdbc.emb.APP.people VALUES (1, 'ada'), (2, 'grace')")
+    checkAnswer(
+      spark.sql("SELECT id, name FROM graft.datasource.jdbc.emb.APP.people ORDER BY id"),
+      Seq(Row(1, "ada"), Row(2, "grace")))
+  }
+}

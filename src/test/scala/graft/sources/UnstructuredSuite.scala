@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import graft.SparkTestBase
+
+/** Unstructured text/image family over generated fixtures (covers the shape
+  * of the reference's RegisterPdfDataSourceTestSuite /
+  * RegisterImageDataSourceTestSuite / text suites).
+  */
+class UnstructuredSuite extends SparkTestBase {
+
+  private var dir: String = _
+  private var imgDir: String = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    dir = Files.createTempDirectory("graft-unstructured").toString
+    Files.writeString(Paths.get(dir, "a.txt"), "hello graft one")
+    Files.writeString(Paths.get(dir, "b.txt"), "second file with more words inside")
+    Files.writeString(Paths.get(dir, "b.txt.tag"), """{"author": "ada", "stars": 5}""")
+    Files.createDirectory(Paths.get(dir, "sub"))
+    Files.writeString(Paths.get(dir, "sub", "c.txt"), "nested")
+    // tiny 2x3 png via imageio
+    imgDir = Files.createTempDirectory("graft-images").toString
+    val img = new java.awt.image.BufferedImage(2, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$imgDir/pic.png"))
+
+    spark.sql(
+      s"""REGISTER TEXT DATASOURCE notes OPTIONS (path '$dir') NAMESPACE graft.datasource.un
+         |TAG (author string, stars int)""".stripMargin)
+    spark.sql(
+      s"REGISTER OR REPLACE IMAGE DATASOURCE pics OPTIONS (path '$imgDir') NAMESPACE graft.datasource.un")
+  }
+
+  test("text metadata table: schema, preview, tag sidecars") {
+    val df = spark.sql(
+      "SELECT path, filetype, sizeinbytes, preview, author, stars FROM graft.datasource.un.notes.notes ORDER BY path")
+    val rows = df.collect()
+    assert(rows.length == 2) // file_scan: top-level only, sidecar excluded
+    val a = rows.find(_.getString(0).endsWith("a.txt")).get
+    assert(a.getString(1) == "text")
+    assert(a.getString(3) == "hello graft one")
+    assert(a.isNullAt(4) && a.isNullAt(5)) // no sidecar -> null tags
+    val b = rows.find(_.getString(0).endsWith("b.txt")).get
+    assert(b.getString(4) == "ada" && b.getInt(5) == 5)
+  }
+
+  test("recursive_scan adds subdir column and finds nested files") {
+    spark.sql(
+      s"""REGISTER OR REPLACE TEXT DATASOURCE rnotes OPTIONS (path '$dir', scanType 'recursive_scan')
+         |NAMESPACE graft.datasource.un""".stripMargin)
+    val rows = spark.sql(
+      "SELECT path, subdir FROM graft.datasource.un.rnotes.rnotes WHERE path LIKE '%.txt' ORDER BY path")
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.exists(r => r.getString(0).endsWith("c.txt") && r.getString(1) == "sub"))
+  }
+
+  test("content sub-table exposes full text") {
+    val rows = spark.sql(
+      "SELECT path, textcontent FROM graft.datasource.un.notes.content WHERE path LIKE '%b.txt' ")
+      .collect()
+    assert(rows.head.getString(1) == "second file with more words inside")
+  }
+
+  test("image metadata: dimensions + png thumbnail") {
+    val r = spark.sql(
+      "SELECT width, height, imagethumbnail FROM graft.datasource.un.pics.pics WHERE path LIKE '%pic.png'")
+      .head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3)
+    val thumb = r.getAs[Array[Byte]](2)
+    assert(thumb != null && thumb.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+  }
+
+  test("filter on metadata does not require reading content") {
+    val df = spark.sql(
+      "SELECT path FROM graft.datasource.un.notes.notes WHERE sizeinbytes > 20")
+    assert(df.collect().map(_.getString(0)).exists(_.endsWith("b.txt")))
+  }
+}
