@@ -24,7 +24,12 @@ object Graft {
   /** Install the graft catalog on a live session (no extension needed). */
   def install(spark: SparkSession, warehouse: String,
       name: String = GraftEnv.DefaultCatalogName): Unit = {
+    val changed = spark.conf.getOption(s"spark.sql.catalog.$name.warehouse")
+      .exists(_ != warehouse)
     GraftEnv.install(spark, warehouse, name)
+    // a previously-instantiated catalog caches its model; drop it when the
+    // warehouse moves so the new location takes effect
+    if (changed) GraftSQLBridge.resetCatalogManager(spark)
     functions.GraftFunctions.registerAll(spark)
   }
 

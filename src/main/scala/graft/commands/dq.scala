@@ -109,7 +109,10 @@ object DqSupport {
 
   def checksOf(spark: SparkSession, tableFqn: Seq[String], spec: TableSpec,
       uslNs: Seq[String], usl: UslSpec): Seq[Check] = {
-    val t = () => total(spark, tableFqn)
+    // one COUNT(*) job shared by every check on this table (the reference
+    // recomputes it per check — same result, fewer jobs at scale)
+    lazy val cachedTotal = total(spark, tableFqn)
+    val t = () => cachedTotal
     val pkChecks = (spec.primaryKey.map(pk => (constraintName(pk.name, pk.columns), pk.columns, "PK")).toSeq ++
       spec.columns.filter(_.primaryKey).map(c => (c.name, Seq(c.name), "PK")) ++
       spec.uniques.map(u => (constraintName(u.name, u.columns), u.columns, "UNIQUE")) ++

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (an extension beyond the reference, which
+  * ships no streaming — SURVEY.md §2.5 "absent"; its only streaming artifact
+  * is reading a FileStreamSink log, UnstructuredFileTable.scala:68-72).
+  *
+  * Design: streams are the same declarative plans as batch — every transform
+  * here works identically on a batch DataFrame, so the batch gate queries
+  * double as the streaming correctness oracle (run the same transform over
+  * the events table and compare). State stores partition by grouping key, so
+  * a 1000-executor cluster shards sessions/windows with no driver state.
+  */
+object Streaming {
+
+  /** File-based stream over a directory of parquet/csv/json drops. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.format(format).schema(schema).load(dir)
+
+  /** Tumbling-window event counts+sums with late-data handling: the
+    * streaming twin of the batch `q_time_bucket` gate query.
+    */
+  def windowedStats(events: DataFrame, windowLength: String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows with a 30-minute gap, built on Spark's native
+    * session_window (state sharded by user_id across executors).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  final case class EventIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals —
+    * the arbitrary-state escape hatch for logic windows can't express.
+    */
+  def runningTotals(events: Dataset[EventIn]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a stream to completion against a memory sink and return the result
+    * table (test/bench harness helper).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

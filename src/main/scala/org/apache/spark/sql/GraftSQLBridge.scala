@@ -26,4 +26,10 @@ object GraftSQLBridge {
 
   def structTypeToV2Columns(schema: types.StructType): Array[connector.catalog.Column] =
     connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
+
+  /** Drop cached catalog instances so a changed
+    * `spark.sql.catalog.<name>.warehouse` takes effect on a live session.
+    */
+  def resetCatalogManager(spark: SparkSession): Unit =
+    classicSession(spark).sessionState.catalogManager.reset()
 }

