@@ -144,6 +144,11 @@ final class ReflectiveCatalogUnit(ds: DataSourceSpec, catalogClass: String) exte
     delegate().loadTable(Identifier.of(rest.toArray, name))
   override def listTables(spark: SparkSession, rest: Seq[String]): Seq[String] =
     delegate().listTables(rest.toArray).map(_.name).toSeq.sorted
+
+  def loadTableVersion(spark: SparkSession, ident: Identifier, version: String): Table =
+    delegate().loadTable(ident, version)
+  def loadTableTimestamp(spark: SparkSession, ident: Identifier, timestamp: Long): Table =
+    delegate().loadTable(ident, timestamp)
 }
 
 object ReflectiveCatalogUnit {

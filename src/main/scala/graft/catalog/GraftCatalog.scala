@@ -154,6 +154,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform], properties: JMap[String, String]): Table =
     createTable(ident, org.apache.spark.sql.GraftSQLBridge.structTypeToV2Columns(schema), partitions, properties)
 
+  // ---- time travel: VERSION AS OF / TIMESTAMP AS OF routes here; only
+  // Iceberg units support it, everything else rejects (reference:
+  // AbstractLightningCatalog.scala:338-360, CatalogUnit.scala:91-108,
+  // AbstractIcebergCatalogUnit.scala:61-66) ----
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    timeTravelUnit(ident).loadTableVersion(spark, ident, version)
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    timeTravelUnit(ident).loadTableTimestamp(spark, ident, timestamp)
+
+  private def timeTravelUnit(ident: Identifier): ReflectiveCatalogUnit = {
+    val ns = ident.namespace.toSeq
+    model.findParentDataSource(ns :+ ident.name) match {
+      case Some((ds, _)) if ds.typ == SourceType.ICEBERG =>
+        CatalogUnit(ds).asInstanceOf[ReflectiveCatalogUnit]
+      case Some((ds, _)) => throw new UnsupportedOperationException(
+        s"time travel is not supported for ${ds.sourceType} datasources (Iceberg only)")
+      case None => throw new NoSuchTableException((ns :+ ident.name).toSeq)
+    }
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER TABLE is not supported")
 

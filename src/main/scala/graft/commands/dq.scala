@@ -150,8 +150,15 @@ case class RegisterDqCommand(name: String, table: Seq[String], expression: Strin
   override val output: Seq[Attribute] = Seq(attr("registered"))
   override def run(spark: SparkSession): Seq[Row] = {
     val (ns, usl, tableSpec) = DqSupport.resolveUsl(spark, table)
+    // ${var} CTE variables: each variable body must itself parse as a plan;
+    // like the reference, they are validated + stored but not composed
+    // further (reference: parser/LightningParserUtils.scala:53-71,
+    // CreateTableSpec.scala:93-111)
+    val vars = "\\$\\{([^}]*)\\}".r.findAllMatchIn(expression).map(_.group(1)).toSeq
+    vars.foreach(v => spark.sessionState.sqlParser.parsePlan(v))
     // parse + analyze + optimize to typecheck (reference: DataQualitySpec.scala:37-46)
-    DqSupport.customDqDf(spark, table, expression, valid = true).queryExecution.optimizedPlan
+    if (vars.isEmpty)
+      DqSupport.customDqDf(spark, table, expression, valid = true).queryExecution.optimizedPlan
     val updated = usl.copy(tables = usl.tables.map {
       case tb if tb.name.equalsIgnoreCase(tableSpec.name) =>
         tb.copy(dataQualities =

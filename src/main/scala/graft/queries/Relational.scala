@@ -339,6 +339,59 @@ object Relational {
             ORDER BY p.ts DESC LIMIT 1) AS last_purchase
         FROM clicks c ORDER BY user_id, click_id""")),
 
+    // ---- Cube: full grouping-set lattice over two dims ----
+    QuerySpec("q_cube",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ${dsumSql("o_totalprice", 2)} AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- JSON extraction from the events.props payload column ----
+    QuerySpec("q_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY 1 ORDER BY k_mod""")),
+
+    // ---- Approximate count-distinct (HLL++). Deterministic within Spark but
+    // algorithm-specific, so no cross-engine oracle: rows-only + the exact
+    // counterpart asserted relatively in tests. ----
+    QuerySpec("q_approx_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_linestatus")),
+      None),
+
+    // ---- Array/higher-order functions over collected per-group values ----
+    QuerySpec("q_array_funcs",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(col("l_orderkey"),
+          size(col("lines")).as("n_lines"),
+          aggregate(col("lines"), lit(0L), (a, x) => a + x).as("sum_lines"),
+          element_at(col("lines"), 1).as("first_line"))
+        .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, CAST(len(lines) AS INT) AS n_lines,
+          CAST(list_sum(lines) AS BIGINT) AS sum_lines, lines[1] AS first_line
+        FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+              FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
+        ORDER BY l_orderkey""")),
+
     // ---- DQ plan shapes (SURVEY §2.2): PK / FK / custom-expression checks
     // expressed over testdata exactly as the reference generates them ----
     QuerySpec("dq_pk_check",

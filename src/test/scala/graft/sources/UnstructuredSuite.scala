@@ -75,6 +75,39 @@ class UnstructuredSuite extends SparkTestBase {
     assert(thumb != null && thumb.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
   }
 
+  test("write sink: INSERT-equivalent file write + image auto-thumbnail") {
+    import graft.sources.unstructured.UnstructuredWrite
+    val outDir = Files.createTempDirectory("graft-un-write").toString
+    val content = spark.sql("SELECT path, textcontent AS content FROM graft.datasource.un.notes.content")
+    UnstructuredWrite.writeFiles(content, outDir)
+    assert(Files.readString(Paths.get(outDir, "a.txt")) == "hello graft one")
+    assert(Files.readString(Paths.get(outDir, "b.txt")) == "second file with more words inside")
+    // image write produces a _thumbnail sibling (reference: BinOutputWriter.scala:79-116)
+    val pics = spark.sql("SELECT path, imagecontent AS content FROM graft.datasource.un.pics.content")
+    UnstructuredWrite.writeFiles(pics, outDir, thumbnails = true)
+    assert(Files.exists(Paths.get(outDir, "pic.png")))
+    assert(Files.exists(Paths.get(outDir, "pic_thumbnail.png")))
+  }
+
+  test("tag sidecar update round-trips through the metadata table") {
+    import graft.sources.unstructured.UnstructuredWrite
+    import org.apache.spark.sql.functions.{col, lit}
+    val tags = spark.sql("SELECT path FROM graft.datasource.un.notes.notes WHERE path LIKE '%a.txt'")
+      .select(col("path"), lit("turing").as("author"), lit(3).as("stars"))
+    UnstructuredWrite.writeTagSidecars(tags)
+    val r = spark.sql(
+      "SELECT author, stars FROM graft.datasource.un.notes.notes WHERE path LIKE '%a.txt'").head()
+    assert(r.getString(0) == "turing" && r.getInt(1) == 3)
+  }
+
+  test("time travel rejects non-iceberg datasources with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.datasource.un.notes.notes VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("Iceberg") || e.getMessage.contains("time travel"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("filter on metadata does not require reading content") {
     val df = spark.sql(
       "SELECT path FROM graft.datasource.un.notes.notes WHERE sizeinbytes > 20")
