@@ -21,14 +21,16 @@ import graft.functions.{GraftFunctions => F, TextFunctions => T}
   */
 object Dedup {
 
-  /** Exact duplicate groups by normalized text. Keeps min(id) as the
-    * canonical representative. Group key is the normalized text itself so
-    * the result is exact (collision-free); at scale swap the key for
-    * xxhash64(norm) and verify within groups.
+  /** Exact duplicate groups by normalized text, keyed on a 128-bit content
+    * hash so only (hash, id) pairs shuffle — never the text itself. At 100 TB
+    * the shuffle payload is 24 bytes/row regardless of document size;
+    * md5's 128 bits make collisions negligible at any corpus size
+    * (~1e-18 at a trillion docs). Keeps min(id) as the canonical
+    * representative.
     */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), T.normText(col(textCol)).as("norm_text"))
-      .groupBy(col("norm_text"))
+    df.select(col(idCol), md5(T.normText(col(textCol)).cast("binary")).as("norm_hash"))
+      .groupBy(col("norm_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Rows surviving exact dedup (the canonical representative per text). */
