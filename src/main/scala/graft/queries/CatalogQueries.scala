@@ -16,8 +16,13 @@ object CatalogQueries {
   private def wh(dir: String): String =
     "/tmp/graft-verify-wh-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
 
-  /** Idempotent setup: catalog + datasource + USL + activation + DQ rules. */
+  private val prepared = scala.collection.mutable.Set.empty[String]
+
+  /** Idempotent setup: catalog + datasource + USL + activation + DQ rules.
+    * DDL runs once per (session, sfDir) — repeat calls skip the re-analysis.
+    */
   private def setup(s: SparkSession, dir: String): Unit = synchronized {
+    if (prepared.contains(dir)) return
     Graft.install(s, wh(dir))
     Graft.sql(s,
       s"REGISTER OR REPLACE PARQUET DATASOURCE tpch OPTIONS (path '$dir') NAMESPACE graft.datasource.file")
@@ -44,6 +49,7 @@ object CatalogQueries {
       "REGISTER DQ price_positive TABLE graft.metastore.ordermart.orders AS o_totalprice > 0")
     Graft.sql(s,
       "REGISTER DQ status_known TABLE graft.metastore.ordermart.orders AS o_orderstatus IN ('O','F','P')")
+    prepared += dir
   }
 
   val specs: Seq[QuerySpec] = Seq(

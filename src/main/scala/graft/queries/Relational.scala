@@ -375,6 +375,20 @@ object Relational {
         .orderBy(col("l_linestatus")),
       None),
 
+    // ---- Exact interpolated percentiles (both engines sort exactly) ----
+    QuerySpec("q_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.5) AS p50,
+          quantile_cont(l_quantity, 0.9) AS p90,
+          quantile_cont(l_extendedprice, 0.5) AS price_p50
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- Array/higher-order functions over collected per-group values ----
     QuerySpec("q_array_funcs",
       (s, dir) => t(s, dir, "lineitem")

@@ -68,6 +68,17 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen, with the
+    * state bounded by a watermark (late duplicates beyond the watermark are
+    * forgotten — the standard streaming trade-off). The streaming twin of
+    * `Dedup.exactDedup`.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Run a stream to completion against a memory sink and return the result
     * table (test/bench harness helper).
     */

@@ -42,6 +42,17 @@ class StreamingSuite extends SparkTestBase {
     assert(got.count() == sessions.count())
   }
 
+  test("streaming dedup drops replayed duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dup").toString
+    val slice = events.filter(col("user_id") < 5)
+    slice.write.mode("overwrite").parquet(s"$dir/batch1")
+    slice.write.mode("overwrite").parquet(s"$dir/batch2") // exact replay
+    val stream = Streaming.fileStream(spark, s"$dir/batch*", events.schema)
+    val got = Streaming.runToMemory(
+      Streaming.streamingDedup(stream, Seq("event_id")), "deduped")
+    assert(got.count() == slice.count()) // each event survives exactly once
+  }
+
   test("mapGroupsWithState running totals match groupBy aggregate") {
     import spark.implicits._
     val in = events.filter(col("user_id") < 10)
