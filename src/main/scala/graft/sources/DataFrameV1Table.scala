@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -18,6 +19,18 @@ import scala.jdk.CollectionConverters._
   * (reference: datasources/v2/usl/USLTableScan.scala:32-54). The program runs
   * its own full parse/analyze/optimize lifecycle and contributes its RDD;
   * Catalyst optimizes the outer plan around it.
+  *
+  * Pushdown ACROSS the boundary: the scan builder accepts column pruning and
+  * filter pushdown from the outer plan and re-applies both to the inner
+  * DataFrame program, where Catalyst pushes them onward — into the
+  * activation query of a USL table or the binaryFile scan of an unstructured
+  * table. Unprojected expensive columns (thumbnails, content decodes) are
+  * pruned before execution, mirroring the reference's lazy content IO
+  * (reference: UnstructuredFilePartitionReaderFactory.scala:166-180).
+  * Filters are *also* retained by Spark post-scan (pushFilters returns its
+  * input), so a filter the program can't serve exactly stays correct — this
+  * deliberately avoids the reference's unsupported-filter row-drop hazard
+  * (SURVEY.md §4).
   *
   * Rows are cast column-by-column to the declared schema (by position), so a
   * program returning narrower-but-queryable types (int where long declared,
@@ -34,13 +47,27 @@ class DataFrameV1Table(
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      private var required: StructType = declaredSchema
+      private var pushed: Array[sources.Filter] = Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        if (requiredSchema.nonEmpty) required = requiredSchema
+
+      override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        pushed = filters.filter(translate(_).isDefined)
+        filters // Spark re-applies everything post-scan: safe, never drops rows
+      }
+      override def pushedFilters(): Array[sources.Filter] = pushed
+
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = declaredSchema
+        private val readReq = required
+        private val readFilters = pushed
+        override def readSchema(): StructType = readReq
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
-            override def schema: StructType = declaredSchema
+            override def schema: StructType = readReq
             override def buildScan(): RDD[Row] = {
               val df = program(ctx.sparkSession)
               val casted =
@@ -48,9 +75,33 @@ class DataFrameV1Table(
                 else df.select(df.columns.zip(declaredSchema.fields).map {
                   case (c, f) => col(c).cast(f.dataType).as(f.name)
                 }.toIndexedSeq: _*)
-              casted.rdd
+              val filtered = readFilters.flatMap(translate)
+                .foldLeft(casted)((d, c) => d.where(c))
+              filtered.select(readReq.fieldNames.map(col).toIndexedSeq: _*).rdd
             }
           }.asInstanceOf[T]
       }
     }
+
+  /** sources.Filter -> Column for the common predicates; None skips the
+    * pushdown for that filter (Spark still evaluates it post-scan).
+    */
+  private def translate(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case sources.Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case sources.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
 }

@@ -108,12 +108,18 @@ object Unstructured {
   def metadataTable(spark: SparkSession, ds: DataSourceSpec): DataFrame = {
     val filetype = ds.sourceType.toLowerCase
     val raw = rawFiles(spark, ds)
+    // parts_scan: hive-style key=value dirs surface as partition columns
+    // (discovered by the binaryFile file index; reference:
+    // UnstructuredFileTable.scala:114-125)
+    val partitionCols = raw.columns.toSeq
+      .filterNot(Set("path", "modificationTime", "length", "content"))
     val base = raw.select(
-      lit(filetype).as("filetype"),
-      col("path"),
-      col("modificationTime").as("modifiedat"),
-      col("length").as("sizeinbytes"),
-      col("content"))
+      (Seq(
+        lit(filetype).as("filetype"),
+        col("path"),
+        col("modificationTime").as("modifiedat"),
+        col("length").as("sizeinbytes"),
+        col("content")) ++ partitionCols.map(col)): _*)
     val typed = filetype match {
       case "text" | "pdf" =>
         base.withColumn("preview", ContentExtractor.textPreview(col("content")))
@@ -162,6 +168,11 @@ object Unstructured {
   */
 object ContentExtractor {
 
+  /** Decode-call counter (local-mode observable): proves projection pruning
+    * skips content decodes when content-dependent columns aren't selected.
+    */
+  val decodeCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** UTF-8 preview of the first [[Unstructured.PreviewBytes]] bytes. */
   def textPreview(content: Column): Column = {
     val f = udf { bytes: Array[Byte] =>
@@ -198,6 +209,7 @@ object ContentExtractor {
     */
   def thumbnail(content: Column): Column = {
     val f = udf { bytes: Array[Byte] =>
+      decodeCalls.incrementAndGet()
       try {
         val img = ImageIO.read(new ByteArrayInputStream(bytes))
         if (img == null) null

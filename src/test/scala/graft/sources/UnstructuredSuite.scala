@@ -113,4 +113,36 @@ class UnstructuredSuite extends SparkTestBase {
       "SELECT path FROM graft.datasource.un.notes.notes WHERE sizeinbytes > 20")
     assert(df.collect().map(_.getString(0)).exists(_.endsWith("b.txt")))
   }
+
+  test("projection pruning skips thumbnail decode entirely") {
+    import graft.sources.unstructured.ContentExtractor
+    val before = ContentExtractor.decodeCalls.get()
+    // path-only projection: the thumbnail/dims UDF columns are pruned from
+    // the inner program before execution
+    spark.sql("SELECT path, sizeinbytes FROM graft.datasource.un.pics.pics").collect()
+    assert(ContentExtractor.decodeCalls.get() == before,
+      "thumbnail decode ran for a metadata-only projection")
+    spark.sql("SELECT imagethumbnail FROM graft.datasource.un.pics.pics").collect()
+    assert(ContentExtractor.decodeCalls.get() > before)
+  }
+
+  test("parts_scan: hive-style partition dirs become columns") {
+    val pdir = Files.createTempDirectory("graft-parts").toString
+    Files.createDirectories(Paths.get(pdir, "ct=news"))
+    Files.createDirectories(Paths.get(pdir, "ct=blog"))
+    Files.writeString(Paths.get(pdir, "ct=news", "n1.txt"), "breaking story")
+    Files.writeString(Paths.get(pdir, "ct=blog", "b1.txt"), "opinion piece")
+    spark.sql(
+      s"""REGISTER OR REPLACE TEXT DATASOURCE parts OPTIONS (path '$pdir', scanType 'parts_scan')
+         |NAMESPACE graft.datasource.un""".stripMargin)
+    val rows = spark.sql(
+      "SELECT path, ct FROM graft.datasource.un.parts.parts ORDER BY path").collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.getString(0).endsWith("n1.txt") && r.getString(1) == "news"))
+    assert(rows.exists(r => r.getString(0).endsWith("b1.txt") && r.getString(1) == "blog"))
+    // partition pruning: filter on the partition column
+    val pruned = spark.sql(
+      "SELECT path FROM graft.datasource.un.parts.parts WHERE ct = 'news'").collect()
+    assert(pruned.length == 1 && pruned.head.getString(0).endsWith("n1.txt"))
+  }
 }
