@@ -323,6 +323,10 @@ object GraftFunctions {
   def lsh_bucket(c: Column, bits: Int = 8): Column = col(HyperplaneLshBucket(expr(c), bits))
   def winnowed_fingerprints(c: Column, k: Int = 9, w: Int = 4): Column =
     col(WinnowedFingerprints(expr(c), k, w))
+  def minhash_agg(c: Column, numHashes: Int = 128): Column =
+    col(MinHashAgg(expr(c), numHashes).toAggregateExpression())
+  def sketch_jaccard(a: Column, b: Column): Column =
+    col(SketchJaccard(expr(a), expr(b)))
 
   /** SQL registration so spark.sql("SELECT cosine_similarity(a,b) ...") works. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -337,5 +341,11 @@ object GraftFunctions {
       es => HyperplaneLshBucket(es.head, es.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(8)), "scala_udf")
     reg.createOrReplaceTempFunction("winnowed_fingerprints",
       es => WinnowedFingerprints(es.head, 9, 4), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_agg",
+      es => MinHashAgg(es.head,
+        es.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(128))
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("sketch_jaccard",
+      es => SketchJaccard(es.head, es(1)), "scala_udf")
   }
 }

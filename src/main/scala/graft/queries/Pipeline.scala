@@ -199,6 +199,25 @@ object Pipeline {
         FROM (SELECT source, text, $toksSql AS tk FROM documents)
         GROUP BY source ORDER BY source""")),
 
+    // ---- Corpus-level MinHash sketches: one algebraic aggregate per source,
+    // then a tiny cross of the 20 sketches estimates every pairwise Jaccard
+    // without joining documents. Deterministic (min is commutative) but
+    // hash-specific -> rows-only. ----
+    QuerySpec("sketch_source_similarity",
+      (s, dir) => {
+        import graft.functions.{GraftFunctions => GF}
+        val sk = t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(GF.minhash_agg(T.tokens(col("text"))).as("sig"))
+        val a = sk.select(col("source").as("src_a"), col("sig").as("sig_a"))
+        val b = sk.select(col("source").as("src_b"), col("sig").as("sig_b"))
+        a.crossJoin(b).where(col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b"),
+            round(GF.sketch_jaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      None),
+
     // ---- Winnowed rolling-hash fingerprints (Schleimer '03). Rows-only. ----
     QuerySpec("text_fingerprint",
       (s, dir) => {

@@ -115,6 +115,20 @@ class GraftCatalogSuite extends SparkTestBase {
     assert(rows.exists(r => r.getString(0) == "file" && r.getString(1) == "namespace"))
   }
 
+  test("csv / json / orc datasources resolve through the catalog") {
+    val base = java.nio.file.Files.createTempDirectory("graft-formats").toString
+    val nation = spark.read.parquet(s"${sf()}/nation.parquet")
+    nation.write.mode("overwrite").option("header", "true").csv(s"$base/csvdir/nation")
+    nation.write.mode("overwrite").json(s"$base/jsondir/nation")
+    nation.write.mode("overwrite").orc(s"$base/orcdir/nation")
+    spark.sql(s"REGISTER CSV DATASOURCE c OPTIONS (path '$base/csvdir', header 'true', inferSchema 'true') NAMESPACE graft.datasource.fmt")
+    spark.sql(s"REGISTER JSON DATASOURCE j OPTIONS (path '$base/jsondir') NAMESPACE graft.datasource.fmt")
+    spark.sql(s"REGISTER ORC DATASOURCE o OPTIONS (path '$base/orcdir') NAMESPACE graft.datasource.fmt")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.datasource.fmt.c.nation").head().getLong(0) == 25)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.datasource.fmt.j.nation").head().getLong(0) == 25)
+    assert(spark.sql("SELECT n_name FROM graft.datasource.fmt.o.nation WHERE n_nationkey = 0").head().getString(0).nonEmpty)
+  }
+
   test("jdbc datasource registers and round-trips through Derby") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft-derby").toString
     spark.sql(
