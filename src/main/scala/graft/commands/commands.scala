@@ -183,6 +183,11 @@ case class ActivateUslTableCommand(table: Seq[String], query: String) extends Gr
       throw new NoSuchElementException(s"USL ${(ns :+ usl).mkString(".")} not found"))
     val tableSpec = uslSpec.tables.find(_.name.equalsIgnoreCase(tbl)).getOrElse(
       throw new NoSuchElementException(s"table $tbl not in USL $usl"))
+    // self-reference guard: an activation query reading its own table would
+    // recurse forever at scan time (SURVEY.md §7.4 risk 3)
+    val selfFqn = (parts.mkString(".") :: (GraftEnv.catalogName(spark) +: parts).mkString(".") :: Nil)
+    require(!selfFqn.exists(f => query.toLowerCase.contains(f.toLowerCase)),
+      s"activation query for $tbl references the table itself")
     // analyze against live catalogs (schema access triggers analysis only)
     val queried = spark.sql(query).schema
     val declared = tableSpec.schema

@@ -45,7 +45,7 @@ private[graft] object HashFamily {
   * sketching; this is part of the training-data-pipeline extension surface.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -54,6 +54,41 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   }
   private lazy val coeffs: Array[(Long, Long)] =
     Array.tabulate(numHashes)(HashFamily.affine)
+
+  /** Whole-stage-codegen body: same arithmetic as nullSafeEval, with the
+    * xxhash64 of each element computed once and the k affine transforms in a
+    * tight register loop — this is the per-row hot path of 100 TB dedup.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("minhashA", coeffs.map(_._1), "long[]")
+    val b = ctx.addReferenceObj("minhashB", coeffs.map(_._2), "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${HashFamily.BaseSeed}L);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $v = $a[$j] * $h + $b[$j];
+         |      if ($v < $sig[$j]) $sig[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()

@@ -45,6 +45,23 @@ class SketchSuite extends SparkTestBase {
     assert(a == b)
   }
 
+  test("minhash codegen compiles and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = MinHashSignature(BoundReference(0, ArrayType(StringType), nullable = true), 16)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on janino errors
+    val input = new GenericArrayData(Array[Any](
+      UTF8String.fromString("alpha"), UTF8String.fromString("beta"), null))
+    val row = InternalRow(input)
+    val fromCodegen = proj(row).getArray(0).toLongArray().toSeq
+    val interpreted = expr.eval(row).asInstanceOf[GenericArrayData].toLongArray().toSeq
+    assert(fromCodegen == interpreted)
+  }
+
   test("sql surface: minhash_agg + sketch_jaccard registered") {
     graft.Graft.install(spark, warehouseDir)
     docs.createOrReplaceTempView("docs_sql")
