@@ -23,7 +23,17 @@ import graft.model._
   * join per check — no driver-side iteration.
   */
 object DqSupport {
-  final case class Check(name: String, typ: String, run: () => (Long, Long))
+  final case class Check(name: String, typ: String, run: () => (Long, Long),
+      cols: Seq[String] = Nil) {
+    /** Addressable by explicit name OR backticked composite column list
+      * (reference: DataQualitySpec.scala:296-342, LightningSource.scala:92-98).
+      */
+    def answersTo(query: String): Boolean = {
+      val q = stripCompositeName(query)
+      stripCompositeName(name).equalsIgnoreCase(q) ||
+        (cols.nonEmpty && cols.mkString(",").equalsIgnoreCase(q))
+    }
+  }
 
   def tableRef(spark: SparkSession, parts: Seq[String]): String =
     GraftEnv.quote(GraftEnv.catalogName(spark) +: GraftEnv.stripCatalog(spark, parts))
@@ -120,7 +130,7 @@ object DqSupport {
       .map { case (nm, cols, typ) =>
         Check(nm, typ, () => {
           val tot = t(); val valid = pkValidCount(spark, tableFqn, cols); (tot, valid)
-        })
+        }, cols)
       }
     val fkChecks = (spec.foreignKeys.map(fk =>
         (constraintName(fk.name, fk.columns), fk.columns, fk.refTable, fk.refColumns)) ++
@@ -128,7 +138,7 @@ object DqSupport {
       .map { case (nm, cols, refT, refC) =>
         Check(nm, "FK", () => {
           val tot = t(); val valid = fkValidCount(spark, tableFqn, cols, refT, refC); (tot, valid)
-        })
+        }, cols)
       }
     val dqChecks = spec.dataQualities.map { dq =>
       Check(dq.name, "DQ", () => {
@@ -208,8 +218,7 @@ case class RunDqCommand(name: Option[String], table: Seq[String]) extends GraftC
     val all = DqSupport.checksOf(spark, table, tableSpec, ns, usl)
     val selected = name match {
       case Some(n) =>
-        val norm = DqSupport.stripCompositeName(n)
-        val hit = all.filter(c => DqSupport.stripCompositeName(c.name).equalsIgnoreCase(norm))
+        val hit = all.filter(_.answersTo(n))
         require(hit.nonEmpty, s"no DQ or constraint named $n on ${table.mkString(".")}")
         hit
       case None => all

@@ -291,6 +291,20 @@ private[parser] final class StatementParser(original: String) {
   //  parser/LightningParserUtils.scala:134-169)
 
   def parseCreateTable(): TableSpec = {
+    // table-level hint annotations before CREATE: @DataQuality(name=...,
+    // expression=...) / @AccessControl(...) (reference grammar
+    // LightningParser.g4:165-175, parser/LightningParserUtils.scala:73-132)
+    val dqs = Seq.newBuilder[DataQualitySpec]
+    while (acceptSym('@')) {
+      val annName = ident()
+      val args = parseAnnotationArgs()
+      if (annName.equalsIgnoreCase("DataQuality"))
+        dqs += DataQualitySpec(
+          args.getOrElse("name", fail("@DataQuality needs name=")),
+          args.getOrElse("expression", fail("@DataQuality needs expression=")))
+      // other annotations (@AccessControl, ...) are accepted and ignored,
+      // matching the reference's hint semantics
+    }
     expectKw("CREATE")
     expectKw("TABLE")
     if (acceptKw("IF")) { expectKw("NOT"); expectKw("EXISTS") }
@@ -330,7 +344,23 @@ private[parser] final class StatementParser(original: String) {
         columns += parseColumnDef()
       }
     }
-    TableSpec(name, columns.result(), pk, uniques.result(), fks.result())
+    TableSpec(name, columns.result(), pk, uniques.result(), fks.result(),
+      dataQualities = dqs.result())
+  }
+
+  /** `(k="v", k2="v2")` annotation arguments. */
+  private def parseAnnotationArgs(): Map[String, String] = {
+    if (!acceptSym('(')) return Map.empty
+    val args = Map.newBuilder[String, String]
+    var first = true
+    while (!acceptSym(')')) {
+      if (!first) expectSym(',')
+      first = false
+      val k = ident()
+      expectSym('=')
+      args += (k -> strLit())
+    }
+    args.result()
   }
 
   private def parseFkAction(): String =

@@ -115,6 +115,59 @@ class GraftCatalogSuite extends SparkTestBase {
     assert(rows.exists(r => r.getString(0) == "file" && r.getString(1) == "namespace"))
   }
 
+  test("RUN DQ named, composite names, and INVALID records") {
+    spark.sql(
+      s"""COMPILE USL dqmart DEPLOY NAMESPACE graft.metastore DDL
+         |@DataQuality(name="big_order", expression="o_totalprice > 100.0")
+         |create table orders (
+         |  o_orderkey bigint,
+         |  o_custkey bigint,
+         |  o_totalprice double,
+         |  constraint ck primary key (o_orderkey, o_custkey)
+         |)""".stripMargin)
+    spark.sql(
+      "ACTIVATE USL TABLE graft.metastore.dqmart.orders AS SELECT o_orderkey, o_custkey, o_totalprice FROM graft.datasource.file.tpch.orders")
+
+    // annotation-declared DQ is visible and runnable by name
+    val listed = spark.sql("LIST DQ USL graft.metastore.dqmart").collect()
+    assert(listed.exists(r => r.getString(0) == "big_order" && r.getString(2) == "DQ"))
+    val named = spark.sql("RUN DQ big_order TABLE graft.metastore.dqmart.orders").collect()
+    assert(named.length == 1 && named.head.getString(2) == "DQ")
+    assert(named.head.getLong(4) > 0) // some valid rows
+
+    // composite PK constraint addressable by backticked column list
+    val comp = spark.sql("RUN DQ `o_orderkey,o_custkey` TABLE graft.metastore.dqmart.orders").collect()
+    assert(comp.length == 1 && comp.head.getString(2) == "PK" && comp.head.getLong(5) == 0)
+
+    // INVALID records for a check that some rows fail
+    val inv = spark.sql(
+      "SHOW DQ INVALID RECORD big_order TABLE graft.metastore.dqmart.orders LIMIT 3").collect()
+    inv.foreach(r => assert(r.getString(0).contains("o_totalprice")))
+  }
+
+  test("REST/AUDIO/XML register but reject at load (reference parity)") {
+    spark.sql("REGISTER REST DATASOURCE api1 OPTIONS (url 'http://x') NAMESPACE graft.datasource.misc")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.datasource.misc.api1.t").collect()
+    }
+    assert(e.getMessage.contains("no catalog unit") || e.getMessage.contains("REST"))
+  }
+
+  test("jdbc filter pushdown reaches the remote scan") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby2").toString
+    spark.sql(
+      s"""REGISTER JDBC DATASOURCE pd OPTIONS (
+         |  url 'jdbc:derby:$dbDir/db;create=true', driver 'org.apache.derby.jdbc.EmbeddedDriver'
+         |) NAMESPACE graft.datasource.jdbc""".stripMargin)
+    spark.sql("CREATE TABLE graft.datasource.jdbc.pd.APP.nums (id INT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.datasource.jdbc.pd.APP.nums VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    val df = spark.sql("SELECT id FROM graft.datasource.jdbc.pd.APP.nums WHERE v > 2.0")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("v"),
+      s"jdbc pushdown missing:\n$plan")
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+  }
+
   test("csv / json / orc datasources resolve through the catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft-formats").toString
     val nation = spark.read.parquet(s"${sf()}/nation.parquet")

@@ -104,6 +104,16 @@ class GraftParserSuite extends AnyFunSuite {
     assert(o.foreignKeys.head.onUpdate.contains("SET NULL"))
   }
 
+  test("@DataQuality annotations on CREATE TABLE") {
+    val specs = GraftParser.parseDdlTables(
+      """@DataQuality(name="price_pos", expression="price > 0")
+        |@AccessControl(accessType="REGULATED")
+        |create table orders (o_id bigint primary key, price double)""".stripMargin)
+    val t = specs.head
+    assert(t.dataQualities == Seq(graft.model.DataQualitySpec("price_pos", "price > 0")))
+    assert(t.primaryKey.isEmpty && t.columns.head.primaryKey)
+  }
+
   test("complex types parse") {
     val specs = GraftParser.parseDdlTables(
       "create table t (a array<int>, m map<string, double>, s struct<x:int, y:string>, d decimal(10,2), iv interval day to second)")
