@@ -375,6 +375,29 @@ object Relational {
         .orderBy(col("l_linestatus")),
       None),
 
+    // ---- Range (theta) join: event pairs within 6h per user. Equi-join on
+    // user_id carries the heavy lifting; the range predicate filters inside
+    // each hash bucket, so this stays a hash join, not a cartesian. ----
+    QuerySpec("q_range_join",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+        val a = e.select(col("user_id"), col("event_id").as("id_a"), col("ts_ms").as("ts_a"))
+        val b = e.select(col("user_id"), col("event_id").as("id_b"), col("ts_ms").as("ts_b"))
+        a.join(b, Seq("user_id"))
+          .where(col("id_a") < col("id_b") &&
+            abs(col("ts_b") - col("ts_a")) <= 21600000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+        FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events WHERE user_id < 5) a
+        JOIN (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events WHERE user_id < 5) b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(b.ts_ms - a.ts_ms) <= 21600000
+        GROUP BY a.user_id ORDER BY user_id""")),
+
     // ---- Exact interpolated percentiles (both engines sort exactly) ----
     QuerySpec("q_percentile",
       (s, dir) => t(s, dir, "lineitem")
