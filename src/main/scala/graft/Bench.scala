@@ -17,11 +17,15 @@ object Bench {
     // JVM + Spark bring-up
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // two passes, keep the per-query minimum: measures steady-state plan
+    // execution rather than first-touch JIT/setup costs
+    def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (r1, r2) = (once(), once())
+    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

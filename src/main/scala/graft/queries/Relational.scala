@@ -339,6 +339,24 @@ object Relational {
             ORDER BY p.ts DESC LIMIT 1) AS last_purchase
         FROM clicks c ORDER BY user_id, click_id""")),
 
+    // ---- Date/interval arithmetic over order dates ----
+    QuerySpec("q_date_arith",
+      (s, dir) => t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          datediff(lit("1998-12-31"), col("o_orderdate")).as("days_to_eoy"),
+          unix_millis((col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("timestamp")).as("due_ms"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("q"),
+          last_day(col("o_orderdate")).cast("string").as("month_end"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+          CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy,
+          epoch_ms(o_orderdate + INTERVAL 90 DAY) AS due_ms,
+          CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+          CAST(quarter(o_orderdate) AS INT) AS q,
+          CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+        FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
+
     // ---- Cube: full grouping-set lattice over two dims ----
     QuerySpec("q_cube",
       (s, dir) => {

@@ -68,6 +68,45 @@ object Streaming {
       }
   }
 
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Sessionization with flatMapGroupsWithState + event-time timeout: emits a
+    * session row when the 30-minute gap elapses past the watermark. The
+    * arbitrary-state version of [[sessionWindows]] for logic the built-in
+    * session_window can't express (e.g. per-session early triggers).
+    */
+  def sessionizeWithState(events: Dataset[EventIn], gapMs: Long = 1800000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state) =>
+          // state: open sessions as (startMs, lastMs, count)
+          var sessions = state.getOption.getOrElse(Nil)
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            sessions = sessions match {
+              case (s0, last, n) :: rest if t - last <= gapMs => (s0, t, n + 1) :: rest
+              case open => (t, t, 1L) :: open
+            }
+          }
+          val watermark = state.getCurrentWatermarkMs()
+          val (closed, open) = sessions.partition { case (_, last, _) => watermark - last > gapMs }
+          if (open.nonEmpty) {
+            state.update(open)
+            state.setTimeoutTimestamp(open.map(_._2).max + gapMs)
+          } else state.remove()
+          closed.reverseIterator.map { case (s0, _, n) =>
+            SessionOut(uid, new java.sql.Timestamp(s0), n)
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen, with the
     * state bounded by a watermark (late duplicates beyond the watermark are
     * forgotten — the standard streaming trade-off). The streaming twin of

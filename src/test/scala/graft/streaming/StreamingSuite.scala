@@ -53,6 +53,37 @@ class StreamingSuite extends SparkTestBase {
     assert(got.count() == slice.count()) // each event survives exactly once
   }
 
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-fmgws").toString
+    val slice = events.filter(col("user_id") < 5)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    slice.coalesce(1).write.parquet(s"$dir/in/batch1")
+    // sentinel far-future rows advance the watermark so earlier sessions close
+    val maxTs = slice.agg(max("ts")).head().getTimestamp(0).getTime
+    slice.limit(5).select(col("user_id"),
+        lit(new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000)).as("ts"), col("value"))
+      .coalesce(1).write.parquet(s"$dir/in/batch2")
+    val stream = spark.readStream.schema(slice.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/batch*")
+    val got = Streaming.runToMemory(
+      Streaming.sessionizeWithState(stream.as[Streaming.EventIn]).toDF(), "fmgws_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    assert(got.nonEmpty, "no sessions emitted")
+    // every emitted session must exist in the batch gaps-and-islands result
+    val batchSessions = slice
+      .withColumn("prev", lag("ts", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_millis(col("ts")) - unix_millis(col("prev")) > 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("start"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(got.subsetOf(batchSessions), s"emitted sessions not in batch result: ${got.diff(batchSessions)}")
+  }
+
   test("mapGroupsWithState running totals match groupBy aggregate") {
     import spark.implicits._
     val in = events.filter(col("user_id") < 10)
