@@ -110,6 +110,18 @@ class GraftCatalogSuite extends SparkTestBase {
     intercept[Exception] { spark.sql("LOAD USL ordermart NAMESPACE graft.metastore").collect() }
   }
 
+  test("UPDATE USL replaces table specs from client JSON") {
+    spark.sql(
+      """COMPILE USL upmart DEPLOY NAMESPACE graft.metastore DDL
+        |create table t1 (a bigint primary key, b string)""".stripMargin)
+    val json = spark.sql("LOAD USL upmart NAMESPACE graft.metastore").head().getString(0)
+    val updated = json.replace("\"b\"", "\"renamed_b\"")
+    spark.sql(s"UPDATE USL upmart NAMESPACE graft.metastore AS $updated")
+    val reloaded = spark.sql("LOAD USL upmart NAMESPACE graft.metastore").head().getString(0)
+    assert(reloaded.contains("renamed_b"))
+    spark.sql("REMOVE USL upmart NAMESPACE graft.metastore")
+  }
+
   test("SHOW NAMESPACES OR TABLES labels kinds") {
     val rows = spark.sql("SHOW NAMESPACES OR TABLES IN graft.datasource").collect()
     assert(rows.exists(r => r.getString(0) == "file" && r.getString(1) == "namespace"))

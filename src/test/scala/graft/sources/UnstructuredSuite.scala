@@ -89,6 +89,21 @@ class UnstructuredSuite extends SparkTestBase {
     assert(Files.exists(Paths.get(outDir, "pic_thumbnail.png")))
   }
 
+  test("SQL INSERT INTO content table writes files to the datasource dir") {
+    val sinkDir = Files.createTempDirectory("graft-un-insert").toString
+    spark.sql(
+      s"REGISTER OR REPLACE TEXT DATASOURCE sink OPTIONS (path '$sinkDir') NAMESPACE graft.datasource.un")
+    spark.sql(
+      """INSERT INTO graft.datasource.un.sink.content
+        |SELECT 'gen1.txt' AS path, 'generated one' AS textcontent
+        |UNION ALL SELECT 'gen2.txt', 'generated two'""".stripMargin)
+    assert(Files.readString(Paths.get(sinkDir, "gen1.txt")) == "generated one")
+    assert(Files.readString(Paths.get(sinkDir, "gen2.txt")) == "generated two")
+    // and the files are immediately readable back through the same table
+    val n = spark.sql("SELECT COUNT(*) FROM graft.datasource.un.sink.sink").head().getLong(0)
+    assert(n == 2)
+  }
+
   test("tag sidecar update round-trips through the metadata table") {
     import graft.sources.unstructured.UnstructuredWrite
     import org.apache.spark.sql.functions.{col, lit}
