@@ -258,7 +258,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * mapped to {-1,+1} (Achlioptas-style sparse projections work as well and
   * this avoids materializing a dense random matrix on the driver).
   */
-case class HyperplaneLshBucket(child: Expression, bits: Int)
+case class HyperplaneLshBucket(child: Expression, bits: Int, planeOffset: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(bits >= 1 && bits <= 32)
   override def dataType: DataType = IntegerType
@@ -277,7 +277,7 @@ case class HyperplaneLshBucket(child: Expression, bits: Int)
       var dot = 0.0
       var i = 0
       while (i < n) {
-        val sign = if ((HashFamily.splitmix64(p.toLong << 32 | i.toLong) & 1L) == 0L) 1.0 else -1.0
+        val sign = if ((HashFamily.splitmix64((p.toLong + planeOffset) << 32 | i.toLong) & 1L) == 0L) 1.0 else -1.0
         val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
         dot += sign * v
         i += 1
@@ -355,7 +355,8 @@ object GraftFunctions {
   def word_shingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
   def cosine_similarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))
-  def lsh_bucket(c: Column, bits: Int = 8): Column = col(HyperplaneLshBucket(expr(c), bits))
+  def lsh_bucket(c: Column, bits: Int = 8, planeOffset: Int = 0): Column =
+    col(HyperplaneLshBucket(expr(c), bits, planeOffset))
   def winnowed_fingerprints(c: Column, k: Int = 9, w: Int = 4): Column =
     col(WinnowedFingerprints(expr(c), k, w))
   def minhash_agg(c: Column, numHashes: Int = 128): Column =

@@ -120,12 +120,18 @@ object Dedup {
     * assignment, one keyed shuffle, no cartesian.
     */
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      F.lsh_bucket(col(vecCol), bits).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 1): DataFrame = {
+    // L independent hash tables (disjoint hyperplane sets): a pair is a
+    // candidate if it collides in ANY table. Recall = 1-(1-p^bits)^tables,
+    // tuned via (bits, tables); each table is one keyed shuffle.
+    val b = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until tables).map(t =>
+        F.lsh_bucket(col(vecCol), bits, planeOffset = t * bits)): _*))
+        .as(Seq("table", "bucket")))
+    val l = b.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = b.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), F.cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)

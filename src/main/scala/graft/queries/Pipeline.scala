@@ -89,7 +89,7 @@ object Pipeline {
     // Rows-only (LSH recall < 1 at this threshold is by design). ----
     QuerySpec("dedup_embedding",
       (s, dir) => Dedup.embeddingDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.45, bits = 4)
+          threshold = 0.45, bits = 4, tables = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("id_a"), col("id_b")),
       None),
