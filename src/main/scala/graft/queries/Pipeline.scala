@@ -180,6 +180,29 @@ object Pipeline {
           CAST(list_sum(list_transform(tk, w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
         FROM scored ORDER BY doc_id""")),
 
+    // ---- Composite quality filter: the "keep good documents" pipeline step.
+    // Thresholds on exact-int-derived ratios keep the predicate deterministic
+    // across engines. ----
+    QuerySpec("text_quality_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val nTok = T.tokenCount(col("text")).cast("long")
+        val stopRatio = T.stopwordCount(col("text")).cast("double") / nTok.cast("double")
+        val lexDiv = T.distinctTokenCount(col("text")).cast("double") / nTok.cast("double")
+        d.select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+            stopRatio.as("stopword_ratio"), lexDiv.as("lexical_diversity"))
+          .where(col("n_tokens") >= 20 && col("n_tokens") <= 120 &&
+            col("lexical_diversity") >= 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, source, len(tk) AS n_tokens,
+          len(list_filter(tk, w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0 / len(tk) AS stopword_ratio,
+          len(list_distinct(tk)) * 1.0 / len(tk) AS lexical_diversity
+        FROM (SELECT doc_id, source, $toksSql AS tk FROM documents)
+        WHERE len(tk) BETWEEN 20 AND 120
+          AND len(list_distinct(tk)) * 1.0 / len(tk) >= 0.5
+        ORDER BY doc_id""")),
+
     // ---- Corpus stats by source (exact int sums, one double division) ----
     QuerySpec("text_source_stats",
       (s, dir) => {

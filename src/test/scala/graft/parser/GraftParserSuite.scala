@@ -121,6 +121,32 @@ class GraftParserSuite extends AnyFunSuite {
     assert(t.schema.fields.length == 5) // DataType.fromDDL round-trips them all
   }
 
+  test("backticked identifiers with dots and escapes") {
+    val cmd = GraftParser.parse(
+      "REGISTER PARQUET DATASOURCE `weird``name` OPTIONS (path '/p') NAMESPACE graft.datasource.`a.b`")
+      .asInstanceOf[RegisterDataSourceCommand]
+    assert(cmd.spec.name == "weird`name")
+    assert(cmd.spec.namespace == Seq("graft", "datasource", "a.b"))
+  }
+
+  test("comments and case-insensitivity in statements") {
+    val cmd = GraftParser.parse(
+      """-- register the tpch source
+        |/* block comment */ register OR replace PARQUET datasource t1
+        |OPTIONS (path '/x') NAMESPACE graft.datasource.f""".stripMargin)
+      .asInstanceOf[RegisterDataSourceCommand]
+    assert(cmd.spec.replace && cmd.spec.name == "t1")
+  }
+
+  test("malformed statements produce clear parse errors") {
+    val e1 = intercept[Exception](GraftParser.parse("REGISTER PARQUET DATASOURCE"))
+    assert(e1.getMessage.contains("expected"))
+    val e2 = intercept[Exception](GraftParser.parse("COMPILE USL x NAMESPACE"))
+    assert(e2.getMessage.contains("expected"))
+    val e3 = intercept[Exception](GraftParser.parseDdlTables("create table t (a int"))
+    assert(e3.getMessage.contains("expected") || e3.getMessage.contains("unbalanced"))
+  }
+
   test("statement splitting respects quotes and parens") {
     val parts = GraftParser.splitStatements("create table a(x int); create table b(s string) -- note: ';' inside quotes\n")
     assert(parts.size == 2)
