@@ -291,6 +291,122 @@ case class HyperplaneLshBucket(child: Expression, bits: Int, planeOffset: Int = 
   override def prettyName: String = "lsh_bucket"
 }
 
+/** Index of the nearest centroid (squared-L2 argmin over a broadcast-small
+  * centroid table) for a float/double vector. This is the IVF coarse-quantizer
+  * cell assignment — the per-row hot path over the full corpus at 100 TB — so
+  * it stays inside whole-stage codegen: the centroid matrix rides along as a
+  * codegen reference object (one per JVM, not per row), and the argmin is a
+  * tight primitive double loop. Ties break to the lowest cell index.
+  */
+case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"argmin_centroid expects array<float|double>, got $t")
+  }
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cc = centroids(c)
+      val n = math.min(cc.length, a.numElements())
+      var d = 0.0; var i = 0
+      while (i < n) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val x = v - cc(i); d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c"); val cc = ctx.freshName("cc")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val x = ctx.freshName("x")
+      s"""
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cs.length; $c++) {
+         |  double[] $cc = $cs[$c];
+         |  int $n = java.lang.Math.min($cc.length, $a.numElements());
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.$getter($i) - $cc[$i];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+  // Array fields get identity equality; compare centroid contents so plan
+  // canonicalization (e.g. reused subexpressions) behaves.
+  override def equals(o: Any): Boolean = o match {
+    case ArgminCentroid(c2, cs2) => child == c2 &&
+      centroids.length == cs2.length &&
+      centroids.indices.forall(i => java.util.Arrays.equals(centroids(i), cs2(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+  override protected def withNewChildInternal(c: Expression): ArgminCentroid = copy(child = c)
+  override def prettyName: String = "argmin_centroid"
+}
+
+/** The `nProbe` nearest centroid indices (ascending by squared L2) for a
+  * float/double vector — the IVF query-side probe list. Runs on the small
+  * query side only, so interpreted eval (CodegenFallback) is fine.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty && nProbe >= 1)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroids expects array<float|double>, got $t")
+  }
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dists = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cc = centroids(c)
+      val n = math.min(cc.length, a.numElements())
+      var d = 0.0; var i = 0
+      while (i < n) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val x = v - cc(i); d += x * x; i += 1
+      }
+      dists(c) = d
+      c += 1
+    }
+    val idx = dists.indices.sortBy(i => (dists(i), i)).take(math.min(nProbe, centroids.length))
+    new GenericArrayData(idx.map(Int.box).toArray[Any])
+  }
+  override def equals(o: Any): Boolean = o match {
+    case NearestCentroids(c2, cs2, p2) => child == c2 && nProbe == p2 &&
+      centroids.length == cs2.length &&
+      centroids.indices.forall(i => java.util.Arrays.equals(centroids(i), cs2(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + nProbe) + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+  override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)
+  override def prettyName: String = "nearest_centroids"
+}
+
 /** Karp-Rabin rolling fingerprints + winnowing (Schleimer et al. '03):
   * polynomial hashes of every k-char window, then the min hash of each
   * w-window is kept. Output: array<long> document fingerprint, robust to
@@ -359,6 +475,10 @@ object GraftFunctions {
     col(HyperplaneLshBucket(expr(c), bits, planeOffset))
   def winnowed_fingerprints(c: Column, k: Int = 9, w: Int = 4): Column =
     col(WinnowedFingerprints(expr(c), k, w))
+  def argmin_centroid(c: Column, centroids: Array[Array[Double]]): Column =
+    col(ArgminCentroid(expr(c), centroids))
+  def nearest_centroids(c: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    col(NearestCentroids(expr(c), centroids, nProbe))
   def minhash_agg(c: Column, numHashes: Int = 128): Column =
     col(MinHashAgg(expr(c), numHashes).toAggregateExpression())
   def sketch_jaccard(a: Column, b: Column): Column =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => F, TextFunctions => T}
 
@@ -20,6 +21,67 @@ import graft.functions.{GraftFunctions => F, TextFunctions => T}
   *    distance <= 3.
   */
 object Dedup {
+
+  /** Default cap on LSH bucket size before candidate generation degrades from
+    * the full within-bucket self-join (quadratic in bucket size) to
+    * star-linking against the bucket's min-id representative (linear).
+    */
+  val DefaultMaxBucketSize = 1000
+
+  /** Hot-bucket-guarded LSH bucket self-join.
+    *
+    * A degenerate bucket (boilerplate near-identical docs, zero vectors)
+    * makes the naive self-join quadratic *within the bucket*: at 100 TB one
+    * hot bucket is a straggler task that OOMs or runs for hours — and AQE
+    * skew-join cannot save it because the explosion is in candidate
+    * *generation*, not partition sizing. Guard: one windowed pass over the
+    * (already shuffled-by-bucket) banded rows computes each bucket's size and
+    * min-id representative; buckets within `maxBucketSize` do the exact
+    * self-join as before, oversized buckets emit only (representative, member)
+    * star pairs — `size-1` candidates instead of `size*(size-1)/2`. For the
+    * common degenerate case (a pile of near-identical documents) the star
+    * pairs all survive verification, so duplicate-group connectivity is
+    * preserved; this beats dropping the bucket outright. Oversized buckets
+    * are observable via [[lshBucketStats]].
+    *
+    * @param banded  columns: keyCols ++ ("id" +: payload)
+    * @param payload extra per-row columns to carry to both sides (e.g. the
+    *                simhash value or the embedding vector)
+    * @return columns `id_a`, `id_b` and `<payload>_a`, `<payload>_b`,
+    *         with `id_a < id_b`; may contain duplicates (distinct is the
+    *         caller's call, after any per-pair compute)
+    */
+  private[operators] def cappedBucketPairs(banded: DataFrame, keyCols: Seq[String],
+      payload: Seq[String], maxBucketSize: Int): DataFrame = {
+    val aCols = "id" +: payload
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val sized = banded
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__rep", min(struct(aCols.map(col): _*)).over(w))
+    val small = sized.where(col("__bsz") <= maxBucketSize)
+    val l = small.select(keyCols.map(col) ++ aCols.map(c => col(c).as(c + "_a")): _*)
+    val r = small.select(keyCols.map(col) ++ aCols.map(c => col(c).as(c + "_b")): _*)
+    val out = aCols.map(_ + "_a") ++ aCols.map(_ + "_b")
+    val smallPairs = l.join(r, keyCols)
+      .where(col("id_a") < col("id_b"))
+      .select(out.map(col): _*)
+    // star pairs: rep has the bucket-min id, so id_a < id_b holds by construction
+    val hotPairs = sized.where(col("__bsz") > maxBucketSize)
+      .where(col("id") =!= col("__rep.id"))
+      .select(aCols.map(c => col("__rep." + c).as(c + "_a")) ++
+              aCols.map(c => col(c).as(c + "_b")): _*)
+    smallPairs.unionByName(hotPairs)
+  }
+
+  /** Observability for the hot-bucket guard: per-bucket sizes above the cap.
+    * Run on a sample (or the full corpus) before a big dedup to see which
+    * buckets will degrade to star-linking.
+    */
+  def lshBucketStats(banded: DataFrame, keyCols: Seq[String],
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucketSize)
 
   /** Exact duplicate groups by normalized text, keyed on a 128-bit content
     * hash so only (hash, id) pairs shuffle — never the text itself. At 100 TB
@@ -47,7 +109,8 @@ object Dedup {
     *                  Similarity threshold ~ (1/bands)^(1/rowsPerBand).
     */
   def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     val sig = df.select(
@@ -58,10 +121,7 @@ object Dedup {
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))), b))
     ).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    cappedBucketPairs(banded, Seq("band", "bucket"), Nil, maxBucketSize)
       .select("id_a", "id_b").distinct()
   }
 
@@ -70,8 +130,9 @@ object Dedup {
     */
   def minHashDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val cand = minHashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val cand = minHashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands, maxBucketSize)
     val jac = ngramJaccard(cand, df, idCol, textCol, shingleSize)
     jac.where(col("jaccard") >= threshold)
   }
@@ -94,21 +155,35 @@ object Dedup {
       threshold: Double): DataFrame =
     minHashDuplicates(df, idCol, textCol, threshold)
 
-  /** SimHash near-dup candidates: 64-bit simhash split into 4x16-bit bands;
-    * docs sharing any band are candidates (guaranteed to include all pairs
-    * with Hamming distance <= 3). Verified by exact popcount distance.
+  /** SimHash near-dup candidates: 64-bit simhash split into `maxHamming + 1`
+    * bit-blocks (Manku et al. '07). A pair within Hamming distance d differs
+    * in at most d blocks, so with d+1 blocks at least one block is intact —
+    * candidate generation is *complete* for the requested distance, and exact
+    * popcount verification makes precision 1.0, so the result EQUALS
+    * brute-force all-pairs Hamming (asserted in DedupSuite).
+    *
+    * Scale note: larger maxHamming means narrower blocks, hence coarser
+    * buckets and bigger bucket sizes; the hot-bucket guard bounds the blowup,
+    * and for aggressive distances at 100 TB the Manku multi-table permuted
+    * variant (wider blocks, several tables) is the extension point.
     */
   def simHashDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val bands = maxHamming + 1
+    require(bands >= 1 && bands <= 64, s"maxHamming must be in [0, 63], got $maxHamming")
+    val base = 64 / bands
+    val rem = 64 % bands
+    val widths = Array.tabulate(bands)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val sh = df.select(col(idCol).as("id"),
       F.simhash64(T.tokens(col(textCol))).as("sim"))
     val banded = sh.select(col("id"), col("sim"), posexplode(
-      array((0 until 4).map(b => shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      array((0 until bands).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+        shiftright(col("sim"), offsets(b)).bitwiseAND(lit(mask))
+      }: _*)
     ).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    cappedBucketPairs(banded, Seq("band", "bucket"), Seq("sim"), maxBucketSize)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
@@ -120,7 +195,8 @@ object Dedup {
     * assignment, one keyed shuffle, no cartesian.
     */
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8, tables: Int = 1): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 1,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // L independent hash tables (disjoint hyperplane sets): a pair is a
     // candidate if it collides in ANY table. Recall = 1-(1-p^bits)^tables,
     // tuned via (bits, tables); each table is one keyed shuffle.
@@ -129,10 +205,7 @@ object Dedup {
       posexplode(array((0 until tables).map(t =>
         F.lsh_bucket(col(vecCol), bits, planeOffset = t * bits)): _*))
         .as(Seq("table", "bucket")))
-    val l = b.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("table", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    cappedBucketPairs(b, Seq("table", "bucket"), Seq("v"), maxBucketSize)
       .select(col("id_a"), col("id_b"), F.cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
       .distinct()

@@ -38,23 +38,33 @@ object Similarity {
 
   /** LSH-bucketed ANN: score only corpus rows in the query's hyperplane
     * bucket (plus all 1-bit-flip neighbor buckets when multiProbe). Recall
-    * is tunable via bits/multiProbe; cost drops ~2^bits-fold.
+    * is tunable two ways: multiProbe widens each table's probe set, and
+    * `tables` unions independent hyperplane tables (recall 1-(1-p)^T for
+    * per-table hit rate p — the standard way to push recall toward 1 without
+    * coarsening buckets). Cost drops ~2^bits/(probes*tables)-fold vs brute
+    * force; each table is one map-side bucket column, the join key is
+    * (table, bucket) so tables don't cross-collide.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      k: Int, bits: Int = 6, multiProbe: Boolean = true,
+      k: Int, bits: Int = 6, multiProbe: Boolean = true, tables: Int = 1,
       excludeSelf: Boolean = true): DataFrame = {
+    require(tables >= 1)
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"),
-      F.lsh_bucket(col(vecCol), bits).as("bucket"))
+      posexplode(array((0 until tables).map(t =>
+        F.lsh_bucket(col(vecCol), bits, planeOffset = t * bits)): _*))
+        .as(Seq("table", "bucket")))
     val qb = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
-      F.lsh_bucket(col(qVecCol), bits).as("__qb"))
+      posexplode(array((0 until tables).map(t =>
+        F.lsh_bucket(col(qVecCol), bits, planeOffset = t * bits)): _*))
+        .as(Seq("table", "__qb")))
     val probes =
       if (multiProbe)
-        qb.select(col("query_id"), col("__qv"), explode(
+        qb.select(col("query_id"), col("__qv"), col("table"), explode(
           array((lit(0) +: (0 until bits).map(b => lit(1 << b))).map(m => col("__qb").bitwiseXOR(m)): _*)
         ).as("bucket"))
       else qb.withColumnRenamed("__qb", "bucket")
-    val scored = c.join(probes, Seq("bucket"))
+    val scored = c.join(probes, Seq("table", "bucket"))
       .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("nn_id"),
         F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
@@ -78,46 +88,29 @@ object Similarity {
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 3, sampleSize: Int = 4096,
       excludeSelf: Boolean = true): DataFrame = {
-    val spark = corpus.sparkSession
-    // 1. train the coarse quantizer on a sample (k-means|| via MLlib)
+    // 1. train the coarse quantizer on a *uniform* seeded sample (k-means||
+    //    via MLlib). limit() would take the first partitions only, so on a
+    //    partitioned corpus the centroids would learn one shard; sample()
+    //    draws from every partition. The count() is one cheap columnar pass
+    //    (parquet count pushes to footers) paid once per model build.
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val sample = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val corpusRows = corpus.count()
+    // oversample 20% so the post-sample cap rarely truncates below target
+    val fraction = math.min(1.0, if (corpusRows == 0) 1.0 else sampleSize * 1.2 / corpusRows)
+    val sample = corpus.sample(withReplacement = false, fraction, seed = 42L)
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
       .limit(sampleSize)
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(sample)
     val centroids = model.clusterCenters.map(_.toArray)
-    val bc = spark.sparkContext.broadcast(centroids)
 
-    // 2. map-side cell assignment (argmin over broadcast centroids)
-    val assignCell = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val cc = cs(c)
-        val n = math.min(cc.length, v.length)
-        while (i < n) { val x = v(i) - cc(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    val probeCells = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      cs.indices.map { c =>
-        var d = 0.0; var i = 0
-        val cc = cs(c)
-        val n = math.min(cc.length, v.length)
-        while (i < n) { val x = v(i) - cc(i); d += x * x; i += 1 }
-        (c, d)
-      }.sortBy(_._2).take(nProbe).map(_._1)
-    }
-
+    // 2. map-side cell assignment: codegen'd argmin over the centroid table
+    //    (rides into generated code as a reference object — no UDF
+    //    serialization, stays inside whole-stage codegen on the corpus scan)
     val cells = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"),
-      assignCell(col(vecCol)).as("cell"))
+      F.argmin_centroid(col(vecCol), centroids).as("cell"))
     val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
-      explode(probeCells(col(qVecCol))).as("cell"))
+      explode(F.nearest_centroids(col(qVecCol), centroids, nProbe)).as("cell"))
 
     // 3. score within probed cells only; queries side broadcasts
     val scored = cells.join(broadcast(probes), Seq("cell"))

@@ -38,6 +38,49 @@ class SketchSuite extends SparkTestBase {
     assert(math.abs(est - exact) < 0.15, s"estimate $est vs exact $exact")
   }
 
+  test("sketch jaccard error is bounded over all source pairs (ground truth for sketch_source_similarity)") {
+    // The sketch_source_similarity gate is rows-only (hash-specific); this is
+    // its ground truth: over ALL 190 source pairs, the k=128 minhash estimate
+    // stays within the standard-error envelope of the exact token-set
+    // Jaccard. SE = sqrt(J(1-J)/k) <= 0.5/sqrt(128) ~ 0.044, so 4-sigma is
+    // ~0.177 per pair; the mean over pairs concentrates much tighter.
+    val sk = docs.groupBy(col("source"))
+      .agg(F.minhash_agg(T.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val toks = docs.select(col("source"), explode(T.tokens(col("text"))).as("t"))
+      .distinct().collect().groupBy(_.getString(0))
+      .map { case (s, rows) => s -> rows.map(_.getString(1)).toSet }
+    val sources = sk.keys.toSeq.sorted
+    val errs = for {
+      a <- sources; b <- sources if a < b
+    } yield {
+      val est = sk(a).zip(sk(b)).count { case (x, y) => x == y }.toDouble / 128.0
+      val exact = toks(a).intersect(toks(b)).size.toDouble / toks(a).union(toks(b)).size
+      math.abs(est - exact)
+    }
+    assert(errs.max <= 2.0 / math.sqrt(128.0),
+      s"worst pair error ${errs.max} exceeds 2/sqrt(k)")
+    assert(errs.sum / errs.size <= 0.05,
+      s"mean error ${errs.sum / errs.size} too high")
+  }
+
+  test("approx_count_distinct error is within 3x rsd (ground truth for q_approx_distinct)") {
+    // q_approx_distinct is rows-only (HLL++ register layout is
+    // engine-specific); bound the estimate against the exact count here.
+    val li = QueryPack.t(spark, sf(), "lineitem")
+    val rows = li.groupBy(col("l_linestatus"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      val rel = math.abs(approx - exact) / exact
+      assert(rel <= 0.15, s"HLL relative error $rel for ${r.getString(0)} (default rsd 0.05)")
+    }
+  }
+
   test("merge is partition-order independent (algebraic aggregate)") {
     val tk = docs.select(T.tokens(col("text")).as("tk"))
     val a = tk.repartition(1).agg(F.minhash_agg(col("tk"))).head().getSeq[Long](0)

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.{GraftFunctions => F, TextFunctions => T}
+import graft.queries.QueryPack
+
+/** Ground-truth and hot-bucket-guard coverage for the dedup operators.
+  *
+  * The CORRECTNESS gates hash-check dedup_exact / dedup_minhash /
+  * dedup_ngram_jaccard against DuckDB; simhash and embedding dedup are
+  * hash-algorithm-specific (rows-only there), so THIS suite carries their
+  * ground truth: exact all-pairs Hamming / cosine computed in-Spark.
+  */
+class DedupSuite extends SparkTestBase {
+
+  private def docs = QueryPack.t(spark, sf(), "documents")
+  private def emb = QueryPack.t(spark, sf(), "embeddings")
+
+  // ---- ground truth: SimHash banding vs exact all-pairs Hamming ----
+
+  test("simhash candidates equal exact all-pairs Hamming at distance <= 3") {
+    // 4x16-bit bands guarantee every pair within Hamming distance 3 shares at
+    // least one intact band (pigeonhole), so at maxHamming=3 LSH output must
+    // EQUAL the brute-force all-pairs answer.
+    val sh = docs.select(col("doc_id"), F.simhash64(T.tokens(col("text"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val lsh = Dedup.simHashDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"simhash maxHamming=3 must be exact: lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("simhash candidates equal exact all-pairs Hamming at distance <= 8") {
+    // Adaptive banding: maxHamming+1 bit-blocks, so candidate generation is
+    // complete at ANY requested distance and (with exact popcount verify) the
+    // result equals brute force.
+    val sh = docs.select(col("doc_id"), F.simhash64(T.tokens(col("text"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 8
+    } yield (ia, ib)).toSet
+    val lsh = Dedup.simHashDuplicates(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"simhash maxHamming=8 must be exact: lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  // ---- ground truth: embedding LSH dedup vs exact all-pairs cosine ----
+
+  test("embedding dedup has perfect precision and bounded recall vs exact cosine") {
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), F.cosine_similarity(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= 0.45)
+    val exact = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingDuplicates(emb, "vec_id", "embedding",
+        threshold = 0.45, bits = 4, tables = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact-cosine verification must make precision 1.0")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.7, s"embedding LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
+  // ---- hot-bucket guard ----
+
+  test("hot-bucket guard bounds candidates for 1k identical docs") {
+    import spark.implicits._
+    val boiler = (0L until 1000L).map(i => (i, "the same boilerplate page body repeated verbatim across the crawl"))
+    val unique = (1000L until 1020L).map(i => (i, s"distinct document number $i with its own words ${i * 31}"))
+    val df = (boiler ++ unique).toDF("doc_id", "text").repartition(8)
+
+    val cand = Dedup.minHashCandidatePairs(df, "doc_id", "text", maxBucketSize = 64)
+    val n = cand.count()
+    // uncapped this is 1000*999/2 ~ 500k pairs; star-linking keeps it linear
+    assert(n < 5000, s"hot bucket must not go quadratic: $n candidate pairs")
+
+    // connectivity survives: every boilerplate doc still pairs with the
+    // representative, so the duplicate group is fully recoverable
+    val dup = Dedup.minHashDuplicates(df, "doc_id", "text",
+      threshold = 0.9, maxBucketSize = 64)
+    val members = dup.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert((0L until 1000L).forall(members.contains),
+      s"all 1000 identical docs must appear in a duplicate pair, got ${members.size}")
+  }
+
+  test("capped and uncapped candidates agree when no bucket is hot") {
+    // On the real corpus no bucket is near the default cap, so the guard must
+    // be a no-op — this is what keeps the dedup_minhash gate hash-green.
+    val capped = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minHashCandidatePairs(docs, "doc_id", "text",
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
+
+  test("lshBucketStats surfaces oversized buckets") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, "identical text everywhere")).toDF("doc_id", "text")
+    val banded = df.select(col("doc_id").as("id"),
+      lit(0).as("band"), lit(0L).as("bucket"))
+    val hot = Dedup.lshBucketStats(banded, Seq("band", "bucket"), maxBucketSize = 50)
+    assert(hot.collect().map(_.getAs[Long]("bucket_size")).toSeq == Seq(200L))
+  }
+}

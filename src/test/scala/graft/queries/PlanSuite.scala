@@ -53,6 +53,34 @@ class PlanSuite extends SparkTestBase {
     assert(scoring.nonEmpty, s"cosine_similarity not found in plan:\n$p")
   }
 
+  test("ivf cell assignment stays inside whole-stage codegen (no UDF)") {
+    val df = graft.SparkEntry.queries("ann_ivf")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"ivf must not use UDFs on the corpus hot path:\n$p")
+    val assign = p.linesIterator.filter(_.contains("argmin_centroid")).mkString("\n")
+    assert(assign.nonEmpty, s"argmin_centroid not found in ivf plan:\n$p")
+    assert(p.contains("codegen id :"), s"no codegen stages in ivf plan:\n$p")
+  }
+
+  test("argmin_centroid codegen compiles and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val centroids = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(5.0, 5.0))
+    val expr = graft.functions.ArgminCentroid(
+      BoundReference(0, ArrayType(FloatType), nullable = true), centroids)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on janino errors
+    for (v <- Seq(Array(0.1f, -0.1f), Array(0.9f, 1.2f), Array(4.0f, 6.0f))) {
+      val row = InternalRow(new GenericArrayData(v.map(Float.box).toArray[Any]))
+      assert(proj(row).getInt(0) == expr.eval(row).asInstanceOf[Int])
+    }
+  }
+
   test("semi join decorrelates to LeftSemi (no subquery re-execution)") {
     val p = plan("q_semi_join")
     assert(p.contains("LeftSemi"), s"semi join shape missing:\n$p")
