@@ -23,8 +23,12 @@ import graft.model._
   * join per check — no driver-side iteration.
   */
 object DqSupport {
-  final case class Check(name: String, typ: String, run: () => (Long, Long),
-      cols: Seq[String] = Nil) {
+  /** A declared check, as a descriptor (not a thunk) so RUN DQ can fuse and
+    * parallelize execution across checks — see [[runChecks]].
+    */
+  final case class Check(name: String, typ: String, cols: Seq[String] = Nil,
+      expression: Option[String] = None,
+      refTable: Seq[String] = Nil, refCols: Seq[String] = Nil) {
     /** Addressable by explicit name OR backticked composite column list
       * (reference: DataQualitySpec.scala:296-342, LightningSource.scala:92-98).
       */
@@ -34,6 +38,16 @@ object DqSupport {
         (cols.nonEmpty && cols.mkString(",").equalsIgnoreCase(q))
     }
   }
+
+  /** Small daemon pool for submitting independent PK/FK Spark jobs
+    * concurrently (job *submission* is cheap; the cluster schedules the
+    * stages — serial submission would leave executors idle between checks).
+    */
+  private lazy val dqEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-dq"); t.setDaemon(true); t
+      }))
 
   def tableRef(spark: SparkSession, parts: Seq[String]): String =
     GraftEnv.quote(GraftEnv.catalogName(spark) +: GraftEnv.stripCatalog(spark, parts))
@@ -119,35 +133,60 @@ object DqSupport {
 
   def checksOf(spark: SparkSession, tableFqn: Seq[String], spec: TableSpec,
       uslNs: Seq[String], usl: UslSpec): Seq[Check] = {
-    // one COUNT(*) job shared by every check on this table (the reference
-    // recomputes it per check — same result, fewer jobs at scale)
-    lazy val cachedTotal = total(spark, tableFqn)
-    val t = () => cachedTotal
     val pkChecks = (spec.primaryKey.map(pk => (constraintName(pk.name, pk.columns), pk.columns, "PK")).toSeq ++
       spec.columns.filter(_.primaryKey).map(c => (c.name, Seq(c.name), "PK")) ++
       spec.uniques.map(u => (constraintName(u.name, u.columns), u.columns, "UNIQUE")) ++
       spec.columns.filter(_.unique).map(c => (c.name, Seq(c.name), "UNIQUE")))
-      .map { case (nm, cols, typ) =>
-        Check(nm, typ, () => {
-          val tot = t(); val valid = pkValidCount(spark, tableFqn, cols); (tot, valid)
-        }, cols)
-      }
+      .map { case (nm, cols, typ) => Check(nm, typ, cols) }
     val fkChecks = (spec.foreignKeys.map(fk =>
         (constraintName(fk.name, fk.columns), fk.columns, fk.refTable, fk.refColumns)) ++
       spec.columns.flatMap(c => c.references.map(r => (c.name, Seq(c.name), r.table, r.columns))))
-      .map { case (nm, cols, refT, refC) =>
-        Check(nm, "FK", () => {
-          val tot = t(); val valid = fkValidCount(spark, tableFqn, cols, refT, refC); (tot, valid)
-        }, cols)
-      }
-    val dqChecks = spec.dataQualities.map { dq =>
-      Check(dq.name, "DQ", () => {
-        val tot = t()
-        val valid = customDqDf(spark, tableFqn, dq.expression, valid = true).count()
-        (tot, valid)
-      })
-    }
+      .map { case (nm, cols, refT, refC) => Check(nm, "FK", cols, None, refT, refC) }
+    val dqChecks = spec.dataQualities.map(dq => Check(dq.name, "DQ", Nil, Some(dq.expression)))
     pkChecks ++ fkChecks ++ dqChecks
+  }
+
+  /** Execute checks with the job layout that holds up at 100 TB:
+    *
+    *  - ALL custom-DQ counts + the table total fuse into ONE aggregate pass
+    *    (`count(1), sum(case when expr_i ...)…`) — N custom checks used to be
+    *    N+1 sequential table scans, now it is one scan regardless of N;
+    *  - PK/FK checks (each its own hash-aggregate / left-semi join shape)
+    *    are submitted as concurrent Spark jobs so the cluster pipelines them
+    *    instead of idling between serial driver-side submissions.
+    *
+    * Returns (total, valid) per check, aligned with the input order.
+    * (The reference recomputes even the total per check, serially —
+    * DataQualitySpec.scala:280-482.)
+    */
+  def runChecks(spark: SparkSession, table: Seq[String], checks: Seq[Check]): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = dqEc
+
+    val parts = GraftEnv.catalogName(spark) +: GraftEnv.stripCatalog(spark, table)
+    val rel = GraftSQLBridge.ofRows(spark, UnresolvedRelation(parts))
+    val dqIdx = checks.zipWithIndex.collect { case (c, i) if c.typ == "DQ" => i }
+    val fusedCols = count(lit(1)).as("__total") +: dqIdx.map { i =>
+      val cond = GraftSQLBridge.column(
+        spark.sessionState.sqlParser.parseExpression(checks(i).expression.get))
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"__dq_$i")
+    }
+    val fusedF = Future(rel.agg(fusedCols.head, fusedCols.tail: _*).head())
+    val constraintF: Map[Int, Future[Long]] = checks.zipWithIndex.collect {
+      case (c, i) if c.typ == "PK" || c.typ == "UNIQUE" =>
+        i -> Future(pkValidCount(spark, table, c.cols))
+      case (c, i) if c.typ == "FK" =>
+        i -> Future(fkValidCount(spark, table, c.cols, c.refTable, c.refCols))
+    }.toMap
+    val fused = Await.result(fusedF, Duration.Inf)
+    val total = fused.getLong(0)
+    val dqValid = dqIdx.zipWithIndex.map { case (orig, j) => orig -> fused.getLong(j + 1) }.toMap
+    checks.indices.map { i =>
+      dqValid.get(i).map(v => (total, v))
+        .getOrElse((total, Await.result(constraintF(i), Duration.Inf)))
+    }
   }
 }
 
@@ -224,8 +263,8 @@ case class RunDqCommand(name: Option[String], table: Seq[String]) extends GraftC
       case None => all
     }
     val tableName = GraftEnv.stripCatalog(spark, table).mkString(".")
-    selected.map { c =>
-      val (tot, valid) = c.run()
+    val results = DqSupport.runChecks(spark, table, selected)
+    selected.zip(results).map { case (c, (tot, valid)) =>
       Row(c.name, tableName, c.typ, tot, valid, tot - valid)
     }
   }
