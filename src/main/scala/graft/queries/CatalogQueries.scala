@@ -16,13 +16,17 @@ object CatalogQueries {
   private def wh(dir: String): String =
     "/tmp/graft-verify-wh-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
 
-  private val prepared = scala.collection.mutable.Set.empty[String]
+  // keyed on (session identity, dir): a second SparkSession in the same JVM
+  // must not skip DDL done by the first (identityHashCode, not the session
+  // object itself, so the set never pins a stopped session in memory)
+  private val prepared = scala.collection.mutable.Set.empty[(Int, String)]
 
   /** Idempotent setup: catalog + datasource + USL + activation + DQ rules.
     * DDL runs once per (session, sfDir) — repeat calls skip the re-analysis.
     */
   private def setup(s: SparkSession, dir: String): Unit = synchronized {
-    if (prepared.contains(dir)) return
+    val key = (System.identityHashCode(s), dir)
+    if (prepared.contains(key)) return
     Graft.install(s, wh(dir))
     Graft.sql(s,
       s"REGISTER OR REPLACE PARQUET DATASOURCE tpch OPTIONS (path '$dir') NAMESPACE graft.datasource.file")
@@ -49,7 +53,7 @@ object CatalogQueries {
       "REGISTER DQ price_positive TABLE graft.metastore.ordermart.orders AS o_totalprice > 0")
     Graft.sql(s,
       "REGISTER DQ status_known TABLE graft.metastore.ordermart.orders AS o_orderstatus IN ('O','F','P')")
-    prepared += dir
+    prepared += key
   }
 
   val specs: Seq[QuerySpec] = Seq(

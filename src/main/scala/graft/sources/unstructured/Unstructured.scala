@@ -173,14 +173,15 @@ object ContentExtractor {
     */
   val decodeCalls = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** UTF-8 preview of the first [[Unstructured.PreviewBytes]] bytes. */
-  def textPreview(content: Column): Column = {
-    val f = udf { bytes: Array[Byte] =>
-      if (bytes == null) null
-      else new String(bytes.take(Unstructured.PreviewBytes), java.nio.charset.StandardCharsets.UTF_8)
-    }
-    f(content)
-  }
+  /** UTF-8 preview of the first [[Unstructured.PreviewBytes]] bytes — pure
+    * built-ins (substring on binary + decode), so it stays inside whole-stage
+    * codegen instead of a UDF. A multi-byte character cut at the boundary
+    * decodes to U+FFFD, the same behavior the previous UDF had
+    * (`new String(bytes.take(n), UTF_8)`).
+    */
+  def textPreview(content: Column): Column =
+    org.apache.spark.sql.functions.decode(
+      org.apache.spark.sql.functions.substring(content, 1, Unstructured.PreviewBytes), "UTF-8")
 
   /** STUB (offline): real extraction needs PDFBox. Falls back to decoding
     * printable ASCII runs — enough to exercise the plumbing deterministically.

@@ -194,6 +194,18 @@ class GraftCatalogSuite extends SparkTestBase {
     assert(spark.sql("SELECT n_name FROM graft.datasource.fmt.o.nation WHERE n_nationkey = 0").head().getString(0).nonEmpty)
   }
 
+  test("gate setup reruns DDL for a second SparkSession in the same JVM") {
+    // CatalogQueries.setup is keyed on (session, dir): a fresh session has
+    // fresh session state, so skipping its DDL would make the gate queries
+    // fail to resolve. Both sessions must produce the same result.
+    val dir = sf()
+    val first = graft.SparkEntry.queries("cat_fqn_join")(spark, dir).collect()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    val second = graft.SparkEntry.queries("cat_fqn_join")(s2, dir).collect()
+    assert(first.map(_.toString).sorted.toSeq == second.map(_.toString).sorted.toSeq)
+  }
+
   test("jdbc datasource registers and round-trips through Derby") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft-derby").toString
     spark.sql(
