@@ -103,8 +103,19 @@ final class FileCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
 /** JDBC endpoints via Spark's own JDBCTableCatalog, constructed per call like
   * the reference (JDBCDataSourceCatalogUnit.scala:43-61). Gets remote
   * pushdown (filters, required columns, and on 4.x aggregates/limits) free.
+  *
+  * Two-level stores (Snowflake/Redshift expose database.schema.table, not
+  * just schema.table) route through [[TwoLevelJdbc]] instead: the namespace
+  * walk reads DatabaseMetaData and table loads qualify "db"."schema"."t"
+  * directly (reference: JDBCDataSourceCatalogUnit.scala:63-148,
+  * SnowflakeJDBCTableCatalog.scala:43-77).
   */
-final class JdbcCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
+class JdbcCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
+  private val url = ds.options.getOrElse("url", "")
+  private def twoLevel: Boolean = TwoLevelJdbc.isTwoLevel(url)
+  // overridable for tests (a fake store stands in for a live warehouse)
+  protected def store: TwoLevelSchemaStore = new MetaDataSchemaStore(ds.options)
+
   private def delegate(): JDBCTableCatalog = {
     val cat = new JDBCTableCatalog()
     cat.initialize(ds.name, new CaseInsensitiveStringMap(ds.options.asJava))
@@ -113,13 +124,21 @@ final class JdbcCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
 
   override def loadTable(spark: SparkSession, rest: Seq[String], name: String,
       schemaOverride: Option[StructType]): Table =
-    delegate().loadTable(Identifier.of(rest.toArray, name))
+    if (twoLevel) {
+      val fqn = TwoLevelJdbc.qualifiedName(url, rest :+ name)
+      val schema = org.apache.spark.sql.jdbc.GraftJdbcBridge
+        .resolveTableSchema(ds.options, fqn)
+      org.apache.spark.sql.jdbc.GraftJdbcBridge
+        .table(Identifier.of(rest.toArray, name), schema, ds.options, fqn)
+    } else delegate().loadTable(Identifier.of(rest.toArray, name))
 
   override def listTables(spark: SparkSession, rest: Seq[String]): Seq[String] =
-    delegate().listTables(rest.toArray).map(_.name).toSeq.sorted
+    if (twoLevel) TwoLevelJdbc.listTables(store, TwoLevelJdbc.normalize(url, rest))
+    else delegate().listTables(rest.toArray).map(_.name).toSeq.sorted
 
   override def listNamespaces(spark: SparkSession, rest: Seq[String]): Seq[Seq[String]] =
-    delegate().listNamespaces(rest.toArray).map(_.toSeq).toSeq
+    if (twoLevel) TwoLevelJdbc.listNamespaces(store, TwoLevelJdbc.normalize(url, rest))
+    else delegate().listNamespaces(rest.toArray).map(_.toSeq).toSeq
 
   def tableCatalog: TableCatalog = delegate()
 }
