@@ -90,6 +90,25 @@ object CatalogQueries {
         WHERE o_totalprice > 100000.0
         GROUP BY c_mktsegment ORDER BY segment""")),
 
+    // ---- REGISTER CATALOG: snapshot the source's schemas into the
+    // metastore (NAME LIKE '%ion' catches nation + region), then read back
+    // THROUGH the snapshot tables (schema-override scan over the recorded
+    // source path) and hash-match a join against DuckDB on the raw parquet. ----
+    QuerySpec("cat_snapshot_readback",
+      (s, dir) => {
+        setup(s, dir)
+        Graft.sql(s,
+          "REGISTER OR REPLACE CATALOG tpchsnap SOURCE graft.datasource.file.tpch NAME LIKE '%ion' NAMESPACE graft.metastore")
+        s.sql(
+          """SELECT r.r_name AS region, COUNT(*) AS n_nations
+            |FROM graft.metastore.tpchsnap.nation n
+            |JOIN graft.metastore.tpchsnap.region r ON n.n_regionkey = r.r_regionkey
+            |GROUP BY r.r_name ORDER BY region""".stripMargin)
+      },
+      Some("""SELECT r_name AS region, COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY region""")),
+
     // ---- RUN DQ: constraint + custom checks, exact reference plan shapes ----
     QuerySpec("dq_run_summary",
       (s, dir) => {
