@@ -42,7 +42,41 @@ class GraftApiServer(spark: SparkSession, port: Int = 8855) {
 
   def stop(): Unit = if (server != null) server.stop(0)
 
+  /** CORS headers on every response, matching the reference's filter
+    * (catalog/api/CORSFilter.scala:28-37) so a browser GUI can front the API.
+    */
+  private def corsHeaders(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Allow-Headers", "origin, content-type, accept, authorization")
+    h.set("Access-Control-Allow-Credentials", "true")
+    h.set("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS, HEAD")
+    h.set("Access-Control-Max-Age", "1209600")
+  }
+
+  /** Browser preflight: headers only, no body. */
+  private def handlePreflight(ex: HttpExchange): Boolean =
+    if (ex.getRequestMethod == "OPTIONS") {
+      corsHeaders(ex)
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+      true
+    } else false
+
+  /** Missing object (table/DQ/namespace) is a 404; a malformed request stays
+    * 400. Spark analysis errors carry error classes like TABLE_OR_VIEW_NOT_FOUND.
+    */
+  private def statusFor(e: Exception): Int = e match {
+    case _: NoSuchElementException => 404
+    case _ =>
+      val m = String.valueOf(e.getMessage)
+      if (m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("SCHEMA_NOT_FOUND") ||
+          m.contains("not found")) 404
+      else 400
+  }
+
   private def streamJsonArray(ex: HttpExchange, df: DataFrame): Unit = {
+    corsHeaders(ex)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0)
     val out: OutputStream = ex.getResponseBody
@@ -62,6 +96,7 @@ class GraftApiServer(spark: SparkSession, port: Int = 8855) {
   private def sendError(ex: HttpExchange, code: Int, msg: String): Unit = {
     val body = s"""{"error": ${org.json4s.jackson.JsonMethods.compact(
       org.json4s.JString(msg))}}""".getBytes(StandardCharsets.UTF_8)
+    corsHeaders(ex)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, body.length)
     val out = ex.getResponseBody
@@ -79,15 +114,17 @@ class GraftApiServer(spark: SparkSession, port: Int = 8855) {
 
   private final class QueryHandler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = try {
+      if (handlePreflight(ex)) return
       if (ex.getRequestMethod != "POST") { sendError(ex, 405, "POST a SQL string"); return }
       val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
       if (sql.isEmpty) { sendError(ex, 400, "empty SQL body"); return }
       streamJsonArray(ex, Graft.sql(spark, sql))
-    } catch { case e: Exception => sendError(ex, 400, String.valueOf(e.getMessage)) }
+    } catch { case e: Exception => sendError(ex, statusFor(e), String.valueOf(e.getMessage)) }
   }
 
   private final class DqRecordHandler(limited: Boolean) extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = try {
+      if (handlePreflight(ex)) return
       val p = queryParams(ex)
       val (name, table) = (p.get("name"), p.get("table"))
       if (name.isEmpty || table.isEmpty) { sendError(ex, 400, "name and table are required"); return }
@@ -95,6 +132,6 @@ class GraftApiServer(spark: SparkSession, port: Int = 8855) {
       val limit = if (limited) p.get("limit").map(_.toInt).getOrElse(0) else 0
       val cmd = ShowDqRecordsCommand(name.get, table.get.split('.').toSeq, valid, limit)
       streamJsonArray(ex, cmd.recordsDf(spark))
-    } catch { case e: Exception => sendError(ex, 400, String.valueOf(e.getMessage)) }
+    } catch { case e: Exception => sendError(ex, statusFor(e), String.valueOf(e.getMessage)) }
   }
 }

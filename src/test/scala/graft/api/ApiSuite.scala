@@ -52,4 +52,47 @@ class ApiSuite extends SparkTestBase {
     val (code, body) = post("/api/q", "SELECT FROM WHERE")
     assert(code == 400 && body.contains("error"))
   }
+
+  test("missing table returns 404, malformed request 400") {
+    val (code, body) = post("/api/q", "SELECT * FROM graft.datasource.api.no_such_table_xyz")
+    assert(code == 404, s"expected 404 got $code: $body")
+    val (code2, _) = post("/api/q", "")
+    assert(code2 == 400)
+  }
+
+  test("CORS headers on success, error, and preflight responses") {
+    val ok = new URL(s"http://localhost:$port/api/q").openConnection().asInstanceOf[HttpURLConnection]
+    ok.setRequestMethod("POST"); ok.setDoOutput(true)
+    ok.getOutputStream.write(s"SELECT 1 AS one".getBytes(StandardCharsets.UTF_8))
+    assert(ok.getResponseCode == 200)
+    assert(ok.getHeaderField("Access-Control-Allow-Origin") == "*")
+    assert(ok.getHeaderField("Access-Control-Allow-Methods").contains("OPTIONS"))
+
+    val err = new URL(s"http://localhost:$port/api/q").openConnection().asInstanceOf[HttpURLConnection]
+    err.setRequestMethod("POST"); err.setDoOutput(true)
+    err.getOutputStream.write("SELECT FROM WHERE".getBytes(StandardCharsets.UTF_8))
+    assert(err.getResponseCode == 400)
+    assert(err.getHeaderField("Access-Control-Allow-Origin") == "*")
+
+    val pre = new URL(s"http://localhost:$port/api/q").openConnection().asInstanceOf[HttpURLConnection]
+    pre.setRequestMethod("OPTIONS")
+    assert(pre.getResponseCode == 204)
+    assert(pre.getHeaderField("Access-Control-Allow-Headers").contains("authorization"))
+  }
+
+  test("concurrent streaming requests all complete with full payloads") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val sql = s"SELECT l_orderkey, l_quantity FROM parquet.`${sf()}/lineitem.parquet` ORDER BY l_orderkey, l_linenumber"
+    val expected = post("/api/q", sql)._2
+    assert(expected.length > 10000, "need a non-trivial streamed payload")
+    // 8 concurrent clients against the 4-thread server pool: responses must
+    // not interleave or truncate (each exchange owns its output stream)
+    val results = Await.result(
+      Future.sequence((1 to 8).map(_ => Future(post("/api/q", sql)))), 120.seconds)
+    results.foreach { case (code, body) =>
+      assert(code == 200 && body == expected, "streamed body mismatch under load")
+    }
+  }
 }
