@@ -183,14 +183,21 @@ object ContentExtractor {
     org.apache.spark.sql.functions.decode(
       org.apache.spark.sql.functions.substring(content, 1, Unstructured.PreviewBytes), "UTF-8")
 
-  /** STUB (offline): real extraction needs PDFBox. Falls back to decoding
-    * printable ASCII runs — enough to exercise the plumbing deterministically.
+  /** PDF text: dependency-free extraction of Tj/TJ strings from unfiltered
+    * and FlateDecode content streams ([[PdfText]]). PDFs outside that subset
+    * (CID fonts, LZW/ASCII85, encryption — PDFBox territory, jar absent
+    * offline) fall back to the printable-ASCII-run heuristic so the column
+    * is always populated deterministically.
     */
   def pdfText(content: Column): Column = {
     val f = udf { bytes: Array[Byte] =>
       if (bytes == null) null
-      else new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-        .replaceAll("[^\\x20-\\x7E\\n]+", " ").trim.take(10000)
+      else {
+        val structured = try PdfText.extract(bytes) catch { case _: Exception => "" }
+        if (structured.nonEmpty) structured
+        else new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+          .replaceAll("[^\\x20-\\x7E\\n]+", " ").trim.take(10000)
+      }
     }
     f(content)
   }

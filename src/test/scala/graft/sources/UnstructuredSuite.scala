@@ -66,6 +66,46 @@ class UnstructuredSuite extends SparkTestBase {
     assert(rows.head.getString(1) == "second file with more words inside")
   }
 
+  private def minimalPdf(contentStream: String, flate: Boolean): Array[Byte] = {
+    val payload =
+      if (flate) {
+        val raw = contentStream.getBytes(StandardCharsets.ISO_8859_1)
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        out.toByteArray
+      } else contentStream.getBytes(StandardCharsets.ISO_8859_1)
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val head = s"%PDF-1.4\n4 0 obj << /Length ${payload.length}$filter >>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val tail = "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    head ++ payload ++ tail
+  }
+
+  test("pdf text extraction: uncompressed and FlateDecode content streams") {
+    val pdfDir = Files.createTempDirectory("graft-pdf").toString
+    val cs = "BT /F1 12 Tf 72 720 Td (Hello graft) Tj 0 -14 Td (second \\(escaped\\) line) Tj ET"
+    Files.write(Paths.get(pdfDir, "plain.pdf"), minimalPdf(cs, flate = false))
+    Files.write(Paths.get(pdfDir, "flate.pdf"), minimalPdf(cs, flate = true))
+    spark.sql(
+      s"REGISTER OR REPLACE PDF DATASOURCE pdfs OPTIONS (path '$pdfDir') NAMESPACE graft.datasource.un")
+    val rows = spark.sql(
+      "SELECT path, textcontent FROM graft.datasource.un.pdfs.content ORDER BY path")
+      .collect().map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    for (f <- Seq("plain.pdf", "flate.pdf")) {
+      assert(rows(f).contains("Hello graft"), s"$f: ${rows(f)}")
+      assert(rows(f).contains("second (escaped) line"), s"$f: ${rows(f)}")
+      // Td broke the line between the two strings
+      assert(rows(f).linesIterator.size >= 2, s"$f: ${rows(f)}")
+      // structured extraction, not the ASCII-run fallback (which would leak
+      // PDF syntax like "obj <<" into the text)
+      assert(!rows(f).contains("obj"), s"$f fell back to heuristic: ${rows(f)}")
+    }
+  }
+
   test("image metadata: dimensions + png thumbnail") {
     val r = spark.sql(
       "SELECT width, height, imagethumbnail FROM graft.datasource.un.pics.pics WHERE path LIKE '%pic.png'")
