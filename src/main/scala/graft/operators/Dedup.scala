@@ -28,49 +28,86 @@ object Dedup {
     */
   val DefaultMaxBucketSize = 1000
 
+  /** Driver-side safety bound on the collected flagged-bucket metadata. */
+  val MaxHotBuckets = 100000
+
   /** Hot-bucket-guarded LSH bucket self-join.
     *
     * A degenerate bucket (boilerplate near-identical docs, zero vectors)
     * makes the naive self-join quadratic *within the bucket*: at 100 TB one
     * hot bucket is a straggler task that OOMs or runs for hours — and AQE
     * skew-join cannot save it because the explosion is in candidate
-    * *generation*, not partition sizing. Guard: one windowed pass over the
-    * (already shuffled-by-bucket) banded rows computes each bucket's size and
-    * min-id representative; buckets within `maxBucketSize` do the exact
-    * self-join as before, oversized buckets emit only (representative, member)
-    * star pairs — `size-1` candidates instead of `size*(size-1)/2`. For the
-    * common degenerate case (a pile of near-identical documents) the star
-    * pairs all survive verification, so duplicate-group connectivity is
-    * preserved; this beats dropping the bucket outright. Oversized buckets
-    * are observable via [[lshBucketStats]].
+    * *generation*, not partition sizing. Guard: a seeded sample flags
+    * oversized buckets (broadcast back, see inline notes); buckets within
+    * `maxBucketSize` do the exact self-join as before, flagged buckets emit
+    * only (representative, member) star pairs — `size-1` candidates instead
+    * of `size*(size-1)/2`. For the common degenerate case (a pile of
+    * near-identical documents) the star pairs all survive verification, so
+    * duplicate-group connectivity is preserved; this beats dropping the
+    * bucket outright. Oversized buckets are observable via [[lshBucketStats]].
     *
-    * @param banded  columns: keyCols ++ ("id" +: payload)
-    * @param payload extra per-row columns to carry to both sides (e.g. the
-    *                simhash value or the embedding vector)
+    * @param rows     the input rows, one per document/vector
+    * @param mkBanded builds keyCols ++ ("id" +: payload) from input rows —
+    *                 called once on the full input and once on a small sample
+    * @param payload  extra per-row columns to carry to both sides (e.g. the
+    *                 simhash value or the embedding vector)
     * @return columns `id_a`, `id_b` and `<payload>_a`, `<payload>_b`,
     *         with `id_a < id_b`; may contain duplicates (distinct is the
     *         caller's call, after any per-pair compute)
     */
-  private[operators] def cappedBucketPairs(banded: DataFrame, keyCols: Seq[String],
-      payload: Seq[String], maxBucketSize: Int): DataFrame = {
+  private[operators] def cappedBucketPairs(rows: DataFrame, mkBanded: DataFrame => DataFrame,
+      keyCols: Seq[String], payload: Seq[String], maxBucketSize: Int): DataFrame = {
+    val banded = mkBanded(rows)
     val aCols = "id" +: payload
-    val w = Window.partitionBy(keyCols.map(col): _*)
-    val sized = banded
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .withColumn("__rep", min(struct(aCols.map(col): _*)).over(w))
-    val small = sized.where(col("__bsz") <= maxBucketSize)
-    val l = small.select(keyCols.map(col) ++ aCols.map(c => col(c).as(c + "_a")): _*)
-    val r = small.select(keyCols.map(col) ++ aCols.map(c => col(c).as(c + "_b")): _*)
-    val out = aCols.map(_ + "_a") ++ aCols.map(_ + "_b")
-    val smallPairs = l.join(r, keyCols)
-      .where(col("id_a") < col("id_b"))
-      .select(out.map(col): _*)
-    // star pairs: rep has the bucket-min id, so id_a < id_b holds by construction
-    val hotPairs = sized.where(col("__bsz") > maxBucketSize)
-      .where(col("id") =!= col("__rep.id"))
-      .select(aCols.map(c => col("__rep." + c).as(c + "_a")) ++
-              aCols.map(c => col(c).as(c + "_b")): _*)
-    smallPairs.unionByName(hotPairs)
+    def selfJoinAll(src: DataFrame): DataFrame = {
+      val out = aCols.map(_ + "_a") ++ aCols.map(_ + "_b")
+      val l = src.select(keyCols.map(col) ++ aCols.map(c => col(c).as(c + "_a")): _*)
+      val r = src.select(keyCols.map(col) ++ aCols.map(c => col(c).as(c + "_b")): _*)
+      l.join(r, keyCols).where(col("id_a") < col("id_b")).select(out.map(col): _*)
+    }
+    if (maxBucketSize == Int.MaxValue) return selfJoinAll(banded) // guard disabled
+    // Hot buckets are DETECTED FROM A SEEDED SAMPLE of the INPUT rows (the
+    // sampled hot-key split shape, same as Skew.splitJoin): an exact count
+    // would re-evaluate the expensive map side (signatures + explode) over
+    // the full corpus a second time, while a 10% document sample pays 10%
+    // and still flags any pathological bucket with near-certainty (a
+    // 10x-over-cap bucket going unsampled is a < 1e-20 event). Sampling
+    // documents (not banded rows) also keeps the representative consistent
+    // across bands, so star pairs collapse under distinct. The flagged
+    // table is tiny by construction (<= rows/cap entries) and broadcasts;
+    // small-bucket rows keep the exact uncapped plan — one keyed shuffle +
+    // self-join — with only a broadcast-hash filter added.
+    val fraction = 0.1
+    val threshold = math.max(2L, (maxBucketSize * fraction / 2).toLong)
+    val hotAgg = mkBanded(rows.sample(withReplacement = false, fraction, seed = 7L))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__scnt"), min(struct(aCols.map(col): _*)).as("__rep"))
+      .where(col("__scnt") >= threshold)
+    // The flagged set is bucket METADATA, <= rows/cap entries — collect it so
+    // the three consumers below see a local relation (zero recompute) and the
+    // no-hot-bucket common case pays nothing but the 10% sampling job.
+    val hotRows = hotAgg.limit(MaxHotBuckets + 1).collect()
+    if (hotRows.length > MaxHotBuckets)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"more than $MaxHotBuckets oversized LSH buckets detected; buckets beyond the " +
+          "cap fall back to the full self-join (consider more bits/bands or a bigger cap)")
+    if (hotRows.isEmpty) selfJoinAll(banded) // exact uncapped plan, no join added
+    else {
+      val spark = rows.sparkSession
+      val hot = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
+      val marked = banded.join(hot, keyCols, "left")
+      val smallPairs = selfJoinAll(marked.where(col("__scnt").isNull))
+      // Star pairs against the sample-min representative (a true bucket
+      // member, just not necessarily the global min) — normalized id_a < id_b.
+      val hotPairs = marked.where(col("__scnt").isNotNull)
+        .where(col("id") =!= col("__rep.id"))
+        .select(aCols.map(c => when(col("__rep.id") < col("id"), col("__rep." + c))
+                  .otherwise(col(c)).as(c + "_a")) ++
+                aCols.map(c => when(col("__rep.id") < col("id"), col(c))
+                  .otherwise(col("__rep." + c)).as(c + "_b")): _*)
+      smallPairs.unionByName(hotPairs)
+    }
   }
 
   /** Observability for the hot-bucket guard: per-bucket sizes above the cap.
@@ -113,15 +150,15 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      F.minhash_signature(F.word_shingles(T.tokens(col(textCol)), shingleSize), numHashes).as("sig"))
     // band key = (band index, xxhash64 of the band's signature slice)
-    val banded = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))), b))
-    ).as(Seq("band", "bucket")))
-    cappedBucketPairs(banded, Seq("band", "bucket"), Nil, maxBucketSize)
+    def mkBanded(rows: DataFrame): DataFrame = rows
+      .select(col(idCol).as("id"),
+        F.minhash_signature(F.word_shingles(T.tokens(col(textCol)), shingleSize), numHashes).as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))), b))
+      ).as(Seq("band", "bucket")))
+    cappedBucketPairs(df, mkBanded, Seq("band", "bucket"), Nil, maxBucketSize)
       .select("id_a", "id_b").distinct()
   }
 
@@ -175,15 +212,15 @@ object Dedup {
     val rem = 64 % bands
     val widths = Array.tabulate(bands)(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val sh = df.select(col(idCol).as("id"),
-      F.simhash64(T.tokens(col(textCol))).as("sim"))
-    val banded = sh.select(col("id"), col("sim"), posexplode(
-      array((0 until bands).map { b =>
-        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
-        shiftright(col("sim"), offsets(b)).bitwiseAND(lit(mask))
-      }: _*)
-    ).as(Seq("band", "bucket")))
-    cappedBucketPairs(banded, Seq("band", "bucket"), Seq("sim"), maxBucketSize)
+    def mkBanded(rows: DataFrame): DataFrame = rows
+      .select(col(idCol).as("id"), F.simhash64(T.tokens(col(textCol))).as("sim"))
+      .select(col("id"), col("sim"), posexplode(
+        array((0 until bands).map { b =>
+          val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+          shiftright(col("sim"), offsets(b)).bitwiseAND(lit(mask))
+        }: _*)
+      ).as(Seq("band", "bucket")))
+    cappedBucketPairs(df, mkBanded, Seq("band", "bucket"), Seq("sim"), maxBucketSize)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
@@ -200,12 +237,12 @@ object Dedup {
     // L independent hash tables (disjoint hyperplane sets): a pair is a
     // candidate if it collides in ANY table. Recall = 1-(1-p^bits)^tables,
     // tuned via (bits, tables); each table is one keyed shuffle.
-    val b = df.select(
+    def mkBanded(rows: DataFrame): DataFrame = rows.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(array((0 until tables).map(t =>
         F.lsh_bucket(col(vecCol), bits, planeOffset = t * bits)): _*))
         .as(Seq("table", "bucket")))
-    cappedBucketPairs(b, Seq("table", "bucket"), Seq("v"), maxBucketSize)
+    cappedBucketPairs(df, mkBanded, Seq("table", "bucket"), Seq("v"), maxBucketSize)
       .select(col("id_a"), col("id_b"), F.cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
       .distinct()

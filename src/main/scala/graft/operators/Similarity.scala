@@ -50,14 +50,18 @@ object Similarity {
       k: Int, bits: Int = 6, multiProbe: Boolean = true, tables: Int = 1,
       excludeSelf: Boolean = true): DataFrame = {
     require(tables >= 1)
-    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"),
-      posexplode(array((0 until tables).map(t =>
-        F.lsh_bucket(col(vecCol), bits, planeOffset = t * bits)): _*))
-        .as(Seq("table", "bucket")))
-    val qb = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
-      posexplode(array((0 until tables).map(t =>
-        F.lsh_bucket(col(qVecCol), bits, planeOffset = t * bits)): _*))
-        .as(Seq("table", "__qb")))
+    // single-table: no generate node on the corpus scan (the common fast path)
+    def withBuckets(df: DataFrame, vc: String, bucketName: String) =
+      if (tables == 1)
+        df.withColumn("table", lit(0)).withColumn(bucketName, F.lsh_bucket(col(vc), bits))
+      else
+        df.select(df.columns.map(col) :+ posexplode(array((0 until tables).map(t =>
+          F.lsh_bucket(col(vc), bits, planeOffset = t * bits)): _*))
+          .as(Seq("table", bucketName)): _*)
+    val c = withBuckets(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv")), "__cv", "bucket")
+    val qb = withBuckets(
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv")), "__qv", "__qb")
     val probes =
       if (multiProbe)
         qb.select(col("query_id"), col("__qv"), col("table"), explode(

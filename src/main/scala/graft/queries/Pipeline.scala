@@ -77,11 +77,15 @@ object Pipeline {
           len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) AS jaccard
         FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""")),
 
-    // ---- SimHash near-dup (Hamming-LSH, 4x16-bit bands). Not expressible in
-    // ANSI SQL (xxhash64) -> rows-only check. ----
+    // ---- SimHash near-dup (Hamming-LSH, maxHamming+1 bit-blocks => complete
+    // candidate generation; DedupSuite asserts equality with brute-force
+    // all-pairs Hamming). distance 4 = 5 bands of 12-13 bits: buckets stay
+    // fine-grained (completeness at larger distances forces coarser blocks
+    // and quadratically more candidates). Not expressible in ANSI SQL
+    // (xxhash64) -> rows-only check. ----
     QuerySpec("dedup_simhash",
       (s, dir) => Dedup.simHashDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 8)
+          maxHamming = 4)
         .orderBy(col("id_a"), col("id_b")),
       None),
 
