@@ -75,9 +75,46 @@ object Unstructured {
 
   private def basePath(ds: DataSourceSpec): String = ds.options("path")
 
-  /** Raw (path, modificationTime, length, content) excluding tag sidecars. */
-  private def rawFiles(spark: SparkSession, ds: DataSourceSpec): DataFrame =
-    reader(spark, ds).load(basePath(ds)).where(!col("path").endsWith(".tag"))
+  /** Hadoop Configuration is not Serializable; minimal wrapper so the capped
+    * reader can ship it in a closure (Spark's own SerializableConfiguration
+    * is private[spark]).
+    */
+  private class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = value.write(out)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Raw (path, modificationTime, length, content) excluding tag sidecars.
+    *
+    * `maxBytes` option: per-source cap on content bytes read per file —
+    * only the first N bytes are fetched, so one stray multi-GB file can't
+    * OOM an executor materializing a whole-file row (the reference caps the
+    * FileSplit length the same way, HadoopBinaryFileReader.scala:32-46).
+    * Metadata-only queries still never open the file at all (the capped
+    * reader is a deterministic projection, pruned like the content column).
+    */
+  private def rawFiles(spark: SparkSession, ds: DataSourceSpec): DataFrame = {
+    val df = reader(spark, ds).load(basePath(ds)).where(!col("path").endsWith(".tag"))
+    ds.options.get("maxBytes").map(_.toLong) match {
+      case Some(cap) if cap > 0 =>
+        val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+        val readCapped = udf { (path: String, len: Long) =>
+          val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+          val fs = p.getFileSystem(hconf.value)
+          val n = math.min(cap, len).toInt
+          val buf = new Array[Byte](n)
+          val in = fs.open(p)
+          try in.readFully(0, buf, 0, n) finally in.close()
+          buf
+        }
+        df.withColumn("content", readCapped(col("path"), col("length")))
+      case _ => df
+    }
+  }
 
   /** Per-file tag values parsed from sidecar JSON; null-filled when absent. */
   private def withTags(spark: SparkSession, ds: DataSourceSpec, df: DataFrame): DataFrame = {

@@ -106,6 +106,24 @@ class UnstructuredSuite extends SparkTestBase {
     }
   }
 
+  test("maxBytes option caps per-file content reads") {
+    val capDir = Files.createTempDirectory("graft-cap").toString
+    Files.writeString(Paths.get(capDir, "big.txt"), "0123456789" * 100) // 1000 bytes
+    Files.writeString(Paths.get(capDir, "small.txt"), "tiny")
+    spark.sql(
+      s"REGISTER OR REPLACE TEXT DATASOURCE capped OPTIONS (path '$capDir', maxBytes '16') NAMESPACE graft.datasource.un")
+    val rows = spark.sql(
+      "SELECT path, textcontent FROM graft.datasource.un.capped.content ORDER BY path")
+      .collect().map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    assert(rows("big.txt") == "0123456789012345") // first 16 bytes only
+    assert(rows("small.txt") == "tiny") // under the cap: full content
+    // metadata still reports the true on-disk size
+    val size = spark.sql(
+      "SELECT sizeinbytes FROM graft.datasource.un.capped.capped WHERE path LIKE '%big.txt'")
+      .head().getLong(0)
+    assert(size == 1000L)
+  }
+
   test("image metadata: dimensions + png thumbnail") {
     val r = spark.sql(
       "SELECT width, height, imagethumbnail FROM graft.datasource.un.pics.pics WHERE path LIKE '%pic.png'")
