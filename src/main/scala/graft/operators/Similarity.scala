@@ -92,21 +92,21 @@ object Similarity {
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 3, sampleSize: Int = 4096,
       excludeSelf: Boolean = true): DataFrame = {
-    // 1. train the coarse quantizer on a *uniform* seeded sample (k-means||
-    //    via MLlib). limit() would take the first partitions only, so on a
-    //    partitioned corpus the centroids would learn one shard; sample()
-    //    draws from every partition. The count() is one cheap columnar pass
-    //    (parquet count pushes to footers) paid once per model build.
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    // 1. train the coarse quantizer on a *uniform* seeded sample. limit()
+    //    alone would take the first partitions only, so on a partitioned
+    //    corpus the centroids would learn one shard; sample() draws from
+    //    every partition. The count() is one cheap columnar pass (parquet
+    //    count pushes to footers) paid once per model build. The sample
+    //    collects to the driver (<= sampleSize vectors) and fits locally —
+    //    see KMeansLite.
     val corpusRows = corpus.count()
     // oversample 20% so the post-sample cap rarely truncates below target
     val fraction = math.min(1.0, if (corpusRows == 0) 1.0 else sampleSize * 1.2 / corpusRows)
-    val sample = corpus.sample(withReplacement = false, fraction, seed = 42L)
-      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val samplePts = corpus.sample(withReplacement = false, fraction, seed = 42L)
+      .select(col(vecCol).cast("array<double>"))
       .limit(sampleSize)
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(sample)
-    val centroids = model.clusterCenters.map(_.toArray)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = KMeansLite.fit(samplePts, nCells, iters = 25, seed = 42L)
 
     // 2. map-side cell assignment: codegen'd argmin over the centroid table
     //    (rides into generated code as a reference object — no UDF
@@ -126,6 +126,74 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "nn_id", "cosine", "rank")
+  }
+
+  /** Deterministic local k-means (k-means++ seeding + Lloyd's iterations)
+    * over the collected training sample. The sample is small by construction
+    * (<= sampleSize vectors), so fitting on the driver avoids the ~10
+    * scheduler round trips an MLlib fit costs — the distributed parts of IVF
+    * are the cell assignment and scoring, not the tiny quantizer fit.
+    */
+  private[operators] object KMeansLite {
+    private def sqdist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+
+    def fit(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+      if (points.isEmpty) return Array(Array(0.0))
+      val rnd = new java.util.Random(seed)
+      val n = points.length
+      val kk = math.min(k, n)
+      val centers = new Array[Array[Double]](kk)
+      centers(0) = points(rnd.nextInt(n)).clone()
+      val d2 = Array.fill(n)(Double.MaxValue)
+      var c = 1
+      while (c < kk) { // k-means++: sample next center ~ D^2
+        var sum = 0.0; var i = 0
+        while (i < n) {
+          val d = sqdist(points(i), centers(c - 1))
+          if (d < d2(i)) d2(i) = d
+          sum += d2(i); i += 1
+        }
+        var target = rnd.nextDouble() * sum
+        var idx = 0
+        while (idx < n - 1 && target > d2(idx)) { target -= d2(idx); idx += 1 }
+        centers(c) = points(idx).clone()
+        c += 1
+      }
+      val dim = points(0).length
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Int](kk)
+        var i = 0
+        while (i < n) {
+          var best = 0; var bd = Double.MaxValue; var cc = 0
+          while (cc < kk) {
+            val d = sqdist(points(i), centers(cc))
+            if (d < bd) { bd = d; best = cc }
+            cc += 1
+          }
+          val s = sums(best); var j = 0
+          while (j < dim) { s(j) += points(i)(j); j += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var cc = 0
+        while (cc < kk) {
+          if (counts(cc) > 0) {
+            var j = 0
+            while (j < dim) { centers(cc)(j) = sums(cc)(j) / counts(cc); j += 1 }
+          }
+          cc += 1
+        }
+        it += 1
+      }
+      centers
+    }
   }
 
   /** Self-join variant: for every row, its nearest neighbor in the corpus. */

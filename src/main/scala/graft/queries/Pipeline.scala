@@ -136,16 +136,16 @@ object Pipeline {
       },
       None),
 
-    // ---- ANN: IVF variant (k-means coarse quantizer, codegen'd argmin cell
-    // assignment, nProbe nearest cells probed per query). Rows-only: centroid
-    // training is MLlib k-means, not SQL-expressible. Recall vs brute force is
-    // asserted in SimilaritySuite. ----
+    // ---- ANN: IVF variant (k-means coarse quantizer fit locally on a seeded
+    // sample, codegen'd argmin cell assignment, nProbe nearest cells probed
+    // per query). Rows-only: centroid training is not SQL-expressible.
+    // Recall vs brute force is asserted in SimilaritySuite. ----
     QuerySpec("ann_ivf",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.where(col("vec_id") < 20)
         Similarity.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding",
-            k = 5, nCells = 8, nProbe = 4)
+            k = 5, nCells = 8, nProbe = 5)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy(col("query_id"), col("rank"))
       },

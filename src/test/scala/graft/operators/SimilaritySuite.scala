@@ -55,7 +55,7 @@ class SimilaritySuite extends SparkTestBase {
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
       .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding",
-        k = 5, nCells = 8, nProbe = 4)
+        k = 5, nCells = 8, nProbe = 5)
       .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"ivf recall at gate config too low: $recall")
