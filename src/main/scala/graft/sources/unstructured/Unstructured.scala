@@ -170,9 +170,11 @@ object Unstructured {
       case "video" =>
         base
           .withColumn("format", ContentExtractor.videoFormat(col("path")))
-          .withColumn("duration", ContentExtractor.videoDuration(col("content")))
-          .withColumn("width", lit(null).cast(IntegerType))
-          .withColumn("height", lit(null).cast(IntegerType))
+          .withColumn("__v", ContentExtractor.videoMeta(col("content")))
+          .withColumn("duration", col("__v.durationMs"))
+          .withColumn("width", col("__v.width"))
+          .withColumn("height", col("__v.height"))
+          .drop("__v")
       case _ => base
     }
     scanTypeColumns(ds, withTags(spark, ds, typed.drop("content")))
@@ -278,7 +280,15 @@ object ContentExtractor {
   def videoFormat(path: Column): Column =
     upper(regexp_extract(path, "\\.([^.]+)$", 1))
 
-  /** STUB (offline): real duration needs metadata-extractor; emits null. */
-  def videoDuration(content: Column): Column =
-    lit(null).cast(LongType)
+  /** Video duration/width/height via the dependency-free MP4/ISO-BMFF box
+    * parser ([[Mp4Meta]]); non-BMFF containers (AVI/MKV/WebM — full coverage
+    * is metadata-extractor territory, jar absent offline) yield nulls.
+    */
+  def videoMeta(content: Column): Column = {
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) Mp4Meta.Info(None, None, None)
+      else Mp4Meta.parse(bytes)
+    }
+    f(content)
+  }
 }

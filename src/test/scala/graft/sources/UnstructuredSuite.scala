@@ -124,6 +124,40 @@ class UnstructuredSuite extends SparkTestBase {
     assert(size == 1000L)
   }
 
+  /** Minimal ISO-BMFF file: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  private def minimalMp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val size = payload.length + 8
+      val out = java.nio.ByteBuffer.allocate(size)
+      out.putInt(size).put(typ.getBytes(StandardCharsets.ISO_8859_1)).put(payload)
+      out.array()
+    }
+    val mvhd = new Array[Byte](100)
+    java.nio.ByteBuffer.wrap(mvhd).putInt(12, timescale).putInt(16, duration)
+    val tkhd = new Array[Byte](84)
+    java.nio.ByteBuffer.wrap(tkhd).putInt(76, w << 16).putInt(80, h << 16)
+    box("ftyp", "isom".getBytes ++ new Array[Byte](4)) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
+  test("video metadata: mp4 duration and dimensions from box parsing") {
+    val vidDir = Files.createTempDirectory("graft-video").toString
+    Files.write(Paths.get(vidDir, "clip.mp4"), minimalMp4(1000, 5000, 640, 360))
+    Files.write(Paths.get(vidDir, "junk.avi"), "not an mp4 at all".getBytes)
+    spark.sql(
+      s"REGISTER OR REPLACE VIDEO DATASOURCE vids OPTIONS (path '$vidDir') NAMESPACE graft.datasource.un")
+    val rows = spark.sql(
+      "SELECT path, format, duration, width, height FROM graft.datasource.un.vids.vids ORDER BY path")
+      .collect()
+    val mp4 = rows.find(_.getString(0).endsWith("clip.mp4")).get
+    assert(mp4.getString(1) == "MP4")
+    assert(mp4.getLong(2) == 5000L) // 5000 ticks / 1000 ticks-per-sec = 5000 ms
+    assert(mp4.getInt(3) == 640 && mp4.getInt(4) == 360)
+    val avi = rows.find(_.getString(0).endsWith("junk.avi")).get
+    assert(avi.getString(1) == "AVI")
+    assert(avi.isNullAt(2) && avi.isNullAt(3) && avi.isNullAt(4)) // non-BMFF -> nulls
+  }
+
   test("image metadata: dimensions + png thumbnail") {
     val r = spark.sql(
       "SELECT width, height, imagethumbnail FROM graft.datasource.un.pics.pics WHERE path LIKE '%pic.png'")
