@@ -85,4 +85,38 @@ object TextFunctions {
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  // ---- PII scrubbing (training-data redaction) ----
+  // Patterns stick to syntax both java.util.regex (Spark) and RE2 (DuckDB)
+  // support — no backreferences or lookaround — so the oracle runs the SAME
+  // regexes. Replacement order matters: emails first (their local part eats
+  // digits), then SSNs (stricter than phones), IPs, phones.
+
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRx = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val Ipv4Rx = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRx = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  private val PiiRules = Seq(
+    EmailRx -> "<EMAIL>", SsnRx -> "<SSN>", Ipv4Rx -> "<IP>", PhoneRx -> "<PHONE>")
+
+  /** Text with emails/SSNs/IPv4s/phone numbers replaced by typed tokens.
+    * Pure regexp_replace chain — map-side, codegen'd, no UDF.
+    */
+  def scrubPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (c, (rx, token)) => regexp_replace(c, rx, token) }
+
+  /** Per-category PII hit counts, in [[PiiRules]] order (email, ssn, ip,
+    * phone) — counted before scrubbing, on the same precedence (each rule
+    * counts matches in the text already scrubbed by earlier rules).
+    */
+  def piiCounts(text: Column): Seq[Column] =
+    PiiRules.indices.map { i =>
+      // count rule i on text already scrubbed by rules 0..i-1 (same
+      // precedence the replacement chain applies)
+      val pre = PiiRules.take(i).foldLeft(text) { case (c, (erx, etok)) =>
+        regexp_replace(c, erx, etok)
+      }
+      regexp_count(pre, lit(PiiRules(i)._1))
+    }
 }

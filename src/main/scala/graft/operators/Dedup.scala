@@ -110,6 +110,43 @@ object Dedup {
     }
   }
 
+  /** Resolve verified duplicate PAIRS into duplicate GROUPS: connected
+    * components by iterative min-label propagation. Each iteration is one
+    * keyed shuffle (neighbor-min aggregate + join); iterations are bounded
+    * by the component diameter — near-dup clusters are dense, so real
+    * corpora converge in a handful of rounds. `localCheckpoint` truncates
+    * the growing lineage each round (on a real cluster swap in
+    * `checkpoint()` against reliable storage for fault tolerance).
+    *
+    * Output: (id, group_id) where group_id is the component's minimum id —
+    * deterministic, so oracle-comparable against a recursive-CTE ground
+    * truth. Ids absent from any pair are not emitted (singletons are
+    * implicit), matching the usual "which docs belong to a dup group" use.
+    */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("comp", "__old"), "id")
+        .where(col("comp") < col("__old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id"), col("comp").as("group_id"))
+  }
+
   /** Observability for the hot-bucket guard: per-bucket sizes above the cap.
     * Run on a sample (or the full corpus) before a big dedup to see which
     * buckets will degrade to star-linking.

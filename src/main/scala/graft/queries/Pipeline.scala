@@ -151,6 +151,71 @@ object Pipeline {
       },
       None),
 
+    // ---- Duplicate GROUPS from verified near-dup pairs: connected
+    // components via iterative min-label propagation, hash-matched against a
+    // DuckDB recursive-CTE ground truth over the same brute-force pair set. ----
+    QuerySpec("dedup_groups",
+      (s, dir) => {
+        val pairs = Dedup.minHashDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.7)
+        Dedup.duplicateGroups(pairs).orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+          SELECT doc_id, $shingleSql AS s
+          FROM (SELECT doc_id, $toksSql AS tk, text FROM documents)
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.7
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src WHERE r.comp < e.dst
+        )
+        SELECT id, MIN(comp) AS group_id FROM reach GROUP BY id ORDER BY id""")),
+
+    // ---- PII scrubbing: emails/SSNs/IPv4s/phones replaced by typed tokens,
+    // plus per-category counts. The input plants deterministic PII derived
+    // from doc_id so both engines scrub the same strings with the same
+    // regexes (java.util.regex and RE2 agree on this subset). ----
+    QuerySpec("text_pii_scrub",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 200).cast("string"), lit(".7 call 555-123-4567 ssn 987-65-4321"))
+        val counts = T.piiCounts(planted)
+        d.select(col("doc_id"),
+            T.scrubPii(planted).as("scrubbed"),
+            counts(0).cast("long").as("n_email"), counts(1).cast("long").as("n_ssn"),
+            counts(2).cast("long").as("n_ip"), counts(3).cast("long").as("n_phone"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id, text || ' contact user' || doc_id || '@example.com from 10.0.'
+            || (doc_id % 200) || '.7 call 555-123-4567 ssn 987-65-4321' AS t
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, t,
+            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM planted
+        ), s2 AS (
+          SELECT doc_id, t, t1, regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2 FROM s1
+        ), s3 AS (
+          SELECT doc_id, t, t1, t2, regexp_replace(t2, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t3 FROM s2
+        )
+        SELECT doc_id,
+          regexp_replace(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+          len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+          len(regexp_extract_all(t2, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+          len(regexp_extract_all(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone
+        FROM s3 ORDER BY doc_id""")),
+
     // ---- Text quality metrics, one row per document ----
     QuerySpec("text_quality",
       (s, dir) => {

@@ -102,6 +102,41 @@ class DedupSuite extends SparkTestBase {
     assert(capped == uncapped)
   }
 
+  test("duplicateGroups resolves chains and separate components") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(groups(_) == 1L))
+    assert((10L to 12L).forall(groups(_) == 10L))
+    assert(groups(20L) == 20L && groups(21L) == 20L)
+    assert(groups.size == 10)
+  }
+
+  test("pii scrubbing replaces all categories and counts them") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org or 555-123-4567, host 10.1.2.3, ssn 123-45-6789"),
+      (2L, "no pii here at all")).toDF("id", "text")
+    val counts = TF.piiCounts(col("text"))
+    val out = df.select(col("id"), TF.scrubPii(col("text")).as("s"),
+        counts(0).as("e"), counts(1).as("ssn"), counts(2).as("ip"), counts(3).as("ph"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val s1 = out(1L).getString(1)
+    assert(s1.contains("<EMAIL>") && s1.contains("<PHONE>") && s1.contains("<IP>") && s1.contains("<SSN>"))
+    assert(!s1.contains("jane.doe") && !s1.contains("555-123-4567") &&
+      !s1.contains("10.1.2.3") && !s1.contains("123-45-6789"))
+    assert(out(1L).getInt(2) == 1 && out(1L).getInt(3) == 1 &&
+      out(1L).getInt(4) == 1 && out(1L).getInt(5) == 1)
+    assert(out(2L).getString(1) == "no pii here at all")
+    assert(out(2L).getInt(2) == 0 && out(2L).getInt(5) == 0)
+  }
+
   test("lshBucketStats surfaces oversized buckets") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, "identical text everywhere")).toDF("doc_id", "text")
