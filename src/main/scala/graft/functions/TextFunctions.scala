@@ -86,6 +86,20 @@ object TextFunctions {
     }
   }
 
+  /** Unicode NFC normalization (canonical composition) — the standard first
+    * step of training-text cleaning. Spark has no built-in normalizer, so
+    * this is the one deliberate UDF in the text stack (java.text.Normalizer
+    * is allocation-light and locale-independent; DuckDB's nfc_normalize is
+    * the oracle counterpart).
+    */
+  def nfc(text: Column): Column = {
+    val f = udf { s: String =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    f(text)
+  }
+
   // ---- PII scrubbing (training-data redaction) ----
   // Patterns stick to syntax both java.util.regex (Spark) and RE2 (DuckDB)
   // support — no backreferences or lookaround — so the oracle runs the SAME

@@ -26,7 +26,10 @@ object CatalogQueries {
     */
   private def setup(s: SparkSession, dir: String): Unit = synchronized {
     val key = (System.identityHashCode(s), dir)
-    if (prepared.contains(key)) return
+    // skip only if this session did the DDL AND its graft catalog still
+    // points at this gate warehouse (something else may have re-pointed it)
+    val whCurrent = s.conf.getOption("spark.sql.catalog.graft.warehouse")
+    if (prepared.contains(key) && whCurrent.contains(wh(dir))) return
     Graft.install(s, wh(dir))
     Graft.sql(s,
       s"REGISTER OR REPLACE PARQUET DATASOURCE tpch OPTIONS (path '$dir') NAMESPACE graft.datasource.file")

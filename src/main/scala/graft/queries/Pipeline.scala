@@ -287,6 +287,99 @@ object Pipeline {
           AND len(list_distinct(tk)) * 1.0 / len(tk) >= 0.5
         ORDER BY doc_id""")),
 
+    // ---- Sequence packing (pretraining prep): concatenate docs per source
+    // in doc_id order, chunk the token stream into fixed budgets. start_tok
+    // is an exclusive-prefix window sum WITHIN each source partition — the
+    // scale story is packing per shard, never a global single-partition
+    // ordering. ----
+    QuerySpec("text_seq_pack",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val budget = 512
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        d.select(col("source"), col("doc_id"),
+            T.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("seq_id", (col("start_tok") / budget).cast("long"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""SELECT source, doc_id, len(tk) AS n_tokens,
+          CAST(COALESCE(SUM(len(tk)) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok,
+          CAST(COALESCE(SUM(len(tk)) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id
+        FROM (SELECT source, doc_id, $toksSql AS tk FROM documents)
+        ORDER BY source, doc_id""")),
+
+    // ---- Retention policy: within each near-dup group keep the highest-
+    // quality member (lexical diversity, min-id tiebreak); singletons keep
+    // themselves. Composes groups + quality scoring + window top-1. ----
+    QuerySpec("dedup_keep_best",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val groups = Dedup.duplicateGroups(
+          Dedup.minHashDuplicates(d, "doc_id", "text", threshold = 0.7))
+        val nTok = T.tokenCount(col("text")).cast("long")
+        val scored = d.select(col("doc_id"),
+            (T.distinctTokenCount(col("text")).cast("double") / nTok.cast("double")).as("quality"))
+          .join(groups.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+        val w = Window.partitionBy(col("group_id"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("group_id"), col("doc_id").as("keep_id"), round(col("quality"), 6).as("quality"))
+          .orderBy(col("group_id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+          SELECT doc_id, $shingleSql AS s
+          FROM (SELECT doc_id, $toksSql AS tk, text FROM documents)
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.7
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src WHERE r.comp < e.dst
+        ), grp AS (
+          SELECT id, MIN(comp) AS group_id FROM reach GROUP BY id
+        ), scored AS (
+          SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id,
+            len(list_distinct(tk)) * 1.0 / len(tk) AS quality
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents) d
+          LEFT JOIN grp g ON g.id = d.doc_id
+        ), ranked AS (
+          SELECT group_id, doc_id, quality,
+            ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY quality DESC, doc_id ASC) AS rn
+          FROM scored
+        )
+        SELECT group_id, doc_id AS keep_id, round(quality, 6) AS quality
+        FROM ranked WHERE rn = 1 ORDER BY group_id""")),
+
+    // ---- Unicode NFC normalization: combining sequences composed to
+    // canonical form. Both engines normalize the same planted decomposed
+    // text (e + U+0301 -> e-acute). ----
+    QuerySpec("text_nfc",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        // decomposed combining sequences: e + U+0301, i + U+0308
+        val planted = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+        d.select(col("doc_id"), T.nfc(planted).as("norm"),
+            length(T.nfc(planted)).cast("long").as("n_chars_nfc"),
+            length(planted).cast("long").as("n_chars_raw"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS norm,
+          CAST(length(nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've')) AS BIGINT) AS n_chars_nfc,
+          CAST(length(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS BIGINT) AS n_chars_raw
+        FROM documents ORDER BY doc_id""")),
+
     // ---- Corpus stats by source (exact int sums, one double division) ----
     QuerySpec("text_source_stats",
       (s, dir) => {

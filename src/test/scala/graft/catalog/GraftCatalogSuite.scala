@@ -199,11 +199,17 @@ class GraftCatalogSuite extends SparkTestBase {
     // fresh session state, so skipping its DDL would make the gate queries
     // fail to resolve. Both sessions must produce the same result.
     val dir = sf()
-    val first = graft.SparkEntry.queries("cat_fqn_join")(spark, dir).collect()
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-    val second = graft.SparkEntry.queries("cat_fqn_join")(s2, dir).collect()
-    assert(first.map(_.toString).sorted.toSeq == second.map(_.toString).sorted.toSeq)
+    try {
+      val first = graft.SparkEntry.queries("cat_fqn_join")(spark, dir).collect()
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      val second = graft.SparkEntry.queries("cat_fqn_join")(s2, dir).collect()
+      assert(first.map(_.toString).sorted.toSeq == second.map(_.toString).sorted.toSeq)
+    } finally {
+      // the gate setup pointed the shared session's graft catalog at the
+      // persistent verify warehouse; point it back for sibling tests
+      graft.Graft.install(spark, warehouseDir)
+    }
   }
 
   test("jdbc datasource registers and round-trips through Derby") {
