@@ -48,10 +48,51 @@ object Multimodal {
     out
   }
 
+  /** REAL image decode (JDK ImageIO — no native libs needed): features are a
+    * 4x4 average-luminance grid in [-1, 1], the classic tiny visual
+    * descriptor. Returns None when the bytes aren't a decodable image.
+    */
+  private[multimodal] def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val g = 4 // g*g == FeatureDim
+        val out = new Array[Float](FeatureDim)
+        val cw = math.max(1, img.getWidth / g)
+        val ch = math.max(1, img.getHeight / g)
+        var cy = 0
+        while (cy < g) {
+          var cx = 0
+          while (cx < g) {
+            var sum = 0.0; var n = 0
+            var y = cy * ch
+            val yEnd = if (cy == g - 1) img.getHeight else math.min((cy + 1) * ch, img.getHeight)
+            val xEnd = if (cx == g - 1) img.getWidth else math.min((cx + 1) * cw, img.getWidth)
+            while (y < yEnd) {
+              var x = cx * cw
+              while (x < xEnd) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            out(cy * g + cx) = if (n == 0) 0f else ((sum / n) / 127.5 - 1.0).toFloat
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
   /** Batched feature extraction over the binary column: mapPartitions with an
     * explicit batch size — rows are decoded `batchSize` at a time (matching
     * how a native decoder amortizes setup), output is one feature vector per
-    * row. The iterator never materializes the partition.
+    * row. The iterator never materializes the partition. Image rows decode
+    * for REAL (ImageIO luminance grid); audio/video fall back to the
+    * deterministic stub kernel (their codecs aren't in this container).
     */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val outSchema = media.schema
@@ -59,26 +100,52 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // one "decoder call" per batch (stubbed)
+        // one "decoder call" per batch
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
-          val feats = if (bytes == null) new Array[Float](FeatureDim) else fakeDecodeBatch(bytes)
+          val feats =
+            if (bytes == null) new Array[Float](FeatureDim)
+            else if (r.getAs[String]("modality") == "image")
+              imageFeatures(bytes).getOrElse(fakeDecodeBatch(bytes))
+            else fakeDecodeBatch(bytes)
           Row.fromSeq(r.toSeq :+ feats.toSeq)
         }
       }
     }(enc)
   }
 
-  /** STUB resize: contract only — emits the target dims + original bytes
-    * (real kernel re-encodes). Shows the metadata-update shape.
+  /** Image resize: REAL for decodable images (java.awt scaling + PNG
+    * re-encode, same JDK-only kernel as the unstructured thumbnails);
+    * non-decodable payloads keep their bytes and only update the metadata
+    * contract (the prior stub behavior, kept as the fallback).
     */
-  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("meta",
-      when(col("modality") === "image",
-        struct(lit(w).as("width"), lit(h).as("height"),
-          col("meta.duration_ms").as("duration_ms"),
-          col("meta.sample_rate").as("sample_rate")))
-        .otherwise(col("meta")))
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val resize = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) bytes
+        else {
+          val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = scaled.createGraphics()
+          gfx.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+          gfx.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", out)
+          out.toByteArray
+        }
+      } catch { case _: Exception => bytes }
+    }
+    media
+      .withColumn("bytes",
+        when(col("modality") === "image", resize(col("bytes"))).otherwise(col("bytes")))
+      .withColumn("meta",
+        when(col("modality") === "image",
+          struct(lit(w).as("width"), lit(h).as("height"),
+            col("meta.duration_ms").as("duration_ms"),
+            col("meta.sample_rate").as("sample_rate")))
+          .otherwise(col("meta")))
+  }
 
   /** Frame sampling for video rows: emits `framesPerVideo` rows per input,
     * each with a deterministic pseudo-frame payload (STUB decode) and a

@@ -46,4 +46,40 @@ class MultimodalSuite extends SparkTestBase {
     val vids = Multimodal.resizeImages(media, 224, 224) // modality=video: untouched
     assert(vids.select("meta.width").head().isNullAt(0))
   }
+
+  /** 8x8 PNG, left half black, right half white. */
+  private def halfPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image rows decode for real: luminance grid reflects pixel content") {
+    import spark.implicits._
+    val df = Seq((1L, halfPng())).toDF("media_id", "bytes")
+      .withColumn("modality", lit("image"))
+      .withColumn("meta", struct(lit(8).as("width"), lit(8).as("height"),
+        lit(null).cast("long").as("duration_ms"), lit(null).cast("int").as("sample_rate")))
+    val feats = Multimodal.extractFeatures(df).select("features")
+      .head().getSeq[Float](0)
+    // grid cells are row-major 4x4: columns 0-1 black (-1), columns 2-3 white (+1)
+    for (row <- 0 until 4) {
+      assert(feats(row * 4) < -0.9f && feats(row * 4 + 1) < -0.9f, s"row $row left must be dark")
+      assert(feats(row * 4 + 2) > 0.9f && feats(row * 4 + 3) > 0.9f, s"row $row right must be bright")
+    }
+  }
+
+  test("image resize re-encodes to the target dimensions for real") {
+    import spark.implicits._
+    val df = Seq((1L, halfPng())).toDF("media_id", "bytes")
+      .withColumn("modality", lit("image"))
+      .withColumn("meta", struct(lit(8).as("width"), lit(8).as("height"),
+        lit(null).cast("long").as("duration_ms"), lit(null).cast("int").as("sample_rate")))
+    val outBytes = Multimodal.resizeImages(df, 3, 5).select("bytes")
+      .head().getAs[Array[Byte]](0)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(decoded.getWidth == 3 && decoded.getHeight == 5)
+  }
 }
