@@ -118,6 +118,23 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Training-data cleaning as a stream: NFC normalization + PII scrubbing +
+    * quality filtering. Entirely stateless map-side work, so the SAME
+    * declarative plan serves batch backfills and streaming ingest — the
+    * property that makes a lambda-free pipeline possible (asserted by the
+    * batch-equivalence test).
+    */
+  def cleanDocuments(docs: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val nTok = T.tokenCount(col("text")).cast("long")
+    docs.select(col("doc_id"),
+        T.scrubPii(T.nfc(col("text"))).as("clean_text"),
+        nTok.as("n_tokens"),
+        (T.distinctTokenCount(col("text")).cast("double") / nTok.cast("double"))
+          .as("lexical_diversity"))
+      .where(col("n_tokens") >= 5 && col("lexical_diversity") >= 0.3)
+  }
+
   /** Run a stream to completion against a memory sink and return the result
     * table (test/bench harness helper).
     */

@@ -81,6 +81,28 @@ class PlanSuite extends SparkTestBase {
     }
   }
 
+  test("pii scrub reads only the two needed columns and stays UDF-free") {
+    val df = graft.SparkEntry.queries("text_pii_scrub")(spark, sf())
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"column pruning failed: $readSchema")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "pii scrub must be pure built-ins")
+  }
+
+  test("sequence packing windows per source partition (no global ordering)") {
+    val df = graft.SparkEntry.queries("text_seq_pack")(spark, sf())
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "window must partition by source, not sort globally")
+  }
+
   test("semi join decorrelates to LeftSemi (no subquery re-execution)") {
     val p = plan("q_semi_join")
     assert(p.contains("LeftSemi"), s"semi join shape missing:\n$p")

@@ -84,6 +84,18 @@ class StreamingSuite extends SparkTestBase {
     assert(got.subsetOf(batchSessions), s"emitted sessions not in batch result: ${got.diff(batchSessions)}")
   }
 
+  test("document cleaning stream equals its batch twin") {
+    val docs = QueryPack.t(spark, sf(), "documents")
+    val batch = Streaming.cleanDocuments(docs).orderBy("doc_id").collect()
+    assert(batch.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-clean").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, docs.schema)
+    val result = Streaming.runToMemory(Streaming.cleanDocuments(stream), "clean_docs")
+      .orderBy("doc_id").collect()
+    assert(result.toSeq == batch.toSeq)
+  }
+
   test("mapGroupsWithState running totals match groupBy aggregate") {
     import spark.implicits._
     val in = events.filter(col("user_id") < 10)
