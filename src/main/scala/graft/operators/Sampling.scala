@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling / splitting operators for training-data assembly.
+  *
+  * Scale design: everything here is either a pure map-side filter (hash
+  * split, stratified Bernoulli) or a distributed top-k (deterministic-k),
+  * so nothing shuffles the corpus and nothing depends on row order or
+  * partitioning — reruns and reshards give identical answers.
+  */
+object Sampling {
+
+  /** Per-stratum Bernoulli sampling (`df.stat.sampleBy`): map-side filter,
+    * seed-deterministic for a fixed input layout. Strata absent from
+    * `fractions` are dropped.
+    */
+  def stratified(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Exactly-k uniform sample, content-deterministic: order by a seeded hash
+    * of the id and take k. Compiles to TakeOrderedAndProject — each
+    * partition keeps its k smallest hashes, only numPartitions*k rows move.
+    * Unlike limit() (first partitions) or sample() (approximate count), this
+    * is unbiased AND exact AND stable across reruns/reshards.
+    */
+  def deterministicK(df: DataFrame, idCol: String, k: Int, seed: Long): DataFrame =
+    df.orderBy(xxhash64(col(idCol), lit(seed))).limit(k)
+
+  /** Train/validation/test split by hash bucket: row goes to the split whose
+    * cumulative weight range contains `xxhash64(id, seed) mod 10000`. A pure
+    * map-side filter per split — no shuffle, no sampling state — and STABLE
+    * UNDER RESHARDING: a document keeps its split assignment forever, which
+    * `randomSplit` (per-partition Bernoulli over row order) does not
+    * guarantee. That stability is what prevents train/test leakage when a
+    * 100 TB corpus is re-partitioned between runs.
+    */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[Double],
+      seed: Long): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0))
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).map(_ / total * 10000.0)
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
+    weights.indices.map { i =>
+      df.where(bucket >= math.floor(cum(i)).toLong && bucket < math.floor(cum(i + 1)).toLong)
+    }
+  }
+}

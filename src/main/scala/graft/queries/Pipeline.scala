@@ -380,6 +380,86 @@ object Pipeline {
           CAST(length(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS BIGINT) AS n_chars_raw
         FROM documents ORDER BY doc_id""")),
 
+    // ---- Gopher-style quality/repetition metrics (Rae et al. '21 §A1.1):
+    // word-length shape, alphabetic-word fraction, and the top-bigram
+    // repetition fraction, with the composite keep flag. All exact-int
+    // derived -> hash-comparable. ----
+    QuerySpec("text_gopher_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val tk = T.tokens(col("text"))
+        val nWords = size(tk).cast("long")
+        val meanLen = aggregate(tk, lit(0L), (a, w) => a + length(w).cast("long"))
+          .cast("double") / nWords.cast("double")
+        val alphaFrac = size(filter(tk, w => w.rlike("[a-z]"))).cast("double") / nWords.cast("double")
+        val base = d.select(col("doc_id"), col("text"), nWords.as("n_words"),
+          meanLen.as("mean_word_len"), alphaFrac.as("frac_alpha_words"))
+        // top bigram occupancy: most frequent 2-shingle count / total bigrams
+        val bi = d.select(col("doc_id"),
+            explode(F.word_shingles(T.tokens(col("text")), 2)).as("bg"))
+          .groupBy("doc_id", "bg").count()
+        val w = Window.partitionBy(col("doc_id"))
+        val topBi = bi.withColumn("mx", max(col("count")).over(w))
+          .groupBy(col("doc_id"))
+          .agg((first(col("mx")).cast("double") / sum(col("count")).cast("double")).as("top_bigram_frac"))
+        base.join(topBi, "doc_id")
+          .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("frac_alpha_words"), col("top_bigram_frac"),
+            (col("n_words") >= 10 && col("n_words") <= 10000 &&
+             col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+             col("frac_alpha_words") >= 0.7 && col("top_bigram_frac") <= 0.2).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, tk, len(tk) AS n_words,
+            CAST(list_sum(list_transform(tk, w -> len(w))) AS DOUBLE) / len(tk) AS mean_word_len,
+            CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(tk) AS frac_alpha_words
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+        ), bigrams AS (
+          SELECT doc_id, bg, COUNT(*) AS c
+          FROM (
+            SELECT doc_id, CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+              ELSE [ tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1) ] END AS bgs
+            FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+          ), UNNEST(bgs) AS u(bg)
+          GROUP BY doc_id, bg
+        ), topbi AS (
+          SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+          FROM bigrams GROUP BY doc_id
+        )
+        SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words, b.mean_word_len,
+          b.frac_alpha_words, t.top_bigram_frac,
+          (b.n_words >= 10 AND b.n_words <= 10000 AND
+           b.mean_word_len >= 2.0 AND b.mean_word_len <= 12.0 AND
+           b.frac_alpha_words >= 0.7 AND t.top_bigram_frac <= 0.2) AS keep
+        FROM base b JOIN topbi t ON b.doc_id = t.doc_id
+        ORDER BY b.doc_id""")),
+
+    // ---- Vocabulary: top-5 tokens per source by frequency (count desc,
+    // token asc tiebreak) — the "what is this shard made of" report. ----
+    QuerySpec("text_vocab_topk",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val counts = d.select(col("source"), explode(T.tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("token").asc)
+        counts.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(s"""WITH counts AS (
+          SELECT source, token, COUNT(*) AS n
+          FROM (SELECT source, $toksSql AS tk FROM documents), UNNEST(tk) AS u(token)
+          GROUP BY source, token
+        ), ranked AS (
+          SELECT source, token, CAST(n AS BIGINT) AS n,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token ASC) AS INT) AS rank
+          FROM counts
+        )
+        SELECT source, token, n, rank FROM ranked WHERE rank <= 5
+        ORDER BY source, rank""")),
+
     // ---- Corpus stats by source (exact int sums, one double division) ----
     QuerySpec("text_source_stats",
       (s, dir) => {
@@ -398,6 +478,23 @@ object Pipeline {
           SUM(len(text)) * 1.0 / SUM(len(tk)) AS avg_chars_per_token
         FROM (SELECT source, text, $toksSql AS tk FROM documents)
         GROUP BY source ORDER BY source""")),
+
+    // ---- Train/val/test split by seeded id-hash bucket: membership is a
+    // pure map-side filter, stable under resharding (the anti-leakage
+    // property randomSplit lacks). Rows-only: xxhash64 is engine-specific;
+    // disjointness/coverage/stability are asserted in SamplingSuite. ----
+    QuerySpec("sample_hash_split",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val splits = graft.operators.Sampling.hashSplit(d, "doc_id", Seq(0.8, 0.1, 0.1), seed = 11L)
+        val named = splits.zip(Seq("train", "val", "test")).map { case (df, nm) =>
+          df.select(lit(nm).as("split"), col("doc_id"))
+        }
+        named.reduce(_ unionByName _)
+          .groupBy("split").agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"))
+      },
+      None),
 
     // ---- Corpus-level MinHash sketches: one algebraic aggregate per source,
     // then a tiny cross of the 20 sketches estimates every pairwise Jaccard

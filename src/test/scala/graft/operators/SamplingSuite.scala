@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.queries.QueryPack
+
+class SamplingSuite extends SparkTestBase {
+
+  private def docs = QueryPack.t(spark, sf(), "documents")
+
+  test("hashSplit partitions every row into exactly one split, near the weights") {
+    val splits = Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1), seed = 11L)
+    val counts = splits.map(_.count())
+    assert(counts.sum == docs.count(), "splits must cover all rows disjointly")
+    assert(counts(0) > counts(1) && counts(0) > counts(2))
+    assert(math.abs(counts(0) - 400) < 60, s"80% split way off: ${counts(0)}/500")
+    // disjoint: no id in two splits
+    val overlap = splits(0).select("doc_id").intersect(splits(1).select("doc_id")).count() +
+      splits(0).select("doc_id").intersect(splits(2).select("doc_id")).count() +
+      splits(1).select("doc_id").intersect(splits(2).select("doc_id")).count()
+    assert(overlap == 0)
+  }
+
+  test("hashSplit is stable under resharding (no train/test leakage)") {
+    val a = Sampling.hashSplit(docs, "doc_id", Seq(0.5, 0.5), seed = 3L)
+    val b = Sampling.hashSplit(docs.repartition(13), "doc_id", Seq(0.5, 0.5), seed = 3L)
+    val trainA = a(0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val trainB = b(0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainA == trainB, "split membership must not depend on partitioning")
+  }
+
+  test("deterministicK draws exactly k, stable across reruns and reshards") {
+    val k = 37
+    val s1 = Sampling.deterministicK(docs, "doc_id", k, seed = 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicK(docs.repartition(7), "doc_id", k, seed = 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.size == k && s1 == s2)
+    val other = Sampling.deterministicK(docs, "doc_id", k, seed = 6L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != s1, "different seed should draw a different sample")
+  }
+
+  test("deterministicK compiles to a distributed top-k, not a global sort") {
+    val plan = Sampling.deterministicK(docs, "doc_id", 10, seed = 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
+  test("stratified sampling respects per-stratum fractions") {
+    val fr = Map("src0" -> 1.0, "src1" -> 0.0)
+    val out = Sampling.stratified(docs, "source", fr, seed = 9L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("src0") == full("src0")) // fraction 1.0 keeps everything
+    assert(!out.contains("src1")) // fraction 0.0 and unlisted strata drop
+    assert(out.keySet == Set("src0"))
+  }
+}
