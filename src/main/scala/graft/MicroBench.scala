@@ -8,7 +8,7 @@ object MicroBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = Seq("ann_ivf", "dedup_minhash", "dedup_simhash", "dedup_embedding", "ann_lsh")
+    val names = Seq("dedup_groups", "dedup_keep_best", "text_gopher_quality")
     // warmup
     names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     for (n <- names) {

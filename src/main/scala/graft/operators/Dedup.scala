@@ -124,9 +124,13 @@ object Dedup {
     * implicit), matching the usual "which docs belong to a dup group" use.
     */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once: every iteration below joins against it,
+    // and without the checkpoint each job would re-run the (expensive)
+    // candidate-generation lineage that produced the pairs
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
