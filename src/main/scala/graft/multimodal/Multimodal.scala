@@ -87,12 +87,66 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** REAL audio decode for RIFF/WAVE PCM-16 payloads (pure byte parsing, no
+    * codec libs): (sample_rate, channels, bits, duration) from the fmt/data
+    * chunks, features = RMS energy over FeatureDim equal windows of the PCM
+    * stream, mapped to [-1, 1]. Returns None for non-WAV / non-PCM16 bytes.
+    */
+  private[multimodal] def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int)] = {
+    def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int) = ((bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+      ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)).toInt
+    def tag(o: Int) = if (o + 4 > bytes.length) "" else new String(bytes, o, 4, "ISO-8859-1")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, size)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off); val size = u32(off + 4)
+      if (id == "fmt " && off + 24 <= bytes.length && u16(off + 8) == 1) // PCM only
+        fmt = Some((u16(off + 10), u32(off + 12), u16(off + 22)))
+      else if (id == "data") data = Some((off + 8, math.min(size, bytes.length - off - 8)))
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for ((ch, rate, bits) <- fmt; (dOff, dSize) <- data if bits == 16 && ch >= 1 && rate > 0)
+      yield {
+        val durMs = dSize.toLong * 1000L / (rate.toLong * ch * 2)
+        (rate, ch, bits, durMs, dOff, dSize)
+      }
+  }
+
+  private[multimodal] def wavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    wavInfo(bytes).map { case (_, _, _, _, dOff, dSize) =>
+      val nSamples = dSize / 2
+      val out = new Array[Float](FeatureDim)
+      if (nSamples == 0) out
+      else {
+        val win = math.max(1, nSamples / FeatureDim)
+        var w = 0
+        while (w < FeatureDim) {
+          var sum = 0.0; var n = 0
+          var s = w * win
+          val end = if (w == FeatureDim - 1) nSamples else math.min((w + 1) * win, nSamples)
+          while (s < end) {
+            val o = dOff + s * 2
+            val v = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toDouble / 32768.0
+            sum += v * v; n += 1; s += 1
+          }
+          out(w) = if (n == 0) -1f else (math.sqrt(sum / n) * 2.0 - 1.0).toFloat
+          w += 1
+        }
+        out
+      }
+    }
+
   /** Batched feature extraction over the binary column: mapPartitions with an
     * explicit batch size — rows are decoded `batchSize` at a time (matching
     * how a native decoder amortizes setup), output is one feature vector per
     * row. The iterator never materializes the partition. Image rows decode
-    * for REAL (ImageIO luminance grid); audio/video fall back to the
-    * deterministic stub kernel (their codecs aren't in this container).
+    * for REAL (ImageIO luminance grid), audio rows for REAL when they are
+    * RIFF/WAVE PCM-16 (RMS energy windows); video and other payloads fall
+    * back to the deterministic stub kernel (those codecs aren't in this
+    * container).
     */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val outSchema = media.schema
@@ -105,13 +159,37 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]]("bytes")
           val feats =
             if (bytes == null) new Array[Float](FeatureDim)
-            else if (r.getAs[String]("modality") == "image")
-              imageFeatures(bytes).getOrElse(fakeDecodeBatch(bytes))
-            else fakeDecodeBatch(bytes)
+            else r.getAs[String]("modality") match {
+              case "image" => imageFeatures(bytes).getOrElse(fakeDecodeBatch(bytes))
+              case "audio" => wavFeatures(bytes).getOrElse(fakeDecodeBatch(bytes))
+              case _ => fakeDecodeBatch(bytes)
+            }
           Row.fromSeq(r.toSeq :+ feats.toSeq)
         }
       }
     }(enc)
+  }
+
+  /** Fill the audio rows' metadata (sample_rate, duration_ms) from WAV
+    * headers — the audio twin of the video Mp4Meta path; non-WAV audio keeps
+    * its existing metadata.
+    */
+  def withAudioMeta(media: DataFrame): DataFrame = {
+    val probe = udf { bytes: Array[Byte] =>
+      if (bytes == null) (None: Option[Int], None: Option[Long])
+      else wavInfo(bytes) match {
+        case Some((rate, _, _, durMs, _, _)) => (Some(rate), Some(durMs))
+        case None => (None, None)
+      }
+    }
+    media
+      .withColumn("__a", probe(col("bytes")))
+      .withColumn("meta",
+        when(col("modality") === "audio" && col("__a._1").isNotNull,
+          struct(col("meta.width").as("width"), col("meta.height").as("height"),
+            col("__a._2").as("duration_ms"), col("__a._1").as("sample_rate")))
+          .otherwise(col("meta")))
+      .drop("__a")
   }
 
   /** Image resize: REAL for decodable images (java.awt scaling + PNG

@@ -71,6 +71,40 @@ class MultimodalSuite extends SparkTestBase {
     }
   }
 
+  /** 1-second 8kHz mono PCM-16 WAV: first half silent, second half loud. */
+  private def halfWav(): Array[Byte] = {
+    val rate = 8000
+    val n = rate // 1 second
+    val data = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val v: Short = if (i % 2 == 0) 20000 else -20000
+      data(i * 2) = (v & 0xFF).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  test("audio rows decode for real: WAV meta and RMS-energy features") {
+    import spark.implicits._
+    val df = Seq((1L, halfWav())).toDF("media_id", "bytes")
+      .withColumn("modality", lit("audio"))
+      .withColumn("meta", struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"), lit(null).cast("int").as("sample_rate")))
+    val m = Multimodal.withAudioMeta(df).select("meta.sample_rate", "meta.duration_ms").head()
+    assert(m.getInt(0) == 8000 && m.getLong(1) == 1000L)
+    val feats = Multimodal.extractFeatures(df).select("features").head().getSeq[Float](0)
+    // first 8 windows silent (RMS 0 -> -1), last 8 loud (RMS ~0.61 -> ~0.22)
+    assert(feats.take(8).forall(_ < -0.95f), s"silent half must be low-energy: $feats")
+    assert(feats.drop(8).forall(_ > 0f), s"loud half must be high-energy: $feats")
+  }
+
   test("image resize re-encodes to the target dimensions for real") {
     import spark.implicits._
     val df = Seq((1L, halfPng())).toDF("media_id", "bytes")
