@@ -215,14 +215,29 @@ object Dedup {
     jac.where(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard for given candidate pairs (id_a, id_b). */
+  /** Exact n-gram Jaccard for given candidate pairs (id_a, id_b).
+    *
+    * Shuffle budget: the shingle table (the HEAVY side — ~3x the text bytes)
+    * is shuffled exactly ONCE. Pairs explode into (pair, side, id) rows, one
+    * join on id attaches shingles, and a pair-keyed aggregate reunites the
+    * two sides — that second shuffle carries only candidate docs, a small
+    * fraction of the corpus. The naive two-join shape would shuffle the full
+    * shingle table twice.
+    */
   def ngramJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(F.word_shingles(T.tokens(col(textCol)), shingleSize)).as("sh"))
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val sides = pairs.select(col("id_a"), col("id_b"), explode(array(
+        struct(col("id_a").as("id"), lit("a").as("side")),
+        struct(col("id_b").as("id"), lit("b").as("side")))).as("s"))
+      .select(col("id_a"), col("id_b"), col("s.id").as("id"), col("s.side").as("side"))
+    sides.join(sh, "id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("side") === "a", col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("side") === "b", col("sh")), ignoreNulls = true).as("sh_b"))
+      .where(col("sh_a").isNotNull && col("sh_b").isNotNull) // both ids resolved
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
