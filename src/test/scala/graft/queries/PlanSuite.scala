@@ -108,6 +108,26 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("LeftSemi"), s"semi join shape missing:\n$p")
   }
 
+  test("no gate plan contains an unbounded cartesian or python UDF") {
+    // dedup_ngram_jaccard's candidate harness deliberately crosses a bounded
+    // 30-id window; sketch_source_similarity crosses the 20 one-row-per-source
+    // sketches. Everything else must be cartesian-free.
+    val allowedCross = Set("dedup_ngram_jaccard", "sketch_source_similarity")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val p = fn(spark, sf()).queryExecution.executedPlan.toString
+        if (!allowedCross(name) && p.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct"
+        if (p.contains("BatchEvalPython"))
+          failures += s"$name: python UDF"
+      } catch {
+        case e: Exception => failures += s"$name: planning failed: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("usl readback splices the activation query into the outer plan") {
     val df = graft.SparkEntry.queries("usl_readback")(spark, sf())
     assert(df.collect().nonEmpty)
