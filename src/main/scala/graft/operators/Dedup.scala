@@ -151,6 +151,25 @@ object Dedup {
     labels.select(col("id"), col("comp").as("group_id"))
   }
 
+  /** Benchmark decontamination: flag training docs sharing any word n-gram
+    * with an eval/benchmark corpus (the standard 8-13-gram collision check
+    * run before pretraining). Eval sets are tiny relative to the corpus, so
+    * their distinct n-gram table BROADCASTS and the check is a map-side
+    * broadcast semi-join over the training scan — the corpus never
+    * shuffles. Returns (id, n_shared_ngrams) for contaminated docs only.
+    */
+  def contaminated(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 5): DataFrame = {
+    val evalNgrams = eval
+      .select(explode(array_distinct(
+        F.word_shingles(T.tokens(col(textCol)), shingleSize))).as("ng"))
+      .distinct()
+    train.select(col(idCol).as("id"), explode(array_distinct(
+        F.word_shingles(T.tokens(col(textCol)), shingleSize))).as("ng"))
+      .join(broadcast(evalNgrams), "ng")
+      .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** Observability for the hot-bucket guard: per-bucket sizes above the cap.
     * Run on a sample (or the full corpus) before a big dedup to see which
     * buckets will degrade to star-linking.

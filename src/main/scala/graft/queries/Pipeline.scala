@@ -380,6 +380,33 @@ object Pipeline {
           CAST(length(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS BIGINT) AS n_chars_raw
         FROM documents ORDER BY doc_id""")),
 
+    // ---- Benchmark decontamination: training docs (doc_id < 480) sharing
+    // any 5-gram with the "eval set" (doc_id >= 480) get flagged with their
+    // collision count. Eval n-grams broadcast; the training side never
+    // shuffles. ----
+    QuerySpec("text_decontaminate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.contaminated(
+            d.where(col("doc_id") < 480), d.where(col("doc_id") >= 480),
+            "doc_id", "text", shingleSize = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ng AS (
+          SELECT doc_id, CASE WHEN len(tk) <= 5 THEN [array_to_string(tk, ' ')]
+            ELSE list_distinct([ tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+                   for i in generate_series(1, len(tk) - 4) ]) END AS ngs
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+        ), eval_ng AS (
+          SELECT DISTINCT u.ng FROM ng, UNNEST(ngs) AS u(ng) WHERE doc_id >= 480
+        ), train_ng AS (
+          SELECT doc_id, u.ng FROM ng, UNNEST(ngs) AS u(ng) WHERE doc_id < 480
+        )
+        SELECT t.doc_id, COUNT(*) AS n_shared_ngrams
+        FROM train_ng t JOIN eval_ng e ON t.ng = e.ng
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // ---- Gopher-style quality/repetition metrics (Rae et al. '21 §A1.1):
     // word-length shape, alphabetic-word fraction, and the top-bigram
     // repetition fraction, with the composite keep flag. All exact-int

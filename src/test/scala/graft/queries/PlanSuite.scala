@@ -108,6 +108,12 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("LeftSemi"), s"semi join shape missing:\n$p")
   }
 
+  test("decontamination broadcasts the eval n-grams (corpus never shuffles)") {
+    val df = graft.SparkEntry.queries("text_decontaminate")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+  }
+
   test("no gate plan contains an unbounded cartesian or python UDF") {
     // dedup_ngram_jaccard's candidate harness deliberately crosses a bounded
     // 30-id window; sketch_source_similarity crosses the 20 one-row-per-source
