@@ -92,7 +92,7 @@ object Multimodal {
     * chunks, features = RMS energy over FeatureDim equal windows of the PCM
     * stream, mapped to [-1, 1]. Returns None for non-WAV / non-PCM16 bytes.
     */
-  private[multimodal] def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int)] = {
+  private[graft] def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int)] = {
     def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def u32(o: Int) = ((bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
       ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)).toInt
@@ -115,7 +115,7 @@ object Multimodal {
       }
   }
 
-  private[multimodal] def wavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+  private[graft] def wavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
     wavInfo(bytes).map { case (_, _, _, _, dOff, dSize) =>
       val nSamples = dSize / 2
       val out = new Array[Float](FeatureDim)

@@ -13,7 +13,7 @@ package graft.sources.unstructured
   *
   * Reference equivalent: VideoReaderFactory.scala:72-97.
   */
-private[unstructured] object Mp4Meta {
+private[graft] object Mp4Meta {
 
   final case class Info(durationMs: Option[Long], width: Option[Int], height: Option[Int])
 

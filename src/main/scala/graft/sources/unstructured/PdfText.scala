@@ -19,7 +19,7 @@ import java.util.zip.Inflater
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
-private[unstructured] object PdfText {
+private[graft] object PdfText {
 
   private val MaxInflated = 8 * 1024 * 1024
 
@@ -33,7 +33,7 @@ private[unstructured] object PdfText {
   }
 
   /** All stream..endstream payloads that are unfiltered or FlateDecode. */
-  private[unstructured] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
+  private[graft] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
     // ISO-8859-1 maps bytes 1:1 to chars, so string indexes == byte offsets
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.sources.unstructured.{Mp4Meta, PdfText}
+
+/** The three dependency-free binary parsers consume UNTRUSTED file content
+  * at scale; a crafted or truncated file must never throw out of the
+  * operator (that would fail the whole Spark task). Deterministic fuzz:
+  * truncations of valid files, random bytes, adversarial length fields.
+  */
+class BinaryParserRobustnessSuite extends AnyFunSuite {
+
+  private def rndBytes(seed: Long, n: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](n)
+    r.nextBytes(b)
+    b
+  }
+
+  test("pdf extractor never throws on garbage, truncation, or hostile sizes") {
+    for (seed <- 0L until 50L) PdfText.extract(rndBytes(seed, 256))
+    // keyword present but structure broken
+    PdfText.extract("stream".getBytes)
+    PdfText.extract("endstream".getBytes)
+    PdfText.extract("<< /Filter /FlateDecode >> stream\nnot-deflate\nendstream".getBytes)
+    PdfText.extract("(unclosed paren \\".getBytes)
+    PdfText.extract(Array.empty[Byte])
+    // deflate bomb guard: highly compressible stream stays bounded
+    val big = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(new Array[Byte](64 * 1024 * 1024)); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    }
+    val doc = ("<< /Filter /FlateDecode >>\nstream\n".getBytes.toSeq ++ big.toSeq ++
+      "\nendstream".getBytes.toSeq).toArray
+    val t0 = System.nanoTime()
+    PdfText.extract(doc) // must respect the MaxInflated cap, not allocate 64 MB+ per row unbounded
+    assert((System.nanoTime() - t0) / 1e9 < 10.0)
+  }
+
+  test("mp4 parser never throws on garbage, truncation, or hostile box sizes") {
+    for (seed <- 0L until 50L) Mp4Meta.parse(rndBytes(seed, 256))
+    Mp4Meta.parse(Array.empty[Byte])
+    Mp4Meta.parse("ftyp".getBytes)
+    // size-0 box (extends to EOF), size-1 with truncated largesize, negative size
+    val hdr = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++ Array[Byte](0, 0, 0, 0)
+    Mp4Meta.parse(hdr ++ Array[Byte](0, 0, 0, 0) ++ "moov".getBytes)
+    Mp4Meta.parse(hdr ++ Array[Byte](0, 0, 0, 1) ++ "moov".getBytes)
+    Mp4Meta.parse(hdr ++ Array[Byte](-1, -1, -1, -1) ++ "mvhd".getBytes)
+    // mvhd claiming space beyond EOF
+    Mp4Meta.parse(hdr ++ Array[Byte](0, 0, 1, 0) ++ "mvhd".getBytes ++ Array[Byte](1))
+  }
+
+  test("wav parser never throws on garbage, truncation, or hostile chunk sizes") {
+    for (seed <- 0L until 50L) Multimodal.wavInfo(rndBytes(seed, 128))
+    assert(Multimodal.wavInfo(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.wavInfo("RIFF".getBytes).isEmpty)
+    val riff = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes
+    assert(Multimodal.wavInfo((riff ++ "fmt ".getBytes ++ Array[Byte](-1, -1, -1, -1)) ++ new Array[Byte](30)).isEmpty)
+    // fmt claims PCM but data chunk missing
+    val fmtOnly = riff ++ "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0) ++
+      Array[Byte](1, 0, 1, 0, 0x40, 0x1F, 0, 0, -128, 62, 0, 0, 2, 0, 16, 0) ++ new Array[Byte](8)
+    Multimodal.wavInfo(fmtOnly)
+    Multimodal.wavFeatures(fmtOnly)
+  }
+}
