@@ -382,16 +382,27 @@ object Relational {
         COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY 1 ORDER BY k_mod""")),
 
-    // ---- Approximate count-distinct (HLL++). Deterministic within Spark but
-    // algorithm-specific, so no cross-engine oracle: rows-only + the exact
-    // counterpart asserted relatively in tests. ----
+    // ---- Approximate count-distinct (HLL++). The raw estimate is
+    // algorithm-specific, but the CONTRACT — estimate within 3x the default
+    // rsd of the exact count — is engine-independent: each engine checks its
+    // OWN estimator against the same exact count, and the boolean + exact
+    // columns hash-match. ----
     QuerySpec("q_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_linestatus"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_linestatus"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double") /
+            col("exact_parts").cast("double") <= 0.15).as("within_bound"))
         .orderBy(col("l_linestatus")),
-      None),
+      Some("""SELECT l_linestatus, CAST(exact_parts AS BIGINT) AS exact_parts,
+          (ABS(approx - exact_parts) * 1.0 / exact_parts) <= 0.15 AS within_bound
+        FROM (
+          SELECT l_linestatus, approx_count_distinct(l_partkey) AS approx,
+            COUNT(DISTINCT l_partkey) AS exact_parts
+          FROM lineitem GROUP BY l_linestatus
+        ) ORDER BY l_linestatus""")),
 
     // ---- Range (theta) join: event pairs within 6h per user. Equi-join on
     // user_id carries the heavy lifting; the range predicate filters inside
