@@ -151,6 +151,36 @@ object Dedup {
     labels.select(col("id"), col("comp").as("group_id"))
   }
 
+  /** Corpus-wide span-level dedup (Lee et al. '21 "Deduplicating Training
+    * Data", the sentence/paragraph variant): every span keeps only its FIRST
+    * occurrence across the whole corpus (ordered by doc id, position); docs
+    * are reassembled from their surviving spans in order.
+    *
+    * Shuffle budget: spans shuffle once keyed by normalized-span (the
+    * window), reassembly shuffles surviving spans once by doc — both carry
+    * span text, which in aggregate is the corpus size; there is no
+    * cheaper exact formulation (the winner decision is global).
+    *
+    * @return (id, kept_text, n_kept, n_total) — n_total counts the doc's
+    *         non-empty spans before dedup
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      splitPattern: String = "\\. "): DataFrame = {
+    val spans = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), splitPattern)).as(Seq("pos", "span")))
+      .where(length(trim(col("span"))) > 0)
+    val w = Window.partitionBy(T.normText(col("span")))
+      .orderBy(col("id"), col("pos"))
+    val marked = spans.withColumn("__rn", row_number().over(w))
+    marked.groupBy(col("id"))
+      .agg(
+        concat_ws(". ", transform(
+          array_sort(collect_list(when(col("__rn") === 1, struct(col("pos"), col("span"))))),
+          s => s.getField("span"))).as("kept_text"),
+        count(when(col("__rn") === 1, lit(1))).as("n_kept"),
+        count(lit(1)).as("n_total"))
+  }
+
   /** Benchmark decontamination: flag training docs sharing any word n-gram
     * with an eval/benchmark corpus (the standard 8-13-gram collision check
     * run before pretraining). Eval sets are tiny relative to the corpus, so

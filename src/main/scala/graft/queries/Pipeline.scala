@@ -380,6 +380,33 @@ object Pipeline {
           CAST(length(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've') AS BIGINT) AS n_chars_raw
         FROM documents ORDER BY doc_id""")),
 
+    // ---- Corpus-wide span dedup: every sentence keeps only its first
+    // occurrence (by doc_id, position) across the corpus; docs reassemble
+    // from surviving spans. Hash-matched end to end, including the
+    // reassembled text. ----
+    QuerySpec("dedup_spans",
+      (s, dir) => Dedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH spans AS (
+          SELECT doc_id, u.pos AS pos, u.span AS span FROM (
+            SELECT doc_id, [{'pos': i, 'span': s[i]} for i in generate_series(1, len(s))] AS ps
+            FROM (SELECT doc_id, string_split(text, '. ') AS s FROM documents)
+          ), UNNEST(ps) AS t(u)
+          WHERE len(trim(u.span)) > 0
+        ), marked AS (
+          SELECT doc_id, pos, span,
+            ROW_NUMBER() OVER (
+              PARTITION BY regexp_replace(lower(trim(span)), '\s+', ' ', 'g')
+              ORDER BY doc_id, pos) AS rn
+          FROM spans
+        )
+        SELECT doc_id,
+          COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, '. ' ORDER BY pos), '') AS kept_text,
+          COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+          COUNT(*) AS n_total
+        FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Benchmark decontamination: training docs (doc_id < 480) sharing
     // any 5-gram with the "eval set" (doc_id >= 480) get flagged with their
     // collision count. Eval n-grams broadcast; the training side never

@@ -117,6 +117,20 @@ class DedupSuite extends SparkTestBase {
     assert(groups.size == 10)
   }
 
+  test("span dedup keeps first occurrence corpus-wide, reassembles in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta. gamma delta. epsilon"),
+      (2L, "gamma delta. zeta eta. alpha beta"), // both dups came first in doc 1
+      (3L, "zeta eta")                           // dup of doc 2's middle span
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha beta. gamma delta. epsilon", 3L, 3L)))
+    assert(out(2L) == (("zeta eta", 1L, 3L)))
+    assert(out(3L) == (("", 0L, 1L)))
+  }
+
   test("pii scrubbing replaces all categories and counts them") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
