@@ -113,6 +113,61 @@ object Relational {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
 
+    // ---- TPC-H Q7 shape: bilateral shipping volume between two nations by
+    // ship year. Supplier and customer nations resolve through separate
+    // broadcast joins of the nation dim (aliased twice); the fact table
+    // still shuffles at most for the orders join. ----
+    QuerySpec("q7_nation_volume",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(n1, sup("s_nationkey") === n1("sk"))
+          .join(n2, c("c_nationkey") === n2("ck"))
+          .where((col("supp_nation") === "NATION_5" && col("cust_nation") === "NATION_12") ||
+                 (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_5"))
+          .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("volume"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS volume
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_12')
+           OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_5')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ---- TPC-H Q9-lite (no partsupp table in testdata): profit proxy by
+    // part brand and order year; part dim broadcasts onto the fact scan. ----
+    QuerySpec("q9_brand_profit",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val p = t(s, dir, "part")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(p, l("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"), year(col("o_orderdate")).as("o_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("l_quantity") * col("p_retailprice") * lit(0.5), 4).as("profit"))
+          .orderBy(col("p_brand"), col("o_year"))
+      },
+      Some(s"""SELECT p_brand, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount) - l_quantity * p_retailprice * 0.5", 4)} AS profit
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- Semi join via IN subquery (DQ FK-check shape, SURVEY §2.2) ----
     QuerySpec("q_semi_join",
       (s, dir) => {
