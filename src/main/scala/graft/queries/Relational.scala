@@ -168,6 +168,41 @@ object Relational {
         JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    // that Catalyst decorrelates into an aggregate + join — no per-row
+    // subquery execution. Written via spark.sql to exercise the SQL
+    // decorrelation path end-to-end. ----
+    QuerySpec("q17_small_qty_revenue",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q17")
+        s.sql(s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+          FROM li_q17 l
+          WHERE l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM li_q17 WHERE l_partkey = l.l_partkey
+          )""")
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem l
+        WHERE l_quantity < (
+          SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+        )""")),
+
+    // ---- PIVOT: order counts per priority pivoted by status (explicit
+    // value list keeps the output schema deterministic). Oracle uses the
+    // equivalent conditional aggregation. ----
+    QuerySpec("q_pivot",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+          COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+          COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+          COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- Semi join via IN subquery (DQ FK-check shape, SURVEY §2.2) ----
     QuerySpec("q_semi_join",
       (s, dir) => {
