@@ -118,6 +118,24 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-stream self-join: pair each event with the user's events in the
+    * preceding hour (the streaming twin of the range join). Watermarks bound
+    * BOTH join states; the time-interval condition lets Spark evict rows —
+    * state stays proportional to one watermark window per user, not the
+    * stream history.
+    */
+  def pairWithRecent(a: DataFrame, b: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val l = a.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", watermark)
+    val r = b.select(col("user_id").as("user_id_b"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"))
+      .withWatermark("ts_b", watermark)
+    l.join(r,
+        col("user_id") === col("user_id_b") && col("id_a") =!= col("id_b") &&
+        col("ts_b") >= col("ts_a") - expr("INTERVAL 1 HOUR") && col("ts_b") < col("ts_a"))
+      .select("user_id", "id_a", "id_b", "ts_a", "ts_b")
+  }
+
   /** Training-data cleaning as a stream: NFC normalization + PII scrubbing +
     * quality filtering. Entirely stateless map-side work, so the SAME
     * declarative plan serves batch backfills and streaming ingest — the

@@ -108,6 +108,13 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("LeftSemi"), s"semi join shape missing:\n$p")
   }
 
+  test("q17 correlated scalar subquery decorrelates to an aggregate + join") {
+    val df = graft.SparkEntry.queries("q17_small_qty_revenue")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("scalar-subquery"), s"subquery must decorrelate:\n$p")
+    assert(p.contains("Join"), s"decorrelated plan needs the join:\n$p")
+  }
+
   test("decontamination broadcasts the eval n-grams (corpus never shuffles)") {
     val df = graft.SparkEntry.queries("text_decontaminate")(spark, sf())
     val p = df.queryExecution.executedPlan.toString

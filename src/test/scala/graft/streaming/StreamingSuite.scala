@@ -84,6 +84,20 @@ class StreamingSuite extends SparkTestBase {
     assert(got.subsetOf(batchSessions), s"emitted sessions not in batch result: ${got.diff(batchSessions)}")
   }
 
+  test("stream-stream interval self-join equals its batch twin") {
+    val in = events.filter(col("user_id") < 5)
+    val batch = Streaming.pairWithRecent(in, in)
+      .orderBy("user_id", "id_a", "id_b").collect()
+    assert(batch.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ssj").toString
+    in.write.mode("overwrite").parquet(dir)
+    val sa = Streaming.fileStream(spark, dir, in.schema)
+    val sb = Streaming.fileStream(spark, dir, in.schema)
+    val result = Streaming.runToMemory(Streaming.pairWithRecent(sa, sb), "ss_join")
+      .orderBy("user_id", "id_a", "id_b").collect()
+    assert(result.toSeq == batch.toSeq)
+  }
+
   test("document cleaning stream equals its batch twin") {
     val docs = QueryPack.t(spark, sf(), "documents")
     val batch = Streaming.cleanDocuments(docs).orderBy("doc_id").collect()
