@@ -29,6 +29,20 @@ object Sampling {
   def deterministicK(df: DataFrame, idCol: String, k: Int, seed: Long): DataFrame =
     df.orderBy(xxhash64(col(idCol), lit(seed))).limit(k)
 
+  /** Per-row weighted Bernoulli keep, content-deterministic: keep a row iff
+    * `hash01(id) < weight` where hash01 is the seeded id-hash mapped to
+    * [0, 1). The quality-weighted resampling step of pipeline assembly
+    * ("keep high-quality docs with probability ~ quality") as a pure
+    * map-side filter — and unlike `rand()`-based sampling it is STABLE
+    * UNDER RESHARDING: the same document always makes the same keep/drop
+    * decision. Weights clamp to [0, 1].
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      seed: Long): DataFrame = {
+    val hash01 = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0
+    df.where(hash01 < greatest(lit(0.0), least(lit(1.0), col(weightCol))))
+  }
+
   /** Train/validation/test split by hash bucket: row goes to the split whose
     * cumulative weight range contains `xxhash64(id, seed) mod 10000`. A pure
     * map-side filter per split — no shuffle, no sampling state — and STABLE

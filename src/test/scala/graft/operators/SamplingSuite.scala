@@ -48,6 +48,25 @@ class SamplingSuite extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("weighted sampling keeps ~weight fraction, deterministically") {
+    import org.apache.spark.sql.functions.lit
+    val w9 = docs.withColumn("w", lit(0.9))
+    val w1 = docs.withColumn("w", lit(0.1))
+    val n9 = Sampling.weightedSample(w9, "doc_id", "w", seed = 21L).count()
+    val n1 = Sampling.weightedSample(w1, "doc_id", "w", seed = 21L).count()
+    assert(math.abs(n9 - 450) < 50, s"w=0.9 kept $n9/500")
+    assert(math.abs(n1 - 50) < 40, s"w=0.1 kept $n1/500")
+    // reshard stability
+    val a = Sampling.weightedSample(w9, "doc_id", "w", seed = 21L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(w9.repartition(11), "doc_id", "w", seed = 21L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // weight 1.0 keeps everything, 0.0 keeps nothing
+    assert(Sampling.weightedSample(docs.withColumn("w", lit(1.0)), "doc_id", "w", 3L).count() == 500)
+    assert(Sampling.weightedSample(docs.withColumn("w", lit(0.0)), "doc_id", "w", 3L).count() == 0)
+  }
+
   test("stratified sampling respects per-stratum fractions") {
     val fr = Map("src0" -> 1.0, "src1" -> 0.0)
     val out = Sampling.stratified(docs, "source", fr, seed = 9L)
