@@ -103,6 +103,7 @@ object Multimodal {
     var data: Option[(Int, Int)] = None     // (offset, size)
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(off); val size = u32(off + 4)
+      if (size < 0) return None // crafted >2GB/negative chunk size: bail out
       if (id == "fmt " && off + 24 <= bytes.length && u16(off + 8) == 1) // PCM only
         fmt = Some((u16(off + 10), u32(off + 12), u16(off + 22)))
       else if (id == "data") data = Some((off + 8, math.min(size, bytes.length - off - 8)))

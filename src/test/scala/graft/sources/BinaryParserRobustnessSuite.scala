@@ -62,6 +62,10 @@ class BinaryParserRobustnessSuite extends AnyFunSuite {
     assert(Multimodal.wavInfo("RIFF".getBytes).isEmpty)
     val riff = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes
     assert(Multimodal.wavInfo((riff ++ "fmt ".getBytes ++ Array[Byte](-1, -1, -1, -1)) ++ new Array[Byte](30)).isEmpty)
+    // negative chunk size whose advance would be zero (size = -9): must
+    // terminate, not loop forever
+    assert(Multimodal.wavInfo(
+      (riff ++ "junk".getBytes ++ Array[Byte](-9, -1, -1, -1)) ++ new Array[Byte](30)).isEmpty)
     // fmt claims PCM but data chunk missing
     val fmtOnly = riff ++ "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0) ++
       Array[Byte](1, 0, 1, 0, 0x40, 0x1F, 0, 0, -128, 62, 0, 0, 2, 0, 16, 0) ++ new Array[Byte](8)
