@@ -203,6 +203,31 @@ object Relational {
           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- UNPIVOT (melt): status-count columns back to long form. ----
+    QuerySpec("q_unpivot",
+      (s, dir) => {
+        val wide = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+        wide.unpivot(Array(col("o_orderpriority")),
+            Array(col("O"), col("F"), col("P")), "status", "n")
+          .orderBy(col("o_orderpriority"), col("status"))
+      },
+      Some("""WITH wide AS (
+          SELECT o_orderpriority,
+            COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+            COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+            COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+          FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, status, n FROM (
+          SELECT o_orderpriority, 'O' AS status, "O" AS n FROM wide
+          UNION ALL SELECT o_orderpriority, 'F', "F" FROM wide
+          UNION ALL SELECT o_orderpriority, 'P', "P" FROM wide
+        ) ORDER BY o_orderpriority, status""")),
+
     // ---- Semi join via IN subquery (DQ FK-check shape, SURVEY §2.2) ----
     QuerySpec("q_semi_join",
       (s, dir) => {

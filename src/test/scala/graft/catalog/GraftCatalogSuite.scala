@@ -212,6 +212,19 @@ class GraftCatalogSuite extends SparkTestBase {
     }
   }
 
+  test("file datasource tables accept INSERT (DSv2 write path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fwrite").toString
+    spark.range(3).selectExpr("id AS k", "CAST(id * 10 AS STRING) AS v")
+      .write.parquet(s"$dir/kv")
+    spark.sql(
+      s"REGISTER OR REPLACE PARQUET DATASOURCE wtest OPTIONS (path '$dir') NAMESPACE graft.datasource.file")
+    spark.sql("INSERT INTO graft.datasource.file.wtest.kv VALUES (100, 'x'), (101, 'y')")
+    val n = spark.sql("SELECT COUNT(*) FROM graft.datasource.file.wtest.kv").head().getLong(0)
+    assert(n == 5)
+    val x = spark.sql("SELECT v FROM graft.datasource.file.wtest.kv WHERE k = 100").head().getString(0)
+    assert(x == "x")
+  }
+
   test("jdbc datasource registers and round-trips through Derby") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft-derby").toString
     spark.sql(
