@@ -294,8 +294,8 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard above a threshold via LSH candidates. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame =
-    minHashDuplicates(df, idCol, textCol, threshold)
+      threshold: Double, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    minHashDuplicates(df, idCol, textCol, threshold, maxBucketSize = maxBucketSize)
 
   /** SimHash near-dup candidates: 64-bit simhash split into `maxHamming + 1`
     * bit-blocks (Manku et al. '07). A pair within Hamming distance d differs
