@@ -291,12 +291,16 @@ case class HyperplaneLshBucket(child: Expression, bits: Int, planeOffset: Int = 
   override def prettyName: String = "lsh_bucket"
 }
 
-/** Index of the nearest centroid (squared-L2 argmin over a broadcast-small
-  * centroid table) for a float/double vector. This is the IVF coarse-quantizer
-  * cell assignment — the per-row hot path over the full corpus at 100 TB — so
-  * it stays inside whole-stage codegen: the centroid matrix rides along as a
-  * codegen reference object (one per JVM, not per row), and the argmin is a
-  * tight primitive double loop. Ties break to the lowest cell index.
+/** Index of the nearest centroid (max dot product over a broadcast-small
+  * UNIT-NORM centroid table) for a float/double vector. This is the spherical
+  * IVF coarse-quantizer cell assignment: the engine scores with cosine, so the
+  * quantizer must carve cells in cosine geometry — against unit centroids,
+  * argmax dot(x, c) == argmax cos(x, c) with no per-row normalization (the
+  * input's norm scales every dot equally). The per-row hot path over the full
+  * corpus at 100 TB stays inside whole-stage codegen: the centroid matrix
+  * rides along as a codegen reference object (one per JVM, not per row), and
+  * the argmax is a tight primitive double loop. Ties break to the lowest
+  * cell index.
   */
 case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
@@ -310,7 +314,7 @@ case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
   private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    var best = 0; var bestD = Double.MaxValue
+    var best = 0; var bestD = Double.NegativeInfinity
     var c = 0
     while (c < centroids.length) {
       val cc = centroids(c)
@@ -318,9 +322,9 @@ case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
       var d = 0.0; var i = 0
       while (i < n) {
         val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        val x = v - cc(i); d += x * x; i += 1
+        d += v * cc(i); i += 1
       }
-      if (d < bestD) { bestD = d; best = c }
+      if (d > bestD) { bestD = d; best = c }
       c += 1
     }
     best
@@ -332,18 +336,17 @@ case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
       val c = ctx.freshName("c"); val cc = ctx.freshName("cc")
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val d = ctx.freshName("d"); val x = ctx.freshName("x")
+      val d = ctx.freshName("d")
       s"""
-         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |int $best = 0; double $bestD = Double.NEGATIVE_INFINITY;
          |for (int $c = 0; $c < $cs.length; $c++) {
          |  double[] $cc = $cs[$c];
          |  int $n = java.lang.Math.min($cc.length, $a.numElements());
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $x = (double) $a.$getter($i) - $cc[$i];
-         |    $d += $x * $x;
+         |    $d += (double) $a.$getter($i) * $cc[$i];
          |  }
-         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  if ($d > $bestD) { $bestD = $d; $best = $c; }
          |}
          |${ev.value} = $best;
        """.stripMargin
@@ -363,7 +366,8 @@ case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "argmin_centroid"
 }
 
-/** The `nProbe` nearest centroid indices (ascending by squared L2) for a
+/** The `nProbe` nearest centroid indices (descending by dot product against
+  * the unit-norm centroid table — cosine order, see [[ArgminCentroid]]) for a
   * float/double vector — the IVF query-side probe list. Runs on the small
   * query side only, so interpreted eval (CodegenFallback) is fine.
   */
@@ -379,7 +383,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
   private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val dists = new Array[Double](centroids.length)
+    val dots = new Array[Double](centroids.length)
     var c = 0
     while (c < centroids.length) {
       val cc = centroids(c)
@@ -387,12 +391,12 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
       var d = 0.0; var i = 0
       while (i < n) {
         val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        val x = v - cc(i); d += x * x; i += 1
+        d += v * cc(i); i += 1
       }
-      dists(c) = d
+      dots(c) = d
       c += 1
     }
-    val idx = dists.indices.sortBy(i => (dists(i), i)).take(math.min(nProbe, centroids.length))
+    val idx = dots.indices.sortBy(i => (-dots(i), i)).take(math.min(nProbe, centroids.length))
     new GenericArrayData(idx.map(Int.box).toArray[Any])
   }
   override def equals(o: Any): Boolean = o match {

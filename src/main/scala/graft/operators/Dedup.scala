@@ -81,10 +81,14 @@ object Dedup {
     val threshold = math.max(2L, (maxBucketSize * fraction / 2).toLong)
     val hotAgg = mkBanded(rows.sample(withReplacement = false, fraction, seed = 7L))
       .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__scnt"), min(struct(aCols.map(col): _*)).as("__rep"))
+      .agg(count(lit(1)).as("__scnt"), min(col("id")).as("__repid"))
       .where(col("__scnt") >= threshold)
-    // The flagged set is bucket METADATA, <= rows/cap entries — collect it so
-    // the three consumers below see a local relation (zero recompute) and the
+    // The flagged set is bucket METADATA — (keys, count, rep id) ONLY, never
+    // the payload: for embeddingDuplicates the payload is the full vector and
+    // 100k flagged buckets x 768 dims x 8 B would be ~600 MB of driver heap
+    // exactly in the degenerate-corpus scenario the guard exists for. The
+    // id-only rows are <= rows/cap entries of a few dozen bytes — collect so
+    // the consumers below see a local relation (zero recompute) and the
     // no-hot-bucket common case pays nothing but the 10% sampling job.
     val hotRows = hotAgg.limit(MaxHotBuckets + 1).collect()
     if (hotRows.length > MaxHotBuckets)
@@ -99,13 +103,24 @@ object Dedup {
       val marked = banded.join(hot, keyCols, "left")
       val smallPairs = selfJoinAll(marked.where(col("__scnt").isNull))
       // Star pairs against the sample-min representative (a true bucket
-      // member, just not necessarily the global min) — normalized id_a < id_b.
+      // member, just not necessarily the global min). The rep's PAYLOAD is
+      // re-attached executor-side by joining the flagged buckets back against
+      // the banded frame on (keys, id == repid) — one row per hot bucket.
+      // Catalyst auto-broadcasts that side while it is small and falls back
+      // to a keyed shuffle of only the hot members when it is not, so no
+      // payload ever rides through the driver. Cost: one extra evaluation of
+      // the banded map-side restricted to rep rows — paid only on the
+      // degenerate path the guard exists for.
+      val repRows = banded.join(hot.select(keyCols.map(col) :+ col("__repid"): _*), keyCols)
+        .where(col("id") === col("__repid"))
+        .select(keyCols.map(col) ++ aCols.map(c => col(c).as("__rep_" + c)): _*)
       val hotPairs = marked.where(col("__scnt").isNotNull)
-        .where(col("id") =!= col("__rep.id"))
-        .select(aCols.map(c => when(col("__rep.id") < col("id"), col("__rep." + c))
+        .join(repRows, keyCols)
+        .where(col("id") =!= col("__rep_id"))
+        .select(aCols.map(c => when(col("__rep_id") < col("id"), col("__rep_" + c))
                   .otherwise(col(c)).as(c + "_a")) ++
-                aCols.map(c => when(col("__rep.id") < col("id"), col(c))
-                  .otherwise(col("__rep." + c)).as(c + "_b")): _*)
+                aCols.map(c => when(col("__rep_id") < col("id"), col(c))
+                  .otherwise(col("__rep_" + c)).as(c + "_b")): _*)
       smallPairs.unionByName(hotPairs)
     }
   }
@@ -123,7 +138,13 @@ object Dedup {
     * truth. Ids absent from any pair are not emitted (singletons are
     * implicit), matching the usual "which docs belong to a dup group" use.
     */
-  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** @param maxIter upper bound on propagation rounds; must be >= the
+    *                 largest component's diameter for full convergence
+    * @param requireConvergence when true, throw instead of returning
+    *                 partially-merged groups on maxIter exhaustion
+    */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20,
+      requireConvergence: Boolean = false): DataFrame = {
     // materialize the edge list once: every iteration below joins against it,
     // and without the checkpoint each job would re-run the (expensive)
     // candidate-generation lineage that produced the pairs
@@ -139,14 +160,24 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
+      // ONE job per iteration: the convergence check is a count over the
+      // lazily-checkpointed update (carrying the old label as __old), so the
+      // same action that materializes this round's labels also answers "did
+      // anything change" — no second job, no join of two checkpointed frames.
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("comp", "__old"), "id")
-        .where(col("comp") < col("__old")).isEmpty
-      labels = updated
+        .localCheckpoint(false)
+      converged = updated.where(col("comp") < col("__old")).count() == 0
+      labels = updated.select(col("id"), col("comp"))
       i += 1
+    }
+    if (!converged) {
+      val msg = s"duplicateGroups did not converge within maxIter=$maxIter rounds; " +
+        "labels are partially merged (a component wider than maxIter hops exists — " +
+        "raise maxIter above the largest component's diameter)"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("id"), col("comp").as("group_id"))
   }

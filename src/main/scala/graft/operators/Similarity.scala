@@ -94,19 +94,27 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     // 1. train the coarse quantizer on a *uniform* seeded sample. limit()
     //    alone would take the first partitions only, so on a partitioned
-    //    corpus the centroids would learn one shard; sample() draws from
-    //    every partition. The count() is one cheap columnar pass (parquet
-    //    count pushes to footers) paid once per model build. The sample
-    //    collects to the driver (<= sampleSize vectors) and fits locally —
-    //    see KMeansLite.
-    val corpusRows = corpus.count()
-    // oversample 20% so the post-sample cap rarely truncates below target
-    val fraction = math.min(1.0, if (corpusRows == 0) 1.0 else sampleSize * 1.2 / corpusRows)
-    val samplePts = corpus.sample(withReplacement = false, fraction, seed = 42L)
-      .select(col(vecCol).cast("array<double>"))
+    //    corpus the centroids would learn one shard. A seeded random sort key
+    //    + limit compiles to TakeOrderedAndProject: every partition keeps its
+    //    local top-sampleSize by the key (a bounded heap, no shuffle, no sort
+    //    spill) and the driver merges — a uniform random sampleSize-subset in
+    //    ONE job and one corpus pass, with no count() (which on JDBC/USL-
+    //    backed corpora would be a full scan of its own). The sample collects
+    //    to the driver (<= sampleSize vectors) and fits locally — KMeansLite.
+    //    The sample is then sorted by content before the fit: k-means++ seeding
+    //    indexes into the array, so without the sort the centroids (and hence
+    //    which cells get probed) would depend on partition/arrival order.
+    //    The quantizer is SPHERICAL k-means (unit-norm points and centroids):
+    //    scoring is cosine, so cells must be carved in cosine geometry —
+    //    Euclidean cells over unnormalized vectors would split cosine
+    //    neighborhoods across norm bands and cost recall.
+    val samplePts = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"), rand(42L).as("__r"))
+      .orderBy(col("__r"))
       .limit(sampleSize)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = KMeansLite.fit(samplePts, nCells, iters = 25, seed = 42L)
+      .collect().map(r => KMeansLite.normalized(r.getSeq[Double](0).toArray))
+      .sortBy(p => p.toSeq: Seq[Double])(math.Ordering.Implicits.seqOrdering)
+    val centroids = KMeansLite.fit(samplePts, nCells, iters = 25, seed = 42L, spherical = true)
 
     // 2. map-side cell assignment: codegen'd argmin over the centroid table
     //    (rides into generated code as a reference object — no UDF
@@ -142,8 +150,51 @@ object Similarity {
       d
     }
 
-    def fit(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    /** Scale to unit L2 norm (zero vectors pass through unchanged). */
+    def normalized(p: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < p.length) { s += p(i) * p(i); i += 1 }
+      if (s == 0.0) p
+      else {
+        val inv = 1.0 / math.sqrt(s)
+        val out = new Array[Double](p.length)
+        i = 0
+        while (i < p.length) { out(i) = p(i) * inv; i += 1 }
+        out
+      }
+    }
+
+    /** Best-of-N restarts: k-means++ is seed-sensitive (a bad first center
+      * costs recall downstream), and on a <= sampleSize driver-local sample
+      * extra restarts are microseconds — so take the lowest-inertia fit.
+      * With `spherical` the centers are re-normalized after every Lloyd
+      * update (spherical k-means): on unit-norm inputs squared-L2 assignment
+      * is then monotone in cosine (||x-c||^2 = 2 - 2*dot), matching the
+      * dot-product cell assignment in ArgminCentroid/NearestCentroids.
+      */
+    def fit(points: Array[Array[Double]], k: Int, iters: Int, seed: Long,
+        restarts: Int = 5, spherical: Boolean = false): Array[Array[Double]] = {
       if (points.isEmpty) return Array(Array(0.0))
+      var best: Array[Array[Double]] = null
+      var bestCost = Double.MaxValue
+      var r = 0
+      while (r < restarts) {
+        val c = fitOnce(points, k, iters, seed + r * 7919L, spherical)
+        var cost = 0.0
+        var i = 0
+        while (i < points.length) {
+          var bd = Double.MaxValue; var cc = 0
+          while (cc < c.length) { val d = sqdist(points(i), c(cc)); if (d < bd) bd = d; cc += 1 }
+          cost += bd; i += 1
+        }
+        if (cost < bestCost) { bestCost = cost; best = c }
+        r += 1
+      }
+      best
+    }
+
+    private def fitOnce(points: Array[Array[Double]], k: Int, iters: Int, seed: Long,
+        spherical: Boolean): Array[Array[Double]] = {
       val rnd = new java.util.Random(seed)
       val n = points.length
       val kk = math.min(k, n)
@@ -187,6 +238,7 @@ object Similarity {
           if (counts(cc) > 0) {
             var j = 0
             while (j < dim) { centers(cc)(j) = sums(cc)(j) / counts(cc); j += 1 }
+            if (spherical) centers(cc) = normalized(centers(cc))
           }
           cc += 1
         }

@@ -123,14 +123,17 @@ object Pipeline {
           SELECT query_id, nn_id, cosine, CAST(rank AS INT) AS rank FROM ranked
           WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // ---- ANN: LSH-bucketed variant (multi-probe). Rows-only: bucketing uses
-    // splitmix64 hyperplanes, not SQL-expressible. ----
+    // ---- ANN: LSH-bucketed variant (multi-probe, 12 independent hyperplane
+    // tables). Rows-only: bucketing uses splitmix64 hyperplanes, not
+    // SQL-expressible. THIS EXACT CONFIG (bits=6, multiProbe, tables=12) is
+    // held to recall >= 0.9 vs brute force in SimilaritySuite — the gate and
+    // the ground-truth assertion share parameters by design. ----
     QuerySpec("ann_lsh",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.where(col("vec_id") < 20)
         Similarity.lshTopK(e, q, "vec_id", "embedding", "vec_id", "embedding",
-            k = 5, bits = 6, multiProbe = true)
+            k = 5, bits = 6, multiProbe = true, tables = 12)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy(col("query_id"), col("rank"))
       },
@@ -145,7 +148,7 @@ object Pipeline {
         val e = t(s, dir, "embeddings")
         val q = e.where(col("vec_id") < 20)
         Similarity.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding",
-            k = 5, nCells = 8, nProbe = 5)
+            k = 5, nCells = 8, nProbe = 6)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy(col("query_id"), col("rank"))
       },

@@ -102,6 +102,74 @@ class DedupSuite extends SparkTestBase {
     assert(capped == uncapped)
   }
 
+  test("embedding hot-bucket guard stays linear and keeps connectivity") {
+    import spark.implicits._
+    // 500 identical vectors all but guarantee one degenerate LSH bucket; the
+    // guard must star-link it (linear pairs) with the representative's vector
+    // re-attached executor-side (the collected hot-bucket metadata carries
+    // keys + rep id only — no payload rides through the driver).
+    val same = (0L until 500L).map(i => (i, Array(1.0f, 0.5f, -0.25f, 0.125f)))
+    val other = (500L until 510L).map(i =>
+      (i, Array(-1.0f + i * 0.01f, 2.0f, 0.5f - i * 0.02f, -0.75f)))
+    val df = (same ++ other).toDF("vec_id", "embedding").repartition(8)
+    val dup = Dedup.embeddingDuplicates(df, "vec_id", "embedding",
+      threshold = 0.99, bits = 4, tables = 2, maxBucketSize = 64)
+    val pairs = dup.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 2500, s"hot embedding bucket must not go quadratic: ${pairs.length}")
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((0L until 500L).forall(members.contains),
+      s"all identical vectors must appear in a duplicate pair, got ${members.size}")
+    // verified pairs carry true cosine (the rep payload survived the re-attach)
+    assert(dup.agg(min(col("cosine"))).head.getDouble(0) >= 0.99)
+  }
+
+  test("duplicateGroups runs one Spark job per propagation round") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b").localCheckpoint(true) // isolate dedup's own jobs
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE runs each query stage as its own job — pin it off so jobs == actions
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Dedup.duplicateGroups(pairs, maxIter = 20)
+      // listener events are async: wait until the counter stops moving
+      var last = -1
+      var spins = 0
+      while (counter.get() != last && spins < 50) {
+        last = counter.get(); Thread.sleep(100); spins += 1
+      }
+      // chain diameter 4 -> converges in <= 5 rounds; with the convergence
+      // check fused into the checkpoint-materializing count each round is ONE
+      // action (the broadcast-exchange build inside the join submits its own
+      // small job, so <= 3 jobs/round even with AQE off). The old join-based
+      // isEmpty was a SECOND action per round with its own broadcast builds
+      // (~2x this total) — the bound catches that shape coming back.
+      assert(counter.get() <= 17, s"expected <= 2 setup + <= 3 jobs x 5 rounds, got ${counter.get()}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("duplicateGroups surfaces maxIter exhaustion") {
+    import spark.implicits._
+    // a 6-node chain cannot converge in one round
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateGroups(pairs, maxIter = 1, requireConvergence = true)
+    }
+    // default (warn) mode still returns the partially-merged labels
+    val partial = Dedup.duplicateGroups(pairs, maxIter = 1)
+    assert(partial.count() == 6)
+  }
+
   test("duplicateGroups resolves chains and separate components") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),

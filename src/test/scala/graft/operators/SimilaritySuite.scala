@@ -36,9 +36,10 @@ class SimilaritySuite extends SparkTestBase {
     assert(recall >= 0.3, s"multi-probe lsh recall too low: $recall")
   }
 
-  test("multi-table lsh reaches recall >= 0.9 vs brute force") {
-    // the ground-truth check behind the rows-only ann_lsh gate: with enough
-    // independent tables recall approaches 1 (1-(1-p)^T)
+  test("lsh recall at the ann_lsh gate config is >= 0.9") {
+    // ground truth behind the rows-only ann_lsh gate — SAME parameters as the
+    // gate (bits=6, multiProbe, tables=12; see Pipeline.scala ann_lsh): with
+    // enough independent tables recall approaches 1 (1-(1-p)^T)
     val q = emb.where(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
       .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -49,13 +50,49 @@ class SimilaritySuite extends SparkTestBase {
     assert(recall >= 0.9, s"multi-table lsh recall too low: $recall")
   }
 
+  test("ivf model build runs exactly one job (no corpus count)") {
+    // bind the reads BEFORE the listener: spark.read.parquet runs its own
+    // file-listing job, which is not part of the model build under test
+    val e = emb
+    val q = e.where(col("vec_id") < 20)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE runs each query stage as its own job, which would make the count
+    // a stage count — pin it off so jobs == actions for this probe
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // ivfTopK is lazy except for quantizer training: the seeded
+      // TakeOrdered sample-collect is the ONE eager job — the old
+      // corpus.count() (a full scan on JDBC/USL-backed corpora) is gone
+      Similarity.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 6)
+      // listener events are async: wait until the counter stops moving
+      var last = -1
+      var spins = 0
+      while (counter.get() != last && spins < 50) {
+        last = counter.get(); Thread.sleep(100); spins += 1
+      }
+      assert(counter.get() == 1, s"model build must be one sample job, ran ${counter.get()}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("ivf recall at the ann_ivf gate config is >= 0.9") {
-    // ground truth behind the rows-only ann_ivf gate (same parameters)
+    // ground truth behind the rows-only ann_ivf gate — SAME parameters as the
+    // gate (nCells=8, nProbe=6; see Pipeline.scala ann_ivf). The whole IVF
+    // pipeline is seeded+sorted, so this recall is deterministic, not a flake.
     val q = emb.where(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
       .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding",
-        k = 5, nCells = 8, nProbe = 5)
+        k = 5, nCells = 8, nProbe = 6)
       .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"ivf recall at gate config too low: $recall")
