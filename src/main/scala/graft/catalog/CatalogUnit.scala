@@ -39,10 +39,14 @@ object CatalogUnit {
     case t if SourceType.fileTypes.contains(t) => new FileCatalogUnit(ds)
     case t if SourceType.unstructuredTypes.contains(t) =>
       new graft.sources.unstructured.UnstructuredCatalogUnit(ds)
+    // `catalog_impl` (Iceberg's own `catalog-impl` spelling also accepted)
+    // overrides the TableCatalog adapter class — the standard lever for
+    // custom adapters (Nessie wrappers etc.), and what lets conformance
+    // tests drive the reflective plumbing against an in-process fake.
     case SourceType.ICEBERG => new ReflectiveCatalogUnit(ds,
-      "org.apache.iceberg.spark.SparkCatalog")
+      ReflectiveCatalogUnit.implClass(ds, "org.apache.iceberg.spark.SparkCatalog"))
     case SourceType.DELTA => new ReflectiveCatalogUnit(ds,
-      "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+      ReflectiveCatalogUnit.implClass(ds, "org.apache.spark.sql.delta.catalog.DeltaCatalog"))
     case t => throw new UnsupportedOperationException(
       s"source type $t is registered but has no catalog unit (matches reference behavior " +
         "for REST/AUDIO/XML, execution/command/DataSourceType.scala:26-73)")
@@ -171,6 +175,9 @@ final class ReflectiveCatalogUnit(ds: DataSourceSpec, catalogClass: String) exte
 }
 
 object ReflectiveCatalogUnit {
+  def implClass(ds: DataSourceSpec, default: String): String =
+    ds.options.get("catalog-impl").orElse(ds.options.get("catalog_impl")).getOrElse(default)
+
   def fileTable(tableClass: String, formatClass: String, name: String,
       spark: SparkSession, opts: CaseInsensitiveStringMap, paths: Seq[String],
       schema: Option[StructType]): Table = {
