@@ -11,11 +11,15 @@ import java.util.zip.Inflater
   * standard `Tj` / `TJ` / `'` operators and literal `(...)` strings. That is
   * the output shape of most generators for Latin-script text.
   *
+  * Filters: FlateDecode (zlib), LZWDecode (9-12 bit early-change TIFF LZW),
+  * ASCII85Decode and ASCIIHexDecode — all public-spec and dependency-free —
+  * including chained `/Filter [...]` arrays applied in order.
+  *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly), no CID/Type0 composite-font decoding
-  * (hex strings with multi-byte glyph indexes), no LZW/ASCII85 filters, no
-  * encryption. When nothing decodable is found the caller falls back to the
-  * printable-ASCII heuristic.
+  * (hex strings with multi-byte glyph indexes), no DecodeParms predictors, no
+  * DCT/CCITT/JBIG2 (image) filters, no encryption. When nothing decodable is
+  * found the caller falls back to the printable-ASCII heuristic.
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
@@ -56,15 +60,165 @@ private[graft] object PdfText {
           while (dataEnd > dataStart && (s.charAt(dataEnd - 1) == '\n' || s.charAt(dataEnd - 1) == '\r'))
             dataEnd -= 1
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          if (!dict.contains("/Filter")) out += raw
-          else if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
-          // other filters (LZW, ASCII85, DCT...) are skipped
+          val filters = parseFilters(dict)
+          if (filters.isEmpty) out += raw
+          else applyFilters(raw, filters).foreach(out += _)
           pos = end + "endstream".length
         }
       }
     }
     out.toSeq
   }
+
+  /** The stream dictionary's filter chain, in application order: either a
+    * single `/Filter /Name` or an array `/Filter [/A /B]`. Empty when the
+    * dict has no /Filter key.
+    */
+  private[graft] def parseFilters(dict: String): Seq[String] = {
+    val k = dict.indexOf("/Filter")
+    if (k < 0) return Nil
+    var i = k + "/Filter".length
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    def name(from: Int): (String, Int) = {
+      var j = from + 1 // past '/'
+      val sb = new StringBuilder
+      while (j < dict.length && (dict.charAt(j).isLetterOrDigit)) { sb.append(dict.charAt(j)); j += 1 }
+      (sb.toString, j)
+    }
+    if (i < dict.length && dict.charAt(i) == '[') {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      i += 1
+      while (i < dict.length && dict.charAt(i) != ']') {
+        if (dict.charAt(i) == '/') { val (n, j) = name(i); out += n; i = j }
+        else i += 1
+      }
+      out.toSeq
+    } else if (i < dict.length && dict.charAt(i) == '/') Seq(name(i)._1)
+    else Nil
+  }
+
+  /** Apply the filter chain in order; None when any stage is an image/crypto
+    * filter we do not decode (the caller then skips this stream).
+    * Abbreviated inline-image names (Fl/LZW/A85/AHx) accepted too.
+    */
+  private[graft] def applyFilters(data: Array[Byte], filters: Seq[String]): Option[Array[Byte]] =
+    filters.foldLeft(Option(data)) { (acc, f) =>
+      acc.flatMap { d =>
+        f match {
+          case "FlateDecode" | "Fl" => inflate(d)
+          case "LZWDecode" | "LZW" => lzwDecode(d)
+          case "ASCII85Decode" | "A85" => ascii85Decode(d)
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+          case _ => None // DCT/CCITT/JBIG2/JPX/Crypt — not text-bearing
+        }
+      }
+    }
+
+  /** PDF/TIFF LZW with early change: codes start at 9 bits, 256 = clear,
+    * 257 = EOD, table grows to 4096 entries, width bumps one code early
+    * (EarlyChange default 1).
+    */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val table = new Array[Array[Byte]](4096)
+      var i = 0
+      while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+      var next = 258
+      var width = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L; var bitCnt = 0; var pos = 0
+      var done = false
+      while (!done && out.size < MaxInflated) {
+        while (bitCnt < width && pos < data.length) {
+          bitBuf = (bitBuf << 8) | (data(pos) & 0xffL); bitCnt += 8; pos += 1
+        }
+        if (bitCnt < width) done = true // data exhausted (missing EOD tolerated)
+        else {
+          val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+          bitCnt -= width
+          if (code == 256) {
+            java.util.Arrays.fill(table.asInstanceOf[Array[AnyRef]], 258, 4096, null)
+            next = 258; width = 9; prev = null
+          } else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < next && code != 256 && code != 257 && table(code) != null) table(code)
+              else if (code == next && prev != null) prev :+ prev(0)
+              else return None // corrupt stream
+            out.write(entry, 0, entry.length)
+            if (prev != null && next < 4096) { table(next) = prev :+ entry(0); next += 1 }
+            prev = entry
+            if (width < 12 && next + earlyChange >= (1 << width)) width += 1
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Adobe ASCII85: groups of 5 chars in ['!','u'] encode 4 bytes base-85,
+    * 'z' is four zero bytes, whitespace skipped, `~>` terminates; a final
+    * partial group of n chars yields n-1 bytes (padded with 'u').
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val grp = new Array[Int](5)
+      var n = 0
+      var i = 0
+      if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+      var done = false
+      while (i < data.length && !done && out.size < MaxInflated) {
+        val c = data(i) & 0xff
+        if (c == '~') done = true
+        else if (Character.isWhitespace(c)) ()
+        else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+        else if (c >= '!' && c <= 'u') {
+          grp(n) = c - '!'; n += 1
+          if (n == 5) {
+            var v = 0L; var j = 0
+            while (j < 5) { v = v * 85 + grp(j); j += 1 }
+            out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+            out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+            n = 0
+          }
+        } else return None // invalid character
+        i += 1
+      }
+      if (n == 1) return None // a 1-char partial group encodes nothing
+      if (n >= 2) {
+        var v = 0L; var j = 0
+        while (j < 5) { v = v * 85 + (if (j < n) grp(j) else 84); j += 1 }
+        val full = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        out.write(full, 0, n - 1)
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** ASCIIHexDecode: hex digits, whitespace skipped, '>' terminates, odd
+    * trailing digit padded with 0.
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var i = 0
+      var done = false
+      while (i < data.length && !done && out.size < MaxInflated) {
+        val c = (data(i) & 0xff).toChar
+        if (c == '>') done = true
+        else if (c.isWhitespace) ()
+        else {
+          val d = Character.digit(c, 16)
+          if (d < 0) return None
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) out.write(hi << 4)
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
     try {

@@ -43,6 +43,43 @@ class BinaryParserRobustnessSuite extends AnyFunSuite {
     assert((System.nanoTime() - t0) / 1e9 < 10.0)
   }
 
+  test("stream-filter decoders never throw on garbage and respect output caps") {
+    for (seed <- 0L until 50L) {
+      val junk = rndBytes(seed, 512)
+      PdfText.lzwDecode(junk)      // corrupt codes -> None, never a throw
+      PdfText.ascii85Decode(junk)
+      PdfText.asciiHexDecode(junk)
+    }
+    // truncated mid-code / mid-group inputs
+    PdfText.lzwDecode(Array(0x80.toByte))
+    PdfText.ascii85Decode("abc".getBytes)
+    PdfText.asciiHexDecode("f".getBytes)
+    PdfText.lzwDecode(Array.empty[Byte])
+    PdfText.ascii85Decode(Array.empty[Byte])
+    // LZW bomb guard: a clear-free repetitive stream must stay under MaxInflated
+    val bomb = {
+      // encode 32 MB of zeros with the test encoder shape: emit growing runs
+      val sb = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bitCnt = 0; var width = 9
+      def emit(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code; bitCnt += width
+        while (bitCnt >= 8) { sb.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+      }
+      emit(256)
+      emit(0)
+      var next = 258
+      // repeatedly reference the just-created run code: output grows quadratically
+      var c = 258
+      while (next < 4095) { emit(c - 1 max 0); if (c > 258) emit(c - 1); next += 1; c += 1
+        if (width < 12 && next >= (1 << width)) width += 1 }
+      if (bitCnt > 0) sb.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      sb.toByteArray
+    }
+    val t0 = System.nanoTime()
+    PdfText.lzwDecode(bomb) // may return None (corrupt) but must stay bounded
+    assert((System.nanoTime() - t0) / 1e9 < 10.0)
+  }
+
   test("mp4 parser never throws on garbage, truncation, or hostile box sizes") {
     for (seed <- 0L until 50L) Mp4Meta.parse(rndBytes(seed, 256))
     Mp4Meta.parse(Array.empty[Byte])

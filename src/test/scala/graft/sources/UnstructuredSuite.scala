@@ -106,6 +106,139 @@ class UnstructuredSuite extends SparkTestBase {
     }
   }
 
+  // ---- LZW / ASCII85 / chained filters (round-3: public-spec decoders) ----
+
+  private def pdfWith(payload: Array[Byte], filter: String): Array[Byte] = {
+    val head = s"%PDF-1.4\n4 0 obj << /Length ${payload.length}$filter >>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val tail = "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    head ++ payload ++ tail
+  }
+
+  /** Test-side TIFF/PDF LZW encoder (early change), the inverse twin of
+    * PdfText.lzwDecode — round-trips below prove the pair agree bit-for-bit.
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+    var next = 258
+    emit(256) // leading clear, as PDF encoders emit
+    var cur = Vector.empty[Byte]
+    for (b <- data) {
+      val cand = cur :+ b
+      if (dict.contains(cand)) cur = cand
+      else {
+        emit(dict(cur))
+        if (next < 4096) { dict(cand) = next; next += 1 }
+        if (width < 12 && next >= (1 << width)) width += 1 // early change
+        cur = Vector(b)
+      }
+    }
+    if (cur.nonEmpty) emit(dict(cur))
+    emit(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= data.length) {
+      var v = 0L
+      for (j <- 0 until 4) v = (v << 8) | (data(i + j) & 0xffL)
+      if (v == 0) sb.append('z')
+      else {
+        val g = new Array[Char](5)
+        var x = v
+        for (j <- 4 to 0 by -1) { g(j) = ('!' + (x % 85)).toChar; x /= 85 }
+        sb.appendAll(g)
+      }
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var v = 0L
+      for (j <- 0 until 4) v = (v << 8) | (if (i + j < data.length) data(i + j) & 0xffL else 0L)
+      val g = new Array[Char](5)
+      var x = v
+      for (j <- 4 to 0 by -1) { g(j) = ('!' + (x % 85)).toChar; x /= 85 }
+      sb.appendAll(g.take(rem + 1))
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("lzw decoder matches the PDF spec worked example") {
+    // ISO 32000-1 §7.4.4.2: encoding of (decimal) 45 45 45 45 45 65 45 45 45 66
+    val encoded = Array(0x80, 0x0b, 0x60, 0x50, 0x22, 0x0c, 0x0c, 0x85, 0x01).map(_.toByte)
+    val expected = Array[Byte](45, 45, 45, 45, 45, 65, 45, 45, 45, 66)
+    assert(graft.sources.unstructured.PdfText.lzwDecode(encoded).get.toSeq == expected.toSeq)
+  }
+
+  test("lzw and ascii85 round-trip arbitrary data") {
+    import graft.sources.unstructured.PdfText
+    val rnd = new scala.util.Random(11)
+    val cases = Seq(
+      Array.empty[Byte],
+      "a tiny text".getBytes,
+      Array.fill(5000)(('a' + rnd.nextInt(4)).toByte), // repetitive -> deep LZW table
+      Array.fill(3000)(rnd.nextInt(256).toByte),        // incompressible
+      Array.fill(700)(0.toByte))                        // zeros -> a85 'z' groups
+    for (c <- cases) {
+      assert(PdfText.lzwDecode(lzwEncode(c)).get.toSeq == c.toSeq, s"lzw len=${c.length}")
+      assert(PdfText.ascii85Decode(a85Encode(c)).get.toSeq == c.toSeq, s"a85 len=${c.length}")
+    }
+    // table-growth stress across the 9->10->11 bit boundaries (many unique pairs)
+    val big = (0 until 3000).flatMap(i => Seq((i % 251).toByte, (i * 7 % 241).toByte)).toArray
+    assert(PdfText.lzwDecode(lzwEncode(big)).get.toSeq == big.toSeq)
+  }
+
+  test("pdf extraction through LZW, ASCII85 and chained filters") {
+    import graft.sources.unstructured.PdfText
+    val cs = "BT (LZW and friends speak) Tj 0 -14 Td (two lines) Tj ET"
+    val raw = cs.getBytes(StandardCharsets.ISO_8859_1)
+    def deflate(d: Array[Byte]): Array[Byte] = {
+      val df = new java.util.zip.Deflater(); df.setInput(d); df.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+      while (!df.finished()) out.write(buf, 0, df.deflate(buf))
+      out.toByteArray
+    }
+    val fixtures = Seq(
+      "lzw.pdf" -> pdfWith(lzwEncode(raw), " /Filter /LZWDecode"),
+      "a85.pdf" -> pdfWith(a85Encode(raw), " /Filter /ASCII85Decode"),
+      "hex.pdf" -> pdfWith((raw.map(b => f"${b & 0xff}%02x").mkString + ">")
+        .getBytes(StandardCharsets.ISO_8859_1), " /Filter /ASCIIHexDecode"),
+      // chain: decode order is array order, so encode applies them in reverse
+      "chain.pdf" -> pdfWith(a85Encode(deflate(raw)),
+        " /Filter [/ASCII85Decode /FlateDecode]"),
+      "chain2.pdf" -> pdfWith(a85Encode(lzwEncode(raw)),
+        " /Filter [/ASCII85Decode /LZWDecode]"))
+    for ((name, bytes) <- fixtures) {
+      val text = PdfText.extract(bytes)
+      assert(text.contains("LZW and friends speak"), s"$name: '$text'")
+      assert(text.contains("two lines"), s"$name: '$text'")
+    }
+    // and through the SQL scan path
+    val pdfDir = Files.createTempDirectory("graft-pdf-filters").toString
+    fixtures.foreach { case (name, bytes) => Files.write(Paths.get(pdfDir, name), bytes) }
+    spark.sql(
+      s"REGISTER OR REPLACE PDF DATASOURCE pdff OPTIONS (path '$pdfDir') NAMESPACE graft.datasource.un")
+    val rows = spark.sql(
+      "SELECT path, textcontent FROM graft.datasource.un.pdff.content")
+      .collect().map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    for (name <- fixtures.map(_._1)) {
+      assert(rows(name).contains("LZW and friends speak"), s"$name: ${rows(name)}")
+      assert(!rows(name).contains("obj"), s"$name fell back to heuristic")
+    }
+  }
+
   test("maxBytes option caps per-file content reads") {
     val capDir = Files.createTempDirectory("graft-cap").toString
     Files.writeString(Paths.get(capDir, "big.txt"), "0123456789" * 100) // 1000 bytes
