@@ -153,6 +153,47 @@ object Streaming {
       .where(col("n_tokens") >= 5 && col("lexical_diversity") >= 0.3)
   }
 
+  /** Streaming benchmark decontamination: the twin of `Dedup.contaminated`.
+    * The eval/benchmark corpus is STATIC (a batch frame); its distinct
+    * n-gram set is pre-aggregated into one array row and broadcast, so each
+    * incoming training doc is checked with a stateless map-side
+    * `array_intersect` — no streaming aggregate, no state store, append
+    * mode, and per-doc results are identical to the batch operator (the
+    * shared-n-gram count is |distinct doc n-grams ∩ eval n-grams| in both).
+    *
+    * Scale note: the one-row array shape fits eval sets up to a few million
+    * n-grams (typical benchmark suites are far smaller). For a pathological
+    * eval corpus, fall back to the batch operator's explode + broadcast-join
+    * shape over micro-batches via foreachBatch.
+    */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
+      shingleSize: Int = 5): DataFrame = {
+    import graft.functions.{GraftFunctions => F, TextFunctions => T}
+    val evalSet = evalDocs
+      .select(array_distinct(F.word_shingles(T.tokens(col("text")), shingleSize)).as("ng"))
+      .agg(array_distinct(flatten(collect_list(col("ng")))).as("__eval_ngrams"))
+    docs.crossJoin(broadcast(evalSet))
+      .select(col("doc_id"),
+        size(array_intersect(
+          array_distinct(F.word_shingles(T.tokens(col("text")), shingleSize)),
+          col("__eval_ngrams"))).cast("long").as("n_shared_ngrams"))
+      .where(col("n_shared_ngrams") > 0)
+  }
+
+  /** Streaming PII scrub: the twin of the `text_pii_scrub` batch gate —
+    * scrubbed text plus per-category counts, purely stateless map-side
+    * expressions (no shuffle, no state), so ingest-time scrubbing runs at
+    * source parallelism on any cluster size.
+    */
+  def piiScrubStream(docs: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val counts = T.piiCounts(col("text"))
+    docs.select(col("doc_id"),
+      T.scrubPii(col("text")).as("scrubbed"),
+      counts(0).cast("long").as("n_email"), counts(1).cast("long").as("n_ssn"),
+      counts(2).cast("long").as("n_ip"), counts(3).cast("long").as("n_phone"))
+  }
+
   /** Run a stream to completion against a memory sink and return the result
     * table (test/bench harness helper).
     */

@@ -110,6 +110,37 @@ class StreamingSuite extends SparkTestBase {
     assert(result.toSeq == batch.toSeq)
   }
 
+  test("streaming decontamination equals the batch operator") {
+    import graft.operators.Dedup
+    val docs = QueryPack.t(spark, sf(), "documents")
+    // eval corpus = a handful of real docs, so collisions are guaranteed
+    val evalDocs = docs.where(col("doc_id") % 100 === 0).select("text")
+    val batch = Dedup.contaminated(docs, evalDocs, "doc_id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batch.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-decon").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, docs.schema)
+    val result = Streaming.runToMemory(
+        Streaming.decontaminateStream(stream, evalDocs), "decon_stream")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(result.toSeq == batch.toSeq)
+  }
+
+  test("streaming pii scrub equals the batch gate shape") {
+    val docs = QueryPack.t(spark, sf(), "documents")
+    val batch = Streaming.piiScrubStream(docs).orderBy("doc_id").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pii").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, docs.schema)
+    val result = Streaming.runToMemory(Streaming.piiScrubStream(stream), "pii_stream")
+      .orderBy("doc_id").collect()
+    assert(result.toSeq == batch.toSeq)
+    // the stream plan is stateless: no aggregation/state-store operators
+    val plan = Streaming.piiScrubStream(stream).queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"), plan)
+  }
+
   test("mapGroupsWithState running totals match groupBy aggregate") {
     import spark.implicits._
     val in = events.filter(col("user_id") < 10)
