@@ -29,7 +29,28 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // round-over-round comparability: gate sets grow each round, so also emit
+    // the total over the PREVIOUS round's gate set (shared subset) — deltas on
+    // that number are apples-to-apples
+    val sharedPrev = results.collect { case (k, v) if PrevRoundGates(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""shared_prev_total":$sharedPrev,"n_shared_prev":${results.keys.count(PrevRoundGates)},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** The round-2 bench gate set (BENCH_r02.json keys). */
+  private val PrevRoundGates: Set[String] = Set(
+    "ann_bruteforce", "ann_ivf", "ann_lsh", "cat_fqn_join", "cat_snapshot_readback",
+    "dedup_embedding", "dedup_exact", "dedup_groups", "dedup_keep_best", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans", "dq_custom_check", "dq_fk_check",
+    "dq_pk_check", "dq_run_summary", "q17_small_qty_revenue", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_revenue_by_nation", "q6_forecast_revenue", "q7_nation_volume",
+    "q9_brand_profit", "q_anti_join", "q_approx_distinct", "q_array_funcs", "q_asof_join",
+    "q_conditional_agg", "q_count_distinct", "q_cube", "q_date_arith", "q_json_extract",
+    "q_percentile", "q_pivot", "q_range_join", "q_rollup", "q_scalar_funcs", "q_semi_join",
+    "q_sessionize", "q_set_ops", "q_time_bucket", "q_unpivot", "q_window_running",
+    "q_window_topk", "sample_hash_split", "sketch_source_similarity", "text_decontaminate",
+    "text_fingerprint", "text_gopher_quality", "text_langid", "text_nfc", "text_pii_scrub",
+    "text_quality", "text_quality_filter", "text_seq_pack", "text_source_stats",
+    "text_vocab_topk", "unstructured_text_scan", "usl_readback")
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scaling evidence for the dedup pipeline (VERDICT r2 next-step #3): the
+  * sf0.1 bench numbers are sub-second JVM noise, so this harness synthesizes
+  * 1-25x corpora from the driver's documents table and measures the parts
+  * that matter at 100 TB — LSH candidate generation (guarded vs unguarded),
+  * exact-Jaccard verification, and connected-components grouping — plus the
+  * candidate-pair counts that prove the work scales linearly.
+  *
+  * Corpus construction: replica `r` suffixes every token with `_r`, which
+  * keeps each replica's INTERNAL near-dup structure identical to the base
+  * corpus while making shingles disjoint across replicas — so the true
+  * duplicate structure (pairs, groups) scales exactly linearly and any
+  * super-linear runtime is the pipeline's own doing, not the data's.
+  *
+  * Emits one JSON line per scale; paste the table into BASELINE.md.
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.DedupScaleBench"
+  */
+object DedupScaleBench {
+  def main(args: Array[String]): Unit = {
+    Thread.currentThread().setContextClassLoader(getClass.getClassLoader)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,5,10,25")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val baseRows = base.count()
+
+    def corpus(k: Int): DataFrame =
+      (0 until k).map { r =>
+        base.select(
+          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          // suffix every token: intra-replica similarity preserved,
+          // cross-replica similarity destroyed
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$r").as("text"))
+      }.reduce(_ unionByName _)
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // warm-up: full pipeline once at scale 1 so JIT/codegen is charged here
+    Dedup.minHashDuplicates(corpus(1), "doc_id", "text", threshold = 0.7).count()
+
+    scales.foreach { k =>
+      val c = corpus(k).localCheckpoint(true) // measure dedup, not corpus synthesis
+      val rows = c.count()
+
+      // interleave 2 reps per variant and keep the min: the first heavy job at
+      // a new scale pays JIT/GC warm-up that would otherwise masquerade as
+      // guard premium (same lesson as MicroBench)
+      val (candPairs, candSecA) = timed {
+        Dedup.minHashCandidatePairs(c, "doc_id", "text").count()
+      }
+      val (candPairsUncapped, uncappedSecA) = timed {
+        Dedup.minHashCandidatePairs(c, "doc_id", "text", maxBucketSize = Int.MaxValue).count()
+      }
+      val (_, candSecB) = timed {
+        Dedup.minHashCandidatePairs(c, "doc_id", "text").count()
+      }
+      val (_, uncappedSecB) = timed {
+        Dedup.minHashCandidatePairs(c, "doc_id", "text", maxBucketSize = Int.MaxValue).count()
+      }
+      val candSec = math.min(candSecA, candSecB)
+      val uncappedSec = math.min(uncappedSecA, uncappedSecB)
+      val (verified, verifySec) = timed {
+        Dedup.minHashDuplicates(c, "doc_id", "text", threshold = 0.7).count()
+      }
+      val pairs = Dedup.minHashDuplicates(c, "doc_id", "text", threshold = 0.7)
+        .localCheckpoint(true)
+      val (groups, groupsSec) = timed {
+        Dedup.duplicateGroups(pairs).agg(countDistinct(col("group_id"))).head.getLong(0)
+      }
+      val premiumPct = 100.0 * (candSec - uncappedSec) / math.max(uncappedSec, 1e-9)
+      println(f"""{"scale":$k,"rows":$rows,"base_rows":$baseRows,""" +
+        f""""cand_pairs":$candPairs,"cand_pairs_uncapped":$candPairsUncapped,""" +
+        f""""cand_sec":$candSec%.3f,"uncapped_sec":$uncappedSec%.3f,""" +
+        f""""guard_premium_pct":$premiumPct%.1f,""" +
+        f""""verified_pairs":$verified,"verify_sec":$verifySec%.3f,""" +
+        f""""groups":$groups,"groups_sec":$groupsSec%.3f}""")
+    }
+    spark.stop()
+  }
+}

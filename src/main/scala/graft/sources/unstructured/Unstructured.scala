@@ -280,15 +280,14 @@ object ContentExtractor {
   def videoFormat(path: Column): Column =
     upper(regexp_extract(path, "\\.([^.]+)$", 1))
 
-  /** Video duration/width/height via the dependency-free MP4/ISO-BMFF box
-    * parser ([[Mp4Meta]]); non-BMFF containers (AVI/MKV/WebM — full coverage
-    * is metadata-extractor territory, jar absent offline) yield nulls.
+  /** Video duration/width/height via the dependency-free container probes:
+    * MP4/ISO-BMFF boxes ([[Mp4Meta]]), RIFF/AVI headers, and EBML
+    * (Matroska/WebM) elements ([[VideoContainers]]). Formats beyond those
+    * (e.g. MPEG-TS, OGG) yield nulls — full codec-level coverage is
+    * metadata-extractor territory, jar absent offline.
     */
   def videoMeta(content: Column): Column = {
-    val f = udf { bytes: Array[Byte] =>
-      if (bytes == null) Mp4Meta.Info(None, None, None)
-      else Mp4Meta.parse(bytes)
-    }
+    val f = udf { bytes: Array[Byte] => VideoContainers.parse(bytes) }
     f(content)
   }
 }

@@ -288,7 +288,82 @@ class UnstructuredSuite extends SparkTestBase {
     assert(mp4.getInt(3) == 640 && mp4.getInt(4) == 360)
     val avi = rows.find(_.getString(0).endsWith("junk.avi")).get
     assert(avi.getString(1) == "AVI")
-    assert(avi.isNullAt(2) && avi.isNullAt(3) && avi.isNullAt(4)) // non-BMFF -> nulls
+    assert(avi.isNullAt(2) && avi.isNullAt(3) && avi.isNullAt(4)) // unparseable -> nulls
+  }
+
+  // ---- AVI / MKV header probes (round-3) ----
+
+  private def minimalAvi(usPerFrame: Long, frames: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = { out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt) }
+    def cc(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    // avih payload: 56 bytes (MainAVIHeader)
+    val avih = new java.io.ByteArrayOutputStream()
+    def avLe32(v: Long): Unit = { avih.write((v & 0xff).toInt); avih.write(((v >> 8) & 0xff).toInt)
+      avih.write(((v >> 16) & 0xff).toInt); avih.write(((v >> 24) & 0xff).toInt) }
+    avLe32(usPerFrame); avLe32(0); avLe32(0); avLe32(0)
+    avLe32(frames); avLe32(0); avLe32(1); avLe32(0)
+    avLe32(w); avLe32(h); avLe32(0); avLe32(0); avLe32(0); avLe32(0)
+    val avihBytes = avih.toByteArray
+    val hdrlSize = 4 + 8 + avihBytes.length // "hdrl" + avih chunk header + payload
+    val riffSize = 4 + 8 + hdrlSize         // "AVI " + LIST header + list body
+    cc("RIFF"); le32(riffSize); cc("AVI ")
+    cc("LIST"); le32(hdrlSize); cc("hdrl")
+    cc("avih"); le32(avihBytes.length); out.write(avihBytes)
+    out.toByteArray
+  }
+
+  private def minimalMkv(durationTicks: Float, w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def f32(v: Float): Unit = { val bits = java.lang.Float.floatToIntBits(v)
+      b(bits >>> 24, bits >>> 16, bits >>> 8, bits) }
+    // EBML header (empty body)
+    b(0x1A, 0x45, 0xDF, 0xA3, 0x80)
+    // build Segment body first to know its size
+    val seg = new java.io.ByteArrayOutputStream()
+    def sb(vs: Int*): Unit = vs.foreach(v => seg.write(v & 0xff))
+    // Info { TimestampScale = 1000000 (3-byte uint), Duration = float32 }
+    val tsBytes = Seq(0x0F, 0x42, 0x40) // 1,000,000
+    val infoBody = 3 + 1 + tsBytes.length + 2 + 1 + 4 // 2AD7B1 sz ts + 4489 sz f32
+    sb(0x15, 0x49, 0xA9, 0x66, 0x80 | infoBody)
+    sb(0x2A, 0xD7, 0xB1, 0x80 | tsBytes.length); tsBytes.foreach(v => seg.write(v))
+    sb(0x44, 0x89, 0x80 | 4)
+    val durBits = java.lang.Float.floatToIntBits(durationTicks)
+    sb(durBits >>> 24, durBits >>> 16, durBits >>> 8, durBits)
+    // Tracks { TrackEntry { Video { PixelWidth, PixelHeight } } }, 2-byte uints
+    def u16(v: Int): Seq[Int] = Seq((v >> 8) & 0xff, v & 0xff)
+    val vB = Seq(0xB0, 0x80 | 2) ++ u16(w) ++ Seq(0xBA, 0x80 | 2) ++ u16(h)
+    val teB = Seq(0xE0, 0x80 | vB.length) ++ vB
+    val trB = Seq(0xAE, 0x80 | teB.length) ++ teB
+    sb(0x16, 0x54, 0xAE, 0x6B, 0x80 | trB.length); trB.foreach(v => seg.write(v))
+    val segBytes = seg.toByteArray
+    // Segment with unknown size (streamed shape: 0xFF = all-ones 1-byte size)
+    b(0x18, 0x53, 0x80, 0x67, 0xFF)
+    out.write(segBytes)
+    out.toByteArray
+  }
+
+  test("video metadata: avi and mkv/webm header probes") {
+    import graft.sources.unstructured.VideoContainers
+    val avi = VideoContainers.parse(minimalAvi(40000L, 250L, 720, 480))
+    assert(avi.durationMs.contains(10000L)) // 250 frames at 25 fps
+    assert(avi.width.contains(720) && avi.height.contains(480))
+    val mkv = VideoContainers.parse(minimalMkv(12345.0f, 1920, 1080))
+    assert(mkv.durationMs.contains(12345L)) // ticks at 1ms scale
+    assert(mkv.width.contains(1920) && mkv.height.contains(1080))
+    // and through the SQL scan path
+    val vidDir = Files.createTempDirectory("graft-video3").toString
+    Files.write(Paths.get(vidDir, "a.avi"), minimalAvi(40000L, 250L, 720, 480))
+    Files.write(Paths.get(vidDir, "b.mkv"), minimalMkv(60000.0f, 1280, 720))
+    spark.sql(
+      s"REGISTER OR REPLACE VIDEO DATASOURCE vids3 OPTIONS (path '$vidDir') NAMESPACE graft.datasource.un")
+    val rows = spark.sql(
+      "SELECT path, format, duration, width, height FROM graft.datasource.un.vids3.vids3 ORDER BY path")
+      .collect().map(r => r.getString(0).split('/').last -> r).toMap
+    assert(rows("a.avi").getLong(2) == 10000L && rows("a.avi").getInt(3) == 720)
+    assert(rows("b.mkv").getLong(2) == 60000L && rows("b.mkv").getInt(4) == 720)
   }
 
   test("image metadata: dimensions + png thumbnail") {
