@@ -15,11 +15,21 @@ import java.util.zip.Inflater
   * ASCII85Decode and ASCIIHexDecode — all public-spec and dependency-free —
   * including chained `/Filter [...]` arrays applied in order.
   *
+  * Hex strings (`<...> Tj`) decode too: single-byte codes as Latin-1, and
+  * CID/Type0 multi-byte glyph indexes through the document's embedded
+  * ToUnicode CMaps (bfchar/bfrange entries, UTF-16BE targets) — the standard
+  * mapping modern generators emit for copy-paste support. CMaps are matched
+  * document-wide rather than per-font (we do not chase object references),
+  * with a mapped-fraction heuristic choosing between 2-byte CID and 1-byte
+  * simple-font interpretation per string — right for the overwhelmingly
+  * common one-encoding-per-document case, approximate when multiple CID
+  * fonts reuse the same codes differently.
+  *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
-  * for `stream`..`endstream` directly), no CID/Type0 composite-font decoding
-  * (hex strings with multi-byte glyph indexes), no DecodeParms predictors, no
-  * DCT/CCITT/JBIG2 (image) filters, no encryption. When nothing decodable is
-  * found the caller falls back to the printable-ASCII heuristic.
+  * for `stream`..`endstream` directly), no per-font CMap binding (above), no
+  * DecodeParms predictors, no DCT/CCITT/JBIG2 (image) filters, no
+  * encryption. When nothing decodable is found the caller falls back to the
+  * printable-ASCII heuristic.
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
@@ -30,10 +40,108 @@ private[graft] object PdfText {
   /** Extract text from a PDF byte array; empty string when no text ops found. */
   def extract(bytes: Array[Byte], maxChars: Int = 10000): String = {
     val sb = new StringBuilder
-    contentStreams(bytes).foreach { data =>
-      if (sb.length < maxChars) appendTextOps(data, sb, maxChars)
+    val streams = contentStreams(bytes)
+    // ToUnicode CMap streams are font metadata, not page content: harvest
+    // their code->unicode entries, then keep them out of the text walk
+    val (cmapStreams, textStreams) = streams.partition(isCMapStream)
+    val cmap = mergeCMaps(cmapStreams.map(d => parseCMap(new String(d, StandardCharsets.ISO_8859_1))))
+    textStreams.foreach { data =>
+      if (sb.length < maxChars) appendTextOps(data, sb, maxChars, cmap)
     }
     sb.toString.trim.take(maxChars)
+  }
+
+  /** Document-wide merged ToUnicode tables, keyed by source-code byte width. */
+  private[graft] final case class CMaps(one: Map[Int, String], two: Map[Int, String]) {
+    def isEmpty: Boolean = one.isEmpty && two.isEmpty
+  }
+  private[graft] val EmptyCMaps = CMaps(Map.empty, Map.empty)
+
+  private def isCMapStream(data: Array[Byte]): Boolean = {
+    val s = new String(data, 0, math.min(data.length, 4096), StandardCharsets.ISO_8859_1)
+    s.contains("beginbfchar") || s.contains("beginbfrange") || s.contains("begincmap")
+  }
+
+  private def mergeCMaps(ms: Seq[CMaps]): CMaps =
+    ms.foldLeft(EmptyCMaps)((a, b) => CMaps(a.one ++ b.one, a.two ++ b.two))
+
+  /** Parse bfchar/bfrange sections of a ToUnicode CMap (ISO 32000-1 9.10.3).
+    * Sources are hex of 1-2 bytes; destinations are UTF-16BE hex strings.
+    * bfrange destinations increment the final code unit across the range;
+    * the array destination form lists one target per code.
+    */
+  private[graft] def parseCMap(s: String): CMaps = {
+    val one = Map.newBuilder[Int, String]
+    val two = Map.newBuilder[Int, String]
+    def put(srcHex: String, dst: String): Unit = {
+      val code = java.lang.Long.parseLong(srcHex, 16).toInt
+      if (srcHex.length <= 2) one += code -> dst else two += code -> dst
+    }
+    def hexToString(h: String): String = {
+      val clean = if (h.length % 2 == 1) h + "0" else h
+      val bytes = clean.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      new String(bytes, StandardCharsets.UTF_16BE)
+    }
+    val tok = java.util.regex.Pattern.compile("<([0-9A-Fa-f]*)>|\\[|\\]")
+    def section(begin: String, end: String)(handle: Seq[String] => Unit): Unit = {
+      var from = 0
+      var continue = true
+      while (continue) {
+        val b = s.indexOf(begin, from)
+        if (b < 0) continue = false
+        else {
+          val e = s.indexOf(end, b)
+          if (e < 0) continue = false
+          else {
+            val m = tok.matcher(s.substring(b + begin.length, e))
+            val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (m.find()) toks += (if (m.group(1) != null) m.group(1) else m.group())
+            handle(toks.toSeq)
+            from = e + end.length
+          }
+        }
+      }
+    }
+    try {
+      section("beginbfchar", "endbfchar") { toks =>
+        toks.grouped(2).foreach {
+          case Seq(src, dst) if src != "[" && dst != "[" => put(src, hexToString(dst))
+          case _ =>
+        }
+      }
+      section("beginbfrange", "endbfrange") { toks =>
+        var i = 0
+        while (i < toks.length - 2) {
+          val (lo, hi) = (toks(i), toks(i + 1))
+          if (lo == "[" || hi == "[" || lo == "]" || hi == "]") i += 1
+          else if (toks(i + 2) == "[") {
+            // <lo> <hi> [<d0> <d1> ...]
+            var j = i + 3
+            var code = java.lang.Long.parseLong(lo, 16).toInt
+            while (j < toks.length && toks(j) != "]") {
+              put(f"$code%04x".takeRight(lo.length max 2), hexToString(toks(j)))
+              // keep the source width of lo for the one/two split
+              code += 1; j += 1
+            }
+            i = j + 1
+          } else {
+            val (loC, hiC) = (java.lang.Long.parseLong(lo, 16).toInt,
+              java.lang.Long.parseLong(hi, 16).toInt)
+            val dst = hexToString(toks(i + 2))
+            var c = loC
+            while (c <= hiC && c - loC < 65536) {
+              val mapped =
+                if (dst.isEmpty) ""
+                else dst.init + (dst.last + (c - loC)).toChar
+              if (lo.length <= 2) one += c -> mapped else two += c -> mapped
+              c += 1
+            }
+            i += 3
+          }
+        }
+      }
+    } catch { case _: Exception => }
+    CMaps(one.result(), two.result())
   }
 
   /** All stream..endstream payloads that are unfiltered or FlateDecode. */
@@ -235,10 +343,11 @@ private[graft] object PdfText {
       Some(buf.toByteArray)
     } catch { case _: Exception => None }
 
-  /** Walk a decoded content stream: literal strings accumulate, the
+  /** Walk a decoded content stream: literal and hex strings accumulate, the
     * line-positioning operators (Td TD T* ' ") break lines.
     */
-  private def appendTextOps(data: Array[Byte], sb: StringBuilder, maxChars: Int): Unit = {
+  private def appendTextOps(data: Array[Byte], sb: StringBuilder, maxChars: Int,
+      cmap: CMaps = EmptyCMaps): Unit = {
     val s = new String(data, StandardCharsets.ISO_8859_1)
     val token = new StringBuilder
     var i = 0
@@ -255,13 +364,57 @@ private[graft] object PdfText {
         case '(' =>
           flushToken()
           i = parseLiteralString(s, i + 1, sb, maxChars)
-        case c if c.isWhitespace || c == '[' || c == ']' || c == '/' =>
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
+          flushToken(); i += 2 // dictionary open, not a string
+        case '<' =>
+          flushToken()
+          val end = s.indexOf('>', i + 1)
+          if (end < 0) i = s.length
+          else { decodeHexString(s.substring(i + 1, end), cmap, sb); i = end + 1 }
+        case c if c.isWhitespace || c == '[' || c == ']' || c == '/' || c == '>' =>
           flushToken(); i += 1
         case c =>
           token.append(c); i += 1
       }
     }
     flushToken()
+  }
+
+  /** Decode one `<...>` hex string. With 2-byte ToUnicode entries available
+    * and an even byte count, try the CID interpretation first and keep it if
+    * most codes map (the mapped-fraction heuristic from the scaladoc);
+    * otherwise decode per-byte: 1-byte CMap entry if present, Latin-1 else.
+    */
+  private def decodeHexString(hexBody: String, cmap: CMaps, sb: StringBuilder): Unit = {
+    val clean = hexBody.filter(c => Character.digit(c, 16) >= 0)
+    if (clean.isEmpty) return
+    val padded = if (clean.length % 2 == 1) clean + "0" else clean
+    val bytes = new Array[Int](padded.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = Integer.parseInt(padded.substring(i * 2, i * 2 + 2), 16); i += 1
+    }
+    if (cmap.two.nonEmpty && bytes.length % 2 == 0) {
+      val decoded = new StringBuilder
+      var mapped = 0
+      var j = 0
+      while (j < bytes.length) {
+        val code = (bytes(j) << 8) | bytes(j + 1)
+        cmap.two.get(code) match {
+          case Some(t) => decoded.append(t); mapped += 1
+          case None if bytes(j) == 0 => decoded.append(bytes(j + 1).toChar) // ASCII-ish
+          case None => // unmapped true CID: drop rather than emit garbage
+        }
+        j += 2
+      }
+      if (mapped * 2 >= bytes.length / 2) { sb.append(decoded); return }
+    }
+    bytes.foreach { b =>
+      cmap.one.get(b) match {
+        case Some(t) => sb.append(t)
+        case None => sb.append(b.toChar)
+      }
+    }
   }
 
   /** PDF literal string body starting after '(': handles nested parens,

@@ -239,6 +239,58 @@ class UnstructuredSuite extends SparkTestBase {
     }
   }
 
+  test("pdf hex strings decode: simple fonts and CID via ToUnicode CMap") {
+    import graft.sources.unstructured.PdfText
+    // 1. single-byte hex string, no CMap -> Latin-1
+    val simple = pdfWith("BT <48656C6C6F20686578> Tj ET".getBytes(StandardCharsets.ISO_8859_1), "")
+    assert(PdfText.extract(simple).contains("Hello hex"))
+
+    // 2. CID font: 2-byte codes resolved through an embedded ToUnicode CMap
+    //    (bfchar singles, a bfrange run, and a multi-char ligature target)
+    val cmapBody =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |3 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |<0003> <00660066>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <006C>
+        |endbfrange
+        |endcmap
+        |endcmap CMapName currentdict /CMap defineresource pop end end""".stripMargin
+    val content = "BT <00010002001000100012> Tj 0 -14 Td <0003> Tj ET"
+    val doc = {
+      val cmapStream = (s"5 0 obj << /Length ${cmapBody.length} >>\nstream\n" + cmapBody +
+        "\nendstream\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+      val page = pdfWith(content.getBytes(StandardCharsets.ISO_8859_1), "")
+      // splice the CMap object before the page stream object
+      val head = "%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1)
+      head ++ cmapStream ++ page.drop(head.length)
+    }
+    val text = PdfText.extract(doc)
+    assert(text.contains("Helln"), s"CID decode failed: '$text'") // H e l l n
+    assert(text.contains("ff"), s"ligature target failed: '$text'")
+    // CMap syntax must not leak into the extracted text
+    assert(!text.contains("bfchar") && !text.contains("begincmap"), s"leak: '$text'")
+  }
+
+  test("parseCMap handles bfchar, bfrange and array destinations") {
+    import graft.sources.unstructured.PdfText
+    val m = PdfText.parseCMap(
+      """2 beginbfchar
+        |<01> <0041>
+        |<0102> <0042>
+        |endbfchar
+        |1 beginbfrange
+        |<0200> <0202> [<0058> <0059> <005A>]
+        |endbfrange""".stripMargin)
+    assert(m.one(0x01) == "A")
+    assert(m.two(0x0102) == "B")
+    assert(m.two(0x0200) == "X" && m.two(0x0201) == "Y" && m.two(0x0202) == "Z")
+  }
+
   test("maxBytes option caps per-file content reads") {
     val capDir = Files.createTempDirectory("graft-cap").toString
     Files.writeString(Paths.get(capDir, "big.txt"), "0123456789" * 100) // 1000 bytes
