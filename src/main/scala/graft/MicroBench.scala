@@ -8,7 +8,8 @@ object MicroBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_groups")
+    val names = sys.env.get("SPARK_GRAFT_MICRO").map(_.split(",").toSeq)
+      .getOrElse(Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_groups"))
     // warmup
     names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     for (n <- names) {

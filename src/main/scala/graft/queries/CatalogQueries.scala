@@ -162,6 +162,98 @@ object CatalogQueries {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS sizeinbytes
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- CSV datasource: parquet -> csv fixture -> graft catalog scan.
+    // inferSchema recovers the int32 keys the parquet carries, so the
+    // values AND dtypes must round-trip exactly (quoting included). ----
+    QuerySpec("src_csv_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fmtDir = new java.io.File(wh(dir), "fmt/csvdir")
+        if (!fmtDir.exists())
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .write.mode("overwrite").option("header", "true").csv(s"$fmtDir/nation")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE CSV DATASOURCE csvsrc OPTIONS (path '${fmtDir.getPath}', header 'true', inferSchema 'true') NAMESPACE graft.datasource.fmt")
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.fmt.csvsrc.nation ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // ---- JSON datasource joined against the parquet source through two
+    // different catalog units in ONE query (federation in the small). ----
+    QuerySpec("src_json_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fmtDir = new java.io.File(wh(dir), "fmt/jsondir")
+        if (!fmtDir.exists())
+          QueryPack.t(s, dir, "region").select("r_regionkey", "r_name")
+            .write.mode("overwrite").json(s"$fmtDir/region")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE JSON DATASOURCE jsonsrc OPTIONS (path '${fmtDir.getPath}') NAMESPACE graft.datasource.fmt")
+        s.sql(
+          """SELECT r.r_name AS region, COUNT(*) AS n_nations
+            |FROM graft.datasource.fmt.jsonsrc.region r
+            |JOIN graft.datasource.file.tpch.nation n ON n.n_regionkey = r.r_regionkey
+            |GROUP BY r.r_name ORDER BY region""".stripMargin)
+      },
+      Some("""SELECT r_name AS region, COUNT(*) AS n_nations
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY region""")),
+
+    // ---- ORC datasource: schema-exact round-trip + aggregate. ----
+    QuerySpec("src_orc_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fmtDir = new java.io.File(wh(dir), "fmt/orcdir")
+        if (!fmtDir.exists())
+          QueryPack.t(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+            .write.mode("overwrite").orc(s"$fmtDir/part")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ORC DATASOURCE orcsrc OPTIONS (path '${fmtDir.getPath}') NAMESPACE graft.datasource.fmt")
+        s.sql(
+          """SELECT p_brand, COUNT(*) AS n,
+            |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM graft.datasource.fmt.orcsrc.part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- JDBC datasource (embedded Derby): load customer through the v2
+    // JDBC catalog (CREATE + INSERT ... SELECT through the graft FQN), then
+    // aggregate THROUGH the same catalog — the full remote round trip the
+    // suite's Derby tests cover, now held to a DuckDB oracle. ----
+    QuerySpec("src_jdbc_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val dbDir = new java.io.File(wh(dir), "derbydb")
+        Graft.sql(s,
+          s"""REGISTER OR REPLACE JDBC DATASOURCE pdgate OPTIONS (
+             |  url 'jdbc:derby:$dbDir/db;create=true', driver 'org.apache.derby.jdbc.EmbeddedDriver'
+             |) NAMESPACE graft.datasource.jdbc""".stripMargin)
+        val loaded = new java.io.File(wh(dir), "derbydb/.loaded")
+        if (!loaded.exists()) {
+          // VARCHAR, not STRING: Derby maps STRING to CLOB, which it refuses
+          // to GROUP BY — VARCHAR keeps the aggregate pushdown-safe
+          s.sql("CREATE TABLE graft.datasource.jdbc.pdgate.APP.gatecust " +
+            "(c_custkey BIGINT, c_mktsegment VARCHAR(20), c_acctbal DOUBLE)")
+          QueryPack.t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+            .createOrReplaceTempView("__gate_cust_src")
+          s.sql("INSERT INTO graft.datasource.jdbc.pdgate.APP.gatecust " +
+            "SELECT c_custkey, c_mktsegment, c_acctbal FROM __gate_cust_src")
+          java.nio.file.Files.createFile(loaded.toPath)
+        }
+        s.sql(
+          """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM graft.datasource.jdbc.pdgate.APP.gatecust
+            |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM customer GROUP BY c_mktsegment ORDER BY segment"""))
   )
 }
