@@ -133,4 +133,23 @@ object TextFunctions {
       }
       regexp_count(pre, lit(PiiRules(i)._1))
     }
+
+  /** C4-style line-level cleaning (Raffel et al. '20 §2.2): the lines of
+    * `text` (newline-separated) that end in terminal punctuation, carry at
+    * least `minWords` words, and contain neither a curly brace (code
+    * marker) nor the word "javascript". Pure higher-order array built-ins —
+    * map-side, no UDF, no shuffle.
+    */
+  def c4KeptLines(text: Column, minWords: Int = 5): Column =
+    filter(split(text, "\n"), l =>
+      trim(l).rlike("[.!?\"]$") &&
+      size(split(trim(l), " ")) >= minWords &&
+      !lower(l).contains("javascript") &&
+      !l.contains("{"))
+
+  /** C4 document keep flag: at least `minLines` surviving lines and no
+    * "lorem ipsum" boilerplate anywhere in the original text.
+    */
+  def c4Keep(keptLines: Column, text: Column, minLines: Int = 3): Column =
+    size(keptLines) >= minLines && !lower(text).contains("lorem ipsum")
 }

@@ -492,6 +492,62 @@ object Pipeline {
         FROM base b JOIN topbi t ON b.doc_id = t.doc_id
         ORDER BY b.doc_id""")),
 
+    // ---- C4-style line-level cleaning (Raffel et al. '20 §2.2). The
+    // synthetic corpus has no line structure, so the gate PLANTS it
+    // deterministically (same pattern as the planted-PII gate): six lines
+    // per doc exercising every rule — terminal punctuation, minimum words,
+    // the javascript marker, curly braces, and doc-level lorem-ipsum
+    // rejection — then hash-matches lines kept, reassembled text, and the
+    // keep flag against DuckDB running the identical construction. ----
+    QuerySpec("text_c4_clean",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val tk = T.tokens(col("text"))
+        def seg(from: Int, n: Int) = concat_ws(" ", slice(tk, from, n))
+        val lined = concat_ws("\n",
+          concat(seg(1, 8), lit(".")),                                    // kept
+          seg(9, 3),                                                      // short + no punct
+          concat(seg(12, 6), lit(" maybe javascript needed.")),           // marker word
+          concat(seg(18, 8), when(col("doc_id") % 3 === 0, lit("!")).otherwise(lit(""))),
+          when(col("doc_id") % 7 === 0, lit("function() { return 1; }."))
+            .otherwise(concat(seg(26, 7), lit("?"))),
+          when(col("doc_id") % 97 === 0, lit("standard lorem ipsum filler text here."))
+            .otherwise(concat(seg(33, 5), lit("."))))
+        val kept = T.c4KeptLines(lined)
+        d.select(col("doc_id"),
+            size(split(lined, "\n")).cast("long").as("n_lines"),
+            size(kept).cast("long").as("n_kept"),
+            concat_ws(" ", kept).as("kept_text"),
+            T.c4Keep(kept, lined).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH lined AS (
+          -- out-of-range list slices are NULL in DuckDB but empty in Spark,
+          -- so every slice is coalesced to ''
+          SELECT doc_id,
+            coalesce(array_to_string(tk[1:8], ' '), '') || '.' || chr(10) ||
+            coalesce(array_to_string(tk[9:11], ' '), '') || chr(10) ||
+            coalesce(array_to_string(tk[12:17], ' '), '') || ' maybe javascript needed.' || chr(10) ||
+            coalesce(array_to_string(tk[18:25], ' '), '') || (CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '' END) || chr(10) ||
+            (CASE WHEN doc_id % 7 = 0 THEN 'function() { return 1; }.'
+              ELSE coalesce(array_to_string(tk[26:32], ' '), '') || '?' END) || chr(10) ||
+            (CASE WHEN doc_id % 97 = 0 THEN 'standard lorem ipsum filler text here.'
+              ELSE coalesce(array_to_string(tk[33:37], ' '), '') || '.' END) AS lined
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+        ), cleaned AS (
+          SELECT doc_id, lined,
+            len(string_split(lined, chr(10))) AS n_lines,
+            list_filter(string_split(lined, chr(10)), l ->
+              regexp_matches(trim(l), '[.!?"]$$') AND len(string_split(trim(l), ' ')) >= 5
+              AND NOT contains(lower(l), 'javascript') AND NOT contains(l, '{')) AS kept
+          FROM lined
+        )
+        SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          array_to_string(kept, ' ') AS kept_text,
+          (len(kept) >= 3 AND NOT contains(lower(lined), 'lorem ipsum')) AS keep
+        FROM cleaned ORDER BY doc_id""")),
+
     // ---- Vocabulary: top-5 tokens per source by frequency (count desc,
     // token asc tiebreak) — the "what is this shard made of" report. ----
     QuerySpec("text_vocab_topk",
