@@ -152,4 +152,41 @@ object TextFunctions {
     */
   def c4Keep(keptLines: Column, text: Column, minLines: Int = 3): Column =
     size(keptLines) >= minLines && !lower(text).contains("lorem ipsum")
+
+  /** Regex for an http(s) URL's host part — deliberately RE2-compatible
+    * (no lookaround) so the DuckDB oracle runs the same pattern.
+    */
+  val UrlHostRx = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URL hosts mentioned in the text, normalized: lowercased, leading
+    * `www.` stripped. The per-document half of domain-level corpus curation
+    * (map-side; the heavy part is the groupBy in [[domainStats]]).
+    */
+  def urlHosts(text: Column): Column =
+    array_distinct(transform(
+      regexp_extract_all(text, lit(UrlHostRx), lit(1)),
+      h => regexp_replace(lower(h), "^www\\.", "")))
+
+  /** Per-domain document counts over a corpus — the fan-in side of domain
+    * curation. One explode + one hash-aggregate; at 100 TB the aggregate is
+    * partial+final on (domain) keys, and the domain cardinality (millions)
+    * is tiny next to the corpus.
+    */
+  def domainStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(urlHosts(col(textCol))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Docs whose text references any blocklisted domain (normalized the same
+    * way). Blocklists are small — the check broadcasts; the corpus never
+    * shuffles.
+    */
+  def blocklistedDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blocklist: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val bl = typedlit(blocklist.map(_.toLowerCase))
+    df.select(col(idCol), urlHosts(col(textCol)).as("__hosts"))
+      .where(arrays_overlap(col("__hosts"), bl))
+      .select(col(idCol), array_intersect(col("__hosts"), bl).as("blocked_domains"))
+  }
 }

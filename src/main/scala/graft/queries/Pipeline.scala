@@ -548,6 +548,34 @@ object Pipeline {
           (len(kept) >= 3 AND NOT contains(lower(lined), 'lorem ipsum')) AS keep
         FROM cleaned ORDER BY doc_id""")),
 
+    // ---- URL/domain curation: extract normalized hosts (lowercase, www.
+    // stripped), aggregate per-domain doc counts, flag blocklisted domains.
+    // URLs are PLANTED deterministically (the planted-PII pattern) since the
+    // synthetic corpus has none. ----
+    QuerySpec("text_domain_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val planted = concat(col("text"),
+          lit(" see https://www.Site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com/page and http://cdn"), (col("doc_id") % 7).cast("string"),
+          lit(".net/x"))
+        d.select(explode(T.urlHosts(planted)).as("domain"))
+          .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+          .withColumn("blocked", col("domain").isin("site3.example.com", "cdn2.net"))
+          .orderBy("domain")
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id, text || ' see https://www.Site' || (doc_id % 50)
+            || '.example.com/page and http://cdn' || (doc_id % 7) || '.net/x' AS t
+          FROM documents
+        ), hosts AS (
+          SELECT DISTINCT doc_id, regexp_replace(lower(h), '^www\.', '') AS domain
+          FROM planted, UNNEST(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS u(h)
+        )
+        SELECT domain, COUNT(*) AS n_docs,
+          domain IN ('site3.example.com', 'cdn2.net') AS blocked
+        FROM hosts GROUP BY domain ORDER BY domain""")),
+
     // ---- Vocabulary: top-5 tokens per source by frequency (count desc,
     // token asc tiebreak) — the "what is this shard made of" report. ----
     QuerySpec("text_vocab_topk",

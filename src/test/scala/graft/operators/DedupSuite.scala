@@ -219,6 +219,26 @@ class DedupSuite extends SparkTestBase {
     assert(out(2L).getInt(2) == 0 && out(2L).getInt(5) == 0)
   }
 
+  test("url host extraction and blocklist filtering") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "read https://WWW.Example.COM/a and https://example.com/b plus http://cdn.net/x"),
+      (2L, "no links here"),
+      (3L, "see https://bad-site.org/page")).toDF("id", "text")
+    val hosts = df.select(col("id"), TF.urlHosts(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(hosts(1L) == Seq("example.com", "cdn.net")) // lowercased, www-stripped, deduped
+    assert(hosts(2L).isEmpty)
+    val blocked = TF.blocklistedDocs(df, "id", "text", Seq("Bad-Site.org", "cdn.net"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(blocked.keySet == Set(1L, 3L))
+    assert(blocked(3L) == Seq("bad-site.org"))
+    val stats = TF.domainStats(df, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("example.com" -> 1L, "cdn.net" -> 1L, "bad-site.org" -> 1L))
+  }
+
   test("lshBucketStats surfaces oversized buckets") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, "identical text everywhere")).toDF("doc_id", "text")
