@@ -187,6 +187,32 @@ object Relational {
           SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
         )""")),
 
+    // ---- TPC-H q22 shape: scalar subquery (global average) AND correlated
+    // NOT EXISTS anti-join in ONE plan — Catalyst must decorrelate both.
+    // Customers with above-average balance and no urgent orders, grouped by
+    // the market segment ("country code" stand-in). ----
+    QuerySpec("q22_idle_balances",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("cust_q22")
+        t(s, dir, "orders").createOrReplaceTempView("ord_q22")
+        s.sql("""SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM cust_q22 c
+          |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          |    FROM cust_q22 WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM ord_q22 o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY segment""")),
+
     // ---- PIVOT: order counts per priority pivoted by status (explicit
     // value list keeps the output schema deterministic). Oracle uses the
     // equivalent conditional aggregation. ----

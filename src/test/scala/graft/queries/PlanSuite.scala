@@ -115,6 +115,18 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("Join"), s"decorrelated plan needs the join:\n$p")
   }
 
+  test("q22: NOT EXISTS decorrelates to anti-join; global avg runs once") {
+    val df = graft.SparkEntry.queries("q22_idle_balances")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    // the correlated NOT EXISTS must become a join, not a per-row probe
+    assert(!p.contains("exists-subquery"), s"NOT EXISTS must decorrelate:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti-join:\n$p")
+    // the UNCORRELATED global-average subquery correctly remains a
+    // scalar-subquery node: executed once, broadcast into the filter —
+    // inlining it per-row would be the regression
+    assert(p.contains("scalar-subquery"), s"global avg should stay a one-shot subquery:\n$p")
+  }
+
   test("decontamination broadcasts the eval n-grams (corpus never shuffles)") {
     val df = graft.SparkEntry.queries("text_decontaminate")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
