@@ -171,15 +171,80 @@ object Multimodal {
     }(enc)
   }
 
-  /** Fill the audio rows' metadata (sample_rate, duration_ms) from WAV
-    * headers — the audio twin of the video Mp4Meta path; non-WAV audio keeps
-    * its existing metadata.
+  /** FLAC STREAMINFO probe (the mandatory first metadata block after the
+    * `fLaC` magic): (sample_rate_hz, duration_ms) from the packed 20-bit
+    * rate and 36-bit total-sample count. Public byte layout (RFC 9639);
+    * never throws on untrusted bytes. Audio DECODE for FLAC stays stubbed
+    * (codec territory) — this is the metadata surface only.
+    */
+  private[graft] def flacInfo(bytes: Array[Byte]): Option[(Int, Long)] =
+    try {
+      if (bytes.length < 42 || bytes(0) != 'f' || bytes(1) != 'L' ||
+          bytes(2) != 'a' || bytes(3) != 'C') return None
+      if ((bytes(4) & 0x7f) != 0) return None // STREAMINFO must be first
+      val si = 8
+      def b(i: Int) = bytes(si + i) & 0xffL
+      val rate = ((b(10) << 12) | (b(11) << 4) | (b(12) >> 4)).toInt
+      val totalSamples = ((b(13) & 0x0fL) << 32) | (b(14) << 24) | (b(15) << 16) |
+        (b(16) << 8) | b(17)
+      if (rate <= 0) None else Some((rate, totalSamples * 1000L / rate))
+    } catch { case _: Exception => None }
+
+  /** MPEG-1/2/2.5 Layer III frame-header probe: skips an ID3v2 tag
+    * (syncsafe size), finds the first 0xFFEx sync, reads the version /
+    * bitrate / sample-rate indexes, and estimates duration as
+    * payload_bytes * 8 / bitrate — exact for CBR files, an estimate for VBR
+    * (a full VBR scan is a per-frame walk; out of scope for a header
+    * probe). Public byte layout (ISO 11172-3); never throws.
+    */
+  private[graft] def mp3Info(bytes: Array[Byte]): Option[(Int, Long)] =
+    try {
+      if (bytes.length < 4) return None
+      var off = 0
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+        val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        off = 10 + sz
+        if (off < 0 || off >= bytes.length) return None
+      }
+      var i = off
+      while (i + 4 <= bytes.length &&
+        !((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xe0) == 0xe0)) i += 1
+      if (i + 4 > bytes.length) return None
+      val h1 = bytes(i + 1) & 0xff; val h2 = bytes(i + 2) & 0xff
+      val verBits = (h1 >> 3) & 3   // 0=V2.5, 2=V2, 3=V1 (1 reserved)
+      val layerBits = (h1 >> 1) & 3 // 1 = Layer III
+      if (verBits == 1 || layerBits != 1) return None
+      val brIdx = (h2 >> 4) & 0xf; val srIdx = (h2 >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val rate = (verBits match {
+        case 3 => Array(44100, 48000, 32000)
+        case 2 => Array(22050, 24000, 16000)
+        case _ => Array(11025, 12000, 8000)
+      })(srIdx)
+      val kbps = (if (verBits == 3) Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+                  else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))(brIdx)
+      Some((rate, (bytes.length - i).toLong * 8L / kbps)) // kbps == bits/ms
+    } catch { case _: Exception => None }
+
+  /** (sample_rate, duration_ms) across the supported audio containers:
+    * WAV (full PCM parse), FLAC (STREAMINFO), MP3 (frame header + CBR
+    * duration estimate).
+    */
+  private[graft] def audioInfo(bytes: Array[Byte]): Option[(Int, Long)] =
+    wavInfo(bytes).map { case (rate, _, _, durMs, _, _) => (rate, durMs) }
+      .orElse(flacInfo(bytes))
+      .orElse(mp3Info(bytes))
+
+  /** Fill the audio rows' metadata (sample_rate, duration_ms) from WAV,
+    * FLAC or MP3 headers — the audio twin of the video container probes;
+    * unrecognized audio keeps its existing metadata.
     */
   def withAudioMeta(media: DataFrame): DataFrame = {
     val probe = udf { bytes: Array[Byte] =>
       if (bytes == null) (None: Option[Int], None: Option[Long])
-      else wavInfo(bytes) match {
-        case Some((rate, _, _, durMs, _, _)) => (Some(rate), Some(durMs))
+      else audioInfo(bytes) match {
+        case Some((rate, durMs)) => (Some(rate), Some(durMs))
         case None => (None, None)
       }
     }

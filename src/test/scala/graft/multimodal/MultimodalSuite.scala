@@ -105,6 +105,50 @@ class MultimodalSuite extends SparkTestBase {
     assert(feats.drop(8).forall(_ > 0f), s"loud half must be high-energy: $feats")
   }
 
+  test("flac and mp3 header probes recover sample rate and duration") {
+    // FLAC: fLaC magic + STREAMINFO (type 0, 34 bytes): rate 44100 Hz,
+    // 441000 total samples -> 10 s
+    val flac = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes); out.write(0); out.write(0); out.write(0); out.write(34)
+      val si = new Array[Byte](34)
+      // bytes 10-12: 20-bit rate 44100 = 0x0AC44 -> packed <<4
+      si(10) = 0x0A.toByte; si(11) = 0xC4.toByte; si(12) = 0x40.toByte
+      // bits 4..0 of byte 12 + byte 13 high nibble: channels/bps (ignored)
+      // bytes 13(low nibble)-17: 36-bit total samples = 441000 = 0x6BAA8
+      si(13) = 0x00; si(14) = 0x00; si(15) = 0x06; si(16) = 0xBA.toByte; si(17) = 0xA8.toByte
+      out.write(si)
+      out.toByteArray
+    }
+    assert(Multimodal.flacInfo(flac).contains((44100, 10000L)))
+
+    // MP3: ID3v2 tag (10-byte header, 20-byte body) + V1 Layer III frame
+    // header (bitrate idx 9 = 128 kbps, rate idx 0 = 44100) + payload.
+    // 1600 bytes after the sync at 128 kbps -> 1600*8/128 = 100 ms
+    val mp3 = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ID3".getBytes); out.write(Array[Byte](3, 0, 0, 0, 0, 0, 20))
+      out.write(new Array[Byte](20))
+      out.write(Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte)) // sync+V1L3, 128kbps/44100
+      out.write(new Array[Byte](1596))
+      out.toByteArray
+    }
+    assert(Multimodal.mp3Info(mp3).contains((44100, 100L)))
+    // dispatcher picks the right probe per container
+    assert(Multimodal.audioInfo(flac).contains((44100, 10000L)))
+    assert(Multimodal.audioInfo(mp3).contains((44100, 100L)))
+    assert(Multimodal.audioInfo(halfWav()).contains((8000, 1000L)))
+    // garbage and truncation never throw
+    val rnd = new java.util.Random(5)
+    for (_ <- 0 until 50) {
+      val b = new Array[Byte](128); rnd.nextBytes(b)
+      Multimodal.audioInfo(b)
+    }
+    Multimodal.audioInfo("fLaC".getBytes)
+    Multimodal.audioInfo("ID3".getBytes)
+    Multimodal.audioInfo(Array(0xFF.toByte, 0xE0.toByte))
+  }
+
   test("image resize re-encodes to the target dimensions for real") {
     import spark.implicits._
     val df = Seq((1L, halfPng())).toDF("media_id", "bytes")
