@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.queries.QueryPack
+
+class BucketingSuite extends SparkTestBase {
+
+  test("join of two same-bucketed tables runs with no shuffle exchange") {
+    val docs = QueryPack.t(spark, sf(), "documents").select("doc_id", "source", "n_chars")
+    val scores = docs.select(col("doc_id"), (col("n_chars") % 100).as("quality"))
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_scores")
+    Bucketing.writeBucketed(docs, "b_docs", "doc_id", buckets = 8)
+    Bucketing.writeBucketed(scores, "b_scores", "doc_id", buckets = 8)
+    // disable auto-broadcast: at test scale the small side would broadcast
+    // (also shuffle-free, but then the plan would not demonstrate the
+    // bucketed sort-merge path that matters at 100 TB where BOTH sides are
+    // too big to broadcast)
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "b_docs", "b_scores", "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"same-bucketed join must not shuffle:\n$plan")
+      // correctness: same result as the shuffled join of the raw frames
+      val expected = docs.join(scores, "doc_id").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_scores")
+    }
+  }
+}
