@@ -83,7 +83,7 @@ object DedupScaleBench {
       val pairs = Dedup.minHashDuplicates(c, "doc_id", "text", threshold = 0.7)
         .localCheckpoint(true)
       val (groups, groupsSec) = timed {
-        Dedup.duplicateGroups(pairs).agg(countDistinct(col("group_id"))).head.getLong(0)
+        Dedup.duplicateGroups(pairs).agg(countDistinct(col("group_id"))).head().getLong(0)
       }
       val premiumPct = 100.0 * (candSec - uncappedSec) / math.max(uncappedSec, 1e-9)
       println(f"""{"scale":$k,"rows":$rows,"base_rows":$baseRows,""" +

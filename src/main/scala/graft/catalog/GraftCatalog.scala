@@ -139,7 +139,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         CatalogUnit(ds) match {
           case j: JdbcCatalogUnit =>
             j.tableCatalog.createTable(
-              Identifier.of(rest.dropRight(1).toArray, ident.name), columns, partitions, properties)
+              Identifier.of(rest.dropRight(1).toArray, ident.name),
+              new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+                .withColumns(columns).withPartitions(partitions)
+                .withProperties(properties).build())
           case _ => throw new UnsupportedOperationException("createTable")
         }
       case Some((ds, _)) => throw new UnsupportedOperationException(

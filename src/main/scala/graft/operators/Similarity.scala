@@ -55,7 +55,7 @@ object Similarity {
       if (tables == 1)
         df.withColumn("table", lit(0)).withColumn(bucketName, F.lsh_bucket(col(vc), bits))
       else
-        df.select(df.columns.map(col) :+ posexplode(array((0 until tables).map(t =>
+        df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(df.columns.map(col)) :+ posexplode(array((0 until tables).map(t =>
           F.lsh_bucket(col(vc), bits, planeOffset = t * bits)): _*))
           .as(Seq("table", bucketName)): _*)
     val c = withBuckets(
