@@ -548,6 +548,31 @@ object Pipeline {
           (len(kept) >= 3 AND NOT contains(lower(lined), 'lorem ipsum')) AS keep
         FROM cleaned ORDER BY doc_id""")),
 
+    // ---- Corpus novelty scoring: fraction of each doc's distinct bigrams
+    // that are corpus-rare (present in <= 2 docs). Integer-exact by design
+    // (the hash-checkable cousin of LM-perplexity filtering). ----
+    QuerySpec("text_novelty",
+      (s, dir) => {
+        graft.operators.CorpusStats.noveltyScores(t(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $toksSql AS tk FROM documents
+        ), doc_bg AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+              ELSE [ tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1) ] END)) AS bg
+          FROM toks
+        ), counts AS (
+          SELECT bg, COUNT(*) AS bg_docs FROM doc_bg GROUP BY bg
+        )
+        SELECT d.doc_id, COUNT(*) AS n_bigrams,
+          COUNT(CASE WHEN c.bg_docs <= 2 THEN 1 END) AS n_rare,
+          CAST(COUNT(CASE WHEN c.bg_docs <= 2 THEN 1 END) AS DOUBLE) / COUNT(*) AS novelty
+        FROM doc_bg d JOIN counts c ON d.bg = c.bg
+        GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     // ---- URL/domain curation: extract normalized hosts (lowercase, www.
     // stripped), aggregate per-domain doc counts, flag blocklisted domains.
     // URLs are PLANTED deterministically (the planted-PII pattern) since the
