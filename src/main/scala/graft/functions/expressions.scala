@@ -489,23 +489,35 @@ object GraftFunctions {
     col(SketchJaccard(expr(a), expr(b)))
 
   /** SQL registration so spark.sql("SELECT cosine_similarity(a,b) ...") works. */
+  /** The SQL surface of the pipeline expressions — ONE builder table shared
+    * by [[registerAll]] (temp functions, `Graft.install` path) and
+    * `GraftExtensions` (session-extension injection), so the two surfaces
+    * cannot drift. Centroid-table expressions (argmin_centroid /
+    * nearest_centroids) are deliberately absent: their centroid matrix
+    * comes from a fitted model object, not a SQL literal.
+    */
+  private def intArg(es: Seq[Expression], i: Int, default: => Int): Int =
+    es.lift(i).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(default)
+
+  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> ((es: Seq[Expression]) =>
+      MinHashSignature(es.head, intArg(es, 1, 128))),
+    "simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)),
+    "word_shingles" -> ((es: Seq[Expression]) =>
+      WordShingles(es.head, intArg(es, 1, 3))),
+    "cosine_similarity" -> ((es: Seq[Expression]) => CosineSimilarity(es.head, es(1))),
+    "lsh_bucket" -> ((es: Seq[Expression]) =>
+      HyperplaneLshBucket(es.head, intArg(es, 1, 8), intArg(es, 2, 0))),
+    "winnowed_fingerprints" -> ((es: Seq[Expression]) =>
+      WinnowedFingerprints(es.head, intArg(es, 1, 9), intArg(es, 2, 4))),
+    "minhash_agg" -> ((es: Seq[Expression]) =>
+      MinHashAgg(es.head, intArg(es, 1, 128)).toAggregateExpression()),
+    "sketch_jaccard" -> ((es: Seq[Expression]) => SketchJaccard(es.head, es(1))))
+
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_signature",
-      es => MinHashSignature(es.head, es.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(128)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles",
-      es => WordShingles(es.head, es(1).eval(null).asInstanceOf[Number].intValue), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("lsh_bucket",
-      es => HyperplaneLshBucket(es.head, es.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(8)), "scala_udf")
-    reg.createOrReplaceTempFunction("winnowed_fingerprints",
-      es => WinnowedFingerprints(es.head, 9, 4), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_agg",
-      es => MinHashAgg(es.head,
-        es.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(128))
-        .toAggregateExpression(), "scala_udf")
-    reg.createOrReplaceTempFunction("sketch_jaccard",
-      es => SketchJaccard(es.head, es(1)), "scala_udf")
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }
