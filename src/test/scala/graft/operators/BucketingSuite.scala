@@ -7,6 +7,20 @@ import graft.queries.QueryPack
 
 class BucketingSuite extends SparkTestBase {
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    val docs = QueryPack.t(spark, sf(), "documents").select("doc_id", "n_chars", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-partwrite").toString
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val back = spark.read.parquet(dir).where(col("source") === "src1")
+    val scan = back.queryExecution.executedPlan.toString
+    // the source predicate must land in PartitionFilters (directory pruning,
+    // zero IO for other sources), not in the row-level data filters
+    assert(scan.contains("PartitionFilters") && scan.contains("src1"), scan)
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("src1"), s"source filter must prune partitions: $pf")
+    assert(back.count() == docs.where(col("source") === "src1").count())
+  }
+
   test("join of two same-bucketed tables runs with no shuffle exchange") {
     val docs = QueryPack.t(spark, sf(), "documents").select("doc_id", "source", "n_chars")
     val scores = docs.select(col("doc_id"), (col("n_chars") % 100).as("quality"))
