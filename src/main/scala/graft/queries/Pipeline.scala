@@ -548,6 +548,38 @@ object Pipeline {
           (len(kept) >= 3 AND NOT contains(lower(lined), 'lorem ipsum')) AS keep
         FROM cleaned ORDER BY doc_id""")),
 
+    // ---- END-TO-END CURATION COMPOSITION: quality filter -> exact dedup
+    // (md5 winners) -> per-source corpus stats, all in ONE declarative plan
+    // so Catalyst optimizes across the stage boundaries (the integration
+    // twin of the individually-gated pieces). Hash-exact oracle. ----
+    QuerySpec("pipeline_curation",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val nTok = T.tokenCount(col("text")).cast("long")
+        val lexDiv = T.distinctTokenCount(col("text")).cast("double") / nTok.cast("double")
+        val quality = d.select(col("doc_id"), col("source"), col("text"), nTok.as("n_tokens"))
+          .where(col("n_tokens") >= 20 && lexDiv >= 0.5)
+        val winners = Dedup.exactDuplicates(quality, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        quality.join(winners, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH quality AS (
+          -- h only groups duplicates within THIS query, so md5-of-varchar is
+          -- interchangeable with Spark's md5-of-binary: same winners
+          SELECT doc_id, source, len($toksSql) AS n_tokens, md5($normSql) AS h
+          FROM documents
+          WHERE len($toksSql) >= 20
+            AND len(list_distinct($toksSql)) * 1.0 / len($toksSql) >= 0.5
+        ), winners AS (
+          SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY h
+        )
+        SELECT q.source, COUNT(*) AS n_docs, CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens
+        FROM quality q JOIN winners w ON q.doc_id = w.doc_id
+        GROUP BY q.source ORDER BY q.source""")),
+
     // ---- Corpus novelty scoring: fraction of each doc's distinct bigrams
     // that are corpus-rare (present in <= 2 docs). Integer-exact by design
     // (the hash-checkable cousin of LM-perplexity filtering). ----
