@@ -698,20 +698,44 @@ object Pipeline {
     // then a tiny cross of the 20 sketches estimates every pairwise Jaccard
     // without joining documents. Deterministic (min is commutative) but
     // hash-specific -> rows-only. ----
+    // Hash-exact via the ERROR-BOUND CONTRACT (the q_approx_distinct
+    // pattern): both engines emit the exact token-set jaccard plus the
+    // boolean |sketch - exact| <= 2/sqrt(k); the oracle cannot compute the
+    // sketch but can assert the contract the sketch must satisfy
+    // (deterministic: fixed hashes + fixed data; measured max error at all
+    // three SFs is 0.017 vs the 0.177 bound).
     QuerySpec("sketch_source_similarity",
       (s, dir) => {
         import graft.functions.{GraftFunctions => GF}
         val sk = t(s, dir, "documents")
           .groupBy(col("source"))
-          .agg(GF.minhash_agg(T.tokens(col("text"))).as("sig"))
-        val a = sk.select(col("source").as("src_a"), col("sig").as("sig_a"))
-        val b = sk.select(col("source").as("src_b"), col("sig").as("sig_b"))
+          .agg(GF.minhash_agg(T.tokens(col("text"))).as("sig"),
+            array_distinct(flatten(collect_list(T.tokens(col("text"))))).as("toks"))
+        val a = sk.select(col("source").as("src_a"), col("sig").as("sig_a"), col("toks").as("t_a"))
+        val b = sk.select(col("source").as("src_b"), col("sig").as("sig_b"), col("toks").as("t_b"))
+        val nInter = size(array_intersect(col("t_a"), col("t_b"))).cast("double")
+        val nUnion = size(col("t_a")).cast("double") + size(col("t_b")).cast("double") - nInter
+        val exact = nInter / nUnion
         a.crossJoin(b).where(col("src_a") < col("src_b"))
           .select(col("src_a"), col("src_b"),
-            round(GF.sketch_jaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
+            round(exact, 6).as("exact_jaccard"),
+            (abs(GF.sketch_jaccard(col("sig_a"), col("sig_b")) - exact) <=
+              2.0 / math.sqrt(128)).as("within_bound"))
           .orderBy(col("src_a"), col("src_b"))
       },
-      None),
+      Some(s"""WITH st AS (
+          SELECT DISTINCT source, tok
+          FROM (SELECT source, unnest(list_distinct($toksSql)) AS tok FROM documents)
+        ), srcs AS (
+          SELECT source, list(tok) AS toks FROM st GROUP BY source
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+          round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+            (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+            AS exact_jaccard,
+          TRUE AS within_bound
+        FROM srcs a JOIN srcs b ON a.source < b.source
+        ORDER BY src_a, src_b""")),
 
     // ---- Winnowed rolling-hash fingerprints (Schleimer '03). Rows-only. ----
     QuerySpec("text_fingerprint",
