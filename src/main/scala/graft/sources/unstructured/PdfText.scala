@@ -115,12 +115,15 @@ private[graft] object PdfText {
           val (lo, hi) = (toks(i), toks(i + 1))
           if (lo == "[" || hi == "[" || lo == "]" || hi == "]") i += 1
           else if (toks(i + 2) == "[") {
-            // <lo> <hi> [<d0> <d1> ...]
+            // <lo> <hi> [<d0> <d1> ...] — keep lo's source width for the
+            // one/two split directly (string truncation would wrap a range
+            // that crosses 0xFF)
             var j = i + 3
             var code = java.lang.Long.parseLong(lo, 16).toInt
+            val twoByte = lo.length > 2
             while (j < toks.length && toks(j) != "]") {
-              put(f"$code%04x".takeRight(lo.length max 2), hexToString(toks(j)))
-              // keep the source width of lo for the one/two split
+              if (twoByte) two += code -> hexToString(toks(j))
+              else one += code -> hexToString(toks(j))
               code += 1; j += 1
             }
             i = j + 1
