@@ -15,11 +15,13 @@ import graft.functions.{GraftFunctions => F, TextFunctions => T}
   * novelty flags both valuable out-of-distribution text and garbage; low
   * novelty flags boilerplate — both ends are standard curation cut points.
   *
-  * Scale shape: one groupBy over the corpus's bigrams builds the frequency
-  * table (shuffles (bigram, count) pairs — bounded by vocabulary², in
-  * practice far smaller than the corpus); one join keyed on bigram attaches
-  * counts to each doc's bigrams (the doc side shuffles once); one per-doc
-  * aggregate reduces to three integers. No driver-side state at any size.
+  * Scale shape: the corpus-wide frequency attaches via a count window over
+  * the bigram key, so the corpus is SCANNED ONCE and the (id, bigram) rows
+  * shuffle once on bigram — the naive groupBy-then-join formulation would
+  * scan the corpus twice and shuffle the heavy doc-bigram side twice
+  * (verified in the plan: one FileScan, no second bigram exchange). The
+  * per-doc aggregate then reduces to three integers. No driver-side state
+  * at any size.
   */
 object CorpusStats {
 
@@ -32,8 +34,8 @@ object CorpusStats {
       rareThreshold: Long = 2L): DataFrame = {
     val docBigrams = df.select(col(idCol).as("id"),
       explode(array_distinct(F.word_shingles(T.tokens(col(textCol)), 2))).as("bg"))
-    val corpusCounts = docBigrams.groupBy("bg").agg(count(lit(1)).as("bg_docs"))
-    docBigrams.join(corpusCounts, "bg")
+    val byBigram = org.apache.spark.sql.expressions.Window.partitionBy(col("bg"))
+    docBigrams.withColumn("bg_docs", count(lit(1)).over(byBigram))
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_bigrams"),
