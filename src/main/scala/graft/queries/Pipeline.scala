@@ -449,17 +449,24 @@ object Pipeline {
         val meanLen = aggregate(tk, lit(0L), (a, w) => a + length(w).cast("long"))
           .cast("double") / nWords.cast("double")
         val alphaFrac = size(filter(tk, w => w.rlike("[a-z]"))).cast("double") / nWords.cast("double")
-        val base = d.select(col("doc_id"), col("text"), nWords.as("n_words"),
-          meanLen.as("mean_word_len"), alphaFrac.as("frac_alpha_words"))
-        // top bigram occupancy: most frequent 2-shingle count / total bigrams
-        val bi = d.select(col("doc_id"),
-            explode(F.word_shingles(T.tokens(col("text")), 2)).as("bg"))
-          .groupBy("doc_id", "bg").count()
+        // ONE corpus scan: the per-doc scalar metrics ride along the exploded
+        // bigram rows (first() in the aggregates recovers them), so there is
+        // no second scan and no doc-keyed join — top-bigram occupancy =
+        // most frequent 2-shingle count / total bigrams
+        val enriched = d.select(col("doc_id"), nWords.as("n_words"),
+          meanLen.as("mean_word_len"), alphaFrac.as("frac_alpha_words"),
+          explode(F.word_shingles(tk, 2)).as("bg"))
+        val perBg = enriched.groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("count"), first(col("n_words")).as("n_words"),
+            first(col("mean_word_len")).as("mean_word_len"),
+            first(col("frac_alpha_words")).as("frac_alpha_words"))
         val w = Window.partitionBy(col("doc_id"))
-        val topBi = bi.withColumn("mx", max(col("count")).over(w))
+        perBg.withColumn("mx", max(col("count")).over(w))
           .groupBy(col("doc_id"))
-          .agg((first(col("mx")).cast("double") / sum(col("count")).cast("double")).as("top_bigram_frac"))
-        base.join(topBi, "doc_id")
+          .agg(first(col("n_words")).as("n_words"),
+            first(col("mean_word_len")).as("mean_word_len"),
+            first(col("frac_alpha_words")).as("frac_alpha_words"),
+            (first(col("mx")).cast("double") / sum(col("count")).cast("double")).as("top_bigram_frac"))
           .select(col("doc_id"), col("n_words"), col("mean_word_len"),
             col("frac_alpha_words"), col("top_bigram_frac"),
             (col("n_words") >= 10 && col("n_words") <= 10000 &&
