@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sampling / splitting operators for training-data assembly.
@@ -60,5 +60,25 @@ object Sampling {
     weights.indices.map { i =>
       df.where(bucket >= math.floor(cum(i)).toLong && bucket < math.floor(cum(i + 1)).toLong)
     }
+  }
+
+  /** Single-pass labeled variant of [[hashSplit]]: every row tagged with its
+    * split name in ONE scan — the shape for split-wide reporting (per-split
+    * stats, partitioned writes via `.write.partitionBy("split")") where
+    * [[hashSplit]]'s one-frame-per-split shape would scan once per split.
+    * Assignment is identical to hashSplit (same bucket math), which the
+    * suite asserts.
+    */
+  def splitLabels(df: DataFrame, idCol: String, weights: Seq[Double],
+      seed: Long, names: Seq[String]): DataFrame = {
+    require(names.length == weights.length && weights.forall(_ > 0))
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).map(_ / total * 10000.0)
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
+    val label = weights.indices.foldRight(lit(names.last): Column) { (i, acc) =>
+      when(bucket >= math.floor(cum(i)).toLong && bucket < math.floor(cum(i + 1)).toLong,
+        lit(names(i))).otherwise(acc)
+    }
+    df.withColumn("split", label)
   }
 }

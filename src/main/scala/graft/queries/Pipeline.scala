@@ -690,12 +690,11 @@ object Pipeline {
     // disjointness/coverage/stability are asserted in SamplingSuite. ----
     QuerySpec("sample_hash_split",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        val splits = graft.operators.Sampling.hashSplit(d, "doc_id", Seq(0.8, 0.1, 0.1), seed = 11L)
-        val named = splits.zip(Seq("train", "val", "test")).map { case (df, nm) =>
-          df.select(lit(nm).as("split"), col("doc_id"))
-        }
-        named.reduce(_ unionByName _)
+        // single-pass labeled shape: one scan for all three splits (the
+        // unioned per-split frames would scan the corpus once per split);
+        // SamplingSuite asserts the labels agree with hashSplit exactly
+        graft.operators.Sampling.splitLabels(t(s, dir, "documents"), "doc_id",
+            Seq(0.8, 0.1, 0.1), seed = 11L, names = Seq("train", "val", "test"))
           .groupBy("split").agg(count(lit(1)).as("n_docs"))
           .orderBy(col("split"))
       },

@@ -22,6 +22,21 @@ class SamplingSuite extends SparkTestBase {
     assert(overlap == 0)
   }
 
+  test("splitLabels assigns exactly like hashSplit in one pass") {
+    val d = docs
+    val labeled = Sampling.splitLabels(d, "doc_id", Seq(0.8, 0.1, 0.1), seed = 11L,
+        names = Seq("train", "val", "test"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val splits = Sampling.hashSplit(d, "doc_id", Seq(0.8, 0.1, 0.1), seed = 11L)
+    splits.zip(Seq("train", "val", "test")).foreach { case (df, nm) =>
+      df.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+        assert(labeled(id) == nm, s"doc $id: labeled ${labeled(id)}, hashSplit $nm")
+      }
+    }
+    assert(labeled.size == d.count())
+  }
+
   test("hashSplit is stable under resharding (no train/test leakage)") {
     val a = Sampling.hashSplit(docs, "doc_id", Seq(0.5, 0.5), seed = 3L)
     val b = Sampling.hashSplit(docs.repartition(13), "doc_id", Seq(0.5, 0.5), seed = 3L)
