@@ -21,6 +21,41 @@ class BucketingSuite extends SparkTestBase {
     assert(back.count() == docs.where(col("source") === "src1").count())
   }
 
+  test("dynamic partition pruning fires for a filtered-dim join") {
+    import spark.implicits._
+    val docs = QueryPack.t(spark, sf(), "documents").select("doc_id", "n_chars", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // a dim table that selects 2 of the 20 sources only at RUNTIME (the
+    // filter is on a dim attribute, not the partition column itself, so
+    // static pruning can't apply — DPP must inject the runtime subquery)
+    // dim must be a FILE relation: a LocalRelation would constant-fold the
+    // verdict filter away and DPP sees no selective predicate to reuse
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("src1", "keep"), ("src2", "keep"), ("src3", "drop"))
+      .toDF("source", "verdict").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // at test scale the cost model sees a tiny fact table and skips DPP; pin
+    // the ratio-based benefit estimate so the 100 TB behavior is the one
+    // demonstrated (at real scale the stats-based estimate fires on its own)
+    val useStats = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val ratio = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try {
+      val joined = fact.join(dim, "source").where(col("verdict") === "keep")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected dynamic partition pruning in:\n$plan")
+      assert(joined.count() ==
+        docs.where(col("source").isin("src1", "src2")).count())
+    } finally {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", useStats)
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", ratio)
+    }
+  }
+
   test("join of two same-bucketed tables runs with no shuffle exchange") {
     val docs = QueryPack.t(spark, sf(), "documents").select("doc_id", "source", "n_chars")
     val scores = docs.select(col("doc_id"), (col("n_chars") % 100).as("quality"))
