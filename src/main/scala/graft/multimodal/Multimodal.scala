@@ -227,13 +227,60 @@ object Multimodal {
       Some((rate, (bytes.length - i).toLong * 8L / kbps)) // kbps == bits/ms
     } catch { case _: Exception => None }
 
+  /** OGG container probe: identification header from the first page
+    * ("OpusHead" -> 48 kHz output rate per RFC 7845; "vorbis" -> the
+    * id header's sample rate), duration from the LAST page's granule
+    * position (PCM sample count at the stream's granule rate: 48 kHz for
+    * Opus regardless of input rate, the id-header rate for Vorbis). Public
+    * byte layouts (RFC 3533/7845, Vorbis I spec); never throws.
+    */
+  private[graft] def oggInfo(bytes: Array[Byte]): Option[(Int, Long)] =
+    try {
+      if (bytes.length < 58 || bytes(0) != 'O' || bytes(1) != 'g' ||
+          bytes(2) != 'g' || bytes(3) != 'S') return None
+      def str(off: Int, n: Int): String =
+        if (off + n > bytes.length) ""
+        else new String(bytes, off, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+      def u32le(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      // first page payload starts after the 27-byte header + segment table
+      val nSegs0 = bytes(26) & 0xff
+      val p0 = 27 + nSegs0
+      val (granuleRate, sampleRate) =
+        if (str(p0, 8) == "OpusHead") {
+          val inputRate = if (p0 + 16 <= bytes.length) u32le(p0 + 12).toInt else 48000
+          (48000, if (inputRate > 0) inputRate else 48000) // granules always 48 kHz
+        } else if (str(p0, 7) == "vorbis") {
+          val rate = if (p0 + 16 <= bytes.length) u32le(p0 + 12).toInt else 0
+          if (rate <= 0) return None
+          (rate, rate)
+        } else return None
+      // find the last page's granule position (bytes 6-13 of the page header)
+      var lastGranule = -1L
+      var i = 0
+      while (i + 14 <= bytes.length) {
+        if (bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' && bytes(i + 3) == 'S') {
+          var g = 0L
+          var j = 7
+          while (j >= 0) { g = (g << 8) | (bytes(i + 6 + j) & 0xffL); j -= 1 }
+          if (g > lastGranule) lastGranule = g
+          val nSegs = if (i + 26 < bytes.length) bytes(i + 26) & 0xff else 0
+          i += 27 + nSegs // skip at least the header; payload scan continues
+        } else i += 1
+      }
+      val dur = if (lastGranule > 0) lastGranule * 1000L / granuleRate else 0L
+      Some((sampleRate, dur))
+    } catch { case _: Exception => None }
+
   /** (sample_rate, duration_ms) across the supported audio containers:
-    * WAV (full PCM parse), FLAC (STREAMINFO), MP3 (frame header + CBR
-    * duration estimate).
+    * WAV (full PCM parse), FLAC (STREAMINFO), OGG Opus/Vorbis (granule
+    * positions), MP3 (frame header + CBR duration estimate).
     */
   private[graft] def audioInfo(bytes: Array[Byte]): Option[(Int, Long)] =
     wavInfo(bytes).map { case (rate, _, _, durMs, _, _) => (rate, durMs) }
       .orElse(flacInfo(bytes))
+      .orElse(oggInfo(bytes))
       .orElse(mp3Info(bytes))
 
   /** Fill the audio rows' metadata (sample_rate, duration_ms) from WAV,

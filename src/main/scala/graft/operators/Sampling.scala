@@ -64,7 +64,7 @@ object Sampling {
 
   /** Single-pass labeled variant of [[hashSplit]]: every row tagged with its
     * split name in ONE scan — the shape for split-wide reporting (per-split
-    * stats, partitioned writes via `.write.partitionBy("split")") where
+    * stats, partitioned writes via `.write.partitionBy("split")`) where
     * [[hashSplit]]'s one-frame-per-split shape would scan once per split.
     * Assignment is identical to hashSplit (same bucket math), which the
     * suite asserts.

@@ -138,6 +138,27 @@ class MultimodalSuite extends SparkTestBase {
     assert(Multimodal.audioInfo(flac).contains((44100, 10000L)))
     assert(Multimodal.audioInfo(mp3).contains((44100, 100L)))
     assert(Multimodal.audioInfo(halfWav()).contains((8000, 1000L)))
+    // OGG/Opus: identification page (OpusHead, input rate 16 kHz) + a final
+    // page with granule position 96000 -> 96000/48000 Hz = 2000 ms
+    val ogg = {
+      val out = new java.io.ByteArrayOutputStream()
+      def page(granule: Long, payload: Array[Byte]): Unit = {
+        out.write("OggS".getBytes); out.write(0); out.write(0)
+        var g = granule
+        for (_ <- 0 until 8) { out.write((g & 0xff).toInt); g >>= 8 }
+        out.write(new Array[Byte](12)) // serial, seq, checksum
+        out.write(1); out.write(payload.length) // one segment
+        out.write(payload)
+      }
+      val opusHead = "OpusHead".getBytes ++ Array[Byte](1, 2, 0, 0) ++
+        Array[Byte](0x80.toByte, 0x3E, 0, 0) ++ Array[Byte](0, 0, 0) // 16000 Hz le
+      page(0L, opusHead)
+      page(96000L, Array[Byte](0))
+      out.toByteArray
+    }
+    val o = Multimodal.oggInfo(ogg)
+    assert(o.contains((16000, 2000L)), s"ogg probe: $o")
+    assert(Multimodal.audioInfo(ogg).contains((16000, 2000L)))
     // garbage and truncation never throw
     val rnd = new java.util.Random(5)
     for (_ <- 0 until 50) {
@@ -146,6 +167,8 @@ class MultimodalSuite extends SparkTestBase {
     }
     Multimodal.audioInfo("fLaC".getBytes)
     Multimodal.audioInfo("ID3".getBytes)
+    Multimodal.audioInfo("OggS".getBytes)
+    Multimodal.audioInfo(("OggS" + "x" * 60).getBytes)
     Multimodal.audioInfo(Array(0xFF.toByte, 0xE0.toByte))
   }
 
