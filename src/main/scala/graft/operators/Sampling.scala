@@ -62,6 +62,23 @@ object Sampling {
     }
   }
 
+  /** Cap each group's contribution at `n` rows — the domain/source-balancing
+    * step of corpus curation ("no single domain dominates the mix"). Which
+    * rows survive is decided by a seeded hash of the id, so the selection is
+    * uniform within the group, deterministic, and STABLE UNDER RESHARDING
+    * (reruns keep the same rows). One hash-shuffle on the group key; the
+    * per-group top-n is a running window, no global sort.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
+      seed: Long): DataFrame = {
+    require(n >= 1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Single-pass labeled variant of [[hashSplit]]: every row tagged with its
     * split name in ONE scan — the shape for split-wide reporting (per-split
     * stats, partitioned writes via `.write.partitionBy("split")`) where

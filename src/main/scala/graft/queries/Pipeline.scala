@@ -700,6 +700,22 @@ object Pipeline {
       },
       None),
 
+    // ---- Per-group capping (domain balancing): each source contributes at
+    // most 20 docs, chosen by seeded id-hash (reshard-stable). WHICH docs
+    // survive is hash-specific, but the per-source counts are exactly
+    // min(cap, source size) — that contract is the hash-exact oracle;
+    // SamplingSuite covers selection determinism. ----
+    QuerySpec("sample_group_cap",
+      (s, dir) => {
+        graft.operators.Sampling.capPerGroup(t(s, dir, "documents"),
+            "source", "doc_id", n = 20, seed = 5L)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source,
+          CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ---- Corpus-level MinHash sketches: one algebraic aggregate per source,
     // then a tiny cross of the 20 sketches estimates every pairwise Jaccard
     // without joining documents. Deterministic (min is commutative) but

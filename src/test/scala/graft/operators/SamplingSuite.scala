@@ -37,6 +37,21 @@ class SamplingSuite extends SparkTestBase {
     assert(labeled.size == d.count())
   }
 
+  test("capPerGroup enforces the cap, deterministically, reshard-stably") {
+    val d = docs
+    val capped = Sampling.capPerGroup(d, "source", "doc_id", n = 7, seed = 3L)
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) => assert(bySource(src) == math.min(7L, n)) }
+    // same selection on a differently-partitioned input
+    val ids1 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.capPerGroup(d.repartition(13), "source", "doc_id", n = 7, seed = 3L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "cap selection must be reshard-stable")
+  }
+
   test("hashSplit is stable under resharding (no train/test leakage)") {
     val a = Sampling.hashSplit(docs, "doc_id", Seq(0.5, 0.5), seed = 3L)
     val b = Sampling.hashSplit(docs.repartition(13), "doc_id", Seq(0.5, 0.5), seed = 3L)
