@@ -172,7 +172,7 @@ object TextFunctions {
     * partial+final on (domain) keys, and the domain cardinality (millions)
     * is tiny next to the corpus.
     */
-  def domainStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+  def domainStats(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.select(explode(urlHosts(col(textCol))).as("domain"))
       .groupBy("domain")

@@ -300,11 +300,16 @@ case class HyperplaneLshBucket(child: Expression, bits: Int, planeOffset: Int = 
   * corpus at 100 TB stays inside whole-stage codegen: the centroid matrix
   * rides along as a codegen reference object (one per JVM, not per row), and
   * the argmax is a tight primitive double loop. Ties break to the lowest
-  * cell index.
+  * cell index. The centroid table is L2-normalized on construction, so the
+  * cosine semantics hold for arbitrary caller-supplied centroids.
   */
 case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   require(centroids.nonEmpty)
+  // Enforce the unit-norm contract instead of documenting it: the table is
+  // re-normalized here, so the result is cosine-nearest no matter what the
+  // caller passes (an already-unit table is unchanged).
+  private lazy val unitCentroids = CentroidTable.normalizeRows(centroids)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -316,8 +321,8 @@ case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
     val a = input.asInstanceOf[ArrayData]
     var best = 0; var bestD = Double.NegativeInfinity
     var c = 0
-    while (c < centroids.length) {
-      val cc = centroids(c)
+    while (c < unitCentroids.length) {
+      val cc = unitCentroids(c)
       val n = math.min(cc.length, a.numElements())
       var d = 0.0; var i = 0
       while (i < n) {
@@ -330,7 +335,7 @@ case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
     best
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val cs = ctx.addReferenceObj("centroids", unitCentroids, "double[][]")
     val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
@@ -366,6 +371,21 @@ case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "argmin_centroid"
 }
 
+/** L2 row normalization for the centroid-assignment expressions: against
+  * unit rows, argmax dot == argmax cosine, so normalizing once here makes the
+  * assignment independent of the scale of each caller-supplied centroid.
+  */
+private[graft] object CentroidTable {
+  def normalizeRows(cs: Array[Array[Double]]): Array[Array[Double]] =
+    cs.map { row =>
+      var s = 0.0; var i = 0
+      while (i < row.length) { s += row(i) * row(i); i += 1 }
+      val n = math.sqrt(s)
+      // a zero row stays zero (dots 0 against everything) rather than NaN
+      if (n == 0.0 || math.abs(n - 1.0) < 1e-12) row else row.map(_ / n)
+    }
+}
+
 /** The `nProbe` nearest centroid indices (descending by dot product against
   * the unit-norm centroid table — cosine order, see [[ArgminCentroid]]) for a
   * float/double vector — the IVF query-side probe list. Runs on the small
@@ -374,6 +394,7 @@ case class ArgminCentroid(child: Expression, centroids: Array[Array[Double]])
 case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
     extends UnaryExpression with CodegenFallback {
   require(centroids.nonEmpty && nProbe >= 1)
+  private lazy val unitCentroids = CentroidTable.normalizeRows(centroids)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -383,10 +404,10 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
   private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val dots = new Array[Double](centroids.length)
+    val dots = new Array[Double](unitCentroids.length)
     var c = 0
-    while (c < centroids.length) {
-      val cc = centroids(c)
+    while (c < unitCentroids.length) {
+      val cc = unitCentroids(c)
       val n = math.min(cc.length, a.numElements())
       var d = 0.0; var i = 0
       while (i < n) {
@@ -396,7 +417,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
       dots(c) = d
       c += 1
     }
-    val idx = dots.indices.sortBy(i => (-dots(i), i)).take(math.min(nProbe, centroids.length))
+    val idx = dots.indices.sortBy(i => (-dots(i), i)).take(math.min(nProbe, unitCentroids.length))
     new GenericArrayData(idx.map(Int.box).toArray[Any])
   }
   override def equals(o: Any): Boolean = o match {

@@ -247,29 +247,46 @@ object Multimodal {
       // first page payload starts after the 27-byte header + segment table
       val nSegs0 = bytes(26) & 0xff
       val p0 = 27 + nSegs0
-      val (granuleRate, sampleRate) =
+      val (granuleRate, sampleRate, preSkip) =
         if (str(p0, 8) == "OpusHead") {
           val inputRate = if (p0 + 16 <= bytes.length) u32le(p0 + 12).toInt else 48000
-          (48000, if (inputRate > 0) inputRate else 48000) // granules always 48 kHz
+          // RFC 7845 §5.1: pre-skip (u16 LE at offset 10) is decoder priming
+          // samples to discard; audible duration excludes it.
+          val skip = if (p0 + 12 <= bytes.length)
+            (bytes(p0 + 10) & 0xff) | ((bytes(p0 + 11) & 0xff) << 8) else 0
+          (48000, if (inputRate > 0) inputRate else 48000, skip.toLong) // granules always 48 kHz
         } else if (str(p0, 7) == "vorbis") {
           val rate = if (p0 + 16 <= bytes.length) u32le(p0 + 12).toInt else 0
           if (rate <= 0) return None
-          (rate, rate)
+          (rate, rate, 0L)
         } else return None
-      // find the last page's granule position (bytes 6-13 of the page header)
+      // Walk page-by-page (RFC 3533: next page = 27-byte header + segment
+      // table + lacing sum) so an 'OggS' occurring inside a packet payload is
+      // never mistaken for a page header. Granule position is bytes 6-13 of
+      // each header; -1 (no packet ends on this page) is skipped. Stops at
+      // the first malformed/truncated page, keeping granules seen so far.
       var lastGranule = -1L
       var i = 0
-      while (i + 14 <= bytes.length) {
-        if (bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' && bytes(i + 3) == 'S') {
+      var ok = true
+      while (ok && i + 27 <= bytes.length) {
+        if (bytes(i) != 'O' || bytes(i + 1) != 'g' || bytes(i + 2) != 'g' || bytes(i + 3) != 'S') {
+          ok = false
+        } else {
           var g = 0L
           var j = 7
           while (j >= 0) { g = (g << 8) | (bytes(i + 6 + j) & 0xffL); j -= 1 }
-          if (g > lastGranule) lastGranule = g
-          val nSegs = if (i + 26 < bytes.length) bytes(i + 26) & 0xff else 0
-          i += 27 + nSegs // skip at least the header; payload scan continues
-        } else i += 1
+          if (g >= 0 && g > lastGranule) lastGranule = g
+          val nSegs = bytes(i + 26) & 0xff
+          if (i + 27 + nSegs > bytes.length) ok = false
+          else {
+            var lace = 0; var s = 0
+            while (s < nSegs) { lace += bytes(i + 27 + s) & 0xff; s += 1 }
+            i += 27 + nSegs + lace
+          }
+        }
       }
-      val dur = if (lastGranule > 0) lastGranule * 1000L / granuleRate else 0L
+      val samples = math.max(0L, lastGranule - preSkip)
+      val dur = if (samples > 0) samples * 1000L / granuleRate else 0L
       Some((sampleRate, dur))
     } catch { case _: Exception => None }
 

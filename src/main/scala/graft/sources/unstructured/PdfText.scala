@@ -354,13 +354,15 @@ private[graft] object PdfText {
     val s = new String(data, StandardCharsets.ISO_8859_1)
     val token = new StringBuilder
     var i = 0
-    def flushToken(): Unit = {
-      token.toString match {
+    def flushToken(): String = {
+      val t = token.toString
+      t match {
         case "Td" | "TD" | "T*" | "'" | "\"" =>
           if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
         case _ =>
       }
       token.clear()
+      t
     }
     while (i < s.length && sb.length < maxChars) {
       s.charAt(i) match {
@@ -368,19 +370,62 @@ private[graft] object PdfText {
           flushToken()
           i = parseLiteralString(s, i + 1, sb, maxChars)
         case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
-          flushToken(); i += 2 // dictionary open, not a string
+          // dictionary: skip the whole body to the matching '>>' so hex
+          // strings inside it are never decoded as page text
+          flushToken(); i = skipDictionary(s, i + 2)
         case '<' =>
           flushToken()
           val end = s.indexOf('>', i + 1)
           if (end < 0) i = s.length
           else { decodeHexString(s.substring(i + 1, end), cmap, sb); i = end + 1 }
         case c if c.isWhitespace || c == '[' || c == ']' || c == '/' || c == '>' =>
-          flushToken(); i += 1
+          val t = flushToken()
+          i += 1
+          // BI ... ID <binary> EI inline image: the binary run can contain
+          // any bytes, including '(' '<' operator look-alikes — skip it whole
+          if (t == "BI") i = skipInlineImage(s, i)
         case c =>
           token.append(c); i += 1
       }
     }
     flushToken()
+  }
+
+  /** Skip a `<< ... >>` dictionary body starting just after the opener.
+    * Handles nested dictionaries and skips literal/hex strings inside so a
+    * ')' or '>>' within a string value cannot end the dictionary early.
+    * Returns the index after the matching '>>' (or end of input).
+    */
+  private def skipDictionary(s: String, start: Int): Int = {
+    var i = start
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' => depth += 1; i += 2
+        case '>' if i + 1 < s.length && s.charAt(i + 1) == '>' => depth -= 1; i += 2
+        case '<' =>
+          val e = s.indexOf('>', i + 1); i = if (e < 0) s.length else e + 1
+        case '(' => i = parseLiteralString(s, i + 1, new StringBuilder, Int.MaxValue)
+        case _ => i += 1
+      }
+    }
+    i
+  }
+
+  /** Skip past an inline image: advance beyond the `ID` marker, then find the
+    * first whitespace-delimited `EI`. Returns the index after `EI` (or end of
+    * input when unterminated).
+    */
+  private def skipInlineImage(s: String, start: Int): Int = {
+    val id = s.indexOf("ID", start)
+    var i = if (id < 0) start else id + 3 // 'ID' + single whitespace byte
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == 'E' && s.charAt(i + 1) == 'I' &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + 2 >= s.length || s.charAt(i + 2).isWhitespace)) return i + 2
+      i += 1
+    }
+    s.length
   }
 
   /** Decode one `<...>` hex string. With 2-byte ToUnicode entries available

@@ -153,12 +153,24 @@ class MultimodalSuite extends SparkTestBase {
       val opusHead = "OpusHead".getBytes ++ Array[Byte](1, 2, 0, 0) ++
         Array[Byte](0x80.toByte, 0x3E, 0, 0) ++ Array[Byte](0, 0, 0) // 16000 Hz le
       page(0L, opusHead)
+      // payload containing a decoy 'OggS' + 0xFF garbage granule: the
+      // page-by-page walk must skip it via the lacing table, not match it
+      page(48000L, "xxOggS".getBytes ++ Array.fill[Byte](8)(0xFF.toByte))
       page(96000L, Array[Byte](0))
       out.toByteArray
     }
     val o = Multimodal.oggInfo(ogg)
     assert(o.contains((16000, 2000L)), s"ogg probe: $o")
     assert(Multimodal.audioInfo(ogg).contains((16000, 2000L)))
+    // nonzero Opus pre-skip (312 samples, the codec default) is subtracted:
+    // (96000 - 312) / 48 = 1993 ms
+    val oggSkip = {
+      val bytes = ogg.clone()
+      val p0 = 27 + 1 // first page payload offset (one lacing segment)
+      bytes(p0 + 10) = 0x38; bytes(p0 + 11) = 0x01
+      bytes
+    }
+    assert(Multimodal.oggInfo(oggSkip).contains((16000, 1993L)))
     // garbage and truncation never throw
     val rnd = new java.util.Random(5)
     for (_ <- 0 until 50) {

@@ -234,7 +234,7 @@ class DedupSuite extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(blocked.keySet == Set(1L, 3L))
     assert(blocked(3L) == Seq("bad-site.org"))
-    val stats = TF.domainStats(df, "id", "text")
+    val stats = TF.domainStats(df, "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats == Map("example.com" -> 1L, "cdn.net" -> 1L, "bad-site.org" -> 1L))
   }
