@@ -31,6 +31,26 @@ private[graft] object HashFamily {
   }
   def hashString(s: UTF8String, seed: Long): Long =
     XxHash64Function.hash(s, StringType, seed)
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** PORTABLE 64-bit hash: first 8 bytes of md5(utf8 bytes), big-endian.
+    * Chosen because every engine with an `md5(varchar)` can reproduce it —
+    * DuckDB: `('0x' || substr(md5(t), 1, 16))::UBIGINT` yields the identical
+    * bit pattern — which is what lets hash-keyed operators (simhash) be
+    * checked hash-exact against an external oracle. Slower than xxhash64
+    * (a MessageDigest round per element), so it is the gate/interop variant,
+    * not the default hot path.
+    */
+  def md5Long(s: UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L; var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
 }
 
 /** MinHash signature of an array<string> token/shingle column.
@@ -113,8 +133,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_signature"
 }
 
-/** 64-bit SimHash (Charikar '02) of an array<string> column. Map-side only. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+/** 64-bit SimHash (Charikar '02) of an array<string> column. Map-side only.
+  *
+  * @param portable when true, tokens are hashed with [[HashFamily.md5Long]]
+  *                 (md5-derived, engine-portable) instead of xxhash64 — the
+  *                 variant the hash-exact DuckDB oracle of the dedup_simhash
+  *                 gate reproduces bit-for-bit. Default stays xxhash64 (fast).
+  */
+case class SimHash64(child: Expression, portable: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -128,7 +155,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = HashFamily.hashString(arr.getUTF8String(i), HashFamily.BaseSeed)
+        val h =
+          if (portable) HashFamily.md5Long(arr.getUTF8String(i))
+          else HashFamily.hashString(arr.getUTF8String(i), HashFamily.BaseSeed)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -436,8 +465,16 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
   * polynomial hashes of every k-char window, then the min hash of each
   * w-window is kept. Output: array<long> document fingerprint, robust to
   * local edits — complements md5 exact fingerprints.
+  *
+  * @param portable when true, k-gram hashes use mod-P polynomial arithmetic
+  *                 (P = 2^31-1, base 1000003) over UTF-16 code units instead
+  *                 of the wrap-around 2^64 polynomial — every intermediate
+  *                 fits a 64-bit engine without overflow, so an external SQL
+  *                 oracle (DuckDB) reproduces the values bit-for-bit. Same
+  *                 winnowing either way; default stays the fast wrap-around.
   */
-case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int,
+    portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(k >= 2 && w >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -453,16 +490,35 @@ case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val nh = n - k + 1
     val hashes = new Array[Long](nh)
-    var h = 0L
-    var pow = 1L
     var i = 0
-    while (i < k) { h = h * B + s.charAt(i); if (i < k - 1) pow = pow * B; i += 1 }
-    hashes(0) = h
-    i = 1
-    while (i < nh) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
-      hashes(i) = h
-      i += 1
+    if (portable) {
+      import WinnowedFingerprints.{PortableBase => PB, PortableMod => P}
+      var h = 0L
+      var pow = 1L
+      while (i < k) {
+        h = (h * PB + s.charAt(i)) % P
+        if (i < k - 1) pow = pow * PB % P
+        i += 1
+      }
+      hashes(0) = h
+      i = 1
+      while (i < nh) {
+        // rolling update mod P: all intermediates stay below 2^52
+        h = (((h - s.charAt(i - 1) * pow % P + P) % P) * PB + s.charAt(i + k - 1)) % P
+        hashes(i) = h
+        i += 1
+      }
+    } else {
+      var h = 0L
+      var pow = 1L
+      while (i < k) { h = h * B + s.charAt(i); if (i < k - 1) pow = pow * B; i += 1 }
+      hashes(0) = h
+      i = 1
+      while (i < nh) {
+        h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+        hashes(i) = h
+        i += 1
+      }
     }
     // winnow: min of each window of w consecutive hashes, deduped consecutively
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -485,6 +541,17 @@ case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnowed_fingerprints"
 }
 
+object WinnowedFingerprints {
+  /** Portable-variant polynomial parameters: P = 2^31 - 1 keeps every
+    * intermediate product under 2^52, so engines with checked (non-wrapping)
+    * 64-bit arithmetic — DuckDB BIGINT errors on overflow — can evaluate the
+    * identical polynomial. Exposed so the gate's oracle SQL derives its
+    * inlined power table from the same constants.
+    */
+  final val PortableMod = 2147483647L
+  final val PortableBase = 1000003L
+}
+
 /** Column-API wrappers (ExpressionUtils bridges Column <-> Expression on Spark 4). */
 object GraftFunctions {
   private def col(e: Expression): Column = GraftSQLBridge.column(e)
@@ -492,14 +559,16 @@ object GraftFunctions {
 
   def minhash_signature(c: Column, numHashes: Int = 128): Column =
     col(MinHashSignature(expr(c), numHashes))
-  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+  def simhash64(c: Column, portable: Boolean = false): Column =
+    col(SimHash64(expr(c), portable))
   def word_shingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
   def cosine_similarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))
   def lsh_bucket(c: Column, bits: Int = 8, planeOffset: Int = 0): Column =
     col(HyperplaneLshBucket(expr(c), bits, planeOffset))
-  def winnowed_fingerprints(c: Column, k: Int = 9, w: Int = 4): Column =
-    col(WinnowedFingerprints(expr(c), k, w))
+  def winnowed_fingerprints(c: Column, k: Int = 9, w: Int = 4,
+      portable: Boolean = false): Column =
+    col(WinnowedFingerprints(expr(c), k, w, portable))
   def argmin_centroid(c: Column, centroids: Array[Array[Double]]): Column =
     col(ArgminCentroid(expr(c), centroids))
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], nProbe: Int): Column =

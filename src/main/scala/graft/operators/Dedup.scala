@@ -340,8 +340,15 @@ object Dedup {
     * and for aggressive distances at 100 TB the Manku multi-table permuted
     * variant (wider blocks, several tables) is the extension point.
     */
+  /** @param portable hash tokens with the md5-derived engine-portable hash
+    *                  (see [[graft.functions.SimHash64]]) so an external SQL
+    *                  oracle can recompute the simhashes bit-for-bit; the
+    *                  banding stays complete either way (pigeonhole — it does
+    *                  not depend on the hash function)
+    */
   def simHashDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
+      portable: Boolean = false): DataFrame = {
     val bands = maxHamming + 1
     require(bands >= 1 && bands <= 64, s"maxHamming must be in [0, 63], got $maxHamming")
     val base = 64 / bands
@@ -349,7 +356,7 @@ object Dedup {
     val widths = Array.tabulate(bands)(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
     def mkBanded(rows: DataFrame): DataFrame = rows
-      .select(col(idCol).as("id"), F.simhash64(T.tokens(col(textCol))).as("sim"))
+      .select(col(idCol).as("id"), F.simhash64(T.tokens(col(textCol)), portable).as("sim"))
       .select(col("id"), col("sim"), posexplode(
         array((0 until bands).map { b =>
           val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L

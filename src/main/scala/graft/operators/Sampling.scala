@@ -52,15 +52,29 @@ object Sampling {
     * 100 TB corpus is re-partitioned between runs.
     */
   def hashSplit(df: DataFrame, idCol: String, weights: Seq[Double],
-      seed: Long): Seq[DataFrame] = {
+      seed: Long, portable: Boolean = false): Seq[DataFrame] = {
     require(weights.nonEmpty && weights.forall(_ > 0))
     val total = weights.sum
     val cum = weights.scanLeft(0.0)(_ + _).map(_ / total * 10000.0)
-    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
+    val bucket = bucketCol(idCol, seed, portable)
     weights.indices.map { i =>
       df.where(bucket >= math.floor(cum(i)).toLong && bucket < math.floor(cum(i + 1)).toLong)
     }
   }
+
+  /** The split bucket in [0, 10000): seeded xxhash64 by default; `portable`
+    * switches to the first 15 hex chars of `md5(id || ':' || seed)` parsed as
+    * a 60-bit integer — bit-identical in any engine with md5 (DuckDB:
+    * `('0x' || substr(md5(id::VARCHAR || ':<seed>'), 1, 15))::BIGINT`), which
+    * is what lets the sample_hash_split gate be checked hash-exact. Both are
+    * pure map-side column expressions, so the reshard-stability story is
+    * identical.
+    */
+  private def bucketCol(idCol: String, seed: Long, portable: Boolean): Column =
+    if (portable)
+      pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 15),
+        16, 10).cast("long"), lit(10000L))
+    else pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
 
   /** Cap each group's contribution at `n` rows — the domain/source-balancing
     * step of corpus curation ("no single domain dominates the mix"). Which
@@ -87,11 +101,11 @@ object Sampling {
     * suite asserts.
     */
   def splitLabels(df: DataFrame, idCol: String, weights: Seq[Double],
-      seed: Long, names: Seq[String]): DataFrame = {
+      seed: Long, names: Seq[String], portable: Boolean = false): DataFrame = {
     require(names.length == weights.length && weights.forall(_ > 0))
     val total = weights.sum
     val cum = weights.scanLeft(0.0)(_ + _).map(_ / total * 10000.0)
-    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
+    val bucket = bucketCol(idCol, seed, portable)
     val label = weights.indices.foldRight(lit(names.last): Column) { (i, acc) =>
       when(bucket >= math.floor(cum(i)).toLong && bucket < math.floor(cum(i + 1)).toLong,
         lit(names(i))).otherwise(acc)

@@ -81,22 +81,47 @@ object Pipeline {
     // candidate generation; DedupSuite asserts equality with brute-force
     // all-pairs Hamming). distance 4 = 5 bands of 12-13 bits: buckets stay
     // fine-grained (completeness at larger distances forces coarser blocks
-    // and quadratically more candidates). Not expressible in ANSI SQL
-    // (xxhash64) -> rows-only check. ----
+    // and quadratically more candidates). The gate runs the PORTABLE token
+    // hash (md5-derived, see HashFamily.md5Long) so DuckDB recomputes the
+    // simhashes bit-for-bit; banding completeness is hash-independent
+    // (pigeonhole), so the result still EQUALS brute-force all-pairs Hamming
+    // — which is exactly what the oracle computes. ----
     QuerySpec("dedup_simhash",
       (s, dir) => Dedup.simHashDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 4)
+          maxHamming = 4, portable = true)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some(s"""WITH th AS (
+          SELECT doc_id, ('0x' || substr(md5(u.t), 1, 16))::UBIGINT AS h
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents), UNNEST(tk) AS u(t)
+        ), bits AS (
+          SELECT doc_id, g.b AS b,
+            (SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) > 0) AS bit
+          FROM th, generate_series(0, 63) AS g(b)
+          GROUP BY doc_id, g.b
+        ), ham AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+          FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b""")),
 
     // ---- Embedding near-dup via hyperplane LSH + exact cosine verify.
-    // Rows-only (LSH recall < 1 at this threshold is by design). ----
+    // bits=5 x tables=20 is the measured-complete config at this corpus +
+    // threshold: every exact-cosine pair >= 0.45 collides in >= 1 table
+    // (DedupSuite asserts candidates == exact brute force at THIS config), so
+    // the brute-force cosine oracle applies hash-exact. The completeness
+    // search and per-pair collision margins are recorded in BASELINE.md. ----
     QuerySpec("dedup_embedding",
       (s, dir) => Dedup.embeddingDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.45, bits = 4, tables = 4)
+          threshold = 0.45, bits = 5, tables = 20)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        ORDER BY id_a, id_b""")),
 
     // ---- ANN: brute-force exact top-5 cosine neighbors for 20 query vectors.
     // Corpus never shuffles: queries broadcast, scoring is map-side codegen,
@@ -686,19 +711,27 @@ object Pipeline {
 
     // ---- Train/val/test split by seeded id-hash bucket: membership is a
     // pure map-side filter, stable under resharding (the anti-leakage
-    // property randomSplit lacks). Rows-only: xxhash64 is engine-specific;
-    // disjointness/coverage/stability are asserted in SamplingSuite. ----
+    // property randomSplit lacks). The gate runs the PORTABLE bucket (60-bit
+    // md5-derived, Sampling.bucketCol) so DuckDB reproduces the assignment
+    // bit-for-bit; SamplingSuite asserts label/frame agreement and reshard
+    // stability for both hash variants. ----
     QuerySpec("sample_hash_split",
       (s, dir) => {
         // single-pass labeled shape: one scan for all three splits (the
         // unioned per-split frames would scan the corpus once per split);
         // SamplingSuite asserts the labels agree with hashSplit exactly
         graft.operators.Sampling.splitLabels(t(s, dir, "documents"), "doc_id",
-            Seq(0.8, 0.1, 0.1), seed = 11L, names = Seq("train", "val", "test"))
+            Seq(0.8, 0.1, 0.1), seed = 11L, names = Seq("train", "val", "test"),
+            portable = true)
           .groupBy("split").agg(count(lit(1)).as("n_docs"))
           .orderBy(col("split"))
       },
-      None),
+      Some("""WITH b AS (
+          SELECT CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))::BIGINT % 10000 AS bk
+                FROM documents)
+        )
+        SELECT split, COUNT(*) AS n_docs FROM b GROUP BY split ORDER BY split""")),
 
     // ---- Per-group capping (domain balancing): each source contributes at
     // most 20 docs, chosen by seeded id-hash (reshard-stable). WHICH docs
@@ -759,15 +792,64 @@ object Pipeline {
         FROM srcs a JOIN srcs b ON a.source < b.source
         ORDER BY src_a, src_b""")),
 
-    // ---- Winnowed rolling-hash fingerprints (Schleimer '03). Rows-only. ----
+    // ---- Winnowed rolling-hash fingerprints (Schleimer '03). The gate runs
+    // the PORTABLE mod-P polynomial (k=9, w=4, P=2^31-1, base 1000003 — every
+    // intermediate < 2^52, so DuckDB's checked BIGINT arithmetic evaluates the
+    // identical polynomial) and the oracle winnows with window functions:
+    // per-position k-gram hashes, MIN over each w-window of starts, then the
+    // consecutive-dedup count. The data floor (len >= 48 chars, ASCII-only,
+    // TESTDATA corpus) keeps every doc on the nh > w path the SQL models;
+    // FingerprintSuite asserts the Schleimer guarantees on BOTH variants plus
+    // the nh <= w and n < k edges the oracle never sees. ----
     QuerySpec("text_fingerprint",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        d.select(col("doc_id"), F.winnowed_fingerprints(col("text")).as("fp"))
+        d.select(col("doc_id"), F.winnowed_fingerprints(col("text"), portable = true).as("fp"))
           .select(col("doc_id"), size(col("fp")).as("n_fp"),
             array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
           .orderBy(col("doc_id"))
       },
-      None)
+      Some(fingerprintOracleSql))
   )
+
+  /** DuckDB oracle for text_fingerprint: the k-gram hash is the direct
+    * polynomial sum with the B^j mod P power table inlined from the SAME
+    * constants the Scala expression uses (WinnowedFingerprints.Portable*),
+    * so the two sides cannot drift.
+    */
+  private def fingerprintOracleSql: String = {
+    val P = graft.functions.WinnowedFingerprints.PortableMod
+    val B = graft.functions.WinnowedFingerprints.PortableBase
+    val k = 9
+    val w = 4
+    val pw = Array.iterate(1L, k)(p => p * B % P) // B^0 .. B^(k-1) mod P
+    // char at offset d of the window carries coefficient B^(k-1-d)
+    val cases = (0 until k)
+      .map(d => s"WHEN ${d} THEN ${pw(k - 1 - d)}").mkString(" ")
+    s"""WITH cp AS (
+        -- UNNEST(generate_series(..)) rather than a lateral table function:
+        -- DuckDB's generate_series table form cannot take column arguments
+        SELECT doc_id, u.i AS i, unicode(text[u.i]) AS c
+        FROM documents, UNNEST(generate_series(1, len(text))) AS u(i)
+      ), hs AS (
+        SELECT x.doc_id, x.i AS pos,
+          CAST(SUM(y.c::BIGINT * (CASE y.i - x.i $cases END)) % $P AS BIGINT) AS h
+        FROM cp x JOIN cp y ON y.doc_id = x.doc_id AND y.i BETWEEN x.i AND x.i + ${k - 1}
+        GROUP BY x.doc_id, x.i
+        HAVING COUNT(*) = $k
+      ), wm AS (
+        SELECT doc_id, pos,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m,
+          COUNT(*) OVER (PARTITION BY doc_id) AS nh
+        FROM hs
+      ), sel AS (
+        SELECT doc_id, m, LAG(m) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM wm WHERE pos <= nh - ${w - 1}
+      )
+      SELECT doc_id,
+        CAST(COUNT(CASE WHEN prev IS NULL OR m <> prev THEN 1 END) AS INT) AS n_fp,
+        MIN(m) AS fp_min, MAX(m) AS fp_max
+      FROM sel GROUP BY doc_id ORDER BY doc_id"""
+  }
 }

@@ -16,10 +16,13 @@ class FingerprintSuite extends SparkTestBase {
   private val k = 9 // gate defaults (GraftFunctions.winnowed_fingerprints)
   private val w = 4
 
-  private def fps(texts: (Long, String)*): Map[Long, Set[Long]] =
+  private def fpsWith(portable: Boolean, texts: (Long, String)*): Map[Long, Set[Long]] =
     texts.toSeq.toDF("id", "text")
-      .select(col("id"), F.winnowed_fingerprints(col("text"), k, w).as("fp"))
+      .select(col("id"), F.winnowed_fingerprints(col("text"), k, w, portable).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+  private def fps(texts: (Long, String)*): Map[Long, Set[Long]] =
+    fpsWith(portable = false, texts: _*)
 
   test("identical documents get identical fingerprints") {
     val m = fps(1L -> "the quick brown fox jumps over the lazy dog repeatedly",
@@ -48,6 +51,38 @@ class FingerprintSuite extends SparkTestBase {
     val m = fps(1L -> text)
     val nGrams = text.length - k + 1
     assert(m(1L).nonEmpty && m(1L).size <= nGrams)
+  }
+
+  test("portable variant: winnowing guarantee + values match the reference polynomial") {
+    // the text_fingerprint gate runs portable=true; the Schleimer guarantee
+    // must hold there too
+    val common = "zebras navigate moonlit canyons quietly tonight"
+    val m = fpsWith(portable = true,
+      1L -> s"first document prefix $common and a unique tail one",
+      2L -> s"a completely different beginning here $common another suffix")
+    assert(m(1L).intersect(m(2L)).nonEmpty)
+    // value check against an independent in-test evaluation of the mod-P
+    // polynomial + winnowing (the same math the DuckDB oracle runs)
+    val text = "the quick brown fox jumps over the lazy dog"
+    val P = graft.functions.WinnowedFingerprints.PortableMod
+    val B = graft.functions.WinnowedFingerprints.PortableBase
+    val grams = text.sliding(k).toArray
+    val hs = grams.map(g => g.foldLeft(0L)((h, c) => (h * B + c) % P))
+    val expected = hs.sliding(w).map(_.min).toSeq.distinct.toSet // consecutive-dedup == distinct for a set compare
+    val got = fpsWith(portable = true, 1L -> text)(1L)
+    assert(got == expected, s"portable fingerprints mismatch: got $got expected $expected")
+    // every portable hash respects the mod-P range (the oracle's arithmetic domain)
+    assert(got.forall(h => h >= 0L && h < P))
+  }
+
+  test("portable variant handles the nh <= w and n < k edges like the default") {
+    // 13 chars -> nh = 5 window hashes, nh > w=4 barely; 10 chars -> nh = 2 <= w
+    for (p <- Seq(false, true)) {
+      val short = fpsWith(p, 1L -> "ab")(1L) // n < k -> empty
+      assert(short.isEmpty)
+      val tiny = fpsWith(p, 1L -> "abcdefghij")(1L) // nh = 2 <= w -> single global min
+      assert(tiny.size == 1)
+    }
   }
 
   test("local edit far from a region preserves that region's fingerprints") {

@@ -50,7 +50,53 @@ class DedupSuite extends SparkTestBase {
     assert(lsh == exact, s"simhash maxHamming=8 must be exact: lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("GATE CONFIG: portable simhash equals brute-force Hamming on the gate corpus") {
+    // the dedup_simhash gate: sf0.01 documents, maxHamming=4, portable
+    // md5-derived token hash. Equality with brute force here is what makes
+    // the DuckDB oracle (same md5 hash, all-pairs bit compare) hash-exact.
+    val docs01 = QueryPack.t(spark, sf("sf0.01"), "documents")
+    val sh = docs01.select(col("doc_id"), F.simhash64(T.tokens(col("text")), portable = true).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 4
+    } yield (ia, ib)).toSet
+    val lsh = Dedup.simHashDuplicates(docs01, "doc_id", "text", maxHamming = 4, portable = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"gate-config simhash must be exact: lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("portable and default simhash token hashes are genuinely different functions") {
+    // guards against the portable flag silently not being plumbed through
+    val a = docs.select(F.simhash64(T.tokens(col("text"))).as("s")).collect().map(_.getLong(0))
+    val b = docs.select(F.simhash64(T.tokens(col("text")), portable = true).as("s"))
+      .collect().map(_.getLong(0))
+    assert(a.toSeq != b.toSeq)
+  }
+
   // ---- ground truth: embedding LSH dedup vs exact all-pairs cosine ----
+
+  test("GATE CONFIG: embedding dedup candidates are COMPLETE at bits=5 tables=20") {
+    // the dedup_embedding gate: sf0.01 embeddings, threshold 0.45. With exact
+    // cosine verification precision is 1.0, so completeness here means the
+    // output EQUALS brute force — which is what the DuckDB brute-force cosine
+    // oracle computes. Config chosen by measured coverage (see BASELINE.md):
+    // every true pair collides in >= 1 of the 20 tables with the min
+    // |hyperplane dot| at 1.6e-7, far above double rounding.
+    val emb01 = QueryPack.t(spark, sf("sf0.01"), "embeddings")
+    val exact = emb01.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .crossJoin(emb01.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), F.cosine_similarity(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingDuplicates(emb01, "vec_id", "embedding",
+        threshold = 0.45, bits = 5, tables = 20)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact,
+      s"gate-config embedding dedup must equal brute force: lsh=${lsh.size} exact=${exact.size} " +
+        s"missing=${(exact -- lsh).take(5)}")
+  }
 
   test("embedding dedup has perfect precision and bounded recall vs exact cosine") {
     val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))

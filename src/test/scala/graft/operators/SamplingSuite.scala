@@ -37,6 +37,34 @@ class SamplingSuite extends SparkTestBase {
     assert(labeled.size == d.count())
   }
 
+  test("portable bucket: splitLabels/hashSplit agree, cover, and reshard-stably") {
+    // the sample_hash_split gate variant (md5-derived 60-bit bucket): same
+    // agreement + anti-leakage contract as the default xxhash64 bucket
+    val d = docs
+    val labeled = Sampling.splitLabels(d, "doc_id", Seq(0.8, 0.1, 0.1), seed = 11L,
+        names = Seq("train", "val", "test"), portable = true)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val splits = Sampling.hashSplit(d, "doc_id", Seq(0.8, 0.1, 0.1), seed = 11L, portable = true)
+    val counts = splits.map(_.count())
+    assert(counts.sum == d.count(), "portable splits must cover all rows disjointly")
+    splits.zip(Seq("train", "val", "test")).foreach { case (df, nm) =>
+      df.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+        assert(labeled(id) == nm, s"doc $id: labeled ${labeled(id)}, hashSplit $nm")
+      }
+    }
+    // reshard stability (the anti-leakage property)
+    val trainA = splits(0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val trainB = Sampling.hashSplit(d.repartition(13), "doc_id", Seq(0.8, 0.1, 0.1),
+        seed = 11L, portable = true)(0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainA == trainB, "portable split membership must not depend on partitioning")
+    // and it is a different assignment than the default hash (flag is live)
+    val defTrain = Sampling.hashSplit(d, "doc_id", Seq(0.8, 0.1, 0.1), seed = 11L)(0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainA != defTrain)
+  }
+
   test("capPerGroup enforces the cap, deterministically, reshard-stably") {
     val d = docs
     val capped = Sampling.capPerGroup(d, "source", "doc_id", n = 7, seed = 3L)
