@@ -49,7 +49,8 @@ object CatalogUnit {
       ReflectiveCatalogUnit.implClass(ds, "org.apache.spark.sql.delta.catalog.DeltaCatalog"))
     case t => throw new UnsupportedOperationException(
       s"source type $t is registered but has no catalog unit (matches reference behavior " +
-        "for REST/AUDIO/XML, execution/command/DataSourceType.scala:26-73)")
+        "for REST/XML, execution/command/DataSourceType.scala:26-73; AUDIO is an " +
+        "unstructured scan here, beyond the reference's runtime-reject)")
   }
 }
 

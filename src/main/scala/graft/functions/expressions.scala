@@ -552,6 +552,33 @@ object WinnowedFingerprints {
   final val PortableBase = 1000003L
 }
 
+/** (sample_rate, duration_ms) probed from an audio byte column — the SQL
+  * surface of the multimodal audio header probes (WAV PCM, FLAC STREAMINFO,
+  * Ogg Opus/Vorbis granules, MP3 frame header; see
+  * [[graft.multimodal.Multimodal.audioInfo]]). Null for unrecognized bytes.
+  * The reference runtime-rejects AUDIO sources outright
+  * (execution/command/DataSourceType.scala:26-73), so this (plus the AUDIO
+  * unstructured scan) extends the surface rather than porting it.
+  */
+case class AudioInfo(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"audio_info expects binary, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    graft.multimodal.Multimodal.audioInfo(input.asInstanceOf[Array[Byte]]) match {
+      case Some((rate, durMs)) => InternalRow(rate, durMs)
+      case None => null
+    }
+  override protected def withNewChildInternal(c: Expression): AudioInfo = copy(child = c)
+  override def prettyName: String = "audio_info"
+}
+
 /** Column-API wrappers (ExpressionUtils bridges Column <-> Expression on Spark 4). */
 object GraftFunctions {
   private def col(e: Expression): Column = GraftSQLBridge.column(e)
@@ -577,6 +604,7 @@ object GraftFunctions {
     col(MinHashAgg(expr(c), numHashes).toAggregateExpression())
   def sketch_jaccard(a: Column, b: Column): Column =
     col(SketchJaccard(expr(a), expr(b)))
+  def audio_info(c: Column): Column = col(AudioInfo(expr(c)))
 
   /** SQL registration so spark.sql("SELECT cosine_similarity(a,b) ...") works. */
   /** The SQL surface of the pipeline expressions — ONE builder table shared
@@ -602,7 +630,8 @@ object GraftFunctions {
       WinnowedFingerprints(es.head, intArg(es, 1, 9), intArg(es, 2, 4))),
     "minhash_agg" -> ((es: Seq[Expression]) =>
       MinHashAgg(es.head, intArg(es, 1, 128)).toAggregateExpression()),
-    "sketch_jaccard" -> ((es: Seq[Expression]) => SketchJaccard(es.head, es(1))))
+    "sketch_jaccard" -> ((es: Seq[Expression]) => SketchJaccard(es.head, es(1))),
+    "audio_info" -> ((es: Seq[Expression]) => AudioInfo(es.head)))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -14,7 +14,10 @@ object SourceType extends Enumeration {
   val JDBC, ICEBERG, DELTA, PARQUET, ORC, CSV, JSON, AVRO, TEXT, IMAGE, PDF,
       VIDEO, AUDIO, XML, REST = Value
   val fileTypes: Set[Value] = Set(PARQUET, ORC, CSV, JSON, AVRO)
-  val unstructuredTypes: Set[Value] = Set(TEXT, IMAGE, PDF, VIDEO)
+  // AUDIO is a graft extension: the reference parses it but runtime-rejects
+  // (execution/command/DataSourceType.scala:26-73); here it scans like the
+  // other unstructured types with header-probed metadata columns
+  val unstructuredTypes: Set[Value] = Set(TEXT, IMAGE, PDF, VIDEO, AUDIO)
   def of(s: String): Value = values.find(_.toString == s.toUpperCase)
     .getOrElse(throw new IllegalArgumentException(s"unknown source type: $s"))
 }

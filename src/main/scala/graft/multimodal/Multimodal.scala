@@ -262,22 +262,33 @@ object Multimodal {
         } else return None
       // Walk page-by-page (RFC 3533: next page = 27-byte header + segment
       // table + lacing sum) so an 'OggS' occurring inside a packet payload is
-      // never mistaken for a page header. Granule position is bytes 6-13 of
-      // each header; -1 (no packet ends on this page) is skipped. Stops at
-      // the first malformed/truncated page, keeping granules seen so far.
+      // never mistaken for a page header while the stream is well-formed.
+      // After a malformed page (corruption, or the junk between chained/
+      // concatenated streams) the walk RESYNCHRONIZES on the next capture
+      // pattern instead of truncating the duration at the damage point —
+      // best-effort recovery, only ever engaged once the strict walk has
+      // already failed.
+      def nextCapture(from: Int): Int = {
+        var p = math.max(from, 0)
+        while (p + 4 <= bytes.length) {
+          if (bytes(p) == 'O' && bytes(p + 1) == 'g' && bytes(p + 2) == 'g' && bytes(p + 3) == 'S')
+            return p
+          p += 1
+        }
+        -1
+      }
       var lastGranule = -1L
       var i = 0
-      var ok = true
-      while (ok && i + 27 <= bytes.length) {
+      while (i >= 0 && i + 27 <= bytes.length) {
         if (bytes(i) != 'O' || bytes(i + 1) != 'g' || bytes(i + 2) != 'g' || bytes(i + 3) != 'S') {
-          ok = false
+          i = nextCapture(i + 1)
         } else {
           var g = 0L
           var j = 7
           while (j >= 0) { g = (g << 8) | (bytes(i + 6 + j) & 0xffL); j -= 1 }
           if (g >= 0 && g > lastGranule) lastGranule = g
           val nSegs = bytes(i + 26) & 0xff
-          if (i + 27 + nSegs > bytes.length) ok = false
+          if (i + 27 + nSegs > bytes.length) i = -1 // truncated tail: stop
           else {
             var lace = 0; var s = 0
             while (s < nSegs) { lace += bytes(i + 27 + s) & 0xff; s += 1 }

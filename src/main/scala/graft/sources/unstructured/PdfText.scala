@@ -364,25 +364,30 @@ private[graft] object PdfText {
       token.clear()
       t
     }
+    // BI ... ID <binary> EI inline image: the binary run can contain any
+    // bytes, including '(' '<' operator look-alikes — skip it whole. The
+    // check runs on EVERY token flush (not just the whitespace branch):
+    // hostile/malformed input can butt a '(' or '<' straight against BI.
     while (i < s.length && sb.length < maxChars) {
       s.charAt(i) match {
         case '(' =>
-          flushToken()
-          i = parseLiteralString(s, i + 1, sb, maxChars)
+          if (flushToken() == "BI") i = skipInlineImage(s, i)
+          else i = parseLiteralString(s, i + 1, sb, maxChars)
         case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
           // dictionary: skip the whole body to the matching '>>' so hex
           // strings inside it are never decoded as page text
-          flushToken(); i = skipDictionary(s, i + 2)
+          if (flushToken() == "BI") i = skipInlineImage(s, i)
+          else i = skipDictionary(s, i + 2)
         case '<' =>
-          flushToken()
-          val end = s.indexOf('>', i + 1)
-          if (end < 0) i = s.length
-          else { decodeHexString(s.substring(i + 1, end), cmap, sb); i = end + 1 }
+          if (flushToken() == "BI") i = skipInlineImage(s, i)
+          else {
+            val end = s.indexOf('>', i + 1)
+            if (end < 0) i = s.length
+            else { decodeHexString(s.substring(i + 1, end), cmap, sb); i = end + 1 }
+          }
         case c if c.isWhitespace || c == '[' || c == ']' || c == '/' || c == '>' =>
           val t = flushToken()
           i += 1
-          // BI ... ID <binary> EI inline image: the binary run can contain
-          // any bytes, including '(' '<' operator look-alikes — skip it whole
           if (t == "BI") i = skipInlineImage(s, i)
         case c =>
           token.append(c); i += 1
@@ -417,7 +422,16 @@ private[graft] object PdfText {
     * input when unterminated).
     */
   private def skipInlineImage(s: String, start: Int): Int = {
-    val id = s.indexOf("ID", start)
+    // the data marker is the whitespace-delimited ID *token* — an "ID"
+    // substring inside a BI parameter value (e.g. /Name containing ID) must
+    // not start the binary scan early, so require token boundaries just like
+    // the EI search below does
+    var id = s.indexOf("ID", start)
+    while (id >= 0 &&
+        !((id == 0 || s.charAt(id - 1).isWhitespace || "[]/<>".indexOf(s.charAt(id - 1)) >= 0) &&
+          (id + 2 >= s.length || s.charAt(id + 2).isWhitespace))) {
+      id = s.indexOf("ID", id + 1)
+    }
     var i = if (id < 0) start else id + 3 // 'ID' + single whitespace byte
     while (i + 1 < s.length) {
       if (s.charAt(i) == 'E' && s.charAt(i + 1) == 'I' &&

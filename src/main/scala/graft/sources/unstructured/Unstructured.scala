@@ -50,6 +50,7 @@ object Unstructured {
         .add("imagethumbnail", BinaryType)
       case "video" => base.add("format", StringType).add("duration", LongType)
         .add("width", IntegerType).add("height", IntegerType)
+      case "audio" => base.add("samplerate", IntegerType).add("duration", LongType)
       case _ => base
     }
   }
@@ -175,6 +176,14 @@ object Unstructured {
           .withColumn("width", col("__v.width"))
           .withColumn("height", col("__v.height"))
           .drop("__v")
+      case "audio" =>
+        // the same native Catalyst expression the SQL surface exposes as
+        // audio_info — header probes only, no payload decode
+        base
+          .withColumn("__a", graft.functions.GraftFunctions.audio_info(col("content")))
+          .withColumn("samplerate", col("__a.sample_rate"))
+          .withColumn("duration", col("__a.duration_ms"))
+          .drop("__a")
       case _ => base
     }
     scanTypeColumns(ds, withTags(spark, ds, typed.drop("content")))

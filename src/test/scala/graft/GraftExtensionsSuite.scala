@@ -32,6 +32,26 @@ class GraftExtensionsSuite extends SparkTestBase {
     assert(viaSql.getDouble(3) == 1.0 && viaSql.getInt(1) == 64)
   }
 
+  test("audio_info is callable from plain SQL via the extension") {
+    import spark.implicits._
+    // 1-second 8 kHz mono PCM-16 WAV header + silence
+    val rate = 8000
+    val data = new Array[Byte](rate * 2)
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    Seq((1L, bb.array()), (2L, "not audio".getBytes)).toDF("id", "bytes")
+      .createOrReplaceTempView("au_docs")
+    val rows = spark.sql(
+      "SELECT id, audio_info(bytes).sample_rate AS r, audio_info(bytes).duration_ms AS d " +
+        "FROM au_docs ORDER BY id").collect()
+    assert(rows(0).getInt(1) == 8000 && rows(0).getLong(2) == 1000L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
   test("sketch aggregate and jaccard compose in SQL") {
     import spark.implicits._
     Seq((1L, "src_a", "the quick brown fox jumps over the lazy dog"),

@@ -157,7 +157,7 @@ class GraftCatalogSuite extends SparkTestBase {
     inv.foreach(r => assert(r.getString(0).contains("o_totalprice")))
   }
 
-  test("REST/AUDIO/XML register but reject at load (reference parity)") {
+  test("REST/XML register but reject at load (reference parity; AUDIO now scans)") {
     spark.sql("REGISTER REST DATASOURCE api1 OPTIONS (url 'http://x') NAMESPACE graft.datasource.misc")
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft.datasource.misc.api1.t").collect()

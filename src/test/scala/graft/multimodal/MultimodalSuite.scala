@@ -184,6 +184,34 @@ class MultimodalSuite extends SparkTestBase {
     Multimodal.audioInfo(Array(0xFF.toByte, 0xE0.toByte))
   }
 
+  test("ogg walk resynchronizes after a malformed page instead of truncating") {
+    def page(granule: Long, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OggS".getBytes); out.write(0); out.write(0)
+      var g = granule
+      for (_ <- 0 until 8) { out.write((g & 0xff).toInt); g >>= 8 }
+      out.write(new Array[Byte](12))
+      out.write(1); out.write(payload.length)
+      out.write(payload)
+      out.toByteArray
+    }
+    val opusHead = "OpusHead".getBytes ++ Array[Byte](1, 2, 0, 0) ++
+      Array[Byte](0x80.toByte, 0x3E, 0, 0) ++ Array[Byte](0, 0, 0) // 16 kHz input
+    // well-formed prefix, then inter-stream junk (chained/corrupt), then a
+    // later valid page: the old strict walk stopped at the junk (1000 ms);
+    // resync must recover the 144000-granule page -> 3000 ms
+    val chained = page(0L, opusHead) ++ page(48000L, Array[Byte](7)) ++
+      "JUNK not a page".getBytes ++ page(144000L, Array[Byte](0))
+    assert(Multimodal.oggInfo(chained).contains((16000, 3000L)),
+      s"resync: ${Multimodal.oggInfo(chained)}")
+    // decoy 'OggS' inside a payload still never engages resync on a
+    // well-formed stream (the lacing walk steps over it)
+    val clean = page(0L, opusHead) ++
+      page(48000L, "xxOggS".getBytes ++ Array.fill[Byte](8)(0xFF.toByte)) ++
+      page(96000L, Array[Byte](0))
+    assert(Multimodal.oggInfo(clean).contains((16000, 2000L)))
+  }
+
   test("image resize re-encodes to the target dimensions for real") {
     import spark.implicits._
     val df = Seq((1L, halfPng())).toDF("media_id", "bytes")

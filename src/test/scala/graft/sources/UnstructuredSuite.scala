@@ -106,6 +106,63 @@ class UnstructuredSuite extends SparkTestBase {
     }
   }
 
+  test("audio scan: samplerate/duration metadata from WAV headers (beyond-ref)") {
+    val audioDir = Files.createTempDirectory("graft-audio").toString
+    val rate = 8000
+    val data = new Array[Byte](rate) // half a second of PCM-16 silence
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    Files.write(Paths.get(audioDir, "a.wav"), bb.array())
+    Files.write(Paths.get(audioDir, "junk.bin"), "not audio".getBytes)
+    spark.sql(
+      s"REGISTER OR REPLACE AUDIO DATASOURCE tunes OPTIONS (path '$audioDir') NAMESPACE graft.datasource.un")
+    val rows = spark.sql(
+      "SELECT path, samplerate, duration FROM graft.datasource.un.tunes ORDER BY path")
+      .collect().map(r => r.getString(0).split('/').last ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)), (if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(rows("a.wav") == ((8000, 500L)), rows.toString)
+    assert(rows("junk.bin") == ((-1, -1L)), rows.toString) // unrecognized -> nulls
+    // content sub-table serves the raw bytes
+    val bin = spark.sql(
+      "SELECT bincontent FROM graft.datasource.un.tunes.content WHERE path LIKE '%a.wav'")
+      .head().getAs[Array[Byte]](0)
+    assert(bin.length == 44 + data.length)
+  }
+
+  test("pdf inline images and dictionaries skip cleanly, surrounding text survives") {
+    val pdfDir = Files.createTempDirectory("graft-pdf-bi").toString
+    // the image binary carries every operator look-alike: '(' '<', an
+    // EI-lookalike without a trailing delimiter (EIX), and the BI params
+    // carry an "ID" substring inside a name (/XIDZ) that must NOT start the
+    // binary scan early; the inline dict carries a literal and a hex string
+    // (<4865...> decodes to "Hello") that must never reach the page text
+    val cs = "BT (before image) Tj " +
+      "BI /W 2 /H 2 /N /XIDZ /BPC 8 ID (<EIX EI (after image) Tj " +
+      "<< /Deco (paren inside) /Hex <48656c6c6f> >> (tail text) Tj ET"
+    Files.write(Paths.get(pdfDir, "bi.pdf"), minimalPdf(cs, flate = false))
+    // malformed-but-hostile: BI butted straight against '(' — the skip must
+    // still trigger from the '(' branch and resume after the true EI
+    val cs2 = "BT (keep me) Tj BI(ID junk ( < EI (tail kept) Tj ET"
+    Files.write(Paths.get(pdfDir, "bi2.pdf"), minimalPdf(cs2, flate = false))
+    spark.sql(
+      s"REGISTER OR REPLACE PDF DATASOURCE pdfbi OPTIONS (path '$pdfDir') NAMESPACE graft.datasource.un")
+    val rows = spark.sql(
+      "SELECT path, textcontent FROM graft.datasource.un.pdfbi.content ORDER BY path")
+      .collect().map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    assert(rows("bi.pdf").contains("before image"), rows("bi.pdf"))
+    assert(rows("bi.pdf").contains("after image"), rows("bi.pdf"))
+    assert(rows("bi.pdf").contains("tail text"), rows("bi.pdf"))
+    for (leak <- Seq("EIX", "paren inside", "Hello"))
+      assert(!rows("bi.pdf").contains(leak), s"leaked '$leak': ${rows("bi.pdf")}")
+    assert(rows("bi2.pdf").contains("keep me"), rows("bi2.pdf"))
+    assert(rows("bi2.pdf").contains("tail kept"), rows("bi2.pdf"))
+    assert(!rows("bi2.pdf").contains("junk"), rows("bi2.pdf"))
+  }
+
   // ---- LZW / ASCII85 / chained filters (round-3: public-spec decoders) ----
 
   private def pdfWith(payload: Array[Byte], filter: String): Array[Byte] = {
