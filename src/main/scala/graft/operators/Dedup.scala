@@ -142,19 +142,30 @@ object Dedup {
     *                 largest component's diameter for full convergence
     * @param requireConvergence when true, throw instead of returning
     *                 partially-merged groups on maxIter exhaustion
+    * @param reliableCheckpoint when true, truncate lineage with
+    *                 `checkpoint()` against the session's configured
+    *                 checkpoint directory (HDFS/S3 on a cluster) instead of
+    *                 executor-local `localCheckpoint()` — survives executor
+    *                 loss at the cost of a write per round. Requires
+    *                 `spark.sparkContext.setCheckpointDir(...)`.
     */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 20,
-      requireConvergence: Boolean = false): DataFrame = {
+      requireConvergence: Boolean = false,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    if (reliableCheckpoint)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir(...) " +
+          "pointing at reliable storage (HDFS/S3) before resolving groups")
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager) else df.localCheckpoint(eager)
     // materialize the edge list once: every iteration below joins against it,
     // and without the checkpoint each job would re-run the (expensive)
     // candidate-generation lineage that produced the pairs
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = ckpt(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .distinct(), eager = true)
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")), eager = true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -164,10 +175,10 @@ object Dedup {
       // lazily-checkpointed update (carrying the old label as __old), so the
       // same action that materializes this round's labels also answers "did
       // anything change" — no second job, no join of two checkpointed frames.
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val updated = ckpt(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint(false)
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")),
+        eager = false)
       converged = updated.where(col("comp") < col("__old")).count() == 0
       labels = updated.select(col("id"), col("comp"))
       i += 1
@@ -180,6 +191,37 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("id"), col("comp").as("group_id"))
+  }
+
+  /** Retention policy over near-duplicate groups: keep the single best member
+    * per group — highest `quality`, min-id tiebreak — with singletons keeping
+    * themselves. Composes [[minHashDuplicates]] -> [[duplicateGroups]] -> a
+    * per-group top-1 window, and is the pipeline-level entry point that
+    * carries the cluster-deployment switches (`requireConvergence`,
+    * `reliableCheckpoint`) down into the group resolver so deployments opt
+    * into fail-fast convergence and reliable-storage checkpointing without
+    * touching operator internals.
+    *
+    * @param quality a column computed against `df`'s rows scoring each doc
+    *                (e.g. lexical diversity); higher wins within a group
+    * @return (group_id, keep_id, quality) — one row per group, including the
+    *         implicit singleton group of every non-duplicated doc
+    */
+  def keepBest(df: DataFrame, idCol: String, textCol: String, quality: Column,
+      threshold: Double = 0.7, maxBucketSize: Int = DefaultMaxBucketSize,
+      maxIter: Int = 20, requireConvergence: Boolean = false,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    val groups = duplicateGroups(
+      minHashDuplicates(df, idCol, textCol, threshold, maxBucketSize = maxBucketSize),
+      maxIter, requireConvergence, reliableCheckpoint)
+    val scored = df.select(col(idCol), quality.as("quality"))
+      .join(groups.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("group_id"), col(idCol).as("keep_id"), col("quality"))
   }
 
   /** Corpus-wide span-level dedup (Lee et al. '21 "Deduplicating Training

@@ -342,22 +342,17 @@ object Pipeline {
 
     // ---- Retention policy: within each near-dup group keep the highest-
     // quality member (lexical diversity, min-id tiebreak); singletons keep
-    // themselves. Composes groups + quality scoring + window top-1. ----
+    // themselves. Exercises the pipeline-level Dedup.keepBest entry point
+    // (groups + quality scoring + window top-1, with the cluster switches
+    // defaulted off). ----
     QuerySpec("dedup_keep_best",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val groups = Dedup.duplicateGroups(
-          Dedup.minHashDuplicates(d, "doc_id", "text", threshold = 0.7))
         val nTok = T.tokenCount(col("text")).cast("long")
-        val scored = d.select(col("doc_id"),
-            (T.distinctTokenCount(col("text")).cast("double") / nTok.cast("double")).as("quality"))
-          .join(groups.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-          .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
-        val w = Window.partitionBy(col("group_id"))
-          .orderBy(col("quality").desc, col("doc_id").asc)
-        scored.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("group_id"), col("doc_id").as("keep_id"), round(col("quality"), 6).as("quality"))
+        Dedup.keepBest(d, "doc_id", "text",
+            T.distinctTokenCount(col("text")).cast("double") / nTok.cast("double"),
+            threshold = 0.7)
+          .select(col("group_id"), col("keep_id"), round(col("quality"), 6).as("quality"))
           .orderBy(col("group_id"))
       },
       Some(s"""WITH RECURSIVE sh AS (

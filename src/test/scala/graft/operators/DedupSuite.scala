@@ -285,6 +285,56 @@ class DedupSuite extends SparkTestBase {
     assert(stats == Map("example.com" -> 1L, "cdn.net" -> 1L, "bad-site.org" -> 1L))
   }
 
+  // ---- pipeline-level keepBest: cluster switches plumbed end-to-end ----
+
+  // sliding 30-token windows over a 36-token vocabulary: adjacent docs share
+  // 25 of 31 distinct 3-shingles (J ~ 0.81 >= 0.7) while the ends share only
+  // 22 of 34 (J ~ 0.65 < 0.7) — a genuine 3-node CHAIN, so min-label
+  // propagation needs 2 rounds and maxIter=1 provably cannot converge
+  private def chainDocs = {
+    import spark.implicits._
+    def window(from: Int) = (from until from + 30).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, window(1), 0.5), (2L, window(4), 0.9), (3L, window(7), 0.7),
+      (4L, "entirely different content with no shared shingles at all here", 0.1))
+      .toDF("doc_id", "text", "q")
+  }
+
+  test("keepBest keeps the highest-quality member per group, singletons keep themselves") {
+    val out = Dedup.keepBest(chainDocs, "doc_id", "text", col("q"), threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // chain 1-2-3 resolves to group 1, doc 2 wins on quality; doc 4 is a singleton
+    assert(out == Set((1L, 2L, 0.9), (4L, 4L, 0.1)))
+  }
+
+  test("keepBest(requireConvergence=true) throws end-to-end when maxIter is too small") {
+    val e = intercept[IllegalStateException] {
+      Dedup.keepBest(chainDocs, "doc_id", "text", col("q"), threshold = 0.7,
+        maxIter = 1, requireConvergence = true).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // default mode returns partially-merged labels instead of throwing
+    val lax = Dedup.keepBest(chainDocs, "doc_id", "text", col("q"), threshold = 0.7,
+      maxIter = 1).collect()
+    assert(lax.nonEmpty)
+  }
+
+  test("keepBest(reliableCheckpoint=true) demands a checkpoint dir, then matches the local path") {
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.keepBest(chainDocs, "doc_id", "text", col("q"), reliableCheckpoint = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val local = Dedup.keepBest(chainDocs, "doc_id", "text", col("q"))
+      .collect().map(_.toString).sorted.toSeq
+    val reliable = Dedup.keepBest(chainDocs, "doc_id", "text", col("q"), reliableCheckpoint = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(reliable == local)
+  }
+
   test("lshBucketStats surfaces oversized buckets") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, "identical text everywhere")).toDF("doc_id", "text")
