@@ -25,11 +25,17 @@ import java.util.zip.Inflater
   * common one-encoding-per-document case, approximate when multiple CID
   * fonts reuse the same codes differently.
   *
+  * PDF 1.5+ compressed object streams (`/Type /ObjStm`) are decoded and
+  * recursively re-scanned for contained streams (depth-capped), so documents
+  * whose writers pack stream objects nonconformingly inside them still
+  * round-trip; conforming ObjStm bodies (non-stream objects only) contribute
+  * nothing and are kept out of the page-text walk.
+  *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
-  * for `stream`..`endstream` directly), no per-font CMap binding (above), no
-  * DecodeParms predictors, no DCT/CCITT/JBIG2 (image) filters, no
-  * encryption. When nothing decodable is found the caller falls back to the
-  * printable-ASCII heuristic.
+  * for `stream`..`endstream` directly, so xref streams are irrelevant), no
+  * per-font CMap binding (above), no DecodeParms predictors, no
+  * DCT/CCITT/JBIG2 (image) filters, no encryption. When nothing decodable is
+  * found the caller falls back to the printable-ASCII heuristic.
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
@@ -147,8 +153,17 @@ private[graft] object PdfText {
     CMaps(one.result(), two.result())
   }
 
-  /** All stream..endstream payloads that are unfiltered or FlateDecode. */
-  private[graft] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
+  /** All stream..endstream payloads that are unfiltered or FlateDecode.
+    *
+    * PDF 1.5+ compressed object streams (`/Type /ObjStm`, ISO 32000-1 7.5.7)
+    * are decoded and RE-SCANNED for streams rather than emitted: their body
+    * is object metadata (an offset header plus packed non-stream objects),
+    * so walking it as page text would leak dictionary string values — while
+    * nonconforming writers that pack whole stream objects inside still
+    * round-trip through the recursive scan. Recursion is depth-capped so an
+    * ObjStm chain cannot loop the walker.
+    */
+  private[graft] def contentStreams(bytes: Array[Byte], depth: Int = 0): Seq[Array[Byte]] = {
     // ISO-8859-1 maps bytes 1:1 to chars, so string indexes == byte offsets
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -172,8 +187,12 @@ private[graft] object PdfText {
             dataEnd -= 1
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           val filters = parseFilters(dict)
-          if (filters.isEmpty) out += raw
-          else applyFilters(raw, filters).foreach(out += _)
+          val decoded = if (filters.isEmpty) Some(raw) else applyFilters(raw, filters)
+          decoded.foreach { d =>
+            if (dict.contains("/ObjStm")) {
+              if (depth < 2) out ++= contentStreams(d, depth + 1)
+            } else out += d
+          }
           pos = end + "endstream".length
         }
       }

@@ -163,6 +163,48 @@ class UnstructuredSuite extends SparkTestBase {
     assert(!rows("bi2.pdf").contains("junk"), rows("bi2.pdf"))
   }
 
+  test("pdf 1.5 object streams: packed content round-trips, conforming bodies never leak") {
+    import graft.sources.unstructured.PdfText
+    def deflate(d: Array[Byte]): Array[Byte] = {
+      val df = new java.util.zip.Deflater(); df.setInput(d); df.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+      while (!df.finished()) out.write(buf, 0, df.deflate(buf))
+      out.toByteArray
+    }
+    def objStmPdf(body: String, extra: String = ""): Array[Byte] = {
+      val packed = deflate(body.getBytes(StandardCharsets.ISO_8859_1))
+      (s"%PDF-1.5\n5 0 obj << /Type /ObjStm /N 1 /First 4 /Length ${packed.length}" +
+        " /Filter /FlateDecode >>\nstream\n").getBytes(StandardCharsets.ISO_8859_1) ++
+        packed ++
+        s"\nendstream\nendobj\n$extra\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+          .getBytes(StandardCharsets.ISO_8859_1)
+    }
+    // nonconforming writers pack whole stream objects inside an ObjStm: the
+    // recursive re-scan must surface the inner content stream's text
+    val inner = "BT (packed in objstm) Tj ET"
+    val packed = objStmPdf(s"6 0\n6 0 obj << /Length ${inner.length} >> stream\n$inner\nendstream endobj")
+    assert(PdfText.extract(packed).contains("packed in objstm"))
+    // a CONFORMING ObjStm body is non-stream objects only — dictionary string
+    // values there are metadata, not page text, and must not leak into the
+    // extraction while a sibling top-level content stream still extracts
+    val conforming = objStmPdf("7 0 8 24\n<< /Title (secret metadata) >>\n<< /Author (hidden) >>",
+      extra = "4 0 obj << /Length 22 >>\nstream\nBT (real page text) Tj ET\nendstream\nendobj")
+    val text = PdfText.extract(conforming)
+    assert(text.contains("real page text"), text)
+    assert(!text.contains("secret metadata") && !text.contains("hidden"), text)
+    // ObjStm nested in ObjStm: depth cap holds, inner-inner text still found
+    val level1 = s"6 0\n6 0 obj << /Length ${inner.length} >> stream\n$inner\nendstream endobj"
+    val level1Packed = deflate(level1.getBytes(StandardCharsets.ISO_8859_1))
+    val level2 = ("5 0\n5 0 obj << /Type /ObjStm /N 1 /First 4 /Filter /FlateDecode " +
+      s"/Length ${level1Packed.length} >> stream\n").getBytes(StandardCharsets.ISO_8859_1) ++
+      level1Packed ++ "\nendstream endobj".getBytes(StandardCharsets.ISO_8859_1)
+    val nestedDoc = ("%PDF-1.5\n9 0 obj << /Type /ObjStm /N 1 /First 4 /Filter /FlateDecode " +
+      s"/Length ${deflate(level2).length} >> stream\n").getBytes(StandardCharsets.ISO_8859_1) ++
+      deflate(level2) ++ "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(nestedDoc).contains("packed in objstm"))
+  }
+
   // ---- LZW / ASCII85 / chained filters (round-3: public-spec decoders) ----
 
   private def pdfWith(payload: Array[Byte], filter: String): Array[Byte] = {
