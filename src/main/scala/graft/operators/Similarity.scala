@@ -49,6 +49,34 @@ object Similarity {
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, bits: Int = 6, multiProbe: Boolean = true, tables: Int = 1,
       excludeSelf: Boolean = true): DataFrame = {
+    val scored = lshCandidates(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
+        bits, multiProbe, tables, excludeSelf)
+      .select(col("query_id"), col("nn_id"),
+        F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
+      .groupBy("query_id", "nn_id").agg(max("cosine").as("cosine")) // dedup multi-probe hits
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
+  }
+
+  /** The (query, corpus-row) pairs LSH actually scores — the pruned join
+    * before cosine evaluation. Exposed for scaling evidence: its count over
+    * growing corpora is the measured pruning ratio vs brute force's
+    * rows x queries.
+    */
+  def lshScoredPairs(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      bits: Int = 6, multiProbe: Boolean = true, tables: Int = 1,
+      excludeSelf: Boolean = true): Long =
+    lshCandidates(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
+      bits, multiProbe, tables, excludeSelf).count()
+
+  private def lshCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      bits: Int, multiProbe: Boolean, tables: Int,
+      excludeSelf: Boolean): DataFrame = {
     require(tables >= 1)
     // single-table: no generate node on the corpus scan (the common fast path)
     def withBuckets(df: DataFrame, vc: String, bucketName: String) =
@@ -68,16 +96,8 @@ object Similarity {
           array((lit(0) +: (0 until bits).map(b => lit(1 << b))).map(m => col("__qb").bitwiseXOR(m)): _*)
         ).as("bucket"))
       else qb.withColumnRenamed("__qb", "bucket")
-    val scored = c.join(probes, Seq("table", "bucket"))
+    c.join(probes, Seq("table", "bucket"))
       .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
-      .select(col("query_id"), col("nn_id"),
-        F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
-      .groupBy("query_id", "nn_id").agg(max("cosine").as("cosine")) // dedup multi-probe hits
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "nn_id", "cosine", "rank")
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
@@ -92,6 +112,32 @@ object Similarity {
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 3, sampleSize: Int = 4096,
       excludeSelf: Boolean = true): DataFrame = {
+    val scored = ivfCandidates(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
+        nCells, nProbe, sampleSize, excludeSelf)
+      .select(col("query_id"), col("nn_id"),
+        F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
+  }
+
+  /** The (query, corpus-row) pairs IVF scores after cell pruning — the IVF
+    * twin of [[lshScoredPairs]], for scaling evidence. Re-trains the (tiny,
+    * driver-local) quantizer, so counts match a fresh ivfTopK run exactly.
+    */
+  def ivfScoredPairs(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      nCells: Int = 16, nProbe: Int = 3, sampleSize: Int = 4096,
+      excludeSelf: Boolean = true): Long =
+    ivfCandidates(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
+      nCells, nProbe, sampleSize, excludeSelf).count()
+
+  private def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      nCells: Int, nProbe: Int, sampleSize: Int,
+      excludeSelf: Boolean): DataFrame = {
     // 1. train the coarse quantizer on a *uniform* seeded sample. limit()
     //    alone would take the first partitions only, so on a partitioned
     //    corpus the centroids would learn one shard. A seeded random sort key
@@ -125,15 +171,8 @@ object Similarity {
       explode(F.nearest_centroids(col(qVecCol), centroids, nProbe)).as("cell"))
 
     // 3. score within probed cells only; queries side broadcasts
-    val scored = cells.join(broadcast(probes), Seq("cell"))
+    cells.join(broadcast(probes), Seq("cell"))
       .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
-      .select(col("query_id"), col("nn_id"),
-        F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "nn_id", "cosine", "rank")
   }
 
   /** Deterministic local k-means (k-means++ seeding + Lloyd's iterations)
