@@ -164,6 +164,45 @@ object CatalogQueries {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS sizeinbytes
         FROM documents ORDER BY doc_id""")),
 
+    // ---- unstructured AUDIO scan (beyond-ref surface; the reference parses
+    // AUDIO but runtime-rejects it): one PCM-16 mono WAV per nation row with
+    // rate/sample-count derived from the key, read back through the metadata
+    // table. Oracle recomputes samplerate and the header probe's integer
+    // duration formula dataBytes*1000/(rate*channels*2) in SQL. ----
+    QuerySpec("unstructured_audio_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "audiofiles")
+        if (!fixture.exists()) {
+          fixture.mkdirs()
+          QueryPack.t(s, dir, "nation").select(col("n_nationkey")).collect().foreach { r =>
+            val key = r.getInt(0)
+            val rate = 8000 + key * 441
+            val dataBytes = 2 * (1000 + key * 333) // PCM-16 mono samples
+            val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+            bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+              .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+            bb.put("data".getBytes).putInt(dataBytes).put(new Array[Byte](dataBytes))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(fixture.toString, f"$key%05d.wav"), bb.array())
+          }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE AUDIO DATASOURCE waves OPTIONS (path '$fixture') NAMESPACE graft.datasource.un")
+        s.sql("SELECT path, samplerate, duration FROM graft.datasource.un.waves")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.wav$", 1).cast("int").as("n_nationkey"),
+            col("samplerate"), col("duration"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+          CAST(8000 + n_nationkey * 441 AS INT) AS samplerate,
+          CAST((CAST(2 * (1000 + n_nationkey * 333) AS BIGINT) * 1000)
+            // CAST((8000 + n_nationkey * 441) * 2 AS BIGINT) AS BIGINT) AS duration
+        FROM nation ORDER BY n_nationkey""")),
+
     // ---- CSV datasource: parquet -> csv fixture -> graft catalog scan.
     // inferSchema recovers the int32 keys the parquet carries, so the
     // values AND dtypes must round-trip exactly (quoting included). ----
