@@ -311,16 +311,9 @@ object Dedup {
   def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    require(numHashes % bands == 0)
-    val rowsPerBand = numHashes / bands
     // band key = (band index, xxhash64 of the band's signature slice)
-    def mkBanded(rows: DataFrame): DataFrame = rows
-      .select(col(idCol).as("id"),
-        F.minhash_signature(F.word_shingles(T.tokens(col(textCol)), shingleSize), numHashes).as("sig"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))), b))
-      ).as(Seq("band", "bucket")))
+    def mkBanded(rows: DataFrame): DataFrame =
+      minHashBanded(rows, idCol, textCol, shingleSize, numHashes, bands)
     cappedBucketPairs(df, mkBanded, Seq("band", "bucket"), Nil, maxBucketSize)
       .select("id_a", "id_b").distinct()
   }
@@ -335,6 +328,120 @@ object Dedup {
     val cand = minHashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands, maxBucketSize)
     val jac = ngramJaccard(cand, df, idCol, textCol, shingleSize)
     jac.where(col("jaccard") >= threshold)
+  }
+
+  // ---- Incremental ingest dedup: a NEW batch against an EXISTING corpus ----
+
+  /** The banded (band, bucket, id) LSH rows for one input — the identical
+    * signature/banding expressions [[minHashCandidatePairs]] uses, factored
+    * so the asymmetric ingest join bands each side independently.
+    */
+  private def minHashBanded(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol).as("id"),
+        F.minhash_signature(F.word_shingles(T.tokens(col(textCol)), shingleSize), numHashes).as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))), b))
+      ).as(Seq("band", "bucket")))
+  }
+
+  /** Near-dup candidates between a new batch and an existing corpus: both
+    * sides band map-side and join on (band, bucket), so NO corpus self-join
+    * ever forms — the daily-ingest shape at 100 TB, where the corpus is
+    * orders of magnitude larger than the batch and re-pairing it against
+    * itself would dwarf the actual work. Hot corpus buckets (boilerplate
+    * piles) are flagged from the same seeded 10% sample the self-join guard
+    * uses and degrade to matching against the bucket's sample-min
+    * representative only: for "is this new doc a duplicate of the corpus"
+    * one witness suffices, and in the degenerate near-identical-bucket case
+    * the representative matches whenever any member would (the star-link
+    * argument of [[cappedBucketPairs]]).
+    *
+    * Ids must be disjoint across the two inputs (normal for ingest batches).
+    * @return (id_new, id_corpus) candidate pairs, deduped
+    */
+  def incrementalCandidatePairs(corpus: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val corpusBanded = minHashBanded(corpus, idCol, textCol, shingleSize, numHashes, bands)
+    val newBanded = minHashBanded(newDocs, idCol, textCol, shingleSize, numHashes, bands)
+      .withColumnRenamed("id", "id_new")
+    val corpusSide =
+      if (maxBucketSize == Int.MaxValue) corpusBanded
+      else {
+        val fraction = 0.1
+        val flagAt = math.max(2L, (maxBucketSize * fraction / 2).toLong)
+        val hotAgg = minHashBanded(corpus.sample(withReplacement = false, fraction, seed = 7L),
+            idCol, textCol, shingleSize, numHashes, bands)
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__scnt"), min(col("id")).as("__repid"))
+          .where(col("__scnt") >= flagAt)
+        // metadata-only collect, same bound and rationale as cappedBucketPairs
+        val hotRows = hotAgg.limit(MaxHotBuckets + 1).collect()
+        if (hotRows.length > MaxHotBuckets)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"more than $MaxHotBuckets oversized corpus buckets; buckets beyond the cap " +
+              "keep the full join (consider more bits/bands or a bigger cap)")
+        if (hotRows.isEmpty) corpusBanded
+        else {
+          val spark = corpus.sparkSession
+          val hot = broadcast(spark.createDataFrame(
+            java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
+          corpusBanded.join(hot, Seq("band", "bucket"), "left")
+            .where(col("__scnt").isNull || col("id") === col("__repid"))
+            .select(col("band"), col("bucket"), col("id"))
+        }
+      }
+    corpusSide.join(newBanded, Seq("band", "bucket"))
+      .select(col("id_new"), col("id").as("id_corpus")).distinct()
+  }
+
+  /** Incremental candidates verified with exact Jaccard across the two
+    * sides. Shuffle budget: each side's shingle table shuffles once keyed by
+    * id; the pair set (small by construction) reunites them.
+    * @return (id_new, id_corpus, jaccard) with jaccard >= threshold
+    */
+  def incrementalMinHash(corpus: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val cand = incrementalCandidatePairs(corpus, newDocs, idCol, textCol,
+      shingleSize, numHashes, bands, maxBucketSize)
+    def shingled(df: DataFrame, as: String, shAs: String) =
+      df.select(col(idCol).as(as),
+        array_distinct(F.word_shingles(T.tokens(col(textCol)), shingleSize)).as(shAs))
+    cand.join(shingled(newDocs, "id_new", "__sh_n"), "id_new")
+      .join(shingled(corpus, "id_corpus", "__sh_c"), "id_corpus")
+      .select(col("id_new"), col("id_corpus"),
+        (size(array_intersect(col("__sh_n"), col("__sh_c"))).cast("double") /
+         size(array_union(col("__sh_n"), col("__sh_c"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** New-batch rows surviving ingest dedup against the existing corpus:
+    * exact first (normalized-md5 anti-join — 16 bytes/row shuffle, catches
+    * the zero-shingle short-doc edge the Jaccard stage cannot), then
+    * near-dup (incremental LSH + exact-Jaccard verify). Within-batch
+    * duplicates are NOT resolved here — run [[exactDedup]] /
+    * [[minHashDuplicates]] on the batch itself for that.
+    */
+  def incrementalDedup(corpus: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val normHash = md5(T.normText(col(textCol)).cast("binary"))
+    val corpusHashes = corpus.select(normHash.as("__h")).distinct()
+    val exactSurvivors = newDocs.withColumn("__h", normHash)
+      .join(corpusHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+    val nearDups = incrementalMinHash(corpus, exactSurvivors, idCol, textCol,
+        threshold, shingleSize, numHashes, bands, maxBucketSize)
+      .select(col("id_new").as(idCol)).distinct()
+    exactSurvivors.join(nearDups, Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (id_a, id_b).

@@ -58,6 +58,34 @@ object Pipeline {
           AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.7
         ORDER BY id_a, id_b""")),
 
+    // ---- Incremental ingest dedup: odd doc_ids play the NEW batch, even
+    // the EXISTING corpus; survivors = new docs with no exact-normalized
+    // match and no cross-side Jaccard >= 0.7 partner. No corpus self-join
+    // forms (the daily-ingest shape). LSH candidate completeness on this
+    // corpus is the dedup_minhash argument — cross-side pairs are a subset
+    // of all pairs — so the brute-force oracle applies hash-exact. ----
+    QuerySpec("dedup_incremental",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.incrementalDedup(
+            d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+            "doc_id", "text", threshold = 0.7)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, $shingleSql AS s, $normSql AS nrm
+          FROM (SELECT doc_id, $toksSql AS tk, text FROM documents)
+        ), matched AS (
+          SELECT DISTINCT n.doc_id
+          FROM sh n JOIN sh c ON n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+            AND (n.nrm = c.nrm
+              OR len(list_intersect(n.s, c.s)) * 1.0 / len(list_distinct(n.s || c.s)) >= 0.7)
+        )
+        SELECT doc_id FROM sh
+        WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM matched)
+        ORDER BY doc_id""")),
+
     // ---- Exact n-gram Jaccard on a fixed candidate set (all pairs within a
     // doc_id window — exercises the verifier independently of LSH) ----
     QuerySpec("dedup_ngram_jaccard",

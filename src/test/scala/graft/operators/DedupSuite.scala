@@ -335,6 +335,40 @@ class DedupSuite extends SparkTestBase {
     assert(reliable == local)
   }
 
+  // ---- incremental ingest dedup: new batch vs existing corpus ----
+
+  test("incrementalDedup drops exact and near matches against the corpus, keeps unique docs") {
+    import spark.implicits._
+    def window(from: Int, n: Int) = (from until from + n).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((2L, window(1, 30)), (4L, window(100, 30))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, window(2, 30)),   // near-dup of corpus doc 2 (J ~ 0.93)
+      (13L, window(100, 30)), // exact copy of corpus doc 4
+      (15L, window(500, 30))) // unique
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalMinHash(corpus, fresh, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((11L, 2L)), s"cross-side near-dup pair missing: $pairs")
+    assert(!pairs.exists { case (n, c) => n == 15L || c == 4L && n == 11L }, pairs.toString)
+    val out = Dedup.incrementalDedup(corpus, fresh, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(15L), s"survivors: $out")
+  }
+
+  test("incremental hot-bucket guard still convicts new docs via the bucket representative") {
+    import spark.implicits._
+    def window(from: Int, n: Int) = (from until from + n).map(i => s"tok$i").mkString(" ")
+    // 300 identical corpus docs: every band bucket is hot at cap 100, so the
+    // corpus side degrades to its sample-min representative — one witness is
+    // enough to convict the near-dup, and the unique doc still survives
+    val corpus = (0L until 300L).map(i => (i, window(1, 30))).toDF("doc_id", "text")
+    val fresh = Seq((1001L, window(2, 30)), (1002L, window(500, 30))).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, fresh, "doc_id", "text",
+        threshold = 0.7, maxBucketSize = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1002L), s"survivors: $out")
+  }
+
   test("lshBucketStats surfaces oversized buckets") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, "identical text everywhere")).toDF("doc_id", "text")
