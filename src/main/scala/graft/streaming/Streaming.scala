@@ -194,6 +194,40 @@ object Streaming {
       counts(2).cast("long").as("n_ip"), counts(3).cast("long").as("n_phone"))
   }
 
+  /** Streaming EXACT ingest dedup: the twin of the exact stage of
+    * [[graft.operators.Dedup.incrementalDedup]] — a stream-static LEFT ANTI
+    * join from incoming docs to the corpus's distinct normalized-md5 hashes.
+    * Stateless and append-mode; the static side re-resolves per micro-batch,
+    * so a corpus that grows between triggers is honored on the next one.
+    * Only (hash) columns join — document text never shuffles.
+    */
+  def exactIngestStream(corpus: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val normHash = md5(T.normText(col(textCol)).cast("binary"))
+    val corpusHashes = corpus.select(normHash.as("__h")).distinct()
+    docs.withColumn("__h", normHash)
+      .join(corpusHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** foreachBatch adapter for FULL incremental ingest dedup (exact + near):
+    * near-dup conviction aggregates LSH candidates per doc, which an
+    * append-mode stream cannot express statelessly, so each micro-batch runs
+    * the batch operator against the static corpus and hands survivors to
+    * `sink` — the standard stream-to-batch escape hatch, keeping the
+    * operator's no-corpus-self-join scale shape per trigger:
+    * {{{
+    * docsStream.writeStream.foreachBatch(
+    *   Streaming.incrementalIngest(corpus, "doc_id", "text", 0.8) { novel =>
+    *     novel.write.mode("append").parquet("/data/curated") }).start()
+    * }}}
+    */
+  def incrementalIngest(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7)(sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => sink(graft.operators.Dedup.incrementalDedup(
+      corpus, batch, idCol, textCol, threshold))
+
   /** Run a stream to completion against a memory sink and return the result
     * table (test/bench harness helper).
     */

@@ -141,6 +141,54 @@ class StreamingSuite extends SparkTestBase {
     assert(!plan.contains("Aggregate"), plan)
   }
 
+  test("streaming exact ingest dedup equals the batch exact stage") {
+    import graft.functions.{TextFunctions => T}
+    val docs = QueryPack.t(spark, sf(), "documents")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val fresh = docs.where(col("doc_id") % 2 === 1)
+    // batch twin: the same stream-side plan run on a static frame
+    val batch = Streaming.exactIngestStream(corpus, fresh, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(batch.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ingest").toString
+    fresh.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, fresh.schema)
+    val streamed = Streaming.exactIngestStream(corpus, stream, "doc_id", "text")
+    // the stream side stays an anti join (the static side's distinct is the
+    // only aggregate — allowed in append mode because it is not streaming)
+    val plan = streamed.queryExecution.analyzed.toString
+    assert(plan.contains("LeftAnti"), plan)
+    val result = Streaming.runToMemory(streamed, "ingest_exact")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(result.toSeq == batch.toSeq)
+    // ground truth: survivors have no even-side normalized-text partner
+    val matched = fresh.select(col("doc_id"), T.normText(col("text")).as("n"))
+      .join(corpus.select(T.normText(col("text")).as("n")).distinct(), "n")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(result.toSet == fresh.select("doc_id").collect().map(_.getLong(0)).toSet -- matched)
+  }
+
+  test("foreachBatch incremental ingest matches the batch operator per micro-batch") {
+    import graft.operators.Dedup
+    val docs = QueryPack.t(spark, sf("sf0.001"), "documents")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val fresh = docs.where(col("doc_id") % 2 === 1)
+    val want = Dedup.incrementalDedup(corpus, fresh, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ingest-fb").toString
+    fresh.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, fresh.schema)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = stream.writeStream
+      .foreachBatch(Streaming.incrementalIngest(corpus, "doc_id", "text", 0.7) { novel =>
+        got ++= novel.select("doc_id").collect().map(_.getLong(0))
+      })
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == want)
+  }
+
   test("mapGroupsWithState running totals match groupBy aggregate") {
     import spark.implicits._
     val in = events.filter(col("user_id") < 10)
