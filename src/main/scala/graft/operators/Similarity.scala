@@ -134,26 +134,39 @@ object Similarity {
     ivfCandidates(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
       nCells, nProbe, sampleSize, excludeSelf).count()
 
-  private def ivfCandidates(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      nCells: Int, nProbe: Int, sampleSize: Int,
-      excludeSelf: Boolean): DataFrame = {
-    // 1. train the coarse quantizer on a *uniform* seeded sample. limit()
-    //    alone would take the first partitions only, so on a partitioned
-    //    corpus the centroids would learn one shard. A seeded random sort key
-    //    + limit compiles to TakeOrderedAndProject: every partition keeps its
-    //    local top-sampleSize by the key (a bounded heap, no shuffle, no sort
-    //    spill) and the driver merges — a uniform random sampleSize-subset in
-    //    ONE job and one corpus pass, with no count() (which on JDBC/USL-
-    //    backed corpora would be a full scan of its own). The sample collects
-    //    to the driver (<= sampleSize vectors) and fits locally — KMeansLite.
-    //    The sample is then sorted by content before the fit: k-means++ seeding
-    //    indexes into the array, so without the sort the centroids (and hence
-    //    which cells get probed) would depend on partition/arrival order.
-    //    The quantizer is SPHERICAL k-means (unit-norm points and centroids):
-    //    scoring is cosine, so cells must be carved in cosine geometry —
-    //    Euclidean cells over unnormalized vectors would split cosine
-    //    neighborhoods across norm bands and cost recall.
+  /** A trained IVF coarse quantizer plus its corpus cell assignment — the
+    * build-once / query-many production shape. Build when the corpus lands,
+    * then serve query batch after query batch without re-training or
+    * re-assigning; persist `cells` (e.g. a bucketed-by-cell parquet write
+    * via [[Bucketing]]) and rehydrate with [[ivfFromCells]] to survive
+    * restarts. `cells` columns: (nn_id, __cv, cell).
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame)
+
+  /** Train the quantizer and assign every corpus row to its cell.
+    *
+    * Training: a *uniform* seeded sample. limit() alone would take the first
+    * partitions only, so on a partitioned corpus the centroids would learn
+    * one shard. A seeded random sort key + limit compiles to
+    * TakeOrderedAndProject: every partition keeps its local top-sampleSize
+    * by the key (a bounded heap, no shuffle, no sort spill) and the driver
+    * merges — a uniform random sampleSize-subset in ONE job and one corpus
+    * pass, with no count() (which on JDBC/USL-backed corpora would be a full
+    * scan of its own). The sample collects to the driver (<= sampleSize
+    * vectors) and fits locally — KMeansLite. The sample is then sorted by
+    * content before the fit: k-means++ seeding indexes into the array, so
+    * without the sort the centroids (and hence which cells get probed) would
+    * depend on partition/arrival order. The quantizer is SPHERICAL k-means
+    * (unit-norm points and centroids): scoring is cosine, so cells must be
+    * carved in cosine geometry — Euclidean cells over unnormalized vectors
+    * would split cosine neighborhoods across norm bands and cost recall.
+    *
+    * Assignment: map-side codegen'd argmin over the centroid table (rides
+    * into generated code as a reference object — no UDF serialization,
+    * stays inside whole-stage codegen on the corpus scan).
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, sampleSize: Int = 4096): IvfIndex = {
     val samplePts = corpus
       .select(col(vecCol).cast("array<double>").as("__v"), rand(42L).as("__r"))
       .orderBy(col("__r"))
@@ -161,19 +174,49 @@ object Similarity {
       .collect().map(r => KMeansLite.normalized(r.getSeq[Double](0).toArray))
       .sortBy(p => p.toSeq: Seq[Double])(math.Ordering.Implicits.seqOrdering)
     val centroids = KMeansLite.fit(samplePts, nCells, iters = 25, seed = 42L, spherical = true)
-
-    // 2. map-side cell assignment: codegen'd argmin over the centroid table
-    //    (rides into generated code as a reference object — no UDF
-    //    serialization, stays inside whole-stage codegen on the corpus scan)
     val cells = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"),
       F.argmin_centroid(col(vecCol), centroids).as("cell"))
-    val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
-      explode(F.nearest_centroids(col(qVecCol), centroids, nProbe)).as("cell"))
+    IvfIndex(centroids, cells)
+  }
 
-    // 3. score within probed cells only; queries side broadcasts
-    cells.join(broadcast(probes), Seq("cell"))
+  /** Rehydrate an index from persisted cells (columns nn_id, __cv, cell) and
+    * the centroid table used to produce them.
+    */
+  def ivfFromCells(centroids: Array[Array[Double]], cells: DataFrame): IvfIndex =
+    IvfIndex(centroids, cells.select(col("nn_id"), col("__cv"), col("cell")))
+
+  /** Top-k query against a prebuilt index: probes the nProbe nearest cells
+    * per query, scores map-side, no re-training and no corpus re-assignment.
+    */
+  def ivfQuery(index: IvfIndex, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int = 3,
+      excludeSelf: Boolean = true): DataFrame = {
+    val scored = ivfQueryCandidates(index, queries, qIdCol, qVecCol, nProbe, excludeSelf)
+      .select(col("query_id"), col("nn_id"),
+        F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
+  }
+
+  private def ivfQueryCandidates(index: IvfIndex, queries: DataFrame,
+      qIdCol: String, qVecCol: String, nProbe: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      explode(F.nearest_centroids(col(qVecCol), index.centroids, nProbe)).as("cell"))
+    // score within probed cells only; queries side broadcasts
+    index.cells.join(broadcast(probes), Seq("cell"))
       .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
   }
+
+  private def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      nCells: Int, nProbe: Int, sampleSize: Int,
+      excludeSelf: Boolean): DataFrame =
+    ivfQueryCandidates(ivfBuild(corpus, idCol, vecCol, nCells, sampleSize),
+      queries, qIdCol, qVecCol, nProbe, excludeSelf)
 
   /** Deterministic local k-means (k-means++ seeding + Lloyd's iterations)
     * over the collected training sample. The sample is small by construction

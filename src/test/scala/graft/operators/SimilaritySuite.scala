@@ -50,6 +50,35 @@ class SimilaritySuite extends SparkTestBase {
     assert(recall >= 0.9, s"multi-table lsh recall too low: $recall")
   }
 
+  test("ivfBuild + ivfQuery equals ivfTopK, and the index serves repeat batches") {
+    val q = emb.where(col("vec_id") < 20)
+    val oneShot = Similarity.ivfTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8)
+    val viaIndex = Similarity.ivfQuery(index, q, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex == oneShot)
+    // build-once / query-many: a second, different batch against the SAME
+    // index matches a fresh one-shot run (training is seeded-deterministic,
+    // so equality proves the reused assignment serves both batches)
+    val q2 = emb.where(col("vec_id") >= 20 && col("vec_id") < 35)
+    val viaIndex2 = Similarity.ivfQuery(index, q2, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot2 = Similarity.ivfTopK(emb, q2, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex2 == oneShot2)
+    // persistence round-trip: cells written to parquet and rehydrated with
+    // the same centroids answer identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cells").toString
+    index.cells.write.mode("overwrite").parquet(dir)
+    val rehydrated = Similarity.ivfFromCells(index.centroids, spark.read.parquet(dir))
+    val viaDisk = Similarity.ivfQuery(rehydrated, q, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDisk == oneShot)
+  }
+
   test("ivf model build runs exactly one job (no corpus count)") {
     // bind the reads BEFORE the listener: spark.read.parquet runs its own
     // file-listing job, which is not part of the model build under test
