@@ -401,8 +401,11 @@ object Dedup {
   }
 
   /** Incremental candidates verified with exact Jaccard across the two
-    * sides. Shuffle budget: each side's shingle table shuffles once keyed by
-    * id; the pair set (small by construction) reunites them.
+    * sides. Shuffle budget: the corpus is first cut down to candidate ids
+    * with a semi-join (the distinct candidate-id set is batch-bounded, so
+    * Catalyst broadcasts it and the cut is map-side) — shingles are computed
+    * and shuffled ONLY for corpus docs some candidate actually names, never
+    * for the whole corpus; the new side is batch-sized to begin with.
     * @return (id_new, id_corpus, jaccard) with jaccard >= threshold
     */
   def incrementalMinHash(corpus: DataFrame, newDocs: DataFrame,
@@ -414,8 +417,10 @@ object Dedup {
     def shingled(df: DataFrame, as: String, shAs: String) =
       df.select(col(idCol).as(as),
         array_distinct(F.word_shingles(T.tokens(col(textCol)), shingleSize)).as(shAs))
+    val corpusNeeded = corpus.join(
+      cand.select(col("id_corpus").as(idCol)).distinct(), Seq(idCol), "left_semi")
     cand.join(shingled(newDocs, "id_new", "__sh_n"), "id_new")
-      .join(shingled(corpus, "id_corpus", "__sh_c"), "id_corpus")
+      .join(shingled(corpusNeeded, "id_corpus", "__sh_c"), "id_corpus")
       .select(col("id_new"), col("id_corpus"),
         (size(array_intersect(col("__sh_n"), col("__sh_c"))).cast("double") /
          size(array_union(col("__sh_n"), col("__sh_c"))).cast("double")).as("jaccard"))

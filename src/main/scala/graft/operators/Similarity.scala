@@ -73,32 +73,78 @@ object Similarity {
     lshCandidates(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
       bits, multiProbe, tables, excludeSelf).count()
 
-  private def lshCandidates(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      bits: Int, multiProbe: Boolean, tables: Int,
-      excludeSelf: Boolean): DataFrame = {
+  /** A banded LSH corpus — the serving index for [[lshQuery]]: columns
+    * (table, bucket, nn_id, __cv). The banding is a pure map over the
+    * corpus, but at 100 TB re-hashing every vector per query batch is a full
+    * scan's worth of work — persist `banded` bucketed by (table, bucket)
+    * (see [[Bucketing]]) and probes become shuffle-free bucket lookups
+    * across restarts; rehydrate with [[lshFromBanded]] using the SAME
+    * bits/tables (the hyperplanes are deterministic in them).
+    */
+  final case class LshIndex(bits: Int, tables: Int, banded: DataFrame)
+
+  def lshBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 6, tables: Int = 1): LshIndex = {
     require(tables >= 1)
-    // single-table: no generate node on the corpus scan (the common fast path)
-    def withBuckets(df: DataFrame, vc: String, bucketName: String) =
-      if (tables == 1)
-        df.withColumn("table", lit(0)).withColumn(bucketName, F.lsh_bucket(col(vc), bits))
-      else
-        df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(df.columns.map(col)) :+ posexplode(array((0 until tables).map(t =>
-          F.lsh_bucket(col(vc), bits, planeOffset = t * bits)): _*))
-          .as(Seq("table", bucketName)): _*)
-    val c = withBuckets(
-      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv")), "__cv", "bucket")
+    LshIndex(bits, tables, withBuckets(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv")),
+      "__cv", "bucket", bits, tables))
+  }
+
+  /** Rehydrate a serving index from a persisted banded table (columns
+    * table, bucket, nn_id, __cv) produced by [[lshBuild]] at the same
+    * bits/tables config.
+    */
+  def lshFromBanded(bits: Int, tables: Int, banded: DataFrame): LshIndex =
+    LshIndex(bits, tables, banded.select(col("table"), col("bucket"), col("nn_id"), col("__cv")))
+
+  /** Top-k query against a prebuilt banded index — no corpus re-hash. */
+  def lshQuery(index: LshIndex, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int, multiProbe: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
+    val scored = lshQueryCandidates(index, queries, qIdCol, qVecCol, multiProbe, excludeSelf)
+      .select(col("query_id"), col("nn_id"),
+        F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
+      .groupBy("query_id", "nn_id").agg(max("cosine").as("cosine")) // dedup multi-probe hits
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
+  }
+
+  // single-table: no generate node on the scan (the common fast path)
+  private def withBuckets(df: DataFrame, vc: String, bucketName: String,
+      bits: Int, tables: Int): DataFrame =
+    if (tables == 1)
+      df.withColumn("table", lit(0)).withColumn(bucketName, F.lsh_bucket(col(vc), bits))
+    else
+      df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(df.columns.map(col)) :+ posexplode(array((0 until tables).map(t =>
+        F.lsh_bucket(col(vc), bits, planeOffset = t * bits)): _*))
+        .as(Seq("table", bucketName)): _*)
+
+  private def lshQueryCandidates(index: LshIndex, queries: DataFrame,
+      qIdCol: String, qVecCol: String, multiProbe: Boolean,
+      excludeSelf: Boolean): DataFrame = {
     val qb = withBuckets(
-      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv")), "__qv", "__qb")
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv")),
+      "__qv", "__qb", index.bits, index.tables)
     val probes =
       if (multiProbe)
         qb.select(col("query_id"), col("__qv"), col("table"), explode(
-          array((lit(0) +: (0 until bits).map(b => lit(1 << b))).map(m => col("__qb").bitwiseXOR(m)): _*)
+          array((lit(0) +: (0 until index.bits).map(b => lit(1 << b))).map(m => col("__qb").bitwiseXOR(m)): _*)
         ).as("bucket"))
       else qb.withColumnRenamed("__qb", "bucket")
-    c.join(probes, Seq("table", "bucket"))
+    index.banded.join(probes, Seq("table", "bucket"))
       .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
   }
+
+  private def lshCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      bits: Int, multiProbe: Boolean, tables: Int,
+      excludeSelf: Boolean): DataFrame =
+    lshQueryCandidates(lshBuild(corpus, idCol, vecCol, bits, tables),
+      queries, qIdCol, qVecCol, multiProbe, excludeSelf)
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nCells` cells; each query scores only the rows in its

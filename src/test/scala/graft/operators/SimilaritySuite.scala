@@ -79,6 +79,26 @@ class SimilaritySuite extends SparkTestBase {
     assert(viaDisk == oneShot)
   }
 
+  test("lshBuild + lshQuery equals lshTopK, including a persisted banded index") {
+    val q = emb.where(col("vec_id") < 20)
+    val oneShot = Similarity.lshTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, bits = 6, multiProbe = true, tables = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val index = Similarity.lshBuild(emb, "vec_id", "embedding", bits = 6, tables = 4)
+    val viaIndex = Similarity.lshQuery(index, q, "vec_id", "embedding", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex == oneShot)
+    // parquet round-trip of the banded table serves identically (the
+    // hyperplanes are deterministic in bits/tables, so only the table and
+    // config need to survive)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-banded").toString
+    index.banded.write.mode("overwrite").parquet(dir)
+    val rehydrated = Similarity.lshFromBanded(6, 4, spark.read.parquet(dir))
+    val viaDisk = Similarity.lshQuery(rehydrated, q, "vec_id", "embedding", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDisk == oneShot)
+  }
+
   test("ivf model build runs exactly one job (no corpus count)") {
     // bind the reads BEFORE the listener: spark.read.parquet runs its own
     // file-listing job, which is not part of the model build under test
