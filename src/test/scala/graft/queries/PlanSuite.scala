@@ -133,6 +133,16 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
   }
 
+  test("incremental ingest keeps its anti-join shape and no corpus self-join") {
+    val df = graft.SparkEntry.queries("dedup_incremental")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // exact stage: LEFT ANTI on the 128-bit hash (corpus side sheds text
+    // before any exchange); near stage ends in another anti on convicted ids
+    assert(p.contains("LeftAnti"), s"missing anti-join:\n$p")
+    // the semi-join corpus cut before verification shingles
+    assert(p.contains("LeftSemi"), s"missing semi-join corpus cut:\n$p")
+  }
+
   test("no gate plan contains an unbounded cartesian or python UDF") {
     // dedup_ngram_jaccard's candidate harness deliberately crosses a bounded
     // 30-id window; sketch_source_similarity crosses the 20 one-row-per-source

@@ -41,6 +41,17 @@ class BinaryParserRobustnessSuite extends AnyFunSuite {
     val t0 = System.nanoTime()
     PdfText.extract(doc) // must respect the MaxInflated cap, not allocate 64 MB+ per row unbounded
     assert((System.nanoTime() - t0) / 1e9 < 10.0)
+    // ObjStm walker: garbage payloads, non-deflate bodies, and a deflate
+    // bomb behind the /ObjStm recursion must all stay bounded and non-throwing
+    PdfText.extract("<< /Type /ObjStm /Filter /FlateDecode >> stream\nnot-deflate\nendstream".getBytes)
+    for (seed <- 50L until 60L)
+      PdfText.extract(("<< /Type /ObjStm >> stream\n".getBytes.toSeq ++
+        rndBytes(seed, 512).toSeq ++ "\nendstream".getBytes.toSeq).toArray)
+    val objStmBomb = ("<< /Type /ObjStm /Filter /FlateDecode >>\nstream\n".getBytes.toSeq ++
+      big.toSeq ++ "\nendstream".getBytes.toSeq).toArray
+    val t1 = System.nanoTime()
+    PdfText.extract(objStmBomb)
+    assert((System.nanoTime() - t1) / 1e9 < 10.0)
   }
 
   test("stream-filter decoders never throw on garbage and respect output caps") {
