@@ -449,6 +449,80 @@ object Dedup {
     exactSurvivors.join(nearDups, Seq(idCol), "left_anti")
   }
 
+  /** The persisted acceleration structure for repeated ingest: the corpus's
+    * distinct normalized hashes (exact stage) and its banded LSH rows with
+    * hot buckets ALREADY reduced to their min-id representative (candidate
+    * stage). Both are plain DataFrames — write them out when the corpus
+    * lands (bucket `banded` by (band, bucket) via [[Bucketing]] for
+    * shuffle-free candidate joins) and every subsequent batch skips the
+    * full-corpus signature pass that [[incrementalDedup]] pays per call.
+    * Hot-bucket stats are EXACT at build time (one keyed aggregate,
+    * amortized over every future ingest) rather than sampled per call.
+    * The config fields must match between build and query — the banding is
+    * deterministic in them.
+    */
+  final case class IngestIndex(shingleSize: Int, numHashes: Int, bands: Int,
+      hashes: DataFrame, banded: DataFrame)
+
+  def ingestIndexBuild(corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = DefaultMaxBucketSize): IngestIndex = {
+    val hashes = corpus.select(md5(T.normText(col(textCol)).cast("binary")).as("__h")).distinct()
+    val full = minHashBanded(corpus, idCol, textCol, shingleSize, numHashes, bands)
+    val banded =
+      if (maxBucketSize == Int.MaxValue) full
+      else {
+        // distributed, exact: no driver collect — the stats frame is tiny
+        // (<= rows/cap hot entries) and joins back broadcast-style
+        val hot = full.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__cnt"), min(col("id")).as("__repid"))
+          .where(col("__cnt") > maxBucketSize)
+        full.join(broadcast(hot), Seq("band", "bucket"), "left")
+          .where(col("__cnt").isNull || col("id") === col("__repid"))
+          .select(col("band"), col("bucket"), col("id"))
+      }
+    IngestIndex(shingleSize, numHashes, bands, hashes, banded)
+  }
+
+  /** Rehydrate an [[IngestIndex]] from persisted tables (hashes: (__h);
+    * banded: (band, bucket, id)) written by [[ingestIndexBuild]] at the
+    * same config.
+    */
+  def ingestIndexFrom(shingleSize: Int, numHashes: Int, bands: Int,
+      hashes: DataFrame, banded: DataFrame): IngestIndex =
+    IngestIndex(shingleSize, numHashes, bands,
+      hashes.select(col("__h")), banded.select(col("band"), col("bucket"), col("id")))
+
+  /** [[incrementalDedup]] against a prebuilt [[IngestIndex]]: the per-batch
+    * cost drops to banding the BATCH, two anti-joins, and a verification
+    * join that touches only candidate corpus docs (`corpus` is still needed
+    * for candidate text lookup — it is semi-joined down to candidate ids
+    * before any shingle is computed).
+    */
+  def incrementalDedup(index: IngestIndex, corpus: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val normHash = md5(T.normText(col(textCol)).cast("binary"))
+    val exactSurvivors = newDocs.withColumn("__h", normHash)
+      .join(index.hashes, Seq("__h"), "left_anti")
+      .drop("__h")
+    val newBanded = minHashBanded(exactSurvivors, idCol, textCol,
+        index.shingleSize, index.numHashes, index.bands)
+      .withColumnRenamed("id", "id_new")
+    val cand = index.banded.join(newBanded, Seq("band", "bucket"))
+      .select(col("id_new"), col("id").as("id_corpus")).distinct()
+    def shingled(df: DataFrame, as: String, shAs: String) =
+      df.select(col(idCol).as(as),
+        array_distinct(F.word_shingles(T.tokens(col(textCol)), index.shingleSize)).as(shAs))
+    val corpusNeeded = corpus.join(
+      cand.select(col("id_corpus").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val convicted = cand.join(shingled(exactSurvivors, "id_new", "__sh_n"), "id_new")
+      .join(shingled(corpusNeeded, "id_corpus", "__sh_c"), "id_corpus")
+      .where((size(array_intersect(col("__sh_n"), col("__sh_c"))).cast("double") /
+              size(array_union(col("__sh_n"), col("__sh_c"))).cast("double")) >= threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    exactSurvivors.join(convicted, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs (id_a, id_b).
     *
     * Shuffle budget: the shingle table (the HEAVY side — ~3x the text bytes)

@@ -197,9 +197,12 @@ object Streaming {
   /** Streaming EXACT ingest dedup: the twin of the exact stage of
     * [[graft.operators.Dedup.incrementalDedup]] — a stream-static LEFT ANTI
     * join from incoming docs to the corpus's distinct normalized-md5 hashes.
-    * Stateless and append-mode; the static side re-resolves per micro-batch,
-    * so a corpus that grows between triggers is honored on the next one.
-    * Only (hash) columns join — document text never shuffles.
+    * Stateless and append-mode; the static side's QUERY re-executes per
+    * micro-batch, but whether corpus rows added between triggers become
+    * visible depends on the source's listing semantics (a parquet frame
+    * pins its file listing at read time — re-create the frame or refresh
+    * the catalog table to pick up corpus growth). Only (hash) columns
+    * join — document text never shuffles.
     */
   def exactIngestStream(corpus: DataFrame, docs: DataFrame,
       idCol: String, textCol: String): DataFrame = {

@@ -369,6 +369,43 @@ class DedupSuite extends SparkTestBase {
     assert(out == Set(1002L), s"survivors: $out")
   }
 
+  test("prebuilt ingest index matches the direct operator and survives persistence") {
+    val d = QueryPack.t(spark, sf("sf0.001"), "documents")
+    val corpus = d.where(col("doc_id") % 2 === 0)
+    val fresh = d.where(col("doc_id") % 2 === 1)
+    val direct = Dedup.incrementalDedup(corpus, fresh, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val index = Dedup.ingestIndexBuild(corpus, "doc_id", "text")
+    val viaIndex = Dedup.incrementalDedup(index, corpus, fresh, "doc_id", "text", 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == direct)
+    // persistence round-trip: both tables through parquet, same survivors
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-idx").toString
+    index.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    index.banded.write.mode("overwrite").parquet(s"$dir/banded")
+    val rehydrated = Dedup.ingestIndexFrom(3, 128, 32,
+      spark.read.parquet(s"$dir/hashes"), spark.read.parquet(s"$dir/banded"))
+    val viaDisk = Dedup.incrementalDedup(rehydrated, corpus, fresh, "doc_id", "text", 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaDisk == direct)
+  }
+
+  test("ingest index reduces hot buckets exactly at build time, rep still convicts") {
+    import spark.implicits._
+    def window(from: Int, n: Int) = (from until from + n).map(i => s"tok$i").mkString(" ")
+    val corpus = (0L until 300L).map(i => (i, window(1, 30))).toDF("doc_id", "text")
+    val index = Dedup.ingestIndexBuild(corpus, "doc_id", "text", maxBucketSize = 100)
+    // 300 identical docs: every (band, bucket) is over cap, so the banded
+    // table holds exactly one representative row per bucket
+    val perBucket = index.banded.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perBucket == 1L, s"hot buckets not reduced: max rows/bucket = $perBucket")
+    val fresh = Seq((1001L, window(2, 30)), (1002L, window(500, 30))).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(index, corpus, fresh, "doc_id", "text", 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1002L), s"survivors: $out")
+  }
+
   test("lshBucketStats surfaces oversized buckets") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, "identical text everywhere")).toDF("doc_id", "text")
