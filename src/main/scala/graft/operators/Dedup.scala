@@ -412,8 +412,12 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.7,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // materialize the (batch-bounded) pair set once: it feeds BOTH the
+    // semi-join corpus cut and the verification join, and without this the
+    // full candidate-generation lineage — a corpus scan plus signatures —
+    // would execute twice
     val cand = incrementalCandidatePairs(corpus, newDocs, idCol, textCol,
-      shingleSize, numHashes, bands, maxBucketSize)
+      shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true)
     def shingled(df: DataFrame, as: String, shAs: String) =
       df.select(col(idCol).as(as),
         array_distinct(F.word_shingles(T.tokens(col(textCol)), shingleSize)).as(shAs))
@@ -510,6 +514,7 @@ object Dedup {
       .withColumnRenamed("id", "id_new")
     val cand = index.banded.join(newBanded, Seq("band", "bucket"))
       .select(col("id_new"), col("id").as("id_corpus")).distinct()
+      .localCheckpoint(true) // feeds the semi-join cut AND the verify join
     def shingled(df: DataFrame, as: String, shAs: String) =
       df.select(col(idCol).as(as),
         array_distinct(F.word_shingles(T.tokens(col(textCol)), index.shingleSize)).as(shAs))
