@@ -390,6 +390,17 @@ class DedupSuite extends SparkTestBase {
     assert(viaDisk == direct)
   }
 
+  test("incrementalDedup is idempotent: survivors re-checked against the corpus all survive") {
+    val d = QueryPack.t(spark, sf("sf0.001"), "documents")
+    val corpus = d.where(col("doc_id") % 2 === 0)
+    val fresh = d.where(col("doc_id") % 2 === 1)
+    val survivors = Dedup.incrementalDedup(corpus, fresh, "doc_id", "text", threshold = 0.7)
+      .localCheckpoint(true)
+    val again = Dedup.incrementalDedup(corpus, survivors, "doc_id", "text", threshold = 0.7)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      survivors.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("ingest index reduces hot buckets exactly at build time, rep still convicts") {
     import spark.implicits._
     def window(from: Int, n: Int) = (from until from + n).map(i => s"tok$i").mkString(" ")
