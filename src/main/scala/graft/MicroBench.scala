@@ -34,7 +34,11 @@ object MicroBench {
         (System.nanoTime() - t0) / 1e9
       }
       val sorted = ts.sorted
-      val median = sorted(sorted.length / 2)
+      // true median: mean of the middle pair for even rep counts, so the
+      // pinned numbers don't bias high when SPARK_GRAFT_MICRO_REPS is even
+      val median =
+        if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
       println(f"MICRO $n%-24s min=${ts.min}%.2f median=$median%.2f " +
         f"runs=${ts.map(t => f"$t%.2f").mkString(",")}")
       n -> (ts.min, median, ts)

@@ -282,6 +282,12 @@ object Multimodal {
       while (i >= 0 && i + 27 <= bytes.length) {
         if (bytes(i) != 'O' || bytes(i + 1) != 'g' || bytes(i + 2) != 'g' || bytes(i + 3) != 'S') {
           i = nextCapture(i + 1)
+        } else if ((bytes(i + 4) & 0xff) != 0 || (bytes(i + 5) & 0xff) >= 8) {
+          // capture pattern with an invalid stream_structure_version (must be
+          // 0) or undefined header_type flag bits (only 3 defined): a payload
+          // decoy hit during resync, not a page — skip past it, or a garbage
+          // granule here could inflate duration by years
+          i = nextCapture(i + 1)
         } else {
           var g = 0L
           var j = 7

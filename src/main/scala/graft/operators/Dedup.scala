@@ -77,29 +77,9 @@ object Dedup {
     // table is tiny by construction (<= rows/cap entries) and broadcasts;
     // small-bucket rows keep the exact uncapped plan — one keyed shuffle +
     // self-join — with only a broadcast-hash filter added.
-    val fraction = 0.1
-    val threshold = math.max(2L, (maxBucketSize * fraction / 2).toLong)
-    val hotAgg = mkBanded(rows.sample(withReplacement = false, fraction, seed = 7L))
-      .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__scnt"), min(col("id")).as("__repid"))
-      .where(col("__scnt") >= threshold)
-    // The flagged set is bucket METADATA — (keys, count, rep id) ONLY, never
-    // the payload: for embeddingDuplicates the payload is the full vector and
-    // 100k flagged buckets x 768 dims x 8 B would be ~600 MB of driver heap
-    // exactly in the degenerate-corpus scenario the guard exists for. The
-    // id-only rows are <= rows/cap entries of a few dozen bytes — collect so
-    // the consumers below see a local relation (zero recompute) and the
-    // no-hot-bucket common case pays nothing but the 10% sampling job.
-    val hotRows = hotAgg.limit(MaxHotBuckets + 1).collect()
-    if (hotRows.length > MaxHotBuckets)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"more than $MaxHotBuckets oversized LSH buckets detected; buckets beyond the " +
-          "cap fall back to the full self-join (consider more bits/bands or a bigger cap)")
-    if (hotRows.isEmpty) selfJoinAll(banded) // exact uncapped plan, no join added
-    else {
-      val spark = rows.sparkSession
-      val hot = broadcast(spark.createDataFrame(
-        java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
+    sampledHotBuckets(rows, mkBanded, keyCols, maxBucketSize) match {
+      case None => selfJoinAll(banded) // exact uncapped plan, no join added
+      case Some(hot) =>
       val marked = banded.join(hot, keyCols, "left")
       val smallPairs = selfJoinAll(marked.where(col("__scnt").isNull))
       // Star pairs against the sample-min representative (a true bucket
@@ -123,6 +103,41 @@ object Dedup {
                   .otherwise(col("__rep_" + c)).as(c + "_b")): _*)
       smallPairs.unionByName(hotPairs)
     }
+  }
+
+  /** Sampled hot-bucket METADATA, shared by the self-join guard and the
+    * ingest candidate path so the sampling (fraction, seed, flag formula)
+    * can never desynchronize between them. Buckets are detected from a
+    * seeded 10% sample of the INPUT rows — an exact count would re-evaluate
+    * the expensive map side (signatures + explode) over the full corpus a
+    * second time, while the sample pays 10% and still flags any
+    * pathological bucket with near-certainty (a 10x-over-cap bucket going
+    * unsampled is a < 1e-20 event). Sampling documents (not banded rows)
+    * also keeps the representative consistent across bands. The flagged set
+    * is (keys, __scnt, __repid) ONLY — never the payload: for
+    * embeddingDuplicates 100k flagged buckets x 768 dims x 8 B would be
+    * ~600 MB of driver heap exactly in the degenerate-corpus scenario the
+    * guard exists for. The id-only rows are <= rows/cap entries of a few
+    * dozen bytes — collected (bounded by [[MaxHotBuckets]]) so consumers
+    * see a broadcast local relation with zero recompute; the no-hot-bucket
+    * common case pays nothing but the 10% sampling job and returns None.
+    */
+  private def sampledHotBuckets(rows: DataFrame, mkBanded: DataFrame => DataFrame,
+      keyCols: Seq[String], maxBucketSize: Int): Option[DataFrame] = {
+    val fraction = 0.1
+    val flagAt = math.max(2L, (maxBucketSize * fraction / 2).toLong)
+    val hotAgg = mkBanded(rows.sample(withReplacement = false, fraction, seed = 7L))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__scnt"), min(col("id")).as("__repid"))
+      .where(col("__scnt") >= flagAt)
+    val hotRows = hotAgg.limit(MaxHotBuckets + 1).collect()
+    if (hotRows.length > MaxHotBuckets)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"more than $MaxHotBuckets oversized LSH buckets detected; buckets beyond the " +
+          "cap keep the exact uncapped plan (consider more bits/bands or a bigger cap)")
+    if (hotRows.isEmpty) None
+    else Some(broadcast(rows.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), hotAgg.schema)))
   }
 
   /** Resolve verified duplicate PAIRS into duplicate GROUPS: connected
@@ -156,16 +171,26 @@ object Dedup {
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir(...) " +
           "pointing at reliable storage (HDFS/S3) before resolving groups")
-    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(eager) else df.localCheckpoint(eager)
+    // RDD checkpointing recomputes the lineage for the write job unless the
+    // data is cached (documented Spark behavior) — persist around each
+    // reliable checkpoint so every round computes its join ONCE, and drop
+    // the cache as soon as the checkpoint files exist
+    def ckptEager(df: DataFrame): DataFrame =
+      if (!reliableCheckpoint) df.localCheckpoint(true)
+      else {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint(true)
+        df.unpersist(false)
+        out
+      }
     // materialize the edge list once: every iteration below joins against it,
     // and without the checkpoint each job would re-run the (expensive)
     // candidate-generation lineage that produced the pairs
-    val edges = ckpt(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = ckptEager(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct(), eager = true)
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")), eager = true)
+      .distinct())
+    var labels = ckptEager(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -175,11 +200,17 @@ object Dedup {
       // lazily-checkpointed update (carrying the old label as __old), so the
       // same action that materializes this round's labels also answers "did
       // anything change" — no second job, no join of two checkpointed frames.
-      val updated = ckpt(labels.join(neighborMin, Seq("id"), "left")
+      val updatedSrc = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")),
-        eager = false)
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      val updated =
+        if (!reliableCheckpoint) updatedSrc.localCheckpoint(false)
+        else {
+          updatedSrc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          updatedSrc.checkpoint(false) // materializes at the count below
+        }
       converged = updated.where(col("comp") < col("__old")).count() == 0
+      if (reliableCheckpoint) updatedSrc.unpersist(false)
       labels = updated.select(col("id"), col("comp"))
       i += 1
     }
@@ -290,8 +321,15 @@ object Dedup {
     * (~1e-18 at a trillion docs). Keeps min(id) as the canonical
     * representative.
     */
+  /** The 128-bit normalized-content hash every exact-dedup surface keys on
+    * (batch, ingest, index build, and the streaming twin) — one definition,
+    * so the normalization rule cannot drift between them.
+    */
+  private[graft] def normTextHash(textCol: String): Column =
+    md5(T.normText(col(textCol)).cast("binary"))
+
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), md5(T.normText(col(textCol)).cast("binary")).as("norm_hash"))
+    df.select(col(idCol), normTextHash(textCol).as("norm_hash"))
       .groupBy(col("norm_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -372,29 +410,14 @@ object Dedup {
       .withColumnRenamed("id", "id_new")
     val corpusSide =
       if (maxBucketSize == Int.MaxValue) corpusBanded
-      else {
-        val fraction = 0.1
-        val flagAt = math.max(2L, (maxBucketSize * fraction / 2).toLong)
-        val hotAgg = minHashBanded(corpus.sample(withReplacement = false, fraction, seed = 7L),
-            idCol, textCol, shingleSize, numHashes, bands)
-          .groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__scnt"), min(col("id")).as("__repid"))
-          .where(col("__scnt") >= flagAt)
-        // metadata-only collect, same bound and rationale as cappedBucketPairs
-        val hotRows = hotAgg.limit(MaxHotBuckets + 1).collect()
-        if (hotRows.length > MaxHotBuckets)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"more than $MaxHotBuckets oversized corpus buckets; buckets beyond the cap " +
-              "keep the full join (consider more bits/bands or a bigger cap)")
-        if (hotRows.isEmpty) corpusBanded
-        else {
-          val spark = corpus.sparkSession
-          val hot = broadcast(spark.createDataFrame(
-            java.util.Arrays.asList(hotRows: _*), hotAgg.schema))
+      else sampledHotBuckets(corpus,
+          rows => minHashBanded(rows, idCol, textCol, shingleSize, numHashes, bands),
+          Seq("band", "bucket"), maxBucketSize) match {
+        case None => corpusBanded
+        case Some(hot) =>
           corpusBanded.join(hot, Seq("band", "bucket"), "left")
             .where(col("__scnt").isNull || col("id") === col("__repid"))
             .select(col("band"), col("bucket"), col("id"))
-        }
       }
     corpusSide.join(newBanded, Seq("band", "bucket"))
       .select(col("id_new"), col("id").as("id_corpus")).distinct()
@@ -418,6 +441,21 @@ object Dedup {
     // would execute twice
     val cand = incrementalCandidatePairs(corpus, newDocs, idCol, textCol,
       shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true)
+    verifyCrossPairs(cand, corpus, newDocs, idCol, textCol, shingleSize)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact cross-side Jaccard for (id_new, id_corpus) candidate pairs —
+    * shared by the direct and index ingest paths. The corpus is first cut
+    * down to candidate ids with a semi-join (the distinct candidate-id set
+    * is batch-bounded, so Catalyst broadcasts it and the cut is map-side):
+    * shingles are computed and shuffled ONLY for corpus docs some candidate
+    * actually names, never for the whole corpus; the new side is
+    * batch-sized to begin with. Callers must pass an already-materialized
+    * `cand` (it is read twice).
+    */
+  private def verifyCrossPairs(cand: DataFrame, corpus: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int): DataFrame = {
     def shingled(df: DataFrame, as: String, shAs: String) =
       df.select(col(idCol).as(as),
         array_distinct(F.word_shingles(T.tokens(col(textCol)), shingleSize)).as(shAs))
@@ -428,7 +466,6 @@ object Dedup {
       .select(col("id_new"), col("id_corpus"),
         (size(array_intersect(col("__sh_n"), col("__sh_c"))).cast("double") /
          size(array_union(col("__sh_n"), col("__sh_c"))).cast("double")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
   }
 
   /** New-batch rows surviving ingest dedup against the existing corpus:
@@ -442,9 +479,8 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.7,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val normHash = md5(T.normText(col(textCol)).cast("binary"))
-    val corpusHashes = corpus.select(normHash.as("__h")).distinct()
-    val exactSurvivors = newDocs.withColumn("__h", normHash)
+    val corpusHashes = corpus.select(normTextHash(textCol).as("__h")).distinct()
+    val exactSurvivors = newDocs.withColumn("__h", normTextHash(textCol))
       .join(corpusHashes, Seq("__h"), "left_anti")
       .drop("__h")
     val nearDups = incrementalMinHash(corpus, exactSurvivors, idCol, textCol,
@@ -471,17 +507,20 @@ object Dedup {
   def ingestIndexBuild(corpus: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): IngestIndex = {
-    val hashes = corpus.select(md5(T.normText(col(textCol)).cast("binary")).as("__h")).distinct()
+    val hashes = corpus.select(normTextHash(textCol).as("__h")).distinct()
     val full = minHashBanded(corpus, idCol, textCol, shingleSize, numHashes, bands)
     val banded =
       if (maxBucketSize == Int.MaxValue) full
       else {
-        // distributed, exact: no driver collect — the stats frame is tiny
-        // (<= rows/cap hot entries) and joins back broadcast-style
+        // distributed, exact: no driver collect, and NO broadcast hint — the
+        // hot frame is rows*bands/cap-bounded, which on the degenerate
+        // boilerplate corpus this guard exists for can exceed broadcast
+        // limits; the keyed join lets Catalyst/AQE pick broadcast when it
+        // is actually small and shuffle when it is not
         val hot = full.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("__cnt"), min(col("id")).as("__repid"))
           .where(col("__cnt") > maxBucketSize)
-        full.join(broadcast(hot), Seq("band", "bucket"), "left")
+        full.join(hot, Seq("band", "bucket"), "left")
           .where(col("__cnt").isNull || col("id") === col("__repid"))
           .select(col("band"), col("bucket"), col("id"))
       }
@@ -505,8 +544,7 @@ object Dedup {
     */
   def incrementalDedup(index: IngestIndex, corpus: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val normHash = md5(T.normText(col(textCol)).cast("binary"))
-    val exactSurvivors = newDocs.withColumn("__h", normHash)
+    val exactSurvivors = newDocs.withColumn("__h", normTextHash(textCol))
       .join(index.hashes, Seq("__h"), "left_anti")
       .drop("__h")
     val newBanded = minHashBanded(exactSurvivors, idCol, textCol,
@@ -515,15 +553,9 @@ object Dedup {
     val cand = index.banded.join(newBanded, Seq("band", "bucket"))
       .select(col("id_new"), col("id").as("id_corpus")).distinct()
       .localCheckpoint(true) // feeds the semi-join cut AND the verify join
-    def shingled(df: DataFrame, as: String, shAs: String) =
-      df.select(col(idCol).as(as),
-        array_distinct(F.word_shingles(T.tokens(col(textCol)), index.shingleSize)).as(shAs))
-    val corpusNeeded = corpus.join(
-      cand.select(col("id_corpus").as(idCol)).distinct(), Seq(idCol), "left_semi")
-    val convicted = cand.join(shingled(exactSurvivors, "id_new", "__sh_n"), "id_new")
-      .join(shingled(corpusNeeded, "id_corpus", "__sh_c"), "id_corpus")
-      .where((size(array_intersect(col("__sh_n"), col("__sh_c"))).cast("double") /
-              size(array_union(col("__sh_n"), col("__sh_c"))).cast("double")) >= threshold)
+    val convicted = verifyCrossPairs(cand, corpus, exactSurvivors, idCol, textCol,
+        index.shingleSize)
+      .where(col("jaccard") >= threshold)
       .select(col("id_new").as(idCol)).distinct()
     exactSurvivors.join(convicted, Seq(idCol), "left_anti")
   }

@@ -174,7 +174,10 @@ object CatalogQueries {
         setup(s, dir)
         val fixture = new java.io.File(wh(dir), "audiofiles")
         if (!fixture.exists()) {
-          fixture.mkdirs()
+          // write-to-temp + atomic rename: a run crashing mid-loop must not
+          // leave a half-built dir that later runs mistake for the fixture
+          val staging = new java.io.File(wh(dir), s"audiofiles.tmp${System.nanoTime()}")
+          staging.mkdirs()
           QueryPack.t(s, dir, "nation").select(col("n_nationkey")).collect().foreach { r =>
             val key = r.getInt(0)
             val rate = 8000 + key * 441
@@ -186,7 +189,11 @@ object CatalogQueries {
               .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
             bb.put("data".getBytes).putInt(dataBytes).put(new Array[Byte](dataBytes))
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(fixture.toString, f"$key%05d.wav"), bb.array())
+              java.nio.file.Paths.get(staging.toString, f"$key%05d.wav"), bb.array())
+          }
+          if (!staging.renameTo(fixture)) { // concurrent run won the rename
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
           }
         }
         Graft.sql(s,

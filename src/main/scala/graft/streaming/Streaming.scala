@@ -206,8 +206,7 @@ object Streaming {
     */
   def exactIngestStream(corpus: DataFrame, docs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    import graft.functions.{TextFunctions => T}
-    val normHash = md5(T.normText(col(textCol)).cast("binary"))
+    val normHash = graft.operators.Dedup.normTextHash(textCol)
     val corpusHashes = corpus.select(normHash.as("__h")).distinct()
     docs.withColumn("__h", normHash)
       .join(corpusHashes, Seq("__h"), "left_anti")

@@ -210,6 +210,15 @@ class MultimodalSuite extends SparkTestBase {
       page(48000L, "xxOggS".getBytes ++ Array.fill[Byte](8)(0xFF.toByte)) ++
       page(96000L, Array[Byte](0))
     assert(Multimodal.oggInfo(clean).contains((16000, 2000L)))
+    // resync landing on a payload decoy must REJECT it via the version/flags
+    // check: 'OggS' + version 1 + huge positive granule would otherwise
+    // report a duration of years; the true later page still recovers
+    val falseSync = page(0L, opusHead) ++ "JUNK".getBytes ++
+      ("OggS".getBytes ++ Array[Byte](1, 0) ++
+        Array.fill[Byte](8)(0x7F.toByte) ++ new Array[Byte](14)) ++
+      page(144000L, Array[Byte](0))
+    assert(Multimodal.oggInfo(falseSync).contains((16000, 3000L)),
+      s"false sync accepted: ${Multimodal.oggInfo(falseSync)}")
   }
 
   test("image resize re-encodes to the target dimensions for real") {
