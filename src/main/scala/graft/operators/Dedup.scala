@@ -655,4 +655,41 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Embedding ingest dedup: verified (id_new, id_corpus, cosine) pairs
+    * between a NEW vector batch and the EXISTING corpus — the embedding twin
+    * of the text ingest path. Both sides band map-side into `tables`
+    * hyperplane tables and join on (table, bucket), so no corpus self-join
+    * forms; vectors ride the banded rows, making verification an inline
+    * exact cosine with no second corpus lookup. Hot corpus buckets (zero /
+    * boilerplate vectors) reduce to their sample-min representative via the
+    * shared [[sampledHotBuckets]] detection — one witness convicts a new
+    * vector. Ids must be disjoint across the inputs.
+    */
+  def incrementalEmbedding(corpus: DataFrame, newVecs: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.95,
+      bits: Int = 8, tables: Int = 1,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    def mkBanded(rows: DataFrame): DataFrame = rows.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until tables).map(t =>
+        F.lsh_bucket(col(vecCol), bits, planeOffset = t * bits)): _*))
+        .as(Seq("table", "bucket")))
+    val newBanded = mkBanded(newVecs).select(
+      col("table"), col("bucket"), col("id").as("id_new"), col("v").as("__v_n"))
+    val corpusSide =
+      if (maxBucketSize == Int.MaxValue) mkBanded(corpus)
+      else sampledHotBuckets(corpus, mkBanded, Seq("table", "bucket"), maxBucketSize) match {
+        case None => mkBanded(corpus)
+        case Some(hot) =>
+          mkBanded(corpus).join(hot, Seq("table", "bucket"), "left")
+            .where(col("__scnt").isNull || col("id") === col("__repid"))
+            .select(col("table"), col("bucket"), col("id"), col("v"))
+      }
+    corpusSide.join(newBanded, Seq("table", "bucket"))
+      .select(col("id_new"), col("id").as("id_corpus"),
+        F.cosine_similarity(col("__v_n"), col("v")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct()
+  }
 }

@@ -151,6 +151,26 @@ object Pipeline {
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         ORDER BY id_a, id_b""")),
 
+    // ---- Embedding ingest dedup: odd vec_ids are the NEW batch, even the
+    // corpus; verified cross-side cosine pairs at the measured-complete
+    // bits=5 x tables=20 config (candidates == brute force at 0.45 on this
+    // corpus, DedupSuite), so the brute-force oracle applies hash-exact;
+    // cross pairs are a subset of the proven-complete all-pairs set. ----
+    QuerySpec("dedup_embedding_inc",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Dedup.incrementalEmbedding(
+            e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", threshold = 0.45, bits = 5, tables = 20)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("id_new"), col("id_corpus"))
+      },
+      Some("""SELECT n.vec_id AS id_new, c.vec_id AS id_corpus,
+          round(list_cosine_similarity(n.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings n JOIN embeddings c ON n.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+        WHERE list_cosine_similarity(n.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.45
+        ORDER BY id_new, id_corpus""")),
+
     // ---- ANN: brute-force exact top-5 cosine neighbors for 20 query vectors.
     // Corpus never shuffles: queries broadcast, scoring is map-side codegen,
     // only k*|queries| rows reach the window. ----

@@ -390,6 +390,30 @@ class DedupSuite extends SparkTestBase {
     assert(viaDisk == direct)
   }
 
+  test("GATE CONFIG: incremental embedding pairs equal brute-force cross-side cosine") {
+    // odd/even split of the sf0.01 embeddings at the measured-complete
+    // bits=5 x tables=20 config — the ground truth behind dedup_embedding_inc
+    val e01 = QueryPack.t(spark, sf("sf0.01"), "embeddings")
+    val vecs = e01.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val exact = (for {
+      (in, vn) <- vecs if in % 2 == 1
+      (ic, vc) <- vecs if ic % 2 == 0
+      if cos(vn, vc) >= 0.45
+    } yield (in, ic)).toSet
+    val lsh = Dedup.incrementalEmbedding(
+        e01.where(col("vec_id") % 2 === 0), e01.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", threshold = 0.45, bits = 5, tables = 20)
+      .select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"cross-side embedding dedup must be complete: lsh=${lsh.size} exact=${exact.size}")
+  }
+
   test("incrementalDedup is idempotent: survivors re-checked against the corpus all survive") {
     val d = QueryPack.t(spark, sf("sf0.001"), "documents")
     val corpus = d.where(col("doc_id") % 2 === 0)
