@@ -414,6 +414,24 @@ class DedupSuite extends SparkTestBase {
     assert(lsh == exact, s"cross-side embedding dedup must be complete: lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("incremental embedding hot-bucket guard convicts via the representative") {
+    import spark.implicits._
+    // 300 identical corpus vectors: every (table, bucket) is hot at cap 100,
+    // so the corpus side reduces to its sample-min representative; a
+    // near-identical new vector is still convicted through it, while an
+    // orthogonal one survives
+    val base = Array(1.0f, 0.0f, 0.5f, 0.25f)
+    val corpus = (0L until 300L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (1001L, Array(0.99f, 0.01f, 0.5f, 0.25f)), // cosine ~ 1 vs base
+      (1002L, Array(0.0f, 1.0f, 0.0f, 0.0f)))    // near-orthogonal
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.incrementalEmbedding(corpus, fresh, "vec_id", "embedding",
+        threshold = 0.9, bits = 4, tables = 4, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty && pairs.forall(_._1 == 1001L), s"pairs: $pairs")
+  }
+
   test("incrementalDedup is idempotent: survivors re-checked against the corpus all survive") {
     val d = QueryPack.t(spark, sf("sf0.001"), "documents")
     val corpus = d.where(col("doc_id") % 2 === 0)
