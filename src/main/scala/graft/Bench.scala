@@ -38,19 +38,24 @@ object Bench {
     spark.stop()
   }
 
-  /** The round-2 bench gate set (BENCH_r02.json keys). */
+  /** The round-4 gate set (CORRECTNESS_r04.json keys) — shared_prev_total
+    * over these keys gives the apples-to-apples r5-vs-r4 delta. */
   private val PrevRoundGates: Set[String] = Set(
     "ann_bruteforce", "ann_ivf", "ann_lsh", "cat_fqn_join", "cat_snapshot_readback",
     "dedup_embedding", "dedup_exact", "dedup_groups", "dedup_keep_best", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans", "dq_custom_check", "dq_fk_check",
-    "dq_pk_check", "dq_run_summary", "q17_small_qty_revenue", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_revenue_by_nation", "q6_forecast_revenue", "q7_nation_volume",
-    "q9_brand_profit", "q_anti_join", "q_approx_distinct", "q_array_funcs", "q_asof_join",
-    "q_conditional_agg", "q_count_distinct", "q_cube", "q_date_arith", "q_json_extract",
-    "q_percentile", "q_pivot", "q_range_join", "q_rollup", "q_scalar_funcs", "q_semi_join",
-    "q_sessionize", "q_set_ops", "q_time_bucket", "q_unpivot", "q_window_running",
-    "q_window_topk", "sample_hash_split", "sketch_source_similarity", "text_decontaminate",
-    "text_fingerprint", "text_gopher_quality", "text_langid", "text_nfc", "text_pii_scrub",
-    "text_quality", "text_quality_filter", "text_seq_pack", "text_source_stats",
-    "text_vocab_topk", "unstructured_text_scan", "usl_readback")
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans", "dq_custom_check",
+    "dq_fk_check", "dq_pk_check", "dq_run_summary", "pipeline_curation",
+    "q17_small_qty_revenue", "q1_pricing_summary", "q22_idle_balances",
+    "q3_shipping_priority", "q5_revenue_by_nation", "q6_forecast_revenue",
+    "q7_nation_volume", "q9_brand_profit", "q_anti_join", "q_approx_distinct",
+    "q_array_funcs", "q_asof_join", "q_conditional_agg", "q_count_distinct", "q_cube",
+    "q_date_arith", "q_json_extract", "q_percentile", "q_pivot", "q_range_join",
+    "q_rollup", "q_scalar_funcs", "q_semi_join", "q_sessionize", "q_set_ops",
+    "q_time_bucket", "q_unpivot", "q_window_running", "q_window_topk", "sample_group_cap",
+    "sample_hash_split", "sketch_source_similarity", "src_csv_scan", "src_jdbc_scan",
+    "src_json_scan", "src_orc_scan", "text_c4_clean", "text_decontaminate",
+    "text_domain_stats", "text_fingerprint", "text_gopher_quality", "text_langid",
+    "text_nfc", "text_novelty", "text_pii_scrub", "text_quality", "text_quality_filter",
+    "text_seq_pack", "text_source_stats", "text_vocab_topk", "unstructured_text_scan",
+    "usl_readback")
 }
