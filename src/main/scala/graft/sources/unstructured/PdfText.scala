@@ -31,11 +31,18 @@ import java.util.zip.Inflater
   * round-trip; conforming ObjStm bodies (non-stream objects only) contribute
   * nothing and are kept out of the page-text walk.
   *
+  * Encrypted documents: the standard security handler with the EMPTY user
+  * password (permissions-only encryption, the common case) is supported for
+  * RC4 (R2/R3) and AES-128 (`/AESV2`) via [[StandardDecrypt]]; streams are
+  * decrypted before filter decode. Password-protected documents fail stream
+  * decode and fall back to the heuristic.
+  *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly, so xref streams are irrelevant), no
   * per-font CMap binding (above), no DecodeParms predictors, no
-  * DCT/CCITT/JBIG2 (image) filters, no encryption. When nothing decodable is
-  * found the caller falls back to the printable-ASCII heuristic.
+  * DCT/CCITT/JBIG2 (image) filters, no AES-256 (R5/R6) encryption and no
+  * non-empty passwords. When nothing decodable is found the caller falls
+  * back to the printable-ASCII heuristic.
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
@@ -166,6 +173,10 @@ private[graft] object PdfText {
   private[graft] def contentStreams(bytes: Array[Byte], depth: Int = 0): Seq[Array[Byte]] = {
     // ISO-8859-1 maps bytes 1:1 to chars, so string indexes == byte offsets
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    // encryption applies only to top-level streams: objects inside an ObjStm
+    // are covered by the (already-decrypted) ObjStm itself, so recursion
+    // passes no crypt
+    val crypt = if (depth == 0) StandardDecrypt.parse(bytes, s) else None
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = 0
     var continue = true
@@ -185,7 +196,12 @@ private[graft] object PdfText {
           var dataEnd = end
           while (dataEnd > dataStart && (s.charAt(dataEnd - 1) == '\n' || s.charAt(dataEnd - 1) == '\r'))
             dataEnd -= 1
-          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          val raw0 = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          val raw = crypt match {
+            case Some(c) =>
+              StandardDecrypt.decryptStream(c, s, math.max(dictStart, 0), raw0).getOrElse(raw0)
+            case None => raw0
+          }
           val filters = parseFilters(dict)
           val decoded = if (filters.isEmpty) Some(raw) else applyFilters(raw, filters)
           decoded.foreach { d =>
@@ -413,6 +429,195 @@ private[graft] object PdfText {
       }
     }
     flushToken()
+  }
+
+  /** ISO 32000-1 §7.6.3 standard security handler, EMPTY user password only
+    * (the overwhelmingly common permissions-only encryption): RC4 (V1/V2,
+    * R2/R3) and AES-128-CBC (V4 `/AESV2`). The `/U` entry is not validated —
+    * the empty password is attempted unconditionally, which decrypts exactly
+    * the documents it can; password-protected or exotic documents produce
+    * streams that fail filter decode and fall through to the ASCII-run
+    * heuristic, never a throw. Cross-reference streams are not encrypted per
+    * spec; decrypting them garbles bytes whose inflate then fails, so they
+    * are skipped harmlessly (they carry no text).
+    */
+  private[graft] object StandardDecrypt {
+    final case class Crypt(key: Array[Byte], aes: Boolean)
+
+    // Algorithm 2's password pad (ISO 32000-1 Table 7.6.3.3-1)
+    private val Pad: Array[Byte] = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+      0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+    private def md5(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(d.update)
+      d.digest()
+    }
+
+    /** Parse a PDF string object at s(i): '(' literal (with escapes) or
+      * '<' hex. Returns the decoded bytes.
+      */
+    private[unstructured] def pdfString(s: String, i: Int): Option[Array[Byte]] =
+      if (i >= s.length) None
+      else if (s.charAt(i) == '<') {
+        val end = s.indexOf('>', i + 1)
+        if (end < 0) None
+        else {
+          val hex = s.substring(i + 1, end).filter(c => Character.digit(c, 16) >= 0)
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          Some(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        }
+      } else if (s.charAt(i) == '(') {
+        val out = new java.io.ByteArrayOutputStream()
+        var j = i + 1
+        var depth = 1
+        while (j < s.length && depth > 0) {
+          s.charAt(j) match {
+            case '\\' if j + 1 < s.length =>
+              s.charAt(j + 1) match {
+                case 'n' => out.write('\n'); j += 2
+                case 'r' => out.write('\r'); j += 2
+                case 't' => out.write('\t'); j += 2
+                case 'b' => out.write('\b'); j += 2
+                case 'f' => out.write('\f'); j += 2
+                case d if d >= '0' && d <= '7' =>
+                  var k = j + 1; var v = 0
+                  while (k < s.length && k < j + 4 && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+                    v = v * 8 + (s.charAt(k) - '0'); k += 1
+                  }
+                  out.write(v & 0xff); j = k
+                case c => out.write(c); j += 2
+              }
+            case '(' => depth += 1; out.write('('); j += 1
+            case ')' =>
+              depth -= 1
+              if (depth > 0) out.write(')')
+              j += 1
+            case c => out.write(c); j += 1
+          }
+        }
+        Some(out.toByteArray)
+      } else None
+
+    private def intEntry(dict: String, key: String): Option[Int] = {
+      val m = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(key) + "\\s+(-?\\d+)")
+        .matcher(dict)
+      if (m.find()) Some(m.group(1).toInt) else None
+    }
+
+    private def stringEntry(s: String, dict: String, key: String): Option[Array[Byte]] = {
+      val k = dict.indexOf(key)
+      if (k < 0) return None
+      var j = k + key.length
+      while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+      pdfString(dict, j)
+    }
+
+    /** Detect and parse the document's /Encrypt dictionary; None when the
+      * document is unencrypted or the handler/parameters are unsupported.
+      */
+    def parse(bytes: Array[Byte], s: String): Option[Crypt] = try {
+      val encAt = s.lastIndexOf("/Encrypt")
+      if (encAt < 0) return None
+      var j = encAt + "/Encrypt".length
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      val dict: String =
+        if (s.startsWith("<<", j)) s.substring(j, skipDictionary(s, j + 2))
+        else {
+          // indirect reference: N G R -> find "N G obj" and take its dict
+          val m = java.util.regex.Pattern.compile("^(\\d+)\\s+(\\d+)\\s+R")
+            .matcher(s.substring(j, math.min(j + 32, s.length)))
+          if (!m.find()) return None
+          val om = java.util.regex.Pattern
+            .compile("(?<![0-9])" + m.group(1) + "\\s+" + m.group(2) + "\\s+obj")
+            .matcher(s)
+          if (!om.find()) return None
+          val ds = s.indexOf("<<", om.end())
+          if (ds < 0) return None
+          s.substring(ds, skipDictionary(s, ds + 2))
+        }
+      if (!dict.contains("/Standard")) return None
+      val r = intEntry(dict, "/R").getOrElse(return None)
+      if (r < 2 || r > 4) return None
+      val lengthBits = intEntry(dict, "/Length").getOrElse(40)
+      val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
+      val p = intEntry(dict, "/P").getOrElse(return None)
+      val o = stringEntry(s, dict, "/O").getOrElse(return None)
+      if (o.length < 32) return None
+      // first element of the trailer's /ID array (may legitimately be absent)
+      val id1: Array[Byte] = {
+        val idAt = s.lastIndexOf("/ID")
+        if (idAt < 0) Array.empty
+        else {
+          val br = s.indexOf('[', idAt)
+          if (br < 0 || br > idAt + 8) Array.empty
+          else {
+            var k = br + 1
+            while (k < s.length && s.charAt(k).isWhitespace) k += 1
+            pdfString(s, k).getOrElse(Array.empty)
+          }
+        }
+      }
+      val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+        ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+      val metaExtra =
+        if (r >= 4 && dict.contains("/EncryptMetadata false"))
+          Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+        else Array.empty[Byte]
+      var key = md5(Pad, o.take(32), pLe, id1, metaExtra)
+      if (r >= 3) {
+        var i = 0
+        while (i < 50) { key = md5(key.take(n)); i += 1 }
+      }
+      Some(Crypt(key.take(n), aes = dict.contains("/AESV2")))
+    } catch { case _: Exception => None }
+
+    /** Decrypt one stream's raw bytes. The owning object number comes from
+      * the nearest preceding `N G obj` header (a bounded backward window —
+      * the header immediately precedes the stream dict in practice).
+      */
+    def decryptStream(c: Crypt, s: String, dictStart: Int, raw: Array[Byte]): Option[Array[Byte]] = try {
+      val windowStart = math.max(0, dictStart - 64)
+      val window = s.substring(windowStart, dictStart)
+      val m = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj").matcher(window)
+      var on = -1; var gn = -1
+      while (m.find()) { on = m.group(1).toInt; gn = m.group(2).toInt }
+      if (on < 0) return None
+      val objBytes = Array[Byte]((on & 0xff).toByte, ((on >> 8) & 0xff).toByte,
+        ((on >> 16) & 0xff).toByte, (gn & 0xff).toByte, ((gn >> 8) & 0xff).toByte)
+      val salt = if (c.aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte] // "sAlT"
+      val objKey = md5(c.key, objBytes, salt).take(math.min(c.key.length + 5, 16))
+      if (c.aes) {
+        if (raw.length < 32) return None // IV + at least one block
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(raw.take(16)))
+        Some(cipher.doFinal(raw, 16, raw.length - 16))
+      } else Some(rc4(objKey, raw))
+    } catch { case _: Exception => None }
+
+    private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val sbox = Array.tabulate(256)(identity)
+      var j = 0
+      for (i <- 0 until 256) {
+        j = (j + sbox(i) + (key(i % key.length) & 0xff)) & 0xff
+        val t = sbox(i); sbox(i) = sbox(j); sbox(j) = t
+      }
+      val out = new Array[Byte](data.length)
+      var i = 0; var k = 0
+      var idx = 0
+      while (idx < data.length) {
+        i = (i + 1) & 0xff
+        k = (k + sbox(i)) & 0xff
+        val t = sbox(i); sbox(i) = sbox(k); sbox(k) = t
+        out(idx) = (data(idx) ^ sbox((sbox(i) + sbox(k)) & 0xff)).toByte
+        idx += 1
+      }
+      out
+    }
   }
 
   /** Skip a `<< ... >>` dictionary body starting just after the opener.

@@ -205,6 +205,79 @@ class UnstructuredSuite extends SparkTestBase {
     assert(PdfText.extract(nestedDoc).contains("packed in objstm"))
   }
 
+  test("encrypted pdf (empty user password): RC4 and AES-128 streams decrypt, wrong key falls back") {
+    import graft.sources.unstructured.PdfText
+    // test-side encryptor implementing ISO 32000-1 Algorithm 2 + per-object
+    // keys from the published spec. This proves decrypt(encrypt(x)) == x for
+    // the same spec reading — a documented limitation: offline there are no
+    // third-party encrypted fixtures to cross-check against.
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(d.update); d.digest()
+    }
+    val pad = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+      0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    val o = Array.tabulate[Byte](32)(_.toByte)
+    val id1 = Array.tabulate[Byte](16)(i => (0xA0 + i).toByte)
+    val p = -44
+    val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    def fileKey(n: Int, r: Int): Array[Byte] = {
+      var key = md5(pad, o, pLe, id1)
+      if (r >= 3) for (_ <- 0 until 50) key = md5(key.take(n))
+      key.take(n)
+    }
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    def objKey(fk: Array[Byte], on: Int, aes: Boolean): Array[Byte] = {
+      val ob = Array[Byte]((on & 0xff).toByte, ((on >> 8) & 0xff).toByte,
+        ((on >> 16) & 0xff).toByte, 0, 0)
+      val salt = if (aes) "sAlT".getBytes else Array.empty[Byte]
+      md5(fk, ob, salt).take(math.min(fk.length + 5, 16))
+    }
+    val cs = "BT (vaulted text) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+
+    def doc(encDict: String, payload: Array[Byte]): Array[Byte] =
+      (s"%PDF-1.4\n4 0 obj << /Length ${payload.length} >>\nstream\n"
+        .getBytes(StandardCharsets.ISO_8859_1) ++ payload ++
+        ("\nendstream\nendobj\n9 0 obj " + encDict + " endobj\n" +
+          s"trailer << /Root 1 0 R /Encrypt 9 0 R /ID [<${hex(id1)}> <${hex(id1)}>] >>\n%%EOF\n")
+          .getBytes(StandardCharsets.ISO_8859_1))
+
+    // RC4, R3, 128-bit
+    val fkRc4 = fileKey(16, 3)
+    val rc4Doc = doc(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p /O <${hex(o)}> /U <${hex(o)}> >>",
+      PdfText.StandardDecrypt.rc4(objKey(fkRc4, 4, aes = false), cs))
+    assert(PdfText.extract(rc4Doc).contains("vaulted text"), PdfText.extract(rc4Doc))
+
+    // AES-128 (V4 /AESV2): IV + CBC/PKCS5 ciphertext
+    val fkAes = fileKey(16, 4)
+    val iv = Array.tabulate[Byte](16)(i => (0x10 + i).toByte)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(objKey(fkAes, 4, aes = true), "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val aesDoc = doc(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p /O <${hex(o)}> /U <${hex(o)}> " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF >>",
+      iv ++ cipher.doFinal(cs))
+    assert(PdfText.extract(aesDoc).contains("vaulted text"), PdfText.extract(aesDoc))
+
+    // wrong key material (different /O): decryption yields garbage, the
+    // extractor must fall back without throwing and never leak plaintext
+    val wrongDoc = doc(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p /O <${hex(id1 ++ id1)}> /U <${hex(o)}> >>",
+      PdfText.StandardDecrypt.rc4(objKey(fkRc4, 4, aes = false), cs))
+    assert(!PdfText.extract(wrongDoc).contains("vaulted text"))
+
+    // hostile /Encrypt dicts never throw
+    PdfText.extract("%PDF\n/Encrypt << /Filter /Standard /R 3 >>\ntrailer".getBytes)
+    PdfText.extract("%PDF\n/Encrypt 5 0 R\ntrailer".getBytes)
+    PdfText.extract(("%PDF\n/Encrypt << /Filter /Standard /R 3 /P 1 /O <00> >> " +
+      "4 0 obj << /Length 3 >>\nstream\nabc\nendstream").getBytes)
+  }
+
   // ---- LZW / ASCII85 / chained filters (round-3: public-spec decoders) ----
 
   private def pdfWith(payload: Array[Byte], filter: String): Array[Byte] = {
