@@ -37,12 +37,15 @@ import java.util.zip.Inflater
   * decrypted before filter decode. Password-protected documents fail stream
   * decode and fall back to the heuristic.
   *
+  * `/DecodeParms` predictors (TIFF-2 horizontal differencing, PNG
+  * None/Sub/Up/Average/Paeth) are undone after the filter chain.
+  *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly, so xref streams are irrelevant), no
-  * per-font CMap binding (above), no DecodeParms predictors, no
-  * DCT/CCITT/JBIG2 (image) filters, no AES-256 (R5/R6) encryption and no
-  * non-empty passwords. When nothing decodable is found the caller falls
-  * back to the printable-ASCII heuristic.
+  * per-font CMap binding (above), no DCT/CCITT/JBIG2 (image) filters, no
+  * AES-256 (R5/R6) encryption and no non-empty passwords. When nothing
+  * decodable is found the caller falls back to the printable-ASCII
+  * heuristic.
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
@@ -185,7 +188,19 @@ private[graft] object PdfText {
       if (k < 0) continue = false
       else if (k >= 3 && s.regionMatches(k - 3, "end", 0, 3)) pos = k + 6
       else {
-        val dictStart = s.lastIndexOf("<<", k)
+        // the stream dict is the dict whose matching '>>' sits immediately
+        // (whitespace only) before the stream keyword — lastIndexOf alone
+        // would land INSIDE a nested value dict (e.g. /DecodeParms << ... >>)
+        // and lose the outer /Filter entry
+        var dictStart = -1
+        var cand = s.lastIndexOf("<<", k)
+        var tries = 0
+        while (dictStart < 0 && cand >= 0 && tries < 16) {
+          val close = skipDictionary(s, cand + 2)
+          if (close <= k && s.substring(close, k).forall(_.isWhitespace)) dictStart = cand
+          else { cand = s.lastIndexOf("<<", cand - 1); tries += 1 }
+        }
+        if (dictStart < 0) dictStart = s.lastIndexOf("<<", k) // garbage: old behavior
         val dict = if (dictStart >= 0) s.substring(dictStart, k) else ""
         var dataStart = k + 6
         if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
@@ -203,7 +218,12 @@ private[graft] object PdfText {
             case None => raw0
           }
           val filters = parseFilters(dict)
-          val decoded = if (filters.isEmpty) Some(raw) else applyFilters(raw, filters)
+          val decoded0 = if (filters.isEmpty) Some(raw) else applyFilters(raw, filters)
+          val decoded = parsePredictor(dict) match {
+            case Some((p, cols, colors, bpc)) =>
+              decoded0.flatMap(d => applyPredictor(d, p, cols, colors, bpc))
+            case None => decoded0
+          }
           decoded.foreach { d =>
             if (dict.contains("/ObjStm")) {
               if (depth < 2) out ++= contentStreams(d, depth + 1)
@@ -242,6 +262,82 @@ private[graft] object PdfText {
     } else if (i < dict.length && dict.charAt(i) == '/') Seq(name(i)._1)
     else Nil
   }
+
+  /** `/DecodeParms` predictor parameters: (predictor, columns, colors, bpc).
+    * Only the first Predictor entry is read — Flate/LZW (the only filters
+    * predictors apply to) are virtually always the last chain stage, so
+    * applying one predictor after the full chain matches practice.
+    */
+  private[graft] def parsePredictor(dict: String): Option[(Int, Int, Int, Int)] = {
+    def num(key: String, default: Int): Int = {
+      val m = java.util.regex.Pattern
+        .compile(java.util.regex.Pattern.quote(key) + "\\s+(\\d+)").matcher(dict)
+      if (m.find()) m.group(1).toInt else default
+    }
+    val pred = num("/Predictor", 1)
+    if (pred <= 1) None
+    else Some((pred, num("/Columns", 1), num("/Colors", 1), num("/BitsPerComponent", 8)))
+  }
+
+  /** Undo a TIFF (2) or PNG (10-15) predictor over post-filter bytes
+    * (ISO 32000-1 Table 7.4.4.4-1 / RFC 2083 §6). PNG rows carry a
+    * per-row tag byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth); TIFF 2 is
+    * byte-wise horizontal differencing (8-bit components only here).
+    */
+  private[graft] def applyPredictor(data: Array[Byte], predictor: Int,
+      columns: Int, colors: Int, bpc: Int): Option[Array[Byte]] =
+    try {
+      val bpp = math.max(1, colors * bpc / 8)
+      val rowBytes = math.max(1, (columns * colors * bpc + 7) / 8)
+      if (predictor == 2) {
+        if (bpc != 8) return None
+        val out = data.clone()
+        var r = 0
+        while (r * rowBytes < out.length) {
+          val base = r * rowBytes
+          var i = bpp
+          while (i < rowBytes && base + i < out.length) {
+            out(base + i) = (out(base + i) + out(base + i - bpp)).toByte
+            i += 1
+          }
+          r += 1
+        }
+        Some(out)
+      } else if (predictor >= 10 && predictor <= 15) {
+        val nRows = data.length / (rowBytes + 1)
+        val out = new Array[Byte](nRows * rowBytes)
+        val prev = new Array[Byte](rowBytes)
+        var r = 0
+        while (r < nRows) {
+          val tag = data(r * (rowBytes + 1)) & 0xff
+          val src = r * (rowBytes + 1) + 1
+          val dst = r * rowBytes
+          var i = 0
+          while (i < rowBytes) {
+            val raw = data(src + i) & 0xff
+            val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+            val up = prev(i) & 0xff
+            val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
+            val v = tag match {
+              case 0 => raw
+              case 1 => raw + left
+              case 2 => raw + up
+              case 3 => raw + (left + up) / 2
+              case 4 =>
+                val pa = math.abs(up - ul); val pb = math.abs(left - ul)
+                val pc = math.abs(left + up - 2 * ul)
+                raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+              case _ => return None
+            }
+            out(dst + i) = (v & 0xff).toByte
+            i += 1
+          }
+          System.arraycopy(out, dst, prev, 0, rowBytes)
+          r += 1
+        }
+        Some(out)
+      } else None
+    } catch { case _: Exception => None }
 
   /** Apply the filter chain in order; None when any stage is an image/crypto
     * filter we do not decode (the caller then skips this stream).

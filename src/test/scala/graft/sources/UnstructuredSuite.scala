@@ -278,6 +278,74 @@ class UnstructuredSuite extends SparkTestBase {
       "4 0 obj << /Length 3 >>\nstream\nabc\nendstream").getBytes)
   }
 
+  test("pdf DecodeParms predictors: PNG Up/Sub/Paeth and TIFF-2 round-trip") {
+    import graft.sources.unstructured.PdfText
+    def deflate(d: Array[Byte]): Array[Byte] = {
+      val df = new java.util.zip.Deflater(); df.setInput(d); df.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+      while (!df.finished()) out.write(buf, 0, df.deflate(buf))
+      out.toByteArray
+    }
+    val cs = "BT (predicted text flows) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val cols = 8
+    // test-side PNG ENCODER (the inverse walk): rows of `cols` bytes, pad the
+    // tail row with spaces, per-row tag
+    def pngEncode(data: Array[Byte], tag: Int): Array[Byte] = {
+      val padded = data ++ Array.fill[Byte]((cols - data.length % cols) % cols)(' ')
+      val out = new java.io.ByteArrayOutputStream()
+      val prev = new Array[Byte](cols)
+      padded.grouped(cols).foreach { row =>
+        out.write(tag)
+        var i = 0
+        while (i < cols) {
+          val left = if (i >= 1) row(i - 1) & 0xff else 0
+          val up = prev(i) & 0xff
+          val ul = if (i >= 1) prev(i - 1) & 0xff else 0
+          val pred = tag match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val pa = math.abs(up - ul); val pb = math.abs(left - ul)
+              val pc = math.abs(left + up - 2 * ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          out.write((row(i) - pred) & 0xff)
+          i += 1
+        }
+        System.arraycopy(row, 0, prev, 0, cols)
+      }
+      out.toByteArray
+    }
+    for (tag <- Seq(0, 1, 2, 3, 4)) {
+      val payload = deflate(pngEncode(cs, tag))
+      val doc = (s"%PDF-1.4\n4 0 obj << /Length ${payload.length} /Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor ${10 + tag} /Columns $cols >> >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ payload ++
+        "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+      assert(PdfText.extract(doc).contains("predicted text flows"), s"tag $tag: ${PdfText.extract(doc)}")
+    }
+    // TIFF predictor 2: byte-wise horizontal differencing per row
+    val tiffEnc = {
+      val padded = cs ++ Array.fill[Byte]((cols - cs.length % cols) % cols)(' ')
+      padded.grouped(cols).flatMap { row =>
+        row.zipWithIndex.map { case (b, i) => if (i == 0) b else ((b - row(i - 1)) & 0xff).toByte }
+      }.toArray
+    }
+    val tiffPayload = deflate(tiffEnc)
+    val tiffDoc = (s"%PDF-1.4\n4 0 obj << /Length ${tiffPayload.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 2 /Columns $cols >> >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ tiffPayload ++
+      "\nendstream\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(tiffDoc).contains("predicted text flows"), PdfText.extract(tiffDoc))
+    // hostile: bad tags / truncated rows / absurd params never throw
+    PdfText.applyPredictor(Array[Byte](9, 1, 2, 3), 10, cols, 1, 8)
+    PdfText.applyPredictor(Array[Byte](2), 12, 1 << 30, 1, 8)
+    PdfText.applyPredictor(Array.empty[Byte], 15, 4, 3, 8)
+    PdfText.applyPredictor(Array[Byte](1, 2, 3), 2, 4, 1, 16)
+  }
+
   // ---- LZW / ASCII85 / chained filters (round-3: public-spec decoders) ----
 
   private def pdfWith(payload: Array[Byte], filter: String): Array[Byte] = {
