@@ -43,9 +43,8 @@ import java.util.zip.Inflater
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly, so xref streams are irrelevant), no
   * per-font CMap binding (above), no DCT/CCITT/JBIG2 (image) filters, no
-  * AES-256 (R5/R6) encryption and no non-empty passwords. When nothing
-  * decodable is found the caller falls back to the printable-ASCII
-  * heuristic.
+  * non-empty passwords. When nothing decodable is found the caller falls
+  * back to the printable-ASCII heuristic.
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
@@ -527,9 +526,11 @@ private[graft] object PdfText {
     flushToken()
   }
 
-  /** ISO 32000-1 §7.6.3 standard security handler, EMPTY user password only
+  /** ISO 32000-1/-2 standard security handler, EMPTY user password only
     * (the overwhelmingly common permissions-only encryption): RC4 (V1/V2,
-    * R2/R3) and AES-128-CBC (V4 `/AESV2`). The `/U` entry is not validated —
+    * R2/R3), AES-128-CBC (V4 `/AESV2`) and AES-256-CBC (V5, R5/R6
+    * `/AESV3` — /UE decrypted with the SHA-256 / Algorithm 2.B intermediate
+    * key). The `/U` entry is not validated —
     * the empty password is attempted unconditionally, which decrypts exactly
     * the documents it can; password-protected or exotic documents produce
     * streams that fail filter decode and fall through to the ASCII-run
@@ -538,7 +539,10 @@ private[graft] object PdfText {
     * are skipped harmlessly (they carry no text).
     */
   private[graft] object StandardDecrypt {
-    final case class Crypt(key: Array[Byte], aes: Boolean)
+    /** v5: AES-256 (R5/R6) — the file key encrypts every object directly
+      * (no per-object MD5 salting).
+      */
+    final case class Crypt(key: Array[Byte], aes: Boolean, v5: Boolean = false)
 
     // Algorithm 2's password pad (ISO 32000-1 Table 7.6.3.3-1)
     private val Pad: Array[Byte] = Array(
@@ -604,11 +608,18 @@ private[graft] object PdfText {
     }
 
     private def stringEntry(s: String, dict: String, key: String): Option[Array[Byte]] = {
-      val k = dict.indexOf(key)
-      if (k < 0) return None
-      var j = k + key.length
-      while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
-      pdfString(dict, j)
+      // token boundary required: "/U" must not match the prefix of "/UE"
+      var k = dict.indexOf(key)
+      while (k >= 0) {
+        val after = k + key.length
+        if (after >= dict.length || !dict.charAt(after).isLetterOrDigit) {
+          var j = after
+          while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+          return pdfString(dict, j)
+        }
+        k = dict.indexOf(key, k + 1)
+      }
+      None
     }
 
     /** Detect and parse the document's /Encrypt dictionary; None when the
@@ -636,6 +647,7 @@ private[graft] object PdfText {
         }
       if (!dict.contains("/Standard")) return None
       val r = intEntry(dict, "/R").getOrElse(return None)
+      if (r == 5 || r == 6) return parseV5(s, dict, r)
       if (r < 2 || r > 4) return None
       val lengthBits = intEntry(dict, "/Length").getOrElse(40)
       val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
@@ -670,11 +682,75 @@ private[graft] object PdfText {
       Some(Crypt(key.take(n), aes = dict.contains("/AESV2")))
     } catch { case _: Exception => None }
 
+    /** AES-256 (ISO 32000-2 §7.6.4): the empty user password's intermediate
+      * key — SHA-256(pwd || keySalt) for R5, hardened Algorithm 2.B for
+      * R6 — decrypts /UE (AES-256-CBC, zero IV, no padding) into the file
+      * key, which then encrypts every object directly.
+      */
+    private def parseV5(s: String, dict: String, r: Int): Option[Crypt] = {
+      val u = stringEntry(s, dict, "/U").getOrElse(return None)
+      val ue = stringEntry(s, dict, "/UE").getOrElse(return None)
+      if (u.length < 48 || ue.length < 32) return None
+      val keySalt = u.slice(40, 48)
+      val intermediate =
+        if (r == 5) sha256(Array.empty[Byte], keySalt, Array.empty[Byte])
+        else hash2B(Array.empty[Byte], keySalt, Array.empty[Byte])
+      val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(intermediate, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      Some(Crypt(cipher.doFinal(ue.take(32)), aes = true, v5 = true))
+    }
+
+    private def sha256(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      parts.foreach(d.update); d.digest()
+    }
+
+    /** ISO 32000-2 Algorithm 2.B (R6 hardened hash): iterate AES-CBC over
+      * 64 repetitions of (pwd || K || udata), re-hashing with SHA-256/384/512
+      * chosen by E's leading bytes mod 3, until >= 64 rounds and the last
+      * byte of E says stop. Exposed private[graft] so the fixture encryptor
+      * exercises the identical chain.
+      */
+    private[graft] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+        udata: Array[Byte]): Array[Byte] = {
+      var k = sha256(pwd, salt, udata)
+      var e = Array.empty[Byte]
+      var i = 0
+      while (i < 64 || (e.last & 0xff) > i - 32) {
+        val block = pwd ++ k ++ udata
+        val k1 = new Array[Byte](block.length * 64)
+        var j = 0
+        while (j < 64) { System.arraycopy(block, 0, k1, j * block.length, block.length); j += 1 }
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+          new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+        e = cipher.doFinal(k1)
+        // first 16 bytes of E as a big-endian number mod 3 == byte sum mod 3
+        val mod = e.take(16).foldLeft(0)((a, b) => a + (b & 0xff)) % 3
+        val alg = mod match { case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512" }
+        val d = java.security.MessageDigest.getInstance(alg)
+        k = d.digest(e)
+        i += 1
+      }
+      k.take(32)
+    }
+
     /** Decrypt one stream's raw bytes. The owning object number comes from
       * the nearest preceding `N G obj` header (a bounded backward window —
       * the header immediately precedes the stream dict in practice).
       */
     def decryptStream(c: Crypt, s: String, dictStart: Int, raw: Array[Byte]): Option[Array[Byte]] = try {
+      if (c.v5) { // AES-256: file key used directly, no per-object salting
+        if (raw.length < 32) return None
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(c.key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(raw.take(16)))
+        return Some(cipher.doFinal(raw, 16, raw.length - 16))
+      }
       val windowStart = math.max(0, dictStart - 64)
       val window = s.substring(windowStart, dictStart)
       val m = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj").matcher(window)

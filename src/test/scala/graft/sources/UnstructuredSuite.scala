@@ -271,10 +271,39 @@ class UnstructuredSuite extends SparkTestBase {
       PdfText.StandardDecrypt.rc4(objKey(fkRc4, 4, aes = false), cs))
     assert(!PdfText.extract(wrongDoc).contains("vaulted text"))
 
+    // AES-256 R6 (PDF 2.0 /AESV3): file key from /UE via the Algorithm 2.B
+    // intermediate; R5 via plain SHA-256. File key encrypts objects directly.
+    for (r6 <- Seq(5, 6)) {
+      val fileKey = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte)
+      val keySalt = Array.tabulate[Byte](8)(i => (0x50 + i).toByte)
+      val valSalt = Array.tabulate[Byte](8)(i => (0x60 + i).toByte)
+      val intermediate =
+        if (r6 == 5) java.security.MessageDigest.getInstance("SHA-256").digest(keySalt)
+        else PdfText.StandardDecrypt.hash2B(Array.empty, keySalt, Array.empty)
+      val enc = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      enc.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(intermediate, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      val ue = enc.doFinal(fileKey)
+      val u = Array.fill[Byte](32)(0x11) ++ valSalt ++ keySalt // validation hash unchecked
+      val iv2 = Array.tabulate[Byte](16)(i => (0x30 + i).toByte)
+      val body = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      body.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv2))
+      val v5Doc = doc(
+        s"<< /Filter /Standard /V 5 /R $r6 /Length 256 /P $p /O <${hex(o ++ o.take(16))}> " +
+          s"/U <${hex(u)}> /UE <${hex(ue)}> /CF << /StdCF << /CFM /AESV3 >> >> >>",
+        iv2 ++ body.doFinal(cs))
+      assert(PdfText.extract(v5Doc).contains("vaulted text"), s"R$r6: ${PdfText.extract(v5Doc)}")
+    }
+
     // hostile /Encrypt dicts never throw
     PdfText.extract("%PDF\n/Encrypt << /Filter /Standard /R 3 >>\ntrailer".getBytes)
     PdfText.extract("%PDF\n/Encrypt 5 0 R\ntrailer".getBytes)
     PdfText.extract(("%PDF\n/Encrypt << /Filter /Standard /R 3 /P 1 /O <00> >> " +
+      "4 0 obj << /Length 3 >>\nstream\nabc\nendstream").getBytes)
+    PdfText.extract(("%PDF\n/Encrypt << /Filter /Standard /R 6 /U <0011> /UE <22> >>\n" +
       "4 0 obj << /Length 3 >>\nstream\nabc\nendstream").getBytes)
   }
 
