@@ -31,11 +31,13 @@ import java.util.zip.Inflater
   * round-trip; conforming ObjStm bodies (non-stream objects only) contribute
   * nothing and are kept out of the page-text walk.
   *
-  * Encrypted documents: the standard security handler with the EMPTY user
-  * password (permissions-only encryption, the common case) is supported for
-  * RC4 (R2/R3) and AES-128 (`/AESV2`) via [[StandardDecrypt]]; streams are
-  * decrypted before filter decode. Password-protected documents fail stream
-  * decode and fall back to the heuristic.
+  * Encrypted documents: the standard security handler is supported for RC4
+  * (R2/R3), AES-128 (`/AESV2`) and AES-256 (R5/R6 `/AESV3`) via
+  * [[StandardDecrypt]] — the empty user password by default (permissions-only
+  * encryption, the common case) or a caller-supplied user password (`password`
+  * scan option / `extract` parameter). Streams decrypt before filter decode;
+  * a wrong or missing password fails stream decode and falls back to the
+  * heuristic, never throwing.
   *
   * `/DecodeParms` predictors (TIFF-2 horizontal differencing, PNG
   * None/Sub/Up/Average/Paeth) are undone after the filter chain.
@@ -43,8 +45,8 @@ import java.util.zip.Inflater
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly, so xref streams are irrelevant), no
   * per-font CMap binding (above), no DCT/CCITT/JBIG2 (image) filters, no
-  * non-empty passwords. When nothing decodable is found the caller falls
-  * back to the printable-ASCII heuristic.
+  * owner-password-based key recovery (Algorithm 2.A /OE path). When nothing
+  * decodable is found the caller falls back to the printable-ASCII heuristic.
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
@@ -52,10 +54,14 @@ private[graft] object PdfText {
 
   private val MaxInflated = 8 * 1024 * 1024
 
-  /** Extract text from a PDF byte array; empty string when no text ops found. */
-  def extract(bytes: Array[Byte], maxChars: Int = 10000): String = {
+  /** Extract text from a PDF byte array; empty string when no text ops found.
+    * `password` is the user password for encrypted documents (UTF-8 bytes,
+    * empty = the permissions-only default).
+    */
+  def extract(bytes: Array[Byte], maxChars: Int = 10000,
+      password: Array[Byte] = Array.empty): String = {
     val sb = new StringBuilder
-    val streams = contentStreams(bytes)
+    val streams = contentStreams(bytes, password = password)
     // ToUnicode CMap streams are font metadata, not page content: harvest
     // their code->unicode entries, then keep them out of the text walk
     val (cmapStreams, textStreams) = streams.partition(isCMapStream)
@@ -172,13 +178,14 @@ private[graft] object PdfText {
     * round-trip through the recursive scan. Recursion is depth-capped so an
     * ObjStm chain cannot loop the walker.
     */
-  private[graft] def contentStreams(bytes: Array[Byte], depth: Int = 0): Seq[Array[Byte]] = {
+  private[graft] def contentStreams(bytes: Array[Byte], depth: Int = 0,
+      password: Array[Byte] = Array.empty): Seq[Array[Byte]] = {
     // ISO-8859-1 maps bytes 1:1 to chars, so string indexes == byte offsets
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     // encryption applies only to top-level streams: objects inside an ObjStm
     // are covered by the (already-decrypted) ObjStm itself, so recursion
     // passes no crypt
-    val crypt = if (depth == 0) StandardDecrypt.parse(bytes, s) else None
+    val crypt = if (depth == 0) StandardDecrypt.parse(bytes, s, password) else None
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = 0
     var continue = true
@@ -625,7 +632,8 @@ private[graft] object PdfText {
     /** Detect and parse the document's /Encrypt dictionary; None when the
       * document is unencrypted or the handler/parameters are unsupported.
       */
-    def parse(bytes: Array[Byte], s: String): Option[Crypt] = try {
+    def parse(bytes: Array[Byte], s: String,
+        password: Array[Byte] = Array.empty): Option[Crypt] = try {
       val encAt = s.lastIndexOf("/Encrypt")
       if (encAt < 0) return None
       var j = encAt + "/Encrypt".length
@@ -647,7 +655,7 @@ private[graft] object PdfText {
         }
       if (!dict.contains("/Standard")) return None
       val r = intEntry(dict, "/R").getOrElse(return None)
-      if (r == 5 || r == 6) return parseV5(s, dict, r)
+      if (r == 5 || r == 6) return parseV5(s, dict, r, password)
       if (r < 2 || r > 4) return None
       val lengthBits = intEntry(dict, "/Length").getOrElse(40)
       val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
@@ -674,7 +682,7 @@ private[graft] object PdfText {
         if (r >= 4 && dict.contains("/EncryptMetadata false"))
           Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
         else Array.empty[Byte]
-      var key = md5(Pad, o.take(32), pLe, id1, metaExtra)
+      var key = md5((password ++ Pad).take(32), o.take(32), pLe, id1, metaExtra)
       if (r >= 3) {
         var i = 0
         while (i < 50) { key = md5(key.take(n)); i += 1 }
@@ -687,14 +695,16 @@ private[graft] object PdfText {
       * R6 — decrypts /UE (AES-256-CBC, zero IV, no padding) into the file
       * key, which then encrypts every object directly.
       */
-    private def parseV5(s: String, dict: String, r: Int): Option[Crypt] = {
+    private def parseV5(s: String, dict: String, r: Int,
+        password: Array[Byte]): Option[Crypt] = {
       val u = stringEntry(s, dict, "/U").getOrElse(return None)
       val ue = stringEntry(s, dict, "/UE").getOrElse(return None)
       if (u.length < 48 || ue.length < 32) return None
       val keySalt = u.slice(40, 48)
+      val pwd = password.take(127) // ISO 32000-2: UTF-8 password, max 127 bytes
       val intermediate =
-        if (r == 5) sha256(Array.empty[Byte], keySalt, Array.empty[Byte])
-        else hash2B(Array.empty[Byte], keySalt, Array.empty[Byte])
+        if (r == 5) sha256(pwd, keySalt, Array.empty[Byte])
+        else hash2B(pwd, keySalt, Array.empty[Byte])
       val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
       cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(intermediate, "AES"),

@@ -197,7 +197,8 @@ object Unstructured {
       case "text" => raw.select(col("path"),
         col("content").cast("string").as("textcontent"))
       case "pdf" => raw.select(col("path"),
-        ContentExtractor.pdfText(col("content")).as("textcontent"),
+        ContentExtractor.pdfText(col("content"), ds.options.getOrElse("password", ""))
+          .as("textcontent"),
         col("content").as("bincontent"))
       case "image" => raw.select(col("path"), col("content").as("imagecontent"))
       case _ => raw.select(col("path"), col("content").as("bincontent"))
@@ -237,11 +238,13 @@ object ContentExtractor {
     * offline) fall back to the printable-ASCII-run heuristic so the column
     * is always populated deterministically.
     */
-  def pdfText(content: Column): Column = {
+  def pdfText(content: Column, password: String = ""): Column = {
+    val pwd = password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val f = udf { bytes: Array[Byte] =>
       if (bytes == null) null
       else {
-        val structured = try PdfText.extract(bytes) catch { case _: Exception => "" }
+        val structured = try PdfText.extract(bytes, password = pwd)
+          catch { case _: Exception => "" }
         if (structured.nonEmpty) structured
         else new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
           .replaceAll("[^\\x20-\\x7E\\n]+", " ").trim.take(10000)

@@ -298,6 +298,29 @@ class UnstructuredSuite extends SparkTestBase {
       assert(PdfText.extract(v5Doc).contains("vaulted text"), s"R$r6: ${PdfText.extract(v5Doc)}")
     }
 
+    // USER-password documents: Algorithm 2 pads the password into the key
+    // material; without the password extraction yields nothing, with it the
+    // text round-trips — including through the scan-level `password` option
+    val pwd = "hunter2".getBytes(StandardCharsets.UTF_8)
+    val fkPwd = {
+      var key = md5((pwd ++ pad).take(32), o, pLe, id1)
+      for (_ <- 0 until 50) key = md5(key.take(16))
+      key.take(16)
+    }
+    val pwdDoc = doc(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p /O <${hex(o)}> /U <${hex(o)}> >>",
+      PdfText.StandardDecrypt.rc4(objKey(fkPwd, 4, aes = false), cs))
+    assert(!PdfText.extract(pwdDoc).contains("vaulted text"))
+    assert(PdfText.extract(pwdDoc, password = pwd).contains("vaulted text"),
+      PdfText.extract(pwdDoc, password = pwd))
+    val pwdDir = Files.createTempDirectory("graft-pdf-pwd").toString
+    Files.write(Paths.get(pwdDir, "locked.pdf"), pwdDoc)
+    spark.sql("REGISTER OR REPLACE PDF DATASOURCE lockedpdf OPTIONS " +
+      s"(path '$pwdDir', password 'hunter2') NAMESPACE graft.datasource.un")
+    val viaScan = spark.sql(
+      "SELECT textcontent FROM graft.datasource.un.lockedpdf.content").head().getString(0)
+    assert(viaScan.contains("vaulted text"), viaScan)
+
     // hostile /Encrypt dicts never throw
     PdfText.extract("%PDF\n/Encrypt << /Filter /Standard /R 3 >>\ntrailer".getBytes)
     PdfText.extract("%PDF\n/Encrypt 5 0 R\ntrailer".getBytes)
