@@ -197,13 +197,19 @@ private[graft] object PdfText {
         // the stream dict is the dict whose matching '>>' sits immediately
         // (whitespace only) before the stream keyword — lastIndexOf alone
         // would land INSIDE a nested value dict (e.g. /DecodeParms << ... >>)
-        // and lose the outer /Filter entry
+        // and lose the outer /Filter entry. Both the outward walk and each
+        // candidate's forward scan are BOUNDED (real stream dicts are tiny)
+        // so crafted never-closing '<<' runs cannot go quadratic.
+        val windowStart = math.max(0, k - 4096)
         var dictStart = -1
         var cand = s.lastIndexOf("<<", k)
         var tries = 0
-        while (dictStart < 0 && cand >= 0 && tries < 16) {
-          val close = skipDictionary(s, cand + 2)
-          if (close <= k && s.substring(close, k).forall(_.isWhitespace)) dictStart = cand
+        while (dictStart < 0 && cand >= windowStart && tries < 8) {
+          val close = skipDictionary(s, cand + 2, limit = k)
+          // the candidate must have actually CLOSED (limit-stopped walks end
+          // mid-dict) with only whitespace left before the stream keyword
+          if (close <= k && close >= 2 && s.regionMatches(close - 2, ">>", 0, 2) &&
+              s.substring(close, k).forall(_.isWhitespace)) dictStart = cand
           else { cand = s.lastIndexOf("<<", cand - 1); tries += 1 }
         }
         if (dictStart < 0) dictStart = s.lastIndexOf("<<", k) // garbage: old behavior
@@ -269,17 +275,36 @@ private[graft] object PdfText {
     else Nil
   }
 
+  /** First integer value for `key` in a dict string (negative allowed). */
+  private[graft] def dictInt(dict: String, key: String): Option[Int] = {
+    val m = java.util.regex.Pattern
+      .compile(java.util.regex.Pattern.quote(key) + "\\s+(-?\\d+)").matcher(dict)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** The dict string with nested `<< >>` value bodies removed, so a
+    * top-level key lookup (e.g. the /Encrypt dict's /Length) can never match
+    * an entry of an embedded dict (e.g. /CF << /StdCF << /Length 16 >> >>,
+    * which Acrobat serializes BEFORE the top-level /Length). */
+  private[graft] def topLevelDict(dict: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var depth = 0
+    while (i < dict.length) {
+      if (dict.startsWith("<<", i)) { depth += 1; if (depth <= 1) sb.append("<<"); i += 2 }
+      else if (dict.startsWith(">>", i)) { depth -= 1; if (depth <= 0) sb.append(">>"); i += 2 }
+      else { if (depth <= 1) sb.append(dict.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** `/DecodeParms` predictor parameters: (predictor, columns, colors, bpc).
     * Only the first Predictor entry is read — Flate/LZW (the only filters
     * predictors apply to) are virtually always the last chain stage, so
     * applying one predictor after the full chain matches practice.
     */
   private[graft] def parsePredictor(dict: String): Option[(Int, Int, Int, Int)] = {
-    def num(key: String, default: Int): Int = {
-      val m = java.util.regex.Pattern
-        .compile(java.util.regex.Pattern.quote(key) + "\\s+(\\d+)").matcher(dict)
-      if (m.find()) m.group(1).toInt else default
-    }
+    def num(key: String, default: Int): Int = dictInt(dict, key).getOrElse(default)
     val pred = num("/Predictor", 1)
     if (pred <= 1) None
     else Some((pred, num("/Columns", 1), num("/Colors", 1), num("/BitsPerComponent", 8)))
@@ -584,6 +609,10 @@ private[graft] object PdfText {
           s.charAt(j) match {
             case '\\' if j + 1 < s.length =>
               s.charAt(j + 1) match {
+                case '\n' => j += 2 // line continuation: emit nothing
+                case '\r' =>
+                  j += 2
+                  if (j < s.length && s.charAt(j) == '\n') j += 1
                 case 'n' => out.write('\n'); j += 2
                 case 'r' => out.write('\r'); j += 2
                 case 't' => out.write('\t'); j += 2
@@ -608,13 +637,7 @@ private[graft] object PdfText {
         Some(out.toByteArray)
       } else None
 
-    private def intEntry(dict: String, key: String): Option[Int] = {
-      val m = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(key) + "\\s+(-?\\d+)")
-        .matcher(dict)
-      if (m.find()) Some(m.group(1).toInt) else None
-    }
-
-    private def stringEntry(s: String, dict: String, key: String): Option[Array[Byte]] = {
+    private def stringEntry(dict: String, key: String): Option[Array[Byte]] = {
       // token boundary required: "/U" must not match the prefix of "/UE"
       var k = dict.indexOf(key)
       while (k >= 0) {
@@ -654,13 +677,22 @@ private[graft] object PdfText {
           s.substring(ds, skipDictionary(s, ds + 2))
         }
       if (!dict.contains("/Standard")) return None
-      val r = intEntry(dict, "/R").getOrElse(return None)
-      if (r == 5 || r == 6) return parseV5(s, dict, r, password)
+      // documents whose stream crypt filter is a no-op must NOT be garbled:
+      // /StmF /Identity routes streams around encryption, /CFM /None is the
+      // explicit no-encryption method
+      if (java.util.regex.Pattern.compile("/StmF\\s*/Identity").matcher(dict).find() ||
+          java.util.regex.Pattern.compile("/CFM\\s*/None").matcher(dict).find())
+        return None
+      // nested crypt-filter dicts carry their own /Length (in BYTES) that
+      // Acrobat serializes before the top-level bit length — strip them
+      val top = topLevelDict(dict)
+      val r = dictInt(top, "/R").getOrElse(return None)
+      if (r == 5 || r == 6) return parseV5(top, r, password)
       if (r < 2 || r > 4) return None
-      val lengthBits = intEntry(dict, "/Length").getOrElse(40)
+      val lengthBits = dictInt(top, "/Length").getOrElse(40)
       val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
-      val p = intEntry(dict, "/P").getOrElse(return None)
-      val o = stringEntry(s, dict, "/O").getOrElse(return None)
+      val p = dictInt(top, "/P").getOrElse(return None)
+      val o = stringEntry(top, "/O").getOrElse(return None)
       if (o.length < 32) return None
       // first element of the trailer's /ID array (may legitimately be absent)
       val id1: Array[Byte] = {
@@ -679,7 +711,8 @@ private[graft] object PdfText {
       val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
         ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
       val metaExtra =
-        if (r >= 4 && dict.contains("/EncryptMetadata false"))
+        if (r >= 4 && java.util.regex.Pattern
+            .compile("/EncryptMetadata\\s+false").matcher(dict).find())
           Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
         else Array.empty[Byte]
       var key = md5((password ++ Pad).take(32), o.take(32), pLe, id1, metaExtra)
@@ -695,10 +728,10 @@ private[graft] object PdfText {
       * R6 — decrypts /UE (AES-256-CBC, zero IV, no padding) into the file
       * key, which then encrypts every object directly.
       */
-    private def parseV5(s: String, dict: String, r: Int,
+    private def parseV5(top: String, r: Int,
         password: Array[Byte]): Option[Crypt] = {
-      val u = stringEntry(s, dict, "/U").getOrElse(return None)
-      val ue = stringEntry(s, dict, "/UE").getOrElse(return None)
+      val u = stringEntry(top, "/U").getOrElse(return None)
+      val ue = stringEntry(top, "/UE").getOrElse(return None)
       if (u.length < 48 || ue.length < 32) return None
       val keySalt = u.slice(40, 48)
       val pwd = password.take(127) // ISO 32000-2: UTF-8 password, max 127 bytes
@@ -807,10 +840,10 @@ private[graft] object PdfText {
     * ')' or '>>' within a string value cannot end the dictionary early.
     * Returns the index after the matching '>>' (or end of input).
     */
-  private def skipDictionary(s: String, start: Int): Int = {
+  private def skipDictionary(s: String, start: Int, limit: Int = Int.MaxValue): Int = {
     var i = start
     var depth = 1
-    while (i < s.length && depth > 0) {
+    while (i < s.length && i < limit && depth > 0) {
       s.charAt(i) match {
         case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' => depth += 1; i += 2
         case '>' if i + 1 < s.length && s.charAt(i + 1) == '>' => depth -= 1; i += 2

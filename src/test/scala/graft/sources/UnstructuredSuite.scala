@@ -321,6 +321,45 @@ class UnstructuredSuite extends SparkTestBase {
       "SELECT textcontent FROM graft.datasource.un.lockedpdf.content").head().getString(0)
     assert(viaScan.contains("vaulted text"), viaScan)
 
+    // Acrobat serializes /CF (whose nested /Length 16 is in BYTES) before
+    // the top-level /Length 128 — key derivation must read the TOP-LEVEL
+    // entry or the file key truncates to 5 bytes and AES init throws
+    val fkAes2 = fileKey(16, 4)
+    val enc2 = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    enc2.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(objKey(fkAes2, 4, aes = true), "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val acrobatDoc = doc(
+      s"<< /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /Filter /Standard /Length 128 " +
+        s"/O <${hex(o)}> /P $p /R 4 /StmF /StdCF /U <${hex(o)}> /V 4 >>",
+      iv ++ enc2.doFinal(cs))
+    assert(PdfText.extract(acrobatDoc).contains("vaulted text"),
+      s"nested /Length must not shadow: ${PdfText.extract(acrobatDoc)}")
+
+    // /StmF /Identity routes streams AROUND encryption: plaintext streams
+    // must extract untouched, not be garbled by a needless decrypt
+    val identityDoc = doc(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p /O <${hex(o)}> " +
+        s"/U <${hex(o)}> /StmF /Identity /CF << /StdCF << /CFM /AESV2 >> >> >>",
+      cs)
+    assert(PdfText.extract(identityDoc).contains("vaulted text"),
+      s"Identity streams garbled: ${PdfText.extract(identityDoc)}")
+
+    // whitespace-robust /EncryptMetadata: a newline separator must still
+    // flip the key-derivation salt (same derivation on both sides -> text)
+    val fkMeta = {
+      var key = md5(pad, o, pLe, id1,
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+      for (_ <- 0 until 50) key = md5(key.take(16))
+      key.take(16)
+    }
+    val metaDoc = doc(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p /O <${hex(o)}> /U <${hex(o)}> " +
+        "/CF << /StdCF << /CFM /V2 >> >> /EncryptMetadata\nfalse >>",
+      PdfText.StandardDecrypt.rc4(objKey(fkMeta, 4, aes = false), cs))
+    assert(PdfText.extract(metaDoc).contains("vaulted text"),
+      s"EncryptMetadata newline: ${PdfText.extract(metaDoc)}")
+
     // hostile /Encrypt dicts never throw
     PdfText.extract("%PDF\n/Encrypt << /Filter /Standard /R 3 >>\ntrailer".getBytes)
     PdfText.extract("%PDF\n/Encrypt 5 0 R\ntrailer".getBytes)
