@@ -679,10 +679,13 @@ private[graft] object PdfText {
       if (!dict.contains("/Standard")) return None
       // documents whose stream crypt filter is a no-op must NOT be garbled:
       // /StmF /Identity routes streams around encryption, /CFM /None is the
-      // explicit no-encryption method
+      // explicit no-encryption method — and for V4+ the spec DEFAULT when
+      // /StmF is absent is Identity (ISO 32000-1 Table 20), so crypt-filter
+      // documents must name a stream filter explicitly to get decryption
       if (java.util.regex.Pattern.compile("/StmF\\s*/Identity").matcher(dict).find() ||
           java.util.regex.Pattern.compile("/CFM\\s*/None").matcher(dict).find())
         return None
+      if (dict.contains("/CF") && !dict.contains("/StmF")) return None
       // nested crypt-filter dicts carry their own /Length (in BYTES) that
       // Acrobat serializes before the top-level bit length — strip them
       val top = topLevelDict(dict)

@@ -293,7 +293,7 @@ class UnstructuredSuite extends SparkTestBase {
         new javax.crypto.spec.IvParameterSpec(iv2))
       val v5Doc = doc(
         s"<< /Filter /Standard /V 5 /R $r6 /Length 256 /P $p /O <${hex(o ++ o.take(16))}> " +
-          s"/U <${hex(u)}> /UE <${hex(ue)}> /CF << /StdCF << /CFM /AESV3 >> >> >>",
+          s"/U <${hex(u)}> /UE <${hex(ue)}> /CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF >>",
         iv2 ++ body.doFinal(cs))
       assert(PdfText.extract(v5Doc).contains("vaulted text"), s"R$r6: ${PdfText.extract(v5Doc)}")
     }
@@ -355,7 +355,7 @@ class UnstructuredSuite extends SparkTestBase {
     }
     val metaDoc = doc(
       s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p /O <${hex(o)}> /U <${hex(o)}> " +
-        "/CF << /StdCF << /CFM /V2 >> >> /EncryptMetadata\nfalse >>",
+        "/CF << /StdCF << /CFM /V2 >> >> /StmF /StdCF /EncryptMetadata\nfalse >>",
       PdfText.StandardDecrypt.rc4(objKey(fkMeta, 4, aes = false), cs))
     assert(PdfText.extract(metaDoc).contains("vaulted text"),
       s"EncryptMetadata newline: ${PdfText.extract(metaDoc)}")
