@@ -257,11 +257,56 @@ object ContentExtractor {
     val f = udf { bytes: Array[Byte] =>
       try {
         val img = ImageIO.read(new ByteArrayInputStream(bytes))
-        if (img == null) (null: Option[Int], null: Option[Int]) else (Some(img.getWidth), Some(img.getHeight))
+        if (img == null) webpDims(bytes) match {
+          case Some((w, h)) => (Some(w), Some(h))
+          case None => (null: Option[Int], null: Option[Int])
+        }
+        else (Some(img.getWidth), Some(img.getHeight))
       } catch { case _: Exception => (None, None) }
     }
     f(content)
   }
+
+  /** WEBP dimensions from a pure-byte header probe — ImageIO has no WEBP
+    * reader, but web corpora are full of it. Covers the three container
+    * layouts: 'VP8 ' lossy (14-bit dims after the 0x9D012A start code),
+    * 'VP8L' lossless (14-bit packed dims after the 0x2F signature), and
+    * 'VP8X' extended (24-bit LE canvas dims). RIFF chunks walked by their
+    * lacing, word-aligned.
+    */
+  private[graft] def webpDims(bytes: Array[Byte]): Option[(Int, Int)] = try {
+    def tag(o: Int) = if (o + 4 > bytes.length) "" else new String(bytes, o, 4, "ISO-8859-1")
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u16le(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u24le(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) | ((bytes(o + 2) & 0xff) << 16)
+    if (bytes.length < 20 || tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val size = u32le(off + 4)
+      if (size < 0 || size > Int.MaxValue - 16) return None
+      val p = off + 8
+      id match {
+        case "VP8 " if p + 10 <= bytes.length &&
+            (bytes(p + 3) & 0xff) == 0x9d && (bytes(p + 4) & 0xff) == 0x01 &&
+            (bytes(p + 5) & 0xff) == 0x2a =>
+          return Some((u16le(p + 6) & 0x3fff, u16le(p + 8) & 0x3fff))
+        case "VP8L" if p + 5 <= bytes.length && (bytes(p) & 0xff) == 0x2f =>
+          val b1 = bytes(p + 1) & 0xff; val b2 = bytes(p + 2) & 0xff
+          val b3 = bytes(p + 3) & 0xff; val b4 = bytes(p + 4) & 0xff
+          return Some((1 + (((b2 & 0x3f) << 8) | b1),
+            1 + (((b4 & 0x0f) << 10) | (b3 << 2) | ((b2 & 0xc0) >> 6))))
+        case "VP8X" if p + 10 <= bytes.length =>
+          return Some((1 + u24le(p + 4), 1 + u24le(p + 7)))
+        case _ =>
+      }
+      off = p + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    None
+  } catch { case _: Exception => None }
 
   /** PNG thumbnail scaled to fit [[Unstructured.ThumbnailMaxDim]], JDK-only
     * (java.awt scaling, reference uses Thumbnailator: UnstructuredData.thumbnailImage:195-202).

@@ -133,6 +133,45 @@ class UnstructuredSuite extends SparkTestBase {
     assert(bin.length == 44 + data.length)
   }
 
+  test("webp dimensions: VP8 lossy, VP8L lossless, VP8X extended (beyond ImageIO)") {
+    import graft.sources.unstructured.ContentExtractor
+    def riff(chunkId: String, payload: Array[Byte]): Array[Byte] = {
+      val size = 4 + 8 + payload.length
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(size).put("WEBP".getBytes)
+      bb.put(chunkId.getBytes).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    // VP8 lossy: 3-byte frame tag, 9D 01 2A start code, 14-bit dims
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      0x40, 0x01, 0xf0.toByte, 0x00)) // w=320, h=240
+    assert(ContentExtractor.webpDims(vp8).contains((320, 240)))
+    // VP8L lossless: 0x2F signature, packed 14-bit dims (w=17, h=9)
+    val vp8l = riff("VP8L", Array[Byte](0x2f, 0x10, 0x00, 0x02, 0x00))
+    assert(ContentExtractor.webpDims(vp8l).contains((17, 9)))
+    // VP8X extended: 4 flag/reserved bytes then 24-bit LE canvas dims - 1
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0,
+      0x2b, 0x01, 0x00, 0xc7.toByte, 0x00, 0x00)) // w=300, h=200
+    assert(ContentExtractor.webpDims(vp8x).contains((300, 200)))
+    // garbage / truncation never throws
+    assert(ContentExtractor.webpDims("RIFFxxxxWEBP".getBytes).isEmpty)
+    assert(ContentExtractor.webpDims(Array[Byte](1, 2, 3)).isEmpty)
+    val rnd = new java.util.Random(11)
+    for (_ <- 0 until 30) {
+      val b = new Array[Byte](64); rnd.nextBytes(b)
+      ContentExtractor.webpDims(b)
+    }
+    // scan-level: a .webp in an IMAGE datasource reports width/height
+    val webpDir = Files.createTempDirectory("graft-webp").toString
+    Files.write(Paths.get(webpDir, "w.webp"), vp8)
+    spark.sql(
+      s"REGISTER OR REPLACE IMAGE DATASOURCE webps OPTIONS (path '$webpDir') NAMESPACE graft.datasource.un")
+    val row = spark.sql(
+      "SELECT width, height FROM graft.datasource.un.webps WHERE path LIKE '%w.webp'").head()
+    assert(row.getInt(0) == 320 && row.getInt(1) == 240, row.toString)
+  }
+
   test("pdf inline images and dictionaries skip cleanly, surrounding text survives") {
     val pdfDir = Files.createTempDirectory("graft-pdf-bi").toString
     // the image binary carries every operator look-alike: '(' '<', an
