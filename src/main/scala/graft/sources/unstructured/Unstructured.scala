@@ -257,7 +257,7 @@ object ContentExtractor {
     val f = udf { bytes: Array[Byte] =>
       try {
         val img = ImageIO.read(new ByteArrayInputStream(bytes))
-        if (img == null) webpDims(bytes) match {
+        if (img == null) webpDims(bytes).orElse(heifDims(bytes)) match {
           case Some((w, h)) => (Some(w), Some(h))
           case None => (null: Option[Int], null: Option[Int])
         }
@@ -266,6 +266,32 @@ object ContentExtractor {
     }
     f(content)
   }
+
+  /** HEIC/AVIF dimensions: ISO-BMFF brands (ftyp heic/heix/mif1/avif/avis)
+    * carry an `ispe` (image spatial extents) property box — fixed 20-byte
+    * layout: size, 'ispe', version+flags, u32be width, u32be height. The
+    * probe validates the brand AND the box's size field before trusting a
+    * fourcc hit, so payload decoys don't produce dimensions.
+    */
+  private[graft] def heifDims(bytes: Array[Byte]): Option[(Int, Int)] = try {
+    def tag(o: Int) = if (o + 4 > bytes.length) "" else new String(bytes, o, 4, "ISO-8859-1")
+    def u32be(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    if (bytes.length < 24 || tag(4) != "ftyp") return None
+    val brands = Set("heic", "heix", "mif1", "avif", "avis")
+    if (!brands.contains(tag(8))) return None
+    var i = 12
+    while (i + 20 <= bytes.length) {
+      if (tag(i) == "ispe" && i >= 4 && u32be(i - 4) == 20L) {
+        val w = u32be(i + 8); val h = u32be(i + 12)
+        if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+          return Some((w.toInt, h.toInt))
+      }
+      i += 1
+    }
+    None
+  } catch { case _: Exception => None }
 
   /** WEBP dimensions from a pure-byte header probe — ImageIO has no WEBP
     * reader, but web corpora are full of it. Covers the three container

@@ -162,6 +162,23 @@ class UnstructuredSuite extends SparkTestBase {
       val b = new Array[Byte](64); rnd.nextBytes(b)
       ContentExtractor.webpDims(b)
     }
+    // HEIC/AVIF: ftyp brand + validated 20-byte ispe box
+    def heif(brand: String, w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64) // big-endian by default
+      bb.putInt(16).put("ftyp".getBytes).put(brand.getBytes).putInt(0)
+      bb.putInt(20).put("ispe".getBytes).putInt(0).putInt(w).putInt(h)
+      bb.array()
+    }
+    assert(ContentExtractor.heifDims(heif("heic", 640, 480)).contains((640, 480)))
+    assert(ContentExtractor.heifDims(heif("avif", 12, 34)).contains((12, 34)))
+    // wrong brand, decoy 'ispe' without a valid size field, garbage
+    assert(ContentExtractor.heifDims(heif("mp42", 1, 1)).isEmpty)
+    val decoy = "xxxxftypheic0000 payload ispe then junk".getBytes
+    assert(ContentExtractor.heifDims(decoy).isEmpty)
+    for (_ <- 0 until 30) {
+      val b = new Array[Byte](64); rnd.nextBytes(b)
+      ContentExtractor.heifDims(b)
+    }
     // scan-level: a .webp in an IMAGE datasource reports width/height
     val webpDir = Files.createTempDirectory("graft-webp").toString
     Files.write(Paths.get(webpDir, "w.webp"), vp8)
