@@ -18,12 +18,72 @@ package graft.sources.unstructured
   */
 private[graft] object VideoContainers {
 
-  /** Container-dispatching probe: MP4/ISO-BMFF, then AVI, then MKV/WebM. */
+  /** Container-dispatching probe: MP4/ISO-BMFF, AVI, MKV/WebM, Ogg/Theora. */
   def parse(bytes: Array[Byte]): Mp4Meta.Info = {
     if (bytes == null || bytes.length < 12) return Mp4Meta.Info(None, None, None)
     if (RiffAvi.isAvi(bytes)) RiffAvi.parse(bytes)
     else if (Ebml.isEbml(bytes)) Ebml.parse(bytes)
+    else if (OggTheora.isOgg(bytes)) OggTheora.parse(bytes)
     else Mp4Meta.parse(bytes) // ftyp check inside
+  }
+
+  /** Ogg/Theora (OGV): the identification header (0x80 "theora") carries the
+    * picture dims (PICW/PICH, 24-bit BE; frame dims FMBW/FMBH x16 as the
+    * fallback when the picture region is zero), the frame rate (FRN/FRD) and
+    * KFGSHIFT — so the LAST page's granule position decomposes into
+    * keyframe + delta frame counts and yields the duration, the video twin
+    * of the Opus/Vorbis granule walk. Theora I spec §6.2 (public).
+    */
+  private[unstructured] object OggTheora {
+    def isOgg(b: Array[Byte]): Boolean =
+      b.length >= 4 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S'
+
+    def parse(bytes: Array[Byte]): Mp4Meta.Info = try {
+      def u16be(o: Int) = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      def u24be(o: Int) = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+      def u32be(o: Int) = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      if (bytes.length < 27) return Mp4Meta.Info(None, None, None)
+      val nSegs = bytes(26) & 0xff
+      val p = 27 + nSegs
+      if (p + 42 > bytes.length || (bytes(p) & 0xff) != 0x80 ||
+          new String(bytes, p + 1, 6, "ISO-8859-1") != "theora")
+        return Mp4Meta.Info(None, None, None)
+      val picW = u24be(p + 14); val picH = u24be(p + 17)
+      val w = if (picW > 0) picW else u16be(p + 10) * 16
+      val h = if (picH > 0) picH else u16be(p + 12) * 16
+      val frn = u32be(p + 22); val frd = u32be(p + 26)
+      val kfgShift = ((bytes(p + 40) & 0x03) << 3) | ((bytes(p + 41) & 0xff) >> 5)
+      // last granule via the strict RFC 3533 lacing walk (decoys in payloads
+      // are never page headers on a well-formed stream)
+      var lastGranule = -1L
+      var i = 0
+      var ok = true
+      while (ok && i + 27 <= bytes.length) {
+        if (bytes(i) != 'O' || bytes(i + 1) != 'g' || bytes(i + 2) != 'g' || bytes(i + 3) != 'S') ok = false
+        else {
+          var g = 0L
+          var j = 7
+          while (j >= 0) { g = (g << 8) | (bytes(i + 6 + j) & 0xffL); j -= 1 }
+          if (g > lastGranule) lastGranule = g
+          val ns = bytes(i + 26) & 0xff
+          if (i + 27 + ns > bytes.length) ok = false
+          else {
+            var lace = 0; var si = 0
+            while (si < ns) { lace += bytes(i + 27 + si) & 0xff; si += 1 }
+            i += 27 + ns + lace
+          }
+        }
+      }
+      val dur =
+        if (lastGranule > 0 && frn > 0 && frd > 0) {
+          val frames = (lastGranule >> kfgShift) + (lastGranule & ((1L << kfgShift) - 1))
+          Some(frames * 1000L * frd / frn)
+        } else None
+      Mp4Meta.Info(dur,
+        if (w > 0) Some(w) else None,
+        if (h > 0) Some(h) else None)
+    } catch { case _: Exception => Mp4Meta.Info(None, None, None) }
   }
 
   private[unstructured] object RiffAvi {

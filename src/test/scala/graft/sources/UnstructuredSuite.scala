@@ -189,6 +189,44 @@ class UnstructuredSuite extends SparkTestBase {
     assert(row.getInt(0) == 320 && row.getInt(1) == 240, row.toString)
   }
 
+  test("ogv metadata: theora id header dims + granule-walk duration") {
+    import graft.sources.unstructured.VideoContainers
+    def page(granule: Long, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OggS".getBytes); out.write(0); out.write(0)
+      var g = granule
+      for (_ <- 0 until 8) { out.write((g & 0xff).toInt); g >>= 8 }
+      out.write(new Array[Byte](12))
+      out.write(1); out.write(payload.length)
+      out.write(payload)
+      out.toByteArray
+    }
+    val id = java.nio.ByteBuffer.allocate(42) // big-endian
+      .put(0x80.toByte).put("theora".getBytes)
+      .put(3.toByte).put(2.toByte).put(1.toByte)         // VMAJ VMIN VREV
+      .putShort(20).putShort(15)                          // FMBW FMBH (x16)
+      .put(Array[Byte](0, 1, 64)).put(Array[Byte](0, 0, 240.toByte)) // PICW=320 PICH=240
+      .put(0.toByte).put(0.toByte)                        // PICX PICY
+      .putInt(30).putInt(1)                               // FRN FRD -> 30 fps
+      .put(new Array[Byte](6))                            // PARN PARD
+      .put(0.toByte).put(new Array[Byte](3))              // CS NOMBR
+      .put(0.toByte).put(0xC0.toByte)                     // QUAL/KFGSHIFT=6/PF
+      .array()
+    // granule at kfgshift 6: 60 keyframes << 6 | 30 delta = 90 frames -> 3000 ms
+    val ogv = page(0L, id) ++ page((60L << 6) | 30L, Array[Byte](0))
+    val info = VideoContainers.parse(ogv)
+    assert(info.width.contains(320) && info.height.contains(240), info.toString)
+    assert(info.durationMs.contains(3000L), info.toString)
+    // an Ogg AUDIO stream is not video: probe yields empty info, never throws
+    val opusHead = "OpusHead".getBytes ++ new Array[Byte](11)
+    assert(VideoContainers.parse(page(0L, opusHead)) == graft.sources.unstructured.Mp4Meta.Info(None, None, None))
+    val rnd2 = new java.util.Random(13)
+    for (_ <- 0 until 30) {
+      val b = new Array[Byte](80); rnd2.nextBytes(b); b(0) = 'O'; b(1) = 'g'; b(2) = 'g'; b(3) = 'S'
+      VideoContainers.parse(b)
+    }
+  }
+
   test("pdf inline images and dictionaries skip cleanly, surrounding text survives") {
     val pdfDir = Files.createTempDirectory("graft-pdf-bi").toString
     // the image binary carries every operator look-alike: '(' '<', an
