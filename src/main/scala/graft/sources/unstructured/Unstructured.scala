@@ -282,8 +282,11 @@ object ContentExtractor {
     val brands = Set("heic", "heix", "mif1", "avif", "avis")
     if (!brands.contains(tag(8))) return None
     var i = 12
-    while (i + 20 <= bytes.length) {
-      if (tag(i) == "ispe" && i >= 4 && u32be(i - 4) == 20L) {
+    // byte-compare, no per-offset String allocation: this scans every offset
+    // of (potentially maxBytes-capped) image payloads inside a UDF
+    while (i + 16 <= bytes.length) { // ispe spans i-4 .. i+16
+      if (bytes(i) == 'i' && bytes(i + 1) == 's' && bytes(i + 2) == 'p' &&
+          bytes(i + 3) == 'e' && i >= 4 && u32be(i - 4) == 20L) {
         val w = u32be(i + 8); val h = u32be(i + 12)
         if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
           return Some((w.toInt, h.toInt))

@@ -43,38 +43,49 @@ private[graft] object VideoContainers {
       def u24be(o: Int) = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
       def u32be(o: Int) = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
         ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
-      if (bytes.length < 27) return Mp4Meta.Info(None, None, None)
-      val nSegs = bytes(26) & 0xff
-      val p = 27 + nSegs
-      if (p + 42 > bytes.length || (bytes(p) & 0xff) != 0x80 ||
-          new String(bytes, p + 1, 6, "ISO-8859-1") != "theora")
-        return Mp4Meta.Info(None, None, None)
-      val picW = u24be(p + 14); val picH = u24be(p + 17)
-      val w = if (picW > 0) picW else u16be(p + 10) * 16
-      val h = if (picH > 0) picH else u16be(p + 12) * 16
-      val frn = u32be(p + 22); val frd = u32be(p + 26)
-      val kfgShift = ((bytes(p + 40) & 0x03) << 3) | ((bytes(p + 41) & 0xff) >> 5)
-      // last granule via the strict RFC 3533 lacing walk (decoys in payloads
-      // are never page headers on a well-formed stream)
+      def u32le(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      // ONE strict RFC 3533 lacing walk over all pages: locate the Theora ID
+      // packet on ANY BOS page (real OGVs put a Skeleton fishead or an audio
+      // BOS first), remember its stream serial, and take the last granule
+      // ONLY from that serial's pages — muxed Vorbis/Opus granules are
+      // sample counts and would decompose into garbage frame counts.
+      var idP = -1
+      var serial = 0L
       var lastGranule = -1L
       var i = 0
       var ok = true
       while (ok && i + 27 <= bytes.length) {
         if (bytes(i) != 'O' || bytes(i + 1) != 'g' || bytes(i + 2) != 'g' || bytes(i + 3) != 'S') ok = false
         else {
-          var g = 0L
-          var j = 7
-          while (j >= 0) { g = (g << 8) | (bytes(i + 6 + j) & 0xffL); j -= 1 }
-          if (g > lastGranule) lastGranule = g
           val ns = bytes(i + 26) & 0xff
           if (i + 27 + ns > bytes.length) ok = false
           else {
             var lace = 0; var si = 0
             while (si < ns) { lace += bytes(i + 27 + si) & 0xff; si += 1 }
-            i += 27 + ns + lace
+            val p = i + 27 + ns
+            val ser = u32le(i + 14)
+            if (idP < 0 && p + 42 <= bytes.length && (bytes(p) & 0xff) == 0x80 &&
+                bytes(p + 1) == 't' && bytes(p + 2) == 'h' && bytes(p + 3) == 'e' &&
+                bytes(p + 4) == 'o' && bytes(p + 5) == 'r' && bytes(p + 6) == 'a') {
+              idP = p; serial = ser
+            }
+            if (idP >= 0 && ser == serial) {
+              var g = 0L
+              var j = 7
+              while (j >= 0) { g = (g << 8) | (bytes(i + 6 + j) & 0xffL); j -= 1 }
+              if (g > lastGranule) lastGranule = g
+            }
+            i = p + lace
           }
         }
       }
+      if (idP < 0) return Mp4Meta.Info(None, None, None)
+      val picW = u24be(idP + 14); val picH = u24be(idP + 17)
+      val w = if (picW > 0) picW else u16be(idP + 10) * 16
+      val h = if (picH > 0) picH else u16be(idP + 12) * 16
+      val frn = u32be(idP + 22); val frd = u32be(idP + 26)
+      val kfgShift = ((bytes(idP + 40) & 0x03) << 3) | ((bytes(idP + 41) & 0xff) >> 5)
       val dur =
         if (lastGranule > 0 && frn > 0 && frd > 0) {
           val frames = (lastGranule >> kfgShift) + (lastGranule & ((1L << kfgShift) - 1))

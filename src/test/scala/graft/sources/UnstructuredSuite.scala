@@ -191,12 +191,14 @@ class UnstructuredSuite extends SparkTestBase {
 
   test("ogv metadata: theora id header dims + granule-walk duration") {
     import graft.sources.unstructured.VideoContainers
-    def page(granule: Long, payload: Array[Byte]): Array[Byte] = {
+    def page(granule: Long, payload: Array[Byte], serial: Int = 0): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       out.write("OggS".getBytes); out.write(0); out.write(0)
       var g = granule
       for (_ <- 0 until 8) { out.write((g & 0xff).toInt); g >>= 8 }
-      out.write(new Array[Byte](12))
+      var sr = serial
+      for (_ <- 0 until 4) { out.write(sr & 0xff); sr >>= 8 }
+      out.write(new Array[Byte](8)) // seq, checksum
       out.write(1); out.write(payload.length)
       out.write(payload)
       out.toByteArray
@@ -217,6 +219,15 @@ class UnstructuredSuite extends SparkTestBase {
     val info = VideoContainers.parse(ogv)
     assert(info.width.contains(320) && info.height.contains(240), info.toString)
     assert(info.durationMs.contains(3000L), info.toString)
+    // real OGVs mux audio: a Vorbis-ish stream (different serial) with a
+    // HUGE sample-count granule must not pollute the Theora duration, and a
+    // Skeleton-style non-Theora BOS page FIRST must not hide the id packet
+    val muxed = page(0L, "fishead junk".getBytes, serial = 7) ++
+      page(0L, id, serial = 1) ++
+      page(441000L, "vorbisdata".getBytes, serial = 7) ++
+      page((60L << 6) | 30L, Array[Byte](0), serial = 1)
+    val mInfo = VideoContainers.parse(muxed)
+    assert(mInfo.width.contains(320) && mInfo.durationMs.contains(3000L), mInfo.toString)
     // an Ogg AUDIO stream is not video: probe yields empty info, never throws
     val opusHead = "OpusHead".getBytes ++ new Array[Byte](11)
     assert(VideoContainers.parse(page(0L, opusHead)) == graft.sources.unstructured.Mp4Meta.Info(None, None, None))
