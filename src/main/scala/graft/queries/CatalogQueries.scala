@@ -16,6 +16,26 @@ object CatalogQueries {
   private def wh(dir: String): String =
     "/tmp/graft-verify-wh-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** Minimal ISO-BMFF file (ftyp + moov(mvhd v0 + trak(tkhd v0))) — the
+    * deterministic video fixture for the `unstructured_video_scan` gate.
+    * Field offsets per ISO/IEC 14496-12 (mvhd v0 timescale@12 duration@16;
+    * tkhd v0 width@76 height@80 as 16.16 fixed-point).
+    */
+  private def minimalMp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(payload.length + 8)
+      out.putInt(payload.length + 8)
+        .put(typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).put(payload)
+      out.array()
+    }
+    val mvhd = new Array[Byte](100)
+    java.nio.ByteBuffer.wrap(mvhd).putInt(12, timescale).putInt(16, duration)
+    val tkhd = new Array[Byte](84)
+    java.nio.ByteBuffer.wrap(tkhd).putInt(76, w << 16).putInt(80, h << 16)
+    box("ftyp", "isom".getBytes ++ new Array[Byte](4)) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
   // keyed on (session identity, dir): a second SparkSession in the same JVM
   // must not skip DDL done by the first (identityHashCode, not the session
   // object itself, so the set never pins a stopped session in memory)
@@ -208,6 +228,78 @@ object CatalogQueries {
           CAST(8000 + n_nationkey * 441 AS INT) AS samplerate,
           CAST((CAST(2 * (1000 + n_nationkey * 333) AS BIGINT) * 1000)
             // CAST((8000 + n_nationkey * 441) * 2 AS BIGINT) AS BIGINT) AS duration
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- unstructured IMAGE scan: one PNG per nation row with dimensions
+    // derived from the key (ImageIO — JDK-only), read back through the
+    // metadata table. Oracle recomputes the dimension formulas in SQL.
+    // (reference surface: RegisterImageDataSourceTestSuite.scala:80-299) ----
+    QuerySpec("unstructured_image_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "imagefiles")
+        if (!fixture.exists()) {
+          val staging = new java.io.File(wh(dir), s"imagefiles.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          QueryPack.t(s, dir, "nation").select(col("n_nationkey")).collect().foreach { r =>
+            val key = r.getInt(0)
+            val img = new java.awt.image.BufferedImage(
+              16 + key * 3, 9 + key * 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            javax.imageio.ImageIO.write(img, "png",
+              new java.io.File(staging, f"$key%05d.png"))
+          }
+          if (!staging.renameTo(fixture)) { // concurrent run won the rename
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
+          }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE IMAGE DATASOURCE pics OPTIONS (path '$fixture') NAMESPACE graft.datasource.un")
+        s.sql("SELECT path, width, height FROM graft.datasource.un.pics.pics")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.png$", 1).cast("int").as("n_nationkey"),
+            col("width"), col("height"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+          CAST(16 + n_nationkey * 3 AS INT) AS width,
+          CAST(9 + n_nationkey * 2 AS INT) AS height
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- unstructured VIDEO scan: one minimal ISO-BMFF (ftyp+moov) file per
+    // nation row, duration/width/height derived from the key, read back
+    // through the metadata table. Oracle recomputes the formulas in SQL
+    // (timescale is 1000 ticks/s so durationMs == the tick count). ----
+    QuerySpec("unstructured_video_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "videofiles")
+        if (!fixture.exists()) {
+          val staging = new java.io.File(wh(dir), s"videofiles.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          QueryPack.t(s, dir, "nation").select(col("n_nationkey")).collect().foreach { r =>
+            val key = r.getInt(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(staging.toString, f"$key%05d.mp4"),
+              minimalMp4(1000, 3000 + key * 500, 320 + key * 16, 180 + key * 9))
+          }
+          if (!staging.renameTo(fixture)) {
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
+          }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE VIDEO DATASOURCE clips OPTIONS (path '$fixture') NAMESPACE graft.datasource.un")
+        s.sql("SELECT path, format, duration, width, height FROM graft.datasource.un.clips.clips")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.mp4$", 1).cast("int").as("n_nationkey"),
+            col("format"), col("duration"), col("width"), col("height"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, 'MP4' AS format,
+          CAST(3000 + n_nationkey * 500 AS BIGINT) AS duration,
+          CAST(320 + n_nationkey * 16 AS INT) AS width,
+          CAST(180 + n_nationkey * 9 AS INT) AS height
         FROM nation ORDER BY n_nationkey""")),
 
     // ---- CSV datasource: parquet -> csv fixture -> graft catalog scan.
