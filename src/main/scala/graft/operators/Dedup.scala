@@ -31,6 +31,15 @@ object Dedup {
   /** Driver-side safety bound on the collected flagged-bucket metadata. */
   val MaxHotBuckets = 100000
 
+  /** How many smallest-id members a HOT bucket keeps on the ingest corpus
+    * side. One witness suffices for the degenerate near-identical pile, but
+    * a heterogeneous hot bucket (banding collisions of genuinely distinct
+    * docs) could hide a new doc's only qualifying partner behind the single
+    * representative — several witnesses shrink that false-negative window
+    * exponentially while keeping the candidate fan-out bounded.
+    */
+  val HotBucketWitnesses = 8
+
   /** Hot-bucket-guarded LSH bucket self-join.
     *
     * A degenerate bucket (boilerplate near-identical docs, zero vectors)
@@ -191,6 +200,26 @@ object Dedup {
       .distinct())
     var labels = ckptEager(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
+    // Reliable mode: Spark only deletes checkpoint files under
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true, and then only
+    // when the RDD is GC'd — a long propagation run would otherwise
+    // accumulate one rdd-* directory per round in reliable storage
+    // indefinitely. Each round's checkpoint directory is resolved from the
+    // materialized plan (no directory-listing races with concurrent
+    // checkpoint users) and deleted as soon as the FOLLOWING round — which
+    // no longer reads it — has safely materialized. The edges and
+    // final-labels checkpoints are kept: the one is joined every round, the
+    // other backs the returned frame.
+    def roundCheckpointFile(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+      }.flatten
+    def deleteCheckpoint(file: String): Unit = try {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case _: Exception => () } // cleanup is best-effort by design
+    var prevRoundCkpt: Option[String] =
+      if (reliableCheckpoint) roundCheckpointFile(labels) else None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -210,7 +239,11 @@ object Dedup {
           updatedSrc.checkpoint(false) // materializes at the count below
         }
       converged = updated.where(col("comp") < col("__old")).count() == 0
-      if (reliableCheckpoint) updatedSrc.unpersist(false)
+      if (reliableCheckpoint) {
+        updatedSrc.unpersist(false)
+        prevRoundCkpt.foreach(deleteCheckpoint) // round i-1: no reader left
+        prevRoundCkpt = roundCheckpointFile(updated)
+      }
       labels = updated.select(col("id"), col("comp"))
       i += 1
     }
@@ -392,11 +425,17 @@ object Dedup {
     * orders of magnitude larger than the batch and re-pairing it against
     * itself would dwarf the actual work. Hot corpus buckets (boilerplate
     * piles) are flagged from the same seeded 10% sample the self-join guard
-    * uses and degrade to matching against the bucket's sample-min
-    * representative only: for "is this new doc a duplicate of the corpus"
-    * one witness suffices, and in the degenerate near-identical-bucket case
-    * the representative matches whenever any member would (the star-link
-    * argument of [[cappedBucketPairs]]).
+    * uses and degrade to matching against the bucket's [[HotBucketWitnesses]]
+    * smallest-id members: in the degenerate near-identical-bucket case any
+    * single witness matches whenever any member would (the star-link
+    * argument of [[cappedBucketPairs]]), and for a HETEROGENEOUS hot bucket
+    * (banding collisions of genuinely distinct docs) multiple witnesses
+    * cover the common collision profiles. Residual false-negative mode,
+    * documented deliberately: a new doc whose only qualifying partners all
+    * rank above the witness cut still escapes this band — it is only
+    * convicted if another of its bands hits a cold (exact) bucket, which is
+    * overwhelmingly likely for a true near-duplicate (32 independent bands
+    * by default).
     *
     * Ids must be disjoint across the two inputs (normal for ingest batches).
     * @return (id_new, id_corpus) candidate pairs, deduped
@@ -415,12 +454,30 @@ object Dedup {
           Seq("band", "bucket"), maxBucketSize) match {
         case None => corpusBanded
         case Some(hot) =>
-          corpusBanded.join(hot, Seq("band", "bucket"), "left")
-            .where(col("__scnt").isNull || col("id") === col("__repid"))
-            .select(col("band"), col("bucket"), col("id"))
+          hotBucketWitnessRows(corpusBanded, hot.select(col("band"), col("bucket")))
       }
     corpusSide.join(newBanded, Seq("band", "bucket"))
       .select(col("id_new"), col("id").as("id_corpus")).distinct()
+  }
+
+  /** Corpus banded rows with every hot bucket reduced to its
+    * [[HotBucketWitnesses]] smallest-id members (cold buckets untouched).
+    * The witness rank is a window over ONLY the hot subset — the cold rows
+    * never shuffle for it, and the hot subset is exactly the degenerate
+    * pile the guard exists for (sorting it once is the cheap part of any
+    * plan that touches it at all).
+    */
+  private[operators] def hotBucketWitnessRows(banded: DataFrame, hotKeys: DataFrame): DataFrame = {
+    val marked = banded.join(hotKeys.withColumn("__hot", lit(1)).select(col("band"), col("bucket"), col("__hot")),
+      Seq("band", "bucket"), "left")
+    val cold = marked.where(col("__hot").isNull).select(col("band"), col("bucket"), col("id"))
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val witnesses = marked.where(col("__hot").isNotNull)
+      .select(col("band"), col("bucket"), col("id"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= HotBucketWitnesses)
+      .select(col("band"), col("bucket"), col("id"))
+    cold.unionByName(witnesses)
   }
 
   /** Incremental candidates verified with exact Jaccard across the two
@@ -491,8 +548,8 @@ object Dedup {
 
   /** The persisted acceleration structure for repeated ingest: the corpus's
     * distinct normalized hashes (exact stage) and its banded LSH rows with
-    * hot buckets ALREADY reduced to their min-id representative (candidate
-    * stage). Both are plain DataFrames — write them out when the corpus
+    * hot buckets ALREADY reduced to their [[HotBucketWitnesses]] smallest-id
+    * members (candidate stage). Both are plain DataFrames — write them out when the corpus
     * lands (bucket `banded` by (band, bucket) via [[Bucketing]] for
     * shuffle-free candidate joins) and every subsequent batch skips the
     * full-corpus signature pass that [[incrementalDedup]] pays per call.
@@ -518,11 +575,9 @@ object Dedup {
         // limits; the keyed join lets Catalyst/AQE pick broadcast when it
         // is actually small and shuffle when it is not
         val hot = full.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__cnt"), min(col("id")).as("__repid"))
+          .agg(count(lit(1)).as("__cnt"))
           .where(col("__cnt") > maxBucketSize)
-        full.join(hot, Seq("band", "bucket"), "left")
-          .where(col("__cnt").isNull || col("id") === col("__repid"))
-          .select(col("band"), col("bucket"), col("id"))
+        hotBucketWitnessRows(full, hot.select(col("band"), col("bucket")))
       }
     IngestIndex(shingleSize, numHashes, bands, hashes, banded)
   }

@@ -275,11 +275,17 @@ private[graft] object PdfText {
     else Nil
   }
 
-  /** First integer value for `key` in a dict string (negative allowed). */
+  /** First integer value for `key` in a dict string (negative allowed).
+    * Parsed as Long then truncated: some writers serialize /P as an unsigned
+    * 32-bit value (e.g. 4294963392), which must round-trip to the signed
+    * permissions word instead of throwing and silently disabling decryption.
+    */
   private[graft] def dictInt(dict: String, key: String): Option[Int] = {
     val m = java.util.regex.Pattern
       .compile(java.util.regex.Pattern.quote(key) + "\\s+(-?\\d+)").matcher(dict)
-    if (m.find()) Some(m.group(1).toInt) else None
+    if (m.find()) try Some(m.group(1).toLong.toInt) catch {
+      case _: NumberFormatException => None // wider than 64 bits: not a /P
+    } else None
   }
 
   /** The dict string with nested `<< >>` value bodies removed, so a
@@ -657,7 +663,16 @@ private[graft] object PdfText {
       */
     def parse(bytes: Array[Byte], s: String,
         password: Array[Byte] = Array.empty): Option[Crypt] = try {
-      val encAt = s.lastIndexOf("/Encrypt")
+      // token boundary: "/Encrypt" must not match the prefix of a later
+      // /EncryptMetadata (or a byte coincidence inside a compressed payload
+      // mapped via ISO-8859-1) — require a non-regular (delimiter or
+      // whitespace) follow-up char and keep scanning backward on mismatch
+      var encAt = s.lastIndexOf("/Encrypt")
+      while (encAt >= 0 && {
+        val after = encAt + "/Encrypt".length
+        after < s.length && !s.charAt(after).isWhitespace &&
+          "()<>[]{}/%".indexOf(s.charAt(after)) < 0
+      }) encAt = s.lastIndexOf("/Encrypt", encAt - 1)
       if (encAt < 0) return None
       var j = encAt + "/Encrypt".length
       while (j < s.length && s.charAt(j).isWhitespace) j += 1

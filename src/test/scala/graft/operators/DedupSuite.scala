@@ -443,16 +443,20 @@ class DedupSuite extends SparkTestBase {
       survivors.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
-  test("ingest index reduces hot buckets exactly at build time, rep still convicts") {
+  test("ingest index reduces hot buckets exactly at build time, witnesses still convict") {
     import spark.implicits._
     def window(from: Int, n: Int) = (from until from + n).map(i => s"tok$i").mkString(" ")
     val corpus = (0L until 300L).map(i => (i, window(1, 30))).toDF("doc_id", "text")
     val index = Dedup.ingestIndexBuild(corpus, "doc_id", "text", maxBucketSize = 100)
     // 300 identical docs: every (band, bucket) is over cap, so the banded
-    // table holds exactly one representative row per bucket
+    // table holds exactly the HotBucketWitnesses smallest-id rows per bucket
     val perBucket = index.banded.groupBy("band", "bucket").count()
       .agg(max("count")).head().getLong(0)
-    assert(perBucket == 1L, s"hot buckets not reduced: max rows/bucket = $perBucket")
+    assert(perBucket == Dedup.HotBucketWitnesses.toLong,
+      s"hot buckets not reduced to witnesses: max rows/bucket = $perBucket")
+    assert(index.banded.groupBy("band", "bucket")
+      .agg(max("id").as("m")).agg(max("m")).head().getLong(0) ==
+      Dedup.HotBucketWitnesses - 1L, "witnesses must be the smallest ids")
     val fresh = Seq((1001L, window(2, 30)), (1002L, window(500, 30))).toDF("doc_id", "text")
     val out = Dedup.incrementalDedup(index, corpus, fresh, "doc_id", "text", 0.7)
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -466,5 +470,43 @@ class DedupSuite extends SparkTestBase {
       lit(0).as("band"), lit(0L).as("bucket"))
     val hot = Dedup.lshBucketStats(banded, Seq("band", "bucket"), maxBucketSize = 50)
     assert(hot.collect().map(_.getAs[Long]("bucket_size")).toSeq == Seq(200L))
+  }
+
+  test("hotBucketWitnessRows keeps N smallest ids in hot buckets, cold buckets whole") {
+    import spark.implicits._
+    // bucket (0,0): 20 members (hot); bucket (1,1): 3 members (cold)
+    val banded = ((0L until 20L).map(i => (0, 0L, i)) ++
+      Seq((1, 1L, 100L), (1, 1L, 101L), (1, 1L, 102L))).toDF("band", "bucket", "id")
+    val hotKeys = Seq((0, 0L)).toDF("band", "bucket")
+    val out = Dedup.hotBucketWitnessRows(banded, hotKeys)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (0L until Dedup.HotBucketWitnesses.toLong).map((0, 0L, _)).toSet ++
+      Set((1, 1L, 100L), (1, 1L, 101L), (1, 1L, 102L))
+    assert(out == expected)
+  }
+
+  test("reliable checkpointing deletes superseded per-round files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-clean")
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      import spark.implicits._
+      // a 12-node chain needs several propagation rounds, so without cleanup
+      // the checkpoint dir would hold one rdd-* dir per round
+      val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val groups = Dedup.duplicateGroups(pairs, maxIter = 20,
+        requireConvergence = true, reliableCheckpoint = true)
+      assert(groups.select("group_id").distinct().count() == 1L)
+      val rddDirs = java.nio.file.Files.walk(dir)
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      // only the edges checkpoint and the final round's labels remain; every
+      // superseded round (and the initial labels) must have been deleted
+      assert(rddDirs == 2, s"checkpoint dirs left behind: $rddDirs")
+      // the returned frame must still be readable AFTER the cleanup
+      assert(groups.count() == 12L)
+    } finally {
+      prev.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
   }
 }

@@ -472,6 +472,80 @@ class UnstructuredSuite extends SparkTestBase {
       "4 0 obj << /Length 3 >>\nstream\nabc\nendstream").getBytes)
     PdfText.extract(("%PDF\n/Encrypt << /Filter /Standard /R 6 /U <0011> /UE <22> >>\n" +
       "4 0 obj << /Length 3 >>\nstream\nabc\nendstream").getBytes)
+
+    // unsigned /P serialization (some writers emit the 32-bit two's
+    // complement as unsigned, e.g. 4294967252 for -44): must round-trip to
+    // the signed permissions word the key derivation needs — a
+    // NumberFormatException here used to silently disable decryption
+    val unsignedP = p.toLong & 0xFFFFFFFFL
+    val unsignedDoc = doc(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $unsignedP /O <${hex(o)}> /U <${hex(o)}> >>",
+      PdfText.StandardDecrypt.rc4(objKey(fkRc4, 4, aes = false), cs))
+    assert(PdfText.extract(unsignedDoc).contains("vaulted text"),
+      s"unsigned /P: ${PdfText.extract(unsignedDoc)}")
+
+    // a /EncryptMetadata occurrence AFTER the trailer's /Encrypt entry must
+    // not hijack encryption detection (token-boundary + backward scan):
+    // without the boundary check the doc is treated as unencrypted and the
+    // RC4 payload degrades to garbage
+    val decoyTail = "\n% incremental update junk: /EncryptMetadata false\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val decoyDoc = rc4Doc ++ decoyTail
+    assert(PdfText.extract(decoyDoc).contains("vaulted text"),
+      s"/EncryptMetadata decoy hijacked detection: ${PdfText.extract(decoyDoc)}")
+  }
+
+  test("hash2B matches a structurally independent re-implementation of Algorithm 2.B") {
+    import graft.sources.unstructured.PdfText
+    // Offline there is no third-party fixture to fetch, so the cross-check
+    // is a second implementation written directly from the published
+    // ISO 32000-2 7.6.4.3.4 text with deliberately different structure:
+    // K1 via Array.fill/flatten (not arraycopy), the mod-3 selector via
+    // BigInteger over the first 16 bytes of E (not the byte-sum congruence),
+    // and the termination condition tracked in an explicit lastE variable.
+    // Agreement across inputs rules out transcription slips in either
+    // reading of the spec that a round-trip test could never see.
+    def independent(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+      def digest(alg: String, parts: Array[Byte]*) = {
+        val d = java.security.MessageDigest.getInstance(alg)
+        parts.foreach(d.update); d.digest()
+      }
+      var k = digest("SHA-256", pwd, salt, udata)
+      var rounds = 0
+      var lastE = Int.MaxValue
+      while (rounds < 64 || lastE > rounds - 32) {
+        val k1 = Array.fill(64)(pwd ++ k ++ udata).flatten
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+          new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+        val e = c.doFinal(k1)
+        val mod = new java.math.BigInteger(1, e.take(16))
+          .mod(java.math.BigInteger.valueOf(3)).intValue()
+        k = digest(Seq("SHA-256", "SHA-384", "SHA-512")(mod), e)
+        lastE = e.last & 0xff
+        rounds += 1
+      }
+      k.take(32)
+    }
+    val cases = Seq(
+      (Array.empty[Byte], Array.tabulate[Byte](8)(i => (0x50 + i).toByte), Array.empty[Byte]),
+      ("hunter2".getBytes(StandardCharsets.UTF_8),
+        Array.tabulate[Byte](8)(_.toByte), Array.empty[Byte]),
+      ("pässwörd".getBytes(StandardCharsets.UTF_8),
+        Array.tabulate[Byte](8)(i => (0xF0 + i).toByte),
+        Array.tabulate[Byte](48)(i => (i * 5).toByte)))
+    for ((pwd, salt, udata) <- cases)
+      assert(PdfText.StandardDecrypt.hash2B(pwd, salt, udata)
+        .sameElements(independent(pwd, salt, udata)),
+        s"hash2B diverges for pwd=${new String(pwd, StandardCharsets.UTF_8)}")
+  }
+
+  test("dictInt parses unsigned 32-bit serializations and rejects wider garbage") {
+    import graft.sources.unstructured.PdfText
+    assert(PdfText.dictInt("<< /P -3904 >>", "/P") == Some(-3904))
+    assert(PdfText.dictInt("<< /P 4294963392 >>", "/P") == Some(-3904))
+    assert(PdfText.dictInt("<< /P 99999999999999999999999 >>", "/P").isEmpty)
   }
 
   test("pdf DecodeParms predictors: PNG Up/Sub/Paeth and TIFF-2 round-trip") {
