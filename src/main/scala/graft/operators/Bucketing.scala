@@ -23,9 +23,20 @@ object Bucketing {
 
   /** Write `df` as a bucketed (and optionally sorted) managed table. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      sorted: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode).bucketBy(buckets, key)
-    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+      sorted: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeBucketed(df, table, Seq(key), buckets, sorted, mode)
+
+  /** Multi-key variant: a join is exchange-free on the bucketed side only
+    * when the bucket spec covers the join keys AS CO-PARTITIONING — joining
+    * on (table, bucket) against a table bucketed on (bucket) alone still
+    * shuffles both sides, so composite-keyed indexes (LSH `(table, bucket)`,
+    * ingest `(band, bucket)`) must bucket by the full key list.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int,
+      sorted: Boolean, mode: SaveMode): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
+    val w = df.write.mode(mode).bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sorted) w.sortBy(keys.head, keys.tail: _*) else w).saveAsTable(table)
   }
 
   /** Join two same-bucketed tables on their bucket key — shuffle-free by

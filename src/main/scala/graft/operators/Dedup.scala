@@ -407,7 +407,7 @@ object Dedup {
     * signature/banding expressions [[minHashCandidatePairs]] uses, factored
     * so the asymmetric ingest join bands each side independently.
     */
-  private def minHashBanded(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def minHashBanded(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands

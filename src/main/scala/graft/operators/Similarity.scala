@@ -123,7 +123,7 @@ object Similarity {
         F.lsh_bucket(col(vc), bits, planeOffset = t * bits)): _*))
         .as(Seq("table", bucketName)): _*)
 
-  private def lshQueryCandidates(index: LshIndex, queries: DataFrame,
+  private[operators] def lshQueryCandidates(index: LshIndex, queries: DataFrame,
       qIdCol: String, qVecCol: String, multiProbe: Boolean,
       excludeSelf: Boolean): DataFrame = {
     val qb = withBuckets(
@@ -247,7 +247,7 @@ object Similarity {
       .select("query_id", "nn_id", "cosine", "rank")
   }
 
-  private def ivfQueryCandidates(index: IvfIndex, queries: DataFrame,
+  private[operators] def ivfQueryCandidates(index: IvfIndex, queries: DataFrame,
       qIdCol: String, qVecCol: String, nProbe: Int,
       excludeSelf: Boolean): DataFrame = {
     val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
