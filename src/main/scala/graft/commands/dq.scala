@@ -259,7 +259,12 @@ case class RunDqCommand(name: Option[String], table: Seq[String]) extends GraftC
       case Some(n) =>
         val hit = all.filter(_.answersTo(n))
         require(hit.nonEmpty, s"no DQ or constraint named $n on ${table.mkString(".")}")
-        hit
+        // name-collision dispatch (reference: DataQualitySpec.scala:461-468):
+        // the annotation lookup short-circuits BEFORE constraints there, so a
+        // custom DQ sharing a constraint's name runs alone — mirror that
+        // precedence instead of running both
+        val dqHits = hit.filter(_.typ == "DQ")
+        if (dqHits.nonEmpty) dqHits else hit
       case None => all
     }
     val tableName = GraftEnv.stripCatalog(spark, table).mkString(".")

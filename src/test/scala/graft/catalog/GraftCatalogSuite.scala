@@ -147,14 +147,65 @@ class GraftCatalogSuite extends SparkTestBase {
     assert(named.length == 1 && named.head.getString(2) == "DQ")
     assert(named.head.getLong(4) > 0) // some valid rows
 
-    // composite PK constraint addressable by backticked column list
+    // composite PK constraint addressable by backticked column list (a
+    // deliberate superset of the reference: there a NAMED pk matches by
+    // name only, DataQualitySpec.scala:301-308 — column-list addressing for
+    // named constraints costs nothing and avoids the asymmetry)
     val comp = spark.sql("RUN DQ `o_orderkey,o_custkey` TABLE graft.metastore.dqmart.orders").collect()
     assert(comp.length == 1 && comp.head.getString(2) == "PK" && comp.head.getLong(5) == 0)
+
+    // ... and by its declared constraint name
+    val byName = spark.sql("RUN DQ ck TABLE graft.metastore.dqmart.orders").collect()
+    assert(byName.length == 1 && byName.head.getString(2) == "PK")
 
     // INVALID records for a check that some rows fail
     val inv = spark.sql(
       "SHOW DQ INVALID RECORD big_order TABLE graft.metastore.dqmart.orders LIMIT 3").collect()
     inv.foreach(r => assert(r.getString(0).contains("o_totalprice")))
+  }
+
+  test("composite-key DQ dispatch: unnamed constraints, case, and name collisions") {
+    spark.sql(
+      s"""COMPILE USL dqdispatch DEPLOY NAMESPACE graft.metastore DDL
+         |@DataQuality(name="o_orderkey,o_custkey", expression="o_totalprice > 0.0")
+         |create table orders (
+         |  o_orderkey bigint,
+         |  o_custkey bigint,
+         |  o_totalprice double,
+         |  primary key (o_orderkey, o_custkey),
+         |  unique (o_custkey, o_totalprice)
+         |)""".stripMargin)
+    spark.sql(
+      "ACTIVATE USL TABLE graft.metastore.dqdispatch.orders AS SELECT o_orderkey, o_custkey, o_totalprice FROM graft.datasource.file.tpch.orders")
+
+    // UNNAMED composite constraints answer to the backticked column list
+    // (reference: DataQualitySpec.scala:296-342 via stripCompositeKeys /
+    // equalToMultiPartIdentifier, LightningSource.scala:92-103) ...
+    val uq = spark.sql(
+      "RUN DQ `o_custkey,o_totalprice` TABLE graft.metastore.dqdispatch.orders").collect()
+    assert(uq.length == 1 && uq.head.getString(2) == "UNIQUE", uq.mkString(";"))
+    // ... case-insensitively, and without the backticks too (stripCompositeKeys
+    // only removes them when present; the bare list compares equal)
+    val uqCase = spark.sql(
+      "RUN DQ `O_CUSTKEY,O_TOTALPRICE` TABLE graft.metastore.dqdispatch.orders").collect()
+    assert(uqCase.length == 1 && uqCase.head.getString(2) == "UNIQUE")
+
+    // NAME COLLISION: a custom DQ annotation named exactly like the PK's
+    // column list wins the dispatch (reference short-circuits the annotation
+    // lookup before constraints, DataQualitySpec.scala:461-468) — the
+    // constraint stays reachable through the full RUN DQ sweep
+    val collided = spark.sql(
+      "RUN DQ `o_orderkey,o_custkey` TABLE graft.metastore.dqdispatch.orders").collect()
+    assert(collided.length == 1 && collided.head.getString(2) == "DQ", collided.mkString(";"))
+    val sweep = spark.sql("RUN DQ TABLE graft.metastore.dqdispatch.orders").collect()
+    assert(sweep.exists(_.getString(2) == "PK") && sweep.exists(_.getString(2) == "DQ"))
+
+    // unknown names still error cleanly
+    val e = intercept[Exception] {
+      spark.sql("RUN DQ `no,such` TABLE graft.metastore.dqdispatch.orders").collect()
+    }
+    assert(e.getMessage.contains("no DQ or constraint"))
+    spark.sql("REMOVE USL dqdispatch NAMESPACE graft.metastore")
   }
 
   test("REST/XML register but reject at load (reference parity; AUDIO now scans)") {
