@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   * as opaque binary columns + typed metadata, with decode / feature-extract /
   * resize / frame-sample as BATCHED partition-local transforms.
   *
-  * The real decoders (libjpeg/ffmpeg bindings) are not in this container, so
-  * the decode kernels are STUBBED with deterministic byte-hash-derived
+  * REAL decode paths (pure-JVM, no native libs): images via ImageIO, WAV
+  * PCM-16 via byte parsing, FLAC via the dependency-free [[FlacDecode]].
+  * Only the codecs that genuinely need native bindings (ffmpeg-class video,
+  * MP3/Opus payload decode) are STUBBED with deterministic byte-hash-derived
   * outputs, clearly marked below. Everything Spark-side is real and tested:
   * the schema contract, the mapPartitions batching shape (the Scala
   * equivalent of Python's `mapInPandas` — batch in, batch out, no per-row
@@ -116,28 +118,46 @@ object Multimodal {
       }
   }
 
+  /** RMS energy over FeatureDim equal windows of [0, nSamples), samples in
+    * [-1, 1] via `sampleAt` — shared by the WAV and FLAC real-decode paths
+    * so identical PCM yields identical features regardless of container.
+    */
+  private def rmsWindows(nSamples: Int, sampleAt: Int => Double): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    if (nSamples == 0) return out
+    val win = math.max(1, nSamples / FeatureDim)
+    var w = 0
+    while (w < FeatureDim) {
+      var sum = 0.0; var n = 0
+      var s = w * win
+      val end = if (w == FeatureDim - 1) nSamples else math.min((w + 1) * win, nSamples)
+      while (s < end) {
+        val v = sampleAt(s)
+        sum += v * v; n += 1; s += 1
+      }
+      out(w) = if (n == 0) -1f else (math.sqrt(sum / n) * 2.0 - 1.0).toFloat
+      w += 1
+    }
+    out
+  }
+
   private[graft] def wavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
     wavInfo(bytes).map { case (_, _, _, _, dOff, dSize) =>
-      val nSamples = dSize / 2
-      val out = new Array[Float](FeatureDim)
-      if (nSamples == 0) out
-      else {
-        val win = math.max(1, nSamples / FeatureDim)
-        var w = 0
-        while (w < FeatureDim) {
-          var sum = 0.0; var n = 0
-          var s = w * win
-          val end = if (w == FeatureDim - 1) nSamples else math.min((w + 1) * win, nSamples)
-          while (s < end) {
-            val o = dOff + s * 2
-            val v = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toDouble / 32768.0
-            sum += v * v; n += 1; s += 1
-          }
-          out(w) = if (n == 0) -1f else (math.sqrt(sum / n) * 2.0 - 1.0).toFloat
-          w += 1
-        }
-        out
-      }
+      rmsWindows(dSize / 2, { s =>
+        val o = dOff + s * 2
+        ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toDouble / 32768.0
+      })
+    }
+
+  /** REAL audio decode for FLAC payloads via [[FlacDecode]] — the feature
+    * path now matches the metadata path ([[flacInfo]]): same RMS windowing
+    * as WAV over the decoded interleaved PCM, normalized by the stream's
+    * bit depth. None for non-FLAC / undecodable bytes.
+    */
+  private[graft] def flacFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    FlacDecode.decode(bytes).map { pcm =>
+      val scale = (1L << (pcm.bits - 1)).toDouble
+      rmsWindows(pcm.samples.length, s => pcm.samples(s) / scale)
     }
 
   /** Batched feature extraction over the binary column: mapPartitions with an
@@ -145,9 +165,9 @@ object Multimodal {
     * how a native decoder amortizes setup), output is one feature vector per
     * row. The iterator never materializes the partition. Image rows decode
     * for REAL (ImageIO luminance grid), audio rows for REAL when they are
-    * RIFF/WAVE PCM-16 (RMS energy windows); video and other payloads fall
-    * back to the deterministic stub kernel (those codecs aren't in this
-    * container).
+    * RIFF/WAVE PCM-16 or FLAC ([[FlacDecode]]; RMS energy windows either
+    * way); video and other payloads fall back to the deterministic stub
+    * kernel (those codecs aren't in this container).
     */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val outSchema = media.schema
@@ -162,7 +182,8 @@ object Multimodal {
             if (bytes == null) new Array[Float](FeatureDim)
             else r.getAs[String]("modality") match {
               case "image" => imageFeatures(bytes).getOrElse(fakeDecodeBatch(bytes))
-              case "audio" => wavFeatures(bytes).getOrElse(fakeDecodeBatch(bytes))
+              case "audio" => wavFeatures(bytes).orElse(flacFeatures(bytes))
+                .getOrElse(fakeDecodeBatch(bytes))
               case _ => fakeDecodeBatch(bytes)
             }
           Row.fromSeq(r.toSeq :+ feats.toSeq)

@@ -232,4 +232,173 @@ class MultimodalSuite extends SparkTestBase {
     val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
     assert(decoded.getWidth == 3 && decoded.getHeight == 5)
   }
+
+  // ---- FLAC real decode: test-side encoder written independently from the
+  // RFC 9639 text (bit writer + explicit packing, nothing shared with
+  // FlacDecode) so decode(encode(pcm)) == pcm cross-checks both readings ----
+
+  private class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nb = 0
+    def w(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1L).toInt
+        nb += 1
+        if (nb == 8) { buf.write(cur); cur = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def sw(v: Int, n: Int): Unit = w(v.toLong & ((1L << n) - 1), n)
+    def align(): Unit = while (nb != 0) w(0, 1)
+    def bytes: Array[Byte] = { align(); buf.toByteArray }
+  }
+
+  /** channels x samples PCM -> FLAC. subframe: "verbatim" | "constant-or-verbatim"
+    * | "fixed1"; chMode: "independent" | "midside".
+    */
+  private def encodeFlac(rate: Int, bps: Int, pcm: Array[Array[Int]], blockSize: Int,
+      subframe: String, chMode: String): Array[Byte] = {
+    val channels = pcm.length
+    val total = pcm(0).length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes)
+    out.write(0x80); out.write(0); out.write(0); out.write(34) // last block, STREAMINFO
+    val bw0 = new BitWriter
+    bw0.w(blockSize, 16); bw0.w(blockSize, 16) // min/max block size
+    bw0.w(0, 24); bw0.w(0, 24)                 // min/max frame size (unknown)
+    bw0.w(rate, 20); bw0.w(channels - 1, 3); bw0.w(bps - 1, 5)
+    bw0.w(total, 36)
+    val si = bw0.bytes
+    out.write(si); out.write(new Array[Byte](34 - si.length)) // md5 zeros
+    def writeSubframe(bw: BitWriter, s: Array[Int], sbps: Int): Unit = subframe match {
+      case "verbatim" =>
+        bw.w(0, 1); bw.w(1, 6); bw.w(0, 1)
+        s.foreach(v => bw.sw(v, sbps))
+      case "constant-or-verbatim" =>
+        if (s.forall(_ == s(0))) { bw.w(0, 1); bw.w(0, 6); bw.w(0, 1); bw.sw(s(0), sbps) }
+        else { bw.w(0, 1); bw.w(1, 6); bw.w(0, 1); s.foreach(v => bw.sw(v, sbps)) }
+      case "fixed1" =>
+        bw.w(0, 1); bw.w(9, 6); bw.w(0, 1) // FIXED order 1
+        bw.sw(s(0), sbps) // warmup
+        bw.w(0, 2) // residual method 0 (4-bit rice params)
+        bw.w(0, 4) // partition order 0
+        val res = (1 until s.length).map(i => s(i) - s(i - 1))
+        val param = 4
+        bw.w(param, 4)
+        res.foreach { e =>
+          val folded = (e.toLong << 1) ^ (e.toLong >> 63)
+          val q = (folded >>> param).toInt
+          var i = 0
+          while (i < q) { bw.w(0, 1); i += 1 }
+          bw.w(1, 1)
+          bw.w(folded & ((1L << param) - 1), param)
+        }
+    }
+    var start = 0
+    var frameNo = 0
+    while (start < total) {
+      val n = math.min(blockSize, total - start)
+      val bw = new BitWriter
+      bw.w(0x3ffe, 14); bw.w(0, 1); bw.w(0, 1)
+      bw.w(7, 4) // block size: 16-bit value - 1 follows
+      bw.w(0, 4) // sample rate: from STREAMINFO
+      bw.w(if (chMode == "midside") 10 else channels - 1, 4)
+      bw.w(bps match { case 8 => 1; case 16 => 4; case 24 => 6; case _ => 0 }, 3)
+      bw.w(0, 1)
+      require(frameNo < 128) // single-byte UTF-8 frame number
+      bw.w(frameNo, 8)
+      bw.w(n - 1, 16)
+      bw.w(0, 8) // header CRC-8 (decoder is tolerant by design)
+      if (chMode == "midside") {
+        val l = pcm(0).slice(start, start + n)
+        val r = pcm(1).slice(start, start + n)
+        val mid = Array.tabulate(n)(i => (l(i) + r(i)) >> 1)
+        val side = Array.tabulate(n)(i => l(i) - r(i))
+        writeSubframe(bw, mid, bps)
+        writeSubframe(bw, side, bps + 1)
+      } else {
+        pcm.foreach(ch => writeSubframe(bw, ch.slice(start, start + n), bps))
+      }
+      bw.align()
+      bw.w(0, 16) // frame CRC-16 (not verified)
+      out.write(bw.bytes)
+      start += n
+      frameNo += 1
+    }
+    out.toByteArray
+  }
+
+  test("flac decode: verbatim mono round-trips the exact PCM") {
+    val pcm = Array(Array.tabulate(1000)(i => (math.sin(i / 10.0) * 12000).toInt))
+    val bytes = encodeFlac(8000, 16, pcm, blockSize = 256, "verbatim", "independent")
+    val d = FlacDecode.decode(bytes).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.bits == 16)
+    assert(d.samples.toSeq == pcm(0).toSeq)
+  }
+
+  test("flac decode: fixed-order-1 rice residuals and constant subframes round-trip") {
+    // a ramp (constant order-1 residual, rice-friendly) + a constant block
+    val ramp = Array.tabulate(600)(i => i % 3000)
+    val flat = Array.fill(200)(-42)
+    val pcm = Array(ramp ++ flat)
+    val fx = encodeFlac(16000, 16, Array(ramp), blockSize = 200, "fixed1", "independent")
+    val dfx = FlacDecode.decode(fx).get
+    assert(dfx.samples.toSeq == ramp.toSeq, "fixed-1 rice residuals must reconstruct")
+    val cv = encodeFlac(16000, 16, pcm, blockSize = 200, "constant-or-verbatim", "independent")
+    val dcv = FlacDecode.decode(cv).get
+    assert(dcv.samples.toSeq == (ramp ++ flat).toSeq)
+  }
+
+  test("flac decode: mid/side stereo undecorrelates to the exact channels") {
+    val l = Array.tabulate(500)(i => (math.sin(i / 7.0) * 9000).toInt)
+    val r = Array.tabulate(500)(i => (math.cos(i / 11.0) * 7000).toInt)
+    val bytes = encodeFlac(44100, 16, Array(l, r), blockSize = 250, "verbatim", "midside")
+    val d = FlacDecode.decode(bytes).get
+    assert(d.channels == 2)
+    val left = d.samples.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }
+    val right = d.samples.zipWithIndex.collect { case (v, i) if i % 2 == 1 => v }
+    assert(left.toSeq == l.toSeq && right.toSeq == r.toSeq)
+  }
+
+  test("flac rows take the real feature branch and match the WAV of the same PCM") {
+    import spark.implicits._
+    // same PCM as halfWav(): silent first half, loud square second half
+    val rate = 8000
+    val pcm = Array(Array.tabulate(rate)(i =>
+      if (i < rate / 2) 0 else if (i % 2 == 0) 20000 else -20000))
+    val flacBytes = encodeFlac(rate, 16, pcm, blockSize = 400, "verbatim", "independent")
+    val df = Seq((1L, flacBytes)).toDF("media_id", "bytes")
+      .withColumn("modality", lit("audio"))
+      .withColumn("meta", struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"), lit(null).cast("int").as("sample_rate")))
+    // metadata path (header probe) and feature path (full decode) agree
+    val m = Multimodal.withAudioMeta(df).select("meta.sample_rate", "meta.duration_ms").head()
+    assert(m.getInt(0) == rate && m.getLong(1) == 1000L)
+    val feats = Multimodal.extractFeatures(df).select("features").head().getSeq[Float](0)
+    val wavFeats = Multimodal.extractFeatures(
+      Seq((1L, halfWav())).toDF("media_id", "bytes")
+        .withColumn("modality", lit("audio"))
+        .withColumn("meta", struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"), lit(null).cast("int").as("sample_rate"))))
+      .select("features").head().getSeq[Float](0)
+    assert(feats == wavFeats, "identical PCM must yield identical features across containers")
+  }
+
+  test("flac decode: garbage and truncation never throw") {
+    assert(FlacDecode.decode("not flac at all".getBytes).isEmpty)
+    val pcm = Array(Array.tabulate(800)(i => i - 400))
+    val good = encodeFlac(8000, 16, pcm, blockSize = 200, "verbatim", "independent")
+    // truncating mid-stream keeps the decodable prefix instead of throwing
+    val cut = FlacDecode.decode(good.take(good.length / 2))
+    assert(cut.forall(_.samples.length <= 800))
+    // corrupting a frame sync ends decode cleanly at that frame
+    val mangled = good.clone()
+    val frameStart = 4 + 4 + 34
+    mangled(frameStart) = 0x00
+    assert(FlacDecode.decode(mangled).isEmpty) // first frame dead -> no samples
+  }
 }
