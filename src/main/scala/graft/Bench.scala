@@ -38,9 +38,10 @@ object Bench {
     spark.stop()
   }
 
-  /** The round-4 gate set (CORRECTNESS_r04.json keys) — shared_prev_total
-    * over these keys gives the apples-to-apples r5-vs-r4 delta. */
+  /** The round-5 gate set (CORRECTNESS_r05.json keys) — shared_prev_total
+    * over these keys gives the apples-to-apples r6-vs-r5 delta. */
   private val PrevRoundGates: Set[String] = Set(
+    "dedup_incremental", "dedup_embedding_inc", "unstructured_audio_scan",
     "ann_bruteforce", "ann_ivf", "ann_lsh", "cat_fqn_join", "cat_snapshot_readback",
     "dedup_embedding", "dedup_exact", "dedup_groups", "dedup_keep_best", "dedup_minhash",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_spans", "dq_custom_check",

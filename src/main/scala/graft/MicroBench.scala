@@ -24,7 +24,8 @@ object MicroBench {
     spark.sparkContext.setLogLevel("ERROR")
     val names = sys.env.get("SPARK_GRAFT_MICRO").map(_.split(",").toSeq)
       .getOrElse(Seq("dedup_keep_best", "dedup_groups", "dedup_minhash",
-        "dedup_simhash", "dedup_embedding", "dedup_incremental", "text_decontaminate"))
+        "dedup_simhash", "dedup_embedding", "dedup_incremental", "text_decontaminate",
+        "q5_revenue_by_nation")) // q5 pinned since r6 (the one headline above its baseline row)
     // warmup: one full pass charges JIT/codegen before any measured run
     names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     val results = names.map { n =>
