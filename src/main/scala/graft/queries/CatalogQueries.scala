@@ -302,6 +302,58 @@ object CatalogQueries {
           CAST(180 + n_nationkey * 9 AS INT) AS height
         FROM nation ORDER BY n_nationkey""")),
 
+    // ---- unstructured PDF scan: one minimal PDF per nation row whose page
+    // text is a key-derived string (even keys FlateDecode-compressed, odd
+    // keys plain — both land on the structured extractor, not the heuristic
+    // fallback), read back through the `.content` sub-table. Oracle
+    // recomputes the exact extracted text in SQL. (reference surface:
+    // RegisterPdfDataSourceTestSuite.scala:29-265) ----
+    QuerySpec("unstructured_pdf_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "pdffiles")
+        if (!fixture.exists()) {
+          val staging = new java.io.File(wh(dir), s"pdffiles.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          QueryPack.t(s, dir, "nation").select(col("n_nationkey")).collect().foreach { r =>
+            val key = r.getInt(0)
+            val cs = s"BT (pdf doc $key ${"x" * (10 + key)}) Tj ET"
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            val (payload, filter) =
+              if (key % 2 == 0) {
+                val d = new java.util.zip.Deflater()
+                d.setInput(cs); d.finish()
+                val out = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](4096)
+                while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+                (out.toByteArray, " /Filter /FlateDecode")
+              } else (cs, "")
+            val bytes =
+              s"%PDF-1.4\n4 0 obj << /Length ${payload.length}$filter >>\nstream\n"
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ payload ++
+              "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(staging.toString, f"$key%05d.pdf"), bytes)
+          }
+          if (!staging.renameTo(fixture)) { // concurrent run won the rename
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
+          }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE PDF DATASOURCE docsrc OPTIONS (path '$fixture') NAMESPACE graft.datasource.un")
+        s.sql("SELECT path, textcontent FROM graft.datasource.un.docsrc.content")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.pdf$", 1).cast("int").as("n_nationkey"),
+            col("textcontent"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+          'pdf doc ' || CAST(n_nationkey AS VARCHAR) || ' ' ||
+            repeat('x', 10 + n_nationkey) AS textcontent
+        FROM nation ORDER BY n_nationkey""")),
+
     // ---- CSV datasource: parquet -> csv fixture -> graft catalog scan.
     // inferSchema recovers the int32 keys the parquet carries, so the
     // values AND dtypes must round-trip exactly (quoting included). ----

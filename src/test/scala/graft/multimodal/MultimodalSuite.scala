@@ -272,29 +272,69 @@ class MultimodalSuite extends SparkTestBase {
     bw0.w(total, 36)
     val si = bw0.bytes
     out.write(si); out.write(new Array[Byte](34 - si.length)) // md5 zeros
+    def rice(bw: BitWriter, e: Int, param: Int): Unit = {
+      val folded = (e.toLong << 1) ^ (e.toLong >> 63)
+      val q = (folded >>> param).toInt
+      var i = 0
+      while (i < q) { bw.w(0, 1); i += 1 }
+      bw.w(1, 1)
+      if (param > 0) bw.w(folded & ((1L << param) - 1), param)
+    }
+    // residual for `res`, partition order `po`; param 15 = escape with raw bits
+    def residual(bw: BitWriter, res: Seq[Int], order: Int, blockLen: Int, po: Int,
+        param: Int, rawBits: Int = 17): Unit = {
+      bw.w(0, 2) // method 0: 4-bit rice params
+      bw.w(po, 4)
+      val parts = 1 << po
+      var idx = 0
+      for (p <- 0 until parts) {
+        val count = (blockLen >> po) - (if (p == 0) order else 0)
+        bw.w(param, 4)
+        if (param == 15) { // escape: raw n-bit residuals
+          bw.w(rawBits, 5)
+          for (_ <- 0 until count) { bw.sw(res(idx), rawBits); idx += 1 }
+        } else for (_ <- 0 until count) { rice(bw, res(idx), param); idx += 1 }
+      }
+    }
     def writeSubframe(bw: BitWriter, s: Array[Int], sbps: Int): Unit = subframe match {
       case "verbatim" =>
         bw.w(0, 1); bw.w(1, 6); bw.w(0, 1)
         s.foreach(v => bw.sw(v, sbps))
+      case "verbatim-wasted2" => // samples all multiples of 4: 2 wasted bits
+        bw.w(0, 1); bw.w(1, 6)
+        bw.w(1, 1) // wasted flag
+        bw.w(0, 1); bw.w(1, 1) // unary 1 -> wasted = 2
+        s.foreach(v => bw.sw(v >> 2, sbps - 2))
       case "constant-or-verbatim" =>
         if (s.forall(_ == s(0))) { bw.w(0, 1); bw.w(0, 6); bw.w(0, 1); bw.sw(s(0), sbps) }
         else { bw.w(0, 1); bw.w(1, 6); bw.w(0, 1); s.foreach(v => bw.sw(v, sbps)) }
-      case "fixed1" =>
+      case "fixed1" | "fixed1-p2" | "fixed1-escape" =>
         bw.w(0, 1); bw.w(9, 6); bw.w(0, 1) // FIXED order 1
         bw.sw(s(0), sbps) // warmup
-        bw.w(0, 2) // residual method 0 (4-bit rice params)
-        bw.w(0, 4) // partition order 0
         val res = (1 until s.length).map(i => s(i) - s(i - 1))
-        val param = 4
-        bw.w(param, 4)
-        res.foreach { e =>
-          val folded = (e.toLong << 1) ^ (e.toLong >> 63)
-          val q = (folded >>> param).toInt
-          var i = 0
-          while (i < q) { bw.w(0, 1); i += 1 }
-          bw.w(1, 1)
-          bw.w(folded & ((1L << param) - 1), param)
+        subframe match {
+          case "fixed1-p2" => residual(bw, res, 1, s.length, po = 2, param = 4)
+          case "fixed1-escape" => residual(bw, res, 1, s.length, po = 0, param = 15)
+          case _ => residual(bw, res, 1, s.length, po = 0, param = 4)
         }
+      case "fixed4" =>
+        bw.w(0, 1); bw.w(12, 6); bw.w(0, 1) // FIXED order 4
+        (0 until 4).foreach(i => bw.sw(s(i), sbps))
+        val res = (4 until s.length).map(i =>
+          s(i) - (4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4)))
+        residual(bw, res, 4, s.length, po = 0, param = 15) // escape: deltas can be wide
+      case "lpc2" =>
+        bw.w(0, 1); bw.w(32 + 1, 6); bw.w(0, 1) // LPC order 2 (type 100001)
+        bw.sw(s(0), sbps); bw.sw(s(1), sbps) // warmup
+        val (c0, c1, shift) = (3, -1, 1) // s[j] ~ (3*s[j-1] - s[j-2]) >> 1
+        bw.w(12 - 1, 4) // precision 12
+        bw.sw(shift, 5)
+        bw.sw(c0, 12); bw.sw(c1, 12)
+        val res = (2 until s.length).map { j =>
+          val pred = ((c0.toLong * s(j - 1) + c1.toLong * s(j - 2)) >> shift).toInt
+          s(j) - pred
+        }
+        residual(bw, res, 2, s.length, po = 0, param = 15)
     }
     var start = 0
     var frameNo = 0
@@ -349,6 +389,31 @@ class MultimodalSuite extends SparkTestBase {
     val cv = encodeFlac(16000, 16, pcm, blockSize = 200, "constant-or-verbatim", "independent")
     val dcv = FlacDecode.decode(cv).get
     assert(dcv.samples.toSeq == (ramp ++ flat).toSeq)
+  }
+
+  test("flac decode: lpc, fixed-4, escape partitions, multi-partition rice, wasted bits") {
+    val signal = Array.tabulate(512)(i => (math.sin(i / 9.0) * 11000 + i % 37).toInt)
+    // LPC order 2 (quantized coefficients + shift, escape residuals)
+    val lpc = FlacDecode.decode(
+      encodeFlac(8000, 16, Array(signal), 256, "lpc2", "independent")).get
+    assert(lpc.samples.toSeq == signal.toSeq, "LPC reconstruction must be bit-exact")
+    // FIXED order 4 with escape (raw 17-bit) residuals
+    val f4 = FlacDecode.decode(
+      encodeFlac(8000, 16, Array(signal), 256, "fixed4", "independent")).get
+    assert(f4.samples.toSeq == signal.toSeq, "fixed-4 + escape residuals")
+    // partition order 2: four rice partitions per subframe
+    val p2 = FlacDecode.decode(
+      encodeFlac(8000, 16, Array(signal), 256, "fixed1-p2", "independent")).get
+    assert(p2.samples.toSeq == signal.toSeq, "4-partition rice residuals")
+    // escape partition on fixed-1
+    val esc = FlacDecode.decode(
+      encodeFlac(8000, 16, Array(signal), 256, "fixed1-escape", "independent")).get
+    assert(esc.samples.toSeq == signal.toSeq, "escape partition residuals")
+    // wasted bits: all samples multiples of 4, subframe stores bps-2
+    val coarse = signal.map(v => (v >> 2) << 2)
+    val w2 = FlacDecode.decode(
+      encodeFlac(8000, 16, Array(coarse), 256, "verbatim-wasted2", "independent")).get
+    assert(w2.samples.toSeq == coarse.toSeq, "wasted-bits shift must restore samples")
   }
 
   test("flac decode: mid/side stereo undecorrelates to the exact channels") {
