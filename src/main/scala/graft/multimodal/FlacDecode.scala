@@ -6,6 +6,11 @@ package graft.multimodal
   * VERBATIM / FIXED(0-4) / LPC(1-32) subframes, both rice residual methods
   * (4- and 5-bit parameters) with escape partitions, wasted bits, and the
   * three stereo decorrelation modes (left/side, right/side, mid/side).
+  * One documented exception: mid/side frames at bps 32 are rejected (None,
+  * never wrong PCM) — their side channel needs true 33-bit samples, which
+  * the Int-based pipeline cannot carry and whose wrap the shift-based
+  * mid/side reconstruction (unlike the mod-2^32-congruent +/- of the other
+  * two modes) cannot absorb.
   * Deliberately tolerant: frame and header CRCs are parsed but NOT verified
   * (feature extraction wants the samples, not an integrity gate), and decode
   * stops cleanly at the first malformed frame, returning what it has.
@@ -81,12 +86,12 @@ object FlacDecode {
           (bytes(off + 3) & 0xff)
         off += 4 + len
       }
-      val out = new java.io.ByteArrayOutputStream() // raw little-endian int32s
-      val sink = new java.io.DataOutputStream(out)
-      val r = new BitReader(bytes, off)
-      var decoded = 0L
+      val sink = new scala.collection.mutable.ArrayBuilder.ofInt // one buffer, doubling growth
       val want = if (totalSamples > 0) math.min(totalSamples, maxSamples.toLong)
         else maxSamples.toLong
+      if (want < maxSamples) sink.sizeHint((want * channels).toInt)
+      val r = new BitReader(bytes, off)
+      var decoded = 0L
       var ok = true
       while (ok && decoded < want && r.bitsLeft >= 32) {
         frame(r, rate, channels, bps) match {
@@ -95,19 +100,14 @@ object FlacDecode {
             var i = 0
             while (i < n && decoded < want) {
               var c = 0
-              while (c < block.length) { sink.writeInt(block(c)(i)); c += 1 }
+              while (c < block.length) { sink += block(c)(i); c += 1 }
               decoded += 1; i += 1
             }
           case None => ok = false // stop at first malformed frame, keep prefix
         }
       }
       if (decoded == 0) return None
-      val raw = out.toByteArray
-      val samples = new Array[Int](raw.length / 4)
-      val bb = java.nio.ByteBuffer.wrap(raw)
-      var i = 0
-      while (i < samples.length) { samples(i) = bb.getInt(); i += 1 }
-      Some(Pcm(rate, channels, bps, samples))
+      Some(Pcm(rate, channels, bps, sink.result()))
     } catch { case _: Exception => None }
 
   /** One frame -> per-channel sample arrays (after stereo undecorrelation). */
@@ -161,7 +161,14 @@ object FlacDecode {
         case 10 => (2, 2) // mid/side
         case _ => return None
       }
-      if (stereoMode == -1 && nCh != siChannels) return None
+      // every mode must agree with STREAMINFO, or the interleave contract
+      // of the flat samples array breaks mid-stream
+      if (nCh != siChannels) return None
+      // mid/side needs the TRUE 33-bit side value: at bps 32 the side
+      // subframe exceeds Int and the shift-based reconstruction (unlike the
+      // mod-2^32-congruent +/- of left/side and right/side) cannot absorb
+      // the wrap — reject rather than return wrong PCM
+      if (stereoMode == 2 && bps > 31) return None
       val chans = new Array[Array[Int]](nCh)
       var c = 0
       while (c < nCh) {
@@ -188,14 +195,13 @@ object FlacDecode {
         case 1 => // right/side: left = right + side  (order: side, right)
           var i = 0
           while (i < blockSize) { chans(0)(i) = chans(1)(i) + chans(0)(i); i += 1 }
-        case 2 => // mid/side
+        case 2 => // mid/side — Long intermediates: mid << 1 overflows Int at bps >= 31
           var i = 0
           while (i < blockSize) {
-            val side = chans(1)(i)
-            var mid = chans(0)(i) << 1
-            mid |= (side & 1)
-            chans(0)(i) = (mid + side) >> 1
-            chans(1)(i) = (mid - side) >> 1
+            val side = chans(1)(i).toLong
+            val mid = (chans(0)(i).toLong << 1) | (side & 1L)
+            chans(0)(i) = ((mid + side) >> 1).toInt
+            chans(1)(i) = ((mid - side) >> 1).toInt
             i += 1
           }
         case _ =>

@@ -276,16 +276,33 @@ private[graft] object PdfText {
   }
 
   /** First integer value for `key` in a dict string (negative allowed).
-    * Parsed as Long then truncated: some writers serialize /P as an unsigned
-    * 32-bit value (e.g. 4294963392), which must round-trip to the signed
-    * permissions word instead of throwing and silently disabling decryption.
+    * Int-range values only — an over-wide value yields None (the entry is
+    * treated as absent) instead of throwing into a caller's catch-all.
+    * The unsigned-32-bit leniency is deliberately scoped to /P alone (see
+    * [[dictPermissions]]): truncating every key would turn a malformed
+    * `/R 4294967302` into a plausible `6` and drive the wrong handler.
     */
   private[graft] def dictInt(dict: String, key: String): Option[Int] = {
     val m = java.util.regex.Pattern
       .compile(java.util.regex.Pattern.quote(key) + "\\s+(-?\\d+)").matcher(dict)
-    if (m.find()) try Some(m.group(1).toLong.toInt) catch {
-      case _: NumberFormatException => None // wider than 64 bits: not a /P
+    if (m.find()) try Some(m.group(1).toInt) catch {
+      case _: NumberFormatException => None
     } else None
+  }
+
+  /** /P specifically: some writers serialize the permissions word as an
+    * unsigned 32-bit value (e.g. 4294963392), which must round-trip to the
+    * signed Int the key derivation needs — values in [0, 2^32) truncate,
+    * anything wider is malformed and yields None.
+    */
+  private[graft] def dictPermissions(dict: String): Option[Int] = {
+    val m = java.util.regex.Pattern
+      .compile("/P\\s+(-?\\d+)").matcher(dict)
+    if (m.find()) try {
+      val l = m.group(1).toLong
+      if (l >= Int.MinValue.toLong && l <= 0xFFFFFFFFL) Some(l.toInt) else None
+    } catch { case _: NumberFormatException => None }
+    else None
   }
 
   /** The dict string with nested `<< >>` value bodies removed, so a
@@ -709,7 +726,7 @@ private[graft] object PdfText {
       if (r < 2 || r > 4) return None
       val lengthBits = dictInt(top, "/Length").getOrElse(40)
       val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
-      val p = dictInt(top, "/P").getOrElse(return None)
+      val p = dictPermissions(top).getOrElse(return None)
       val o = stringEntry(top, "/O").getOrElse(return None)
       if (o.length < 32) return None
       // first element of the trailer's /ID array (may legitimately be absent)

@@ -453,6 +453,35 @@ class MultimodalSuite extends SparkTestBase {
     assert(feats == wavFeats, "identical PCM must yield identical features across containers")
   }
 
+  test("flac decode: 32-bps safety — independent round-trips, mid/side rejects, ch-mismatch rejects") {
+    // independent 32-bps: full Int range samples survive (s(32) path)
+    val wide = Array(Array(Int.MaxValue - 3, Int.MinValue + 5, 0, -1, 123456789,
+      -987654321, 1 << 30, -(1 << 30)) ++ Array.tabulate(120)(i => i * 1000003))
+    val ind = FlacDecode.decode(
+      encodeFlac(8000, 32, wide, 128, "verbatim", "independent")).get
+    assert(ind.bits == 32 && ind.samples.toSeq == wide(0).toSeq)
+    // mid/side at bps 32 must reject (side needs 33 bits), never wrong PCM
+    val l = Array.fill(64)(1500000000)
+    val r = Array.fill(64)(1500000000)
+    assert(FlacDecode.decode(
+      encodeFlac(8000, 32, Array(l, r), 64, "verbatim", "midside")).isEmpty)
+    // mid/side at bps 24 with large values exercises the Long reconstruction
+    val l24 = Array.tabulate(64)(i => 8388607 - i) // near +2^23
+    val r24 = Array.tabulate(64)(i => -8388608 + i)
+    val ms24 = FlacDecode.decode(
+      encodeFlac(8000, 24, Array(l24, r24), 64, "verbatim", "midside")).get
+    val left = ms24.samples.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }
+    val right = ms24.samples.zipWithIndex.collect { case (v, i) if i % 2 == 1 => v }
+    assert(left.toSeq == l24.toSeq && right.toSeq == r24.toSeq)
+    // a frame whose channel mode contradicts STREAMINFO must reject: flip
+    // the STREAMINFO channel count (byte 20, bits 3-1) from 2 to 1
+    val stereo = encodeFlac(8000, 16, Array(l24, r24), 64, "verbatim", "midside")
+    val mono = stereo.clone()
+    mono(20) = (mono(20) & ~0x0E | ((1 - 1) << 1)).toByte
+    assert(FlacDecode.decode(mono).isEmpty,
+      "stereo-decorrelated frame against mono STREAMINFO must not decode")
+  }
+
   test("flac decode: garbage and truncation never throw") {
     assert(FlacDecode.decode("not flac at all".getBytes).isEmpty)
     val pcm = Array(Array.tabulate(800)(i => i - 400))

@@ -543,9 +543,14 @@ class UnstructuredSuite extends SparkTestBase {
 
   test("dictInt parses unsigned 32-bit serializations and rejects wider garbage") {
     import graft.sources.unstructured.PdfText
-    assert(PdfText.dictInt("<< /P -3904 >>", "/P") == Some(-3904))
-    assert(PdfText.dictInt("<< /P 4294963392 >>", "/P") == Some(-3904))
-    assert(PdfText.dictInt("<< /P 99999999999999999999999 >>", "/P").isEmpty)
+    assert(PdfText.dictPermissions("<< /P -3904 >>") == Some(-3904))
+    assert(PdfText.dictPermissions("<< /P 4294963392 >>") == Some(-3904))
+    assert(PdfText.dictPermissions("<< /P 99999999999999999999999 >>").isEmpty)
+    assert(PdfText.dictPermissions("<< /P 4294967296 >>").isEmpty) // 2^32: out of range
+    // the unsigned leniency must NOT leak to other keys: a malformed wide
+    // /R yields None (clean skip), never a truncated plausible value
+    assert(PdfText.dictInt("<< /R 4294967302 >>", "/R").isEmpty)
+    assert(PdfText.dictInt("<< /R 6 >>", "/R") == Some(6))
   }
 
   test("pdf DecodeParms predictors: PNG Up/Sub/Paeth and TIFF-2 round-trip") {
