@@ -213,10 +213,11 @@ object Multimodal {
 
   /** MPEG-1/2/2.5 Layer III frame-header probe: skips an ID3v2 tag
     * (syncsafe size), finds the first 0xFFEx sync, reads the version /
-    * bitrate / sample-rate indexes, and estimates duration as
-    * payload_bytes * 8 / bitrate — exact for CBR files, an estimate for VBR
-    * (a full VBR scan is a per-frame walk; out of scope for a header
-    * probe). Public byte layout (ISO 11172-3); never throws.
+    * bitrate / sample-rate indexes, and derives duration from the Xing/
+    * Info/VBRI frame count when the first frame carries one (exact for
+    * VBR and LAME-tagged CBR), falling back to payload_bytes * 8 /
+    * bitrate (exact for plain CBR, an estimate otherwise). Public byte
+    * layouts (ISO 11172-3; LAME/Fraunhofer VBR tags); never throws.
     */
   private[graft] def mp3Info(bytes: Array[Byte]): Option[(Int, Long)] =
     try {
@@ -245,7 +246,35 @@ object Multimodal {
       })(srIdx)
       val kbps = (if (verBits == 3) Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
                   else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))(brIdx)
-      Some((rate, (bytes.length - i).toLong * 8L / kbps)) // kbps == bits/ms
+      // VBR: a Xing/Info (or VBRI) header in the first frame's payload
+      // carries the exact frame count — duration from it is exact for VBR
+      // files where the CBR payload estimate can be off by 2x. Xing sits
+      // after the side info (version/channel dependent), VBRI at a fixed
+      // +32. Public layouts (LAME/Fraunhofer, widely documented).
+      def u32be(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      def tagAt(o: Int): String =
+        if (o + 4 <= bytes.length)
+          new String(bytes, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        else ""
+      val mono = ((bytes(i + 3) >> 6) & 3) == 3
+      val spf = if (verBits == 3) 1152 else 576 // Layer III samples per frame
+      val side = if (verBits == 3) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+      val xOff = i + 4 + side
+      val vOff = i + 4 + 32
+      val vbrFrames: Option[Long] = tagAt(xOff) match {
+        case "Xing" | "Info" if xOff + 12 <= bytes.length && (u32be(xOff + 4) & 1L) != 0 =>
+          Some(u32be(xOff + 8))
+        case _ if tagAt(vOff) == "VBRI" && vOff + 18 <= bytes.length =>
+          Some(u32be(vOff + 14)) // frames at +14: ver(2) delay(2) quality(2) bytes(4)
+        case _ => None
+      }
+      val durMs = vbrFrames.filter(_ > 0) match {
+        case Some(frames) => frames * spf * 1000L / rate
+        case None => (bytes.length - i).toLong * 8L / kbps // CBR estimate: kbps == bits/ms
+      }
+      Some((rate, durMs))
     } catch { case _: Exception => None }
 
   /** OGG container probe: identification header from the first page

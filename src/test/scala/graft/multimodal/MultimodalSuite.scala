@@ -134,6 +134,32 @@ class MultimodalSuite extends SparkTestBase {
       out.toByteArray
     }
     assert(Multimodal.mp3Info(mp3).contains((44100, 100L)))
+
+    // VBR: a Xing header (MPEG1 stereo -> offset 4+32 into the frame) with
+    // frame count 100 overrides the CBR estimate: 100*1152*1000/44100 = 2612
+    val vbr = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte))
+      out.write(new Array[Byte](32)) // side info
+      out.write("Xing".getBytes)
+      out.write(Array[Byte](0, 0, 0, 1)) // flags: frames present
+      out.write(Array[Byte](0, 0, 0, 100)) // 100 frames
+      out.write(new Array[Byte](500))
+      out.toByteArray
+    }
+    assert(Multimodal.mp3Info(vbr).contains((44100, 2612L)))
+    // VBRI variant (fixed +32, frames at +14)
+    val vbri = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte))
+      out.write(new Array[Byte](32))
+      out.write("VBRI".getBytes)
+      out.write(new Array[Byte](10)) // ver(2) delay(2) quality(2) bytes(4)
+      out.write(Array[Byte](0, 0, 0, 50)) // 50 frames
+      out.write(new Array[Byte](500))
+      out.toByteArray
+    }
+    assert(Multimodal.mp3Info(vbri).contains((44100, 50L * 1152 * 1000 / 44100)))
     // dispatcher picks the right probe per container
     assert(Multimodal.audioInfo(flac).contains((44100, 10000L)))
     assert(Multimodal.audioInfo(mp3).contains((44100, 100L)))
