@@ -226,6 +226,53 @@ object Pipeline {
         WHERE list_cosine_similarity(n.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.45
         ORDER BY id_new, id_corpus""")),
 
+    // ---- multimodal feature extraction, value-verified: one in-memory WAV
+    // per nation row (constant-amplitude square wave, amplitude derived from
+    // the key), through the REAL batched decode path (mapPartitions +
+    // wavFeatures). Every RMS window of a constant-|v| signal is exactly
+    // amp/32768, so feature = amp/16384 - 1 — a dyadic rational that is
+    // EXACT in both float and double, making the gate hash-exact without
+    // tolerance games. Oracle recomputes the closed form in SQL. ----
+    QuerySpec("multimodal_features",
+      (s, dir) => {
+        val fixtures = t(s, dir, "nation").select(col("n_nationkey")).collect().map { r =>
+          val key = r.getInt(0)
+          val amp = 1000 + key * 500
+          val rate = 8000
+          val n = 1600 // FeatureDim divides it: every window is 100 samples
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = if (i % 2 == 0) amp else -amp
+            data(i * 2) = (v & 0xFF).toByte
+            data(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+          bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+            .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+          bb.put("data".getBytes).putInt(data.length).put(data)
+          org.apache.spark.sql.Row(key.toLong, "audio", bb.array())
+        }
+        val media = s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(fixtures: _*)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("modality", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.BinaryType))))
+        graft.multimodal.Multimodal.extractFeatures(media)
+          .select(col("media_id").cast("int").as("n_nationkey"),
+            posexplode(col("features")).as(Seq("w", "feat")))
+          .withColumn("feat", round(col("feat").cast("double"), 6))
+          .orderBy(col("n_nationkey"), col("w"))
+      },
+      Some("""SELECT n_nationkey, CAST(ws.w AS INT) AS w,
+          round(CAST(1000 + n_nationkey * 500 AS DOUBLE) / 16384 - 1, 6) AS feat
+        FROM nation CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS w) ws
+        ORDER BY n_nationkey, w""")),
+
     // ---- ANN: brute-force exact top-5 cosine neighbors for 20 query vectors.
     // Corpus never shuffles: queries broadcast, scoring is map-side codegen,
     // only k*|queries| rows reach the window. ----
