@@ -273,6 +273,44 @@ object Pipeline {
         FROM nation CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS w) ws
         ORDER BY n_nationkey, w""")),
 
+    // ---- multimodal IMAGE features, value-verified: one 4x4 solid-gray PNG
+    // per nation row (gray level derived from the key) through the real
+    // ImageIO luminance-grid path. At 4x4 every grid cell is ONE pixel, so
+    // no accumulation rounding: feature = (0.299v+0.587v+0.114v)/127.5 - 1
+    // truncated to float — and the oracle replicates the truncation with
+    // CAST(.. AS REAL), making the gate hash-exact. ----
+    QuerySpec("multimodal_image_features",
+      (s, dir) => {
+        val fixtures = t(s, dir, "nation").select(col("n_nationkey")).collect().map { r =>
+          val key = r.getInt(0)
+          val v = 40 + key * 8
+          val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 4) { var x = 0; while (x < 4) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }; y += 1 }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          org.apache.spark.sql.Row(key.toLong, "image", out.toByteArray)
+        }
+        val media = s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(fixtures: _*)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("modality", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.BinaryType))))
+        graft.multimodal.Multimodal.extractFeatures(media)
+          .select(col("media_id").cast("int").as("n_nationkey"),
+            posexplode(col("features")).as(Seq("w", "feat")))
+          .withColumn("feat", round(col("feat").cast("double"), 6))
+          .orderBy(col("n_nationkey"), col("w"))
+      },
+      Some("""SELECT n_nationkey, CAST(ws.w AS INT) AS w,
+          round(CAST(CAST(
+            (0.299 * (40 + n_nationkey * 8) + 0.587 * (40 + n_nationkey * 8)
+              + 0.114 * (40 + n_nationkey * 8)) / 127.5 - 1.0
+          AS REAL) AS DOUBLE), 6) AS feat
+        FROM nation CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS w) ws
+        ORDER BY n_nationkey, w""")),
+
     // ---- ANN: brute-force exact top-5 cosine neighbors for 20 query vectors.
     // Corpus never shuffles: queries broadcast, scoring is map-side codegen,
     // only k*|queries| rows reach the window. ----

@@ -201,4 +201,23 @@ class StreamingSuite extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == want)
   }
+
+  test("multimodal feature extraction streams: mapPartitions twin equals batch") {
+    import graft.multimodal.Multimodal
+    // the batched decode kernel is stateless mapPartitions, so the SAME
+    // operator serves batch backfills and streaming ingest — the lambda-free
+    // property the other twins assert, now for the multimodal path
+    val media = Multimodal.mediaFrom(spark,
+      QueryPack.t(spark, sf(), "documents").limit(40), "doc_id", "text", "audio")
+    val batch = Multimodal.extractFeatures(media)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-mm").toString
+    media.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, media.schema)
+    val got = Streaming.runToMemory(Multimodal.extractFeatures(stream), "mm_feats")
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got == batch)
+  }
 }
