@@ -61,16 +61,76 @@ private[graft] object PdfText {
   def extract(bytes: Array[Byte], maxChars: Int = 10000,
       password: Array[Byte] = Array.empty): String = {
     val sb = new StringBuilder
-    val streams = contentStreams(bytes, password = password)
+    val (streams, packed) = collectStreams(bytes, password = password)
     // ToUnicode CMap streams are font metadata, not page content: harvest
     // their code->unicode entries, then keep them out of the text walk
-    val (cmapStreams, textStreams) = streams.partition(isCMapStream)
-    val cmap = mergeCMaps(cmapStreams.map(d => parseCMap(new String(d, StandardCharsets.ISO_8859_1))))
-    textStreams.foreach { data =>
-      if (sb.length < maxChars) appendTextOps(data, sb, maxChars, cmap)
+    val (cmapStreams, textStreams) = streams.partition(st => isCMapStream(st.data))
+    val cmap = mergeCMaps(cmapStreams.map(st =>
+      parseCMap(new String(st.data, StandardCharsets.ISO_8859_1))))
+    // per-font binding: /Font resource names -> their own ToUnicode tables,
+    // switched by Tf in the content walk; fonts without a binding (and text
+    // before any Tf) fall back to the document-wide merge
+    val fonts = fontBindings(bytes, packed, cmapStreams)
+    textStreams.foreach { st =>
+      if (sb.length < maxChars) appendTextOps(st.data, sb, maxChars, cmap, fonts)
     }
     sb.toString.trim.take(maxChars)
   }
+
+  /** One decoded top-level stream: owning object number/generation (from the
+    * nearest preceding `N G obj` header; -1 when absent, e.g. streams that
+    * surfaced from inside an ObjStm), the stream dict text, and the bytes.
+    */
+  private[graft] final case class PdfStream(num: Int, gen: Int, dict: String, data: Array[Byte])
+
+  /** Font NAME -> ToUnicode tables, resolved through the object graph:
+    * `/Font <<...>>` resource dicts (top-level or ObjStm-packed) name the
+    * font objects; each font object's `/ToUnicode N G R` names a CMap
+    * stream. Name collisions across pages keep the first binding (names
+    * are effectively unique in real documents); failures degrade to the
+    * merged fallback, never a throw.
+    */
+  private[graft] def fontBindings(bytes: Array[Byte], packed: Map[Int, String],
+      cmapStreams: Seq[PdfStream]): Map[String, CMaps] = try {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val spaces = s +: packed.values.toSeq
+    val nameToRef = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int)]
+    for (space <- spaces) {
+      val m = java.util.regex.Pattern.compile("/Font\\s*<<").matcher(space)
+      while (m.find()) {
+        val start = m.end()
+        val close = skipDictionary(space, start, limit = math.min(space.length, start + 8192))
+        val body = space.substring(start, math.min(math.max(close, start), space.length))
+        val em = java.util.regex.Pattern
+          .compile("/([#A-Za-z0-9.+_-]+)\\s+(\\d+)\\s+(\\d+)\\s+R").matcher(body)
+        while (em.find())
+          if (!nameToRef.contains(em.group(1)))
+            nameToRef(em.group(1)) = (em.group(2).toInt, em.group(3).toInt)
+      }
+    }
+    def fontDict(n: Int, g: Int): Option[String] =
+      packed.get(n).orElse {
+        val om = java.util.regex.Pattern
+          .compile("(?<![0-9])" + n + "\\s+" + g + "\\s+obj").matcher(s)
+        if (!om.find()) None
+        else {
+          val ds = s.indexOf("<<", om.end())
+          if (ds < 0 || ds - om.end() > 32) None
+          else Some(s.substring(ds,
+            math.min(skipDictionary(s, ds + 2, limit = ds + 8192), s.length)))
+        }
+      }
+    val byNum = cmapStreams.groupBy(_.num)
+    nameToRef.iterator.flatMap { case (nm, (n, g)) =>
+      fontDict(n, g).flatMap { fd =>
+        val tm = java.util.regex.Pattern
+          .compile("/ToUnicode\\s+(\\d+)\\s+(\\d+)\\s+R").matcher(fd)
+        if (!tm.find()) None
+        else byNum.getOrElse(tm.group(1).toInt, Nil).headOption.map(st =>
+          nm -> parseCMap(new String(st.data, StandardCharsets.ISO_8859_1)))
+      }
+    }.toMap
+  } catch { case _: Exception => Map.empty }
 
   /** Document-wide merged ToUnicode tables, keyed by source-code byte width. */
   private[graft] final case class CMaps(one: Map[Int, String], two: Map[Int, String]) {
@@ -179,14 +239,54 @@ private[graft] object PdfText {
     * ObjStm chain cannot loop the walker.
     */
   private[graft] def contentStreams(bytes: Array[Byte], depth: Int = 0,
-      password: Array[Byte] = Array.empty): Seq[Array[Byte]] = {
+      password: Array[Byte] = Array.empty): Seq[Array[Byte]] =
+    collectStreams(bytes, depth, password)._1.map(_.data)
+
+  /** Owning object of the dict at `dictStart`: the nearest preceding
+    * `N G obj` header within a bounded backward window (the header
+    * immediately precedes the stream dict in practice). (-1, -1) if absent.
+    */
+  private def owningObj(s: String, dictStart: Int): (Int, Int) = {
+    val windowStart = math.max(0, dictStart - 64)
+    val m = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj")
+      .matcher(s.substring(windowStart, dictStart))
+    var n = -1; var g = -1
+    while (m.find()) { n = m.group(1).toInt; g = m.group(2).toInt }
+    (n, g)
+  }
+
+  /** The packed-object dict texts of an ObjStm body, keyed by object number
+    * (ISO 32000-1 7.5.7: `/N` pairs of "objnum offset" ints before `/First`,
+    * object source at First+offset). Malformed tables yield an empty map.
+    */
+  private[graft] def objStmDicts(dict: String, body: Array[Byte]): Map[Int, String] = try {
+    val n = dictInt(dict, "/N").getOrElse(return Map.empty)
+    val first = dictInt(dict, "/First").getOrElse(return Map.empty)
+    if (n <= 0 || n > 100000 || first <= 0 || first > body.length) return Map.empty
+    val t = new String(body, StandardCharsets.ISO_8859_1)
+    val header = t.substring(0, math.min(first, t.length))
+    val ints = "\\d+".r.findAllIn(header).map(_.toInt).take(n * 2).toArray
+    if (ints.length < n * 2) return Map.empty
+    val entries = (0 until n).map(k => (ints(k * 2), ints(k * 2 + 1)))
+    entries.zipWithIndex.flatMap { case ((num, off), k) =>
+      val start = first.toLong + off
+      val end = if (k + 1 < n) math.min(first.toLong + entries(k + 1)._2, t.length) else t.length.toLong
+      if (start >= 0 && start <= end && end <= t.length)
+        Some(num -> t.substring(start.toInt, end.toInt))
+      else None
+    }.toMap
+  } catch { case _: Exception => Map.empty }
+
+  private[graft] def collectStreams(bytes: Array[Byte], depth: Int = 0,
+      password: Array[Byte] = Array.empty): (Seq[PdfStream], Map[Int, String]) = {
     // ISO-8859-1 maps bytes 1:1 to chars, so string indexes == byte offsets
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     // encryption applies only to top-level streams: objects inside an ObjStm
     // are covered by the (already-decrypted) ObjStm itself, so recursion
     // passes no crypt
     val crypt = if (depth == 0) StandardDecrypt.parse(bytes, s, password) else None
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val packed = scala.collection.mutable.Map.empty[Int, String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[PdfStream]
     var pos = 0
     var continue = true
     while (continue) {
@@ -238,14 +338,22 @@ private[graft] object PdfText {
           }
           decoded.foreach { d =>
             if (dict.contains("/ObjStm")) {
-              if (depth < 2) out ++= contentStreams(d, depth + 1)
-            } else out += d
+              if (depth < 2) {
+                val (sub, subPacked) = collectStreams(d, depth + 1)
+                out ++= sub
+                packed ++= subPacked
+                packed ++= objStmDicts(dict, d)
+              }
+            } else {
+              val (onum, ogen) = owningObj(s, math.max(dictStart, 0))
+              out += PdfStream(onum, ogen, dict, d)
+            }
           }
           pos = end + "endstream".length
         }
       }
     }
-    out.toSeq
+    (out.toSeq, packed.toMap)
   }
 
   /** The stream dictionary's filter chain, in application order: either a
@@ -535,17 +643,26 @@ private[graft] object PdfText {
     * line-positioning operators (Td TD T* ' ") break lines.
     */
   private def appendTextOps(data: Array[Byte], sb: StringBuilder, maxChars: Int,
-      cmap: CMaps = EmptyCMaps): Unit = {
+      cmap: CMaps = EmptyCMaps, fonts: Map[String, CMaps] = Map.empty): Unit = {
     val s = new String(data, StandardCharsets.ISO_8859_1)
     val token = new StringBuilder
     var i = 0
+    // Tf switches the ACTIVE ToUnicode table: `/F1 12 Tf` flushes as tokens
+    // ["F1", "12", "Tf"], so the font name is the second-to-last non-empty
+    // token when Tf lands. Unbound names (and text before any Tf) use the
+    // document-wide merge.
+    var active: CMaps = cmap
+    var prev = ""
+    var prevPrev = ""
     def flushToken(): String = {
       val t = token.toString
       t match {
         case "Td" | "TD" | "T*" | "'" | "\"" =>
           if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
+        case "Tf" => active = fonts.getOrElse(prevPrev, cmap)
         case _ =>
       }
+      if (t.nonEmpty) { prevPrev = prev; prev = t }
       token.clear()
       t
     }
@@ -568,7 +685,7 @@ private[graft] object PdfText {
           else {
             val end = s.indexOf('>', i + 1)
             if (end < 0) i = s.length
-            else { decodeHexString(s.substring(i + 1, end), cmap, sb); i = end + 1 }
+            else { decodeHexString(s.substring(i + 1, end), active, sb); i = end + 1 }
           }
         case c if c.isWhitespace || c == '[' || c == ']' || c == '/' || c == '>' =>
           val t = flushToken()

@@ -791,6 +791,58 @@ class UnstructuredSuite extends SparkTestBase {
     assert(!text.contains("bfchar") && !text.contains("begincmap"), s"leak: '$text'")
   }
 
+  test("per-font ToUnicode binding: conflicting CMaps resolve by the active Tf font") {
+    import graft.sources.unstructured.PdfText
+    // two fonts whose ToUnicode maps CONFLICT on code 0x41 (F1: X, F2: Y);
+    // 0x42 -> Z exists only in F1, so the document-wide merge keeps it for
+    // the pre-Tf fallback and for unbound font names
+    def cmapObj(num: Int, entries: String): String = {
+      val body = s"begincmap\n${entries}\nendcmap"
+      s"$num 0 obj << /Length ${body.length} >>\nstream\n$body\nendstream\nendobj\n"
+    }
+    val c5 = cmapObj(5, "2 beginbfchar\n<41> <0058>\n<42> <005A>\nendbfchar")
+    val c6 = cmapObj(6, "1 beginbfchar\n<41> <0059>\nendbfchar")
+    val fonts =
+      "7 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 5 0 R >> endobj\n" +
+      "8 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >> endobj\n"
+    val page = "3 0 obj << /Resources << /Font << /F1 7 0 R /F2 8 0 R >> >> >> endobj\n"
+    // pre-Tf <42> uses the merge (Z); then F1 makes <41> X; F2 makes it Y;
+    // unbound /F9 falls back to the merge, where <42> is still Z
+    val content = "BT <42> Tj /F1 12 Tf <41> Tj /F2 12 Tf <41> Tj /F9 9 Tf <42> Tj ET"
+    val doc = ("%PDF-1.4\n" + page + c5 + c6 + fonts +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val text = PdfText.extract(doc)
+    assert(text == "ZXYZ", s"per-font dispatch failed: '$text'")
+  }
+
+  test("per-font binding resolves font dicts packed inside an ObjStm") {
+    import graft.sources.unstructured.PdfText
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    }
+    val cbody = "begincmap\n1 beginbfchar\n<41> <0057>\nendbfchar\nendcmap" // 0x41 -> W
+    val c5 = s"5 0 obj << /Length ${cbody.length} >>\nstream\n$cbody\nendstream\nendobj\n"
+    // the FONT DICT lives packed in an object stream (PDF 1.5 style)
+    val packedBody = "7 0\n<< /Type /Font /ToUnicode 5 0 R >>"
+    val packed = deflate(packedBody.getBytes(StandardCharsets.ISO_8859_1))
+    val objStm = (s"9 0 obj << /Type /ObjStm /N 1 /First 4 /Filter /FlateDecode " +
+      s"/Length ${packed.length} >>\nstream\n").getBytes(StandardCharsets.ISO_8859_1) ++
+      packed ++ "\nendstream endobj\n".getBytes(StandardCharsets.ISO_8859_1)
+    val page = "3 0 obj << /Resources << /Font << /F1 7 0 R >> >> >> endobj\n"
+    val content = "BT /F1 12 Tf <41> Tj ET"
+    val doc = ("%PDF-1.5\n" + page + c5).getBytes(StandardCharsets.ISO_8859_1) ++ objStm ++
+      (s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+        "trailer << /Root 1 0 R >>\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val text = PdfText.extract(doc)
+    assert(text == "W", s"ObjStm-packed font binding failed: '$text'")
+  }
+
   test("parseCMap handles bfchar, bfrange and array destinations") {
     import graft.sources.unstructured.PdfText
     val m = PdfText.parseCMap(
