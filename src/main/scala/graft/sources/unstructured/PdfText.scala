@@ -698,17 +698,21 @@ private[graft] object PdfText {
     flushToken()
   }
 
-  /** ISO 32000-1/-2 standard security handler, EMPTY user password only
-    * (the overwhelmingly common permissions-only encryption): RC4 (V1/V2,
-    * R2/R3), AES-128-CBC (V4 `/AESV2`) and AES-256-CBC (V5, R5/R6
-    * `/AESV3` — /UE decrypted with the SHA-256 / Algorithm 2.B intermediate
-    * key). The `/U` entry is not validated —
-    * the empty password is attempted unconditionally, which decrypts exactly
-    * the documents it can; password-protected or exotic documents produce
-    * streams that fail filter decode and fall through to the ASCII-run
-    * heuristic, never a throw. Cross-reference streams are not encrypted per
-    * spec; decrypting them garbles bytes whose inflate then fails, so they
-    * are skipped harmlessly (they carry no text).
+  /** ISO 32000-1/-2 standard security handler: RC4 (V1/V2, R2/R3),
+    * AES-128-CBC (V4 `/AESV2`) and AES-256-CBC (V5, R5/R6 `/AESV3`).
+    * A supplied password is tried as the USER password and — when `/U`
+    * validation (Algorithm 4/5, or the R5/R6 hash comparison) affirms it —
+    * as the OWNER password too: Algorithm 7 RC4-unwraps `/O` back into the
+    * padded user password for R2-R4, and Algorithm 2.A's owner salts over
+    * the 48-byte `/U` unwrap `/OE` into the file key for R5/R6. With no
+    * affirmative validation the user interpretation is attempted
+    * unconditionally (the overwhelmingly common permissions-only empty
+    * password included), which decrypts exactly the documents it can;
+    * wrong keys produce streams that fail filter decode and fall through
+    * to the ASCII-run heuristic, never a throw. Cross-reference streams
+    * are not encrypted per spec; decrypting them garbles bytes whose
+    * inflate then fails, so they are skipped harmlessly (they carry no
+    * text).
     */
   private[graft] object StandardDecrypt {
     /** v5: AES-256 (R5/R6) — the file key encrypts every object directly
@@ -867,12 +871,49 @@ private[graft] object PdfText {
             .compile("/EncryptMetadata\\s+false").matcher(dict).find())
           Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
         else Array.empty[Byte]
-      var key = md5((password ++ Pad).take(32), o.take(32), pLe, id1, metaExtra)
+      def fileKey(userPad: Array[Byte]): Array[Byte] = {
+        var key = md5(userPad.take(32), o.take(32), pLe, id1, metaExtra)
+        if (r >= 3) {
+          var i = 0
+          while (i < 50) { key = md5(key.take(n)); i += 1 }
+        }
+        key.take(n)
+      }
+      // Algorithm 4/5 /U validation: lets the OWNER interpretation of the
+      // supplied password be recognized. Absent or non-conforming /U makes
+      // validation impossible -> fall through to the legacy unconditional
+      // user attempt (wrong keys degrade to the heuristic, never throw).
+      val uEntry = stringEntry(top, "/U")
+      def userValidates(key: Array[Byte]): Boolean = uEntry.exists { u =>
+        if (r == 2) u.length >= 32 && java.util.Arrays.equals(rc4(key, Pad), u.take(32))
+        else u.length >= 16 && {
+          var enc = rc4(key, md5(Pad, id1))
+          var i = 1
+          while (i <= 19) { enc = rc4(key.map(b => (b ^ i).toByte), enc); i += 1 }
+          java.util.Arrays.equals(enc.take(16), u.take(16))
+        }
+      }
+      val userKey = fileKey((password ++ Pad).take(32))
+      val aes = dict.contains("/AESV2")
+      if (password.isEmpty || userValidates(userKey))
+        return Some(Crypt(userKey, aes = aes))
+      // supplied password as OWNER password (Algorithm 7): the owner key
+      // RC4-decrypts /O back into the PADDED USER password, which feeds the
+      // normal user-key derivation — accepted only when /U then validates
+      var okey = md5((password ++ Pad).take(32))
       if (r >= 3) {
         var i = 0
-        while (i < 50) { key = md5(key.take(n)); i += 1 }
+        while (i < 50) { okey = md5(okey.take(n)); i += 1 }
       }
-      Some(Crypt(key.take(n), aes = dict.contains("/AESV2")))
+      val ok = okey.take(n)
+      var userPad = rc4(ok, o.take(32))
+      if (r >= 3) {
+        var i = 19
+        while (i >= 1) { userPad = rc4(ok.map(b => (b ^ i).toByte), userPad); i -= 1 }
+      }
+      val ownerKey = fileKey(userPad)
+      if (userValidates(ownerKey)) Some(Crypt(ownerKey, aes = aes))
+      else Some(Crypt(userKey, aes = aes)) // legacy: attempt as user anyway
     } catch { case _: Exception => None }
 
     /** AES-256 (ISO 32000-2 §7.6.4): the empty user password's intermediate
@@ -885,16 +926,33 @@ private[graft] object PdfText {
       val u = stringEntry(top, "/U").getOrElse(return None)
       val ue = stringEntry(top, "/UE").getOrElse(return None)
       if (u.length < 48 || ue.length < 32) return None
-      val keySalt = u.slice(40, 48)
       val pwd = password.take(127) // ISO 32000-2: UTF-8 password, max 127 bytes
-      val intermediate =
-        if (r == 5) sha256(pwd, keySalt, Array.empty[Byte])
-        else hash2B(pwd, keySalt, Array.empty[Byte])
-      val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-      cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
-        new javax.crypto.spec.SecretKeySpec(intermediate, "AES"),
-        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
-      Some(Crypt(cipher.doFinal(ue.take(32)), aes = true, v5 = true))
+      def hash(salt: Array[Byte], udata: Array[Byte]): Array[Byte] =
+        if (r == 5) sha256(pwd, salt, udata) else hash2B(pwd, salt, udata)
+      def unwrap(intermediate: Array[Byte], wrapped: Array[Byte]): Crypt = {
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(intermediate, "AES"),
+          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+        Crypt(cipher.doFinal(wrapped.take(32)), aes = true, v5 = true)
+      }
+      // supplied password as OWNER password (ISO 32000-2 Algorithm 2.A):
+      // validation hash over /O's validation salt INCLUDES the 48-byte /U;
+      // on match the owner key salt unwraps /OE into the file key. Checked
+      // first only when it affirmatively validates — the user /UE path
+      // stays the unconditional fallback (fixtures with junk /U included).
+      val oEntry = stringEntry(top, "/O")
+      val oeEntry = stringEntry(top, "/OE")
+      (oEntry, oeEntry) match {
+        case (Some(o), Some(oe)) if o.length >= 48 && oe.length >= 32 && pwd.nonEmpty =>
+          val oValid = if (r == 5) sha256(pwd, o.slice(32, 40), u.take(48))
+            else hash2B(pwd, o.slice(32, 40), u.take(48))
+          if (java.util.Arrays.equals(oValid.take(32), o.take(32)))
+            return Some(unwrap(if (r == 5) sha256(pwd, o.slice(40, 48), u.take(48))
+              else hash2B(pwd, o.slice(40, 48), u.take(48)), oe))
+        case _ =>
+      }
+      Some(unwrap(hash(u.slice(40, 48), Array.empty[Byte]), ue))
     }
 
     private def sha256(parts: Array[Byte]*): Array[Byte] = {

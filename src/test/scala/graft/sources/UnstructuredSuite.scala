@@ -473,6 +473,73 @@ class UnstructuredSuite extends SparkTestBase {
     PdfText.extract(("%PDF\n/Encrypt << /Filter /Standard /R 6 /U <0011> /UE <22> >>\n" +
       "4 0 obj << /Length 3 >>\nstream\nabc\nendstream").getBytes)
 
+    // OWNER password (Algorithms 3/7): /O wraps the padded USER password
+    // under the owner-derived RC4 key; /U is computed per Algorithm 5 so
+    // both password interpretations can validate. The SAME document must
+    // open with the user password, with the owner password, and not with a
+    // wrong one (wrong -> heuristic fallback, no "vaulted text").
+    {
+      val ownerPwd = "own3r".getBytes(StandardCharsets.UTF_8)
+      val userPwd = "us3r".getBytes(StandardCharsets.UTF_8)
+      val okey = {
+        var k = md5((ownerPwd ++ pad).take(32))
+        for (_ <- 0 until 50) k = md5(k.take(16))
+        k.take(16)
+      }
+      var oEnc = (userPwd ++ pad).take(32)
+      for (i <- 0 to 19) oEnc = PdfText.StandardDecrypt.rc4(okey.map(b => (b ^ i).toByte), oEnc)
+      val fkU = {
+        var key = md5((userPwd ++ pad).take(32), oEnc, pLe, id1)
+        for (_ <- 0 until 50) key = md5(key.take(16))
+        key.take(16)
+      }
+      val uVal = {
+        var e = PdfText.StandardDecrypt.rc4(fkU, md5(pad, id1))
+        for (i <- 1 to 19) e = PdfText.StandardDecrypt.rc4(fkU.map(b => (b ^ i).toByte), e)
+        e.take(16) ++ new Array[Byte](16) // Algorithm 5: 16 validation + 16 arbitrary
+      }
+      val ownerDoc = doc(
+        s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p /O <${hex(oEnc)}> /U <${hex(uVal)}> >>",
+        PdfText.StandardDecrypt.rc4(objKey(fkU, 4, aes = false), cs))
+      assert(PdfText.extract(ownerDoc, password = userPwd).contains("vaulted text"),
+        s"user pwd: ${PdfText.extract(ownerDoc, password = userPwd)}")
+      assert(PdfText.extract(ownerDoc, password = ownerPwd).contains("vaulted text"),
+        s"owner pwd: ${PdfText.extract(ownerDoc, password = ownerPwd)}")
+      assert(!PdfText.extract(ownerDoc, password = "wrong".getBytes).contains("vaulted text"))
+    }
+
+    // OWNER password, AES-256 R6 (Algorithm 2.A): /O's validation hash is
+    // keyed over the 48-byte /U; the owner key salt unwraps /OE into the
+    // file key. /U and /UE are junk, so ONLY the owner path can open it.
+    {
+      val ownerPwd = "r6owner".getBytes(StandardCharsets.UTF_8)
+      val fileKey = Array.tabulate[Byte](32)(i => (i * 11 + 5).toByte)
+      val u48 = Array.fill[Byte](32)(0x22) ++ Array.tabulate[Byte](16)(i => (0x70 + i).toByte)
+      val oValidSalt = Array.tabulate[Byte](8)(i => (0x40 + i).toByte)
+      val oKeySalt = Array.tabulate[Byte](8)(i => (0x48 + i).toByte)
+      val oVal = PdfText.StandardDecrypt.hash2B(ownerPwd, oValidSalt, u48)
+      val o48 = oVal.take(32) ++ oValidSalt ++ oKeySalt
+      val interO = PdfText.StandardDecrypt.hash2B(ownerPwd, oKeySalt, u48)
+      val encO = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      encO.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(interO, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      val oe = encO.doFinal(fileKey)
+      val iv6 = Array.tabulate[Byte](16)(i => (0x60 + i).toByte)
+      val body6 = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      body6.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv6))
+      val r6Doc = doc(
+        s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $p /O <${hex(o48)}> /OE <${hex(oe)}> " +
+          s"/U <${hex(u48)}> /UE <${hex(Array.fill[Byte](32)(0x33))}> " +
+          "/CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF >>",
+        iv6 ++ body6.doFinal(cs))
+      assert(PdfText.extract(r6Doc, password = ownerPwd).contains("vaulted text"),
+        s"R6 owner: ${PdfText.extract(r6Doc, password = ownerPwd)}")
+      assert(!PdfText.extract(r6Doc, password = "nope".getBytes).contains("vaulted text"))
+    }
+
     // unsigned /P serialization (some writers emit the 32-bit two's
     // complement as unsigned, e.g. 4294967252 for -44): must round-trip to
     // the signed permissions word the key derivation needs — a
