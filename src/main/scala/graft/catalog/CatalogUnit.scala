@@ -43,15 +43,34 @@ object CatalogUnit {
     // overrides the TableCatalog adapter class — the standard lever for
     // custom adapters (Nessie wrappers etc.), and what lets conformance
     // tests drive the reflective plumbing against an in-process fake.
-    case SourceType.ICEBERG => new ReflectiveCatalogUnit(ds,
-      ReflectiveCatalogUnit.implClass(ds, "org.apache.iceberg.spark.SparkCatalog"))
-    case SourceType.DELTA => new ReflectiveCatalogUnit(ds,
-      ReflectiveCatalogUnit.implClass(ds, "org.apache.spark.sql.delta.catalog.DeltaCatalog"))
+    // Resolution order: explicit catalog_impl > runtime jar present (full
+    // feature set: writes, deletes, maintenance) > lite native reader
+    // (graft.sources.lake — reads the public table formats directly) > the
+    // reflective unit's clear jar-missing error when neither a path nor a
+    // jar is available.
+    case SourceType.ICEBERG =>
+      val default = "org.apache.iceberg.spark.SparkCatalog"
+      val hasPath = ds.options.contains("warehouse") || ds.options.contains("path")
+      if (hasImpl(ds) || classPresent(default) || !hasPath)
+        new ReflectiveCatalogUnit(ds, ReflectiveCatalogUnit.implClass(ds, default))
+      else new graft.sources.lake.IcebergLiteCatalogUnit(ds)
+    case SourceType.DELTA =>
+      val default = "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+      val hasPath = ds.options.contains("path") || ds.options.contains("warehouse")
+      if (hasImpl(ds) || classPresent(default) || !hasPath)
+        new ReflectiveCatalogUnit(ds, ReflectiveCatalogUnit.implClass(ds, default))
+      else new graft.sources.lake.DeltaLiteCatalogUnit(ds)
     case t => throw new UnsupportedOperationException(
       s"source type $t is registered but has no catalog unit (matches reference behavior " +
         "for REST/XML, execution/command/DataSourceType.scala:26-73; AUDIO is an " +
         "unstructured scan here, beyond the reference's runtime-reject)")
   }
+
+  private def hasImpl(ds: DataSourceSpec): Boolean =
+    ds.options.contains("catalog_impl") || ds.options.contains("catalog-impl")
+
+  private def classPresent(name: String): Boolean =
+    try { Class.forName(name); true } catch { case _: Throwable => false }
 }
 
 /** Parquet/ORC/CSV/JSON/Avro directories. A registered path is a directory of
@@ -87,9 +106,20 @@ final class FileCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       case "csv" => CSVTable(name, spark, opts, paths, schemaOverride, classOf[CSVFileFormat])
       case "json" => JsonTable(name, spark, opts, paths, schemaOverride, classOf[JsonFileFormat])
       case "avro" =>
-        // avro ships as an optional module; reflective like iceberg/delta
-        ReflectiveCatalogUnit.fileTable("org.apache.spark.sql.v2.avro.AvroTable",
+        // the spark-avro optional module when deployed; otherwise the
+        // AvroLite native reader on the avro core jar Spark always ships
+        try ReflectiveCatalogUnit.fileTable("org.apache.spark.sql.v2.avro.AvroTable",
           "org.apache.spark.sql.avro.AvroFileFormat", name, spark, opts, paths, schemaOverride)
+        catch {
+          case _: UnsupportedOperationException =>
+            import graft.sources.lake.AvroLite
+            val conf = spark.sparkContext.hadoopConfiguration
+            val hp = new Path(path)
+            val inferred = AvroLite.toStruct(AvroLite.readAvroSchema(conf,
+              AvroLite.listAvroFiles(conf, hp).headOption.map(_._1).getOrElse(hp)))
+            new graft.sources.DataFrameV1Table(name, schemaOverride.getOrElse(inferred),
+              s => AvroLite.read(s, Seq(hp)))
+        }
       case other => throw new UnsupportedOperationException(s"file format $other")
     }
   }

@@ -163,16 +163,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // AbstractIcebergCatalogUnit.scala:61-66) ----
 
   override def loadTable(ident: Identifier, version: String): Table =
-    timeTravelUnit(ident).loadTableVersion(spark, ident, version)
+    timeTravelUnit(ident) match {
+      case (u: ReflectiveCatalogUnit, _) => u.loadTableVersion(spark, ident, version)
+      case (u: graft.sources.lake.IcebergLiteCatalogUnit, rest) =>
+        u.loadVersion(spark, rest.dropRight(1), ident.name, version)
+      case (u, _) => throw new UnsupportedOperationException(s"time travel: $u")
+    }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table =
-    timeTravelUnit(ident).loadTableTimestamp(spark, ident, timestamp)
+    timeTravelUnit(ident) match {
+      case (u: ReflectiveCatalogUnit, _) => u.loadTableTimestamp(spark, ident, timestamp)
+      case (u: graft.sources.lake.IcebergLiteCatalogUnit, rest) =>
+        // DSv2 hands micros; the lite reader compares snapshot timestamp-ms
+        u.loadTimestamp(spark, rest.dropRight(1), ident.name, Math.floorDiv(timestamp, 1000L))
+      case (u, _) => throw new UnsupportedOperationException(s"time travel: $u")
+    }
 
-  private def timeTravelUnit(ident: Identifier): ReflectiveCatalogUnit = {
+  private def timeTravelUnit(ident: Identifier): (CatalogUnit, Seq[String]) = {
     val ns = ident.namespace.toSeq
     model.findParentDataSource(ns :+ ident.name) match {
-      case Some((ds, _)) if ds.typ == SourceType.ICEBERG =>
-        CatalogUnit(ds).asInstanceOf[ReflectiveCatalogUnit]
+      case Some((ds, rest)) if ds.typ == SourceType.ICEBERG => (CatalogUnit(ds), rest)
       case Some((ds, _)) => throw new UnsupportedOperationException(
         s"time travel is not supported for ${ds.sourceType} datasources (Iceberg only)")
       case None => throw new NoSuchTableException((ns :+ ident.name).toSeq)

@@ -16,6 +16,11 @@ object CatalogQueries {
   private def wh(dir: String): String =
     "/tmp/graft-verify-wh-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Minimal ISO-BMFF file (ftyp + moov(mvhd v0 + trak(tkhd v0))) — the
     * deterministic video fixture for the `unstructured_video_scan` gate.
     * Field offsets per ISO/IEC 14496-12 (mvhd v0 timescale@12 duration@16;
@@ -444,6 +449,167 @@ object CatalogQueries {
       },
       Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n,
         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM customer GROUP BY c_mktsegment ORDER BY segment"""))
+        FROM customer GROUP BY c_mktsegment ORDER BY segment""")),
+
+    // ---- AVRO datasource through the AvroLite native reader (no spark-avro
+    // module in this deployment): nation + derived columns spanning the
+    // whole logical-type matrix (boolean, date, timestamp-micros,
+    // decimal(12,2), double, long) written as one deflate-compressed
+    // container, read back through the graft catalog. Oracle recomputes
+    // every derived column in SQL. ----
+    QuerySpec("src_avro_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fmtDir = new java.io.File(wh(dir), "fmt/avrodir")
+        if (!fmtDir.exists()) {
+          val staging = new java.io.File(wh(dir), s"fmt/avrodir.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          val df = QueryPack.t(s, dir, "nation").select(
+            col("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("long").as("key_long"),
+            (col("n_nationkey") % 2 === 0).as("key_flag"),
+            date_add(to_date(lit("1992-01-01")), col("n_nationkey")).as("key_date"),
+            expr("timestamp'1995-06-17 00:00:00' + make_interval(0,0,0,0,n_nationkey,0,0)")
+              .as("key_ts"),
+            (col("n_nationkey") * 1.5).cast("decimal(12,2)").as("key_dec"),
+            (col("n_nationkey") / 7.0).as("key_ratio"))
+          graft.sources.lake.AvroLite.writeDataFrame(
+            df.orderBy("n_nationkey"), new java.io.File(staging, "nation.avro"))
+          if (!staging.renameTo(fmtDir)) {
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
+          }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE AVRO DATASOURCE avrosrc OPTIONS (path '${fmtDir.getPath}') NAMESPACE graft.datasource.fmt")
+        // decoded logical types surface cast to hash-stable shapes (string /
+        // epoch-ms / double), the same convention as q_date_arith
+        s.sql(
+          """SELECT n_nationkey, n_name, key_long, key_flag,
+            |  CAST(key_date AS STRING) AS key_date,
+            |  unix_millis(key_ts) AS key_ts_ms,
+            |  CAST(key_dec AS DOUBLE) AS key_dec,
+            |  key_ratio
+            |FROM graft.datasource.fmt.avrosrc.nation ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name,
+          CAST(n_regionkey AS BIGINT) AS key_long,
+          n_nationkey % 2 = 0 AS key_flag,
+          CAST(DATE '1992-01-01' + CAST(n_nationkey AS INT) AS VARCHAR) AS key_date,
+          epoch_ms(TIMESTAMP '1995-06-17 00:00:00' + to_hours(CAST(n_nationkey AS BIGINT))) AS key_ts_ms,
+          CAST(CAST(n_nationkey * 1.5 AS DECIMAL(12,2)) AS DOUBLE) AS key_dec,
+          CAST(n_nationkey AS DOUBLE) / 7.0 AS key_ratio
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- DELTA datasource through the DeltaLite native log reader (no
+    // delta-spark jar in this deployment): a two-commit partitioned Delta
+    // table — commit 0 adds one file per region (partition values carried
+    // by the log, NOT by the data files), commit 1 removes region 2's file
+    // and adds a replacement holding only its even keys. The visible state
+    // therefore exists ONLY through correct log replay; the oracle
+    // recomputes it from the source table. ----
+    QuerySpec("src_delta_scan",
+      (s, dir) => {
+        setup(s, dir)
+        import graft.sources.lake.LakeWrite
+        import org.apache.hadoop.fs.Path
+        val lakeDir = new java.io.File(wh(dir), "lake")
+        val tableDir = new java.io.File(lakeDir, "nation_delta")
+        if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_delta.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val nation = QueryPack.t(s, dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+          val dataCols = Seq("n_nationkey", "n_name")
+          val adds0 = (0 to 4).map { rk =>
+            val rel = f"n_regionkey=$rk/part-0000$rk.parquet"
+            val size = LakeWrite.writeOneParquetFile(
+              nation.where(col("n_regionkey") === rk).select(dataCols.map(col): _*),
+              new Path(root, rel))
+            LakeWrite.deltaAdd(rel, size, 1700000000000L, Map("n_regionkey" -> rk.toString))
+          }
+          LakeWrite.deltaCommit(conf, root, 0,
+            Seq(LakeWrite.deltaCommitInfo(1700000000000L), LakeWrite.deltaProtocol(),
+              LakeWrite.deltaMetaData("nation-delta-fixture", nation.schema, Seq("n_regionkey"))) ++ adds0)
+          val rel1 = "n_regionkey=2/part-00010.parquet"
+          val size1 = LakeWrite.writeOneParquetFile(
+            nation.where(col("n_regionkey") === 2 && col("n_nationkey") % 2 === 0)
+              .select(dataCols.map(col): _*),
+            new Path(root, rel1))
+          LakeWrite.deltaCommit(conf, root, 1,
+            Seq(LakeWrite.deltaCommitInfo(1700000100000L),
+              LakeWrite.deltaRemove("n_regionkey=2/part-00002.parquet", 1700000100000L),
+              LakeWrite.deltaAdd(rel1, size1, 1700000100000L, Map("n_regionkey" -> "2"))))
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE deltasrc OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lake.deltasrc.nation_delta ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey <> 2 OR n_nationkey % 2 = 0 ORDER BY n_nationkey""")),
+
+    // ---- ICEBERG datasource through the IcebergLite native metadata
+    // reader (no iceberg runtime jar in this deployment): a two-snapshot v2
+    // table — snapshot 1001 adds files A (keys < 12) and B (keys >= 12);
+    // snapshot 1002 (current) carries a manifest marking B DELETED, A
+    // EXISTING, and a new file C (keys >= 12, even only) ADDED. The visible
+    // state exists ONLY through correct manifest-status handling. ----
+    QuerySpec("src_iceberg_scan",
+      (s, dir) => {
+        setup(s, dir)
+        import graft.sources.lake.LakeWrite
+        import graft.sources.lake.LakeWrite.{IcebergSnapshot, ManifestEntry}
+        import org.apache.hadoop.fs.Path
+        val lakeDir = new java.io.File(wh(dir), "lake")
+        val tableDir = new java.io.File(lakeDir, "nation_ice")
+        if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_ice.tmp${System.nanoTime()}")
+          new java.io.File(staging, "metadata").mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val nation = QueryPack.t(s, dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+          def dataFile(rel: String, cond: org.apache.spark.sql.Column): (String, Long, Long) = {
+            val d = nation.where(cond)
+            val n = d.count()
+            val size = LakeWrite.writeOneParquetFile(d, new Path(root, rel))
+            (rel, size, n)
+          }
+          val a = dataFile("data/a.parquet", col("n_nationkey") < 12)
+          val b = dataFile("data/b.parquet", col("n_nationkey") >= 12)
+          val c = dataFile("data/c.parquet", col("n_nationkey") >= 12 && col("n_nationkey") % 2 === 0)
+          val m1 = new java.io.File(staging, "metadata/m1.avro")
+          val m1len = LakeWrite.icebergWriteManifest(m1, Seq(
+            ManifestEntry(1, a._1, a._3, a._2, 1001L),
+            ManifestEntry(1, b._1, b._3, b._2, 1001L)))
+          LakeWrite.icebergWriteManifestList(new java.io.File(staging, "metadata/ml1.avro"),
+            Seq("metadata/m1.avro" -> m1len), 1001L, 1L)
+          val m2 = new java.io.File(staging, "metadata/m2.avro")
+          val m2len = LakeWrite.icebergWriteManifest(m2, Seq(
+            ManifestEntry(0, a._1, a._3, a._2, 1001L),
+            ManifestEntry(2, b._1, b._3, b._2, 1002L),
+            ManifestEntry(1, c._1, c._3, c._2, 1002L)))
+          LakeWrite.icebergWriteManifestList(new java.io.File(staging, "metadata/ml2.avro"),
+            Seq("metadata/m2.avro" -> m2len), 1002L, 2L)
+          LakeWrite.icebergWriteMetadata(conf, root, 2, nation.schema,
+            Seq(IcebergSnapshot(1001L, 1700000000000L, "metadata/ml1.avro", 1L),
+              IcebergSnapshot(1002L, 1700000100000L, "metadata/ml2.avro", 2L)),
+            currentSnapshotId = 1002L,
+            refs = Map("main" -> (1002L, "branch"), "before" -> (1001L, "tag")))
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE icesrc OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lake.icesrc.nation_ice ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_nationkey < 12 OR n_nationkey % 2 = 0 ORDER BY n_nationkey"""))
   )
 }

@@ -1,0 +1,115 @@
+package graft.sources.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.CatalogUnit
+import graft.model.DataSourceSpec
+import graft.sources.DataFrameV1Table
+
+/** Catalog units backed by the lite lake readers — chosen by
+  * [[graft.catalog.CatalogUnit.apply]] when no `catalog_impl` override is
+  * registered and the real runtime jar is absent, so a minimal deployment
+  * reads Delta/Iceberg tables natively while a jar-equipped one still gets
+  * the full runtime (writes, deletes, maintenance).
+  */
+
+/** `path` option = a directory of Delta tables (`<path>/<t>/_delta_log`),
+  * or itself a single Delta table addressed by the datasource name.
+  */
+final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
+  private val basePath = ds.options.getOrElse("path", ds.options.getOrElse("warehouse",
+    throw new IllegalArgumentException(s"DELTA datasource ${ds.name} needs a path option")))
+
+  private def dirFor(spark: SparkSession, rest: Seq[String], name: String): Path = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val nested = new Path((Seq(basePath) ++ rest :+ name).mkString("/"))
+    val candidates = Seq(nested) ++ (if (name == ds.name && rest.isEmpty) Seq(new Path(basePath)) else Nil)
+    candidates.find(DeltaLite.isDeltaTable(conf, _)).getOrElse(
+      throw new NoSuchTableException((ds.namespace ++ rest :+ name).toSeq))
+  }
+
+  override def loadTable(spark: SparkSession, rest: Seq[String], name: String,
+      schemaOverride: Option[StructType]): Table = {
+    val dir = dirFor(spark, rest, name)
+    val snap = DeltaLite.snapshot(spark, dir)
+    new DataFrameV1Table(name, schemaOverride.getOrElse(snap.schema),
+      s => DeltaLite.read(s, dir))
+  }
+
+  /** Programmatic time travel (SQL `VERSION AS OF` stays Iceberg-only for
+    * reference parity; see GraftCatalog.timeTravelUnit).
+    */
+  def loadVersion(spark: SparkSession, rest: Seq[String], name: String, version: Long): Table = {
+    val dir = dirFor(spark, rest, name)
+    val snap = DeltaLite.snapshot(spark, dir, version = Some(version))
+    new DataFrameV1Table(s"$name@v$version", snap.schema,
+      s => DeltaLite.read(s, dir, version = Some(version)))
+  }
+
+  def loadTimestamp(spark: SparkSession, rest: Seq[String], name: String, tsMillis: Long): Table = {
+    val dir = dirFor(spark, rest, name)
+    val snap = DeltaLite.snapshot(spark, dir, timestampMs = Some(tsMillis))
+    new DataFrameV1Table(s"$name@ts$tsMillis", snap.schema,
+      s => DeltaLite.read(s, dir, timestampMs = Some(tsMillis)))
+  }
+
+  override def listTables(spark: SparkSession, rest: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path((Seq(basePath) ++ rest).mkString("/"))
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(DeltaLite.isDeltaTable(conf, _)).map(_.getName).sorted
+  }
+}
+
+/** `warehouse` (or `path`) option = a hadoop-style warehouse of Iceberg
+  * tables: `<warehouse>/<ns...>/<t>/metadata/vN.metadata.json`.
+  */
+final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
+  private val warehouse = ds.options.getOrElse("warehouse", ds.options.getOrElse("path",
+    throw new IllegalArgumentException(s"ICEBERG datasource ${ds.name} needs a warehouse option")))
+
+  private def dirFor(spark: SparkSession, rest: Seq[String], name: String): Path = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val nested = new Path((Seq(warehouse) ++ rest :+ name).mkString("/"))
+    val candidates = Seq(nested) ++ (if (name == ds.name && rest.isEmpty) Seq(new Path(warehouse)) else Nil)
+    candidates.find(IcebergLite.isIcebergTable(conf, _)).getOrElse(
+      throw new NoSuchTableException((ds.namespace ++ rest :+ name).toSeq))
+  }
+
+  override def loadTable(spark: SparkSession, rest: Seq[String], name: String,
+      schemaOverride: Option[StructType]): Table = {
+    val dir = dirFor(spark, rest, name)
+    val snap = IcebergLite.snapshot(spark, dir)
+    new DataFrameV1Table(name, schemaOverride.getOrElse(snap.schema),
+      s => IcebergLite.read(s, dir))
+  }
+
+  def loadVersion(spark: SparkSession, rest: Seq[String], name: String, version: String): Table = {
+    val dir = dirFor(spark, rest, name)
+    val snap = IcebergLite.snapshot(spark, dir, version = Some(version))
+    new DataFrameV1Table(s"$name@$version", snap.schema,
+      s => IcebergLite.read(s, dir, version = Some(version)))
+  }
+
+  def loadTimestamp(spark: SparkSession, rest: Seq[String], name: String, tsMillis: Long): Table = {
+    val dir = dirFor(spark, rest, name)
+    val snap = IcebergLite.snapshot(spark, dir, timestampMs = Some(tsMillis))
+    new DataFrameV1Table(s"$name@ts$tsMillis", snap.schema,
+      s => IcebergLite.read(s, dir, timestampMs = Some(tsMillis)))
+  }
+
+  override def listTables(spark: SparkSession, rest: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path((Seq(warehouse) ++ rest).mkString("/"))
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(IcebergLite.isIcebergTable(conf, _)).map(_.getName).sorted
+  }
+}

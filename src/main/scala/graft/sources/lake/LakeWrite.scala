@@ -1,0 +1,250 @@
+package graft.sources.lake
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.GenericData
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Minimal, spec-conformant *writers* for the two lake formats — enough to
+  * materialize real on-disk tables (data + transaction metadata) for the
+  * correctness gates, round-trip suites, and small exports. Production
+  * write paths (optimistic concurrency, compaction, deletes) remain the
+  * runtime jars' job; these writers emit exactly the subset of the public
+  * specs that [[DeltaLite]]/[[IcebergLite]] read back, and are deliberately
+  * structured so the reader is NOT being tested against its own code: what
+  * goes on disk is the published JSON/Avro layout, byte-comparable against
+  * the spec examples.
+  */
+object LakeWrite {
+
+  /** Write `df` (collapsed to one partition) as exactly one parquet file at
+    * `target`, returning its size in bytes. Fixture-scale helper.
+    */
+  def writeOneParquetFile(df: DataFrame, target: Path): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(target.getParent, s".tmp-${target.getName}-${System.nanoTime()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.mkdirs(target.getParent)
+    require(fs.rename(part, target), s"rename $part -> $target failed")
+    fs.delete(tmp, true)
+    fs.getFileStatus(target).getLen
+  }
+
+  // ---- Delta log actions (public Delta protocol JSON) ----
+
+  def deltaProtocol(minReader: Int = 1, minWriter: Int = 2): String =
+    JsonMethods.compact(JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(minReader), "minWriterVersion" -> JInt(minWriter))))
+
+  def deltaMetaData(id: String, schema: StructType, partitionColumns: Seq[String]): String =
+    JsonMethods.compact(JObject("metaData" -> JObject(
+      "id" -> JString(id),
+      "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(schema.json),
+      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
+      "configuration" -> JObject(),
+      "createdTime" -> JInt(0))))
+
+  def deltaAdd(relPath: String, size: Long, modificationTime: Long,
+      partitionValues: Map[String, String]): String =
+    JsonMethods.compact(JObject("add" -> JObject(
+      "path" -> JString(relPath),
+      "partitionValues" -> JObject(partitionValues.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "size" -> JInt(size),
+      "modificationTime" -> JInt(modificationTime),
+      "dataChange" -> JBool(true))))
+
+  def deltaRemove(relPath: String, deletionTimestamp: Long): String =
+    JsonMethods.compact(JObject("remove" -> JObject(
+      "path" -> JString(relPath),
+      "deletionTimestamp" -> JInt(deletionTimestamp),
+      "dataChange" -> JBool(true))))
+
+  def deltaCommitInfo(timestamp: Long): String =
+    JsonMethods.compact(JObject("commitInfo" -> JObject("timestamp" -> JInt(timestamp))))
+
+  /** Write one commit file `_delta_log/%020d.json`. */
+  def deltaCommit(conf: Configuration, tableDir: Path, version: Long, actions: Seq[String]): Path = {
+    val log = new Path(tableDir, "_delta_log")
+    val fs = log.getFileSystem(conf)
+    fs.mkdirs(log)
+    val file = new Path(log, f"$version%020d.json")
+    val out = fs.create(file, true)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    file
+  }
+
+  // ---- Iceberg metadata (public Iceberg spec: JSON + Avro manifests) ----
+
+  /** v2 manifest entry schema — the spec's field names and ids for the
+    * subset the reader consumes (partition struct kept empty: fixtures are
+    * unpartitioned; data files carry all columns regardless).
+    */
+  val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin.replaceAll("\n", ""))
+
+  /** v2 manifest-list entry schema (subset; same spec field ids). */
+  val ManifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin.replaceAll("\n", ""))
+
+  /** One manifest entry: status 0=EXISTING 1=ADDED 2=DELETED. */
+  final case class ManifestEntry(status: Int, filePath: String, recordCount: Long,
+      fileSizeInBytes: Long, snapshotId: Long)
+
+  def icebergWriteManifest(file: java.io.File, entries: Seq[ManifestEntry]): Long = {
+    val records = entries.iterator.map { e =>
+      val df = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", e.filePath)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema().getField("partition").schema()))
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", e.fileSizeInBytes)
+      val r = new GenericData.Record(ManifestEntrySchema)
+      r.put("status", e.status)
+      r.put("snapshot_id", e.snapshotId)
+      r.put("sequence_number", null)
+      r.put("file_sequence_number", null)
+      r.put("data_file", df)
+      r: org.apache.avro.generic.GenericRecord
+    }
+    AvroLite.writeFile(file, ManifestEntrySchema, records,
+      meta = Map("content" -> "data".getBytes("UTF-8")))
+    file.length()
+  }
+
+  def icebergWriteManifestList(file: java.io.File,
+      manifests: Seq[(String, Long)], snapshotId: Long, sequenceNumber: Long): Unit = {
+    val records = manifests.iterator.map { case (path, length) =>
+      val r = new GenericData.Record(ManifestFileSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", length)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0) // data manifests only
+      r.put("sequence_number", sequenceNumber)
+      r.put("min_sequence_number", sequenceNumber)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", 0)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 0L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r: org.apache.avro.generic.GenericRecord
+    }
+    AvroLite.writeFile(file, ManifestFileSchema, records)
+  }
+
+  /** Spark StructType -> Iceberg schema JSON (identity field ids 1..n,
+    * fixture subset: flat primitive columns).
+    */
+  def icebergSchemaJson(schema: StructType): JObject = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      val t: JValue = f.dataType match {
+        case org.apache.spark.sql.types.IntegerType => JString("int")
+        case org.apache.spark.sql.types.LongType => JString("long")
+        case org.apache.spark.sql.types.FloatType => JString("float")
+        case org.apache.spark.sql.types.DoubleType => JString("double")
+        case org.apache.spark.sql.types.BooleanType => JString("boolean")
+        case org.apache.spark.sql.types.StringType => JString("string")
+        case org.apache.spark.sql.types.DateType => JString("date")
+        case org.apache.spark.sql.types.TimestampType => JString("timestamptz")
+        case org.apache.spark.sql.types.TimestampNTZType => JString("timestamp")
+        case org.apache.spark.sql.types.BinaryType => JString("binary")
+        case d: org.apache.spark.sql.types.DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
+        case other => throw new UnsupportedOperationException(s"fixture type $other")
+      }
+      JObject("id" -> JInt(i + 1), "name" -> JString(f.name),
+        "required" -> JBool(!f.nullable), "type" -> t)
+    }
+    JObject("type" -> JString("struct"), "schema-id" -> JInt(0),
+      "fields" -> JArray(fields.toList))
+  }
+
+  final case class IcebergSnapshot(id: Long, timestampMs: Long, manifestListPath: String,
+      sequenceNumber: Long)
+
+  /** Write vN.metadata.json + version-hint.text for a hadoop-style table. */
+  def icebergWriteMetadata(conf: Configuration, tableDir: Path, version: Int,
+      schema: StructType, snapshots: Seq[IcebergSnapshot], currentSnapshotId: Long,
+      refs: Map[String, (Long, String)] = Map.empty): Path = {
+    val metaDir = new Path(tableDir, "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    fs.mkdirs(metaDir)
+    val json = JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(new java.util.UUID(tableDir.hashCode.toLong, 42L).toString),
+      "location" -> JString(tableDir.toString),
+      "last-sequence-number" -> JInt(BigInt(snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L))),
+      "last-updated-ms" -> JInt(BigInt(snapshots.map(_.timestampMs).maxOption.getOrElse(0L))),
+      "last-column-id" -> JInt(schema.fields.length),
+      "schemas" -> JArray(List(icebergSchemaJson(schema))),
+      "current-schema-id" -> JInt(0),
+      "partition-specs" -> JArray(List(JObject(
+        "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "default-spec-id" -> JInt(0),
+      "last-partition-id" -> JInt(999),
+      "sort-orders" -> JArray(List(JObject(
+        "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "default-sort-order-id" -> JInt(0),
+      "properties" -> JObject(),
+      "current-snapshot-id" -> JInt(BigInt(currentSnapshotId)),
+      "snapshots" -> JArray(snapshots.map(s => JObject(
+        "snapshot-id" -> JInt(BigInt(s.id)),
+        "sequence-number" -> JInt(BigInt(s.sequenceNumber)),
+        "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
+        "manifest-list" -> JString(s.manifestListPath),
+        "summary" -> JObject("operation" -> JString("append")),
+        "schema-id" -> JInt(0)) : JValue).toList),
+      "snapshot-log" -> JArray(snapshots.map(s => JObject(
+        "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
+        "snapshot-id" -> JInt(BigInt(s.id))) : JValue).toList),
+      "metadata-log" -> JArray(Nil),
+      "refs" -> JObject(refs.toList.map { case (n, (id, typ)) =>
+        n -> (JObject("snapshot-id" -> JInt(BigInt(id)), "type" -> JString(typ)): JValue)
+      }))
+    val file = new Path(metaDir, s"v$version.metadata.json")
+    val out = fs.create(file, true)
+    try out.write(JsonMethods.pretty(JsonMethods.render(json)).getBytes("UTF-8")) finally out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    file
+  }
+}

@@ -1,0 +1,347 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.sources.lake._
+import graft.sources.lake.LakeWrite.{IcebergSnapshot, ManifestEntry}
+
+import java.nio.file.Files
+
+/** The lake-lite sources: AvroLite container IO (core avro jar, no
+  * spark-avro), DeltaLite log replay, IcebergLite metadata walk — plus the
+  * scale contracts: sync-marker split reading, metadata-level partition
+  * pruning through [[org.apache.spark.sql.GraftLakeBridge.LakeFileIndex]],
+  * and the documented rejection surfaces for unsupported protocol features.
+  */
+class LakeSuite extends SparkTestBase {
+
+  private def tmpDir(prefix: String): java.io.File =
+    Files.createTempDirectory(prefix).toFile
+
+  // ---- AvroLite ----
+
+  test("avro round-trip covers the full type matrix including nulls") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("s", StringType), StructField("b", BooleanType),
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("dt", DateType), StructField("ts", TimestampType),
+      StructField("dec", DecimalType(10, 3)), StructField("bin", BinaryType),
+      StructField("arr", ArrayType(IntegerType)),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("st", StructType(Seq(StructField("x", IntegerType), StructField("y", StringType))))))
+    val rows = Seq(
+      Row(1, 2L, "one", true, 1.5f, 2.5, java.sql.Date.valueOf("2021-03-04"),
+        java.sql.Timestamp.valueOf("2021-03-04 05:06:07.123456"),
+        new java.math.BigDecimal("12345.678"), Array[Byte](1, 2, 3),
+        Seq(1, 2, 3), Map("a" -> 1L, "b" -> 2L), Row(7, "seven")),
+      Row(null, null, null, null, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val dir = tmpDir("avro-rt")
+    AvroLite.writeDataFrame(df, new java.io.File(dir, "t.avro"))
+    val back = AvroLite.read(spark, Seq(new Path(dir.toString)))
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.toJSON.collect().sorted.toSeq == df.toJSON.collect().sorted.toSeq)
+  }
+
+  test("avro split reading: many sync blocks, small maxPartitionBytes, same rows") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i, s"name-$i" * 8)).toDF("id", "name")
+    val dir = tmpDir("avro-split")
+    // tiny sync interval -> many blocks -> many split points
+    AvroLite.writeDataFrame(df, new java.io.File(dir, "t.avro"), codec = "null",
+      syncInterval = 2048)
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try {
+      val back = AvroLite.read(spark, Seq(new Path(dir.toString)))
+      assert(back.rdd.getNumPartitions > 4, "expected multiple sync-aligned splits")
+      assert(back.count() == 5000)
+      assert(back.agg(sum("id")).head.getLong(0) == (0 until 5000).map(_.toLong).sum)
+      // no duplicated and no lost rows across split boundaries
+      assert(back.select("id").distinct().count() == 5000)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
+  test("avro complex unions are rejected with a clear error") {
+    val union = org.apache.avro.Schema.createUnion(
+      org.apache.avro.Schema.create(org.apache.avro.Schema.Type.INT),
+      org.apache.avro.Schema.create(org.apache.avro.Schema.Type.STRING))
+    val e = intercept[UnsupportedOperationException] { AvroLite.toSparkType(union) }
+    assert(e.getMessage.contains("union"))
+  }
+
+  // ---- DeltaLite ----
+
+  /** id,long + p,int (partition) + name,string; v0 = 3 partition files,
+    * v1 = p=1 file replaced by one holding only even ids.
+    */
+  private def buildDeltaFixture(dir: java.io.File): StructType = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir.toString)
+    val full = (0 until 30).map(i => (i.toLong, i % 3, s"row-$i")).toDF("id", "p", "name")
+    val schema = full.schema
+    val adds0 = (0 until 3).map { p =>
+      val rel = s"p=$p/part-0000$p.parquet"
+      val size = LakeWrite.writeOneParquetFile(
+        full.where($"p" === p).select("id", "name"), new Path(root, rel))
+      LakeWrite.deltaAdd(rel, size, 1700000000000L, Map("p" -> p.toString))
+    }
+    LakeWrite.deltaCommit(conf, root, 0,
+      Seq(LakeWrite.deltaCommitInfo(1700000000000L), LakeWrite.deltaProtocol(),
+        LakeWrite.deltaMetaData("delta-suite-fixture", schema, Seq("p"))) ++ adds0)
+    val rel1 = "p=1/part-00010.parquet"
+    val size1 = LakeWrite.writeOneParquetFile(
+      full.where($"p" === 1 && $"id" % 2 === 0).select("id", "name"), new Path(root, rel1))
+    LakeWrite.deltaCommit(conf, root, 1,
+      Seq(LakeWrite.deltaCommitInfo(1700000100000L),
+        LakeWrite.deltaRemove("p=1/part-00001.parquet", 1700000100000L),
+        LakeWrite.deltaAdd(rel1, size1, 1700000100000L, Map("p" -> "1"))))
+    schema
+  }
+
+  test("delta log replay: current state, version travel, timestamp travel") {
+    val dir = tmpDir("delta-replay")
+    buildDeltaFixture(dir)
+    val root = new Path(dir.toString)
+
+    val cur = DeltaLite.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "p", "name"))
+    val curIds = cur.select("id").collect().map(_.getLong(0)).sorted
+    val expect = (0 until 30).filter(i => i % 3 != 1 || i % 2 == 0).map(_.toLong)
+    assert(curIds.toSeq == expect)
+
+    val v0 = DeltaLite.read(spark, root, version = Some(0L))
+    assert(v0.count() == 30)
+    // timestamp between the two commits resolves to v0
+    val byTs = DeltaLite.read(spark, root, timestampMs = Some(1700000050000L))
+    assert(byTs.count() == 30)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, root, timestampMs = Some(1600000000000L))
+    }
+    assert(e.getMessage.contains("no Delta commit"))
+    // partition column values reconstructed from the log, not the files
+    assert(cur.where(col("p") === 2).count() == 10)
+  }
+
+  test("delta partition pruning prunes at the metadata level (numFiles metric)") {
+    val dir = tmpDir("delta-prune")
+    buildDeltaFixture(dir)
+    val df = DeltaLite.read(spark, new Path(dir.toString)).where(col("p") === 2)
+    // collect() drives df's OWN query execution so the scan metrics populate
+    assert(df.collect().length == 10)
+    val scans = df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numFiles").value == 1,
+      s"partition filter should prune 4 of 5 live files, got ${scans.head.metrics("numFiles").value}")
+    val all = DeltaLite.read(spark, new Path(dir.toString))
+    all.count()
+  }
+
+  test("delta checkpoint parquet is used as the replay base") {
+    val dir = tmpDir("delta-cp")
+    buildDeltaFixture(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir.toString)
+    // materialize state-at-v1 as a checkpoint file (single-file layout, like
+    // delta's own writer), then drop the JSON commits it supersedes
+    val snap = DeltaLite.snapshot(spark, root)
+    val lines = Seq(LakeWrite.deltaProtocol(),
+      LakeWrite.deltaMetaData("delta-suite-fixture", snap.schema, snap.partitionColumns)) ++
+      snap.files.map { f =>
+        val rel = f.path.stripPrefix(root.toString).stripPrefix("/")
+        val pv = snap.partitionColumns.zip(f.partitionValues.map(String.valueOf)).toMap
+        LakeWrite.deltaAdd(rel, f.size, f.modificationTime, pv)
+      }
+    import spark.implicits._
+    val cpDf = spark.read.json(spark.createDataset(lines))
+    val fs = root.getFileSystem(conf)
+    LakeWrite.writeOneParquetFile(cpDf,
+      new Path(root, "_delta_log/00000000000000000001.checkpoint.parquet"))
+    fs.delete(new Path(root, "_delta_log/00000000000000000000.json"), false)
+    fs.delete(new Path(root, "_delta_log/00000000000000000001.json"), false)
+
+    val cur = DeltaLite.read(spark, root)
+    val expect = (0 until 30).filter(i => i % 3 != 1 || i % 2 == 0).map(_.toLong)
+    assert(cur.select("id").collect().map(_.getLong(0)).sorted.toSeq == expect)
+    assert(DeltaLite.snapshot(spark, root).version == 1L)
+  }
+
+  test("delta unsupported features reject clearly") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    // deletion vector on an add action
+    val dir1 = new Path(tmpDir("delta-dv").toString)
+    LakeWrite.writeOneParquetFile(Seq((1L, "x")).toDF("id", "name"), new Path(dir1, "f.parquet"))
+    LakeWrite.deltaCommit(conf, dir1, 0, Seq(
+      LakeWrite.deltaProtocol(3, 7),
+      LakeWrite.deltaMetaData("t", StructType(Seq(StructField("id", LongType), StructField("name", StringType))), Nil),
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":10,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":10,"cardinality":1}}}"""))
+    val e1 = intercept[Exception] { DeltaLite.snapshot(spark, dir1) }
+    assert(e1.getMessage.contains("deletionVector") || e1.getMessage.contains("reader features"))
+
+    // unsupported reader feature list
+    val dir2 = new Path(tmpDir("delta-rf").toString)
+    LakeWrite.deltaCommit(conf, dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      LakeWrite.deltaMetaData("t", StructType(Seq(StructField("id", LongType))), Nil)))
+    val e2 = intercept[IllegalArgumentException] { DeltaLite.snapshot(spark, dir2) }
+    assert(e2.getMessage.contains("deletionVectors"))
+
+    // column mapping configured
+    val dir3 = new Path(tmpDir("delta-cm").toString)
+    val cmMeta = LakeWrite.deltaMetaData("t",
+      StructType(Seq(StructField("id", LongType))), Nil)
+      .replace("\"configuration\":{}", "\"configuration\":{\"delta.columnMapping.mode\":\"name\"}")
+    LakeWrite.deltaCommit(conf, dir3, 0, Seq(LakeWrite.deltaProtocol(2, 5), cmMeta))
+    val e3 = intercept[IllegalArgumentException] { DeltaLite.snapshot(spark, dir3) }
+    assert(e3.getMessage.contains("column mapping"))
+
+    // timestampNtz alone is fine
+    val dir4 = new Path(tmpDir("delta-ntz").toString)
+    LakeWrite.writeOneParquetFile(Seq((1L, "x")).toDF("id", "name"), new Path(dir4, "f.parquet"))
+    val st = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    LakeWrite.deltaCommit(conf, dir4, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      LakeWrite.deltaMetaData("t", st, Nil),
+      LakeWrite.deltaAdd("f.parquet",
+        new java.io.File(dir4.toString, "f.parquet").length(), 0L, Map.empty)))
+    assert(DeltaLite.read(spark, dir4).count() == 1)
+  }
+
+  // ---- IcebergLite ----
+
+  /** Two-snapshot v2 table: 1001 adds A(id<10) + B(id>=10); 1002 keeps A,
+    * deletes B, adds C(id>=10 even). Tag `before` -> 1001.
+    */
+  private def buildIcebergFixture(dir: java.io.File): Unit = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir.toString)
+    new java.io.File(dir, "metadata").mkdirs()
+    val full = (0 until 20).map(i => (i.toLong, s"row-$i")).toDF("id", "name")
+    def dataFile(rel: String, cond: org.apache.spark.sql.Column): (String, Long, Long) = {
+      val d = full.where(cond)
+      (rel, LakeWrite.writeOneParquetFile(d, new Path(root, rel)), d.count())
+    }
+    val a = dataFile("data/a.parquet", $"id" < 10)
+    val b = dataFile("data/b.parquet", $"id" >= 10)
+    val c = dataFile("data/c.parquet", $"id" >= 10 && $"id" % 2 === 0)
+    val m1len = LakeWrite.icebergWriteManifest(new java.io.File(dir, "metadata/m1.avro"),
+      Seq(ManifestEntry(1, a._1, a._3, a._2, 1001L), ManifestEntry(1, b._1, b._3, b._2, 1001L)))
+    LakeWrite.icebergWriteManifestList(new java.io.File(dir, "metadata/ml1.avro"),
+      Seq("metadata/m1.avro" -> m1len), 1001L, 1L)
+    val m2len = LakeWrite.icebergWriteManifest(new java.io.File(dir, "metadata/m2.avro"),
+      Seq(ManifestEntry(0, a._1, a._3, a._2, 1001L), ManifestEntry(2, b._1, b._3, b._2, 1002L),
+        ManifestEntry(1, c._1, c._3, c._2, 1002L)))
+    LakeWrite.icebergWriteManifestList(new java.io.File(dir, "metadata/ml2.avro"),
+      Seq("metadata/m2.avro" -> m2len), 1002L, 2L)
+    LakeWrite.icebergWriteMetadata(conf, root, 2, full.schema,
+      Seq(IcebergSnapshot(1001L, 1700000000000L, "metadata/ml1.avro", 1L),
+        IcebergSnapshot(1002L, 1700000100000L, "metadata/ml2.avro", 2L)),
+      currentSnapshotId = 1002L,
+      refs = Map("main" -> (1002L, "branch"), "before" -> (1001L, "tag")))
+  }
+
+  test("iceberg snapshot walk: manifest statuses, snapshot/tag/timestamp travel") {
+    val dir = tmpDir("ice-walk")
+    buildIcebergFixture(dir)
+    val root = new Path(dir.toString)
+
+    val cur = IcebergLite.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "name"))
+    val curIds = cur.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(curIds == (0L until 10L) ++ (10 until 20).filter(_ % 2 == 0).map(_.toLong))
+
+    assert(IcebergLite.read(spark, root, version = Some("1001")).count() == 20)
+    assert(IcebergLite.read(spark, root, version = Some("before")).count() == 20)
+    assert(IcebergLite.read(spark, root, timestampMs = Some(1700000050000L)).count() == 20)
+    val e = intercept[Exception] {
+      IcebergLite.snapshot(spark, root, timestampMs = Some(1600000000000L))
+    }
+    assert(e.getMessage.contains("no Iceberg snapshot"))
+  }
+
+  test("iceberg delete manifests and delete files reject clearly") {
+    val dir = tmpDir("ice-del")
+    buildIcebergFixture(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir.toString)
+    // a manifest-list entry with content=1 (delete manifest)
+    val records = {
+      val r = new org.apache.avro.generic.GenericData.Record(LakeWrite.ManifestFileSchema)
+      r.put("manifest_path", "metadata/m2.avro"); r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0); r.put("content", 1)
+      r.put("sequence_number", 3L); r.put("min_sequence_number", 3L)
+      r.put("added_snapshot_id", 1003L)
+      r.put("added_files_count", 0); r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0); r.put("added_rows_count", 0L)
+      r.put("existing_rows_count", 0L); r.put("deleted_rows_count", 0L)
+      Iterator(r: org.apache.avro.generic.GenericRecord)
+    }
+    AvroLite.writeFile(new java.io.File(dir, "metadata/ml3.avro"),
+      LakeWrite.ManifestFileSchema, records)
+    LakeWrite.icebergWriteMetadata(conf, root, 3,
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))),
+      Seq(IcebergSnapshot(1003L, 1700000200000L, "metadata/ml3.avro", 3L)),
+      currentSnapshotId = 1003L)
+    val e = intercept[IllegalArgumentException] { IcebergLite.snapshot(spark, root) }
+    assert(e.getMessage.contains("delete manifests"))
+  }
+
+  // ---- catalog + SQL integration (lite units route when jars are absent) ----
+
+  test("delta and iceberg lite tables read through the graft catalog SQL surface") {
+    val lakeRoot = tmpDir("lake-cat")
+    val deltaDir = new java.io.File(lakeRoot, "events_d"); deltaDir.mkdirs()
+    buildDeltaFixture(deltaDir)
+    val iceDir = new java.io.File(lakeRoot, "events_i"); iceDir.mkdirs()
+    buildIcebergFixture(iceDir)
+
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE dlake OPTIONS (path '$lakeRoot') " +
+      "NAMESPACE graft.datasource.lakelite")
+    spark.sql(s"REGISTER OR REPLACE ICEBERG DATASOURCE ilake OPTIONS (warehouse '$lakeRoot') " +
+      "NAMESPACE graft.datasource.lakelite")
+    try {
+      val d = spark.sql(
+        "SELECT COUNT(*) FROM graft.datasource.lakelite.dlake.events_d WHERE p = 2").head.getLong(0)
+      assert(d == 10)
+      val i = spark.sql(
+        "SELECT COUNT(*) FROM graft.datasource.lakelite.ilake.events_i").head.getLong(0)
+      assert(i == 15)
+      // SQL time travel (Iceberg-only routing, reference parity)
+      val v = spark.sql(
+        "SELECT COUNT(*) FROM graft.datasource.lakelite.ilake.events_i VERSION AS OF '1001'")
+        .head.getLong(0)
+      assert(v == 20)
+      val tag = spark.sql(
+        "SELECT COUNT(*) FROM graft.datasource.lakelite.ilake.events_i VERSION AS OF 'before'")
+        .head.getLong(0)
+      assert(tag == 20)
+      val ts = spark.sql(
+        "SELECT COUNT(*) FROM graft.datasource.lakelite.ilake.events_i " +
+          "TIMESTAMP AS OF '2023-11-14 22:14:10'") // between the two snapshots
+        .head.getLong(0)
+      assert(ts == 20)
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM graft.datasource.lakelite.dlake.events_d VERSION AS OF '0'").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("time travel"))
+      // listTables surfaces both
+      val d2 = spark.sql("SHOW TABLES IN graft.datasource.lakelite.dlake")
+        .select("tableName").collect().map(_.getString(0)).toSet
+      assert(d2.contains("events_d"))
+    } finally spark.sql("DROP NAMESPACE IF EXISTS graft.datasource.lakelite CASCADE")
+  }
+}
