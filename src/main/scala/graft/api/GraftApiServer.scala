@@ -29,18 +29,27 @@ import scala.jdk.CollectionConverters._
 class GraftApiServer(spark: SparkSession, port: Int = 8855) {
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/api/q", new QueryHandler)
     server.createContext("/api/qdq", new DqRecordHandler(limited = true))
     server.createContext("/api/edq", new DqRecordHandler(limited = false))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  /** Stops the listener AND the worker pool — the pool threads are
+    * non-daemon, so leaving them running blocks JVM exit for any embedding
+    * process that calls stop() and then returns from main.
+    */
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   /** CORS headers on every response, matching the reference's filter
     * (catalog/api/CORSFilter.scala:28-37) so a browser GUI can front the API.

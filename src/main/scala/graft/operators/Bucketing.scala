@@ -33,9 +33,17 @@ object Bucketing {
     * ingest `(band, bucket)`) must bucket by the full key list.
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int,
-      sorted: Boolean, mode: SaveMode): Unit = {
+      sorted: Boolean, mode: SaveMode): Unit =
+    writeBucketed(df, table, keys, buckets, sorted, mode, path = None)
+
+  /** `path` makes the table external — bucketed data lands at an explicit
+    * location instead of the session warehouse dir.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int,
+      sorted: Boolean, mode: SaveMode, path: Option[String]): Unit = {
     require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
-    val w = df.write.mode(mode).bucketBy(buckets, keys.head, keys.tail: _*)
+    val base = path.foldLeft(df.write.mode(mode))((w, p) => w.option("path", p))
+    val w = base.bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sorted) w.sortBy(keys.head, keys.tail: _*) else w).saveAsTable(table)
   }
 

@@ -610,6 +610,80 @@ object CatalogQueries {
             |FROM graft.datasource.lake.icesrc.nation_ice ORDER BY n_nationkey""".stripMargin)
       },
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
-        WHERE n_nationkey < 12 OR n_nationkey % 2 = 0 ORDER BY n_nationkey"""))
+        WHERE n_nationkey < 12 OR n_nationkey % 2 = 0 ORDER BY n_nationkey""")),
+
+    // ---- LIST DQ: the full constraint+rule inventory of the setup USL,
+    // value-exact against a literal oracle (names, owning tables, kinds,
+    // and expression renderings all pinned). ----
+    QuerySpec("cmd_list_dq",
+      (s, dir) => {
+        setup(s, dir)
+        val df = Graft.sql(s, "LIST DQ USL graft.metastore.ordermart")
+        s.createDataFrame(df.collectAsList(), df.schema).orderBy(col("name"))
+      },
+      Some("""SELECT * FROM (VALUES
+          ('c_custkey', 'customer', 'PK', 'c_custkey'),
+          ('o_custkey', 'orders', 'FK', 'o_custkey -> metastore.ordermart.customer(c_custkey)'),
+          ('o_orderkey', 'orders', 'PK', 'o_orderkey'),
+          ('price_positive', 'orders', 'DQ', 'o_totalprice > 0'),
+          ('status_known', 'orders', 'DQ', 'o_orderstatus IN (''O'',''F'',''P'')')
+        ) AS t(name, "table", type, expression) ORDER BY name""")),
+
+    // ---- SHOW NAMESPACES OR TABLES inside a file datasource: the merged
+    // kind-labeled listing resolves the registered path's table inventory,
+    // which for the driver testdata dir is exactly the ten parquet tables. ----
+    QuerySpec("cmd_show_tables",
+      (s, dir) => {
+        setup(s, dir)
+        Graft.sql(s,
+          s"REGISTER OR REPLACE PARQUET DATASOURCE showsrc OPTIONS (path '$dir') NAMESPACE graft.datasource.showcase")
+        val df = Graft.sql(s, "SHOW NAMESPACES OR TABLES IN graft.datasource.showcase.showsrc")
+        s.createDataFrame(df.collectAsList(), df.schema).orderBy(col("name"))
+      },
+      Some("""SELECT * FROM (VALUES
+          ('customer', 'table'), ('documents', 'table'), ('embeddings', 'table'),
+          ('events', 'table'), ('lineitem', 'table'), ('nation', 'table'),
+          ('orders', 'table'), ('part', 'table'), ('region', 'table'),
+          ('supplier', 'table')
+        ) AS t(name, kind) ORDER BY name""")),
+
+    // ---- REST API round trip: POST the SQL to a live /api/q endpoint on an
+    // ephemeral port, parse the streamed JSON array back into rows, and hold
+    // THAT to the oracle — the full HTTP + JSON type-encoding path, not just
+    // the query underneath it. ----
+    QuerySpec("api_roundtrip",
+      (s, dir) => {
+        setup(s, dir)
+        import org.json4s._
+        val server = new graft.api.GraftApiServer(s, 0)
+        val port = server.start()
+        try {
+          val sql = "SELECT n_nationkey, n_name, n_regionkey FROM graft.datasource.file.tpch.nation ORDER BY n_nationkey"
+          val conn = java.net.URI.create(s"http://127.0.0.1:$port/api/q").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          val out = conn.getOutputStream
+          out.write(sql.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+          val body = new String(conn.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val rows: java.util.List[org.apache.spark.sql.Row] =
+            org.json4s.jackson.JsonMethods.parse(body) match {
+              case JArray(objs) =>
+                java.util.Arrays.asList(objs.map { o =>
+                  org.apache.spark.sql.Row(
+                    (o \ "n_nationkey") match { case JInt(v) => v.toInt; case _ => null },
+                    (o \ "n_name") match { case JString(v) => v; case _ => null },
+                    (o \ "n_regionkey") match { case JInt(v) => v.toInt; case _ => null })
+                }: _*)
+              case other => throw new IllegalStateException(s"expected JSON array, got $other")
+            }
+          s.createDataFrame(rows,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "n_nationkey INT, n_name STRING, n_regionkey INT"))
+            .orderBy(col("n_nationkey"))
+        } finally server.stop()
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
   )
 }

@@ -648,6 +648,69 @@ object Relational {
         (SELECT COUNT(*) FROM orders) AS total,
         (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0.0 AND o_orderstatus IN ('O','F','P')) AS valid,
         (SELECT COUNT(*) FROM orders) -
-        (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0.0 AND o_orderstatus IN ('O','F','P')) AS invalid"""))
+        (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0.0 AND o_orderstatus IN ('O','F','P')) AS invalid""")),
+
+    // ---- salted two-phase aggregation (skew tooling): the salted partial +
+    // merge plan must produce EXACTLY the plain GROUP BY result. Values are
+    // pre-cast to decimal so the two accumulation orders cannot diverge. ----
+    QuerySpec("skew_salted_agg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("l_quantity", col("l_quantity").cast(DecimalType(18, 2)))
+        graft.operators.Skew.saltedSum(li, Seq("l_returnflag"), "l_quantity", salts = 32)
+          .select(col("l_returnflag"),
+            col("sum_l_quantity").cast("double").as("sum_qty"), col("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- split-union skew join: hot keys (detected from the data) join via
+    // broadcast, the long tail joins as usual, and the union must equal the
+    // plain join — the power-law-key plan checked value-exact. ----
+    QuerySpec("skew_split_join",
+      (s, dir) => {
+        val l = t(s, dir, "orders").select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val r = t(s, dir, "customer").select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        // fraction 1.0 keeps hot-key detection deterministic for the gate
+        val hot = graft.operators.Skew.hotKeys(l, "custkey", fraction = 1.0, threshold = 20L)
+        graft.operators.Skew.splitJoin(l, r, "custkey", hot)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY segment""")),
+
+    // ---- bucketed write + shuffle-free bucketed join (the 100 TB layout
+    // lever): both sides land as 8-bucket external tables, the join runs on
+    // the bucket key, and the aggregate must equal the plain-join oracle.
+    // BucketingSuite asserts the no-Exchange plan shape; this gate pins the
+    // values. ----
+    QuerySpec("bucketed_join",
+      (s, dir) => {
+        import org.apache.spark.sql.SaveMode
+        val base = "/tmp/graft-verify-wh-" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "/buck"
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+          "gate_orders_b", Seq("o_custkey"), 8, sorted = true, SaveMode.Overwrite,
+          Some(s"$base/gate_orders_b"))
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          "gate_cust_b", Seq("o_custkey"), 8, sorted = true, SaveMode.Overwrite,
+          Some(s"$base/gate_cust_b"))
+        graft.operators.Bucketing.bucketedJoin(s, "gate_orders_b", "gate_cust_b", "o_custkey")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY segment"""))
   )
 }

@@ -300,6 +300,28 @@ class LakeSuite extends SparkTestBase {
     assert(e.getMessage.contains("delete manifests"))
   }
 
+  test("lake scans push filters and prune columns like any parquet table") {
+    val dDir = tmpDir("delta-push"); buildDeltaFixture(dDir)
+    val dPlan = DeltaLite.read(spark, new Path(dDir.toString))
+      .where(col("id") > 5).select("id")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(dPlan.contains("PushedFilters:") && dPlan.contains("GreaterThan(id,5)"),
+      s"delta scan did not push the filter:\n$dPlan")
+    assert(dPlan.contains("ReadSchema: struct<id:bigint>"),
+      s"delta scan did not prune columns:\n$dPlan")
+
+    val iDir = tmpDir("ice-push"); buildIcebergFixture(iDir)
+    val iPlan = IcebergLite.read(spark, new Path(iDir.toString))
+      .where(col("id") > 5).select("id")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(iPlan.contains("PushedFilters:") && iPlan.contains("GreaterThan(id,5)"),
+      s"iceberg scan did not push the filter:\n$iPlan")
+    assert(iPlan.contains("ReadSchema: struct<id:bigint>"),
+      s"iceberg scan did not prune columns:\n$iPlan")
+  }
+
   // ---- catalog + SQL integration (lite units route when jars are absent) ----
 
   test("delta and iceberg lite tables read through the graft catalog SQL surface") {
