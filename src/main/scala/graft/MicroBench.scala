@@ -25,7 +25,8 @@ object MicroBench {
     val names = sys.env.get("SPARK_GRAFT_MICRO").map(_.split(",").toSeq)
       .getOrElse(Seq("dedup_keep_best", "dedup_groups", "dedup_minhash",
         "dedup_simhash", "dedup_embedding", "dedup_incremental", "text_decontaminate",
-        "q5_revenue_by_nation")) // q5 pinned since r6 (the one headline above its baseline row)
+        "q5_revenue_by_nation", // q5 pinned since r6 (the one headline above its baseline row)
+        "dedup_semantic", "text_gopher_repetition")) // new r6 operators
     // warmup: one full pass charges JIT/codegen before any measured run
     names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     val results = names.map { n =>

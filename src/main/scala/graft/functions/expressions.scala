@@ -579,6 +579,159 @@ case class AudioInfo(child: Expression) extends UnaryExpression with CodegenFall
   override def prettyName: String = "audio_info"
 }
 
+/** The full Gopher repetition battery (Rae et al. '21 "Scaling Language
+  * Models: Methods, Analysis & Insights from Training Gopher", Table A1)
+  * computed DOC-LOCALLY in one pass: duplicate line / paragraph fractions
+  * (count- and character-weighted), top {2,3,4}-gram character occupancy,
+  * and duplicated {5..10}-gram character coverage.
+  *
+  * Every signal is a within-document statistic, so the scale-right shape is
+  * a single map-side expression — one corpus scan, zero shuffles — rather
+  * than exploded groupBys that would shuffle the corpus text once per
+  * n-gram size. (The expression body is a per-row hash-count kernel; like
+  * the signature kernels above it uses interpreted eval inside the codegen
+  * stage.)
+  *
+  * Definitions pinned for oracle comparability (each mirrors what a SQL
+  * engine can recompute):
+  *  - paragraphs = text split on "\n\n", lines on "\n"; elements blank
+  *    after trim are dropped. A duplicate is any occurrence beyond the
+  *    first of an identical element; char fractions weight by element
+  *    length over total element chars.
+  *  - tokens = lower(trim(text)) with whitespace runs collapsed, split on
+  *    " " (the same normalization as [[TextFunctions.normText]]);
+  *    `norm_len` = chars of the space-joined tokens.
+  *  - top n-gram occupancy (n=2,3,4) = cnt * chars(ngram) / norm_len for
+  *    the most frequent space-joined n-gram (ties broken by longer chars —
+  *    the fraction is identical for exact (cnt, chars) ties). 0.0 when the
+  *    doc has fewer than n tokens.
+  *  - dup n-gram coverage (n=5..10) = total chars of tokens covered by at
+  *    least one n-gram occurring more than once, over total token chars
+  *    (whitespace excluded from both sides; overlaps counted once). 0.0
+  *    when the doc has fewer than n tokens.
+  */
+case class GopherRepetition(child: Expression) extends UnaryExpression with CodegenFallback {
+  import GopherRepetition._
+  override def dataType: DataType = StructType(FieldNames.map(StructField(_, DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"gopher_repetition expects string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new Array[Any](13)
+    val (lf, lcf) = dupElementStats(text.split("\n", -1))
+    val (pf, pcf) = dupElementStats(text.split("\n\n", -1))
+    out(0) = lf; out(1) = lcf; out(2) = pf; out(3) = pcf
+    // UTF8String lowercase (not String.toLowerCase) so SQL lower() semantics
+    // are matched exactly, then the normText whitespace collapse
+    val norm = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+      .replaceAll("\\s+", " ")
+    val tokens = norm.split(" ", -1)
+    var totalTokChars = 0L
+    var ti = 0
+    while (ti < tokens.length) { totalTokChars += tokens(ti).length; ti += 1 }
+    var k = 4
+    for (n <- 2 to 4) { out(k) = topNgramFrac(tokens, n, norm.length); k += 1 }
+    for (n <- 5 to 10) { out(k) = dupNgramCoverage(tokens, n, totalTokChars); k += 1 }
+    InternalRow(out.toIndexedSeq: _*)
+  }
+  override protected def withNewChildInternal(c: Expression): GopherRepetition = copy(child = c)
+  override def prettyName: String = "gopher_repetition"
+}
+
+object GopherRepetition {
+  val FieldNames: Seq[String] = Seq(
+    "dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+    "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+    "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+    "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
+
+  /** Table A1 removal thresholds, keyed by signal column name: a doc is
+    * kept iff every signal is <= its threshold.
+    */
+  val KeepThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
+    "dup_para_frac" -> 0.30, "dup_para_char_frac" -> 0.20,
+    "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16,
+    "dup_5gram_char_frac" -> 0.15, "dup_6gram_char_frac" -> 0.14,
+    "dup_7gram_char_frac" -> 0.13, "dup_8gram_char_frac" -> 0.12,
+    "dup_9gram_char_frac" -> 0.11, "dup_10gram_char_frac" -> 0.10)
+
+  private def safeDiv(num: Long, den: Long): Double =
+    if (den == 0L) 0.0 else num.toDouble / den.toDouble
+
+  private def dupElementStats(raw: Array[String]): (Double, Double) = {
+    val counts = new java.util.HashMap[String, Int]()
+    var totalE = 0L; var totalC = 0L
+    var i = 0
+    while (i < raw.length) {
+      val e = raw(i)
+      if (e.trim.nonEmpty) {
+        counts.merge(e, 1, (a, b) => a + b)
+        totalE += 1; totalC += e.length
+      }
+      i += 1
+    }
+    var dupE = 0L; var dupC = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val kv = it.next()
+      val c = kv.getValue
+      if (c > 1) { dupE += c - 1; dupC += (c - 1).toLong * kv.getKey.length }
+    }
+    (safeDiv(dupE, totalE), safeDiv(dupC, totalC))
+  }
+
+  private def ngramAt(tokens: Array[String], start: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(tokens(start + j))
+      j += 1
+    }
+    sb.toString
+  }
+
+  private def topNgramFrac(tokens: Array[String], n: Int, normLen: Int): Double = {
+    if (tokens.length < n || normLen == 0) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + n <= tokens.length) { counts.merge(ngramAt(tokens, i, n), 1, (a, b) => a + b); i += 1 }
+    var bestCnt = 0; var bestLen = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val kv = it.next()
+      val c = kv.getValue; val l = kv.getKey.length
+      if (c > bestCnt || (c == bestCnt && l > bestLen)) { bestCnt = c; bestLen = l }
+    }
+    bestCnt.toLong * bestLen / normLen.toDouble
+  }
+
+  private def dupNgramCoverage(tokens: Array[String], n: Int, totalTokChars: Long): Double = {
+    if (tokens.length < n || totalTokChars == 0L) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + n <= tokens.length) { counts.merge(ngramAt(tokens, i, n), 1, (a, b) => a + b); i += 1 }
+    val covered = new Array[Boolean](tokens.length)
+    i = 0
+    while (i + n <= tokens.length) {
+      if (counts.get(ngramAt(tokens, i, n)) > 1) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var cov = 0L
+    i = 0
+    while (i < tokens.length) { if (covered(i)) cov += tokens(i).length; i += 1 }
+    safeDiv(cov, totalTokChars)
+  }
+}
+
 /** Column-API wrappers (ExpressionUtils bridges Column <-> Expression on Spark 4). */
 object GraftFunctions {
   private def col(e: Expression): Column = GraftSQLBridge.column(e)
@@ -605,6 +758,7 @@ object GraftFunctions {
   def sketch_jaccard(a: Column, b: Column): Column =
     col(SketchJaccard(expr(a), expr(b)))
   def audio_info(c: Column): Column = col(AudioInfo(expr(c)))
+  def gopher_repetition(c: Column): Column = col(GopherRepetition(expr(c)))
 
   /** SQL registration so spark.sql("SELECT cosine_similarity(a,b) ...") works. */
   /** The SQL surface of the pipeline expressions — ONE builder table shared
@@ -631,7 +785,8 @@ object GraftFunctions {
     "minhash_agg" -> ((es: Seq[Expression]) =>
       MinHashAgg(es.head, intArg(es, 1, 128)).toAggregateExpression()),
     "sketch_jaccard" -> ((es: Seq[Expression]) => SketchJaccard(es.head, es(1))),
-    "audio_info" -> ((es: Seq[Expression]) => AudioInfo(es.head)))
+    "audio_info" -> ((es: Seq[Expression]) => AudioInfo(es.head)),
+    "gopher_repetition" -> ((es: Seq[Expression]) => GopherRepetition(es.head)))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -747,4 +747,123 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** SemDeDup semantic near-dup PAIRS (Abbas et al. '23, arXiv:2303.09540):
+    * cluster embeddings with the same spherical k-means coarse quantizer IVF
+    * uses ([[Similarity.trainSphericalQuantizer]] — seeded uniform sample,
+    * driver-local fit, codegen'd argmin assignment), then compare vectors
+    * only WITHIN a cluster and keep pairs with exact cosine >= `threshold`.
+    *
+    * vs [[embeddingDuplicates]] (hyperplane LSH): the quantizer adapts to
+    * the data's density — clusters land where the corpus mass is, so at
+    * equal candidate budget the cells capture more true pairs on clustered
+    * corpora, at the cost of cross-cell misses being data-dependent rather
+    * than analytically bounded (recall is measured, not derived — the
+    * SemDeDup tradeoff). Each row lands in exactly ONE cell, so pairs are
+    * unique by construction — no dedup shuffle after verification.
+    *
+    * `probes` > 1 soft-assigns every row to its `probes` nearest cells
+    * (the IVF multi-probe idea applied to the dedup side): a pair is a
+    * candidate if ANY cell is shared, which recovers the near-boundary
+    * pairs single assignment loses — at the cost of `probes`x banded rows.
+    * Exact-cosine verification keeps precision 1.0 either way, and pairs
+    * colliding in several shared cells collapse under the final distinct
+    * (elided at probes=1, where each row lives in exactly one cell).
+    *
+    * Scale: within-cell pairing is quadratic in cell size, so `nCells`
+    * should track corpus size (cells of ~1-10k rows); a 100 TB corpus wants
+    * nCells ~ n / 5k with the quantizer still fitting on a bounded sample.
+    * Degenerate cells (boilerplate/zero vectors) hit the shared
+    * [[cappedBucketPairs]] hot-bucket guard and degrade to star-linking.
+    */
+  def semanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCells: Int = 16, sampleSize: Int = 4096,
+      maxCellSize: Int = DefaultMaxBucketSize, probes: Int = 1): DataFrame = {
+    val centroids = Similarity.trainSphericalQuantizer(df, vecCol, nCells, sampleSize)
+    val pairs = cappedBucketPairs(df, semanticBanded(idCol, vecCol, centroids, probes),
+        Seq("cell"), Seq("v"), maxCellSize)
+      .select(col("id_a"), col("id_b"),
+        F.cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+    if (probes <= 1) pairs else pairs.distinct()
+  }
+
+  /** The candidate pairs SemDeDup scores before cosine verification — the
+    * scaling-evidence twin of [[Similarity.lshScoredPairs]]: proves the
+    * within-cell join prunes the quadratic all-pairs space and that the
+    * pruning ratio holds as the corpus grows (SemDedupScaleBench).
+    */
+  def semanticScoredPairs(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, sampleSize: Int = 4096,
+      maxCellSize: Int = DefaultMaxBucketSize, probes: Int = 1): Long = {
+    val centroids = Similarity.trainSphericalQuantizer(df, vecCol, nCells, sampleSize)
+    cappedBucketPairs(df, semanticBanded(idCol, vecCol, centroids, probes),
+      Seq("cell"), Seq("v"), maxCellSize).count()
+  }
+
+  private def semanticBanded(idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], probes: Int)(rows: DataFrame): DataFrame =
+    if (probes <= 1)
+      rows.select(col(idCol).as("id"), col(vecCol).as("v"),
+        F.argmin_centroid(col(vecCol), centroids).as("cell"))
+    else
+      rows.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(F.nearest_centroids(col(vecCol), centroids, probes)).as("cell"))
+
+  /** SemDeDup retention: every input row labeled with its semantic duplicate
+    * group and whether it SURVIVES dedup. Groups are connected components of
+    * [[semanticDuplicates]] pairs ([[duplicateGroups]] min-label
+    * propagation); one representative per group is kept, singletons keep
+    * themselves.
+    *
+    * Keep policy:
+    *  - `keepLowCentroidSim = false` (default): min-id member —
+    *    deterministic and SQL-oracle-checkable.
+    *  - `keepLowCentroidSim = true`: the member with the LOWEST cosine to
+    *    its cluster centroid (the paper's choice — of a semantic duplicate
+    *    group, keep the most atypical example; §3 "low similarity to
+    *    centroid"), min-id tiebreak. The centroid cosine is computed
+    *    codegen-side against the trained centroid table (a literal array —
+    *    no second quantizer fit, no UDF).
+    *
+    * @return (id, group_id, kept) for EVERY input row, group_id coalesced to
+    *         the row's own id for singletons
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCells: Int = 16, sampleSize: Int = 4096,
+      maxCellSize: Int = DefaultMaxBucketSize, probes: Int = 1,
+      keepLowCentroidSim: Boolean = false,
+      maxIter: Int = 20, requireConvergence: Boolean = false,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    val centroids = Similarity.trainSphericalQuantizer(df, vecCol, nCells, sampleSize)
+    val rawPairs = cappedBucketPairs(df, semanticBanded(idCol, vecCol, centroids, probes),
+        Seq("cell"), Seq("v"), maxCellSize)
+      .select(col("id_a"), col("id_b"),
+        F.cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+    val pairs = if (probes <= 1) rawPairs else rawPairs.distinct()
+    val groups = duplicateGroups(pairs, maxIter, requireConvergence, reliableCheckpoint)
+    // Min-id policy shuffles only (id, group_id) into the per-group window;
+    // the paper policy additionally computes each row's cosine to its own
+    // cluster centroid MAP-SIDE before the shuffle (centroids ride in as one
+    // literal array-of-arrays column indexed by the codegen argmin — one
+    // extra nCells-dot-product pass, same cost as the cell assignment), so
+    // the window shuffles one extra double, never the vectors.
+    val base =
+      if (!keepLowCentroidSim) df.select(col(idCol), col(idCol).cast("double").as("__rank"))
+      else {
+        val centroidLit = typedlit(centroids.map(_.toSeq).toSeq)
+        df.select(col(idCol),
+          F.cosine_similarity(col(vecCol).cast("array<double>"),
+            element_at(centroidLit, F.argmin_centroid(col(vecCol), centroids) + 1))
+            .as("__rank"))
+      }
+    val labeled = base
+      .join(groups.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("__rank").asc, col(idCol).asc)
+    labeled.withColumn("__rn", row_number().over(w))
+      .select(col(idCol).as("id"), col("group_id"), (col("__rn") === 1).as("kept"))
+  }
 }

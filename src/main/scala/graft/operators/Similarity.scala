@@ -213,16 +213,25 @@ object Similarity {
     */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, sampleSize: Int = 4096): IvfIndex = {
+    val centroids = trainSphericalQuantizer(corpus, vecCol, nCells, sampleSize)
+    val cells = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"),
+      F.argmin_centroid(col(vecCol), centroids).as("cell"))
+    IvfIndex(centroids, cells)
+  }
+
+  /** The quantizer-training half of [[ivfBuild]], shared with
+    * [[Dedup.semanticDuplicates]] (SemDeDup clusters with the same spherical
+    * coarse quantizer IVF uses for cell pruning).
+    */
+  private[operators] def trainSphericalQuantizer(corpus: DataFrame, vecCol: String,
+      nCells: Int, sampleSize: Int): Array[Array[Double]] = {
     val samplePts = corpus
       .select(col(vecCol).cast("array<double>").as("__v"), rand(42L).as("__r"))
       .orderBy(col("__r"))
       .limit(sampleSize)
       .collect().map(r => KMeansLite.normalized(r.getSeq[Double](0).toArray))
       .sortBy(p => p.toSeq: Seq[Double])(math.Ordering.Implicits.seqOrdering)
-    val centroids = KMeansLite.fit(samplePts, nCells, iters = 25, seed = 42L, spherical = true)
-    val cells = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"),
-      F.argmin_centroid(col(vecCol), centroids).as("cell"))
-    IvfIndex(centroids, cells)
+    KMeansLite.fit(samplePts, nCells, iters = 25, seed = 42L, spherical = true)
   }
 
   /** Rehydrate an index from persisted cells (columns nn_id, __cv, cell) and

@@ -226,6 +226,38 @@ object Pipeline {
         WHERE list_cosine_similarity(n.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.45
         ORDER BY id_new, id_corpus""")),
 
+    // ---- SemDeDup (Abbas '23): spherical k-means cells + within-cell exact
+    // cosine -> connected components -> min-id retention, labeling EVERY row
+    // (id, group_id, kept). nCells=4 x probes=2 is the measured-complete
+    // config at this corpus + threshold: every brute-force pair >= 0.45
+    // shares >= 1 soft-assigned cell (DedupSuite asserts semantic pairs ==
+    // brute force at THIS config; single assignment loses half the pairs),
+    // so the recursive-CTE oracle over brute-force pairs applies hash-exact.
+    // The paper's low-centroid-sim keep policy is quantizer-dependent (not
+    // SQL-expressible) and is ground-truthed in DedupSuite instead. ----
+    QuerySpec("dedup_semantic",
+      (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, nCells = 4, probes = 2)
+        .orderBy(col("id")),
+      Some("""WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src WHERE r.comp < e.dst
+        ), comp AS (
+          SELECT id, MIN(comp) AS group_id FROM reach GROUP BY id
+        )
+        SELECT e.vec_id AS id, COALESCE(c.group_id, e.vec_id) AS group_id,
+          (c.group_id IS NULL OR e.vec_id = c.group_id) AS kept
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+        ORDER BY id""")),
+
     // ---- multimodal feature extraction, value-verified: one in-memory WAV
     // per nation row (constant-amplitude square wave, amplitude derived from
     // the key), through the REAL batched decode path (mapPartitions +
@@ -706,6 +738,140 @@ object Pipeline {
            b.frac_alpha_words >= 0.7 AND t.top_bigram_frac <= 0.2) AS keep
         FROM base b JOIN topbi t ON b.doc_id = t.doc_id
         ORDER BY b.doc_id""")),
+
+    // ---- The FULL Gopher repetition battery (Rae '21 Table A1): dup
+    // line/paragraph fractions, top {2,3,4}-gram occupancy, dup {5..10}-gram
+    // coverage — ONE map-side expression per doc (gopher_repetition), zero
+    // shuffles. The corpus has no line structure, so the gate PLANTS it
+    // (c4 pattern): l1 always repeats as a line; l2 repeats when doc_id%5=0;
+    // the whole first paragraph repeats when doc_id%3=0 — so every signal
+    // exercises both zero and non-zero paths across the corpus. The oracle
+    // recomputes all 13 signals in SQL over the same construction. ----
+    QuerySpec("text_gopher_repetition",
+      (s, dir) => {
+        import graft.functions.GopherRepetition
+        val d = t(s, dir, "documents")
+        val tk = T.tokens(col("text"))
+        def seg(from: Int, n: Int) = concat_ws(" ", slice(tk, from, n))
+        val l1 = seg(1, 6); val l2 = seg(7, 5); val l4 = seg(12, 6)
+        val l5 = when(col("doc_id") % 5 === 0, l2).otherwise(seg(18, 5))
+        val p1 = concat_ws("\n", l1, l2)
+        val p2 = concat_ws("\n", l1, l4, l5)
+        val p3 = when(col("doc_id") % 3 === 0, p1).otherwise(seg(23, 8))
+        val lined = concat_ws("\n\n", p1, p2, p3)
+        val flat = GopherRepetition.FieldNames.map(f =>
+          round(col("__g").getField(f), 6).as(f))
+        val keep = GopherRepetition.KeepThresholds
+          .map { case (f, th) => col(f) <= th }.reduce(_ && _)
+        d.select(col("doc_id"), F.gopher_repetition(lined).as("__g"))
+          .select(col("doc_id") +: flat: _*)
+          .withColumn("keep", keep)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.functions.GopherRepetition
+        // DuckDB's generate_series can't take lateral column args as a table
+        // function, so n-gram expansion rides list comprehensions (the
+        // text_gopher_quality pattern) and scalar generate_series (returns a
+        // LIST in scalar position) for position ranges.
+        def ngramList(n: Int) =
+          s"""CASE WHEN len(tk) >= $n
+              THEN [ array_to_string(tk[i:i+${n - 1}], ' ') for i in generate_series(1, len(tk) - ${n - 1}) ]
+              ELSE CAST([] AS VARCHAR[]) END"""
+        def topBlock(n: Int) = s"""
+          ng$n AS (SELECT doc_id, u.ng FROM (
+              SELECT doc_id, ${ngramList(n)} AS ngs FROM toks), UNNEST(ngs) AS u(ng)),
+          top$n AS (SELECT doc_id, CAST(cnt AS DOUBLE) * nglen AS mass
+            FROM (SELECT doc_id, cnt, nglen,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, nglen DESC) AS rn
+                  FROM (SELECT doc_id, ng, COUNT(*) AS cnt, len(ng) AS nglen
+                        FROM ng$n GROUP BY doc_id, ng))
+            WHERE rn = 1)"""
+        def covBlock(n: Int) = s"""
+          ngu$n AS (SELECT doc_id, u.ng FROM (
+              SELECT doc_id, ${ngramList(n)} AS ngs FROM toks), UNNEST(ngs) AS u(ng)),
+          dupv$n AS (SELECT doc_id, list(ng) AS dups FROM (
+              SELECT doc_id, ng FROM ngu$n GROUP BY doc_id, ng HAVING COUNT(*) > 1)
+            GROUP BY doc_id),
+          cov$n AS (SELECT DISTINCT doc_id, u.idx FROM (
+              SELECT t.doc_id, flatten([
+                  CASE WHEN list_contains(d.dups, array_to_string(tk[i:i+${n - 1}], ' '))
+                    THEN generate_series(i - 1, i + ${n - 2}) ELSE CAST([] AS BIGINT[]) END
+                  for i in generate_series(1, len(tk) - ${n - 1}) ]) AS idxs
+              FROM toks t JOIN dupv$n d ON t.doc_id = d.doc_id), UNNEST(idxs) AS u(idx)),
+          covs$n AS (SELECT c.doc_id, SUM(len(t.tk[c.idx + 1])) AS cov
+            FROM cov$n c JOIN toks t ON c.doc_id = t.doc_id GROUP BY c.doc_id)"""
+        def topFrac(n: Int) =
+          s"round(CASE WHEN nl.nlen = 0 THEN 0.0 ELSE COALESCE(top$n.mass, 0.0) / nl.nlen END, 6) AS top_${n}gram_char_frac"
+        def covFrac(n: Int) =
+          s"round(CASE WHEN wt.tot IS NULL OR wt.tot = 0 THEN 0.0 ELSE CAST(COALESCE(covs$n.cov, 0) AS DOUBLE) / wt.tot END, 6) AS dup_${n}gram_char_frac"
+        val keepSql = GopherRepetition.KeepThresholds
+          .map { case (f, th) => s"$f <= $th" }.mkString(" AND ")
+        s"""WITH segsrc AS (
+          SELECT doc_id, $toksSql AS tk0 FROM documents
+        ), planted AS (
+          SELECT doc_id,
+            coalesce(array_to_string(tk0[1:6], ' '), '') AS l1,
+            coalesce(array_to_string(tk0[7:11], ' '), '') AS l2,
+            coalesce(array_to_string(tk0[12:17], ' '), '') AS l4,
+            CASE WHEN doc_id % 5 = 0 THEN coalesce(array_to_string(tk0[7:11], ' '), '')
+                 ELSE coalesce(array_to_string(tk0[18:22], ' '), '') END AS l5,
+            coalesce(array_to_string(tk0[23:30], ' '), '') AS s23
+          FROM segsrc
+        ), txt AS (
+          SELECT doc_id,
+            (l1 || chr(10) || l2) || chr(10) || chr(10) ||
+            (l1 || chr(10) || l4 || chr(10) || l5) || chr(10) || chr(10) ||
+            (CASE WHEN doc_id % 3 = 0 THEN l1 || chr(10) || l2 ELSE s23 END) AS text
+          FROM planted
+        ), lines AS (
+          SELECT doc_id, l AS e FROM txt, UNNEST(string_split(text, chr(10))) AS u(l)
+          WHERE trim(l) <> ''
+        ), lstats AS (
+          SELECT doc_id,
+            CAST(SUM(cnt - 1) AS DOUBLE) / SUM(cnt) AS dup_line_frac,
+            CAST(SUM((cnt - 1) * elen) AS DOUBLE) / SUM(cnt * elen) AS dup_line_char_frac
+          FROM (SELECT doc_id, e, COUNT(*) AS cnt, len(e) AS elen FROM lines GROUP BY doc_id, e)
+          GROUP BY doc_id
+        ), paras AS (
+          SELECT doc_id, p AS e FROM txt, UNNEST(string_split(text, chr(10) || chr(10))) AS u(p)
+          WHERE trim(p) <> ''
+        ), pstats AS (
+          SELECT doc_id,
+            CAST(SUM(cnt - 1) AS DOUBLE) / SUM(cnt) AS dup_para_frac,
+            CAST(SUM((cnt - 1) * elen) AS DOUBLE) / SUM(cnt * elen) AS dup_para_char_frac
+          FROM (SELECT doc_id, e, COUNT(*) AS cnt, len(e) AS elen FROM paras GROUP BY doc_id, e)
+          GROUP BY doc_id
+        ), toks AS (
+          SELECT doc_id,
+            string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk,
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM txt
+        ), nl AS (
+          SELECT doc_id, len(norm) AS nlen FROM toks
+        ), wt AS (
+          SELECT doc_id, CAST(list_sum(list_transform(tk, w -> len(w))) AS BIGINT) AS tot
+          FROM toks
+        ), ${(2 to 4).map(topBlock).mkString(",")},
+        ${(5 to 10).map(covBlock).mkString(",")},
+        final AS (
+          SELECT d.doc_id,
+            round(COALESCE(lstats.dup_line_frac, 0.0), 6) AS dup_line_frac,
+            round(COALESCE(lstats.dup_line_char_frac, 0.0), 6) AS dup_line_char_frac,
+            round(COALESCE(pstats.dup_para_frac, 0.0), 6) AS dup_para_frac,
+            round(COALESCE(pstats.dup_para_char_frac, 0.0), 6) AS dup_para_char_frac,
+            ${(2 to 4).map(topFrac).mkString(",\n            ")},
+            ${(5 to 10).map(covFrac).mkString(",\n            ")}
+          FROM documents d
+          LEFT JOIN lstats ON d.doc_id = lstats.doc_id
+          LEFT JOIN pstats ON d.doc_id = pstats.doc_id
+          LEFT JOIN nl ON d.doc_id = nl.doc_id
+          LEFT JOIN wt ON d.doc_id = wt.doc_id
+          ${(2 to 4).map(n => s"LEFT JOIN top$n ON d.doc_id = top$n.doc_id").mkString("\n          ")}
+          ${(5 to 10).map(n => s"LEFT JOIN covs$n ON d.doc_id = covs$n.doc_id").mkString("\n          ")}
+        )
+        SELECT *, ($keepSql) AS keep FROM final ORDER BY doc_id"""
+      }),
 
     // ---- C4-style line-level cleaning (Raffel et al. '20 §2.2). The
     // synthetic corpus has no line structure, so the gate PLANTS it

@@ -509,4 +509,75 @@ class DedupSuite extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
+
+  // ---- SemDeDup: spherical-cell semantic dedup ----
+
+  test("GATE CONFIG: semantic pairs equal brute-force cosine at nCells=4 probes=2") {
+    // the dedup_semantic gate: sf0.01 embeddings, threshold 0.45, nCells=4,
+    // probes=2 (single assignment loses 7 of 14 near-boundary pairs here —
+    // multi-probe recovers them). Exact cosine verification makes precision
+    // 1.0, so equality here means no true pair is split across every shared
+    // cell — which is what lets the gate's recursive-CTE-over-brute-force
+    // oracle apply hash-exact.
+    val emb01 = QueryPack.t(spark, sf("sf0.01"), "embeddings")
+    val exact = emb01.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .crossJoin(emb01.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), F.cosine_similarity(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticDuplicates(emb01, "vec_id", "embedding",
+        threshold = 0.45, nCells = 4, probes = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem == exact,
+      s"gate-config semantic dedup must equal brute force: sem=${sem.size} exact=${exact.size} " +
+        s"missing=${(exact -- sem).take(5)}")
+  }
+
+  test("semanticDedup paper policy keeps the lowest-centroid-sim member") {
+    import spark.implicits._
+    // one 2-D duplicate group: unit vectors at 0, 5 and 30 degrees. All
+    // three pairs clear threshold 0.85, so they form one component; the
+    // single-cell centroid is the normalized mean (~11.7 deg), making the
+    // 30-degree vector the LOWEST-centroid-sim (most atypical) member. It
+    // carries the HIGHEST id, so min-id tiebreak cannot produce this answer.
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq((1L, v(0)), (2L, v(5)), (3L, v(30))).toDF("vec_id", "embedding")
+    val paper = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.85, nCells = 1, keepLowCentroidSim = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(paper == Set((1L, 1L, false), (2L, 1L, false), (3L, 1L, true)), s"got: $paper")
+    val minId = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.85, nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(minId == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)), s"got: $minId")
+  }
+
+  test("semanticDedup labels singletons kept with their own group id") {
+    import spark.implicits._
+    // two orthogonal singletons + one duplicate pair
+    val df = Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)),
+      (10L, Array(0.0f, 0.0f, 1.0f)), (11L, Array(0.0f, 0.01f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.95, nCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 2L, true), (10L, 10L, true), (11L, 10L, false)),
+      s"got: $out")
+  }
+
+  test("semanticDedup hot-cell guard still keeps exactly one of a degenerate cell") {
+    import spark.implicits._
+    // 300 identical vectors: the single cell is hot at cap 100, candidate
+    // generation degrades to star-linking against the representative — the
+    // star still connects the whole component, so exactly one row survives
+    val base = Array(1.0f, 0.0f, 0.5f, 0.25f)
+    val df = (0L until 300L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.9, nCells = 1, maxCellSize = 100)
+    assert(out.where(col("kept")).count() == 1L)
+    assert(out.count() == 300L)
+    assert(out.where(col("kept")).head().getLong(0) == 0L)
+  }
 }
