@@ -11,12 +11,18 @@ import graft.functions.{GraftFunctions => F}
   * the candidate-pair counts (quadratic all-pairs vs the within-cell join),
   * wall-clock, and pair recall vs exact brute force at each scale.
   *
-  * `nCells` grows with the corpus (4 cells per replica) so cell size stays
-  * roughly constant — the documented 100 TB deployment rule ("nCells tracks
-  * corpus size"); `probes` = 2 throughout, matching the gate config. The
-  * numbers to watch: `prune_x` should hold or improve with scale (the
-  * within-cell join stays subquadratic), `recall` is the price of the
-  * cell approximation (SemDeDup's own tradeoff — the paper accepts < 1).
+  * `nCells` sizes by BANDED occupancy: rows x probes / nCells = 400, which
+  * keeps every working cell under the hot-bucket guard's sampled detection
+  * point (~maxCellSize/2: a 10% doc sample flags buckets whose sampled
+  * count reaches cap x 0.1 / 2, i.e. true size ~cap/2) — measured the hard
+  * way twice: 4-cells-per-replica put cells AT the cap and the guard
+  * star-linked the whole corpus (recall ~0); raising probes without
+  * raising nCells pushed occupancy past the detection point and candidate
+  * counts went DOWN. The guard is for DEGENERATE cells, not the working
+  * regime. Each scale runs at probes = 2 and 3 to show the knob: more
+  * probes (with occupancy held at 400) buys recall with candidate volume —
+  * recall stays < 1 either way; that is SemDeDup's own tradeoff (the paper
+  * accepts misses as slightly-less-pruned training data).
   *
   * Corpus construction mirrors AnnScaleBench: replica `r` perturbs every
   * dimension with a deterministic sinusoid keyed by (vec_id, dim, r), so
@@ -33,7 +39,6 @@ object SemDedupScaleBench {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,5,10,25")
       .split(",").map(_.trim.toInt).toSeq
     val threshold = 0.45
-    val probes = 2
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,12 +65,12 @@ object SemDedupScaleBench {
 
     // warm-up: JIT/codegen charged here, not to the first scale
     Dedup.semanticDuplicates(corpus(1), "vec_id", "embedding", threshold,
-      nCells = 4, probes = probes).count()
+      nCells = 8, probes = 2).count()
 
-    scales.foreach { n =>
+    for (n <- scales; probes <- Seq(2, 3)) {
       val c = corpus(n).localCheckpoint(true) // measure dedup, not synthesis
       val rows = c.count()
-      val nCells = 4 * n
+      val nCells = math.max(8, (rows * probes / 400).toInt)
 
       def run() = Dedup.semanticDuplicates(c, "vec_id", "embedding", threshold,
         nCells = nCells, probes = probes)
@@ -77,28 +82,41 @@ object SemDedupScaleBench {
       val semPairs = Dedup.semanticScoredPairs(c, "vec_id", "embedding",
         nCells = nCells, probes = probes)
 
-      // pair recall vs exact brute force at the threshold, measured on a
-      // deterministic sample of anchor ids (full all-pairs would be rows^2/2
-      // cosine evals — 7.8e9 at scale 25); the sample side broadcasts, so
-      // the exact set costs |sample| x rows evals. Exact-cosine verification
-      // makes precision 1.0, so recall is the only question.
+      // pair recall vs exact brute force, measured on a deterministic
+      // sample of anchor ids (full all-pairs would be rows^2/2 cosine evals
+      // — 7.8e9 at scale 25); the sample side broadcasts, so the exact set
+      // costs |sample| x rows evals. Exact-cosine verification makes
+      // precision 1.0, so recall is the only question — reported BOTH at
+      // the gate threshold (0.45, includes weakly-similar pairs whose
+      // cell-splitting is SemDeDup's accepted loss) and at 0.95, the
+      // paper's near-duplicate operating regime, where near-identical
+      // vectors co-cluster by construction.
       val sample = c.where(col("vec_id") % 10 === 0 && col("vec_id") < 10000000L)
         .select(col("vec_id").as("sid"), col("embedding").as("sv"))
         .localCheckpoint(true)
       val exact = sample
         .join(c.select(col("vec_id").as("oid"), col("embedding").as("ov")),
           col("sid") =!= col("oid"))
-        .where(F.cosine_similarity(col("sv"), col("ov")) >= threshold)
         .select(least(col("sid"), col("oid")).as("id_a"),
-          greatest(col("sid"), col("oid")).as("id_b"))
+          greatest(col("sid"), col("oid")).as("id_b"),
+          F.cosine_similarity(col("sv"), col("ov")).as("cos"))
+        .where(col("cos") >= threshold)
         .distinct().localCheckpoint(true)
-      val exactN = exact.count()
-      val hit = exact.join(run().select("id_a", "id_b"), Seq("id_a", "id_b")).count()
-      val recall = if (exactN == 0) 1.0 else hit.toDouble / exactN
+      val sem = run().localCheckpoint(true)
+      def recallAt(t: Double): (Long, Double) = {
+        val e = exact.where(col("cos") >= t)
+        val n = e.count()
+        val hit = e.join(sem.where(col("cosine") >= t).select("id_a", "id_b"),
+          Seq("id_a", "id_b")).count()
+        (n, if (n == 0) 1.0 else hit.toDouble / n)
+      }
+      val (exactN, recall) = recallAt(threshold)
+      val (exactN95, recall95) = recallAt(0.95)
 
-      println(f"""{"scale":$n,"rows":$rows,"ncells":$nCells,"brute_pairs":$brutePairs,""" +
+      println(f"""{"scale":$n,"rows":$rows,"probes":$probes,"ncells":$nCells,"brute_pairs":$brutePairs,""" +
         f""""sem_pairs":$semPairs,"prune_x":${brutePairs.toDouble / math.max(semPairs, 1)}%.1f,""" +
-        f""""sem_sec":$semSec%.3f,"exact_pairs":$exactN,"recall":$recall%.3f}""")
+        f""""sem_sec":$semSec%.3f,"exact_pairs":$exactN,"recall":$recall%.3f,""" +
+        f""""exact_pairs_95":$exactN95,"recall_95":$recall95%.3f}""")
     }
     spark.stop()
   }

@@ -771,10 +771,14 @@ object Dedup {
     * (elided at probes=1, where each row lives in exactly one cell).
     *
     * Scale: within-cell pairing is quadratic in cell size, so `nCells`
-    * should track corpus size (cells of ~1-10k rows); a 100 TB corpus wants
-    * nCells ~ n / 5k with the quantizer still fitting on a bounded sample.
-    * Degenerate cells (boilerplate/zero vectors) hit the shared
-    * [[cappedBucketPairs]] hot-bucket guard and degrade to star-linking.
+    * should track corpus size — and the sizing must count the probes
+    * multiplier: banded occupancy is rows x probes / nCells, and it is THAT
+    * number that must sit well under `maxCellSize`, or the hot-bucket guard
+    * (meant for degenerate boilerplate/zero-vector cells) star-links the
+    * working regime and recall collapses (measured in SemDedupScaleBench —
+    * cells at exactly the cap lost essentially all pairs). Rule: target
+    * ~200 rows/cell at the default cap, i.e. nCells ~ rows x probes / 400;
+    * the quantizer still fits on a bounded sample at any corpus size.
     */
   def semanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 16, sampleSize: Int = 4096,

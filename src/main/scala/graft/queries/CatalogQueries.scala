@@ -647,6 +647,53 @@ object CatalogQueries {
           ('supplier', 'table')
         ) AS t(name, kind) ORDER BY name""")),
 
+    // ---- USL lifecycle: COMPILE -> LOAD -> UPDATE -> LOAD -> REMOVE ->
+    // LOAD-fails, value-pinned end to end on a throwaway USL. The loaded
+    // spec is projected to a stable table:col+col signature (json field
+    // order never reaches the hash); the UPDATE payload is the loaded JSON
+    // with a column renamed — the round-trip the reference's GUI performs. ----
+    QuerySpec("cmd_usl_lifecycle",
+      (s, dir) => {
+        setup(s, dir)
+        try Graft.sql(s, "REMOVE USL lcmart NAMESPACE graft.metastore")
+        catch { case _: Exception => () } // fresh start when re-run in-session
+        Graft.sql(s,
+          """COMPILE USL lcmart DEPLOY NAMESPACE graft.metastore DDL
+            |create table t1 (a bigint primary key, b string)""".stripMargin)
+        def sig(): String = {
+          implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+          val json = Graft.sql(s, "LOAD USL lcmart NAMESPACE graft.metastore")
+            .head().getString(0)
+          val p = org.json4s.jackson.JsonMethods.parse(json)
+          (p \ "tables").children.map { t =>
+            val name = (t \ "name").extract[String]
+            val cols = (t \ "columns").children.map(c => (c \ "name").extract[String])
+            s"$name:${cols.mkString("+")}"
+          }.sorted.mkString(",")
+        }
+        val afterCompile = sig()
+        val updated = Graft.sql(s, "LOAD USL lcmart NAMESPACE graft.metastore")
+          .head().getString(0).replace("\"b\"", "\"renamed_b\"")
+        Graft.sql(s, s"UPDATE USL lcmart NAMESPACE graft.metastore AS $updated")
+        val afterUpdate = sig()
+        Graft.sql(s, "REMOVE USL lcmart NAMESPACE graft.metastore")
+        val afterRemove =
+          try { Graft.sql(s, "LOAD USL lcmart NAMESPACE graft.metastore").head(); "present" }
+          catch { case _: Exception => "absent" }
+        val rows: java.util.List[org.apache.spark.sql.Row] = java.util.Arrays.asList(
+          org.apache.spark.sql.Row("after_compile", afterCompile),
+          org.apache.spark.sql.Row("after_update", afterUpdate),
+          org.apache.spark.sql.Row("after_remove", afterRemove))
+        s.createDataFrame(rows,
+            org.apache.spark.sql.types.StructType.fromDDL("step STRING, state STRING"))
+          .orderBy(col("step"))
+      },
+      Some("""SELECT * FROM (VALUES
+          ('after_compile', 't1:a+b'),
+          ('after_remove', 'absent'),
+          ('after_update', 't1:a+renamed_b')
+        ) AS t(step, state) ORDER BY step""")),
+
     // ---- REST API round trip: POST the SQL to a live /api/q endpoint on an
     // ephemeral port, parse the streamed JSON array back into rows, and hold
     // THAT to the oracle — the full HTTP + JSON type-encoding path, not just

@@ -194,6 +194,24 @@ object Streaming {
       counts(2).cast("long").as("n_ip"), counts(3).cast("long").as("n_phone"))
   }
 
+  /** Streaming Gopher repetition filter: the twin of the
+    * `text_gopher_repetition` batch gate — every doc scored with the full
+    * 13-signal repetition battery ([[graft.functions.GopherRepetition]], one
+    * doc-local expression) and labeled with the Table-A1 keep verdict. Pure
+    * stateless map (the expression is a per-row kernel), so ingest-time
+    * repetition filtering runs at source parallelism with no state store.
+    */
+  def gopherFilterStream(docs: DataFrame, keepOnly: Boolean = true): DataFrame = {
+    import graft.functions.{GopherRepetition, GraftFunctions => F}
+    val flat = GopherRepetition.FieldNames.map(f => col("__g").getField(f).as(f))
+    val keep = GopherRepetition.KeepThresholds
+      .map { case (f, th) => col(f) <= th }.reduce(_ && _)
+    val scored = docs.select(col("doc_id"), col("text"), F.gopher_repetition(col("text")).as("__g"))
+      .select(col("doc_id") +: col("text") +: flat: _*)
+      .withColumn("keep", keep)
+    if (keepOnly) scored.where(col("keep")) else scored
+  }
+
   /** Streaming EXACT ingest dedup: the twin of the exact stage of
     * [[graft.operators.Dedup.incrementalDedup]] — a stream-static LEFT ANTI
     * join from incoming docs to the corpus's distinct normalized-md5 hashes.

@@ -110,6 +110,27 @@ class StreamingSuite extends SparkTestBase {
     assert(result.toSeq == batch.toSeq)
   }
 
+  test("streaming gopher repetition filter equals its batch twin and stays stateless") {
+    import org.apache.spark.sql.functions.concat_ws
+    val docs = QueryPack.t(spark, sf(), "documents")
+      // plant a repeated line so both keep outcomes occur in the fixture
+      .select(col("doc_id"), concat_ws("\n", col("text"),
+        when(col("doc_id") % 4 === 0, col("text")).otherwise(lit("tail line"))).as("text"))
+    val batch = Streaming.gopherFilterStream(docs, keepOnly = false)
+      .orderBy("doc_id").collect()
+    assert(batch.nonEmpty)
+    assert(batch.exists(_.getAs[Boolean]("keep")) && batch.exists(!_.getAs[Boolean]("keep")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-gopher").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, docs.schema)
+    val result = Streaming.runToMemory(
+        Streaming.gopherFilterStream(stream, keepOnly = false), "gopher_stream")
+      .orderBy("doc_id").collect()
+    assert(result.toSeq == batch.toSeq)
+    val plan = Streaming.gopherFilterStream(stream).queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"), plan)
+  }
+
   test("streaming decontamination equals the batch operator") {
     import graft.operators.Dedup
     val docs = QueryPack.t(spark, sf(), "documents")
