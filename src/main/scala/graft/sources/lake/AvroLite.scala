@@ -284,12 +284,18 @@ object AvroLite {
       (0L until math.max(len, 1L) by maxSplit).map(off => (p.toString, off, math.min(maxSplit, len - off)))
     }
     val schemaJson = avroSchema.toString
+    // non-record top level (e.g. "string", array): toStruct declared a
+    // single `value` column, so each decoded datum must be wrapped in a Row
+    // to match — decided once on the driver from the same conversion
+    val wrapTopLevel = !toSparkType(avroSchema).isInstanceOf[StructType]
     val serConf = new SerializableHadoopConf(conf)
     val rdd = spark.sparkContext.parallelize(splits, splits.size).flatMap {
       case (pathStr, start, len) =>
         val readerSchema = new Schema.Parser().parse(schemaJson)
         val in = new FsInput(new Path(pathStr), serConf.value)
         val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord](readerSchema))
+        // readers for non-record schemas yield plain values, not GenericRecord;
+        // the GenericDatumReader type parameter is erased so this is safe
         reader.sync(start)
         val end = start + len
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
@@ -299,17 +305,23 @@ object AvroLite {
             if (!more) reader.close()
             more
           }
-          override def next(): Row =
-            toRowValue(reader.next(), readerSchema).asInstanceOf[Row]
+          override def next(): Row = {
+            val v = toRowValue(reader.next(), readerSchema)
+            if (wrapTopLevel) Row(v) else v.asInstanceOf[Row]
+          }
         }
     }
     spark.createDataFrame(rdd, struct)
   }
 
-  private def parseBytes(s: String): Long = {
+  private[sources] def parseBytes(s: String): Long = {
     val t = s.trim.toLowerCase
+    // same suffix set Spark's JavaUtils.byteStringAsBytes accepts (k/m/g/t/p,
+    // with optional trailing 'b') — '1t' is a legal maxPartitionBytes value
     val (num, mult) =
-      if (t.endsWith("g") || t.endsWith("gb")) (t.replaceAll("g.?$", ""), 1L << 30)
+      if (t.endsWith("p") || t.endsWith("pb")) (t.replaceAll("p.?$", ""), 1L << 50)
+      else if (t.endsWith("t") || t.endsWith("tb")) (t.replaceAll("t.?$", ""), 1L << 40)
+      else if (t.endsWith("g") || t.endsWith("gb")) (t.replaceAll("g.?$", ""), 1L << 30)
       else if (t.endsWith("m") || t.endsWith("mb")) (t.replaceAll("m.?$", ""), 1L << 20)
       else if (t.endsWith("k") || t.endsWith("kb")) (t.replaceAll("k.?$", ""), 1L << 10)
       else if (t.endsWith("b")) (t.dropRight(1), 1L)

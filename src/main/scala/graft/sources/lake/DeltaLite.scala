@@ -77,13 +77,33 @@ object DeltaLite {
         case _ => None
       }
     }.sortBy(_._1)
-    val checkpoints = entries.flatMap { s =>
+    // A checkpoint version is only a usable replay base when it is COMPLETE:
+    // the protocol requires readers to verify all N parts of a multi-part
+    // checkpoint (a writer can crash mid-write and the part files are not
+    // atomic). Incomplete versions are dropped here, so replay falls back to
+    // an earlier complete checkpoint (or pure JSON) instead of silently
+    // missing every add stored in the absent parts.
+    val cpEntries = entries.flatMap { s =>
       s.getPath.getName match {
-        case CheckpointRe(v) => Some(v.toLong -> s)
-        case MultiCheckpointRe(v, _, _) => Some(v.toLong -> s)
+        case CheckpointRe(v) => Some((v.toLong, None: Option[(Int, Int)], s))
+        case MultiCheckpointRe(v, part, total) =>
+          Some((v.toLong, Some((part.toInt, total.toInt)), s))
         case _ => None
       }
-    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }
+    val checkpoints = cpEntries.groupBy(_._1).flatMap { case (v, es) =>
+      val singles = es.filter(_._2.isEmpty).map(_._3)
+      if (singles.nonEmpty) Some(v -> singles)
+      else {
+        // multi-part: every part 1..N of one (part, N) family must exist
+        val byTotal = es.flatMap(e => e._2.map { case (p, t) => (t, p, e._3) })
+          .groupBy(_._1)
+        byTotal.collectFirst {
+          case (total, parts) if parts.map(_._2).toSet == (1 to total).toSet =>
+            v -> parts.sortBy(_._2).map(_._3)
+        }
+      }
+    }.toMap
     LogFiles(commits, checkpoints)
   }
 

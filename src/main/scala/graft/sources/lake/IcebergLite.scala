@@ -9,8 +9,6 @@ import org.apache.avro.generic.GenericRecord
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import java.net.URI
-
 /** Native Apache Iceberg *reader*: walks `metadata/vN.metadata.json` →
   * snapshot → manifest-list (Avro) → manifests (Avro) → live parquet data
   * files, then hands data IO to Spark's parquet machinery via
@@ -176,6 +174,30 @@ object IcebergLite {
     }
     val schema = toSparkType(schemaJson).asInstanceOf[StructType]
 
+    // Name-based resolution guard. This reader matches parquet columns by
+    // NAME (Spark's ParquetFileFormat), not by Iceberg field id: a renamed
+    // column would silently read all-NULL from pre-rename files, and a
+    // dropped-then-readded name would surface the unrelated old column's
+    // data. Both evolutions are visible in the schema history, so reject
+    // them here rather than misread — the documented contract of this lite
+    // reader. (False positive only when every pre-evolution file has been
+    // rewritten, which metadata alone cannot prove.)
+    (meta \ "schemas") match {
+      case JArray(ss) if ss.size > 1 =>
+        val bindings = ss.flatMap(s => fieldBindings(s \ "fields", "")).distinct
+        val renamed = bindings.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+        val readded = bindings.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
+        require(renamed.isEmpty && readded.isEmpty,
+          s"Iceberg schema evolution requires field-id column resolution, which " +
+            s"this reader does not implement: " +
+            (renamed.map { case (id, bs) =>
+              s"field id $id appears as ${bs.map(_._2).distinct.mkString("/")}"
+            } ++ readded.map { case (n, bs) =>
+              s"column '$n' maps to field ids ${bs.map(_._1).distinct.mkString("/")}"
+            }).mkString("; ") + " (use the full Iceberg runtime for this table)")
+      case _ =>
+    }
+
     // identity-partition column names from the default spec (pruning only)
     val identityCols: Seq[String] = (meta \ "partition-specs") match {
       case JArray(specs) =>
@@ -203,8 +225,68 @@ object IcebergLite {
         s"(manifest $p has content=$content; compact the table or use the full runtime)")
     }
 
-    val files = manifestPaths.flatMap { case (mp, _) => readManifest(conf, dir, resolveUri(dir, mp)) }
-    Snapshot(snapId, schema, identityCols, files, dir)
+    // Identity-partition pruning: serve the identity columns' values from
+    // manifest metadata when EVERY file carries them (all-or-nothing — a
+    // file written under an older spec may lack the field) and every
+    // identity column has a type whose manifest Avro value converts
+    // unambiguously. Serving from metadata is also the spec-correct read
+    // for writers that omit identity-partitioned columns from data files.
+    val idFields: Seq[(String, DataType)] =
+      if (identityCols.nonEmpty && identityCols.forall(c =>
+          schema.exists(_.name == c) && prunableType(schema(schema.fieldIndex(c)).dataType)))
+        identityCols.map(c => c -> schema(schema.fieldIndex(c)).dataType)
+      else Nil
+    val filesWithVals = manifestPaths.flatMap { case (mp, _) =>
+      readManifest(conf, dir, resolveUri(dir, mp), idFields)
+    }
+    val pruning = idFields.nonEmpty && filesWithVals.nonEmpty && filesWithVals.forall(_._2.isDefined)
+    val files =
+      if (pruning) filesWithVals.map { case (f, v) => f.copy(partitionValues = v.get) }
+      else filesWithVals.map(_._1)
+    Snapshot(snapId, schema, if (pruning) identityCols else Nil, files, dir)
+  }
+
+  /** Types whose manifest-Avro partition value maps 1:1 onto the external
+    * Spark value ([[AvroLite.toRowValue]] + CatalystTypeConverters). uuid /
+    * fixed / timestamp variants are excluded — their Avro encodings need
+    * id-aware handling, and mis-serving a partition value would be silent
+    * wrong data, so those tables just keep the unpruned (still correct)
+    * read-from-parquet path.
+    */
+  private def prunableType(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | BooleanType | FloatType | DoubleType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** (field-id, dotted-path) pairs for every field at any nesting depth of
+    * one schema's `fields` array — the rename/readd detector's input.
+    */
+  private def fieldBindings(fields: JValue, prefix: String): Seq[(Int, String)] = fields match {
+    case JArray(fs) => fs.flatMap { f =>
+      val idName = ((f \ "id"), (f \ "name")) match {
+        case (JInt(id), JString(n)) => Some((id.toInt, prefix + n))
+        case _ => None
+      }
+      idName.toSeq.flatMap { case (id, path) =>
+        Seq((id, path)) ++ ((f \ "type") match {
+          case o: JObject => (o \ "type") match {
+            case JString("struct") => fieldBindings(o \ "fields", path + ".")
+            case JString("list") => (o \ "element") match {
+              case e: JObject => fieldBindings(e \ "fields", path + ".element.")
+              case _ => Nil
+            }
+            case JString("map") => (o \ "value") match {
+              case v: JObject => fieldBindings(v \ "fields", path + ".value.")
+              case _ => Nil
+            }
+            case _ => Nil
+          }
+          case _ => Nil
+        })
+      }
+    }
+    case _ => Nil
   }
 
   /** manifest-list entries -> (manifest_path, content); content defaults to
@@ -218,8 +300,12 @@ object IcebergLite {
       path -> content
     }
 
-  /** One manifest's live data files (status != 2/DELETED). */
-  private def readManifest(conf: Configuration, tableDir: Path, p: Path): Seq[LakeFile] =
+  /** One manifest's live data files (status != 2/DELETED), each with its
+    * identity-partition values when the file's partition struct carries all
+    * of them (None = this file cannot participate in metadata pruning).
+    */
+  private def readManifest(conf: Configuration, tableDir: Path, p: Path,
+      identity: Seq[(String, DataType)]): Seq[(LakeFile, Option[Seq[Any]])] =
     readAvroRecords(conf, p).flatMap { entry =>
       val status = entry.get("status").asInstanceOf[Int]
       if (status == 2) None // DELETED
@@ -235,9 +321,33 @@ object IcebergLite {
           s"only PARQUET data files are supported (found $format)")
         val path = resolveUri(tableDir, df.get("file_path").toString).toString
         val size = df.get("file_size_in_bytes").asInstanceOf[Long]
-        Some(LakeFile(path, size, 0L, Nil))
+        Some(LakeFile(path, size, 0L, Nil) -> identityValues(df, identity))
       }
     }
+
+  /** The external-typed identity-partition values of one data_file, None if
+    * any field is absent or its Avro value does not convert cleanly to the
+    * declared Spark type (verified eagerly here so a mismatch degrades to
+    * the unpruned path instead of failing — or worse, mis-serving — the scan).
+    */
+  private def identityValues(df: GenericRecord,
+      identity: Seq[(String, DataType)]): Option[Seq[Any]] = {
+    if (identity.isEmpty) return Some(Nil)
+    val pr = Option(df.getSchema.getField("partition"))
+      .map(f => df.get(f.pos()))
+      .collect { case r: GenericRecord => r }
+      .getOrElse(return None)
+    try {
+      val vs = identity.map { case (name, dt) =>
+        val pf = pr.getSchema.getField(name)
+        if (pf == null) return None
+        val v = AvroLite.toRowValue(pr.get(pf.pos()), pf.schema())
+        if (v != null) GraftLakeBridge.toCatalyst(v, dt) // throws on mismatch
+        v
+      }
+      Some(vs)
+    } catch { case _: Exception => None }
+  }
 
   private def readAvroRecords(conf: Configuration, p: Path): Seq[GenericRecord] = {
     val in = new org.apache.avro.mapred.FsInput(p, conf)
@@ -250,19 +360,35 @@ object IcebergLite {
     } finally reader.close()
   }
 
-  private[lake] def resolveUri(dir: Path, p: String): Path = {
-    val uri = new URI(p)
-    if (uri.isAbsolute || p.startsWith("/")) new Path(uri)
-    else new Path(dir, new Path(uri))
+  /** Iceberg metadata stores RAW location strings — not percent-encoded,
+    * unlike Delta's add.path — so they must NOT go through `new URI(p)`
+    * (a path with a space would throw URISyntaxException; a literal '%'
+    * would be mis-decoded). Hadoop's Path(String) treats the string as an
+    * unescaped path and quotes illegal URI characters itself.
+    */
+  private[sources] def resolveUri(dir: Path, p: String): Path = {
+    val hasScheme = p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+    if (hasScheme || p.startsWith("/")) new Path(p)
+    else new Path(dir, p)
   }
 
   // ---- DataFrame assembly ----
 
   def toDataFrame(spark: SparkSession, snap: Snapshot): DataFrame = {
-    // data files store every column, so the relation has no partition schema;
-    // manifests already did the metadata-level file selection
-    val index = new LakeFileIndex(snap.tableDir, snap.files, StructType(Nil))
-    GraftLakeBridge.parquetRelation(spark, index, StructType(Nil), snap.schema)
+    // Identity-partition columns (when the snapshot resolved values for
+    // every file) are declared as the relation's partition schema: their
+    // values are served from manifest metadata and filters on them prune in
+    // LakeFileIndex.listFiles before any task launches. All other columns
+    // read from parquet as data columns.
+    val partSchema = StructType(snap.partitionColumns.map(c =>
+      snap.schema(snap.schema.fieldIndex(c))))
+    val dataSchema = StructType(snap.schema.filterNot(f =>
+      snap.partitionColumns.contains(f.name)))
+    val index = new LakeFileIndex(snap.tableDir, snap.files, partSchema)
+    val df = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
+    if (snap.partitionColumns.isEmpty) df
+    else df.select(snap.schema.fieldNames.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col): _*)
   }
 
   def read(spark: SparkSession, dir: Path, version: Option[String] = None,

@@ -32,12 +32,18 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       throw new NoSuchTableException((ds.namespace ++ rest :+ name).toSeq))
   }
 
+  /** The snapshot is resolved ONCE here and captured by the scan closure:
+    * re-replaying the log per scan would both duplicate the driver IO and
+    * let a commit racing between load and scan desync the declared schema
+    * from the scanned data (the V1 positional cast would then silently
+    * misalign columns).
+    */
   override def loadTable(spark: SparkSession, rest: Seq[String], name: String,
       schemaOverride: Option[StructType]): Table = {
     val dir = dirFor(spark, rest, name)
     val snap = DeltaLite.snapshot(spark, dir)
     new DataFrameV1Table(name, schemaOverride.getOrElse(snap.schema),
-      s => DeltaLite.read(s, dir))
+      s => DeltaLite.toDataFrame(s, snap))
   }
 
   /** Programmatic time travel (SQL `VERSION AS OF` stays Iceberg-only for
@@ -47,14 +53,14 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     val dir = dirFor(spark, rest, name)
     val snap = DeltaLite.snapshot(spark, dir, version = Some(version))
     new DataFrameV1Table(s"$name@v$version", snap.schema,
-      s => DeltaLite.read(s, dir, version = Some(version)))
+      s => DeltaLite.toDataFrame(s, snap))
   }
 
   def loadTimestamp(spark: SparkSession, rest: Seq[String], name: String, tsMillis: Long): Table = {
     val dir = dirFor(spark, rest, name)
     val snap = DeltaLite.snapshot(spark, dir, timestampMs = Some(tsMillis))
     new DataFrameV1Table(s"$name@ts$tsMillis", snap.schema,
-      s => DeltaLite.read(s, dir, timestampMs = Some(tsMillis)))
+      s => DeltaLite.toDataFrame(s, snap))
   }
 
   override def listTables(spark: SparkSession, rest: Seq[String]): Seq[String] = {
@@ -87,21 +93,21 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     val dir = dirFor(spark, rest, name)
     val snap = IcebergLite.snapshot(spark, dir)
     new DataFrameV1Table(name, schemaOverride.getOrElse(snap.schema),
-      s => IcebergLite.read(s, dir))
+      s => IcebergLite.toDataFrame(s, snap))
   }
 
   def loadVersion(spark: SparkSession, rest: Seq[String], name: String, version: String): Table = {
     val dir = dirFor(spark, rest, name)
     val snap = IcebergLite.snapshot(spark, dir, version = Some(version))
     new DataFrameV1Table(s"$name@$version", snap.schema,
-      s => IcebergLite.read(s, dir, version = Some(version)))
+      s => IcebergLite.toDataFrame(s, snap))
   }
 
   def loadTimestamp(spark: SparkSession, rest: Seq[String], name: String, tsMillis: Long): Table = {
     val dir = dirFor(spark, rest, name)
     val snap = IcebergLite.snapshot(spark, dir, timestampMs = Some(tsMillis))
     new DataFrameV1Table(s"$name@ts$tsMillis", snap.schema,
-      s => IcebergLite.read(s, dir, timestampMs = Some(tsMillis)))
+      s => IcebergLite.toDataFrame(s, snap))
   }
 
   override def listTables(spark: SparkSession, rest: Seq[String]): Seq[String] = {

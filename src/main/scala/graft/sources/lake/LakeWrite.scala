@@ -87,10 +87,11 @@ object LakeWrite {
   // ---- Iceberg metadata (public Iceberg spec: JSON + Avro manifests) ----
 
   /** v2 manifest entry schema — the spec's field names and ids for the
-    * subset the reader consumes (partition struct kept empty: fixtures are
-    * unpartitioned; data files carry all columns regardless).
+    * subset the reader consumes. The partition struct (field r102) is
+    * parameterized: empty for unpartitioned fixtures, a typed record for
+    * identity-partitioned ones.
     */
-  val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+  private val ManifestEntryTemplate =
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -100,10 +101,16 @@ object LakeWrite {
       |  {"name":"content","type":"int","field-id":134},
       |  {"name":"file_path","type":"string","field-id":100},
       |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |  {"name":"partition","field-id":102,"type":__PART__},
       |  {"name":"record_count","type":"long","field-id":103},
       |  {"name":"file_size_in_bytes","type":"long","field-id":104}
-      |]}}]}""".stripMargin.replaceAll("\n", ""))
+      |]}}]}""".stripMargin.replaceAll("\n", "")
+
+  def manifestEntrySchema(partitionTypeJson: String =
+      """{"type":"record","name":"r102","fields":[]}"""): Schema =
+    new Schema.Parser().parse(ManifestEntryTemplate.replace("__PART__", partitionTypeJson))
+
+  val ManifestEntrySchema: Schema = manifestEntrySchema()
 
   /** v2 manifest-list entry schema (subset; same spec field ids). */
   val ManifestFileSchema: Schema = new Schema.Parser().parse(
@@ -123,21 +130,26 @@ object LakeWrite {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin.replaceAll("\n", ""))
 
-  /** One manifest entry: status 0=EXISTING 1=ADDED 2=DELETED. */
+  /** One manifest entry: status 0=EXISTING 1=ADDED 2=DELETED; `partition`
+    * fills the entry schema's r102 struct by field name (identity values).
+    */
   final case class ManifestEntry(status: Int, filePath: String, recordCount: Long,
-      fileSizeInBytes: Long, snapshotId: Long)
+      fileSizeInBytes: Long, snapshotId: Long, partition: Map[String, Any] = Map.empty)
 
-  def icebergWriteManifest(file: java.io.File, entries: Seq[ManifestEntry]): Long = {
+  def icebergWriteManifest(file: java.io.File, entries: Seq[ManifestEntry],
+      entrySchema: Schema = ManifestEntrySchema): Long = {
     val records = entries.iterator.map { e =>
-      val df = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
       df.put("content", 0)
       df.put("file_path", e.filePath)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema().getField("partition").schema()))
+      val partSchema = entrySchema.getField("data_file").schema().getField("partition").schema()
+      val part = new GenericData.Record(partSchema)
+      e.partition.foreach { case (k, v) => part.put(k, v) }
+      df.put("partition", part)
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.fileSizeInBytes)
-      val r = new GenericData.Record(ManifestEntrySchema)
+      val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", e.snapshotId)
       r.put("sequence_number", null)
@@ -145,7 +157,7 @@ object LakeWrite {
       r.put("data_file", df)
       r: org.apache.avro.generic.GenericRecord
     }
-    AvroLite.writeFile(file, ManifestEntrySchema, records,
+    AvroLite.writeFile(file, entrySchema, records,
       meta = Map("content" -> "data".getBytes("UTF-8")))
     file.length()
   }
@@ -201,10 +213,15 @@ object LakeWrite {
   final case class IcebergSnapshot(id: Long, timestampMs: Long, manifestListPath: String,
       sequenceNumber: Long)
 
-  /** Write vN.metadata.json + version-hint.text for a hadoop-style table. */
+  /** Write vN.metadata.json + version-hint.text for a hadoop-style table.
+    * `specFields` = the default partition spec's field objects (e.g.
+    * identity: {"name":"p","transform":"identity","source-id":2,
+    * "field-id":1000}); empty = unpartitioned.
+    */
   def icebergWriteMetadata(conf: Configuration, tableDir: Path, version: Int,
       schema: StructType, snapshots: Seq[IcebergSnapshot], currentSnapshotId: Long,
-      refs: Map[String, (Long, String)] = Map.empty): Path = {
+      refs: Map[String, (Long, String)] = Map.empty,
+      specFields: Seq[JObject] = Nil): Path = {
     val metaDir = new Path(tableDir, "metadata")
     val fs = metaDir.getFileSystem(conf)
     fs.mkdirs(metaDir)
@@ -218,7 +235,7 @@ object LakeWrite {
       "schemas" -> JArray(List(icebergSchemaJson(schema))),
       "current-schema-id" -> JInt(0),
       "partition-specs" -> JArray(List(JObject(
-        "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
+        "spec-id" -> JInt(0), "fields" -> JArray(specFields.map(f => f: JValue).toList)))),
       "default-spec-id" -> JInt(0),
       "last-partition-id" -> JInt(999),
       "sort-orders" -> JArray(List(JObject(

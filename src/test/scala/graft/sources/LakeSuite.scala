@@ -6,6 +6,8 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.json4s.jackson.JsonMethods
+
 import graft.SparkTestBase
 import graft.sources.lake._
 import graft.sources.lake.LakeWrite.{IcebergSnapshot, ManifestEntry}
@@ -71,6 +73,31 @@ class LakeSuite extends SparkTestBase {
       case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
       case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
     }
+  }
+
+  test("avro non-record top-level schema reads as a single `value` column") {
+    val schema = org.apache.avro.Schema.create(org.apache.avro.Schema.Type.STRING)
+    val dir = tmpDir("avro-toplevel")
+    val f = new java.io.File(dir, "t.avro")
+    // written with raw avro APIs (not AvroLite's record-typed writer), so
+    // the reader is exercised against an independently produced container
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[AnyRef](schema))
+    w.create(schema, f)
+    try Seq("alpha", "beta", "gamma").foreach(w.append(_)) finally w.close()
+    val back = AvroLite.read(spark, Seq(new Path(dir.toString)))
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+    assert(back.collect().map(_.getString(0)).sorted.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("parseBytes accepts the full Spark byte-suffix set") {
+    assert(AvroLite.parseBytes("16384") == 16384L)
+    assert(AvroLite.parseBytes("64k") == 64L << 10)
+    assert(AvroLite.parseBytes("128MB") == 128L << 20)
+    assert(AvroLite.parseBytes("2g") == 2L << 30)
+    assert(AvroLite.parseBytes("1t") == 1L << 40)
+    assert(AvroLite.parseBytes("1tb") == 1L << 40)
+    assert(AvroLite.parseBytes("1p") == 1L << 50)
   }
 
   test("avro complex unions are rejected with a clear error") {
@@ -176,6 +203,47 @@ class LakeSuite extends SparkTestBase {
     val expect = (0 until 30).filter(i => i % 3 != 1 || i % 2 == 0).map(_.toLong)
     assert(cur.select("id").collect().map(_.getLong(0)).sorted.toSeq == expect)
     assert(DeltaLite.snapshot(spark, root).version == 1L)
+  }
+
+  test("delta incomplete multi-part checkpoint is never used as a replay base") {
+    val dir = tmpDir("delta-mpcp")
+    buildDeltaFixture(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir.toString)
+    val expect = (0 until 30).filter(i => i % 3 != 1 || i % 2 == 0).map(_.toLong)
+
+    // state-at-v1 actions with ONE shared schema (a real writer slices one
+    // action set across parts), split so part 1 alone misses most adds
+    import spark.implicits._
+    val snap = DeltaLite.snapshot(spark, root)
+    val allLines = Seq(LakeWrite.deltaProtocol(),
+      LakeWrite.deltaMetaData("delta-suite-fixture", snap.schema, Seq("p"))) ++
+      snap.files.map { f =>
+        val rel = f.path.stripPrefix(root.toString).stripPrefix("/")
+        LakeWrite.deltaAdd(rel, f.size, f.modificationTime,
+          Map("p" -> String.valueOf(f.partitionValues.head)))
+      }
+    val cpAll = spark.read.json(spark.createDataset(allLines))
+    val firstAdd = "p=0/part-00000.parquet"
+    LakeWrite.writeOneParquetFile(
+      cpAll.where(col("add").isNull || col("add.path") === firstAdd),
+      new Path(root, "_delta_log/00000000000000000001.checkpoint.0000000001.0000000002.parquet"))
+
+    // only part 1 of 2 exists -> replay must fall back to the JSON log
+    val cur = DeltaLite.read(spark, root)
+    assert(cur.select("id").collect().map(_.getLong(0)).sorted.toSeq == expect,
+      "incomplete multi-part checkpoint was used as replay base")
+
+    // part 2 lands -> the version is complete and usable; state unchanged
+    // even with the superseded JSON commits gone
+    LakeWrite.writeOneParquetFile(
+      cpAll.where(col("add").isNotNull && col("add.path") =!= firstAdd),
+      new Path(root, "_delta_log/00000000000000000001.checkpoint.0000000002.0000000002.parquet"))
+    val fs = root.getFileSystem(conf)
+    fs.delete(new Path(root, "_delta_log/00000000000000000000.json"), false)
+    fs.delete(new Path(root, "_delta_log/00000000000000000001.json"), false)
+    val cur2 = DeltaLite.read(spark, root)
+    assert(cur2.select("id").collect().map(_.getLong(0)).sorted.toSeq == expect)
   }
 
   test("delta unsupported features reject clearly") {
@@ -298,6 +366,114 @@ class LakeSuite extends SparkTestBase {
       currentSnapshotId = 1003L)
     val e = intercept[IllegalArgumentException] { IcebergLite.snapshot(spark, root) }
     assert(e.getMessage.contains("delete manifests"))
+  }
+
+  /** Identity-partitioned (by p: int) single-snapshot table; when
+    * `omitPartitionCol`, data files physically LACK the p column (legal per
+    * spec for identity transforms — readers must serve it from metadata).
+    */
+  private def buildPartitionedIcebergFixture(dir: java.io.File,
+      omitPartitionCol: Boolean = false): Unit = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir.toString)
+    new java.io.File(dir, "metadata").mkdirs()
+    val full = (0 until 30).map(i => (i.toLong, i % 3, s"row-$i")).toDF("id", "p", "name")
+    val entrySchema = LakeWrite.manifestEntrySchema(
+      """{"type":"record","name":"r102","fields":[
+        |{"name":"p","type":["null","int"],"default":null,"field-id":1000}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val entries = (0 until 3).map { p =>
+      val rel = s"data/p$p.parquet"
+      val d0 = full.where($"p" === p)
+      val d = if (omitPartitionCol) d0.select("id", "name") else d0
+      val size = LakeWrite.writeOneParquetFile(d, new Path(root, rel))
+      LakeWrite.ManifestEntry(1, rel, d0.count(), size, 2001L, Map("p" -> p))
+    }
+    val mlen = LakeWrite.icebergWriteManifest(new java.io.File(dir, "metadata/m1.avro"),
+      entries, entrySchema)
+    LakeWrite.icebergWriteManifestList(new java.io.File(dir, "metadata/ml1.avro"),
+      Seq("metadata/m1.avro" -> mlen), 2001L, 1L)
+    LakeWrite.icebergWriteMetadata(conf, root, 1, full.schema,
+      Seq(IcebergSnapshot(2001L, 1700000000000L, "metadata/ml1.avro", 1L)),
+      currentSnapshotId = 2001L,
+      specFields = Seq(org.json4s.JObject(
+        "name" -> org.json4s.JString("p"),
+        "transform" -> org.json4s.JString("identity"),
+        "source-id" -> org.json4s.JInt(2),
+        "field-id" -> org.json4s.JInt(1000))))
+  }
+
+  test("iceberg identity-partition pruning fires at the metadata level") {
+    val dir = tmpDir("ice-prune")
+    buildPartitionedIcebergFixture(dir)
+    val root = new Path(dir.toString)
+    val all = IcebergLite.read(spark, root)
+    assert(all.schema.fieldNames.toSeq == Seq("id", "p", "name"),
+      "declared column order must survive the partition-schema split")
+    assert(all.count() == 30)
+    // partition values served from manifest metadata agree with the data
+    assert(all.where(col("p") === 2).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 30).filter(_ % 3 == 2).map(_.toLong))
+    val df = IcebergLite.read(spark, root).where(col("p") === 2)
+    assert(df.collect().length == 10)
+    val scans = df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numFiles").value == 1,
+      s"identity filter should prune 2 of 3 files, got ${scans.head.metrics("numFiles").value}")
+  }
+
+  test("iceberg identity columns omitted from data files are served from metadata") {
+    val dir = tmpDir("ice-omit")
+    buildPartitionedIcebergFixture(dir, omitPartitionCol = true)
+    val all = IcebergLite.read(spark, new Path(dir.toString))
+    // name-based parquet resolution alone would surface p as all-NULL here
+    assert(all.where(col("p").isNull).count() == 0)
+    assert(all.groupBy("p").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq ==
+      Seq(0 -> 10L, 1 -> 10L, 2 -> 10L))
+  }
+
+  test("iceberg column rename / drop-readd across schema history rejects clearly") {
+    val dir = tmpDir("ice-rename")
+    buildIcebergFixture(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaFile = new java.io.File(dir, "metadata/v2.metadata.json")
+    val meta = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8"))
+    // append a renamed-schema generation: field id 2 `name` -> `title`
+    val renamed = JsonMethods.parse(
+      """{"type":"struct","schema-id":1,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"title","required":false,"type":"string"}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val patched = meta.transformField {
+      case org.json4s.JField("schemas", org.json4s.JArray(ss)) =>
+        org.json4s.JField("schemas", org.json4s.JArray(ss :+ renamed))
+      case org.json4s.JField("current-schema-id", _) =>
+        org.json4s.JField("current-schema-id", org.json4s.JInt(1))
+    }
+    java.nio.file.Files.write(metaFile.toPath,
+      JsonMethods.pretty(JsonMethods.render(patched)).getBytes("UTF-8"))
+    // the fixture wrote through Hadoop's checksummed local FS; drop the now
+    // stale .crc sidecar for the out-of-band rewrite above
+    new java.io.File(dir, "metadata/.v2.metadata.json.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark, new Path(dir.toString))
+    }
+    assert(e.getMessage.contains("field-id column resolution"), e.getMessage)
+    assert(e.getMessage.contains("name/title") || e.getMessage.contains("field id 2"),
+      e.getMessage)
+  }
+
+  test("iceberg raw metadata paths with spaces and percent signs resolve") {
+    val dir = new Path("/warehouse/my data/t")
+    assert(IcebergLite.resolveUri(dir, "data/part 1.parquet").toString
+      .endsWith("my data/t/data/part 1.parquet"))
+    assert(IcebergLite.resolveUri(dir, "/abs/100%25ok/f.parquet").toString ==
+      "/abs/100%25ok/f.parquet")
+    assert(IcebergLite.resolveUri(dir, "file:/abs/x.parquet").toString ==
+      "file:/abs/x.parquet")
   }
 
   test("lake scans push filters and prune columns like any parquet table") {
