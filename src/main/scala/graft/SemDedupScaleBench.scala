@@ -13,15 +13,18 @@ import graft.functions.{GraftFunctions => F}
   *
   * `nCells` sizes by BANDED occupancy: rows x probes / nCells = 400, which
   * keeps every working cell under the hot-bucket guard's sampled detection
-  * point (~maxCellSize/2: a 10% doc sample flags buckets whose sampled
-  * count reaches cap x 0.1 / 2, i.e. true size ~cap/2) — measured the hard
-  * way twice: 4-cells-per-replica put cells AT the cap and the guard
-  * star-linked the whole corpus (recall ~0); raising probes without
-  * raising nCells pushed occupancy past the detection point and candidate
-  * counts went DOWN. The guard is for DEGENERATE cells, not the working
-  * regime. Each scale runs at probes = 2 and 3 to show the knob: more
-  * probes (with occupancy held at 400) buys recall with candidate volume —
-  * recall stays < 1 either way; that is SemDeDup's own tradeoff (the paper
+  * point (~maxCellSize since the r6 threshold fix: a 10% doc sample flags
+  * buckets whose sampled count reaches cap x 0.1, i.e. true size ~cap) —
+  * the failure modes were measured the hard way twice under the pre-fix
+  * threshold (detection at ~cap/2): 4-cells-per-replica put cells AT the
+  * cap and the guard star-linked the whole corpus (recall ~0); raising
+  * probes without raising nCells pushed occupancy past detection and
+  * candidate counts went DOWN. The guard is for DEGENERATE cells, not the
+  * working regime — the occupancy rule keeps honest headroom below it
+  * (and bounds the quadratic within-cell join at ~80k pairs/cell). Each
+  * scale runs at probes = 2 and 3 to show the knob: more probes (with
+  * occupancy held at 400) buys recall with candidate volume — recall
+  * stays < 1 either way; that is SemDeDup's own tradeoff (the paper
   * accepts misses as slightly-less-pruned training data).
   *
   * Corpus construction mirrors AnnScaleBench: replica `r` perturbs every

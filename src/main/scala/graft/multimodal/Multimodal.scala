@@ -94,29 +94,33 @@ object Multimodal {
     * chunks, features = RMS energy over FeatureDim equal windows of the PCM
     * stream, mapped to [-1, 1]. Returns None for non-WAV / non-PCM16 bytes.
     */
-  private[graft] def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int)] = {
+  private[graft] def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int)] = try {
     def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def u32(o: Int) = ((bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
       ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)).toInt
     def tag(o: Int) = if (o + 4 > bytes.length) "" else new String(bytes, o, 4, "ISO-8859-1")
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    // Long cursor: a crafted ~2 GB chunk size would wrap an Int cursor
+    // negative and index out of bounds (and this probe, like the others,
+    // must never throw on untrusted bytes — hence the belt-and-braces try)
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var data: Option[(Int, Int)] = None     // (offset, size)
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = tag(off); val size = u32(off + 4)
+      val o = off.toInt
+      val id = tag(o); val size = u32(o + 4)
       if (size < 0) return None // crafted >2GB/negative chunk size: bail out
-      if (id == "fmt " && off + 24 <= bytes.length && u16(off + 8) == 1) // PCM only
-        fmt = Some((u16(off + 10), u32(off + 12), u16(off + 22)))
-      else if (id == "data") data = Some((off + 8, math.min(size, bytes.length - off - 8)))
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      if (id == "fmt " && off + 24 <= bytes.length && u16(o + 8) == 1) // PCM only
+        fmt = Some((u16(o + 10), u32(o + 12), u16(o + 22)))
+      else if (id == "data") data = Some((o + 8, math.min(size, bytes.length - o - 8)))
+      off += 8L + size + (size & 1) // chunks are word-aligned
     }
     for ((ch, rate, bits) <- fmt; (dOff, dSize) <- data if bits == 16 && ch >= 1 && rate > 0)
       yield {
         val durMs = dSize.toLong * 1000L / (rate.toLong * ch * 2)
         (rate, ch, bits, durMs, dOff, dSize)
       }
-  }
+  } catch { case _: Exception => None }
 
   /** RMS energy over FeatureDim equal windows of [0, nSamples), samples in
     * [-1, 1] via `sampleAt` — shared by the WAV and FLAC real-decode paths
@@ -195,8 +199,8 @@ object Multimodal {
   /** FLAC STREAMINFO probe (the mandatory first metadata block after the
     * `fLaC` magic): (sample_rate_hz, duration_ms) from the packed 20-bit
     * rate and 36-bit total-sample count. Public byte layout (RFC 9639);
-    * never throws on untrusted bytes. Audio DECODE for FLAC stays stubbed
-    * (codec territory) — this is the metadata surface only.
+    * never throws on untrusted bytes. This is the metadata probe; full
+    * FLAC PCM decode (the feature path) lives in [[graft.multimodal.FlacDecode]].
     */
   private[graft] def flacInfo(bytes: Array[Byte]): Option[(Int, Long)] =
     try {
@@ -261,7 +265,9 @@ object Multimodal {
       val mono = ((bytes(i + 3) >> 6) & 3) == 3
       val spf = if (verBits == 3) 1152 else 576 // Layer III samples per frame
       val side = if (verBits == 3) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
-      val xOff = i + 4 + side
+      // protection bit 0 = a CRC-16 sits between header and side info
+      val crc = if ((bytes(i + 1) & 1) == 0) 2 else 0
+      val xOff = i + 4 + crc + side
       val vOff = i + 4 + 32
       val vbrFrames: Option[Long] = tagAt(xOff) match {
         case "Xing" | "Info" if xOff + 12 <= bytes.length && (u32be(xOff + 4) & 1L) != 0 =>
@@ -305,7 +311,11 @@ object Multimodal {
           val skip = if (p0 + 12 <= bytes.length)
             (bytes(p0 + 10) & 0xff) | ((bytes(p0 + 11) & 0xff) << 8) else 0
           (48000, if (inputRate > 0) inputRate else 48000, skip.toLong) // granules always 48 kHz
-        } else if (str(p0, 7) == "vorbis") {
+        } else if (bytes(p0) == 1 && str(p0 + 1, 6) == "vorbis") {
+          // Vorbis I id packet: type byte 0x01 + "vorbis" + version(4) +
+          // channels(1) + rate (u32 LE at +12 from the type byte); the
+          // explicit type-byte check replaces an invisible \u0001 that used
+          // to live inside the string literal
           val rate = if (p0 + 16 <= bytes.length) u32le(p0 + 12).toInt else 0
           if (rate <= 0) return None
           (rate, rate, 0L)
@@ -368,8 +378,11 @@ object Multimodal {
       .orElse(mp3Info(bytes))
 
   /** Fill the audio rows' metadata (sample_rate, duration_ms) from WAV,
-    * FLAC or MP3 headers — the audio twin of the video container probes;
-    * unrecognized audio keeps its existing metadata.
+    * FLAC, OGG (Opus/Vorbis) or MP3 headers — the audio twin of the video
+    * container probes; unrecognized audio keeps its existing metadata.
+    * The probe only evaluates on audio rows: image/video payloads would
+    * pay a full-byte MP3 sync scan for nothing and needlessly widen the
+    * untrusted-parse surface.
     */
   def withAudioMeta(media: DataFrame): DataFrame = {
     val probe = udf { bytes: Array[Byte] =>
@@ -380,7 +393,9 @@ object Multimodal {
       }
     }
     media
-      .withColumn("__a", probe(col("bytes")))
+      .withColumn("__a",
+        when(col("modality") === "audio", probe(col("bytes")))
+          .otherwise(lit(null).cast("struct<_1:int,_2:bigint>")))
       .withColumn("meta",
         when(col("modality") === "audio" && col("__a._1").isNotNull,
           struct(col("meta.width").as("width"), col("meta.height").as("height"),

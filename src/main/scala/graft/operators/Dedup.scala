@@ -134,7 +134,16 @@ object Dedup {
   private def sampledHotBuckets(rows: DataFrame, mkBanded: DataFrame => DataFrame,
       keyCols: Seq[String], maxBucketSize: Int): Option[DataFrame] = {
     val fraction = 0.1
-    val flagAt = math.max(2L, (maxBucketSize * fraction / 2).toLong)
+    // flag when the sampled count's EXPECTATION corresponds to a true size
+    // at the cap: flagAt = cap x fraction. The previous cap x fraction / 2
+    // flagged from ~cap/2 up, star-linking buckets the contract promises an
+    // exact self-join (measured in SemDedupScaleBench as a recall collapse
+    // for legitimately-dense cells). Binomial noise makes the cutoff soft
+    // over roughly [0.8, 1.2] x cap — acceptable for a guard whose target
+    // is degenerate buckets many multiples over the cap, never marginal
+    // ones; a bucket sneaking through at 1.2 x cap costs 1.44x the capped
+    // worst-case join, not a blowup.
+    val flagAt = math.max(2L, math.round(maxBucketSize * fraction))
     val hotAgg = mkBanded(rows.sample(withReplacement = false, fraction, seed = 7L))
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__scnt"), min(col("id")).as("__repid"))
@@ -299,7 +308,11 @@ object Dedup {
     * cheaper exact formulation (the winner decision is global).
     *
     * @return (id, kept_text, n_kept, n_total) — n_total counts the doc's
-    *         non-empty spans before dedup
+    *         non-empty spans before dedup. EVERY input doc appears exactly
+    *         once: a doc whose spans are all empty/whitespace comes back as
+    *         ("", 0, 0), the same shape as a doc whose spans were all
+    *         duplicates — a pipeline reassembling the corpus from this
+    *         output must not silently lose rows.
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       splitPattern: String = "\\. "): DataFrame = {
@@ -309,13 +322,19 @@ object Dedup {
     val w = Window.partitionBy(T.normText(col("span")))
       .orderBy(col("id"), col("pos"))
     val marked = spans.withColumn("__rn", row_number().over(w))
-    marked.groupBy(col("id"))
+    val agg = marked.groupBy(col("id"))
       .agg(
         concat_ws(". ", transform(
           array_sort(collect_list(when(col("__rn") === 1, struct(col("pos"), col("span"))))),
           s => s.getField("span"))).as("kept_text"),
         count(when(col("__rn") === 1, lit(1))).as("n_kept"),
         count(lit(1)).as("n_total"))
+    // id-only left join re-attaches docs with zero qualifying spans
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"))
   }
 
   /** Benchmark decontamination: flag training docs sharing any word n-gram
@@ -774,16 +793,29 @@ object Dedup {
     * should track corpus size — and the sizing must count the probes
     * multiplier: banded occupancy is rows x probes / nCells, and it is THAT
     * number that must sit well under `maxCellSize`, or the hot-bucket guard
-    * (meant for degenerate boilerplate/zero-vector cells) star-links the
-    * working regime and recall collapses (measured in SemDedupScaleBench —
-    * cells at exactly the cap lost essentially all pairs). Rule: target
-    * ~200 rows/cell at the default cap, i.e. nCells ~ rows x probes / 400;
-    * the quantizer still fits on a bounded sample at any corpus size.
+    * (meant for degenerate boilerplate/zero-vector cells; sampled detection
+    * at ~maxCellSize) star-links the working regime and recall collapses
+    * (measured in SemDedupScaleBench — cells at the detection point lost
+    * essentially all pairs). Rule: target ~400 rows/cell at the default
+    * cap, i.e. nCells ~ rows x probes / 400, which also bounds the
+    * within-cell join at ~80k pairs/cell; the quantizer still fits on a
+    * bounded sample at any corpus size.
     */
   def semanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 16, sampleSize: Int = 4096,
       maxCellSize: Int = DefaultMaxBucketSize, probes: Int = 1): DataFrame = {
     val centroids = Similarity.trainSphericalQuantizer(df, vecCol, nCells, sampleSize)
+    semanticPairs(df, idCol, vecCol, centroids, threshold, maxCellSize, probes)
+  }
+
+  /** Cell-join candidates + exact-cosine verification for trained centroids
+    * — the ONE pair-generation path behind both [[semanticDuplicates]] and
+    * [[semanticDedup]], so the threshold/distinct semantics cannot drift
+    * between the pair-listing and retention entry points.
+    */
+  private def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxCellSize: Int, probes: Int): DataFrame = {
     val pairs = cappedBucketPairs(df, semanticBanded(idCol, vecCol, centroids, probes),
         Seq("cell"), Seq("v"), maxCellSize)
       .select(col("id_a"), col("id_b"),
@@ -840,12 +872,7 @@ object Dedup {
       maxIter: Int = 20, requireConvergence: Boolean = false,
       reliableCheckpoint: Boolean = false): DataFrame = {
     val centroids = Similarity.trainSphericalQuantizer(df, vecCol, nCells, sampleSize)
-    val rawPairs = cappedBucketPairs(df, semanticBanded(idCol, vecCol, centroids, probes),
-        Seq("cell"), Seq("v"), maxCellSize)
-      .select(col("id_a"), col("id_b"),
-        F.cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
-      .where(col("cosine") >= threshold)
-    val pairs = if (probes <= 1) rawPairs else rawPairs.distinct()
+    val pairs = semanticPairs(df, idCol, vecCol, centroids, threshold, maxCellSize, probes)
     val groups = duplicateGroups(pairs, maxIter, requireConvergence, reliableCheckpoint)
     // Min-id policy shuffles only (id, group_id) into the per-group window;
     // the paper policy additionally computes each row's cosine to its own

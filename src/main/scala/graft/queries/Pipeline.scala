@@ -643,12 +643,17 @@ object Pipeline {
               PARTITION BY regexp_replace(lower(trim(span)), '\s+', ' ', 'g')
               ORDER BY doc_id, pos) AS rn
           FROM spans
+        ), agg AS (
+          SELECT doc_id,
+            COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, '. ' ORDER BY pos), '') AS kept_text,
+            COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+            COUNT(*) AS n_total
+          FROM marked GROUP BY doc_id
         )
-        SELECT doc_id,
-          COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, '. ' ORDER BY pos), '') AS kept_text,
-          COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
-          COUNT(*) AS n_total
-        FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+        SELECT d.doc_id, COALESCE(a.kept_text, '') AS kept_text,
+          COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.n_total, 0) AS n_total
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id""")),
 
     // ---- Benchmark decontamination: training docs (doc_id < 480) sharing
     // any 5-gram with the "eval set" (doc_id >= 480) get flagged with their

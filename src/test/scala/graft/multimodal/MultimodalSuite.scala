@@ -210,6 +210,60 @@ class MultimodalSuite extends SparkTestBase {
     Multimodal.audioInfo(Array(0xFF.toByte, 0xE0.toByte))
   }
 
+  test("vorbis id header, CRC-protected Xing frame, and crafted WAV sizes") {
+    // Ogg/Vorbis: id packet = type byte 0x01 + "vorbis" + version(4) +
+    // channels(1) + rate u32le (22050); final granule 44100 -> 2000 ms at
+    // the id-header rate (granule rate == sample rate for Vorbis)
+    val ogg = {
+      val out = new java.io.ByteArrayOutputStream()
+      def page(granule: Long, payload: Array[Byte]): Unit = {
+        out.write("OggS".getBytes); out.write(0); out.write(0)
+        var g = granule
+        for (_ <- 0 until 8) { out.write((g & 0xff).toInt); g >>= 8 }
+        out.write(new Array[Byte](12))
+        out.write(1); out.write(payload.length)
+        out.write(payload)
+      }
+      val vorbisId = Array[Byte](1) ++ "vorbis".getBytes ++
+        new Array[Byte](4) ++ Array[Byte](2) ++          // version, channels
+        Array[Byte](0x22, 0x56, 0, 0)                    // 22050 Hz LE
+      page(0L, vorbisId)
+      page(44100L, Array[Byte](0))
+      out.toByteArray
+    }
+    assert(Multimodal.oggInfo(ogg).contains((22050, 2000L)))
+
+    // CRC-protected frame (0xFFFA: protection bit 0): a 2-byte CRC sits
+    // between header and side info, so Xing lives at 4 + 2 + 32
+    val vbrCrc = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0xFF, 0xFA, 0x90, 0x00).map(_.toByte))
+      out.write(new Array[Byte](2))  // CRC-16
+      out.write(new Array[Byte](32)) // side info (MPEG1 stereo)
+      out.write("Xing".getBytes)
+      out.write(Array[Byte](0, 0, 0, 1))
+      out.write(Array[Byte](0, 0, 0, 100)) // 100 frames -> 2612 ms
+      out.write(new Array[Byte](500))
+      out.toByteArray
+    }
+    assert(Multimodal.mp3Info(vbrCrc).contains((44100, 2612L)),
+      s"CRC offset missed the Xing tag: ${Multimodal.mp3Info(vbrCrc)}")
+
+    // a claimed ~2 GB chunk size must return None (Long cursor), not wrap
+    // an Int offset negative and throw out of the probe
+    val evilWav = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes); out.write(Array[Byte](0, 0, 0, 0))
+      out.write("WAVE".getBytes)
+      out.write("JUNK".getBytes)
+      out.write(Array(0xF0, 0xFF, 0xFF, 0x7F).map(_.toByte)) // 0x7FFFFFF0 LE
+      out.write(new Array[Byte](40))
+      out.toByteArray
+    }
+    assert(Multimodal.wavInfo(evilWav).isEmpty)
+    assert(Multimodal.audioInfo(evilWav).isEmpty)
+  }
+
   test("ogg walk resynchronizes after a malformed page instead of truncating") {
     def page(granule: Long, payload: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()

@@ -137,6 +137,37 @@ class DedupSuite extends SparkTestBase {
       s"all 1000 identical docs must appear in a duplicate pair, got ${members.size}")
   }
 
+  test("buckets under the cap keep the exact self-join (guard detects at ~cap, not cap/2)") {
+    import spark.implicits._
+    // one bucket at 0.6 x cap: the sampled guard (10% sample, flag at
+    // cap x 0.1) must NOT star-link it — the pre-fix threshold (cap x 0.1/2)
+    // flagged from ~cap/2 up and silently broke the documented
+    // "within maxBucketSize = exact self-join" contract
+    val df = (0L until 120L)
+      .map(i => (i, "the same boilerplate page body repeated verbatim across the crawl"))
+      .toDF("doc_id", "text").repartition(4)
+    val capped = Dedup.minHashCandidatePairs(df, "doc_id", "text", maxBucketSize = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minHashCandidatePairs(df, "doc_id", "text", maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size == 120 * 119 / 2, s"under-cap bucket was star-linked: ${capped.size} pairs")
+    assert(capped == uncapped)
+  }
+
+  test("dedupSpans returns all-empty docs with n_kept = 0 instead of dropping them") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha span. beta span"), (2L, "  . .  "), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "every input doc must appear exactly once")
+    for (i <- Seq(1, 2)) {
+      assert(out(i).getString(1) == "")
+      assert(out(i).getLong(2) == 0L && out(i).getLong(3) == 0L)
+    }
+    assert(out(0).getLong(2) == 2L)
+  }
+
   test("capped and uncapped candidates agree when no bucket is hot") {
     // On the real corpus no bucket is near the default cap, so the guard must
     // be a no-op — this is what keeps the dedup_minhash gate hash-green.
