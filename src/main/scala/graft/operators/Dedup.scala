@@ -610,17 +610,83 @@ object Dedup {
     IngestIndex(shingleSize, numHashes, bands,
       hashes.select(col("__h")), banded.select(col("band"), col("bucket"), col("id")))
 
+  /** Serialized Bloom filter over an [[IngestIndex]]'s corpus hashes — the
+    * map-side prefilter for the ingest exact stage. Sizing (optimal-k
+    * filter): ~1.44 * log2(1/fpp) bits per item, so 1e9 corpus docs at the
+    * default 1% fpp is ~1.2 GB serialized — broadcastable on the executor
+    * sizes a 100 TB corpus implies. Beyond that, shard the corpus by hash
+    * prefix and run per-shard batches, or skip the bloom entirely: it is an
+    * OPTIMIZATION only; the exact anti-join fallback stays correct and the
+    * bloom path returns identical results at any fpp (false positives are
+    * resolved exactly, and a Bloom filter has no false negatives).
+    */
+  def ingestBloomBuild(index: IngestIndex, fpp: Double = 0.01): Array[Byte] = {
+    val n = index.hashes.count()
+    // stat.bloomFilter NPEs on zero input rows (null aggregate buffer) —
+    // an empty corpus gets an explicit empty filter instead
+    val bf =
+      if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+      else index.hashes.stat.bloomFilter("__h", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Deserializes the broadcast filter once per executor (lazily), not per
+    * row — the probe itself is a handful of hash ops on the already-computed
+    * content hash.
+    */
+  private final class BloomMightContain(
+      bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      extends (String => Boolean) with Serializable {
+    @transient private lazy val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes.value))
+    def apply(h: String): Boolean = h != null && bf.mightContainString(h)
+  }
+
+  /** Exact-stage survivors with a Bloom prefilter: rows whose hash the
+    * filter rules out are definitely new (no false negatives) and skip the
+    * hash-table lookup entirely; only the batch's "maybe" hashes — a set
+    * bounded by batch size x (dup rate + fpp) — touch the corpus hash
+    * table, via a broadcast semi-join that cuts it down map-side. Per-batch
+    * shuffle cost drops from a two-sided hash-table anti-join to ZERO
+    * exchanges: every join here broadcasts the batch-bounded side, and the
+    * (huge) hash table is scanned map-side once. Result is bit-identical to
+    * the plain anti-join at any fpp.
+    */
+  private def bloomExactSurvivors(hashes: DataFrame, withH: DataFrame,
+      bloomBytes: Array[Byte]): DataFrame = {
+    val spark = withH.sparkSession
+    val bc = spark.sparkContext.broadcast(bloomBytes)
+    val might = udf(new BloomMightContain(bc))
+    val probed = withH.withColumn("__maybe", might(col("__h")))
+    val maybeHashes = probed.where(col("__maybe")).select(col("__h")).distinct()
+    // present ⊆ maybeHashes, so it is batch-bounded too: both joins broadcast
+    val present = hashes.join(broadcast(maybeHashes), Seq("__h"), "left_semi")
+    probed.join(broadcast(present), Seq("__h"), "left_anti").drop("__maybe")
+  }
+
   /** [[incrementalDedup]] against a prebuilt [[IngestIndex]]: the per-batch
     * cost drops to banding the BATCH, two anti-joins, and a verification
     * join that touches only candidate corpus docs (`corpus` is still needed
     * for candidate text lookup — it is semi-joined down to candidate ids
-    * before any shingle is computed).
+    * before any shingle is computed). Pass `bloom` (from
+    * [[ingestBloomBuild]] over the same index) to prefilter the exact stage
+    * map-side: definite-new rows skip the hash table and the residual
+    * lookups all broadcast — results are identical with or without it.
     */
   def incrementalDedup(index: IngestIndex, corpus: DataFrame, newDocs: DataFrame,
-      idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val exactSurvivors = newDocs.withColumn("__h", normTextHash(textCol))
-      .join(index.hashes, Seq("__h"), "left_anti")
-      .drop("__h")
+      idCol: String, textCol: String, threshold: Double): DataFrame =
+    incrementalDedup(index, corpus, newDocs, idCol, textCol, threshold, None)
+
+  def incrementalDedup(index: IngestIndex, corpus: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      bloom: Option[Array[Byte]]): DataFrame = {
+    val withH = newDocs.withColumn("__h", normTextHash(textCol))
+    val exactSurvivors = (bloom match {
+      case Some(b) => bloomExactSurvivors(index.hashes, withH, b)
+      case None => withH.join(index.hashes, Seq("__h"), "left_anti")
+    }).drop("__h")
     val newBanded = minHashBanded(exactSurvivors, idCol, textCol,
         index.shingleSize, index.numHashes, index.bands)
       .withColumnRenamed("id", "id_new")

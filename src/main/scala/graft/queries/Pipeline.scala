@@ -141,6 +141,36 @@ object Pipeline {
         WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM matched)
         ORDER BY doc_id""")),
 
+    // ---- Ingest dedup through the persisted index + Bloom prefilter: the
+    // bloom rules out definite-new hashes map-side and the residual exact
+    // lookups broadcast; results are identical to the plain anti-join at
+    // any fpp, so the brute-force oracle applies hash-exact (doc_id % 3
+    // split so this gate cannot alias dedup_incremental's). ----
+    QuerySpec("dedup_ingest_bloom",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val corpus = d.where(col("doc_id") % 3 === 0)
+        val batch = d.where(col("doc_id") % 3 =!= 0)
+        val idx = Dedup.ingestIndexBuild(corpus, "doc_id", "text")
+        val bloom = Dedup.ingestBloomBuild(idx)
+        Dedup.incrementalDedup(idx, corpus, batch, "doc_id", "text",
+            threshold = 0.7, bloom = Some(bloom))
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, $shingleSql AS s, $normSql AS nrm
+          FROM (SELECT doc_id, $toksSql AS tk, text FROM documents)
+        ), matched AS (
+          SELECT DISTINCT n.doc_id
+          FROM sh n JOIN sh c ON n.doc_id % 3 != 0 AND c.doc_id % 3 = 0
+            AND (n.nrm = c.nrm
+              OR len(list_intersect(n.s, c.s)) * 1.0 / len(list_distinct(n.s || c.s)) >= 0.7)
+        )
+        SELECT doc_id FROM sh
+        WHERE doc_id % 3 != 0 AND doc_id NOT IN (SELECT doc_id FROM matched)
+        ORDER BY doc_id""")),
+
     // ---- Exact n-gram Jaccard on a fixed candidate set (all pairs within a
     // doc_id window — exercises the verifier independently of LSH) ----
     QuerySpec("dedup_ngram_jaccard",

@@ -421,6 +421,35 @@ class DedupSuite extends SparkTestBase {
     assert(viaDisk == direct)
   }
 
+  test("bloom prefilter is exactness-preserving at any fpp, including degenerate filters") {
+    val d = QueryPack.t(spark, sf("sf0.001"), "documents")
+    val corpus = d.where(col("doc_id") % 3 === 0)
+    val fresh = d.where(col("doc_id") % 3 =!= 0)
+    val index = Dedup.ingestIndexBuild(corpus, "doc_id", "text")
+    val plain = Dedup.incrementalDedup(index, corpus, fresh, "doc_id", "text", 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // default fpp and a near-useless 50% fpp must both match: false
+    // positives only route rows into the exact lookup, never change results
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Dedup.ingestBloomBuild(index, fpp)
+      val out = Dedup.incrementalDedup(index, corpus, fresh, "doc_id", "text", 0.7,
+          bloom = Some(bloom))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == plain, s"fpp=$fpp diverged from the anti-join path")
+    }
+    // empty corpus: everything is definite-new through the bloom
+    import spark.implicits._
+    val emptyIdx = Dedup.ingestIndexBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val emptyBloom = Dedup.ingestBloomBuild(emptyIdx)
+    val batch = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val survivors = Dedup.incrementalDedup(emptyIdx,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), batch,
+        "doc_id", "text", 0.7, bloom = Some(emptyBloom))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L))
+  }
+
   test("GATE CONFIG: incremental embedding pairs equal brute-force cross-side cosine") {
     // odd/even split of the sf0.01 embeddings at the measured-complete
     // bits=5 x tables=20 config — the ground truth behind dedup_embedding_inc
