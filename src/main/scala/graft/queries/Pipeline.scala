@@ -1193,7 +1193,31 @@ object Pipeline {
             array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
           .orderBy(col("doc_id"))
       },
-      Some(fingerprintOracleSql))
+      Some(fingerprintOracleSql)),
+
+    // ---- BPE tokenizer (Sennrich '16): merges trained on the corpus
+    // itself, every doc encoded and decoded back. The piece identities are
+    // engine-specific (pinned on known vectors in BpeSuite), so the gate
+    // hash-checks the CONTRACT per doc: decode(encode(x)) == x exactly, and
+    // the piece count sits in [n_words, n_chars + n_words] (>= 1 piece per
+    // word, <= one per char plus the Eow marker) — plus the oracle-computable
+    // n_words as real data. ----
+    QuerySpec("text_bpe_roundtrip",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val model = graft.functions.Bpe.train(d, "text", numMerges = 200, sampleSize = 500)
+        val p = graft.functions.Bpe.pieces(s, model)(col("text"))
+        d.select(col("doc_id"), T.normText(col("text")).as("__n"), p.as("__p"))
+          .select(col("doc_id"),
+            size(T.tokens(col("__n"))).as("n_words"),
+            (graft.functions.Bpe.decodePieces(col("__p")) === col("__n")).as("roundtrip"),
+            (size(col("__p")).between(size(T.tokens(col("__n"))),
+              length(col("__n")) + size(T.tokens(col("__n"))))).as("bounded"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, CAST(len($toksSql) AS INT) AS n_words,
+          TRUE AS roundtrip, TRUE AS bounded
+        FROM documents ORDER BY doc_id"""))
   )
 
   /** DuckDB oracle for text_fingerprint: the k-gram hash is the direct
