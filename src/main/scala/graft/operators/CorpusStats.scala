@@ -43,4 +43,76 @@ object CorpusStats {
       .select(col("id"), col("n_bigrams"), col("n_rare"),
         (col("n_rare").cast("double") / col("n_bigrams").cast("double")).as("novelty"))
   }
+
+  /** A trained add-one-smoothed bigram language model, all-DataFrame so it
+    * persists as three parquet tables and rehydrates by name:
+    * `bigrams` (w1, w2, c2), `contexts` (w1, c1 = sum of c2 over w2), and
+    * the single-row `vocab` (__v = distinct train token count).
+    */
+  final case class BigramLM(bigrams: DataFrame, contexts: DataFrame, vocab: DataFrame)
+
+  /** STRICT bigram rows (w1, w2), prefixed with the id columns in `keep` —
+    * empty for docs under two tokens (unlike the minhash shingles, which
+    * fall back to the whole text so short docs stay dedupable; an LM must
+    * not score a fake bigram). zip_with over two slices is map-only — no
+    * window, no shuffle.
+    */
+  private def bigramRows(df: DataFrame, textCol: String,
+      keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val tk = T.tokens(col(textCol))
+    df.select(keep :+ explode(zip_with(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"): _*)
+      .withColumn("w1", col("z.w1")).withColumn("w2", col("z.w2")).drop("z")
+  }
+
+  /** Train bigram counts on `df` — the KenLM-shaped quality signal behind
+    * CCNet-style perplexity filtering, kept to order 2 so the model is one
+    * keyed aggregate. Scale shape: the token stream shuffles ONCE on the
+    * bigram key; `contexts` is an aggregate over the (already reduced)
+    * model and `vocab` over distinct tokens — no driver-side state at any
+    * size, and the three model tables persist/rehydrate as plain parquet.
+    */
+  def bigramTrain(df: DataFrame, textCol: String): BigramLM = {
+    val bigrams = bigramRows(df, textCol, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val contexts = bigrams.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = df.select(explode(T.tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    BigramLM(bigrams, contexts, vocab)
+  }
+
+  /** Per-doc cross-entropy (bits/bigram) of `docs` under `lm` with add-one
+    * smoothing: P(w2|w1) = (c2+1) / (c1 + V + 1), V = train vocab size (the
+    * +1 reserves an out-of-vocabulary type). Returns (id, n_bigrams,
+    * xent_bits, ppl); docs with fewer than two tokens drop out (no bigram
+    * to score — filter upstream if they must be kept).
+    *
+    * Exactness-portability: each per-bigram log term is rounded to 9
+    * decimals and summed as DECIMAL — floating log/division are identical
+    * up to ulps across engines, the rounding absorbs those ulps, and the
+    * decimal sum is order-independent, so the score is reproducible
+    * bit-for-bit under any partitioning (and hash-checkable against an
+    * independent SQL engine — the `text_bigram_xent` gate). Scale shape:
+    * two keyed joins on (w1[,w2]) — the model side reduces first, the doc
+    * side shuffles once — then one per-doc aggregate; the single-row vocab
+    * frame broadcasts.
+    */
+  def bigramScore(lm: BigramLM, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = bigramRows(docs, textCol, Seq(col(idCol).as("id")))
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(lm.vocab))
+      .select(col("id"),
+        round(log(2.0,
+          (coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("__v") + lit(1)).cast("double")),
+          9).cast("decimal(28,9)").as("__t"))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__t")).as("__s"))
+      .select(col("id"), col("n_bigrams"),
+        round((-col("__s")).cast("double") / col("n_bigrams"), 6).as("xent_bits"))
+      .withColumn("ppl", round(pow(lit(2.0), col("xent_bits")), 4))
+  }
 }

@@ -1217,7 +1217,52 @@ object Pipeline {
       },
       Some(s"""SELECT doc_id, CAST(len($toksSql) AS INT) AS n_words,
           TRUE AS roundtrip, TRUE AS bounded
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Bigram LM cross-entropy (CCNet-style perplexity filtering):
+    // add-one-smoothed bigram model trained on doc_id % 5 != 0, scoring the
+    // held-out % 5 == 0 docs. Hash-exact across engines because each log
+    // term is rounded to 9 decimals (absorbing libm ulp differences) and
+    // summed as DECIMAL (order-independent); BOUNDARY DISTANCES verified
+    // offline for this fixed corpus — no term or final division sits near a
+    // rounding cut (see CorpusStatsSuite). ----
+    QuerySpec("text_bigram_xent",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val lm = graft.operators.CorpusStats.bigramTrain(
+          d.where(col("doc_id") % 5 =!= 0), "text")
+        graft.operators.CorpusStats.bigramScore(lm,
+            d.where(col("doc_id") % 5 === 0), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_bigrams"), col("xent_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $toksSql AS t FROM documents
+        ), bg AS (
+          SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+          FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ), tb AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 5 != 0 GROUP BY 1, 2
+        ), tc AS (
+          SELECT w1, SUM(c2) AS c1 FROM tb GROUP BY 1
+        ), v AS (
+          SELECT COUNT(DISTINCT t[u.i]) AS nv
+          FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+          WHERE doc_id % 5 != 0
+        ), terms AS (
+          SELECT s.doc_id,
+            CAST(ROUND(ln((COALESCE(tb.c2, 0) + 1) /
+                (COALESCE(tc.c1, 0) + v.nv + 1.0)) / ln(2.0), 9)
+              AS DECIMAL(28,9)) AS term
+          FROM bg s
+          LEFT JOIN tb ON s.w1 = tb.w1 AND s.w2 = tb.w2
+          LEFT JOIN tc ON s.w1 = tc.w1
+          CROSS JOIN v
+          WHERE s.doc_id % 5 = 0
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent_bits
+        FROM terms GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** DuckDB oracle for text_fingerprint: the k-gram hash is the direct
