@@ -78,9 +78,16 @@ object IngestScaleBench {
         Dedup.incrementalDedup(index, c, batch, "doc_id", "text", 0.7).count())
       require(survivors == survivorsIdx,
         s"index/direct disagree at scale $k: $survivors vs $survivorsIdx")
+      val (bloom, bloomBuildSec) = timed(Dedup.ingestBloomBuild(index))
+      val (survivorsBloom, bloomSec) = minOf2(
+        Dedup.incrementalDedup(index, c, batch, "doc_id", "text", 0.7, Some(bloom)).count())
+      require(survivors == survivorsBloom,
+        s"bloom/direct disagree at scale $k: $survivors vs $survivorsBloom")
       println(f"""{"scale":$k,"corpus_rows":$corpusRows,"batch_rows":$batchRows,""" +
         f""""survivors":$survivors,"direct_sec":$directSec%.3f,""" +
-        f""""index_build_sec":$buildSec%.3f,"index_query_sec":$idxSec%.3f}""")
+        f""""index_build_sec":$buildSec%.3f,"index_query_sec":$idxSec%.3f,""" +
+        f""""bloom_build_sec":$bloomBuildSec%.3f,"bloom_bytes":${bloom.length},""" +
+        f""""bloom_query_sec":$bloomSec%.3f}""")
     }
     spark.stop()
   }
