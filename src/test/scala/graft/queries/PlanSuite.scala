@@ -143,6 +143,36 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("LeftSemi"), s"missing semi-join corpus cut:\n$p")
   }
 
+  test("bloom ingest exact stage resolves with broadcast joins only") {
+    // the survivors subplan must not shuffle: the maybe-set semi-join and
+    // the residual anti-join both broadcast the batch-bounded side
+    import org.apache.spark.sql.functions.col
+    val d = QueryPack.t(spark, sf(), "documents")
+    val corpus = d.where(col("doc_id") % 3 === 0)
+    val idx = graft.operators.Dedup.ingestIndexBuild(corpus, "doc_id", "text")
+    val bloom = graft.operators.Dedup.ingestBloomBuild(idx)
+    val full = graft.operators.Dedup.incrementalDedup(idx, corpus,
+      d.where(col("doc_id") % 3 =!= 0), "doc_id", "text", 0.7, Some(bloom))
+    val p = full.queryExecution.executedPlan.toString
+    // exact-stage joins key on the __h content hash (the near stage's final
+    // conviction anti-join keys on doc_id and may legitimately sort-merge —
+    // its build side is only statically unknowable, not large)
+    val hashJoins = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("__h")).toSeq
+    assert(hashJoins.nonEmpty, s"missing exact-stage hash joins:\n$p")
+    assert(hashJoins.forall(_.contains("BroadcastHashJoin")),
+      s"exact-stage join fell back to a shuffle join:\n${hashJoins.mkString("\n")}")
+  }
+
+  test("bigram scoring broadcasts the vocab row and partially aggregates per doc") {
+    val df = graft.SparkEntry.queries("text_bigram_xent")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"single-row vocab frame must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"per-doc aggregate missing:\n$p")
+  }
+
   test("no gate plan contains an unbounded cartesian or python UDF") {
     // dedup_ngram_jaccard's candidate harness deliberately crosses a bounded
     // 30-id window; sketch_source_similarity crosses the 20 one-row-per-source
