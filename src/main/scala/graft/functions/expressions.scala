@@ -461,6 +461,197 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
   override def prettyName: String = "nearest_centroids"
 }
 
+/** Product-quantization codes (Jegou et al. '11) for a float/double vector:
+  * the vector is L2-normalized (cosine geometry), split into
+  * `codebooks.length` contiguous subspaces, and each subvector maps to the
+  * index of its EUCLIDEAN-nearest codeword — per-subspace argmin, unlike
+  * the cosine argmax of [[ArgminCentroid]], because subvectors of a unit
+  * vector are not themselves unit and quantization error, not direction,
+  * is what PQ minimizes. Runs over the whole corpus at build time, so it
+  * generates code (no UDF, stays inside whole-stage codegen on the scan).
+  * Subspace boundaries are derived from the codeword lengths, so ragged
+  * splits (dim not divisible by M) encode consistently with training.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_encode expects array<float|double>, got $t")
+  }
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // starts(m) = first dimension of subspace m
+  private lazy val starts: Array[Int] =
+    codebooks.map(_.head.length).scanLeft(0)(_ + _).init
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      v(i) = x; s += x * x; i += 1
+    }
+    val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+    val out = new Array[Any](codebooks.length)
+    var m = 0
+    while (m < codebooks.length) {
+      val cb = codebooks(m); val off = starts(m)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cc = cb(c)
+        var d = 0.0; var j = 0
+        while (j < cc.length) {
+          val x = (if (off + j < n) v(off + j) * inv else 0.0) - cc(j)
+          d += x * x; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbs = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val sts = ctx.addReferenceObj("starts", starts, "int[]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val v = ctx.freshName("v")
+      val s = ctx.freshName("s"); val inv = ctx.freshName("inv")
+      val out = ctx.freshName("out"); val m = ctx.freshName("m")
+      val cb = ctx.freshName("cb"); val off = ctx.freshName("off")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c"); val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d"); val j = ctx.freshName("j"); val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $v = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$getter($i);
+         |  $v[$i] = $x; $s += $x * $x;
+         |}
+         |double $inv = ($s == 0.0) ? 0.0 : 1.0 / java.lang.Math.sqrt($s);
+         |int[] $out = new int[$cbs.length];
+         |for (int $m = 0; $m < $cbs.length; $m++) {
+         |  double[][] $cb = $cbs[$m];
+         |  int $off = $sts[$m];
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cb.length; $c++) {
+         |    double[] $cc = $cb[$c];
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $cc.length; $j++) {
+         |      double $x = (($off + $j < $n) ? $v[$off + $j] * $inv : 0.0) - $cc[$j];
+         |      $d += $x * $x;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$m] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  }
+  override def equals(o: Any): Boolean = o match {
+    case PqEncode(c2, b2) => child == c2 && b2.length == codebooks.length &&
+      codebooks.indices.forall(m => b2(m).length == codebooks(m).length &&
+        codebooks(m).indices.forall(i => java.util.Arrays.equals(codebooks(m)(i), b2(m)(i))))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      codebooks.map(_.map(java.util.Arrays.hashCode).toSeq).toSeq.hashCode()
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Asymmetric-distance (ADC) score of a PQ code array against one of a
+  * bound set of per-query lookup tables: `luts(qid)(m)(code)` holds the
+  * partial dot product of query subvector m with codeword `code`, so each
+  * (corpus row, query) score is M array lookups — the PQ payoff: the scan
+  * touches the M-byte codes, never the full vectors. Tables are built
+  * driver-side from the (broadcast-small) query batch and ride into
+  * generated code as a reference object.
+  */
+case class PqLutScore(left: Expression, right: Expression,
+    luts: Map[Long, Array[Array[Double]]])
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // an unknown qid scores null even when both children are non-nullable —
+  // without this override ev.isNull generates as the literal `false` and
+  // the null branch below would not compile
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut_score expects (array<int>, bigint), got ($l, $r)")
+  }
+  // the generated code indexes a dense java map-free structure: sorted qid
+  // array + parallel table array, binary-searched once per row
+  private lazy val qids: Array[Long] = luts.keys.toArray.sorted
+  private lazy val tables: Array[Array[Array[Double]]] = qids.map(luts)
+  override def nullSafeEval(codes: Any, qid: Any): Any = {
+    val idx = java.util.Arrays.binarySearch(qids, qid.asInstanceOf[Long])
+    if (idx < 0) null
+    else {
+      val t = tables(idx)
+      val a = codes.asInstanceOf[ArrayData]
+      val m = math.min(t.length, a.numElements())
+      var s = 0.0; var i = 0
+      while (i < m) {
+        val c = a.getInt(i)
+        if (c >= 0 && c < t(i).length) s += t(i)(c)
+        i += 1
+      }
+      s
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qs = ctx.addReferenceObj("qids", qids, "long[]")
+    val ts = ctx.addReferenceObj("tables", tables, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (codes, qid) => {
+      val idx = ctx.freshName("idx"); val t = ctx.freshName("t")
+      val m = ctx.freshName("m"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      s"""
+         |int $idx = java.util.Arrays.binarySearch($qs, $qid);
+         |if ($idx < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[][] $t = $ts[$idx];
+         |  int $m = java.lang.Math.min($t.length, $codes.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    int $c = $codes.getInt($i);
+         |    if ($c >= 0 && $c < $t[$i].length) $s += $t[$i][$c];
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+  override def equals(o: Any): Boolean = o match {
+    case PqLutScore(l2, r2, u2) => left == l2 && right == r2 &&
+      u2.keySet == luts.keySet && luts.keys.forall(k =>
+        u2(k).length == luts(k).length &&
+          luts(k).indices.forall(i => java.util.Arrays.equals(luts(k)(i), u2(k)(i))))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) + qids.toSeq.hashCode()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLutScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_lut_score"
+}
+
 /** Karp-Rabin rolling fingerprints + winnowing (Schleimer et al. '03):
   * polynomial hashes of every k-char window, then the min hash of each
   * w-window is kept. Output: array<long> document fingerprint, robust to
@@ -753,6 +944,11 @@ object GraftFunctions {
     col(ArgminCentroid(expr(c), centroids))
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     col(NearestCentroids(expr(c), centroids, nProbe))
+  def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    col(PqEncode(expr(c), codebooks))
+  def pq_lut_score(codes: Column, qid: Column,
+      luts: Map[Long, Array[Array[Double]]]): Column =
+    col(PqLutScore(expr(codes), expr(qid), luts))
   def minhash_agg(c: Column, numHashes: Int = 128): Column =
     col(MinHashAgg(expr(c), numHashes).toAggregateExpression())
   def sketch_jaccard(a: Column, b: Column): Column =

@@ -273,6 +273,126 @@ object Similarity {
     ivfQueryCandidates(ivfBuild(corpus, idCol, vecCol, nCells, sampleSize),
       queries, qIdCol, qVecCol, nProbe, excludeSelf)
 
+  // ---- Product quantization (Jegou et al. '11) ----
+
+  /** A trained PQ index: per-subspace codebooks plus the corpus encoded to
+    * M small integer codes per row — at the default m=8 that is 8 bytes of
+    * code per vector versus 4·D bytes of floats, the ~32x memory story that
+    * lets a 100 TB corpus's ANN scan live in RAM. `codes` columns:
+    * (nn_id, codes); persist as parquet and rehydrate with [[pqFromCodes]].
+    * Vectors deliberately do NOT ride the codes table: the ADC scan reads
+    * codes only, and exact re-ranking fetches full vectors for just the
+    * shortlist by id (a broadcast-bounded semi-join against the corpus).
+    */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]], codes: DataFrame)
+
+  /** Train per-subspace codebooks and encode the corpus. Training is the
+    * quantizer-sample pattern ([[trainSphericalQuantizer]]) sliced into `m`
+    * contiguous subspaces, each fit with EUCLIDEAN k-means on the
+    * L2-normalized sample (subvectors of a unit vector are not unit —
+    * quantization error, not direction, is what PQ minimizes); encoding is
+    * the codegen'd [[graft.functions.PqEncode]] argmin, map-side over the
+    * corpus scan.
+    */
+  def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ks: Int = 16, sampleSize: Int = 4096): PqIndex = {
+    val samplePts = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"), rand(42L).as("__r"))
+      .orderBy(col("__r"))
+      .limit(sampleSize)
+      .collect().map(r => KMeansLite.normalized(r.getSeq[Double](0).toArray))
+      .sortBy(p => p.toSeq: Seq[Double])(math.Ordering.Implicits.seqOrdering)
+    require(samplePts.nonEmpty, "pqBuild needs a non-empty corpus")
+    val d = samplePts.map(_.length).max
+    require(m >= 1 && m <= d, s"m=$m must be in [1, dim=$d]")
+    // ragged split: subspace i covers [i*d/m, (i+1)*d/m)
+    val bounds = (0 to m).map(i => i * d / m).toArray
+    val codebooks = Array.tabulate(m) { i =>
+      val lo = bounds(i); val hi = bounds(i + 1)
+      val sub = samplePts.map(p =>
+        Array.tabulate(hi - lo)(j => if (lo + j < p.length) p(lo + j) else 0.0))
+      KMeansLite.fit(sub, ks, iters = 25, seed = 42L + i)
+    }
+    val codes = corpus.select(col(idCol).as("nn_id"),
+      F.pq_encode(col(vecCol), codebooks).as("codes"))
+    PqIndex(codebooks, codes)
+  }
+
+  /** Rehydrate a PQ index from persisted codes (columns nn_id, codes) and
+    * the codebooks used to produce them.
+    */
+  def pqFromCodes(codebooks: Array[Array[Array[Double]]], codes: DataFrame): PqIndex =
+    PqIndex(codebooks, codes.select(col("nn_id"), col("codes")))
+
+  /** Top-k query against a PQ index: ADC scan over the codes (per-query
+    * lookup tables built driver-side from the broadcast-small query batch,
+    * M lookups per corpus row inside codegen), shortlist the top `rerank`
+    * per query by approximate score, then fetch full vectors for the
+    * shortlist ONLY and re-rank by exact cosine — so the emitted cosines
+    * are exact (the same contract the other ANN operators gate on) and
+    * recall is set by the shortlist depth. The corpus never shuffles: the
+    * ADC scan is map-side, the shortlist semi-join broadcasts, and only
+    * k·|queries| rows reach the final window.
+    */
+  def pqTopK(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, rerank: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    val shortlist = math.max(if (rerank <= 0) 4 * k else rerank, k)
+    val d = index.codebooks.map(_.head.length).sum
+    val bounds = index.codebooks.map(_.head.length).scanLeft(0)(_ + _)
+    val qRows = queries
+      .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).cast("array<double>").as("qv"))
+      .collect()
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
+      val q = KMeansLite.normalized(r.getSeq[Double](1).toArray)
+      val t = Array.tabulate(index.codebooks.length) { mm =>
+        val lo = bounds(mm)
+        index.codebooks(mm).map { cw =>
+          var s = 0.0; var j = 0
+          while (j < cw.length) {
+            if (lo + j < q.length) s += q(lo + j) * cw(j)
+            j += 1
+          }
+          s
+        }
+      }
+      r.getLong(0) -> t
+    }.toMap
+    require(d > 0 && luts.nonEmpty, "pqTopK needs codebooks and at least one query")
+    import spark.implicits._
+    val qFrame = qRows.map(_.getLong(0)).toSeq.toDF("query_id")
+    val adc = index.codes.crossJoin(broadcast(qFrame))
+      .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("nn_id"),
+        F.pq_lut_score(col("codes"), col("query_id"), luts).as("__adc"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("nn_id").asc)
+    val cand = adc.withColumn("__r", row_number().over(wA))
+      .where(col("__r") <= shortlist)
+      .select(col("query_id"), col("nn_id"))
+    // exact re-rank: vectors fetched for the shortlist only
+    val withV = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cand), Seq("nn_id"))
+    val qVecs = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val scored = withV.join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
+  }
+
+  /** [[pqTopK]] with build included — the one-shot shape the gate uses. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, m: Int, ks: Int, rerank: Int,
+      sampleSize: Int, excludeSelf: Boolean): DataFrame =
+    pqTopK(pqBuild(corpus, idCol, vecCol, m, ks, sampleSize),
+      corpus, queries, idCol, vecCol, qIdCol, qVecCol, k, rerank, excludeSelf)
+
   /** Deterministic local k-means (k-means++ seeding + Lloyd's iterations)
     * over the collected training sample. The sample is small by construction
     * (<= sampleSize vectors), so fitting on the driver avoids the ~10

@@ -429,6 +429,21 @@ object Pipeline {
       },
       Some(annContractOracle)),
 
+    // ---- ANN: product-quantization variant (Jegou '11) — codes are 16
+    // bytes/vector vs 256 of floats, ADC scan + exact re-rank of a 50-deep
+    // shortlist, so emitted cosines are exact and the same half-oracle
+    // contract applies. Recall >= 0.9 at this exact config asserted in
+    // SimilaritySuite. ----
+    QuerySpec("ann_pq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+        annContract(Similarity.pqTopK(e, q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, m = 16, ks = 16, rerank = 50, sampleSize = 4096,
+          excludeSelf = true), e, q)
+      },
+      Some(annContractOracle)),
+
     // ---- Duplicate GROUPS from verified near-dup pairs: connected
     // components via iterative min-label propagation, hash-matched against a
     // DuckDB recursive-CTE ground truth over the same brute-force pair set. ----

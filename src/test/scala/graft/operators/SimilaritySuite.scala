@@ -146,4 +146,72 @@ class SimilaritySuite extends SparkTestBase {
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"ivf recall at gate config too low: $recall")
   }
+
+  // ---- product quantization ----
+
+  test("pq recall at the ann_pq gate config is >= 0.9; full shortlist equals brute force") {
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SAME parameters as the ann_pq gate (m=16, ks=16, rerank=50)
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, m = 16, ks = 16, rerank = 50, sampleSize = 4096, excludeSelf = true)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pq recall at gate config too low: $recall")
+    // shortlisting the whole corpus makes the exact re-rank equal brute force
+    val all = Similarity.pqTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, m = 16, ks = 16, rerank = 100000, sampleSize = 4096, excludeSelf = true)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact, "full-shortlist PQ must equal brute force")
+  }
+
+  test("pqBuild + pqTopK equals the one-shot operator, and codes persist") {
+    val q = emb.where(col("vec_id") < 10)
+    val index = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val viaIndex = Similarity.pqTopK(index, emb, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val oneShot = Similarity.pqTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, m = 8, ks = 16, rerank = 40, sampleSize = 4096, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaIndex == oneShot)
+    // parquet round-trip of the codes table
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val rehydrated = Similarity.pqFromCodes(index.codebooks,
+      spark.read.parquet(s"$dir/codes"))
+    val viaDisk = Similarity.pqTopK(rehydrated, emb, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaDisk == oneShot)
+    // the compression claim: m integer codes per row, values within [0, ks)
+    val codes = index.codes.collect()
+    assert(codes.forall(_.getSeq[Int](1).length == 8))
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+  }
+
+  test("pq_encode codegen matches interpreted eval; unknown query id scores null") {
+    import graft.functions.{GraftFunctions => F}
+    val index = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, ks = 16)
+    // interpreted path (eval) via a local relation collect with codegen off
+    val withCodes = emb.select(col("vec_id"),
+      F.pq_encode(col("embedding"), index.codebooks).as("codes"))
+    val gen = withCodes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = withCodes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(gen == interp, "codegen and interpreted pq_encode disagree")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // unknown qid -> null score (both paths)
+    val luts = Map(1L -> index.codebooks.map(_.map(_ => 0.5)))
+    val out = withCodes.limit(3)
+      .select(F.pq_lut_score(col("codes"), lit(999L).cast("long"), luts).as("s"))
+      .collect()
+    assert(out.forall(_.isNullAt(0)), "unknown query id must score null")
+  }
 }
