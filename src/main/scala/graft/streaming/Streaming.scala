@@ -231,6 +231,102 @@ object Streaming {
       .drop("__h")
   }
 
+  /** [[exactIngestStream]] with the Bloom prefilter: rows whose hash the
+    * (broadcast) filter rules out are definitely new and bypass the
+    * stream-static anti-join entirely; only the maybe-rows join. The
+    * batch-side trick of cutting the hash table with a broadcast semi-join
+    * is NOT available here (a stream cannot be the build side of a static
+    * join), so the maybe branch keeps the plain anti-join — the bloom still
+    * removes the lookup for the typically-dominant definite-new fraction.
+    * Results are identical to [[exactIngestStream]] at any fpp.
+    */
+  def exactIngestStreamBloom(corpus: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, bloom: Array[Byte]): DataFrame = {
+    val spark = docs.sparkSession
+    val normHash = graft.operators.Dedup.normTextHash(textCol)
+    val corpusHashes = corpus.select(normHash.as("__h")).distinct()
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf(new BloomProbe(bc))
+    val probed = docs.withColumn("__h", normHash)
+      .withColumn("__maybe", might(col("__h")))
+    val definite = probed.where(!col("__maybe"))
+    val checked = probed.where(col("__maybe"))
+      .join(corpusHashes, Seq("__h"), "left_anti")
+    definite.unionByName(checked).drop("__h", "__maybe")
+  }
+
+  /** Executor-lazy Bloom deserialization (mirrors the batch path's probe). */
+  private final class BloomProbe(
+      bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      extends (String => Boolean) with Serializable {
+    @transient private lazy val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes.value))
+    def apply(h: String): Boolean = h != null && bf.mightContainString(h)
+  }
+
+  /** Streaming BPE token budgeting: (docs columns) + n_tokens under a
+    * trained [[graft.functions.Bpe.BpeModel]] — stateless map-side (the
+    * merge table broadcasts), append-mode.
+    */
+  def tokenBudgetStream(docs: DataFrame, model: graft.functions.Bpe.BpeModel,
+      textCol: String): DataFrame =
+    docs.withColumn("n_tokens",
+      graft.functions.Bpe.tokenCount(docs.sparkSession, model)(col(textCol)))
+
+  /** Streaming bigram-LM scoring: the twin of
+    * [[graft.operators.CorpusStats.bigramScore]] with the model COLLECTED
+    * and broadcast so each doc scores in one stateless map (an append-mode
+    * stream cannot run the batch operator's explode + per-doc re-aggregate
+    * without state). Requires a broadcastable model — prune the vocabulary
+    * upstream if needed; the batch operator has no such constraint. Rounding
+    * mirrors the batch path exactly (9-decimal HALF_UP terms, exact decimal
+    * sum, 6-decimal mean), asserted by batch-equivalence in StreamingSuite.
+    * Emits (id, n_bigrams, xent_bits); docs with < 2 tokens drop out.
+    */
+  def bigramScoreStream(lm: graft.operators.CorpusStats.BigramLM,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val c2 = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = lm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = lm.vocab.collect().head.getLong(0)
+    val bc = spark.sparkContext.broadcast((c2, c1, v))
+    val score = udf(new BigramScorer(bc))
+    docs.select(col(idCol).as("id"), score(col(textCol)).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col("id"), col("__s._1").as("n_bigrams"), col("__s._2").as("xent_bits"))
+  }
+
+  private final class BigramScorer(
+      model: org.apache.spark.broadcast.Broadcast[
+        (Map[(String, String), Long], Map[String, Long], Long)])
+      extends (String => Option[(Long, Double)]) with Serializable {
+    def apply(text: String): Option[(Long, Double)] = {
+      if (text == null) return None
+      val (c2, c1, v) = model.value
+      // Locale.ROOT lowercase: closest JVM analogue of Spark's UTF8String
+      // lowercasing (exotic case mappings could still differ from the
+      // batch path's normText — the equivalence contract is ASCII-clean
+      // text, which curation upstream of scoring normally guarantees)
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").split(' ')
+      if (toks.length < 2) return None
+      var sum = BigDecimal(0)
+      var n = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        val p = (c2.getOrElse((toks(i), toks(i + 1)), 0L) + 1.0) /
+          (c1.getOrElse(toks(i), 0L) + v + 1.0)
+        sum += BigDecimal(math.log(p) / math.log(2.0))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        n += 1; i += 1
+      }
+      val xent = BigDecimal(-sum.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Some((n, xent))
+    }
+  }
+
   /** foreachBatch adapter for FULL incremental ingest dedup (exact + near):
     * near-dup conviction aggregates LSH candidates per doc, which an
     * append-mode stream cannot express statelessly, so each micro-batch runs

@@ -189,6 +189,57 @@ class StreamingSuite extends SparkTestBase {
     assert(result.toSet == fresh.select("doc_id").collect().map(_.getLong(0)).toSet -- matched)
   }
 
+  test("bloom exact ingest stream equals the plain stream twin at any fpp") {
+    import graft.operators.Dedup
+    val docs = QueryPack.t(spark, sf(), "documents")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val fresh = docs.where(col("doc_id") % 2 === 1)
+    val idx = Dedup.ingestIndexBuild(corpus, "doc_id", "text")
+    val plain = Streaming.exactIngestStream(corpus, fresh, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-bloom").toString
+    fresh.write.mode("overwrite").parquet(dir)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Dedup.ingestBloomBuild(idx, fpp)
+      val stream = Streaming.fileStream(spark, dir, fresh.schema)
+      val out = Streaming.runToMemory(
+          Streaming.exactIngestStreamBloom(corpus, stream, "doc_id", "text", bloom),
+          s"bloom_ingest_${(fpp * 100).toInt}")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == plain, s"fpp=$fpp diverged from the plain stream twin")
+    }
+  }
+
+  test("streaming BPE token budget and bigram scoring equal their batch twins") {
+    import graft.functions.Bpe
+    import graft.operators.CorpusStats
+    val docs = QueryPack.t(spark, sf(), "documents")
+    val model = Bpe.train(docs, "text", numMerges = 100, sampleSize = 200)
+    val lm = CorpusStats.bigramTrain(docs.where(col("doc_id") % 5 =!= 0), "text")
+    val score = docs.where(col("doc_id") % 5 === 0)
+    val batchTokens = Streaming.tokenBudgetStream(docs, model, "text")
+      .select("doc_id", "n_tokens").orderBy("doc_id").collect().toSeq
+    val batchXent = CorpusStats.bigramScore(lm, score, "doc_id", "text")
+      .select(col("id"), col("n_bigrams"), col("xent_bits")).orderBy("id").collect().toSeq
+    assert(batchTokens.nonEmpty && batchXent.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-bpe").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-stream-lm").toString
+    score.write.mode("overwrite").parquet(sdir)
+    val tok = Streaming.runToMemory(
+        Streaming.tokenBudgetStream(
+          Streaming.fileStream(spark, dir, docs.schema), model, "text"),
+        "bpe_tokens")
+      .select("doc_id", "n_tokens").orderBy("doc_id").collect().toSeq
+    assert(tok == batchTokens)
+    val xent = Streaming.runToMemory(
+        Streaming.bigramScoreStream(lm,
+          Streaming.fileStream(spark, sdir, score.schema), "doc_id", "text"),
+        "bigram_stream")
+      .select("id", "n_bigrams", "xent_bits").orderBy("id").collect().toSeq
+    assert(xent == batchXent, "stream scorer drifted from the batch operator")
+  }
+
   test("foreachBatch incremental ingest matches the batch operator per micro-batch") {
     import graft.operators.Dedup
     val docs = QueryPack.t(spark, sf("sf0.001"), "documents")
