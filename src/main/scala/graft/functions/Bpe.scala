@@ -131,9 +131,14 @@ object Bpe {
       new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
     def apply(text: String): Seq[String] = {
       if (text == null) return null
-      if (text.isEmpty) return Seq.empty
+      // split with limit -1 keeps trailing empty words, and empty words
+      // encode to a bare Eow piece rather than vanishing: normText output
+      // can carry a leading/trailing space (Spark trim strips only ' ',
+      // so "\thello" normalizes to " hello"), and dropping the empty word
+      // would break decode(encode(x)) == x — the property the roundtrip
+      // gate hash-checks
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (w <- text.split(' ') if w.nonEmpty) {
+      for (w <- text.split(" ", -1)) {
         var p = memo.get(w)
         if (p == null) {
           p = encodeWord(w, ranks)
@@ -167,7 +172,10 @@ object Bpe {
     * byte-mangled pieces).
     */
   def decodePieces(piecesCol: Column): Column =
-    trim(regexp_replace(concat_ws("", piecesCol), Eow, " "))
+    // strip exactly ONE trailing space (the final word's Eow), not trim:
+    // a leading empty word (normText of "\thello" is " hello") must decode
+    // back to its leading space for the roundtrip property to hold
+    regexp_replace(regexp_replace(concat_ws("", piecesCol), Eow, " "), " $", "")
 
   /** Persistence round-trip: (rank, left, right) rows. */
   def modelToDF(spark: SparkSession, model: BpeModel): DataFrame = {

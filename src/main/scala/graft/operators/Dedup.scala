@@ -634,9 +634,11 @@ object Dedup {
 
   /** Deserializes the broadcast filter once per executor (lazily), not per
     * row — the probe itself is a handful of hash ops on the already-computed
-    * content hash.
+    * content hash. Shared with the streaming twin
+    * ([[graft.streaming.Streaming.exactIngestStreamBloom]]) so the probe
+    * semantics cannot drift between the batch and stream paths.
     */
-  private final class BloomMightContain(
+  private[graft] final class BloomMightContain(
       bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
       extends (String => Boolean) with Serializable {
     @transient private lazy val bf = org.apache.spark.util.sketch.BloomFilter

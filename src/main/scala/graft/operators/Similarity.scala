@@ -330,9 +330,12 @@ object Similarity {
     * per query by approximate score, then fetch full vectors for the
     * shortlist ONLY and re-rank by exact cosine — so the emitted cosines
     * are exact (the same contract the other ANN operators gate on) and
-    * recall is set by the shortlist depth. The corpus never shuffles: the
-    * ADC scan is map-side, the shortlist semi-join broadcasts, and only
-    * k·|queries| rows reach the final window.
+    * recall is set by the shortlist depth. The corpus never shuffles its
+    * payload: the ADC scan is map-side, the `rank <= shortlist` filter
+    * triggers Spark's WindowGroupLimit so every scan partition truncates to
+    * its local per-query top-shortlist BEFORE the exchange (asserted in
+    * PlanSuite — at most shortlist x partitions x |queries| id/score rows
+    * move), and the re-rank fetch is a broadcast semi-join.
     */
   def pqTopK(index: PqIndex, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,

@@ -246,22 +246,13 @@ object Streaming {
     val normHash = graft.operators.Dedup.normTextHash(textCol)
     val corpusHashes = corpus.select(normHash.as("__h")).distinct()
     val bc = spark.sparkContext.broadcast(bloom)
-    val might = udf(new BloomProbe(bc))
+    val might = udf(new graft.operators.Dedup.BloomMightContain(bc))
     val probed = docs.withColumn("__h", normHash)
       .withColumn("__maybe", might(col("__h")))
     val definite = probed.where(!col("__maybe"))
     val checked = probed.where(col("__maybe"))
       .join(corpusHashes, Seq("__h"), "left_anti")
     definite.unionByName(checked).drop("__h", "__maybe")
-  }
-
-  /** Executor-lazy Bloom deserialization (mirrors the batch path's probe). */
-  private final class BloomProbe(
-      bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
-      extends (String => Boolean) with Serializable {
-    @transient private lazy val bf = org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(bytes.value))
-    def apply(h: String): Boolean = h != null && bf.mightContainString(h)
   }
 
   /** Streaming BPE token budgeting: (docs columns) + n_tokens under a
@@ -304,12 +295,16 @@ object Streaming {
     def apply(text: String): Option[(Long, Double)] = {
       if (text == null) return None
       val (c2, c1, v) = model.value
-      // Locale.ROOT lowercase: closest JVM analogue of Spark's UTF8String
-      // lowercasing (exotic case mappings could still differ from the
-      // batch path's normText — the equivalence contract is ASCII-clean
-      // text, which curation upstream of scoring normally guarantees)
-      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("\\s+", " ").split(' ')
+      // Replicate normText EXACTLY, not idiomatically: Spark's trim strips
+      // only ' ' (Java's trim eats all control chars, so "\nhello" would
+      // tokenize differently), and split must keep trailing empty tokens
+      // the way Spark's split does (limit -1). Locale.ROOT lowercase is the
+      // closest JVM analogue of Spark's UTF8String lowercasing — exotic
+      // case mappings could still differ; the equivalence contract is
+      // ASCII-clean text, which curation upstream normally guarantees.
+      val toks = text.replaceAll("^ +", "").replaceAll(" +$", "")
+        .toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").split(" ", -1)
       if (toks.length < 2) return None
       var sum = BigDecimal(0)
       var n = 0L

@@ -78,6 +78,24 @@ class BpeSuite extends SparkTestBase {
     }
   }
 
+  test("roundtrip survives whitespace residue: normText keeps spaces Spark trim misses") {
+    import spark.implicits._
+    // Spark trim strips only ' ', so "\thello" normalizes to " hello": the
+    // leading empty word must encode (bare Eow) and decode back to a space,
+    // and empty/whitespace-only docs must decode to their normalized form
+    val docs = Seq(
+      (1L, "\thello world"), (2L, "hello world\n"),
+      (3L, ""), (4L, "   "), (5L, "\n")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 10)
+    val out = docs.select(col("doc_id"),
+        TextFunctions.normText(col("text")).as("n"),
+        Bpe.decodePieces(Bpe.pieces(spark, model)(col("text"))).as("rt"))
+      .collect()
+    for (r <- out)
+      assert(r.getString(2) == r.getString(1),
+        s"doc ${r.getLong(0)}: decode '${r.getString(2)}' != norm '${r.getString(1)}'")
+  }
+
   test("model persistence round-trips through a DataFrame") {
     import spark.implicits._
     val df = (Seq.fill(5)("low lower") ++ Seq.fill(6)("newest widest"))

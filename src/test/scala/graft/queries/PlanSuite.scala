@@ -164,6 +164,16 @@ class PlanSuite extends SparkTestBase {
       s"exact-stage join fell back to a shuffle join:\n${hashJoins.mkString("\n")}")
   }
 
+  test("pq top-k truncates map-side before the window exchange (WindowGroupLimit)") {
+    val df = graft.SparkEntry.queries("ann_pq")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // both windows (ADC shortlist and final top-k) must carry the Partial
+    // group-limit: each scan partition ships at most shortlist rows per
+    // query into the exchange instead of its whole ADC output
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"pq window lost its partial group limit:\n$p")
+  }
+
   test("bigram scoring broadcasts the vocab row and partially aggregates per doc") {
     val df = graft.SparkEntry.queries("text_bigram_xent")(spark, sf())
     val p = df.queryExecution.executedPlan.toString

@@ -210,6 +210,32 @@ class StreamingSuite extends SparkTestBase {
     }
   }
 
+  test("stream bigram scorer matches batch on whitespace-framed text") {
+    import graft.operators.CorpusStats
+    import spark.implicits._
+    // Java trim/split would diverge from Spark normText here: leading \n
+    // (kept by Spark trim, collapsed to a leading space -> empty first
+    // token) and a whitespace-only doc (scored by batch as one ("","")
+    // bigram)
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val lm = CorpusStats.bigramTrain(train, "text")
+    val tricky = Seq((10L, "\na b"), (11L, "a b\t"), (12L, "\n"), (13L, "x"))
+      .toDF("doc_id", "text")
+    val batch = CorpusStats.bigramScore(lm, tricky, "doc_id", "text")
+      .select("id", "n_bigrams", "xent_bits").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-lm-ws").toString
+    tricky.write.mode("overwrite").parquet(dir)
+    val streamed = Streaming.runToMemory(
+        Streaming.bigramScoreStream(lm,
+          Streaming.fileStream(spark, dir, tricky.schema), "doc_id", "text"),
+        "bigram_ws")
+      .select("id", "n_bigrams", "xent_bits").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch.map(_._1).contains(12L), "whitespace-only doc must score (one empty-token bigram)")
+  }
+
   test("streaming BPE token budget and bigram scoring equal their batch twins") {
     import graft.functions.Bpe
     import graft.operators.CorpusStats
