@@ -69,6 +69,7 @@ object AnnScaleBench {
       Similarity.bruteForceTopK(c, q, a, b, cc, d, k).count()
       Similarity.lshTopK(c, q, a, b, cc, d, k, bits, multiProbe = true, tables).count()
       Similarity.ivfTopK(c, q, a, b, cc, d, k, nCells, nProbe).count()
+      Similarity.pqTopK(c, q, a, b, cc, d, k, 16, 16, 5 * k, 4096, true).count()
     }
 
     scales.foreach { n =>
@@ -83,6 +84,16 @@ object AnnScaleBench {
       val lshSec = minOf2(Similarity.lshTopK(c, qa, ia, va, qia, qva, k, bits,
         multiProbe = true, tables).count())
       val ivfSec = minOf2(Similarity.ivfTopK(c, qa, ia, va, qia, qva, k, nCells, nProbe).count())
+      // PQ: build once per scale (the deployment shape), then query twice;
+      // ADC touches every (row, query) pair but at M=16 table lookups per
+      // pair instead of a 64-dim float dot — its lever is bytes/FLOPs per
+      // pair plus the 16 B/vector code table, not pair pruning
+      val (pqIndex, pqBuildSec) = timed {
+        val idx = Similarity.pqBuild(c, ia, va, m = 16, ks = 16)
+        Similarity.PqIndex(idx.codebooks, idx.codes.localCheckpoint(true))
+      }
+      val pqSec = minOf2(Similarity.pqTopK(pqIndex, c, qa, ia, va, qia, qva,
+        k, rerank = 5 * k).count())
 
       val brutePairs = rows * nQueries
       val lshPairs = Similarity.lshScoredPairs(c, qa, ia, va, qia, qva, bits,
@@ -100,13 +111,17 @@ object AnnScaleBench {
       val lshRecall = recall(Similarity.lshTopK(c, qa, ia, va, qia, qva, k, bits,
         multiProbe = true, tables))
       val ivfRecall = recall(Similarity.ivfTopK(c, qa, ia, va, qia, qva, k, nCells, nProbe))
+      val pqRecall = recall(Similarity.pqTopK(pqIndex, c, qa, ia, va, qia, qva,
+        k, rerank = 5 * k))
 
       println(f"""{"scale":$n,"rows":$rows,"queries":$nQueries,""" +
         f""""brute_pairs":$brutePairs,"lsh_pairs":$lshPairs,"ivf_pairs":$ivfPairs,""" +
         f""""lsh_prune_x":${brutePairs.toDouble / math.max(lshPairs, 1)}%.1f,""" +
         f""""ivf_prune_x":${brutePairs.toDouble / math.max(ivfPairs, 1)}%.1f,""" +
         f""""brute_sec":$bruteSec%.3f,"lsh_sec":$lshSec%.3f,"ivf_sec":$ivfSec%.3f,""" +
-        f""""lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f}""")
+        f""""pq_build_sec":$pqBuildSec%.3f,"pq_sec":$pqSec%.3f,""" +
+        f""""lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,""" +
+        f""""pq_recall":$pqRecall%.3f}""")
     }
     spark.stop()
   }

@@ -396,6 +396,90 @@ object Similarity {
     pqTopK(pqBuild(corpus, idCol, vecCol, m, ks, sampleSize),
       corpus, queries, idCol, vecCol, qIdCol, qVecCol, k, rerank, excludeSelf)
 
+  /** IVF x PQ (the paper's full IVFADC shape): coarse cells prune WHICH rows
+    * the ADC scan touches, PQ codes shrink WHAT each touched row costs —
+    * at 100 TB both levers matter (nProbe/nCells of the corpus scanned, 16
+    * bytes of it per row). `cells` columns: (nn_id, cell, codes); persist
+    * bucketed by cell ([[graft.operators.Bucketing]]) for shuffle-free
+    * probes and rehydrate with [[ivfPqFromCells]]. One corpus pass builds
+    * both structures (single scan: cell argmax and code argmins are
+    * map-side expressions in the same projection).
+    */
+  final case class IvfPqIndex(centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], cells: DataFrame)
+
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 8, ks: Int = 16,
+      sampleSize: Int = 4096): IvfPqIndex = {
+    val centroids = trainSphericalQuantizer(corpus, vecCol, nCells, sampleSize)
+    val pq = pqBuild(corpus, idCol, vecCol, m, ks, sampleSize)
+    val cells = corpus.select(col(idCol).as("nn_id"),
+      F.argmin_centroid(col(vecCol), centroids).as("cell"),
+      F.pq_encode(col(vecCol), pq.codebooks).as("codes"))
+    IvfPqIndex(centroids, pq.codebooks, cells)
+  }
+
+  def ivfPqFromCells(centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], cells: DataFrame): IvfPqIndex =
+    IvfPqIndex(centroids, codebooks,
+      cells.select(col("nn_id"), col("cell"), col("codes")))
+
+  /** Top-k against an IVF x PQ index: probe the nProbe nearest cells per
+    * query, ADC-score only rows in probed cells (M lookups each, inside
+    * codegen), shortlist, then exact-cosine re-rank fetched by broadcast
+    * semi-join — emitted cosines are exact, recall is set by (nProbe,
+    * rerank). Same zero-corpus-shuffle shape as [[pqTopK]] with the scan
+    * cut to the probed fraction.
+    */
+  def ivfPqTopK(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 3, rerank: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
+    val shortlist = math.max(if (rerank <= 0) 4 * k else rerank, k)
+    val bounds = index.codebooks.map(_.head.length).scanLeft(0)(_ + _)
+    val qRows = queries
+      .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).cast("array<double>").as("qv"))
+      .collect()
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
+      val q = KMeansLite.normalized(r.getSeq[Double](1).toArray)
+      r.getLong(0) -> Array.tabulate(index.codebooks.length) { mm =>
+        val lo = bounds(mm)
+        index.codebooks(mm).map { cw =>
+          var s = 0.0; var j = 0
+          while (j < cw.length) {
+            if (lo + j < q.length) s += q(lo + j) * cw(j)
+            j += 1
+          }
+          s
+        }
+      }
+    }.toMap
+    require(luts.nonEmpty, "ivfPqTopK needs at least one query")
+    // per-query probe list joins on cell — only probed-cell codes are scored
+    val probes = queries.select(col(qIdCol).as("query_id"),
+      explode(F.nearest_centroids(col(qVecCol), index.centroids, nProbe)).as("cell"))
+    val adc = index.cells.join(broadcast(probes), Seq("cell"))
+      .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("nn_id"),
+        F.pq_lut_score(col("codes"), col("query_id").cast("long"), luts).as("__adc"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("nn_id").asc)
+    val cand = adc.withColumn("__r", row_number().over(wA))
+      .where(col("__r") <= shortlist)
+      .select(col("query_id"), col("nn_id"))
+    val withV = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cand), Seq("nn_id"))
+    val qVecs = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val scored = withV.join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
+  }
+
   /** Deterministic local k-means (k-means++ seeding + Lloyd's iterations)
     * over the collected training sample. The sample is small by construction
     * (<= sampleSize vectors), so fitting on the driver avoids the ~10

@@ -444,6 +444,21 @@ object Pipeline {
       },
       Some(annContractOracle)),
 
+    // ---- ANN: IVF x PQ (the full IVFADC shape) — coarse cells prune WHICH
+    // rows the ADC scan touches, codes shrink WHAT each row costs; exact
+    // re-rank keeps the half-oracle contract applicable. Recall >= 0.9 at
+    // this exact config asserted in SimilaritySuite. ----
+    QuerySpec("ann_ivfpq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+        val idx = Similarity.ivfPqBuild(e, "vec_id", "embedding",
+          nCells = 8, m = 16, ks = 16)
+        annContract(Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nProbe = 6, rerank = 100), e, q)
+      },
+      Some(annContractOracle)),
+
     // ---- Duplicate GROUPS from verified near-dup pairs: connected
     // components via iterative min-label propagation, hash-matched against a
     // DuckDB recursive-CTE ground truth over the same brute-force pair set. ----

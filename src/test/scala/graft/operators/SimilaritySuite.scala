@@ -191,6 +191,34 @@ class SimilaritySuite extends SparkTestBase {
     assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
   }
 
+  test("ivf x pq: recall at the ann_ivfpq gate config; all-cells full shortlist is exact") {
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      nCells = 8, m = 16, ks = 16)
+    // SAME parameters as the ann_ivfpq gate (nProbe=6, rerank=100)
+    val approx = Similarity.ivfPqTopK(index, emb, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nProbe = 6, rerank = 100)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ivfpq recall at gate config too low: $recall")
+    // probing every cell with an unbounded shortlist must equal brute force
+    val all = Similarity.ivfPqTopK(index, emb, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nProbe = 8, rerank = 100000)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact, "all-cells full-shortlist IVFxPQ must equal brute force")
+    // persistence round-trip of the one-table (nn_id, cell, codes) layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    index.cells.write.mode("overwrite").parquet(dir)
+    val rehydrated = Similarity.ivfPqFromCells(index.centroids, index.codebooks,
+      spark.read.parquet(dir))
+    val viaDisk = Similarity.ivfPqTopK(rehydrated, emb, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nProbe = 6, rerank = 100)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDisk == approx)
+  }
+
   test("pq_encode codegen matches interpreted eval; unknown query id scores null") {
     import graft.functions.{GraftFunctions => F}
     val index = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, ks = 16)
