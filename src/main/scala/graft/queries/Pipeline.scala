@@ -1292,7 +1292,66 @@ object Pipeline {
         )
         SELECT doc_id, COUNT(*) AS n_bigrams,
           ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent_bits
-        FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Multinomial Naive Bayes source classification (the fastText /
+    // CCNet quality-classifier shape in closed form): model trained on
+    // doc_id % 4 != 0, held-out docs classified by add-one-smoothed
+    // log2-joint argmax. Same portable-decimal-term discipline as
+    // text_bigram_xent (boundary distances proven in ClassifySuite), so
+    // predictions AND scores hash-match DuckDB exactly. ----
+    QuerySpec("text_nb_source",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val model = graft.operators.Classify.nbTrain(
+          d.where(col("doc_id") % 4 =!= 0), "source", "text")
+        graft.operators.Classify.nbPredict(model,
+            d.where(col("doc_id") % 4 === 0), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("label"), col("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, $toksSql AS t FROM documents
+        ), tok AS (
+          SELECT doc_id, source, t[u.i] AS w
+          FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+        ), train AS (
+          SELECT * FROM tok WHERE doc_id % 4 != 0
+        ), tc AS (
+          SELECT source AS label, w, COUNT(*) AS cnt FROM train GROUP BY 1, 2
+        ), ct AS (
+          SELECT source AS label, COUNT(DISTINCT doc_id) AS n_docs,
+            COUNT(*) AS n_tokens
+          FROM train GROUP BY 1
+        ), v AS (
+          SELECT COUNT(DISTINCT w) AS nv FROM train
+        ), nd AS (
+          SELECT SUM(n_docs) AS t FROM ct
+        ), priors AS (
+          SELECT ct.label, ct.n_tokens,
+            CAST(ROUND(ln(ct.n_docs * 1.0 / nd.t) / ln(2.0), 9)
+              AS DECIMAL(20,9)) AS prior
+          FROM ct, nd
+        ), terms AS (
+          SELECT s.doc_id, p.label,
+            CAST(ROUND(ln((COALESCE(tc.cnt, 0) + 1) /
+                (p.n_tokens + v.nv + 1.0)) / ln(2.0), 9)
+              AS DECIMAL(20,9)) AS term
+          FROM tok s
+          CROSS JOIN priors p
+          LEFT JOIN tc ON tc.label = p.label AND tc.w = s.w
+          CROSS JOIN v
+          WHERE s.doc_id % 4 = 0
+        ), scored AS (
+          SELECT t.doc_id, t.label, MIN(p.prior) + SUM(t.term) AS score
+          FROM terms t JOIN priors p ON p.label = t.label
+          GROUP BY 1, 2
+        )
+        SELECT doc_id, label, CAST(score AS DOUBLE) AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rk
+          FROM scored)
+        WHERE rk = 1 ORDER BY doc_id"""))
   )
 
   /** DuckDB oracle for text_fingerprint: the k-gram hash is the direct
