@@ -159,10 +159,13 @@ object Bpe {
   }
 
   /** Token count under `model` — the budget number a packing/pricing
-    * pipeline actually needs.
+    * pipeline actually needs. The bare-Eow pieces that empty words (leading
+    * or trailing whitespace residue) contribute exist only so decode can
+    * reconstruct the normalized text — they are not budget tokens and are
+    * excluded here: an empty doc costs 0, " hello" costs what "hello" costs.
     */
   def tokenCount(spark: SparkSession, model: BpeModel)(text: Column): Column =
-    size(pieces(spark, model)(text))
+    size(filter(pieces(spark, model)(text), p => p =!= lit(Eow)))
 
   /** Inverse of [[pieces]] for normalized text — pure built-ins (concat +
     * replace + trim), stays in whole-stage codegen. Caveat: text whose

@@ -31,10 +31,15 @@ object Classify {
       vocab: DataFrame)
 
   def nbTrain(df: DataFrame, labelCol: String, textCol: String): NaiveBayesModel = {
-    val toks = df.select(col(labelCol).as("label"),
+    // null text carries no tokens, so a null-text doc cannot influence the
+    // likelihoods — excluding it from the PRIOR counts too keeps the model
+    // well-defined (and keeps n_docs derivable from the token stream, the
+    // form an independent SQL oracle naturally computes)
+    val docs = df.where(col(textCol).isNotNull)
+    val toks = docs.select(col(labelCol).as("label"),
       explode(T.tokens(col(textCol))).as("w"))
     val tokenCounts = toks.groupBy(col("label"), col("w")).agg(count(lit(1)).as("cnt"))
-    val classTotals = df.select(col(labelCol).as("label"), size(T.tokens(col(textCol))).as("__n"))
+    val classTotals = docs.select(col(labelCol).as("label"), size(T.tokens(col(textCol))).as("__n"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
     val vocab = toks.agg(countDistinct(col("w")).as("__v"))
@@ -73,11 +78,14 @@ object Classify {
       .select(col("label"), col("n_tokens"), col("__v"),
         round(log(2.0, col("n_docs").cast("double") / col("__nd").cast("double")), 9)
           .cast(dec).as("__prior"))
-    val docToks = docs.select(col(idCol).as("id"), explode(T.tokens(col(textCol))).as("w"))
+    // null-text docs carry no tokens and are not scored (explode drops
+    // them) — mirror nbTrain's treatment rather than inventing a prior-only
+    // score for them
+    val docToks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(T.tokens(col(textCol))).as("w"))
     // every (doc token, label) pair: bounded fan-out of |classes|
-    val perLabel = docToks.join(broadcast(priors.select(col("label"))))
+    val perLabel = docToks.crossJoin(broadcast(priors))
       .join(model.tokenCounts, Seq("label", "w"), "left")
-      .join(broadcast(priors), Seq("label"))
       .select(col("id"), col("label"), col("__prior"),
         round(log(2.0,
           (coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /

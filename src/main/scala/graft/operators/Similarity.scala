@@ -296,26 +296,43 @@ object Similarity {
     */
   def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ks: Int = 16, sampleSize: Int = 4096): PqIndex = {
-    val samplePts = corpus
+    val samplePts = sampleUnitVectors(corpus, vecCol, sampleSize)
+    val codebooks = fitCodebooks(samplePts, m, ks)
+    val codes = corpus.select(col(idCol).as("nn_id"),
+      F.pq_encode(col(vecCol), codebooks).as("codes"))
+    PqIndex(codebooks, codes)
+  }
+
+  /** The quantizer-sample pattern (seeded TakeOrderedAndProject, one corpus
+    * pass, content-sorted for partition-order independence), shared by the
+    * spherical coarse quantizer and the PQ codebook fits.
+    */
+  private def sampleUnitVectors(corpus: DataFrame, vecCol: String,
+      sampleSize: Int): Array[Array[Double]] =
+    corpus
       .select(col(vecCol).cast("array<double>").as("__v"), rand(42L).as("__r"))
       .orderBy(col("__r"))
       .limit(sampleSize)
       .collect().map(r => KMeansLite.normalized(r.getSeq[Double](0).toArray))
       .sortBy(p => p.toSeq: Seq[Double])(math.Ordering.Implicits.seqOrdering)
-    require(samplePts.nonEmpty, "pqBuild needs a non-empty corpus")
+
+  /** Per-subspace EUCLIDEAN k-means codebooks over an already-collected
+    * unit-vector sample (subvectors of a unit vector are not unit —
+    * quantization error, not direction, is what PQ minimizes).
+    */
+  private def fitCodebooks(samplePts: Array[Array[Double]], m: Int,
+      ks: Int): Array[Array[Array[Double]]] = {
+    require(samplePts.nonEmpty, "PQ training needs a non-empty corpus")
     val d = samplePts.map(_.length).max
     require(m >= 1 && m <= d, s"m=$m must be in [1, dim=$d]")
     // ragged split: subspace i covers [i*d/m, (i+1)*d/m)
     val bounds = (0 to m).map(i => i * d / m).toArray
-    val codebooks = Array.tabulate(m) { i =>
+    Array.tabulate(m) { i =>
       val lo = bounds(i); val hi = bounds(i + 1)
       val sub = samplePts.map(p =>
         Array.tabulate(hi - lo)(j => if (lo + j < p.length) p(lo + j) else 0.0))
       KMeansLite.fit(sub, ks, iters = 25, seed = 42L + i)
     }
-    val codes = corpus.select(col(idCol).as("nn_id"),
-      F.pq_encode(col(vecCol), codebooks).as("codes"))
-    PqIndex(codebooks, codes)
   }
 
   /** Rehydrate a PQ index from persisted codes (columns nn_id, codes) and
@@ -340,45 +357,69 @@ object Similarity {
   def pqTopK(index: PqIndex, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, rerank: Int = 0, excludeSelf: Boolean = true): DataFrame = {
-    val spark = corpus.sparkSession
     val shortlist = math.max(if (rerank <= 0) 4 * k else rerank, k)
-    val d = index.codebooks.map(_.head.length).sum
-    val bounds = index.codebooks.map(_.head.length).scanLeft(0)(_ + _)
-    val qRows = queries
-      .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).cast("array<double>").as("qv"))
-      .collect()
-    val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
-      val q = KMeansLite.normalized(r.getSeq[Double](1).toArray)
-      val t = Array.tabulate(index.codebooks.length) { mm =>
-        val lo = bounds(mm)
-        index.codebooks(mm).map { cw =>
-          var s = 0.0; var j = 0
-          while (j < cw.length) {
-            if (lo + j < q.length) s += q(lo + j) * cw(j)
-            j += 1
-          }
-          s
-        }
-      }
-      r.getLong(0) -> t
-    }.toMap
-    require(d > 0 && luts.nonEmpty, "pqTopK needs codebooks and at least one query")
-    import spark.implicits._
-    val qFrame = qRows.map(_.getLong(0)).toSeq.toDF("query_id")
-    val adc = index.codes.crossJoin(broadcast(qFrame))
+    val qPinned = pinQueries(queries, qIdCol, qVecCol)
+    val luts = buildAdcLuts(index.codebooks, qPinned)
+    require(luts.nonEmpty, "pqTopK needs at least one query")
+    val adc = index.codes.crossJoin(broadcast(qPinned.select(col("query_id"))))
       .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("nn_id"),
         F.pq_lut_score(col("codes"), col("query_id"), luts).as("__adc"))
+    adcShortlistRerank(adc, corpus, idCol, vecCol, qPinned, k, shortlist)
+  }
+
+  /** One pinned evaluation of the query batch: (query_id: long, __qv),
+    * eagerly materialized so the driver-side LUT build and every Spark-side
+    * reuse (ADC query frame, IVF probe list, re-rank vectors) see the SAME
+    * rows — a non-deterministic `queries` frame (sample, limit over
+    * unordered input) would otherwise key the LUTs on one row set and probe
+    * with another, silently scoring null.
+    */
+  private def pinQueries(queries: DataFrame, qIdCol: String,
+      qVecCol: String): DataFrame =
+    queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("__qv"))
+      .localCheckpoint(true)
+
+  /** Per-query ADC lookup tables from the pinned query frame:
+    * luts(qid)(m)(code) = dot(query subvector m, codeword `code`).
+    */
+  private def buildAdcLuts(codebooks: Array[Array[Array[Double]]],
+      qPinned: DataFrame): Map[Long, Array[Array[Double]]] = {
+    val bounds = codebooks.map(_.head.length).scanLeft(0)(_ + _)
+    qPinned.select(col("query_id"), col("__qv").cast("array<double>"))
+      .collect().map { r =>
+        val q = KMeansLite.normalized(r.getSeq[Double](1).toArray)
+        r.getLong(0) -> Array.tabulate(codebooks.length) { mm =>
+          val lo = bounds(mm)
+          codebooks(mm).map { cw =>
+            var s = 0.0; var j = 0
+            while (j < cw.length) {
+              if (lo + j < q.length) s += q(lo + j) * cw(j)
+              j += 1
+            }
+            s
+          }
+        }
+      }.toMap
+  }
+
+  /** Shared PQ tail: shortlist the top `shortlist` per query by ADC score
+    * (WindowGroupLimit truncates map-side, PlanSuite-asserted), fetch full
+    * vectors for the shortlist ONLY via broadcast joins, and re-rank by
+    * exact cosine — used by both the flat-ADC and IVFxPQ paths so scoring
+    * and tie-break semantics cannot drift between them.
+    */
+  private def adcShortlistRerank(adc: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, qPinned: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("nn_id").asc)
     val cand = adc.withColumn("__r", row_number().over(wA))
       .where(col("__r") <= shortlist)
       .select(col("query_id"), col("nn_id"))
-    // exact re-rank: vectors fetched for the shortlist only
     val withV = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"))
       .join(broadcast(cand), Seq("nn_id"))
-    val qVecs = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
-    val scored = withV.join(broadcast(qVecs), Seq("query_id"))
+    val scored = withV.join(broadcast(qPinned), Seq("query_id"))
       .select(col("query_id"), col("nn_id"),
         F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
@@ -411,12 +452,16 @@ object Similarity {
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 8, ks: Int = 16,
       sampleSize: Int = 4096): IvfPqIndex = {
-    val centroids = trainSphericalQuantizer(corpus, vecCol, nCells, sampleSize)
-    val pq = pqBuild(corpus, idCol, vecCol, m, ks, sampleSize)
+    // ONE sample collection feeds both fits (the coarse spherical quantizer
+    // and the per-subspace codebooks) — no second corpus scan
+    val samplePts = sampleUnitVectors(corpus, vecCol, sampleSize)
+    val centroids = KMeansLite.fit(samplePts, nCells, iters = 25, seed = 42L,
+      spherical = true)
+    val codebooks = fitCodebooks(samplePts, m, ks)
     val cells = corpus.select(col(idCol).as("nn_id"),
       F.argmin_centroid(col(vecCol), centroids).as("cell"),
-      F.pq_encode(col(vecCol), pq.codebooks).as("codes"))
-    IvfPqIndex(centroids, pq.codebooks, cells)
+      F.pq_encode(col(vecCol), codebooks).as("codes"))
+    IvfPqIndex(centroids, codebooks, cells)
   }
 
   def ivfPqFromCells(centroids: Array[Array[Double]],
@@ -436,48 +481,17 @@ object Similarity {
       k: Int, nProbe: Int = 3, rerank: Int = 0,
       excludeSelf: Boolean = true): DataFrame = {
     val shortlist = math.max(if (rerank <= 0) 4 * k else rerank, k)
-    val bounds = index.codebooks.map(_.head.length).scanLeft(0)(_ + _)
-    val qRows = queries
-      .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).cast("array<double>").as("qv"))
-      .collect()
-    val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
-      val q = KMeansLite.normalized(r.getSeq[Double](1).toArray)
-      r.getLong(0) -> Array.tabulate(index.codebooks.length) { mm =>
-        val lo = bounds(mm)
-        index.codebooks(mm).map { cw =>
-          var s = 0.0; var j = 0
-          while (j < cw.length) {
-            if (lo + j < q.length) s += q(lo + j) * cw(j)
-            j += 1
-          }
-          s
-        }
-      }
-    }.toMap
+    val qPinned = pinQueries(queries, qIdCol, qVecCol)
+    val luts = buildAdcLuts(index.codebooks, qPinned)
     require(luts.nonEmpty, "ivfPqTopK needs at least one query")
     // per-query probe list joins on cell — only probed-cell codes are scored
-    val probes = queries.select(col(qIdCol).as("query_id"),
-      explode(F.nearest_centroids(col(qVecCol), index.centroids, nProbe)).as("cell"))
+    val probes = qPinned.select(col("query_id"),
+      explode(F.nearest_centroids(col("__qv"), index.centroids, nProbe)).as("cell"))
     val adc = index.cells.join(broadcast(probes), Seq("cell"))
       .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("nn_id"),
-        F.pq_lut_score(col("codes"), col("query_id").cast("long"), luts).as("__adc"))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").desc, col("nn_id").asc)
-    val cand = adc.withColumn("__r", row_number().over(wA))
-      .where(col("__r") <= shortlist)
-      .select(col("query_id"), col("nn_id"))
-    val withV = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"))
-      .join(broadcast(cand), Seq("nn_id"))
-    val qVecs = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
-    val scored = withV.join(broadcast(qVecs), Seq("query_id"))
-      .select(col("query_id"), col("nn_id"),
-        F.cosine_similarity(col("__cv"), col("__qv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "nn_id", "cosine", "rank")
+        F.pq_lut_score(col("codes"), col("query_id"), luts).as("__adc"))
+    adcShortlistRerank(adc, corpus, idCol, vecCol, qPinned, k, shortlist)
   }
 
   /** Deterministic local k-means (k-means++ seeding + Lloyd's iterations)

@@ -96,6 +96,19 @@ class BpeSuite extends SparkTestBase {
         s"doc ${r.getLong(0)}: decode '${r.getString(2)}' != norm '${r.getString(1)}'")
   }
 
+  test("tokenCount excludes the structural bare-Eow pieces of empty words") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "\thello world"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 10)
+    val counts = docs.select(col("doc_id"),
+        Bpe.tokenCount(spark, model)(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts(1L) == counts(2L), "leading whitespace must not cost a token")
+    assert(counts(3L) == 0 && counts(4L) == 0, "empty docs cost zero tokens")
+    assert(counts(1L) > 0)
+  }
+
   test("model persistence round-trips through a DataFrame") {
     import spark.implicits._
     val df = (Seq.fill(5)("low lower") ++ Seq.fill(6)("newest widest"))

@@ -57,6 +57,21 @@ class ClassifySuite extends SparkTestBase {
       "disjoint-vocabulary classes must classify perfectly")
   }
 
+  test("null-text docs neither train the prior nor receive predictions") {
+    import spark.implicits._
+    val train = Seq(("a", "x x"), ("a", "y"), ("a", null), ("b", "z z"))
+      .toDF("source", "text")
+    val model = Classify.nbTrain(train, "source", "text")
+    // the null row must not inflate class a's doc count: priors stay 2/3, 1/3
+    val totals = model.classTotals.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals == Map("a" -> 2L, "b" -> 1L), totals.toString)
+    val out = Classify.nbPredict(model,
+        Seq((1L, "x y"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), "null-text doc must not be scored")
+  }
+
   test("GATE CONFIG: no log term or prior sits near a rounding boundary") {
     // same fixed-corpus argument as the bigram gate: terms agree across
     // libms up to ulps; verify every distinct rounded quantity at the

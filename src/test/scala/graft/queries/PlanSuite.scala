@@ -168,9 +168,12 @@ class PlanSuite extends SparkTestBase {
     val df = graft.SparkEntry.queries("ann_pq")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
     // both windows (ADC shortlist and final top-k) must carry the Partial
-    // group-limit: each scan partition ships at most shortlist rows per
-    // query into the exchange instead of its whole ADC output
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+    // group-limit on the WindowGroupLimit node itself: each scan partition
+    // ships at most shortlist rows per query into the exchange instead of
+    // its whole ADC output (a stray "Partial" from some aggregate elsewhere
+    // in the plan must not satisfy this)
+    assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
       s"pq window lost its partial group limit:\n$p")
   }
 
