@@ -26,7 +26,9 @@ object MicroBench {
       .getOrElse(Seq("dedup_keep_best", "dedup_groups", "dedup_minhash",
         "dedup_simhash", "dedup_embedding", "dedup_incremental", "text_decontaminate",
         "q5_revenue_by_nation", // q5 pinned since r6 (the one headline above its baseline row)
-        "dedup_semantic", "text_gopher_repetition")) // new r6 operators
+        "dedup_semantic", "text_gopher_repetition",
+        // heavier late-r6 additions
+        "dedup_ingest_bloom", "text_nb_source", "text_bigram_xent", "ann_ivfpq"))
     // warmup: one full pass charges JIT/codegen before any measured run
     names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     val results = names.map { n =>
