@@ -1026,6 +1026,115 @@ object Pipeline {
         FROM quality q JOIN winners w ON q.doc_id = w.doc_id
         GROUP BY q.source ORDER BY q.source""")),
 
+    // ---- r6 curation pipeline: the round's new signals composed end to
+    // end — LM-fluency cut (bigram xent at the text_bigram_xent config) ->
+    // NB domain routing (text_nb_source config) -> exact dedup -> token
+    // budget per predicted label. Every stage runs at its individually
+    // gate-proven configuration, so the two boundary-distance proofs
+    // (CorpusStatsSuite / ClassifySuite) carry over: the bigram check
+    // covers exactly this scored set, the NB check covers every model
+    // combo regardless of which docs are scored. ----
+    QuerySpec("pipeline_curation_v2",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val batch = d.where(col("doc_id") % 5 === 0)
+        val lm = graft.operators.CorpusStats.bigramTrain(
+          d.where(col("doc_id") % 5 =!= 0), "text")
+        val fluent = graft.operators.CorpusStats.bigramScore(lm, batch, "doc_id", "text")
+          .where(col("xent_bits") <= 4.95)
+          .select(col("id").as("doc_id"))
+        val routed = batch.join(fluent, "doc_id")
+        val nb = graft.operators.Classify.nbTrain(
+          d.where(col("doc_id") % 4 =!= 0), "source", "text")
+        val labeled = graft.operators.Classify.nbPredict(nb, routed, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("label"))
+        val winners = Dedup.exactDuplicates(routed, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        routed.join(winners, "doc_id").join(labeled, "doc_id")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, $toksSql AS t FROM documents
+        ), bg AS (
+          SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+          FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ), tb AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 5 != 0 GROUP BY 1, 2
+        ), tcx AS (
+          SELECT w1, SUM(c2) AS c1 FROM tb GROUP BY 1
+        ), vx AS (
+          SELECT COUNT(DISTINCT t[u.i]) AS nv
+          FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+          WHERE doc_id % 5 != 0
+        ), xterms AS (
+          SELECT s.doc_id,
+            CAST(ROUND(ln((COALESCE(tb.c2, 0) + 1) /
+                (COALESCE(tcx.c1, 0) + vx.nv + 1.0)) / ln(2.0), 9)
+              AS DECIMAL(28,9)) AS term
+          FROM bg s
+          LEFT JOIN tb ON s.w1 = tb.w1 AND s.w2 = tb.w2
+          LEFT JOIN tcx ON s.w1 = tcx.w1
+          CROSS JOIN vx
+          WHERE s.doc_id % 5 = 0
+        ), fluent AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent
+            FROM xterms GROUP BY doc_id)
+          WHERE xent <= 4.95
+        ), tok AS (
+          SELECT doc_id, source, t[u.i] AS w
+          FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+        ), train4 AS (
+          SELECT * FROM tok WHERE doc_id % 4 != 0
+        ), tc4 AS (
+          SELECT source AS label, w, COUNT(*) AS cnt FROM train4 GROUP BY 1, 2
+        ), ct4 AS (
+          SELECT source AS label, COUNT(DISTINCT doc_id) AS n_docs,
+            COUNT(*) AS n_tokens
+          FROM train4 GROUP BY 1
+        ), v4 AS (
+          SELECT COUNT(DISTINCT w) AS nv FROM train4
+        ), nd4 AS (
+          SELECT SUM(n_docs) AS t FROM ct4
+        ), priors4 AS (
+          SELECT ct4.label, ct4.n_tokens,
+            CAST(ROUND(ln(ct4.n_docs * 1.0 / nd4.t) / ln(2.0), 9)
+              AS DECIMAL(20,9)) AS prior
+          FROM ct4, nd4
+        ), nbterms AS (
+          SELECT s.doc_id, p.label,
+            CAST(ROUND(ln((COALESCE(tc4.cnt, 0) + 1) /
+                (p.n_tokens + v4.nv + 1.0)) / ln(2.0), 9)
+              AS DECIMAL(20,9)) AS term
+          FROM tok s
+          CROSS JOIN priors4 p
+          LEFT JOIN tc4 ON tc4.label = p.label AND tc4.w = s.w
+          CROSS JOIN v4
+          WHERE s.doc_id IN (SELECT doc_id FROM fluent)
+        ), labeled AS (
+          SELECT doc_id, label FROM (
+            SELECT t.doc_id, t.label, ROW_NUMBER() OVER (
+                PARTITION BY t.doc_id
+                ORDER BY MIN(p.prior) + SUM(t.term) DESC, t.label ASC) AS rk
+            FROM nbterms t JOIN priors4 p ON p.label = t.label
+            GROUP BY t.doc_id, t.label)
+          WHERE rk = 1
+        ), routed AS (
+          SELECT d.doc_id, len($toksSql) AS n_tokens, md5($normSql) AS h
+          FROM documents d JOIN fluent f ON d.doc_id = f.doc_id
+        ), winners AS (
+          SELECT MIN(doc_id) AS doc_id FROM routed GROUP BY h
+        )
+        SELECT l.label, COUNT(*) AS n_docs,
+          CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
+        FROM routed r
+        JOIN winners w ON r.doc_id = w.doc_id
+        JOIN labeled l ON r.doc_id = l.doc_id
+        GROUP BY l.label ORDER BY l.label""")),
+
     // ---- Corpus novelty scoring: fraction of each doc's distinct bigrams
     // that are corpus-rare (present in <= 2 docs). Integer-exact by design
     // (the hash-checkable cousin of LM-perplexity filtering). ----
