@@ -219,6 +219,36 @@ class SimilaritySuite extends SparkTestBase {
     assert(viaDisk == approx)
   }
 
+  test("pq expressions never throw on degenerate inputs") {
+    import graft.functions.{GraftFunctions => F}
+    import spark.implicits._
+    val books = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, ks = 16).codebooks
+    // empty vector, zero vector, too-short and too-long vectors: encode must
+    // stay total (zero-padded subspaces, zero-norm short-circuit)
+    val weird = Seq(
+      (1L, Array.empty[Float]),
+      (2L, Array.fill(64)(0.0f)),
+      (3L, Array.fill(3)(1.0f)),
+      (4L, Array.fill(200)(0.5f))).toDF("vec_id", "embedding")
+    val codes = weird.select(col("vec_id"), F.pq_encode(col("embedding"), books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 4)
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // lut scoring with malformed code arrays: short, long, out-of-range —
+    // out-of-range indexes are skipped, never thrown on
+    val luts = Map(7L -> books.map(_.map(_ => 1.0)))
+    val mal = Seq(
+      (7L, Array(0, 1)),                      // short
+      (7L, Array.fill(20)(2)),                // long
+      (7L, Array(99, -1, 3, 3, 3, 3, 3, 3))). // out of range
+      toDF("qid", "codes")
+    val scores = mal.select(F.pq_lut_score(col("codes"), col("qid"), luts).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(scores(0) == 2.0)  // 2 valid lookups of 1.0
+    assert(scores(1) == 8.0)  // capped at m = 8 lookups
+    assert(scores(2) == 6.0)  // 2 invalid indexes skipped
+  }
+
   test("pq_encode codegen matches interpreted eval; unknown query id scores null") {
     import graft.functions.{GraftFunctions => F}
     val index = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, ks = 16)
