@@ -472,7 +472,8 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
   * Subspace boundaries are derived from the codeword lengths, so ragged
   * splits (dim not divisible by M) encode consistently with training.
   */
-case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
+    normalize: Boolean = true)
     extends UnaryExpression {
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -495,7 +496,10 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
       val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       v(i) = x; s += x * x; i += 1
     }
-    val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+    // normalize=false is the residual-encoding mode (IVFADC): the input is
+    // already a residual in unit-sphere space, scaling it would distort the
+    // quantization error being minimized
+    val inv = if (!normalize) 1.0 else if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
     val out = new Array[Any](codebooks.length)
     var m = 0
     while (m < codebooks.length) {
@@ -538,7 +542,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
          |  double $x = (double) $a.$getter($i);
          |  $v[$i] = $x; $s += $x * $x;
          |}
-         |double $inv = ($s == 0.0) ? 0.0 : 1.0 / java.lang.Math.sqrt($s);
+         |double $inv = ${if (normalize) s"($s == 0.0) ? 0.0 : 1.0 / java.lang.Math.sqrt($s)" else "1.0"};
          |int[] $out = new int[$cbs.length];
          |for (int $m = 0; $m < $cbs.length; $m++) {
          |  double[][] $cb = $cbs[$m];
@@ -560,13 +564,14 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     })
   }
   override def equals(o: Any): Boolean = o match {
-    case PqEncode(c2, b2) => child == c2 && b2.length == codebooks.length &&
+    case PqEncode(c2, b2, n2) => child == c2 && normalize == n2 &&
+      b2.length == codebooks.length &&
       codebooks.indices.forall(m => b2(m).length == codebooks(m).length &&
         codebooks(m).indices.forall(i => java.util.Arrays.equals(codebooks(m)(i), b2(m)(i))))
     case _ => false
   }
   override def hashCode(): Int =
-    31 * child.hashCode() +
+    31 * (31 * child.hashCode() + (if (normalize) 1 else 0)) +
       codebooks.map(_.map(java.util.Arrays.hashCode).toSeq).toSeq.hashCode()
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
   override def prettyName: String = "pq_encode"
@@ -944,8 +949,9 @@ object GraftFunctions {
     col(ArgminCentroid(expr(c), centroids))
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     col(NearestCentroids(expr(c), centroids, nProbe))
-  def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    col(PqEncode(expr(c), codebooks))
+  def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]],
+      normalize: Boolean = true): Column =
+    col(PqEncode(expr(c), codebooks, normalize))
   def pq_lut_score(codes: Column, qid: Column,
       luts: Map[Long, Array[Array[Double]]]): Column =
     col(PqLutScore(expr(codes), expr(qid), luts))

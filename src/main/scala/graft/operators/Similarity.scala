@@ -447,27 +447,75 @@ object Similarity {
     * map-side expressions in the same projection).
     */
   final case class IvfPqIndex(centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]], cells: DataFrame)
+      codebooks: Array[Array[Array[Double]]], cells: DataFrame,
+      residual: Boolean = false)
 
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 8, ks: Int = 16,
-      sampleSize: Int = 4096): IvfPqIndex = {
+      sampleSize: Int = 4096, residual: Boolean = false): IvfPqIndex = {
     // ONE sample collection feeds both fits (the coarse spherical quantizer
     // and the per-subspace codebooks) — no second corpus scan
     val samplePts = sampleUnitVectors(corpus, vecCol, sampleSize)
-    val centroids = KMeansLite.fit(samplePts, nCells, iters = 25, seed = 42L,
-      spherical = true)
-    val codebooks = fitCodebooks(samplePts, m, ks)
-    val cells = corpus.select(col(idCol).as("nn_id"),
-      F.argmin_centroid(col(vecCol), centroids).as("cell"),
-      F.pq_encode(col(vecCol), codebooks).as("codes"))
-    IvfPqIndex(centroids, codebooks, cells)
+    val centroids = graft.functions.CentroidTable.normalizeRows(
+      KMeansLite.fit(samplePts, nCells, iters = 25, seed = 42L, spherical = true))
+    if (!residual) {
+      val codebooks = fitCodebooks(samplePts, m, ks)
+      val cells = corpus.select(col(idCol).as("nn_id"),
+        F.argmin_centroid(col(vecCol), centroids).as("cell"),
+        F.pq_encode(col(vecCol), codebooks).as("codes"))
+      IvfPqIndex(centroids, codebooks, cells, residual = false)
+    } else {
+      // IVFADC proper (Jegou '11 §III): codes quantize the RESIDUAL
+      // unit(x) - centroid(cell), whose spread is much tighter than the
+      // vectors' own, so the same ks budget yields finer quantization —
+      // the lever behind residual IVFADC's recall at small corpora.
+      // Driver-side cell assignment must mirror ArgminCentroid exactly
+      // (argmax dot vs the unit table, first-best on ties).
+      def assign(p: Array[Double]): Int = {
+        var best = 0; var bd = Double.NegativeInfinity; var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          val cc = centroids(c); val n = math.min(cc.length, p.length)
+          while (i < n) { d += p(i) * cc(i); i += 1 }
+          if (d > bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+      val residuals = samplePts.map { p =>
+        val cc = centroids(assign(p))
+        Array.tabulate(p.length)(i => p(i) - (if (i < cc.length) cc(i) else 0.0))
+      }
+      val codebooks = fitCodebooks(residuals, m, ks)
+      val cells = corpus
+        .withColumn("cell", F.argmin_centroid(col(vecCol), centroids))
+        .select(col(idCol).as("nn_id"), col("cell"),
+          F.pq_encode(residualCol(col(vecCol), col("cell"), centroids), codebooks,
+            normalize = false).as("codes"))
+      IvfPqIndex(centroids, codebooks, cells, residual = true)
+    }
+  }
+
+  /** unit(vec) - centroids(cell), with built-ins only (higher-order array
+    * functions over a nested-array centroid literal) so the residual stays
+    * a map-side projection on the corpus scan.
+    */
+  private def residualCol(vec: org.apache.spark.sql.Column,
+      cell: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val nrm = sqrt(aggregate(vec, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val unit = transform(vec,
+      x => when(nrm === 0.0, lit(0.0)).otherwise(x.cast("double") / nrm))
+    val table = typedLit(centroids.map(_.toSeq).toSeq)
+    zip_with(unit, element_at(table, cell + 1), (a, b) => a - b)
   }
 
   def ivfPqFromCells(centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]], cells: DataFrame): IvfPqIndex =
+      codebooks: Array[Array[Array[Double]]], cells: DataFrame,
+      residual: Boolean = false): IvfPqIndex =
     IvfPqIndex(centroids, codebooks,
-      cells.select(col("nn_id"), col("cell"), col("codes")))
+      cells.select(col("nn_id"), col("cell"), col("codes")), residual)
 
   /** Top-k against an IVF x PQ index: probe the nProbe nearest cells per
     * query, ADC-score only rows in probed cells (M lookups each, inside
@@ -484,13 +532,28 @@ object Similarity {
     val qPinned = pinQueries(queries, qIdCol, qVecCol)
     val luts = buildAdcLuts(index.codebooks, qPinned)
     require(luts.nonEmpty, "ivfPqTopK needs at least one query")
-    // per-query probe list joins on cell — only probed-cell codes are scored
-    val probes = qPinned.select(col("query_id"),
+    // per-query probe list joins on cell — only probed-cell codes are
+    // scored. In residual mode the score decomposes as dot(unit(q), c) +
+    // dot(unit(q), residual): the first term rides the (tiny) probe frame
+    // as __qc, the second stays the LUT lookup over the codes.
+    val probeBase = qPinned.select(col("query_id"), col("__qv"),
       explode(F.nearest_centroids(col("__qv"), index.centroids, nProbe)).as("cell"))
+    val probes =
+      if (!index.residual) probeBase.select(col("query_id"), col("cell"), lit(0.0).as("__qc"))
+      else {
+        val table = typedLit(index.centroids.map(_.toSeq).toSeq)
+        val nrm = sqrt(aggregate(col("__qv"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")))
+        val unit = transform(col("__qv"),
+          x => when(nrm === 0.0, lit(0.0)).otherwise(x.cast("double") / nrm))
+        probeBase.select(col("query_id"), col("cell"),
+          aggregate(zip_with(unit, element_at(table, col("cell") + 1),
+            (a, b) => a * b), lit(0.0), (acc, v) => acc + v).as("__qc"))
+      }
     val adc = index.cells.join(broadcast(probes), Seq("cell"))
       .where(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("nn_id"),
-        F.pq_lut_score(col("codes"), col("query_id"), luts).as("__adc"))
+        (col("__qc") + F.pq_lut_score(col("codes"), col("query_id"), luts)).as("__adc"))
     adcShortlistRerank(adc, corpus, idCol, vecCol, qPinned, k, shortlist)
   }
 
