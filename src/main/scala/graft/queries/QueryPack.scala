@@ -15,10 +15,16 @@ final case class QuerySpec(
 object QueryPack {
   /** Load one testdata table from the given sf directory.
     *
-    * The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; we read nanos as long (legacy conf) and rebuild a micros
-    * timestamp with integral division (the data has no sub-micro component;
-    * float division would lose precision at ~1.7e18 nanos).
+    * The events table's `ts` column has shipped in two physical forms across
+    * driver testdata generations: TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects (read as long via the legacy conf, rebuilt with integral
+    * division — the data has no sub-micro component), and plain
+    * timestamp[us] with isAdjustedToUTC=false, which Spark 4 reads as
+    * TIMESTAMP_NTZ. Both normalize to TIMESTAMP (LTZ): every session here
+    * pins spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast denotes the
+    * same instant the nanos path produced, watermarks/unix_millis (which
+    * require LTZ) keep working, and gate outputs keep the dtype the DuckDB
+    * comparison has always seen.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -27,6 +33,10 @@ object QueryPack {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
