@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CatalogQueries, Pipeline, QuerySpec, Relational}
+import graft.queries.{CatalogQueries, DataEng, Pipeline, QuerySpec, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{CatalogQueries, Pipeline, QuerySpec, Relational}
   */
 object SparkEntry {
 
-  def allSpecs: Seq[QuerySpec] = Relational.specs ++ Pipeline.specs ++ CatalogQueries.specs
+  def allSpecs: Seq[QuerySpec] =
+    Relational.specs ++ Pipeline.specs ++ CatalogQueries.specs ++ DataEng.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own federated revenue example

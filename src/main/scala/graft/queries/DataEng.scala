@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cdc, Chunking, Layout}
+import QueryPack.t
+
+/** Data-engineering operator gates: CDC changelog application, SCD2 history,
+  * document chunking, and Z-order layout. The events table doubles as a
+  * changelog (key = user_id, sequence = (ts, event_id), delete op derived
+  * from event_type) and the customer table as the base snapshot.
+  */
+object DataEng {
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // ---- Changelog apply (MERGE-shaped upsert+delete): compact the events
+    // log to its latest change per user (max_by hash agg -> map-side partial
+    // combine), then touch the base snapshot with ONE left-anti join on the
+    // compacted key set (changelog-sized -> AQE broadcasts it; the base
+    // never shuffles). Keys whose latest event is an 'error' are deletes;
+    // untouched base users (150-299) survive byte-identical. ----
+    QuerySpec("cdc_apply",
+      (s, dir) => {
+        val base = t(s, dir, "customer").where(col("c_custkey") < 300)
+          .select(col("c_custkey").as("user_id"), lit("base").as("event_type"),
+            col("c_acctbal").as("value"))
+        val changes = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+          .withColumn("op", when(col("event_type") === "error", "D").otherwise("U"))
+        Cdc.applyChangelog(base, changes, Seq("user_id"), Seq("ts", "event_id"), "op")
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ranked AS (
+          SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ), latest AS (
+          SELECT user_id, event_type, value FROM ranked WHERE rn = 1
+        ), base AS (
+          SELECT c_custkey AS user_id, 'base' AS event_type, c_acctbal AS value
+          FROM customer WHERE c_custkey < 300
+        )
+        SELECT user_id, event_type, value FROM base
+        WHERE user_id NOT IN (SELECT user_id FROM latest)
+        UNION ALL
+        SELECT user_id, event_type, value FROM latest WHERE event_type <> 'error'
+        ORDER BY user_id""")),
+
+    // ---- SCD type-2 history: each change carries its validity interval
+    // [its ts, the key's next ts) and an is_current flag — one keyed
+    // shuffle (window over user_id ordered by ts), the minimum for a
+    // per-key order statistic. Milliseconds out, so the dtype story is
+    // engine-neutral. ----
+    QuerySpec("cdc_scd2",
+      (s, dir) => {
+        val e = t(s, dir, "events").where(col("user_id") < 25)
+        Cdc.scd2(e, Seq("user_id"), "ts")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("valid_from")).as("ts_ms"),
+            unix_millis(col("valid_to")).as("valid_to_ms"),
+            col("is_current"), col("event_type"), col("value"))
+          .orderBy(col("user_id"), col("ts_ms"))
+      },
+      Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          epoch_ms(LEAD(ts) OVER w) AS valid_to_ms,
+          (LEAD(ts) OVER w IS NULL) AS is_current,
+          event_type, value
+        FROM events WHERE user_id < 25
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ORDER BY user_id, ts_ms""")),
+
+    // ---- Document chunking (size=120, overlap=24, step=96): map-side
+    // sequence()+posexplode+substring, no shuffle, no UDF. The gate hashes
+    // every chunk's text, so boundary math (final short chunk emitted iff it
+    // adds uncovered characters) is pinned byte-exact. ----
+    QuerySpec("text_chunk",
+      (s, dir) => {
+        Chunking.chunk(t(s, dir, "documents"), "text", size = 120, overlap = 24)
+          .select(col("doc_id"), col("chunk_ix"),
+            length(col("chunk")).as("n_chunk_chars"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_ix"))
+      },
+      Some("""SELECT doc_id, CAST(s // 96 AS INT) AS chunk_ix,
+          CAST(length(substring(text, CAST(s AS INT) + 1, 120)) AS INT) AS n_chunk_chars,
+          md5(substring(text, CAST(s AS INT) + 1, 120)) AS chunk_md5
+        FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 24, 1), 96)) AS s
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        ORDER BY doc_id, chunk_ix""")),
+
+    // ---- Z-order (Morton) curve values: interleave the low 8 bits of
+    // user_id (0..149) and event_id mod 251 — 16 codegen'd shift/mask/add
+    // terms, no UDF. LayoutSuite proves the layout consequence (per-file
+    // bounding boxes shrink in BOTH dimensions after zorder2); the gate
+    // pins the curve arithmetic itself byte-exact. ----
+    QuerySpec("layout_zorder",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("event_id"),
+            Layout.zValue2(col("user_id"), pmod(col("event_id"), lit(251)), bits = 8)
+              .as("zval"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+          CAST(list_sum(list_transform(range(0, 8), i ->
+            (((user_id >> i) & 1) << (2*i)) + ((((event_id % 251) >> i) & 1) << (2*i + 1))
+          )) AS BIGINT) AS zval
+        FROM events ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.queries.QueryPack
+
+/** Cdc / Chunking / Layout semantics plus their plan shapes. */
+class DataEngSuite extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def events = QueryPack.t(spark, sf(), "events")
+
+  // ---------------------------------------------------------------- Cdc
+
+  test("latest picks the max-seq change per key, against brute force") {
+    val changes = Seq(
+      (1L, 1L, 10L, "a", 1.0), (1L, 2L, 30L, "b", 2.0), (1L, 3L, 20L, "c", 3.0),
+      (2L, 4L, 5L, "d", 4.0),
+      (3L, 5L, 7L, "e", 5.0), (3L, 6L, 7L, "f", 6.0) // same ts: event_id breaks the tie
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = Cdc.latest(changes, Seq("user_id"), Seq("ts", "event_id"))
+      .orderBy("user_id")
+      .select("user_id", "event_id", "event_type").collect().toSeq
+    assert(got == Seq(Row(1L, 2L, "b"), Row(2L, 4L, "d"), Row(3L, 6L, "f")))
+  }
+
+  test("latest compacts with a partial-combine aggregate, not a window sort") {
+    val plan = Cdc.latest(events, Seq("user_id"), Seq("ts", "event_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"latest fell back to a window sort:\n$plan")
+    assert("(?i)aggregate".r.findAllIn(plan).size >= 2,
+      s"latest lost its partial/final aggregate split:\n$plan")
+  }
+
+  test("applyChangelog: upsert, delete, insert, and untouched rows") {
+    val base = Seq((1L, "old", 1.0), (2L, "old", 2.0), (9L, "old", 9.0))
+      .toDF("user_id", "event_type", "value")
+    val changes = Seq(
+      (1L, 1L, 10L, "upd", 1.5, "U"),   // update existing key 1
+      (2L, 2L, 10L, "upd", 0.0, "U"),   // ...but then delete key 2 later
+      (2L, 3L, 20L, "del", 0.0, "D"),
+      (5L, 4L, 10L, "new", 5.0, "U"),   // insert unseen key 5
+      (7L, 5L, 10L, "new", 7.0, "U"),   // insert-then-delete key 7: never appears
+      (7L, 6L, 20L, "del", 0.0, "D"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "op")
+    val got = Cdc.applyChangelog(base, changes, Seq("user_id"), Seq("ts", "event_id"), "op")
+      .orderBy("user_id").collect().toSeq
+    assert(got == Seq(
+      Row(1L, "upd", 1.5), Row(5L, "new", 5.0), Row(9L, "old", 9.0)))
+  }
+
+  test("applyChangelog touches the base with one left-anti join") {
+    val base = events.select(col("user_id"), col("event_type"), col("value"))
+      .groupBy("user_id").agg(first("event_type").as("event_type"),
+        first("value").as("value"))
+    val changes = events
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+      .withColumn("op", lit("U"))
+    val plan = Cdc.applyChangelog(base, changes, Seq("user_id"), Seq("ts", "event_id"), "op")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti join in applyChangelog:\n$plan")
+  }
+
+  test("scd2 intervals tile each key's timeline, against brute force") {
+    val e = events.where(col("user_id") < 10)
+    val got = Cdc.scd2(e, Seq("user_id"), "ts")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("valid_from")).as("from_ms"),
+        unix_millis(col("valid_to")).as("to_ms"),
+        col("is_current"))
+      .collect()
+    val byKey = got.groupBy(_.getLong(0))
+    val want = e.select(col("user_id"), col("event_id"), unix_millis(col("ts")))
+      .collect().groupBy(_.getLong(0))
+    byKey.foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      // each interval ends where the next begins; exactly the last is current
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) == b.getLong(2), s"gap in user $uid timeline")
+          assert(!a.getBoolean(4))
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(3) && sorted.last.getBoolean(4))
+      // row set = the key's events, ordered by ts
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        want(uid).sortBy(_.getLong(2)).map(_.getLong(1)).toSeq)
+    }
+    assert(byKey.keySet == want.keySet)
+  }
+
+  // ----------------------------------------------------------- Chunking
+
+  test("chunks reconstruct the document exactly at every length") {
+    val size = 10
+    val overlap = 3
+    val step = size - overlap
+    val docs = (1 to 300).map(n => (n.toLong, "abcdefghij".* (30).substring(0, n)))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunk(docs, "text", size, overlap)
+      .select("doc_id", "chunk_ix", "chunk")
+      .collect().groupBy(_.getLong(0))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val cs = chunks(id).sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      // stitch: first chunk whole, then each chunk minus its overlap prefix
+      val rebuilt = cs.head + cs.tail.map(_.drop(overlap)).mkString
+      assert(rebuilt == text, s"doc len ${text.length} reconstructs wrong")
+      // no chunk longer than size; starts advance by step
+      assert(cs.forall(_.length <= size))
+      assert(cs.init.forall(_.length == size), s"non-final short chunk at len ${text.length}")
+      // final chunk adds at least one uncovered character (start < len - overlap,
+      // except the single-chunk case)
+      if (cs.length > 1)
+        assert((cs.length - 1) * step < math.max(text.length - overlap, 1))
+    }
+  }
+
+  test("chunking drops null and empty texts and is map-side only") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, null)).toDF("doc_id", "text")
+    val out = Chunking.chunk(docs, "text", 5, 1)
+    assert(out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+    val plan = Chunking.chunk(events.withColumnRenamed("props", "text"), "text", 5, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+  }
+
+  test("zero overlap tiles the text disjointly") {
+    val docs = Seq((1L, "abcdefghijk")).toDF("doc_id", "text") // len 11, size 4
+    val cs = Chunking.chunk(docs, "text", 4, 0)
+      .orderBy("chunk_ix").select("chunk").as[String].collect().toSeq
+    assert(cs == Seq("abcd", "efgh", "ijk"))
+  }
+
+  // ------------------------------------------------------------- Layout
+
+  test("zValue2 matches a bit-twiddling reference implementation") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+      }
+    val rows = events.select(col("user_id"), pmod(col("event_id"), lit(251)).as("y"))
+      .limit(500)
+      .withColumn("z", Layout.zValue2(col("user_id"), col("y"), bits = 8))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1), 8))
+    }
+    // interleave identities on exact corners
+    val corner = Seq((0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L)).toDF("x", "y")
+      .withColumn("z", Layout.zValue2(col("x"), col("y"), bits = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(corner((0L, 0L)) == 0L && corner((255L, 255L)) == 65535L)
+    assert(corner((255L, 0L)) == 0x5555L && corner((0L, 255L)) == 0xAAAAL)
+  }
+
+  test("normalize clamps to the domain and hits both edges") {
+    val vals = Seq(-5.0, 0.0, 50.0, 100.0, 250.0).toDF("v")
+      .withColumn("n", Layout.normalize(col("v"), 0.0, 100.0, bits = 8))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(vals(-5.0) == 0L && vals(0.0) == 0L && vals(100.0) == 255L && vals(250.0) == 255L)
+    assert(vals(50.0) == 128L) // round(0.5 * 255) = 128
+  }
+
+  test("zorder2 tightens per-file bounding boxes in BOTH dimensions") {
+    val e = events.select(col("user_id"),
+      pmod(col("event_id") * 37L, lit(256L)).as("y"), col("event_id"))
+    def avgRanges(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg(
+          (max("user_id") - min("user_id")).as("xr"),
+          (max("y") - min("y")).as("yr"))
+        .agg(avg("xr"), avg("yr")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val files = 16
+    val (zx, zy) = avgRanges(Layout.zorder2(e, "user_id", 0, 149, "y", 0, 255,
+      bits = 8, numFiles = files))
+    // single-column sort: x is tight but y spans its whole domain
+    val (sx, sy) = avgRanges(e.repartitionByRange(files, col("user_id")))
+    assert(zy < sy * 0.5, s"z-order y-range $zy not tighter than single-sort $sy")
+    assert(zx < 149 * 0.5, s"z-order x-range $zx no tighter than the full domain")
+  }
+}
