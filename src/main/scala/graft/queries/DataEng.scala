@@ -88,6 +88,41 @@ object DataEng {
               FROM documents WHERE text IS NOT NULL AND length(text) > 0)
         ORDER BY doc_id, chunk_ix""")),
 
+    // ---- Approximate percentile under the error-bound contract (the
+    // q_approx_distinct pattern): each engine runs ITS OWN quantile sketch
+    // (Spark: Greenwald-Khanna at accuracy 10000; DuckDB: t-digest) and
+    // asserts the estimate lands inside the exact [p-0.01, p+0.01] quantile
+    // band; both also emit the exact interpolated percentiles, which match
+    // raw (same index = p*(n-1) linear interpolation). Mergeable quantile
+    // sketches are the distributed path: partial per partition, merge at
+    // the final agg — no sort of the corpus. ----
+    QuerySpec("q_approx_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"),
+          expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.89)").as("lo90"),
+          expr("percentile(l_extendedprice, 0.91)").as("hi90"))
+        .select(col("l_returnflag"), col("p50"), col("p90"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("within_bound_p50"),
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("within_bound_p90"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.5) AS p50,
+          quantile_cont(l_extendedprice, 0.9) AS p90,
+          approx_quantile(l_extendedprice, 0.5)
+            BETWEEN quantile_cont(l_extendedprice, 0.49)
+                AND quantile_cont(l_extendedprice, 0.51) AS within_bound_p50,
+          approx_quantile(l_extendedprice, 0.9)
+            BETWEEN quantile_cont(l_extendedprice, 0.89)
+                AND quantile_cont(l_extendedprice, 0.91) AS within_bound_p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- Z-order (Morton) curve values: interleave the low 8 bits of
     // user_id (0..149) and event_id mod 251 — 16 codegen'd shift/mask/add
     // terms, no UDF. LayoutSuite proves the layout consequence (per-file

@@ -339,6 +339,25 @@ object Streaming {
     (batch, _) => sink(graft.operators.Dedup.incrementalDedup(
       corpus, batch, idCol, textCol, threshold))
 
+  /** foreachBatch adapter for continuous CDC application: each micro-batch
+    * of changes is compacted latest-wins and applied to the snapshot the
+    * caller loads/saves around the trigger (the read-modify-write shape of a
+    * lakehouse MERGE loop). Within a batch, ordering is the compaction's
+    * `seqCols` max; ACROSS batches the later trigger wins unconditionally —
+    * correct when the changelog source replays in order (file/commit logs
+    * do), and exactly the contract `Cdc.applyChangelog` documents:
+    * {{{
+    * changes.writeStream.foreachBatch(
+    *   Streaming.cdcApply(Seq("user_id"), Seq("ts", "event_id"), "op")(
+    *     () => spark.read.parquet(snapDir), _.write.mode("overwrite").parquet(next))).start()
+    * }}}
+    */
+  def cdcApply(keyCols: Seq[String], seqCols: Seq[String], opCol: String,
+      deleteOp: String = "D")(load: () => DataFrame, save: DataFrame => Unit):
+      (DataFrame, Long) => Unit =
+    (batch, _) => save(graft.operators.Cdc.applyChangelog(
+      load(), batch, keyCols, seqCols, opCol, deleteOp))
+
   /** Run a stream to completion against a memory sink and return the result
     * table (test/bench harness helper).
     */

@@ -318,4 +318,31 @@ class StreamingSuite extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(got == batch)
   }
+
+  test("foreachBatch cdc apply: ordered micro-batches equal one-shot apply") {
+    import graft.operators.Cdc
+    val changes = events
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+      .withColumn("op", when(col("event_type") === "error", "D").otherwise("U"))
+    val base = QueryPack.t(spark, sf(), "customer").where(col("c_custkey") < 300)
+      .select(col("c_custkey").as("user_id"), lit("base").as("event_type"),
+        col("c_acctbal").as("value"))
+    val want = Cdc.applyChangelog(base, changes, Seq("user_id"), Seq("ts", "event_id"), "op")
+      .orderBy("user_id").collect().toSeq
+
+    // three seq-ordered micro-batches through the adapter's read-modify-write
+    // loop (the in-order-replay contract the scaladoc states)
+    var snap = base
+    val step = Streaming.cdcApply(Seq("user_id"), Seq("ts", "event_id"), "op")(
+      () => snap, out => snap = out.cache())
+    val ordered = changes.orderBy("ts", "event_id").collect()
+    val n = ordered.length
+    Seq(ordered.slice(0, n / 3), ordered.slice(n / 3, 2 * n / 3), ordered.slice(2 * n / 3, n))
+      .zipWithIndex.foreach { case (rows, i) =>
+        val b = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq), changes.schema)
+        step(b, i.toLong)
+      }
+    assert(snap.orderBy("user_id").collect().toSeq == want)
+  }
 }
