@@ -77,4 +77,33 @@ object Cdc {
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incrementally extend an SCD2 [[scd2 history]] with a new batch of
+    * changes, WITHOUT rebuilding: each changed key's current row closes at
+    * the batch's first seq for that key, and the batch's own intervals
+    * append (last one current). Requires the append-only contract — every
+    * batch seq is greater than the key's history seqs (the in-order replay
+    * a commit log gives you); DataEngSuite proves
+    * `scd2Apply(scd2(c1), c2) == scd2(c1 union c2)` under it, and the
+    * cdc_scd2_inc gate pins the same identity against the DuckDB
+    * full-rebuild oracle.
+    *
+    * Scale: the window shuffle is batch-sized, the `min(seq)` compaction is
+    * a partial-combine hash agg of the batch, and the history only takes a
+    * key-join against that compacted (AQE-broadcastable) frame — history
+    * payload never shuffles, so cost tracks the batch, not the accumulated
+    * table.
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      seqCol: String): DataFrame = {
+    val firstNew = changes.groupBy(keyCols.map(col): _*)
+      .agg(min(col(seqCol)).as("__first_new"))
+    val closed = history.join(firstNew, keyCols, "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("__first_new").isNotNull, col("__first_new"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && col("__first_new").isNull)
+      .drop("__first_new")
+    closed.unionByName(scd2(changes, keyCols, seqCol))
+  }
 }

@@ -88,6 +88,31 @@ object DataEng {
               FROM documents WHERE text IS NOT NULL AND length(text) > 0)
         ORDER BY doc_id, chunk_ix""")),
 
+    // ---- Incremental SCD2: split the changelog at a fixed instant, build
+    // history from the first half, extend it with the second via scd2Apply
+    // (batch-sized shuffles only; history payload never moves) — and the
+    // oracle is the FULL REBUILD over the union, so the gate pins the
+    // incremental path equal to the from-scratch table, hash-exact. ----
+    QuerySpec("cdc_scd2_inc",
+      (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val e = t(s, dir, "events").where(col("user_id") < 25)
+        val hist = Cdc.scd2(e.where(col("ts") < cut), Seq("user_id"), "ts")
+        Cdc.scd2Apply(hist, e.where(col("ts") >= cut), Seq("user_id"), "ts")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("valid_from")).as("ts_ms"),
+            unix_millis(col("valid_to")).as("valid_to_ms"),
+            col("is_current"), col("event_type"), col("value"))
+          .orderBy(col("user_id"), col("ts_ms"))
+      },
+      Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          epoch_ms(LEAD(ts) OVER w) AS valid_to_ms,
+          (LEAD(ts) OVER w IS NULL) AS is_current,
+          event_type, value
+        FROM events WHERE user_id < 25
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ORDER BY user_id, ts_ms""")),
+
     // ---- Approximate percentile under the error-bound contract (the
     // q_approx_distinct pattern): each engine runs ITS OWN quantile sketch
     // (Spark: Greenwald-Khanna at accuracy 10000; DuckDB: t-digest) and
