@@ -34,6 +34,20 @@ object Layout {
     }
   }
 
+  /** Morton z-value of any number of non-negative integer columns: bit `j`
+    * of column `c` lands at interleaved position `j * n + c`. Total bits
+    * (`bits * cols.length`) must fit a long. [[zValue2]] is the n=2 case
+    * (same bit layout; DataEngSuite asserts the identity).
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 1 && bits >= 1 && n.toLong * bits <= 62,
+      s"need 1+ columns and bits*cols <= 62, got n=$n bits=$bits")
+    val terms = for { i <- 0 until bits; (c, ci) <- cols.zipWithIndex }
+      yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(1L), i * n + ci)
+    terms.foldLeft(lit(0L))(_ + _)
+  }
+
   /** Min-max normalize a column into [0, 2^bits): the rank-free domain map
     * used when table stats (or a prior `describe`) supply `lo`/`hi`. Values
     * outside the domain clamp to its edges, so stale stats degrade locality
@@ -44,6 +58,28 @@ object Layout {
     val maxV = (1L << bits) - 1
     val scaled = (c.cast("double") - lo) / (hi - lo) * maxV
     least(greatest(round(scaled).cast("long"), lit(0L)), lit(maxV))
+  }
+
+  /** Plan small-file compaction: group `(path, bytes)` listings into bins of
+    * at most `targetBytes` via first-fit-decreasing (files larger than the
+    * target get their own bin). This is driver-side METADATA work — listings
+    * are file-count-sized, not data-sized — and the output feeds a rewrite
+    * job per bin (`spark.read.parquet(bin: _*).coalesce(1).write...`), which
+    * is the data-scale part and stays fully distributed. FFD packs within
+    * 22% of optimal, which is noise next to the goal: turning a
+    * millions-of-small-files table back into ~targetBytes row groups so
+    * scans stop paying per-file open/footer costs.
+    */
+  def compactionBins(files: Seq[(String, Long)], targetBytes: Long): Seq[Seq[String]] = {
+    require(targetBytes > 0)
+    val binSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val binFiles = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+    files.sortBy(-_._2).foreach { case (path, sz) =>
+      val i = binSizes.indexWhere(_ + sz <= targetBytes)
+      if (i >= 0) { binSizes(i) += sz; binFiles(i) += path }
+      else { binSizes += sz; binFiles += scala.collection.mutable.ArrayBuffer(path) }
+    }
+    binFiles.map(_.toSeq).toSeq
   }
 
   /** Rewrite `df` into `numFiles` range-partitions of the 2-D z-curve over

@@ -177,12 +177,47 @@ class DataEngSuite extends SparkTestBase {
     assert(corner((255L, 0L)) == 0x5555L && corner((0L, 255L)) == 0xAAAAL)
   }
 
+  test("zValueN generalizes zValue2 and interleaves three columns correctly") {
+    val df = events.limit(300).select(col("user_id"),
+      pmod(col("event_id"), lit(251)).as("y"),
+      pmod(col("event_id") * 7L, lit(256L)).as("w"))
+    // n=2 case is bit-identical to zValue2
+    val two = df.withColumn("a", Layout.zValue2(col("user_id"), col("y"), bits = 8))
+      .withColumn("b", Layout.zValueN(Seq(col("user_id"), col("y")), bits = 8))
+    assert(two.where(col("a") =!= col("b")).count() == 0)
+    // n=3 against a reference implementation
+    def ref(xs: Seq[Long], bits: Int): Long =
+      (for { i <- 0 until bits; (x, c) <- xs.zipWithIndex }
+        yield ((x >> i) & 1L) << (i * xs.length + c)).sum
+    df.withColumn("z", Layout.zValueN(Seq(col("user_id"), col("y"), col("w")), bits = 8))
+      .collect().foreach { r =>
+        assert(r.getLong(3) == ref(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 8))
+      }
+  }
+
   test("normalize clamps to the domain and hits both edges") {
     val vals = Seq(-5.0, 0.0, 50.0, 100.0, 250.0).toDF("v")
       .withColumn("n", Layout.normalize(col("v"), 0.0, 100.0, bits = 8))
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
     assert(vals(-5.0) == 0L && vals(0.0) == 0L && vals(100.0) == 255L && vals(250.0) == 255L)
     assert(vals(50.0) == 128L) // round(0.5 * 255) = 128
+  }
+
+  test("compactionBins packs under target, singles oversized files, loses none") {
+    val files = (1 to 200).map(i => (s"f$i", (i * 7919L) % 400 + 1)) ++
+      Seq(("big1", 1000L), ("big2", 2500L))
+    val bins = Layout.compactionBins(files, targetBytes = 1000L)
+    val sizes = files.toMap
+    // every bin fits the target unless it is a single oversized file
+    bins.foreach { b =>
+      val total = b.map(sizes).sum
+      assert(total <= 1000L || (b.length == 1 && sizes(b.head) > 1000L),
+        s"bin over target: $b ($total)")
+    }
+    // partition: every file exactly once
+    assert(bins.flatten.sorted == files.map(_._1).sorted)
+    // FFD actually packs: far fewer bins than files
+    assert(bins.length < files.length / 2)
   }
 
   test("zorder2 tightens per-file bounding boxes in BOTH dimensions") {
