@@ -50,15 +50,20 @@ object Cdc {
 
   /** Apply a changelog to a base snapshot: rows whose key never appears in
     * the changelog survive unchanged; keys whose LATEST change is `deleteOp`
-    * disappear; every other changed key takes the latest change's payload
-    * (an upsert — present-in-base or not). Output schema = base schema; the
-    * changelog must carry base's columns plus `seqCols` and `opCol`.
+    * disappear; every other changed key — including one whose op is NULL
+    * (a malformed/partial CDC record) — takes the latest change's payload
+    * (an upsert — present-in-base or not). The null-safe comparison
+    * matters: a non-null-safe filter would silently DROP a null-op key
+    * (excluded from upserts after the anti join already removed it from
+    * base), turning a malformed record into a phantom delete. Output
+    * schema = base schema; the changelog must carry base's columns plus
+    * `seqCols` and `opCol`.
     */
   def applyChangelog(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
       seqCols: Seq[String], opCol: String, deleteOp: String = "D"): DataFrame = {
     val compacted = latest(changes, keyCols, seqCols)
     val untouched = base.join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val upserts = compacted.where(col(opCol) =!= deleteOp)
+    val upserts = compacted.where(!(col(opCol) <=> deleteOp))
       .select(base.columns.map(col).toSeq: _*)
     untouched.unionByName(upserts)
   }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * mask/add terms — no UDF), so layout is `repartitionByRange(zval)` + a
   * partition-local sort: ONE range shuffle, the same cost as any global
   * sort, after which the bounding box of each output file is tight in every
-  * curve dimension (LayoutSuite measures the shrinkage). At 100 TB the
+  * curve dimension (DataEngSuite measures the shrinkage). At 100 TB the
   * caller supplies the per-column domains from table stats; the curve math
   * itself is scale-free.
   */
@@ -54,6 +54,7 @@ object Layout {
     * but never correctness.
     */
   def normalize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
     require(hi > lo, s"need hi > lo, got [$lo, $hi]")
     val maxV = (1L << bits) - 1
     val scaled = (c.cast("double") - lo) / (hi - lo) * maxV

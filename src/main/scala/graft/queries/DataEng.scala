@@ -11,6 +11,18 @@ import QueryPack.t
   */
 object DataEng {
 
+  /** Shared by cdc_scd2 and cdc_scd2_inc: both gates must equal the same
+    * full-rebuild history (that identity IS cdc_scd2_inc's point), so the
+    * oracle lives once.
+    */
+  private val Scd2RebuildSql = """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          epoch_ms(LEAD(ts) OVER w) AS valid_to_ms,
+          (LEAD(ts) OVER w IS NULL) AS is_current,
+          event_type, value
+        FROM events WHERE user_id < 25
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ORDER BY user_id, ts_ms"""
+
   def specs: Seq[QuerySpec] = Seq(
 
     // ---- Changelog apply (MERGE-shaped upsert+delete): compact the events
@@ -61,13 +73,7 @@ object DataEng {
             col("is_current"), col("event_type"), col("value"))
           .orderBy(col("user_id"), col("ts_ms"))
       },
-      Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-          epoch_ms(LEAD(ts) OVER w) AS valid_to_ms,
-          (LEAD(ts) OVER w IS NULL) AS is_current,
-          event_type, value
-        FROM events WHERE user_id < 25
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ORDER BY user_id, ts_ms""")),
+      Some(Scd2RebuildSql)),
 
     // ---- Document chunking (size=120, overlap=24, step=96): map-side
     // sequence()+posexplode+substring, no shuffle, no UDF. The gate hashes
@@ -105,13 +111,7 @@ object DataEng {
             col("is_current"), col("event_type"), col("value"))
           .orderBy(col("user_id"), col("ts_ms"))
       },
-      Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-          epoch_ms(LEAD(ts) OVER w) AS valid_to_ms,
-          (LEAD(ts) OVER w IS NULL) AS is_current,
-          event_type, value
-        FROM events WHERE user_id < 25
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ORDER BY user_id, ts_ms""")),
+      Some(Scd2RebuildSql)),
 
     // ---- Approximate percentile under the error-bound contract (the
     // q_approx_distinct pattern): each engine runs ITS OWN quantile sketch
@@ -150,7 +150,7 @@ object DataEng {
 
     // ---- Z-order (Morton) curve values: interleave the low 8 bits of
     // user_id (0..149) and event_id mod 251 — 16 codegen'd shift/mask/add
-    // terms, no UDF. LayoutSuite proves the layout consequence (per-file
+    // terms, no UDF. DataEngSuite proves the layout consequence (per-file
     // bounding boxes shrink in BOTH dimensions after zorder2); the gate
     // pins the curve arithmetic itself byte-exact. ----
     QuerySpec("layout_zorder",

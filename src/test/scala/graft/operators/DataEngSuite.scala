@@ -104,12 +104,45 @@ class DataEngSuite extends SparkTestBase {
       .collect().toSeq ==
       rebuilt.select(key.head, key.tail: _*).orderBy("user_id", "valid_from")
         .collect().toSeq)
-    // keys with no second-half changes keep their current row; keys with
-    // only second-half changes appear fresh — both covered because the cut
-    // leaves some users entirely on one side at sf0.001
-    val firstOnly = e.groupBy("user_id").agg(max(col("ts")).as("mx"))
-      .where(col("mx") < cut).count()
-    assert(firstOnly >= 0) // shape sanity; equality above is the real check
+  }
+
+  test("scd2Apply: unchanged keys and batch-only keys, explicitly") {
+    // every testdata user straddles the gate's cut, so pin the other two
+    // branches on a synthetic changelog: key 1 has NO batch changes (its
+    // current row must survive untouched), key 2 straddles, key 3 exists
+    // ONLY in the batch (fresh history)
+    val c1 = Seq((1L, 10L, "a"), (2L, 11L, "b"), (2L, 12L, "c"))
+      .toDF("k", "seq", "v")
+    val c2 = Seq((2L, 20L, "d"), (3L, 21L, "e"), (3L, 22L, "f"))
+      .toDF("k", "seq", "v")
+    val got = Cdc.scd2Apply(Cdc.scd2(c1, Seq("k"), "seq"), c2, Seq("k"), "seq")
+      .select("k", "seq", "valid_from", "valid_to", "is_current")
+      .orderBy("k", "valid_from").collect().toSeq
+    val want = Cdc.scd2(c1.unionByName(c2), Seq("k"), "seq")
+      .select("k", "seq", "valid_from", "valid_to", "is_current")
+      .orderBy("k", "valid_from").collect().toSeq
+    assert(got == want)
+    // and the branch facts themselves: key 1 still current from seq 10,
+    // key 2's old current closed at exactly 20, key 3 fresh with one
+    // closed + one current interval
+    val byK = got.groupBy(_.getLong(0))
+    assert(byK(1L).map(r => (r.getLong(2), r.isNullAt(3), r.getBoolean(4))).toSeq ==
+      Seq((10L, true, true)))
+    assert(byK(2L).find(_.getLong(2) == 12L).get.getLong(3) == 20L)
+    assert(byK(3L).map(r => (r.getLong(2), r.getBoolean(4))).sorted.toSeq ==
+      Seq((21L, false), (22L, true)))
+  }
+
+  test("applyChangelog treats a NULL-op latest change as an upsert, not a phantom delete") {
+    val base = Seq((1L, "old", 1.0)).toDF("user_id", "event_type", "value")
+    val changes = Seq(
+      (1L, 1L, 10L, "upd", 1.5, null.asInstanceOf[String]), // malformed op wins
+      (2L, 2L, 10L, "new", 2.0, null.asInstanceOf[String]))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "op")
+    val got = Cdc.applyChangelog(base, changes, Seq("user_id"), Seq("ts", "event_id"), "op")
+      .orderBy("user_id").collect().toSeq
+    assert(got == Seq(Row(1L, "upd", 1.5), Row(2L, "new", 2.0)),
+      s"null-op keys must upsert, got $got")
   }
 
   // ----------------------------------------------------------- Chunking
