@@ -18,8 +18,8 @@ import graft.parser.GraftSparkParser
   * without touching the Scala API — `SELECT simhash64(toks),
   * minhash_signature(toks, 128), cosine_similarity(a, b), lsh_bucket(v, 8),
   * word_shingles(toks, 3), winnowed_fingerprints(text, 9, 4),
-  * minhash_agg(sh, 128), sketch_jaccard(s1, s2)` all parse and run
-  * codegen'd exactly like their DataFrame twins.
+  * minhash_agg(sh, 128), sketch_jaccard(s1, s2), z_value2(x, y, 16)` all
+  * parse and run codegen'd exactly like their DataFrame twins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -988,7 +988,22 @@ object GraftFunctions {
       MinHashAgg(es.head, intArg(es, 1, 128)).toAggregateExpression()),
     "sketch_jaccard" -> ((es: Seq[Expression]) => SketchJaccard(es.head, es(1))),
     "audio_info" -> ((es: Seq[Expression]) => AudioInfo(es.head)),
-    "gopher_repetition" -> ((es: Seq[Expression]) => GopherRepetition(es.head)))
+    "gopher_repetition" -> ((es: Seq[Expression]) => GopherRepetition(es.head)),
+    // Morton z-value as a composed tree of Spark's own codegen'd bit ops —
+    // the SQL twin of Layout.zValue2 (same bit layout, asserted in
+    // GraftExtensionsSuite)
+    "z_value2" -> ((es: Seq[Expression]) => {
+      val bits = intArg(es, 2, 16)
+      require(bits >= 1 && bits <= 31, s"z_value2 bits must be in [1, 31], got $bits")
+      def long(e: Expression) = Cast(e, org.apache.spark.sql.types.LongType)
+      (0 until bits).foldLeft[Expression](Literal(0L)) { (acc, i) =>
+        Add(Add(acc,
+          ShiftLeft(BitwiseAnd(ShiftRight(long(es.head), Literal(i)), Literal(1L)),
+            Literal(2 * i))),
+          ShiftLeft(BitwiseAnd(ShiftRight(long(es(1)), Literal(i)), Literal(1L)),
+            Literal(2 * i + 1)))
+      }
+    }))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -69,4 +69,18 @@ class GraftExtensionsSuite extends SparkTestBase {
     val sim = rows.head.getDouble(2)
     assert(sim >= 0.0 && sim <= 1.0)
   }
+
+  test("z_value2 SQL function matches Layout.zValue2 bit-for-bit") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong % 256, (i.toLong * 37) % 256)).toDF("x", "y")
+    df.createOrReplaceTempView("zv")
+    val viaSql = spark.sql("SELECT x, y, z_value2(x, y, 8) AS z FROM zv ORDER BY x, y")
+      .collect().toSeq
+    val viaApi = df.select(col("x"), col("y"),
+      graft.operators.Layout.zValue2(col("x"), col("y"), bits = 8).as("z"))
+      .orderBy("x", "y").collect().toSeq
+    assert(viaSql == viaApi)
+    // default bits = 16 resolves too
+    assert(spark.sql("SELECT z_value2(65535, 0)").head().getLong(0) == 0x55555555L)
+  }
 }
