@@ -359,6 +359,42 @@ object CatalogQueries {
             repeat('x', 10 + n_nationkey) AS textcontent
         FROM nation ORDER BY n_nationkey""")),
 
+    // ---- unstructured WRITE sink roundtrip: SQL INSERT through the
+    // FileFormat sink (one file per row, distributed write), then read BOTH
+    // surfaces back — metadata sizes and lazy-loaded content — and the
+    // oracle recomputes byte length and md5 from the source parquet. This
+    // closes the one §2.3 row (write path) that had suite coverage only.
+    // (reference: UnstructuredFileFormat.scala:35-121, BinOutputWriter) ----
+    QuerySpec("unstructured_write_roundtrip",
+      (s, dir) => {
+        setup(s, dir)
+        val sink = new java.io.File(wh(dir), "writesink")
+        // completion marker OUTSIDE the dir: a crash mid-INSERT must not
+        // leave a half-written dir that later runs mistake for the fixture
+        val done = new java.io.File(wh(dir), "writesink.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE TEXT DATASOURCE writesink OPTIONS (path '$sink') NAMESPACE graft.datasource.un")
+        if (!done.exists()) {
+          Option(sink.listFiles()).foreach(_.foreach(_.delete()))
+          sink.mkdirs()
+          QueryPack.t(s, dir, "documents")
+            .select(format_string("%05d.txt", col("doc_id")).as("path"),
+              col("text").as("textcontent"))
+            .createOrReplaceTempView("writesink_src")
+          s.sql("INSERT INTO graft.datasource.un.writesink.content SELECT path, textcontent FROM writesink_src")
+          done.createNewFile()
+        }
+        val meta = s.sql("SELECT path, sizeinbytes FROM graft.datasource.un.writesink.writesink")
+        val content = s.sql("SELECT path, textcontent FROM graft.datasource.un.writesink.content")
+        meta.join(content, "path")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("doc_id"),
+            col("sizeinbytes"), md5(col("textcontent")).as("content_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS sizeinbytes,
+          md5(text) AS content_md5 FROM documents ORDER BY doc_id""")),
+
     // ---- CSV datasource: parquet -> csv fixture -> graft catalog scan.
     // inferSchema recovers the int32 keys the parquet carries, so the
     // values AND dtypes must round-trip exactly (quoting included). ----
