@@ -395,6 +395,51 @@ object CatalogQueries {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS sizeinbytes,
           md5(text) AS content_md5 FROM documents ORDER BY doc_id""")),
 
+    // ---- Tag sidecar roundtrip: register with a TAG schema, write typed
+    // sidecars through the distributed writeTagSidecars path (values derived
+    // from the key formula), read the typed tag columns back through the
+    // metadata scan. Oracle recomputes the formulas. Covers §2.4's tag rows
+    // (typed sidecar read + the UPDATE path the reference left unwired).
+    // (reference: UnstructuredFilePartitionReaderFactory.scala:106-150) ----
+    QuerySpec("unstructured_tag_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "tagfiles")
+        if (!fixture.exists()) {
+          val staging = new java.io.File(wh(dir), s"tagfiles.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          QueryPack.t(s, dir, "nation").select(col("n_nationkey")).collect().foreach { r =>
+            val key = r.getInt(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(staging.toString, f"$key%05d.txt"),
+              s"tagged doc $key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          if (!staging.renameTo(fixture)) {
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
+          }
+        }
+        Graft.sql(s,
+          s"""REGISTER OR REPLACE TEXT DATASOURCE tagged OPTIONS (path '$fixture') NAMESPACE graft.datasource.un
+             |TAG (author string, stars int)""".stripMargin)
+        // sidecar write is idempotent (overwrite), so no completion marker
+        val key = regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("int")
+        graft.sources.unstructured.UnstructuredWrite.writeTagSidecars(
+          s.sql("SELECT path FROM graft.datasource.un.tagged.tagged")
+            .select(col("path"),
+              concat(lit("author_"), key.cast("string")).as("author"),
+              (key % 5).as("stars")))
+        s.sql("SELECT path, author, stars, sizeinbytes FROM graft.datasource.un.tagged.tagged")
+          .select(key.as("n_nationkey"), col("author"), col("stars"), col("sizeinbytes"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+          'author_' || CAST(n_nationkey AS VARCHAR) AS author,
+          CAST(n_nationkey % 5 AS INT) AS stars,
+          CAST(octet_length(encode('tagged doc ' || CAST(n_nationkey AS VARCHAR))) AS BIGINT)
+            AS sizeinbytes
+        FROM nation ORDER BY n_nationkey""")),
+
     // ---- CSV datasource: parquet -> csv fixture -> graft catalog scan.
     // inferSchema recovers the int32 keys the parquet carries, so the
     // values AND dtypes must round-trip exactly (quoting included). ----
