@@ -115,4 +115,32 @@ object CorpusStats {
         round((-col("__s")).cast("double") / col("n_bigrams"), 6).as("xent_bits"))
       .withColumn("ppl", round(pow(lit(2.0), col("xent_bits")), 4))
   }
+
+  /** DSIR-shaped importance weights (Xie '23, "Data Selection via Importance
+    * Resampling"): score each doc under a TARGET-domain LM and a RAW-corpus
+    * LM; the per-bigram log-likelihood ratio `llr_rate = xent_raw -
+    * xent_target` (bits/bigram, positive = looks more like the target than
+    * the background) maps to a keep weight `clamp01(0.5 + llr_rate/scale)`.
+    * The paper uses the exponential ratio on hashed-ngram features; the
+    * linearized map is monotone in the same statistic and — unlike
+    * `exp2`, whose libm last-ulp may differ across engines — stays inside
+    * the exact-decimal discipline that makes the score hash-checkable
+    * (the pipeline_dsir gate). Feed the weight to
+    * [[Sampling.weightedSample]] for the reshard-stable keep decision.
+    * Scale shape: two [[bigramScore]] passes (each two keyed joins + one
+    * per-doc agg) and one id-equi-join between score frames.
+    */
+  def dsirWeights(target: BigramLM, raw: BigramLM, docs: DataFrame,
+      idCol: String, textCol: String, scale: Double = 4.0): DataFrame = {
+    require(scale > 0)
+    val st = bigramScore(target, docs, idCol, textCol)
+      .select(col("id"), col("n_bigrams"), col("xent_bits").as("__xt"))
+    val sr = bigramScore(raw, docs, idCol, textCol)
+      .select(col("id"), col("xent_bits").as("__xr"))
+    st.join(sr, Seq("id"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("__xr") - col("__xt"), 6).as("llr_rate"))
+      .withColumn("weight",
+        least(lit(1.0), greatest(lit(0.0), round(lit(0.5) + col("llr_rate") / scale, 6))))
+  }
 }

@@ -1403,6 +1403,84 @@ object Pipeline {
           ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent_bits
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- DSIR importance resampling (Xie '23): target LM = sources
+    // src0-src3, raw LM = whole train split; held-out docs get the
+    // per-bigram log-likelihood ratio, the linearized keep weight, and the
+    // reshard-stable keep decision (portable md5 hash01 < weight). Both
+    // LMs ride the text_bigram_xent portable-decimal discipline, so all
+    // four columns hash-match DuckDB exactly. ----
+    QuerySpec("pipeline_dsir",
+      (s, dir) => {
+        import graft.operators.CorpusStats
+        val d = t(s, dir, "documents")
+        val train = d.where(col("doc_id") % 5 =!= 0)
+        val heldout = d.where(col("doc_id") % 5 === 0)
+        val tgt = CorpusStats.bigramTrain(
+          train.where(col("source").isin("src0", "src1", "src2", "src3")), "text")
+        val raw = CorpusStats.bigramTrain(train, "text")
+        val hash01 = pmod(conv(substring(
+            md5(concat(col("id").cast("string"), lit(":17"))), 1, 15), 16, 10)
+          .cast("long"), lit(10000L)).cast("double") / 10000.0
+        CorpusStats.dsirWeights(tgt, raw, heldout, "doc_id", "text", scale = 4.0)
+          .withColumn("kept", hash01 < col("weight"))
+          .select(col("id").as("doc_id"), col("n_bigrams"), col("llr_rate"),
+            col("weight"), col("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, $toksSql AS t FROM documents
+        ), bg AS (
+          SELECT doc_id, source, t[u.i] AS w1, t[u.i + 1] AS w2
+          FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ), tb_t AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM bg
+          WHERE doc_id % 5 != 0 AND source IN ('src0','src1','src2','src3')
+          GROUP BY 1, 2
+        ), tc_t AS (
+          SELECT w1, SUM(c2) AS c1 FROM tb_t GROUP BY 1
+        ), v_t AS (
+          SELECT COUNT(DISTINCT t[u.i]) AS nv
+          FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+          WHERE doc_id % 5 != 0 AND source IN ('src0','src1','src2','src3')
+        ), tb_r AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 5 != 0 GROUP BY 1, 2
+        ), tc_r AS (
+          SELECT w1, SUM(c2) AS c1 FROM tb_r GROUP BY 1
+        ), v_r AS (
+          SELECT COUNT(DISTINCT t[u.i]) AS nv
+          FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+          WHERE doc_id % 5 != 0
+        ), terms AS (
+          SELECT s.doc_id,
+            CAST(ROUND(ln((COALESCE(tt.c2, 0) + 1) /
+                (COALESCE(ttc.c1, 0) + vt.nv + 1.0)) / ln(2.0), 9)
+              AS DECIMAL(28,9)) AS term_t,
+            CAST(ROUND(ln((COALESCE(tr.c2, 0) + 1) /
+                (COALESCE(trc.c1, 0) + vr.nv + 1.0)) / ln(2.0), 9)
+              AS DECIMAL(28,9)) AS term_r
+          FROM bg s
+          LEFT JOIN tb_t tt ON s.w1 = tt.w1 AND s.w2 = tt.w2
+          LEFT JOIN tc_t ttc ON s.w1 = ttc.w1
+          LEFT JOIN tb_r tr ON s.w1 = tr.w1 AND s.w2 = tr.w2
+          LEFT JOIN tc_r trc ON s.w1 = trc.w1
+          CROSS JOIN v_t vt CROSS JOIN v_r vr
+          WHERE s.doc_id % 5 = 0
+        ), sc AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            ROUND(-CAST(SUM(term_t) AS DOUBLE) / COUNT(*), 6) AS xt,
+            ROUND(-CAST(SUM(term_r) AS DOUBLE) / COUNT(*), 6) AS xr
+          FROM terms GROUP BY doc_id
+        ), w AS (
+          SELECT doc_id, n_bigrams,
+            ROUND(xr - xt, 6) AS llr_rate,
+            LEAST(1.0, GREATEST(0.0, ROUND(0.5 + (ROUND(xr - xt, 6)) / 4.0, 6))) AS weight
+          FROM sc
+        )
+        SELECT doc_id, n_bigrams, llr_rate, weight,
+          (('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 15))::BIGINT % 10000)
+            / 10000.0 < weight AS kept
+        FROM w ORDER BY doc_id""")),
+
     // ---- Multinomial Naive Bayes source classification (the fastText /
     // CCNet quality-classifier shape in closed form): model trained on
     // doc_id % 4 != 0, held-out docs classified by add-one-smoothed

@@ -100,4 +100,68 @@ class CorpusStatsSuite extends SparkTestBase {
     }
     assert(terms > 1000, s"boundary check covered only $terms terms")
   }
+
+  test("GATE CONFIG: dsir target-LM terms clear the same rounding boundaries") {
+    // pipeline_dsir adds a SECOND model (target = src0-src3) whose log
+    // terms are a new cross-libm surface; everything downstream (llr,
+    // weight, kept) derives deterministically from the two
+    // already-engine-identical xent doubles, so the 9-decimal term margin
+    // is the one thing to pin. Threshold 5e-5 (5e-14 absolute): the
+    // target-LM corpus minimum is 8.3e-5 (doc 5), still ~90 ulps at that
+    // term's magnitude vs a few ulps of cross-libm log drift — tighter
+    // than the raw LM's 4.9e-4 minimum but equally safe.
+    val d = QueryPack.t(spark, sf("sf0.01"), "documents")
+    import org.apache.spark.sql.functions._
+    val train = d.where(col("doc_id") % 5 =!= 0)
+    val lm = CorpusStats.bigramTrain(
+      train.where(col("source").isin("src0", "src1", "src2", "src3")), "text")
+    val v = lm.vocab.collect().head.getLong(0)
+    val c2m = lm.bigrams.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1m = lm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    var terms = 0
+    for (r <- d.where(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")).collect()) {
+      val toks = norm(r.getString(1)).split(' ')
+      val termVals = toks.sliding(2).filter(_.length == 2).map { case Array(w1, w2) =>
+        val c2 = c2m.getOrElse((w1, w2), 0L); val c1 = c1m.getOrElse(w1, 0L)
+        val t = math.log((c2 + 1.0) / (c1 + v + 1.0)) / math.log(2.0)
+        val frac = math.abs(t * 1e9 - math.floor(t * 1e9) - 0.5)
+        assert(frac > 5e-5, s"target term $t near a 9-decimal boundary (doc ${r.getLong(0)})")
+        terms += 1
+        BigDecimal(t).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.toSeq
+      if (termVals.nonEmpty) {
+        val mean = -termVals.foldLeft(BigDecimal(0))(_ + _).toDouble / termVals.length
+        val frac = math.abs(mean * 1e6 - math.floor(mean * 1e6) - 0.5)
+        assert(frac > 1e-3, s"target mean $mean near a 6-decimal boundary (doc ${r.getLong(0)})")
+      }
+    }
+    assert(terms > 1000, s"dsir boundary check covered only $terms terms")
+  }
+
+  test("dsir weights rank target-domain docs above the rest") {
+    import org.apache.spark.sql.functions._
+    val d = QueryPack.t(spark, sf("sf0.01"), "documents")
+    val train = d.where(col("doc_id") % 5 =!= 0)
+    val tgt = CorpusStats.bigramTrain(
+      train.where(col("source").isin("src0", "src1", "src2", "src3")), "text")
+    val raw = CorpusStats.bigramTrain(train, "text")
+    val scored = CorpusStats.dsirWeights(tgt, raw,
+        d.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      .join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
+    val means = scored
+      .withColumn("is_target", col("source").isin("src0", "src1", "src2", "src3"))
+      .groupBy("is_target").agg(avg("llr_rate").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"target-domain docs should score higher: $means")
+    // weights stay in [0, 1] and are monotone in llr
+    val w = scored.select("llr_rate", "weight").collect()
+    assert(w.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    val sorted = w.sortBy(_.getDouble(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(1) <= b.getDouble(1))
+      case _ =>
+    }
+  }
 }

@@ -181,6 +181,28 @@ class DataEngSuite extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
   }
 
+  test("chunking counts code points, not bytes or UTF-16 units") {
+    // é = 2 UTF-8 bytes / 1 char; 😀 = 4 bytes / 2 UTF-16 chars — Spark's
+    // substr counts CODE POINTS, so a 4-cp text with size=2 step=2 splits
+    // 2+2 regardless of encoding width
+    val docs = Seq((1L, "aé😀b")).toDF("doc_id", "text")
+    val cs = Chunking.chunk(docs, "text", 2, 0)
+      .orderBy("chunk_ix").select("chunk").as[String].collect().toSeq
+    assert(cs == Seq("aé", "😀b"), s"got $cs")
+  }
+
+  test("cdc_apply's anti join broadcasts the compacted changelog at runtime") {
+    val base = events.select(col("event_id").as("k"), col("value"))
+    val changes = events.where(col("event_id") % 7 === 0)
+      .select(col("event_id").as("k"), col("value"), col("ts"), col("event_id"))
+      .withColumn("op", lit("U"))
+    val out = Cdc.applyChangelog(base, changes, Seq("k"), Seq("ts", "event_id"), "op")
+    out.count() // materialize so AQE finalizes the adaptive plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"compacted changelog side not broadcast:\n$plan")
+  }
+
   test("zero overlap tiles the text disjointly") {
     val docs = Seq((1L, "abcdefghijk")).toDF("doc_id", "text") // len 11, size 4
     val cs = Chunking.chunk(docs, "text", 4, 0)
