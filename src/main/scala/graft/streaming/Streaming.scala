@@ -288,6 +288,37 @@ object Streaming {
       .select(col("id"), col("__s._1").as("n_bigrams"), col("__s._2").as("xent_bits"))
   }
 
+  /** Streaming DSIR scoring: the twin of
+    * [[graft.operators.CorpusStats.dsirWeights]] — both LMs collected and
+    * broadcast, each doc scored under target and raw in ONE stateless map
+    * (no stream-stream join, no state store), then the same linearized
+    * weight. Emits (id, n_bigrams, llr_rate, weight); batch-equivalence
+    * asserted in StreamingSuite. Feed `weight` to a hash01 filter for the
+    * streaming keep decision.
+    */
+  def dsirStream(target: graft.operators.CorpusStats.BigramLM,
+      raw: graft.operators.CorpusStats.BigramLM,
+      docs: DataFrame, idCol: String, textCol: String,
+      scale: Double = 4.0): DataFrame = {
+    require(scale > 0)
+    val spark = docs.sparkSession
+    def bc(lm: graft.operators.CorpusStats.BigramLM) = {
+      val c2 = lm.bigrams.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val c1 = lm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.sparkContext.broadcast((c2, c1, lm.vocab.collect().head.getLong(0)))
+    }
+    val scoreT = udf(new BigramScorer(bc(target)))
+    val scoreR = udf(new BigramScorer(bc(raw)))
+    docs.select(col(idCol).as("id"),
+        scoreT(col(textCol)).as("__t"), scoreR(col(textCol)).as("__r"))
+      .where(col("__t").isNotNull && col("__r").isNotNull)
+      .select(col("id"), col("__t._1").as("n_bigrams"),
+        round(col("__r._2") - col("__t._2"), 6).as("llr_rate"))
+      .withColumn("weight",
+        least(lit(1.0), greatest(lit(0.0), round(lit(0.5) + col("llr_rate") / scale, 6))))
+  }
+
   private final class BigramScorer(
       model: org.apache.spark.broadcast.Broadcast[
         (Map[(String, String), Long], Map[String, Long], Long)])

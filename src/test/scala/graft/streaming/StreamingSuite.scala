@@ -319,6 +319,28 @@ class StreamingSuite extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming dsir scoring equals the batch operator") {
+    import graft.operators.CorpusStats
+    val d = QueryPack.t(spark, sf("sf0.01"), "documents")
+    val train = d.where(col("doc_id") % 5 =!= 0)
+    val tgt = CorpusStats.bigramTrain(
+      train.where(col("source").isin("src0", "src1", "src2", "src3")), "text")
+    val raw = CorpusStats.bigramTrain(train, "text")
+    val heldout = d.where(col("doc_id") % 5 === 0)
+    val batch = CorpusStats.dsirWeights(tgt, raw, heldout, "doc_id", "text")
+      .select("id", "n_bigrams", "llr_rate", "weight")
+      .orderBy("id").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dsir").toString
+    heldout.write.mode("overwrite").parquet(dir)
+    val got = Streaming.runToMemory(
+        Streaming.dsirStream(tgt, raw,
+          Streaming.fileStream(spark, dir, heldout.schema), "doc_id", "text"),
+        "dsir_stream")
+      .select("id", "n_bigrams", "llr_rate", "weight")
+      .orderBy("id").collect().toSeq
+    assert(got == batch, "stream dsir drifted from the batch operator")
+  }
+
   test("foreachBatch cdc apply: ordered micro-batches equal one-shot apply") {
     import graft.operators.Cdc
     val changes = events
