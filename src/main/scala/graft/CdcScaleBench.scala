@@ -89,6 +89,12 @@ object CdcScaleBench {
         Cdc.applyChangelog(snap, batch, Seq("row_id"), Seq("ts", "event_id"), "op").count())
       val (rowsW, windowSec) = minOf2(windowApply(snap).count())
       require(rows == rowsW, s"window/anti apply disagree at scale $k: $rows vs $rowsW")
+      // full row equality (outside the timed sections): counts alone would
+      // accept a same-cardinality wrong-payload bug in either shape
+      val a = Cdc.applyChangelog(snap, batch, Seq("row_id"), Seq("ts", "event_id"), "op")
+      val b = windowApply(snap)
+      require(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"window/anti apply rows differ at scale $k")
       println(f"""{"scale":$k,"snapshot_rows":$snapRows,"batch_rows":$batchRows,""" +
         f""""result_rows":$rows,"anti_join_sec":$antiSec%.3f,"window_sec":$windowSec%.3f}""")
     }

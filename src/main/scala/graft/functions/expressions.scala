@@ -989,9 +989,12 @@ object GraftFunctions {
     "sketch_jaccard" -> ((es: Seq[Expression]) => SketchJaccard(es.head, es(1))),
     "audio_info" -> ((es: Seq[Expression]) => AudioInfo(es.head)),
     "gopher_repetition" -> ((es: Seq[Expression]) => GopherRepetition(es.head)),
-    // Morton z-value as a composed tree of Spark's own codegen'd bit ops —
-    // the SQL twin of Layout.zValue2 (same bit layout, asserted in
-    // GraftExtensionsSuite)
+    // Morton z-value as a composed tree of Spark's own codegen'd bit ops.
+    // NOT delegated to Layout.zValue2 via the Column bridge: a Column built
+    // from functions._ carries unresolved ColumnNode wrappers that the
+    // injectFunction path never analyzes (Unevaluable at codegen). The bit
+    // layout therefore exists twice; GraftExtensionsSuite pins the two
+    // implementations bit-for-bit at bits=8 and the default 16.
     "z_value2" -> ((es: Seq[Expression]) => {
       val bits = intArg(es, 2, 16)
       require(bits >= 1 && bits <= 31, s"z_value2 bits must be in [1, 31], got $bits")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => F, TextFunctions => T}
 
@@ -125,22 +125,48 @@ object CorpusStats {
     * linearized map is monotone in the same statistic and — unlike
     * `exp2`, whose libm last-ulp may differ across engines — stays inside
     * the exact-decimal discipline that makes the score hash-checkable
-    * (the pipeline_dsir gate). Feed the weight to
-    * [[Sampling.weightedSample]] for the reshard-stable keep decision.
-    * Scale shape: two [[bigramScore]] passes (each two keyed joins + one
-    * per-doc agg) and one id-equi-join between score frames.
+    * (the pipeline_dsir gate). The weight is deliberately UNROUNDED:
+    * clamp/add/divide on the engine-identical llr doubles are
+    * IEEE-deterministic, whereas a 6-decimal rounding of `0.5 + llr/4`
+    * creates EXACT half-way ties (llr*1e6 ≡ 2 mod 4) that Spark
+    * (BigDecimal HALF_UP) and DuckDB (binary std::round) resolve
+    * differently. Feed the weight to [[Sampling.weightedSample]] for the
+    * reshard-stable keep decision.
+    *
+    * Scale shape: ONE tokenize+explode pass over the docs, left-joined to
+    * both models' tables (the doc-bigram side is the heavy one at curation
+    * scale — scoring per-LM would scan and shuffle it twice), both
+    * single-row vocab frames broadcast, one per-doc aggregate. Per-LM
+    * terms and the final rounding sequence are byte-identical to two
+    * [[bigramScore]] passes (asserted in CorpusStatsSuite).
     */
   def dsirWeights(target: BigramLM, raw: BigramLM, docs: DataFrame,
       idCol: String, textCol: String, scale: Double = 4.0): DataFrame = {
     require(scale > 0)
-    val st = bigramScore(target, docs, idCol, textCol)
-      .select(col("id"), col("n_bigrams"), col("xent_bits").as("__xt"))
-    val sr = bigramScore(raw, docs, idCol, textCol)
-      .select(col("id"), col("xent_bits").as("__xr"))
-    st.join(sr, Seq("id"))
+    def term(c2: Column, c1: Column, v: Column): Column =
+      round(log(2.0, (coalesce(c2, lit(0L)) + lit(1)).cast("double") /
+        (coalesce(c1, lit(0L)) + v + lit(1)).cast("double")), 9).cast("decimal(28,9)")
+    val scored = bigramRows(docs, textCol, Seq(col(idCol).as("id")))
+      .join(target.bigrams.select(col("w1"), col("w2"), col("c2").as("__c2t")),
+        Seq("w1", "w2"), "left")
+      .join(target.contexts.select(col("w1"), col("c1").as("__c1t")), Seq("w1"), "left")
+      .join(raw.bigrams.select(col("w1"), col("w2"), col("c2").as("__c2r")),
+        Seq("w1", "w2"), "left")
+      .join(raw.contexts.select(col("w1"), col("c1").as("__c1r")), Seq("w1"), "left")
+      .crossJoin(broadcast(target.vocab.select(col("__v").as("__vt"))))
+      .crossJoin(broadcast(raw.vocab.select(col("__v").as("__vr"))))
+      .select(col("id"),
+        term(col("__c2t"), col("__c1t"), col("__vt")).as("__tt"),
+        term(col("__c2r"), col("__c1r"), col("__vr")).as("__tr"))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__tt")).as("__st"), sum(col("__tr")).as("__sr"))
+      .select(col("id"), col("n_bigrams"),
+        round((-col("__st")).cast("double") / col("n_bigrams"), 6).as("__xt"),
+        round((-col("__sr")).cast("double") / col("n_bigrams"), 6).as("__xr"))
       .select(col("id"), col("n_bigrams"),
         round(col("__xr") - col("__xt"), 6).as("llr_rate"))
       .withColumn("weight",
-        least(lit(1.0), greatest(lit(0.0), round(lit(0.5) + col("llr_rate") / scale, 6))))
+        least(lit(1.0), greatest(lit(0.0), lit(0.5) + col("llr_rate") / scale)))
   }
 }

@@ -1470,11 +1470,15 @@ object Pipeline {
             ROUND(-CAST(SUM(term_t) AS DOUBLE) / COUNT(*), 6) AS xt,
             ROUND(-CAST(SUM(term_r) AS DOUBLE) / COUNT(*), 6) AS xr
           FROM terms GROUP BY doc_id
+        ), lr AS (
+          SELECT doc_id, n_bigrams, ROUND(xr - xt, 6) AS llr_rate FROM sc
         ), w AS (
-          SELECT doc_id, n_bigrams,
-            ROUND(xr - xt, 6) AS llr_rate,
-            LEAST(1.0, GREATEST(0.0, ROUND(0.5 + (ROUND(xr - xt, 6)) / 4.0, 6))) AS weight
-          FROM sc
+          -- weight deliberately UNROUNDED: IEEE add/divide/clamp on the
+          -- engine-identical llr doubles; a 6-decimal round here hits exact
+          -- HALF_UP ties (llr*1e6 = 2 mod 4) the engines resolve differently
+          SELECT doc_id, n_bigrams, llr_rate,
+            LEAST(1.0, GREATEST(0.0, 0.5 + llr_rate / 4.0)) AS weight
+          FROM lr
         )
         SELECT doc_id, n_bigrams, llr_rate, weight,
           (('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 15))::BIGINT % 10000)

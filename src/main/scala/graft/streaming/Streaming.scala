@@ -276,16 +276,24 @@ object Streaming {
     */
   def bigramScoreStream(lm: graft.operators.CorpusStats.BigramLM,
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    val c2 = lm.bigrams.collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val c1 = lm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val v = lm.vocab.collect().head.getLong(0)
-    val bc = spark.sparkContext.broadcast((c2, c1, v))
-    val score = udf(new BigramScorer(bc))
+    val score = udf(new BigramScorer(collectAndBroadcast(docs.sparkSession, lm)))
     docs.select(col(idCol).as("id"), score(col(textCol)).as("__s"))
       .where(col("__s").isNotNull)
       .select(col("id"), col("__s._1").as("n_bigrams"), col("__s._2").as("xent_bits"))
+  }
+
+  /** Collect a [[graft.operators.CorpusStats.BigramLM]]'s three tables into
+    * the (bigram-counts, context-counts, vocab-size) tuple [[BigramScorer]]
+    * closes over, broadcast once — shared by [[bigramScoreStream]] and
+    * [[dsirStream]] so the tuple shape has one producer.
+    */
+  private def collectAndBroadcast(spark: SparkSession,
+      lm: graft.operators.CorpusStats.BigramLM):
+      org.apache.spark.broadcast.Broadcast[(Map[(String, String), Long], Map[String, Long], Long)] = {
+    val c2 = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = lm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.sparkContext.broadcast((c2, c1, lm.vocab.collect().head.getLong(0)))
   }
 
   /** Streaming DSIR scoring: the twin of
@@ -302,21 +310,17 @@ object Streaming {
       scale: Double = 4.0): DataFrame = {
     require(scale > 0)
     val spark = docs.sparkSession
-    def bc(lm: graft.operators.CorpusStats.BigramLM) = {
-      val c2 = lm.bigrams.collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-      val c1 = lm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      spark.sparkContext.broadcast((c2, c1, lm.vocab.collect().head.getLong(0)))
-    }
-    val scoreT = udf(new BigramScorer(bc(target)))
-    val scoreR = udf(new BigramScorer(bc(raw)))
+    val scoreT = udf(new BigramScorer(collectAndBroadcast(spark, target)))
+    val scoreR = udf(new BigramScorer(collectAndBroadcast(spark, raw)))
     docs.select(col(idCol).as("id"),
         scoreT(col(textCol)).as("__t"), scoreR(col(textCol)).as("__r"))
       .where(col("__t").isNotNull && col("__r").isNotNull)
       .select(col("id"), col("__t._1").as("n_bigrams"),
         round(col("__r._2") - col("__t._2"), 6).as("llr_rate"))
+      // unrounded, like the batch operator: a 6-decimal rounding here
+      // creates exact HALF_UP ties the two engines resolve differently
       .withColumn("weight",
-        least(lit(1.0), greatest(lit(0.0), round(lit(0.5) + col("llr_rate") / scale, 6))))
+        least(lit(1.0), greatest(lit(0.0), lit(0.5) + col("llr_rate") / scale)))
   }
 
   private final class BigramScorer(

@@ -105,8 +105,11 @@ class CorpusStatsSuite extends SparkTestBase {
     // pipeline_dsir adds a SECOND model (target = src0-src3) whose log
     // terms are a new cross-libm surface; everything downstream (llr,
     // weight, kept) derives deterministically from the two
-    // already-engine-identical xent doubles, so the 9-decimal term margin
-    // is the one thing to pin. Threshold 5e-5 (5e-14 absolute): the
+    // already-engine-identical xent doubles — the weight stays UNROUNDED
+    // precisely so this holds (rounding 0.5 + llr/4 at 6 decimals would
+    // create exact HALF_UP ties the engines resolve differently) — so the
+    // 9-decimal term margin is the one thing to pin. Threshold 5e-5
+    // (5e-14 absolute): the
     // target-LM corpus minimum is 8.3e-5 (doc 5), still ~90 ulps at that
     // term's magnitude vs a few ulps of cross-libm log drift — tighter
     // than the raw LM's 4.9e-4 minimum but equally safe.
@@ -137,6 +140,30 @@ class CorpusStatsSuite extends SparkTestBase {
       }
     }
     assert(terms > 1000, s"dsir boundary check covered only $terms terms")
+  }
+
+  test("single-pass dsirWeights equals the two-bigramScore composition exactly") {
+    import org.apache.spark.sql.functions._
+    val d = QueryPack.t(spark, sf("sf0.01"), "documents")
+    val train = d.where(col("doc_id") % 5 =!= 0)
+    val tgt = CorpusStats.bigramTrain(
+      train.where(col("source").isin("src0", "src1", "src2", "src3")), "text")
+    val raw = CorpusStats.bigramTrain(train, "text")
+    val heldout = d.where(col("doc_id") % 5 === 0)
+    val onePass = CorpusStats.dsirWeights(tgt, raw, heldout, "doc_id", "text")
+      .select("id", "n_bigrams", "llr_rate", "weight")
+      .orderBy("id").collect().toSeq
+    // reference formulation: two independent scoring passes + id join
+    val st = CorpusStats.bigramScore(tgt, heldout, "doc_id", "text")
+      .select(col("id"), col("n_bigrams"), col("xent_bits").as("xt"))
+    val sr = CorpusStats.bigramScore(raw, heldout, "doc_id", "text")
+      .select(col("id"), col("xent_bits").as("xr"))
+    val twoPass = st.join(sr, Seq("id"))
+      .select(col("id"), col("n_bigrams"), round(col("xr") - col("xt"), 6).as("llr_rate"))
+      .withColumn("weight",
+        least(lit(1.0), greatest(lit(0.0), lit(0.5) + col("llr_rate") / 4.0)))
+      .orderBy("id").collect().toSeq
+    assert(onePass == twoPass)
   }
 
   test("dsir weights rank target-domain docs above the rest") {

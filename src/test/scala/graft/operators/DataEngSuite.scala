@@ -197,8 +197,11 @@ class DataEngSuite extends SparkTestBase {
       .select(col("event_id").as("k"), col("value"), col("ts"), col("event_id"))
       .withColumn("op", lit("U"))
     val out = Cdc.applyChangelog(base, changes, Seq("k"), Seq("ts", "event_id"), "op")
-    out.count() // materialize so AQE finalizes the adaptive plan
+    // collect() executes THIS dataset's QueryExecution (count() would build
+    // its own), so executedPlan below is the AQE-finalized adaptive plan
+    out.collect()
     val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"adaptive plan not finalized:\n$plan")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"compacted changelog side not broadcast:\n$plan")
   }
