@@ -206,6 +206,29 @@ class DataEngSuite extends SparkTestBase {
       s"compacted changelog side not broadcast:\n$plan")
   }
 
+  test("chunk reconstruction holds across size/overlap configurations") {
+    val docs = (0 to 120).map(n => (n.toLong, "qwertyuiopasdfghjklzxcvbnm".* (5).substring(0, n)))
+      .toDF("doc_id", "text")
+    val texts = (0 to 120).map(n => n.toLong -> "qwertyuiopasdfghjklzxcvbnm".* (5).substring(0, n)).toMap
+    for {
+      size <- Seq(1, 2, 7, 32)
+      overlap <- Seq(0, 1, size / 2, size - 1).distinct if overlap >= 0 && overlap < size
+    } {
+      val chunks = Chunking.chunk(docs, "text", size, overlap)
+        .select("doc_id", "chunk_ix", "chunk")
+        .collect().groupBy(_.getLong(0))
+      texts.foreach { case (id, text) =>
+        if (text.isEmpty) assert(!chunks.contains(id))
+        else {
+          val cs = chunks(id).sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+          val rebuilt = cs.head + cs.tail.map(_.drop(overlap)).mkString
+          assert(rebuilt == text,
+            s"size=$size overlap=$overlap len=${text.length}: reconstruct failed")
+        }
+      }
+    }
+  }
+
   test("zero overlap tiles the text disjointly") {
     val docs = Seq((1L, "abcdefghijk")).toDF("doc_id", "text") // len 11, size 4
     val cs = Chunking.chunk(docs, "text", 4, 0)
