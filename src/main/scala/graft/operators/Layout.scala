@@ -89,9 +89,19 @@ object Layout {
     * every output file has a tight bounding box in BOTH columns.
     */
   def zorder2(df: DataFrame, xCol: String, xLo: Double, xHi: Double,
-      yCol: String, yLo: Double, yHi: Double, bits: Int, numFiles: Int): DataFrame = {
-    val z = zValue2(normalize(col(xCol), xLo, xHi, bits),
-      normalize(col(yCol), yLo, yHi, bits), bits)
+      yCol: String, yLo: Double, yHi: Double, bits: Int, numFiles: Int): DataFrame =
+    zorderN(df, Seq((xCol, xLo, xHi), (yCol, yLo, yHi)), bits, numFiles)
+
+  /** N-column generalization of [[zorder2]]: `cols` is (name, lo, hi) per
+    * curve dimension, domains from table stats. `bits * cols.length` must
+    * fit the 62-bit curve ([[zValueN]]); more dimensions at fewer bits each
+    * trades per-column resolution for multi-column coverage — 3-4 columns
+    * at 8-16 bits is the practical sweet spot (beyond that each column's
+    * clustering contribution dilutes).
+    */
+  def zorderN(df: DataFrame, cols: Seq[(String, Double, Double)],
+      bits: Int, numFiles: Int): DataFrame = {
+    val z = zValueN(cols.map { case (c, lo, hi) => normalize(col(c), lo, hi, bits) }, bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -301,6 +301,22 @@ class DataEngSuite extends SparkTestBase {
     assert(bins.length < files.length / 2)
   }
 
+  test("zorderN over three columns tightens all three bounding boxes") {
+    val e = events.select(col("user_id"),
+      pmod(col("event_id") * 37L, lit(256L)).as("y"),
+      pmod(col("event_id") * 101L, lit(256L)).as("w"))
+    def avgRange(df: org.apache.spark.sql.DataFrame, c: String): Double =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg((max(c) - min(c)).as("r"))
+        .agg(avg("r")).collect()(0).getDouble(0)
+    val z = Layout.zorderN(e,
+      Seq(("user_id", 0, 149), ("y", 0, 255), ("w", 0, 255)), bits = 8, numFiles = 27)
+    // every dimension's per-partition range must sit well under its domain
+    assert(avgRange(z, "user_id") < 149 * 0.6)
+    assert(avgRange(z, "y") < 255 * 0.6)
+    assert(avgRange(z, "w") < 255 * 0.6)
+  }
+
   test("zorder2 tightens per-file bounding boxes in BOTH dimensions") {
     val e = events.select(col("user_id"),
       pmod(col("event_id") * 37L, lit(256L)).as("y"), col("event_id"))
