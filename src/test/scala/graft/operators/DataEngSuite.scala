@@ -284,6 +284,46 @@ class DataEngSuite extends SparkTestBase {
     assert(vals(50.0) == 128L) // round(0.5 * 255) = 128
   }
 
+  test("hilbertValue2 is a bijection with unit-step adjacency") {
+    val bits = 5
+    val n = 1 << bits // 32x32 grid, 1024 cells
+    // NB: `/` is true division (doubles) — div keeps the grid integral
+    val grid = spark.range(n.toLong * n)
+      .selectExpr(s"id % $n AS x", s"id div $n AS y")
+    val d = Layout.hilbertValue2(grid, "x", "y", bits, "h")
+    // bijective onto [0, n^2)
+    val stats = d.agg(countDistinct("h"), min("h"), max("h")).collect()(0)
+    assert(stats.getLong(0) == n.toLong * n && stats.getLong(1) == 0L &&
+      stats.getLong(2) == n.toLong * n - 1)
+    // THE Hilbert property (Morton lacks it): consecutive curve indices are
+    // Manhattan-adjacent cells — one step in exactly one dimension
+    val w = org.apache.spark.sql.expressions.Window.orderBy("h")
+    val steps = d
+      .withColumn("dx", abs(col("x") - lag("x", 1).over(w)))
+      .withColumn("dy", abs(col("y") - lag("y", 1).over(w)))
+      .where(col("dx").isNotNull)
+    assert(steps.where(col("dx") + col("dy") =!= 1).count() == 0,
+      "a curve step moved diagonally or jumped")
+  }
+
+  test("hilbertOrder2 tightens per-file bounding boxes in both dimensions") {
+    // absolute-tightness check mirroring the zorder2 test; Hilbert-vs-Z
+    // average boxes are comparable at this granularity (power-of-4 curve
+    // segments tile identically) — the adjacency test above is the
+    // property that separates the curves
+    val e = events.select(col("user_id"),
+      pmod(col("event_id") * 37L, lit(256L)).as("y"), col("event_id"))
+    val d = Layout.hilbertOrder2(e, "user_id", 0, 149, "y", 0, 255,
+        bits = 8, numFiles = 16)
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(
+        (max("user_id") - min("user_id")).as("xr"),
+        (max("y") - min("y")).as("yr"))
+      .agg(avg("xr"), avg("yr")).collect()(0)
+    assert(d.getDouble(0) < 149 * 0.5, s"x not clustered: ${d.getDouble(0)}")
+    assert(d.getDouble(1) < 255 * 0.5, s"y not clustered: ${d.getDouble(1)}")
+  }
+
   test("compactionBins packs under target, singles oversized files, loses none") {
     val files = (1 to 200).map(i => (s"f$i", (i * 7919L) % 400 + 1)) ++
       Seq(("big1", 1000L), ("big2", 2500L))
