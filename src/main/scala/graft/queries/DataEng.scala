@@ -148,6 +148,38 @@ object DataEng {
                 AND quantile_cont(l_extendedprice, 0.91) AS within_bound_p90
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- Hilbert curve values: the xy2d rotate/reflect recurrence runs as
+    // chained projections in Spark and as a RECURSIVE CTE in DuckDB (one
+    // iteration per bit level, pure integer arithmetic on both sides), so
+    // the better-locality curve is hash-exact gated like the Morton one.
+    // Curve properties (bijection, unit-step adjacency) in DataEngSuite. ----
+    QuerySpec("layout_hilbert",
+      (s, dir) => {
+        val pre = t(s, dir, "events")
+          .select(col("event_id"), col("user_id").as("x"),
+            pmod(col("event_id"), lit(251)).as("y"))
+        Layout.hilbertValue2(pre, "x", "y", bits = 8, outCol = "hval")
+          .select(col("event_id"), col("hval"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH RECURSIVE h AS (
+          SELECT event_id,
+                 CAST(user_id AS BIGINT) AS x,
+                 CAST(event_id % 251 AS BIGINT) AS y,
+                 CAST(0 AS BIGINT) AS d, 7 AS i
+          FROM events
+          UNION ALL
+          SELECT event_id,
+            CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END) ELSE x END,
+            CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END) ELSE y END,
+            d + ((1::BIGINT << i) * (1::BIGINT << i)) * CAST(xor(3 * rx, ry) AS BIGINT),
+            i - 1
+          FROM (SELECT event_id, x, y, d, i,
+                  ((x >> i) & 1) AS rx, ((y >> i) & 1) AS ry
+                FROM h WHERE i >= 0)
+        )
+        SELECT event_id, d AS hval FROM h WHERE i = -1 ORDER BY event_id""")),
+
     // ---- Z-order (Morton) curve values: interleave the low 8 bits of
     // user_id (0..149) and event_id mod 251 — 16 codegen'd shift/mask/add
     // terms, no UDF. DataEngSuite proves the layout consequence (per-file
