@@ -108,7 +108,9 @@ object Cdc {
         when(col("is_current") && col("__first_new").isNotNull, col("__first_new"))
           .otherwise(col("valid_to")))
       .withColumn("is_current", col("is_current") && col("__first_new").isNull)
-      .drop("__first_new")
+      // the key join fronts keyCols — restore the history's column order so
+      // the output schema is positionally stable across applies
+      .select(history.columns.map(col).toSeq: _*)
     closed.unionByName(scd2(changes, keyCols, seqCol))
   }
 }

@@ -324,6 +324,42 @@ class DataEngSuite extends SparkTestBase {
     assert(d.getDouble(1) < 255 * 0.5, s"y not clustered: ${d.getDouble(1)}")
   }
 
+  test("applyChangelog is idempotent and a no-op on an empty batch") {
+    val base = events.select(col("event_id").as("k"), col("event_type"), col("value"))
+    val changes = events.where(col("event_id") % 9 === 0)
+      .select(col("event_id").as("k"), col("event_type"), col("value"),
+        col("ts"), col("event_id"))
+      .withColumn("op", when(col("event_type") === "error", "D").otherwise("U"))
+    val once = Cdc.applyChangelog(base, changes, Seq("k"), Seq("ts", "event_id"), "op")
+    val twice = Cdc.applyChangelog(once, changes, Seq("k"), Seq("ts", "event_id"), "op")
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+      "re-applying the same changelog changed the snapshot")
+    val empty = changes.where(lit(false))
+    val noop = Cdc.applyChangelog(base, empty, Seq("k"), Seq("ts", "event_id"), "op")
+    assert(base.exceptAll(noop).isEmpty && noop.exceptAll(base).isEmpty)
+  }
+
+  test("scd2Apply with an empty batch returns the history unchanged") {
+    val e = events.where(col("user_id") < 10)
+    val hist = Cdc.scd2(e, Seq("user_id"), "ts")
+    val out = Cdc.scd2Apply(hist, e.where(lit(false)), Seq("user_id"), "ts")
+    assert(hist.exceptAll(out).isEmpty && out.exceptAll(hist).isEmpty)
+  }
+
+  test("curve layouts plan one range exchange and no UDF") {
+    val e = events.select(col("user_id"),
+      pmod(col("event_id"), lit(256L)).as("y"))
+    for (plan <- Seq(
+        Layout.zorder2(e, "user_id", 0, 149, "y", 0, 255, bits = 8, numFiles = 8),
+        Layout.hilbertOrder2(e, "user_id", 0, 149, "y", 0, 255, bits = 8, numFiles = 8))
+        .map(_.queryExecution.executedPlan.toString)) {
+      assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size == 1,
+        s"expected exactly one range exchange:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("udf"),
+        s"curve math left codegen:\n$plan")
+    }
+  }
+
   test("compactionBins packs under target, singles oversized files, loses none") {
     val files = (1 to 200).map(i => (s"f$i", (i * 7919L) % 400 + 1)) ++
       Seq(("big1", 1000L), ("big2", 2500L))
