@@ -93,6 +93,47 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-budget mixture sampling (the Pile/Dolma-style source mixing
+    * step): given a per-source share of a total token budget, keep each
+    * source's documents with probability `min(1, share * budget /
+    * source_tokens)` so the EXPECTED kept tokens hit the target mix.
+    * Selection is the seeded-md5 hash01 filter — uniform within source,
+    * deterministic, STABLE UNDER RESHARDING (the property `sample()`
+    * lacks) — and sources absent from `shares` drop entirely.
+    *
+    * Scale shape: one partial-combine agg for the per-source token totals
+    * (sources are few — the totals frame broadcasts back), then a pure
+    * map-side keep filter; the corpus never shuffles. Oversubscribed
+    * sources (share * budget > available tokens) clamp to keeping
+    * everything — re-weight or upsample externally if the mix must be
+    * exact rather than capped.
+    *
+    * `shareTimesBudget` passes `share * budget` PRE-MULTIPLIED per source:
+    * both engines then evaluate the same single division, keeping the
+    * rate doubles engine-identical for the hash-exact gate
+    * (`sample_mixture`).
+    */
+  def tokenMixture(df: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, shareTimesBudget: Map[String, Double],
+      seed: Long): DataFrame = {
+    require(shareTimesBudget.nonEmpty && shareTimesBudget.values.forall(_ > 0))
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).as("__tot"))
+    val budgetExpr = shareTimesBudget.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, tb)) => when(col(sourceCol) === src, lit(tb)).otherwise(acc)
+    }
+    val hash01 = pmod(conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 15), 16, 10)
+      .cast("long"), lit(10000L)).cast("double") / 10000.0
+    df.join(broadcast(totals), Seq(sourceCol))
+      // guard BEFORE least(): Spark's least() skips nulls, so an unlisted
+      // source would otherwise resolve to rate 1.0 instead of dropping
+      .withColumn("__rate",
+        when(budgetExpr.isNotNull, least(lit(1.0), budgetExpr / col("__tot"))))
+      .where(col("__rate").isNotNull && hash01 < col("__rate"))
+      .drop("__tot", "__rate")
+  }
+
   /** Single-pass labeled variant of [[hashSplit]]: every row tagged with its
     * split name in ONE scan — the shape for split-wide reporting (per-split
     * stats, partitioned writes via `.write.partitionBy("split")`) where

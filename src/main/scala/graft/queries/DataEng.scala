@@ -15,6 +15,10 @@ object DataEng {
     * full-rebuild history (that identity IS cdc_scd2_inc's point), so the
     * oracle lives once.
     */
+  // DuckDB twin of TextFunctions.tokens (same fragment Pipeline uses)
+  private val toksSqlDE =
+    """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+
   private val Scd2RebuildSql = """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
           epoch_ms(LEAD(ts) OVER w) AS valid_to_ms,
           (LEAD(ts) OVER w IS NULL) AS is_current,
@@ -112,6 +116,42 @@ object DataEng {
           .orderBy(col("user_id"), col("ts_ms"))
       },
       Some(Scd2RebuildSql)),
+
+    // ---- Token-budget mixture sampling: shares src0=0.4/src1=0.3/
+    // src2=0.2/src3=0.1 of a 5000-token budget (share*budget pre-multiplied
+    // so both engines evaluate one division — rate doubles stay
+    // engine-identical), md5-hash01 keep, other sources drop. The oracle
+    // recomputes totals, rates, and the keep decision per doc; outputs are
+    // the per-source kept doc/token counts. ----
+    QuerySpec("sample_mixture",
+      (s, dir) => {
+        import graft.functions.{TextFunctions => T}
+        val d = t(s, dir, "documents")
+          .withColumn("n_tok", T.tokenCount(col("text")).cast("long"))
+        graft.operators.Sampling.tokenMixture(d, "doc_id", "n_tok", "source",
+            Map("src0" -> 2000.0, "src1" -> 1500.0, "src2" -> 1000.0, "src3" -> 500.0),
+            seed = 23L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, CAST(len($toksSqlDE) AS BIGINT) AS n_tok FROM documents
+        ), agg AS (
+          SELECT source, SUM(n_tok) AS tot FROM tk GROUP BY source
+        ), rated AS (
+          SELECT tk.doc_id, tk.source, tk.n_tok,
+            LEAST(1.0, (CASE tk.source
+              WHEN 'src0' THEN 2000.0 WHEN 'src1' THEN 1500.0
+              WHEN 'src2' THEN 1000.0 WHEN 'src3' THEN 500.0 END) / agg.tot) AS rate
+          FROM tk JOIN agg USING (source)
+          WHERE tk.source IN ('src0', 'src1', 'src2', 'src3')
+        )
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+        FROM rated
+        WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':23'), 1, 15))::BIGINT % 10000)
+          / 10000.0 < rate
+        GROUP BY source ORDER BY source""")),
 
     // ---- Approximate percentile under the error-bound contract (the
     // q_approx_distinct pattern): each engine runs ITS OWN quantile sketch

@@ -135,4 +135,31 @@ class SamplingSuite extends SparkTestBase {
     assert(!out.contains("src1")) // fraction 0.0 and unlisted strata drop
     assert(out.keySet == Set("src0"))
   }
+
+  test("tokenMixture hits the token budget in expectation and drops unlisted sources") {
+    import graft.functions.{TextFunctions => T}
+    val d = QueryPack.t(spark, sf("sf0.01"), "documents")
+      .withColumn("n_tok", T.tokenCount(col("text")).cast("long"))
+    val totals = d.groupBy("source").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 modest budget; src1 oversubscribed (clamps to keep-all)
+    val huge = totals("src1") * 10.0
+    val kept = Sampling.tokenMixture(d, "doc_id", "n_tok", "source",
+      Map("src0" -> 600.0, "src1" -> huge), seed = 23L)
+    val bySrc = kept.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("tok"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bySrc.keySet == Set("src0", "src1"), s"unlisted sources leaked: ${bySrc.keySet}")
+    // oversubscribed source clamps to rate 1 -> everything kept
+    assert(bySrc("src1")._2 == totals("src1"))
+    // modest budget: kept tokens within a loose band of the 600 target
+    // (Bernoulli on ~25 docs; the gate pins the exact deterministic value)
+    val tok0 = bySrc("src0")._2
+    assert(tok0 > 150 && tok0 < 1200, s"src0 kept $tok0 tokens vs 600 target")
+    // reshard stability: same decisions under a different layout
+    val re = Sampling.tokenMixture(d.repartition(13), "doc_id", "n_tok", "source",
+        Map("src0" -> 600.0, "src1" -> huge), seed = 23L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
