@@ -117,21 +117,23 @@ object Sampling {
       sourceCol: String, shareTimesBudget: Map[String, Double],
       seed: Long): DataFrame = {
     require(shareTimesBudget.nonEmpty && shareTimesBudget.values.forall(_ > 0))
-    val totals = df.groupBy(col(sourceCol))
+    // drop unlisted sources BEFORE the totals agg/join — their rows carry a
+    // null budget and can never survive, so they should not pay the
+    // aggregation either (and keeping nulls out of the rate also sidesteps
+    // least()'s null-skipping, which would silently resolve to rate 1.0)
+    val listed = df.where(col(sourceCol).isin(shareTimesBudget.keys.toSeq: _*))
+    val totals = listed.groupBy(col(sourceCol))
       .agg(sum(col(tokenCol)).as("__tot"))
     val budgetExpr = shareTimesBudget.foldLeft(lit(null).cast("double")) {
       case (acc, (src, tb)) => when(col(sourceCol) === src, lit(tb)).otherwise(acc)
     }
-    val hash01 = pmod(conv(substring(
-        md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 15), 16, 10)
-      .cast("long"), lit(10000L)).cast("double") / 10000.0
-    df.join(broadcast(totals), Seq(sourceCol))
-      // guard BEFORE least(): Spark's least() skips nulls, so an unlisted
-      // source would otherwise resolve to rate 1.0 instead of dropping
-      .withColumn("__rate",
-        when(budgetExpr.isNotNull, least(lit(1.0), budgetExpr / col("__tot"))))
-      .where(col("__rate").isNotNull && hash01 < col("__rate"))
-      .drop("__tot", "__rate")
+    // the same portable md5 contract as hashSplit/splitLabels — one producer
+    val hash01 = bucketCol(idCol, seed, portable = true).cast("double") / 10000.0
+    listed.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("__rate", least(lit(1.0), budgetExpr / col("__tot")))
+      .where(hash01 < col("__rate"))
+      // the key join fronts sourceCol — restore the caller's column order
+      .select(df.columns.map(col).toSeq: _*)
   }
 
   /** Single-pass labeled variant of [[hashSplit]]: every row tagged with its
