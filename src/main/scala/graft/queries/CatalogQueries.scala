@@ -693,6 +693,82 @@ object CatalogQueries {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
         WHERE n_nationkey < 12 OR n_nationkey % 2 = 0 ORDER BY n_nationkey""")),
 
+    // ---- ICEBERG v2 merge-on-read through the native position-delete
+    // path: snapshot 2001 (seq 1) adds files A (keys < 12, sorted) and B
+    // (keys >= 12, sorted); snapshot 2002 (seq 2) commits a position-delete
+    // file masking A's odd keys and B's first row (key 12) BY POSITION, and
+    // also names C's future path (position 0) — which must be sequence-
+    // gated out; snapshot 2003 (seq 3) re-adds keys 1 and 12 as file C. The
+    // visible state exists ONLY through correct delete application: join on
+    // (file identity, row ordinal), gated by delete.seq >= data.seq. ----
+    QuerySpec("src_iceberg_mor_scan",
+      (s, dir) => {
+        setup(s, dir)
+        import graft.sources.lake.LakeWrite
+        import graft.sources.lake.LakeWrite.{IcebergSnapshot, ManifestEntry, ManifestFile}
+        import org.apache.hadoop.fs.Path
+        val lakeDir = new java.io.File(wh(dir), "lake")
+        val tableDir = new java.io.File(lakeDir, "nation_ice_mor")
+        if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_ice_mor.tmp${System.nanoTime()}")
+          new java.io.File(staging, "metadata").mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val nation = QueryPack.t(s, dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+          def dataFile(rel: String, d: org.apache.spark.sql.DataFrame, snapId: Long): ManifestEntry = {
+            val sorted = d.coalesce(1).sortWithinPartitions("n_nationkey")
+            val size = LakeWrite.writeOneParquetFile(sorted, new Path(root, rel))
+            ManifestEntry(1, rel, d.count(), size, snapId)
+          }
+          val a = dataFile("data/a.parquet", nation.where(col("n_nationkey") < 12), 2001L)
+          val b = dataFile("data/b.parquet", nation.where(col("n_nationkey") >= 12), 2001L)
+          val c = dataFile("data/c.parquet", nation.where(col("n_nationkey").isin(1, 12)), 2003L)
+          // data-driven positions: the files are sorted by n_nationkey, so
+          // a key's position is its rank within the file
+          val aKeys = nation.where(col("n_nationkey") < 12)
+            .select("n_nationkey").orderBy("n_nationkey")
+            .collect().map(_.get(0).toString.toLong)
+          val delPositions: Seq[(String, Long)] =
+            aKeys.zipWithIndex.collect { case (k, i) if k % 2 == 1 => ("data/a.parquet", i.toLong) }
+              .toSeq ++ Seq(("data/b.parquet", 0L), ("data/c.parquet", 0L))
+          import s.implicits._
+          val dSize = LakeWrite.writeOneParquetFile(
+            delPositions.toDF("file_path", "pos").coalesce(1), new Path(root, "data/d1.parquet"))
+          val m1len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/m1.avro"),
+            Seq(a, b))
+          val md1len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/md1.avro"),
+            Seq(ManifestEntry(1, "data/d1.parquet", delPositions.size.toLong, dSize, 2002L,
+              content = 1)))
+          val m3len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/m3.avro"),
+            Seq(c))
+          LakeWrite.icebergWriteManifestList(new java.io.File(staging, "metadata/ml1.avro"),
+            Seq("metadata/m1.avro" -> m1len), 2001L, 1L)
+          LakeWrite.icebergWriteManifestListEntries(new java.io.File(staging, "metadata/ml2.avro"),
+            Seq(ManifestFile("metadata/m1.avro", m1len, 0, 1L),
+              ManifestFile("metadata/md1.avro", md1len, 1, 2L)), 2002L)
+          LakeWrite.icebergWriteManifestListEntries(new java.io.File(staging, "metadata/ml3.avro"),
+            Seq(ManifestFile("metadata/m1.avro", m1len, 0, 1L),
+              ManifestFile("metadata/m3.avro", m3len, 0, 3L),
+              ManifestFile("metadata/md1.avro", md1len, 1, 2L)), 2003L)
+          LakeWrite.icebergWriteMetadata(conf, root, 3, nation.schema,
+            Seq(IcebergSnapshot(2001L, 1700000000000L, "metadata/ml1.avro", 1L),
+              IcebergSnapshot(2002L, 1700000100000L, "metadata/ml2.avro", 2L),
+              IcebergSnapshot(2003L, 1700000200000L, "metadata/ml3.avro", 3L)),
+            currentSnapshotId = 2003L,
+            refs = Map("main" -> (2003L, "branch"), "predelete" -> (2001L, "tag")))
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE icemor OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lake.icemor.nation_ice_mor ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE (n_nationkey < 12 AND n_nationkey % 2 = 0)
+           OR n_nationkey >= 13 OR n_nationkey IN (1, 12) ORDER BY n_nationkey""")),
+
     // ---- LIST DQ: the full constraint+rule inventory of the setup USL,
     // value-exact against a literal oracle (names, owning tables, kinds,
     // and expression renderings all pinned). ----

@@ -26,9 +26,13 @@ import org.json4s.jackson.JsonMethods
   * Supported: format v1 and v2 metadata, hadoop-style table directories
   * (`version-hint.text` or highest `vN.metadata.json`), snapshot selection
   * by id, by `TIMESTAMP AS OF`, and by named ref (branch/tag), PARQUET data
-  * files. Row-level deletes (v2 delete manifests / delete files) are
-  * rejected with a clear error rather than silently misread — a table with
-  * merge-on-read deletes needs compaction (or the full runtime) first.
+  * files, and v2 merge-on-read *position* deletes (delete manifests →
+  * position-delete parquet files of (file_path, pos), applied as a
+  * distributed anti-join on (file identity, `_metadata.row_index`) with the
+  * spec's sequence-number gating — see [[toDataFrame]]). Equality deletes
+  * are rejected with a clear error rather than silently misread (Spark and
+  * Trino writers emit position deletes; equality deletes come from Flink
+  * CDC ingestion, which needs the full runtime).
   *
   * Iceberg data files always carry every column (partition columns are
   * stored, not derived from paths), so correctness needs no partition
@@ -43,7 +47,20 @@ object IcebergLite {
       /** identity-partition columns surfaced for pruning (may be empty) */
       partitionColumns: Seq[String],
       files: Seq[LakeFile],
-      tableDir: Path)
+      tableDir: Path,
+      /** live position-delete files of this snapshot (empty = plain scan) */
+      deleteFiles: Seq[DeleteFile] = Nil,
+      /** per data file, aligned with `files`: (normalized manifest
+        * file_path — the delete files' join key — and the file's data
+        * sequence number). Populated only when `deleteFiles` is non-empty.
+        */
+      dataFileMeta: Seq[(String, Long)] = Nil)
+
+  /** One live position-delete parquet file: resolved path, size, its data
+    * sequence number (deletes apply to data files with seq <= this), and
+    * the manifest's record count (drives the broadcast decision).
+    */
+  final case class DeleteFile(path: String, size: Long, seq: Long, recordCount: Long)
 
   def isIcebergTable(conf: Configuration, dir: Path): Boolean = {
     val meta = new Path(dir, "metadata")
@@ -212,17 +229,18 @@ object IcebergLite {
       case _ => Nil
     }
 
-    // manifest list (v2 / v1-with-list) or inline manifests (early v1)
-    val manifestPaths: Seq[(String, Int)] = (snap \ "manifest-list") match {
+    // manifest list (v2 / v1-with-list) or inline manifests (early v1);
+    // each entry: (path, content 0=data 1=deletes, sequence number)
+    val manifestPaths: Seq[(String, Int, Long)] = (snap \ "manifest-list") match {
       case JString(ml) => readManifestList(conf, resolveUri(dir, ml))
       case _ => (snap \ "manifests") match {
-        case JArray(ms) => ms.map(m => m.extract[String] -> 0)
+        case JArray(ms) => ms.map(m => (m.extract[String], 0, 0L))
         case _ => throw new IllegalStateException(s"snapshot $snapId has neither manifest-list nor manifests")
       }
     }
-    manifestPaths.foreach { case (p, content) =>
-      require(content == 0, s"delete manifests are not supported by this reader " +
-        s"(manifest $p has content=$content; compact the table or use the full runtime)")
+    val (deleteManifests, dataManifests) = manifestPaths.partition(_._2 == 1)
+    val deleteFiles: Seq[DeleteFile] = deleteManifests.flatMap { case (mp, _, mseq) =>
+      readDeleteManifest(conf, dir, resolveUri(dir, mp), mseq)
     }
 
     // Identity-partition pruning: serve the identity columns' values from
@@ -236,14 +254,16 @@ object IcebergLite {
           schema.exists(_.name == c) && prunableType(schema(schema.fieldIndex(c)).dataType)))
         identityCols.map(c => c -> schema(schema.fieldIndex(c)).dataType)
       else Nil
-    val filesWithVals = manifestPaths.flatMap { case (mp, _) =>
-      readManifest(conf, dir, resolveUri(dir, mp), idFields)
+    val filesWithVals = dataManifests.flatMap { case (mp, _, mseq) =>
+      readManifest(conf, dir, resolveUri(dir, mp), idFields, mseq)
     }
-    val pruning = idFields.nonEmpty && filesWithVals.nonEmpty && filesWithVals.forall(_._2.isDefined)
+    val pruning = idFields.nonEmpty && filesWithVals.nonEmpty && filesWithVals.forall(_._1._2.isDefined)
     val files =
-      if (pruning) filesWithVals.map { case (f, v) => f.copy(partitionValues = v.get) }
-      else filesWithVals.map(_._1)
-    Snapshot(snapId, schema, if (pruning) identityCols else Nil, files, dir)
+      if (pruning) filesWithVals.map { case ((f, v), _) => f.copy(partitionValues = v.get) }
+      else filesWithVals.map(_._1._1)
+    Snapshot(snapId, schema, if (pruning) identityCols else Nil, files, dir,
+      deleteFiles = deleteFiles,
+      dataFileMeta = if (deleteFiles.isEmpty) Nil else filesWithVals.map(_._2))
   }
 
   /** Types whose manifest-Avro partition value maps 1:1 onto the external
@@ -289,23 +309,40 @@ object IcebergLite {
     case _ => Nil
   }
 
-  /** manifest-list entries -> (manifest_path, content); content defaults to
-    * 0 (data) for v1 lists that predate the field.
+  /** manifest-list entries -> (manifest_path, content, sequence_number);
+    * content defaults to 0 (data) and sequence to 0 for v1 lists that
+    * predate the fields.
     */
-  private def readManifestList(conf: Configuration, p: Path): Seq[(String, Int)] =
+  private def readManifestList(conf: Configuration, p: Path): Seq[(String, Int, Long)] =
     readAvroRecords(conf, p).map { r =>
       val path = r.get("manifest_path").toString
-      val content = Option(r.getSchema.getField("content")).map(f =>
-        r.get(f.pos()).asInstanceOf[Int]).getOrElse(0)
-      path -> content
+      def intField(n: String): Option[Int] = Option(r.getSchema.getField(n))
+        .flatMap(f => Option(r.get(f.pos()))).map(_.asInstanceOf[Number].intValue())
+      val content = intField("content").getOrElse(0)
+      val seq = Option(r.getSchema.getField("sequence_number"))
+        .flatMap(f => Option(r.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
+        .getOrElse(0L)
+      (path, content, seq)
     }
+
+  /** An entry's data sequence number: explicit when present, else inherited
+    * from the manifest-list entry's sequence number (the spec's inheritance
+    * rule for entries written with null sequence numbers).
+    */
+  private def entrySeq(entry: GenericRecord, manifestSeq: Long): Long =
+    Option(entry.getSchema.getField("sequence_number"))
+      .flatMap(f => Option(entry.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
+      .getOrElse(manifestSeq)
 
   /** One manifest's live data files (status != 2/DELETED), each with its
     * identity-partition values when the file's partition struct carries all
-    * of them (None = this file cannot participate in metadata pruning).
+    * of them (None = this file cannot participate in metadata pruning),
+    * plus (normalized file_path, data sequence number) for delete
+    * application.
     */
   private def readManifest(conf: Configuration, tableDir: Path, p: Path,
-      identity: Seq[(String, DataType)]): Seq[(LakeFile, Option[Seq[Any]])] =
+      identity: Seq[(String, DataType)], manifestSeq: Long)
+      : Seq[((LakeFile, Option[Seq[Any]]), (String, Long))] =
     readAvroRecords(conf, p).flatMap { entry =>
       val status = entry.get("status").asInstanceOf[Int]
       if (status == 2) None // DELETED
@@ -314,16 +351,67 @@ object IcebergLite {
         Option(df.getSchema.getField("content")).map(f => df.get(f.pos()).asInstanceOf[Int])
           .filter(_ != 0).foreach { c =>
             throw new UnsupportedOperationException(
-              s"row-level delete files are not supported by this reader (data_file content=$c)")
+              s"delete files in a data manifest are invalid (data_file content=$c in $p)")
           }
+        val rawPath = df.get("file_path").toString
         val format = df.get("file_format").toString.toUpperCase
         require(format == "PARQUET",
           s"only PARQUET data files are supported (found $format)")
-        val path = resolveUri(tableDir, df.get("file_path").toString).toString
+        val path = resolveUri(tableDir, rawPath).toString
         val size = df.get("file_size_in_bytes").asInstanceOf[Long]
-        Some(LakeFile(path, size, 0L, Nil) -> identityValues(df, identity))
+        Some((LakeFile(path, size, 0L, Nil) -> identityValues(df, identity),
+          normPath(rawPath) -> entrySeq(entry, manifestSeq)))
       }
     }
+
+  /** One delete manifest's live position-delete files. Equality deletes
+    * (content=2) are rejected: applying them needs field-id column
+    * resolution and bind-time schema tracking this lite reader does not do.
+    */
+  private def readDeleteManifest(conf: Configuration, tableDir: Path, p: Path,
+      manifestSeq: Long): Seq[DeleteFile] =
+    readAvroRecords(conf, p).flatMap { entry =>
+      val status = entry.get("status").asInstanceOf[Int]
+      if (status == 2) None // DELETED
+      else {
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        val content = Option(df.getSchema.getField("content"))
+          .map(f => df.get(f.pos()).asInstanceOf[Int]).getOrElse(0)
+        content match {
+          case 1 => // position deletes
+            val format = df.get("file_format").toString.toUpperCase
+            require(format == "PARQUET",
+              s"only PARQUET position-delete files are supported (found $format in $p)")
+            val path = resolveUri(tableDir, df.get("file_path").toString).toString
+            val size = df.get("file_size_in_bytes").asInstanceOf[Long]
+            val rows = Option(df.getSchema.getField("record_count"))
+              .flatMap(f => Option(df.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
+              .getOrElse(Long.MaxValue)
+            Some(DeleteFile(path, size, entrySeq(entry, manifestSeq), rows))
+          case 2 => throw new UnsupportedOperationException(
+            s"equality delete files are not supported by this reader ($p; " +
+              s"compact the table or use the full runtime)")
+          case c => throw new UnsupportedOperationException(
+            s"data file with content=$c in a delete manifest is invalid ($p)")
+        }
+      }
+    }
+
+  /** The file-identity join key between data manifests and the file_path
+    * column inside position-delete files: both are "the full URI" per the
+    * spec, but writers vary the scheme spelling (`file:/x` vs `file:///x`
+    * vs `/x`), so both sides collapse any scheme prefix to a bare absolute
+    * path. Mirrored row-side by [[normPathColumn]]; a unit test pins the
+    * two implementations to each other.
+    */
+  private[lake] val SchemePrefixRegex = "^[A-Za-z][A-Za-z0-9+.\\-]*:/+"
+
+  private[lake] def normPath(p: String): String = p.replaceFirst(SchemePrefixRegex, "/")
+
+  private[lake] def normPathColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c,
+      org.apache.spark.sql.functions.lit(SchemePrefixRegex),
+      org.apache.spark.sql.functions.lit("/"))
 
   /** The external-typed identity-partition values of one data_file, None if
     * any field is absent or its Avro value does not convert cleanly to the
@@ -374,21 +462,75 @@ object IcebergLite {
 
   // ---- DataFrame assembly ----
 
+  /** Reserved internal column names of the merge-on-read anti-join. */
+  private val MorCols = Seq("__gfid", "__gseq", "__grix", "__gdfp", "__gdpos", "__gdseq")
+
+  /** Above this many delete rows (summed manifest record counts) the delete
+    * side is left to AQE instead of being broadcast: ~24 B/row keyed, so
+    * 8M rows ≈ 200 MB hashed — the sane single-executor ceiling.
+    */
+  private val BroadcastDeleteRowCap = 8L * 1000 * 1000
+
   def toDataFrame(spark: SparkSession, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
     // Identity-partition columns (when the snapshot resolved values for
     // every file) are declared as the relation's partition schema: their
     // values are served from manifest metadata and filters on them prune in
     // LakeFileIndex.listFiles before any task launches. All other columns
     // read from parquet as data columns.
-    val partSchema = StructType(snap.partitionColumns.map(c =>
-      snap.schema(snap.schema.fieldIndex(c))))
+    val identityFields = snap.partitionColumns.map(c => snap.schema(snap.schema.fieldIndex(c)))
     val dataSchema = StructType(snap.schema.filterNot(f =>
       snap.partitionColumns.contains(f.name)))
-    val index = new LakeFileIndex(snap.tableDir, snap.files, partSchema)
-    val df = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
-    if (snap.partitionColumns.isEmpty) df
-    else df.select(snap.schema.fieldNames.toIndexedSeq
-      .map(org.apache.spark.sql.functions.col): _*)
+    if (snap.deleteFiles.isEmpty) {
+      val partSchema = StructType(identityFields)
+      val index = new LakeFileIndex(snap.tableDir, snap.files, partSchema)
+      val df = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
+      if (snap.partitionColumns.isEmpty) df
+      else df.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    } else {
+      // Merge-on-read: drop each data row whose (file, ordinal) appears in a
+      // live position-delete file with sequence number >= the data file's.
+      // Spark-native shape: both the file-identity key and the sequence
+      // number are served as synthetic *partition* columns from manifest
+      // metadata (zero extra IO, still codegen'd), the row ordinal comes
+      // from parquet's `_metadata.row_index` (row-group-skip-safe by
+      // construction), and the deletes apply as one distributed LEFT ANTI
+      // join — broadcast when the manifests bound the delete side small,
+      // else a keyed shuffle that scales with the deletes, never the data.
+      MorCols.filter(snap.schema.fieldNames.contains).foreach { c =>
+        throw new UnsupportedOperationException(
+          s"table column '$c' collides with the merge-on-read reader's internal names")
+      }
+      val partSchema = StructType(identityFields ++ Seq(
+        StructField("__gfid", StringType, nullable = false),
+        StructField("__gseq", LongType, nullable = false)))
+      val files = snap.files.zip(snap.dataFileMeta).map { case (f, (fid, seq)) =>
+        f.copy(partitionValues = f.partitionValues ++ Seq(fid, seq))
+      }
+      val index = new LakeFileIndex(snap.tableDir, files, partSchema)
+      val data = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
+        .withColumn("__grix", col("_metadata.row_index"))
+
+      val delPartSchema = StructType(Seq(StructField("__gdseq", LongType, nullable = false)))
+      val delFiles = snap.deleteFiles.map(d => LakeFile(d.path, d.size, 0L, Seq(d.seq)))
+      val delIndex = new LakeFileIndex(snap.tableDir, delFiles, delPartSchema)
+      val delSchema = StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("pos", LongType, nullable = false)))
+      val delRows = GraftLakeBridge.parquetRelation(spark, delIndex, delPartSchema, delSchema)
+        .select(normPathColumn(col("file_path")).as("__gdfp"),
+          col("pos").as("__gdpos"), col("__gdseq"))
+      val deleteRowCount = // saturating: absent record_count reads Long.MaxValue
+        if (snap.deleteFiles.exists(_.recordCount == Long.MaxValue)) Long.MaxValue
+        else snap.deleteFiles.map(_.recordCount).sum
+      val delSide = if (deleteRowCount <= BroadcastDeleteRowCap) broadcast(delRows) else delRows
+
+      data.join(delSide,
+          col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos") &&
+            col("__gdseq") >= col("__gseq"),
+          "left_anti")
+        .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    }
   }
 
   def read(spark: SparkSession, dir: Path, version: Option[String] = None,

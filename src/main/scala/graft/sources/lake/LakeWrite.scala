@@ -132,15 +132,19 @@ object LakeWrite {
 
   /** One manifest entry: status 0=EXISTING 1=ADDED 2=DELETED; `partition`
     * fills the entry schema's r102 struct by field name (identity values).
+    * `content` is the data_file's content field (0=data, 1=position deletes,
+    * 2=equality deletes); `sequenceNumber` None = inherit from the manifest
+    * list entry per the spec's inheritance rule.
     */
   final case class ManifestEntry(status: Int, filePath: String, recordCount: Long,
-      fileSizeInBytes: Long, snapshotId: Long, partition: Map[String, Any] = Map.empty)
+      fileSizeInBytes: Long, snapshotId: Long, partition: Map[String, Any] = Map.empty,
+      content: Int = 0, sequenceNumber: Option[Long] = None)
 
   def icebergWriteManifest(file: java.io.File, entries: Seq[ManifestEntry],
       entrySchema: Schema = ManifestEntrySchema): Long = {
     val records = entries.iterator.map { e =>
       val df = new GenericData.Record(entrySchema.getField("data_file").schema())
-      df.put("content", 0)
+      df.put("content", e.content)
       df.put("file_path", e.filePath)
       df.put("file_format", "PARQUET")
       val partSchema = entrySchema.getField("data_file").schema().getField("partition").schema()
@@ -152,26 +156,39 @@ object LakeWrite {
       val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", e.snapshotId)
-      r.put("sequence_number", null)
+      r.put("sequence_number", e.sequenceNumber.map(Long.box).orNull)
       r.put("file_sequence_number", null)
       r.put("data_file", df)
       r: org.apache.avro.generic.GenericRecord
     }
     AvroLite.writeFile(file, entrySchema, records,
-      meta = Map("content" -> "data".getBytes("UTF-8")))
+      meta = Map("content" ->
+        (if (entries.exists(_.content != 0)) "deletes" else "data").getBytes("UTF-8")))
     file.length()
   }
 
+  /** One manifest-list entry: content 0=data manifest, 1=delete manifest;
+    * `sequenceNumber` is the commit sequence the manifest was added at (what
+    * null entry sequence numbers inherit).
+    */
+  final case class ManifestFile(path: String, length: Long, content: Int,
+      sequenceNumber: Long)
+
   def icebergWriteManifestList(file: java.io.File,
-      manifests: Seq[(String, Long)], snapshotId: Long, sequenceNumber: Long): Unit = {
-    val records = manifests.iterator.map { case (path, length) =>
+      manifests: Seq[(String, Long)], snapshotId: Long, sequenceNumber: Long): Unit =
+    icebergWriteManifestListEntries(file,
+      manifests.map { case (p, l) => ManifestFile(p, l, 0, sequenceNumber) }, snapshotId)
+
+  def icebergWriteManifestListEntries(file: java.io.File,
+      manifests: Seq[ManifestFile], snapshotId: Long): Unit = {
+    val records = manifests.iterator.map { mf =>
       val r = new GenericData.Record(ManifestFileSchema)
-      r.put("manifest_path", path)
-      r.put("manifest_length", length)
+      r.put("manifest_path", mf.path)
+      r.put("manifest_length", mf.length)
       r.put("partition_spec_id", 0)
-      r.put("content", 0) // data manifests only
-      r.put("sequence_number", sequenceNumber)
-      r.put("min_sequence_number", sequenceNumber)
+      r.put("content", mf.content)
+      r.put("sequence_number", mf.sequenceNumber)
+      r.put("min_sequence_number", mf.sequenceNumber)
       r.put("added_snapshot_id", snapshotId)
       r.put("added_files_count", 0)
       r.put("existing_files_count", 0)

@@ -341,7 +341,7 @@ class LakeSuite extends SparkTestBase {
     assert(e.getMessage.contains("no Iceberg snapshot"))
   }
 
-  test("iceberg delete manifests and delete files reject clearly") {
+  test("iceberg delete manifest holding plain data files rejects clearly") {
     val dir = tmpDir("ice-del")
     buildIcebergFixture(dir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -364,8 +364,11 @@ class LakeSuite extends SparkTestBase {
       StructType(Seq(StructField("id", LongType), StructField("name", StringType))),
       Seq(IcebergSnapshot(1003L, 1700000200000L, "metadata/ml3.avro", 3L)),
       currentSnapshotId = 1003L)
-    val e = intercept[IllegalArgumentException] { IcebergLite.snapshot(spark, root) }
-    assert(e.getMessage.contains("delete manifests"))
+    // m2.avro is a DATA manifest (entries carry data_file content=0);
+    // listing it as a delete manifest is spec-invalid and must not be
+    // silently read as deletes
+    val e = intercept[UnsupportedOperationException] { IcebergLite.snapshot(spark, root) }
+    assert(e.getMessage.contains("delete manifest"))
   }
 
   /** Identity-partitioned (by p: int) single-snapshot table; when
