@@ -640,4 +640,71 @@ class DedupSuite extends SparkTestBase {
     assert(out.count() == 300L)
     assert(out.where(col("kept")).head().getLong(0) == 0L)
   }
+
+  /** A HETEROGENEOUS hot bucket, constructed through the real minhash
+    * implementation (not injected): every corpus doc carries four "anchor"
+    * tokens whose hashes are the global minima of the four hash rows of the
+    * single band, so ALL docs share one bucket while their pairwise Jaccard
+    * stays far below threshold (only the anchors overlap). This is exactly
+    * the banding-collision profile the witness fix targets: a new doc whose
+    * only qualifying partner is a non-minimum bucket member.
+    *
+    * Returns (corpus of 200 docs with ids 0..199, text of the given corpus
+    * doc id) — doc texts are anchors + 30 unique filler tokens.
+    */
+  private def heterogeneousHotBucket(): (org.apache.spark.sql.DataFrame, Long => String) = {
+    import spark.implicits._
+    // hash each pool token through the REAL signature expression: a
+    // single-token doc's 4-hash signature IS (h0(t), h1(t), h2(t), h3(t))
+    val pool = (0 until 12000).map(i => f"tok$i%05d")
+    val probe = pool.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sigRows = probe
+      .select(col("doc_id"),
+        F.minhash_signature(F.word_shingles(T.tokens(col("text")), 1), 4).as("sig"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+    val anchors = (0 until 4).map { k => pool(sigRows.minBy(_._2(k))._1) }.distinct
+    def docText(i: Long): String = {
+      val filler = (0 until 30).map(j => pool(4000 + i.toInt * 30 + j))
+      (anchors ++ filler).mkString(" ")
+    }
+    ((0L until 200L).map(i => (i, docText(i))).toDF("doc_id", "text"), docText)
+  }
+
+  test("heterogeneous hot bucket: witnesses convict partners the min-representative misses") {
+    import spark.implicits._
+    val (corpus, docText) = heterogeneousHotBucket()
+    // heterogeneity check: top-witness docs overlap only on the anchors
+    val j01 = Dedup.minHashDuplicates(corpus.where(col("doc_id") < 8), "doc_id", "text",
+      threshold = 0.5, shingleSize = 1, numHashes = 4, bands = 1, maxBucketSize = Int.MaxValue)
+    assert(j01.count() == 0L, "witness docs must be genuinely distinct (jaccard < 0.5)")
+
+    // new doc near-dups corpus doc 7: the LAST witness slot — a single
+    // sample-min representative (pre-fix behavior) would compare against a
+    // smaller id and miss; the 8-witness degraded bucket must convict
+    val newDoc = Seq((1000L, perturb(docText(7L), "tok11999"))).toDF("doc_id", "text")
+    val hits = Dedup.incrementalMinHash(corpus, newDoc, "doc_id", "text",
+        threshold = 0.7, shingleSize = 1, numHashes = 4, bands = 1, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1000L, 7L)), s"witness conviction failed: $hits")
+
+    // the documented residual mode, pinned: a partner beyond the witness cut
+    // (id 150 >> 8) escapes on this band — with one band there is no cold
+    // bucket to rescue it. This assertion doubles as proof the bucket was
+    // actually degraded to witnesses (a cold/exact bucket would convict).
+    val newDoc2 = Seq((2000L, perturb(docText(150L), "tok11998"))).toDF("doc_id", "text")
+    val misses = Dedup.incrementalMinHash(corpus, newDoc2, "doc_id", "text",
+      threshold = 0.7, shingleSize = 1, numHashes = 4, bands = 1, maxBucketSize = 100)
+    assert(misses.count() == 0L,
+      "expected the documented witness-cut false negative; the guard shape changed")
+  }
+
+  /** Swap one FILLER token (index 6 — safely past the at-most-4 anchors) for
+    * `replacement`, turning a copy into a near-duplicate (jaccard ~ 0.94)
+    * that still carries every anchor.
+    */
+  private def perturb(text: String, replacement: String): String = {
+    val t = text.split(" ")
+    t(6) = replacement
+    t.mkString(" ")
+  }
 }
