@@ -29,6 +29,12 @@ object Chunking {
   def chunk(df: DataFrame, textCol: String, size: Int, overlap: Int): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    // every input column is carried through, so the two output columns and
+    // the internal start column must be fresh — silently clobbering caller
+    // data (or producing a duplicate-name frame) is worse than failing
+    val reserved = df.columns.toSet.intersect(Set("chunk_ix", "chunk", "__start"))
+    require(reserved.isEmpty,
+      s"chunk(): input already has column(s) ${reserved.mkString(", ")} — rename them first")
     val step = size - overlap
     val len = length(col(textCol))
     val lastStartExcl = greatest(len - overlap, lit(1))

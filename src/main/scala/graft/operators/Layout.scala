@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** The curve builders stage internal columns via withColumn and drop them
+    * after; a same-named caller column would be silently overwritten and
+    * then dropped — fail loudly instead.
+    */
+  private def requireFresh(df: DataFrame, names: Seq[String], op: String): Unit = {
+    val clash = df.columns.toSet.intersect(names.toSet)
+    require(clash.isEmpty,
+      s"$op(): input already has internal column(s) ${clash.mkString(", ")} — rename them first")
+  }
+
   /** Morton z-value of two non-negative integer columns, interleaving the
     * low `bits` bits of each (x gets the even bit positions, y the odd).
     * Values ≥ 2^bits contribute only their low bits — normalize/clamp to
@@ -77,6 +87,7 @@ object Layout {
   def hilbertValue2(df: DataFrame, xCol: String, yCol: String, bits: Int,
       outCol: String): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    requireFresh(df, Seq("__hx", "__hy", "__rx", "__ry", "__nx", "__ny"), "hilbertValue2")
     val n1 = (1L << bits) - 1 // reflection constant n-1
     var cur = df
       .withColumn("__hx", col(xCol).cast("long"))
@@ -110,6 +121,7 @@ object Layout {
     */
   def hilbertOrder2(df: DataFrame, xCol: String, xLo: Double, xHi: Double,
       yCol: String, yLo: Double, yHi: Double, bits: Int, numFiles: Int): DataFrame = {
+    requireFresh(df, Seq("__cx", "__cy", "__h"), "hilbertOrder2")
     val pre = df
       .withColumn("__cx", normalize(col(xCol), xLo, xHi, bits))
       .withColumn("__cy", normalize(col(yCol), yLo, yHi, bits))
@@ -159,6 +171,7 @@ object Layout {
     */
   def zorderN(df: DataFrame, cols: Seq[(String, Double, Double)],
       bits: Int, numFiles: Int): DataFrame = {
+    requireFresh(df, Seq("__z"), "zorderN")
     val z = zValueN(cols.map { case (c, lo, hi) => normalize(col(c), lo, hi, bits) }, bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

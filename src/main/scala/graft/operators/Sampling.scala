@@ -130,7 +130,13 @@ object Sampling {
     // the same portable md5 contract as hashSplit/splitLabels — one producer
     val hash01 = bucketCol(idCol, seed, portable = true).cast("double") / 10000.0
     listed.join(broadcast(totals), Seq(sourceCol))
-      .withColumn("__rate", least(lit(1.0), budgetExpr / col("__tot")))
+      // a listed source with a NULL token sum (all-null tokenCol) or zero
+      // tokens has no defined rate: least() would null-skip to 1.0 (and
+      // x/0 -> +Inf -> 1.0), silently keeping every doc of that source —
+      // guard both to rate 0 (nothing measurable to budget, keep nothing)
+      .withColumn("__rate",
+        when(col("__tot") > 0, least(lit(1.0), budgetExpr / col("__tot")))
+          .otherwise(lit(0.0)))
       .where(hash01 < col("__rate"))
       // the key join fronts sourceCol — restore the caller's column order
       .select(df.columns.map(col).toSeq: _*)

@@ -13,8 +13,27 @@ import graft.Graft
   */
 object CatalogQueries {
 
-  private def wh(dir: String): String =
-    "/tmp/graft-verify-wh-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+  // The warehouse path embeds a fingerprint of the source parquet tables
+  // (name:size:mtime of every *.parquet in the sf dir): the gate fixtures
+  // inside are built once behind exists()/marker checks and DERIVE from
+  // those tables, so when the driver regenerates testdata in place between
+  // rounds, a path keyed only on the dir name would serve the previous
+  // generation's fixtures against oracles reading the new parquet — a
+  // spurious gate failure. A new generation now lands in a fresh warehouse
+  // and every fixture rebuilds. (Stale generations are orphaned in /tmp;
+  // fixture scale makes that cheap.)
+  private val whFingerprints = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def wh(dir: String): String = {
+    val fp = whFingerprints.getOrElseUpdate(dir, {
+      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      val sig = files.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}").mkString("|")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.take(6).map(b => f"$b%02x").mkString
+    })
+    "/tmp/graft-verify-wh-" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" + fp
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

@@ -191,6 +191,22 @@ class DataEngSuite extends SparkTestBase {
     assert(cs == Seq("aé", "😀b"), s"got $cs")
   }
 
+  test("chunk and layout builders refuse inputs that collide with their internal columns") {
+    val d1 = Seq((1L, "abcdef", 9)).toDF("doc_id", "text", "chunk_ix")
+    val e1 = intercept[IllegalArgumentException] { Chunking.chunk(d1, "text", 3, 0) }
+    assert(e1.getMessage.contains("chunk_ix"))
+    val d2 = Seq((1.0, 2.0, 3L)).toDF("x", "y", "__z")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.zorder2(d2, "x", 0, 10, "y", 0, 10, bits = 4, numFiles = 2)
+    }
+    assert(e2.getMessage.contains("__z"))
+    val d3 = Seq((1L, 2L, 3L)).toDF("x", "y", "__rx")
+    val e3 = intercept[IllegalArgumentException] {
+      Layout.hilbertValue2(d3, "x", "y", bits = 4, outCol = "h")
+    }
+    assert(e3.getMessage.contains("__rx"))
+  }
+
   test("cdc_apply's anti join broadcasts the compacted changelog at runtime") {
     val base = events.select(col("event_id").as("k"), col("value"))
     val changes = events.where(col("event_id") % 7 === 0)

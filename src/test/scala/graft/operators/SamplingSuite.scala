@@ -162,4 +162,21 @@ class SamplingSuite extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(re == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("tokenMixture drops listed sources with null or zero token sums") {
+    import spark.implicits._
+    // srcN: all-null token counts (sum -> NULL); srcZ: all-zero (sum -> 0);
+    // srcG: normal. Without the rate guard, least() null-skips (and x/0
+    // -> +Inf clamps) both pathological sources to rate 1.0 — keep-all.
+    val d = ((0L until 20L).map(i => (i, "srcN", null.asInstanceOf[java.lang.Long])) ++
+      (100L until 120L).map(i => (i, "srcZ", java.lang.Long.valueOf(0L))) ++
+      (200L until 220L).map(i => (i, "srcG", java.lang.Long.valueOf(50L))))
+      .toDF("doc_id", "source", "n_tok")
+    val kept = Sampling.tokenMixture(d, "doc_id", "n_tok", "source",
+        Map("srcN" -> 500.0, "srcZ" -> 500.0, "srcG" -> 500.0), seed = 5L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("srcN"), s"null-token source kept rows: $kept")
+    assert(!kept.contains("srcZ"), s"zero-token source kept rows: $kept")
+    assert(kept.get("srcG").exists(_ > 0L), s"healthy source lost all rows: $kept")
+  }
 }
