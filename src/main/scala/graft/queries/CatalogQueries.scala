@@ -103,6 +103,80 @@ object CatalogQueries {
     prepared += key
   }
 
+  /** Build-once embedded-Derby customer table (shared by `src_jdbc_scan`
+    * and `src_federated_join`), registered as a JDBC datasource. Returns
+    * the graft FQN of the loaded table.
+    */
+  private def ensureJdbcCustomer(s: SparkSession, dir: String): String = {
+    val dbDir = new java.io.File(wh(dir), "derbydb")
+    Graft.sql(s,
+      s"""REGISTER OR REPLACE JDBC DATASOURCE pdgate OPTIONS (
+         |  url 'jdbc:derby:$dbDir/db;create=true', driver 'org.apache.derby.jdbc.EmbeddedDriver'
+         |) NAMESPACE graft.datasource.jdbc""".stripMargin)
+    val loaded = new java.io.File(wh(dir), "derbydb/.loaded")
+    if (!loaded.exists()) {
+      // VARCHAR, not STRING: Derby maps STRING to CLOB, which it refuses
+      // to GROUP BY — VARCHAR keeps the aggregate pushdown-safe
+      s.sql("CREATE TABLE graft.datasource.jdbc.pdgate.APP.gatecust " +
+        "(c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment VARCHAR(20), c_acctbal DOUBLE)")
+      QueryPack.t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        .createOrReplaceTempView("__gate_cust_src")
+      s.sql("INSERT INTO graft.datasource.jdbc.pdgate.APP.gatecust " +
+        "SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT), c_mktsegment, c_acctbal " +
+        "FROM __gate_cust_src")
+      java.nio.file.Files.createFile(loaded.toPath): Unit
+    }
+    "graft.datasource.jdbc.pdgate.APP.gatecust"
+  }
+
+  /** Build-once two-commit partitioned Delta `nation_delta` fixture (shared
+    * by `src_delta_scan` and `src_federated_join`): commit 0 adds one file
+    * per region with partition values carried by the log (not the files);
+    * commit 1 removes region 2's file and re-adds only its even keys. The
+    * visible state — `n_regionkey <> 2 OR n_nationkey % 2 = 0` — exists
+    * only through correct log replay. Registers the DELTA datasource and
+    * returns the table FQN.
+    */
+  private def ensureDeltaNation(s: SparkSession, dir: String): String = {
+    import graft.sources.lake.LakeWrite
+    import org.apache.hadoop.fs.Path
+    val lakeDir = new java.io.File(wh(dir), "lake")
+    val tableDir = new java.io.File(lakeDir, "nation_delta")
+    if (!tableDir.exists()) {
+      val staging = new java.io.File(lakeDir, s"nation_delta.tmp${System.nanoTime()}")
+      staging.mkdirs()
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new Path(staging.toString)
+      val nation = QueryPack.t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val dataCols = Seq("n_nationkey", "n_name")
+      val adds0 = (0 to 4).map { rk =>
+        val rel = f"n_regionkey=$rk/part-0000$rk.parquet"
+        val size = LakeWrite.writeOneParquetFile(
+          nation.where(col("n_regionkey") === rk).select(dataCols.map(col): _*),
+          new Path(root, rel))
+        LakeWrite.deltaAdd(rel, size, 1700000000000L, Map("n_regionkey" -> rk.toString))
+      }
+      LakeWrite.deltaCommit(conf, root, 0,
+        Seq(LakeWrite.deltaCommitInfo(1700000000000L), LakeWrite.deltaProtocol(),
+          LakeWrite.deltaMetaData("nation-delta-fixture", nation.schema, Seq("n_regionkey"))) ++ adds0)
+      val rel1 = "n_regionkey=2/part-00010.parquet"
+      val size1 = LakeWrite.writeOneParquetFile(
+        nation.where(col("n_regionkey") === 2 && col("n_nationkey") % 2 === 0)
+          .select(dataCols.map(col): _*),
+        new Path(root, rel1))
+      LakeWrite.deltaCommit(conf, root, 1,
+        Seq(LakeWrite.deltaCommitInfo(1700000100000L),
+          LakeWrite.deltaRemove("n_regionkey=2/part-00002.parquet", 1700000100000L),
+          LakeWrite.deltaAdd(rel1, size1, 1700000100000L, Map("n_regionkey" -> "2"))))
+      if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+    }
+    Graft.sql(s,
+      s"REGISTER OR REPLACE DELTA DATASOURCE deltasrc OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+    "graft.datasource.lake.deltasrc.nation_delta"
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- federated FQN join through the DSv2 catalog ----
@@ -524,23 +598,7 @@ object CatalogQueries {
     QuerySpec("src_jdbc_scan",
       (s, dir) => {
         setup(s, dir)
-        val dbDir = new java.io.File(wh(dir), "derbydb")
-        Graft.sql(s,
-          s"""REGISTER OR REPLACE JDBC DATASOURCE pdgate OPTIONS (
-             |  url 'jdbc:derby:$dbDir/db;create=true', driver 'org.apache.derby.jdbc.EmbeddedDriver'
-             |) NAMESPACE graft.datasource.jdbc""".stripMargin)
-        val loaded = new java.io.File(wh(dir), "derbydb/.loaded")
-        if (!loaded.exists()) {
-          // VARCHAR, not STRING: Derby maps STRING to CLOB, which it refuses
-          // to GROUP BY — VARCHAR keeps the aggregate pushdown-safe
-          s.sql("CREATE TABLE graft.datasource.jdbc.pdgate.APP.gatecust " +
-            "(c_custkey BIGINT, c_mktsegment VARCHAR(20), c_acctbal DOUBLE)")
-          QueryPack.t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
-            .createOrReplaceTempView("__gate_cust_src")
-          s.sql("INSERT INTO graft.datasource.jdbc.pdgate.APP.gatecust " +
-            "SELECT c_custkey, c_mktsegment, c_acctbal FROM __gate_cust_src")
-          java.nio.file.Files.createFile(loaded.toPath)
-        }
+        ensureJdbcCustomer(s, dir)
         s.sql(
           """SELECT c_mktsegment AS segment, COUNT(*) AS n,
             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -611,41 +669,7 @@ object CatalogQueries {
     QuerySpec("src_delta_scan",
       (s, dir) => {
         setup(s, dir)
-        import graft.sources.lake.LakeWrite
-        import org.apache.hadoop.fs.Path
-        val lakeDir = new java.io.File(wh(dir), "lake")
-        val tableDir = new java.io.File(lakeDir, "nation_delta")
-        if (!tableDir.exists()) {
-          val staging = new java.io.File(lakeDir, s"nation_delta.tmp${System.nanoTime()}")
-          staging.mkdirs()
-          val conf = s.sparkContext.hadoopConfiguration
-          val root = new Path(staging.toString)
-          val nation = QueryPack.t(s, dir, "nation")
-            .select("n_nationkey", "n_name", "n_regionkey")
-          val dataCols = Seq("n_nationkey", "n_name")
-          val adds0 = (0 to 4).map { rk =>
-            val rel = f"n_regionkey=$rk/part-0000$rk.parquet"
-            val size = LakeWrite.writeOneParquetFile(
-              nation.where(col("n_regionkey") === rk).select(dataCols.map(col): _*),
-              new Path(root, rel))
-            LakeWrite.deltaAdd(rel, size, 1700000000000L, Map("n_regionkey" -> rk.toString))
-          }
-          LakeWrite.deltaCommit(conf, root, 0,
-            Seq(LakeWrite.deltaCommitInfo(1700000000000L), LakeWrite.deltaProtocol(),
-              LakeWrite.deltaMetaData("nation-delta-fixture", nation.schema, Seq("n_regionkey"))) ++ adds0)
-          val rel1 = "n_regionkey=2/part-00010.parquet"
-          val size1 = LakeWrite.writeOneParquetFile(
-            nation.where(col("n_regionkey") === 2 && col("n_nationkey") % 2 === 0)
-              .select(dataCols.map(col): _*),
-            new Path(root, rel1))
-          LakeWrite.deltaCommit(conf, root, 1,
-            Seq(LakeWrite.deltaCommitInfo(1700000100000L),
-              LakeWrite.deltaRemove("n_regionkey=2/part-00002.parquet", 1700000100000L),
-              LakeWrite.deltaAdd(rel1, size1, 1700000100000L, Map("n_regionkey" -> "2"))))
-          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
-        }
-        Graft.sql(s,
-          s"REGISTER OR REPLACE DELTA DATASOURCE deltasrc OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+        ensureDeltaNation(s, dir)
         s.sql(
           """SELECT n_nationkey, n_name, n_regionkey
             |FROM graft.datasource.lake.deltasrc.nation_delta ORDER BY n_nationkey""".stripMargin)
@@ -787,6 +811,45 @@ object CatalogQueries {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
         WHERE (n_nationkey < 12 AND n_nationkey % 2 = 0)
            OR n_nationkey >= 13 OR n_nationkey IN (1, 12) ORDER BY n_nationkey""")),
+
+    // ---- FOUR-SOURCE FEDERATED JOIN — the reference's raison d'être
+    // (cross-source federation) in a single SQL statement: embedded-Derby
+    // JDBC customers × USL-activated orders × DeltaLite log-replayed nation
+    // × raw parquet region, all resolved through graft catalog namespaces.
+    // The Delta leg's replay state (region 2 keeps only even nation keys)
+    // flows INTO the join semantics, so the result is only right if every
+    // source reads correctly AND the planner stitches them; dims broadcast,
+    // the orders fact streams once. ----
+    QuerySpec("src_federated_join",
+      (s, dir) => {
+        setup(s, dir)
+        val custFqn = ensureJdbcCustomer(s, dir)
+        val nationFqn = ensureDeltaNation(s, dir)
+        // the JDBC leg is a dimension but Spark's JDBCRelation reports no
+        // size statistics (remote tables are opaque), so it is the one leg
+        // that needs the idiomatic federation answer: an explicit broadcast
+        // hint. The USL / Delta / parquet legs broadcast from real stats.
+        s.sql(
+          s"""SELECT /*+ BROADCAST(c) */
+             |  r.r_name AS region, c.c_mktsegment AS segment,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM $custFqn c
+             |JOIN graft.metastore.ordermart.orders o ON o.o_custkey = c.c_custkey
+             |JOIN $nationFqn n ON c.c_nationkey = n.n_nationkey
+             |JOIN graft.datasource.file.tpch.region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY r.r_name, c.c_mktsegment
+             |ORDER BY region, segment""".stripMargin)
+      },
+      Some("""SELECT r_name AS region, c_mktsegment AS segment,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM customer c
+        JOIN orders o ON o_custkey = c_custkey
+        JOIN nation n ON c_nationkey = n_nationkey
+        JOIN region r ON n_regionkey = r_regionkey
+        WHERE n_regionkey <> 2 OR n_nationkey % 2 = 0
+        GROUP BY r_name, c_mktsegment ORDER BY region, segment""")),
 
     // ---- LIST DQ: the full constraint+rule inventory of the setup USL,
     // value-exact against a literal oracle (names, owning tables, kinds,

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics => V2Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
@@ -60,10 +60,42 @@ class DataFrameV1Table(
       }
       override def pushedFilters(): Array[sources.Filter] = pushed
 
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan with SupportsReportStatistics {
         private val readReq = required
         private val readFilters = pushed
         override def readSchema(): StructType = readReq
+
+        /** Planning-time statistics from the wrapped program's OPTIMIZED
+          * logical plan (no execution — for file-backed programs this is
+          * the summed file size Catalyst already tracks), scaled by the
+          * pruned-column fraction. Without this every graft table reports
+          * Spark's pessimistic default size and a genuinely tiny dimension
+          * (a USL view over a 5-row parquet, a lake-lite nation table) can
+          * never win a broadcast in a federated join — at 100 TB that is
+          * the difference between shipping 2 KB and shuffling the fact.
+          */
+        override def estimateStatistics(): V2Statistics = {
+          val est: Option[(BigInt, Option[BigInt])] =
+            try {
+              val stats = program(SparkSession.active).queryExecution.optimizedPlan.stats
+              val frac =
+                if (declaredSchema.isEmpty) 1.0
+                else math.max(readReq.size.toDouble / declaredSchema.size.toDouble, 0.1)
+              Some((
+                (BigDecimal(stats.sizeInBytes) * frac).toBigInt.max(BigInt(1)),
+                stats.rowCount))
+            } catch { case _: Exception => None } // unresolvable now: keep defaults
+          new V2Statistics {
+            override def sizeInBytes(): java.util.OptionalLong = est match {
+              case Some((sz, _)) if sz.isValidLong => java.util.OptionalLong.of(sz.toLong)
+              case _ => java.util.OptionalLong.empty()
+            }
+            override def numRows(): java.util.OptionalLong = est match {
+              case Some((_, Some(n))) if n.isValidLong => java.util.OptionalLong.of(n.toLong)
+              case _ => java.util.OptionalLong.empty()
+            }
+          }
+        }
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx

@@ -24,6 +24,17 @@ class PlanSuite extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "cartesian in q5")
   }
 
+  test("federated four-source join broadcasts every dimension leg") {
+    val p = plan("src_federated_join")
+    // JDBC customers, Delta nation, parquet region are all dimension-sized
+    // next to the USL orders fact: each must arrive as a broadcast, never
+    // forcing the fact through extra join exchanges
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected 3 broadcast joins (jdbc cust, delta nation, parquet region):\n$p")
+    assert(!p.contains("CartesianProduct"), "cartesian in federated join")
+    assert(p.contains("JDBC"), s"jdbc leg missing from the federated plan:\n$p")
+  }
+
   test("q6 filter is pushed into the parquet scan") {
     val p = plan("q6_forecast_revenue")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_discount"),
