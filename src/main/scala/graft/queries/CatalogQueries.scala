@@ -812,6 +812,70 @@ object CatalogQueries {
         WHERE (n_nationkey < 12 AND n_nationkey % 2 = 0)
            OR n_nationkey >= 13 OR n_nationkey IN (1, 12) ORDER BY n_nationkey""")),
 
+    // ---- DELTA DELETION VECTORS through the native RoaringDv decode path:
+    // commit 0 adds one file per region (all columns in-file, unpartitioned
+    // log); commit 1 upgrades to reader protocol 3 and re-adds region 1's
+    // file with a FILE-storage DV masking its odd keys by position, and
+    // region 3's file with an INLINE DV masking its first row. The visible
+    // state exists ONLY through correct bitmap decode + per-file ordinal
+    // anti-join; the oracle recomputes it relationally. ----
+    QuerySpec("src_delta_dv_scan",
+      (s, dir) => {
+        setup(s, dir)
+        import graft.sources.lake.{LakeWrite, RoaringDv}
+        import org.apache.hadoop.fs.Path
+        val lakeDir = new java.io.File(wh(dir), "lake")
+        val tableDir = new java.io.File(lakeDir, "nation_dv")
+        if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_dv.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val nation = QueryPack.t(s, dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+          def keysOf(rk: Int): Seq[Long] = nation.where(col("n_regionkey") === rk)
+            .select("n_nationkey").orderBy("n_nationkey")
+            .collect().map(_.get(0).toString.toLong).toSeq
+          val sizes = (0 to 4).map { rk =>
+            val d = nation.where(col("n_regionkey") === rk)
+              .coalesce(1).sortWithinPartitions("n_nationkey")
+            rk -> LakeWrite.writeOneParquetFile(d, new Path(root, s"r$rk.parquet"))
+          }.toMap
+          LakeWrite.deltaCommit(conf, root, 0,
+            Seq(LakeWrite.deltaCommitInfo(1700000000000L), LakeWrite.deltaProtocol(),
+              LakeWrite.deltaMetaData("nation-dv-fixture", nation.schema, Nil)) ++
+              (0 to 4).map(rk => LakeWrite.deltaAdd(s"r$rk.parquet", sizes(rk),
+                1700000000000L, Map.empty)))
+          // region 1: file-storage DV over the positions of its odd keys
+          val oddPos = keysOf(1).zipWithIndex.collect { case (k, i) if k % 2 == 1 => i.toLong }
+          val uuid = new java.util.UUID(0x1234567890abcdefL, 0x0fedcba987654321L)
+          val bmp1 = RoaringDv.encodeBitmapArray(oddPos)
+          val (off1, sz1) = RoaringDv.writeDvFile(conf,
+            new Path(root, s"deletion_vector_$uuid.bin"), bmp1)
+          // region 3: inline DV over position 0 (its smallest key)
+          val bmp3 = RoaringDv.encodeBitmapArray(Seq(0L))
+          val padded = bmp3 ++ new Array[Byte]((4 - bmp3.length % 4) % 4)
+          LakeWrite.deltaCommit(conf, root, 1,
+            Seq(LakeWrite.deltaCommitInfo(1700000100000L),
+              LakeWrite.deltaProtocolWithFeatures(Seq("deletionVectors"), Seq("deletionVectors")),
+              LakeWrite.deltaAddDv("r1.parquet", sizes(1), 1700000100000L, Map.empty,
+                "u", RoaringDv.encodeUuid(uuid), Some(off1), sz1, oddPos.size.toLong),
+              LakeWrite.deltaAddDv("r3.parquet", sizes(3), 1700000100000L, Map.empty,
+                "i", RoaringDv.base85Encode(padded), None, bmp3.length, 1L)))
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dvsrc OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lake.dvsrc.nation_dv ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE NOT (n_regionkey = 1 AND n_nationkey % 2 = 1)
+          AND NOT (n_regionkey = 3 AND n_nationkey =
+            (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 3))
+        ORDER BY n_nationkey""")),
+
     // ---- FOUR-SOURCE FEDERATED JOIN — the reference's raison d'être
     // (cross-source federation) in a single SQL statement: embedded-Derby
     // JDBC customers × USL-activated orders × DeltaLite log-replayed nation

@@ -23,10 +23,13 @@ import java.net.URI
   * protocol directly so offline/minimal deployments still work).
   *
   * Supported: reader protocol 1 and 2 (no column mapping configured), and
-  * protocol 3 when `readerFeatures` ⊆ {timestampNtz} — tables using
-  * deletion vectors, column mapping, or v2 checkpoints are rejected with a
-  * clear error rather than silently misread. Time travel by version and by
-  * timestamp (commitInfo timestamp, falling back to commit file mtime).
+  * protocol 3 when `readerFeatures` ⊆ {timestampNtz, deletionVectors} —
+  * deletion vectors decode natively ([[RoaringDv]], all three storage
+  * types) and apply as a distributed anti-join on (file identity,
+  * `_metadata.row_index`); tables using column mapping or v2 checkpoints
+  * are rejected with a clear error rather than silently misread. Time
+  * travel by version and by timestamp (commitInfo timestamp, falling back
+  * to commit file mtime).
   *
   * Scale: the driver holds (path, size, partitionValues) per live file —
   * the same driver-side state InMemoryFileIndex holds for any parquet
@@ -39,12 +42,20 @@ object DeltaLite {
 
   private implicit val formats: Formats = DefaultFormats
 
+  /** A live file's deletion vector, straight from the add action. */
+  final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+      offset: Long, sizeInBytes: Int, cardinality: Long)
+
   final case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[LakeFile],
-      tableDir: Path) {
+      tableDir: Path,
+      /** raw add-action paths aligned with `files` (the DV join identity) */
+      fileIds: Seq[String] = Nil,
+      /** deletion vectors keyed by raw add path (empty = plain scan) */
+      dvs: Map[String, DvDescriptor] = Map.empty) {
     def partitionSchema: StructType =
       StructType(partitionColumns.map(c => schema(schema.fieldIndex(c))))
     def dataSchema: StructType =
@@ -161,15 +172,23 @@ object DeltaLite {
       configuration = conf0
     }
 
+    val dvByPath = scala.collection.mutable.HashMap[String, DvDescriptor]()
+
     def applyAdd(path: String, size: Long, modTime: Long,
-        parts: Map[String, Option[String]], hasDv: Boolean): Unit = {
-      require(!hasDv, "Delta deletion vectors are not supported by this reader " +
-        "(file has a non-null deletionVector)")
+        parts: Map[String, Option[String]], dv: Option[DvDescriptor]): Unit = {
       adds(path) = LakeFile(resolvePath(dir, path), size, modTime, Nil)
       rawParts(path) = parts
+      // a re-add REPLACES the file's DV state either way (an OPTIMIZE or
+      // DV-compacting rewrite re-adds the path without a deletionVector)
+      dv match {
+        case Some(d) => dvByPath(path) = d
+        case None => dvByPath.remove(path): Unit
+      }
     }
 
-    def applyRemove(path: String): Unit = { adds.remove(path); rawParts.remove(path) }
+    def applyRemove(path: String): Unit = {
+      adds.remove(path); rawParts.remove(path); dvByPath.remove(path): Unit
+    }
 
     // 1. checkpoint base
     cpVersion.foreach { cv =>
@@ -202,10 +221,15 @@ object DeltaLite {
               r.schema.fieldNames.map(n => n -> opt[Any](r, n).map(_.toString)).toMap
             case _ => Map.empty
           }
-          val hasDv = opt[Any](a, "deletionVector").isDefined
+          val dv = opt[Row](a, "deletionVector").map { d =>
+            DvDescriptor(d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+              opt[Number](d, "offset").map(_.longValue()).getOrElse(0L),
+              d.getAs[Number]("sizeInBytes").intValue(),
+              d.getAs[Number]("cardinality").longValue())
+          }
           applyAdd(a.getAs[String]("path"), a.getAs[Number]("size").longValue(),
             opt[Number](a, "modificationTime").map(_.longValue()).getOrElse(0L),
-            pv, hasDv)
+            pv, dv)
         }
       }
     }
@@ -238,12 +262,17 @@ object DeltaLite {
                 }.toMap
                 case _ => Map.empty[String, Option[String]]
               }
+              val dv = (a \ "deletionVector") match {
+                case d: JObject => Some(DvDescriptor(
+                  (d \ "storageType").extract[String],
+                  (d \ "pathOrInlineDv").extract[String],
+                  (d \ "offset").extractOrElse[Long](0L),
+                  (d \ "sizeInBytes").extract[Int],
+                  (d \ "cardinality").extract[Long]))
+                case _ => None
+              }
               applyAdd((a \ "path").extract[String], (a \ "size").extract[Long],
-                (a \ "modificationTime").extractOrElse[Long](0L), parts,
-                hasDv = (a \ "deletionVector") match {
-                  case JObject(_) => true
-                  case _ => false
-                })
+                (a \ "modificationTime").extractOrElse[Long](0L), parts, dv)
             case _ =>
           }
           (j \ "remove") match {
@@ -262,15 +291,16 @@ object DeltaLite {
       .asInstanceOf[StructType]
 
     val partSchema = StructType(partitionCols.map(c => schema(schema.fieldIndex(c))))
-    val typed = adds.toSeq.map { case (key, f) =>
+    val keyed = adds.toSeq.map { case (key, f) =>
       val raw = rawParts(key)
-      f.copy(partitionValues = partSchema.map(pf =>
+      key -> f.copy(partitionValues = partSchema.map(pf =>
         raw.get(pf.name).flatten.map(parsePartitionValue(_, pf.dataType)).orNull))
     }
-    Snapshot(target, schema, partitionCols, typed, dir)
+    Snapshot(target, schema, partitionCols, keyed.map(_._2), dir,
+      fileIds = keyed.map(_._1), dvs = dvByPath.toMap)
   }
 
-  private val SupportedReaderFeatures = Set("timestampNtz")
+  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors")
 
   /** Field access tolerant of schema-inferred checkpoints that omit empty
     * maps/arrays (a real writer's checkpoint always carries them).
@@ -329,12 +359,76 @@ object DeltaLite {
 
   // ---- DataFrame assembly ----
 
+  /** Above this many logically-deleted rows (summed descriptor
+    * cardinalities) the decoded position set is left to AQE instead of a
+    * broadcast hint — same ceiling rationale as IcebergLite's.
+    */
+  private val BroadcastDeleteRowCap = 8L * 1000 * 1000
+
+  private val DvCols = Seq("__gfid", "__grix", "__gdfp", "__gdpos")
+
   def toDataFrame(spark: SparkSession, snap: Snapshot): DataFrame = {
-    val index = new LakeFileIndex(snap.tableDir, snap.files, snap.partitionSchema)
-    GraftLakeBridge.parquetRelation(spark, index, snap.partitionSchema, snap.dataSchema)
-      // surface columns in declared schema order (partition cols interleave
-      // per the table schema, not appended at the end)
-      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    import org.apache.spark.sql.functions._
+    val order = snap.schema.fieldNames.toIndexedSeq.map(col)
+    if (snap.dvs.isEmpty) {
+      val index = new LakeFileIndex(snap.tableDir, snap.files, snap.partitionSchema)
+      GraftLakeBridge.parquetRelation(spark, index, snap.partitionSchema, snap.dataSchema)
+        // surface columns in declared schema order (partition cols interleave
+        // per the table schema, not appended at the end)
+        .select(order: _*)
+    } else {
+      // Deletion vectors: only files CARRYING a DV pay the anti-join — the
+      // rest scan exactly as before and union in (post-OPTIMIZE, that is
+      // almost every file at scale). The file identity rides as a synthetic
+      // partition column from log metadata; row ordinals come from
+      // `_metadata.row_index`; bitmaps decode EXECUTOR-side (one task per
+      // vector, CRC-checked) so the driver never materializes positions.
+      DvCols.filter(snap.schema.fieldNames.contains).foreach { c =>
+        throw new UnsupportedOperationException(
+          s"table column '$c' collides with the DV reader's internal names")
+      }
+      val withDv = snap.files.zip(snap.fileIds).filter { case (_, id) => snap.dvs.contains(id) }
+      val plain = snap.files.zip(snap.fileIds).filterNot { case (_, id) => snap.dvs.contains(id) }
+
+      val plainDf =
+        if (plain.isEmpty) None
+        else Some(GraftLakeBridge.parquetRelation(spark,
+          new LakeFileIndex(snap.tableDir, plain.map(_._1), snap.partitionSchema),
+          snap.partitionSchema, snap.dataSchema).select(order: _*))
+
+      val dvPartSchema = StructType(snap.partitionSchema.fields :+
+        StructField("__gfid", StringType, nullable = false))
+      val dvFiles = withDv.map { case (f, id) => f.copy(partitionValues = f.partitionValues :+ id) }
+      val data = GraftLakeBridge.parquetRelation(spark,
+          new LakeFileIndex(snap.tableDir, dvFiles, dvPartSchema), dvPartSchema, snap.dataSchema)
+        .withColumn("__grix", col("_metadata.row_index"))
+
+      // (fid, dvFilePath ["" = inline], inlineBitmap, offset, sizeInBytes)
+      val descs: Seq[(String, String, Array[Byte], Long, Int)] = withDv.map { case (_, id) =>
+        val d = snap.dvs(id)
+        RoaringDv.resolvePath(snap.tableDir, d.storageType, d.pathOrInlineDv) match {
+          case Some(p) => (id, p.toString, Array.empty[Byte], d.offset, d.sizeInBytes)
+          case None => (id, "", RoaringDv.base85Decode(d.pathOrInlineDv), 0L, d.sizeInBytes)
+        }
+      }
+      val sconf = GraftLakeBridge.serializableConf(spark)
+      import spark.implicits._
+      val delRows = spark.createDataset(descs)
+        .flatMap { case (fid, path, inline, offset, size) =>
+          val bitmap =
+            if (path.isEmpty) inline.take(size)
+            else RoaringDv.readDvData(sconf.value, new Path(path), offset, size)
+          RoaringDv.decodeBitmapArray(bitmap).iterator.map(pos => (fid, pos))
+        }
+        .toDF("__gdfp", "__gdpos")
+      val totalDeleted = snap.dvs.valuesIterator.map(_.cardinality).sum
+      val delSide = if (totalDeleted <= BroadcastDeleteRowCap) broadcast(delRows) else delRows
+
+      val kept = data.join(delSide,
+          col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos"), "left_anti")
+        .select(order: _*)
+      plainDf.map(_.unionByName(kept)).getOrElse(kept)
+    }
   }
 
   def read(spark: SparkSession, dir: Path, version: Option[Long] = None,

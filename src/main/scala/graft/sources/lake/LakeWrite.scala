@@ -64,6 +64,31 @@ object LakeWrite {
       "modificationTime" -> JInt(modificationTime),
       "dataChange" -> JBool(true))))
 
+  def deltaProtocolWithFeatures(readerFeatures: Seq[String], writerFeatures: Seq[String]): String =
+    JsonMethods.compact(JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
+      "readerFeatures" -> JArray(readerFeatures.map(JString(_)).toList),
+      "writerFeatures" -> JArray(writerFeatures.map(JString(_)).toList))))
+
+  /** An add action carrying a deletionVector descriptor (v3 reader tables). */
+  def deltaAddDv(relPath: String, size: Long, modificationTime: Long,
+      partitionValues: Map[String, String], storageType: String, pathOrInlineDv: String,
+      offset: Option[Long], sizeInBytes: Int, cardinality: Long): String = {
+    val dv = JObject(List(
+      "storageType" -> (JString(storageType): JValue),
+      "pathOrInlineDv" -> (JString(pathOrInlineDv): JValue)) ++
+      offset.map(o => "offset" -> (JInt(o): JValue)).toList ++ List(
+      "sizeInBytes" -> (JInt(sizeInBytes): JValue),
+      "cardinality" -> (JInt(BigInt(cardinality)): JValue)))
+    JsonMethods.compact(JObject("add" -> JObject(
+      "path" -> JString(relPath),
+      "partitionValues" -> JObject(partitionValues.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "size" -> JInt(size),
+      "modificationTime" -> JInt(modificationTime),
+      "dataChange" -> JBool(true),
+      "deletionVector" -> dv)))
+  }
+
   def deltaRemove(relPath: String, deletionTimestamp: Long): String =
     JsonMethods.compact(JObject("remove" -> JObject(
       "path" -> JString(relPath),

@@ -1,0 +1,280 @@
+package graft.sources.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+
+/** Delta Lake deletion-vector codec, written from the PUBLIC protocol
+  * (delta-io PROTOCOL.md "Deletion Vectors" + the RoaringFormatSpec
+  * portable format the protocol references):
+  *
+  *  - serialized bitmap = "RoaringBitmapArray" portable form: magic
+  *    1681511377 (int32 LE), number of 32-bit bitmaps (int64 LE), then each
+  *    bitmap's standard portable serialization (cookie 12346/12347,
+  *    descriptive headers, offsets, array/bitmap/run containers — all LE);
+  *    a set 64-bit value v lives in bitmap (v >>> 32) at 32-bit position
+  *    (v & 0xFFFFFFFF).
+  *  - on-disk DV file = 1-byte format version (1), then per stored vector:
+  *    int32 BIG-endian data size, the bitmap bytes, int32 BIG-endian CRC-32
+  *    of the bitmap bytes; the descriptor's `offset` points at the size
+  *    field and `sizeInBytes` is the bitmap length.
+  *  - descriptor `pathOrInlineDv`: storageType "i" = Base85(bitmap bytes);
+  *    "u" = optional random prefix + 20-char Base85 of the UUID, resolving
+  *    to `<prefix>/deletion_vector_<uuid>.bin` under the table root;
+  *    "p" = absolute path. Base85 uses the RFC 1924 alphabet.
+  *
+  * Decode supports all three container kinds (array, bitmap, run) and both
+  * cookies; the fixture encoder emits the no-run form with array/bitmap
+  * containers. Everything here is pure byte work — executors call
+  * [[decodeBitmapArray]]/[[readDvData]] so bitmap decode scales with the
+  * delete files, never the driver.
+  */
+object RoaringDv {
+
+  // ---- RFC 1924 Base85 ----
+
+  private val Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ!#$%&()*+-;<=>?@^_`{|}~"
+  private val AlphaIndex: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    Alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  /** Base85-encode whole 4-byte groups (Delta only encodes multiples of 4:
+    * 16-byte UUIDs and bitmap buffers padded by the writer).
+    */
+  def base85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, s"base85 payload must be 4-byte aligned, got ${bytes.length}")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+      val chunk = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { chunk(k) = Alphabet((v % 85).toInt); v /= 85; k -= 1 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  def base85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"base85 text must be 5-char aligned, got ${s.length}")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var k = 0
+      while (k < 5) {
+        val c = s.charAt(i + k)
+        val d = if (c < 128) AlphaIndex(c.toInt) else -1
+        require(d >= 0, s"invalid base85 character '$c'")
+        v = v * 85 + d
+        k += 1
+      }
+      val o = i / 5 * 4
+      out(o) = ((v >>> 24) & 0xff).toByte
+      out(o + 1) = ((v >>> 16) & 0xff).toByte
+      out(o + 2) = ((v >>> 8) & 0xff).toByte
+      out(o + 3) = (v & 0xff).toByte
+      i += 5
+    }
+    out
+  }
+
+  def encodeUuid(uuid: java.util.UUID): String = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    base85Encode(bb.array())
+  }
+
+  def decodeUuid(s: String): java.util.UUID = {
+    val b = ByteBuffer.wrap(base85Decode(s))
+    new java.util.UUID(b.getLong, b.getLong)
+  }
+
+  // ---- RoaringBitmapArray portable serialization ----
+
+  private val MagicNumber = 1681511377
+
+  /** Decode the portable RoaringBitmapArray into sorted 64-bit positions. */
+  def decodeBitmapArray(bytes: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == MagicNumber,
+      s"not a portable RoaringBitmapArray (magic $magic, want $MagicNumber)")
+    val nBitmaps = buf.getLong
+    require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue, s"implausible bitmap count $nBitmaps")
+    val out = Array.newBuilder[Long]
+    var b = 0L
+    while (b < nBitmaps) {
+      val high = b << 32
+      decodeRoaring32(buf, v32 => out += (high | (v32 & 0xffffffffL)))
+      b += 1
+    }
+    out.result()
+  }
+
+  /** One standard portable 32-bit RoaringBitmap, advancing `buf` past it. */
+  private def decodeRoaring32(buf: ByteBuffer, emit: Int => Unit): Unit = {
+    val cookie = buf.getInt
+    val (hasRun, nContainers) =
+      if ((cookie & 0xffff) == 12347) (true, (cookie >>> 16) + 1)
+      else if (cookie == 12346) (false, buf.getInt)
+      else throw new IllegalArgumentException(s"bad roaring cookie $cookie")
+    require(nContainers >= 0 && nContainers <= 65536, s"bad container count $nContainers")
+    val runBits =
+      if (hasRun) { val a = new Array[Byte]((nContainers + 7) / 8); buf.get(a); a }
+      else Array.empty[Byte]
+    def isRun(i: Int) = hasRun && (runBits(i / 8) & (1 << (i % 8))) != 0
+    val keys = new Array[Int](nContainers)
+    val cards = new Array[Int](nContainers)
+    var i = 0
+    while (i < nContainers) {
+      keys(i) = buf.getShort & 0xffff
+      cards(i) = (buf.getShort & 0xffff) + 1
+      i += 1
+    }
+    // offset header: always for the no-run cookie; with runs only when >= 4
+    if (!hasRun || nContainers >= 4) buf.position(buf.position() + 4 * nContainers)
+    i = 0
+    while (i < nContainers) {
+      val base = keys(i) << 16
+      if (isRun(i)) {
+        val nRuns = buf.getShort & 0xffff
+        var r = 0
+        while (r < nRuns) {
+          val start = buf.getShort & 0xffff
+          val len = buf.getShort & 0xffff
+          var v = start
+          while (v <= start + len) { emit(base | v); v += 1 }
+          r += 1
+        }
+      } else if (cards(i) <= 4096) {
+        var c = 0
+        while (c < cards(i)) { emit(base | (buf.getShort & 0xffff)); c += 1 }
+      } else {
+        var w = 0
+        while (w < 1024) {
+          val word = buf.getLong
+          if (word != 0L) {
+            var bit = 0
+            while (bit < 64) {
+              if ((word & (1L << bit)) != 0) emit(base | (w * 64 + bit))
+              bit += 1
+            }
+          }
+          w += 1
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Encode sorted-or-not 64-bit positions as a portable RoaringBitmapArray
+    * (no-run form; array containers up to 4096 values, bitmap above).
+    */
+  def encodeBitmapArray(positions: Seq[Long]): Array[Byte] = {
+    require(positions.forall(_ >= 0), "negative position")
+    val byBitmap = positions.distinct.sorted.groupBy(_ >>> 32)
+    val nBitmaps = if (byBitmap.isEmpty) 0L else byBitmap.keys.max + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def writeIntLE(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def writeShortLE(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    writeIntLE(MagicNumber)
+    writeIntLE((nBitmaps & 0xffffffffL).toInt); writeIntLE((nBitmaps >>> 32).toInt)
+    var b = 0L
+    while (b < nBitmaps) {
+      val vals = byBitmap.getOrElse(b, Nil).map(v => (v & 0xffffffffL).toInt)
+      val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      writeIntLE(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+      writeIntLE(byKey.size)
+      byKey.foreach { case (k, vs) => writeShortLE(k); writeShortLE(vs.size - 1) }
+      // container offsets relative to the start of THIS bitmap's stream
+      var off = 4 + 4 + 4 * byKey.size + 4 * byKey.size
+      byKey.foreach { case (_, vs) =>
+        writeIntLE(off)
+        off += (if (vs.size <= 4096) 2 * vs.size else 8192)
+      }
+      byKey.foreach { case (_, vs) =>
+        if (vs.size <= 4096) vs.foreach(v => writeShortLE(v & 0xffff))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v => val lo = v & 0xffff; words(lo / 64) |= (1L << (lo % 64)) }
+          words.foreach { w =>
+            var k = 0
+            while (k < 8) { out.write(((w >>> (8 * k)) & 0xff).toInt); k += 1 }
+          }
+        }
+      }
+      b += 1
+    }
+    out.toByteArray
+  }
+
+  // ---- on-disk DV file framing ----
+
+  /** Append-style single-vector DV file: version byte, BE size, data, BE
+    * CRC-32. Returns (offset of the size field, data length) for the add
+    * action's descriptor.
+    */
+  def writeDvFile(conf: Configuration, file: Path, bitmap: Array[Byte]): (Long, Int) = {
+    val fs = file.getFileSystem(conf)
+    fs.mkdirs(file.getParent)
+    val outS = fs.create(file, true)
+    val dataOut = new java.io.DataOutputStream(outS)
+    try {
+      dataOut.writeByte(1) // DV file format version
+      val offset = 1L
+      dataOut.writeInt(bitmap.length)
+      dataOut.write(bitmap)
+      val crc = new CRC32(); crc.update(bitmap)
+      dataOut.writeInt(crc.getValue.toInt)
+      (offset, bitmap.length)
+    } finally dataOut.close()
+  }
+
+  /** Read one stored vector's bitmap bytes; verifies the version byte, the
+    * framed size against the descriptor, and the CRC-32.
+    */
+  def readDvData(conf: Configuration, file: Path, offset: Long, sizeInBytes: Int): Array[Byte] = {
+    val fs = file.getFileSystem(conf)
+    val in = fs.open(file)
+    try {
+      val version = in.readByte()
+      require(version == 1, s"unsupported DV file format version $version in $file")
+      in.seek(offset)
+      val framed = in.readInt()
+      require(framed == sizeInBytes,
+        s"DV size mismatch in $file@$offset: framed $framed vs descriptor $sizeInBytes")
+      val data = new Array[Byte](sizeInBytes)
+      in.readFully(data)
+      val stored = in.readInt()
+      val crc = new CRC32(); crc.update(data)
+      require(stored == crc.getValue.toInt, s"DV checksum mismatch in $file@$offset")
+      data
+    } finally in.close()
+  }
+
+  /** Resolve a descriptor's storage to the DV file path (None = inline). */
+  def resolvePath(tableDir: Path, storageType: String, pathOrInlineDv: String): Option[Path] =
+    storageType match {
+      case "i" => None
+      case "p" => Some(new Path(pathOrInlineDv))
+      case "u" =>
+        val prefix = pathOrInlineDv.dropRight(20)
+        val uuid = decodeUuid(pathOrInlineDv.takeRight(20))
+        val name = s"deletion_vector_$uuid.bin"
+        Some(if (prefix.isEmpty) new Path(tableDir, name)
+        else new Path(new Path(tableDir, prefix), name))
+      case other =>
+        throw new UnsupportedOperationException(s"DV storage type '$other' not supported")
+    }
+}

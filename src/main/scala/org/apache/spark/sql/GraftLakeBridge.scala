@@ -87,4 +87,11 @@ object GraftLakeBridge {
   /** External -> catalyst conversion for one value (tests + partition rows). */
   def toCatalyst(v: Any, dt: DataType): Any =
     CatalystTypeConverters.createToCatalystConverter(dt)(v)
+
+  /** Hadoop conf wrapped for executor-side file access (deletion-vector
+    * decode tasks); `SerializableConfiguration` is private[spark], hence
+    * exposed through this bridge like the rest of the file.
+    */
+  def serializableConf(spark: SparkSession): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
 }

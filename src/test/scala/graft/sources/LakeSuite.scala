@@ -249,23 +249,23 @@ class LakeSuite extends SparkTestBase {
   test("delta unsupported features reject clearly") {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    // deletion vector on an add action
+    // deletion vectors are SUPPORTED since round 7 (DeltaDvSuite) — the
+    // snapshot must carry the descriptor rather than reject
     val dir1 = new Path(tmpDir("delta-dv").toString)
     LakeWrite.writeOneParquetFile(Seq((1L, "x")).toDF("id", "name"), new Path(dir1, "f.parquet"))
     LakeWrite.deltaCommit(conf, dir1, 0, Seq(
       LakeWrite.deltaProtocol(3, 7),
       LakeWrite.deltaMetaData("t", StructType(Seq(StructField("id", LongType), StructField("name", StringType))), Nil),
       """{"add":{"path":"f.parquet","partitionValues":{},"size":10,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":10,"cardinality":1}}}"""))
-    val e1 = intercept[Exception] { DeltaLite.snapshot(spark, dir1) }
-    assert(e1.getMessage.contains("deletionVector") || e1.getMessage.contains("reader features"))
+    assert(DeltaLite.snapshot(spark, dir1).dvs.contains("f.parquet"))
 
     // unsupported reader feature list
     val dir2 = new Path(tmpDir("delta-rf").toString)
     LakeWrite.deltaCommit(conf, dir2, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
       LakeWrite.deltaMetaData("t", StructType(Seq(StructField("id", LongType))), Nil)))
     val e2 = intercept[IllegalArgumentException] { DeltaLite.snapshot(spark, dir2) }
-    assert(e2.getMessage.contains("deletionVectors"))
+    assert(e2.getMessage.contains("columnMapping"))
 
     // column mapping configured
     val dir3 = new Path(tmpDir("delta-cm").toString)
