@@ -24,12 +24,15 @@ object Graft {
   /** Install the graft catalog on a live session (no extension needed). */
   def install(spark: SparkSession, warehouse: String,
       name: String = GraftEnv.DefaultCatalogName): Unit = {
-    val changed = spark.conf.getOption(s"spark.sql.catalog.$name.warehouse")
-      .exists(_ != warehouse)
     GraftEnv.install(spark, warehouse, name)
-    // a previously-instantiated catalog caches its model; drop it when the
-    // warehouse moves so the new location takes effect
-    if (changed) GraftSQLBridge.resetCatalogManager(spark)
+    // ALWAYS drop cached catalog instances: a previously-instantiated
+    // catalog pins the model it was built with, and the session conf can
+    // have been re-pointed behind its back (SparkSession.builder
+    // .getOrCreate on a live session re-applies builder configs without
+    // any catalog reset), so conf-vs-target comparison cannot detect a
+    // stale instance. The reset is cheap (instances rebuild lazily) and
+    // install() is called once per warehouse move, not per statement.
+    GraftSQLBridge.resetCatalogManager(spark)
     functions.GraftFunctions.registerAll(spark)
   }
 

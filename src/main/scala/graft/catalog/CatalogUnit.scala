@@ -31,6 +31,15 @@ trait CatalogUnit {
       schemaOverride: Option[StructType]): Table
   def listTables(spark: SparkSession, rest: Seq[String]): Seq[String]
   def listNamespaces(spark: SparkSession, rest: Seq[String]): Seq[Seq[String]] = Nil
+
+  /** CREATE TABLE routed from the catalog; lake-lite units override (JDBC
+    * has its own TableCatalog path; file datasources keep the reference's
+    * reject, FileCatalogUnit.scala:151-154).
+    */
+  def createTable(spark: SparkSession, rest: Seq[String], name: String,
+      schema: StructType, partitionCols: Seq[String]): Table =
+    throw new UnsupportedOperationException(
+      s"CREATE TABLE not supported for this datasource type")
 }
 
 object CatalogUnit {

@@ -145,9 +145,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                 .withProperties(properties).build())
           case _ => throw new UnsupportedOperationException("createTable")
         }
-      case Some((ds, _)) => throw new UnsupportedOperationException(
-        s"CREATE TABLE not supported for ${ds.sourceType} datasources " +
-          "(reference: FileCatalogUnit.scala:151-154)")
+      case Some((ds, rest)) =>
+        CatalogUnit(ds) match {
+          case u @ (_: graft.sources.lake.DeltaLiteCatalogUnit |
+                    _: graft.sources.lake.IcebergLiteCatalogUnit) =>
+            // identity transforms only — the lite writers' documented subset
+            val partCols = partitions.toSeq.map {
+              case t if t.name == "identity" && t.references.length == 1 =>
+                t.references.head.fieldNames.mkString(".")
+              case t => throw new UnsupportedOperationException(
+                s"partition transform $t not supported by the native lake writer (identity only)")
+            }
+            u.createTable(spark, rest.dropRight(1), ident.name,
+              org.apache.spark.sql.GraftSQLBridge.v2ColumnsToStructType(columns), partCols)
+          case _ => throw new UnsupportedOperationException(
+            s"CREATE TABLE not supported for ${ds.sourceType} datasources " +
+              "(reference: FileCatalogUnit.scala:151-154)")
+        }
       case None => throw new NoSuchNamespaceException(ns.toSeq)
     }
   }

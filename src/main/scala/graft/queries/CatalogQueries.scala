@@ -876,6 +876,76 @@ object CatalogQueries {
             (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 3))
         ORDER BY n_nationkey""")),
 
+    // ---- NATIVE DELTA WRITE through the SQL surface (no delta-spark jar):
+    // CREATE TABLE partitioned by n_regionkey, then TWO INSERT commits
+    // (keys < 15, keys >= 15). The read-back state exists only if the
+    // writer's log commits, hive-style partition values, and the reader's
+    // replay all agree; the oracle is the source table itself. ----
+    QuerySpec("src_delta_write",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_w")
+        val done = new java.io.File(lakeDir, "nation_w.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dwrite OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir) // crashed half-build
+          s.sql("CREATE TABLE graft.datasource.lakew.dwrite.nation_w " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT) PARTITIONED BY (n_regionkey)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_w_src")
+          s.sql("INSERT INTO graft.datasource.lakew.dwrite.nation_w " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_w_src WHERE n_nationkey < 15")
+          s.sql("INSERT INTO graft.datasource.lakew.dwrite.nation_w " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_w_src WHERE n_nationkey >= 15")
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.dwrite.nation_w ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- NATIVE ICEBERG WRITE through the SQL surface (no iceberg jar):
+    // CREATE TABLE partitioned by n_regionkey (identity values live in the
+    // manifest partition struct), INSERT everything, then INSERT OVERWRITE
+    // the keys < 10 subset — the visible state is the overwrite snapshot,
+    // readable only if metadata v3's manifest list dropped the old files. ----
+    QuerySpec("src_iceberg_write",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_iw")
+        val done = new java.io.File(lakeDir, "nation_iw.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE iwrite OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.iwrite.nation_iw " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT) PARTITIONED BY (n_regionkey)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_iw_src")
+          s.sql("INSERT INTO graft.datasource.lakew.iwrite.nation_iw " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_iw_src")
+          s.sql("INSERT OVERWRITE graft.datasource.lakew.iwrite.nation_iw " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_iw_src WHERE n_nationkey < 10")
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.iwrite.nation_iw ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey""")),
+
     // ---- FOUR-SOURCE FEDERATED JOIN — the reference's raison d'être
     // (cross-source federation) in a single SQL statement: embedded-Derby
     // JDBC customers × USL-activated orders × DeltaLite log-replayed nation

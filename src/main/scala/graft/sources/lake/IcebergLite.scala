@@ -70,7 +70,7 @@ object IcebergLite {
 
   // ---- metadata discovery ----
 
-  private def currentMetadataFile(conf: Configuration, dir: Path): Path = {
+  private[lake] def currentMetadataFile(conf: Configuration, dir: Path): Path = {
     val metaDir = new Path(dir, "metadata")
     val fs = metaDir.getFileSystem(conf)
     require(fs.exists(metaDir), s"not an Iceberg table (no metadata dir): $dir")
@@ -93,7 +93,7 @@ object IcebergLite {
     else all.maxBy(p => fs.getFileStatus(p).getModificationTime)
   }
 
-  private def readString(conf: Configuration, p: Path): String = {
+  private[lake] def readString(conf: Configuration, p: Path): String = {
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -156,7 +156,19 @@ object IcebergLite {
       case JArray(ss) => ss
       case _ => Nil
     }
-    require(snapshots.nonEmpty, s"Iceberg table $dir has no snapshots")
+    if (snapshots.isEmpty) {
+      // freshly created table (current-snapshot-id = -1): empty relation
+      // with the declared schema; travel targets cannot resolve
+      require(version.isEmpty && timestampMs.isEmpty,
+        s"Iceberg table $dir has no snapshots")
+      val emptySchemaJson: JValue = (meta \ "schemas") match {
+        case JArray(ss) =>
+          val cur = (meta \ "current-schema-id").extractOrElse[Int](0)
+          ss.find(s => (s \ "schema-id").extractOrElse[Int](0) == cur).getOrElse(ss.last)
+        case _ => meta \ "schema"
+      }
+      return Snapshot(-1L, toSparkType(emptySchemaJson).asInstanceOf[StructType], Nil, Nil, dir)
+    }
 
     def byId(id: Long): JValue = snapshots.find(s =>
       (s \ "snapshot-id").extract[Long] == id).getOrElse(

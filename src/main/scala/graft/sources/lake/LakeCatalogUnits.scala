@@ -1,14 +1,46 @@
 package graft.sources.lake
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 
 import graft.catalog.CatalogUnit
 import graft.model.DataSourceSpec
 import graft.sources.DataFrameV1Table
+
+import java.util.{Set => JSet}
+import scala.jdk.CollectionConverters._
+
+/** A lake-lite table that also accepts `INSERT [OVERWRITE]` through the
+  * native writers ([[LakeNativeWrite]]) — V1 write bridge, same pattern as
+  * the unstructured content sink.
+  */
+private[lake] class WritableLakeTable(name: String, schema: StructType,
+    program: SparkSession => DataFrame,
+    insertFn: (DataFrame, Boolean) => Unit)
+  extends DataFrameV1Table(name, schema, program) with SupportsWrite {
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ovr: Boolean): Unit =
+              insertFn(data, overwrite || ovr)
+          }
+      }
+    }
+}
 
 /** Catalog units backed by the lite lake readers — chosen by
   * [[graft.catalog.CatalogUnit.apply]] when no `catalog_impl` override is
@@ -42,8 +74,17 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       schemaOverride: Option[StructType]): Table = {
     val dir = dirFor(spark, rest, name)
     val snap = DeltaLite.snapshot(spark, dir)
-    new DataFrameV1Table(name, schemaOverride.getOrElse(snap.schema),
-      s => DeltaLite.toDataFrame(s, snap))
+    new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),
+      s => DeltaLite.toDataFrame(s, snap),
+      (data, overwrite) => LakeNativeWrite.deltaInsert(data.sparkSession, dir, data, overwrite))
+  }
+
+  /** Native CREATE TABLE (identity partitioning) when the jar is absent. */
+  override def createTable(spark: SparkSession, rest: Seq[String], name: String,
+      schema: StructType, partitionCols: Seq[String]): Table = {
+    val dir = new Path((Seq(basePath) ++ rest :+ name).mkString("/"))
+    LakeNativeWrite.deltaCreate(spark, dir, schema, partitionCols)
+    loadTable(spark, rest, name, None)
   }
 
   /** Programmatic time travel (SQL `VERSION AS OF` stays Iceberg-only for
@@ -92,8 +133,17 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       schemaOverride: Option[StructType]): Table = {
     val dir = dirFor(spark, rest, name)
     val snap = IcebergLite.snapshot(spark, dir)
-    new DataFrameV1Table(name, schemaOverride.getOrElse(snap.schema),
-      s => IcebergLite.toDataFrame(s, snap))
+    new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),
+      s => IcebergLite.toDataFrame(s, snap),
+      (data, overwrite) => LakeNativeWrite.icebergInsert(data.sparkSession, dir, data, overwrite))
+  }
+
+  /** Native CREATE TABLE (identity partitioning) when the jar is absent. */
+  override def createTable(spark: SparkSession, rest: Seq[String], name: String,
+      schema: StructType, partitionCols: Seq[String]): Table = {
+    val dir = new Path((Seq(warehouse) ++ rest :+ name).mkString("/"))
+    LakeNativeWrite.icebergCreate(spark, dir, schema, partitionCols)
+    loadTable(spark, rest, name, None)
   }
 
   def loadVersion(spark: SparkSession, rest: Seq[String], name: String, version: String): Table = {

@@ -1,0 +1,337 @@
+package graft.sources.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Native CREATE / INSERT for Delta and Iceberg tables — the write half of
+  * the lake-lite story, used when the runtime jars are absent (the
+  * reference delegates BOTH directions to the jars:
+  * v3.5/.../IcebergCatalogUnit.scala:30-42, AbstractDeltaCatalogUnit.scala;
+  * round 6 made reads native, this makes an offline deployment able to
+  * write what it reads).
+  *
+  * Scale shape: the DATA path is Spark's own distributed parquet writer
+  * (`df.write [partitionBy] parquet` into a staging dir, then per-file
+  * renames — rename is metadata-only on HDFS-like stores); only the
+  * TRANSACTION metadata (one JSON commit / one Avro manifest + list +
+  * metadata JSON per insert) is driver-side, which is exactly how the real
+  * writers behave. Commit atomicity uses create-no-overwrite on the next
+  * version file with bounded retry — the hadoop-table protocol both formats
+  * document for filesystems with atomic create.
+  *
+  * Supported: unpartitioned and identity-partitioned tables (hive-style
+  * staging dirs carry the values; for Iceberg the values ALSO land in the
+  * manifest partition struct so the reader serves and prunes them), append
+  * and overwrite. Not here: schema evolution, row-level deletes,
+  * compaction — the full runtimes' job.
+  */
+object LakeNativeWrite {
+
+  final case class StagedFile(relPath: String, size: Long, rowCount: Long,
+      partitionValues: Map[String, String])
+
+  // ---- shared staging ----
+
+  /** Write `df` as parquet files via Spark's distributed writer, move them
+    * under `tableDir/relPrefix` (partition dirs preserved), return per-file
+    * metadata. `df` must already be column-aligned to the table schema.
+    */
+  def writeDataFiles(df: DataFrame, tableDir: Path, partitionCols: Seq[String],
+      relPrefix: String): Seq[StagedFile] = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = tableDir.getFileSystem(conf)
+    val staging = new Path(tableDir, s".staging-${System.nanoTime()}")
+    try {
+      val writer = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(staging.toString)
+      val staged = listParquet(fs, staging, staging)
+      staged.map { case (p, rel, size) =>
+        val relOut = if (relPrefix.isEmpty) rel else s"$relPrefix/$rel"
+        val target = new Path(tableDir, relOut)
+        fs.mkdirs(target.getParent)
+        require(fs.rename(p, target), s"rename $p -> $target failed")
+        StagedFile(relOut, size, parquetRowCount(conf, target), partitionDirValues(rel))
+      }
+    } finally { fs.delete(staging, true); () }
+  }
+
+  private def listParquet(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      base: Path): Seq[(Path, String, Long)] = {
+    // listStatus returns scheme-qualified paths; qualify the base the same
+    // way or the prefix strip silently no-ops
+    val qBase = fs.makeQualified(base).toString
+    val out = Seq.newBuilder[(Path, String, Long)]
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) {
+        val q = fs.makeQualified(st.getPath).toString
+        require(q.startsWith(qBase), s"staged file $q escaped staging dir $qBase")
+        val rel = q.stripPrefix(qBase).stripPrefix("/")
+        out += ((st.getPath, rel, st.getLen))
+      }
+    }
+    walk(root)
+    out.result()
+  }
+
+  private def parquetRowCount(conf: Configuration, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** `p1=v1/p2=v2/part-....parquet` -> Map(p1 -> v1, p2 -> v2), with
+    * Spark's %xx dir-name escapes decoded; `__HIVE_DEFAULT_PARTITION__`
+    * maps to null (absent from the map).
+    */
+  private[lake] def partitionDirValues(rel: String): Map[String, String] =
+    rel.split("/").dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) if v != "__HIVE_DEFAULT_PARTITION__" => Some(k -> unescape(v))
+        case _ => None
+      }
+    }.toMap
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Align `df` to the declared schema: same column set (by name), declared
+    * order, cast to declared types.
+    */
+  private def align(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    val missing = schema.fieldNames.filterNot(f => have.contains(f.toLowerCase))
+    require(missing.isEmpty, s"INSERT is missing columns: ${missing.mkString(", ")}")
+    df.select(schema.fields.toIndexedSeq.map(f =>
+      col(have(f.name.toLowerCase)).cast(f.dataType).as(f.name)): _*)
+  }
+
+  // ---- Delta ----
+
+  def deltaCreate(spark: SparkSession, dir: Path, schema: StructType,
+      partitionCols: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(!DeltaLite.isDeltaTable(conf, dir), s"Delta table already exists at $dir")
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    commitDelta(conf, dir, 0L, Seq(
+      LakeWrite.deltaCommitInfo(System.currentTimeMillis()),
+      LakeWrite.deltaProtocol(),
+      LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, schema, partitionCols)))
+  }
+
+  def deltaInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = DeltaLite.snapshot(spark, dir)
+    val aligned = align(data, snap.schema)
+    val now = System.currentTimeMillis()
+    val staged = writeDataFiles(aligned, dir, snap.partitionColumns, "")
+    val adds = staged.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues))
+    val removes =
+      if (!overwrite) Nil
+      else snap.fileIds.map(p => LakeWrite.deltaRemove(p, now))
+    commitDelta(conf, dir, snap.version + 1,
+      Seq(LakeWrite.deltaCommitInfo(now)) ++ removes ++ adds)
+  }
+
+  /** Atomic commit: create `%020d.json` with overwrite=false; on collision
+    * (concurrent writer won the version) retry at the next version, bounded.
+    * Data files are content-addressed by job UUID, so a retried commit
+    * re-points the SAME files — no data rewrite on contention.
+    */
+  private def commitDelta(conf: Configuration, tableDir: Path, firstVersion: Long,
+      actions: Seq[String]): Unit = {
+    val log = new Path(tableDir, "_delta_log")
+    val fs = log.getFileSystem(conf)
+    fs.mkdirs(log)
+    var v = firstVersion
+    var attempts = 0
+    while (attempts < 10) {
+      val file = new Path(log, f"$v%020d.json")
+      try {
+        val out = fs.create(file, false)
+        try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+        return
+      } catch {
+        case _: java.io.IOException => attempts += 1; v += 1 // version taken; advance
+      }
+    }
+    throw new java.io.IOException(s"could not commit to $log after 10 attempts")
+  }
+
+  // ---- Iceberg ----
+
+  private val PrunableIdentityTypes: Set[DataType] =
+    Set(IntegerType, LongType, StringType, BooleanType, FloatType, DoubleType)
+
+  def icebergCreate(spark: SparkSession, dir: Path, schema: StructType,
+      partitionCols: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(!IcebergLite.isIcebergTable(conf, dir), s"Iceberg table already exists at $dir")
+    partitionCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"partition column $c not in schema")
+      require(PrunableIdentityTypes.contains(schema(schema.fieldIndex(c)).dataType),
+        s"identity partition column $c must be int/long/string/boolean/float/double " +
+          "for this writer (values are served from manifest metadata)")
+    }
+    LakeWrite.icebergWriteMetadata(conf, dir, 1, schema, Nil, currentSnapshotId = -1L,
+      specFields = specFieldsFor(schema, partitionCols))
+    ()
+  }
+
+  private def specFieldsFor(schema: StructType, partitionCols: Seq[String]): Seq[JObject] =
+    partitionCols.zipWithIndex.map { case (c, i) =>
+      JObject("name" -> JString(c), "transform" -> JString("identity"),
+        "source-id" -> JInt(schema.fieldIndex(c) + 1), "field-id" -> JInt(1000 + i))
+    }
+
+  def icebergInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean): Unit = {
+    implicit val formats: Formats = DefaultFormats
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaFile = IcebergLite.currentMetadataFile(conf, dir)
+    val meta = JsonMethods.parse(IcebergLite.readString(conf, metaFile))
+    val metaVersion = """^v?(\d+)\.metadata\.json$""".r.findFirstMatchIn(metaFile.getName)
+      .map(_.group(1).toLong).getOrElse(
+        throw new UnsupportedOperationException(
+          s"append needs a versioned hadoop-table metadata file, got ${metaFile.getName}"))
+
+    val schemaJson: JValue = (meta \ "schemas") match {
+      case JArray(ss) =>
+        val cur = (meta \ "current-schema-id").extractOrElse[Int](0)
+        ss.find(s => (s \ "schema-id").extractOrElse[Int](0) == cur).getOrElse(ss.last)
+      case _ => meta \ "schema"
+    }
+    val schema = IcebergLite.toSparkType(schemaJson).asInstanceOf[StructType]
+    val partitionCols: Seq[String] = (meta \ "partition-specs") match {
+      case JArray(specs) =>
+        val defId = (meta \ "default-spec-id").extractOrElse[Int](0)
+        specs.find(s => (s \ "spec-id").extractOrElse[Int](0) == defId)
+          .map(s => (s \ "fields") match {
+            case JArray(fs) => fs.collect {
+              case f if (f \ "transform") == JString("identity") => (f \ "name").extract[String]
+            }
+            case _ => Nil
+          }).getOrElse(Nil)
+      case _ => Nil
+    }
+    val lastSeq = (meta \ "last-sequence-number").extractOrElse[Long](0L)
+    val newSeq = lastSeq + 1
+    val newSnapId = System.currentTimeMillis() // unique enough for a fixture-grade writer
+    val now = System.currentTimeMillis()
+
+    // prior snapshots (kept for time travel) and the current manifest list
+    val priorSnapshots: Seq[LakeWrite.IcebergSnapshot] = (meta \ "snapshots") match {
+      case JArray(ss) => ss.map(s => LakeWrite.IcebergSnapshot(
+        (s \ "snapshot-id").extract[Long], (s \ "timestamp-ms").extract[Long],
+        (s \ "manifest-list").extract[String], (s \ "sequence-number").extractOrElse[Long](0L)))
+      case _ => Nil
+    }
+    val currentId = (meta \ "current-snapshot-id").extractOrElse[Long](-1L)
+    val existingManifests: Seq[LakeWrite.ManifestFile] =
+      if (overwrite || currentId < 0) Nil
+      else priorSnapshots.find(_.id == currentId).map { s =>
+        readManifestFiles(conf, dir, IcebergLite.resolveUri(dir, s.manifestListPath))
+      }.getOrElse(Nil)
+
+    // data files: identity values ride in the manifest partition struct
+    val aligned = align(data, schema)
+    val staged = writeDataFiles(aligned, dir, partitionCols, "data")
+    val partTypeJson =
+      if (partitionCols.isEmpty) """{"type":"record","name":"r102","fields":[]}"""
+      else {
+        val fields = partitionCols.zipWithIndex.map { case (c, i) =>
+          val avroType = schema(schema.fieldIndex(c)).dataType match {
+            case IntegerType => "\"int\""
+            case LongType => "\"long\""
+            case StringType => "\"string\""
+            case BooleanType => "\"boolean\""
+            case FloatType => "\"float\""
+            case DoubleType => "\"double\""
+            case other => throw new UnsupportedOperationException(s"partition type $other")
+          }
+          s"""{"name":"$c","type":["null",$avroType],"default":null,"field-id":${1000 + i}}"""
+        }
+        s"""{"type":"record","name":"r102","fields":[${fields.mkString(",")}]}"""
+      }
+    val entrySchema = LakeWrite.manifestEntrySchema(partTypeJson)
+    val entries = staged.map { f =>
+      val typedVals: Map[String, Any] = partitionCols.flatMap { c =>
+        f.partitionValues.get(c).map { raw =>
+          c -> (schema(schema.fieldIndex(c)).dataType match {
+            case IntegerType => Integer.valueOf(raw.toInt)
+            case LongType => java.lang.Long.valueOf(raw.toLong)
+            case StringType => raw
+            case BooleanType => java.lang.Boolean.valueOf(raw.toBoolean)
+            case FloatType => java.lang.Float.valueOf(raw.toFloat)
+            case DoubleType => java.lang.Double.valueOf(raw.toDouble)
+            case other => throw new UnsupportedOperationException(s"partition type $other")
+          })
+        }
+      }.toMap
+      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
+        partition = typedVals, sequenceNumber = Some(newSeq))
+    }
+    // manifests write to a local temp then copy to the table FS (the Avro
+    // fixture writer is java.io-based; the copy keeps any FS supported)
+    val fs = dir.getFileSystem(conf)
+    def toMeta(local: java.io.File, name: String): Long = {
+      val target = new Path(new Path(dir, "metadata"), name)
+      fs.mkdirs(target.getParent)
+      fs.copyFromLocalFile(true, true, new Path(local.getAbsolutePath), target)
+      fs.getFileStatus(target).getLen
+    }
+    val tmpM = java.io.File.createTempFile("graft-manifest", ".avro")
+    val mLen = LakeWrite.icebergWriteManifest(tmpM, entries, entrySchema)
+    toMeta(tmpM, s"m-$newSnapId.avro")
+    val tmpL = java.io.File.createTempFile("graft-mlist", ".avro")
+    LakeWrite.icebergWriteManifestListEntries(tmpL,
+      existingManifests :+ LakeWrite.ManifestFile(s"metadata/m-$newSnapId.avro", mLen, 0, newSeq),
+      newSnapId)
+    toMeta(tmpL, s"ml-$newSnapId.avro")
+    val newSnapshots = priorSnapshots :+
+      LakeWrite.IcebergSnapshot(newSnapId, now, s"metadata/ml-$newSnapId.avro", newSeq)
+    LakeWrite.icebergWriteMetadata(conf, dir, (metaVersion + 1).toInt, schema, newSnapshots,
+      currentSnapshotId = newSnapId,
+      refs = Map("main" -> (newSnapId, "branch")),
+      specFields = specFieldsFor(schema, partitionCols))
+    ()
+  }
+
+  /** The current manifest list re-read as writable entries (path, length,
+    * content, sequence number) so an append can re-reference them.
+    */
+  private def readManifestFiles(conf: Configuration, tableDir: Path,
+      listPath: Path): Seq[LakeWrite.ManifestFile] = {
+    val in = new org.apache.avro.mapred.FsInput(listPath, conf)
+    val reader = org.apache.avro.file.DataFileReader.openReader(in,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val buf = Seq.newBuilder[LakeWrite.ManifestFile]
+      while (reader.hasNext) {
+        val r = reader.next()
+        def num(n: String, dflt: Long): Long = Option(r.getSchema.getField(n))
+          .flatMap(f => Option(r.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
+          .getOrElse(dflt)
+        buf += LakeWrite.ManifestFile(r.get("manifest_path").toString,
+          num("manifest_length", 0L), num("content", 0L).toInt, num("sequence_number", 0L))
+      }
+      buf.result()
+    } finally reader.close()
+  }
+}

@@ -27,6 +27,9 @@ object GraftSQLBridge {
   def structTypeToV2Columns(schema: types.StructType): Array[connector.catalog.Column] =
     connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
 
+  def v2ColumnsToStructType(columns: Array[connector.catalog.Column]): types.StructType =
+    connector.catalog.CatalogV2Util.v2ColumnsToStructType(columns)
+
   /** Drop cached catalog instances so a changed
     * `spark.sql.catalog.<name>.warehouse` takes effect on a live session.
     */

@@ -1,0 +1,169 @@
+package graft.sources.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+import java.nio.file.Files
+
+/** Native lake WRITES: CREATE TABLE / INSERT [OVERWRITE] for Delta and
+  * Iceberg through the graft SQL surface with no runtime jars — the write
+  * half of the lake-lite readers. Covers append/overwrite state, version
+  * travel across writes, partition handling (values in the log / manifest,
+  * pruning on read-back), schema alignment, commit-collision retry, and
+  * the create-twice / bad-partition rejects.
+  */
+class LakeNativeWriteSuite extends SparkTestBase {
+
+  private def tmpDir(prefix: String): java.io.File =
+    Files.createTempDirectory(prefix).toFile
+
+  test("delta: create partitioned, insert, append, overwrite, time travel") {
+    import spark.implicits._
+    val root = tmpDir("dw")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE dwr OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.lw")
+    locally {
+      spark.sql("CREATE TABLE graft.datasource.lw.dwr.t1 (id BIGINT, name STRING, p INT) " +
+        "PARTITIONED BY (p)")
+      // freshly created: readable and empty
+      assert(spark.table("graft.datasource.lw.dwr.t1").count() == 0)
+
+      Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 1)).toDF("id", "name", "p")
+        .createOrReplaceTempView("src1")
+      spark.sql("INSERT INTO graft.datasource.lw.dwr.t1 SELECT * FROM src1")
+      val t = spark.table("graft.datasource.lw.dwr.t1")
+      assert(t.schema.fieldNames.toSeq == Seq("id", "name", "p"))
+      assert(t.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+        Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 1)))
+
+      // append
+      Seq((4L, "d", 0)).toDF("id", "name", "p").createOrReplaceTempView("src2")
+      spark.sql("INSERT INTO graft.datasource.lw.dwr.t1 SELECT * FROM src2")
+      assert(spark.table("graft.datasource.lw.dwr.t1").count() == 4)
+
+      // overwrite
+      Seq((9L, "z", 2)).toDF("id", "name", "p").createOrReplaceTempView("src3")
+      spark.sql("INSERT OVERWRITE graft.datasource.lw.dwr.t1 SELECT * FROM src3")
+      val after = spark.table("graft.datasource.lw.dwr.t1")
+      assert(after.collect().map(_.getLong(0)).toSeq == Seq(9L))
+
+      // the log replays historically: version 2 (post-append) had 4 rows
+      val dir = new Path(s"$root/t1")
+      assert(DeltaLite.read(spark, dir, version = Some(2L)).count() == 4)
+      // partition values rode the log, not the files: pruning still fires
+      val pr = DeltaLite.read(spark, dir, version = Some(2L)).where(col("p") === 1)
+      assert(pr.count() == 2)
+      val scans = pr.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+      assert(scans.head.metrics("numFiles").value <= 2,
+        s"partition pruning lost on written table: ${scans.head.metrics("numFiles").value} files")
+    }
+  }
+
+  test("delta: commit collision advances to the next version (bounded retry)") {
+    import spark.implicits._
+    val root = tmpDir("dw-race")
+    val dir = new Path(s"$root/t")
+    LakeNativeWrite.deltaCreate(spark, dir,
+      StructType(Seq(StructField("id", LongType))), Nil)
+    // a "concurrent writer" grabs version 1
+    LakeWrite.deltaCommit(spark.sparkContext.hadoopConfiguration, dir, 1,
+      Seq(LakeWrite.deltaCommitInfo(1L)))
+    LakeNativeWrite.deltaInsert(spark, dir, Seq(5L).toDF("id"), overwrite = false)
+    // our insert must land at version 2, not clobber 1
+    assert(new java.io.File(s"$root/t/_delta_log/00000000000000000002.json").exists())
+    assert(DeltaLite.read(spark, dir).count() == 1)
+  }
+
+  test("iceberg: create partitioned, insert, append, overwrite, travel, pruning") {
+    import spark.implicits._
+    val root = tmpDir("iw")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE ICEBERG DATASOURCE iwr OPTIONS (warehouse '$root') " +
+      "NAMESPACE graft.datasource.lw")
+    locally {
+      spark.sql("CREATE TABLE graft.datasource.lw.iwr.t1 (id BIGINT, name STRING, p INT) " +
+        "PARTITIONED BY (p)")
+      assert(spark.table("graft.datasource.lw.iwr.t1").count() == 0)
+
+      Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 1)).toDF("id", "name", "p")
+        .createOrReplaceTempView("isrc1")
+      spark.sql("INSERT INTO graft.datasource.lw.iwr.t1 SELECT * FROM isrc1")
+      val t = spark.table("graft.datasource.lw.iwr.t1")
+      assert(t.schema.fieldNames.toSeq == Seq("id", "name", "p"))
+      assert(t.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+        Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 1)))
+
+      Seq((4L, "d", 0)).toDF("id", "name", "p").createOrReplaceTempView("isrc2")
+      spark.sql("INSERT INTO graft.datasource.lw.iwr.t1 SELECT * FROM isrc2")
+      assert(spark.table("graft.datasource.lw.iwr.t1").count() == 4)
+
+      // identity pruning on the table we just wrote (values served from the
+      // manifest partition struct — the data files lack the p column);
+      // asserted on the direct relation (the catalog route wraps the scan
+      // in a V1 splice whose plan hides the file scan node)
+      val dir = new Path(s"$root/t1")
+      assert(spark.table("graft.datasource.lw.iwr.t1").where(col("p") === 1).count() == 2)
+      val pr = IcebergLite.read(spark, dir).where(col("p") === 1)
+      assert(pr.count() == 2)
+      val scans = pr.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+      assert(scans.head.metrics("numFiles").value <= 2,
+        s"identity pruning lost: ${scans.head.metrics("numFiles").value} files")
+
+      // snapshot travel across our own appends
+      val firstSnap = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val meta = org.json4s.jackson.JsonMethods.parse(
+          IcebergLite.readString(conf, IcebergLite.currentMetadataFile(conf, dir)))
+        (meta \ "snapshots") match {
+          case org.json4s.JArray(ss) => (ss.head \ "snapshot-id").values.toString.toLong
+          case _ => fail("no snapshots")
+        }
+      }
+      assert(IcebergLite.read(spark, dir, version = Some(firstSnap.toString)).count() == 3)
+
+      Seq((9L, "z", 2)).toDF("id", "name", "p").createOrReplaceTempView("isrc3")
+      spark.sql("INSERT OVERWRITE graft.datasource.lw.iwr.t1 SELECT * FROM isrc3")
+      assert(spark.table("graft.datasource.lw.iwr.t1").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    }
+  }
+
+  test("iceberg CTAS through the catalog") {
+    val root = tmpDir("iw-ctas")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE ICEBERG DATASOURCE ictas OPTIONS (warehouse '$root') " +
+      "NAMESPACE graft.datasource.lw")
+    locally {
+      spark.sql("CREATE TABLE graft.datasource.lw.ictas.nums AS " +
+        "SELECT id, id * 2 AS twice FROM range(10)")
+      val t = spark.table("graft.datasource.lw.ictas.nums")
+      assert(t.count() == 10)
+      assert(t.where(col("id") === 3).head.getLong(1) == 6L)
+    }
+  }
+
+  test("write rejects: duplicate create, unknown insert columns, non-identity partitions") {
+    import spark.implicits._
+    val root = tmpDir("dw-rej")
+    val dir = new Path(s"$root/t")
+    LakeNativeWrite.deltaCreate(spark, dir,
+      StructType(Seq(StructField("id", LongType))), Nil)
+    val e1 = intercept[IllegalArgumentException] {
+      LakeNativeWrite.deltaCreate(spark, dir, StructType(Seq(StructField("id", LongType))), Nil)
+    }
+    assert(e1.getMessage.contains("already exists"))
+    val e2 = intercept[IllegalArgumentException] {
+      LakeNativeWrite.deltaInsert(spark, dir, Seq((1L, "x")).toDF("other", "cols"), overwrite = false)
+    }
+    assert(e2.getMessage.contains("missing columns"))
+    val e3 = intercept[IllegalArgumentException] {
+      LakeNativeWrite.icebergCreate(spark, new Path(s"$root/t2"),
+        StructType(Seq(StructField("id", LongType), StructField("d", DecimalType(10, 2)))), Seq("d"))
+    }
+    assert(e3.getMessage.contains("identity partition column"))
+  }
+}
