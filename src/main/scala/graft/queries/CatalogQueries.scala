@@ -812,6 +812,84 @@ object CatalogQueries {
         WHERE (n_nationkey < 12 AND n_nationkey % 2 = 0)
            OR n_nationkey >= 13 OR n_nationkey IN (1, 12) ORDER BY n_nationkey""")),
 
+    // ---- ICEBERG v2 EQUALITY DELETES (Flink-CDC-shaped) through the
+    // native path: snapshot 4001 (seq 1) adds file A = full nation;
+    // snapshot 4002 (seq 2) commits TWO equality-delete files — E1 on
+    // equality_ids=[n_nationkey] naming the odd keys < 10, E2 on
+    // equality_ids=[n_regionkey] naming region 4 — AND, in the same
+    // sequence, data file B re-inserting key 5 (which E1 names): the
+    // spec's STRICT seq gating must keep B. Snapshot 4003 (seq 3) re-adds
+    // keys 1 and 3 as file C, which both survive the older deletes. The
+    // visible state exists only through correct per-id-set null-safe
+    // anti-joins with strict sequence gating. ----
+    QuerySpec("src_iceberg_eq_scan",
+      (s, dir) => {
+        setup(s, dir)
+        import graft.sources.lake.LakeWrite
+        import graft.sources.lake.LakeWrite.{IcebergSnapshot, ManifestEntry, ManifestFile}
+        import org.apache.hadoop.fs.Path
+        val lakeDir = new java.io.File(wh(dir), "lake")
+        val tableDir = new java.io.File(lakeDir, "nation_ice_eq")
+        if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_ice_eq.tmp${System.nanoTime()}")
+          new java.io.File(staging, "metadata").mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val nation = QueryPack.t(s, dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+          def dataFile(rel: String, d: org.apache.spark.sql.DataFrame, snapId: Long): ManifestEntry = {
+            val size = LakeWrite.writeOneParquetFile(d.coalesce(1), new Path(root, rel))
+            ManifestEntry(1, rel, d.count(), size, snapId)
+          }
+          val a = dataFile("data/a.parquet", nation, 4001L)
+          val b = dataFile("data/b.parquet", nation.where(col("n_nationkey") === 5), 4002L)
+          val c = dataFile("data/c.parquet", nation.where(col("n_nationkey").isin(1, 3)), 4003L)
+          // equality-delete files: plain parquet holding ONLY the equality
+          // columns (ids resolve against the schema: n_nationkey=1,
+          // n_regionkey=3 per icebergSchemaJson's 1-based assignment)
+          val e1df = nation.where(col("n_nationkey") % 2 === 1 && col("n_nationkey") < 10)
+            .select("n_nationkey")
+          val e1 = ManifestEntry(1, "data/e1.parquet", e1df.count(),
+            LakeWrite.writeOneParquetFile(e1df.coalesce(1), new Path(root, "data/e1.parquet")),
+            4002L, content = 2, equalityIds = Seq(1))
+          val e2df = nation.where(col("n_regionkey") === 4)
+            .select("n_regionkey").distinct()
+          val e2 = ManifestEntry(1, "data/e2.parquet", e2df.count(),
+            LakeWrite.writeOneParquetFile(e2df.coalesce(1), new Path(root, "data/e2.parquet")),
+            4002L, content = 2, equalityIds = Seq(3))
+          val m1len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/m1.avro"), Seq(a))
+          val m2len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/m2.avro"), Seq(b))
+          val m3len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/m3.avro"), Seq(c))
+          val mdlen = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/md.avro"),
+            Seq(e1, e2))
+          LakeWrite.icebergWriteManifestList(new java.io.File(staging, "metadata/ml1.avro"),
+            Seq("metadata/m1.avro" -> m1len), 4001L, 1L)
+          LakeWrite.icebergWriteManifestListEntries(new java.io.File(staging, "metadata/ml2.avro"),
+            Seq(ManifestFile("metadata/m1.avro", m1len, 0, 1L),
+              ManifestFile("metadata/m2.avro", m2len, 0, 2L),
+              ManifestFile("metadata/md.avro", mdlen, 1, 2L)), 4002L)
+          LakeWrite.icebergWriteManifestListEntries(new java.io.File(staging, "metadata/ml3.avro"),
+            Seq(ManifestFile("metadata/m1.avro", m1len, 0, 1L),
+              ManifestFile("metadata/m2.avro", m2len, 0, 2L),
+              ManifestFile("metadata/m3.avro", m3len, 0, 3L),
+              ManifestFile("metadata/md.avro", mdlen, 1, 2L)), 4003L)
+          LakeWrite.icebergWriteMetadata(conf, root, 3, nation.schema,
+            Seq(IcebergSnapshot(4001L, 1700000000000L, "metadata/ml1.avro", 1L),
+              IcebergSnapshot(4002L, 1700000100000L, "metadata/ml2.avro", 2L),
+              IcebergSnapshot(4003L, 1700000200000L, "metadata/ml3.avro", 3L)),
+            currentSnapshotId = 4003L)
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE iceeq OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lake.iceeq.nation_ice_eq ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE (NOT (n_nationkey % 2 = 1 AND n_nationkey < 10) AND n_regionkey <> 4)
+           OR n_nationkey IN (1, 3, 5) ORDER BY n_nationkey""")),
+
     // ---- DELTA DELETION VECTORS through the native RoaringDv decode path:
     // commit 0 adds one file per region (all columns in-file, unpartitioned
     // log); commit 1 upgrades to reader protocol 3 and re-adds region 1's
@@ -874,6 +952,69 @@ object CatalogQueries {
         WHERE NOT (n_regionkey = 1 AND n_nationkey % 2 = 1)
           AND NOT (n_regionkey = 3 AND n_nationkey =
             (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 3))
+        ORDER BY n_nationkey""")),
+
+    // ---- DELTA COLUMN MAPPING (name mode) through the native physical-
+    // name resolution path: commit 0 creates the table with mapping
+    // enabled — data files carry ONLY physical columns (col-1, col-2),
+    // partitionValues key on the physical partition name (col-3) — and
+    // commit 1 logically renames n_name to n_label without touching a
+    // single data file. The gate queries the RENAMED name; every value is
+    // reachable only if physical resolution, partition-key mapping, and
+    // the logical restore all work. ----
+    QuerySpec("src_delta_cmap_scan",
+      (s, dir) => {
+        setup(s, dir)
+        import graft.sources.lake.LakeWrite
+        import org.apache.hadoop.fs.Path
+        import org.apache.spark.sql.types._
+        val lakeDir = new java.io.File(wh(dir), "lake")
+        val tableDir = new java.io.File(lakeDir, "nation_cmap")
+        if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_cmap.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val nation = QueryPack.t(s, dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+          def m(phys: String, id: Long): Metadata = new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build()
+          def logical(nameCol: String): StructType = StructType(Seq(
+            StructField("n_nationkey", nation.schema("n_nationkey").dataType,
+              nullable = true, m("col-1", 1)),
+            StructField(nameCol, nation.schema("n_name").dataType,
+              nullable = true, m("col-2", 2)),
+            StructField("n_regionkey", nation.schema("n_regionkey").dataType,
+              nullable = true, m("col-3", 3))))
+          val cmapCfg = Map("delta.columnMapping.mode" -> "name",
+            "delta.columnMapping.maxColumnId" -> "3")
+          val adds = (0 to 4).map { rk =>
+            val rel = s"part-r$rk.parquet"
+            val size = LakeWrite.writeOneParquetFile(
+              nation.where(col("n_regionkey") === rk)
+                .select(col("n_nationkey").as("col-1"), col("n_name").as("col-2")),
+              new Path(root, rel))
+            LakeWrite.deltaAdd(rel, size, 1700000000000L, Map("col-3" -> rk.toString))
+          }
+          LakeWrite.deltaCommit(conf, root, 0,
+            Seq(LakeWrite.deltaCommitInfo(1700000000000L),
+              LakeWrite.deltaProtocol(minReader = 2, minWriter = 5),
+              LakeWrite.deltaMetaData("nation-cmap", logical("n_name"),
+                Seq("n_regionkey"), cmapCfg)) ++ adds)
+          LakeWrite.deltaCommit(conf, root, 1,
+            Seq(LakeWrite.deltaCommitInfo(1700000100000L),
+              LakeWrite.deltaMetaData("nation-cmap", logical("n_label"),
+                Seq("n_regionkey"), cmapCfg)))
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE cmapsrc OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+        s.sql(
+          """SELECT n_nationkey, n_label, n_regionkey
+            |FROM graft.datasource.lake.cmapsrc.nation_cmap ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name AS n_label, n_regionkey FROM nation
         ORDER BY n_nationkey""")),
 
     // ---- NATIVE DELTA WRITE through the SQL surface (no delta-spark jar):

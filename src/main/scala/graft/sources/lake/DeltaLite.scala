@@ -22,14 +22,17 @@ import java.net.URI
   * reference defers entirely to delta-spark; this rebuild reads the
   * protocol directly so offline/minimal deployments still work).
   *
-  * Supported: reader protocol 1 and 2 (no column mapping configured), and
-  * protocol 3 when `readerFeatures` ⊆ {timestampNtz, deletionVectors} —
+  * Supported: reader protocol 1 and 2, and protocol 3 when
+  * `readerFeatures` ⊆ {timestampNtz, deletionVectors, columnMapping} —
   * deletion vectors decode natively ([[RoaringDv]], all three storage
   * types) and apply as a distributed anti-join on (file identity,
-  * `_metadata.row_index`); tables using column mapping or v2 checkpoints
-  * are rejected with a clear error rather than silently misread. Time
-  * travel by version and by timestamp (commitInfo timestamp, falling back
-  * to commit file mtime).
+  * `_metadata.row_index`); column mapping (both `name` and `id` modes)
+  * reads each field under its physical name — parquet data columns AND
+  * add-action partitionValues keys — and restores logical names with one
+  * cast+alias projection (see [[restoreLogical]]). Tables using v2
+  * checkpoints are rejected with a clear error rather than silently
+  * misread. Time travel by version and by timestamp (commitInfo
+  * timestamp, falling back to commit file mtime).
   *
   * Scale: the driver holds (path, size, partitionValues) per live file —
   * the same driver-side state InMemoryFileIndex holds for any parquet
@@ -55,11 +58,29 @@ object DeltaLite {
       /** raw add-action paths aligned with `files` (the DV join identity) */
       fileIds: Seq[String] = Nil,
       /** deletion vectors keyed by raw add path (empty = plain scan) */
-      dvs: Map[String, DvDescriptor] = Map.empty) {
+      dvs: Map[String, DvDescriptor] = Map.empty,
+      /** column-mapping physical schema, aligned field-by-field (at every
+        * nesting level) with `schema`; None = mapping mode `none`, physical
+        * names are the logical names
+        */
+      physSchema: Option[StructType] = None) {
     def partitionSchema: StructType =
       StructType(partitionColumns.map(c => schema(schema.fieldIndex(c))))
     def dataSchema: StructType =
       StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+    /** partition schema under the names the parquet files / partitionValues
+      * actually use
+      */
+    def physPartitionSchema: StructType = physSchema match {
+      case Some(ps) => StructType(partitionColumns.map(c => ps.fields(schema.fieldIndex(c))))
+      case None => partitionSchema
+    }
+    def physDataSchema: StructType = physSchema match {
+      case Some(ps) => StructType(schema.fields.zip(ps.fields).collect {
+        case (lf, pf) if !partitionColumns.contains(lf.name) => pf
+      }.toIndexedSeq)
+      case None => dataSchema
+    }
   }
 
   def isDeltaTable(conf: Configuration, dir: Path): Boolean = {
@@ -284,23 +305,63 @@ object DeltaLite {
 
     require(protocolChecked || schemaString.isDefined,
       s"Delta log under $dir has no protocol/metaData action")
-    require(configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
-      "Delta column mapping (name/id mode) is not supported by this reader")
+    val cmapMode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(Set("none", "name", "id").contains(cmapMode),
+      s"unknown delta.columnMapping.mode '$cmapMode'")
     val schema = DataType.fromJson(schemaString.getOrElse(
       throw new IllegalStateException(s"no metaData action in Delta log under $dir")))
       .asInstanceOf[StructType]
+    // Column mapping (mode name or id): the parquet files and the add
+    // actions' partitionValues use each field's PHYSICAL name, recorded in
+    // the schema's field metadata. Physical names are immutable once
+    // assigned (renames touch only the logical name), so physical-name
+    // resolution is exact in both modes for protocol-conforming writers —
+    // the protocol requires the physical name be written to every data
+    // file's parquet schema whenever mapping is enabled.
+    val physSchema: Option[StructType] =
+      if (cmapMode == "none") None
+      else Some(StructType(schema.fields.map(physicalField)))
 
     val partSchema = StructType(partitionCols.map(c => schema(schema.fieldIndex(c))))
+    val physPartNames: Map[String, String] = physSchema match {
+      case Some(ps) => partitionCols.map(c => c -> ps.fields(schema.fieldIndex(c)).name).toMap
+      case None => Map.empty
+    }
     val keyed = adds.toSeq.map { case (key, f) =>
       val raw = rawParts(key)
-      key -> f.copy(partitionValues = partSchema.map(pf =>
-        raw.get(pf.name).flatten.map(parsePartitionValue(_, pf.dataType)).orNull))
+      key -> f.copy(partitionValues = partSchema.map { pf =>
+        val k = physPartNames.getOrElse(pf.name, pf.name)
+        raw.get(k).orElse(raw.get(pf.name)).flatten
+          .map(parsePartitionValue(_, pf.dataType)).orNull
+      })
     }
     Snapshot(target, schema, partitionCols, keyed.map(_._2), dir,
-      fileIds = keyed.map(_._1), dvs = dvByPath.toMap)
+      fileIds = keyed.map(_._1), dvs = dvByPath.toMap, physSchema = physSchema)
   }
 
-  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors")
+  /** One field renamed to its column-mapping physical name, recursively
+    * through structs, arrays and maps. A field without the metadata keeps
+    * its logical name (pre-upgrade tables assign physicalName = logical
+    * name at enablement, so absence means identity).
+    */
+  private def physicalField(f: StructField): StructField = {
+    val pname =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    StructField(pname, physicalType(f.dataType), f.nullable)
+  }
+
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(physicalField))
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
+    case m: MapType => m.copy(keyType = physicalType(m.keyType),
+      valueType = physicalType(m.valueType))
+    case other => other
+  }
+
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "deletionVectors", "columnMapping")
 
   /** Field access tolerant of schema-inferred checkpoints that omit empty
     * maps/arrays (a real writer's checkpoint always carries them).
@@ -367,15 +428,34 @@ object DeltaLite {
 
   private val DvCols = Seq("__gfid", "__grix", "__gdfp", "__gdpos")
 
+  /** Project a physically-named relation back to logical names and
+    * declared schema order: one cast+alias per renamed top-level column
+    * (casting a struct to a struct renames nested fields positionally —
+    * pure projection, codegen'd, no data movement). `passthrough` columns
+    * (the DV path's internal keys) ride along unchanged. Identity when the
+    * snapshot has no column mapping — then this is just the schema-order
+    * select the reader always needed.
+    */
+  private def restoreLogical(df: DataFrame, snap: Snapshot,
+      passthrough: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val phys = snap.physSchema.getOrElse(snap.schema)
+    val cols = snap.schema.fields.zip(phys.fields).map { case (lf, pf) =>
+      if (pf.name == lf.name && pf.dataType == lf.dataType) col(s"`${lf.name}`")
+      else col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+    } ++ passthrough.map(c => col(s"`$c`"))
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   def toDataFrame(spark: SparkSession, snap: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions._
     val order = snap.schema.fieldNames.toIndexedSeq.map(col)
     if (snap.dvs.isEmpty) {
-      val index = new LakeFileIndex(snap.tableDir, snap.files, snap.partitionSchema)
-      GraftLakeBridge.parquetRelation(spark, index, snap.partitionSchema, snap.dataSchema)
-        // surface columns in declared schema order (partition cols interleave
-        // per the table schema, not appended at the end)
-        .select(order: _*)
+      val index = new LakeFileIndex(snap.tableDir, snap.files, snap.physPartitionSchema)
+      // surface columns in declared schema order (partition cols interleave
+      // per the table schema, not appended at the end), under logical names
+      restoreLogical(GraftLakeBridge.parquetRelation(spark, index,
+        snap.physPartitionSchema, snap.physDataSchema), snap, Nil)
     } else {
       // Deletion vectors: only files CARRYING a DV pay the anti-join — the
       // rest scan exactly as before and union in (post-OPTIMIZE, that is
@@ -392,16 +472,17 @@ object DeltaLite {
 
       val plainDf =
         if (plain.isEmpty) None
-        else Some(GraftLakeBridge.parquetRelation(spark,
-          new LakeFileIndex(snap.tableDir, plain.map(_._1), snap.partitionSchema),
-          snap.partitionSchema, snap.dataSchema).select(order: _*))
+        else Some(restoreLogical(GraftLakeBridge.parquetRelation(spark,
+          new LakeFileIndex(snap.tableDir, plain.map(_._1), snap.physPartitionSchema),
+          snap.physPartitionSchema, snap.physDataSchema), snap, Nil))
 
-      val dvPartSchema = StructType(snap.partitionSchema.fields :+
+      val dvPartSchema = StructType(snap.physPartitionSchema.fields :+
         StructField("__gfid", StringType, nullable = false))
       val dvFiles = withDv.map { case (f, id) => f.copy(partitionValues = f.partitionValues :+ id) }
-      val data = GraftLakeBridge.parquetRelation(spark,
-          new LakeFileIndex(snap.tableDir, dvFiles, dvPartSchema), dvPartSchema, snap.dataSchema)
-        .withColumn("__grix", col("_metadata.row_index"))
+      val data = restoreLogical(GraftLakeBridge.parquetRelation(spark,
+          new LakeFileIndex(snap.tableDir, dvFiles, dvPartSchema), dvPartSchema, snap.physDataSchema)
+        .withColumn("__grix", col("_metadata.row_index")),
+        snap, Seq("__gfid", "__grix"))
 
       // (fid, dvFilePath ["" = inline], inlineBitmap, offset, sizeInBytes)
       val descs: Seq[(String, String, Array[Byte], Long, Int)] = withDv.map { case (_, id) =>

@@ -26,13 +26,15 @@ import org.json4s.jackson.JsonMethods
   * Supported: format v1 and v2 metadata, hadoop-style table directories
   * (`version-hint.text` or highest `vN.metadata.json`), snapshot selection
   * by id, by `TIMESTAMP AS OF`, and by named ref (branch/tag), PARQUET data
-  * files, and v2 merge-on-read *position* deletes (delete manifests →
-  * position-delete parquet files of (file_path, pos), applied as a
-  * distributed anti-join on (file identity, `_metadata.row_index`) with the
-  * spec's sequence-number gating — see [[toDataFrame]]). Equality deletes
-  * are rejected with a clear error rather than silently misread (Spark and
-  * Trino writers emit position deletes; equality deletes come from Flink
-  * CDC ingestion, which needs the full runtime).
+  * files, and v2 merge-on-read deletes of BOTH kinds: *position* deletes
+  * (delete manifests → position-delete parquet files of (file_path, pos),
+  * applied as a distributed anti-join on (file identity,
+  * `_metadata.row_index`) gated by delete seq >= data seq) and *equality*
+  * deletes (Flink-CDC-style: parquet files of the `equality_ids` columns,
+  * applied as null-safe-equality anti-joins gated by the spec's STRICT
+  * delete seq > data seq rule — see [[toDataFrame]]). Equality ids must
+  * resolve to top-level columns of the current schema; nested equality
+  * deletes are rejected with a clear error.
   *
   * Iceberg data files always carry every column (partition columns are
   * stored, not derived from paths), so correctness needs no partition
@@ -52,15 +54,28 @@ object IcebergLite {
       deleteFiles: Seq[DeleteFile] = Nil,
       /** per data file, aligned with `files`: (normalized manifest
         * file_path — the delete files' join key — and the file's data
-        * sequence number). Populated only when `deleteFiles` is non-empty.
+        * sequence number). Populated only when `deleteFiles` or
+        * `eqDeleteFiles` is non-empty.
         */
-      dataFileMeta: Seq[(String, Long)] = Nil)
+      dataFileMeta: Seq[(String, Long)] = Nil,
+      /** live equality-delete files of this snapshot */
+      eqDeleteFiles: Seq[EqDeleteFile] = Nil)
 
   /** One live position-delete parquet file: resolved path, size, its data
     * sequence number (deletes apply to data files with seq <= this), and
     * the manifest's record count (drives the broadcast decision).
     */
   final case class DeleteFile(path: String, size: Long, seq: Long, recordCount: Long)
+
+  /** One live equality-delete parquet file: resolved path, size, its data
+    * sequence number (equality deletes apply to data files with seq
+    * STRICTLY LESS than this, per the spec's "strictly less" rule — a
+    * same-commit insert of a deleted key must survive), the manifest's
+    * record count, the spec's `equality_ids` field ids, and those ids
+    * resolved to the current schema's top-level column names.
+    */
+  final case class EqDeleteFile(path: String, size: Long, seq: Long, recordCount: Long,
+      equalityIds: Seq[Int], columns: Seq[String])
 
   def isIcebergTable(conf: Configuration, dir: Path): Boolean = {
     val meta = new Path(dir, "metadata")
@@ -251,8 +266,30 @@ object IcebergLite {
       }
     }
     val (deleteManifests, dataManifests) = manifestPaths.partition(_._2 == 1)
-    val deleteFiles: Seq[DeleteFile] = deleteManifests.flatMap { case (mp, _, mseq) =>
+    val allDeletes = deleteManifests.flatMap { case (mp, _, mseq) =>
       readDeleteManifest(conf, dir, resolveUri(dir, mp), mseq)
+    }
+    val deleteFiles: Seq[DeleteFile] = allDeletes.collect { case Left(d) => d }
+    // Resolve equality_ids against the CURRENT schema's top-level fields.
+    // The schema-evolution guard above already rejects renamed/readded
+    // field-id bindings, so the current name is the only name an id ever
+    // had — name-based parquet reads of the delete files are then exact.
+    val topLevelById: Map[Int, String] = (schemaJson \ "fields") match {
+      case JArray(fs) => fs.flatMap { f =>
+        ((f \ "id"), (f \ "name")) match {
+          case (JInt(id), JString(n)) => Some(id.toInt -> n)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    val eqDeleteFiles: Seq[EqDeleteFile] = allDeletes.collect { case Right(e) =>
+      val cols = e.equalityIds.map(id => topLevelById.getOrElse(id,
+        throw new UnsupportedOperationException(
+          s"equality delete ${e.path} references field id $id, which is not a " +
+            s"top-level column of the current schema — nested equality deletes " +
+            s"need field-id parquet resolution (use the full runtime)")))
+      e.copy(columns = cols)
     }
 
     // Identity-partition pruning: serve the identity columns' values from
@@ -275,7 +312,9 @@ object IcebergLite {
       else filesWithVals.map(_._1._1)
     Snapshot(snapId, schema, if (pruning) identityCols else Nil, files, dir,
       deleteFiles = deleteFiles,
-      dataFileMeta = if (deleteFiles.isEmpty) Nil else filesWithVals.map(_._2))
+      dataFileMeta = if (deleteFiles.isEmpty && eqDeleteFiles.isEmpty) Nil
+        else filesWithVals.map(_._2),
+      eqDeleteFiles = eqDeleteFiles)
   }
 
   /** Types whose manifest-Avro partition value maps 1:1 onto the external
@@ -376,12 +415,14 @@ object IcebergLite {
       }
     }
 
-  /** One delete manifest's live position-delete files. Equality deletes
-    * (content=2) are rejected: applying them needs field-id column
-    * resolution and bind-time schema tracking this lite reader does not do.
+  /** One delete manifest's live delete files: position deletes (content=1)
+    * on the Left, equality deletes (content=2) on the Right. Equality
+    * delete files name their match columns by field id (`equality_ids`);
+    * resolution to column names happens in [[snapshot]], where the current
+    * schema is in scope.
     */
   private def readDeleteManifest(conf: Configuration, tableDir: Path, p: Path,
-      manifestSeq: Long): Seq[DeleteFile] =
+      manifestSeq: Long): Seq[Either[DeleteFile, EqDeleteFile]] =
     readAvroRecords(conf, p).flatMap { entry =>
       val status = entry.get("status").asInstanceOf[Int]
       if (status == 2) None // DELETED
@@ -389,20 +430,31 @@ object IcebergLite {
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val content = Option(df.getSchema.getField("content"))
           .map(f => df.get(f.pos()).asInstanceOf[Int]).getOrElse(0)
+        def common(): (String, Long, Long) = {
+          val format = df.get("file_format").toString.toUpperCase
+          require(format == "PARQUET",
+            s"only PARQUET delete files are supported (found $format in $p)")
+          val path = resolveUri(tableDir, df.get("file_path").toString).toString
+          val size = df.get("file_size_in_bytes").asInstanceOf[Long]
+          val rows = Option(df.getSchema.getField("record_count"))
+            .flatMap(f => Option(df.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
+            .getOrElse(Long.MaxValue)
+          (path, size, rows)
+        }
         content match {
           case 1 => // position deletes
-            val format = df.get("file_format").toString.toUpperCase
-            require(format == "PARQUET",
-              s"only PARQUET position-delete files are supported (found $format in $p)")
-            val path = resolveUri(tableDir, df.get("file_path").toString).toString
-            val size = df.get("file_size_in_bytes").asInstanceOf[Long]
-            val rows = Option(df.getSchema.getField("record_count"))
-              .flatMap(f => Option(df.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
-              .getOrElse(Long.MaxValue)
-            Some(DeleteFile(path, size, entrySeq(entry, manifestSeq), rows))
-          case 2 => throw new UnsupportedOperationException(
-            s"equality delete files are not supported by this reader ($p; " +
-              s"compact the table or use the full runtime)")
+            val (path, size, rows) = common()
+            Some(Left(DeleteFile(path, size, entrySeq(entry, manifestSeq), rows)))
+          case 2 => // equality deletes
+            val (path, size, rows) = common()
+            val ids = Option(df.getSchema.getField("equality_ids"))
+              .flatMap(f => Option(df.get(f.pos())))
+              .map(_.asInstanceOf[java.util.List[_]].toArray.toSeq
+                .map(_.asInstanceOf[Number].intValue()))
+              .getOrElse(throw new IllegalStateException(
+                s"equality delete file without equality_ids in $p (invalid per spec)"))
+            require(ids.nonEmpty, s"equality delete file with empty equality_ids in $p")
+            Some(Right(EqDeleteFile(path, size, entrySeq(entry, manifestSeq), rows, ids, Nil)))
           case c => throw new UnsupportedOperationException(
             s"data file with content=$c in a delete manifest is invalid ($p)")
         }
@@ -493,26 +545,34 @@ object IcebergLite {
     val identityFields = snap.partitionColumns.map(c => snap.schema(snap.schema.fieldIndex(c)))
     val dataSchema = StructType(snap.schema.filterNot(f =>
       snap.partitionColumns.contains(f.name)))
-    if (snap.deleteFiles.isEmpty) {
+    if (snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty) {
       val partSchema = StructType(identityFields)
       val index = new LakeFileIndex(snap.tableDir, snap.files, partSchema)
       val df = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
       if (snap.partitionColumns.isEmpty) df
       else df.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
     } else {
-      // Merge-on-read: drop each data row whose (file, ordinal) appears in a
-      // live position-delete file with sequence number >= the data file's.
+      // Merge-on-read. Position deletes drop each data row whose (file,
+      // ordinal) appears in a live position-delete file with sequence
+      // number >= the data file's; equality deletes drop each data row
+      // matching a delete row on all equality columns (null-safe) in a
+      // delete file with sequence number STRICTLY > the data file's.
       // Spark-native shape: both the file-identity key and the sequence
       // number are served as synthetic *partition* columns from manifest
       // metadata (zero extra IO, still codegen'd), the row ordinal comes
       // from parquet's `_metadata.row_index` (row-group-skip-safe by
-      // construction), and the deletes apply as one distributed LEFT ANTI
-      // join — broadcast when the manifests bound the delete side small,
-      // else a keyed shuffle that scales with the deletes, never the data.
-      MorCols.filter(snap.schema.fieldNames.contains).foreach { c =>
-        throw new UnsupportedOperationException(
-          s"table column '$c' collides with the merge-on-read reader's internal names")
-      }
+      // construction), and each delete family applies as one distributed
+      // LEFT ANTI join — broadcast when the manifests bound the delete
+      // side small, else a keyed shuffle that scales with the deletes,
+      // never the data.
+      snap.schema.fieldNames
+        .filter(c => MorCols.contains(c) ||
+          (snap.eqDeleteFiles.nonEmpty && c.startsWith("__ge_")))
+        .foreach { c =>
+          throw new UnsupportedOperationException(
+            s"table column '$c' collides with the merge-on-read reader's internal names")
+        }
+      val hasPos = snap.deleteFiles.nonEmpty
       val partSchema = StructType(identityFields ++ Seq(
         StructField("__gfid", StringType, nullable = false),
         StructField("__gseq", LongType, nullable = false)))
@@ -520,28 +580,56 @@ object IcebergLite {
         f.copy(partitionValues = f.partitionValues ++ Seq(fid, seq))
       }
       val index = new LakeFileIndex(snap.tableDir, files, partSchema)
-      val data = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
-        .withColumn("__grix", col("_metadata.row_index"))
+      val data0 = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
+      var data = if (hasPos) data0.withColumn("__grix", col("_metadata.row_index")) else data0
 
-      val delPartSchema = StructType(Seq(StructField("__gdseq", LongType, nullable = false)))
-      val delFiles = snap.deleteFiles.map(d => LakeFile(d.path, d.size, 0L, Seq(d.seq)))
-      val delIndex = new LakeFileIndex(snap.tableDir, delFiles, delPartSchema)
-      val delSchema = StructType(Seq(
-        StructField("file_path", StringType, nullable = false),
-        StructField("pos", LongType, nullable = false)))
-      val delRows = GraftLakeBridge.parquetRelation(spark, delIndex, delPartSchema, delSchema)
-        .select(normPathColumn(col("file_path")).as("__gdfp"),
-          col("pos").as("__gdpos"), col("__gdseq"))
-      val deleteRowCount = // saturating: absent record_count reads Long.MaxValue
-        if (snap.deleteFiles.exists(_.recordCount == Long.MaxValue)) Long.MaxValue
-        else snap.deleteFiles.map(_.recordCount).sum
-      val delSide = if (deleteRowCount <= BroadcastDeleteRowCap) broadcast(delRows) else delRows
-
-      data.join(delSide,
+      if (hasPos) {
+        val delPartSchema = StructType(Seq(StructField("__gdseq", LongType, nullable = false)))
+        val delFiles = snap.deleteFiles.map(d => LakeFile(d.path, d.size, 0L, Seq(d.seq)))
+        val delIndex = new LakeFileIndex(snap.tableDir, delFiles, delPartSchema)
+        val delSchema = StructType(Seq(
+          StructField("file_path", StringType, nullable = false),
+          StructField("pos", LongType, nullable = false)))
+        val delRows = GraftLakeBridge.parquetRelation(spark, delIndex, delPartSchema, delSchema)
+          .select(normPathColumn(col("file_path")).as("__gdfp"),
+            col("pos").as("__gdpos"), col("__gdseq"))
+        val deleteRowCount = // saturating: absent record_count reads Long.MaxValue
+          if (snap.deleteFiles.exists(_.recordCount == Long.MaxValue)) Long.MaxValue
+          else snap.deleteFiles.map(_.recordCount).sum
+        val delSide = if (deleteRowCount <= BroadcastDeleteRowCap) broadcast(delRows) else delRows
+        data = data.join(delSide,
           col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos") &&
             col("__gdseq") >= col("__gseq"),
           "left_anti")
-        .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+      }
+
+      // Equality deletes, one anti-join per distinct equality-column set
+      // (files sharing a set read as one relation — a Flink CDC stream
+      // emits hundreds of delete files over the SAME key columns, so the
+      // common case is exactly one extra join regardless of file count).
+      snap.eqDeleteFiles.groupBy(_.columns).toSeq.sortBy(_._1.mkString(","))
+        .foreach { case (cols0, group) =>
+          val delPartSchema = StructType(Seq(StructField("__gdseq", LongType, nullable = false)))
+          val delFiles = group.map(d => LakeFile(d.path, d.size, 0L, Seq(d.seq)))
+          val delIndex = new LakeFileIndex(snap.tableDir, delFiles, delPartSchema)
+          // delete rows carry the equality columns under their schema names;
+          // read them with the table's types, everything nullable (a delete
+          // row may carry null to match null data values, null-safely)
+          val delSchema = StructType(cols0.map(c =>
+            StructField(c, snap.schema(snap.schema.fieldIndex(c)).dataType, nullable = true)))
+          val renamed = cols0.zipWithIndex.map { case (c, i) => (c, s"__ge_$i") }
+          val delRows = GraftLakeBridge.parquetRelation(spark, delIndex, delPartSchema, delSchema)
+            .select(renamed.map { case (c, a) => col(c).as(a) } :+ col("__gdseq"): _*)
+          val rowCount =
+            if (group.exists(_.recordCount == Long.MaxValue)) Long.MaxValue
+            else group.map(_.recordCount).sum
+          val delSide = if (rowCount <= BroadcastDeleteRowCap) broadcast(delRows) else delRows
+          val cond = renamed.map { case (c, a) => col(c) <=> col(a) }
+            .reduce(_ && _) && col("__gdseq") > col("__gseq")
+          data = data.join(delSide, cond, "left_anti")
+        }
+
+      data.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
     }
   }
 

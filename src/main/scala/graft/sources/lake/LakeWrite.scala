@@ -46,13 +46,15 @@ object LakeWrite {
     JsonMethods.compact(JObject("protocol" -> JObject(
       "minReaderVersion" -> JInt(minReader), "minWriterVersion" -> JInt(minWriter))))
 
-  def deltaMetaData(id: String, schema: StructType, partitionColumns: Seq[String]): String =
+  def deltaMetaData(id: String, schema: StructType, partitionColumns: Seq[String],
+      configuration: Map[String, String] = Map.empty): String =
     JsonMethods.compact(JObject("metaData" -> JObject(
       "id" -> JString(id),
       "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
       "schemaString" -> JString(schema.json),
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
-      "configuration" -> JObject(),
+      "configuration" -> JObject(configuration.toList.map { case (k, v) =>
+        k -> (JString(v): JValue) }),
       "createdTime" -> JInt(0))))
 
   def deltaAdd(relPath: String, size: Long, modificationTime: Long,
@@ -128,7 +130,8 @@ object LakeWrite {
       |  {"name":"file_format","type":"string","field-id":101},
       |  {"name":"partition","field-id":102,"type":__PART__},
       |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
       |]}}]}""".stripMargin.replaceAll("\n", "")
 
   def manifestEntrySchema(partitionTypeJson: String =
@@ -163,7 +166,8 @@ object LakeWrite {
     */
   final case class ManifestEntry(status: Int, filePath: String, recordCount: Long,
       fileSizeInBytes: Long, snapshotId: Long, partition: Map[String, Any] = Map.empty,
-      content: Int = 0, sequenceNumber: Option[Long] = None)
+      content: Int = 0, sequenceNumber: Option[Long] = None,
+      equalityIds: Seq[Int] = Nil)
 
   def icebergWriteManifest(file: java.io.File, entries: Seq[ManifestEntry],
       entrySchema: Schema = ManifestEntrySchema): Long = {
@@ -178,6 +182,13 @@ object LakeWrite {
       df.put("partition", part)
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.fileSizeInBytes)
+      if (e.equalityIds.nonEmpty) {
+        val eqField = entrySchema.getField("data_file").schema().getField("equality_ids")
+        val arrSchema = eqField.schema().getTypes.get(1) // non-null union branch
+        val arr = new GenericData.Array[Integer](e.equalityIds.size, arrSchema)
+        e.equalityIds.foreach(id => arr.add(Int.box(id)))
+        df.put("equality_ids", arr)
+      }
       val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", e.snapshotId)

@@ -1,0 +1,161 @@
+package graft.sources.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.lake.LakeWrite.{IcebergSnapshot, ManifestEntry, ManifestFile}
+
+import java.nio.file.Files
+
+/** IcebergLite v2 equality deletes (Flink-CDC-shaped): per-id-set null-safe
+  * anti-joins with the spec's STRICT sequence gating (an equality delete
+  * applies only to data files whose data sequence number is strictly less
+  * than the delete's — same-commit re-inserts of a deleted key survive),
+  * composition with position deletes, and the documented rejections.
+  *
+  * reference: the reference delegates all Iceberg IO to the runtime jar
+  * (v3.5/.../AbstractIcebergCatalogUnit.scala:28-67); this native path has
+  * no reference counterpart and follows the public spec directly.
+  */
+class IcebergEqSuite extends SparkTestBase {
+
+  private def tmpDir(prefix: String): java.io.File =
+    Files.createTempDirectory(prefix).toFile
+
+  /** Generic small-table builder: writes data files + delete files across
+    * three sequences and returns the table root.
+    *
+    *  - seq 1 / snap 5001: data file A (rows `a`)
+    *  - seq 2 / snap 5002: equality/position delete files `deletes` AND
+    *    data file B (rows `b`, empty Seq = no file) in the SAME sequence
+    *  - seq 3 / snap 5003: data file C (rows `c`, empty = no file)
+    *
+    * Each delete spec: (relPath, df of delete rows, equalityIds; ids empty
+    * = position delete).
+    */
+  private def build(dir: java.io.File, a: DataFrame, b: Option[DataFrame],
+      c: Option[DataFrame], deletes: Seq[(String, DataFrame, Seq[Int])]): Path = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir.toString)
+    new java.io.File(dir, "metadata").mkdirs()
+    def dataFile(rel: String, d: DataFrame, snap: Long): ManifestEntry = {
+      val size = LakeWrite.writeOneParquetFile(d.coalesce(1), new Path(root, rel))
+      ManifestEntry(1, rel, d.count(), size, snap)
+    }
+    val ae = dataFile("data/a.parquet", a, 5001L)
+    val be = b.map(dataFile("data/b.parquet", _, 5002L))
+    val ce = c.map(dataFile("data/c.parquet", _, 5003L))
+    val de = deletes.map { case (rel, d, ids) =>
+      val size = LakeWrite.writeOneParquetFile(d.coalesce(1), new Path(root, rel))
+      ManifestEntry(1, rel, d.count(), size, 5002L,
+        content = if (ids.isEmpty) 1 else 2, equalityIds = ids)
+    }
+    val m1len = LakeWrite.icebergWriteManifest(new java.io.File(dir, "metadata/m1.avro"), Seq(ae))
+    val m2len = be.map(e => LakeWrite.icebergWriteManifest(
+      new java.io.File(dir, "metadata/m2.avro"), Seq(e)))
+    val m3len = ce.map(e => LakeWrite.icebergWriteManifest(
+      new java.io.File(dir, "metadata/m3.avro"), Seq(e)))
+    val mdlen =
+      if (de.isEmpty) None
+      else Some(LakeWrite.icebergWriteManifest(new java.io.File(dir, "metadata/md.avro"), de))
+    val manifests =
+      Seq(ManifestFile("metadata/m1.avro", m1len, 0, 1L)) ++
+        m2len.map(l => ManifestFile("metadata/m2.avro", l, 0, 2L)) ++
+        m3len.map(l => ManifestFile("metadata/m3.avro", l, 0, 3L)) ++
+        mdlen.map(l => ManifestFile("metadata/md.avro", l, 1, 2L))
+    LakeWrite.icebergWriteManifestList(new java.io.File(dir, "metadata/ml1.avro"),
+      Seq("metadata/m1.avro" -> m1len), 5001L, 1L)
+    LakeWrite.icebergWriteManifestListEntries(new java.io.File(dir, "metadata/ml3.avro"),
+      manifests, 5003L)
+    LakeWrite.icebergWriteMetadata(conf, root, 2, a.schema,
+      Seq(IcebergSnapshot(5001L, 1700000000000L, "metadata/ml1.avro", 1L),
+        IcebergSnapshot(5003L, 1700000200000L, "metadata/ml3.avro", 3L)),
+      currentSnapshotId = 5003L)
+    root
+  }
+
+  test("equality deletes apply null-safely with strict sequence gating") {
+    import spark.implicits._
+    // schema ids per icebergSchemaJson: id=1, name=2
+    val a = (0 until 10).map(i => (i.toLong, if (i == 7) null else s"row-$i"))
+      .toDF("id", "name")
+    // delete ids {2,4} by key, and the NULL name (which must match row 7
+    // null-safely, never the non-null names)
+    val delId = Seq(2L, 4L).toDF("id")
+    val delName = Seq[String](null).toDF("name")
+    // same-seq re-insert of id 2: strict gating keeps it
+    val b = Seq((2L, "row-2-again")).toDF("id", "name")
+    // later re-insert of id 4: survives trivially
+    val c = Seq((4L, "row-4-later")).toDF("id", "name")
+    val root = build(tmpDir("ice-eq"), a, Some(b), Some(c), Seq(
+      ("data/e1.parquet", delId, Seq(1)),
+      ("data/e2.parquet", delName, Seq(2))))
+    val cur = IcebergLite.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "name"),
+      "internal columns must not leak")
+    val rows = cur.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      0L -> "row-0", 1L -> "row-1", 2L -> "row-2-again", 3L -> "row-3",
+      4L -> "row-4-later", 5L -> "row-5", 6L -> "row-6",
+      8L -> "row-8", 9L -> "row-9"))
+    // time travel to seq 1: nothing deleted
+    assert(IcebergLite.read(spark, root, version = Some("5001")).count() == 10)
+  }
+
+  test("multi-column equality ids match as a composite key") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10), (1L, "y", 20), (2L, "x", 30), (2L, "y", 40))
+      .toDF("k1", "k2", "v")
+    // delete exactly (1, "y") and (2, "x"); single-column overlap with the
+    // surviving rows proves the join is on the PAIR
+    val del = Seq((1L, "y"), (2L, "x")).toDF("k1", "k2")
+    val root = build(tmpDir("ice-eq-mc"), a, None, None,
+      Seq(("data/e.parquet", del, Seq(1, 2))))
+    val rows = IcebergLite.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._3).toSeq
+    assert(rows == Seq((1L, "x", 10), (2L, "y", 40)))
+  }
+
+  test("position and equality deletes compose in one snapshot") {
+    import spark.implicits._
+    val a = (0 until 8).map(i => (i.toLong, s"row-$i")).toDF("id", "name")
+      .coalesce(1).sortWithinPartitions("id")
+    val pos = Seq(("data/a.parquet", 0L)).toDF("file_path", "pos") // id 0 by position
+    val eq = Seq(5L).toDF("id") // id 5 by equality
+    val root = build(tmpDir("ice-eq-mix"), a, None, None, Seq(
+      ("data/dp.parquet", pos, Nil),
+      ("data/de.parquet", eq, Seq(1))))
+    val ids = IcebergLite.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 6L, 7L))
+  }
+
+  test("many delete files over the same id set plan as ONE extra join") {
+    import spark.implicits._
+    val a = (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "name")
+    val dels = (0 until 4).map { k =>
+      (s"data/e$k.parquet", Seq(k.toLong * 2).toDF("id"), Seq(1))
+    }
+    val root = build(tmpDir("ice-eq-many"), a, None, None, dels)
+    val df = IcebergLite.read(spark, root)
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 20L).filterNot(Set(0L, 2L, 4L, 6L)))
+    // one id set -> one anti-join regardless of delete-file count
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected one anti-join, got ${joins.size}")
+  }
+
+  test("unknown equality field id rejects with a clear error") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val del = Seq(1L).toDF("id")
+    val root = build(tmpDir("ice-eq-bad"), a, None, None,
+      Seq(("data/e.parquet", del, Seq(99))))
+    val e = intercept[UnsupportedOperationException] { IcebergLite.snapshot(spark, root) }
+    assert(e.getMessage.contains("field id 99"))
+  }
+}

@@ -169,7 +169,7 @@ class IcebergMorSuite extends SparkTestBase {
       currentSnapshotId = 3002L)
   }
 
-  test("equality deletes reject with a clear error") {
+  test("equality-delete files without equality_ids reject as spec-invalid") {
     val dir = tmpDir("ice-eqdel")
     buildMorFixture(dir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -182,8 +182,8 @@ class IcebergMorSuite extends SparkTestBase {
       StructType(Seq(StructField("id", LongType), StructField("name", StringType))),
       Seq(IcebergSnapshot(4001L, 1700000300000L, "metadata/ml4.avro", 4L)),
       currentSnapshotId = 4001L)
-    val e = intercept[UnsupportedOperationException] { IcebergLite.snapshot(spark, root) }
-    assert(e.getMessage.contains("equality delete"))
+    val e = intercept[IllegalStateException] { IcebergLite.snapshot(spark, root) }
+    assert(e.getMessage.contains("equality_ids"))
   }
 
   test("normPath column expression agrees with the driver-side function") {
