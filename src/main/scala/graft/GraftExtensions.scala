@@ -24,6 +24,10 @@ import graft.parser.GraftSparkParser
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSparkParser(delegate))
+    // Row-level DML (DELETE/UPDATE/MERGE) over the native lake tables:
+    // swap the resolved plan for a copy-on-write command before Spark's
+    // SupportsRowLevelOperations machinery would reject the table.
+    ext.injectResolutionRule(session => new graft.plans.LakeRowLevelRule(session))
     GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -28,7 +28,8 @@ object GraftParser {
       s.startsWith("RUN DQ") ||
       s.startsWith("REMOVE DQ") ||
       s.startsWith("SHOW DQ") ||
-      s.startsWith("SHOW NAMESPACES OR TABLES")
+      s.startsWith("SHOW NAMESPACES OR TABLES") ||
+      s.startsWith("OPTIMIZE LAKE ")
   }
 
   private def stripLeadingComments(sql: String): String = {
@@ -141,6 +142,7 @@ private[parser] final class StatementParser(original: String) {
     else if (peekKw("LIST")) parseListDq()
     else if (peekKw("RUN")) parseRunDq()
     else if (peekKw("SHOW")) parseShow()
+    else if (peekKw("OPTIMIZE")) parseOptimizeLake()
     else fail("unknown graft statement")
   }
 
@@ -253,6 +255,35 @@ private[parser] final class StatementParser(original: String) {
       expectKw("TABLE")
       RemoveDqCommand(name, qualified())
     }
+  }
+
+  /** OPTIMIZE LAKE TABLE fqn [SMALLER THAN bytes] [TARGET n FILES]
+    * [ZORDER BY (c1, c2, ...)] — bin-pack small files of a native lake
+    * table (all files when ZORDER rewrites the clustering).
+    */
+  private def parseOptimizeLake(): LogicalPlan = {
+    expectKw("OPTIMIZE"); expectKw("LAKE"); expectKw("TABLE")
+    val table = qualified()
+    var smallerThan: Option[Long] = None
+    var targetFiles: Option[Int] = None
+    var zorder: Seq[String] = Nil
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      if (acceptKw("SMALLER")) {
+        expectKw("THAN"); smallerThan = Some(intLit().toLong); progressed = true
+      } else if (acceptKw("TARGET")) {
+        targetFiles = Some(intLit()); expectKw("FILES"); progressed = true
+      } else if (acceptKw("ZORDER")) {
+        expectKw("BY"); expectSym('(')
+        val cols = Seq.newBuilder[String]
+        cols += ident()
+        while (acceptSym(',')) cols += ident()
+        expectSym(')')
+        zorder = cols.result(); progressed = true
+      }
+    }
+    graft.plans.OptimizeLakeTableCommand(table, smallerThan, targetFiles, zorder)
   }
 
   private def parseListDq(): LogicalPlan = {

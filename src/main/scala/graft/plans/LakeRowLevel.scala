@@ -1,0 +1,427 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSQLBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExprId}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+
+/** Row-level DML (DELETE / UPDATE / MERGE INTO) for the native lake tables
+  * — copy-on-write at FILE granularity, the same shape the real Delta and
+  * Iceberg runtimes use: find the files containing at least one matching
+  * row (one predicate-pushed scan — partition pruning and parquet
+  * row-group stats skip untouched files before any task launches), rewrite
+  * ONLY those files through Spark's distributed parquet writer, and commit
+  * remove+add atomically. Files without matches are never read or moved,
+  * so a selective DELETE over a 100 TB table costs IO proportional to the
+  * touched files, not the table.
+  *
+  * Spark-first wiring: Spark's own parser produces `DeleteFromTable` /
+  * `UpdateTable` / `MergeIntoTable`; an injected resolution rule
+  * ([[LakeRowLevelRule]]) swaps the resolved plan for a runnable command
+  * before Spark's row-level rewrite machinery (which requires the full
+  * `SupportsRowLevelOperations` stack) would reject the table. The
+  * reference has no row-level surface at all — it delegates DML to the
+  * runtime jars (v3.5/.../IcebergCatalogUnit.scala:30-42,
+  * AbstractDeltaCatalogUnit.scala:29-80); this is native.
+  */
+object LakeRowLevel {
+
+  /** Internal columns [[RowLevelHandle.scanWithRowIds]] must provide. */
+  val FileIdCol = "__gfid"
+  val RowIxCol = "__grix"
+
+  /** Dataset aliases used to re-qualify captured expressions. */
+  val TargetQual = "__graft_t"
+  val SourceQual = "__graft_s"
+
+  /** What a lake format contributes: an identity-carrying scan and an
+    * atomic file-level rewrite commit. Everything else (matching, rewrite
+    * dataflow, merge semantics) is format-agnostic.
+    */
+  trait RowLevelHandle {
+    /** The table in declared column order PLUS [[FileIdCol]] (string file
+      * identity, stable across this handle's lifetime) and [[RowIxCol]]
+      * (row ordinal within the file) — with merge-on-read deletes already
+      * applied, so a rewritten file carries no resurrected rows.
+      */
+    def scanWithRowIds(spark: SparkSession): DataFrame
+    /** One atomic commit: the files named by `removedFileIds` (values of
+      * [[FileIdCol]]) leave the table, `replacement` rows (logical table
+      * columns) enter it.
+      */
+    def commitRewrite(spark: SparkSession, removedFileIds: Seq[String],
+        replacement: DataFrame): Unit
+    /** (file id, size in bytes, partition-group key) of every live data
+      * file — OPTIMIZE's bin-packing input, driver-held exactly like the
+      * formats' own file lists. Files sharing a group key can be packed
+      * into one output file; compaction only pays off inside a group with
+      * two or more small files, which is what makes repeated OPTIMIZE
+      * idempotent.
+      */
+    def listFiles(spark: SparkSession): Seq[(String, Long, String)]
+    /** Identity-partition columns (layout hint for compaction). */
+    def partitionColumns: Seq[String]
+    /** Table description for error messages. */
+    def describe: String
+  }
+
+  /** Wrapper keeping captured expressions out of TreeNode's expression
+    * traversal (a LeafRunnableCommand's product members of Expression type
+    * would otherwise be visited by CheckAnalysis while intentionally
+    * unresolved — they re-resolve by name against the rewrite DataFrames).
+    */
+  final case class ExprBox(e: Expression) {
+    def column: Column = GraftSQLBridge.column(e)
+  }
+
+  /** Re-qualify a resolved expression so it resolves again inside the
+    * command's DataFrames: target attributes become `__graft_t.name`,
+    * source attributes `__graft_s.name`.
+    */
+  private[plans] def requalify(e: Expression, targetIds: Set[ExprId],
+      sourceIds: Set[ExprId]): ExprBox = ExprBox(e.transform {
+    case a: AttributeReference if targetIds.contains(a.exprId) =>
+      UnresolvedAttribute(Seq(TargetQual, a.name))
+    case a: AttributeReference if sourceIds.contains(a.exprId) =>
+      UnresolvedAttribute(Seq(SourceQual, a.name))
+  })
+
+  private[plans] def ids(output: Seq[Attribute]): Set[ExprId] = output.map(_.exprId).toSet
+
+  /** The target relation behind optional aliases, if it is a lake table
+    * exposing a row-level handle.
+    */
+  @annotation.tailrec
+  private[plans] def lakeTarget(p: LogicalPlan): Option[(DataSourceV2Relation, RowLevelHandle)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case h: HasRowLevelHandle => h.rowLevelHandle.map(r -> _)
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => lakeTarget(child)
+      case _ => None
+    }
+
+  /** Assignment keys must be top-level target columns; returns col name. */
+  private[plans] def assignmentKey(a: Assignment): String = a.key match {
+    case ar: AttributeReference => ar.name
+    case other => throw new UnsupportedOperationException(
+      s"only top-level column assignments are supported (got ${other.sql})")
+  }
+
+  /** A matched/not-matched action compiled to boxed form. */
+  sealed trait BoxedAction { def cond: Option[ExprBox] }
+  final case class BoxedUpdate(cond: Option[ExprBox],
+      sets: Seq[(String, ExprBox)]) extends BoxedAction
+  final case class BoxedDelete(cond: Option[ExprBox]) extends BoxedAction
+  final case class BoxedInsert(cond: Option[ExprBox],
+      sets: Seq[(String, ExprBox)]) extends BoxedAction
+}
+
+import LakeRowLevel._
+
+/** Mixed into the lake tables that can rewrite themselves. */
+trait HasRowLevelHandle {
+  def rowLevelHandle: Option[RowLevelHandle]
+}
+
+/** Resolution rule: swap resolved row-level plans over handle-bearing lake
+  * tables for runnable copy-on-write commands. Runs inside the analyzer's
+  * resolution fixed-point, so it fires as soon as the statement is fully
+  * resolved — before Spark's own row-level rewrites would reject the table
+  * for not implementing SupportsRowLevelOperations.
+  */
+class LakeRowLevelRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case d @ DeleteFromTable(target, cond) if d.resolved =>
+      lakeTarget(target) match {
+        case Some((rel, handle)) =>
+          LakeDeleteCommand(handle, requalifyT(cond, rel))
+        case None => d
+      }
+    case u @ UpdateTable(target, assignments, cond) if u.resolved =>
+      lakeTarget(target) match {
+        case Some((rel, handle)) =>
+          val sets = assignments.map(a => assignmentKey(a) -> requalifyT(a.value, rel))
+          LakeUpdateCommand(handle, sets,
+            cond.map(requalifyT(_, rel)).getOrElse(ExprBox(
+              org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)))
+        case None => u
+      }
+    case m: MergeIntoTable if m.resolved =>
+      lakeTarget(m.targetTable) match {
+        case Some((rel, handle)) =>
+          require(m.notMatchedBySourceActions.isEmpty,
+            "WHEN NOT MATCHED BY SOURCE is not supported on native lake tables")
+          val tIds = ids(rel.output)
+          val sIds = ids(m.sourceTable.output)
+          def rq(e: Expression): ExprBox = requalify(e, tIds, sIds)
+          val matched = m.matchedActions.map {
+            case ua: UpdateAction =>
+              BoxedUpdate(ua.condition.map(rq),
+                ua.assignments.map(a => assignmentKey(a) -> rq(a.value)))
+            case da: DeleteAction => BoxedDelete(da.condition.map(rq))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN MATCHED action: $other")
+          }
+          val notMatched = m.notMatchedActions.map {
+            case ia: InsertAction =>
+              BoxedInsert(ia.condition.map(rq),
+                ia.assignments.map(a => assignmentKey(a) -> rq(a.value)))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN NOT MATCHED action: $other")
+          }
+          LakeMergeCommand(handle, m.sourceTable, rq(m.mergeCondition),
+            matched, notMatched)
+        case None => m
+      }
+  }
+
+  private def requalifyT(e: Expression, rel: DataSourceV2Relation): ExprBox =
+    requalify(e, ids(rel.output), Set.empty)
+}
+
+/** Shared copy-on-write mechanics. */
+sealed trait LakeRowLevelCommand extends LeafRunnableCommand {
+  def handle: RowLevelHandle
+
+  /** Distinct file ids containing at least one row matching `cond` —
+    * driver-bounded by the table's FILE count (the same state the formats'
+    * own drivers hold), found by one predicate-pushed scan.
+    */
+  protected def matchedFiles(df: DataFrame, cond: Column): Seq[String] =
+    df.where(cond).select(FileIdCol).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  protected def internalCols: Seq[String] = Seq(FileIdCol, RowIxCol)
+
+  /** Logical table columns of an id-carrying scan. */
+  protected def tableCols(df: DataFrame): Seq[String] =
+    df.columns.filterNot(internalCols.contains).toSeq
+}
+
+/** DELETE FROM <lake table> WHERE cond. */
+case class LakeDeleteCommand(handle: RowLevelHandle, cond: ExprBox)
+    extends LakeRowLevelCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = handle.scanWithRowIds(spark).as(TargetQual)
+    val c = cond.column
+    val files = matchedFiles(df, c)
+    if (files.nonEmpty) {
+      val cols = tableCols(df)
+      // rows of touched files that do NOT match survive (a null predicate
+      // is not a match, so its rows are kept)
+      val kept = df.where(col(FileIdCol).isin(files: _*))
+        .where(!coalesce(c, lit(false)))
+        .select(cols.map(n => col(s"`$n`")): _*)
+      handle.commitRewrite(spark, files, kept)
+    }
+    Seq(Row(files.size.toLong))
+  }
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rewritten_files", org.apache.spark.sql.types.LongType)())
+}
+
+/** UPDATE <lake table> SET ... [WHERE cond]. */
+case class LakeUpdateCommand(handle: RowLevelHandle,
+    sets: Seq[(String, ExprBox)], cond: ExprBox)
+    extends LakeRowLevelCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = handle.scanWithRowIds(spark).as(TargetQual)
+    val c = cond.column
+    val files = matchedFiles(df, c)
+    if (files.nonEmpty) {
+      val assigned = sets.toMap
+      val cols = tableCols(df)
+      val hit = coalesce(c, lit(false))
+      val out = cols.map { n =>
+        assigned.get(n) match {
+          case Some(v) => when(hit, v.column).otherwise(col(s"`$n`")).as(n)
+          case None => col(s"`$n`")
+        }
+      }
+      val rewritten = df.where(col(FileIdCol).isin(files: _*)).select(out: _*)
+      handle.commitRewrite(spark, files, rewritten)
+    }
+    Seq(Row(files.size.toLong))
+  }
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rewritten_files", org.apache.spark.sql.types.LongType)())
+}
+
+/** MERGE INTO <lake table> t USING src s ON cond
+  * WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE   (any number, first
+  * matching clause wins — SQL standard order)
+  * WHEN NOT MATCHED [AND c] THEN INSERT ...
+  *
+  * Copy-on-write shape: touched target files = files with >= 1 join match
+  * (one semi-join); only their rows join again for the rewrite, everything
+  * else never moves. Inserts ride in the same commit. A target row
+  * matching more than one source row errors (the standard's cardinality
+  * rule, same behavior as the Delta runtime).
+  */
+case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
+    cond: ExprBox, matched: Seq[BoxedAction], notMatched: Seq[BoxedInsert])
+    extends LakeRowLevelCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tgt = handle.scanWithRowIds(spark).as(TargetQual)
+    val srcBase = GraftSQLBridge.ofRows(spark, source)
+    val c = cond.column
+    val cols = tableCols(tgt)
+
+    val files = matchedFiles(tgt.join(srcBase.as(SourceQual), c, "left_semi"), lit(true))
+
+    def clauseIx(actions: Seq[BoxedAction]): Column =
+      // first matching clause wins: index 1..n, 0 = no clause applies
+      actions.zipWithIndex.foldRight(lit(0): Column) {
+        case ((a, i), rest) =>
+          val ac = a.cond.map(b => coalesce(b.column, lit(false))).getOrElse(lit(true))
+          when(ac, lit(i + 1)).otherwise(rest)
+      }
+
+    // replacement rows for the touched files
+    val rewritten: Option[DataFrame] = if (files.isEmpty) None else {
+      val aff = tgt.where(col(FileIdCol).isin(files: _*))
+      // matchedness is tracked by a constant source-side marker (a join key
+      // could legitimately be null-valued on the source side, so no source
+      // column can stand in for "this row had a partner"); alias applied
+      // AFTER withColumn so the captured expressions' __graft_s qualifier
+      // still resolves
+      val marked = aff.join(
+        srcBase.withColumn("__gsrc", lit(1)).as(SourceQual), c, "left_outer")
+      // cardinality rule: no target row may match two source rows
+      val dup = marked.where(col("__gsrc").isNotNull)
+        .groupBy(col(FileIdCol), col(RowIxCol)).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        s"MERGE cardinality violation on ${handle.describe}: a target row " +
+          "matches more than one source row")
+      val action = when(col("__gsrc").isNotNull, clauseIx(matched)).otherwise(lit(0))
+      val deleteIxs = matched.zipWithIndex.collect {
+        case (_: BoxedDelete, i) => i + 1
+      }
+      val outCols = cols.map { n =>
+        val old = col(s"$TargetQual.`$n`")
+        val updated = matched.zipWithIndex.foldRight(old) {
+          case ((BoxedUpdate(_, sets), i), rest) =>
+            sets.toMap.get(n) match {
+              case Some(v) => when(col("__action") === (i + 1), v.column).otherwise(rest)
+              case None => rest
+            }
+          case (_, rest) => rest
+        }
+        updated.as(n)
+      }
+      val withAction = marked.withColumn("__action", action)
+      Some((if (deleteIxs.isEmpty) withAction
+            else withAction.where(!col("__action").isin(deleteIxs: _*)))
+        .select(outCols: _*))
+    }
+
+    // WHEN NOT MATCHED inserts: source rows with no target partner at all
+    // (any source row matching a target row lives in a touched file by
+    // definition, so anti-joining the full target is equivalent and exact)
+    val inserts: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val unmatched = srcBase.as(SourceQual).join(tgt, c, "left_anti")
+        val outCols = cols.map { n =>
+          val dt = tgt.schema(n).dataType
+          val v = notMatched.zipWithIndex.foldRight(lit(null).cast(dt): Column) {
+            case ((BoxedInsert(_, sets), i), rest) =>
+              sets.toMap.get(n) match {
+                case Some(e) => when(col("__ins") === (i + 1), e.column).otherwise(rest)
+                case None => rest
+              }
+          }
+          v.as(n)
+        }
+        Some(unmatched.withColumn("__ins", clauseIx(notMatched))
+          .where(col("__ins") > 0).select(outCols: _*))
+      }
+
+    (rewritten, inserts) match {
+      case (None, None) => // nothing matched and no insert clauses: no-op
+      case (r, i) =>
+        val replacement = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
+        handle.commitRewrite(spark, files, replacement)
+    }
+    Seq(Row(files.size.toLong))
+  }
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rewritten_files", org.apache.spark.sql.types.LongType)())
+}
+
+/** OPTIMIZE LAKE TABLE fqn [SMALLER THAN bytes] [TARGET n FILES]
+  * [ZORDER BY (c1, ...)] — file compaction for the native lake tables,
+  * built on the same copy-on-write commit as the DML commands: pick the
+  * files below the size threshold (ALL files when re-clustering with
+  * ZORDER), rewrite their rows bin-packed — per identity partition when
+  * the table has one, range-partitioned along the z-curve when ZORDER is
+  * given ([[graft.operators.Layout.zorderN]]) — and commit remove+add
+  * atomically. Untouched (already-large) files never move; history stays
+  * readable through time travel. The real runtimes' OPTIMIZE has exactly
+  * this shape; the reference delegates it to the jars.
+  */
+case class OptimizeLakeTableCommand(table: Seq[String], smallerThan: Option[Long],
+    targetFiles: Option[Int], zorder: Seq[String]) extends LeafRunnableCommand {
+
+  private val DefaultTargetBytes = 128L << 20
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tbl = GraftSQLBridge.loadV2Table(spark, table)
+    val handle = tbl match {
+      case h: HasRowLevelHandle => h.rowLevelHandle.getOrElse(
+        throw new UnsupportedOperationException(
+          s"${table.mkString(".")} does not support OPTIMIZE"))
+      case _ => throw new UnsupportedOperationException(
+        s"${table.mkString(".")} is not a native lake table")
+    }
+    val files = handle.listFiles(spark)
+    val threshold = smallerThan.getOrElse(DefaultTargetBytes)
+    val pick =
+      if (zorder.nonEmpty) files // re-clustering rewrites everything selected
+      else files.filter(_._2 < threshold)
+        // only groups holding >= 2 small files benefit — this is what makes
+        // a second OPTIMIZE a no-op instead of churning single-file groups
+        .groupBy(_._3).valuesIterator.filter(_.size >= 2).flatten.toSeq
+    if (pick.isEmpty || (zorder.isEmpty && pick.size < 2))
+      return Seq(Row(0L, 0L))
+
+    val scan = handle.scanWithRowIds(spark)
+    val rows = scan.where(col(FileIdCol).isin(pick.map(_._1): _*))
+      .drop(FileIdCol, RowIxCol)
+    val target = targetFiles.getOrElse(
+      math.max(1, math.ceil(pick.map(_._2).sum.toDouble / DefaultTargetBytes).toInt))
+    val parts = handle.partitionColumns
+    val arranged =
+      if (zorder.nonEmpty) {
+        // z-curve domains from the data itself: one min/max agg per column
+        val aggs = zorder.flatMap(c => Seq(
+          min(col(s"`$c`").cast("double")), max(col(s"`$c`").cast("double"))))
+        val b = rows.agg(aggs.head, aggs.tail: _*).head()
+        val bounds = zorder.zipWithIndex.map { case (c, i) =>
+          (c, b.getDouble(2 * i), b.getDouble(2 * i + 1))
+        }
+        val bits = math.min(16, 62 / zorder.size)
+        graft.operators.Layout.zorderN(rows, bounds, bits, target)
+      } else if (parts.nonEmpty)
+        // all rows of one partition value land in one task, so the hive
+        // writer emits ONE file per value
+        rows.repartition(parts.map(c => col(s"`$c`")): _*)
+      else rows.repartition(target)
+    handle.commitRewrite(spark, pick.map(_._1), arranged)
+    Seq(Row(pick.size.toLong, pick.map(_._2).sum))
+  }
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("compacted_files", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("compacted_bytes", org.apache.spark.sql.types.LongType)())
+}

@@ -1087,6 +1087,151 @@ object CatalogQueries {
           CAST(n_regionkey AS INT) AS n_regionkey
         FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey""")),
 
+    // ---- NATIVE ROW-LEVEL DML on a Delta table (no delta-spark jar):
+    // CREATE + INSERT, then DELETE (partition + row predicate), UPDATE
+    // (string mutation on a key range), and a MERGE that updates matched
+    // keys and inserts a brand-new one — all copy-on-write at file
+    // granularity through the injected resolution rule. The oracle replays
+    // the same three statements relationally. ----
+    QuerySpec("src_delta_dml",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_dml")
+        val done = new java.io.File(lakeDir, "nation_dml.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE ddml OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir) // crashed half-build
+          s.sql("CREATE TABLE graft.datasource.lakew.ddml.nation_dml " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT) PARTITIONED BY (n_regionkey)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_dml_src")
+          s.sql("INSERT INTO graft.datasource.lakew.ddml.nation_dml " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_dml_src")
+          s.sql("DELETE FROM graft.datasource.lakew.ddml.nation_dml " +
+            "WHERE n_regionkey = 3 AND n_nationkey % 2 = 1")
+          s.sql("UPDATE graft.datasource.lakew.ddml.nation_dml " +
+            "SET n_name = concat(n_name, '*') WHERE n_nationkey < 5")
+          s.sql("SELECT CAST(n_nationkey AS INT) AS k, concat('M-', n_nationkey) AS nm " +
+            "FROM __nation_dml_src WHERE n_nationkey < 3 " +
+            "UNION ALL SELECT 990, 'M-990'").createOrReplaceTempView("__nation_dml_merge")
+          s.sql(
+            """MERGE INTO graft.datasource.lakew.ddml.nation_dml t
+              |USING __nation_dml_merge s ON t.n_nationkey = s.k
+              |WHEN MATCHED THEN UPDATE SET n_name = s.nm
+              |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+              |  VALUES (s.k, s.nm, 0)""".stripMargin)
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.ddml.nation_dml ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""WITH base AS (SELECT CAST(n_nationkey AS INT) AS k, n_name,
+            CAST(n_regionkey AS INT) AS r FROM nation),
+          d AS (SELECT * FROM base WHERE NOT (r = 3 AND k % 2 = 1)),
+          u AS (SELECT k, CASE WHEN k < 5 THEN n_name || '*' ELSE n_name END AS nm, r FROM d),
+          src AS (SELECT k, 'M-' || CAST(k AS VARCHAR) AS nm FROM base WHERE k < 3
+            UNION ALL SELECT 990, 'M-990'),
+          merged AS (
+            SELECT u.k, COALESCE(s.nm, u.nm) AS nm, u.r FROM u LEFT JOIN src s ON u.k = s.k
+            UNION ALL
+            SELECT s.k, s.nm, 0 FROM src s WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.k = s.k))
+        SELECT k AS n_nationkey, nm AS n_name, r AS n_regionkey
+        FROM merged ORDER BY n_nationkey""")),
+
+    // ---- NATIVE ROW-LEVEL DML on an Iceberg table (no iceberg jar): same
+    // statement sequence; survivors keep their original data sequence
+    // numbers, so the rewrite is a real merge-on-read-compatible commit. ----
+    QuerySpec("src_iceberg_dml",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_idml")
+        val done = new java.io.File(lakeDir, "nation_idml.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE idml OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.idml.nation_idml " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT) PARTITIONED BY (n_regionkey)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_idml_src")
+          s.sql("INSERT INTO graft.datasource.lakew.idml.nation_idml " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_idml_src")
+          s.sql("DELETE FROM graft.datasource.lakew.idml.nation_idml " +
+            "WHERE n_regionkey = 3 AND n_nationkey % 2 = 1")
+          s.sql("UPDATE graft.datasource.lakew.idml.nation_idml " +
+            "SET n_name = concat(n_name, '*') WHERE n_nationkey < 5")
+          s.sql("SELECT CAST(n_nationkey AS INT) AS k, concat('M-', n_nationkey) AS nm " +
+            "FROM __nation_idml_src WHERE n_nationkey < 3 " +
+            "UNION ALL SELECT 990, 'M-990'").createOrReplaceTempView("__nation_idml_merge")
+          s.sql(
+            """MERGE INTO graft.datasource.lakew.idml.nation_idml t
+              |USING __nation_idml_merge s ON t.n_nationkey = s.k
+              |WHEN MATCHED THEN UPDATE SET n_name = s.nm
+              |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+              |  VALUES (s.k, s.nm, 0)""".stripMargin)
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.idml.nation_idml ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""WITH base AS (SELECT CAST(n_nationkey AS INT) AS k, n_name,
+            CAST(n_regionkey AS INT) AS r FROM nation),
+          d AS (SELECT * FROM base WHERE NOT (r = 3 AND k % 2 = 1)),
+          u AS (SELECT k, CASE WHEN k < 5 THEN n_name || '*' ELSE n_name END AS nm, r FROM d),
+          src AS (SELECT k, 'M-' || CAST(k AS VARCHAR) AS nm FROM base WHERE k < 3
+            UNION ALL SELECT 990, 'M-990'),
+          merged AS (
+            SELECT u.k, COALESCE(s.nm, u.nm) AS nm, u.r FROM u LEFT JOIN src s ON u.k = s.k
+            UNION ALL
+            SELECT s.k, s.nm, 0 FROM src s WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.k = s.k))
+        SELECT k AS n_nationkey, nm AS n_name, r AS n_regionkey
+        FROM merged ORDER BY n_nationkey""")),
+
+    // ---- OPTIMIZE LAKE TABLE: three small INSERT commits produce many
+    // small files; OPTIMIZE compacts each partition's files into one
+    // through the copy-on-write commit. The readback is only right if the
+    // rewrite preserved every row while replacing the file layout — the
+    // file-count drop itself is asserted in LakeOptimizeSuite. ----
+    QuerySpec("src_lake_optimize",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_opt")
+        val done = new java.io.File(lakeDir, "nation_opt.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dopt OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.dopt.nation_opt " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT) PARTITIONED BY (n_regionkey)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_opt_src")
+          Seq("n_nationkey % 3 = 0", "n_nationkey % 3 = 1", "n_nationkey % 3 = 2")
+            .foreach { cond =>
+              s.sql("INSERT INTO graft.datasource.lakew.dopt.nation_opt " +
+                "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+                s"FROM __nation_opt_src WHERE $cond")
+            }
+          val res = Graft.sql(s, "OPTIMIZE LAKE TABLE graft.datasource.lakew.dopt.nation_opt")
+            .collect()
+          require(res.head.getLong(0) > 0, "OPTIMIZE should compact the insert files")
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.dopt.nation_opt ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
     // ---- FOUR-SOURCE FEDERATED JOIN — the reference's raison d'être
     // (cross-source federation) in a single SQL statement: embedded-Derby
     // JDBC customers × USL-activated orders × DeltaLite log-replayed nation

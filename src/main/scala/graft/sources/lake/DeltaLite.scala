@@ -476,40 +476,70 @@ object DeltaLite {
           new LakeFileIndex(snap.tableDir, plain.map(_._1), snap.physPartitionSchema),
           snap.physPartitionSchema, snap.physDataSchema), snap, Nil))
 
-      val dvPartSchema = StructType(snap.physPartitionSchema.fields :+
-        StructField("__gfid", StringType, nullable = false))
-      val dvFiles = withDv.map { case (f, id) => f.copy(partitionValues = f.partitionValues :+ id) }
-      val data = restoreLogical(GraftLakeBridge.parquetRelation(spark,
-          new LakeFileIndex(snap.tableDir, dvFiles, dvPartSchema), dvPartSchema, snap.physDataSchema)
-        .withColumn("__grix", col("_metadata.row_index")),
-        snap, Seq("__gfid", "__grix"))
-
-      // (fid, dvFilePath ["" = inline], inlineBitmap, offset, sizeInBytes)
-      val descs: Seq[(String, String, Array[Byte], Long, Int)] = withDv.map { case (_, id) =>
-        val d = snap.dvs(id)
-        RoaringDv.resolvePath(snap.tableDir, d.storageType, d.pathOrInlineDv) match {
-          case Some(p) => (id, p.toString, Array.empty[Byte], d.offset, d.sizeInBytes)
-          case None => (id, "", RoaringDv.base85Decode(d.pathOrInlineDv), 0L, d.sizeInBytes)
-        }
-      }
-      val sconf = GraftLakeBridge.serializableConf(spark)
-      import spark.implicits._
-      val delRows = spark.createDataset(descs)
-        .flatMap { case (fid, path, inline, offset, size) =>
-          val bitmap =
-            if (path.isEmpty) inline.take(size)
-            else RoaringDv.readDvData(sconf.value, new Path(path), offset, size)
-          RoaringDv.decodeBitmapArray(bitmap).iterator.map(pos => (fid, pos))
-        }
-        .toDF("__gdfp", "__gdpos")
-      val totalDeleted = snap.dvs.valuesIterator.map(_.cardinality).sum
-      val delSide = if (totalDeleted <= BroadcastDeleteRowCap) broadcast(delRows) else delRows
-
+      val data = scanWithIds(spark, snap, withDv)
+      val delSide = dvDeleteRows(spark, snap)
       val kept = data.join(delSide,
           col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos"), "left_anti")
         .select(order: _*)
       plainDf.map(_.unionByName(kept)).getOrElse(kept)
     }
+  }
+
+  /** The listed files under logical names plus `__gfid` (the raw add-action
+    * path, served as a synthetic partition column) and `__grix`
+    * (`_metadata.row_index`).
+    */
+  private def scanWithIds(spark: SparkSession, snap: Snapshot,
+      files: Seq[(LakeFile, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dvPartSchema = StructType(snap.physPartitionSchema.fields :+
+      StructField("__gfid", StringType, nullable = false))
+    val idFiles = files.map { case (f, id) => f.copy(partitionValues = f.partitionValues :+ id) }
+    restoreLogical(GraftLakeBridge.parquetRelation(spark,
+        new LakeFileIndex(snap.tableDir, idFiles, dvPartSchema), dvPartSchema, snap.physDataSchema)
+      .withColumn("__grix", col("_metadata.row_index")),
+      snap, Seq("__gfid", "__grix"))
+  }
+
+  /** The snapshot's logically-deleted (fid, position) pairs, decoded
+    * EXECUTOR-side (one task per vector, CRC-checked) so the driver never
+    * materializes positions; broadcast when the descriptors bound the count
+    * small.
+    */
+  private def dvDeleteRows(spark: SparkSession, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // (fid, dvFilePath ["" = inline], inlineBitmap, offset, sizeInBytes)
+    val descs: Seq[(String, String, Array[Byte], Long, Int)] =
+      snap.dvs.toSeq.sortBy(_._1).map { case (id, d) =>
+        RoaringDv.resolvePath(snap.tableDir, d.storageType, d.pathOrInlineDv) match {
+          case Some(p) => (id, p.toString, Array.empty[Byte], d.offset, d.sizeInBytes)
+          case None => (id, "", RoaringDv.base85Decode(d.pathOrInlineDv), 0L, d.sizeInBytes)
+        }
+      }
+    val sconf = GraftLakeBridge.serializableConf(spark)
+    import spark.implicits._
+    val delRows = spark.createDataset(descs)
+      .flatMap { case (fid, path, inline, offset, size) =>
+        val bitmap =
+          if (path.isEmpty) inline.take(size)
+          else RoaringDv.readDvData(sconf.value, new Path(path), offset, size)
+        RoaringDv.decodeBitmapArray(bitmap).iterator.map(pos => (fid, pos))
+      }
+      .toDF("__gdfp", "__gdpos")
+    val totalDeleted = snap.dvs.valuesIterator.map(_.cardinality).sum
+    if (totalDeleted <= BroadcastDeleteRowCap) broadcast(delRows) else delRows
+  }
+
+  /** Row-level-rewrite scan: EVERY live file with `__gfid`/`__grix`
+    * identity columns, deletion vectors already applied (a rewritten file
+    * must not resurrect logically-deleted rows).
+    */
+  def toDataFrameWithRowIds(spark: SparkSession, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val data = scanWithIds(spark, snap, snap.files.zip(snap.fileIds))
+    if (snap.dvs.isEmpty) data
+    else data.join(dvDeleteRows(spark, snap),
+      col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos"), "left_anti")
   }
 
   def read(spark: SparkSession, dir: Path, version: Option[Long] = None,

@@ -53,9 +53,8 @@ object IcebergLite {
       /** live position-delete files of this snapshot (empty = plain scan) */
       deleteFiles: Seq[DeleteFile] = Nil,
       /** per data file, aligned with `files`: (normalized manifest
-        * file_path — the delete files' join key — and the file's data
-        * sequence number). Populated only when `deleteFiles` or
-        * `eqDeleteFiles` is non-empty.
+        * file_path — the delete files' join key and the row-level-rewrite
+        * file identity — and the file's data sequence number)
         */
       dataFileMeta: Seq[(String, Long)] = Nil,
       /** live equality-delete files of this snapshot */
@@ -312,8 +311,7 @@ object IcebergLite {
       else filesWithVals.map(_._1._1)
     Snapshot(snapId, schema, if (pruning) identityCols else Nil, files, dir,
       deleteFiles = deleteFiles,
-      dataFileMeta = if (deleteFiles.isEmpty && eqDeleteFiles.isEmpty) Nil
-        else filesWithVals.map(_._2),
+      dataFileMeta = filesWithVals.map(_._2),
       eqDeleteFiles = eqDeleteFiles)
   }
 
@@ -551,7 +549,31 @@ object IcebergLite {
       val df = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
       if (snap.partitionColumns.isEmpty) df
       else df.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
-    } else {
+    } else morScan(spark, snap, withRix = snap.deleteFiles.nonEmpty)
+      .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** Row-level-rewrite scan: every live row with `__gfid` (the normalized
+    * manifest file_path) and `__grix` (`_metadata.row_index`) identity
+    * columns, position AND equality deletes already applied.
+    */
+  def toDataFrameWithRowIds(spark: SparkSession, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    morScan(spark, snap, withRix = true)
+      .select((snap.schema.fieldNames.toIndexedSeq ++ Seq("__gfid", "__grix")).map(col): _*)
+  }
+
+  /** The delete-aware scan: `__gfid`/`__gseq` ride as synthetic partition
+    * columns from manifest metadata, `__grix` from parquet's row index when
+    * needed, and each delete family applies as one distributed LEFT ANTI
+    * join. Output carries the internal columns; callers project.
+    */
+  private def morScan(spark: SparkSession, snap: Snapshot, withRix: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val identityFields = snap.partitionColumns.map(c => snap.schema(snap.schema.fieldIndex(c)))
+    val dataSchema = StructType(snap.schema.filterNot(f =>
+      snap.partitionColumns.contains(f.name)))
+    locally {
       // Merge-on-read. Position deletes drop each data row whose (file,
       // ordinal) appears in a live position-delete file with sequence
       // number >= the data file's; equality deletes drop each data row
@@ -581,7 +603,8 @@ object IcebergLite {
       }
       val index = new LakeFileIndex(snap.tableDir, files, partSchema)
       val data0 = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
-      var data = if (hasPos) data0.withColumn("__grix", col("_metadata.row_index")) else data0
+      var data = if (hasPos || withRix) data0.withColumn("__grix", col("_metadata.row_index"))
+        else data0
 
       if (hasPos) {
         val delPartSchema = StructType(Seq(StructField("__gdseq", LongType, nullable = false)))
@@ -629,7 +652,7 @@ object IcebergLite {
           data = data.join(delSide, cond, "left_anti")
         }
 
-      data.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+      data
     }
   }
 

@@ -10,6 +10,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.catalog.CatalogUnit
 import graft.model.DataSourceSpec
+import graft.plans.{HasRowLevelHandle, LakeRowLevel}
 import graft.sources.DataFrameV1Table
 
 import java.util.{Set => JSet}
@@ -17,12 +18,16 @@ import scala.jdk.CollectionConverters._
 
 /** A lake-lite table that also accepts `INSERT [OVERWRITE]` through the
   * native writers ([[LakeNativeWrite]]) — V1 write bridge, same pattern as
-  * the unstructured content sink.
+  * the unstructured content sink — and, when a row-level handle is
+  * provided, DELETE / UPDATE / MERGE INTO through the copy-on-write
+  * commands ([[graft.plans.LakeRowLevelRule]]).
   */
 private[lake] class WritableLakeTable(name: String, schema: StructType,
     program: SparkSession => DataFrame,
-    insertFn: (DataFrame, Boolean) => Unit)
-  extends DataFrameV1Table(name, schema, program) with SupportsWrite {
+    insertFn: (DataFrame, Boolean) => Unit,
+    override val rowLevelHandle: Option[LakeRowLevel.RowLevelHandle] = None)
+  extends DataFrameV1Table(name, schema, program) with SupportsWrite
+  with HasRowLevelHandle {
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -74,9 +79,23 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       schemaOverride: Option[StructType]): Table = {
     val dir = dirFor(spark, rest, name)
     val snap = DeltaLite.snapshot(spark, dir)
+    val handle = new LakeRowLevel.RowLevelHandle {
+      override def scanWithRowIds(s: SparkSession): DataFrame =
+        DeltaLite.toDataFrameWithRowIds(s, snap)
+      override def commitRewrite(s: SparkSession, removed: Seq[String],
+          replacement: DataFrame): Unit =
+        LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement)
+      override def listFiles(s: SparkSession): Seq[(String, Long, String)] =
+        snap.fileIds.zip(snap.files).map { case (id, f) =>
+          (id, f.size, f.partitionValues.mkString("/"))
+        }
+      override def partitionColumns: Seq[String] = snap.partitionColumns
+      override def describe: String = s"delta table $dir"
+    }
     new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),
       s => DeltaLite.toDataFrame(s, snap),
-      (data, overwrite) => LakeNativeWrite.deltaInsert(data.sparkSession, dir, data, overwrite))
+      (data, overwrite) => LakeNativeWrite.deltaInsert(data.sparkSession, dir, data, overwrite),
+      rowLevelHandle = Some(handle))
   }
 
   /** Native CREATE TABLE (identity partitioning) when the jar is absent. */
@@ -133,9 +152,23 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       schemaOverride: Option[StructType]): Table = {
     val dir = dirFor(spark, rest, name)
     val snap = IcebergLite.snapshot(spark, dir)
+    val handle = new LakeRowLevel.RowLevelHandle {
+      override def scanWithRowIds(s: SparkSession): DataFrame =
+        IcebergLite.toDataFrameWithRowIds(s, snap)
+      override def commitRewrite(s: SparkSession, removed: Seq[String],
+          replacement: DataFrame): Unit =
+        LakeNativeWrite.icebergRewrite(s, dir, removed, replacement)
+      override def listFiles(s: SparkSession): Seq[(String, Long, String)] =
+        snap.dataFileMeta.zip(snap.files).map { case ((id, _), f) =>
+          (id, f.size, f.partitionValues.mkString("/"))
+        }
+      override def partitionColumns: Seq[String] = snap.partitionColumns
+      override def describe: String = s"iceberg table $dir"
+    }
     new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),
       s => IcebergLite.toDataFrame(s, snap),
-      (data, overwrite) => LakeNativeWrite.icebergInsert(data.sparkSession, dir, data, overwrite))
+      (data, overwrite) => LakeNativeWrite.icebergInsert(data.sparkSession, dir, data, overwrite),
+      rowLevelHandle = Some(handle))
   }
 
   /** Native CREATE TABLE (identity partitioning) when the jar is absent. */

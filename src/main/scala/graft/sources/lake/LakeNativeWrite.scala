@@ -136,16 +136,48 @@ object LakeNativeWrite {
       LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, schema, partitionCols)))
   }
 
+  /** Align to the logical schema, then rename to PHYSICAL columns for a
+    * column-mapping table (the parquet files and partition dirs must carry
+    * physical names — the reader maps them back). Returns the frame to
+    * write and the partition column names as they appear in it.
+    */
+  private def toPhysical(aligned: DataFrame, snap: DeltaLite.Snapshot): (DataFrame, Seq[String]) =
+    snap.physSchema match {
+      case None => (aligned, snap.partitionColumns)
+      case Some(ps) =>
+        val renamed = aligned.select(snap.schema.fields.zip(ps.fields).toIndexedSeq.map {
+          case (lf, pf) => col(s"`${lf.name}`").cast(pf.dataType).as(pf.name)
+        }: _*)
+        (renamed, snap.partitionColumns.map(c => ps.fields(snap.schema.fieldIndex(c)).name))
+    }
+
   def deltaInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val snap = DeltaLite.snapshot(spark, dir)
-    val aligned = align(data, snap.schema)
+    val (physical, physParts) = toPhysical(align(data, snap.schema), snap)
     val now = System.currentTimeMillis()
-    val staged = writeDataFiles(aligned, dir, snap.partitionColumns, "")
+    val staged = writeDataFiles(physical, dir, physParts, "")
     val adds = staged.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues))
     val removes =
       if (!overwrite) Nil
       else snap.fileIds.map(p => LakeWrite.deltaRemove(p, now))
+    commitDelta(conf, dir, snap.version + 1,
+      Seq(LakeWrite.deltaCommitInfo(now)) ++ removes ++ adds)
+  }
+
+  /** Row-level copy-on-write commit: `removedIds` (raw add-action paths)
+    * leave, `replacement` rows enter, one atomic commit. The snapshot the
+    * rewrite was planned against is passed in so the remove set and the
+    * version base agree with what was scanned.
+    */
+  def deltaRewrite(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
+      removedIds: Seq[String], replacement: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (physical, physParts) = toPhysical(align(replacement, snap.schema), snap)
+    val now = System.currentTimeMillis()
+    val staged = writeDataFiles(physical, dir, physParts, "")
+    val adds = staged.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues))
+    val removes = removedIds.map(p => LakeWrite.deltaRemove(p, now))
     commitDelta(conf, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now)) ++ removes ++ adds)
   }
@@ -201,16 +233,19 @@ object LakeNativeWrite {
         "source-id" -> JInt(schema.fieldIndex(c) + 1), "field-id" -> JInt(1000 + i))
     }
 
-  def icebergInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean): Unit = {
+  /** Everything a commit needs from the current table metadata. */
+  private final case class IceMeta(metaVersion: Long, schema: StructType,
+      partitionCols: Seq[String], lastSeq: Long,
+      priorSnapshots: Seq[LakeWrite.IcebergSnapshot], currentId: Long)
+
+  private def loadIceMeta(conf: Configuration, dir: Path): IceMeta = {
     implicit val formats: Formats = DefaultFormats
-    val conf = spark.sparkContext.hadoopConfiguration
     val metaFile = IcebergLite.currentMetadataFile(conf, dir)
     val meta = JsonMethods.parse(IcebergLite.readString(conf, metaFile))
     val metaVersion = """^v?(\d+)\.metadata\.json$""".r.findFirstMatchIn(metaFile.getName)
       .map(_.group(1).toLong).getOrElse(
         throw new UnsupportedOperationException(
-          s"append needs a versioned hadoop-table metadata file, got ${metaFile.getName}"))
-
+          s"commit needs a versioned hadoop-table metadata file, got ${metaFile.getName}"))
     val schemaJson: JValue = (meta \ "schemas") match {
       case JArray(ss) =>
         val cur = (meta \ "current-schema-id").extractOrElse[Int](0)
@@ -230,65 +265,60 @@ object LakeNativeWrite {
           }).getOrElse(Nil)
       case _ => Nil
     }
-    val lastSeq = (meta \ "last-sequence-number").extractOrElse[Long](0L)
-    val newSeq = lastSeq + 1
-    val newSnapId = System.currentTimeMillis() // unique enough for a fixture-grade writer
-    val now = System.currentTimeMillis()
-
-    // prior snapshots (kept for time travel) and the current manifest list
     val priorSnapshots: Seq[LakeWrite.IcebergSnapshot] = (meta \ "snapshots") match {
       case JArray(ss) => ss.map(s => LakeWrite.IcebergSnapshot(
         (s \ "snapshot-id").extract[Long], (s \ "timestamp-ms").extract[Long],
         (s \ "manifest-list").extract[String], (s \ "sequence-number").extractOrElse[Long](0L)))
       case _ => Nil
     }
-    val currentId = (meta \ "current-snapshot-id").extractOrElse[Long](-1L)
-    val existingManifests: Seq[LakeWrite.ManifestFile] =
-      if (overwrite || currentId < 0) Nil
-      else priorSnapshots.find(_.id == currentId).map { s =>
-        readManifestFiles(conf, dir, IcebergLite.resolveUri(dir, s.manifestListPath))
-      }.getOrElse(Nil)
+    IceMeta(metaVersion, schema, partitionCols,
+      (meta \ "last-sequence-number").extractOrElse[Long](0L),
+      priorSnapshots, (meta \ "current-snapshot-id").extractOrElse[Long](-1L))
+  }
 
-    // data files: identity values ride in the manifest partition struct
-    val aligned = align(data, schema)
-    val staged = writeDataFiles(aligned, dir, partitionCols, "data")
-    val partTypeJson =
-      if (partitionCols.isEmpty) """{"type":"record","name":"r102","fields":[]}"""
-      else {
-        val fields = partitionCols.zipWithIndex.map { case (c, i) =>
-          val avroType = schema(schema.fieldIndex(c)).dataType match {
-            case IntegerType => "\"int\""
-            case LongType => "\"long\""
-            case StringType => "\"string\""
-            case BooleanType => "\"boolean\""
-            case FloatType => "\"float\""
-            case DoubleType => "\"double\""
-            case other => throw new UnsupportedOperationException(s"partition type $other")
-          }
-          s"""{"name":"$c","type":["null",$avroType],"default":null,"field-id":${1000 + i}}"""
+  private def partTypeJsonFor(schema: StructType, partitionCols: Seq[String]): String =
+    if (partitionCols.isEmpty) """{"type":"record","name":"r102","fields":[]}"""
+    else {
+      val fields = partitionCols.zipWithIndex.map { case (c, i) =>
+        val avroType = schema(schema.fieldIndex(c)).dataType match {
+          case IntegerType => "\"int\""
+          case LongType => "\"long\""
+          case StringType => "\"string\""
+          case BooleanType => "\"boolean\""
+          case FloatType => "\"float\""
+          case DoubleType => "\"double\""
+          case other => throw new UnsupportedOperationException(s"partition type $other")
         }
-        s"""{"type":"record","name":"r102","fields":[${fields.mkString(",")}]}"""
+        s"""{"name":"$c","type":["null",$avroType],"default":null,"field-id":${1000 + i}}"""
       }
-    val entrySchema = LakeWrite.manifestEntrySchema(partTypeJson)
-    val entries = staged.map { f =>
-      val typedVals: Map[String, Any] = partitionCols.flatMap { c =>
-        f.partitionValues.get(c).map { raw =>
-          c -> (schema(schema.fieldIndex(c)).dataType match {
-            case IntegerType => Integer.valueOf(raw.toInt)
-            case LongType => java.lang.Long.valueOf(raw.toLong)
-            case StringType => raw
-            case BooleanType => java.lang.Boolean.valueOf(raw.toBoolean)
-            case FloatType => java.lang.Float.valueOf(raw.toFloat)
-            case DoubleType => java.lang.Double.valueOf(raw.toDouble)
-            case other => throw new UnsupportedOperationException(s"partition type $other")
-          })
-        }
-      }.toMap
-      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
-        partition = typedVals, sequenceNumber = Some(newSeq))
+      s"""{"type":"record","name":"r102","fields":[${fields.mkString(",")}]}"""
     }
-    // manifests write to a local temp then copy to the table FS (the Avro
-    // fixture writer is java.io-based; the copy keeps any FS supported)
+
+  /** Hive-style partition dir strings -> typed manifest partition values. */
+  private def typedPartVals(schema: StructType, partitionCols: Seq[String],
+      raw: Map[String, String]): Map[String, Any] =
+    partitionCols.flatMap { c =>
+      raw.get(c).map { v =>
+        c -> (schema(schema.fieldIndex(c)).dataType match {
+          case IntegerType => Integer.valueOf(v.toInt)
+          case LongType => java.lang.Long.valueOf(v.toLong)
+          case StringType => (v: Any)
+          case BooleanType => java.lang.Boolean.valueOf(v.toBoolean)
+          case FloatType => java.lang.Float.valueOf(v.toFloat)
+          case DoubleType => java.lang.Double.valueOf(v.toDouble)
+          case other => throw new UnsupportedOperationException(s"partition type $other")
+        })
+      }
+    }.toMap
+
+  /** Write one manifest + manifest list + next metadata version. Manifests
+    * write to a local temp then copy to the table FS (the Avro fixture
+    * writer is java.io-based; the copy keeps any FS supported).
+    */
+  private def commitIceberg(conf: Configuration, dir: Path, m: IceMeta,
+      entries: Seq[LakeWrite.ManifestEntry], otherManifests: Seq[LakeWrite.ManifestFile],
+      newSnapId: Long, newSeq: Long, now: Long,
+      entrySchema: org.apache.avro.Schema): Unit = {
     val fs = dir.getFileSystem(conf)
     def toMeta(local: java.io.File, name: String): Long = {
       val target = new Path(new Path(dir, "metadata"), name)
@@ -301,16 +331,130 @@ object LakeNativeWrite {
     toMeta(tmpM, s"m-$newSnapId.avro")
     val tmpL = java.io.File.createTempFile("graft-mlist", ".avro")
     LakeWrite.icebergWriteManifestListEntries(tmpL,
-      existingManifests :+ LakeWrite.ManifestFile(s"metadata/m-$newSnapId.avro", mLen, 0, newSeq),
+      otherManifests :+ LakeWrite.ManifestFile(s"metadata/m-$newSnapId.avro", mLen, 0, newSeq),
       newSnapId)
     toMeta(tmpL, s"ml-$newSnapId.avro")
-    val newSnapshots = priorSnapshots :+
+    val newSnapshots = m.priorSnapshots :+
       LakeWrite.IcebergSnapshot(newSnapId, now, s"metadata/ml-$newSnapId.avro", newSeq)
-    LakeWrite.icebergWriteMetadata(conf, dir, (metaVersion + 1).toInt, schema, newSnapshots,
+    LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema, newSnapshots,
       currentSnapshotId = newSnapId,
       refs = Map("main" -> (newSnapId, "branch")),
-      specFields = specFieldsFor(schema, partitionCols))
+      specFields = specFieldsFor(m.schema, m.partitionCols))
     ()
+  }
+
+  def icebergInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    val newSeq = m.lastSeq + 1
+    val newSnapId = System.currentTimeMillis() // unique enough for a fixture-grade writer
+    val now = newSnapId
+    val existingManifests: Seq[LakeWrite.ManifestFile] =
+      if (overwrite || m.currentId < 0) Nil
+      else m.priorSnapshots.find(_.id == m.currentId).map { s =>
+        readManifestFiles(conf, dir, IcebergLite.resolveUri(dir, s.manifestListPath))
+      }.getOrElse(Nil)
+
+    // data files: identity values ride in the manifest partition struct
+    val aligned = align(data, m.schema)
+    val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
+    val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
+    val entries = staged.map { f =>
+      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
+        partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
+        sequenceNumber = Some(newSeq))
+    }
+    commitIceberg(conf, dir, m, entries, existingManifests, newSnapId, newSeq, now, entrySchema)
+  }
+
+  /** One live entry of a data manifest, with enough fidelity to re-emit it. */
+  private final case class LiveEntry(filePath: String, recordCount: Long, size: Long,
+      partition: Map[String, Any], seq: Long)
+
+  /** The current snapshot's live data entries plus its delete manifests
+    * (re-referenced untouched by a rewrite: position deletes for removed
+    * files stop matching by file identity; surviving files keep theirs).
+    */
+  private def readLiveDataEntries(conf: Configuration, dir: Path,
+      listPath: Path): (Seq[LiveEntry], Seq[LakeWrite.ManifestFile]) = {
+    val manifests = readManifestFiles(conf, dir, listPath)
+    val (deleteMs, dataMs) = manifests.partition(_.content == 1)
+    val entries = dataMs.flatMap { mf =>
+      val p = IcebergLite.resolveUri(dir, mf.path)
+      val in = new org.apache.avro.mapred.FsInput(p, conf)
+      val reader = org.apache.avro.file.DataFileReader.openReader(in,
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try {
+        val buf = Seq.newBuilder[LiveEntry]
+        while (reader.hasNext) {
+          val r = reader.next()
+          val status = r.get("status").asInstanceOf[Int]
+          if (status != 2) {
+            val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val seq = Option(r.getSchema.getField("sequence_number"))
+              .flatMap(f => Option(r.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
+              .getOrElse(mf.sequenceNumber)
+            val part: Map[String, Any] =
+              Option(df.getSchema.getField("partition")).map(f => df.get(f.pos())).collect {
+                case pr: org.apache.avro.generic.GenericRecord =>
+                  import scala.jdk.CollectionConverters._
+                  pr.getSchema.getFields.asScala.flatMap { pf =>
+                    Option(pr.get(pf.pos())).map {
+                      case u: org.apache.avro.util.Utf8 => pf.name() -> (u.toString: Any)
+                      case v => pf.name() -> (v: Any)
+                    }
+                  }.toMap
+              }.getOrElse(Map.empty)
+            buf += LiveEntry(df.get("file_path").toString,
+              Option(df.getSchema.getField("record_count"))
+                .flatMap(f => Option(df.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
+                .getOrElse(0L),
+              df.get("file_size_in_bytes").asInstanceOf[Long], part, seq)
+          }
+        }
+        buf.result()
+      } finally reader.close()
+    }
+    (entries, deleteMs)
+  }
+
+  /** Row-level copy-on-write commit for Iceberg: one consolidated data
+    * manifest carries the surviving files as EXISTING (original sequence
+    * numbers preserved — older deletes keep gating them correctly), the
+    * removed files as DELETED, and the staged replacement files as ADDED
+    * at the new sequence number. Delete manifests re-reference untouched.
+    * `removedFids` are normalized manifest file_paths (the scan's __gfid).
+    */
+  def icebergRewrite(spark: SparkSession, dir: Path, removedFids: Seq[String],
+      replacement: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    require(m.currentId >= 0, s"cannot rewrite an Iceberg table with no snapshots: $dir")
+    val listPath = m.priorSnapshots.find(_.id == m.currentId)
+      .map(s => IcebergLite.resolveUri(dir, s.manifestListPath))
+      .getOrElse(throw new IllegalStateException(s"current snapshot not in snapshot list: $dir"))
+    val (live, deleteManifests) = readLiveDataEntries(conf, dir, listPath)
+    val removedSet = removedFids.toSet
+    val (removed, survivors) = live.partition(e =>
+      removedSet.contains(IcebergLite.normPath(e.filePath)))
+    require(removed.size == removedFids.size,
+      s"rewrite lost track of ${removedFids.size - removed.size} files (concurrent commit?)")
+
+    val newSeq = m.lastSeq + 1
+    val newSnapId = System.currentTimeMillis()
+    val aligned = align(replacement, m.schema)
+    val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
+    val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
+    val entries =
+      survivors.map(e => LakeWrite.ManifestEntry(0, e.filePath, e.recordCount, e.size,
+        newSnapId, partition = e.partition, sequenceNumber = Some(e.seq))) ++
+      removed.map(e => LakeWrite.ManifestEntry(2, e.filePath, e.recordCount, e.size,
+        newSnapId, partition = e.partition, sequenceNumber = Some(e.seq))) ++
+      staged.map(f => LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
+        partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
+        sequenceNumber = Some(newSeq)))
+    commitIceberg(conf, dir, m, entries, deleteManifests, newSnapId, newSeq, newSnapId,
+      entrySchema)
   }
 
   /** The current manifest list re-read as writable entries (path, length,

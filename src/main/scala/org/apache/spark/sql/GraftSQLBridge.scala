@@ -35,4 +35,14 @@ object GraftSQLBridge {
     */
   def resetCatalogManager(spark: SparkSession): Unit =
     classicSession(spark).sessionState.catalogManager.reset()
+
+  /** Resolve a multipart name through the session's v2 catalog manager to
+    * the live Table instance (commands that need the TABLE, not a scan).
+    */
+  def loadV2Table(spark: SparkSession, parts: Seq[String]): connector.catalog.Table = {
+    require(parts.size >= 2, s"need catalog.ns....table, got ${parts.mkString(".")}")
+    val cat = classicSession(spark).sessionState.catalogManager.catalog(parts.head)
+    cat.asInstanceOf[connector.catalog.TableCatalog]
+      .loadTable(connector.catalog.Identifier.of(parts.tail.init.toArray, parts.last))
+  }
 }

@@ -259,22 +259,22 @@ class LakeSuite extends SparkTestBase {
       """{"add":{"path":"f.parquet","partitionValues":{},"size":10,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":10,"cardinality":1}}}"""))
     assert(DeltaLite.snapshot(spark, dir1).dvs.contains("f.parquet"))
 
-    // unsupported reader feature list
+    // unsupported reader feature list (v2Checkpoint stays out of scope)
     val dir2 = new Path(tmpDir("delta-rf").toString)
     LakeWrite.deltaCommit(conf, dir2, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
       LakeWrite.deltaMetaData("t", StructType(Seq(StructField("id", LongType))), Nil)))
     val e2 = intercept[IllegalArgumentException] { DeltaLite.snapshot(spark, dir2) }
-    assert(e2.getMessage.contains("columnMapping"))
+    assert(e2.getMessage.contains("v2Checkpoint"))
 
-    // column mapping configured
+    // column mapping is SUPPORTED since round 7 (DeltaCmapSuite) — the
+    // snapshot must carry the physical schema rather than reject
     val dir3 = new Path(tmpDir("delta-cm").toString)
     val cmMeta = LakeWrite.deltaMetaData("t",
       StructType(Seq(StructField("id", LongType))), Nil)
       .replace("\"configuration\":{}", "\"configuration\":{\"delta.columnMapping.mode\":\"name\"}")
     LakeWrite.deltaCommit(conf, dir3, 0, Seq(LakeWrite.deltaProtocol(2, 5), cmMeta))
-    val e3 = intercept[IllegalArgumentException] { DeltaLite.snapshot(spark, dir3) }
-    assert(e3.getMessage.contains("column mapping"))
+    assert(DeltaLite.snapshot(spark, dir3).physSchema.isDefined)
 
     // timestampNtz alone is fine
     val dir4 = new Path(tmpDir("delta-ntz").toString)
