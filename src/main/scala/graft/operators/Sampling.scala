@@ -142,6 +142,42 @@ object Sampling {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Temperature-based source mixing (the T5/mC4 alpha-sampling step):
+    * target share of source `i` is `q_i = n_i^alpha / sum_j n_j^alpha`
+    * over the per-source token counts — `alpha = 1` keeps natural
+    * proportions, `alpha -> 0` flattens toward uniform, upweighting
+    * low-resource sources. Each source then keeps documents with rate
+    * `min(1, q_i * budgetTokens / n_i)` under the same seeded-md5 hash01
+    * filter as [[tokenMixture]] (uniform within source, deterministic,
+    * reshard-stable), so the EXPECTED kept tokens hit the tempered mix.
+    *
+    * Scale shape: one partial-combine agg for the totals, the share
+    * normalizer as a window over that (tiny, source-count-sized) frame,
+    * one broadcast join back, one map-side keep — the corpus never
+    * shuffles. Sources whose token sum is null or zero drop entirely
+    * (nothing measurable to temper; same guard rationale as
+    * [[tokenMixture]]).
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, alpha: Double, budgetTokens: Double, seed: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("double").as("__tot"))
+      .where(col("__tot") > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val rated = totals
+      .withColumn("__pa", pow(col("__tot"), lit(alpha)))
+      .withColumn("__z", sum(col("__pa")).over(w))
+      .withColumn("__rate",
+        least(lit(1.0), col("__pa") / col("__z") * lit(budgetTokens) / col("__tot")))
+      .select(col(sourceCol), col("__rate"))
+    val hash01 = bucketCol(idCol, seed, portable = true).cast("double") / 10000.0
+    df.join(broadcast(rated), Seq(sourceCol))
+      .where(hash01 < col("__rate"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Single-pass labeled variant of [[hashSplit]]: every row tagged with its
     * split name in ONE scan — the shape for split-wide reporting (per-split
     * stats, partitioned writes via `.write.partitionBy("split")`) where

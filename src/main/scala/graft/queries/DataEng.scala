@@ -153,6 +153,38 @@ object DataEng {
           / 10000.0 < rate
         GROUP BY source ORDER BY source""")),
 
+    // ---- Temperature-based source mixing (T5/mC4 alpha-sampling): target
+    // share q_i = n_i^alpha / sum n_j^alpha at alpha=0.5, keep rate
+    // min(1, q_i * 3000 / n_i), md5-hash01 keep. The oracle recomputes
+    // totals, tempered shares (POW + window normalizer), rates, and the
+    // per-doc keep decision; outputs are per-source kept doc/token counts.
+    // ----
+    QuerySpec("sample_temperature",
+      (s, dir) => {
+        import graft.functions.{TextFunctions => T}
+        val d = t(s, dir, "documents")
+          .withColumn("n_tok", T.tokenCount(col("text")).cast("long"))
+        graft.operators.Sampling.temperatureMixture(d, "doc_id", "n_tok", "source",
+            alpha = 0.5, budgetTokens = 3000.0, seed = 23L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, CAST(len($toksSqlDE) AS BIGINT) AS n_tok FROM documents
+        ), agg AS (
+          SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS tot FROM tk GROUP BY source
+        ), rated AS (
+          SELECT source,
+            LEAST(1.0, POW(tot, 0.5) / SUM(POW(tot, 0.5)) OVER () * 3000.0 / tot) AS rate
+          FROM agg WHERE tot > 0
+        )
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+        FROM tk JOIN rated USING (source)
+        WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':23'), 1, 15))::BIGINT % 10000)
+          / 10000.0 < rate
+        GROUP BY source ORDER BY source""")),
+
     // ---- Approximate percentile under the error-bound contract (the
     // q_approx_distinct pattern): each engine runs ITS OWN quantile sketch
     // (Spark: Greenwald-Khanna at accuracy 10000; DuckDB: t-digest) and

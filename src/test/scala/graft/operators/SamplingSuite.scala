@@ -179,4 +179,46 @@ class SamplingSuite extends SparkTestBase {
     assert(!kept.contains("srcZ"), s"zero-token source kept rows: $kept")
     assert(kept.get("srcG").exists(_ > 0L), s"healthy source lost all rows: $kept")
   }
+
+  test("temperatureMixture: alpha=1 is natural proportions, alpha<1 upweights small sources") {
+    import spark.implicits._
+    // two sources, 9:1 token ratio; per-doc 10 tokens
+    val d = ((0 until 90).map(i => (s"a$i", "big", 10L)) ++
+      (0 until 10).map(i => (s"b$i", "small", 10L)))
+      .toDF("id", "src", "tok")
+    // alpha=1: q_i = n_i / total, so rate_i = budget / total for EVERY
+    // source — uniform keep across the corpus
+    val r1 = Sampling.temperatureMixture(d, "id", "tok", "src",
+      alpha = 1.0, budgetTokens = 500.0, seed = 3L)
+    val k1 = r1.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected: every doc kept with rate 0.5 regardless of source
+    assert(math.abs(k1.getOrElse("big", 0L) / 90.0 - k1.getOrElse("small", 0L) / 10.0) < 0.35,
+      s"alpha=1 keep fractions should match across sources: $k1")
+
+    // alpha=0.5: tempered share of the small source is sqrt(100)/(sqrt(900)+sqrt(100))
+    // = 1/4 of the mix vs 1/10 naturally -> its keep RATE must exceed the
+    // big source's (2.5x in expectation)
+    val r5 = Sampling.temperatureMixture(d, "id", "tok", "src",
+      alpha = 0.5, budgetTokens = 500.0, seed = 3L)
+    val k5 = r5.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigRate = k5.getOrElse("big", 0L) / 90.0
+    val smallRate = k5.getOrElse("small", 0L) / 10.0
+    assert(smallRate > bigRate,
+      s"alpha<1 must upweight the small source: big=$bigRate small=$smallRate")
+  }
+
+  test("temperatureMixture is reshard-stable and drops zero-token sources") {
+    import spark.implicits._
+    val d = ((0 until 50).map(i => (s"a$i", "x", 5L)) ++
+      (0 until 50).map(i => (s"b$i", "dead", 0L)))
+      .toDF("id", "src", "tok")
+    val once = Sampling.temperatureMixture(d, "id", "tok", "src",
+      alpha = 0.7, budgetTokens = 100.0, seed = 9L)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    val reshard = Sampling.temperatureMixture(d.repartition(13), "id", "tok", "src",
+      alpha = 0.7, budgetTokens = 100.0, seed = 9L)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(once == reshard, "keep set must not depend on physical layout")
+    assert(once.forall(_.startsWith("a")), "a zero-token source keeps nothing")
+  }
 }
