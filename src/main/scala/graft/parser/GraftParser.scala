@@ -29,7 +29,8 @@ object GraftParser {
       s.startsWith("REMOVE DQ") ||
       s.startsWith("SHOW DQ") ||
       s.startsWith("SHOW NAMESPACES OR TABLES") ||
-      s.startsWith("OPTIMIZE LAKE ")
+      s.startsWith("OPTIMIZE LAKE ") ||
+      s.startsWith("VACUUM LAKE ")
   }
 
   private def stripLeadingComments(sql: String): String = {
@@ -143,6 +144,7 @@ private[parser] final class StatementParser(original: String) {
     else if (peekKw("RUN")) parseRunDq()
     else if (peekKw("SHOW")) parseShow()
     else if (peekKw("OPTIMIZE")) parseOptimizeLake()
+    else if (peekKw("VACUUM")) parseVacuumLake()
     else fail("unknown graft statement")
   }
 
@@ -284,6 +286,19 @@ private[parser] final class StatementParser(original: String) {
       }
     }
     graft.plans.OptimizeLakeTableCommand(table, smallerThan, targetFiles, zorder)
+  }
+
+  /** VACUUM LAKE TABLE fqn [RETAIN n VERSIONS] — delete files no retained
+    * version references (Delta) / expire snapshots + orphan files
+    * (Iceberg). Default retains only the current version.
+    */
+  private def parseVacuumLake(): LogicalPlan = {
+    expectKw("VACUUM"); expectKw("LAKE"); expectKw("TABLE")
+    val table = qualified()
+    val retain =
+      if (acceptKw("RETAIN")) { val n = intLit(); expectKw("VERSIONS"); n }
+      else 1
+    graft.plans.VacuumLakeTableCommand(table, retain)
   }
 
   private def parseListDq(): LogicalPlan = {

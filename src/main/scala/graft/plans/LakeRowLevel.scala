@@ -65,6 +65,11 @@ object LakeRowLevel {
     def listFiles(spark: SparkSession): Seq[(String, Long, String)]
     /** Identity-partition columns (layout hint for compaction). */
     def partitionColumns: Seq[String]
+    /** Retention maintenance: drop files no retained version references
+      * (and, for Iceberg, expire the unretained snapshots). Returns
+      * (files deleted, bytes deleted).
+      */
+    def vacuum(spark: SparkSession, retainVersions: Int): (Long, Long)
     /** Table description for error messages. */
     def describe: String
   }
@@ -424,4 +429,29 @@ case class OptimizeLakeTableCommand(table: Seq[String], smallerThan: Option[Long
   override val output: Seq[Attribute] = Seq(
     AttributeReference("compacted_files", org.apache.spark.sql.types.LongType)(),
     AttributeReference("compacted_bytes", org.apache.spark.sql.types.LongType)())
+}
+
+/** VACUUM LAKE TABLE fqn [RETAIN n VERSIONS] — retention maintenance over
+  * the native lake tables: Delta deletes every data/DV file no retained
+  * version references (log untouched, like the real VACUUM); Iceberg
+  * additionally expires the unretained snapshots from the metadata
+  * (expire_snapshots + remove_orphan_files in one pass).
+  */
+case class VacuumLakeTableCommand(table: Seq[String], retainVersions: Int)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tbl = GraftSQLBridge.loadV2Table(spark, table)
+    val handle = tbl match {
+      case h: HasRowLevelHandle => h.rowLevelHandle.getOrElse(
+        throw new UnsupportedOperationException(
+          s"${table.mkString(".")} does not support VACUUM"))
+      case _ => throw new UnsupportedOperationException(
+        s"${table.mkString(".")} is not a native lake table")
+    }
+    val (files, bytes) = handle.vacuum(spark, retainVersions)
+    Seq(Row(files, bytes))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted_files", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("deleted_bytes", org.apache.spark.sql.types.LongType)())
 }

@@ -1232,6 +1232,45 @@ object CatalogQueries {
           CAST(n_regionkey AS INT) AS n_regionkey
         FROM nation ORDER BY n_nationkey""")),
 
+    // ---- VACUUM LAKE TABLE: INSERT everything, INSERT OVERWRITE the
+    // < 15 subset (the full files become history-only), VACUUM RETAIN 1 —
+    // the old files must leave the disk while the overwrite snapshot reads
+    // back intact. The readback is only right if vacuum deleted exactly
+    // the unreferenced set; suite-level checks cover the file census. ----
+    QuerySpec("src_lake_vacuum",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_vac")
+        val done = new java.io.File(lakeDir, "nation_vac.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dvac OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.dvac.nation_vac " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_vac_src")
+          s.sql("INSERT INTO graft.datasource.lakew.dvac.nation_vac " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_vac_src")
+          s.sql("INSERT OVERWRITE graft.datasource.lakew.dvac.nation_vac " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_vac_src WHERE n_nationkey < 15")
+          val res = Graft.sql(s,
+            "VACUUM LAKE TABLE graft.datasource.lakew.dvac.nation_vac RETAIN 1 VERSIONS")
+            .collect()
+          require(res.head.getLong(0) > 0, "vacuum should delete the overwritten files")
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.dvac.nation_vac ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation WHERE n_nationkey < 15 ORDER BY n_nationkey""")),
+
     // ---- FOUR-SOURCE FEDERATED JOIN — the reference's raison d'être
     // (cross-source federation) in a single SQL statement: embedded-Derby
     // JDBC customers × USL-activated orders × DeltaLite log-replayed nation

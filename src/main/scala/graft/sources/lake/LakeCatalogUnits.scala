@@ -90,6 +90,8 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
           (id, f.size, f.partitionValues.mkString("/"))
         }
       override def partitionColumns: Seq[String] = snap.partitionColumns
+      override def vacuum(s: SparkSession, retain: Int): (Long, Long) =
+        LakeNativeWrite.deltaVacuum(s, dir, retain)
       override def describe: String = s"delta table $dir"
     }
     new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),
@@ -163,6 +165,8 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
           (id, f.size, f.partitionValues.mkString("/"))
         }
       override def partitionColumns: Seq[String] = snap.partitionColumns
+      override def vacuum(s: SparkSession, retain: Int): (Long, Long) =
+        LakeNativeWrite.icebergExpire(s, dir, retain)
       override def describe: String = s"iceberg table $dir"
     }
     new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),

@@ -207,6 +207,124 @@ object LakeNativeWrite {
     throw new java.io.IOException(s"could not commit to $log after 10 attempts")
   }
 
+  /** VACUUM for Delta: delete every data/DV file under the table dir that
+    * no RETAINED version references (the last `retainVersions` commits).
+    * The log itself stays — exactly the real runtime's behavior, where
+    * vacuumed time travel fails at data-read time, not at log-replay time.
+    * Driver-side metadata work plus one FS walk, the same cost model as
+    * `VACUUM` proper. Single-writer scope: no retention-vs-in-flight-write
+    * race handling (the runtimes guard this with retention-duration
+    * checks).
+    */
+  def deltaVacuum(spark: SparkSession, dir: Path, retainVersions: Int): (Long, Long) = {
+    require(retainVersions >= 1, s"must retain at least the current version")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val latest = DeltaLite.snapshot(spark, dir).version
+    val keep = ((latest - retainVersions + 1) to latest).filter(_ >= 0)
+    def qualify(p: Path): String = fs.makeQualified(p).toString
+    val referenced: Set[String] = keep.flatMap { v =>
+      val snap = DeltaLite.snapshot(spark, dir, version = Some(v))
+      snap.files.map(f => qualify(new Path(f.path))) ++
+        snap.dvs.valuesIterator.flatMap(d =>
+          RoaringDv.resolvePath(dir, d.storageType, d.pathOrInlineDv).map(qualify))
+    }.toSet
+    var n = 0L; var bytes = 0L
+    // hidden files (".crc" checksums, "_"-prefixed markers) are sidecars
+    // of their data file: the FS layer manages them, vacuum never should
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith(".") || p.getName.startsWith("_")
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) {
+        if (st.getPath.getName != "_delta_log") walk(st.getPath)
+      } else if (!hidden(st.getPath) && !referenced.contains(qualify(st.getPath))) {
+        n += 1; bytes += st.getLen
+        fs.delete(st.getPath, false): Unit
+      }
+    }
+    walk(dir)
+    (n, bytes)
+  }
+
+  /** Snapshot expiry + orphan cleanup for Iceberg: keep the last
+    * `retainSnapshots` snapshots (always including the current one), write
+    * a new metadata version whose snapshot list holds only those, and
+    * delete (a) data/delete files no retained snapshot references and
+    * (b) manifest / manifest-list Avro files only expired snapshots used.
+    * This is `expire_snapshots` + `remove_orphan_files` in one pass, the
+    * maintenance the spec expects of table operators.
+    */
+  def icebergExpire(spark: SparkSession, dir: Path, retainSnapshots: Int): (Long, Long) = {
+    require(retainSnapshots >= 1, s"must retain at least the current snapshot")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val m = loadIceMeta(conf, dir)
+    require(m.currentId >= 0, s"no snapshots to expire under $dir")
+    val ordered = m.priorSnapshots.sortBy(_.sequenceNumber)
+    val retained = ordered.takeRight(retainSnapshots)
+    require(retained.exists(_.id == m.currentId),
+      s"retention window must include the current snapshot (retain >= " +
+        s"${ordered.size - ordered.indexWhere(_.id == m.currentId)})")
+    def qualify(p: Path): String = fs.makeQualified(p).toString
+    // every file any retained snapshot can reach: data + delete files via
+    // its manifests, plus the manifest/list files themselves
+    val refData = scala.collection.mutable.Set[String]()
+    val refMeta = scala.collection.mutable.Set[String]()
+    retained.foreach { s =>
+      val listPath = IcebergLite.resolveUri(dir, s.manifestListPath)
+      refMeta += qualify(listPath)
+      readManifestFiles(conf, dir, listPath).foreach { mf =>
+        val mp = IcebergLite.resolveUri(dir, mf.path)
+        refMeta += qualify(mp)
+        readAllEntryPaths(conf, mp).foreach(p =>
+          refData += qualify(IcebergLite.resolveUri(dir, p)))
+      }
+    }
+    var n = 0L; var bytes = 0L
+    def drop(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      n += 1; bytes += st.getLen
+      fs.delete(st.getPath, false): Unit
+    }
+    // orphaned data files (anything outside metadata/ no snapshot reaches);
+    // hidden ".crc"/"_" sidecars belong to the FS layer, not to vacuum
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith(".") || p.getName.startsWith("_")
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) { if (st.getPath.getName != "metadata") walk(st.getPath) }
+      else if (!hidden(st.getPath) && !refData.contains(qualify(st.getPath))) drop(st)
+    }
+    walk(dir)
+    // expired manifests / manifest lists (Avro only; metadata.json history
+    // files are tiny and version-numbered, so they stay)
+    fs.listStatus(new Path(dir, "metadata")).foreach { st =>
+      if (!st.isDirectory && st.getPath.getName.endsWith(".avro") &&
+        !refMeta.contains(qualify(st.getPath))) drop(st)
+    }
+    LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema,
+      retained, currentSnapshotId = m.currentId,
+      refs = Map("main" -> (m.currentId, "branch")),
+      specFields = specFieldsFor(m.schema, m.partitionCols))
+    (n, bytes)
+  }
+
+  /** Every file_path any entry of one manifest mentions, regardless of
+    * status — a DELETED entry's file may still be live in an older
+    * retained snapshot, so expiry must treat every mention as a reference.
+    */
+  private def readAllEntryPaths(conf: Configuration, p: Path): Seq[String] = {
+    val in = new org.apache.avro.mapred.FsInput(p, conf)
+    val reader = org.apache.avro.file.DataFileReader.openReader(in,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val buf = Seq.newBuilder[String]
+      while (reader.hasNext) {
+        val df = reader.next().get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        buf += df.get("file_path").toString
+      }
+      buf.result()
+    } finally reader.close()
+  }
+
   // ---- Iceberg ----
 
   private val PrunableIdentityTypes: Set[DataType] =

@@ -1,0 +1,143 @@
+package graft.sources.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+import java.nio.file.Files
+
+/** VACUUM LAKE TABLE: retention maintenance over the native lake tables.
+  * Delta deletes files no retained version references while the log stays;
+  * Iceberg expires unretained snapshots from metadata AND removes orphan
+  * data/manifest files. Current content must be byte-identical across a
+  * vacuum; retained history must still read; vacuumed history must not.
+  */
+class LakeVacuumSuite extends SparkTestBase {
+
+  private def tmpDir(prefix: String): java.io.File =
+    Files.createTempDirectory(prefix).toFile
+
+  private def filesUnder(root: java.io.File, skip: String): Seq[java.io.File] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) { if (f.getName == skip) Nil else walk(f) }
+        else if (f.getName.startsWith(".") || f.getName.startsWith("_")) Nil
+        else Seq(f)
+      }
+    walk(root)
+  }
+
+  test("delta: vacuum deletes only unreferenced files; current content survives") {
+    import spark.implicits._
+    val root = tmpDir("vac-delta")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE vacd OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.vac")
+    spark.sql("CREATE TABLE graft.datasource.vac.vacd.t (id BIGINT, v STRING)")
+    (0 until 3).foreach { k =>
+      (0L until 10L).map(i => (k * 100L + i, s"v$k-$i")).toDF("id", "v")
+        .createOrReplaceTempView(s"__vac_src_$k")
+      spark.sql(s"INSERT INTO graft.datasource.vac.vacd.t SELECT * FROM __vac_src_$k")
+    }
+    // an UPDATE leaves commit-3 with rewritten files; commits 1-2's
+    // originals become history-only
+    spark.sql("UPDATE graft.datasource.vac.vacd.t SET v = concat(v, '!') WHERE id < 5")
+    val dir = new Path(s"$root/t")
+    val before = spark.table("graft.datasource.vac.vacd.t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val filesBefore = filesUnder(new java.io.File(s"$root/t"), "_delta_log").size
+
+    val res = spark.sql(
+      "VACUUM LAKE TABLE graft.datasource.vac.vacd.t RETAIN 1 VERSIONS").head()
+    assert(res.getLong(0) > 0, "the UPDATE's superseded files should be deleted")
+    val filesAfter = filesUnder(new java.io.File(s"$root/t"), "_delta_log").size
+    assert(filesAfter < filesBefore)
+    // current content identical
+    val after = spark.table("graft.datasource.vac.vacd.t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(after == before)
+    // the live snapshot's file set is exactly what's on disk
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.files.size == filesAfter)
+    // vacuumed time travel now fails at data-read time (log still replays)
+    val v1 = DeltaLite.read(spark, dir, version = Some(1L))
+    intercept[Exception] { v1.count() }
+    // idempotent: nothing left to delete
+    assert(spark.sql(
+      "VACUUM LAKE TABLE graft.datasource.vac.vacd.t RETAIN 1 VERSIONS").head().getLong(0) == 0L)
+  }
+
+  test("delta: RETAIN window keeps history readable inside it") {
+    import spark.implicits._
+    val root = tmpDir("vac-delta-r")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE vacr OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.vac")
+    spark.sql("CREATE TABLE graft.datasource.vac.vacr.t (id BIGINT)")
+    Seq(1L).toDF("id").createOrReplaceTempView("__vacr_1")
+    spark.sql("INSERT INTO graft.datasource.vac.vacr.t SELECT * FROM __vacr_1")
+    spark.sql("INSERT OVERWRITE graft.datasource.vac.vacr.t SELECT id + 1 FROM __vacr_1")
+    val dir = new Path(s"$root/t")
+    // retain 2 versions (the overwrite + the insert): both must still read
+    spark.sql("VACUUM LAKE TABLE graft.datasource.vac.vacr.t RETAIN 2 VERSIONS")
+    assert(DeltaLite.read(spark, dir, version = Some(1L))
+      .head().getLong(0) == 1L)
+    assert(DeltaLite.read(spark, dir, version = Some(2L))
+      .head().getLong(0) == 2L)
+  }
+
+  test("iceberg: expiry drops snapshots, orphan data files and old manifests") {
+    import spark.implicits._
+    val root = tmpDir("vac-ice")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE ICEBERG DATASOURCE vaci OPTIONS (warehouse '$root') " +
+      "NAMESPACE graft.datasource.vac")
+    spark.sql("CREATE TABLE graft.datasource.vac.vaci.t (id BIGINT, v STRING)")
+    (0 until 3).foreach { k =>
+      (0L until 10L).map(i => (k * 100L + i, s"v$k-$i")).toDF("id", "v")
+        .createOrReplaceTempView(s"__vaci_src_$k")
+      spark.sql(s"INSERT INTO graft.datasource.vac.vaci.t SELECT * FROM __vaci_src_$k")
+    }
+    // overwrite leaves snapshot 4 with one file; 1-3's data is history-only
+    Seq((999L, "z")).toDF("id", "v").createOrReplaceTempView("__vaci_ow")
+    spark.sql("INSERT OVERWRITE graft.datasource.vac.vaci.t SELECT * FROM __vaci_ow")
+    val dir = new Path(s"$root/t")
+    val snapsBefore = IcebergLite.snapshot(spark, dir)
+    val preId = snapsBefore.snapshotId
+
+    val res = spark.sql(
+      "VACUUM LAKE TABLE graft.datasource.vac.vaci.t RETAIN 1 VERSIONS").head()
+    assert(res.getLong(0) > 0, "overwritten data files + old manifests should go")
+    // current content intact
+    val rows = spark.table("graft.datasource.vac.vaci.t").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(999L))
+    // snapshot list trimmed to the current one
+    val after = IcebergLite.snapshot(spark, dir)
+    assert(after.snapshotId == preId)
+    // data dir holds only the live file(s)
+    val dataFiles = filesUnder(new java.io.File(s"$root/t"), "metadata")
+    assert(dataFiles.size == after.files.size,
+      s"orphans left behind: ${dataFiles.map(_.getName)}")
+    // expired snapshots are gone from metadata: travel to them fails
+    intercept[Exception] {
+      IcebergLite.snapshot(spark, dir, version = Some("1"))
+    }
+  }
+
+  test("iceberg: retention window must include the current snapshot") {
+    import spark.implicits._
+    val root = tmpDir("vac-ice-g")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE ICEBERG DATASOURCE vacg OPTIONS (warehouse '$root') " +
+      "NAMESPACE graft.datasource.vac")
+    spark.sql("CREATE TABLE graft.datasource.vac.vacg.t (id BIGINT)")
+    Seq(1L).toDF("id").createOrReplaceTempView("__vacg_1")
+    spark.sql("INSERT INTO graft.datasource.vac.vacg.t SELECT * FROM __vacg_1")
+    // retain 1 on a 1-snapshot table: nothing to delete, metadata advances
+    val res = spark.sql(
+      "VACUUM LAKE TABLE graft.datasource.vac.vacg.t RETAIN 1 VERSIONS").head()
+    assert(res.getLong(0) == 0L)
+    assert(spark.table("graft.datasource.vac.vacg.t").count() == 1)
+  }
+}
