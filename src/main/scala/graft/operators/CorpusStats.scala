@@ -116,6 +116,83 @@ object CorpusStats {
       .withColumn("ppl", round(pow(lit(2.0), col("xent_bits")), 4))
   }
 
+  /** An interpolated Kneser-Ney bigram model (Kneser & Ney '95; the
+    * smoothing KenLM defaults to and CCNet ships): on top of the plain
+    * counts it carries per-context distinct-successor counts (`n1p`),
+    * per-word continuation counts (`cont` = distinct preceding contexts),
+    * and a single-row `stats` frame with the absolute discount
+    * `D = n1 / (n1 + 2 n2)` (estimated from the count-of-counts, the
+    * standard closed form), the bigram-type total `B`, and the vocab size
+    * `V`. All-DataFrame, so the model persists/rehydrates as parquet.
+    */
+  final case class KnBigramLM(bigrams: DataFrame, contexts: DataFrame,
+      continuations: DataFrame, stats: DataFrame)
+
+  /** Train an interpolated KN bigram model — same one-shuffle scale shape
+    * as [[bigramTrain]]: the token stream shuffles once on the bigram key;
+    * every other table is an aggregate of the already-reduced model.
+    */
+  def knTrain(df: DataFrame, textCol: String): KnBigramLM = {
+    val bigrams = bigramRows(df, textCol, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val contexts = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+    val continuations = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val vocab = df.select(explode(T.tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    val stats = bigrams.agg(
+        count(lit(1)).as("__b"),
+        count(when(col("c2") === 1, lit(1))).as("__n1"),
+        count(when(col("c2") === 2, lit(1))).as("__n2"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__b"), col("__v"),
+        // count-of-counts discount estimate; an all-counts->1 corpus would
+        // give D=1 (every bigram mass discounted to the continuation
+        // distribution) which stays well-defined, and an empty n1 falls
+        // back to the textbook 0.75
+        when(col("__n1") + lit(2) * col("__n2") > 0,
+          col("__n1").cast("double") / (col("__n1") + lit(2) * col("__n2")).cast("double"))
+          .otherwise(lit(0.75)).as("__d"))
+    KnBigramLM(bigrams, contexts, continuations, stats)
+  }
+
+  /** Per-doc cross-entropy (bits/bigram) under interpolated Kneser-Ney:
+    *
+    *   P(w2|w1) = max(c2 - D, 0)/c1  +  (D * n1p(w1) / c1) * Pcont(w2)
+    *   Pcont(w2) = (cont(w2) + 1) / (B + V + 1)
+    *
+    * with an unseen context backing off to `Pcont` alone. The `+1 / +V+1`
+    * on the continuation distribution reserves out-of-vocabulary mass —
+    * the same convention [[bigramScore]]'s add-one uses, keeping every
+    * probability strictly positive without a <unk> retraining pass.
+    *
+    * Same exactness-portability discipline as [[bigramScore]] (9-decimal
+    * rounded log terms, decimal sum — the `text_kn_xent` gate
+    * hash-checks it against DuckDB), and the same scale shape plus ONE
+    * extra keyed join on w2 for the continuation counts.
+    */
+  def knScore(lm: KnBigramLM, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pcont = (coalesce(col("cont"), lit(0L)) + lit(1)).cast("double") /
+      (col("__b") + col("__v") + lit(1)).cast("double")
+    // explicit coalesce: engines disagree on whether GREATEST skips nulls,
+    // so the unseen-bigram case (c2 null, context seen) must not rely on it
+    val seen = greatest(coalesce(col("c2"), lit(0L)).cast("double") - col("__d"), lit(0.0)) /
+      col("c1").cast("double") +
+      col("__d") * col("n1p").cast("double") / col("c1").cast("double") * pcont
+    val p = when(col("c1").isNotNull, seen).otherwise(pcont)
+    val scored = bigramRows(docs, textCol, Seq(col(idCol).as("id")))
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.contexts, Seq("w1"), "left")
+      .join(lm.continuations, Seq("w2"), "left")
+      .crossJoin(broadcast(lm.stats))
+      .select(col("id"), round(log(2.0, p), 9).cast("decimal(28,9)").as("__t"))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__t")).as("__s"))
+      .select(col("id"), col("n_bigrams"),
+        round((-col("__s")).cast("double") / col("n_bigrams"), 6).as("xent_bits"))
+      .withColumn("ppl", round(pow(lit(2.0), col("xent_bits")), 4))
+  }
+
   /** DSIR-shaped importance weights (Xie '23, "Data Selection via Importance
     * Resampling"): score each doc under a TARGET-domain LM and a RAW-corpus
     * LM; the per-bigram log-likelihood ratio `llr_rate = xent_raw -

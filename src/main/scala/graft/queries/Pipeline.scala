@@ -1403,6 +1403,66 @@ object Pipeline {
           ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent_bits
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney '95,
+    // KenLM's default smoothing): same train/score split as
+    // text_bigram_xent, but the probability interpolates the discounted
+    // bigram estimate with the CONTINUATION distribution —
+    // P = max(c2-D,0)/c1 + D*n1p(w1)/c1 * Pcont(w2), unseen contexts back
+    // off to Pcont, D = n1/(n1+2*n2) from the count-of-counts. The oracle
+    // replays every table (counts, distinct successors, continuations,
+    // discount) and the full interpolation per bigram. ----
+    QuerySpec("text_kn_xent",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val lm = graft.operators.CorpusStats.knTrain(
+          d.where(col("doc_id") % 5 =!= 0), "text")
+        graft.operators.CorpusStats.knScore(lm,
+            d.where(col("doc_id") % 5 === 0), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_bigrams"), col("xent_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $toksSql AS t FROM documents
+        ), bg AS (
+          SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+          FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ), tb AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 5 != 0 GROUP BY 1, 2
+        ), tc AS (
+          SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p FROM tb GROUP BY 1
+        ), tw AS (
+          SELECT w2, COUNT(*) AS cont FROM tb GROUP BY 1
+        ), v AS (
+          SELECT COUNT(DISTINCT t[u.i]) AS nv
+          FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+          WHERE doc_id % 5 != 0
+        ), st AS (
+          SELECT COUNT(*) AS b,
+            CASE WHEN COUNT(*) FILTER (WHERE c2 = 1) + 2 * COUNT(*) FILTER (WHERE c2 = 2) > 0
+              THEN CAST(COUNT(*) FILTER (WHERE c2 = 1) AS DOUBLE) /
+                (COUNT(*) FILTER (WHERE c2 = 1) + 2 * COUNT(*) FILTER (WHERE c2 = 2))
+              ELSE 0.75 END AS d
+          FROM tb
+        ), terms AS (
+          SELECT s.doc_id,
+            CAST(ROUND(ln(
+              CASE WHEN tc.c1 IS NOT NULL THEN
+                GREATEST(COALESCE(tb.c2, 0) - st.d, 0.0) / tc.c1 +
+                st.d * tc.n1p / tc.c1 *
+                  ((COALESCE(tw.cont, 0) + 1) / (st.b + v.nv + 1.0))
+              ELSE (COALESCE(tw.cont, 0) + 1) / (st.b + v.nv + 1.0) END
+            ) / ln(2.0), 9) AS DECIMAL(28,9)) AS term
+          FROM bg s
+          LEFT JOIN tb ON s.w1 = tb.w1 AND s.w2 = tb.w2
+          LEFT JOIN tc ON s.w1 = tc.w1
+          LEFT JOIN tw ON s.w2 = tw.w2
+          CROSS JOIN v CROSS JOIN st
+          WHERE s.doc_id % 5 = 0
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS xent_bits
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- DSIR importance resampling (Xie '23): target LM = sources
     // src0-src3, raw LM = whole train split; held-out docs get the
     // per-bigram log-likelihood ratio, the linearized keep weight, and the

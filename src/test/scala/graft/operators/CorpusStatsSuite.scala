@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 import graft.queries.QueryPack
 
@@ -190,5 +192,60 @@ class CorpusStatsSuite extends SparkTestBase {
       case Array(a, b) => assert(a.getDouble(1) <= b.getDouble(1))
       case _ =>
     }
+  }
+
+  test("kneser-ney: per-context probability mass stays just under one") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a c a b b c d a"), (2L, "b c b d a c c a"),
+      (3L, "d a b c a d")).toDF("id", "text")
+    val lm = CorpusStats.knTrain(train, "text")
+    val st = lm.stats.head()
+    val (b, v, d) = (st.getLong(0), st.getLong(1), st.getDouble(2))
+    assert(d > 0 && d < 1, s"count-of-counts discount out of range: $d")
+    // assemble sum over the FULL vocab of P(w2|w1) per context from the
+    // model tables (independent of knScore): discounted mass + interpolated
+    // continuation mass; the shortfall from 1 is exactly the reserved OOV
+    // mass D*n1p/c1/(B+V+1) scaled by the uniform leftover
+    val contexts = lm.contexts.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bigrams = lm.bigrams.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val cont = lm.continuations.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vocabWords = Seq("a", "b", "c", "d")
+    assert(vocabWords.size == v)
+    contexts.foreach { case (w1, c1, n1p) =>
+      val mass = vocabWords.map { w2 =>
+        val c2 = bigrams.getOrElse((w1, w2), 0L)
+        val pcont = (cont.getOrElse(w2, 0L) + 1).toDouble / (b + v + 1)
+        math.max(c2 - d, 0.0) / c1 + d * n1p / c1 * pcont
+      }.sum
+      assert(mass > 0.9 && mass <= 1.0 + 1e-12,
+        s"context $w1 mass $mass outside (0.9, 1]")
+    }
+  }
+
+  test("kneser-ney beats add-one on held-out cross-entropy") {
+    val d = QueryPack.t(spark, sf(), "documents")
+    val train = d.where(col("doc_id") % 5 =!= 0)
+    val test0 = d.where(col("doc_id") % 5 === 0)
+    val kn = CorpusStats.knScore(CorpusStats.knTrain(train, "text"), test0, "doc_id", "text")
+      .agg(avg(col("xent_bits"))).head().getDouble(0)
+    val addOne = CorpusStats.bigramScore(CorpusStats.bigramTrain(train, "text"),
+        test0, "doc_id", "text")
+      .agg(avg(col("xent_bits"))).head().getDouble(0)
+    assert(kn < addOne,
+      s"KN ($kn bits) should beat add-one ($addOne bits) on held-out text")
+    assert(kn > 0, "cross-entropy must be positive")
+  }
+
+  test("kneser-ney: OOV and unseen-context bigrams score finite via continuation backoff") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a c")).toDF("id", "text")
+    val lm = CorpusStats.knTrain(train, "text")
+    // 'z' is OOV: context z is unseen (backoff to Pcont), and (a z) is an
+    // unseen bigram under a seen context
+    val scored = CorpusStats.knScore(lm,
+      Seq((9L, "z a z b")).toDF("id", "text"), "id", "text").head()
+    assert(scored.getLong(1) == 3L)
+    val x = scored.getDouble(2)
+    assert(!x.isNaN && !x.isInfinite && x > 0, s"backoff produced $x")
   }
 }
