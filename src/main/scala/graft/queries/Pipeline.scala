@@ -1358,6 +1358,29 @@ object Pipeline {
           TRUE AS roundtrip, TRUE AS bounded
         FROM documents ORDER BY doc_id""")),
 
+    // ---- Unigram-LM tokenizer (Kudo '18, SentencePiece's default): EM-
+    // trained piece probabilities, Viterbi-best encode. Same contract gate
+    // shape as BPE: decode(encode(x)) == normText(x) per document (single
+    // chars never prune, OOV floors — encoding is total), piece count
+    // bounded by [words, chars + words]. ----
+    QuerySpec("text_unigram_roundtrip",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val model = graft.functions.Unigram.train(d, "text",
+          vocabSize = 300, sampleSize = 500)
+        val p = graft.functions.Unigram.pieces(s, model)(col("text"))
+        d.select(col("doc_id"), T.normText(col("text")).as("__n"), p.as("__p"))
+          .select(col("doc_id"),
+            size(T.tokens(col("__n"))).as("n_words"),
+            (graft.functions.Bpe.decodePieces(col("__p")) === col("__n")).as("roundtrip"),
+            (size(col("__p")).between(size(T.tokens(col("__n"))),
+              length(col("__n")) + size(T.tokens(col("__n"))))).as("bounded"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, CAST(len($toksSql) AS INT) AS n_words,
+          TRUE AS roundtrip, TRUE AS bounded
+        FROM documents ORDER BY doc_id""")),
+
     // ---- Bigram LM cross-entropy (CCNet-style perplexity filtering):
     // add-one-smoothed bigram model trained on doc_id % 5 != 0, scoring the
     // held-out % 5 == 0 docs. Hash-exact across engines because each log
