@@ -70,7 +70,7 @@ object Sampling {
     * pure map-side column expressions, so the reshard-stability story is
     * identical.
     */
-  private def bucketCol(idCol: String, seed: Long, portable: Boolean): Column =
+  private[graft] def bucketCol(idCol: String, seed: Long, portable: Boolean): Column =
     if (portable)
       pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 15),
         16, 10).cast("long"), lit(10000L))
@@ -160,22 +160,32 @@ object Sampling {
     */
   def temperatureMixture(df: DataFrame, idCol: String, tokenCol: String,
       sourceCol: String, alpha: Double, budgetTokens: Double, seed: Long): DataFrame = {
+    val rated = temperatureRates(df, tokenCol, sourceCol, alpha, budgetTokens)
+    val hash01 = bucketCol(idCol, seed, portable = true).cast("double") / 10000.0
+    df.join(broadcast(rated), Seq(sourceCol))
+      .where(hash01 < col("__rate"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** The tempered per-source keep rates alone — (sourceCol, __rate), the
+    * broadcastable frame [[temperatureMixture]] joins and the static side
+    * a streaming twin pins against a reference corpus
+    * ([[graft.streaming.Streaming.temperatureKeepStream]]).
+    */
+  def temperatureRates(df: DataFrame, tokenCol: String, sourceCol: String,
+      alpha: Double, budgetTokens: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(tokenCol)).cast("double").as("__tot"))
       .where(col("__tot") > 0)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val rated = totals
+    totals
       .withColumn("__pa", pow(col("__tot"), lit(alpha)))
       .withColumn("__z", sum(col("__pa")).over(w))
       .withColumn("__rate",
         least(lit(1.0), col("__pa") / col("__z") * lit(budgetTokens) / col("__tot")))
       .select(col(sourceCol), col("__rate"))
-    val hash01 = bucketCol(idCol, seed, portable = true).cast("double") / 10000.0
-    df.join(broadcast(rated), Seq(sourceCol))
-      .where(hash01 < col("__rate"))
-      .select(df.columns.map(col).toSeq: _*)
   }
 
   /** Single-pass labeled variant of [[hashSplit]]: every row tagged with its

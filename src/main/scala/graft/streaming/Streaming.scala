@@ -357,6 +357,82 @@ object Streaming {
     }
   }
 
+  /** Streaming Kneser-Ney scoring: the twin of
+    * [[graft.operators.CorpusStats.knScore]] with all four model tables
+    * collected and broadcast — one stateless map per doc, no state store.
+    * The interpolation arithmetic and rounding sequence mirror the batch
+    * operator exactly (9-decimal HALF_UP terms, exact decimal sum,
+    * 6-decimal mean); batch-equivalence asserted in StreamingSuite. Emits
+    * (id, n_bigrams, xent_bits); docs with < 2 tokens drop out.
+    */
+  def knScoreStream(lm: graft.operators.CorpusStats.KnBigramLM,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val c2 = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cx = lm.contexts.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cont = lm.continuations.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = lm.stats.collect().head
+    val bc = spark.sparkContext.broadcast((c2, cx, cont, st.getLong(0), st.getLong(1),
+      st.getDouble(2)))
+    val score = udf(new KnScorer(bc))
+    docs.select(col(idCol).as("id"), score(col(textCol)).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col("id"), col("__s._1").as("n_bigrams"), col("__s._2").as("xent_bits"))
+  }
+
+  private final class KnScorer(
+      model: org.apache.spark.broadcast.Broadcast[
+        (Map[(String, String), Long], Map[String, (Long, Long)], Map[String, Long],
+          Long, Long, Double)])
+      extends (String => Option[(Long, Double)]) with Serializable {
+    def apply(text: String): Option[(Long, Double)] = {
+      if (text == null) return None
+      val (c2, cx, cont, b, v, d) = model.value
+      // same exact normText replication contract as BigramScorer
+      val toks = text.replaceAll("^ +", "").replaceAll(" +$", "")
+        .toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").split(" ", -1)
+      if (toks.length < 2) return None
+      var sum = BigDecimal(0)
+      var n = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        val pcont = (cont.getOrElse(toks(i + 1), 0L) + 1.0) / (b + v + 1.0)
+        val p = cx.get(toks(i)) match {
+          case Some((c1, n1p)) =>
+            math.max(c2.getOrElse((toks(i), toks(i + 1)), 0L) - d, 0.0) / c1 +
+              d * n1p / c1 * pcont
+          case None => pcont
+        }
+        sum += BigDecimal(math.log(p) / math.log(2.0))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        n += 1; i += 1
+      }
+      val xent = BigDecimal(-sum.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Some((n, xent))
+    }
+  }
+
+  /** Streaming temperature-mixture keep: the twin of
+    * [[graft.operators.Sampling.temperatureMixture]] with the tempered
+    * rates pinned against a STATIC reference corpus
+    * ([[graft.operators.Sampling.temperatureRates]]) — the stream then
+    * pays one broadcast stream-static join and a map-side hash01 filter,
+    * stateless and reshard-stable, so the keep decision for a given doc is
+    * identical to the batch operator run over reference + doc.
+    */
+  def temperatureKeepStream(referenceRates: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String, seed: Long): DataFrame = {
+    val hash01 = graft.operators.Sampling.bucketCol(idCol, seed, portable = true)
+      .cast("double") / 10000.0
+    docs.join(broadcast(referenceRates), Seq(sourceCol))
+      .where(hash01 < col("__rate"))
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+
   /** foreachBatch adapter for FULL incremental ingest dedup (exact + near):
     * near-dup conviction aggregates LSH candidates per doc, which an
     * append-mode stream cannot express statelessly, so each micro-batch runs

@@ -367,4 +367,43 @@ class StreamingSuite extends SparkTestBase {
       }
     assert(snap.orderBy("user_id").collect().toSeq == want)
   }
+
+  test("streaming KN scoring equals its batch twin exactly") {
+    import graft.operators.CorpusStats
+    val docs = QueryPack.t(spark, sf(), "documents")
+    val lm = CorpusStats.knTrain(docs.where(col("doc_id") % 5 =!= 0), "text")
+    val score = docs.where(col("doc_id") % 5 === 0)
+    val batch = CorpusStats.knScore(lm, score, "doc_id", "text")
+      .select(col("id"), col("n_bigrams"), col("xent_bits")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-kn").toString
+    score.write.mode("overwrite").parquet(dir)
+    val streamed = Streaming.runToMemory(
+        Streaming.knScoreStream(lm,
+          Streaming.fileStream(spark, dir, score.schema), "doc_id", "text"),
+        "kn_stream")
+      .select("id", "n_bigrams", "xent_bits").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch, s"stream head ${streamed.take(3)} vs batch ${batch.take(3)}")
+  }
+
+  test("streaming temperature keep equals the batch mixture over the same corpus") {
+    import graft.operators.Sampling
+    import graft.functions.{TextFunctions => T}
+    val docs = QueryPack.t(spark, sf(), "documents")
+      .withColumn("n_tok", T.tokenCount(col("text")).cast("long"))
+    val batch = Sampling.temperatureMixture(docs, "doc_id", "n_tok", "source",
+        alpha = 0.5, budgetTokens = 3000.0, seed = 23L)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val rates = Sampling.temperatureRates(docs, "n_tok", "source", 0.5, 3000.0)
+      .localCheckpoint(true) // the static side of the stream-static join
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-temp").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val streamed = Streaming.runToMemory(
+        Streaming.temperatureKeepStream(rates,
+          Streaming.fileStream(spark, dir, docs.schema), "doc_id", "source", seed = 23L),
+        "temp_stream")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed == batch)
+  }
 }
