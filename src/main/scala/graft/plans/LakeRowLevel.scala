@@ -160,19 +160,18 @@ class LakeRowLevelRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved =>
       lakeTarget(m.targetTable) match {
         case Some((rel, handle)) =>
-          require(m.notMatchedBySourceActions.isEmpty,
-            "WHEN NOT MATCHED BY SOURCE is not supported on native lake tables")
           val tIds = ids(rel.output)
           val sIds = ids(m.sourceTable.output)
           def rq(e: Expression): ExprBox = requalify(e, tIds, sIds)
-          val matched = m.matchedActions.map {
+          def rowAction(a: MergeAction, clause: String): BoxedAction = a match {
             case ua: UpdateAction =>
               BoxedUpdate(ua.condition.map(rq),
-                ua.assignments.map(a => assignmentKey(a) -> rq(a.value)))
+                ua.assignments.map(x => assignmentKey(x) -> rq(x.value)))
             case da: DeleteAction => BoxedDelete(da.condition.map(rq))
             case other => throw new UnsupportedOperationException(
-              s"unsupported WHEN MATCHED action: $other")
+              s"unsupported $clause action: $other")
           }
+          val matched = m.matchedActions.map(rowAction(_, "WHEN MATCHED"))
           val notMatched = m.notMatchedActions.map {
             case ia: InsertAction =>
               BoxedInsert(ia.condition.map(rq),
@@ -180,8 +179,10 @@ class LakeRowLevelRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case other => throw new UnsupportedOperationException(
               s"unsupported WHEN NOT MATCHED action: $other")
           }
+          val nmbs = m.notMatchedBySourceActions
+            .map(rowAction(_, "WHEN NOT MATCHED BY SOURCE"))
           LakeMergeCommand(handle, m.sourceTable, rq(m.mergeCondition),
-            matched, notMatched)
+            matched, notMatched, nmbs)
         case None => m
       }
   }
@@ -262,15 +263,19 @@ case class LakeUpdateCommand(handle: RowLevelHandle,
   * WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE   (any number, first
   * matching clause wins — SQL standard order)
   * WHEN NOT MATCHED [AND c] THEN INSERT ...
+  * WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE ... | DELETE
   *
   * Copy-on-write shape: touched target files = files with >= 1 join match
-  * (one semi-join); only their rows join again for the rewrite, everything
-  * else never moves. Inserts ride in the same commit. A target row
-  * matching more than one source row errors (the standard's cardinality
-  * rule, same behavior as the Delta runtime).
+  * (one semi-join), plus — only when NOT MATCHED BY SOURCE clauses exist —
+  * files holding a sourceless row some clause fires on (one anti-join);
+  * only their rows join again for the rewrite, everything else never
+  * moves. Inserts ride in the same commit. A target row matching more
+  * than one source row errors (the standard's cardinality rule, same
+  * behavior as the Delta runtime).
   */
 case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
-    cond: ExprBox, matched: Seq[BoxedAction], notMatched: Seq[BoxedInsert])
+    cond: ExprBox, matched: Seq[BoxedAction], notMatched: Seq[BoxedInsert],
+    notMatchedBySource: Seq[BoxedAction] = Nil)
     extends LakeRowLevelCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -281,7 +286,16 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
     val c = cond.column
     val cols = tableCols(tgt)
 
-    val files = matchedFiles(tgt.join(srcBase.as(SourceQual), c, "left_semi"), lit(true))
+    val matchedF = matchedFiles(tgt.join(srcBase.as(SourceQual), c, "left_semi"), lit(true))
+    val nmbsF =
+      if (notMatchedBySource.isEmpty) Nil
+      else {
+        val fires = notMatchedBySource
+          .map(_.cond.map(b => coalesce(b.column, lit(false))).getOrElse(lit(true)))
+          .reduce(_ || _)
+        matchedFiles(tgt.join(srcBase.as(SourceQual), c, "left_anti"), fires)
+      }
+    val files = (matchedF ++ nmbsF).distinct
 
     def clauseIx(actions: Seq[BoxedAction]): Column =
       // first matching clause wins: index 1..n, 0 = no clause applies
@@ -309,25 +323,34 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
         s"MERGE cardinality violation on ${handle.describe}: a target row " +
           "matches more than one source row")
       val action = when(col("__gsrc").isNotNull, clauseIx(matched)).otherwise(lit(0))
-      val deleteIxs = matched.zipWithIndex.collect {
-        case (_: BoxedDelete, i) => i + 1
-      }
-      val outCols = cols.map { n =>
-        val old = col(s"$TargetQual.`$n`")
-        val updated = matched.zipWithIndex.foldRight(old) {
+      val nmbsAction =
+        if (notMatchedBySource.isEmpty) lit(0)
+        else when(col("__gsrc").isNull, clauseIx(notMatchedBySource)).otherwise(lit(0))
+      def deleteIxsOf(actions: Seq[BoxedAction]): Seq[Int] =
+        actions.zipWithIndex.collect { case (_: BoxedDelete, i) => i + 1 }
+      def updateChain(actions: Seq[BoxedAction], ixCol: String, n: String,
+          base: Column): Column =
+        actions.zipWithIndex.foldRight(base) {
           case ((BoxedUpdate(_, sets), i), rest) =>
             sets.toMap.get(n) match {
-              case Some(v) => when(col("__action") === (i + 1), v.column).otherwise(rest)
+              case Some(v) => when(col(ixCol) === (i + 1), v.column).otherwise(rest)
               case None => rest
             }
           case (_, rest) => rest
         }
-        updated.as(n)
+      val outCols = cols.map { n =>
+        val old = col(s"$TargetQual.`$n`")
+        updateChain(matched, "__action",  n,
+          updateChain(notMatchedBySource, "__nmbs", n, old)).as(n)
       }
       val withAction = marked.withColumn("__action", action)
-      Some((if (deleteIxs.isEmpty) withAction
-            else withAction.where(!col("__action").isin(deleteIxs: _*)))
-        .select(outCols: _*))
+        .withColumn("__nmbs", nmbsAction)
+      val delM = deleteIxsOf(matched)
+      val delN = deleteIxsOf(notMatchedBySource)
+      val kept = withAction
+        .where((if (delM.isEmpty) lit(true) else !col("__action").isin(delM: _*)) &&
+          (if (delN.isEmpty) lit(true) else !col("__nmbs").isin(delN: _*)))
+      Some(kept.select(outCols: _*))
     }
 
     // WHEN NOT MATCHED inserts: source rows with no target partner at all

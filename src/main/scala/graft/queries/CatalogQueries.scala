@@ -1232,6 +1232,67 @@ object CatalogQueries {
           CAST(n_regionkey AS INT) AS n_regionkey
         FROM nation ORDER BY n_nationkey""")),
 
+    // ---- MERGE sync (the dimension-table refresh shape): source = keys
+    // < 10 with re-labeled names plus a new key 990; matched rows update,
+    // new keys insert, and WHEN NOT MATCHED BY SOURCE deletes everything
+    // the source no longer carries except region-4 rows, which get
+    // tombstoned instead. Exercises all four clause families in one
+    // statement. ----
+    QuerySpec("src_delta_merge_sync",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_sync")
+        val done = new java.io.File(lakeDir, "nation_sync.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dsync OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.dsync.nation_sync " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT) PARTITIONED BY (n_regionkey)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_sync_src")
+          s.sql("INSERT INTO graft.datasource.lakew.dsync.nation_sync " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_sync_src")
+          s.sql("SELECT CAST(n_nationkey AS INT) AS k, concat('S-', n_name) AS nm " +
+            "FROM __nation_sync_src WHERE n_nationkey < 10 " +
+            "UNION ALL SELECT 990, 'S-NEW'").createOrReplaceTempView("__nation_sync_batch")
+          s.sql(
+            """MERGE INTO graft.datasource.lakew.dsync.nation_sync t
+              |USING __nation_sync_batch s ON t.n_nationkey = s.k
+              |WHEN MATCHED THEN UPDATE SET n_name = s.nm
+              |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+              |  VALUES (s.k, s.nm, 0)
+              |WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 4 THEN
+              |  UPDATE SET n_name = 'TOMBSTONE'
+              |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.dsync.nation_sync ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""WITH base AS (SELECT CAST(n_nationkey AS INT) AS k, n_name,
+            CAST(n_regionkey AS INT) AS r FROM nation),
+          src AS (SELECT k, 'S-' || n_name AS nm FROM base WHERE k < 10
+            UNION ALL SELECT 990, 'S-NEW'),
+          kept AS (
+            SELECT b.k,
+              CASE WHEN s.k IS NOT NULL THEN s.nm
+                   WHEN b.r = 4 THEN 'TOMBSTONE'
+                   ELSE b.n_name END AS nm,
+              b.r
+            FROM base b LEFT JOIN src s ON b.k = s.k
+            WHERE s.k IS NOT NULL OR b.r = 4),
+          merged AS (
+            SELECT * FROM kept
+            UNION ALL
+            SELECT s.k, s.nm, 0 FROM src s
+            WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k))
+        SELECT k AS n_nationkey, nm AS n_name, r AS n_regionkey
+        FROM merged ORDER BY n_nationkey""")),
+
     // ---- VACUUM LAKE TABLE: INSERT everything, INSERT OVERWRITE the
     // < 15 subset (the full files become history-only), VACUUM RETAIN 1 —
     // the old files must leave the disk while the overwrite snapshot reads

@@ -271,4 +271,42 @@ class LakeRowLevelSuite extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       (0L until 12L).filterNot(i => i == 3L || i == 6L))
   }
+
+  test("delta: MERGE WHEN NOT MATCHED BY SOURCE deletes and updates sourceless rows") {
+    import spark.implicits._
+    val root = setupDelta("d6")
+    // classic dimension sync: source holds keys 0..5 with new labels;
+    // everything else in the target must go, except p=2 rows which get
+    // flagged instead of deleted
+    (0L until 6L).map(i => (i, s"sync-$i")).toDF("sid", "sv")
+      .createOrReplaceTempView("__rl_sync_src")
+    spark.sql(
+      """MERGE INTO graft.datasource.rl.d6.t t USING __rl_sync_src s ON t.id = s.sid
+        |WHEN MATCHED THEN UPDATE SET v = s.sv
+        |WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.sid, s.sv, 0)
+        |WHEN NOT MATCHED BY SOURCE AND t.p = 2 THEN UPDATE SET v = 'stale'
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |""".stripMargin)
+    val rows = spark.table("graft.datasource.rl.d6.t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    // keys 0..5 synced; keys >= 6: p=2 rows (8, 11) flagged stale, others gone
+    val expected = (0L until 6L).map(i => (i, s"sync-$i", (i % 3).toInt)) ++
+      Seq((8L, "stale", 2), (11L, "stale", 2))
+    assert(rows == expected, s"got $rows")
+    val _ = root
+  }
+
+  test("delta: MERGE NMBS with no matched clauses still rewrites the right files") {
+    import spark.implicits._
+    val root = setupDelta("d7")
+    // source matches nothing; the only effect is the NMBS delete of p=0
+    Seq((999L, "x")).toDF("sid", "sv").createOrReplaceTempView("__rl_nmbs_src")
+    spark.sql(
+      """MERGE INTO graft.datasource.rl.d7.t t USING __rl_nmbs_src s ON t.id = s.sid
+        |WHEN NOT MATCHED BY SOURCE AND t.p = 0 THEN DELETE""".stripMargin)
+    val ids = spark.table("graft.datasource.rl.d7.t")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 12L).filterNot(_ % 3 == 0))
+    val _ = root
+  }
 }
