@@ -1490,6 +1490,84 @@ object CatalogQueries {
             .orderBy(col("n_nationkey"))
         } finally server.stop()
       },
-      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // ---- DELTA CHANGE DATA FEED through the native reader: v0 blind-
+    // appends one file per region (derived inserts), v1 is a protocol-
+    // shaped UPDATE — a cdc action listing a `_change_data/` file of
+    // update_preimage/update_postimage rows for region 2 PLUS the state
+    // transition (remove r2 / add rewritten r2b) whose add/remove must NOT
+    // contribute change rows when cdc is present — and v2 deletes region
+    // 4's file outright (derived full-file delete, read at its v1 state).
+    // The feed surfaces via the delta-spark-shaped `readChangeFeed`
+    // registration options; the oracle rebuilds all three commits
+    // relationally from nation. ----
+    QuerySpec("lake_delta_cdf",
+      (s, dir) => {
+        setup(s, dir)
+        import graft.sources.lake.LakeWrite
+        import org.apache.hadoop.fs.Path
+        val lakeDir = new java.io.File(wh(dir), "lake")
+        val tableDir = new java.io.File(lakeDir, "nation_cdf")
+        if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_cdf.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val nation = QueryPack.t(s, dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+          def regionFile(rk: Int, name: String, upper: Boolean): Long = {
+            val base = nation.where(col("n_regionkey") === rk)
+              .coalesce(1).sortWithinPartitions("n_nationkey")
+            val d = if (upper) base.withColumn("n_name", org.apache.spark.sql.functions.upper(col("n_name"))) else base
+            LakeWrite.writeOneParquetFile(d, new Path(root, name))
+          }
+          val sizes = (0 to 4).map(rk => rk -> regionFile(rk, s"r$rk.parquet", upper = false)).toMap
+          LakeWrite.deltaCommit(conf, root, 0,
+            Seq(LakeWrite.deltaCommitInfo(1700000000000L), LakeWrite.deltaProtocol(),
+              LakeWrite.deltaMetaData("nation-cdf-fixture", nation.schema, Nil,
+                Map("delta.enableChangeDataFeed" -> "true"))) ++
+              (0 to 4).map(rk => LakeWrite.deltaAdd(s"r$rk.parquet", sizes(rk),
+                1700000000000L, Map.empty)))
+          // v1: UPDATE region 2 names to upper-case — cdc file + rewrite
+          val r2 = nation.where(col("n_regionkey") === 2)
+          val changeRows = r2.withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("update_preimage"))
+            .unionByName(r2.withColumn("n_name",
+                org.apache.spark.sql.functions.upper(col("n_name")))
+              .withColumn("_change_type",
+                org.apache.spark.sql.functions.lit("update_postimage")))
+            .coalesce(1).sortWithinPartitions("_change_type", "n_nationkey")
+          val cdcSize = LakeWrite.writeOneParquetFile(changeRows,
+            new Path(root, "_change_data/cdc-1.parquet"))
+          val r2bSize = regionFile(2, "r2b.parquet", upper = true)
+          LakeWrite.deltaCommit(conf, root, 1,
+            Seq(LakeWrite.deltaCommitInfo(1700000100000L),
+              LakeWrite.deltaCdc("_change_data/cdc-1.parquet", cdcSize, Map.empty),
+              LakeWrite.deltaRemove("r2.parquet", 1700000100000L),
+              LakeWrite.deltaAdd("r2b.parquet", r2bSize, 1700000100000L, Map.empty)))
+          // v2: full-file DELETE of region 4 (no cdc — derived per protocol)
+          LakeWrite.deltaCommit(conf, root, 2,
+            Seq(LakeWrite.deltaCommitInfo(1700000200000L),
+              LakeWrite.deltaRemove("r4.parquet", 1700000200000L)))
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE cdfsrc OPTIONS (path '${lakeDir.getPath}', readChangeFeed 'true') NAMESPACE graft.datasource.lake")
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey,
+            |  _change_type AS change_type, _commit_version AS commit_version
+            |FROM graft.datasource.lake.cdfsrc.nation_cdf
+            |ORDER BY commit_version, change_type, n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey,
+          'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version FROM nation
+        UNION ALL SELECT n_nationkey, n_name, n_regionkey,
+          'update_preimage', 1 FROM nation WHERE n_regionkey = 2
+        UNION ALL SELECT n_nationkey, upper(n_name), n_regionkey,
+          'update_postimage', 1 FROM nation WHERE n_regionkey = 2
+        UNION ALL SELECT n_nationkey, n_name, n_regionkey,
+          'delete', 2 FROM nation WHERE n_regionkey = 4
+        ORDER BY commit_version, change_type, n_nationkey"""))
   )
 }

@@ -545,4 +545,198 @@ object DeltaLite {
   def read(spark: SparkSession, dir: Path, version: Option[Long] = None,
       timestampMs: Option[Long] = None): DataFrame =
     toDataFrame(spark, snapshot(spark, dir, version, timestampMs))
+
+  /** Latest committed version (max of commit + checkpoint versions). */
+  def latestVersion(spark: SparkSession, dir: Path): Long = {
+    val log = listLog(spark.sparkContext.hadoopConfiguration, dir)
+    require(log.commits.nonEmpty || log.checkpoints.nonEmpty, s"empty Delta log under $dir")
+    (log.commits.map(_._1) ++ log.checkpoints.keys).max
+  }
+
+  // ---- Change Data Feed (delta.io protocol "Change Data Files") ----
+
+  /** CDF metadata columns appended to the table schema by [[changes]]. */
+  val CdfTypeCol = "_change_type"
+  val CdfVersionCol = "_commit_version"
+  val CdfTimestampCol = "_commit_timestamp"
+
+  /** Table-changes read over commits `[fromVersion, toVersion]` (both
+    * inclusive; `toVersion` defaults to the latest version), per the public
+    * Delta protocol's CDF contract:
+    *
+    *  - a commit carrying `cdc` actions: the change rows are EXACTLY the
+    *    `_change_data/` files those actions list (each row carries its
+    *    `_change_type` in-file — `update_preimage` / `update_postimage` /
+    *    `insert` / `delete`); the commit's add/remove actions describe the
+    *    table-state transition only and contribute no change rows;
+    *  - a commit without `cdc` actions: `add(dataChange=true)` files are
+    *    wholesale inserts (blind append) and `remove(dataChange=true)`
+    *    files are wholesale deletes (full-file delete, e.g. a partition
+    *    DELETE) — the protocol requires CDF-enabled writers to emit `cdc`
+    *    actions for every row-level rewrite, so a non-cdc commit carrying
+    *    BOTH data-changing adds and removes (a copy-on-write rewrite
+    *    recorded without change files) is rejected rather than guessed at;
+    *  - `dataChange=false` commits (OPTIMIZE / clustering) move bytes, not
+    *    rows: no change rows.
+    *
+    * Derived deletes read the removed file's rows AS OF the predecessor
+    * version (its deletion vector, if any, still applied), so a DV-masked
+    * row never "reappears" in the feed. Everything stays a distributed
+    * parquet scan over exactly the changed files — per-commit work is
+    * metadata-only on the driver, so a 100 TB table's feed costs only the
+    * changed bytes.
+    *
+    * Schema drift inside the range is rejected (same posture as delta-spark
+    * without schema-evolution mode); the end-of-range schema serves the
+    * whole feed. Output = table schema + [[CdfTypeCol]], [[CdfVersionCol]],
+    * [[CdfTimestampCol]].
+    */
+  def changes(spark: SparkSession, dir: Path, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val log = listLog(conf, dir)
+    require(log.commits.nonEmpty || log.checkpoints.nonEmpty, s"empty Delta log under $dir")
+    val latest = (log.commits.map(_._1) ++ log.checkpoints.keys).max
+    val to = toVersion.getOrElse(latest)
+    require(fromVersion >= 0 && fromVersion <= to && to <= latest,
+      s"CDF range [$fromVersion, ${toVersion.map(_.toString).getOrElse("latest")}] " +
+        s"not within Delta log [0, $latest]")
+    val endSnap = snapshot(spark, dir, version = Some(to))
+    endSnap.schema.fieldNames.intersect(Seq(CdfTypeCol, CdfVersionCol, CdfTimestampCol))
+      .foreach(c => throw new UnsupportedOperationException(
+        s"table column '$c' collides with a CDF metadata column"))
+
+    // live-file state entering the range, for derived full-file deletes
+    val state = scala.collection.mutable.HashMap[String, (LakeFile, Option[DvDescriptor])]()
+    if (fromVersion > 0) {
+      val pre = snapshot(spark, dir, version = Some(fromVersion - 1))
+      require(pre.schema == endSnap.schema,
+        s"schema changed inside CDF range [$fromVersion, $to]; not supported")
+      pre.fileIds.zip(pre.files).foreach { case (id, f) => state(id) = (f, pre.dvs.get(id)) }
+    }
+
+    val inRange = log.commits.filter { case (v, _) => v >= fromVersion && v <= to }.sortBy(_._1)
+    require(inRange.map(_._1) == (fromVersion to to),
+      s"Delta commit files missing inside CDF range [$fromVersion, $to] " +
+        s"(have ${inRange.map(_._1).mkString(",")}); log truncated?")
+
+    val physPartNames: Map[String, String] = endSnap.physSchema match {
+      case Some(ps) => endSnap.partitionColumns
+        .map(c => c -> ps.fields(endSnap.schema.fieldIndex(c)).name).toMap
+      case None => Map.empty
+    }
+    def typedParts(raw: Map[String, Option[String]]): Seq[Any] =
+      endSnap.partitionSchema.map { pf =>
+        val k = physPartNames.getOrElse(pf.name, pf.name)
+        raw.get(k).orElse(raw.get(pf.name)).flatten
+          .map(parsePartitionValue(_, pf.dataType)).orNull
+      }
+    def lakeFile(path: String, size: Long, modTime: Long,
+        raw: Map[String, Option[String]]): LakeFile =
+      LakeFile(resolvePath(dir, path), size, modTime, typedParts(raw))
+
+    val cdfField = StructField(CdfTypeCol, StringType, nullable = false)
+    // `_change_data` files carry `_change_type` as an ordinary in-file
+    // column (never partition-mapped, even under column mapping)
+    val cdcSnapSchema = StructType(endSnap.schema.fields :+ cdfField)
+    val cdcSnapPhys = endSnap.physSchema.map(ps => StructType(ps.fields :+ cdfField))
+
+    val fs = new Path(dir, "_delta_log").getFileSystem(conf)
+    val frames = Seq.newBuilder[DataFrame]
+    inRange.foreach { case (v, st) =>
+      val ts = new java.sql.Timestamp(commitTimestamp(conf, st))
+      var cdc = Vector.empty[(String, Long, Map[String, Option[String]])]
+      var adds = Vector.empty[(String, Long, Long, Map[String, Option[String]], Option[DvDescriptor], Boolean)]
+      var removes = Vector.empty[(String, Boolean)]
+      readLines(fs, st).foreach { line =>
+        val j = JsonMethods.parse(line)
+        def rawParts(v: JValue): Map[String, Option[String]] = (v \ "partitionValues") match {
+          case JObject(kv) => kv.map {
+            case (k, JString(s)) => k -> Some(s)
+            case (k, _) => k -> None
+          }.toMap
+          case _ => Map.empty
+        }
+        (j \ "metaData" \ "schemaString") match {
+          case JString(s) => require(DataType.fromJson(s) == endSnap.schema,
+            s"schema changed at version $v inside CDF range [$fromVersion, $to]; not supported")
+          case _ =>
+        }
+        (j \ "cdc") match {
+          case c: JObject =>
+            cdc :+= (((c \ "path").extract[String], (c \ "size").extract[Long], rawParts(c)))
+          case _ =>
+        }
+        (j \ "add") match {
+          case a: JObject =>
+            val dv = (a \ "deletionVector") match {
+              case d: JObject => Some(DvDescriptor(
+                (d \ "storageType").extract[String],
+                (d \ "pathOrInlineDv").extract[String],
+                (d \ "offset").extractOrElse[Long](0L),
+                (d \ "sizeInBytes").extract[Int],
+                (d \ "cardinality").extract[Long]))
+              case _ => None
+            }
+            adds :+= (((a \ "path").extract[String], (a \ "size").extract[Long],
+              (a \ "modificationTime").extractOrElse[Long](0L), rawParts(a), dv,
+              (a \ "dataChange").extractOrElse[Boolean](true)))
+          case _ =>
+        }
+        (j \ "remove") match {
+          case r: JObject =>
+            removes :+= (((r \ "path").extract[String],
+              (r \ "dataChange").extractOrElse[Boolean](true)))
+          case _ =>
+        }
+      }
+
+      def scan(files: Seq[(String, LakeFile, Option[DvDescriptor])],
+          schema: StructType, phys: Option[StructType]): DataFrame =
+        toDataFrame(spark, Snapshot(v, schema, endSnap.partitionColumns,
+          files.map(_._2), dir, fileIds = files.map(_._1),
+          dvs = files.collect { case (id, _, Some(d)) => id -> d }.toMap,
+          physSchema = phys))
+
+      if (cdc.nonEmpty) {
+        frames += scan(cdc.map { case (p, size, raw) => (p, lakeFile(p, size, 0L, raw), None) },
+            cdcSnapSchema, cdcSnapPhys)
+          .withColumn(CdfVersionCol, lit(v)).withColumn(CdfTimestampCol, lit(ts))
+      } else {
+        val ins = adds.filter(_._6)
+        val del = removes.filter(_._2)
+        require(ins.isEmpty || del.isEmpty,
+          s"version $v rewrites rows (data-changing adds AND removes) without cdc actions; " +
+            "row-level changes cannot be derived — was delta.enableChangeDataFeed set when it committed?")
+        if (ins.nonEmpty)
+          frames += scan(ins.map { case (p, size, mt, raw, dv, _) => (p, lakeFile(p, size, mt, raw), dv) },
+              endSnap.schema, endSnap.physSchema)
+            .withColumn(CdfTypeCol, lit("insert"))
+            .withColumn(CdfVersionCol, lit(v)).withColumn(CdfTimestampCol, lit(ts))
+        if (del.nonEmpty) {
+          val resolved = del.map { case (p, _) =>
+            val (f, dv) = state.getOrElse(p, throw new IllegalStateException(
+              s"version $v removes '$p' which is not live entering the version (blind remove)"))
+            (p, f, dv)
+          }
+          frames += scan(resolved, endSnap.schema, endSnap.physSchema)
+            .withColumn(CdfTypeCol, lit("delete"))
+            .withColumn(CdfVersionCol, lit(v)).withColumn(CdfTimestampCol, lit(ts))
+        }
+      }
+
+      // table-state transition applies whether or not the commit carried cdc
+      adds.foreach { case (p, size, mt, raw, dv, _) => state(p) = (lakeFile(p, size, mt, raw), dv) }
+      removes.foreach { case (p, _) => state.remove(p): Unit }
+    }
+
+    val built = frames.result()
+    if (built.isEmpty) {
+      val out = StructType(endSnap.schema.fields ++ Seq(cdfField,
+        StructField(CdfVersionCol, LongType, nullable = false),
+        StructField(CdfTimestampCol, TimestampType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out)
+    } else built.reduce(_.unionByName(_))
+  }
 }

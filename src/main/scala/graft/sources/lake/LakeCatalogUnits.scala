@@ -69,6 +69,15 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       throw new NoSuchTableException((ds.namespace ++ rest :+ name).toSeq))
   }
 
+  // Change Data Feed surface, mirroring delta-spark's public read options:
+  // `readChangeFeed 'true'` (+ optional `startingVersion` / `endingVersion`)
+  // on the REGISTER turns every table of this datasource into its change
+  // feed — table schema + _change_type/_commit_version/_commit_timestamp.
+  private val readChangeFeed =
+    ds.options.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+  private val startingVersion = ds.options.get("startingVersion").map(_.toLong)
+  private val endingVersion = ds.options.get("endingVersion").map(_.toLong)
+
   /** The snapshot is resolved ONCE here and captured by the scan closure:
     * re-replaying the log per scan would both duplicate the driver IO and
     * let a commit racing between load and scan desync the declared schema
@@ -77,6 +86,7 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     */
   override def loadTable(spark: SparkSession, rest: Seq[String], name: String,
       schemaOverride: Option[StructType]): Table = {
+    if (readChangeFeed) return loadChanges(spark, rest, name)
     val dir = dirFor(spark, rest, name)
     val snap = DeltaLite.snapshot(spark, dir)
     val handle = new LakeRowLevel.RowLevelHandle {
@@ -106,6 +116,19 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     val dir = new Path((Seq(basePath) ++ rest :+ name).mkString("/"))
     LakeNativeWrite.deltaCreate(spark, dir, schema, partitionCols)
     loadTable(spark, rest, name, None)
+  }
+
+  /** Table-changes read ([[DeltaLite.changes]]); the version range pins at
+    * load time (endingVersion, or the latest commit then) so concurrent
+    * commits between load and scan cannot shift the feed under the query.
+    */
+  def loadChanges(spark: SparkSession, rest: Seq[String], name: String): Table = {
+    val dir = dirFor(spark, rest, name)
+    val from = startingVersion.getOrElse(0L)
+    val resolvedTo = endingVersion.orElse(Some(DeltaLite.latestVersion(spark, dir)))
+    val df = DeltaLite.changes(spark, dir, from, resolvedTo)
+    new DataFrameV1Table(s"$name@cdf", df.schema,
+      s => DeltaLite.changes(s, dir, from, resolvedTo))
   }
 
   /** Programmatic time travel (SQL `VERSION AS OF` stays Iceberg-only for

@@ -97,6 +97,25 @@ object LakeWrite {
       "deletionTimestamp" -> JInt(deletionTimestamp),
       "dataChange" -> JBool(true))))
 
+  /** A remove that moves bytes, not rows (OPTIMIZE / clustering). */
+  def deltaRemoveNoDataChange(relPath: String, deletionTimestamp: Long): String =
+    JsonMethods.compact(JObject("remove" -> JObject(
+      "path" -> JString(relPath),
+      "deletionTimestamp" -> JInt(deletionTimestamp),
+      "dataChange" -> JBool(false))))
+
+  /** A cdc action: one `_change_data/` file of change rows (each row
+    * carries its `_change_type` in-file). Per the protocol cdc actions
+    * always have `dataChange=false` — they describe the change feed, not
+    * the table state.
+    */
+  def deltaCdc(relPath: String, size: Long, partitionValues: Map[String, String]): String =
+    JsonMethods.compact(JObject("cdc" -> JObject(
+      "path" -> JString(relPath),
+      "partitionValues" -> JObject(partitionValues.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "size" -> JInt(size),
+      "dataChange" -> JBool(false))))
+
   def deltaCommitInfo(timestamp: Long): String =
     JsonMethods.compact(JObject("commitInfo" -> JObject("timestamp" -> JInt(timestamp))))
 
