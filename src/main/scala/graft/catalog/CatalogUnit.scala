@@ -37,7 +37,8 @@ trait CatalogUnit {
     * reject, FileCatalogUnit.scala:151-154).
     */
   def createTable(spark: SparkSession, rest: Seq[String], name: String,
-      schema: StructType, partitionCols: Seq[String]): Table =
+      schema: StructType, partitionCols: Seq[String],
+      properties: Map[String, String] = Map.empty): Table =
     throw new UnsupportedOperationException(
       s"CREATE TABLE not supported for this datasource type")
 }

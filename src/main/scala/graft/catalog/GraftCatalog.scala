@@ -156,8 +156,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               case t => throw new UnsupportedOperationException(
                 s"partition transform $t not supported by the native lake writer (identity only)")
             }
+            // Spark injects bookkeeping properties (provider, location,
+            // owner); pass through only what the user wrote
+            val userProps = properties.asScala.toMap -- Seq(
+              "provider", "location", "owner", "external", "comment")
             u.createTable(spark, rest.dropRight(1), ident.name,
-              org.apache.spark.sql.GraftSQLBridge.v2ColumnsToStructType(columns), partCols)
+              org.apache.spark.sql.GraftSQLBridge.v2ColumnsToStructType(columns), partCols,
+              userProps)
           case _ => throw new UnsupportedOperationException(
             s"CREATE TABLE not supported for ${ds.sourceType} datasources " +
               "(reference: FileCatalogUnit.scala:151-154)")

@@ -34,6 +34,12 @@ object LakeRowLevel {
   val FileIdCol = "__gfid"
   val RowIxCol = "__grix"
 
+  /** Change-row marker column handed to
+    * [[RowLevelHandle.commitRewriteWithChanges]] (the Delta CDF spelling;
+    * format-agnostic here — the handle decides what to do with it).
+    */
+  val ChangeTypeCol = "_change_type"
+
   /** Dataset aliases used to re-qualify captured expressions. */
   val TargetQual = "__graft_t"
   val SourceQual = "__graft_s"
@@ -55,6 +61,24 @@ object LakeRowLevel {
       */
     def commitRewrite(spark: SparkSession, removedFileIds: Seq[String],
         replacement: DataFrame): Unit
+    /** True when the format wants the DML commands to capture row-level
+      * change rows (Delta with `delta.enableChangeDataFeed = true`) and
+      * commit through [[commitRewriteWithChanges]].
+      */
+    def wantsChangeRows: Boolean = false
+    /** [[commitRewrite]] plus the commit's change rows (logical table
+      * columns + `_change_type`: insert / delete / update_preimage /
+      * update_postimage). Formats without a change feed ignore the rows.
+      */
+    def commitRewriteWithChanges(spark: SparkSession, removedFileIds: Seq[String],
+        replacement: DataFrame, changeRows: DataFrame): Unit =
+      commitRewrite(spark, removedFileIds, replacement)
+    /** A rewrite that moves bytes, not rows (OPTIMIZE / re-clustering):
+      * formats with a change feed mark it so the feed skips the commit.
+      */
+    def commitCompaction(spark: SparkSession, removedFileIds: Seq[String],
+        replacement: DataFrame): Unit =
+      commitRewrite(spark, removedFileIds, replacement)
     /** (file id, size in bytes, partition-group key) of every live data
       * file — OPTIMIZE's bin-packing input, driver-held exactly like the
       * formats' own file lists. Files sharing a group key can be packed
@@ -219,12 +243,17 @@ case class LakeDeleteCommand(handle: RowLevelHandle, cond: ExprBox)
     val files = matchedFiles(df, c)
     if (files.nonEmpty) {
       val cols = tableCols(df)
+      val touched = df.where(col(FileIdCol).isin(files: _*))
       // rows of touched files that do NOT match survive (a null predicate
       // is not a match, so its rows are kept)
-      val kept = df.where(col(FileIdCol).isin(files: _*))
-        .where(!coalesce(c, lit(false)))
+      val kept = touched.where(!coalesce(c, lit(false)))
         .select(cols.map(n => col(s"`$n`")): _*)
-      handle.commitRewrite(spark, files, kept)
+      if (handle.wantsChangeRows) {
+        val deleted = touched.where(coalesce(c, lit(false)))
+          .select(cols.map(n => col(s"`$n`")): _*)
+          .withColumn(ChangeTypeCol, lit("delete"))
+        handle.commitRewriteWithChanges(spark, files, kept, deleted)
+      } else handle.commitRewrite(spark, files, kept)
     }
     Seq(Row(files.size.toLong))
   }
@@ -250,8 +279,18 @@ case class LakeUpdateCommand(handle: RowLevelHandle,
           case None => col(s"`$n`")
         }
       }
-      val rewritten = df.where(col(FileIdCol).isin(files: _*)).select(out: _*)
-      handle.commitRewrite(spark, files, rewritten)
+      val touched = df.where(col(FileIdCol).isin(files: _*))
+      val rewritten = touched.select(out: _*)
+      if (handle.wantsChangeRows) {
+        val hitRows = touched.where(hit)
+        val pre = hitRows.select(cols.map(n => col(s"`$n`")): _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        // on hit rows the conditional assignment always fires, so the same
+        // `out` projection yields the postimage
+        val post = hitRows.select(out: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        handle.commitRewriteWithChanges(spark, files, rewritten, pre.unionByName(post))
+      } else handle.commitRewrite(spark, files, rewritten)
     }
     Seq(Row(files.size.toLong))
   }
@@ -305,7 +344,9 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
           when(ac, lit(i + 1)).otherwise(rest)
       }
 
-    // replacement rows for the touched files
+    // replacement rows for the touched files (+ captured change rows when
+    // the format keeps a change feed)
+    var changeParts = Seq.empty[DataFrame]
     val rewritten: Option[DataFrame] = if (files.isEmpty) None else {
       val aff = tgt.where(col(FileIdCol).isin(files: _*))
       // matchedness is tracked by a constant source-side marker (a join key
@@ -350,6 +391,24 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
       val kept = withAction
         .where((if (delM.isEmpty) lit(true) else !col("__action").isin(delM: _*)) &&
           (if (delN.isEmpty) lit(true) else !col("__nmbs").isin(delN: _*)))
+      if (handle.wantsChangeRows) {
+        val oldCols = cols.map(n => col(s"$TargetQual.`$n`").as(n))
+        def updateIxsOf(actions: Seq[BoxedAction]): Seq[Int] =
+          actions.zipWithIndex.collect { case (_: BoxedUpdate, i) => i + 1 }
+        def fired(cn: String, ixs: Seq[Int]): Column =
+          if (ixs.isEmpty) lit(false) else col(cn).isin(ixs: _*)
+        val deleted = withAction
+          .where(fired("__action", delM) || fired("__nmbs", delN))
+          .select(oldCols: _*).withColumn(ChangeTypeCol, lit("delete"))
+        val updRows = withAction
+          .where(fired("__action", updateIxsOf(matched)) ||
+            fired("__nmbs", updateIxsOf(notMatchedBySource)))
+        val pre = updRows.select(oldCols: _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = updRows.select(outCols: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        changeParts = Seq(deleted, pre, post)
+      }
       Some(kept.select(outCols: _*))
     }
 
@@ -379,7 +438,12 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
       case (None, None) => // nothing matched and no insert clauses: no-op
       case (r, i) =>
         val replacement = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
-        handle.commitRewrite(spark, files, replacement)
+        if (handle.wantsChangeRows) {
+          val changes =
+            (changeParts ++ i.toSeq.map(_.withColumn(ChangeTypeCol, lit("insert"))))
+              .reduce(_ unionByName _)
+          handle.commitRewriteWithChanges(spark, files, replacement, changes)
+        } else handle.commitRewrite(spark, files, replacement)
     }
     Seq(Row(files.size.toLong))
   }
@@ -445,7 +509,8 @@ case class OptimizeLakeTableCommand(table: Seq[String], smallerThan: Option[Long
         // writer emits ONE file per value
         rows.repartition(parts.map(c => col(s"`$c`")): _*)
       else rows.repartition(target)
-    handle.commitRewrite(spark, pick.map(_._1), arranged)
+    // byte motion, not row motion: a change feed must skip this commit
+    handle.commitCompaction(spark, pick.map(_._1), arranged)
     Seq(Row(pick.size.toLong, pick.map(_._2).sum))
   }
 

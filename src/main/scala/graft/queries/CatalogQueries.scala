@@ -1568,6 +1568,57 @@ object CatalogQueries {
           'update_postimage', 1 FROM nation WHERE n_regionkey = 2
         UNION ALL SELECT n_nationkey, n_name, n_regionkey,
           'delete', 2 FROM nation WHERE n_regionkey = 4
+        ORDER BY commit_version, change_type, n_nationkey""")),
+
+    // ---- CDF WRITE HALF, end to end in SQL: CREATE TABLE with
+    // delta.enableChangeDataFeed, INSERT nation (blind append — the feed
+    // derives inserts from the adds), UPDATE region 2 and DELETE region 4
+    // through the native copy-on-write DML — each of which must now STAGE
+    // its own `_change_data/` files and cdc actions — then read the whole
+    // feed back through the same engine. Row-level exactness holds no
+    // matter how the writer laid out files, which is exactly what the
+    // relational oracle checks. ----
+    QuerySpec("lake_delta_cdf_dml",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_cdfw")
+        val done = new java.io.File(lakeDir, "nation_cdfw.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dcdfw OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.dcdfw.nation_cdfw " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT) " +
+            "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_cdfw_src")
+          s.sql("INSERT INTO graft.datasource.lakew.dcdfw.nation_cdfw " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_cdfw_src")
+          s.sql("UPDATE graft.datasource.lakew.dcdfw.nation_cdfw " +
+            "SET n_name = upper(n_name) WHERE n_regionkey = 2")
+          s.sql("DELETE FROM graft.datasource.lakew.dcdfw.nation_cdfw " +
+            "WHERE n_regionkey = 4")
+          done.createNewFile(): Unit
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dcdfr OPTIONS (path '${lakeDir.getPath}', readChangeFeed 'true', endingVersion '3') NAMESPACE graft.datasource.lakew")
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey,
+            |  _change_type AS change_type, _commit_version AS commit_version
+            |FROM graft.datasource.lakew.dcdfr.nation_cdfw
+            |ORDER BY commit_version, change_type, n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey,
+          'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version FROM nation
+        UNION ALL SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT),
+          'update_preimage', 2 FROM nation WHERE n_regionkey = 2
+        UNION ALL SELECT CAST(n_nationkey AS INT), upper(n_name), CAST(n_regionkey AS INT),
+          'update_postimage', 2 FROM nation WHERE n_regionkey = 2
+        UNION ALL SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT),
+          'delete', 3 FROM nation WHERE n_regionkey = 4
         ORDER BY commit_version, change_type, n_nationkey"""))
   )
 }

@@ -63,7 +63,11 @@ object DeltaLite {
         * nesting level) with `schema`; None = mapping mode `none`, physical
         * names are the logical names
         */
-      physSchema: Option[StructType] = None) {
+      physSchema: Option[StructType] = None,
+      /** table configuration from the metaData action */
+      configuration: Map[String, String] = Map.empty) {
+    def cdfEnabled: Boolean =
+      configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true"))
     def partitionSchema: StructType =
       StructType(partitionColumns.map(c => schema(schema.fieldIndex(c))))
     def dataSchema: StructType =
@@ -336,7 +340,8 @@ object DeltaLite {
       })
     }
     Snapshot(target, schema, partitionCols, keyed.map(_._2), dir,
-      fileIds = keyed.map(_._1), dvs = dvByPath.toMap, physSchema = physSchema)
+      fileIds = keyed.map(_._1), dvs = dvByPath.toMap, physSchema = physSchema,
+      configuration = configuration)
   }
 
   /** One field renamed to its column-mapping physical name, recursively

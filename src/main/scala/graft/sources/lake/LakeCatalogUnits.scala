@@ -95,6 +95,15 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def commitRewrite(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =
         LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement)
+      override def wantsChangeRows: Boolean = snap.cdfEnabled
+      override def commitRewriteWithChanges(s: SparkSession, removed: Seq[String],
+          replacement: DataFrame, changeRows: DataFrame): Unit =
+        LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,
+          changeRows = Some(changeRows))
+      override def commitCompaction(s: SparkSession, removed: Seq[String],
+          replacement: DataFrame): Unit =
+        LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,
+          dataChange = false)
       override def listFiles(s: SparkSession): Seq[(String, Long, String)] =
         snap.fileIds.zip(snap.files).map { case (id, f) =>
           (id, f.size, f.partitionValues.mkString("/"))
@@ -110,11 +119,16 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       rowLevelHandle = Some(handle))
   }
 
-  /** Native CREATE TABLE (identity partitioning) when the jar is absent. */
+  /** Native CREATE TABLE (identity partitioning) when the jar is absent.
+    * `delta.*` TBLPROPERTIES land in the metaData configuration — the
+    * public lever for per-table behavior like `delta.enableChangeDataFeed`.
+    */
   override def createTable(spark: SparkSession, rest: Seq[String], name: String,
-      schema: StructType, partitionCols: Seq[String]): Table = {
+      schema: StructType, partitionCols: Seq[String],
+      properties: Map[String, String] = Map.empty): Table = {
     val dir = new Path((Seq(basePath) ++ rest :+ name).mkString("/"))
-    LakeNativeWrite.deltaCreate(spark, dir, schema, partitionCols)
+    LakeNativeWrite.deltaCreate(spark, dir, schema, partitionCols,
+      properties.filter(_._1.startsWith("delta.")))
     loadTable(spark, rest, name, None)
   }
 
@@ -200,7 +214,8 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
 
   /** Native CREATE TABLE (identity partitioning) when the jar is absent. */
   override def createTable(spark: SparkSession, rest: Seq[String], name: String,
-      schema: StructType, partitionCols: Seq[String]): Table = {
+      schema: StructType, partitionCols: Seq[String],
+      properties: Map[String, String] = Map.empty): Table = {
     val dir = new Path((Seq(warehouse) ++ rest :+ name).mkString("/"))
     LakeNativeWrite.icebergCreate(spark, dir, schema, partitionCols)
     loadTable(spark, rest, name, None)

@@ -125,7 +125,7 @@ object LakeNativeWrite {
   // ---- Delta ----
 
   def deltaCreate(spark: SparkSession, dir: Path, schema: StructType,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], properties: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     require(!DeltaLite.isDeltaTable(conf, dir), s"Delta table already exists at $dir")
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
@@ -133,7 +133,8 @@ object LakeNativeWrite {
     commitDelta(conf, dir, 0L, Seq(
       LakeWrite.deltaCommitInfo(System.currentTimeMillis()),
       LakeWrite.deltaProtocol(),
-      LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, schema, partitionCols)))
+      LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, schema, partitionCols,
+        properties)))
   }
 
   /** Align to the logical schema, then rename to PHYSICAL columns for a
@@ -161,25 +162,69 @@ object LakeNativeWrite {
     val removes =
       if (!overwrite) Nil
       else snap.fileIds.map(p => LakeWrite.deltaRemove(p, now))
+    // a blind append's feed derives from its adds; an OVERWRITE of a
+    // CDF-enabled table is a row rewrite and must ship its change files
+    // (old rows out, new rows in) or the feed read would reject the commit
+    val cdc =
+      if (!overwrite || !snap.cdfEnabled || snap.files.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.lit
+        val dropped = DeltaLite.toDataFrame(spark, snap)
+          .withColumn(DeltaLite.CdfTypeCol, lit("delete"))
+        val added = align(data, snap.schema)
+          .withColumn(DeltaLite.CdfTypeCol, lit("insert"))
+        stageChangeFiles(dropped.unionByName(added), dir, snap)
+      }
     commitDelta(conf, dir, snap.version + 1,
-      Seq(LakeWrite.deltaCommitInfo(now)) ++ removes ++ adds)
+      Seq(LakeWrite.deltaCommitInfo(now)) ++ cdc ++ removes ++ adds)
+  }
+
+  /** Stage CDF change rows (table columns + `_change_type`) as
+    * `_change_data/` parquet and return their cdc actions. Physical-name
+    * mapping applies to the data columns; `_change_type` is stored
+    * literally (the protocol never maps it).
+    */
+  private def stageChangeFiles(changeRows: DataFrame, dir: Path,
+      snap: DeltaLite.Snapshot): Seq[String] = {
+    val ct = DeltaLite.CdfTypeCol
+    require(changeRows.columns.contains(ct), s"change rows need a $ct column")
+    val aligned = changeRows.select(snap.schema.fields.toIndexedSeq.map(f =>
+      col(s"`${f.name}`").cast(f.dataType).as(f.name)) :+ col(s"`$ct`"): _*)
+    val (physical, physParts) = snap.physSchema match {
+      case None => (aligned, snap.partitionColumns)
+      case Some(ps) =>
+        (aligned.select(snap.schema.fields.zip(ps.fields).toIndexedSeq.map {
+          case (lf, pf) => col(s"`${lf.name}`").cast(pf.dataType).as(pf.name)
+        } :+ col(s"`$ct`"): _*),
+          snap.partitionColumns.map(c => ps.fields(snap.schema.fieldIndex(c)).name))
+    }
+    writeDataFiles(physical, dir, physParts, "_change_data")
+      .map(f => LakeWrite.deltaCdc(f.relPath, f.size, f.partitionValues))
   }
 
   /** Row-level copy-on-write commit: `removedIds` (raw add-action paths)
     * leave, `replacement` rows enter, one atomic commit. The snapshot the
     * rewrite was planned against is passed in so the remove set and the
-    * version base agree with what was scanned.
+    * version base agree with what was scanned. `changeRows` (table columns
+    * + `_change_type`) ride along as `_change_data/` files + cdc actions —
+    * the CDF write half of the protocol; `dataChange = false` marks a
+    * byte-motion-only commit (OPTIMIZE), which the feed skips entirely.
     */
   def deltaRewrite(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
-      removedIds: Seq[String], replacement: DataFrame): Unit = {
+      removedIds: Seq[String], replacement: DataFrame,
+      changeRows: Option[DataFrame] = None, dataChange: Boolean = true): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (physical, physParts) = toPhysical(align(replacement, snap.schema), snap)
     val now = System.currentTimeMillis()
     val staged = writeDataFiles(physical, dir, physParts, "")
-    val adds = staged.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues))
-    val removes = removedIds.map(p => LakeWrite.deltaRemove(p, now))
+    val adds = staged.map(f =>
+      LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues, dataChange))
+    val removes = removedIds.map(p =>
+      if (dataChange) LakeWrite.deltaRemove(p, now)
+      else LakeWrite.deltaRemoveNoDataChange(p, now))
+    val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
     commitDelta(conf, dir, snap.version + 1,
-      Seq(LakeWrite.deltaCommitInfo(now)) ++ removes ++ adds)
+      Seq(LakeWrite.deltaCommitInfo(now)) ++ cdc ++ removes ++ adds)
   }
 
   /** Atomic commit: create `%020d.json` with overwrite=false; on collision

@@ -58,13 +58,13 @@ object LakeWrite {
       "createdTime" -> JInt(0))))
 
   def deltaAdd(relPath: String, size: Long, modificationTime: Long,
-      partitionValues: Map[String, String]): String =
+      partitionValues: Map[String, String], dataChange: Boolean = true): String =
     JsonMethods.compact(JObject("add" -> JObject(
       "path" -> JString(relPath),
       "partitionValues" -> JObject(partitionValues.toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "size" -> JInt(size),
       "modificationTime" -> JInt(modificationTime),
-      "dataChange" -> JBool(true))))
+      "dataChange" -> JBool(dataChange))))
 
   def deltaProtocolWithFeatures(readerFeatures: Seq[String], writerFeatures: Seq[String]): String =
     JsonMethods.compact(JObject("protocol" -> JObject(

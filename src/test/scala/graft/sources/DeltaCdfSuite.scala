@@ -66,8 +66,8 @@ class DeltaCdfSuite extends SparkTestBase {
     LakeWrite.deltaCommit(conf, root, 3, Seq(
       LakeWrite.deltaCommitInfo(1700000300000L),
       LakeWrite.deltaRemoveNoDataChange("a2.parquet", 1700000300000L),
-      LakeWrite.deltaAdd("compact.parquet", szAll, 1700000300000L, Map.empty)
-        .replace("\"dataChange\":true", "\"dataChange\":false")))
+      LakeWrite.deltaAdd("compact.parquet", szAll, 1700000300000L, Map.empty,
+        dataChange = false)))
     root
   }
 
@@ -162,6 +162,51 @@ class DeltaCdfSuite extends SparkTestBase {
     assert(ex.getMessage.contains("without cdc actions"))
     // but the append-only prefix of the same log reads fine
     assert(DeltaLite.changes(spark, root, 0L, Some(0L)).count() == 4)
+  }
+
+  test("native DML writes the feed: UPDATE/DELETE/MERGE emit cdc, OPTIMIZE stays silent, OVERWRITE ships delete+insert") {
+    val base = tmpDir("delta-cdf-dml")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE cdfw OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.cdfwrite")
+    val fqn = "graft.datasource.cdfwrite.cdfw.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id * 10 FROM range(10)")       // v1
+    spark.sql(s"UPDATE $fqn SET v = v + 1 WHERE id < 3")                   // v2
+    spark.sql(s"DELETE FROM $fqn WHERE id >= 8")                           // v3
+    spark.sql("SELECT * FROM (VALUES (0, 999), (98, 980)) AS s(id, v)")
+      .createOrReplaceTempView("__cdf_merge_src")
+    spark.sql(s"MERGE INTO $fqn t USING __cdf_merge_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")           // v4
+    graft.Graft.sql(spark, s"OPTIMIZE LAKE TABLE $fqn TARGET 1 FILES")     // v5
+    spark.sql(s"INSERT OVERWRITE $fqn SELECT id, id FROM range(2)")        // v6
+
+    val dir = new Path(base.getPath, "t")
+    val feed = DeltaLite.changes(spark, dir, 0L)
+      .select("id", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSeq.sorted
+
+    val expected = (
+      (0 until 10).map(i => (i, i * 10, "insert", 1L)) ++
+      (0 until 3).flatMap(i => Seq(
+        (i, i * 10, "update_preimage", 2L), (i, i * 10 + 1, "update_postimage", 2L))) ++
+      Seq((8, 80, "delete", 3L), (9, 90, "delete", 3L)) ++
+      Seq((0, 1, "update_preimage", 4L), (0, 999, "update_postimage", 4L),
+        (98, 980, "insert", 4L)) ++
+      // v5 OPTIMIZE: silent
+      // v6 OVERWRITE: everything out, new rows in
+      (Seq((0, 999), (1, 11), (2, 21)) ++ (3 to 7).map(i => (i, i * 10)) ++ Seq((98, 980)))
+        .map { case (i, v) => (i, v, "delete", 6L) } ++
+      (0 until 2).map(i => (i, i, "insert", 6L))
+    ).sorted
+    assert(feed == expected)
+
+    // the table itself reads right after all that
+    val now = spark.sql(s"SELECT id, v FROM $fqn ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(now == Seq((0, 0), (1, 1)))
   }
 
   test("readChangeFeed registration options serve the feed through the catalog") {
