@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
@@ -99,5 +99,118 @@ object Classify {
       .where(col("__rk") === 1)
       .select(col("id"), col("label"),
         col("__score").cast("double").as("score"))
+  }
+
+  // ---- Logistic regression on hashed token features (the DCLM/fastText
+  // quality-classifier shape with an actual trained linear model) ----
+
+  /** Token → feature bucket, the portable md5 contract shared with
+    * [[Sampling.bucketCol]] (DuckDB: `('0x' || substr(md5(w), 1, 15))::BIGINT
+    * % buckets`).
+    */
+  private def bucketOf(w: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+
+  private val WDec = "decimal(14,12)"
+  private val PDec = "decimal(10,9)"
+
+  /** Full-batch gradient-descent logistic regression over hashed token
+    * counts — deterministic by construction: a FIXED iteration count, exact
+    * decimal feature/gradient sums (partitioning-invariant), the per-doc
+    * sigmoid rounded to 9 decimals, and each weight update rounded to 12 —
+    * so training is exactly reproducible AND recomputable by an independent
+    * SQL engine with the iterations unrolled as CTE stages (the
+    * `text_logreg_quality` gate does exactly that).
+    *
+    * Scale shape: the corpus tokenizes and shuffles once into the
+    * per-(doc, bucket) count table, which is localCheckpointed and reused;
+    * each iteration is one broadcast join of the tiny weight vector plus
+    * two partial-combine aggregates (per-doc z, per-bucket gradient — the
+    * bucket key space IS the model size). Weights live on the driver
+    * between iterations exactly like the ANN quantizer fits — the model is
+    * `buckets + 1` numbers, not data-scale state.
+    *
+    * @param labelCol 0/1 integer label column
+    * @return (bucket, w) weight rows, bucket -1 = bias — a plain
+    *         persistable DataFrame for [[logregScore]]
+    */
+  def logregTrain(df: DataFrame, idCol: String, labelCol: String, textCol: String,
+      buckets: Int = 16, iters: Int = 3, lrate: Double = 0.5): DataFrame = {
+    require(buckets >= 2 && iters >= 1 && lrate > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).cast(PDec).as("y"),
+        T.tokens(col(textCol)).as("__toks"))
+    val feats = base.select(col("id"), explode(col("__toks")).as("__w"))
+      .select(col("id"), bucketOf(col("__w"), buckets).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ydf = base.select(col("id"), col("y")).localCheckpoint()
+    val n = ydf.count()
+    require(n > 0, "logregTrain: no training documents with text")
+
+    val zero = java.math.BigDecimal.ZERO.setScale(12)
+    var weights: Map[Long, java.math.BigDecimal] =
+      (0L until buckets.toLong).map(_ -> zero).toMap
+    var bias = zero
+    for (_ <- 1 to iters) {
+      val wDf = weights.toSeq.sortBy(_._1)
+        .map { case (b, w) => (b, scala.math.BigDecimal(w)) }
+        .toDF("bucket", "wv")
+        .select(col("bucket"), col("wv").cast(WDec).as("wv"))
+      // z_d = bias + sum_b w_b * c_db — decimal-exact, so invariant to
+      // partitioning; the single transcendental (sigmoid) rounds to 9
+      val z = feats.join(broadcast(wDf), "bucket")
+        .groupBy(col("id")).agg(sum(col("wv") * col("c")).as("__zw"))
+      val scored = ydf.join(z, Seq("id"), "left")
+        .select(col("id"), col("y"),
+          (coalesce(col("__zw"), lit(0).cast(WDec)) +
+            lit(bias).cast(WDec)).cast("double").as("__z"))
+        .withColumn("__p", round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 9).cast(PDec))
+        .withColumn("__err", col("__p") - col("y"))
+      // per-bucket update, rounded to 12 decimals INSIDE the query so both
+      // engines round the identical double
+      val upd = scored.join(feats, "id")
+        .groupBy(col("bucket"))
+        .agg(round(lit(lrate) * sum(col("__err") * col("c")).cast("double") /
+          lit(n.toDouble), 12).cast(WDec).as("u"))
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      val biasUpd = scored
+        .agg(round(lit(lrate) * sum(col("__err")).cast("double") /
+          lit(n.toDouble), 12).cast(WDec).as("u"))
+        .head().getDecimal(0)
+      weights = weights.map { case (b, w) =>
+        b -> upd.get(b).map(u => w.subtract(u.setScale(12))).getOrElse(w)
+      }
+      bias = bias.subtract(biasUpd.setScale(12))
+    }
+    (weights.toSeq.sortBy(_._1) :+ (-1L, bias))
+      .map { case (b, w) => (b, scala.math.BigDecimal(w)) }
+      .toDF("bucket", "w")
+      .select(col("bucket"), col("w").cast(WDec).as("w"))
+  }
+
+  /** Score docs with a [[logregTrain]] weight table: `prob` =
+    * round(sigmoid(bias + Σ w_b c_b), 9), `pred` = prob >= 0.5. One
+    * map-side tokenize + one (id, bucket) aggregate + a broadcast join of
+    * the weight vector — the corpus shuffles once, as hashed buckets.
+    */
+  def logregScore(weights: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 16): DataFrame = {
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("__toks"))
+    val feats = base.select(col("id"), explode(col("__toks")).as("__w"))
+      .select(col("id"), bucketOf(col("__w"), buckets).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))
+    val z = feats.join(broadcast(weights.where(col("bucket") >= 0)), "bucket")
+      .groupBy(col("id")).agg(sum(col("w") * col("c")).as("__zw"))
+    val biasRow = weights.where(col("bucket") === -1).select(col("w").as("__b"))
+    base.select(col("id")).join(z, Seq("id"), "left")
+      .crossJoin(broadcast(biasRow))
+      .select(col("id"),
+        round(lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__zw"), lit(0).cast(WDec)) +
+          col("__b")).cast("double"))), 9).as("prob"))
+      .withColumn("pred", (col("prob") >= 0.5).cast("int"))
   }
 }

