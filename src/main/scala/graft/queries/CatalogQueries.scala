@@ -177,6 +177,73 @@ object CatalogQueries {
     "graft.datasource.lake.deltasrc.nation_delta"
   }
 
+  /** Build-once three-snapshot merge-on-read Iceberg `nation_ice_mor`
+    * fixture (shared by `src_iceberg_mor_scan` and
+    * `lake_iceberg_changelog`): snapshot 2001 appends files a (keys < 12)
+    * and b (keys >= 12), 2002 commits position-delete file d1 (odd keys of
+    * a, position 0 of b, and a forward-reference to c), 2003 appends file
+    * c re-inserting keys 1 and 12 at a HIGHER sequence than d1.
+    */
+  private def ensureIcebergMor(s: SparkSession, dir: String): Unit = {
+    import graft.sources.lake.LakeWrite
+    import graft.sources.lake.LakeWrite.{IcebergSnapshot, ManifestEntry, ManifestFile}
+    import org.apache.hadoop.fs.Path
+    val lakeDir = new java.io.File(wh(dir), "lake")
+    val tableDir = new java.io.File(lakeDir, "nation_ice_mor")
+    if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_ice_mor.tmp${System.nanoTime()}")
+          new java.io.File(staging, "metadata").mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val nation = QueryPack.t(s, dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+          def dataFile(rel: String, d: org.apache.spark.sql.DataFrame, snapId: Long): ManifestEntry = {
+            val sorted = d.coalesce(1).sortWithinPartitions("n_nationkey")
+            val size = LakeWrite.writeOneParquetFile(sorted, new Path(root, rel))
+            ManifestEntry(1, rel, d.count(), size, snapId)
+          }
+          val a = dataFile("data/a.parquet", nation.where(col("n_nationkey") < 12), 2001L)
+          val b = dataFile("data/b.parquet", nation.where(col("n_nationkey") >= 12), 2001L)
+          val c = dataFile("data/c.parquet", nation.where(col("n_nationkey").isin(1, 12)), 2003L)
+          // data-driven positions: the files are sorted by n_nationkey, so
+          // a key's position is its rank within the file
+          val aKeys = nation.where(col("n_nationkey") < 12)
+            .select("n_nationkey").orderBy("n_nationkey")
+            .collect().map(_.get(0).toString.toLong)
+          val delPositions: Seq[(String, Long)] =
+            aKeys.zipWithIndex.collect { case (k, i) if k % 2 == 1 => ("data/a.parquet", i.toLong) }
+              .toSeq ++ Seq(("data/b.parquet", 0L), ("data/c.parquet", 0L))
+          import s.implicits._
+          val dSize = LakeWrite.writeOneParquetFile(
+            delPositions.toDF("file_path", "pos").coalesce(1), new Path(root, "data/d1.parquet"))
+          val m1len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/m1.avro"),
+            Seq(a, b))
+          val md1len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/md1.avro"),
+            Seq(ManifestEntry(1, "data/d1.parquet", delPositions.size.toLong, dSize, 2002L,
+              content = 1)))
+          val m3len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/m3.avro"),
+            Seq(c))
+          LakeWrite.icebergWriteManifestList(new java.io.File(staging, "metadata/ml1.avro"),
+            Seq("metadata/m1.avro" -> m1len), 2001L, 1L)
+          LakeWrite.icebergWriteManifestListEntries(new java.io.File(staging, "metadata/ml2.avro"),
+            Seq(ManifestFile("metadata/m1.avro", m1len, 0, 1L),
+              ManifestFile("metadata/md1.avro", md1len, 1, 2L)), 2002L)
+          LakeWrite.icebergWriteManifestListEntries(new java.io.File(staging, "metadata/ml3.avro"),
+            Seq(ManifestFile("metadata/m1.avro", m1len, 0, 1L),
+              ManifestFile("metadata/m3.avro", m3len, 0, 3L),
+              ManifestFile("metadata/md1.avro", md1len, 1, 2L)), 2003L)
+          LakeWrite.icebergWriteMetadata(conf, root, 3, nation.schema,
+            Seq(IcebergSnapshot(2001L, 1700000000000L, "metadata/ml1.avro", 1L),
+              IcebergSnapshot(2002L, 1700000100000L, "metadata/ml2.avro", 2L,
+                parentId = Some(2001L), operation = "delete"),
+              IcebergSnapshot(2003L, 1700000200000L, "metadata/ml3.avro", 3L,
+                parentId = Some(2002L), operation = "append")),
+            currentSnapshotId = 2003L,
+            refs = Map("main" -> (2003L, "branch"), "predelete" -> (2001L, "tag")))
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- federated FQN join through the DSv2 catalog ----
@@ -747,63 +814,9 @@ object CatalogQueries {
     QuerySpec("src_iceberg_mor_scan",
       (s, dir) => {
         setup(s, dir)
-        import graft.sources.lake.LakeWrite
-        import graft.sources.lake.LakeWrite.{IcebergSnapshot, ManifestEntry, ManifestFile}
-        import org.apache.hadoop.fs.Path
-        val lakeDir = new java.io.File(wh(dir), "lake")
-        val tableDir = new java.io.File(lakeDir, "nation_ice_mor")
-        if (!tableDir.exists()) {
-          val staging = new java.io.File(lakeDir, s"nation_ice_mor.tmp${System.nanoTime()}")
-          new java.io.File(staging, "metadata").mkdirs()
-          val conf = s.sparkContext.hadoopConfiguration
-          val root = new Path(staging.toString)
-          val nation = QueryPack.t(s, dir, "nation")
-            .select("n_nationkey", "n_name", "n_regionkey")
-          def dataFile(rel: String, d: org.apache.spark.sql.DataFrame, snapId: Long): ManifestEntry = {
-            val sorted = d.coalesce(1).sortWithinPartitions("n_nationkey")
-            val size = LakeWrite.writeOneParquetFile(sorted, new Path(root, rel))
-            ManifestEntry(1, rel, d.count(), size, snapId)
-          }
-          val a = dataFile("data/a.parquet", nation.where(col("n_nationkey") < 12), 2001L)
-          val b = dataFile("data/b.parquet", nation.where(col("n_nationkey") >= 12), 2001L)
-          val c = dataFile("data/c.parquet", nation.where(col("n_nationkey").isin(1, 12)), 2003L)
-          // data-driven positions: the files are sorted by n_nationkey, so
-          // a key's position is its rank within the file
-          val aKeys = nation.where(col("n_nationkey") < 12)
-            .select("n_nationkey").orderBy("n_nationkey")
-            .collect().map(_.get(0).toString.toLong)
-          val delPositions: Seq[(String, Long)] =
-            aKeys.zipWithIndex.collect { case (k, i) if k % 2 == 1 => ("data/a.parquet", i.toLong) }
-              .toSeq ++ Seq(("data/b.parquet", 0L), ("data/c.parquet", 0L))
-          import s.implicits._
-          val dSize = LakeWrite.writeOneParquetFile(
-            delPositions.toDF("file_path", "pos").coalesce(1), new Path(root, "data/d1.parquet"))
-          val m1len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/m1.avro"),
-            Seq(a, b))
-          val md1len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/md1.avro"),
-            Seq(ManifestEntry(1, "data/d1.parquet", delPositions.size.toLong, dSize, 2002L,
-              content = 1)))
-          val m3len = LakeWrite.icebergWriteManifest(new java.io.File(staging, "metadata/m3.avro"),
-            Seq(c))
-          LakeWrite.icebergWriteManifestList(new java.io.File(staging, "metadata/ml1.avro"),
-            Seq("metadata/m1.avro" -> m1len), 2001L, 1L)
-          LakeWrite.icebergWriteManifestListEntries(new java.io.File(staging, "metadata/ml2.avro"),
-            Seq(ManifestFile("metadata/m1.avro", m1len, 0, 1L),
-              ManifestFile("metadata/md1.avro", md1len, 1, 2L)), 2002L)
-          LakeWrite.icebergWriteManifestListEntries(new java.io.File(staging, "metadata/ml3.avro"),
-            Seq(ManifestFile("metadata/m1.avro", m1len, 0, 1L),
-              ManifestFile("metadata/m3.avro", m3len, 0, 3L),
-              ManifestFile("metadata/md1.avro", md1len, 1, 2L)), 2003L)
-          LakeWrite.icebergWriteMetadata(conf, root, 3, nation.schema,
-            Seq(IcebergSnapshot(2001L, 1700000000000L, "metadata/ml1.avro", 1L),
-              IcebergSnapshot(2002L, 1700000100000L, "metadata/ml2.avro", 2L),
-              IcebergSnapshot(2003L, 1700000200000L, "metadata/ml3.avro", 3L)),
-            currentSnapshotId = 2003L,
-            refs = Map("main" -> (2003L, "branch"), "predelete" -> (2001L, "tag")))
-          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
-        }
+        ensureIcebergMor(s, dir)
         Graft.sql(s,
-          s"REGISTER OR REPLACE ICEBERG DATASOURCE icemor OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE icemor OPTIONS (warehouse '${new java.io.File(wh(dir), "lake").getPath}') NAMESPACE graft.datasource.lake")
         s.sql(
           """SELECT n_nationkey, n_name, n_regionkey
             |FROM graft.datasource.lake.icemor.nation_ice_mor ORDER BY n_nationkey""".stripMargin)
@@ -811,6 +824,36 @@ object CatalogQueries {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
         WHERE (n_nationkey < 12 AND n_nationkey % 2 = 0)
            OR n_nationkey >= 13 OR n_nationkey IN (1, 12) ORDER BY n_nationkey""")),
+
+    // ---- ICEBERG INCREMENTAL CHANGELOG over the same three-snapshot
+    // merge-on-read fixture: snapshot 2001 appends the full table (feed
+    // inserts), 2002 commits ONLY a position-delete file — the feed must
+    // surface exactly the newly-masked rows, via the (file, ordinal)
+    // anti-join of the two merge-on-read scans — and 2003 appends a file
+    // whose rows the OLDER delete file must NOT mask (sequence-number
+    // gating inside the feed). ----
+    QuerySpec("lake_iceberg_changelog",
+      (s, dir) => {
+        setup(s, dir)
+        ensureIcebergMor(s, dir)
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE icechg OPTIONS (warehouse '${new java.io.File(wh(dir), "lake").getPath}', readChangelog 'true') NAMESPACE graft.datasource.lake")
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey,
+            |  _change_type AS change_type, _change_ordinal AS change_ordinal,
+            |  _commit_snapshot_id AS commit_snapshot_id
+            |FROM graft.datasource.lake.icechg.nation_ice_mor
+            |ORDER BY change_ordinal, change_type, n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey,
+          'insert' AS change_type, CAST(0 AS INT) AS change_ordinal,
+          CAST(2001 AS BIGINT) AS commit_snapshot_id FROM nation
+        UNION ALL SELECT n_nationkey, n_name, n_regionkey, 'delete', 1, 2002
+          FROM nation WHERE (n_nationkey < 12 AND n_nationkey % 2 = 1) OR n_nationkey = 12
+        UNION ALL SELECT n_nationkey, n_name, n_regionkey, 'insert', 2, 2003
+          FROM nation WHERE n_nationkey IN (1, 12)
+        ORDER BY change_ordinal, change_type, n_nationkey""")),
+
 
     // ---- ICEBERG v2 EQUALITY DELETES (Flink-CDC-shaped) through the
     // native path: snapshot 4001 (seq 1) adds file A = full nation;

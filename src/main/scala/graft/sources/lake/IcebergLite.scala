@@ -659,4 +659,138 @@ object IcebergLite {
   def read(spark: SparkSession, dir: Path, version: Option[String] = None,
       timestampMs: Option[Long] = None): DataFrame =
     toDataFrame(spark, snapshot(spark, dir, version, timestampMs))
+
+  // ---- incremental changelog (the shape of Iceberg's changelog scan /
+  // create_changelog_view: per-snapshot insert/delete rows) ----
+
+  /** Changelog metadata columns appended by [[changes]] (the Iceberg
+    * changelog-view spellings).
+    */
+  val ChangeTypeCol = "_change_type"
+  val ChangeOrdinalCol = "_change_ordinal"
+  val ChangeSnapshotCol = "_commit_snapshot_id"
+
+  /** Row-level changes between `fromSnapshot` (EXCLUSIVE — the Iceberg
+    * `start-snapshot-id` convention; None = from table creation) and
+    * `toSnapshot` (inclusive; None = current), walking the parent-snapshot
+    * lineage oldest-first. Per snapshot:
+    *
+    *  - `replace` snapshots (compaction / rewrite maintenance) move bytes,
+    *    not rows: no change rows;
+    *  - data files present only in the snapshot scan as inserts, read AT
+    *    that snapshot (same-sequence delete files already applied under the
+    *    spec's sequence rules);
+    *  - data files present only in the parent scan as deletes, read AT the
+    *    parent (rows already masked there stay dead — they do not reappear
+    *    in the feed);
+    *  - for files live on both sides whose delete-file set changed, the
+    *    rows masked by the NEW position/equality deletes emerge as deletes
+    *    via a (file, row-ordinal) anti-join of the two merge-on-read scans
+    *    — restricted to exactly the carried-over files, so the cost tracks
+    *    the touched data, not the table.
+    *
+    * Output = current table schema + [[ChangeTypeCol]] /
+    * [[ChangeOrdinalCol]] (0-based position of the snapshot within the
+    * requested range) / [[ChangeSnapshotCol]].
+    */
+  def changes(spark: SparkSession, dir: Path, fromSnapshot: Option[Long] = None,
+      toSnapshot: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = JsonMethods.parse(readString(conf, currentMetadataFile(conf, dir)))
+    implicit val formats: Formats = DefaultFormats
+    val snapsJson = (meta \ "snapshots") match {
+      case JArray(ss) => ss
+      case _ => Nil
+    }
+    val info: Map[Long, (Option[Long], String)] = snapsJson.map { s =>
+      (s \ "snapshot-id").extract[Long] -> (
+        (s \ "parent-snapshot-id") match {
+          case JInt(p) => Some(p.toLong)
+          case _ => None
+        },
+        (s \ "summary" \ "operation").extractOrElse[String](""))
+    }.toMap
+    require(info.nonEmpty, s"Iceberg table $dir has no snapshots")
+    val endId = toSnapshot.getOrElse((meta \ "current-snapshot-id").extract[Long])
+    require(info.contains(endId), s"snapshot $endId not found in $dir")
+
+    // lineage newest -> oldest until (exclusive) fromSnapshot
+    var chain = List.empty[Long]
+    var at: Option[Long] = Some(endId)
+    var sawFrom = fromSnapshot.isEmpty
+    while (at.isDefined && !fromSnapshot.contains(at.get)) {
+      val id = at.get
+      require(info.contains(id),
+        s"snapshot $id on the lineage of $endId has been expired from $dir metadata")
+      chain ::= id
+      at = info(id)._1
+      if (fromSnapshot.contains(at.getOrElse(Long.MinValue))) sawFrom = true
+    }
+    require(sawFrom || fromSnapshot.isEmpty || fromSnapshot.contains(endId),
+      s"snapshot ${fromSnapshot.get} is not an ancestor of $endId in $dir")
+    if (fromSnapshot.contains(endId)) chain = Nil
+
+    val cache = scala.collection.mutable.HashMap[Long, Snapshot]()
+    def snapOf(id: Long): Snapshot =
+      cache.getOrElseUpdate(id, snapshot(spark, dir, version = Some(id.toString)))
+    def subSnap(s: Snapshot, keep: Set[String]): Snapshot = {
+      val z = s.files.zip(s.dataFileMeta)
+      val kept = z.filter { case (_, (fid, _)) => keep(fid) }
+      s.copy(files = kept.map(_._1), dataFileMeta = kept.map(_._2))
+    }
+    def stamp(df: DataFrame, ct: String, ord: Int, id: Long): DataFrame =
+      df.withColumn(ChangeTypeCol, lit(ct))
+        .withColumn(ChangeOrdinalCol, lit(ord))
+        .withColumn(ChangeSnapshotCol, lit(id))
+
+    val schemaNow = snapOf(endId).schema
+    schemaNow.fieldNames.intersect(Seq(ChangeTypeCol, ChangeOrdinalCol, ChangeSnapshotCol))
+      .foreach(c => throw new UnsupportedOperationException(
+        s"table column '$c' collides with a changelog metadata column"))
+    val frames = Seq.newBuilder[DataFrame]
+    chain.zipWithIndex.foreach { case (id, ord) =>
+      val op = info(id)._2
+      if (op != "replace") {
+        val cur = snapOf(id)
+        val prevOpt = info(id)._1.map(snapOf)
+        val curPaths = cur.dataFileMeta.map(_._1).toSet
+        val prevPaths = prevOpt.map(_.dataFileMeta.map(_._1).toSet).getOrElse(Set.empty)
+        val added = curPaths -- prevPaths
+        val removed = prevPaths -- curPaths
+        val common = curPaths & prevPaths
+        if (added.nonEmpty)
+          frames += stamp(toDataFrame(spark, subSnap(cur, added))
+            .select(schemaNow.fieldNames.toIndexedSeq.map(col): _*), "insert", ord, id)
+        prevOpt.foreach { prev =>
+          if (removed.nonEmpty)
+            frames += stamp(toDataFrame(spark, subSnap(prev, removed))
+              .select(schemaNow.fieldNames.toIndexedSeq.map(col): _*), "delete", ord, id)
+          val delKeys = (s: Snapshot) =>
+            (s.deleteFiles.map(_.path) ++ s.eqDeleteFiles.map(_.path)).toSet
+          if (common.nonEmpty && delKeys(cur) != delKeys(prev)) {
+            val ids = Seq("__gfid", "__grix")
+            val prevRows = toDataFrameWithRowIds(spark, subSnap(prev, common))
+            val curRows = toDataFrameWithRowIds(spark, subSnap(cur, common))
+            val masked = prevRows.join(curRows.select(ids.map(col): _*), ids, "left_anti")
+              .select(schemaNow.fieldNames.toIndexedSeq.map(col): _*)
+            frames += stamp(masked, "delete", ord, id)
+            // nonstandard but cheap to honor: a shrunken delete set
+            // resurrects rows — surface them as inserts rather than lose them
+            val unmasked = curRows.join(prevRows.select(ids.map(col): _*), ids, "left_anti")
+              .select(schemaNow.fieldNames.toIndexedSeq.map(col): _*)
+            frames += stamp(unmasked, "insert", ord, id)
+          }
+        }
+      }
+    }
+    val built = frames.result()
+    if (built.isEmpty) {
+      val out = StructType(schemaNow.fields ++ Seq(
+        StructField(ChangeTypeCol, StringType, nullable = false),
+        StructField(ChangeOrdinalCol, IntegerType, nullable = false),
+        StructField(ChangeSnapshotCol, LongType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    } else built.reduce(_.unionByName(_))
+  }
 }

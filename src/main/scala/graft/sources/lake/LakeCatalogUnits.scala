@@ -187,8 +187,30 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       throw new NoSuchTableException((ds.namespace ++ rest :+ name).toSeq))
   }
 
+  // Incremental changelog surface (Iceberg's start/end-snapshot-id
+  // convention — start EXCLUSIVE, end inclusive): `readChangelog 'true'`
+  // (+ optional `startSnapshot` / `endSnapshot`) on the REGISTER serves
+  // every table of this datasource as its changelog.
+  private val readChangelog =
+    ds.options.get("readChangelog").exists(_.equalsIgnoreCase("true"))
+  private val startSnapshot = ds.options.get("startSnapshot").map(_.toLong)
+  private val endSnapshot = ds.options.get("endSnapshot").map(_.toLong)
+
+  /** Changelog read ([[IcebergLite.changes]]); the snapshot range pins at
+    * load time so a concurrent commit cannot shift the feed mid-query.
+    */
+  def loadChangelog(spark: SparkSession, rest: Seq[String], name: String): Table = {
+    val dir = dirFor(spark, rest, name)
+    val resolvedEnd = endSnapshot.orElse(
+      Some(IcebergLite.snapshot(spark, dir).snapshotId))
+    val df = IcebergLite.changes(spark, dir, startSnapshot, resolvedEnd)
+    new DataFrameV1Table(s"$name@changelog", df.schema,
+      s => IcebergLite.changes(s, dir, startSnapshot, resolvedEnd))
+  }
+
   override def loadTable(spark: SparkSession, rest: Seq[String], name: String,
       schemaOverride: Option[StructType]): Table = {
+    if (readChangelog) return loadChangelog(spark, rest, name)
     val dir = dirFor(spark, rest, name)
     val snap = IcebergLite.snapshot(spark, dir)
     val handle = new LakeRowLevel.RowLevelHandle {
@@ -197,6 +219,10 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def commitRewrite(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =
         LakeNativeWrite.icebergRewrite(s, dir, removed, replacement)
+      override def commitCompaction(s: SparkSession, removed: Seq[String],
+          replacement: DataFrame): Unit =
+        // summary.operation=replace marks byte motion: changelog reads skip it
+        LakeNativeWrite.icebergRewrite(s, dir, removed, replacement, operation = "replace")
       override def listFiles(s: SparkSession): Seq[(String, Long, String)] =
         snap.dataFileMeta.zip(snap.files).map { case ((id, _), f) =>
           (id, f.size, f.partitionValues.mkString("/"))

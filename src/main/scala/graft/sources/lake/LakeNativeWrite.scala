@@ -431,7 +431,12 @@ object LakeNativeWrite {
     val priorSnapshots: Seq[LakeWrite.IcebergSnapshot] = (meta \ "snapshots") match {
       case JArray(ss) => ss.map(s => LakeWrite.IcebergSnapshot(
         (s \ "snapshot-id").extract[Long], (s \ "timestamp-ms").extract[Long],
-        (s \ "manifest-list").extract[String], (s \ "sequence-number").extractOrElse[Long](0L)))
+        (s \ "manifest-list").extract[String], (s \ "sequence-number").extractOrElse[Long](0L),
+        parentId = (s \ "parent-snapshot-id") match {
+          case JInt(p) => Some(p.toLong)
+          case _ => None
+        },
+        operation = (s \ "summary" \ "operation").extractOrElse[String]("append")))
       case _ => Nil
     }
     IceMeta(metaVersion, schema, partitionCols,
@@ -481,7 +486,7 @@ object LakeNativeWrite {
   private def commitIceberg(conf: Configuration, dir: Path, m: IceMeta,
       entries: Seq[LakeWrite.ManifestEntry], otherManifests: Seq[LakeWrite.ManifestFile],
       newSnapId: Long, newSeq: Long, now: Long,
-      entrySchema: org.apache.avro.Schema): Unit = {
+      entrySchema: org.apache.avro.Schema, operation: String = "append"): Unit = {
     val fs = dir.getFileSystem(conf)
     def toMeta(local: java.io.File, name: String): Long = {
       val target = new Path(new Path(dir, "metadata"), name)
@@ -498,7 +503,8 @@ object LakeNativeWrite {
       newSnapId)
     toMeta(tmpL, s"ml-$newSnapId.avro")
     val newSnapshots = m.priorSnapshots :+
-      LakeWrite.IcebergSnapshot(newSnapId, now, s"metadata/ml-$newSnapId.avro", newSeq)
+      LakeWrite.IcebergSnapshot(newSnapId, now, s"metadata/ml-$newSnapId.avro", newSeq,
+        parentId = Some(m.currentId).filter(_ >= 0), operation = operation)
     LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema, newSnapshots,
       currentSnapshotId = newSnapId,
       refs = Map("main" -> (newSnapId, "branch")),
@@ -527,7 +533,8 @@ object LakeNativeWrite {
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
         sequenceNumber = Some(newSeq))
     }
-    commitIceberg(conf, dir, m, entries, existingManifests, newSnapId, newSeq, now, entrySchema)
+    commitIceberg(conf, dir, m, entries, existingManifests, newSnapId, newSeq, now, entrySchema,
+      operation = if (overwrite) "overwrite" else "append")
   }
 
   /** One live entry of a data manifest, with enough fidelity to re-emit it. */
@@ -589,7 +596,7 @@ object LakeNativeWrite {
     * `removedFids` are normalized manifest file_paths (the scan's __gfid).
     */
   def icebergRewrite(spark: SparkSession, dir: Path, removedFids: Seq[String],
-      replacement: DataFrame): Unit = {
+      replacement: DataFrame, operation: String = "overwrite"): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = loadIceMeta(conf, dir)
     require(m.currentId >= 0, s"cannot rewrite an Iceberg table with no snapshots: $dir")
@@ -617,7 +624,7 @@ object LakeNativeWrite {
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
         sequenceNumber = Some(newSeq)))
     commitIceberg(conf, dir, m, entries, deleteManifests, newSnapId, newSeq, newSnapId,
-      entrySchema)
+      entrySchema, operation = operation)
   }
 
   /** The current manifest list re-read as writable entries (path, length,

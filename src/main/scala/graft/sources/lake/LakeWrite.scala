@@ -283,7 +283,7 @@ object LakeWrite {
   }
 
   final case class IcebergSnapshot(id: Long, timestampMs: Long, manifestListPath: String,
-      sequenceNumber: Long)
+      sequenceNumber: Long, parentId: Option[Long] = None, operation: String = "append")
 
   /** Write vN.metadata.json + version-hint.text for a hadoop-style table.
     * `specFields` = the default partition spec's field objects (e.g.
@@ -315,13 +315,14 @@ object LakeWrite {
       "default-sort-order-id" -> JInt(0),
       "properties" -> JObject(),
       "current-snapshot-id" -> JInt(BigInt(currentSnapshotId)),
-      "snapshots" -> JArray(snapshots.map(s => JObject(
-        "snapshot-id" -> JInt(BigInt(s.id)),
-        "sequence-number" -> JInt(BigInt(s.sequenceNumber)),
-        "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
-        "manifest-list" -> JString(s.manifestListPath),
-        "summary" -> JObject("operation" -> JString("append")),
-        "schema-id" -> JInt(0)) : JValue).toList),
+      "snapshots" -> JArray(snapshots.map(s => JObject(List(
+        "snapshot-id" -> (JInt(BigInt(s.id)): JValue)) ++
+        s.parentId.map(p => "parent-snapshot-id" -> (JInt(BigInt(p)): JValue)).toList ++ List(
+        "sequence-number" -> (JInt(BigInt(s.sequenceNumber)): JValue),
+        "timestamp-ms" -> (JInt(BigInt(s.timestampMs)): JValue),
+        "manifest-list" -> (JString(s.manifestListPath): JValue),
+        "summary" -> (JObject("operation" -> JString(s.operation)): JValue),
+        "schema-id" -> (JInt(0): JValue))) : JValue).toList),
       "snapshot-log" -> JArray(snapshots.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
         "snapshot-id" -> JInt(BigInt(s.id))) : JValue).toList),
