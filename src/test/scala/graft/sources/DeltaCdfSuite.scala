@@ -209,6 +209,54 @@ class DeltaCdfSuite extends SparkTestBase {
     assert(now == Seq((0, 0), (1, 1)))
   }
 
+  test("CdfConsumer: checkpointed micro-batches, crash replay, state convergence") {
+    val base = tmpDir("delta-cdf-consumer")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE cdfc OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.cdfconsumer")
+    val fqn = "graft.datasource.cdfconsumer.cdfc.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(5)")
+    val dir = new Path(base.getPath, "t")
+    val ckpt = new Path(base.getPath, "_consumer/progress.json")
+    val consumer = new graft.streaming.CdfConsumer(dir, ckpt)
+
+    // downstream state maintained by replaying the feed in version order
+    val state = scala.collection.mutable.Map[Int, Int]()
+    def apply(df: org.apache.spark.sql.DataFrame, from: Long, to: Long): Unit =
+      df.orderBy("_commit_version").collect().foreach { r =>
+        val (id, v) = (r.getInt(0), r.getInt(1))
+        r.getAs[String]("_change_type") match {
+          case "insert" | "update_postimage" => state(id) = v
+          case "delete" => state.remove(id): Unit
+          case "update_preimage" => // no-op
+        }
+      }
+
+    assert(consumer.process(spark)(apply))           // batch 1: create+insert
+    assert(state == (0 until 5).map(i => i -> i).toMap)
+    assert(!consumer.process(spark)(apply))          // nothing new
+
+    spark.sql(s"UPDATE $fqn SET v = v * 100 WHERE id >= 3")
+    spark.sql(s"DELETE FROM $fqn WHERE id = 0")
+
+    // crash mid-batch: fn throws, checkpoint must NOT advance
+    val conf = spark.sparkContext.hadoopConfiguration
+    val before = consumer.nextVersion(conf)
+    intercept[RuntimeException] {
+      consumer.process(spark)((_, _, _) => throw new RuntimeException("boom"))
+    }
+    assert(consumer.nextVersion(conf) == before)
+
+    // replay succeeds and converges to the table's current content
+    assert(consumer.process(spark)(apply))
+    assert(!consumer.process(spark)(apply))
+    val table = spark.sql(s"SELECT id, v FROM $fqn").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(state.toMap == table)
+    assert(state == Map(1 -> 1, 2 -> 2, 3 -> 300, 4 -> 400))
+  }
+
   test("readChangeFeed registration options serve the feed through the catalog") {
     val root = buildTable()
     val parent = new java.io.File(root.toString).getParentFile.getPath
