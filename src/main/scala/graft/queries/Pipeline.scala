@@ -434,6 +434,22 @@ object Pipeline {
     // shortlist, so emitted cosines are exact and the same half-oracle
     // contract applies. Recall >= 0.9 at this exact config asserted in
     // SimilaritySuite. ----
+    // ---- ANN: HNSW variant (Malkov-Yashunin '16) — shard-local
+    // hierarchical graphs built in parallel, scatter-gather probe, global
+    // top-k merge. Deterministic by construction (id-hash levels, id-sorted
+    // insertion, id tie-breaks), so the same half-oracle contract
+    // hash-checks it; recall >= 0.9 vs brute force asserted in
+    // SimilaritySuite AT THIS CONFIG (shards=4, m=8, efC=64, efS=48). ----
+    QuerySpec("ann_hnsw",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 20)
+        annContract(graft.operators.Hnsw.hnswTopK(e, q,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, shards = 4, m = 8, efConstruction = 64, efSearch = 48), e, q)
+      },
+      Some(annContractOracle)),
+
     QuerySpec("ann_pq",
       (s, dir) => {
         val e = t(s, dir, "embeddings")

@@ -337,4 +337,58 @@ class SimilaritySuite extends SparkTestBase {
       .collect()
     assert(out.forall(_.isNullAt(0)), "unknown query id must score null")
   }
+
+  test("hnsw top-k recall vs brute force at the gate config; exact emitted cosines") {
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hnsw = Hnsw.hnswTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, shards = 4, m = 8, efConstruction = 64, efSearch = 48)
+      .collect()
+    val pairs = hnsw.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pairs).size.toDouble / exact.size
+    assert(recall >= 0.9, s"hnsw recall too low: $recall")
+    // per query exactly k results, ranked (cosine desc, nn_id asc)
+    val byQ = hnsw.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(2) > b.getDouble(2) ||
+          (a.getDouble(2) == b.getDouble(2) && a.getLong(1) < b.getLong(1)))
+      }
+    }
+  }
+
+  test("hnsw is deterministic under repartitioning and serves from a persisted index") {
+    val q = emb.where(col("vec_id") < 10)
+    val a = Hnsw.hnswTopK(emb, q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, shards = 3).collect().map(_.toString).sorted.toSeq
+    val b = Hnsw.hnswTopK(emb.repartition(13), q, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, shards = 3).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "graph build must not depend on upstream partitioning")
+    // persistence round-trip: parquet-saved adjacency answers identically
+    val index = Hnsw.hnswBuild(emb, "vec_id", "embedding", shards = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+    index.write.mode("overwrite").parquet(dir)
+    val rehydrated = spark.read.parquet(dir)
+    val c = Hnsw.hnswQuery(rehydrated, q, "vec_id", "embedding", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(c == a)
+  }
+
+  test("hnsw handles empty queries, tiny shards, and self-exclusion") {
+    import spark.implicits._
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Hnsw.hnswTopK(tiny, tiny, "vec_id", "embedding", "vec_id", "embedding",
+      k = 2, shards = 2, m = 2, efConstruction = 4)
+    val rows = out.collect()
+    assert(rows.length == 6) // 3 queries x k=2 (self excluded, 2 others remain)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val none = Hnsw.hnswTopK(tiny, tiny.where(lit(false)), "vec_id", "embedding",
+      "vec_id", "embedding", k = 2)
+    assert(none.count() == 0)
+  }
 }
