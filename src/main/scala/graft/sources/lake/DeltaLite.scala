@@ -558,6 +558,93 @@ object DeltaLite {
     (log.commits.map(_._1) ++ log.checkpoints.keys).max
   }
 
+  /** Streaming append batch: the rows of data files ADDED in commits
+    * `[fromVersion, toVersion]`, under the delta-spark streaming-source
+    * contract — a pure-delete commit needs `ignoreDeletes` (or
+    * `ignoreChanges`) and contributes nothing; an update/rewrite commit
+    * (adds AND removes) needs `ignoreChanges` and RE-EMITS the rewritten
+    * files' rows (exactly delta's documented ignoreChanges behavior);
+    * `dataChange=false` commits (OPTIMIZE) stream nothing. An added file's
+    * own deletion vector applies, so a DV-carrying add streams only its
+    * visible rows.
+    */
+  private[lake] def appendBatch(spark: SparkSession, dir: Path,
+      fromVersion: Long, toVersion: Long,
+      ignoreChanges: Boolean, ignoreDeletes: Boolean): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val endSnap = snapshot(spark, dir, version = Some(toVersion))
+    val log = listLog(conf, dir)
+    val inRange = log.commits
+      .filter { case (v, _) => v >= fromVersion && v <= toVersion }.sortBy(_._1)
+    require(inRange.map(_._1) == (fromVersion to toVersion),
+      s"Delta commit files missing inside stream range [$fromVersion, $toVersion]")
+    val physPartNames: Map[String, String] = endSnap.physSchema match {
+      case Some(ps) => endSnap.partitionColumns
+        .map(c => c -> ps.fields(endSnap.schema.fieldIndex(c)).name).toMap
+      case None => Map.empty
+    }
+    def typedParts(raw: Map[String, Option[String]]): Seq[Any] =
+      endSnap.partitionSchema.map { pf =>
+        val k = physPartNames.getOrElse(pf.name, pf.name)
+        raw.get(k).orElse(raw.get(pf.name)).flatten
+          .map(parsePartitionValue(_, pf.dataType)).orNull
+      }
+    val fs = new Path(dir, "_delta_log").getFileSystem(conf)
+    val frames = Seq.newBuilder[DataFrame]
+    inRange.foreach { case (v, st) =>
+      var adds = Vector.empty[(String, LakeFile, Option[DvDescriptor])]
+      var removes = 0
+      readLines(fs, st).foreach { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "add") match {
+          case a: JObject if (a \ "dataChange").extractOrElse[Boolean](true) =>
+            val raw: Map[String, Option[String]] = (a \ "partitionValues") match {
+              case JObject(kv) => kv.map {
+                case (k, JString(s)) => k -> Some(s)
+                case (k, _) => k -> None
+              }.toMap
+              case _ => Map.empty
+            }
+            val dv = (a \ "deletionVector") match {
+              case d: JObject => Some(DvDescriptor(
+                (d \ "storageType").extract[String],
+                (d \ "pathOrInlineDv").extract[String],
+                (d \ "offset").extractOrElse[Long](0L),
+                (d \ "sizeInBytes").extract[Int],
+                (d \ "cardinality").extract[Long]))
+              case _ => None
+            }
+            val p = (a \ "path").extract[String]
+            adds :+= ((p, LakeFile(resolvePath(dir, p), (a \ "size").extract[Long],
+              (a \ "modificationTime").extractOrElse[Long](0L), typedParts(raw)), dv))
+          case _ =>
+        }
+        (j \ "remove") match {
+          case r: JObject if (r \ "dataChange").extractOrElse[Boolean](true) => removes += 1
+          case _ =>
+        }
+      }
+      if (removes > 0 && adds.isEmpty)
+        require(ignoreDeletes || ignoreChanges,
+          s"version $v deletes data from the streamed table; set ignoreDeletes " +
+            "(or ignoreChanges) to skip delete commits")
+      if (removes > 0 && adds.nonEmpty)
+        require(ignoreChanges,
+          s"version $v updates data in the streamed table; set ignoreChanges to " +
+            "re-emit the rewritten files (downstream must tolerate duplicates)")
+      if (adds.nonEmpty)
+        frames += toDataFrame(spark, Snapshot(v, endSnap.schema,
+          endSnap.partitionColumns, adds.map(_._2), dir,
+          fileIds = adds.map(_._1),
+          dvs = adds.collect { case (id, _, Some(d)) => id -> d }.toMap,
+          physSchema = endSnap.physSchema))
+    }
+    val built = frames.result()
+    if (built.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], endSnap.schema)
+    else built.reduce(_.unionByName(_))
+  }
+
   // ---- Change Data Feed (delta.io protocol "Change Data Files") ----
 
   /** CDF metadata columns appended to the table schema by [[changes]]. */

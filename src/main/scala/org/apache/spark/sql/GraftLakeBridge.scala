@@ -94,4 +94,16 @@ object GraftLakeBridge {
     */
   def serializableConf(spark: SparkSession): org.apache.spark.util.SerializableConfiguration =
     new org.apache.spark.util.SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+
+  /** Re-issue a batch DataFrame as a streaming one — the V1
+    * `Source.getBatch` contract (MicroBatchExecution asserts
+    * `isStreaming`); `internalCreateDataFrame` is private[sql], hence here.
+    * The underlying RDD stays lazy: the plan executes when the micro-batch
+    * runs, not when the source returns it.
+    */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
