@@ -670,6 +670,41 @@ object IcebergLite {
   val ChangeOrdinalCol = "_change_ordinal"
   val ChangeSnapshotCol = "_commit_snapshot_id"
 
+  /** The current snapshot's ancestry, OLDEST first:
+    * (sequenceNumber, snapshotId, operation, parentId). Errors if a lineage
+    * ancestor has been expired out of the metadata.
+    */
+  def snapshotLineage(spark: SparkSession, dir: Path): Seq[(Long, Long, String, Option[Long])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = JsonMethods.parse(readString(conf, currentMetadataFile(conf, dir)))
+    implicit val formats: Formats = DefaultFormats
+    val snapsJson = (meta \ "snapshots") match {
+      case JArray(ss) => ss
+      case _ => Nil
+    }
+    if (snapsJson.isEmpty) return Nil
+    val info: Map[Long, (Long, String, Option[Long])] = snapsJson.map { s =>
+      (s \ "snapshot-id").extract[Long] -> ((
+        (s \ "sequence-number").extractOrElse[Long](0L),
+        (s \ "summary" \ "operation").extractOrElse[String](""),
+        (s \ "parent-snapshot-id") match {
+          case JInt(p) => Some(p.toLong)
+          case _ => None
+        }))
+    }.toMap
+    var chain = List.empty[(Long, Long, String, Option[Long])]
+    var at: Option[Long] = Some((meta \ "current-snapshot-id").extract[Long])
+    while (at.isDefined) {
+      val id = at.get
+      val (seq, op, parent) = info.getOrElse(id,
+        throw new IllegalStateException(
+          s"snapshot $id on the current lineage has been expired from $dir metadata"))
+      chain ::= ((seq, id, op, parent))
+      at = parent
+    }
+    chain
+  }
+
   /** Row-level changes between `fromSnapshot` (EXCLUSIVE — the Iceberg
     * `start-snapshot-id` convention; None = from table creation) and
     * `toSnapshot` (inclusive; None = current), walking the parent-snapshot

@@ -1,0 +1,107 @@
+package graft.sources.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+
+import java.nio.file.Files
+
+/** The `graft-iceberg` Structured Streaming source: sequence numbers as
+  * offsets along the snapshot lineage, append-snapshot streaming with
+  * delete/overwrite gating, replace silence, and changelog mode.
+  */
+class IcebergStreamSuite extends SparkTestBase {
+
+  private def tmpDir(prefix: String): java.io.File =
+    Files.createTempDirectory(prefix).toFile
+
+  private def mkTable(ns: String): (String, Path) = {
+    val base = tmpDir(s"icestream-$ns")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE $ns OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.$ns")
+    val fqn = s"graft.datasource.$ns.$ns.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT)")
+    (fqn, new Path(base.getPath, "t"))
+  }
+
+  test("append snapshots stream incrementally; replace is silent; restart resumes") {
+    val (fqn, dir) = mkTable("istr1")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id * 3 FROM range(4)")
+    val ckpt = tmpDir("istr1-ckpt").getPath
+    val out = tmpDir("istr1-out").getPath
+    def runOnce(): Seq[(Int, Int)] = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("path", dir.toString).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    }
+    assert(runOnce() == (0 until 4).map(i => (i, i * 3)))
+    spark.sql(s"INSERT INTO $fqn VALUES (10, 30)")
+    graft.Graft.sql(spark, s"OPTIMIZE LAKE TABLE $fqn TARGET 1 FILES") // replace: silent
+    spark.sql(s"INSERT INTO $fqn VALUES (11, 33)")
+    assert(runOnce() == ((0 until 4).map(i => (i, i * 3)) ++ Seq((10, 30), (11, 33))).sorted)
+  }
+
+  test("delete snapshots are gated by skipDeleteSnapshots/skipOverwriteSnapshots") {
+    val (fqn, dir) = mkTable("istr2")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(4)")
+    spark.sql(s"DELETE FROM $fqn WHERE id = 0") // CoW: operation=overwrite
+    val failing = spark.readStream.format("graft-iceberg")
+      .option("path", dir.toString).load()
+      .writeStream.format("memory").queryName("istr2_fail")
+      .option("checkpointLocation", tmpDir("istr2-c1").getPath)
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      failing.awaitTermination()
+    }
+    assert(ex.getMessage.contains("skipOverwriteSnapshots") ||
+      Option(ex.getCause).exists(_.getMessage.contains("skipOverwriteSnapshots")))
+
+    val q = spark.readStream.format("graft-iceberg")
+      .option("path", dir.toString)
+      .option("skipOverwriteSnapshots", "true").load()
+      .writeStream.format("memory").queryName("istr2_ok")
+      .option("checkpointLocation", tmpDir("istr2-c2").getPath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the overwrite snapshot is SKIPPED entirely: only the initial append
+    assert(spark.table("istr2_ok").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("changelog mode streams insert AND delete rows with snapshot ids") {
+    val (fqn, dir) = mkTable("istr3")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(3)")
+    spark.sql(s"DELETE FROM $fqn WHERE id = 2")
+    val q = spark.readStream.format("graft-iceberg")
+      .option("path", dir.toString).option("readChangelog", "true").load()
+      .writeStream.format("memory").queryName("istr3_a")
+      .option("checkpointLocation", tmpDir("istr3-ckpt").getPath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("istr3_a").collect()
+      .map(r => (r.getInt(0), r.getAs[String]("_change_type"))).sorted.toSeq
+    // CoW delete: file-granular truth — deleted file's rows out, survivors in
+    val net = rows.groupBy(_._1).view.mapValues { rs =>
+      rs.count(_._2 == "insert") - rs.count(_._2 == "delete")
+    }.toMap
+    assert(net == Map(0 -> 1, 1 -> 1, 2 -> 0))
+  }
+
+  test("startSnapshot streams only after the named lineage snapshot") {
+    val (fqn, dir) = mkTable("istr4")
+    spark.sql(s"INSERT INTO $fqn VALUES (1, 1)")
+    val firstId = IcebergLite.snapshotLineage(spark, dir).last._2
+    spark.sql(s"INSERT INTO $fqn VALUES (2, 2)")
+    val q = spark.readStream.format("graft-iceberg")
+      .option("path", dir.toString).option("startSnapshot", firstId.toString).load()
+      .writeStream.format("memory").queryName("istr4_a")
+      .option("checkpointLocation", tmpDir("istr4-ckpt").getPath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("istr4_a").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+}
