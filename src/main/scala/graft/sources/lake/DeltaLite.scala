@@ -558,6 +558,40 @@ object DeltaLite {
     (log.commits.map(_._1) ++ log.checkpoints.keys).max
   }
 
+  /** The highest `txn` version committed for `appId` (the protocol's
+    * idempotent-writer marker) — checkpoint txn column plus every later
+    * JSON commit. None = this appId never wrote.
+    */
+  def lastTxnVersion(spark: SparkSession, dir: Path, appId: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val log = listLog(conf, dir)
+    if (log.commits.isEmpty && log.checkpoints.isEmpty) return None
+    var best: Option[Long] = None
+    def offer(v: Long): Unit = if (best.forall(_ < v)) best = Some(v)
+    val cpVersion = log.checkpoints.keys.maxOption
+    cpVersion.foreach { cv =>
+      val parts = log.checkpoints(cv).map(_.getPath.toString)
+      val cp = spark.read.parquet(parts: _*)
+      if (cp.columns.contains("txn"))
+        cp.select("txn.appId", "txn.version").where(org.apache.spark.sql.functions
+            .col("appId") === appId)
+          .collect().foreach(r => offer(r.getAs[Number]("version").longValue()))
+    }
+    val fs = new Path(dir, "_delta_log").getFileSystem(conf)
+    log.commits.filter { case (v, _) => v > cpVersion.getOrElse(-1L) }
+      .foreach { case (_, st) =>
+        readLines(fs, st).foreach { line =>
+          val j = JsonMethods.parse(line)
+          (j \ "txn") match {
+            case t: JObject if (t \ "appId") == JString(appId) =>
+              offer((t \ "version").extract[Long])
+            case _ =>
+          }
+        }
+      }
+    best
+  }
+
   /** Streaming append batch: the rows of data files ADDED in commits
     * `[fromVersion, toVersion]`, under the delta-spark streaming-source
     * contract — a pure-delete commit needs `ignoreDeletes` (or

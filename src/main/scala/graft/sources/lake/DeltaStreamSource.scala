@@ -77,10 +77,41 @@ object DeltaStreamSource {
   }
 }
 
-/** The `graft-delta` format registration (DataSourceRegister via
-  * META-INF/services, like any Spark data source).
+/** `writeStream.format("graft-delta")` — EXACTLY-ONCE appends to a native
+  * Delta table through the protocol's SetTransaction marker: every batch
+  * commit carries `txn(appId, batchId)`, and a replayed batch (sink
+  * restarted before the engine recorded completion) sees its own version
+  * already committed and skips — the delta-spark sink's own mechanism.
+  * `txnAppId` names the writer (set it when several streams append to one
+  * table); Complete output mode maps to INSERT OVERWRITE per batch.
   */
-class DeltaStreamingProvider extends StreamSourceProvider with DataSourceRegister {
+class DeltaStreamSink(spark: SparkSession, dir: Path,
+    options: Map[String, String],
+    outputMode: org.apache.spark.sql.streaming.OutputMode)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val appId = options.getOrElse("txnAppId", "graft-delta-sink")
+  private val overwrite =
+    outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+
+  override def name(): String = s"graft-delta-sink[$dir]"
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    if (DeltaLite.lastTxnVersion(spark, dir, appId).exists(_ >= batchId)) return
+    // the incoming frame is still flagged streaming; re-issue its planned
+    // RDD as a plain batch frame so the batch writer accepts it
+    val batchDf = GraftLakeBridge.asBatchFrame(data.toDF())
+    LakeNativeWrite.deltaInsert(spark, dir, batchDf, overwrite,
+      txn = Some((appId, batchId)))
+  }
+}
+
+/** The `graft-delta` format registration (DataSourceRegister via
+  * META-INF/services, like any Spark data source): streaming SOURCE and
+  * SINK under one short name.
+  */
+class DeltaStreamingProvider extends StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
 
@@ -99,4 +130,14 @@ class DeltaStreamingProvider extends StreamSourceProvider with DataSourceRegiste
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession, dirOf(parameters), parameters)
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-delta sink partitioning comes from the table's own metadata; " +
+        "drop partitionBy (CREATE the table partitioned instead)")
+    new DeltaStreamSink(sqlContext.sparkSession, dirOf(parameters), parameters, outputMode)
+  }
 }

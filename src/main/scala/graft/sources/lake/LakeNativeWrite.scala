@@ -152,7 +152,8 @@ object LakeNativeWrite {
         (renamed, snap.partitionColumns.map(c => ps.fields(snap.schema.fieldIndex(c)).name))
     }
 
-  def deltaInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean): Unit = {
+  def deltaInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean,
+      txn: Option[(String, Long)] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val snap = DeltaLite.snapshot(spark, dir)
     val (physical, physParts) = toPhysical(align(data, snap.schema), snap)
@@ -175,8 +176,9 @@ object LakeNativeWrite {
           .withColumn(DeltaLite.CdfTypeCol, lit("insert"))
         stageChangeFiles(dropped.unionByName(added), dir, snap)
       }
+    val txnActions = txn.toSeq.map { case (appId, v) => LakeWrite.deltaTxn(appId, v, now) }
     commitDelta(conf, dir, snap.version + 1,
-      Seq(LakeWrite.deltaCommitInfo(now)) ++ cdc ++ removes ++ adds)
+      Seq(LakeWrite.deltaCommitInfo(now)) ++ txnActions ++ cdc ++ removes ++ adds)
   }
 
   /** Stage CDF change rows (table columns + `_change_type`) as

@@ -116,6 +116,16 @@ object LakeWrite {
       "size" -> JInt(size),
       "dataChange" -> JBool(false))))
 
+  /** A SetTransaction action: the protocol's idempotent-writer marker
+    * (streaming sinks record (appId, batchId) here; a replayed batch sees
+    * its own version and skips).
+    */
+  def deltaTxn(appId: String, version: Long, lastUpdated: Long): String =
+    JsonMethods.compact(JObject("txn" -> JObject(
+      "appId" -> JString(appId),
+      "version" -> JInt(BigInt(version)),
+      "lastUpdated" -> JInt(BigInt(lastUpdated)))))
+
   def deltaCommitInfo(timestamp: Long): String =
     JsonMethods.compact(JObject("commitInfo" -> JObject("timestamp" -> JInt(timestamp))))
 

@@ -106,4 +106,15 @@ object GraftLakeBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse for V1 `Sink.addBatch`: the engine hands the sink a
+    * micro-batch frame still FLAGGED streaming; re-issue its planned RDD as
+    * a plain batch frame so batch writers accept it (the technique V1 file
+    * sinks use).
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -107,6 +107,50 @@ class DeltaStreamSuite extends SparkTestBase {
       Seq((1, 1, "update_preimage"), (1, 99, "update_postimage"))).sorted)
   }
 
+  test("graft-delta sink: native-to-native pipeline with exactly-once txn markers") {
+    val (srcFqn, srcDir) = mkTable("dsnk1")
+    val (dstFqn, dstDir) = mkTable("dsnk2")
+    spark.sql(s"INSERT INTO $srcFqn SELECT id, id * 5 FROM range(4)")
+    val ckpt = tmpDir("dsnk-ckpt").getPath
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("path", srcDir.toString).load()
+        .writeStream.format("graft-delta")
+        .option("path", dstDir.toString)
+        .option("txnAppId", "dsnk-pipeline")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pump()
+    def dst() = spark.sql(s"SELECT id, v FROM $dstFqn")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(dst() == (0 until 4).map(i => (i, i * 5)))
+    // no-op pump: nothing new, nothing duplicated
+    pump()
+    assert(dst() == (0 until 4).map(i => (i, i * 5)))
+    spark.sql(s"INSERT INTO $srcFqn VALUES (9, 45)")
+    pump()
+    assert(dst() == ((0 until 4).map(i => (i, i * 5)) :+ (9, 45)).sorted)
+    // the txn marker recorded the last batch id
+    assert(DeltaLite.lastTxnVersion(spark, dstDir, "dsnk-pipeline").nonEmpty)
+  }
+
+  test("sink addBatch is idempotent per (appId, batchId) — a replayed batch commits nothing") {
+    val (fqn, dir) = mkTable("dsnk3")
+    import spark.implicits._
+    val sink = new DeltaStreamSink(spark, dir, Map("txnAppId" -> "replay-app"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = Seq((1, 10), (2, 20)).toDF("id", "v")
+    sink.addBatch(0L, batch)
+    sink.addBatch(0L, batch) // replay: must be skipped
+    sink.addBatch(1L, Seq((3, 30)).toDF("id", "v"))
+    val rows = spark.sql(s"SELECT id FROM $fqn").collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows == Seq(1, 2, 3))
+    assert(DeltaLite.lastTxnVersion(spark, dir, "replay-app").contains(1L))
+    assert(DeltaLite.lastTxnVersion(spark, dir, "other-app").isEmpty)
+  }
+
   test("startingVersion skips history; empty table yields no batch") {
     val (fqn, dir) = mkTable("dstr4")
     spark.sql(s"INSERT INTO $fqn VALUES (1, 1)") // v1
