@@ -70,6 +70,8 @@ object AnnScaleBench {
       Similarity.lshTopK(c, q, a, b, cc, d, k, bits, multiProbe = true, tables).count()
       Similarity.ivfTopK(c, q, a, b, cc, d, k, nCells, nProbe).count()
       Similarity.pqTopK(c, q, a, b, cc, d, k, 16, 16, 5 * k, 4096, true).count()
+      graft.operators.Hnsw.hnswTopK(c, q, a, b, cc, d, k,
+        shards = 8, m = 8, efConstruction = 64, efSearch = 64).count()
     }
 
     scales.foreach { n =>
@@ -94,6 +96,16 @@ object AnnScaleBench {
       }
       val pqSec = minOf2(Similarity.pqTopK(pqIndex, c, qa, ia, va, qia, qva,
         k, rerank = 5 * k).count())
+      // HNSW: build once per scale (graph construction is the deployment
+      // cost), query twice against the persisted-shape index; per-query
+      // cost is shards x a ~log-n beam walk, so the QUERY time should stay
+      // nearly flat while brute force grows linearly
+      val (hnswIndex, hnswBuildSec) = timed {
+        graft.operators.Hnsw.hnswBuild(c, ia, va,
+          shards = 8, m = 8, efConstruction = 64).localCheckpoint(true)
+      }
+      val hnswSec = minOf2(graft.operators.Hnsw.hnswQuery(hnswIndex, qa,
+        qia, qva, k, efSearch = 64).count())
 
       val brutePairs = rows * nQueries
       val lshPairs = Similarity.lshScoredPairs(c, qa, ia, va, qia, qva, bits,
@@ -113,6 +125,8 @@ object AnnScaleBench {
       val ivfRecall = recall(Similarity.ivfTopK(c, qa, ia, va, qia, qva, k, nCells, nProbe))
       val pqRecall = recall(Similarity.pqTopK(pqIndex, c, qa, ia, va, qia, qva,
         k, rerank = 5 * k))
+      val hnswRecall = recall(graft.operators.Hnsw.hnswQuery(hnswIndex, qa,
+        qia, qva, k, efSearch = 64))
 
       println(f"""{"scale":$n,"rows":$rows,"queries":$nQueries,""" +
         f""""brute_pairs":$brutePairs,"lsh_pairs":$lshPairs,"ivf_pairs":$ivfPairs,""" +
@@ -121,7 +135,9 @@ object AnnScaleBench {
         f""""brute_sec":$bruteSec%.3f,"lsh_sec":$lshSec%.3f,"ivf_sec":$ivfSec%.3f,""" +
         f""""pq_build_sec":$pqBuildSec%.3f,"pq_sec":$pqSec%.3f,""" +
         f""""lsh_recall":$lshRecall%.3f,"ivf_recall":$ivfRecall%.3f,""" +
-        f""""pq_recall":$pqRecall%.3f}""")
+        f""""pq_recall":$pqRecall%.3f,""" +
+        f""""hnsw_build_sec":$hnswBuildSec%.3f,"hnsw_sec":$hnswSec%.3f,""" +
+        f""""hnsw_recall":$hnswRecall%.3f}""")
     }
     spark.stop()
   }

@@ -109,7 +109,34 @@ object IcebergStreamSource {
   }
 }
 
-class IcebergStreamingProvider extends StreamSourceProvider with DataSourceRegister {
+/** `writeStream.format("graft-iceberg")` — exactly-once appends to a
+  * native Iceberg table via snapshot-summary markers (`streaming-app-id`,
+  * `streaming-batch-id`): a replayed batch finds its batch id already on
+  * the lineage and skips — the Iceberg analogue of Delta's SetTransaction,
+  * and the same mechanism the iceberg-spark streaming writer records in
+  * its snapshot summaries.
+  */
+class IcebergStreamSink(spark: SparkSession, dir: Path,
+    options: Map[String, String],
+    outputMode: org.apache.spark.sql.streaming.OutputMode)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val appId = options.getOrElse("txnAppId", "graft-iceberg-sink")
+  private val overwrite =
+    outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+
+  override def name(): String = s"graft-iceberg-sink[$dir]"
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    if (LakeNativeWrite.icebergLastStreamBatch(spark, dir, appId).exists(_ >= batchId)) return
+    val batchDf = GraftLakeBridge.asBatchFrame(data.toDF())
+    LakeNativeWrite.icebergInsert(spark, dir, batchDf, overwrite,
+      streamTxn = Some((appId, batchId)))
+  }
+}
+
+class IcebergStreamingProvider extends StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-iceberg"
 
@@ -128,4 +155,14 @@ class IcebergStreamingProvider extends StreamSourceProvider with DataSourceRegis
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new IcebergStreamSource(sqlContext.sparkSession, dirOf(parameters), parameters)
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-iceberg sink partitioning comes from the table's own metadata; " +
+        "drop partitionBy (CREATE the table partitioned instead)")
+    new IcebergStreamSink(sqlContext.sparkSession, dirOf(parameters), parameters, outputMode)
+  }
 }

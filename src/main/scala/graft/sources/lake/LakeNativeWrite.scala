@@ -438,7 +438,13 @@ object LakeNativeWrite {
           case JInt(p) => Some(p.toLong)
           case _ => None
         },
-        operation = (s \ "summary" \ "operation").extractOrElse[String]("append")))
+        operation = (s \ "summary" \ "operation").extractOrElse[String]("append"),
+        extraSummary = (s \ "summary") match {
+          case JObject(kv) => kv.collect {
+            case (k, JString(v)) if k != "operation" => k -> v
+          }.toMap
+          case _ => Map.empty
+        }))
       case _ => Nil
     }
     IceMeta(metaVersion, schema, partitionCols,
@@ -488,7 +494,8 @@ object LakeNativeWrite {
   private def commitIceberg(conf: Configuration, dir: Path, m: IceMeta,
       entries: Seq[LakeWrite.ManifestEntry], otherManifests: Seq[LakeWrite.ManifestFile],
       newSnapId: Long, newSeq: Long, now: Long,
-      entrySchema: org.apache.avro.Schema, operation: String = "append"): Unit = {
+      entrySchema: org.apache.avro.Schema, operation: String = "append",
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val fs = dir.getFileSystem(conf)
     def toMeta(local: java.io.File, name: String): Long = {
       val target = new Path(new Path(dir, "metadata"), name)
@@ -506,7 +513,8 @@ object LakeNativeWrite {
     toMeta(tmpL, s"ml-$newSnapId.avro")
     val newSnapshots = m.priorSnapshots :+
       LakeWrite.IcebergSnapshot(newSnapId, now, s"metadata/ml-$newSnapId.avro", newSeq,
-        parentId = Some(m.currentId).filter(_ >= 0), operation = operation)
+        parentId = Some(m.currentId).filter(_ >= 0), operation = operation,
+        extraSummary = extraSummary)
     LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema, newSnapshots,
       currentSnapshotId = newSnapId,
       refs = Map("main" -> (newSnapId, "branch")),
@@ -514,7 +522,8 @@ object LakeNativeWrite {
     ()
   }
 
-  def icebergInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean): Unit = {
+  def icebergInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean,
+      streamTxn: Option[(String, Long)] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = loadIceMeta(conf, dir)
     val newSeq = m.lastSeq + 1
@@ -536,7 +545,21 @@ object LakeNativeWrite {
         sequenceNumber = Some(newSeq))
     }
     commitIceberg(conf, dir, m, entries, existingManifests, newSnapId, newSeq, now, entrySchema,
-      operation = if (overwrite) "overwrite" else "append")
+      operation = if (overwrite) "overwrite" else "append",
+      extraSummary = streamTxn.map { case (app, batch) =>
+        Map("streaming-app-id" -> app, "streaming-batch-id" -> batch.toString)
+      }.getOrElse(Map.empty))
+  }
+
+  /** The highest streaming batch id committed by `appId` along the current
+    * lineage (snapshot-summary markers — the Iceberg analogue of Delta's
+    * SetTransaction). None = this appId never wrote.
+    */
+  def icebergLastStreamBatch(spark: SparkSession, dir: Path, appId: String): Option[Long] = {
+    val m = loadIceMeta(spark.sparkContext.hadoopConfiguration, dir)
+    val batches = m.priorSnapshots.filter(_.extraSummary.get("streaming-app-id").contains(appId))
+      .flatMap(_.extraSummary.get("streaming-batch-id")).map(_.toLong)
+    batches.maxOption
   }
 
   /** One live entry of a data manifest, with enough fidelity to re-emit it. */

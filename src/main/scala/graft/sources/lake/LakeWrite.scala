@@ -293,7 +293,8 @@ object LakeWrite {
   }
 
   final case class IcebergSnapshot(id: Long, timestampMs: Long, manifestListPath: String,
-      sequenceNumber: Long, parentId: Option[Long] = None, operation: String = "append")
+      sequenceNumber: Long, parentId: Option[Long] = None, operation: String = "append",
+      extraSummary: Map[String, String] = Map.empty)
 
   /** Write vN.metadata.json + version-hint.text for a hadoop-style table.
     * `specFields` = the default partition spec's field objects (e.g.
@@ -331,7 +332,8 @@ object LakeWrite {
         "sequence-number" -> (JInt(BigInt(s.sequenceNumber)): JValue),
         "timestamp-ms" -> (JInt(BigInt(s.timestampMs)): JValue),
         "manifest-list" -> (JString(s.manifestListPath): JValue),
-        "summary" -> (JObject("operation" -> JString(s.operation)): JValue),
+        "summary" -> (JObject(("operation" -> (JString(s.operation): JValue)) ::
+          s.extraSummary.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }): JValue),
         "schema-id" -> (JInt(0): JValue))) : JValue).toList),
       "snapshot-log" -> JArray(snapshots.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),

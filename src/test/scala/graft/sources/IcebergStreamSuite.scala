@@ -91,6 +91,44 @@ class IcebergStreamSuite extends SparkTestBase {
     assert(net == Map(0 -> 1, 1 -> 1, 2 -> 0))
   }
 
+  test("graft-iceberg sink: cross-format pipeline with summary-marker idempotence") {
+    // delta source -> iceberg sink: the whole native stack in one stream
+    val dbase = tmpDir("istr-dsrc")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE isnkd OPTIONS (path '${dbase.getPath}') NAMESPACE graft.datasource.isnkd")
+    val srcFqn = "graft.datasource.isnkd.isnkd.t"
+    spark.sql(s"CREATE TABLE $srcFqn (id INT, v INT)")
+    spark.sql(s"INSERT INTO $srcFqn SELECT id, id * 7 FROM range(3)")
+    val (dstFqn, dstDir) = mkTable("istr5")
+    val ckpt = tmpDir("istr5-ckpt").getPath
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("path", new Path(dbase.getPath, "t").toString).load()
+        .writeStream.format("graft-iceberg")
+        .option("path", dstDir.toString)
+        .option("txnAppId", "istr5-pipe")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pump()
+    def dst() = spark.sql(s"SELECT id, v FROM $dstFqn")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(dst() == (0 until 3).map(i => (i, i * 7)))
+    pump() // no new data: nothing duplicated
+    assert(dst() == (0 until 3).map(i => (i, i * 7)))
+    spark.sql(s"INSERT INTO $srcFqn VALUES (8, 56)")
+    pump()
+    assert(dst() == ((0 until 3).map(i => (i, i * 7)) :+ (8, 56)).sorted)
+    assert(LakeNativeWrite.icebergLastStreamBatch(spark, dstDir, "istr5-pipe").nonEmpty)
+    // a manual replay of an old batch id is skipped
+    import spark.implicits._
+    val sink = new IcebergStreamSink(spark, dstDir, Map("txnAppId" -> "istr5-pipe"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0L, Seq((99, 99)).toDF("id", "v"))
+    assert(dst() == ((0 until 3).map(i => (i, i * 7)) :+ (8, 56)).sorted)
+  }
+
   test("startSnapshot streams only after the named lineage snapshot") {
     val (fqn, dir) = mkTable("istr4")
     spark.sql(s"INSERT INTO $fqn VALUES (1, 1)")
