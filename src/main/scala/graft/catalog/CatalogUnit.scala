@@ -41,6 +41,12 @@ trait CatalogUnit {
       properties: Map[String, String] = Map.empty): Table =
     throw new UnsupportedOperationException(
       s"CREATE TABLE not supported for this datasource type")
+
+  /** ALTER TABLE routed from the catalog; lake-lite units override. */
+  def alterTable(spark: SparkSession, rest: Seq[String], name: String,
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Table =
+    throw new UnsupportedOperationException(
+      s"ALTER TABLE not supported for this datasource type")
 }
 
 object CatalogUnit {

@@ -208,8 +208,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ns = ident.namespace.toSeq
+    model.findParentDataSource(ns :+ ident.name) match {
+      case Some((ds, rest)) if ds.typ == SourceType.JDBC =>
+        CatalogUnit(ds) match {
+          case j: JdbcCatalogUnit =>
+            j.tableCatalog.alterTable(
+              Identifier.of(rest.dropRight(1).toArray, ident.name), changes: _*)
+          case _ => throw new UnsupportedOperationException("ALTER TABLE")
+        }
+      case Some((ds, rest)) =>
+        CatalogUnit(ds).alterTable(spark, rest.dropRight(1), ident.name, changes.toSeq)
+      case None => throw new NoSuchTableException(ns :+ ident.name)
+    }
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val ns = ident.namespace.toSeq

@@ -1662,6 +1662,52 @@ object CatalogQueries {
           'update_postimage', 2 FROM nation WHERE n_regionkey = 2
         UNION ALL SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT),
           'delete', 3 FROM nation WHERE n_regionkey = 4
-        ORDER BY commit_version, change_type, n_nationkey"""))
+        ORDER BY commit_version, change_type, n_nationkey""")),
+
+    // ---- SCHEMA EVOLUTION lifecycle on a column-mapping Delta table,
+    // end to end in SQL: CREATE with mapping, INSERT half of nation,
+    // ALTER ADD COLUMNS (fresh field id + col-uuid physical name), INSERT
+    // the other half WITH the new column, ALTER RENAME the name column
+    // (logical-only: the physical name pins to the pre-rename spelling) —
+    // then read everything back through the renamed schema. Old files
+    // null-fill the added column and serve the renamed one; the oracle
+    // rebuilds the final state relationally. ----
+    QuerySpec("lake_alter_evolution",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_alter")
+        val done = new java.io.File(lakeDir, "nation_alter.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dalter OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.dalter.nation_alter " +
+            "(n_nationkey INT, n_name STRING) " +
+            "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_alter_src")
+          s.sql("INSERT INTO graft.datasource.lakew.dalter.nation_alter " +
+            "SELECT CAST(n_nationkey AS INT), n_name FROM __nation_alter_src " +
+            "WHERE n_nationkey < 10")
+          s.sql("ALTER TABLE graft.datasource.lakew.dalter.nation_alter " +
+            "ADD COLUMNS (n_regionkey INT)")
+          s.sql("INSERT INTO graft.datasource.lakew.dalter.nation_alter " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_alter_src WHERE n_nationkey >= 10")
+          s.sql("ALTER TABLE graft.datasource.lakew.dalter.nation_alter " +
+            "RENAME COLUMN n_name TO nation_name")
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, nation_name, n_regionkey
+            |FROM graft.datasource.lakew.dalter.nation_alter
+            |ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+          n_name AS nation_name,
+          CASE WHEN n_nationkey < 10 THEN NULL
+               ELSE CAST(n_regionkey AS INT) END AS n_regionkey
+        FROM nation ORDER BY n_nationkey"""))
   )
 }

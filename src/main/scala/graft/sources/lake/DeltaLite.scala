@@ -65,7 +65,9 @@ object DeltaLite {
         */
       physSchema: Option[StructType] = None,
       /** table configuration from the metaData action */
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      /** the metaData action's stable table id */
+      metaId: String = "") {
     def cdfEnabled: Boolean =
       configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true"))
     def partitionSchema: StructType =
@@ -175,6 +177,7 @@ object DeltaLite {
     var schemaString: Option[String] = None
     var partitionCols: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
+    var metaId: String = ""
     var protocolChecked = false
     val adds = scala.collection.mutable.LinkedHashMap[String, LakeFile]()
     // partition values arrive as strings; typed conversion needs the final
@@ -191,10 +194,12 @@ object DeltaLite {
       } else require(minReader <= 2, s"minReaderVersion $minReader not supported")
     }
 
-    def applyMetaData(schemaStr: String, parts: Seq[String], conf0: Map[String, String]): Unit = {
+    def applyMetaData(schemaStr: String, parts: Seq[String], conf0: Map[String, String],
+        id: String): Unit = {
       schemaString = Some(schemaStr)
       partitionCols = parts
       configuration = conf0
+      metaId = id
     }
 
     val dvByPath = scala.collection.mutable.HashMap[String, DvDescriptor]()
@@ -234,7 +239,8 @@ object DeltaLite {
         get("metaData").foreach { m =>
           applyMetaData(m.getAs[String]("schemaString"),
             opt[scala.collection.Seq[String]](m, "partitionColumns").map(_.toSeq).getOrElse(Nil),
-            opt[scala.collection.Map[String, String]](m, "configuration").map(_.toMap).getOrElse(Map.empty))
+            opt[scala.collection.Map[String, String]](m, "configuration").map(_.toMap).getOrElse(Map.empty),
+            opt[String](m, "id").getOrElse(""))
         }
         get("add").foreach { a =>
           // real checkpoints store partitionValues as map<string,string>; a
@@ -275,7 +281,8 @@ object DeltaLite {
             case m: JObject => applyMetaData(
               (m \ "schemaString").extract[String],
               (m \ "partitionColumns").extractOrElse[Seq[String]](Nil),
-              (m \ "configuration").extractOrElse[Map[String, String]](Map.empty))
+              (m \ "configuration").extractOrElse[Map[String, String]](Map.empty),
+              (m \ "id").extractOrElse[String](""))
             case _ =>
           }
           (j \ "add") match {
@@ -341,7 +348,7 @@ object DeltaLite {
     }
     Snapshot(target, schema, partitionCols, keyed.map(_._2), dir,
       fileIds = keyed.map(_._1), dvs = dvByPath.toMap, physSchema = physSchema,
-      configuration = configuration)
+      configuration = configuration, metaId = metaId)
   }
 
   /** One field renamed to its column-mapping physical name, recursively

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 
 import graft.catalog.CatalogUnit
 import graft.model.DataSourceSpec
@@ -132,6 +132,74 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     loadTable(spark, rest, name, None)
   }
 
+  /** ALTER TABLE as a metadata-only commit. Supported: top-level ADD
+    * COLUMNS (under column mapping the new field gets a fresh id and a
+    * `col-<uuid>` physical name, and `maxColumnId` advances), SET/UNSET
+    * TBLPROPERTIES (`delta.*` behavior switches apply from the next
+    * commit), and — ONLY when column mapping is enabled — RENAME COLUMN,
+    * which pins the field's physical name to its pre-rename spelling
+    * first (absent mapping metadata means physical = logical, so an
+    * unpinned rename would silently orphan every existing parquet
+    * column; without mapping the rename is rejected outright).
+    */
+  override def alterTable(spark: SparkSession, rest: Seq[String], name: String,
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val dir = dirFor(spark, rest, name)
+    LakeNativeWrite.deltaAlter(spark, dir, snap => {
+      var schema = snap.schema
+      var config = snap.configuration
+      val mapping = config.getOrElse("delta.columnMapping.mode", "none") != "none"
+      def fieldId(f: StructField): Option[Long] =
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Some(f.metadata.getLong("delta.columnMapping.id"))
+        else None
+      changes.foreach {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames().length == 1,
+            "nested ADD COLUMN is not supported by the native lake writer")
+          val n = a.fieldNames()(0)
+          require(!schema.fieldNames.contains(n), s"column $n already exists")
+          var f = StructField(n, a.dataType(), a.isNullable())
+          if (a.comment() != null) f = f.withComment(a.comment())
+          if (mapping) {
+            val nextId = math.max(
+              schema.fields.flatMap(fieldId).maxOption.getOrElse(0L),
+              config.get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)) + 1
+            f = f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", nextId)
+              .putString("delta.columnMapping.physicalName",
+                s"col-${java.util.UUID.randomUUID()}")
+              .build())
+            config += ("delta.columnMapping.maxColumnId" -> nextId.toString)
+          }
+          schema = StructType(schema.fields :+ f)
+        case r: TableChange.RenameColumn =>
+          require(mapping,
+            "RENAME COLUMN needs delta.columnMapping.mode = name/id (physical names " +
+              "pin the data columns; without mapping a rename would orphan them)")
+          require(r.fieldNames().length == 1, "nested RENAME COLUMN is not supported")
+          val n = r.fieldNames()(0)
+          require(!snap.partitionColumns.contains(n), "cannot rename a partition column")
+          require(!schema.fieldNames.contains(r.newName()),
+            s"column ${r.newName()} already exists")
+          val ix = schema.fieldIndex(n)
+          val old = schema.fields(ix)
+          val mb = new MetadataBuilder().withMetadata(old.metadata)
+          if (!old.metadata.contains("delta.columnMapping.physicalName"))
+            mb.putString("delta.columnMapping.physicalName", old.name)
+          schema = StructType(schema.fields.updated(ix,
+            old.copy(name = r.newName(), metadata = mb.build())))
+        case sp: TableChange.SetProperty => config += (sp.property() -> sp.value())
+        case rp: TableChange.RemoveProperty => config -= rp.property()
+        case other => throw new UnsupportedOperationException(
+          s"ALTER TABLE change $other is not supported by the native lake writer")
+      }
+      (schema, config)
+    })
+    loadTable(spark, rest, name, None)
+  }
+
   /** Table-changes read ([[DeltaLite.changes]]); the version range pins at
     * load time (endingVersion, or the latest commit then) so concurrent
     * commits between load and scan cannot shift the feed under the query.
@@ -244,6 +312,30 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       properties: Map[String, String] = Map.empty): Table = {
     val dir = new Path((Seq(warehouse) ++ rest :+ name).mkString("/"))
     LakeNativeWrite.icebergCreate(spark, dir, schema, partitionCols)
+    loadTable(spark, rest, name, None)
+  }
+
+  /** ALTER TABLE ADD COLUMNS — the one evolution the name-resolving lite
+    * reader provably serves right (old files null-fill); everything else
+    * (rename, drop, type change) needs field-id resolution and is
+    * rejected, matching the reader's own evolution guard.
+    */
+  override def alterTable(spark: SparkSession, rest: Seq[String], name: String,
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val dir = dirFor(spark, rest, name)
+    val fields = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "nested ADD COLUMN is not supported by the native lake writer")
+        var f = StructField(a.fieldNames()(0), a.dataType(), a.isNullable())
+        if (a.comment() != null) f = f.withComment(a.comment())
+        f
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported by the native Iceberg writer " +
+          "(ADD COLUMNS only — the lite reader resolves columns by name)")
+    }
+    LakeNativeWrite.icebergAddColumns(spark, dir, fields)
     loadTable(spark, rest, name, None)
   }
 

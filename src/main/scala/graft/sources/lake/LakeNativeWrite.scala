@@ -181,6 +181,22 @@ object LakeNativeWrite {
       Seq(LakeWrite.deltaCommitInfo(now)) ++ txnActions ++ cdc ++ removes ++ adds)
   }
 
+  /** Metadata-only ALTER commit: a new version whose metaData action
+    * carries the updated schema/configuration (id, partitioning untouched).
+    */
+  def deltaAlter(spark: SparkSession, dir: Path,
+      transform: DeltaLite.Snapshot => (StructType, Map[String, String])): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = DeltaLite.snapshot(spark, dir)
+    val (newSchema, newConfig) = transform(snap)
+    val now = System.currentTimeMillis()
+    commitDelta(conf, dir, snap.version + 1, Seq(
+      LakeWrite.deltaCommitInfo(now),
+      LakeWrite.deltaMetaData(
+        if (snap.metaId.nonEmpty) snap.metaId else java.util.UUID.randomUUID().toString,
+        newSchema, snap.partitionColumns, newConfig)))
+  }
+
   /** Stage CDF change rows (table columns + `_change_type`) as
     * `_change_data/` parquet and return their cdc actions. Physical-name
     * mapping applies to the data columns; `_change_type` is stored
@@ -549,6 +565,25 @@ object LakeNativeWrite {
       extraSummary = streamTxn.map { case (app, batch) =>
         Map("streaming-app-id" -> app, "streaming-batch-id" -> batch.toString)
       }.getOrElse(Map.empty))
+  }
+
+  /** ADD COLUMNS for a native Iceberg table: a new schema entry with fresh
+    * field ids, current-schema-id advanced, data untouched (old files
+    * null-fill the new columns under name-based resolution — the one
+    * evolution the lite reader's guard provably allows).
+    */
+  def icebergAddColumns(spark: SparkSession, dir: Path,
+      newFields: Seq[StructField]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    newFields.foreach(f => require(!m.schema.fieldNames.contains(f.name),
+      s"column ${f.name} already exists"))
+    val newSchema = StructType(m.schema.fields ++ newFields)
+    LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, newSchema,
+      m.priorSnapshots, currentSnapshotId = m.currentId,
+      refs = if (m.currentId >= 0) Map("main" -> (m.currentId, "branch")) else Map.empty,
+      specFields = specFieldsFor(newSchema, m.partitionCols))
+    ()
   }
 
   /** The highest streaming batch id committed by `appId` along the current

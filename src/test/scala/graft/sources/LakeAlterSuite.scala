@@ -1,0 +1,111 @@
+package graft.sources.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+import java.nio.file.Files
+
+/** ALTER TABLE over the native lake tables: Delta ADD COLUMNS /
+  * SET-UNSET TBLPROPERTIES / RENAME COLUMN under column mapping, Iceberg
+  * ADD COLUMNS, and the rejections that protect the lite readers'
+  * resolution contracts.
+  */
+class LakeAlterSuite extends SparkTestBase {
+
+  private def tmpDir(prefix: String): java.io.File =
+    Files.createTempDirectory(prefix).toFile
+
+  test("delta ADD COLUMNS: old rows null-fill, new writes carry the column") {
+    val base = tmpDir("alter-delta")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE altd OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.altd")
+    val fqn = "graft.datasource.altd.altd.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT)")
+    spark.sql(s"INSERT INTO $fqn VALUES (1, 10)")
+    spark.sql(s"ALTER TABLE $fqn ADD COLUMNS (tag STRING)")
+    spark.sql(s"INSERT INTO $fqn VALUES (2, 20, 'x')")
+    val rows = spark.sql(s"SELECT id, v, tag FROM $fqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1, 10, None), (2, 20, Some("x"))))
+    // old files still read: the pre-alter row survives with a null tag
+    val snap = DeltaLite.snapshot(spark, new Path(base.getPath, "t"))
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+  }
+
+  test("delta SET TBLPROPERTIES turns on CDF for subsequent DML") {
+    val base = tmpDir("alter-cdf")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE altc OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.altc")
+    val fqn = "graft.datasource.altc.altc.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(4)")       // v1
+    spark.sql(s"ALTER TABLE $fqn SET TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')") // v2
+    spark.sql(s"UPDATE $fqn SET v = 99 WHERE id = 1")                // v3: must write cdc now
+    val dir = new Path(base.getPath, "t")
+    assert(DeltaLite.snapshot(spark, dir).cdfEnabled)
+    val feed = DeltaLite.changes(spark, dir, 3L, Some(3L))
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(feed == Seq((1, 1, "update_preimage"), (1, 99, "update_postimage")))
+    // UNSET flips it back off: the next DML commits without cdc (and the
+    // feed read rejects the rewrite, proving nothing was silently staged)
+    spark.sql(s"ALTER TABLE $fqn UNSET TBLPROPERTIES ('delta.enableChangeDataFeed')") // v4
+    spark.sql(s"DELETE FROM $fqn WHERE id = 2")                      // v5
+    assert(!DeltaLite.snapshot(spark, dir).cdfEnabled)
+    val ex = intercept[IllegalArgumentException] {
+      DeltaLite.changes(spark, dir, 5L, Some(5L)).collect()
+    }
+    assert(ex.getMessage.contains("without cdc actions"))
+  }
+
+  test("delta RENAME COLUMN works under column mapping and is rejected without it") {
+    val base = tmpDir("alter-ren")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE altr OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.altr")
+    val plain = "graft.datasource.altr.altr.plain"
+    spark.sql(s"CREATE TABLE $plain (id INT, v INT)")
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $plain RENAME COLUMN v TO w")
+    }
+    assert(ex.getMessage.contains("columnMapping"))
+
+    val mapped = "graft.datasource.altr.altr.mapped"
+    spark.sql(s"CREATE TABLE $mapped (id INT, v INT) " +
+      "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+    spark.sql(s"INSERT INTO $mapped VALUES (1, 10)")
+    spark.sql(s"ALTER TABLE $mapped RENAME COLUMN v TO amount")
+    // pre-rename data reads back under the NEW logical name (physical name
+    // pinned to the old spelling inside the field metadata)
+    val rows = spark.sql(s"SELECT id, amount FROM $mapped").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1, 10)))
+    spark.sql(s"INSERT INTO $mapped VALUES (2, 20)")
+    assert(spark.sql(s"SELECT sum(amount) FROM $mapped").head().getLong(0) == 30L)
+    val snap = DeltaLite.snapshot(spark, new Path(base.getPath, "mapped"))
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "amount"))
+    assert(snap.physSchema.get.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
+    val base = tmpDir("alter-ice")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE alti OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.alti")
+    val fqn = "graft.datasource.alti.alti.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT)")
+    spark.sql(s"INSERT INTO $fqn VALUES (1, 10)")
+    spark.sql(s"ALTER TABLE $fqn ADD COLUMNS (note STRING)")
+    spark.sql(s"INSERT INTO $fqn VALUES (2, 20, 'n')")
+    val rows = spark.sql(s"SELECT id, v, note FROM $fqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1, 10, None), (2, 20, Some("n"))))
+    // time travel still resolves pre-alter snapshots
+    val lineage = IcebergLite.snapshotLineage(spark, new Path(base.getPath, "t"))
+    assert(lineage.size == 2)
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $fqn RENAME COLUMN v TO w")
+    }
+    assert(ex.getMessage.contains("not supported"))
+  }
+}
