@@ -29,6 +29,7 @@ object GraftParser {
       s.startsWith("REMOVE DQ") ||
       s.startsWith("SHOW DQ") ||
       s.startsWith("SHOW NAMESPACES OR TABLES") ||
+      s.startsWith("SHOW LAKE HISTORY") ||
       s.startsWith("OPTIMIZE LAKE ") ||
       s.startsWith("VACUUM LAKE ")
   }
@@ -326,6 +327,9 @@ private[parser] final class StatementParser(original: String) {
       val table = qualified()
       val limit = if (acceptKw("LIMIT")) intLit() else 0
       ShowDqRecordsCommand(name, table, valid, limit)
+    } else if (acceptKw("LAKE")) {
+      expectKw("HISTORY")
+      graft.plans.ShowLakeHistoryCommand(qualified())
     } else {
       expectKw("NAMESPACES"); expectKw("OR"); expectKw("TABLES"); expectKw("IN")
       ShowNamespacesAndTablesCommand(qualified())

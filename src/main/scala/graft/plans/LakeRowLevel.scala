@@ -96,6 +96,12 @@ object LakeRowLevel {
     def vacuum(spark: SparkSession, retainVersions: Int): (Long, Long)
     /** Table description for error messages. */
     def describe: String
+    /** Commit/snapshot history, newest first: (version, snapshotId,
+      * timestampMs, operation, addedFiles, removedFiles) — snapshotId and
+      * the file counts are format-optional.
+      */
+    def history(spark: SparkSession): Seq[(Long, Option[Long], Long, String, Option[Long], Option[Long])] =
+      throw new UnsupportedOperationException(s"$describe does not expose history")
   }
 
   /** Wrapper keeping captured expressions out of TreeNode's expression
@@ -517,6 +523,35 @@ case class OptimizeLakeTableCommand(table: Seq[String], smallerThan: Option[Long
   override val output: Seq[Attribute] = Seq(
     AttributeReference("compacted_files", org.apache.spark.sql.types.LongType)(),
     AttributeReference("compacted_bytes", org.apache.spark.sql.types.LongType)())
+}
+
+/** SHOW LAKE HISTORY fqn — the commit/snapshot timeline of a native lake
+  * table (DESCRIBE HISTORY's shape): one row per version, newest first,
+  * operations derived from the log itself so any writer's history reads
+  * consistently. Driver-side metadata only — no data files open.
+  */
+case class ShowLakeHistoryCommand(table: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tbl = GraftSQLBridge.loadV2Table(spark, table)
+    val handle = tbl match {
+      case h: HasRowLevelHandle => h.rowLevelHandle.getOrElse(
+        throw new UnsupportedOperationException(
+          s"${table.mkString(".")} does not expose history"))
+      case _ => throw new UnsupportedOperationException(
+        s"${table.mkString(".")} is not a native lake table")
+    }
+    handle.history(spark).map { case (v, sid, ts, op, added, removed) =>
+      Row(v, sid.map(Long.box).orNull, ts, op,
+        added.map(Long.box).orNull, removed.map(Long.box).orNull)
+    }
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("snapshot_id", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("ts_millis", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("operation", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("added_files", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("removed_files", org.apache.spark.sql.types.LongType)())
 }
 
 /** VACUUM LAKE TABLE fqn [RETAIN n VERSIONS] — retention maintenance over

@@ -1708,6 +1708,65 @@ object CatalogQueries {
           n_name AS nation_name,
           CASE WHEN n_nationkey < 10 THEN NULL
                ELSE CAST(n_regionkey AS INT) END AS n_regionkey
-        FROM nation ORDER BY n_nationkey"""))
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- SHOW LAKE HISTORY: the DESCRIBE HISTORY shape over a native
+    // Delta log with pinned commitInfo timestamps. Operations derive from
+    // each commit's ACTION SHAPE (cdc = DML, v0 metaData = CREATE TABLE,
+    // metaData-only = ALTER, dataChange=false = OPTIMIZE, adds+removes =
+    // REWRITE, adds = WRITE, removes = DELETE), so any engine's log
+    // classifies consistently; the oracle pins every derived row. ----
+    QuerySpec("cmd_lake_history",
+      (s, dir) => {
+        setup(s, dir)
+        import graft.sources.lake.LakeWrite
+        import org.apache.hadoop.fs.Path
+        val lakeDir = new java.io.File(wh(dir), "lake")
+        val tableDir = new java.io.File(lakeDir, "nation_hist")
+        if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_hist.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT, v INT")
+          // history is metadata-only: the log alone defines the answer
+          LakeWrite.deltaCommit(conf, root, 0, Seq(
+            LakeWrite.deltaCommitInfo(1700000000000L), LakeWrite.deltaProtocol(),
+            LakeWrite.deltaMetaData("hist-fixture", schema, Nil)))
+          LakeWrite.deltaCommit(conf, root, 1, Seq(
+            LakeWrite.deltaCommitInfo(1700000100000L),
+            LakeWrite.deltaAdd("a.parquet", 10L, 1700000100000L, Map.empty),
+            LakeWrite.deltaAdd("b.parquet", 10L, 1700000100000L, Map.empty)))
+          LakeWrite.deltaCommit(conf, root, 2, Seq(
+            LakeWrite.deltaCommitInfo(1700000200000L),
+            LakeWrite.deltaRemove("a.parquet", 1700000200000L),
+            LakeWrite.deltaAdd("a2.parquet", 10L, 1700000200000L, Map.empty)))
+          LakeWrite.deltaCommit(conf, root, 3, Seq(
+            LakeWrite.deltaCommitInfo(1700000300000L),
+            LakeWrite.deltaRemoveNoDataChange("a2.parquet", 1700000300000L),
+            LakeWrite.deltaRemoveNoDataChange("b.parquet", 1700000300000L),
+            LakeWrite.deltaAdd("c.parquet", 20L, 1700000300000L, Map.empty,
+              dataChange = false)))
+          LakeWrite.deltaCommit(conf, root, 4, Seq(
+            LakeWrite.deltaCommitInfo(1700000400000L),
+            LakeWrite.deltaMetaData("hist-fixture",
+              org.apache.spark.sql.types.StructType.fromDDL("id INT, v INT, w INT"), Nil)))
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dhist OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+        val df = Graft.sql(s, "SHOW LAKE HISTORY graft.datasource.lake.dhist.nation_hist")
+        s.createDataFrame(df.collectAsList(), df.schema)
+          .select("version", "ts_millis", "operation", "added_files", "removed_files")
+          .orderBy(col("version"))
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), CAST(1700000000000 AS BIGINT), 'CREATE TABLE', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          (1, 1700000100000, 'WRITE', 2, 0),
+          (2, 1700000200000, 'REWRITE', 1, 1),
+          (3, 1700000300000, 'OPTIMIZE', 1, 2),
+          (4, 1700000400000, 'ALTER TABLE', 0, 0)
+        ) AS t(version, ts_millis, operation, added_files, removed_files)
+        ORDER BY version"""))
   )
 }

@@ -565,6 +565,49 @@ object DeltaLite {
     (log.commits.map(_._1) ++ log.checkpoints.keys).max
   }
 
+  /** Commit history, newest first: (version, timestampMs, operation,
+    * addedFiles, removedFiles). The operation derives from the commit's
+    * action shape — the log itself is the source of truth, so histories
+    * written by ANY engine classify consistently: cdc actions = DML,
+    * metaData at v0 = CREATE TABLE, metaData-only = ALTER TABLE,
+    * dataChange=false motion = OPTIMIZE, adds+removes = REWRITE, adds =
+    * WRITE, removes = DELETE.
+    */
+  def history(spark: SparkSession, dir: Path): Seq[(Long, Long, String, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val log = listLog(conf, dir)
+    val fs = new Path(dir, "_delta_log").getFileSystem(conf)
+    log.commits.sortBy(-_._1).map { case (v, st) =>
+      var meta = false; var cdc = false
+      var addsDc = 0L; var removesDc = 0L; var addsNoDc = 0L; var removesNoDc = 0L
+      readLines(fs, st).foreach { line =>
+        val j = JsonMethods.parse(line)
+        if ((j \ "metaData").isInstanceOf[JObject]) meta = true
+        if ((j \ "cdc").isInstanceOf[JObject]) cdc = true
+        (j \ "add") match {
+          case a: JObject =>
+            if ((a \ "dataChange").extractOrElse[Boolean](true)) addsDc += 1 else addsNoDc += 1
+          case _ =>
+        }
+        (j \ "remove") match {
+          case r: JObject =>
+            if ((r \ "dataChange").extractOrElse[Boolean](true)) removesDc += 1 else removesNoDc += 1
+          case _ =>
+        }
+      }
+      val op =
+        if (cdc) "DML"
+        else if (meta && v == 0) "CREATE TABLE"
+        else if (meta && addsDc + removesDc + addsNoDc + removesNoDc == 0) "ALTER TABLE"
+        else if (addsDc + removesDc == 0 && addsNoDc + removesNoDc > 0) "OPTIMIZE"
+        else if (addsDc > 0 && removesDc > 0) "REWRITE"
+        else if (addsDc > 0) "WRITE"
+        else if (removesDc > 0) "DELETE"
+        else "EMPTY"
+      (v, commitTimestamp(conf, st), op, addsDc + addsNoDc, removesDc + removesNoDc)
+    }
+  }
+
   /** The highest `txn` version committed for `appId` (the protocol's
     * idempotent-writer marker) — checkpoint txn column plus every later
     * JSON commit. None = this appId never wrote.

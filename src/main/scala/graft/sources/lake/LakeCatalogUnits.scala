@@ -111,6 +111,10 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def partitionColumns: Seq[String] = snap.partitionColumns
       override def vacuum(s: SparkSession, retain: Int): (Long, Long) =
         LakeNativeWrite.deltaVacuum(s, dir, retain)
+      override def history(s: SparkSession): Seq[(Long, Option[Long], Long, String, Option[Long], Option[Long])] =
+        DeltaLite.history(s, dir).map { case (v, ts, op, a, r) =>
+          (v, None, ts, op, Some(a), Some(r))
+        }
       override def describe: String = s"delta table $dir"
     }
     new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),
@@ -298,6 +302,22 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def partitionColumns: Seq[String] = snap.partitionColumns
       override def vacuum(s: SparkSession, retain: Int): (Long, Long) =
         LakeNativeWrite.icebergExpire(s, dir, retain)
+      override def history(s: SparkSession): Seq[(Long, Option[Long], Long, String, Option[Long], Option[Long])] = {
+        val meta = org.json4s.jackson.JsonMethods.parse(IcebergLite.readString(
+          s.sparkContext.hadoopConfiguration, IcebergLite.currentMetadataFile(
+            s.sparkContext.hadoopConfiguration, dir)))
+        implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+        IcebergLite.snapshotLineage(s, dir).reverse.map { case (seq, id, op, _) =>
+          val ts = (meta \ "snapshots") match {
+            case org.json4s.JArray(ss) => ss.collectFirst {
+              case sj if (sj \ "snapshot-id") == org.json4s.JInt(BigInt(id)) =>
+                (sj \ "timestamp-ms").extract[Long]
+            }.getOrElse(0L)
+            case _ => 0L
+          }
+          (seq, Some(id), ts, if (op.isEmpty) "append" else op, None, None)
+        }
+      }
       override def describe: String = s"iceberg table $dir"
     }
     new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),

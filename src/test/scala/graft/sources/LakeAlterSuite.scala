@@ -88,6 +88,33 @@ class LakeAlterSuite extends SparkTestBase {
     assert(snap.physSchema.get.fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("SHOW LAKE HISTORY reads both formats' timelines") {
+    val base = tmpDir("alter-hist")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE alth OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.alth")
+    val fqn = "graft.datasource.alth.alth.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT)")
+    spark.sql(s"INSERT INTO $fqn VALUES (1)")
+    spark.sql(s"DELETE FROM $fqn WHERE id = 1")
+    val hist = graft.Graft.sql(spark, s"SHOW LAKE HISTORY $fqn")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(hist.map(_._1) == Seq(2L, 1L, 0L)) // newest first
+    assert(hist.map(_._2) == Seq("REWRITE", "WRITE", "CREATE TABLE"))
+
+    val ibase = tmpDir("alter-hist-ice")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE althi OPTIONS (warehouse '${ibase.getPath}') NAMESPACE graft.datasource.althi")
+    val ifqn = "graft.datasource.althi.althi.t"
+    spark.sql(s"CREATE TABLE $ifqn (id INT)")
+    spark.sql(s"INSERT INTO $ifqn VALUES (1)")
+    spark.sql(s"INSERT INTO $ifqn VALUES (2)")
+    val ihist = graft.Graft.sql(spark, s"SHOW LAKE HISTORY $ifqn")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(3))).toSeq
+    assert(ihist.map(_._1) == Seq(2L, 1L)) // sequence numbers, newest first
+    assert(ihist.forall(_._2.nonEmpty)) // snapshot ids present
+    assert(ihist.forall(_._3 == "append"))
+  }
+
   test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
