@@ -469,4 +469,204 @@ object Multimodal {
       struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
         (length(col(payloadCol)) * 40L).as("duration_ms"),
         lit(null).cast("int").as("sample_rate")).as("meta"))
+
+  // ---- perceptual audio fingerprinting (real WAV/FLAC PCM decode) ----
+
+  /** 64-bit audio fingerprint from the energy CONTOUR: 65 RMS windows over
+    * the PCM, one bit per consecutive-window comparison (E[i+1] > E[i]).
+    * Comparisons make it invariant to uniform gain (scaling every sample
+    * scales every window energy, preserving the order relation) — the same
+    * trick dHash uses for brightness. WAV (PCM-16) and FLAC payloads
+    * decode for real; anything else is None.
+    */
+  private[graft] def audioFingerprint64(bytes: Array[Byte]): Option[Long] = {
+    val wins = 65
+    def contour(nSamples: Int, sampleAt: Int => Double): Option[Long] = {
+      if (nSamples < wins) return None
+      val e = new Array[Double](wins)
+      val win = nSamples / wins
+      var w = 0
+      while (w < wins) {
+        var sum = 0.0
+        var s = w * win
+        val end = if (w == wins - 1) nSamples else (w + 1) * win
+        while (s < end) { val v = sampleAt(s); sum += v * v; s += 1 }
+        e(w) = sum / (end - w * win)
+        w += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (e(i + 1) > e(i)) hash |= (1L << i)
+        i += 1
+      }
+      Some(hash)
+    }
+    wavInfo(bytes) match {
+      case Some((_, _, _, _, dOff, dSize)) =>
+        contour(dSize / 2, { s =>
+          val o = dOff + s * 2
+          ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toDouble / 32768.0
+        })
+      case None => FlacDecode.decode(bytes).flatMap { pcm =>
+        val scale = (1L << (pcm.bits - 1)).toDouble
+        contour(pcm.samples.length, s => pcm.samples(s) / scale)
+      }
+    }
+  }
+
+  /** Near-duplicate audio pairs by fingerprint Hamming distance — the same
+    * pigeonhole banding as [[imageNearDuplicates]] on the 64-bit energy
+    * contour. Decode is map-side; only (band, bits, id) rows shuffle.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b
+    */
+  def audioNearDuplicates(media: DataFrame, idCol: String, contentCol: String,
+      maxDistance: Int = 4): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 32)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) => audioFingerprint64(bytes).map(h => (id, h)) }
+      .toDF("id", "fp")
+    hammingPairs(hashes, "fp", maxDistance)
+  }
+
+  /** Banded Hamming pair join over a 64-bit hash column: `maxDistance + 1`
+    * bands, bucket-join, exact verify, dedup.
+    */
+  private def hammingPairs(hashes: DataFrame, hashCol: String,
+      maxDistance: Int): DataFrame = {
+    val bands = maxDistance + 1
+    val width = (64 + bands - 1) / bands
+    val banded = hashes.select(col("id"), col(hashCol).as("__h"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col(hashCol), b * width)
+            .bitwiseAND(lit((1L << math.min(width, 63)) - 1)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("__h"), col("bb.band"), col("bb.bits"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxDistance)
+      .distinct()
+  }
+
+  // ---- perceptual image hashing (REAL ImageIO decode, pure JVM) ----
+
+  /** Nearest-neighbor grayscale downsample to w x h — integer arithmetic
+    * only, so the grid (and every hash built on it) is bit-deterministic.
+    */
+  private def graySample(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x * img.getWidth / w, y * img.getHeight / h)
+        out(y * w + x) =
+          (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** dHash: 9x8 grayscale grid, one bit per horizontal gradient sign —
+    * the classic difference hash. A localized pixel edit flips at most a
+    * couple of gradient bits, so near-duplicates sit within a small
+    * Hamming distance while unrelated images scatter.
+    */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      val g = graySample(img, 9, 8)
+      var hash = 0L; var bit = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y * 9 + x) < g(y * 9 + x + 1)) hash |= (1L << bit)
+          bit += 1; x += 1
+        }
+        y += 1
+      }
+      Some(hash)
+    }
+  } catch { case _: Exception => None }
+
+  /** pHash: 32x32 grayscale, 2D DCT-II, the low-frequency 8x8 block
+    * thresholded at its own median (DC term excluded from the median so a
+    * uniform brightness shift cannot flip the whole hash).
+    */
+  private[graft] def pHash64(bytes: Array[Byte]): Option[Long] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      val n = 32
+      val g = graySample(img, n, n).map(_.toDouble)
+      // separable DCT-II, low 8x8 only: 8*32 + 8*8 inner products
+      val cosT = Array.tabulate(8, n)((u, i) => math.cos((2 * i + 1) * u * math.Pi / (2.0 * n)))
+      val rows = Array.tabulate(8, n) { (u, y) =>
+        var s = 0.0; var x = 0
+        while (x < n) { s += g(y * n + x) * cosT(u)(x); x += 1 }
+        s
+      }
+      val coef = Array.tabulate(8, 8) { (v, u) =>
+        var s = 0.0; var y = 0
+        while (y < n) { s += rows(u)(y) * cosT(v)(y); y += 1 }
+        s
+      }
+      val flat = (for (v <- 0 until 8; u <- 0 until 8 if v != 0 || u != 0) yield coef(v)(u)).toArray
+      val sorted = flat.sorted
+      val median = (sorted(30) + sorted(31)) / 2.0
+      var hash = 0L; var bit = 0
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          if ((v != 0 || u != 0) && coef(v)(u) > median) hash |= (1L << bit)
+          bit += 1; u += 1
+        }
+        v += 1
+      }
+      Some(hash)
+    }
+  } catch { case _: Exception => None }
+
+  /** (id, dhash, phash) for every decodable image row; undecodable rows
+    * drop (they cannot participate in visual dedup). Pure map-side.
+    */
+  def imageHashes(media: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        for (d <- dHash64(bytes); p <- pHash64(bytes)) yield (id, d, p)
+      }
+      .toDF("id", "dhash", "phash")
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance, the SimHash
+    * banding shape on a 64-bit visual hash: split into `maxDistance + 1`
+    * bands (pigeonhole: any pair within the distance agrees on >= 1 whole
+    * band), bucket-join per band, verify EXACT Hamming on the candidates,
+    * dedup multi-band hits. One keyed shuffle of (band, bits, id) — image
+    * bytes decode map-side once and never shuffle.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b
+    */
+  def imageNearDuplicates(media: DataFrame, idCol: String, contentCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 32)
+    hammingPairs(imageHashes(media, idCol, contentCol).select("id", "dhash"),
+      "dhash", maxDistance)
+  }
 }

@@ -373,6 +373,99 @@ object Pipeline {
         FROM nation CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS w) ws
         ORDER BY n_nationkey, w""")),
 
+    // ---- PERCEPTUAL IMAGE DEDUP (real ImageIO decode): one deterministic
+    // noise image per nation key plus, for region 2, a single-pixel-edited
+    // twin at key+100. dHash puts each twin within 2 bits of its original
+    // while distinct noise fields scatter ~32 bits apart (margins asserted
+    // in MultimodalSuite), so the banded Hamming join must surface EXACTLY
+    // the planted (k, k+100) pairs — which the oracle states relationally.
+    // Decode and hashing are map-side; only (band, bits, id) shuffles. ----
+    QuerySpec("multimodal_image_dedup",
+      (s, dir) => {
+        def noisePng(k: Long, perturb: Boolean): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(64, 64,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 64; x <- 0 until 64) {
+            var z = k * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L + y * 0x94D049BB133111EBL
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            val v = ((z >>> 40) & 0xFF).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          if (perturb) img.setRGB(14, 16, 0xFFFFFF)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        val keys = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+          .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong))
+        val rows = keys.map { case (k, _) => org.apache.spark.sql.Row(k, noisePng(k, false)) } ++
+          keys.collect { case (k, r) if r == 2 =>
+            org.apache.spark.sql.Row(k + 100L, noisePng(k, true)) }
+        val media = s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.BinaryType))))
+        graft.multimodal.Multimodal.imageNearDuplicates(media, "id", "bytes", maxDistance = 6)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id_a,
+          CAST(n_nationkey + 100 AS BIGINT) AS id_b
+        FROM nation WHERE n_regionkey = 2 ORDER BY id_a""")),
+
+    // ---- PERCEPTUAL AUDIO DEDUP (real PCM decode): one amplitude-
+    // modulated tone per nation key, plus — for region 1 — a GAIN-SCALED,
+    // one-window-glitched twin at key+100. The 64-bit energy-contour
+    // fingerprint is gain-invariant by construction (uniform gain scales
+    // every window energy, preserving the comparisons), the glitch flips
+    // <= 3 contour bits, and distinct envelopes scatter (margins in
+    // MultimodalSuite) — so the banded Hamming join surfaces exactly the
+    // planted pairs, which the oracle states relationally. ----
+    QuerySpec("multimodal_audio_dedup",
+      (s, dir) => {
+        def toneWav(k: Long, gain: Double, glitch: Boolean): Array[Byte] = {
+          val rate = 8000; val n = rate
+          val data = new Array[Byte](n * 2)
+          for (i <- 0 until n) {
+            val w = i * 65 / n
+            var z = k * 0x9E3779B97F4A7C15L + w * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            val amp = 0.1 + 0.8 * ((z >>> 40) & 0xFF) / 255.0
+            val base = amp * gain * math.sin(2 * math.Pi * 440 * i / rate)
+            val v = math.max(-1.0, math.min(1.0, if (glitch && w == 30) 0.0 else base))
+            val sv = (v * 20000).toShort
+            data(i * 2) = (sv & 0xFF).toByte
+            data(i * 2 + 1) = ((sv >> 8) & 0xFF).toByte
+          }
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+          bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+            .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+          bb.put("data".getBytes).putInt(data.length).put(data)
+          bb.array()
+        }
+        val keys = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+          .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong))
+        val rows = keys.map { case (k, _) =>
+          org.apache.spark.sql.Row(k, toneWav(k, 1.0, glitch = false)) } ++
+          keys.collect { case (k, r) if r == 1 =>
+            org.apache.spark.sql.Row(k + 100L, toneWav(k, 0.6, glitch = true)) }
+        val media = s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.BinaryType))))
+        graft.multimodal.Multimodal.audioNearDuplicates(media, "id", "bytes", maxDistance = 4)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id_a,
+          CAST(n_nationkey + 100 AS BIGINT) AS id_b
+        FROM nation WHERE n_regionkey = 1 ORDER BY id_a""")),
+
     // ---- ANN: brute-force exact top-5 cosine neighbors for 20 query vectors.
     // Corpus never shuffles: queries broadcast, scoring is map-side codegen,
     // only k*|queries| rows reach the window. ----

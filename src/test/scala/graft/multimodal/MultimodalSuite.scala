@@ -575,4 +575,127 @@ class MultimodalSuite extends SparkTestBase {
     mangled(frameStart) = 0x00
     assert(FlacDecode.decode(mangled).isEmpty) // first frame dead -> no samples
   }
+
+  // deterministic 64x64 noise image keyed by k; optional single-pixel edit
+  // at (14, 16) — a coordinate BOTH hash grids sample
+  private def noisePng(k: Long, perturb: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      var z = k * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L + y * 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      val v = ((z >>> 40) & 0xFF).toInt
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    if (perturb) img.setRGB(14, 16, 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("dHash: single-pixel edits stay within 2 bits; distinct noise fields scatter far") {
+    def d(b: Array[Byte]) = Multimodal.dHash64(b).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (k <- 0L until 10L) {
+      assert(ham(d(noisePng(k, false)), d(noisePng(k, true))) <= 2,
+        s"perturbed copy of $k drifted")
+    }
+    val hashes = (0L until 20L).map(k => d(noisePng(k, false)))
+    for (i <- hashes.indices; j <- hashes.indices if i < j)
+      assert(ham(hashes(i), hashes(j)) > 10, s"patterns $i/$j collide")
+  }
+
+  test("pHash survives a uniform brightness shift that flips many dHash-irrelevant bits") {
+    def brightened(k: Long): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(noisePng(k, false)))
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v0 = img.getRGB(x, y) & 0xFF
+        val v = math.min(255, v0 + 30)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (k <- 0L until 5L) {
+      val p0 = Multimodal.pHash64(noisePng(k, false)).get
+      val p1 = Multimodal.pHash64(brightened(k)).get
+      // DC is excluded from the median, so the shift barely moves the hash
+      // (saturation at 255 perturbs a few AC terms)
+      assert(ham(p0, p1) <= 8, s"pHash of $k not brightness-stable: ${ham(p0, p1)}")
+    }
+  }
+
+  // deterministic amplitude-modulated tone keyed by k; `gain` scales every
+  // sample uniformly, `glitch` zeroes one window's worth of samples
+  private def toneWav(k: Long, gain: Double = 1.0, glitch: Boolean = false): Array[Byte] = {
+    val rate = 8000
+    val n = rate
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      // the energy ENVELOPE varies with window index and k: each of the 65
+      // fingerprint windows gets a pseudo-random amplitude
+      val w = i * 65 / n
+      var z = k * 0x9E3779B97F4A7C15L + w * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      val amp = 0.1 + 0.8 * ((z >>> 40) & 0xFF) / 255.0
+      val base = amp * gain * math.sin(2 * math.Pi * 440 * i / rate)
+      val v0 = if (glitch && w == 30) 0.0 else base
+      val v = math.max(-1.0, math.min(1.0, v0))
+      val s = (v * 20000).toShort
+      data(i * 2) = (s & 0xFF).toByte
+      data(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  test("audio fingerprint: gain-invariant, glitch-local, distinct envelopes scatter") {
+    def fp(b: Array[Byte]) = Multimodal.audioFingerprint64(b).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (k <- 0L until 8L) {
+      // uniform gain scales every window energy equally: contour unchanged
+      assert(fp(toneWav(k)) == fp(toneWav(k, gain = 0.5)), s"gain broke contour of $k")
+      // a one-window dropout flips only the comparisons touching it
+      assert(ham(fp(toneWav(k)), fp(toneWav(k, glitch = true))) <= 3,
+        s"glitch of $k drifted too far")
+    }
+    val fps = (0L until 12L).map(k => fp(toneWav(k)))
+    for (i <- fps.indices; j <- fps.indices if i < j)
+      assert(ham(fps(i), fps(j)) > 8, s"envelopes $i/$j collide: ${ham(fps(i), fps(j))}")
+    assert(Multimodal.audioFingerprint64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("audioNearDuplicates pairs glitched copies, not distinct tracks") {
+    import spark.implicits._
+    val rows = (0L until 8L).map(k => (k, toneWav(k))) ++
+      Seq(2L, 5L).map(k => (k + 100L, toneWav(k, gain = 0.7, glitch = true)))
+    val pairs = Multimodal.audioNearDuplicates(rows.toDF("id", "bytes"), "id", "bytes",
+        maxDistance = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(pairs == Seq((2L, 102L), (5L, 105L)))
+  }
+
+  test("imageNearDuplicates finds exactly the planted pairs; banding is complete at the cut") {
+    import spark.implicits._
+    val rows = (0L until 15L).map(k => (k, noisePng(k, false))) ++
+      Seq(3L, 7L, 11L).map(k => (k + 100L, noisePng(k, true)))
+    val media = rows.toDF("id", "bytes").repartition(5)
+    val pairs = Multimodal.imageNearDuplicates(media, "id", "bytes", maxDistance = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(pairs.map(t => (t._1, t._2)).toSeq == Seq((3L, 103L), (7L, 107L), (11L, 111L)))
+    assert(pairs.forall(_._3 <= 2))
+    // undecodable rows drop rather than poison the join
+    val withJunk = rows ++ Seq((999L, Array[Byte](1, 2, 3)))
+    assert(Multimodal.imageNearDuplicates(withJunk.toDF("id", "bytes"), "id", "bytes",
+      maxDistance = 6).count() == 3)
+  }
 }
