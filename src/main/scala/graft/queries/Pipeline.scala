@@ -1143,6 +1143,170 @@ object Pipeline {
     // (CorpusStatsSuite / ClassifySuite) carry over: the bigram check
     // covers exactly this scored set, the NB check covers every model
     // combo regardless of which docs are scored. ----
+    // ---- r7 curation pipeline: the round's TRAINED signals composed —
+    // Kneser-Ney fluency cut (text_kn_xent config) -> gradient-descent
+    // logistic-regression quality keep (text_logreg_quality config:
+    // the oracle RETRAINS the model, three unrolled iterations) -> exact
+    // dedup -> per-source stats. One declarative plan; the oracle stacks
+    // every stage's proven CTE fragments into one statement. ----
+    QuerySpec("pipeline_curation_v3",
+      (s, dir) => {
+        import graft.operators.{Classify, CorpusStats, Dedup}
+        val d = t(s, dir, "documents")
+        val batch = d.where(col("doc_id") % 5 === 0)
+        val lm = CorpusStats.knTrain(d.where(col("doc_id") % 5 =!= 0), "text")
+        val fluent = CorpusStats.knScore(lm, batch, "doc_id", "text")
+          .where(col("xent_bits") <= 5.0).select(col("id").as("doc_id"))
+        val routed = batch.join(fluent, "doc_id")
+        val labeled = d.withColumn("y",
+          col("source").isin("src0", "src1", "src2", "src3", "src4").cast("int"))
+        val wts = Classify.logregTrain(labeled.where(col("doc_id") % 4 =!= 0),
+          "doc_id", "y", "text", buckets = 16, iters = 3, lrate = 0.5)
+        val kept = Classify.logregScore(wts, routed, "doc_id", "text", buckets = 16)
+          .where(col("prob") >= 0.997).select(col("id").as("doc_id"))
+        val pool = routed.join(kept, "doc_id")
+        val winners = Dedup.exactDuplicates(pool, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        pool.join(winners, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, $toksSql AS t, md5($normSql) AS h FROM documents
+        ), bg AS (
+          SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+          FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ), tb AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 5 != 0 GROUP BY 1, 2
+        ), tc AS (
+          SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p FROM tb GROUP BY 1
+        ), tw AS (
+          SELECT w2, COUNT(*) AS cont FROM tb GROUP BY 1
+        ), v AS (
+          SELECT COUNT(DISTINCT t[u.i]) AS nv
+          FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+          WHERE doc_id % 5 != 0
+        ), st AS (
+          SELECT COUNT(*) AS b,
+            CASE WHEN COUNT(*) FILTER (WHERE c2 = 1) + 2 * COUNT(*) FILTER (WHERE c2 = 2) > 0
+              THEN CAST(COUNT(*) FILTER (WHERE c2 = 1) AS DOUBLE) /
+                (COUNT(*) FILTER (WHERE c2 = 1) + 2 * COUNT(*) FILTER (WHERE c2 = 2))
+              ELSE 0.75 END AS d
+          FROM tb
+        ), kterms AS (
+          SELECT s.doc_id,
+            CAST(ROUND(ln(
+              CASE WHEN tc.c1 IS NOT NULL THEN
+                GREATEST(COALESCE(tb.c2, 0) - st.d, 0.0) / tc.c1 +
+                st.d * tc.n1p / tc.c1 *
+                  ((COALESCE(tw.cont, 0) + 1) / (st.b + v.nv + 1.0))
+              ELSE (COALESCE(tw.cont, 0) + 1) / (st.b + v.nv + 1.0) END
+            ) / ln(2.0), 9) AS DECIMAL(28,9)) AS term
+          FROM bg s
+          LEFT JOIN tb ON s.w1 = tb.w1 AND s.w2 = tb.w2
+          LEFT JOIN tc ON s.w1 = tc.w1
+          LEFT JOIN tw ON s.w2 = tw.w2
+          CROSS JOIN v CROSS JOIN st
+          WHERE s.doc_id % 5 = 0
+        ), routed AS (
+          SELECT doc_id FROM kterms GROUP BY doc_id
+          HAVING ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) <= 5.0
+        ), lab AS (
+          SELECT doc_id,
+            CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN 1 ELSE 0 END AS DECIMAL(10,9)) AS y,
+            t FROM tk WHERE TRUE
+        ), ltok AS (
+          SELECT doc_id, ('0x' || substr(md5(t[u.i]), 1, 15))::BIGINT % 16 AS bucket
+          FROM lab, UNNEST(generate_series(1, len(t))) AS u(i)
+        ), feat AS (
+          SELECT doc_id, bucket, COUNT(*) AS c
+          FROM ltok WHERE doc_id % 4 != 0 GROUP BY 1, 2
+        ), tr AS (
+          SELECT doc_id, y FROM lab WHERE doc_id % 4 != 0
+        ), nn AS (
+          SELECT COUNT(*)::DOUBLE AS n FROM tr
+        ), e1 AS (
+          SELECT doc_id, CAST(0.5 AS DECIMAL(10,9)) - y AS err FROM tr
+        ), w1 AS (
+          SELECT f.bucket,
+            CAST(0 - ROUND(0.5 * CAST(SUM(e.err * f.c) AS DOUBLE)
+              / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS w
+          FROM e1 e JOIN feat f USING (doc_id) GROUP BY f.bucket
+        ), b1 AS (
+          SELECT CAST(0 - ROUND(0.5 * CAST(SUM(err) AS DOUBLE)
+            / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS b FROM e1
+        ), e2 AS (
+          SELECT z.doc_id,
+            CAST(ROUND(1.0 / (1.0 + exp(-CAST(z.z AS DOUBLE))), 9)
+              AS DECIMAL(10,9)) - z.y AS err
+          FROM (
+            SELECT t2.doc_id, t2.y,
+              CAST(COALESCE(SUM(w.w * f.c), 0) AS DECIMAL(26,12))
+                + (SELECT b FROM b1) AS z
+            FROM tr t2
+            LEFT JOIN feat f ON f.doc_id = t2.doc_id
+            LEFT JOIN w1 w ON w.bucket = f.bucket
+            GROUP BY 1, 2) z
+        ), w2 AS (
+          SELECT w1.bucket,
+            CAST(w1.w - ROUND(0.5 * CAST(g.g AS DOUBLE)
+              / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS w
+          FROM w1 JOIN (
+            SELECT f.bucket, SUM(e.err * f.c) AS g
+            FROM e2 e JOIN feat f USING (doc_id) GROUP BY 1) g
+            ON g.bucket = w1.bucket
+        ), b2 AS (
+          SELECT CAST((SELECT b FROM b1) - ROUND(0.5 * CAST(SUM(err) AS DOUBLE)
+            / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS b FROM e2
+        ), e3 AS (
+          SELECT z.doc_id,
+            CAST(ROUND(1.0 / (1.0 + exp(-CAST(z.z AS DOUBLE))), 9)
+              AS DECIMAL(10,9)) - z.y AS err
+          FROM (
+            SELECT t3.doc_id, t3.y,
+              CAST(COALESCE(SUM(w.w * f.c), 0) AS DECIMAL(26,12))
+                + (SELECT b FROM b2) AS z
+            FROM tr t3
+            LEFT JOIN feat f ON f.doc_id = t3.doc_id
+            LEFT JOIN w2 w ON w.bucket = f.bucket
+            GROUP BY 1, 2) z
+        ), w3 AS (
+          SELECT w2.bucket,
+            CAST(w2.w - ROUND(0.5 * CAST(g.g AS DOUBLE)
+              / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS w
+          FROM w2 JOIN (
+            SELECT f.bucket, SUM(e.err * f.c) AS g
+            FROM e3 e JOIN feat f USING (doc_id) GROUP BY 1) g
+            ON g.bucket = w2.bucket
+        ), b3 AS (
+          SELECT CAST((SELECT b FROM b2) - ROUND(0.5 * CAST(SUM(err) AS DOUBLE)
+            / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS b FROM e3
+        ), sfeat AS (
+          SELECT l.doc_id, l.bucket, COUNT(*) AS c
+          FROM ltok l JOIN routed r ON r.doc_id = l.doc_id
+          GROUP BY 1, 2
+        ), kept AS (
+          SELECT r.doc_id
+          FROM routed r
+          LEFT JOIN sfeat f ON f.doc_id = r.doc_id
+          LEFT JOIN w3 w ON w.bucket = f.bucket
+          GROUP BY r.doc_id
+          HAVING ROUND(1.0 / (1.0 + exp(-CAST(
+            CAST(COALESCE(SUM(w.w * f.c), 0) AS DECIMAL(26,12))
+              + (SELECT b FROM b3) AS DOUBLE))), 9) >= 0.997
+        ), pool AS (
+          SELECT tk.doc_id, tk.source, len(tk.t) AS n_tokens, tk.h
+          FROM tk JOIN kept k ON k.doc_id = tk.doc_id
+        ), winners AS (
+          SELECT MIN(doc_id) AS doc_id FROM pool GROUP BY h
+        )
+        SELECT p.source, COUNT(*) AS n_docs, CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens
+        FROM pool p JOIN winners w ON p.doc_id = w.doc_id
+        GROUP BY p.source ORDER BY p.source""")),
+
     QuerySpec("pipeline_curation_v2",
       (s, dir) => {
         val d = t(s, dir, "documents")
