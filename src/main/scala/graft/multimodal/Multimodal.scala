@@ -533,8 +533,56 @@ object Multimodal {
     hammingPairs(hashes, "fp", maxDistance)
   }
 
+  /** Incremental media ingest dedup: new batch vs an EXISTING hash index
+    * (`corpusIndex`: (id, hash) — persist [[imageHashes]]' output once,
+    * reuse per batch), no corpus re-decode and no corpus self-join. The
+    * asymmetric shape of `Dedup.incrementalDedup` on a 64-bit visual/audio
+    * hash: batch rows band against the index's banded copy, exact Hamming
+    * verifies candidates. Per-batch cost tracks the batch.
+    *
+    * @return (batch_id, corpus_id, hamming)
+    */
+  def mediaIngestNearDuplicates(corpusIndex: DataFrame, batchHashes: DataFrame,
+      maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 32)
+    val bands = maxDistance + 1
+    val width = (64 + bands - 1) / bands
+    def banded(df: DataFrame, side: String) =
+      df.select(col("id").as(s"${side}_id"), col("hash").as(s"__h_$side"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("hash"), b * width)
+              .bitwiseAND(lit((1L << math.min(width, 63)) - 1)).as("bits"))
+        }: _*)).as("bb"))
+        .select(col(s"${side}_id"), col(s"__h_$side"),
+          col("bb.band").as(s"band_$side"), col("bb.bits").as(s"bits_$side"))
+    banded(batchHashes.toDF("id", "hash"), "batch")
+      .join(banded(corpusIndex.toDF("id", "hash"), "corpus"),
+        col("band_batch") === col("band_corpus") && col("bits_batch") === col("bits_corpus"))
+      // one row per pair WITHOUT a distinct shuffle: keep only the hit on
+      // the FIRST band the two hashes agree on (computable from the hashes
+      // alone, so this also keeps the plan stateless for streaming use)
+      .where(col("band_batch") === firstAgreeingBand(
+        col("__h_batch"), col("__h_corpus"), bands, width))
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("__h_batch").bitwiseXOR(col("__h_corpus"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxDistance)
+  }
+
+  /** The smallest band index on which two 64-bit hashes agree (-1 = none);
+    * a pure column expression, evaluated per joined row.
+    */
+  private def firstAgreeingBand(h1: org.apache.spark.sql.Column,
+      h2: org.apache.spark.sql.Column, bands: Int, width: Int): org.apache.spark.sql.Column =
+    (bands - 1 to 0 by -1).foldLeft(lit(-1)) { (acc, b) =>
+      val mask = (1L << math.min(width, 63)) - 1
+      when(shiftright(h1, b * width).bitwiseAND(lit(mask)) ===
+        shiftright(h2, b * width).bitwiseAND(lit(mask)), lit(b)).otherwise(acc)
+    }
+
   /** Banded Hamming pair join over a 64-bit hash column: `maxDistance + 1`
-    * bands, bucket-join, exact verify, dedup.
+    * bands, bucket-join, exact verify; multi-band duplicate hits resolve
+    * via the first-agreeing-band filter (no distinct shuffle).
     */
   private def hammingPairs(hashes: DataFrame, hashCol: String,
       maxDistance: Int): DataFrame = {
@@ -550,10 +598,10 @@ object Multimodal {
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.id") < col("b.id"))
+      .where(col("a.band") === firstAgreeingBand(col("a.__h"), col("b.__h"), bands, width))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxDistance)
-      .distinct()
   }
 
   // ---- perceptual image hashing (REAL ImageIO decode, pure JVM) ----

@@ -469,6 +469,18 @@ object Streaming {
     (batch, _) => save(graft.operators.Cdc.applyChangelog(
       load(), batch, keyCols, seqCols, opCol, deleteOp))
 
+  /** Streaming twin of [[graft.multimodal.Multimodal.mediaIngestNearDuplicates]]:
+    * hash the media stream map-side (REAL image decode), stream-static band
+    * join against the persisted corpus hash index. Stateless end to end —
+    * the first-agreeing-band filter stands in for the batch dedup — so it
+    * runs append-mode with no watermark or state store.
+    */
+  def mediaIngestStream(corpusIndex: DataFrame, media: DataFrame, idCol: String,
+      contentCol: String, maxDistance: Int = 3): DataFrame =
+    graft.multimodal.Multimodal.mediaIngestNearDuplicates(corpusIndex,
+      graft.multimodal.Multimodal.imageHashes(media, idCol, contentCol)
+        .select(col("id"), col("dhash")), maxDistance)
+
   /** Run a stream to completion against a memory sink and return the result
     * table (test/bench harness helper).
     */

@@ -684,6 +684,45 @@ class MultimodalSuite extends SparkTestBase {
     assert(pairs == Seq((2L, 102L), (5L, 105L)))
   }
 
+  test("mediaIngestNearDuplicates: batch vs persisted hash index, no corpus re-decode") {
+    import spark.implicits._
+    val corpus = (0L until 12L).map(k => (k, noisePng(k, false))).toDF("id", "bytes")
+    val index = Multimodal.imageHashes(corpus, "id", "bytes").select("id", "dhash")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediaidx").toString
+    index.write.mode("overwrite").parquet(dir)
+    val rehydrated = spark.read.parquet(dir)
+    // batch: a near-dup of corpus image 4, a fresh image, and junk bytes
+    val batch = Seq(
+      (200L, noisePng(4L, true)),
+      (201L, noisePng(99L, false)),
+      (202L, Array[Byte](9, 9, 9))).toDF("id", "bytes")
+    val batchHashes = Multimodal.imageHashes(batch, "id", "bytes").select("id", "dhash")
+    val hits = Multimodal.mediaIngestNearDuplicates(rehydrated, batchHashes, maxDistance = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(hits.map(t => (t._1, t._2)) == Seq((200L, 4L)))
+    assert(hits.head._3 <= 2)
+  }
+
+  test("mediaIngestStream equals its batch twin (stateless stream-static join)") {
+    import spark.implicits._
+    val corpus = (0L until 10L).map(k => (k, noisePng(k, false))).toDF("id", "bytes")
+    val index = Multimodal.imageHashes(corpus, "id", "bytes").select("id", "dhash")
+      .localCheckpoint(true)
+    val batch = Seq((300L, noisePng(3L, true)), (301L, noisePng(77L, false)))
+      .toDF("id", "bytes")
+    val expected = Multimodal.mediaIngestNearDuplicates(index,
+        Multimodal.imageHashes(batch, "id", "bytes").select("id", "dhash"), 6)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediastream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val got = graft.streaming.Streaming.runToMemory(
+        graft.streaming.Streaming.mediaIngestStream(index, stream, "id", "bytes", 6),
+        "media_ingest_stream")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("imageNearDuplicates finds exactly the planted pairs; banding is complete at the cut") {
     import spark.implicits._
     val rows = (0L until 15L).map(k => (k, noisePng(k, false))) ++
