@@ -31,7 +31,8 @@ object GraftParser {
       s.startsWith("SHOW NAMESPACES OR TABLES") ||
       s.startsWith("SHOW LAKE HISTORY") ||
       s.startsWith("OPTIMIZE LAKE ") ||
-      s.startsWith("VACUUM LAKE ")
+      s.startsWith("VACUUM LAKE ") ||
+      s.startsWith("CONVERT TO ")
   }
 
   private def stripLeadingComments(sql: String): String = {
@@ -146,7 +147,15 @@ private[parser] final class StatementParser(original: String) {
     else if (peekKw("SHOW")) parseShow()
     else if (peekKw("OPTIMIZE")) parseOptimizeLake()
     else if (peekKw("VACUUM")) parseVacuumLake()
+    else if (peekKw("CONVERT")) parseConvert()
     else fail("unknown graft statement")
+  }
+
+  /** CONVERT TO DELTA|ICEBERG '<parquet dir>' — in-place registration. */
+  private def parseConvert(): LogicalPlan = {
+    expectKw("CONVERT"); expectKw("TO")
+    val fmt = ident().toUpperCase
+    graft.plans.ConvertToLakeCommand(strLit(), fmt)
   }
 
   private def parseRegister(): LogicalPlan = {

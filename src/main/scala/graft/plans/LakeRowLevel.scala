@@ -525,6 +525,27 @@ case class OptimizeLakeTableCommand(table: Seq[String], smallerThan: Option[Long
     AttributeReference("compacted_bytes", org.apache.spark.sql.types.LongType)())
 }
 
+/** CONVERT TO DELTA|ICEBERG '<path>' — in-place migration of a plain
+  * parquet directory (optionally hive-partitioned) to a native lake
+  * table: data files never move or rewrite, one metadata commit registers
+  * them all. Metadata-only driver work + one schema-inference read.
+  */
+case class ConvertToLakeCommand(path: String, format: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val n = format match {
+      case "DELTA" => graft.sources.lake.LakeNativeWrite.convertToDelta(spark, dir)
+      case "ICEBERG" => graft.sources.lake.LakeNativeWrite.convertToIceberg(spark, dir)
+      case other => throw new UnsupportedOperationException(
+        s"CONVERT TO $other: DELTA and ICEBERG only")
+    }
+    Seq(Row(n))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("converted_files", org.apache.spark.sql.types.LongType)())
+}
+
 /** SHOW LAKE HISTORY fqn — the commit/snapshot timeline of a native lake
   * table (DESCRIBE HISTORY's shape): one row per version, newest first,
   * operations derived from the log itself so any writer's history reads

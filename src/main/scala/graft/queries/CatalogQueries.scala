@@ -1767,6 +1767,49 @@ object CatalogQueries {
           (3, 1700000300000, 'OPTIMIZE', 1, 2),
           (4, 1700000400000, 'ALTER TABLE', 0, 0)
         ) AS t(version, ts_millis, operation, added_files, removed_files)
-        ORDER BY version"""))
+        ORDER BY version""")),
+
+    // ---- CONVERT TO DELTA / ICEBERG: two hive-partitioned parquet copies
+    // of nation migrate IN PLACE (data files untouched — one metadata
+    // commit registers them), then both read back through the native lake
+    // readers, partition columns served from the new metadata. The union
+    // carries a format tag so one oracle pins both conversions. ----
+    QuerySpec("lake_convert_roundtrip",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE dconv OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE iconv OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        val nation = QueryPack.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("int").as("n_regionkey"))
+        def ensure(name: String, fmt: String): Unit = {
+          val td = new java.io.File(lakeDir, name)
+          val done = new java.io.File(lakeDir, s"$name.done")
+          if (!done.exists()) {
+            if (td.exists()) deleteRecursively(td)
+            nation.write.partitionBy("n_regionkey").parquet(td.getPath)
+            val res = Graft.sql(s, s"CONVERT TO $fmt '${td.getPath}'").collect()
+            require(res.head.getLong(0) > 0, s"conversion to $fmt registered no files")
+            done.createNewFile(): Unit
+          }
+        }
+        ensure("nation_conv_delta", "DELTA")
+        ensure("nation_conv_ice", "ICEBERG")
+        s.sql(
+          """SELECT 'delta' AS fmt, n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.dconv.nation_conv_delta
+            |UNION ALL
+            |SELECT 'iceberg', n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.iconv.nation_conv_ice
+            |ORDER BY fmt, n_nationkey""".stripMargin)
+      },
+      Some("""SELECT 'delta' AS fmt, CAST(n_nationkey AS INT) AS n_nationkey,
+          n_name, CAST(n_regionkey AS INT) AS n_regionkey FROM nation
+        UNION ALL SELECT 'iceberg', CAST(n_nationkey AS INT), n_name,
+          CAST(n_regionkey AS INT) FROM nation
+        ORDER BY fmt, n_nationkey"""))
   )
 }

@@ -408,6 +408,77 @@ object LakeNativeWrite {
     ()
   }
 
+  // ---- in-place conversion of an existing parquet directory ----
+
+  /** Walk `dir` for data parquet files (skipping any transaction-metadata
+    * dirs), returning (relPath, size, rowCount, hive partition values).
+    */
+  private def discoverParquet(conf: Configuration, dir: Path): Seq[StagedFile] = {
+    val fs = dir.getFileSystem(conf)
+    val qBase = fs.makeQualified(dir).toString
+    val out = Seq.newBuilder[StagedFile]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if (n != "_delta_log" && n != "metadata" && !n.startsWith("."))
+          walk(st.getPath)
+      } else if (n.endsWith(".parquet") && !n.startsWith(".")) {
+        val rel = fs.makeQualified(st.getPath).toString.stripPrefix(qBase).stripPrefix("/")
+        out += StagedFile(rel, st.getLen, parquetRowCount(conf, st.getPath),
+          partitionDirValues(rel))
+      }
+    }
+    walk(dir)
+    out.result()
+  }
+
+  /** CONVERT TO DELTA, the delta-spark operation's in-place shape: data
+    * files stay EXACTLY where they are, one commit 0 registers them all
+    * (protocol + metaData with the inferred schema and hive partition
+    * columns + one add per file). Returns the file count.
+    */
+  def convertToDelta(spark: SparkSession, dir: Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(!DeltaLite.isDeltaTable(conf, dir), s"$dir is already a Delta table")
+    require(!IcebergLite.isIcebergTable(conf, dir), s"$dir is already an Iceberg table")
+    val files = discoverParquet(conf, dir)
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val df = spark.read.parquet(dir.toString) // schema incl. hive partition cols
+    val partCols = files.head.partitionValues.keys.toSeq.sorted
+    val now = System.currentTimeMillis()
+    commitDelta(conf, dir, 0L,
+      Seq(LakeWrite.deltaCommitInfo(now), LakeWrite.deltaProtocol(),
+        LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, df.schema, partCols)) ++
+        files.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues)))
+    files.size.toLong
+  }
+
+  /** CONVERT TO ICEBERG (the migrate/snapshot procedures' in-place shape):
+    * data files stay, metadata/ + one manifest register them as snapshot 1.
+    * Hive partition dirs become identity-partition values served from the
+    * manifest (the spec-correct read for files that omit the column).
+    */
+  def convertToIceberg(spark: SparkSession, dir: Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(!DeltaLite.isDeltaTable(conf, dir), s"$dir is already a Delta table")
+    require(!IcebergLite.isIcebergTable(conf, dir), s"$dir is already an Iceberg table")
+    val files = discoverParquet(conf, dir)
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val df = spark.read.parquet(dir.toString)
+    val partCols = files.head.partitionValues.keys.toSeq.sorted
+    icebergCreate(spark, dir, df.schema, partCols)
+    val m = loadIceMeta(conf, dir)
+    val snapId = System.currentTimeMillis()
+    val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(df.schema, partCols))
+    val entries = files.map { f =>
+      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, snapId,
+        partition = typedPartVals(df.schema, partCols, f.partitionValues),
+        sequenceNumber = Some(1L))
+    }
+    commitIceberg(conf, dir, m, entries, Nil, snapId, 1L, snapId, entrySchema)
+    files.size.toLong
+  }
+
   private def specFieldsFor(schema: StructType, partitionCols: Seq[String]): Seq[JObject] =
     partitionCols.zipWithIndex.map { case (c, i) =>
       JObject("name" -> JString(c), "transform" -> JString("identity"),

@@ -115,6 +115,37 @@ class LakeAlterSuite extends SparkTestBase {
     assert(ihist.forall(_._3 == "append"))
   }
 
+  test("CONVERT TO DELTA in place: data files untouched, DML works after, double-convert rejected") {
+    import spark.implicits._
+    val base = tmpDir("convert-suite")
+    val td = new java.io.File(base, "t")
+    (0 until 10).map(i => (i, i * 2)).toDF("id", "v")
+      .write.parquet(td.getPath)
+    val before = Option(td.listFiles()).get.filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    val n = graft.Graft.sql(spark, s"CONVERT TO DELTA '${td.getPath}'")
+      .head().getLong(0)
+    assert(n == before.size)
+    // the exact same files, untouched
+    val after = td.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    assert(after == before)
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE conv OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.convsuite")
+    val fqn = "graft.datasource.convsuite.conv.t"
+    assert(spark.sql(s"SELECT sum(v) FROM $fqn").head().getLong(0) == 90L)
+    // the converted table is a full citizen: row-level DML works on it
+    spark.sql(s"DELETE FROM $fqn WHERE id < 5")
+    assert(spark.sql(s"SELECT count(*) FROM $fqn").head().getLong(0) == 5L)
+    val hist = graft.Graft.sql(spark, s"SHOW LAKE HISTORY $fqn")
+      .collect().map(_.getString(3)).toSeq
+    assert(hist == Seq("REWRITE", "CREATE TABLE"))
+    val ex = intercept[Exception] {
+      graft.Graft.sql(spark, s"CONVERT TO DELTA '${td.getPath}'").collect()
+    }
+    assert(ex.getMessage.contains("already"))
+  }
+
   test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
