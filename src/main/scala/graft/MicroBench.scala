@@ -29,7 +29,10 @@ object MicroBench {
         "q5_revenue_by_nation", // q5 pinned since r6 (the one headline above its baseline row)
         "dedup_semantic", "text_gopher_repetition",
         // heavier late-r6 additions
-        "dedup_ingest_bloom", "text_nb_source", "text_bigram_xent", "ann_ivfpq"))
+        "dedup_ingest_bloom", "text_nb_source", "text_bigram_xent", "ann_ivfpq",
+        // heavier r7 additions
+        "text_logreg_quality", "text_kn_xent", "pipeline_curation_v3", "ann_hnsw",
+        "lake_iceberg_changelog"))
     // warmup: one full pass charges JIT/codegen before any measured run
     names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     val results = names.map { n =>

@@ -1,0 +1,112 @@
+package graft.sources.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+import java.nio.file.Files
+
+/** Corruption robustness for the native lake readers: a damaged log or
+  * metadata file must FAIL the read (any exception) — never silently
+  * return wrong rows — and damage to metadata the read does not touch
+  * must not affect it.
+  */
+class LakeFuzzSuite extends SparkTestBase {
+
+  private def tmpDir(prefix: String): java.io.File =
+    Files.createTempDirectory(prefix).toFile
+
+  /** Raw overwrite that also drops the local FS's checksum sidecar, so the
+    * reader sees the corrupted CONTENT instead of a ChecksumException.
+    */
+  private def rawWrite(f: java.io.File, bytes: Array[Byte]): Unit = {
+    java.nio.file.Files.write(f.toPath, bytes)
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
+  }
+
+  private def mkDelta(ns: String): (String, Path) = {
+    val base = tmpDir(s"fuzz-$ns")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE $ns OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.$ns")
+    val fqn = s"graft.datasource.$ns.$ns.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(6)")
+    (fqn, new Path(base.getPath, "t"))
+  }
+
+  test("truncated or garbaged Delta commit JSON fails the replay, never misreads") {
+    val (_, dir) = mkDelta("fz1")
+    val log = new java.io.File(dir.toString, "_delta_log")
+    val commit = log.listFiles().filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(commit.toPath)
+    val good = DeltaLite.read(spark, dir).count()
+    assert(good == 6L)
+    // truncate mid-JSON
+    rawWrite(commit, bytes.take(bytes.length / 2))
+    assert(scala.util.Try(DeltaLite.read(spark, dir).count()).isFailure,
+      "truncated commit must not replay")
+    // non-JSON garbage
+    rawWrite(commit, "this is not a delta action\n".getBytes)
+    assert(scala.util.Try(DeltaLite.read(spark, dir).count()).isFailure)
+    // restore: replay recovers byte-exactly
+    rawWrite(commit, bytes)
+    assert(DeltaLite.read(spark, dir).count() == good)
+  }
+
+  test("a missing referenced data file fails the scan; the feed too") {
+    val (_, dir) = mkDelta("fz2")
+    val dataFile = new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(dataFile.toPath)
+    assert(dataFile.delete())
+    assert(scala.util.Try(DeltaLite.read(spark, dir).collect()).isFailure)
+    assert(scala.util.Try(DeltaLite.changes(spark, dir, 0L).collect()).isFailure)
+    rawWrite(dataFile, bytes)
+    assert(DeltaLite.read(spark, dir).count() == 6L)
+  }
+
+  test("corrupted Iceberg metadata/manifest fails controlled; stale hint falls through") {
+    val base = tmpDir("fuzz-ice")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE fzi OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.fzi")
+    val fqn = "graft.datasource.fzi.fzi.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT CAST(id AS INT) FROM range(4)")
+    val dir = new Path(base.getPath, "t")
+    assert(IcebergLite.read(spark, dir).count() == 4L)
+    val metaDir = new java.io.File(dir.toString, "metadata")
+    // corrupt the current metadata json
+    val metaFile = metaDir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(_.getName)
+    val metaBytes = java.nio.file.Files.readAllBytes(metaFile.toPath)
+    rawWrite(metaFile, "{broken".getBytes)
+    assert(scala.util.Try(IcebergLite.read(spark, dir).count()).isFailure)
+    rawWrite(metaFile, metaBytes)
+    // corrupt a manifest avro: snapshot construction must fail, not skip
+    val manifest = metaDir.listFiles().filter(_.getName.endsWith(".avro")).head
+    val mBytes = java.nio.file.Files.readAllBytes(manifest.toPath)
+    rawWrite(manifest, mBytes.take(8))
+    assert(scala.util.Try(IcebergLite.read(spark, dir).count()).isFailure)
+    rawWrite(manifest, mBytes)
+    assert(IcebergLite.read(spark, dir).count() == 4L)
+    // a version hint pointing at a missing version falls back to listing
+    val hint = new java.io.File(metaDir, "version-hint.text")
+    rawWrite(hint, "999999".getBytes)
+    assert(IcebergLite.read(spark, dir).count() == 4L)
+  }
+
+  test("CDF checkpoint file corruption is rejected, not treated as version 0") {
+    val (_, dir) = mkDelta("fz3")
+    val base = new java.io.File(dir.toString).getParentFile
+    val ckpt = new Path(base.getPath, "_consumer/progress.json")
+    val consumer = new graft.streaming.CdfConsumer(dir, ckpt)
+    assert(consumer.process(spark)((_, _, _) => ()))
+    val f = new java.io.File(ckpt.toString)
+    rawWrite(f, "{\"garbage\": true}".getBytes)
+    val ex = intercept[IllegalStateException] {
+      consumer.poll(spark)
+    }
+    assert(ex.getMessage.contains("unreadable"))
+  }
+}
