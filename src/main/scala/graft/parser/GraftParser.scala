@@ -32,7 +32,8 @@ object GraftParser {
       s.startsWith("SHOW LAKE HISTORY") ||
       s.startsWith("OPTIMIZE LAKE ") ||
       s.startsWith("VACUUM LAKE ") ||
-      s.startsWith("CONVERT TO ")
+      s.startsWith("CONVERT TO ") ||
+      s.startsWith("CHECKPOINT LAKE ")
   }
 
   private def stripLeadingComments(sql: String): String = {
@@ -148,6 +149,10 @@ private[parser] final class StatementParser(original: String) {
     else if (peekKw("OPTIMIZE")) parseOptimizeLake()
     else if (peekKw("VACUUM")) parseVacuumLake()
     else if (peekKw("CONVERT")) parseConvert()
+    else if (peekKw("CHECKPOINT")) {
+      expectKw("CHECKPOINT"); expectKw("LAKE"); expectKw("TABLE")
+      graft.plans.CheckpointLakeTableCommand(qualified())
+    }
     else fail("unknown graft statement")
   }
 

@@ -102,6 +102,11 @@ object LakeRowLevel {
       */
     def history(spark: SparkSession): Seq[(Long, Option[Long], Long, String, Option[Long], Option[Long])] =
       throw new UnsupportedOperationException(s"$describe does not expose history")
+    /** Write a replay-accelerator checkpoint at the current version;
+      * returns (version, state rows). Format-optional.
+      */
+    def checkpoint(spark: SparkSession): (Long, Long) =
+      throw new UnsupportedOperationException(s"$describe does not support CHECKPOINT")
   }
 
   /** Wrapper keeping captured expressions out of TreeNode's expression
@@ -544,6 +549,28 @@ case class ConvertToLakeCommand(path: String, format: String)
   }
   override val output: Seq[Attribute] = Seq(
     AttributeReference("converted_files", org.apache.spark.sql.types.LongType)())
+}
+
+/** CHECKPOINT LAKE TABLE fqn — write the replay-accelerator state file at
+  * the current version (Delta: classic single-part checkpoint parquet +
+  * `_last_checkpoint`); replay then reads one parquet + the JSON tail.
+  */
+case class CheckpointLakeTableCommand(table: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tbl = GraftSQLBridge.loadV2Table(spark, table)
+    val handle = tbl match {
+      case h: HasRowLevelHandle => h.rowLevelHandle.getOrElse(
+        throw new UnsupportedOperationException(
+          s"${table.mkString(".")} does not support CHECKPOINT"))
+      case _ => throw new UnsupportedOperationException(
+        s"${table.mkString(".")} is not a native lake table")
+    }
+    val (v, rows) = handle.checkpoint(spark)
+    Seq(Row(v, rows))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("state_rows", org.apache.spark.sql.types.LongType)())
 }
 
 /** SHOW LAKE HISTORY fqn — the commit/snapshot timeline of a native lake

@@ -565,6 +565,124 @@ object DeltaLite {
     (log.commits.map(_._1) ++ log.checkpoints.keys).max
   }
 
+  /** Write a classic single-part checkpoint at the CURRENT version — the
+    * protocol's replay accelerator: one parquet file holding the full table
+    * state (protocol, metaData, every live add with its deletion vector,
+    * and the txn high-water marks), plus `_last_checkpoint`. After this,
+    * replay reads the checkpoint + the JSON tail; commits at or before the
+    * checkpoint version are no longer needed for CURRENT-version reads
+    * (history/time travel still wants them). Returns (version, state rows).
+    *
+    * Fidelity notes: remove tombstones are not carried (this reader — like
+    * any state replay — ignores them in checkpoints; they only matter for
+    * VACUUM bookkeeping, which here re-walks the log), and partition
+    * values re-serialize from the typed snapshot values, exact for the
+    * identity-partition types the native writers produce.
+    */
+  def writeCheckpoint(spark: SparkSession, dir: Path): (Long, Long) = {
+    import org.apache.spark.sql.{Row => R}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = snapshot(spark, dir)
+    val log = listLog(conf, dir)
+    val fs = new Path(dir, "_delta_log").getFileSystem(conf)
+
+    // last protocol action (JSON tail first; else the prior checkpoint)
+    var minReader = 1; var minWriter = 2
+    var readerFeatures: Seq[String] = Nil; var writerFeatures: Seq[String] = Nil
+    val cpVersion = log.checkpoints.keys.filter(_ <= snap.version).maxOption
+    cpVersion.foreach { cv =>
+      val cp = spark.read.parquet(log.checkpoints(cv).map(_.getPath.toString): _*)
+      if (cp.columns.contains("protocol"))
+        cp.select("protocol").where(org.apache.spark.sql.functions.col("protocol").isNotNull)
+          .collect().foreach { r =>
+            val p = r.getStruct(0)
+            minReader = p.getAs[Number]("minReaderVersion").intValue()
+            minWriter = Option(p.getAs[Number]("minWriterVersion")).map(_.intValue()).getOrElse(minWriter)
+            readerFeatures = opt[scala.collection.Seq[String]](p, "readerFeatures").map(_.toSeq).getOrElse(Nil)
+            writerFeatures = opt[scala.collection.Seq[String]](p, "writerFeatures").map(_.toSeq).getOrElse(Nil)
+          }
+    }
+    log.commits.filter { case (v, _) => v > cpVersion.getOrElse(-1L) && v <= snap.version }
+      .foreach { case (_, st) =>
+        readLines(fs, st).foreach { line =>
+          val j = JsonMethods.parse(line)
+          (j \ "protocol") match {
+            case p: JObject =>
+              minReader = (p \ "minReaderVersion").extract[Int]
+              minWriter = (p \ "minWriterVersion").extractOrElse[Int](minWriter)
+              readerFeatures = (p \ "readerFeatures").extractOrElse[Seq[String]](Nil)
+              writerFeatures = (p \ "writerFeatures").extractOrElse[Seq[String]](Nil)
+            case _ =>
+          }
+        }
+      }
+
+    // txn high-water marks: prior checkpoint column + the whole JSON tail
+    val txns = scala.collection.mutable.HashMap[String, Long]()
+    cpVersion.foreach { cv =>
+      val cp = spark.read.parquet(log.checkpoints(cv).map(_.getPath.toString): _*)
+      if (cp.columns.contains("txn"))
+        cp.select("txn.appId", "txn.version")
+          .where(org.apache.spark.sql.functions.col("appId").isNotNull)
+          .collect().foreach { r =>
+            val (a, v) = (r.getString(0), r.getAs[Number](1).longValue())
+            if (txns.getOrElse(a, Long.MinValue) < v) txns(a) = v
+          }
+    }
+    log.commits.filter { case (v, _) => v > cpVersion.getOrElse(-1L) && v <= snap.version }
+      .foreach { case (_, st) =>
+        readLines(fs, st).foreach { line =>
+          val j = JsonMethods.parse(line)
+          (j \ "txn") match {
+            case t: JObject =>
+              val a = (t \ "appId").extract[String]
+              val v = (t \ "version").extract[Long]
+              if (txns.getOrElse(a, Long.MinValue) < v) txns(a) = v
+            case _ =>
+          }
+        }
+      }
+
+    val physPartNames = snap.physPartitionSchema.fieldNames
+    def rawParts(f: LakeFile): Map[String, String] =
+      physPartNames.zip(f.partitionValues).collect {
+        case (k, v) if v != null => k -> v.toString
+      }.toMap
+
+    val addRows = snap.fileIds.zip(snap.files).map { case (id, f) =>
+      val dv = snap.dvs.get(id).map(d =>
+        R(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull
+      R(null, R(id, rawParts(f), f.size, f.modificationTime, true, dv), null, null)
+    }
+    val metaRow = R(null, null,
+      R(snap.metaId, snap.schema.json, snap.partitionColumns, snap.configuration), null)
+    val protoRow = R(null, null, null,
+      R(minReader, minWriter,
+        if (readerFeatures.isEmpty) null else readerFeatures,
+        if (writerFeatures.isEmpty) null else writerFeatures))
+    val txnRows = txns.toSeq.sortBy(_._1).map { case (a, v) => R(R(a, v), null, null, null) }
+
+    val schema = StructType.fromDDL(
+      """txn STRUCT<appId: STRING, version: BIGINT>,
+        |add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, size: BIGINT,
+        |  modificationTime: BIGINT, dataChange: BOOLEAN,
+        |  deletionVector: STRUCT<storageType: STRING, pathOrInlineDv: STRING,
+        |    offset: BIGINT, sizeInBytes: INT, cardinality: BIGINT>>,
+        |metaData STRUCT<id: STRING, schemaString: STRING,
+        |  partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>>,
+        |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,
+        |  readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>""".stripMargin)
+    val rows = (txnRows :+ metaRow :+ protoRow) ++ addRows
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    val target = new Path(new Path(dir, "_delta_log"), f"${snap.version}%020d.checkpoint.parquet")
+    LakeWrite.writeOneParquetFile(df.coalesce(1), target)
+    val last = fs.create(new Path(new Path(dir, "_delta_log"), "_last_checkpoint"), true)
+    try last.write(s"""{"version":${snap.version},"size":${rows.size}}""".getBytes("UTF-8"))
+    finally last.close()
+    (snap.version, rows.size.toLong)
+  }
+
   /** Commit history, newest first: (version, timestampMs, operation,
     * addedFiles, removedFiles). The operation derives from the commit's
     * action shape — the log itself is the source of truth, so histories

@@ -115,6 +115,8 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
         DeltaLite.history(s, dir).map { case (v, ts, op, a, r) =>
           (v, None, ts, op, Some(a), Some(r))
         }
+      override def checkpoint(s: SparkSession): (Long, Long) =
+        DeltaLite.writeCheckpoint(s, dir)
       override def describe: String = s"delta table $dir"
     }
     new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),

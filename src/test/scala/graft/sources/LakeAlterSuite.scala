@@ -146,6 +146,46 @@ class LakeAlterSuite extends SparkTestBase {
     assert(ex.getMessage.contains("already"))
   }
 
+  test("CHECKPOINT LAKE TABLE: replay survives JSON-tail removal, txn marks carry over") {
+    import spark.implicits._
+    val base = tmpDir("ckpt-suite")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE ckpt OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.ckptsuite")
+    val fqn = "graft.datasource.ckptsuite.ckpt.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(8)")
+    spark.sql(s"UPDATE $fqn SET v = 99 WHERE id = 1") // exercises DV-free rewrite + cdc
+    val dir = new Path(base.getPath, "t")
+    // a streaming txn marker that must survive into the checkpoint
+    val sink = new DeltaStreamSink(spark, dir, Map("txnAppId" -> "ckpt-app"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(7L, Seq((100, 100)).toDF("id", "v"))
+    val expected = spark.sql(s"SELECT id, v FROM $fqn").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+
+    val res = graft.Graft.sql(spark, s"CHECKPOINT LAKE TABLE $fqn").head()
+    val ckptVersion = res.getLong(0)
+    assert(res.getLong(1) >= expected.size / 8) // state rows exist
+    // remove every JSON commit at or before the checkpoint: current-version
+    // replay must come entirely from the checkpoint parquet
+    val log = new java.io.File(dir.toString, "_delta_log")
+    log.listFiles().filter { f =>
+      f.getName.endsWith(".json") &&
+        f.getName.stripSuffix(".json").toLong <= ckptVersion
+    }.foreach(f => assert(f.delete()))
+    val replayed = DeltaLite.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(replayed == expected)
+    // configuration (CDF flag), schema, and txn marks all survive
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.cdfEnabled && snap.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(DeltaLite.lastTxnVersion(spark, dir, "ckpt-app").contains(7L))
+    // and the table keeps working: a new commit lands on the tail
+    spark.sql(s"INSERT INTO $fqn VALUES (200, 200)")
+    assert(DeltaLite.read(spark, dir).count() == expected.size + 1L)
+  }
+
   test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
