@@ -30,23 +30,59 @@ import org.apache.spark.sql.types.StructType
   * at the cost of its new data.
   */
 class DeltaStreamSource(spark: SparkSession, dir: Path,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val cdf = options.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
   private val startingVersion = options.get("startingVersion").map(_.toLong).getOrElse(0L)
   private val ignoreChanges = options.get("ignoreChanges").exists(_.equalsIgnoreCase("true"))
   private val ignoreDeletes = options.get("ignoreDeletes").exists(_.equalsIgnoreCase("true"))
+  // backpressure: cap how many commits one micro-batch may cover (the
+  // maxFilesPerTrigger analogue at version granularity)
+  private val maxVersionsPerTrigger = options.get("maxVersionsPerTrigger").map(_.toLong)
+  maxVersionsPerTrigger.foreach(m => require(m >= 1, "maxVersionsPerTrigger must be >= 1"))
+
+  /** Last version already committed to the engine (advanced by getBatch;
+    * backs the LEGACY getOffset path — admission-control engines call
+    * [[latestOffset]] with the start offset instead).
+    */
+  private var lastBatchEnd: Option[Long] = None
+
+  /** Trigger.AvailableNow pins the catch-up target here; pacing then
+    * advances batch by batch until it is reached.
+    */
+  private var availableNowTarget: Option[Long] = None
 
   override val schema: StructType = DeltaStreamSource.schemaFor(spark, dir, cdf)
 
-  override def getOffset: Option[Offset] = {
-    val latest = DeltaLite.latestVersion(spark, dir)
-    if (latest < startingVersion) None else Some(LongOffset(latest))
+  /** next unserved version -> the end of the batch to serve, None = caught up */
+  private def cappedLatest(next: Long): Option[Long] = {
+    val live = DeltaLite.latestVersion(spark, dir)
+    val latest = availableNowTarget.fold(live)(math.min(live, _))
+    if (latest < next) None
+    else Some(maxVersionsPerTrigger.fold(latest)(m => math.min(latest, next + m - 1)))
   }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(DeltaLite.latestVersion(spark, dir))
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    val next = Option(start).map(versionOf(_) + 1).getOrElse(startingVersion)
+    cappedLatest(next).map(LongOffset(_)).orNull
+  }
+
+  override def getOffset: Option[Offset] =
+    cappedLatest(lastBatchEnd.map(_ + 1).getOrElse(startingVersion))
+      .orElse(lastBatchEnd) // report the high-water mark even when caught up
+      .map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf(_) + 1).getOrElse(startingVersion)
     val to = versionOf(end)
+    lastBatchEnd = Some(to)
     val batch =
       if (from > to)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -55,10 +91,11 @@ class DeltaStreamSource(spark: SparkSession, dir: Path,
     GraftLakeBridge.asStreamingBatch(batch)
   }
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // offset restored from the checkpoint log
-  }
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset => l.offset
+      case other => other.json.trim.toLong // offset restored from the checkpoint log
+    }
 
   override def stop(): Unit = ()
 }

@@ -151,6 +151,27 @@ class DeltaStreamSuite extends SparkTestBase {
     assert(DeltaLite.lastTxnVersion(spark, dir, "other-app").isEmpty)
   }
 
+  test("maxVersionsPerTrigger paces micro-batches one commit at a time") {
+    val (fqn, dir) = mkTable("dstr6")
+    spark.sql(s"INSERT INTO $fqn VALUES (1, 1)")
+    spark.sql(s"INSERT INTO $fqn VALUES (2, 2)")
+    spark.sql(s"INSERT INTO $fqn VALUES (3, 3)")
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-delta")
+      .option("path", dir.toString)
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes += df.count(); ()
+      }
+      .option("checkpointLocation", tmpDir("dstr6-ckpt").getPath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // three single-row commits -> three paced batches, all rows delivered
+    assert(batchSizes.toSeq == Seq(1L, 1L, 1L), s"got $batchSizes")
+  }
+
   test("startingVersion skips history; empty table yields no batch") {
     val (fqn, dir) = mkTable("dstr4")
     spark.sql(s"INSERT INTO $fqn VALUES (1, 1)") // v1
