@@ -73,6 +73,18 @@ object LakeRowLevel {
     def commitRewriteWithChanges(spark: SparkSession, removedFileIds: Seq[String],
         replacement: DataFrame, changeRows: DataFrame): Unit =
       commitRewrite(spark, removedFileIds, replacement)
+    /** True when DELETE should commit row-level delete markers (Delta
+      * deletion vectors under `delta.enableDeletionVectors = true`)
+      * instead of copy-on-write rewrites.
+      */
+    def deleteByRowIds: Boolean = false
+    /** Merge-on-read DELETE commit: `matchedRowIds` = ([[FileIdCol]],
+      * [[RowIxCol]]) of every deleted row; `changeRows` ride along when
+      * the format keeps a change feed.
+      */
+    def commitDeleteRows(spark: SparkSession, matchedRowIds: DataFrame,
+        changeRows: Option[DataFrame]): Unit =
+      throw new UnsupportedOperationException(s"$describe does not support MoR deletes")
     /** A rewrite that moves bytes, not rows (OPTIMIZE / re-clustering):
       * formats with a change feed mark it so the feed skips the commit.
       */
@@ -255,16 +267,24 @@ case class LakeDeleteCommand(handle: RowLevelHandle, cond: ExprBox)
     if (files.nonEmpty) {
       val cols = tableCols(df)
       val touched = df.where(col(FileIdCol).isin(files: _*))
-      // rows of touched files that do NOT match survive (a null predicate
-      // is not a match, so its rows are kept)
-      val kept = touched.where(!coalesce(c, lit(false)))
-        .select(cols.map(n => col(s"`$n`")): _*)
-      if (handle.wantsChangeRows) {
-        val deleted = touched.where(coalesce(c, lit(false)))
+      val hit = touched.where(coalesce(c, lit(false)))
+      def changes: Option[DataFrame] =
+        if (!handle.wantsChangeRows) None
+        else Some(hit.select(cols.map(n => col(s"`$n`")): _*)
+          .withColumn(ChangeTypeCol, lit("delete")))
+      if (handle.deleteByRowIds) {
+        // merge-on-read: ship (file, ordinal) markers, rewrite nothing
+        handle.commitDeleteRows(spark, hit.select(col(FileIdCol), col(RowIxCol)), changes)
+      } else {
+        // rows of touched files that do NOT match survive (a null predicate
+        // is not a match, so its rows are kept)
+        val kept = touched.where(!coalesce(c, lit(false)))
           .select(cols.map(n => col(s"`$n`")): _*)
-          .withColumn(ChangeTypeCol, lit("delete"))
-        handle.commitRewriteWithChanges(spark, files, kept, deleted)
-      } else handle.commitRewrite(spark, files, kept)
+        changes match {
+          case Some(ch) => handle.commitRewriteWithChanges(spark, files, kept, ch)
+          case None => handle.commitRewrite(spark, files, kept)
+        }
+      }
     }
     Seq(Row(files.size.toLong))
   }

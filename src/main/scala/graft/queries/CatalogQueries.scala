@@ -1810,6 +1810,47 @@ object CatalogQueries {
           n_name, CAST(n_regionkey AS INT) AS n_regionkey FROM nation
         UNION ALL SELECT 'iceberg', CAST(n_nationkey AS INT), n_name,
           CAST(n_regionkey AS INT) FROM nation
-        ORDER BY fmt, n_nationkey"""))
+        ORDER BY fmt, n_nationkey""")),
+
+    // ---- MERGE-ON-READ DELETE (deletion-vector WRITES): a table created
+    // with delta.enableDeletionVectors takes two overlapping SQL DELETEs
+    // as vector commits — no data file rewrites, the second delete MERGES
+    // positions into the first's vectors — and the readback is only right
+    // if the written bitmaps, the per-file merge, and the seq-free DV
+    // anti-join all hold. Suite-level checks pin that data files never
+    // moved (LakeAlterSuite). ----
+    QuerySpec("src_delta_dv_dml",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_dvdml")
+        val done = new java.io.File(lakeDir, "nation_dvdml.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE ddvml OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.ddvml.nation_dvdml " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT) " +
+            "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_dvdml_src")
+          s.sql("INSERT INTO graft.datasource.lakew.ddvml.nation_dvdml " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_dvdml_src")
+          s.sql("DELETE FROM graft.datasource.lakew.ddvml.nation_dvdml " +
+            "WHERE n_regionkey = 2")
+          s.sql("DELETE FROM graft.datasource.lakew.ddvml.nation_dvdml " +
+            "WHERE n_nationkey % 2 = 1")
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.ddvml.nation_dvdml
+            |ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation WHERE n_regionkey <> 2 AND n_nationkey % 2 = 0
+        ORDER BY n_nationkey"""))
   )
 }

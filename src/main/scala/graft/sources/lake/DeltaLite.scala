@@ -696,7 +696,7 @@ object DeltaLite {
     val log = listLog(conf, dir)
     val fs = new Path(dir, "_delta_log").getFileSystem(conf)
     log.commits.sortBy(-_._1).map { case (v, st) =>
-      var meta = false; var cdc = false
+      var meta = false; var cdc = false; var dvAdds = false
       var addsDc = 0L; var removesDc = 0L; var addsNoDc = 0L; var removesNoDc = 0L
       readLines(fs, st).foreach { line =>
         val j = JsonMethods.parse(line)
@@ -705,6 +705,7 @@ object DeltaLite {
         (j \ "add") match {
           case a: JObject =>
             if ((a \ "dataChange").extractOrElse[Boolean](true)) addsDc += 1 else addsNoDc += 1
+            if ((a \ "deletionVector").isInstanceOf[JObject]) dvAdds = true
           case _ =>
         }
         (j \ "remove") match {
@@ -719,6 +720,8 @@ object DeltaLite {
         else if (meta && addsDc + removesDc + addsNoDc + removesNoDc == 0) "ALTER TABLE"
         else if (addsDc + removesDc == 0 && addsNoDc + removesNoDc > 0) "OPTIMIZE"
         else if (addsDc > 0 && removesDc > 0) "REWRITE"
+        // re-adds carrying deletion vectors with no removes = a DV delete
+        else if (addsDc > 0 && dvAdds) "DELETE"
         else if (addsDc > 0) "WRITE"
         else if (removesDc > 0) "DELETE"
         else "EMPTY"
@@ -834,6 +837,12 @@ object DeltaLite {
         require(ignoreChanges,
           s"version $v updates data in the streamed table; set ignoreChanges to " +
             "re-emit the rewritten files (downstream must tolerate duplicates)")
+      // a DV-carrying add is a visibility rewrite of an existing file
+      // (deletion-vector DELETE): same posture as an update commit
+      if (adds.exists(_._3.isDefined))
+        require(ignoreChanges,
+          s"version $v deletes rows via deletion vectors; set ignoreChanges to " +
+            "re-emit the affected files' visible rows")
       if (adds.nonEmpty)
         frames += toDataFrame(spark, Snapshot(v, endSnap.schema,
           endSnap.partitionColumns, adds.map(_._2), dir,
@@ -1003,6 +1012,14 @@ object DeltaLite {
         require(ins.isEmpty || del.isEmpty,
           s"version $v rewrites rows (data-changing adds AND removes) without cdc actions; " +
             "row-level changes cannot be derived — was delta.enableChangeDataFeed set when it committed?")
+        // a data-changing RE-ADD of a live file (deletion-vector delete
+        // committed without change files) is a row rewrite too
+        ins.foreach { case (p, _, _, _, _, _) =>
+          require(!state.contains(p),
+            s"version $v re-adds live file '$p' (deletion-vector rewrite) without cdc " +
+              "actions; row-level changes cannot be derived — was " +
+              "delta.enableChangeDataFeed set when it committed?")
+        }
         if (ins.nonEmpty)
           frames += scan(ins.map { case (p, size, mt, raw, dv, _) => (p, lakeFile(p, size, mt, raw), dv) },
               endSnap.schema, endSnap.physSchema)

@@ -96,6 +96,11 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
           replacement: DataFrame): Unit =
         LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement)
       override def wantsChangeRows: Boolean = snap.cdfEnabled
+      override def deleteByRowIds: Boolean = snap.configuration
+        .get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true"))
+      override def commitDeleteRows(s: SparkSession, matchedRowIds: DataFrame,
+          changeRows: Option[DataFrame]): Unit =
+        LakeNativeWrite.deltaDvDelete(s, dir, snap, matchedRowIds, changeRows)
       override def commitRewriteWithChanges(s: SparkSession, removed: Seq[String],
           replacement: DataFrame, changeRows: DataFrame): Unit =
         LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,

@@ -181,6 +181,79 @@ object LakeNativeWrite {
       Seq(LakeWrite.deltaCommitInfo(now)) ++ txnActions ++ cdc ++ removes ++ adds)
   }
 
+  /** Merge-on-read DELETE for Delta: instead of rewriting the touched
+    * files, write one deletion-vector file per touched data file (new
+    * positions MERGED with the file's existing vector — an add's DV
+    * replaces, so the union must be complete) and re-add each file with
+    * its vector, one atomic commit, `_change_data` riding along when the
+    * table keeps a change feed. Bitmaps build EXECUTOR-side (one task per
+    * touched file after the keyed shuffle of (file, ordinal) pairs — 24
+    * bytes/row, the deleted rows' content never moves), so a selective
+    * DELETE on a 100 TB table costs the matched row IDs plus tiny vector
+    * files, not a single data-file rewrite.
+    */
+  def deltaDvDelete(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
+      matchedRowIds: DataFrame, changeRows: Option[DataFrame]): Unit = {
+    import org.apache.spark.sql.GraftLakeBridge
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sconf = GraftLakeBridge.serializableConf(spark)
+    // existing descriptors resolved driver-side; decode happens in the task
+    val oldDvs: Map[String, (String, Array[Byte], Long, Int)] =
+      snap.dvs.map { case (id, d) =>
+        id -> (RoaringDv.resolvePath(snap.tableDir, d.storageType, d.pathOrInlineDv) match {
+          case Some(p) => (p.toString, Array.empty[Byte], d.offset, d.sizeInBytes)
+          case None => ("", RoaringDv.base85Decode(d.pathOrInlineDv), 0L, d.sizeInBytes)
+        })
+      }
+    val bcOld = spark.sparkContext.broadcast(oldDvs)
+    val dirStr = dir.toString
+    val descs = matchedRowIds
+      .select(col(graft.plans.LakeRowLevel.FileIdCol).as("fid"),
+        col(graft.plans.LakeRowLevel.RowIxCol).as("rix"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fid, it) =>
+        val newPos = it.map(_._2).toArray
+        val oldPos = bcOld.value.get(fid).map { case (p, inline, off, sz) =>
+          val bytes =
+            if (p.isEmpty) inline.take(sz)
+            else RoaringDv.readDvData(sconf.value, new org.apache.hadoop.fs.Path(p), off, sz)
+          RoaringDv.decodeBitmapArray(bytes)
+        }.getOrElse(Array.empty[Long])
+        val all = (oldPos ++ newPos).distinct.sorted
+        val bmp = RoaringDv.encodeBitmapArray(scala.collection.immutable.ArraySeq.unsafeWrapArray(all))
+        val uuid = java.util.UUID.randomUUID()
+        val (offset, size) = RoaringDv.writeDvFile(sconf.value,
+          new org.apache.hadoop.fs.Path(dirStr, s"deletion_vector_$uuid.bin"), bmp)
+        (fid, RoaringDv.encodeUuid(uuid), offset, size, all.length.toLong)
+      }
+      .collect()
+    require(descs.nonEmpty, "DV delete resolved no touched files")
+
+    val byId = snap.fileIds.zip(snap.files).toMap
+    val physPartNames = snap.physPartitionSchema.fieldNames
+    def rawParts(f: org.apache.spark.sql.GraftLakeBridge.LakeFile): Map[String, String] =
+      physPartNames.zip(f.partitionValues).collect {
+        case (k, v) if v != null => k -> v.toString
+      }.toMap
+    val now = System.currentTimeMillis()
+    val adds = descs.map { case (fid, dvRef, offset, size, card) =>
+      val f = byId(fid)
+      LakeWrite.deltaAddDv(fid, f.size, now, rawParts(f), "u", dvRef,
+        Some(offset), size, card)
+    }
+    // reader feature gate: DV tables need protocol 3/7 with the feature
+    // listed; re-stating it is idempotent. A column-mapping table keeps its
+    // feature listed too (the two compose).
+    val features = Seq("deletionVectors") ++
+      (if (snap.physSchema.isDefined) Seq("columnMapping") else Nil)
+    val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
+    commitDelta(conf, dir, snap.version + 1,
+      Seq(LakeWrite.deltaCommitInfo(now),
+        LakeWrite.deltaProtocolWithFeatures(features, features)) ++ cdc ++ adds.toSeq)
+  }
+
   /** Metadata-only ALTER commit: a new version whose metaData action
     * carries the updated schema/configuration (id, partitioning untouched).
     */

@@ -186,6 +186,77 @@ class LakeAlterSuite extends SparkTestBase {
     assert(DeltaLite.read(spark, dir).count() == expected.size + 1L)
   }
 
+  test("deletion-vector DELETE: no file rewrites, vectors merge, CDF rides, OPTIMIZE purges") {
+    val base = tmpDir("dv-dml")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE dvw OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.dvdml")
+    val fqn = "graft.datasource.dvdml.dvw.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) TBLPROPERTIES (" +
+      "'delta.enableDeletionVectors' = 'true', 'delta.enableChangeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id * 10 FROM range(10)")
+    val dir = new Path(base.getPath, "t")
+    val td = new java.io.File(dir.toString)
+    def dataFiles() = td.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    val before = dataFiles()
+
+    spark.sql(s"DELETE FROM $fqn WHERE id < 3")                       // v2: DV commit
+    assert(dataFiles() == before, "a DV delete must not touch data files")
+    assert(spark.sql(s"SELECT count(*) FROM $fqn").head().getLong(0) == 7L)
+    assert(td.listFiles().exists(_.getName.startsWith("deletion_vector_")))
+    // second delete overlaps the same files: vectors must MERGE
+    spark.sql(s"DELETE FROM $fqn WHERE id % 2 = 0")                   // v3
+    assert(dataFiles() == before)
+    val left = spark.sql(s"SELECT id FROM $fqn ORDER BY id").collect().map(_.getInt(0)).toSeq
+    assert(left == Seq(3, 5, 7, 9))
+    // the feed carries BOTH deletes row-exactly (cdc staged alongside DVs)
+    val feed = DeltaLite.changes(spark, dir, 2L, Some(3L))
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(feed == Seq(0, 1, 2, 4, 6, 8).map(i => (i, "delete")))
+    // history classifies the DV commits as deletes (cdc present -> DML)
+    val ops = graft.Graft.sql(spark, s"SHOW LAKE HISTORY $fqn")
+      .collect().map(_.getString(3)).toSeq
+    assert(ops == Seq("DML", "DML", "WRITE", "CREATE TABLE"))
+    // OPTIMIZE rewrites the survivors and PURGES the vectors
+    graft.Graft.sql(spark, s"OPTIMIZE LAKE TABLE $fqn TARGET 1 FILES")
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.dvs.isEmpty, "compaction must resolve deletion vectors")
+    assert(spark.sql(s"SELECT id FROM $fqn ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(3, 5, 7, 9))
+  }
+
+  test("DV DELETE without CDF: history says DELETE, streams demand ignoreChanges") {
+    val base = tmpDir("dv-dml2")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE dvw2 OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.dvdml2")
+    val fqn = "graft.datasource.dvdml2.dvw2.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) " +
+      "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(6)")
+    spark.sql(s"DELETE FROM $fqn WHERE id = 0")
+    val dir = new Path(base.getPath, "t")
+    assert(graft.Graft.sql(spark, s"SHOW LAKE HISTORY $fqn")
+      .collect().map(_.getString(3)).toSeq == Seq("DELETE", "WRITE", "CREATE TABLE"))
+    // without change files the feed cannot derive the DV rewrite
+    val ex = intercept[IllegalArgumentException] {
+      DeltaLite.changes(spark, dir, 2L, Some(2L)).collect()
+    }
+    assert(ex.getMessage.contains("deletion-vector rewrite"))
+    // and the append stream demands ignoreChanges for the DV commit
+    val ex2 = intercept[IllegalArgumentException] {
+      DeltaLite.appendBatch(spark, dir, 2L, 2L, ignoreChanges = false, ignoreDeletes = false)
+    }
+    assert(ex2.getMessage.contains("deletion vectors"))
+    // ignoreChanges re-emits ONLY the touched file's still-visible rows
+    // (id 0's file, minus the masked row) — never a resurrected id 0
+    val reemitted = DeltaLite.appendBatch(spark, dir, 2L, 2L,
+      ignoreChanges = true, ignoreDeletes = false)
+      .select("id").collect().map(_.getInt(0)).toSeq
+    assert(!reemitted.contains(0) && reemitted.forall(r => r >= 1 && r <= 5))
+  }
+
   test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
