@@ -1851,6 +1851,46 @@ object CatalogQueries {
       Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
           CAST(n_regionkey AS INT) AS n_regionkey
         FROM nation WHERE n_regionkey <> 2 AND n_nationkey % 2 = 0
+        ORDER BY n_nationkey""")),
+
+    // ---- ICEBERG MERGE-ON-READ DELETE WRITES: a table created with
+    // write.delete.mode = merge-on-read takes two SQL DELETEs as
+    // position-delete files at fresh sequence numbers — data files and
+    // their manifests never move — and the readback exists only through
+    // the written (file_path, pos) parquet, the delete manifests, and the
+    // seq-gated anti-joins composing across BOTH delete files. ----
+    QuerySpec("src_iceberg_mor_dml",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_imordml")
+        val done = new java.io.File(lakeDir, "nation_imordml.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE imorml OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.imorml.nation_imordml " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT) " +
+            "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_imordml_src")
+          s.sql("INSERT INTO graft.datasource.lakew.imorml.nation_imordml " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_imordml_src")
+          s.sql("DELETE FROM graft.datasource.lakew.imorml.nation_imordml " +
+            "WHERE n_regionkey = 3")
+          s.sql("DELETE FROM graft.datasource.lakew.imorml.nation_imordml " +
+            "WHERE n_nationkey % 2 = 0")
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.imorml.nation_imordml
+            |ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation WHERE n_regionkey <> 3 AND n_nationkey % 2 = 1
         ORDER BY n_nationkey"""))
   )
 }

@@ -292,12 +292,20 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     if (readChangelog) return loadChangelog(spark, rest, name)
     val dir = dirFor(spark, rest, name)
     val snap = IcebergLite.snapshot(spark, dir)
+    val morDelete = LakeNativeWrite.icebergTableProperties(spark, dir)
+      .get("write.delete.mode").contains("merge-on-read")
     val handle = new LakeRowLevel.RowLevelHandle {
       override def scanWithRowIds(s: SparkSession): DataFrame =
         IcebergLite.toDataFrameWithRowIds(s, snap)
       override def commitRewrite(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =
         LakeNativeWrite.icebergRewrite(s, dir, removed, replacement)
+      override def deleteByRowIds: Boolean = morDelete
+      override def commitDeleteRows(s: SparkSession, matchedRowIds: DataFrame,
+          changeRows: Option[DataFrame]): Unit =
+        // no CDF concept here: the changelog derives deleted rows from the
+        // delete-file delta, so change rows are not materialized
+        LakeNativeWrite.icebergMorDelete(s, dir, matchedRowIds)
       override def commitCompaction(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =
         // summary.operation=replace marks byte motion: changelog reads skip it
@@ -333,12 +341,15 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       rowLevelHandle = Some(handle))
   }
 
-  /** Native CREATE TABLE (identity partitioning) when the jar is absent. */
+  /** Native CREATE TABLE (identity partitioning) when the jar is absent;
+    * TBLPROPERTIES land in the metadata `properties` map (`write.*`
+    * behavior levers like `write.delete.mode = merge-on-read`).
+    */
   override def createTable(spark: SparkSession, rest: Seq[String], name: String,
       schema: StructType, partitionCols: Seq[String],
       properties: Map[String, String] = Map.empty): Table = {
     val dir = new Path((Seq(warehouse) ++ rest :+ name).mkString("/"))
-    LakeNativeWrite.icebergCreate(spark, dir, schema, partitionCols)
+    LakeNativeWrite.icebergCreate(spark, dir, schema, partitionCols, properties)
     loadTable(spark, rest, name, None)
   }
 

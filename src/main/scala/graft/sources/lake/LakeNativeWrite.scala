@@ -467,7 +467,7 @@ object LakeNativeWrite {
     Set(IntegerType, LongType, StringType, BooleanType, FloatType, DoubleType)
 
   def icebergCreate(spark: SparkSession, dir: Path, schema: StructType,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], properties: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     require(!IcebergLite.isIcebergTable(conf, dir), s"Iceberg table already exists at $dir")
     partitionCols.foreach { c =>
@@ -477,7 +477,7 @@ object LakeNativeWrite {
           "for this writer (values are served from manifest metadata)")
     }
     LakeWrite.icebergWriteMetadata(conf, dir, 1, schema, Nil, currentSnapshotId = -1L,
-      specFields = specFieldsFor(schema, partitionCols))
+      specFields = specFieldsFor(schema, partitionCols), properties = properties)
     ()
   }
 
@@ -561,7 +561,8 @@ object LakeNativeWrite {
   /** Everything a commit needs from the current table metadata. */
   private final case class IceMeta(metaVersion: Long, schema: StructType,
       partitionCols: Seq[String], lastSeq: Long,
-      priorSnapshots: Seq[LakeWrite.IcebergSnapshot], currentId: Long)
+      priorSnapshots: Seq[LakeWrite.IcebergSnapshot], currentId: Long,
+      properties: Map[String, String] = Map.empty)
 
   private def loadIceMeta(conf: Configuration, dir: Path): IceMeta = {
     implicit val formats: Formats = DefaultFormats
@@ -609,7 +610,11 @@ object LakeNativeWrite {
     }
     IceMeta(metaVersion, schema, partitionCols,
       (meta \ "last-sequence-number").extractOrElse[Long](0L),
-      priorSnapshots, (meta \ "current-snapshot-id").extractOrElse[Long](-1L))
+      priorSnapshots, (meta \ "current-snapshot-id").extractOrElse[Long](-1L),
+      properties = (meta \ "properties") match {
+        case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      })
   }
 
   private def partTypeJsonFor(schema: StructType, partitionCols: Seq[String]): String =
@@ -655,7 +660,8 @@ object LakeNativeWrite {
       entries: Seq[LakeWrite.ManifestEntry], otherManifests: Seq[LakeWrite.ManifestFile],
       newSnapId: Long, newSeq: Long, now: Long,
       entrySchema: org.apache.avro.Schema, operation: String = "append",
-      extraSummary: Map[String, String] = Map.empty): Unit = {
+      extraSummary: Map[String, String] = Map.empty,
+      newManifestContent: Int = 0): Unit = {
     val fs = dir.getFileSystem(conf)
     def toMeta(local: java.io.File, name: String): Long = {
       val target = new Path(new Path(dir, "metadata"), name)
@@ -668,7 +674,8 @@ object LakeNativeWrite {
     toMeta(tmpM, s"m-$newSnapId.avro")
     val tmpL = java.io.File.createTempFile("graft-mlist", ".avro")
     LakeWrite.icebergWriteManifestListEntries(tmpL,
-      otherManifests :+ LakeWrite.ManifestFile(s"metadata/m-$newSnapId.avro", mLen, 0, newSeq),
+      otherManifests :+ LakeWrite.ManifestFile(s"metadata/m-$newSnapId.avro", mLen,
+        newManifestContent, newSeq),
       newSnapId)
     toMeta(tmpL, s"ml-$newSnapId.avro")
     val newSnapshots = m.priorSnapshots :+
@@ -678,7 +685,8 @@ object LakeNativeWrite {
     LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema, newSnapshots,
       currentSnapshotId = newSnapId,
       refs = Map("main" -> (newSnapId, "branch")),
-      specFields = specFieldsFor(m.schema, m.partitionCols))
+      specFields = specFieldsFor(m.schema, m.partitionCols),
+      properties = m.properties)
     ()
   }
 
@@ -711,6 +719,46 @@ object LakeNativeWrite {
       }.getOrElse(Map.empty))
   }
 
+  /** Table properties from the current metadata (the `write.*` behavior
+    * levers live here).
+    */
+  def icebergTableProperties(spark: SparkSession, dir: Path): Map[String, String] =
+    loadIceMeta(spark.sparkContext.hadoopConfiguration, dir).properties
+
+  /** Merge-on-read DELETE for Iceberg (`write.delete.mode = merge-on-read`,
+    * the spec's own lever): write ONE position-delete parquet of
+    * (file_path, pos) — sorted per the spec — at the next sequence number
+    * and register it through a delete manifest; data files and their
+    * manifests never move. The reader's seq-gated anti-join serves the new
+    * state; the changelog derives the deleted rows from the delete-file
+    * delta.
+    */
+  def icebergMorDelete(spark: SparkSession, dir: Path,
+      matchedRowIds: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    require(m.currentId >= 0, s"cannot delete from an Iceberg table with no snapshots: $dir")
+    val listPath = m.priorSnapshots.find(_.id == m.currentId)
+      .map(s => IcebergLite.resolveUri(dir, s.manifestListPath))
+      .getOrElse(throw new IllegalStateException(s"current snapshot not in snapshot list: $dir"))
+    val existing = readManifestFiles(conf, dir, listPath)
+    val newSeq = m.lastSeq + 1
+    val newSnapId = System.currentTimeMillis()
+    val rows = matchedRowIds
+      .select(col(graft.plans.LakeRowLevel.FileIdCol).as("file_path"),
+        col(graft.plans.LakeRowLevel.RowIxCol).as("pos"))
+      .orderBy("file_path", "pos")
+    val rel = s"data/delete-$newSnapId.parquet"
+    val size = LakeWrite.writeOneParquetFile(rows, new Path(dir, rel))
+    val nRows = spark.read.parquet(new Path(dir, rel).toString).count()
+    require(nRows > 0, "MoR delete resolved no rows")
+    val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
+    val entry = LakeWrite.ManifestEntry(1, rel, nRows, size, newSnapId,
+      content = 1, sequenceNumber = Some(newSeq))
+    commitIceberg(conf, dir, m, Seq(entry), existing, newSnapId, newSeq, newSnapId,
+      entrySchema, operation = "delete", newManifestContent = 1)
+  }
+
   /** ADD COLUMNS for a native Iceberg table: a new schema entry with fresh
     * field ids, current-schema-id advanced, data untouched (old files
     * null-fill the new columns under name-based resolution — the one
@@ -726,7 +774,8 @@ object LakeNativeWrite {
     LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, newSchema,
       m.priorSnapshots, currentSnapshotId = m.currentId,
       refs = if (m.currentId >= 0) Map("main" -> (m.currentId, "branch")) else Map.empty,
-      specFields = specFieldsFor(newSchema, m.partitionCols))
+      specFields = specFieldsFor(newSchema, m.partitionCols),
+      properties = m.properties)
     ()
   }
 

@@ -304,7 +304,8 @@ object LakeWrite {
   def icebergWriteMetadata(conf: Configuration, tableDir: Path, version: Int,
       schema: StructType, snapshots: Seq[IcebergSnapshot], currentSnapshotId: Long,
       refs: Map[String, (Long, String)] = Map.empty,
-      specFields: Seq[JObject] = Nil): Path = {
+      specFields: Seq[JObject] = Nil,
+      properties: Map[String, String] = Map.empty): Path = {
     val metaDir = new Path(tableDir, "metadata")
     val fs = metaDir.getFileSystem(conf)
     fs.mkdirs(metaDir)
@@ -324,7 +325,8 @@ object LakeWrite {
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
       "default-sort-order-id" -> JInt(0),
-      "properties" -> JObject(),
+      "properties" -> JObject(properties.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }),
       "current-snapshot-id" -> JInt(BigInt(currentSnapshotId)),
       "snapshots" -> JArray(snapshots.map(s => JObject(List(
         "snapshot-id" -> (JInt(BigInt(s.id)): JValue)) ++

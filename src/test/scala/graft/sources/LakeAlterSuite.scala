@@ -257,6 +257,40 @@ class LakeAlterSuite extends SparkTestBase {
     assert(!reemitted.contains(0) && reemitted.forall(r => r >= 1 && r <= 5))
   }
 
+  test("iceberg merge-on-read DELETE: position-delete files, no rewrites, changelog derives") {
+    val base = tmpDir("ice-mor-dml")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE imor OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.imordml")
+    val fqn = "graft.datasource.imordml.imor.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id * 10 FROM range(8)")
+    val dir = new Path(base.getPath, "t")
+    val dataDir = new java.io.File(dir.toString, "data")
+    def dataFiles() = dataDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("delete-"))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    val before = dataFiles()
+
+    spark.sql(s"DELETE FROM $fqn WHERE id < 3")
+    assert(dataFiles() == before, "a MoR delete must not touch data files")
+    assert(dataDir.listFiles().exists(_.getName.startsWith("delete-")))
+    assert(spark.sql(s"SELECT count(*) FROM $fqn").head().getLong(0) == 5L)
+    spark.sql(s"DELETE FROM $fqn WHERE id % 2 = 0") // delete files compose
+    assert(dataFiles() == before)
+    assert(spark.sql(s"SELECT id FROM $fqn ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(3, 5, 7))
+    // history labels the MoR commits; the changelog derives the exact rows
+    // from each delete-file delta via the MOR-scan anti-join
+    assert(graft.Graft.sql(spark, s"SHOW LAKE HISTORY $fqn")
+      .collect().map(_.getString(3)).toSeq == Seq("delete", "delete", "append"))
+    val feed = IcebergLite.changes(spark, dir)
+      .where(col("_change_type") === "delete")
+      .select("id", "_change_ordinal").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(feed == Seq((0, 1), (1, 1), (2, 1), (4, 2), (6, 2)))
+  }
+
   test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
