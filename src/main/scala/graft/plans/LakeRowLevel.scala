@@ -85,6 +85,16 @@ object LakeRowLevel {
     def commitDeleteRows(spark: SparkSession, matchedRowIds: DataFrame,
         changeRows: Option[DataFrame]): Unit =
       throw new UnsupportedOperationException(s"$describe does not support MoR deletes")
+    /** True when UPDATE should mask + append (merge-on-read) instead of
+      * copy-on-write.
+      */
+    def updateByRowIds: Boolean = false
+    /** Merge-on-read UPDATE commit: matched rows mask out, `newRows`
+      * (their rewritten versions) append, one atomic commit.
+      */
+    def commitUpdateRows(spark: SparkSession, matchedRowIds: DataFrame,
+        newRows: DataFrame, changeRows: Option[DataFrame]): Unit =
+      throw new UnsupportedOperationException(s"$describe does not support MoR updates")
     /** A rewrite that moves bytes, not rows (OPTIMIZE / re-clustering):
       * formats with a change feed mark it so the feed skips the commit.
       */
@@ -311,17 +321,25 @@ case class LakeUpdateCommand(handle: RowLevelHandle,
         }
       }
       val touched = df.where(col(FileIdCol).isin(files: _*))
-      val rewritten = touched.select(out: _*)
-      if (handle.wantsChangeRows) {
-        val hitRows = touched.where(hit)
-        val pre = hitRows.select(cols.map(n => col(s"`$n`")): _*)
+      val hitRows = touched.where(hit)
+      def changes: Option[DataFrame] =
+        if (!handle.wantsChangeRows) None
+        else Some(hitRows.select(cols.map(n => col(s"`$n`")): _*)
           .withColumn(ChangeTypeCol, lit("update_preimage"))
-        // on hit rows the conditional assignment always fires, so the same
-        // `out` projection yields the postimage
-        val post = hitRows.select(out: _*)
-          .withColumn(ChangeTypeCol, lit("update_postimage"))
-        handle.commitRewriteWithChanges(spark, files, rewritten, pre.unionByName(post))
-      } else handle.commitRewrite(spark, files, rewritten)
+          .unionByName(hitRows.select(out: _*)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))))
+      if (handle.updateByRowIds) {
+        // merge-on-read: matched rows mask out, rewritten versions append
+        handle.commitUpdateRows(spark,
+          hitRows.select(col(FileIdCol), col(RowIxCol)),
+          hitRows.select(out: _*), changes)
+      } else {
+        val rewritten = touched.select(out: _*)
+        changes match {
+          case Some(ch) => handle.commitRewriteWithChanges(spark, files, rewritten, ch)
+          case None => handle.commitRewrite(spark, files, rewritten)
+        }
+      }
     }
     Seq(Row(files.size.toLong))
   }

@@ -101,6 +101,10 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def commitDeleteRows(s: SparkSession, matchedRowIds: DataFrame,
           changeRows: Option[DataFrame]): Unit =
         LakeNativeWrite.deltaDvDelete(s, dir, snap, matchedRowIds, changeRows)
+      override def updateByRowIds: Boolean = deleteByRowIds
+      override def commitUpdateRows(s: SparkSession, matchedRowIds: DataFrame,
+          newRows: DataFrame, changeRows: Option[DataFrame]): Unit =
+        LakeNativeWrite.deltaDvUpdate(s, dir, snap, matchedRowIds, newRows, changeRows)
       override def commitRewriteWithChanges(s: SparkSession, removed: Seq[String],
           replacement: DataFrame, changeRows: DataFrame): Unit =
         LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,
@@ -306,6 +310,12 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
         // no CDF concept here: the changelog derives deleted rows from the
         // delete-file delta, so change rows are not materialized
         LakeNativeWrite.icebergMorDelete(s, dir, matchedRowIds)
+      override def updateByRowIds: Boolean = LakeNativeWrite
+        .icebergTableProperties(spark, dir)
+        .get("write.update.mode").contains("merge-on-read")
+      override def commitUpdateRows(s: SparkSession, matchedRowIds: DataFrame,
+          newRows: DataFrame, changeRows: Option[DataFrame]): Unit =
+        LakeNativeWrite.icebergMorUpdate(s, dir, matchedRowIds, newRows)
       override def commitCompaction(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =
         // summary.operation=replace marks byte motion: changelog reads skip it

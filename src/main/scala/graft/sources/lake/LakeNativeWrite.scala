@@ -193,7 +193,22 @@ object LakeNativeWrite {
     * files, not a single data-file rewrite.
     */
   def deltaDvDelete(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
-      matchedRowIds: DataFrame, changeRows: Option[DataFrame]): Unit = {
+      matchedRowIds: DataFrame, changeRows: Option[DataFrame]): Unit =
+    deltaDvCommit(spark, dir, snap, matchedRowIds, None, changeRows)
+
+  /** Merge-on-read UPDATE: the matched rows mask out via deletion vectors
+    * while their rewritten versions append as NEW files — one atomic
+    * commit, the Delta runtime's own DV-update shape. Costs the matched
+    * row ids + the rewritten rows, never a full-file rewrite.
+    */
+  def deltaDvUpdate(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
+      matchedRowIds: DataFrame, newRows: DataFrame,
+      changeRows: Option[DataFrame]): Unit =
+    deltaDvCommit(spark, dir, snap, matchedRowIds, Some(newRows), changeRows)
+
+  private def deltaDvCommit(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
+      matchedRowIds: DataFrame, appendRows: Option[DataFrame],
+      changeRows: Option[DataFrame]): Unit = {
     import org.apache.spark.sql.GraftLakeBridge
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -249,9 +264,15 @@ object LakeNativeWrite {
     val features = Seq("deletionVectors") ++
       (if (snap.physSchema.isDefined) Seq("columnMapping") else Nil)
     val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
+    val newAdds = appendRows.toSeq.flatMap { rows =>
+      val (physical, physParts) = toPhysical(align(rows, snap.schema), snap)
+      writeDataFiles(physical, dir, physParts, "")
+        .map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues))
+    }
     commitDelta(conf, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now),
-        LakeWrite.deltaProtocolWithFeatures(features, features)) ++ cdc ++ adds.toSeq)
+        LakeWrite.deltaProtocolWithFeatures(features, features)) ++
+        cdc ++ adds.toSeq ++ newAdds)
   }
 
   /** Metadata-only ALTER commit: a new version whose metaData action
@@ -717,6 +738,56 @@ object LakeNativeWrite {
       extraSummary = streamTxn.map { case (app, batch) =>
         Map("streaming-app-id" -> app, "streaming-batch-id" -> batch.toString)
       }.getOrElse(Map.empty))
+  }
+
+  /** Merge-on-read UPDATE for Iceberg (`write.update.mode =
+    * merge-on-read`): the matched rows mask out via a position-delete file
+    * while their rewritten versions append as new data files — one
+    * snapshot, both manifests at the same fresh sequence number (the
+    * delete cannot touch the new files: position deletes key on file
+    * path).
+    */
+  def icebergMorUpdate(spark: SparkSession, dir: Path,
+      matchedRowIds: DataFrame, newRows: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    require(m.currentId >= 0, s"cannot update an Iceberg table with no snapshots: $dir")
+    val listPath = m.priorSnapshots.find(_.id == m.currentId)
+      .map(s => IcebergLite.resolveUri(dir, s.manifestListPath))
+      .getOrElse(throw new IllegalStateException(s"current snapshot not in snapshot list: $dir"))
+    val existing = readManifestFiles(conf, dir, listPath)
+    val newSeq = m.lastSeq + 1
+    val newSnapId = System.currentTimeMillis()
+    val fs = dir.getFileSystem(conf)
+    // the delete side
+    val delRows = matchedRowIds
+      .select(col(graft.plans.LakeRowLevel.FileIdCol).as("file_path"),
+        col(graft.plans.LakeRowLevel.RowIxCol).as("pos"))
+      .orderBy("file_path", "pos")
+    val delRel = s"data/delete-$newSnapId.parquet"
+    val delSize = LakeWrite.writeOneParquetFile(delRows, new Path(dir, delRel))
+    val nDel = spark.read.parquet(new Path(dir, delRel).toString).count()
+    require(nDel > 0, "MoR update resolved no rows")
+    val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
+    val tmpD = java.io.File.createTempFile("graft-del-manifest", ".avro")
+    val dLen = LakeWrite.icebergWriteManifest(tmpD,
+      Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, newSnapId,
+        content = 1, sequenceNumber = Some(newSeq))), delEntrySchema)
+    val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId.avro")
+    fs.mkdirs(dTarget.getParent)
+    fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
+    // the rewrite side: new data files
+    val aligned = align(newRows, m.schema)
+    val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
+    val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
+    val dataEntries = staged.map { f =>
+      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
+        partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
+        sequenceNumber = Some(newSeq))
+    }
+    commitIceberg(conf, dir, m, dataEntries,
+      existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq),
+      newSnapId, newSeq, newSnapId, entrySchema, operation = "overwrite")
   }
 
   /** Table properties from the current metadata (the `write.*` behavior

@@ -291,6 +291,54 @@ class LakeAlterSuite extends SparkTestBase {
     assert(feed == Seq((0, 1), (1, 1), (2, 1), (4, 2), (6, 2)))
   }
 
+  test("merge-on-read UPDATE: originals untouched, rewrites append, feeds exact") {
+    // Delta side: DV mask + append in one commit, CDF pre/post riding
+    val base = tmpDir("mor-upd")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE moru OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.morupd")
+    val fqn = "graft.datasource.morupd.moru.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) TBLPROPERTIES (" +
+      "'delta.enableDeletionVectors' = 'true', 'delta.enableChangeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(6)")
+    val dir = new Path(base.getPath, "t")
+    val td = new java.io.File(dir.toString)
+    val before = td.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified())).toSet
+    spark.sql(s"UPDATE $fqn SET v = v + 100 WHERE id < 2")
+    val after = td.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified())).toSet
+    assert(before.subsetOf(after), "MoR update must not rewrite originals")
+    assert(after.size > before.size, "MoR update appends the rewritten rows")
+    assert(spark.sql(s"SELECT id, v FROM $fqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 100), (1, 101), (2, 2), (3, 3), (4, 4), (5, 5)))
+    val feed = DeltaLite.changes(spark, dir, 2L, Some(2L))
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(feed == Seq((0, 0, "update_preimage"), (0, 100, "update_postimage"),
+      (1, 1, "update_preimage"), (1, 101, "update_postimage")))
+
+    // Iceberg side: position-delete + append, changelog derives both sides
+    val ibase = tmpDir("mor-upd-ice")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE morui OPTIONS (warehouse '${ibase.getPath}') NAMESPACE graft.datasource.morupdi")
+    val ifqn = "graft.datasource.morupdi.morui.t"
+    spark.sql(s"CREATE TABLE $ifqn (id INT, v INT) " +
+      "TBLPROPERTIES ('write.update.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $ifqn SELECT id, id FROM range(5)")
+    spark.sql(s"UPDATE $ifqn SET v = 77 WHERE id = 3")
+    assert(spark.sql(s"SELECT id, v FROM $ifqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 0), (1, 1), (2, 2), (3, 77), (4, 4)))
+    val ifeed = IcebergLite.changes(spark, new Path(ibase.getPath, "t"))
+      .where(col("_change_ordinal") === 1)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(ifeed == Seq((3, 3, "delete"), (3, 77, "insert")))
+  }
+
   test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
