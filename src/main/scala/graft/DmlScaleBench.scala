@@ -48,11 +48,11 @@ object DmlScaleBench {
       }.reduce(_ unionByName _)
 
     var n = 0
-    def build(k: Int): String = {
+    def build(k: Int, props: String = ""): String = {
       n += 1
       val name = s"t$n"
       spark.sql(s"CREATE TABLE graft.datasource.bench.dmlb.$name " +
-        "(id BIGINT, event_type STRING, value DOUBLE, bucket INT) PARTITIONED BY (bucket)")
+        s"(id BIGINT, event_type STRING, value DOUBLE, bucket INT) PARTITIONED BY (bucket) $props")
       replicated(k).createOrReplaceTempView("__dmlb_src")
       spark.sql(s"INSERT INTO graft.datasource.bench.dmlb.$name " +
         "SELECT id, event_type, CAST(value AS DOUBLE), bucket FROM __dmlb_src")
@@ -68,6 +68,8 @@ object DmlScaleBench {
       val t = build(1)
       spark.sql(s"DELETE FROM $t WHERE bucket = 0 AND id % 10 = 0")
       spark.sql(s"INSERT OVERWRITE $t SELECT * FROM $t WHERE NOT (id % 10 = 1)")
+      val tdv = build(1, "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+      spark.sql(s"DELETE FROM $tdv WHERE bucket = 0 AND id % 10 = 0")
     }
 
     scales.foreach { k =>
@@ -84,8 +86,15 @@ object DmlScaleBench {
         spark.sql(s"INSERT OVERWRITE $t2 " +
           s"SELECT * FROM $t2 WHERE NOT (bucket = 0 AND id % 10 = 0)")
       }
+      // the merge-on-read shape: the same delete as deletion vectors only
+      val t3 = build(k, "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+      val dvSec = timed {
+        spark.sql(s"DELETE FROM $t3 WHERE bucket = 0 AND id % 10 = 0")
+      }
+      require(spark.table(t3).count() == rowsAfter, "DV delete diverged from CoW")
       println(s"""{"bench":"dml_scale","scale":$k,"rows":$rowsBefore,""" +
         s""""deleted":${rowsBefore - rowsAfter},"delete_sec":$delSec,""" +
+        s""""dv_delete_sec":$dvSec,""" +
         s""""full_rewrite_sec":$fullSec}""")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(wh)
