@@ -1891,6 +1891,52 @@ object CatalogQueries {
       Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
           CAST(n_regionkey AS INT) AS n_regionkey
         FROM nation WHERE n_regionkey <> 3 AND n_nationkey % 2 = 1
+        ORDER BY n_nationkey""")),
+
+    // ---- ICEBERG EQUALITY-DELETE UPSERT (the Flink-CDC blind-upsert
+    // shape): one snapshot masks the batch's keys via an equality-delete
+    // file and appends the batch at the SAME sequence number — the spec's
+    // strictly-less gating keeps the new rows while masking every older
+    // one, with no read of the existing table. The batch updates region
+    // 2's names and inserts two new keys; the readback composes the
+    // equality join, the strict seq gate, and the append in one state. ----
+    QuerySpec("src_iceberg_eq_upsert",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_equps")
+        val done = new java.io.File(lakeDir, "nation_equps.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE iequp OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.iequp.nation_equps " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_equps_src")
+          s.sql("INSERT INTO graft.datasource.lakew.iequp.nation_equps " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_equps_src")
+          val batch = s.sql(
+            """SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+              |  upper(n_name) AS n_name, CAST(n_regionkey AS INT) AS n_regionkey
+              |FROM __nation_equps_src WHERE n_regionkey = 2
+              |UNION ALL SELECT 900, 'NEW_A', 9
+              |UNION ALL SELECT 901, 'NEW_B', 9""".stripMargin)
+          graft.sources.lake.LakeNativeWrite.icebergEqUpsert(s,
+            new org.apache.hadoop.fs.Path(tableDir.getPath), batch, Seq("n_nationkey"))
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM graft.datasource.lakew.iequp.nation_equps
+            |ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+          CASE WHEN n_regionkey = 2 THEN upper(n_name) ELSE n_name END AS n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey FROM nation
+        UNION ALL SELECT 900, 'NEW_A', 9
+        UNION ALL SELECT 901, 'NEW_B', 9
         ORDER BY n_nationkey"""))
   )
 }

@@ -124,14 +124,26 @@ class IcebergStreamSink(spark: SparkSession, dir: Path,
   private val appId = options.getOrElse("txnAppId", "graft-iceberg-sink")
   private val overwrite =
     outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+  // upsert mode: each batch masks its keys via an equality-delete file and
+  // appends its rows at the same sequence number — streaming CDC into the
+  // table without ever reading it
+  private val upsertKeys = options.get("upsertKeys")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
 
   override def name(): String = s"graft-iceberg-sink[$dir]"
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     if (LakeNativeWrite.icebergLastStreamBatch(spark, dir, appId).exists(_ >= batchId)) return
     val batchDf = GraftLakeBridge.asBatchFrame(data.toDF())
-    LakeNativeWrite.icebergInsert(spark, dir, batchDf, overwrite,
-      streamTxn = Some((appId, batchId)))
+    val marks = Map("streaming-app-id" -> appId, "streaming-batch-id" -> batchId.toString)
+    upsertKeys match {
+      case Some(keys) =>
+        require(!overwrite, "upsertKeys and Complete output mode are mutually exclusive")
+        LakeNativeWrite.icebergEqUpsert(spark, dir, batchDf, keys, extraSummary = marks)
+      case None =>
+        LakeNativeWrite.icebergInsert(spark, dir, batchDf, overwrite,
+          streamTxn = Some((appId, batchId)))
+    }
   }
 }
 

@@ -740,6 +740,58 @@ object LakeNativeWrite {
       }.getOrElse(Map.empty))
   }
 
+  /** Equality-delete UPSERT for Iceberg — the Flink-CDC blind-upsert
+    * shape: ONE snapshot carries an equality-delete file naming the
+    * batch's keys (masking every OLDER row with those keys — the spec's
+    * strictly-less sequence gating) plus the batch's rows as new data
+    * files at the same fresh sequence number, which therefore survive
+    * their own delete. No read of the existing table at all: upsert cost
+    * is the batch, never the corpus — the property that makes streaming
+    * CDC into a 100 TB table feasible.
+    */
+  def icebergEqUpsert(spark: SparkSession, dir: Path, batch: DataFrame,
+      keyCols: Seq[String], extraSummary: Map[String, String] = Map.empty): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    require(keyCols.nonEmpty && keyCols.forall(m.schema.fieldNames.contains),
+      s"upsert keys ${keyCols.mkString(",")} must be top-level columns")
+    val listPath = m.priorSnapshots.find(_.id == m.currentId)
+      .map(s => IcebergLite.resolveUri(dir, s.manifestListPath))
+    val existing = listPath.map(readManifestFiles(conf, dir, _)).getOrElse(Nil)
+    val newSeq = m.lastSeq + 1
+    val newSnapId = System.currentTimeMillis()
+    val fs = dir.getFileSystem(conf)
+    val aligned = align(batch, m.schema)
+    // the delete side: the batch's DISTINCT keys, table-typed
+    val keyDf = aligned.select(keyCols.map(c => col(s"`$c`")): _*)
+      .distinct().orderBy(keyCols.map(c => col(s"`$c`")): _*)
+    val delRel = s"data/eqdelete-$newSnapId.parquet"
+    val delSize = LakeWrite.writeOneParquetFile(keyDf, new Path(dir, delRel))
+    val nDel = spark.read.parquet(new Path(dir, delRel).toString).count()
+    val eqIds = keyCols.map(c => m.schema.fieldIndex(c) + 1)
+    val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
+    val tmpD = java.io.File.createTempFile("graft-eq-manifest", ".avro")
+    val dLen = LakeWrite.icebergWriteManifest(tmpD,
+      Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, newSnapId,
+        content = 2, sequenceNumber = Some(newSeq), equalityIds = eqIds)),
+      delEntrySchema)
+    val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId.avro")
+    fs.mkdirs(dTarget.getParent)
+    fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
+    // the insert side, same sequence number: survives its own delete
+    val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
+    val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
+    val dataEntries = staged.map { f =>
+      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
+        partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
+        sequenceNumber = Some(newSeq))
+    }
+    commitIceberg(conf, dir, m, dataEntries,
+      existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq),
+      newSnapId, newSeq, newSnapId, entrySchema, operation = "overwrite",
+      extraSummary = extraSummary)
+  }
+
   /** Merge-on-read UPDATE for Iceberg (`write.update.mode =
     * merge-on-read`): the matched rows mask out via a position-delete file
     * while their rewritten versions append as new data files — one
