@@ -394,8 +394,11 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
       }
 
     // replacement rows for the touched files (+ captured change rows when
-    // the format keeps a change feed)
+    // the format keeps a change feed; merge-on-read handles mask + append
+    // instead of replacing)
     var changeParts = Seq.empty[DataFrame]
+    var morMask: Option[DataFrame] = None
+    var morAppend: Option[DataFrame] = None
     val rewritten: Option[DataFrame] = if (files.isEmpty) None else {
       val aff = tgt.where(col(FileIdCol).isin(files: _*))
       // matchedness is tracked by a constant source-side marker (a join key
@@ -440,12 +443,16 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
       val kept = withAction
         .where((if (delM.isEmpty) lit(true) else !col("__action").isin(delM: _*)) &&
           (if (delN.isEmpty) lit(true) else !col("__nmbs").isin(delN: _*)))
+      def updateIxsOf(actions: Seq[BoxedAction]): Seq[Int] =
+        actions.zipWithIndex.collect { case (_: BoxedUpdate, i) => i + 1 }
+      def fired(cn: String, ixs: Seq[Int]): Column =
+        if (ixs.isEmpty) lit(false) else col(cn).isin(ixs: _*)
+      val affectedCond =
+        fired("__action", delM) || fired("__nmbs", delN) ||
+          fired("__action", updateIxsOf(matched)) ||
+          fired("__nmbs", updateIxsOf(notMatchedBySource))
       if (handle.wantsChangeRows) {
         val oldCols = cols.map(n => col(s"$TargetQual.`$n`").as(n))
-        def updateIxsOf(actions: Seq[BoxedAction]): Seq[Int] =
-          actions.zipWithIndex.collect { case (_: BoxedUpdate, i) => i + 1 }
-        def fired(cn: String, ixs: Seq[Int]): Column =
-          if (ixs.isEmpty) lit(false) else col(cn).isin(ixs: _*)
         val deleted = withAction
           .where(fired("__action", delM) || fired("__nmbs", delN))
           .select(oldCols: _*).withColumn(ChangeTypeCol, lit("delete"))
@@ -458,7 +465,19 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
           .withColumn(ChangeTypeCol, lit("update_postimage"))
         changeParts = Seq(deleted, pre, post)
       }
-      Some(kept.select(outCols: _*))
+      if (handle.updateByRowIds) {
+        // merge-on-read MERGE: mask every clause-affected row, append only
+        // the updated versions (inserts join below); unchanged rows stay in
+        // their original files unmasked
+        morMask = Some(withAction.where(affectedCond)
+          .select(col(s"$TargetQual.$FileIdCol").as(FileIdCol),
+            col(s"$TargetQual.$RowIxCol").as(RowIxCol)))
+        morAppend = Some(withAction
+          .where(fired("__action", updateIxsOf(matched)) ||
+            fired("__nmbs", updateIxsOf(notMatchedBySource)))
+          .select(outCols: _*))
+        None
+      } else Some(kept.select(outCols: _*))
     }
 
     // WHEN NOT MATCHED inserts: source rows with no target partner at all
@@ -483,16 +502,37 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
           .where(col("__ins") > 0).select(outCols: _*))
       }
 
-    (rewritten, inserts) match {
+    def changesOpt(i: Option[DataFrame]): Option[DataFrame] =
+      if (!handle.wantsChangeRows) None
+      else (changeParts ++ i.toSeq.map(_.withColumn(ChangeTypeCol, lit("insert"))))
+        .reduceOption(_ unionByName _)
+    if (handle.updateByRowIds && (morMask.nonEmpty || inserts.nonEmpty)) {
+      val spark2 = spark
+      val emptyIds = morMask.isEmpty
+      val appended = (morAppend.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
+      (morMask, appended) match {
+        case (Some(ids), Some(app)) =>
+          handle.commitUpdateRows(spark2, ids, app, changesOpt(inserts))
+        case (None, Some(app)) =>
+          // inserts only: a plain append commit suffices — but keep the
+          // row-id contract by masking nothing via an empty-update is not
+          // expressible, so route through commitRewrite-free append:
+          handle.commitUpdateRows(spark2,
+            tgt.where(lit(false)).select(col(FileIdCol), col(RowIxCol)), app,
+            changesOpt(inserts))
+        case (Some(ids), None) =>
+          handle.commitDeleteRows(spark2, ids, changesOpt(None))
+        case _ => require(emptyIds) // unreachable
+      }
+    } else (rewritten, inserts) match {
       case (None, None) => // nothing matched and no insert clauses: no-op
       case (r, i) =>
         val replacement = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
-        if (handle.wantsChangeRows) {
-          val changes =
-            (changeParts ++ i.toSeq.map(_.withColumn(ChangeTypeCol, lit("insert"))))
-              .reduce(_ unionByName _)
-          handle.commitRewriteWithChanges(spark, files, replacement, changes)
-        } else handle.commitRewrite(spark, files, replacement)
+        changesOpt(i) match {
+          case Some(changes) =>
+            handle.commitRewriteWithChanges(spark, files, replacement, changes)
+          case None => handle.commitRewrite(spark, files, replacement)
+        }
     }
     Seq(Row(files.size.toLong))
   }

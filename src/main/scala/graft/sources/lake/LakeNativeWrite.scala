@@ -244,7 +244,8 @@ object LakeNativeWrite {
         (fid, RoaringDv.encodeUuid(uuid), offset, size, all.length.toLong)
       }
       .collect()
-    require(descs.nonEmpty, "DV delete resolved no touched files")
+    require(descs.nonEmpty || appendRows.nonEmpty,
+      "DV commit resolved no touched files and no appended rows")
 
     val byId = snap.fileIds.zip(snap.files).toMap
     val physPartNames = snap.physPartitionSchema.fieldNames
@@ -819,15 +820,19 @@ object LakeNativeWrite {
     val delRel = s"data/delete-$newSnapId.parquet"
     val delSize = LakeWrite.writeOneParquetFile(delRows, new Path(dir, delRel))
     val nDel = spark.read.parquet(new Path(dir, delRel).toString).count()
-    require(nDel > 0, "MoR update resolved no rows")
-    val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
-    val tmpD = java.io.File.createTempFile("graft-del-manifest", ".avro")
-    val dLen = LakeWrite.icebergWriteManifest(tmpD,
-      Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, newSnapId,
-        content = 1, sequenceNumber = Some(newSeq))), delEntrySchema)
-    val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId.avro")
-    fs.mkdirs(dTarget.getParent)
-    fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
+    val deleteManifests =
+      if (nDel == 0) { fs.delete(new Path(dir, delRel), false); Nil } // insert-only merge
+      else {
+        val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
+        val tmpD = java.io.File.createTempFile("graft-del-manifest", ".avro")
+        val dLen = LakeWrite.icebergWriteManifest(tmpD,
+          Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, newSnapId,
+            content = 1, sequenceNumber = Some(newSeq))), delEntrySchema)
+        val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId.avro")
+        fs.mkdirs(dTarget.getParent)
+        fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
+        Seq(LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq))
+      }
     // the rewrite side: new data files
     val aligned = align(newRows, m.schema)
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
@@ -838,7 +843,7 @@ object LakeNativeWrite {
         sequenceNumber = Some(newSeq))
     }
     commitIceberg(conf, dir, m, dataEntries,
-      existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq),
+      existing ++ deleteManifests,
       newSnapId, newSeq, newSnapId, entrySchema, operation = "overwrite")
   }
 

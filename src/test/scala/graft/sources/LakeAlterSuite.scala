@@ -339,6 +339,55 @@ class LakeAlterSuite extends SparkTestBase {
     assert(ifeed == Seq((3, 3, "delete"), (3, 77, "insert")))
   }
 
+  test("merge-on-read MERGE: affected rows mask, updates+inserts append, originals stay") {
+    // Delta side
+    val base = tmpDir("mor-merge")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE morm OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.mormerge")
+    val fqn = "graft.datasource.mormerge.morm.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) TBLPROPERTIES (" +
+      "'delta.enableDeletionVectors' = 'true', 'delta.enableChangeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(6)")
+    val td = new java.io.File(base.getPath, "t")
+    val before = td.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified())).toSet
+    spark.sql("SELECT * FROM (VALUES (1, 111), (4, 444), (9, 999)) AS s(id, v)")
+      .createOrReplaceTempView("__morm_src")
+    spark.sql(s"MERGE INTO $fqn t USING __morm_src s ON t.id = s.id " +
+      "WHEN MATCHED AND s.id = 4 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+    val after = td.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified())).toSet
+    assert(before.subsetOf(after), "MoR merge must not rewrite originals")
+    assert(spark.sql(s"SELECT id, v FROM $fqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 0), (1, 111), (2, 2), (3, 3), (5, 5), (9, 999)))
+    val feed = DeltaLite.changes(spark, new Path(base.getPath, "t"), 2L, Some(2L))
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(feed == Seq((1, 1, "update_preimage"), (1, 111, "update_postimage"),
+      (4, 4, "delete"), (9, 999, "insert")))
+
+    // Iceberg side (write.update.mode drives merge too)
+    val ibase = tmpDir("mor-merge-ice")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE mormi OPTIONS (warehouse '${ibase.getPath}') NAMESPACE graft.datasource.mormergei")
+    val ifqn = "graft.datasource.mormergei.mormi.t"
+    spark.sql(s"CREATE TABLE $ifqn (id INT, v INT) " +
+      "TBLPROPERTIES ('write.update.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $ifqn SELECT id, id FROM range(4)")
+    spark.sql(s"MERGE INTO $ifqn t USING __morm_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+    assert(spark.sql(s"SELECT id, v FROM $ifqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 0), (1, 111), (2, 2), (3, 3), (4, 444), (9, 999)))
+    assert(IcebergLite.snapshot(spark, new Path(ibase.getPath, "t")).deleteFiles.nonEmpty)
+  }
+
   test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
