@@ -3,7 +3,7 @@ package graft.sources.lake
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, GraftLakeBridge, Row, SparkSession}
-import org.apache.spark.sql.GraftLakeBridge.{LakeFile, LakeFileIndex}
+import org.apache.spark.sql.GraftLakeBridge.{FileStats, LakeFile, LakeFileIndex}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -67,7 +67,9 @@ object DeltaLite {
       /** table configuration from the metaData action */
       configuration: Map[String, String] = Map.empty,
       /** the metaData action's stable table id */
-      metaId: String = "") {
+      metaId: String = "",
+      /** raw add.stats JSON per fileId (checkpoint fidelity) */
+      statsJson: Map[String, String] = Map.empty) {
     def cdfEnabled: Boolean =
       configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true"))
     def partitionSchema: StructType =
@@ -183,6 +185,7 @@ object DeltaLite {
     // partition values arrive as strings; typed conversion needs the final
     // schema, so carry raw maps and convert once at the end
     val rawParts = scala.collection.mutable.HashMap[String, Map[String, Option[String]]]()
+    val rawStats = scala.collection.mutable.HashMap[String, String]()
 
     def applyProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       protocolChecked = true
@@ -205,9 +208,14 @@ object DeltaLite {
     val dvByPath = scala.collection.mutable.HashMap[String, DvDescriptor]()
 
     def applyAdd(path: String, size: Long, modTime: Long,
-        parts: Map[String, Option[String]], dv: Option[DvDescriptor]): Unit = {
+        parts: Map[String, Option[String]], dv: Option[DvDescriptor],
+        stats: Option[String]): Unit = {
       adds(path) = LakeFile(resolvePath(dir, path), size, modTime, Nil)
       rawParts(path) = parts
+      stats match {
+        case Some(st) => rawStats(path) = st
+        case None => rawStats.remove(path): Unit
+      }
       // a re-add REPLACES the file's DV state either way (an OPTIMIZE or
       // DV-compacting rewrite re-adds the path without a deletionVector)
       dv match {
@@ -260,7 +268,7 @@ object DeltaLite {
           }
           applyAdd(a.getAs[String]("path"), a.getAs[Number]("size").longValue(),
             opt[Number](a, "modificationTime").map(_.longValue()).getOrElse(0L),
-            pv, dv)
+            pv, dv, opt[String](a, "stats"))
         }
       }
     }
@@ -304,7 +312,8 @@ object DeltaLite {
                 case _ => None
               }
               applyAdd((a \ "path").extract[String], (a \ "size").extract[Long],
-                (a \ "modificationTime").extractOrElse[Long](0L), parts, dv)
+                (a \ "modificationTime").extractOrElse[Long](0L), parts, dv,
+                (a \ "stats") match { case JString(st) => Some(st); case _ => None })
             case _ =>
           }
           (j \ "remove") match {
@@ -338,17 +347,18 @@ object DeltaLite {
       case Some(ps) => partitionCols.map(c => c -> ps.fields(schema.fieldIndex(c)).name).toMap
       case None => Map.empty
     }
+    val statsSchema = physSchema.getOrElse(schema)
     val keyed = adds.toSeq.map { case (key, f) =>
       val raw = rawParts(key)
       key -> f.copy(partitionValues = partSchema.map { pf =>
         val k = physPartNames.getOrElse(pf.name, pf.name)
         raw.get(k).orElse(raw.get(pf.name)).flatten
           .map(parsePartitionValue(_, pf.dataType)).orNull
-      })
+      }, stats = rawStats.get(key).flatMap(parseStats(_, statsSchema)))
     }
     Snapshot(target, schema, partitionCols, keyed.map(_._2), dir,
       fileIds = keyed.map(_._1), dvs = dvByPath.toMap, physSchema = physSchema,
-      configuration = configuration, metaId = metaId)
+      configuration = configuration, metaId = metaId, statsJson = rawStats.toMap)
   }
 
   /** One field renamed to its column-mapping physical name, recursively
@@ -401,6 +411,43 @@ object DeltaLite {
       .collectFirst { case JInt(t) => t.toLong case JLong(t) => t }
     fromInfo.getOrElse(st.getModificationTime)
   }
+
+  /** Parse an add action's `stats` JSON into typed bounds. Values convert
+    * per the (physical) schema field type; unparseable or unsupported
+    * columns simply drop — skipping stays conservative.
+    */
+  private[lake] def parseStats(json: String, physSchema: StructType): Option[FileStats] = try {
+    val j = JsonMethods.parse(json)
+    def typed(name: String, v: JValue): Option[Any] = {
+      val dt = physSchema.fields.find(_.name == name).map(_.dataType)
+      (dt, v) match {
+        case (Some(IntegerType), JInt(x)) => Some(x.toInt)
+        case (Some(LongType), JInt(x)) => Some(x.toLong)
+        case (Some(ShortType), JInt(x)) => Some(x.toShort)
+        case (Some(ByteType), JInt(x)) => Some(x.toByte)
+        case (Some(DoubleType), JDouble(x)) => Some(x)
+        case (Some(DoubleType), JInt(x)) => Some(x.toDouble)
+        case (Some(FloatType), JDouble(x)) => Some(x.toFloat)
+        case (Some(FloatType), JInt(x)) => Some(x.toFloat)
+        case (Some(StringType), JString(x)) => Some(x)
+        case (Some(BooleanType), JBool(x)) => Some(x)
+        case _ => None
+      }
+    }
+    def boundMap(field: String): Map[String, Any] = (j \ field) match {
+      case JObject(kv) => kv.flatMap { case (k, v) => typed(k, v).map(k -> _) }.toMap
+      case _ => Map.empty
+    }
+    val nulls: Map[String, Long] = (j \ "nullCount") match {
+      case JObject(kv) => kv.collect { case (k, JInt(x)) => k -> x.toLong }.toMap
+      case _ => Map.empty
+    }
+    val n = (j \ "numRecords") match {
+      case JInt(x) => Some(x.toLong)
+      case _ => None
+    }
+    Some(FileStats(n, boundMap("minValues"), boundMap("maxValues"), nulls))
+  } catch { case _: Exception => None }
 
   /** Delta add.path is a URI-encoded path relative to the table root (or an
     * absolute URI for shallow clones / external files).
@@ -463,7 +510,8 @@ object DeltaLite {
     import org.apache.spark.sql.functions._
     val order = snap.schema.fieldNames.toIndexedSeq.map(col)
     if (snap.dvs.isEmpty) {
-      val index = new LakeFileIndex(snap.tableDir, snap.files, snap.physPartitionSchema)
+      val index = new LakeFileIndex(snap.tableDir, snap.files, snap.physPartitionSchema,
+        snap.physDataSchema)
       // surface columns in declared schema order (partition cols interleave
       // per the table schema, not appended at the end), under logical names
       restoreLogical(GraftLakeBridge.parquetRelation(spark, index,
@@ -485,7 +533,8 @@ object DeltaLite {
       val plainDf =
         if (plain.isEmpty) None
         else Some(restoreLogical(GraftLakeBridge.parquetRelation(spark,
-          new LakeFileIndex(snap.tableDir, plain.map(_._1), snap.physPartitionSchema),
+          new LakeFileIndex(snap.tableDir, plain.map(_._1), snap.physPartitionSchema,
+            snap.physDataSchema),
           snap.physPartitionSchema, snap.physDataSchema), snap, Nil))
 
       val data = scanWithIds(spark, snap, withDv)
@@ -652,7 +701,8 @@ object DeltaLite {
     val addRows = snap.fileIds.zip(snap.files).map { case (id, f) =>
       val dv = snap.dvs.get(id).map(d =>
         R(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull
-      R(null, R(id, rawParts(f), f.size, f.modificationTime, true, dv), null, null)
+      R(null, R(id, rawParts(f), f.size, f.modificationTime, true, dv,
+        snap.statsJson.get(id).orNull), null, null)
     }
     val metaRow = R(null, null,
       R(snap.metaId, snap.schema.json, snap.partitionColumns, snap.configuration), null)
@@ -667,7 +717,8 @@ object DeltaLite {
         |add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, size: BIGINT,
         |  modificationTime: BIGINT, dataChange: BOOLEAN,
         |  deletionVector: STRUCT<storageType: STRING, pathOrInlineDv: STRING,
-        |    offset: BIGINT, sizeInBytes: INT, cardinality: BIGINT>>,
+        |    offset: BIGINT, sizeInBytes: INT, cardinality: BIGINT>,
+        |  stats: STRING>,
         |metaData STRUCT<id: STRING, schemaString: STRING,
         |  partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>>,
         |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,

@@ -33,7 +33,7 @@ import org.json4s.jackson.JsonMethods
 object LakeNativeWrite {
 
   final case class StagedFile(relPath: String, size: Long, rowCount: Long,
-      partitionValues: Map[String, String])
+      partitionValues: Map[String, String], statsJson: Option[String] = None)
 
   // ---- shared staging ----
 
@@ -57,7 +57,8 @@ object LakeNativeWrite {
         val target = new Path(tableDir, relOut)
         fs.mkdirs(target.getParent)
         require(fs.rename(p, target), s"rename $p -> $target failed")
-        StagedFile(relOut, size, parquetRowCount(conf, target), partitionDirValues(rel))
+        val (rows, stats) = parquetFooterInfo(conf, target, df.schema)
+        StagedFile(relOut, size, rows, partitionDirValues(rel), stats)
       }
     } finally { fs.delete(staging, true); () }
   }
@@ -81,10 +82,103 @@ object LakeNativeWrite {
     out.result()
   }
 
-  private def parquetRowCount(conf: Configuration, p: Path): Long = {
+  private def parquetRowCount(conf: Configuration, p: Path): Long =
+    parquetFooterInfo(conf, p, new StructType())._1
+
+  /** One footer open: record count plus, when `schema` names supported
+    * top-level primitive columns, a Delta `stats` JSON (numRecords +
+    * min/maxValues + nullCount) aggregated across row groups. String
+    * bounds aggregate under UTF8-byte ordering — the ordering the scan's
+    * data skipping compares with — and a column whose stats any row group
+    * omits drops entirely (skipping stays conservative).
+    */
+  private def parquetFooterInfo(conf: Configuration, p: Path,
+      schema: StructType): (Long, Option[String]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val rows = r.getRecordCount
+      val wanted = schema.fields.filter(f => f.dataType match {
+        case IntegerType | LongType | ShortType | ByteType |
+             FloatType | DoubleType | StringType | BooleanType => true
+        case _ => false
+      })
+      if (wanted.isEmpty) return (rows, None)
+      val blocks = r.getFooter.getBlocks
+      import scala.jdk.CollectionConverters._
+      val mins = scala.collection.mutable.HashMap[String, Any]()
+      val maxs = scala.collection.mutable.HashMap[String, Any]()
+      val nulls = scala.collection.mutable.HashMap[String, Long]()
+      val dropped = scala.collection.mutable.HashSet[String]()
+      def ord(dt: DataType, a: Any, b: Any): Int = (dt, a, b) match {
+        case (StringType, x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+        case (_, x: java.lang.Comparable[_], y) =>
+          x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+      }
+      blocks.asScala.foreach { b =>
+        val byName = b.getColumns.asScala
+          .filter(_.getPath.size() == 1).map(c => c.getPath.toDotString -> c).toMap
+        wanted.foreach { f =>
+          if (!dropped(f.name)) byName.get(f.name) match {
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || !st.isNumNullsSet) { dropped += f.name; () }
+              else {
+                nulls(f.name) = nulls.getOrElse(f.name, 0L) + st.getNumNulls
+                if (st.hasNonNullValue) {
+                  def decode(v: Any): Option[Any] = (f.dataType, v) match {
+                    case (IntegerType, x: java.lang.Integer) => Some(x.intValue())
+                    case (ShortType, x: java.lang.Integer) => Some(x.shortValue())
+                    case (ByteType, x: java.lang.Integer) => Some(x.byteValue())
+                    case (LongType, x: java.lang.Long) => Some(x.longValue())
+                    case (FloatType, x: java.lang.Float) => Some(x.floatValue())
+                    case (DoubleType, x: java.lang.Double) => Some(x.doubleValue())
+                    case (BooleanType, x: java.lang.Boolean) => Some(x.booleanValue())
+                    case (StringType, x: org.apache.parquet.io.api.Binary) =>
+                      Some(x.toStringUsingUTF8)
+                    case _ => None
+                  }
+                  (decode(st.genericGetMin), decode(st.genericGetMax)) match {
+                    case (Some(mn), Some(mx)) =>
+                      mins(f.name) = mins.get(f.name)
+                        .filter(cur => ord(f.dataType, cur, mn) <= 0).getOrElse(mn)
+                      maxs(f.name) = maxs.get(f.name)
+                        .filter(cur => ord(f.dataType, cur, mx) >= 0).getOrElse(mx)
+                    case _ => dropped += f.name; ()
+                  }
+                }
+              }
+            case None => dropped += f.name; ()
+          }
+        }
+      }
+      dropped.foreach { n => mins.remove(n); maxs.remove(n); nulls.remove(n) }
+      if (nulls.isEmpty && mins.isEmpty) return (rows, None)
+      def jval(dt: DataType, v: Any): JValue = v match {
+        case x: Int => JInt(BigInt(x))
+        case x: Long => JInt(BigInt(x))
+        case x: Short => JInt(BigInt(x.toInt))
+        case x: Byte => JInt(BigInt(x.toInt))
+        case x: Float => JDouble(x.toDouble)
+        case x: Double => JDouble(x)
+        case x: Boolean => JBool(x)
+        case x: String => JString(x)
+        case _ => JNothing
+      }
+      def boundObj(m: scala.collection.Map[String, Any]): JObject =
+        JObject(m.toList.sortBy(_._1).map { case (k, v) =>
+          k -> jval(schema.fields.find(_.name == k).get.dataType, v)
+        })
+      val json = JsonMethods.compact(JObject(
+        "numRecords" -> JInt(BigInt(rows)),
+        "minValues" -> boundObj(mins),
+        "maxValues" -> boundObj(maxs),
+        "nullCount" -> JObject(nulls.toList.sortBy(_._1).map { case (k, v) =>
+          k -> (JInt(BigInt(v)): JValue) })))
+      (rows, Some(json))
+    } finally r.close()
   }
 
   /** `p1=v1/p2=v2/part-....parquet` -> Map(p1 -> v1, p2 -> v2), with
@@ -159,7 +253,8 @@ object LakeNativeWrite {
     val (physical, physParts) = toPhysical(align(data, snap.schema), snap)
     val now = System.currentTimeMillis()
     val staged = writeDataFiles(physical, dir, physParts, "")
-    val adds = staged.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues))
+    val adds = staged.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues,
+      stats = f.statsJson))
     val removes =
       if (!overwrite) Nil
       else snap.fileIds.map(p => LakeWrite.deltaRemove(p, now))
@@ -268,7 +363,8 @@ object LakeNativeWrite {
     val newAdds = appendRows.toSeq.flatMap { rows =>
       val (physical, physParts) = toPhysical(align(rows, snap.schema), snap)
       writeDataFiles(physical, dir, physParts, "")
-        .map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues))
+        .map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues,
+          stats = f.statsJson))
     }
     commitDelta(conf, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now),
@@ -331,7 +427,8 @@ object LakeNativeWrite {
     val now = System.currentTimeMillis()
     val staged = writeDataFiles(physical, dir, physParts, "")
     val adds = staged.map(f =>
-      LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues, dataChange))
+      LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues, dataChange,
+        stats = f.statsJson))
     val removes = removedIds.map(p =>
       if (dataChange) LakeWrite.deltaRemove(p, now)
       else LakeWrite.deltaRemoveNoDataChange(p, now))

@@ -58,13 +58,15 @@ object LakeWrite {
       "createdTime" -> JInt(0))))
 
   def deltaAdd(relPath: String, size: Long, modificationTime: Long,
-      partitionValues: Map[String, String], dataChange: Boolean = true): String =
-    JsonMethods.compact(JObject("add" -> JObject(
-      "path" -> JString(relPath),
-      "partitionValues" -> JObject(partitionValues.toList.map { case (k, v) => k -> (JString(v): JValue) }),
-      "size" -> JInt(size),
-      "modificationTime" -> JInt(modificationTime),
-      "dataChange" -> JBool(dataChange))))
+      partitionValues: Map[String, String], dataChange: Boolean = true,
+      stats: Option[String] = None): String =
+    JsonMethods.compact(JObject("add" -> JObject(List(
+      "path" -> (JString(relPath): JValue),
+      "partitionValues" -> (JObject(partitionValues.toList.map { case (k, v) => k -> (JString(v): JValue) }): JValue),
+      "size" -> (JInt(size): JValue),
+      "modificationTime" -> (JInt(modificationTime): JValue),
+      "dataChange" -> (JBool(dataChange): JValue)) ++
+      stats.map(st => "stats" -> (JString(st): JValue)).toList)))
 
   def deltaProtocolWithFeatures(readerFeatures: Seq[String], writerFeatures: Seq[String]): String =
     JsonMethods.compact(JObject("protocol" -> JObject(

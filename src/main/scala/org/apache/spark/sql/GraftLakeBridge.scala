@@ -24,7 +24,15 @@ object GraftLakeBridge {
     * as *external* Row values aligned with the partition schema.
     */
   final case class LakeFile(path: String, size: Long, modificationTime: Long,
-      partitionValues: Seq[Any])
+      partitionValues: Seq[Any], stats: Option[FileStats] = None)
+
+  /** Per-file column statistics for data skipping (Delta `add.stats`):
+    * external-typed min/max keyed by the PHYSICAL column name (the name
+    * the scan's data filters carry), null counts, and the record count.
+    * Absent entries mean "unknown" — skipping is always conservative.
+    */
+  final case class FileStats(numRecords: Option[Long],
+      min: Map[String, Any], max: Map[String, Any], nullCount: Map[String, Long])
 
   /** A driver-held FileIndex over an explicit file list (what Delta's log or
     * Iceberg's manifests resolve to). Partition pruning happens here:
@@ -36,25 +44,23 @@ object GraftLakeBridge {
   final class LakeFileIndex(
       root: Path,
       files: Seq[LakeFile],
-      override val partitionSchema: StructType) extends FileIndex {
+      override val partitionSchema: StructType,
+      dataSchema: StructType = new StructType()) extends FileIndex {
 
     private val converters = partitionSchema.fields.map(f =>
       CatalystTypeConverters.createToCatalystConverter(f.dataType))
 
-    private val groups: Seq[(InternalRow, Array[FileStatus])] =
-      files.groupBy(_.partitionValues).toSeq.map { case (vals, fs) =>
-        val internal = InternalRow.fromSeq(
-          vals.zip(converters).map { case (v, c) => c(v) })
-        internal -> fs.map(f =>
-          new FileStatus(f.size, false, 1, 128L << 20, f.modificationTime, new Path(f.path))).toArray
-      }
+    private val perFile: Seq[(Seq[Any], LakeFile)] = files.map(f => f.partitionValues -> f)
+
+    private def internalOf(vals: Seq[Any]): InternalRow =
+      InternalRow.fromSeq(vals.zip(converters).map { case (v, c) => c(v) })
 
     override def rootPaths: Seq[Path] = Seq(root)
 
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      val selected =
-        if (partitionFilters.isEmpty || partitionSchema.isEmpty) groups
+      val partKept =
+        if (partitionFilters.isEmpty || partitionSchema.isEmpty) perFile
         else {
           val predicate: BasePredicate = Predicate.createInterpreted(
             partitionFilters.reduce(And).transform {
@@ -62,14 +68,109 @@ object GraftLakeBridge {
                 val idx = partitionSchema.fieldIndex(a.name)
                 BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
             })
-          groups.filter { case (values, _) => predicate.eval(values) }
+          perFile.filter { case (values, _) => predicate.eval(internalOf(values)) }
         }
-      selected.map { case (values, statuses) => PartitionDirectory(values, statuses) }
+      // file-level DATA SKIPPING from per-file min/max stats (Delta
+      // add.stats): a file provably empty under the pushed data filters
+      // never produces a task — nor even a footer read
+      val kept =
+        if (dataFilters.isEmpty || dataSchema.isEmpty) partKept
+        else partKept.filter { case (_, f) =>
+          StatsSkipping.mayMatch(dataFilters, f.stats, dataSchema)
+        }
+      kept.groupBy(_._1).toSeq.map { case (vals, fs) =>
+        PartitionDirectory(internalOf(vals), fs.map { case (_, f) =>
+          new FileStatus(f.size, false, 1, 128L << 20, f.modificationTime, new Path(f.path))
+        }.toArray)
+      }
     }
 
     override def inputFiles: Array[String] = files.map(_.path).toArray
     override def refresh(): Unit = ()
     override def sizeInBytes: Long = files.map(_.size).sum
+  }
+
+  /** Conservative per-file predicate pruning over column min/max stats:
+    * keep unless a conjunct is PROVABLY false for every row of the file.
+    * Handles comparisons and IN on top-level attributes of orderable
+    * primitive types, and null checks via null counts; anything else keeps
+    * the file. Nulls never satisfy a comparison, so an absent min/max with
+    * a known all-null column still skips.
+    */
+  object StatsSkipping {
+    import org.apache.spark.sql.catalyst.expressions._
+
+    def mayMatch(filters: Seq[Expression], stats: Option[FileStats],
+        dataSchema: StructType): Boolean = stats match {
+      case None => true
+      case Some(st) => filters.forall(f => conjunctMayMatch(f, st, dataSchema))
+    }
+
+    private def bound(st: FileStats, schema: StructType, name: String):
+        Option[(Any, Any, Ordering[Any])] =
+      for {
+        field <- schema.fields.find(_.name == name)
+        ord <- orderingOf(field.dataType)
+        mn <- st.min.get(name)
+        mx <- st.max.get(name)
+      } yield (toCatalyst(mn, field.dataType), toCatalyst(mx, field.dataType), ord)
+
+    private def orderingOf(dt: DataType): Option[Ordering[Any]] = dt match {
+      case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.FloatType | _: org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.BooleanType =>
+        scala.util.Try(org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]]).toOption
+      case _ => None
+    }
+
+    private def allNull(st: FileStats, name: String): Boolean =
+      (st.numRecords, st.nullCount.get(name)) match {
+        case (Some(n), Some(nc)) => n > 0 && nc == n
+        case _ => false
+      }
+
+    private def conjunctMayMatch(e: Expression, st: FileStats,
+        schema: StructType): Boolean = e match {
+      case And(l, r) => conjunctMayMatch(l, st, schema) && conjunctMayMatch(r, st, schema)
+      case Or(l, r) => conjunctMayMatch(l, st, schema) || conjunctMayMatch(r, st, schema)
+      case EqualTo(a: AttributeReference, Literal(v, _)) => cmpKeep(st, schema, a.name, v, "eq")
+      case EqualTo(Literal(v, _), a: AttributeReference) => cmpKeep(st, schema, a.name, v, "eq")
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => cmpKeep(st, schema, a.name, v, "gt")
+      case GreaterThan(Literal(v, _), a: AttributeReference) => cmpKeep(st, schema, a.name, v, "lt")
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpKeep(st, schema, a.name, v, "ge")
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmpKeep(st, schema, a.name, v, "le")
+      case LessThan(a: AttributeReference, Literal(v, _)) => cmpKeep(st, schema, a.name, v, "lt")
+      case LessThan(Literal(v, _), a: AttributeReference) => cmpKeep(st, schema, a.name, v, "gt")
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpKeep(st, schema, a.name, v, "le")
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmpKeep(st, schema, a.name, v, "ge")
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists { case Literal(v, _) => cmpKeep(st, schema, a.name, v, "eq") }
+      case IsNull(a: AttributeReference) =>
+        st.nullCount.get(a.name).forall(_ > 0)
+      case IsNotNull(a: AttributeReference) => !allNull(st, a.name)
+      case _ => true
+    }
+
+    /** Can any value in [min, max] satisfy `<attr> <op> lit`? A comparison
+      * against null is never true, so an all-null column always skips.
+      */
+    private def cmpKeep(st: FileStats, schema: StructType, name: String,
+        lit: Any, op: String): Boolean = {
+      if (lit == null) return false
+      if (allNull(st, name)) return false
+      bound(st, schema, name) match {
+        case None => true
+        case Some((mn, mx, ord)) => op match {
+          case "eq" => ord.lteq(mn, lit) && ord.gteq(mx, lit)
+          case "gt" => ord.gt(mx, lit)
+          case "ge" => ord.gteq(mx, lit)
+          case "lt" => ord.lt(mn, lit)
+          case "le" => ord.lteq(mn, lit)
+        }
+      }
+    }
   }
 
   /** Splice a (fileIndex, partitionSchema, dataSchema) triple into a
