@@ -302,8 +302,11 @@ object IcebergLite {
           schema.exists(_.name == c) && prunableType(schema(schema.fieldIndex(c)).dataType)))
         identityCols.map(c => c -> schema(schema.fieldIndex(c)).dataType)
       else Nil
+    val fieldsById: Map[Int, (String, DataType)] = topLevelById.flatMap { case (id, n) =>
+      schema.fields.find(_.name == n).map(f => id -> (n, f.dataType))
+    }
     val filesWithVals = dataManifests.flatMap { case (mp, _, mseq) =>
-      readManifest(conf, dir, resolveUri(dir, mp), idFields, mseq)
+      readManifest(conf, dir, resolveUri(dir, mp), idFields, mseq, fieldsById)
     }
     val pruning = idFields.nonEmpty && filesWithVals.nonEmpty && filesWithVals.forall(_._1._2.isDefined)
     val files =
@@ -390,7 +393,8 @@ object IcebergLite {
     * application.
     */
   private def readManifest(conf: Configuration, tableDir: Path, p: Path,
-      identity: Seq[(String, DataType)], manifestSeq: Long)
+      identity: Seq[(String, DataType)], manifestSeq: Long,
+      fieldsById: Map[Int, (String, DataType)] = Map.empty)
       : Seq[((LakeFile, Option[Seq[Any]]), (String, Long))] =
     readAvroRecords(conf, p).flatMap { entry =>
       val status = entry.get("status").asInstanceOf[Int]
@@ -408,10 +412,53 @@ object IcebergLite {
           s"only PARQUET data files are supported (found $format)")
         val path = resolveUri(tableDir, rawPath).toString
         val size = df.get("file_size_in_bytes").asInstanceOf[Long]
-        Some((LakeFile(path, size, 0L, Nil) -> identityValues(df, identity),
+        Some((LakeFile(path, size, 0L, Nil,
+          stats = entryStats(df, fieldsById)) -> identityValues(df, identity),
           normPath(rawPath) -> entrySeq(entry, manifestSeq)))
       }
     }
+
+  /** Decode lower/upper_bounds + null_value_counts + record_count into
+    * [[org.apache.spark.sql.GraftLakeBridge.FileStats]], keyed by column
+    * name; anything unreadable simply drops (skipping stays conservative).
+    */
+  private def entryStats(df: GenericRecord,
+      fieldsById: Map[Int, (String, DataType)]):
+      Option[org.apache.spark.sql.GraftLakeBridge.FileStats] = try {
+    if (fieldsById.isEmpty) return None
+    def kvMap(fieldName: String): Map[Int, Any] =
+      Option(df.getSchema.getField(fieldName)).map(f => df.get(f.pos())) match {
+        case Some(arr: java.util.Collection[_]) =>
+          arr.toArray.flatMap {
+            case r: GenericRecord => Some(r.get("key").asInstanceOf[Int] -> r.get("value"))
+            case _ => None
+          }.toMap
+        case _ => Map.empty
+      }
+    def boundMap(fieldName: String): Map[String, Any] =
+      kvMap(fieldName).flatMap { case (id, v) =>
+        for {
+          (name, dt) <- fieldsById.get(id)
+          bytes <- v match {
+            case bb: java.nio.ByteBuffer =>
+              val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); Some(b)
+            case b: Array[Byte] => Some(b)
+            case _ => None
+          }
+          value <- LakeWrite.icebergBoundValue(dt, bytes)
+        } yield name -> value
+      }
+    val nulls = kvMap("null_value_counts").flatMap { case (id, v) =>
+      (fieldsById.get(id), v) match {
+        case (Some((name, _)), n: java.lang.Long) => Some(name -> n.longValue())
+        case _ => None
+      }
+    }
+    val n = Option(df.get("record_count")).map(_.asInstanceOf[Long])
+    val lo = boundMap("lower_bounds"); val hi = boundMap("upper_bounds")
+    if (lo.isEmpty && hi.isEmpty && nulls.isEmpty) None
+    else Some(org.apache.spark.sql.GraftLakeBridge.FileStats(n, lo, hi, nulls))
+  } catch { case _: Exception => None }
 
   /** One delete manifest's live delete files: position deletes (content=1)
     * on the Left, equality deletes (content=2) on the Right. Equality
@@ -545,7 +592,7 @@ object IcebergLite {
       snap.partitionColumns.contains(f.name)))
     if (snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty) {
       val partSchema = StructType(identityFields)
-      val index = new LakeFileIndex(snap.tableDir, snap.files, partSchema)
+      val index = new LakeFileIndex(snap.tableDir, snap.files, partSchema, dataSchema)
       val df = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
       if (snap.partitionColumns.isEmpty) df
       else df.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)

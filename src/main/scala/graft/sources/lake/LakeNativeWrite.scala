@@ -671,6 +671,26 @@ object LakeNativeWrite {
     files.size.toLong
   }
 
+  /** Spark-side footer stats (the Delta-shaped JSON staged files carry) to
+    * Iceberg manifest bound maps keyed by field id (= schema index + 1,
+    * the ids [[LakeWrite.icebergSchemaJson]] assigns).
+    */
+  private def entryBounds(statsJson: Option[String], schema: StructType):
+      (Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) =
+    statsJson.flatMap(DeltaLite.parseStats(_, schema)) match {
+      case None => (Map.empty, Map.empty, Map.empty)
+      case Some(st) =>
+        def conv(m: Map[String, Any]): Map[Int, Array[Byte]] = m.flatMap { case (n, v) =>
+          val i = schema.fieldNames.indexOf(n)
+          if (i < 0) None else LakeWrite.icebergBoundBytes(v).map(b => (i + 1) -> b)
+        }
+        (conv(st.min), conv(st.max),
+          st.nullCount.flatMap { case (n, c) =>
+            val i = schema.fieldNames.indexOf(n)
+            if (i < 0) None else Some((i + 1) -> c)
+          })
+    }
+
   private def specFieldsFor(schema: StructType, partitionCols: Seq[String]): Seq[JObject] =
     partitionCols.zipWithIndex.map { case (c, i) =>
       JObject("name" -> JString(c), "transform" -> JString("identity"),
@@ -827,9 +847,11 @@ object LakeNativeWrite {
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
     val entries = staged.map { f =>
+      val (lo, hi, nc) = entryBounds(f.statsJson, m.schema)
       LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
-        sequenceNumber = Some(newSeq))
+        sequenceNumber = Some(newSeq),
+        lowerBounds = lo, upperBounds = hi, nullCounts = nc)
     }
     commitIceberg(conf, dir, m, entries, existingManifests, newSnapId, newSeq, now, entrySchema,
       operation = if (overwrite) "overwrite" else "append",
@@ -880,9 +902,11 @@ object LakeNativeWrite {
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
     val dataEntries = staged.map { f =>
+      val (lo, hi, nc) = entryBounds(f.statsJson, m.schema)
       LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
-        sequenceNumber = Some(newSeq))
+        sequenceNumber = Some(newSeq),
+        lowerBounds = lo, upperBounds = hi, nullCounts = nc)
     }
     commitIceberg(conf, dir, m, dataEntries,
       existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq),
@@ -935,9 +959,11 @@ object LakeNativeWrite {
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
     val dataEntries = staged.map { f =>
+      val (lo, hi, nc) = entryBounds(f.statsJson, m.schema)
       LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
-        sequenceNumber = Some(newSeq))
+        sequenceNumber = Some(newSeq),
+        lowerBounds = lo, upperBounds = hi, nullCounts = nc)
     }
     commitIceberg(conf, dir, m, dataEntries,
       existing ++ deleteManifests,
@@ -1098,9 +1124,13 @@ object LakeNativeWrite {
         newSnapId, partition = e.partition, sequenceNumber = Some(e.seq))) ++
       removed.map(e => LakeWrite.ManifestEntry(2, e.filePath, e.recordCount, e.size,
         newSnapId, partition = e.partition, sequenceNumber = Some(e.seq))) ++
-      staged.map(f => LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
-        partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
-        sequenceNumber = Some(newSeq)))
+      staged.map { f =>
+        val (lo, hi, nc) = entryBounds(f.statsJson, m.schema)
+        LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
+          partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
+          sequenceNumber = Some(newSeq),
+          lowerBounds = lo, upperBounds = hi, nullCounts = nc)
+      }
     commitIceberg(conf, dir, m, entries, deleteManifests, newSnapId, newSeq, newSnapId,
       entrySchema, operation = operation)
   }

@@ -162,6 +162,9 @@ object LakeWrite {
       |  {"name":"partition","field-id":102,"type":__PART__},
       |  {"name":"record_count","type":"long","field-id":103},
       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+      |  {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
       |]}}]}""".stripMargin.replaceAll("\n", "")
 
@@ -198,7 +201,49 @@ object LakeWrite {
   final case class ManifestEntry(status: Int, filePath: String, recordCount: Long,
       fileSizeInBytes: Long, snapshotId: Long, partition: Map[String, Any] = Map.empty,
       content: Int = 0, sequenceNumber: Option[Long] = None,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      /** per-field-id single-value-serialized bounds + null counts (spec
+        * lower_bounds 125 / upper_bounds 128 / null_value_counts 110)
+        */
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
+
+  /** The spec's single-value serialization for bound values: fixed-width
+    * little-endian numerics, UTF-8 strings, one-byte booleans.
+    */
+  def icebergBoundBytes(v: Any): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    v match {
+      case x: Int => Some(le(4).putInt(x).array())
+      case x: Long => Some(le(8).putLong(x).array())
+      case x: Float => Some(le(4).putFloat(x).array())
+      case x: Double => Some(le(8).putDouble(x).array())
+      case x: Boolean => Some(Array[Byte](if (x) 1 else 0))
+      case x: String => Some(x.getBytes("UTF-8"))
+      case _ => None
+    }
+  }
+
+  /** Inverse of [[icebergBoundBytes]] for the types the skipping evaluator
+    * orders.
+    */
+  def icebergBoundValue(dt: org.apache.spark.sql.types.DataType,
+      bytes: Array[Byte]): Option[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.types._
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType if bytes.length == 4 => Some(le.getInt)
+      case LongType if bytes.length == 8 => Some(le.getLong)
+      case FloatType if bytes.length == 4 => Some(le.getFloat)
+      case DoubleType if bytes.length == 8 => Some(le.getDouble)
+      case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
+      case StringType => Some(new String(bytes, "UTF-8"))
+      case _ => None
+    }
+  }
 
   def icebergWriteManifest(file: java.io.File, entries: Seq[ManifestEntry],
       entrySchema: Schema = ManifestEntrySchema): Long = {
@@ -220,6 +265,25 @@ object LakeWrite {
         e.equalityIds.foreach(id => arr.add(Int.box(id)))
         df.put("equality_ids", arr)
       }
+      def putKvMap(fieldName: String, m: Map[Int, Any]): Unit = if (m.nonEmpty) {
+        val f = entrySchema.getField("data_file").schema().getField(fieldName)
+        val arrSchema = f.schema().getTypes.get(1)
+        val itemSchema = arrSchema.getElementType
+        val arr = new GenericData.Array[GenericData.Record](m.size, arrSchema)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val kv = new GenericData.Record(itemSchema)
+          kv.put("key", k)
+          kv.put("value", v match {
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case x => x
+          })
+          arr.add(kv)
+        }
+        df.put(fieldName, arr)
+      }
+      putKvMap("lower_bounds", e.lowerBounds)
+      putKvMap("upper_bounds", e.upperBounds)
+      putKvMap("null_value_counts", e.nullCounts.map { case (k, v) => k -> Long.box(v) })
       val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", e.snapshotId)

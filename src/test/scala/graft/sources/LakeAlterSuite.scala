@@ -463,6 +463,42 @@ class LakeAlterSuite extends SparkTestBase {
       .head().getLong(0) == 3L)
   }
 
+  test("iceberg data skipping: manifest bounds prune files before any footer opens") {
+    val base = tmpDir("ice-skip")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE iskp OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.iceskip")
+    val fqn = "graft.datasource.iceskip.iskp.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, tag STRING)")
+    (0 until 4).foreach { k =>
+      spark.sql(s"INSERT INTO $fqn SELECT CAST(id + ${k * 25} AS INT), " +
+        s"concat('t', CAST(id + ${k * 25} AS STRING)) FROM range(25) ORDER BY id")
+    }
+    val dir = new Path(base.getPath, "t")
+    val snap = IcebergLite.snapshot(spark, dir)
+    assert(snap.files.forall(_.stats.nonEmpty), "every manifest entry must carry bounds")
+    val totalFiles = snap.files.size
+    assert(totalFiles >= 4)
+    def scannedFiles(where: String): (Long, Long) = {
+      val df = IcebergLite.read(spark, dir).where(where)
+      val n = df.collect().length.toLong
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = plan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in plan"))
+      (scan.metrics("numFiles").value, n)
+    }
+    val (nf1, rows1) = scannedFiles("id = 57")
+    assert(rows1 == 1L && nf1 == 1L, s"expected 1 file, scanned $nf1 of $totalFiles")
+    val (nf2, rows2) = scannedFiles("tag = 't99'")
+    assert(rows2 == 1L && nf2 == 1L)
+    // correctness at inclusive boundaries through SQL
+    assert(spark.sql(s"SELECT count(*) FROM $fqn WHERE id >= 0 AND id <= 99")
+      .head().getLong(0) == 100L)
+  }
+
   test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
