@@ -499,6 +499,43 @@ class LakeAlterSuite extends SparkTestBase {
       .head().getLong(0) == 100L)
   }
 
+  test("OPTIMIZE ZORDER composes with data skipping: clustered rewrites get tight 2-D bounds") {
+    val base = tmpDir("zskip")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE zsk OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.zskip")
+    val fqn = "graft.datasource.zskip.zsk.t"
+    spark.sql(s"CREATE TABLE $fqn (x INT, y INT, payload STRING)")
+    // shuffled insert: x/y interleave badly, so pre-OPTIMIZE bounds are wide
+    spark.sql(s"INSERT INTO $fqn SELECT CAST(id % 64 AS INT), CAST(id DIV 64 AS INT), " +
+      s"CAST(id AS STRING) FROM range(4096) DISTRIBUTE BY CAST(rand(7) * 16 AS INT)")
+    val dir = new Path(base.getPath, "t")
+    def scanned(where: String): Long = {
+      val df = DeltaLite.read(spark, dir).where(where)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get.metrics("numFiles").value
+    }
+    val pred = "x >= 10 AND x <= 13 AND y >= 10 AND y <= 13"
+    val beforeFiles = DeltaLite.snapshot(spark, dir).files.size
+    val beforeScan = scanned(pred)
+    graft.Graft.sql(spark, s"OPTIMIZE LAKE TABLE $fqn TARGET 16 FILES ZORDER BY (x, y)")
+    val afterFiles = DeltaLite.snapshot(spark, dir).files.size
+    val afterScan = scanned(pred)
+    assert(afterFiles >= 8, s"zorder should spread across files, got $afterFiles")
+    // the whole point: curve clustering turns stats into file skips
+    assert(afterScan < afterFiles, s"scanned $afterScan of $afterFiles post-zorder")
+    assert(afterScan.toDouble / afterFiles < beforeScan.toDouble / beforeFiles,
+      s"zorder must IMPROVE the scanned fraction " +
+        s"($beforeScan/$beforeFiles -> $afterScan/$afterFiles)")
+    // and the answer is unchanged
+    assert(spark.sql(s"SELECT count(*) FROM $fqn WHERE $pred").head().getLong(0) == 16L)
+  }
+
   test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
