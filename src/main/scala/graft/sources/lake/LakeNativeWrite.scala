@@ -351,8 +351,10 @@ object LakeNativeWrite {
     val now = System.currentTimeMillis()
     val adds = descs.map { case (fid, dvRef, offset, size, card) =>
       val f = byId(fid)
+      // the file's bounds are unchanged by masking rows — keep them so data
+      // skipping survives a deletion-vector delete
       LakeWrite.deltaAddDv(fid, f.size, now, rawParts(f), "u", dvRef,
-        Some(offset), size, card)
+        Some(offset), size, card, stats = snap.statsJson.get(fid))
     }
     // reader feature gate: DV tables need protocol 3/7 with the feature
     // listed; re-stating it is idempotent. A column-mapping table keeps its
@@ -605,7 +607,8 @@ object LakeNativeWrite {
   /** Walk `dir` for data parquet files (skipping any transaction-metadata
     * dirs), returning (relPath, size, rowCount, hive partition values).
     */
-  private def discoverParquet(conf: Configuration, dir: Path): Seq[StagedFile] = {
+  private def discoverParquet(conf: Configuration, dir: Path,
+      statsSchema: StructType = new StructType()): Seq[StagedFile] = {
     val fs = dir.getFileSystem(conf)
     val qBase = fs.makeQualified(dir).toString
     val out = Seq.newBuilder[StagedFile]
@@ -616,8 +619,8 @@ object LakeNativeWrite {
           walk(st.getPath)
       } else if (n.endsWith(".parquet") && !n.startsWith(".")) {
         val rel = fs.makeQualified(st.getPath).toString.stripPrefix(qBase).stripPrefix("/")
-        out += StagedFile(rel, st.getLen, parquetRowCount(conf, st.getPath),
-          partitionDirValues(rel))
+        val (rows, stats) = parquetFooterInfo(conf, st.getPath, statsSchema)
+        out += StagedFile(rel, st.getLen, rows, partitionDirValues(rel), stats)
       }
     }
     walk(dir)
@@ -633,15 +636,16 @@ object LakeNativeWrite {
     val conf = spark.sparkContext.hadoopConfiguration
     require(!DeltaLite.isDeltaTable(conf, dir), s"$dir is already a Delta table")
     require(!IcebergLite.isIcebergTable(conf, dir), s"$dir is already an Iceberg table")
-    val files = discoverParquet(conf, dir)
-    require(files.nonEmpty, s"no parquet files under $dir")
     val df = spark.read.parquet(dir.toString) // schema incl. hive partition cols
+    val files = discoverParquet(conf, dir, df.schema)
+    require(files.nonEmpty, s"no parquet files under $dir")
     val partCols = files.head.partitionValues.keys.toSeq.sorted
     val now = System.currentTimeMillis()
     commitDelta(conf, dir, 0L,
       Seq(LakeWrite.deltaCommitInfo(now), LakeWrite.deltaProtocol(),
         LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, df.schema, partCols)) ++
-        files.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues)))
+        files.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues,
+          stats = f.statsJson)))
     files.size.toLong
   }
 

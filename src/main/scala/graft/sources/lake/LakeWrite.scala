@@ -77,20 +77,22 @@ object LakeWrite {
   /** An add action carrying a deletionVector descriptor (v3 reader tables). */
   def deltaAddDv(relPath: String, size: Long, modificationTime: Long,
       partitionValues: Map[String, String], storageType: String, pathOrInlineDv: String,
-      offset: Option[Long], sizeInBytes: Int, cardinality: Long): String = {
+      offset: Option[Long], sizeInBytes: Int, cardinality: Long,
+      stats: Option[String] = None): String = {
     val dv = JObject(List(
       "storageType" -> (JString(storageType): JValue),
       "pathOrInlineDv" -> (JString(pathOrInlineDv): JValue)) ++
       offset.map(o => "offset" -> (JInt(o): JValue)).toList ++ List(
       "sizeInBytes" -> (JInt(sizeInBytes): JValue),
       "cardinality" -> (JInt(BigInt(cardinality)): JValue)))
-    JsonMethods.compact(JObject("add" -> JObject(
-      "path" -> JString(relPath),
-      "partitionValues" -> JObject(partitionValues.toList.map { case (k, v) => k -> (JString(v): JValue) }),
-      "size" -> JInt(size),
-      "modificationTime" -> JInt(modificationTime),
-      "dataChange" -> JBool(true),
-      "deletionVector" -> dv)))
+    JsonMethods.compact(JObject("add" -> JObject(List(
+      "path" -> (JString(relPath): JValue),
+      "partitionValues" -> (JObject(partitionValues.toList.map { case (k, v) => k -> (JString(v): JValue) }): JValue),
+      "size" -> (JInt(size): JValue),
+      "modificationTime" -> (JInt(modificationTime): JValue),
+      "dataChange" -> (JBool(true): JValue),
+      "deletionVector" -> (dv: JValue)) ++
+      stats.map(st => "stats" -> (JString(st): JValue)).toList)))
   }
 
   def deltaRemove(relPath: String, deletionTimestamp: Long): String =
