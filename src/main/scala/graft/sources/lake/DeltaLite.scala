@@ -29,9 +29,11 @@ import java.net.URI
   * `_metadata.row_index`); column mapping (both `name` and `id` modes)
   * reads each field under its physical name — parquet data columns AND
   * add-action partitionValues keys — and restores logical names with one
-  * cast+alias projection (see [[restoreLogical]]). Tables using v2
-  * checkpoints are rejected with a clear error rather than silently
-  * misread. Time travel by version and by timestamp (commitInfo
+  * cast+alias projection (see [[restoreLogical]]). Checkpoints replay in
+  * BOTH layouts — classic single/multi-part and v2 (UUID-named main file
+  * + `_sidecars/` parquet) — and a completeness guard rejects a cleaned
+  * log no readable checkpoint covers instead of replaying a silent
+  * subset. Time travel by version and by timestamp (commitInfo
   * timestamp, falling back to commit file mtime).
   *
   * Scale: the driver holds (path, size, partitionValues) per live file —
@@ -102,9 +104,11 @@ object DeltaLite {
   private val CommitRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  private val V2CheckpointRe = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.parquet""".r
 
   private case class LogFiles(commits: Seq[(Long, FileStatus)],
-      checkpoints: Map[Long, Seq[FileStatus]])
+      checkpoints: Map[Long, Seq[FileStatus]],
+      v2Checkpoints: Map[Long, FileStatus] = Map.empty)
 
   private def listLog(conf: Configuration, dir: Path): LogFiles = {
     val log = new Path(dir, "_delta_log")
@@ -131,6 +135,12 @@ object DeltaLite {
         case _ => None
       }
     }
+    val v2Checkpoints = entries.flatMap { s =>
+      s.getPath.getName match {
+        case V2CheckpointRe(v) => Some(v.toLong -> s)
+        case _ => None
+      }
+    }.toMap
     val checkpoints = cpEntries.groupBy(_._1).flatMap { case (v, es) =>
       val singles = es.filter(_._2.isEmpty).map(_._3)
       if (singles.nonEmpty) Some(v -> singles)
@@ -144,7 +154,7 @@ object DeltaLite {
         }
       }
     }.toMap
-    LogFiles(commits, checkpoints)
+    LogFiles(commits, checkpoints, v2Checkpoints)
   }
 
   // ---- snapshot construction ----
@@ -153,9 +163,10 @@ object DeltaLite {
       version: Option[Long] = None, timestampMs: Option[Long] = None): Snapshot = {
     val conf = spark.sparkContext.hadoopConfiguration
     val log = listLog(conf, dir)
-    require(log.commits.nonEmpty || log.checkpoints.nonEmpty, s"empty Delta log under $dir")
+    require(log.commits.nonEmpty || log.checkpoints.nonEmpty || log.v2Checkpoints.nonEmpty,
+      s"empty Delta log under $dir")
 
-    val latest = (log.commits.map(_._1) ++ log.checkpoints.keys).max
+    val latest = (log.commits.map(_._1) ++ log.checkpoints.keys ++ log.v2Checkpoints.keys).max
     val target = version match {
       case Some(v) =>
         require(v >= 0 && v <= latest, s"version $v not in Delta log [0, $latest]")
@@ -171,10 +182,20 @@ object DeltaLite {
       }
     }
 
-    val cpVersion = log.checkpoints.keys.filter(_ <= target) match {
-      case vs if vs.nonEmpty => Some(vs.max)
-      case _ => None
-    }
+    val classicCp = log.checkpoints.keys.filter(_ <= target).maxOption
+    val v2Cp = log.v2Checkpoints.keys.filter(_ <= target).maxOption
+    // prefer whichever checkpoint is newer; a v2 (UUID-named) checkpoint is
+    // readable too — its sidecar files carry the file actions
+    val useV2 = v2Cp.exists(v => classicCp.forall(_ < v))
+    val cpVersion = if (useV2) v2Cp else classicCp
+    // replay-completeness guard: without it, a log whose early JSON was
+    // cleaned would silently replay a SUBSET of the table
+    val tailFrom = cpVersion.getOrElse(-1L)
+    val tail = log.commits.map(_._1).filter(v => v > tailFrom && v <= target)
+    require(tail == (tailFrom + 1 to target),
+      s"Delta log under $dir is incomplete for version $target: commits " +
+        s"${(tailFrom + 1 to target).diff(tail).mkString(",")} are missing and no " +
+        "readable checkpoint covers them")
 
     var schemaString: Option[String] = None
     var partitionCols: Seq[String] = Nil
@@ -228,10 +249,23 @@ object DeltaLite {
       adds.remove(path); rawParts.remove(path); dvByPath.remove(path): Unit
     }
 
-    // 1. checkpoint base
+    // 1. checkpoint base (classic parts, or a v2 main file + its sidecars)
     cpVersion.foreach { cv =>
-      val parts = log.checkpoints(cv).map(_.getPath.toString)
-      val cp = spark.read.parquet(parts: _*)
+      val parts =
+        if (!useV2) log.checkpoints(cv).map(_.getPath.toString)
+        else {
+          val main = log.v2Checkpoints(cv).getPath
+          val mainDf = spark.read.parquet(main.toString)
+          val sidecars =
+            if (!mainDf.columns.contains("sidecar")) Nil
+            else mainDf.select("sidecar.path")
+              .where(org.apache.spark.sql.functions.col("path").isNotNull)
+              .collect().map(_.getString(0)).toSeq
+              .map(p => new Path(new Path(new Path(dir, "_delta_log"), "_sidecars"), p).toString)
+          main.toString +: sidecars
+        }
+      // v2 sidecars and the main file have DIFFERENT column sets; merge
+      val cp = spark.read.option("mergeSchema", "true").parquet(parts: _*)
       val cols = cp.columns.toSet
       val rows = cp.select(
         (if (cols("add")) Seq(org.apache.spark.sql.functions.col("add")) else Nil) ++
@@ -610,8 +644,9 @@ object DeltaLite {
   /** Latest committed version (max of commit + checkpoint versions). */
   def latestVersion(spark: SparkSession, dir: Path): Long = {
     val log = listLog(spark.sparkContext.hadoopConfiguration, dir)
-    require(log.commits.nonEmpty || log.checkpoints.nonEmpty, s"empty Delta log under $dir")
-    (log.commits.map(_._1) ++ log.checkpoints.keys).max
+    require(log.commits.nonEmpty || log.checkpoints.nonEmpty || log.v2Checkpoints.nonEmpty,
+      s"empty Delta log under $dir")
+    (log.commits.map(_._1) ++ log.checkpoints.keys ++ log.v2Checkpoints.keys).max
   }
 
   /** Write a classic single-part checkpoint at the CURRENT version — the
@@ -950,8 +985,9 @@ object DeltaLite {
     import org.apache.spark.sql.functions._
     val conf = spark.sparkContext.hadoopConfiguration
     val log = listLog(conf, dir)
-    require(log.commits.nonEmpty || log.checkpoints.nonEmpty, s"empty Delta log under $dir")
-    val latest = (log.commits.map(_._1) ++ log.checkpoints.keys).max
+    require(log.commits.nonEmpty || log.checkpoints.nonEmpty || log.v2Checkpoints.nonEmpty,
+      s"empty Delta log under $dir")
+    val latest = (log.commits.map(_._1) ++ log.checkpoints.keys ++ log.v2Checkpoints.keys).max
     val to = toVersion.getOrElse(latest)
     require(fromVersion >= 0 && fromVersion <= to && to <= latest,
       s"CDF range [$fromVersion, ${toVersion.map(_.toString).getOrElse("latest")}] " +

@@ -96,6 +96,71 @@ class LakeFuzzSuite extends SparkTestBase {
     assert(IcebergLite.read(spark, dir).count() == 4L)
   }
 
+  test("a cleaned log without a covering checkpoint is rejected, never a silent subset") {
+    val (_, dir) = mkDelta("fz4")
+    spark.sql(s"INSERT INTO graft.datasource.fz4.fz4.t VALUES (100, 100)")
+    val log = new java.io.File(dir.toString, "_delta_log")
+    // delete version 0 (protocol+metaData+create): replay base is gone
+    val v0 = log.listFiles().filter(_.getName.endsWith(".json")).minBy(_.getName)
+    assert(v0.delete())
+    val ex = intercept[IllegalArgumentException] {
+      DeltaLite.read(spark, dir).count()
+    }
+    assert(ex.getMessage.contains("incomplete"))
+  }
+
+  test("v2 (UUID-named) checkpoints read through their sidecars") {
+    val (fqn, dir) = mkDelta("fz5")
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 100)") // v2
+    val expected = DeltaLite.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val snap = DeltaLite.snapshot(spark, dir)
+    // hand-build a v2 checkpoint at the current version: the main file
+    // holds protocol/metaData/sidecar rows, the sidecar parquet holds adds
+    val logDir = new java.io.File(dir.toString, "_delta_log")
+    val sidecarDir = new java.io.File(logDir, "_sidecars")
+    sidecarDir.mkdirs()
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types.StructType
+    val addSchema = StructType.fromDDL(
+      """add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, size: BIGINT,
+        |  modificationTime: BIGINT, dataChange: BOOLEAN>""".stripMargin)
+    val addRows = snap.fileIds.zip(snap.files).map { case (id, f) =>
+      R(R(id, Map.empty[String, String], f.size, f.modificationTime, true))
+    }
+    val sidecarName = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee.parquet"
+    LakeWrite.writeOneParquetFile(
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(addRows: _*)),
+        addSchema).coalesce(1),
+      new Path(sidecarDir.getPath, sidecarName))
+    val mainSchema = StructType.fromDDL(
+      """metaData STRUCT<id: STRING, schemaString: STRING,
+        |  partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>>,
+        |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>,
+        |sidecar STRUCT<path: STRING, sizeInBytes: BIGINT>""".stripMargin)
+    val mainRows = Seq(
+      R(R(snap.metaId, snap.schema.json, Seq.empty[String], Map.empty[String, String]), null, null),
+      R(null, R(1, 2), null),
+      R(null, null, R(sidecarName, 1L)))
+    val uuid = "12345678-9abc-def0-1234-56789abcdef0"
+    LakeWrite.writeOneParquetFile(
+      spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(mainRows: _*)),
+        mainSchema).coalesce(1),
+      new Path(logDir.getPath, f"${snap.version}%020d.checkpoint.$uuid.parquet"))
+    // clean every JSON at or before the checkpoint: replay must come from
+    // the v2 main + sidecar alone
+    logDir.listFiles().filter { f =>
+      f.getName.endsWith(".json") &&
+        f.getName.stripSuffix(".json").toLong <= snap.version
+    }.foreach(f => assert(f.delete()))
+    val replayed = DeltaLite.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(replayed == expected)
+    // and the table keeps accepting commits on the tail
+    spark.sql(s"INSERT INTO $fqn VALUES (200, 200)")
+    assert(DeltaLite.read(spark, dir).count() == expected.size + 1L)
+  }
+
   test("CDF checkpoint file corruption is rejected, not treated as version 0") {
     val (_, dir) = mkDelta("fz3")
     val base = new java.io.File(dir.toString).getParentFile
