@@ -218,15 +218,35 @@ object LakeNativeWrite {
 
   // ---- Delta ----
 
+  /** The reader/writer features a configuration implies — declared in the
+    * protocol action so EXTERNAL readers gate correctly (our own reader
+    * keys off the configuration, but a spec-conforming table must say so).
+    */
+  private def impliedFeatures(config: Map[String, String]):
+      (Seq[String], Seq[String]) = {
+    def on(k: String) = config.get(k).exists(_.equalsIgnoreCase("true"))
+    val reader = Seq(
+      (config.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id"),
+        "columnMapping"),
+      (on("delta.enableDeletionVectors"), "deletionVectors")
+    ).collect { case (true, f) => f }
+    val writer = reader ++ (if (on("delta.enableChangeDataFeed")) Seq("changeDataFeed") else Nil)
+    (reader, writer)
+  }
+
   def deltaCreate(spark: SparkSession, dir: Path, schema: StructType,
       partitionCols: Seq[String], properties: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     require(!DeltaLite.isDeltaTable(conf, dir), s"Delta table already exists at $dir")
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
+    val (readerF, writerF) = impliedFeatures(properties)
+    val protocol =
+      if (writerF.isEmpty) LakeWrite.deltaProtocol()
+      else LakeWrite.deltaProtocolFeatures(readerF, writerF)
     commitDelta(conf, dir, 0L, Seq(
       LakeWrite.deltaCommitInfo(System.currentTimeMillis()),
-      LakeWrite.deltaProtocol(),
+      protocol,
       LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, schema, partitionCols,
         properties)))
   }
@@ -383,8 +403,16 @@ object LakeNativeWrite {
     val snap = DeltaLite.snapshot(spark, dir)
     val (newSchema, newConfig) = transform(snap)
     val now = System.currentTimeMillis()
-    commitDelta(conf, dir, snap.version + 1, Seq(
-      LakeWrite.deltaCommitInfo(now),
+    // SET TBLPROPERTIES enabling a gated feature must upgrade the protocol
+    // in the same commit (union with what the table already relies on)
+    val (readerNew, writerNew) = impliedFeatures(newConfig)
+    val (readerOld, _) = impliedFeatures(snap.configuration)
+    val protocolUpgrade =
+      if ((readerNew.toSet -- readerOld.toSet).isEmpty &&
+          writerNew.toSet.subsetOf(impliedFeatures(snap.configuration)._2.toSet)) Nil
+      else Seq(LakeWrite.deltaProtocolFeatures(readerNew, writerNew))
+    commitDelta(conf, dir, snap.version + 1,
+      Seq(LakeWrite.deltaCommitInfo(now)) ++ protocolUpgrade ++ Seq(
       LakeWrite.deltaMetaData(
         if (snap.metaId.nonEmpty) snap.metaId else java.util.UUID.randomUUID().toString,
         newSchema, snap.partitionColumns, newConfig)))

@@ -68,6 +68,17 @@ object LakeWrite {
       "dataChange" -> (JBool(dataChange): JValue)) ++
       stats.map(st => "stats" -> (JString(st): JValue)).toList)))
 
+  /** Feature protocol with the version floor the feature sets imply:
+    * writer-only features keep minReaderVersion 1 (the spec's posture —
+    * readers need no gate for them).
+    */
+  def deltaProtocolFeatures(readerFeatures: Seq[String], writerFeatures: Seq[String]): String =
+    if (readerFeatures.isEmpty)
+      JsonMethods.compact(JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(7),
+        "writerFeatures" -> JArray(writerFeatures.map(JString(_)).toList))))
+    else deltaProtocolWithFeatures(readerFeatures, writerFeatures)
+
   def deltaProtocolWithFeatures(readerFeatures: Seq[String], writerFeatures: Seq[String]): String =
     JsonMethods.compact(JObject("protocol" -> JObject(
       "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
