@@ -404,13 +404,22 @@ object LakeNativeWrite {
     val (newSchema, newConfig) = transform(snap)
     val now = System.currentTimeMillis()
     // SET TBLPROPERTIES enabling a gated feature must upgrade the protocol
-    // in the same commit (union with what the table already relies on)
+    // in the same commit — as a UNION with everything the table state
+    // already relies on (live deletion vectors / column mapping), so a
+    // later ALTER can never downgrade a declared feature
     val (readerNew, writerNew) = impliedFeatures(newConfig)
-    val (readerOld, _) = impliedFeatures(snap.configuration)
+    val stateFeatures =
+      (if (snap.dvs.nonEmpty) Seq("deletionVectors") else Nil) ++
+        (if (snap.physSchema.isDefined) Seq("columnMapping") else Nil)
+    val readerAll = (readerNew ++ stateFeatures).distinct
+    val writerAll = (writerNew ++ stateFeatures).distinct
+    val (readerOld, writerOld) = impliedFeatures(snap.configuration)
     val protocolUpgrade =
-      if ((readerNew.toSet -- readerOld.toSet).isEmpty &&
-          writerNew.toSet.subsetOf(impliedFeatures(snap.configuration)._2.toSet)) Nil
-      else Seq(LakeWrite.deltaProtocolFeatures(readerNew, writerNew))
+      if (readerAll.toSet.subsetOf((readerOld ++ stateFeatures).toSet) &&
+          writerAll.toSet.subsetOf((writerOld ++ stateFeatures).toSet) &&
+          (readerAll.toSet -- readerOld.toSet).isEmpty &&
+          (writerAll.toSet -- writerOld.toSet).isEmpty) Nil
+      else Seq(LakeWrite.deltaProtocolFeatures(readerAll, writerAll))
     commitDelta(conf, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now)) ++ protocolUpgrade ++ Seq(
       LakeWrite.deltaMetaData(
