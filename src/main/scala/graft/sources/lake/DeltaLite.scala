@@ -51,6 +51,17 @@ object DeltaLite {
   final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
       offset: Long, sizeInBytes: Int, cardinality: Long)
 
+  /** The table's declared protocol — versions plus the reader/writer
+    * feature lists (empty below the table-features versions). Carried on
+    * [[Snapshot]] so writers can UNION new features with what the log
+    * already declares instead of re-stating (and thereby silently
+    * downgrading) the protocol: the last protocol action wins on replay,
+    * so a wholesale re-statement drops every feature an external writer
+    * declared (timestampNtz, invariants, changeDataFeed, ...).
+    */
+  final case class Protocol(minReader: Int, minWriter: Int,
+      readerFeatures: Seq[String], writerFeatures: Seq[String])
+
   final case class Snapshot(
       version: Long,
       schema: StructType,
@@ -71,7 +82,9 @@ object DeltaLite {
       /** the metaData action's stable table id */
       metaId: String = "",
       /** raw add.stats JSON per fileId (checkpoint fidelity) */
-      statsJson: Map[String, String] = Map.empty) {
+      statsJson: Map[String, String] = Map.empty,
+      /** the last protocol action the log declares (legacy 1/2 default) */
+      protocol: Protocol = Protocol(1, 2, Nil, Nil)) {
     def cdfEnabled: Boolean =
       configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true"))
     def partitionSchema: StructType =
@@ -157,6 +170,37 @@ object DeltaLite {
     LogFiles(commits, checkpoints, v2Checkpoints)
   }
 
+  /** The newest checkpoint at or below `atOrBelow` — classic parts or a v2
+    * (UUID-named) main file plus its sidecars — as (version, parquet
+    * paths). The ONE base-selection used by replay, CHECKPOINT writing and
+    * txn high-water lookups, so every path sees v2 checkpoints the same
+    * way: a reconstruction that ignored v2 bases would reset the protocol
+    * to 1/2 (dropping feature gates external readers rely on) and lose txn
+    * marks (re-applying already-committed streaming batches).
+    */
+  private def checkpointBase(spark: SparkSession, log: LogFiles, dir: Path,
+      atOrBelow: Long): Option[(Long, Seq[String])] = {
+    val classicCp = log.checkpoints.keys.filter(_ <= atOrBelow).maxOption
+    val v2Cp = log.v2Checkpoints.keys.filter(_ <= atOrBelow).maxOption
+    val useV2 = v2Cp.exists(v => classicCp.forall(_ < v))
+    (if (useV2) v2Cp else classicCp).map { cv =>
+      val parts =
+        if (!useV2) log.checkpoints(cv).map(_.getPath.toString)
+        else {
+          val main = log.v2Checkpoints(cv).getPath
+          val mainDf = spark.read.parquet(main.toString)
+          val sidecars =
+            if (!mainDf.columns.contains("sidecar")) Nil
+            else mainDf.select("sidecar.path")
+              .where(org.apache.spark.sql.functions.col("path").isNotNull)
+              .collect().map(_.getString(0)).toSeq
+              .map(p => new Path(new Path(new Path(dir, "_delta_log"), "_sidecars"), p).toString)
+          main.toString +: sidecars
+        }
+      (cv, parts)
+    }
+  }
+
   // ---- snapshot construction ----
 
   def snapshot(spark: SparkSession, dir: Path,
@@ -182,15 +226,12 @@ object DeltaLite {
       }
     }
 
-    val classicCp = log.checkpoints.keys.filter(_ <= target).maxOption
-    val v2Cp = log.v2Checkpoints.keys.filter(_ <= target).maxOption
     // prefer whichever checkpoint is newer; a v2 (UUID-named) checkpoint is
     // readable too — its sidecar files carry the file actions
-    val useV2 = v2Cp.exists(v => classicCp.forall(_ < v))
-    val cpVersion = if (useV2) v2Cp else classicCp
+    val cpBase = checkpointBase(spark, log, dir, target)
     // replay-completeness guard: without it, a log whose early JSON was
     // cleaned would silently replay a SUBSET of the table
-    val tailFrom = cpVersion.getOrElse(-1L)
+    val tailFrom = cpBase.map(_._1).getOrElse(-1L)
     val tail = log.commits.map(_._1).filter(v => v > tailFrom && v <= target)
     require(tail == (tailFrom + 1 to target),
       s"Delta log under $dir is incomplete for version $target: commits " +
@@ -208,8 +249,11 @@ object DeltaLite {
     val rawParts = scala.collection.mutable.HashMap[String, Map[String, Option[String]]]()
     val rawStats = scala.collection.mutable.HashMap[String, String]()
 
-    def applyProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+    var declaredProtocol = Protocol(1, 2, Nil, Nil)
+    def applyProtocol(minReader: Int, minWriter: Int,
+        readerFeatures: Seq[String], writerFeatures: Seq[String]): Unit = {
       protocolChecked = true
+      declaredProtocol = Protocol(minReader, minWriter, readerFeatures, writerFeatures)
       if (minReader >= 3) {
         val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
         require(unsupported.isEmpty,
@@ -250,20 +294,7 @@ object DeltaLite {
     }
 
     // 1. checkpoint base (classic parts, or a v2 main file + its sidecars)
-    cpVersion.foreach { cv =>
-      val parts =
-        if (!useV2) log.checkpoints(cv).map(_.getPath.toString)
-        else {
-          val main = log.v2Checkpoints(cv).getPath
-          val mainDf = spark.read.parquet(main.toString)
-          val sidecars =
-            if (!mainDf.columns.contains("sidecar")) Nil
-            else mainDf.select("sidecar.path")
-              .where(org.apache.spark.sql.functions.col("path").isNotNull)
-              .collect().map(_.getString(0)).toSeq
-              .map(p => new Path(new Path(new Path(dir, "_delta_log"), "_sidecars"), p).toString)
-          main.toString +: sidecars
-        }
+    cpBase.foreach { case (_, parts) =>
       // v2 sidecars and the main file have DIFFERENT column sets; merge
       val cp = spark.read.option("mergeSchema", "true").parquet(parts: _*)
       val cols = cp.columns.toSet
@@ -276,7 +307,9 @@ object DeltaLite {
         val get = (n: String) => if (r.schema.fieldNames.contains(n)) Option(r.getAs[Row](n)) else None
         get("protocol").foreach { p =>
           // a hand-rolled checkpoint (or json-inferred one) may carry int64
-          applyProtocol(p.getAs[Number]("minReaderVersion").intValue(), optSeq(p, "readerFeatures"))
+          applyProtocol(p.getAs[Number]("minReaderVersion").intValue(),
+            opt[Number](p, "minWriterVersion").map(_.intValue()).getOrElse(2),
+            optSeq(p, "readerFeatures"), optSeq(p, "writerFeatures"))
         }
         get("metaData").foreach { m =>
           applyMetaData(m.getAs[String]("schemaString"),
@@ -309,14 +342,16 @@ object DeltaLite {
 
     // 2. JSON commits after the checkpoint
     val fs = new Path(dir, "_delta_log").getFileSystem(conf)
-    log.commits.filter { case (v, _) => v > cpVersion.getOrElse(-1L) && v <= target }
+    log.commits.filter { case (v, _) => v > tailFrom && v <= target }
       .foreach { case (_, st) =>
         readLines(fs, st).foreach { line =>
           val j = JsonMethods.parse(line)
           (j \ "protocol") match {
             case p: JObject =>
               applyProtocol((p \ "minReaderVersion").extract[Int],
-                (p \ "readerFeatures").extractOrElse[Seq[String]](Nil))
+                (p \ "minWriterVersion").extractOrElse[Int](2),
+                (p \ "readerFeatures").extractOrElse[Seq[String]](Nil),
+                (p \ "writerFeatures").extractOrElse[Seq[String]](Nil))
             case _ =>
           }
           (j \ "metaData") match {
@@ -392,7 +427,8 @@ object DeltaLite {
     }
     Snapshot(target, schema, partitionCols, keyed.map(_._2), dir,
       fileIds = keyed.map(_._1), dvs = dvByPath.toMap, physSchema = physSchema,
-      configuration = configuration, metaId = metaId, statsJson = rawStats.toMap)
+      configuration = configuration, metaId = metaId, statsJson = rawStats.toMap,
+      protocol = declaredProtocol)
   }
 
   /** One field renamed to its column-mapping physical name, recursively
@@ -670,41 +706,17 @@ object DeltaLite {
     val log = listLog(conf, dir)
     val fs = new Path(dir, "_delta_log").getFileSystem(conf)
 
-    // last protocol action (JSON tail first; else the prior checkpoint)
-    var minReader = 1; var minWriter = 2
-    var readerFeatures: Seq[String] = Nil; var writerFeatures: Seq[String] = Nil
-    val cpVersion = log.checkpoints.keys.filter(_ <= snap.version).maxOption
-    cpVersion.foreach { cv =>
-      val cp = spark.read.parquet(log.checkpoints(cv).map(_.getPath.toString): _*)
-      if (cp.columns.contains("protocol"))
-        cp.select("protocol").where(org.apache.spark.sql.functions.col("protocol").isNotNull)
-          .collect().foreach { r =>
-            val p = r.getStruct(0)
-            minReader = p.getAs[Number]("minReaderVersion").intValue()
-            minWriter = Option(p.getAs[Number]("minWriterVersion")).map(_.intValue()).getOrElse(minWriter)
-            readerFeatures = opt[scala.collection.Seq[String]](p, "readerFeatures").map(_.toSeq).getOrElse(Nil)
-            writerFeatures = opt[scala.collection.Seq[String]](p, "writerFeatures").map(_.toSeq).getOrElse(Nil)
-          }
-    }
-    log.commits.filter { case (v, _) => v > cpVersion.getOrElse(-1L) && v <= snap.version }
-      .foreach { case (_, st) =>
-        readLines(fs, st).foreach { line =>
-          val j = JsonMethods.parse(line)
-          (j \ "protocol") match {
-            case p: JObject =>
-              minReader = (p \ "minReaderVersion").extract[Int]
-              minWriter = (p \ "minWriterVersion").extractOrElse[Int](minWriter)
-              readerFeatures = (p \ "readerFeatures").extractOrElse[Seq[String]](Nil)
-              writerFeatures = (p \ "writerFeatures").extractOrElse[Seq[String]](Nil)
-            case _ =>
-          }
-        }
-      }
+    // the protocol comes off the snapshot itself — replay tracks the last
+    // protocol action through classic AND v2 checkpoint bases, so a table
+    // whose newest base is a v2 checkpoint with a cleaned JSON tail keeps
+    // its declared feature gates instead of resetting to 1/2
+    val Protocol(minReader, minWriter, readerFeatures, writerFeatures) = snap.protocol
 
-    // txn high-water marks: prior checkpoint column + the whole JSON tail
+    // txn high-water marks: prior checkpoint (classic or v2) + JSON tail
     val txns = scala.collection.mutable.HashMap[String, Long]()
-    cpVersion.foreach { cv =>
-      val cp = spark.read.parquet(log.checkpoints(cv).map(_.getPath.toString): _*)
+    val txnBase = checkpointBase(spark, log, dir, snap.version)
+    txnBase.foreach { case (_, parts) =>
+      val cp = spark.read.option("mergeSchema", "true").parquet(parts: _*)
       if (cp.columns.contains("txn"))
         cp.select("txn.appId", "txn.version")
           .where(org.apache.spark.sql.functions.col("appId").isNotNull)
@@ -713,7 +725,7 @@ object DeltaLite {
             if (txns.getOrElse(a, Long.MinValue) < v) txns(a) = v
           }
     }
-    log.commits.filter { case (v, _) => v > cpVersion.getOrElse(-1L) && v <= snap.version }
+    log.commits.filter { case (v, _) => v > txnBase.map(_._1).getOrElse(-1L) && v <= snap.version }
       .foreach { case (_, st) =>
         readLines(fs, st).foreach { line =>
           val j = JsonMethods.parse(line)
@@ -822,20 +834,22 @@ object DeltaLite {
   def lastTxnVersion(spark: SparkSession, dir: Path, appId: String): Option[Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val log = listLog(conf, dir)
-    if (log.commits.isEmpty && log.checkpoints.isEmpty) return None
+    if (log.commits.isEmpty && log.checkpoints.isEmpty && log.v2Checkpoints.isEmpty)
+      return None
     var best: Option[Long] = None
     def offer(v: Long): Unit = if (best.forall(_ < v)) best = Some(v)
-    val cpVersion = log.checkpoints.keys.maxOption
-    cpVersion.foreach { cv =>
-      val parts = log.checkpoints(cv).map(_.getPath.toString)
-      val cp = spark.read.parquet(parts: _*)
+    // v2-aware base: missing a v2 checkpoint here would forget the txn
+    // high-water mark and re-apply already-committed streaming batches
+    val base = checkpointBase(spark, log, dir, Long.MaxValue)
+    base.foreach { case (_, parts) =>
+      val cp = spark.read.option("mergeSchema", "true").parquet(parts: _*)
       if (cp.columns.contains("txn"))
         cp.select("txn.appId", "txn.version").where(org.apache.spark.sql.functions
             .col("appId") === appId)
           .collect().foreach(r => offer(r.getAs[Number]("version").longValue()))
     }
     val fs = new Path(dir, "_delta_log").getFileSystem(conf)
-    log.commits.filter { case (v, _) => v > cpVersion.getOrElse(-1L) }
+    log.commits.filter { case (v, _) => v > base.map(_._1).getOrElse(-1L) }
       .foreach { case (_, st) =>
         readLines(fs, st).foreach { line =>
           val j = JsonMethods.parse(line)

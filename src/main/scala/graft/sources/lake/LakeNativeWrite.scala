@@ -128,19 +128,30 @@ object LakeNativeWrite {
               else {
                 nulls(f.name) = nulls.getOrElse(f.name, 0L) + st.getNumNulls
                 if (st.hasNonNullValue) {
-                  def decode(v: Any): Option[Any] = (f.dataType, v) match {
+                  // floating-point bounds: -0.0 == 0.0 under SQL `=` but
+                  // not under total orderings, so widen zero bounds
+                  // (min -> -0.0, max -> +0.0) the way Delta's stats writer
+                  // does; a NaN bound proves nothing — drop the column
+                  def decode(v: Any, isMin: Boolean): Option[Any] = (f.dataType, v) match {
                     case (IntegerType, x: java.lang.Integer) => Some(x.intValue())
                     case (ShortType, x: java.lang.Integer) => Some(x.shortValue())
                     case (ByteType, x: java.lang.Integer) => Some(x.byteValue())
+                    case (FloatType, x: java.lang.Float) =>
+                      if (x.isNaN) None
+                      else if (x.floatValue() == 0.0f) Some(if (isMin) -0.0f else 0.0f)
+                      else Some(x.floatValue())
+                    case (DoubleType, x: java.lang.Double) =>
+                      if (x.isNaN) None
+                      else if (x.doubleValue() == 0.0d) Some(if (isMin) -0.0d else 0.0d)
+                      else Some(x.doubleValue())
                     case (LongType, x: java.lang.Long) => Some(x.longValue())
-                    case (FloatType, x: java.lang.Float) => Some(x.floatValue())
-                    case (DoubleType, x: java.lang.Double) => Some(x.doubleValue())
                     case (BooleanType, x: java.lang.Boolean) => Some(x.booleanValue())
                     case (StringType, x: org.apache.parquet.io.api.Binary) =>
                       Some(x.toStringUsingUTF8)
                     case _ => None
                   }
-                  (decode(st.genericGetMin), decode(st.genericGetMax)) match {
+                  (decode(st.genericGetMin, isMin = true),
+                      decode(st.genericGetMax, isMin = false)) match {
                     case (Some(mn), Some(mx)) =>
                       mins(f.name) = mins.get(f.name)
                         .filter(cur => ord(f.dataType, cur, mn) <= 0).getOrElse(mn)
@@ -377,10 +388,16 @@ object LakeNativeWrite {
         Some(offset), size, card, stats = snap.statsJson.get(fid))
     }
     // reader feature gate: DV tables need protocol 3/7 with the feature
-    // listed; re-stating it is idempotent. A column-mapping table keeps its
-    // feature listed too (the two compose).
-    val features = Seq("deletionVectors") ++
+    // listed — as a UNION with everything the log already declares (the
+    // last protocol action wins on replay, so a wholesale re-statement
+    // would drop changeDataFeed on a CDF table, or timestampNtz/invariants
+    // an external writer declared — the never-downgrade invariant
+    // deltaAlter enforces applies here too)
+    val newFeatures = Seq("deletionVectors") ++
       (if (snap.physSchema.isDefined) Seq("columnMapping") else Nil)
+    val readerFeatures = (snap.protocol.readerFeatures ++ newFeatures).distinct
+    val writerFeatures = (snap.protocol.writerFeatures ++ newFeatures ++
+      (if (snap.cdfEnabled) Seq("changeDataFeed") else Nil)).distinct
     val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
     val newAdds = appendRows.toSeq.flatMap { rows =>
       val (physical, physParts) = toPhysical(align(rows, snap.schema), snap)
@@ -390,7 +407,7 @@ object LakeNativeWrite {
     }
     commitDelta(conf, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now),
-        LakeWrite.deltaProtocolWithFeatures(features, features)) ++
+        LakeWrite.deltaProtocolWithFeatures(readerFeatures, writerFeatures)) ++
         cdc ++ adds.toSeq ++ newAdds)
   }
 
@@ -411,14 +428,20 @@ object LakeNativeWrite {
     val stateFeatures =
       (if (snap.dvs.nonEmpty) Seq("deletionVectors") else Nil) ++
         (if (snap.physSchema.isDefined) Seq("columnMapping") else Nil)
-    val readerAll = (readerNew ++ stateFeatures).distinct
-    val writerAll = (writerNew ++ stateFeatures).distinct
+    // union with the DECLARED feature lists too — features an external
+    // writer declared (timestampNtz, invariants, ...) survive our ALTER
+    val readerAll =
+      (snap.protocol.readerFeatures ++ readerNew ++ stateFeatures).distinct
+    val writerAll =
+      (snap.protocol.writerFeatures ++ writerNew ++ stateFeatures).distinct
+    // emit a protocol action only when the ALTER introduces a feature not
+    // already covered (declared in the log, or implied by the pre-ALTER
+    // configuration)
     val (readerOld, writerOld) = impliedFeatures(snap.configuration)
+    val coveredR = snap.protocol.readerFeatures.toSet ++ readerOld ++ stateFeatures
+    val coveredW = snap.protocol.writerFeatures.toSet ++ writerOld ++ stateFeatures
     val protocolUpgrade =
-      if (readerAll.toSet.subsetOf((readerOld ++ stateFeatures).toSet) &&
-          writerAll.toSet.subsetOf((writerOld ++ stateFeatures).toSet) &&
-          (readerAll.toSet -- readerOld.toSet).isEmpty &&
-          (writerAll.toSet -- writerOld.toSet).isEmpty) Nil
+      if (readerAll.forall(coveredR) && writerAll.forall(coveredW)) Nil
       else Seq(LakeWrite.deltaProtocolFeatures(readerAll, writerAll))
     commitDelta(conf, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now)) ++ protocolUpgrade ++ Seq(
@@ -701,7 +724,7 @@ object LakeNativeWrite {
     val partCols = files.head.partitionValues.keys.toSeq.sorted
     icebergCreate(spark, dir, df.schema, partCols)
     val m = loadIceMeta(conf, dir)
-    val snapId = System.currentTimeMillis()
+    val snapId = newSnapshotId(m)
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(df.schema, partCols))
     val entries = files.map { f =>
       LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, snapId,
@@ -737,6 +760,21 @@ object LakeNativeWrite {
       JObject("name" -> JString(c), "transform" -> JString("identity"),
         "source-id" -> JInt(schema.fieldIndex(c) + 1), "field-id" -> JInt(1000 + i))
     }
+
+  /** Spec id delete manifests are written under: a partitioned table's
+    * global delete files use the registered UNPARTITIONED spec (id 1).
+    */
+  private def deleteSpecId(m: IceMeta): Int = if (m.partitionCols.isEmpty) 0 else 1
+
+  /** A fresh snapshot id: wall-clock, bumped past every existing snapshot
+    * id — two commits in the same millisecond (a fast streaming sink's
+    * back-to-back micro-batches) would otherwise collide on the id AND on
+    * the metadata file names derived from it (m-/md-/ml-$id.avro),
+    * overwriting the previous commit's manifests.
+    */
+  private def newSnapshotId(m: IceMeta): Long =
+    math.max(System.currentTimeMillis(),
+      m.priorSnapshots.map(_.id).maxOption.map(_ + 1L).getOrElse(Long.MinValue))
 
   /** Everything a commit needs from the current table metadata. */
   private final case class IceMeta(metaVersion: Long, schema: StructType,
@@ -841,7 +879,7 @@ object LakeNativeWrite {
       newSnapId: Long, newSeq: Long, now: Long,
       entrySchema: org.apache.avro.Schema, operation: String = "append",
       extraSummary: Map[String, String] = Map.empty,
-      newManifestContent: Int = 0): Unit = {
+      newManifestContent: Int = 0, newManifestSpecId: Int = 0): Unit = {
     val fs = dir.getFileSystem(conf)
     def toMeta(local: java.io.File, name: String): Long = {
       val target = new Path(new Path(dir, "metadata"), name)
@@ -855,7 +893,7 @@ object LakeNativeWrite {
     val tmpL = java.io.File.createTempFile("graft-mlist", ".avro")
     LakeWrite.icebergWriteManifestListEntries(tmpL,
       otherManifests :+ LakeWrite.ManifestFile(s"metadata/m-$newSnapId.avro", mLen,
-        newManifestContent, newSeq),
+        newManifestContent, newSeq, specId = newManifestSpecId),
       newSnapId)
     toMeta(tmpL, s"ml-$newSnapId.avro")
     val newSnapshots = m.priorSnapshots :+
@@ -875,7 +913,7 @@ object LakeNativeWrite {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = loadIceMeta(conf, dir)
     val newSeq = m.lastSeq + 1
-    val newSnapId = System.currentTimeMillis() // unique enough for a fixture-grade writer
+    val newSnapId = newSnapshotId(m)
     val now = newSnapId
     val existingManifests: Seq[LakeWrite.ManifestFile] =
       if (overwrite || m.currentId < 0) Nil
@@ -920,7 +958,7 @@ object LakeNativeWrite {
       .map(s => IcebergLite.resolveUri(dir, s.manifestListPath))
     val existing = listPath.map(readManifestFiles(conf, dir, _)).getOrElse(Nil)
     val newSeq = m.lastSeq + 1
-    val newSnapId = System.currentTimeMillis()
+    val newSnapId = newSnapshotId(m)
     val fs = dir.getFileSystem(conf)
     val aligned = align(batch, m.schema)
     // the delete side: the batch's DISTINCT keys, table-typed
@@ -950,7 +988,8 @@ object LakeNativeWrite {
         lowerBounds = lo, upperBounds = hi, nullCounts = nc)
     }
     commitIceberg(conf, dir, m, dataEntries,
-      existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq),
+      existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq,
+        specId = deleteSpecId(m)),
       newSnapId, newSeq, newSnapId, entrySchema, operation = "overwrite",
       extraSummary = extraSummary)
   }
@@ -972,7 +1011,7 @@ object LakeNativeWrite {
       .getOrElse(throw new IllegalStateException(s"current snapshot not in snapshot list: $dir"))
     val existing = readManifestFiles(conf, dir, listPath)
     val newSeq = m.lastSeq + 1
-    val newSnapId = System.currentTimeMillis()
+    val newSnapId = newSnapshotId(m)
     val fs = dir.getFileSystem(conf)
     // the delete side
     val delRows = matchedRowIds
@@ -993,7 +1032,8 @@ object LakeNativeWrite {
         val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId.avro")
         fs.mkdirs(dTarget.getParent)
         fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
-        Seq(LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq))
+        Seq(LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq,
+          specId = deleteSpecId(m)))
       }
     // the rewrite side: new data files
     val aligned = align(newRows, m.schema)
@@ -1035,7 +1075,7 @@ object LakeNativeWrite {
       .getOrElse(throw new IllegalStateException(s"current snapshot not in snapshot list: $dir"))
     val existing = readManifestFiles(conf, dir, listPath)
     val newSeq = m.lastSeq + 1
-    val newSnapId = System.currentTimeMillis()
+    val newSnapId = newSnapshotId(m)
     val rows = matchedRowIds
       .select(col(graft.plans.LakeRowLevel.FileIdCol).as("file_path"),
         col(graft.plans.LakeRowLevel.RowIxCol).as("pos"))
@@ -1048,7 +1088,8 @@ object LakeNativeWrite {
     val entry = LakeWrite.ManifestEntry(1, rel, nRows, size, newSnapId,
       content = 1, sequenceNumber = Some(newSeq))
     commitIceberg(conf, dir, m, Seq(entry), existing, newSnapId, newSeq, newSnapId,
-      entrySchema, operation = "delete", newManifestContent = 1)
+      entrySchema, operation = "delete", newManifestContent = 1,
+      newManifestSpecId = deleteSpecId(m))
   }
 
   /** ADD COLUMNS for a native Iceberg table: a new schema entry with fresh
@@ -1156,7 +1197,7 @@ object LakeNativeWrite {
       s"rewrite lost track of ${removedFids.size - removed.size} files (concurrent commit?)")
 
     val newSeq = m.lastSeq + 1
-    val newSnapId = System.currentTimeMillis()
+    val newSnapId = newSnapshotId(m)
     val aligned = align(replacement, m.schema)
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
@@ -1192,7 +1233,8 @@ object LakeNativeWrite {
           .flatMap(f => Option(r.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
           .getOrElse(dflt)
         buf += LakeWrite.ManifestFile(r.get("manifest_path").toString,
-          num("manifest_length", 0L), num("content", 0L).toInt, num("sequence_number", 0L))
+          num("manifest_length", 0L), num("content", 0L).toInt, num("sequence_number", 0L),
+          specId = num("partition_spec_id", 0L).toInt)
       }
       buf.result()
     } finally reader.close()

@@ -316,7 +316,12 @@ object LakeWrite {
     * null entry sequence numbers inherit).
     */
   final case class ManifestFile(path: String, length: Long, content: Int,
-      sequenceNumber: Long)
+      sequenceNumber: Long,
+      /** the partition spec the manifest's entries were written under —
+        * delete manifests on a partitioned table use the registered
+        * UNPARTITIONED spec (global deletes), never spec 0's struct
+        */
+      specId: Int = 0)
 
   def icebergWriteManifestList(file: java.io.File,
       manifests: Seq[(String, Long)], snapshotId: Long, sequenceNumber: Long): Unit =
@@ -329,7 +334,7 @@ object LakeWrite {
       val r = new GenericData.Record(ManifestFileSchema)
       r.put("manifest_path", mf.path)
       r.put("manifest_length", mf.length)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", mf.specId)
       r.put("content", mf.content)
       r.put("sequence_number", mf.sequenceNumber)
       r.put("min_sequence_number", mf.sequenceNumber)
@@ -397,8 +402,16 @@ object LakeWrite {
       "last-column-id" -> JInt(schema.fields.length),
       "schemas" -> JArray(List(icebergSchemaJson(schema))),
       "current-schema-id" -> JInt(0),
-      "partition-specs" -> JArray(List(JObject(
-        "spec-id" -> JInt(0), "fields" -> JArray(specFields.map(f => f: JValue).toList)))),
+      // a partitioned table also registers an UNPARTITIONED spec (id 1):
+      // global position/equality delete manifests are written under it,
+      // so external readers resolving partition_spec_id decode the empty
+      // partition struct instead of expecting spec 0's fields
+      "partition-specs" -> JArray(
+        JObject("spec-id" -> JInt(0),
+          "fields" -> JArray(specFields.map(f => f: JValue).toList)) ::
+        (if (specFields.nonEmpty)
+          List(JObject("spec-id" -> JInt(1), "fields" -> JArray(Nil)): JValue)
+         else Nil)),
       "default-spec-id" -> JInt(0),
       "last-partition-id" -> JInt(999),
       "sort-orders" -> JArray(List(JObject(

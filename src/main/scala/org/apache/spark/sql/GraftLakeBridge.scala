@@ -106,6 +106,25 @@ object GraftLakeBridge {
       case Some(st) => filters.forall(f => conjunctMayMatch(f, st, dataSchema))
     }
 
+    /** Floating-point skipping hazards: the interpreted ordering says
+      * -0.0 < 0.0 and NaN is largest, but SQL `=` evaluates -0.0 = 0.0 as
+      * TRUE — a file whose max stat is -0.0 must not be pruned for
+      * `col = 0.0`. Normalize -0.0 to 0.0 on bounds AND literals (the same
+      * normalization Delta's stats writer applies), and treat a NaN bound
+      * as unbounded (externally-written stats may carry it; its ordering
+      * vs real values is not a containment proof).
+      */
+    private def fpNormalize(v: Any): Any = v match {
+      case d: Double if d == 0.0d => 0.0d
+      case f: Float if f == 0.0f => 0.0f
+      case v => v
+    }
+    private def isNaN(v: Any): Boolean = v match {
+      case d: Double => d.isNaN
+      case f: Float => f.isNaN
+      case _ => false
+    }
+
     private def bound(st: FileStats, schema: StructType, name: String):
         Option[(Any, Any, Ordering[Any])] =
       for {
@@ -113,7 +132,10 @@ object GraftLakeBridge {
         ord <- orderingOf(field.dataType)
         mn <- st.min.get(name)
         mx <- st.max.get(name)
-      } yield (toCatalyst(mn, field.dataType), toCatalyst(mx, field.dataType), ord)
+        cmn = fpNormalize(toCatalyst(mn, field.dataType))
+        cmx = fpNormalize(toCatalyst(mx, field.dataType))
+        if !isNaN(cmn) && !isNaN(cmx)
+      } yield (cmn, cmx, ord)
 
     private def orderingOf(dt: DataType): Option[Ordering[Any]] = dt match {
       case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType |
@@ -157,9 +179,13 @@ object GraftLakeBridge {
       * against null is never true, so an all-null column always skips.
       */
     private def cmpKeep(st: FileStats, schema: StructType, name: String,
-        lit: Any, op: String): Boolean = {
-      if (lit == null) return false
+        lit0: Any, op: String): Boolean = {
+      if (lit0 == null) return false
       if (allNull(st, name)) return false
+      // a NaN literal's position in the interpreted ordering (largest) does
+      // not prove absence from any bounds — keep the file
+      if (isNaN(lit0)) return true
+      val lit = fpNormalize(lit0)
       bound(st, schema, name) match {
         case None => true
         case Some((mn, mx, ord)) => op match {
