@@ -1237,6 +1237,50 @@ object CatalogQueries {
         SELECT k AS n_nationkey, nm AS n_name, r AS n_regionkey
         FROM merged ORDER BY n_nationkey""")),
 
+    // ---- ICEBERG SCHEMA EVOLUTION through field-id parquet resolution:
+    // batch 1 (keys < 12) is written under the ORIGINAL schema; then
+    // RENAME COLUMN n_regionkey -> region_id (same field id — batch 1's
+    // parquet must serve its n_regionkey bytes under the new name), DROP
+    // COLUMN n_name, ADD COLUMNS n_name (FRESH field id — batch 1's
+    // n_name bytes are dead and must read NULL, never resurface); batch 2
+    // (keys >= 12) is written under the evolved schema. The visible state
+    // exists ONLY through id-based resolution: name-based reads would
+    // null-fill region_id for batch 1 AND resurrect its dropped n_name. ----
+    QuerySpec("src_iceberg_evolved_scan",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_ievo")
+        val done = new java.io.File(lakeDir, "nation_ievo.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE ievo OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql("CREATE TABLE graft.datasource.lakew.ievo.nation_ievo " +
+            "(n_nationkey INT, n_name STRING, n_regionkey INT)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_ievo_src")
+          s.sql("INSERT INTO graft.datasource.lakew.ievo.nation_ievo " +
+            "SELECT CAST(n_nationkey AS INT), n_name, CAST(n_regionkey AS INT) " +
+            "FROM __nation_ievo_src WHERE n_nationkey < 12")
+          s.sql("ALTER TABLE graft.datasource.lakew.ievo.nation_ievo " +
+            "RENAME COLUMN n_regionkey TO region_id")
+          s.sql("ALTER TABLE graft.datasource.lakew.ievo.nation_ievo DROP COLUMN n_name")
+          s.sql("ALTER TABLE graft.datasource.lakew.ievo.nation_ievo ADD COLUMNS (n_name STRING)")
+          s.sql("INSERT INTO graft.datasource.lakew.ievo.nation_ievo " +
+            "SELECT CAST(n_nationkey AS INT), CAST(n_regionkey AS INT) AS region_id, n_name " +
+            "FROM __nation_ievo_src WHERE n_nationkey >= 12")
+          done.createNewFile(): Unit
+        }
+        s.sql(
+          """SELECT n_nationkey, region_id, n_name
+            |FROM graft.datasource.lakew.ievo.nation_ievo ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+          CAST(n_regionkey AS INT) AS region_id,
+          CASE WHEN n_nationkey >= 12 THEN n_name ELSE NULL END AS n_name
+        FROM nation ORDER BY n_nationkey""")),
+
     // ---- OPTIMIZE LAKE TABLE: three small INSERT commits produce many
     // small files; OPTIMIZE compacts each partition's files into one
     // through the copy-on-write commit. The readback is only right if the

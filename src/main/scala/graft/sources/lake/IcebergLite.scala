@@ -36,6 +36,13 @@ import org.json4s.jackson.JsonMethods
   * resolve to top-level columns of the current schema; nested equality
   * deletes are rejected with a clear error.
   *
+  * Schema evolution: renames and drop/re-adds are SUPPORTED — when the
+  * schema history shows either, the scan switches from name-based to
+  * field-id parquet resolution (`parquet.field.id` requested-schema
+  * metadata + spark.sql.parquet.fieldId.read.enabled, Spark's native
+  * id-matching reader), the spec-correct column resolution rule. Files
+  * lacking field ids then fail loudly instead of null-filling.
+  *
   * Iceberg data files always carry every column (partition columns are
   * stored, not derived from paths), so correctness needs no partition
   * reconstruction; identity-transform partition values are still surfaced
@@ -58,7 +65,13 @@ object IcebergLite {
         */
       dataFileMeta: Seq[(String, Long)] = Nil,
       /** live equality-delete files of this snapshot */
-      eqDeleteFiles: Seq[EqDeleteFile] = Nil)
+      eqDeleteFiles: Seq[EqDeleteFile] = Nil,
+      /** `schema` with `parquet.field.id` metadata at every level — Some
+        * when the schema history shows a rename/re-add, flipping the scan
+        * to Spark's field-id parquet resolution (name resolution would
+        * misread those tables)
+        */
+      idSchema: Option[StructType] = None)
 
   /** One live position-delete parquet file: resolved path, size, its data
     * sequence number (deletes apply to data files with seq <= this), and
@@ -115,7 +128,16 @@ object IcebergLite {
 
   // ---- schema JSON -> StructType (Iceberg spec "Appendix C: JSON serialization") ----
 
-  private[lake] def toSparkType(j: JValue): DataType = j match {
+  private[lake] def toSparkType(j: JValue): DataType = toSparkTypeImpl(j, withIds = false)
+
+  /** Same conversion but each struct field (at every nesting level) carries
+    * its Iceberg field id as `parquet.field.id` metadata — the form Spark's
+    * parquet reader resolves BY ID (spark.sql.parquet.fieldId.read.enabled),
+    * which is the spec-correct column resolution across renames/re-adds.
+    */
+  private[lake] def toSparkTypeWithIds(j: JValue): DataType = toSparkTypeImpl(j, withIds = true)
+
+  private def toSparkTypeImpl(j: JValue, withIds: Boolean): DataType = j match {
     case JString(s) => s match {
       case "boolean" => BooleanType
       case "int" => IntegerType
@@ -141,16 +163,22 @@ object IcebergLite {
     case o: JObject => (o \ "type") match {
       case JString("struct") => StructType((o \ "fields") match {
         case JArray(fs) => fs.map { f =>
-          StructField((f \ "name").values.toString, toSparkType(f \ "type"),
-            nullable = (f \ "required") match { case JBool(r) => !r; case _ => true })
+          val meta = ((f \ "id"), withIds) match {
+            case (JInt(id), true) => new MetadataBuilder()
+              .putLong("parquet.field.id", id.toLong).build()
+            case _ => Metadata.empty
+          }
+          StructField((f \ "name").values.toString, toSparkTypeImpl(f \ "type", withIds),
+            nullable = (f \ "required") match { case JBool(r) => !r; case _ => true },
+            metadata = meta)
         }
         case _ => Nil
       })
       case JString("list") =>
-        ArrayType(toSparkType(o \ "element"),
+        ArrayType(toSparkTypeImpl(o \ "element", withIds),
           containsNull = (o \ "element-required") match { case JBool(r) => !r; case _ => true })
       case JString("map") =>
-        MapType(toSparkType(o \ "key"), toSparkType(o \ "value"),
+        MapType(toSparkTypeImpl(o \ "key", withIds), toSparkTypeImpl(o \ "value", withIds),
           valueContainsNull = (o \ "value-required") match { case JBool(r) => !r; case _ => true })
       case other => throw new UnsupportedOperationException(s"iceberg type $other")
     }
@@ -217,29 +245,29 @@ object IcebergLite {
     }
     val schema = toSparkType(schemaJson).asInstanceOf[StructType]
 
-    // Name-based resolution guard. This reader matches parquet columns by
-    // NAME (Spark's ParquetFileFormat), not by Iceberg field id: a renamed
-    // column would silently read all-NULL from pre-rename files, and a
-    // dropped-then-readded name would surface the unrelated old column's
-    // data. Both evolutions are visible in the schema history, so reject
-    // them here rather than misread — the documented contract of this lite
-    // reader. (False positive only when every pre-evolution file has been
-    // rewritten, which metadata alone cannot prove.)
-    (meta \ "schemas") match {
+    // Column-resolution mode. By default parquet columns match by NAME
+    // (Spark's ParquetFileFormat) — provably exact while no field id ever
+    // changed its name and no name ever changed its id. When the schema
+    // history shows a rename (same id, different names) or a drop/re-add
+    // (same name, different ids), name resolution would silently misread
+    // pre-evolution files (all-NULL renamed columns; a re-added name
+    // surfacing the dead column's data), so the scan flips to Spark's
+    // field-id parquet resolution: the requested schema carries each
+    // field's id as `parquet.field.id` metadata and the reader matches ids
+    // the files record (the Iceberg spec REQUIRES data files to carry
+    // them). A pre-evolution file lacking ids fails loudly at scan time
+    // rather than null-filling (spark.sql.parquet.fieldId.read.ignoreMissing
+    // stays false).
+    val needIdResolution: Boolean = (meta \ "schemas") match {
       case JArray(ss) if ss.size > 1 =>
         val bindings = ss.flatMap(s => fieldBindings(s \ "fields", "")).distinct
-        val renamed = bindings.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
-        val readded = bindings.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
-        require(renamed.isEmpty && readded.isEmpty,
-          s"Iceberg schema evolution requires field-id column resolution, which " +
-            s"this reader does not implement: " +
-            (renamed.map { case (id, bs) =>
-              s"field id $id appears as ${bs.map(_._2).distinct.mkString("/")}"
-            } ++ readded.map { case (n, bs) =>
-              s"column '$n' maps to field ids ${bs.map(_._1).distinct.mkString("/")}"
-            }).mkString("; ") + " (use the full Iceberg runtime for this table)")
-      case _ =>
+        bindings.groupBy(_._1).exists(_._2.map(_._2).distinct.size > 1) ||
+          bindings.groupBy(_._2).exists(_._2.map(_._1).distinct.size > 1)
+      case _ => false
     }
+    val idSchema: Option[StructType] =
+      if (needIdResolution) Some(toSparkTypeWithIds(schemaJson).asInstanceOf[StructType])
+      else None
 
     // identity-partition column names from the default spec (pruning only)
     val identityCols: Seq[String] = (meta \ "partition-specs") match {
@@ -270,9 +298,11 @@ object IcebergLite {
     }
     val deleteFiles: Seq[DeleteFile] = allDeletes.collect { case Left(d) => d }
     // Resolve equality_ids against the CURRENT schema's top-level fields.
-    // The schema-evolution guard above already rejects renamed/readded
-    // field-id bindings, so the current name is the only name an id ever
-    // had — name-based parquet reads of the delete files are then exact.
+    // Under name resolution the current name is the only name an id ever
+    // had (the evolution detector proved it), so name-based reads of the
+    // delete files are exact; under field-id resolution the delete files'
+    // columns are matched by id too (morScan annotates the delete read
+    // schema), so pre-rename delete files keep applying.
     val topLevelById: Map[Int, String] = (schemaJson \ "fields") match {
       case JArray(fs) => fs.flatMap { f =>
         ((f \ "id"), (f \ "name")) match {
@@ -315,7 +345,8 @@ object IcebergLite {
     Snapshot(snapId, schema, if (pruning) identityCols else Nil, files, dir,
       deleteFiles = deleteFiles,
       dataFileMeta = filesWithVals.map(_._2),
-      eqDeleteFiles = eqDeleteFiles)
+      eqDeleteFiles = eqDeleteFiles,
+      idSchema = idSchema)
   }
 
   /** Types whose manifest-Avro partition value maps 1:1 onto the external
@@ -580,35 +611,56 @@ object IcebergLite {
     */
   private val BroadcastDeleteRowCap = 8L * 1000 * 1000
 
+  /** The schema data columns read under — the id-annotated form when the
+    * table's history demands field-id resolution (also flips the session's
+    * parquet field-id read switch on: harmless for every other scan, since
+    * the switch only acts when the requested schema carries ids).
+    */
+  private def readSchema(spark: SparkSession, snap: Snapshot): StructType =
+    snap.idSchema match {
+      case Some(s) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s
+      case None => snap.schema
+    }
+
+  /** Project to `names`, stripping the field-id metadata the id-resolution
+    * read path rides on the data columns (callers see the clean schema).
+    */
+  private def projectClean(df: DataFrame, names: Seq[String], clean: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!clean) df.select(names.map(col): _*)
+    else df.select(names.map(n => col(s"`$n`").as(n, Metadata.empty)): _*)
+  }
+
   def toDataFrame(spark: SparkSession, snap: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions._
     // Identity-partition columns (when the snapshot resolved values for
     // every file) are declared as the relation's partition schema: their
     // values are served from manifest metadata and filters on them prune in
     // LakeFileIndex.listFiles before any task launches. All other columns
     // read from parquet as data columns.
+    val rs = readSchema(spark, snap)
     val identityFields = snap.partitionColumns.map(c => snap.schema(snap.schema.fieldIndex(c)))
-    val dataSchema = StructType(snap.schema.filterNot(f =>
+    val dataSchema = StructType(rs.filterNot(f =>
       snap.partitionColumns.contains(f.name)))
     if (snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty) {
       val partSchema = StructType(identityFields)
       val index = new LakeFileIndex(snap.tableDir, snap.files, partSchema, dataSchema)
       val df = GraftLakeBridge.parquetRelation(spark, index, partSchema, dataSchema)
-      if (snap.partitionColumns.isEmpty) df
-      else df.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
-    } else morScan(spark, snap, withRix = snap.deleteFiles.nonEmpty)
-      .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+      if (snap.partitionColumns.isEmpty && snap.idSchema.isEmpty) df
+      else projectClean(df, snap.schema.fieldNames.toIndexedSeq, snap.idSchema.isDefined)
+    } else projectClean(morScan(spark, snap, withRix = snap.deleteFiles.nonEmpty),
+      snap.schema.fieldNames.toIndexedSeq, snap.idSchema.isDefined)
   }
 
   /** Row-level-rewrite scan: every live row with `__gfid` (the normalized
     * manifest file_path) and `__grix` (`_metadata.row_index`) identity
     * columns, position AND equality deletes already applied.
     */
-  def toDataFrameWithRowIds(spark: SparkSession, snap: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    morScan(spark, snap, withRix = true)
-      .select((snap.schema.fieldNames.toIndexedSeq ++ Seq("__gfid", "__grix")).map(col): _*)
-  }
+  def toDataFrameWithRowIds(spark: SparkSession, snap: Snapshot): DataFrame =
+    projectClean(morScan(spark, snap, withRix = true),
+      snap.schema.fieldNames.toIndexedSeq ++ Seq("__gfid", "__grix"),
+      snap.idSchema.isDefined)
 
   /** The delete-aware scan: `__gfid`/`__gseq` ride as synthetic partition
     * columns from manifest metadata, `__grix` from parquet's row index when
@@ -617,8 +669,9 @@ object IcebergLite {
     */
   private def morScan(spark: SparkSession, snap: Snapshot, withRix: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
+    val rs = readSchema(spark, snap)
     val identityFields = snap.partitionColumns.map(c => snap.schema(snap.schema.fieldIndex(c)))
-    val dataSchema = StructType(snap.schema.filterNot(f =>
+    val dataSchema = StructType(rs.filterNot(f =>
       snap.partitionColumns.contains(f.name)))
     locally {
       // Merge-on-read. Position deletes drop each data row whose (file,
@@ -682,11 +735,22 @@ object IcebergLite {
           val delPartSchema = StructType(Seq(StructField("__gdseq", LongType, nullable = false)))
           val delFiles = group.map(d => LakeFile(d.path, d.size, 0L, Seq(d.seq)))
           val delIndex = new LakeFileIndex(snap.tableDir, delFiles, delPartSchema)
-          // delete rows carry the equality columns under their schema names;
-          // read them with the table's types, everything nullable (a delete
-          // row may carry null to match null data values, null-safely)
-          val delSchema = StructType(cols0.map(c =>
-            StructField(c, snap.schema(snap.schema.fieldIndex(c)).dataType, nullable = true)))
+          // delete rows carry the equality columns under their write-time
+          // names; read them with the table's types, everything nullable (a
+          // delete row may carry null to match null data values,
+          // null-safely). Under field-id resolution the requested fields
+          // carry their equality ids, so pre-rename delete files match by
+          // id exactly like the data files.
+          val eqIdByCol: Map[String, Int] =
+            group.headOption.map(g => g.columns.zip(g.equalityIds).toMap).getOrElse(Map.empty)
+          val delSchema = StructType(cols0.map { c =>
+            val meta =
+              if (snap.idSchema.isDefined && eqIdByCol.contains(c))
+                new MetadataBuilder().putLong("parquet.field.id", eqIdByCol(c).toLong).build()
+              else Metadata.empty
+            StructField(c, snap.schema(snap.schema.fieldIndex(c)).dataType,
+              nullable = true, metadata = meta)
+          })
           val renamed = cols0.zipWithIndex.map { case (c, i) => (c, s"__ge_$i") }
           val delRows = GraftLakeBridge.parquetRelation(spark, delIndex, delPartSchema, delSchema)
             .select(renamed.map { case (c, a) => col(c).as(a) } :+ col("__gdseq"): _*)

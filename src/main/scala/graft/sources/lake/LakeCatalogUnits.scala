@@ -363,27 +363,32 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     loadTable(spark, rest, name, None)
   }
 
-  /** ALTER TABLE ADD COLUMNS — the one evolution the name-resolving lite
-    * reader provably serves right (old files null-fill); everything else
-    * (rename, drop, type change) needs field-id resolution and is
-    * rejected, matching the reader's own evolution guard.
+  /** ALTER TABLE schema evolution: ADD COLUMNS (fresh field ids — old
+    * files null-fill), RENAME COLUMN (the id is permanent; reads flip to
+    * field-id parquet resolution), and DROP COLUMN (the id retires; a
+    * later re-add of the name gets a fresh id, so the dead column's data
+    * never resurfaces). Type changes remain unsupported.
     */
   override def alterTable(spark: SparkSession, rest: Seq[String], name: String,
       changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange
     val dir = dirFor(spark, rest, name)
-    val fields = changes.map {
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "nested ADD COLUMN is not supported by the native lake writer")
         var f = StructField(a.fieldNames()(0), a.dataType(), a.isNullable())
         if (a.comment() != null) f = f.withComment(a.comment())
-        f
+        LakeNativeWrite.icebergAddColumns(spark, dir, Seq(f))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "nested RENAME COLUMN is not supported")
+        LakeNativeWrite.icebergRenameColumn(spark, dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1, "nested DROP COLUMN is not supported")
+        LakeNativeWrite.icebergDropColumn(spark, dir, d.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE change $other is not supported by the native Iceberg writer " +
-          "(ADD COLUMNS only — the lite reader resolves columns by name)")
+        s"ALTER TABLE change $other is not supported by the native Iceberg writer")
     }
-    LakeNativeWrite.icebergAddColumns(spark, dir, fields)
     loadTable(spark, rest, name, None)
   }
 

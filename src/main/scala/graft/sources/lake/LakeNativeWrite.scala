@@ -620,7 +620,10 @@ object LakeNativeWrite {
     LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema,
       retained, currentSnapshotId = m.currentId,
       refs = Map("main" -> (m.currentId, "branch")),
-      specFields = specFieldsFor(m.schema, m.partitionCols))
+      specFields = specFieldsFor(m.schema, m.partitionCols, m.fieldIds),
+      properties = m.properties,
+      schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
+      lastColumnId = m.lastColumnId)
     (n, bytes)
   }
 
@@ -739,27 +742,44 @@ object LakeNativeWrite {
     * Iceberg manifest bound maps keyed by field id (= schema index + 1,
     * the ids [[LakeWrite.icebergSchemaJson]] assigns).
     */
-  private def entryBounds(statsJson: Option[String], schema: StructType):
+  private def entryBounds(statsJson: Option[String], schema: StructType,
+      ids: Seq[Int] = Nil):
       (Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) =
     statsJson.flatMap(DeltaLite.parseStats(_, schema)) match {
       case None => (Map.empty, Map.empty, Map.empty)
       case Some(st) =>
+        def idOf(i: Int): Int = if (ids.nonEmpty) ids(i) else i + 1
         def conv(m: Map[String, Any]): Map[Int, Array[Byte]] = m.flatMap { case (n, v) =>
           val i = schema.fieldNames.indexOf(n)
-          if (i < 0) None else LakeWrite.icebergBoundBytes(v).map(b => (i + 1) -> b)
+          if (i < 0) None else LakeWrite.icebergBoundBytes(v).map(b => idOf(i) -> b)
         }
         (conv(st.min), conv(st.max),
           st.nullCount.flatMap { case (n, c) =>
             val i = schema.fieldNames.indexOf(n)
-            if (i < 0) None else Some((i + 1) -> c)
+            if (i < 0) None else Some(idOf(i) -> c)
           })
     }
 
-  private def specFieldsFor(schema: StructType, partitionCols: Seq[String]): Seq[JObject] =
+  private def specFieldsFor(schema: StructType, partitionCols: Seq[String],
+      ids: Seq[Int] = Nil): Seq[JObject] =
     partitionCols.zipWithIndex.map { case (c, i) =>
+      val src = if (ids.nonEmpty) ids(schema.fieldIndex(c)) else schema.fieldIndex(c) + 1
       JObject("name" -> JString(c), "transform" -> JString("identity"),
-        "source-id" -> JInt(schema.fieldIndex(c) + 1), "field-id" -> JInt(1000 + i))
+        "source-id" -> JInt(src), "field-id" -> JInt(1000 + i))
     }
+
+  /** The aligned frame re-tagged so Spark's parquet writer records each
+    * column's Iceberg field id (`parquet.field.id` field metadata +
+    * spark.sql.parquet.fieldId.write.enabled, on by default) — what makes
+    * the files resolvable BY ID after a rename, per the Iceberg spec's
+    * column-resolution rule.
+    */
+  private def withFieldIds(df: DataFrame, schema: StructType, ids: Seq[Int]): DataFrame =
+    if (ids.isEmpty) df
+    else df.select(schema.fields.zip(ids).map { case (f, id) =>
+      col(s"`${f.name}`").as(f.name, new MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+    }.toIndexedSeq: _*)
 
   /** Spec id delete manifests are written under: a partitioned table's
     * global delete files use the registered UNPARTITIONED spec (id 1).
@@ -776,11 +796,26 @@ object LakeNativeWrite {
     math.max(System.currentTimeMillis(),
       m.priorSnapshots.map(_.id).maxOption.map(_ + 1L).getOrElse(Long.MinValue))
 
-  /** Everything a commit needs from the current table metadata. */
+  /** Everything a commit needs from the current table metadata. Field ids
+    * and the schema history ride along so every rewrite of the metadata
+    * file PRESERVES them — ids are permanent in Iceberg (renames keep
+    * them, drops retire them), and the history is what lets readers detect
+    * evolutions that need id-based parquet resolution.
+    */
   private final case class IceMeta(metaVersion: Long, schema: StructType,
       partitionCols: Seq[String], lastSeq: Long,
       priorSnapshots: Seq[LakeWrite.IcebergSnapshot], currentId: Long,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      /** top-level field ids aligned with schema.fields (positional 1..n
+        * for metadata predating explicit ids)
+        */
+      fieldIds: Seq[Int] = Nil,
+      /** the metadata's full schemas array, verbatim */
+      schemasJson: List[JValue] = Nil,
+      currentSchemaId: Int = 0,
+      lastColumnId: Int = 0) {
+    def idOf(col: String): Int = fieldIds(schema.fieldIndex(col))
+  }
 
   private def loadIceMeta(conf: Configuration, dir: Path): IceMeta = {
     implicit val formats: Formats = DefaultFormats
@@ -790,13 +825,23 @@ object LakeNativeWrite {
       .map(_.group(1).toLong).getOrElse(
         throw new UnsupportedOperationException(
           s"commit needs a versioned hadoop-table metadata file, got ${metaFile.getName}"))
-    val schemaJson: JValue = (meta \ "schemas") match {
-      case JArray(ss) =>
-        val cur = (meta \ "current-schema-id").extractOrElse[Int](0)
-        ss.find(s => (s \ "schema-id").extractOrElse[Int](0) == cur).getOrElse(ss.last)
-      case _ => meta \ "schema"
+    val allSchemas: List[JValue] = (meta \ "schemas") match {
+      case JArray(ss) => ss
+      case _ => List(meta \ "schema")
     }
+    val curSchemaId = (meta \ "current-schema-id").extractOrElse[Int](0)
+    val schemaJson: JValue = allSchemas
+      .find(s => (s \ "schema-id").extractOrElse[Int](0) == curSchemaId)
+      .getOrElse(allSchemas.last)
     val schema = IcebergLite.toSparkType(schemaJson).asInstanceOf[StructType]
+    val fieldIds: Seq[Int] = (schemaJson \ "fields") match {
+      case JArray(fs) => fs.zipWithIndex.map { case (f, i) =>
+        (f \ "id") match { case JInt(id) => id.toInt; case _ => i + 1 }
+      }
+      case _ => schema.indices.map(_ + 1)
+    }
+    val lastColId = (meta \ "last-column-id").extractOrElse[Int](
+      fieldIds.maxOption.getOrElse(0))
     val partitionCols: Seq[String] = (meta \ "partition-specs") match {
       case JArray(specs) =>
         val defId = (meta \ "default-spec-id").extractOrElse[Int](0)
@@ -832,7 +877,10 @@ object LakeNativeWrite {
       properties = (meta \ "properties") match {
         case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
         case _ => Map.empty
-      })
+      },
+      fieldIds = fieldIds, schemasJson = allSchemas,
+      currentSchemaId = curSchemaId, lastColumnId = math.max(lastColId,
+        fieldIds.maxOption.getOrElse(0)))
   }
 
   private def partTypeJsonFor(schema: StructType, partitionCols: Seq[String]): String =
@@ -903,8 +951,10 @@ object LakeNativeWrite {
     LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema, newSnapshots,
       currentSnapshotId = newSnapId,
       refs = Map("main" -> (newSnapId, "branch")),
-      specFields = specFieldsFor(m.schema, m.partitionCols),
-      properties = m.properties)
+      specFields = specFieldsFor(m.schema, m.partitionCols, m.fieldIds),
+      properties = m.properties,
+      schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
+      lastColumnId = m.lastColumnId)
     ()
   }
 
@@ -922,11 +972,11 @@ object LakeNativeWrite {
       }.getOrElse(Nil)
 
     // data files: identity values ride in the manifest partition struct
-    val aligned = align(data, m.schema)
+    val aligned = withFieldIds(align(data, m.schema), m.schema, m.fieldIds)
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
     val entries = staged.map { f =>
-      val (lo, hi, nc) = entryBounds(f.statsJson, m.schema)
+      val (lo, hi, nc) = entryBounds(f.statsJson, m.schema, m.fieldIds)
       LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
         sequenceNumber = Some(newSeq),
@@ -960,14 +1010,15 @@ object LakeNativeWrite {
     val newSeq = m.lastSeq + 1
     val newSnapId = newSnapshotId(m)
     val fs = dir.getFileSystem(conf)
-    val aligned = align(batch, m.schema)
-    // the delete side: the batch's DISTINCT keys, table-typed
+    val aligned = withFieldIds(align(batch, m.schema), m.schema, m.fieldIds)
+    // the delete side: the batch's DISTINCT keys, table-typed, carrying
+    // their field ids so the delete file itself resolves by id post-rename
     val keyDf = aligned.select(keyCols.map(c => col(s"`$c`")): _*)
       .distinct().orderBy(keyCols.map(c => col(s"`$c`")): _*)
     val delRel = s"data/eqdelete-$newSnapId.parquet"
     val delSize = LakeWrite.writeOneParquetFile(keyDf, new Path(dir, delRel))
     val nDel = spark.read.parquet(new Path(dir, delRel).toString).count()
-    val eqIds = keyCols.map(c => m.schema.fieldIndex(c) + 1)
+    val eqIds = keyCols.map(m.idOf)
     val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
     val tmpD = java.io.File.createTempFile("graft-eq-manifest", ".avro")
     val dLen = LakeWrite.icebergWriteManifest(tmpD,
@@ -981,7 +1032,7 @@ object LakeNativeWrite {
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
     val dataEntries = staged.map { f =>
-      val (lo, hi, nc) = entryBounds(f.statsJson, m.schema)
+      val (lo, hi, nc) = entryBounds(f.statsJson, m.schema, m.fieldIds)
       LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
         sequenceNumber = Some(newSeq),
@@ -1036,11 +1087,11 @@ object LakeNativeWrite {
           specId = deleteSpecId(m)))
       }
     // the rewrite side: new data files
-    val aligned = align(newRows, m.schema)
+    val aligned = withFieldIds(align(newRows, m.schema), m.schema, m.fieldIds)
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
     val dataEntries = staged.map { f =>
-      val (lo, hi, nc) = entryBounds(f.statsJson, m.schema)
+      val (lo, hi, nc) = entryBounds(f.statsJson, m.schema, m.fieldIds)
       LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
         sequenceNumber = Some(newSeq),
@@ -1092,10 +1143,34 @@ object LakeNativeWrite {
       newManifestSpecId = deleteSpecId(m))
   }
 
-  /** ADD COLUMNS for a native Iceberg table: a new schema entry with fresh
-    * field ids, current-schema-id advanced, data untouched (old files
-    * null-fill the new columns under name-based resolution — the one
-    * evolution the lite reader's guard provably allows).
+  /** Metadata-only schema-evolution commit: the new schema is APPENDED to
+    * the schemas history under a fresh schema-id (ids inside are the
+    * caller's — permanent across renames, fresh past last-column-id for
+    * additions), current-schema-id advances, snapshots untouched. The
+    * retained history is what lets the reader detect rename/re-add
+    * evolutions and switch to field-id parquet resolution.
+    */
+  private def commitSchemaEvolution(conf: Configuration, dir: Path, m: IceMeta,
+      newSchema: StructType, newIds: Seq[Int]): Unit = {
+    implicit val formats: Formats = DefaultFormats
+    val maxSchemaId = m.schemasJson
+      .map(s => (s \ "schema-id").extractOrElse[Int](0)).maxOption.getOrElse(0)
+    val newSchemaId = maxSchemaId + 1
+    val newEntry: JValue = LakeWrite.icebergSchemaJsonIds(newSchema, newIds, newSchemaId)
+    LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, newSchema,
+      m.priorSnapshots, currentSnapshotId = m.currentId,
+      refs = if (m.currentId >= 0) Map("main" -> (m.currentId, "branch")) else Map.empty,
+      specFields = specFieldsFor(newSchema, m.partitionCols, newIds),
+      properties = m.properties,
+      schemasJson = m.schemasJson :+ newEntry, currentSchemaId = newSchemaId,
+      lastColumnId = math.max(m.lastColumnId, newIds.maxOption.getOrElse(0)))
+    ()
+  }
+
+  /** ADD COLUMNS for a native Iceberg table: fresh field ids past
+    * last-column-id (a re-added name NEVER reuses the dropped column's id,
+    * so old files' dead data cannot resurface), data untouched — old files
+    * null-fill the new columns.
     */
   def icebergAddColumns(spark: SparkSession, dir: Path,
       newFields: Seq[StructField]): Unit = {
@@ -1104,12 +1179,45 @@ object LakeNativeWrite {
     newFields.foreach(f => require(!m.schema.fieldNames.contains(f.name),
       s"column ${f.name} already exists"))
     val newSchema = StructType(m.schema.fields ++ newFields)
-    LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, newSchema,
-      m.priorSnapshots, currentSnapshotId = m.currentId,
-      refs = if (m.currentId >= 0) Map("main" -> (m.currentId, "branch")) else Map.empty,
-      specFields = specFieldsFor(newSchema, m.partitionCols),
-      properties = m.properties)
-    ()
+    val newIds = m.fieldIds ++ newFields.indices.map(m.lastColumnId + 1 + _)
+    commitSchemaEvolution(conf, dir, m, newSchema, newIds)
+  }
+
+  /** RENAME COLUMN: the field keeps its id (the spec's rule — ids are
+    * permanent), so files written pre-rename keep resolving through
+    * field-id parquet resolution; only the display name changes.
+    */
+  def icebergRenameColumn(spark: SparkSession, dir: Path,
+      oldName: String, newName: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    require(m.schema.fieldNames.contains(oldName), s"column $oldName does not exist")
+    require(!m.schema.fieldNames.contains(newName), s"column $newName already exists")
+    require(!m.partitionCols.contains(oldName),
+      s"cannot rename partition column $oldName (the partition spec and every " +
+        "manifest's partition struct carry it by name)")
+    val ix = m.schema.fieldIndex(oldName)
+    val newSchema = StructType(m.schema.fields.updated(ix,
+      m.schema.fields(ix).copy(name = newName)))
+    commitSchemaEvolution(conf, dir, m, newSchema, m.fieldIds)
+  }
+
+  /** DROP COLUMN: the field (and its id) leave the current schema; data
+    * files keep the bytes but no read requests the id again — and a later
+    * ADD COLUMN with the same name allocates a FRESH id, so the dropped
+    * column's data stays dead (the exact misread the old name-based
+    * resolution guard existed to prevent).
+    */
+  def icebergDropColumn(spark: SparkSession, dir: Path, name: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    require(m.schema.fieldNames.contains(name), s"column $name does not exist")
+    require(!m.partitionCols.contains(name), s"cannot drop partition column $name")
+    require(m.schema.fields.length > 1, "cannot drop the last column")
+    val ix = m.schema.fieldIndex(name)
+    val newSchema = StructType(m.schema.fields.patch(ix, Nil, 1))
+    val newIds = m.fieldIds.patch(ix, Nil, 1)
+    commitSchemaEvolution(conf, dir, m, newSchema, newIds)
   }
 
   /** The highest streaming batch id committed by `appId` along the current
@@ -1198,7 +1306,7 @@ object LakeNativeWrite {
 
     val newSeq = m.lastSeq + 1
     val newSnapId = newSnapshotId(m)
-    val aligned = align(replacement, m.schema)
+    val aligned = withFieldIds(align(replacement, m.schema), m.schema, m.fieldIds)
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
     val entries =
@@ -1207,7 +1315,7 @@ object LakeNativeWrite {
       removed.map(e => LakeWrite.ManifestEntry(2, e.filePath, e.recordCount, e.size,
         newSnapId, partition = e.partition, sequenceNumber = Some(e.seq))) ++
       staged.map { f =>
-        val (lo, hi, nc) = entryBounds(f.statsJson, m.schema)
+        val (lo, hi, nc) = entryBounds(f.statsJson, m.schema, m.fieldIds)
         LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
           partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
           sequenceNumber = Some(newSeq),

@@ -353,8 +353,16 @@ object LakeWrite {
   /** Spark StructType -> Iceberg schema JSON (identity field ids 1..n,
     * fixture subset: flat primitive columns).
     */
-  def icebergSchemaJson(schema: StructType): JObject = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+  def icebergSchemaJson(schema: StructType): JObject =
+    icebergSchemaJsonIds(schema, schema.indices.map(_ + 1), 0)
+
+  /** Schema JSON with EXPLICIT field ids — the evolution-correct form: ids
+    * are permanent (a rename keeps its id, a drop retires it, a re-add
+    * allocates fresh), which is what lets readers resolve parquet columns
+    * by id across renames instead of misreading by name.
+    */
+  def icebergSchemaJsonIds(schema: StructType, ids: Seq[Int], schemaId: Int): JObject = {
+    val fields = schema.fields.zip(ids).map { case (f, id) =>
       val t: JValue = f.dataType match {
         case org.apache.spark.sql.types.IntegerType => JString("int")
         case org.apache.spark.sql.types.LongType => JString("long")
@@ -369,10 +377,10 @@ object LakeWrite {
         case d: org.apache.spark.sql.types.DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
         case other => throw new UnsupportedOperationException(s"fixture type $other")
       }
-      JObject("id" -> JInt(i + 1), "name" -> JString(f.name),
+      JObject("id" -> JInt(id), "name" -> JString(f.name),
         "required" -> JBool(!f.nullable), "type" -> t)
     }
-    JObject("type" -> JString("struct"), "schema-id" -> JInt(0),
+    JObject("type" -> JString("struct"), "schema-id" -> JInt(schemaId),
       "fields" -> JArray(fields.toList))
   }
 
@@ -389,7 +397,14 @@ object LakeWrite {
       schema: StructType, snapshots: Seq[IcebergSnapshot], currentSnapshotId: Long,
       refs: Map[String, (Long, String)] = Map.empty,
       specFields: Seq[JObject] = Nil,
-      properties: Map[String, String] = Map.empty): Path = {
+      properties: Map[String, String] = Map.empty,
+      /** FULL schema history to carry verbatim (current entry included);
+        * empty = single schema derived from `schema` with positional ids
+        */
+      schemasJson: List[JValue] = Nil,
+      currentSchemaId: Int = 0,
+      /** highest field id ever allocated; -1 = derive from the schemas */
+      lastColumnId: Int = -1): Path = {
     val metaDir = new Path(tableDir, "metadata")
     val fs = metaDir.getFileSystem(conf)
     fs.mkdirs(metaDir)
@@ -399,9 +414,21 @@ object LakeWrite {
       "location" -> JString(tableDir.toString),
       "last-sequence-number" -> JInt(BigInt(snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L))),
       "last-updated-ms" -> JInt(BigInt(snapshots.map(_.timestampMs).maxOption.getOrElse(0L))),
-      "last-column-id" -> JInt(schema.fields.length),
-      "schemas" -> JArray(List(icebergSchemaJson(schema))),
-      "current-schema-id" -> JInt(0),
+      "last-column-id" -> JInt({
+        def maxId(j: JValue): Int = (j \ "fields") match {
+          case JArray(fs) => fs.map(f => (f \ "id") match {
+            case JInt(i) => i.toInt
+            case _ => 0
+          }).maxOption.getOrElse(0)
+          case _ => 0
+        }
+        if (lastColumnId >= 0) lastColumnId
+        else if (schemasJson.nonEmpty) schemasJson.map(maxId).max
+        else schema.fields.length
+      }),
+      "schemas" -> (if (schemasJson.nonEmpty) JArray(schemasJson)
+        else JArray(List(icebergSchemaJson(schema)))),
+      "current-schema-id" -> JInt(currentSchemaId),
       // a partitioned table also registers an UNPARTITIONED spec (id 1):
       // global position/equality delete manifests are written under it,
       // so external readers resolving partition_spec_id decode the empty

@@ -536,7 +536,7 @@ class LakeAlterSuite extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $fqn WHERE $pred").head().getLong(0) == 16L)
   }
 
-  test("iceberg ADD COLUMNS null-fills old files; rename/drop are rejected") {
+  test("iceberg ADD COLUMNS null-fills old files; RENAME flips to field-id reads") {
     val base = tmpDir("alter-ice")
     graft.Graft.sql(spark,
       s"REGISTER OR REPLACE ICEBERG DATASOURCE alti OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.alti")
@@ -551,9 +551,12 @@ class LakeAlterSuite extends SparkTestBase {
     // time travel still resolves pre-alter snapshots
     val lineage = IcebergLite.snapshotLineage(spark, new Path(base.getPath, "t"))
     assert(lineage.size == 2)
-    val ex = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $fqn RENAME COLUMN v TO w")
-    }
-    assert(ex.getMessage.contains("not supported"))
+    // RENAME keeps the field id: pre-rename files' data appears under the
+    // new name (field-id parquet resolution)
+    spark.sql(s"ALTER TABLE $fqn RENAME COLUMN v TO w")
+    val renamed = spark.sql(s"SELECT id, w FROM $fqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(renamed == Seq((1, 10), (2, 20)),
+      "pre-rename files must serve their data under the renamed column")
   }
 }

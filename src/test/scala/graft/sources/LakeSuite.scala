@@ -437,7 +437,7 @@ class LakeSuite extends SparkTestBase {
       Seq(0 -> 10L, 1 -> 10L, 2 -> 10L))
   }
 
-  test("iceberg column rename / drop-readd across schema history rejects clearly") {
+  test("iceberg rename with id-less parquet files fails loudly, never null-fills") {
     val dir = tmpDir("ice-rename")
     buildIcebergFixture(dir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -461,12 +461,16 @@ class LakeSuite extends SparkTestBase {
     // the fixture wrote through Hadoop's checksummed local FS; drop the now
     // stale .crc sidecar for the out-of-band rewrite above
     new java.io.File(dir, "metadata/.v2.metadata.json.crc").delete()
-    val e = intercept[IllegalArgumentException] {
-      IcebergLite.snapshot(spark, new Path(dir.toString))
-    }
-    assert(e.getMessage.contains("field-id column resolution"), e.getMessage)
-    assert(e.getMessage.contains("name/title") || e.getMessage.contains("field id 2"),
-      e.getMessage)
+    // the rename itself is supported now (field-id resolution) — but this
+    // fixture's parquet files carry NO field ids, so the scan must fail
+    // loudly instead of silently null-filling the renamed column
+    val df = IcebergLite.read(spark, new Path(dir.toString))
+    assert(df.schema.fieldNames.toSeq == Seq("id", "title"))
+    val e = intercept[Throwable] { df.select("title").collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.toLowerCase.contains("field id")),
+      s"expected a loud missing-field-id error, got: ${chain(e).mkString(" <- ")}")
   }
 
   test("iceberg raw metadata paths with spaces and percent signs resolve") {
