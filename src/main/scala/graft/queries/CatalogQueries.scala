@@ -1281,6 +1281,66 @@ object CatalogQueries {
           CASE WHEN n_nationkey >= 12 THEN n_name ELSE NULL END AS n_name
         FROM nation ORDER BY n_nationkey""")),
 
+    // ---- ICEBERG HIDDEN PARTITIONING (day transform): five data files,
+    // one per day(d) value, the manifest carrying only the TRANSFORMED
+    // day ordinal — the filter is on the SOURCE date column, so the rows
+    // are only right if the day window derivation is exact at the edges
+    // (the <= boundary day must stay, later days prune; file-count
+    // pruning itself is asserted in IcebergTransformSuite). ----
+    QuerySpec("src_iceberg_hidden_partition",
+      (s, dir) => {
+        setup(s, dir)
+        import graft.sources.lake.LakeWrite
+        import graft.sources.lake.LakeWrite.{IcebergSnapshot, ManifestEntry}
+        import org.apache.hadoop.fs.Path
+        import org.json4s.{JObject, JString, JInt}
+        val lakeDir = new java.io.File(wh(dir), "lake")
+        val tableDir = new java.io.File(lakeDir, "nation_ice_day")
+        if (!tableDir.exists()) {
+          val staging = new java.io.File(lakeDir, s"nation_ice_day.tmp${System.nanoTime()}")
+          new java.io.File(staging, "metadata").mkdirs()
+          val conf = s.sparkContext.hadoopConfiguration
+          val root = new Path(staging.toString)
+          val nation = QueryPack.t(s, dir, "nation")
+            .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+              date_add(lit("1995-01-01").cast("date"),
+                (col("n_nationkey") % 5).cast("int")).as("d"))
+          val entrySchema = LakeWrite.manifestEntrySchema(
+            """{"type":"record","name":"r102","fields":[
+              |{"name":"d_day","type":["null","int"],"default":null,"field-id":1000}]}"""
+              .stripMargin.replaceAll("\n", ""))
+          val base = java.time.LocalDate.of(1995, 1, 1)
+          val entries = (0 until 5).map { g =>
+            val d = nation.where(col("n_nationkey") % 5 === g)
+            val rel = s"data/day$g.parquet"
+            val size = LakeWrite.writeOneParquetFile(d, new Path(root, rel))
+            ManifestEntry(1, rel, d.count(), size, 9001L,
+              partition = Map("d_day" -> base.plusDays(g).toEpochDay.toInt),
+              sequenceNumber = Some(1L))
+          }
+          val mLen = LakeWrite.icebergWriteManifest(
+            new java.io.File(staging, "metadata/m1.avro"), entries, entrySchema)
+          LakeWrite.icebergWriteManifestList(new java.io.File(staging, "metadata/ml1.avro"),
+            Seq("metadata/m1.avro" -> mLen), 9001L, 1L)
+          LakeWrite.icebergWriteMetadata(conf, root, 1, nation.schema,
+            Seq(IcebergSnapshot(9001L, 1700000000000L, "metadata/ml1.avro", 1L)),
+            currentSnapshotId = 9001L, refs = Map("main" -> (9001L, "branch")),
+            specFields = Seq(JObject("name" -> JString("d_day"),
+              "transform" -> JString("day"), "source-id" -> JInt(3),
+              "field-id" -> JInt(1000))))
+          if (!staging.renameTo(tableDir)) deleteRecursively(staging)
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE iceday OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lake")
+        s.sql(
+          """SELECT n_nationkey, n_name, d
+            |FROM graft.datasource.lake.iceday.nation_ice_day
+            |WHERE d <= DATE '1995-01-02' ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          (DATE '1995-01-01' + CAST(n_nationkey % 5 AS INT)) AS d
+        FROM nation WHERE n_nationkey % 5 <= 1 ORDER BY n_nationkey""")),
+
     // ---- OPTIMIZE LAKE TABLE: three small INSERT commits produce many
     // small files; OPTIMIZE compacts each partition's files into one
     // through the copy-on-write commit. The readback is only right if the

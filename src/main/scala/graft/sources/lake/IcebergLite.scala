@@ -269,18 +269,22 @@ object IcebergLite {
       if (needIdResolution) Some(toSparkTypeWithIds(schemaJson).asInstanceOf[StructType])
       else None
 
-    // identity-partition column names from the default spec (pruning only)
-    val identityCols: Seq[String] = (meta \ "partition-specs") match {
+    // the default spec's fields: (spec field name, transform, source-id)
+    val specFields: Seq[(String, String, Int)] = (meta \ "partition-specs") match {
       case JArray(specs) =>
         val defId = (meta \ "default-spec-id").extractOrElse[Int](0)
         specs.find(s => (s \ "spec-id").extractOrElse[Int](0) == defId)
           .map(s => (s \ "fields") match {
-            case JArray(fs) => fs.collect {
-              case f if (f \ "transform") == JString("identity") => (f \ "name").extract[String]
-            }
+            case JArray(fs) => fs.map(f => ((f \ "name").extract[String],
+              (f \ "transform").extract[String],
+              (f \ "source-id").extractOrElse[Int](-1)))
             case _ => Nil
           }).getOrElse(Nil)
       case _ => Nil
+    }
+    // identity-partition column names (metadata-served values + pruning)
+    val identityCols: Seq[String] = specFields.collect {
+      case (n, "identity", _) => n
     }
 
     // manifest list (v2 / v1-with-list) or inline manifests (early v1);
@@ -335,8 +339,18 @@ object IcebergLite {
     val fieldsById: Map[Int, (String, DataType)] = topLevelById.flatMap { case (id, n) =>
       schema.fields.find(_.name == n).map(f => id -> (n, f.dataType))
     }
+    // hidden-partition transforms (bucket/truncate/day/...): each file's
+    // TRANSFORMED partition value becomes a derived range/equality
+    // constraint on the SOURCE column, pruned in LakeFileIndex exactly
+    // like footer stats
+    val transforms: Seq[IcebergTransforms.TransformField] = specFields.collect {
+      case (n, tr, sid) if tr != "identity" && tr != "void" =>
+        fieldsById.get(sid).map { case (cn, dt) =>
+          IcebergTransforms.TransformField(n, tr, cn, dt)
+        }
+    }.flatten
     val filesWithVals = dataManifests.flatMap { case (mp, _, mseq) =>
-      readManifest(conf, dir, resolveUri(dir, mp), idFields, mseq, fieldsById)
+      readManifest(conf, dir, resolveUri(dir, mp), idFields, mseq, fieldsById, transforms)
     }
     val pruning = idFields.nonEmpty && filesWithVals.nonEmpty && filesWithVals.forall(_._1._2.isDefined)
     val files =
@@ -425,7 +439,8 @@ object IcebergLite {
     */
   private def readManifest(conf: Configuration, tableDir: Path, p: Path,
       identity: Seq[(String, DataType)], manifestSeq: Long,
-      fieldsById: Map[Int, (String, DataType)] = Map.empty)
+      fieldsById: Map[Int, (String, DataType)] = Map.empty,
+      transforms: Seq[IcebergTransforms.TransformField] = Nil)
       : Seq[((LakeFile, Option[Seq[Any]]), (String, Long))] =
     readAvroRecords(conf, p).flatMap { entry =>
       val status = entry.get("status").asInstanceOf[Int]
@@ -443,11 +458,55 @@ object IcebergLite {
           s"only PARQUET data files are supported (found $format)")
         val path = resolveUri(tableDir, rawPath).toString
         val size = df.get("file_size_in_bytes").asInstanceOf[Long]
+        val stats = transformStats(df, transforms, entryStats(df, fieldsById))
         Some((LakeFile(path, size, 0L, Nil,
-          stats = entryStats(df, fieldsById)) -> identityValues(df, identity),
+          stats = stats) -> identityValues(df, identity),
           normPath(rawPath) -> entrySeq(entry, manifestSeq)))
       }
     }
+
+  /** Derived per-file constraints from the file's TRANSFORMED partition
+    * values, merged under the manifest's own column bounds (those are
+    * exact and win on overlap): range transforms (day/hour/month/year/
+    * truncate) become [min, max] windows on the source column; bucket
+    * becomes an equality-only test. A null transform value, unknown
+    * transform, or unconvertible type contributes nothing (conservative).
+    */
+  private def transformStats(df: GenericRecord,
+      transforms: Seq[IcebergTransforms.TransformField],
+      base: Option[org.apache.spark.sql.GraftLakeBridge.FileStats]):
+      Option[org.apache.spark.sql.GraftLakeBridge.FileStats] = {
+    if (transforms.isEmpty) return base
+    val pr = Option(df.getSchema.getField("partition"))
+      .map(f => df.get(f.pos()))
+      .collect { case r: GenericRecord => r }
+      .getOrElse(return base)
+    var mins = Map.empty[String, Any]
+    var maxs = Map.empty[String, Any]
+    var eqs = Map.empty[String, Any => Boolean]
+    transforms.foreach { t =>
+      val pf = pr.getSchema.getField(t.specName)
+      if (pf != null) {
+        val raw = try AvroLite.toRowValue(pr.get(pf.pos()), pf.schema())
+        catch { case _: Exception => null }
+        if (raw != null) {
+          IcebergTransforms.bounds(t.transform, t.sourceType, raw).foreach {
+            case (mn, mx) => mins += t.sourceCol -> mn; maxs += t.sourceCol -> mx
+          }
+          if (t.transform.startsWith("bucket["))
+            eqs += t.sourceCol -> IcebergTransforms.bucketKeep(t.transform, t.sourceType, raw)
+        }
+      }
+    }
+    if (mins.isEmpty && eqs.isEmpty) base
+    else base match {
+      case Some(st) => Some(st.copy(min = mins ++ st.min, max = maxs ++ st.max,
+        keepEq = eqs ++ st.keepEq))
+      case None => Some(org.apache.spark.sql.GraftLakeBridge.FileStats(
+        Option(df.get("record_count")).map(_.asInstanceOf[Long]),
+        mins, maxs, Map.empty, keepEq = eqs))
+    }
+  }
 
   /** Decode lower/upper_bounds + null_value_counts + record_count into
     * [[org.apache.spark.sql.GraftLakeBridge.FileStats]], keyed by column

@@ -32,7 +32,13 @@ object GraftLakeBridge {
     * Absent entries mean "unknown" — skipping is always conservative.
     */
   final case class FileStats(numRecords: Option[Long],
-      min: Map[String, Any], max: Map[String, Any], nullCount: Map[String, Long])
+      min: Map[String, Any], max: Map[String, Any], nullCount: Map[String, Long],
+      /** per-column equality test beyond the range bounds — `false` =
+        * a row with this EXTERNAL-typed literal value provably cannot be
+        * in the file (Iceberg bucket-transform pruning rides here: the
+        * literal's bucket differs from the file's). Driver-side only.
+        */
+      keepEq: Map[String, Any => Boolean] = Map.empty)
 
   /** A driver-held FileIndex over an explicit file list (what Delta's log or
     * Iceberg's manifests resolve to). Partition pruning happens here:
@@ -141,7 +147,9 @@ object GraftLakeBridge {
       case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType |
            _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType |
            _: org.apache.spark.sql.types.FloatType | _: org.apache.spark.sql.types.DoubleType |
-           _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.BooleanType =>
+           _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.BooleanType |
+           _: org.apache.spark.sql.types.DateType | _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
         scala.util.Try(org.apache.spark.sql.catalyst.util.TypeUtils
           .getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]]).toOption
       case _ => None
@@ -186,6 +194,8 @@ object GraftLakeBridge {
       // not prove absence from any bounds — keep the file
       if (isNaN(lit0)) return true
       val lit = fpNormalize(lit0)
+      // equality-only pruning beyond ranges (bucket transforms)
+      if (op == "eq" && !st.keepEq.get(name).forall(_(lit))) return false
       bound(st, schema, name) match {
         case None => true
         case Some((mn, mx, ord)) => op match {
