@@ -34,8 +34,26 @@ object Bench {
     // the total over the PREVIOUS round's gate set (shared subset) — deltas on
     // that number are apples-to-apples
     val sharedPrev = results.collect { case (k, v) if PrevRoundGates(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""shared_prev_total":$sharedPrev,"n_shared_prev":${results.keys.count(PrevRoundGates)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""shared_prev_total":$sharedPrev,"n_shared_prev":${results.keys.count(PrevRoundGates)},"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log pipeline truncates long stdout lines (BENCH_r07.json
+    // recovered only ~62 of 137 per-gate numbers), so ALSO write the full
+    // per-gate JSON to a file — the auditable artifact, complete regardless
+    // of log truncation. Sorted keys, one gate per line, diff-friendly.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val pretty = new StringBuilder
+    pretty.append("{\n")
+    pretty.append(s"""  "metric": "total", "value": $total, "unit": "sec",\n""")
+    pretty.append(s"""  "shared_prev_total": $sharedPrev, "n_shared_prev": ${results.keys.count(PrevRoundGates)},\n""")
+    pretty.append(s"""  "n_gates": ${results.size}, "sf": "$sfDir",\n""")
+    pretty.append("  \"queries\": {\n")
+    pretty.append(results.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"""    "$k": $v"""
+    }.mkString(",\n"))
+    pretty.append("\n  }\n}\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      pretty.toString.getBytes("UTF-8"))
     spark.stop()
   }
 

@@ -1518,6 +1518,54 @@ object CatalogQueries {
         WHERE n_regionkey <> 2 OR n_nationkey % 2 = 0
         GROUP BY r_name, c_mktsegment ORDER BY region, segment""")),
 
+    // ---- FEDERATED MERGE: one statement upserts a native Delta table
+    // from the Derby JDBC operational source — the lakehouse-CDC-from-
+    // operational-DB shape. The mirror is seeded stale (even keys only,
+    // balances offset by -100); the MERGE pulls keys <= 60 straight from
+    // JDBC, updating the stale evens and inserting the missing odds. The
+    // readback is only right if the cross-source row-level write applied
+    // every clause against the remote rows. ----
+    QuerySpec("src_federated_merge",
+      (s, dir) => {
+        setup(s, dir)
+        val custFqn = ensureJdbcCustomer(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "cust_mirror")
+        val done = new java.io.File(lakeDir, "cust_mirror.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE fmrg OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        val fqn = "graft.datasource.lakew.fmrg.cust_mirror"
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql(s"CREATE TABLE $fqn (c_custkey BIGINT, c_nationkey BIGINT, " +
+            "c_mktsegment STRING, c_acctbal DOUBLE)")
+          // seed from the warehouse parquet (Derby cannot evaluate a pushed
+          // `%`); the MERGE below is the federated statement
+          QueryPack.t(s, dir, "customer")
+            .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+            .createOrReplaceTempView("__fmrg_seed")
+          s.sql(s"INSERT INTO $fqn SELECT CAST(c_custkey AS BIGINT), " +
+            "CAST(c_nationkey AS BIGINT), c_mktsegment, c_acctbal - 100 " +
+            "FROM __fmrg_seed WHERE c_custkey % 2 = 0")
+          s.sql(
+            s"""MERGE INTO $fqn t
+               |USING (SELECT * FROM $custFqn WHERE c_custkey <= 60) s
+               |ON t.c_custkey = s.c_custkey
+               |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+               |WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey, c_mktsegment, c_acctbal)
+               |  VALUES (s.c_custkey, s.c_nationkey, s.c_mktsegment, s.c_acctbal)""".stripMargin)
+          done.createNewFile(): Unit
+        }
+        s.sql(s"SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM $fqn " +
+          "ORDER BY c_custkey")
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+          CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+          CASE WHEN c_custkey <= 60 THEN c_acctbal ELSE c_acctbal - 100 END AS c_acctbal
+        FROM customer
+        WHERE c_custkey % 2 = 0 OR c_custkey <= 60
+        ORDER BY c_custkey""")),
+
     // ---- LIST DQ: the full constraint+rule inventory of the setup USL,
     // value-exact against a literal oracle (names, owning tables, kinds,
     // and expression renderings all pinned). ----

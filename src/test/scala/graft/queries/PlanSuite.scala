@@ -221,4 +221,127 @@ class PlanSuite extends SparkTestBase {
     val df = graft.SparkEntry.queries("usl_readback")(spark, sf())
     assert(df.collect().nonEmpty)
   }
+
+  // ---- r7 lake-family plan locks: the DML/MoR/CDF/OPTIMIZE shapes are
+  // hash-exact gated; these pin the SCALE-critical plan properties the
+  // hashes cannot see. ----
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def scanFileCount(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case other => other.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    }
+    unwrap(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
+  private def tmpLake(prefix: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(prefix).toFile
+
+  test("delta DV scan applies position deletes as a BROADCAST anti-join") {
+    val base = tmpLake("plan-dv")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE pdvp OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.pdvp")
+    val fqn = "graft.datasource.pdvp.pdvp.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) TBLPROPERTIES (" +
+      "'delta.enableDeletionVectors' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(100)")
+    spark.sql(s"DELETE FROM $fqn WHERE id % 10 = 3")
+    val dir = new org.apache.hadoop.fs.Path(base.getPath, "t")
+    val p = executed(graft.sources.lake.DeltaLite.read(spark, dir))
+    assert(p.contains("LeftAnti"), s"DV scan lost its anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"gate-scale DV side must broadcast (the data never shuffles):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"DV application must not sort-merge the data side at this scale:\n$p")
+  }
+
+  test("iceberg MoR scan: position-delete anti-join broadcasts, data side unshuffled") {
+    val base = tmpLake("plan-mor")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE pmor OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.pmor")
+    val fqn = "graft.datasource.pmor.pmor.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(100)")
+    spark.sql(s"DELETE FROM $fqn WHERE id % 10 = 7")
+    val dir = new org.apache.hadoop.fs.Path(base.getPath, "t")
+    val p = executed(graft.sources.lake.IcebergLite.read(spark, dir))
+    assert(p.contains("LeftAnti"), s"MoR scan lost its anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"gate-scale delete side must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the data side must not shuffle for delete application:\n$p")
+  }
+
+  test("row-level DML's matched-file scan prunes partitions (file-granular rewrite input)") {
+    import graft.plans.{HasRowLevelHandle, LakeRowLevel}
+    val base = tmpLake("plan-dml")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE pdml OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.pdml")
+    val fqn = Seq("graft", "datasource", "pdml", "pdml", "t")
+    spark.sql(s"CREATE TABLE ${fqn.mkString(".")} (id INT, v INT, p INT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO ${fqn.mkString(".")} SELECT id, id, id % 4 FROM range(40)")
+    val handle = org.apache.spark.sql.GraftSQLBridge.loadV2Table(spark, fqn)
+      .asInstanceOf[HasRowLevelHandle].rowLevelHandle.get
+    // the EXACT scan DELETE/UPDATE/MERGE resolve matched files through,
+    // under a DML-shaped partition predicate
+    val scan = handle.scanWithRowIds(spark)
+      .where(org.apache.spark.sql.functions.col("p") === 1)
+    val total = handle.listFiles(spark).size
+    val scanned = scanFileCount(scan)
+    assert(scanned < total && scanned >= 1,
+      s"matched-file resolution scanned $scanned of $total files — partition " +
+        "predicate did not prune (a DELETE would read the whole table)")
+    assert(scan.columns.contains(LakeRowLevel.FileIdCol))
+  }
+
+  test("CDF read lists only the commit-range files, not the table") {
+    val base = tmpLake("plan-cdf")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE pcdf OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.pcdf")
+    val fqn = "graft.datasource.pcdf.pcdf.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) TBLPROPERTIES (" +
+      "'delta.enableChangeDataFeed' = 'true')")
+    (0 until 3).foreach { b =>
+      spark.sql(s"INSERT INTO $fqn SELECT id + ${b * 100}, id FROM range(10)")
+    }
+    val dir = new org.apache.hadoop.fs.Path(base.getPath, "t")
+    val snap = graft.sources.lake.DeltaLite.snapshot(spark, dir)
+    val totalFiles = snap.files.size
+    // only version 2's files may scan — not the whole table
+    val feed = graft.sources.lake.DeltaLite.changes(spark, dir, 2L, Some(2L))
+    val scanned = scanFileCount(feed)
+    assert(scanned < totalFiles && scanned >= 1,
+      s"CDF range read scanned $scanned of $totalFiles table files — the feed " +
+        "must track the commit range, not the table size")
+    assert(feed.count() == 10)
+  }
+
+  test("OPTIMIZE ZORDER arranges through exactly one range exchange") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i % 97, (i * 31) % 89, s"r$i")).toDF("x", "y", "s")
+    val arranged = graft.operators.Layout.zorderN(df,
+      Seq(("x", 0.0, 96.0), ("y", 0.0, 88.0)), bits = 8, numFiles = 4)
+    arranged.collect()
+    val finalPlan = arranged.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val p = finalPlan
+    assert("rangepartitioning".r.findAllIn(p.toLowerCase).size == 1,
+      s"zorder layout must be ONE range exchange:\n$p")
+    assert(!p.toLowerCase.contains("exchange hashpartitioning"),
+      s"no extra hash shuffle in the zorder arrange:\n$p")
+  }
 }
