@@ -608,11 +608,47 @@ object DeltaLite {
           snap.physPartitionSchema, snap.physDataSchema), snap, Nil))
 
       val data = scanWithIds(spark, snap, withDv)
-      val delSide = dvDeleteRows(spark, snap)
-      val kept = data.join(delSide,
+      val kept = dvFiltered(spark, snap, withDv, data).getOrElse {
+        data.join(dvDeleteRows(spark, snap),
           col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos"), "left_anti")
-        .select(order: _*)
+      }.select(order: _*)
       plainDf.map(_.unionByName(kept)).getOrElse(kept)
+    }
+  }
+
+  /** Bitmaps small enough to broadcast raw (the descriptors state their
+    * encoded sizes up front, so the choice costs no IO). 64 MB of roaring
+    * bytes is tens of millions of masked rows — far past where OPTIMIZE
+    * should have compacted.
+    */
+  private val DvBroadcastByteCap = 64L << 20
+
+  /** DV application as a broadcast membership FILTER ([[DvMasked]]): no
+    * join, no exchange, the scan stays one codegen stage, and cost is a
+    * per-scanned-row bitmap probe instead of a hash join against one row
+    * per DELETED row (MorReadScaleBench showed the exploded anti-join's
+    * read tax growing with the deleted count). None = bitmaps exceed the
+    * byte cap; the caller falls back to the distributed anti-join.
+    */
+  private def dvFiltered(spark: SparkSession, snap: Snapshot,
+      withDv: Seq[(LakeFile, String)], data: DataFrame): Option[DataFrame] = {
+    val totalBytes = withDv.iterator.map { case (_, id) => snap.dvs(id).sizeInBytes.toLong }.sum
+    if (totalBytes > DvBroadcastByteCap) None
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val raw: Map[String, Array[Byte]] = withDv.map { case (_, id) =>
+        val d = snap.dvs(id)
+        val bytes = RoaringDv.resolvePath(snap.tableDir, d.storageType, d.pathOrInlineDv) match {
+          case Some(p) => RoaringDv.readDvData(conf, p, d.offset, d.sizeInBytes)
+          case None => RoaringDv.base85Decode(d.pathOrInlineDv).take(d.sizeInBytes)
+        }
+        id -> bytes
+      }.toMap
+      val bc = spark.sparkContext.broadcast(new DvMasked.BitmapHolder(raw))
+      val bridge = org.apache.spark.sql.GraftSQLBridge
+      val expr = DvMasked(bridge.expression(data.col("__gfid")),
+        bridge.expression(data.col("__grix")), bc)
+      Some(data.where(!bridge.column(expr)))
     }
   }
 
@@ -669,8 +705,12 @@ object DeltaLite {
     import org.apache.spark.sql.functions._
     val data = scanWithIds(spark, snap, snap.files.zip(snap.fileIds))
     if (snap.dvs.isEmpty) data
-    else data.join(dvDeleteRows(spark, snap),
-      col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos"), "left_anti")
+    else {
+      val withDv = snap.files.zip(snap.fileIds).filter { case (_, id) => snap.dvs.contains(id) }
+      dvFiltered(spark, snap, withDv, data).getOrElse(
+        data.join(dvDeleteRows(spark, snap),
+          col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos"), "left_anti"))
+    }
   }
 
   def read(spark: SparkSession, dir: Path, version: Option[Long] = None,

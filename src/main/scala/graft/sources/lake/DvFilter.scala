@@ -1,0 +1,77 @@
+package graft.sources.lake
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deletion-vector membership as a broadcast FILTER expression: is row
+  * `rix` of file `fid` masked by that file's deletion vector?
+  *
+  * This is the delta-spark-shaped application of DVs (a per-row bitmap
+  * probe inside the scan's filter) and the scale-correct one: the
+  * alternative — exploding every bitmap into (file, pos) rows and
+  * anti-joining — materializes one row PER DELETED ROW, so a table with
+  * 30% deletions pays a join against 30% of itself; the probe pays a
+  * binary search per scanned row against bitmaps whose total size the
+  * caller bounds before choosing this path. No join, no exchange, and
+  * `doGenCode` keeps the scan stage inside whole-stage codegen.
+  *
+  * Bitmaps travel as RAW encoded bytes (small — the caller's byte cap)
+  * and decode lazily ONCE PER EXECUTOR into sorted position arrays; the
+  * decoded cache lives on the broadcast value holder, not the (per-task
+  * serialized) expression instance.
+  */
+case class DvMasked(fid: Expression, rix: Expression,
+    bitmaps: Broadcast[DvMasked.BitmapHolder])
+  extends BinaryExpression with Predicate {
+
+  override def left: Expression = fid
+  override def right: Expression = rix
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  def masked(f: UTF8String, r: Long): Boolean = bitmaps.value.contains(f.toString, r)
+
+  override def nullSafeEval(f: Any, r: Any): Any =
+    masked(f.asInstanceOf[UTF8String], r.asInstanceOf[Long])
+
+  override def eval(input: InternalRow): Any = {
+    val f = fid.eval(input)
+    val r = rix.eval(input)
+    if (f == null || r == null) false
+    else masked(f.asInstanceOf[UTF8String], r.asInstanceOf[Long])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dvMasked", this, classOf[DvMasked].getName)
+    nullSafeCodeGen(ctx, ev, (f, r) => s"${ev.value} = $ref.masked($f, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(fid = newLeft, rix = newRight)
+}
+
+object DvMasked {
+  /** Raw encoded bitmaps keyed by file id, with a decode-once cache that
+    * rides the broadcast value (one decode per executor, all tasks share).
+    */
+  final class BitmapHolder(val raw: Map[String, Array[Byte]]) extends Serializable {
+    @transient private lazy val decoded =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    def contains(fid: String, pos: Long): Boolean = {
+      val bytes = raw.getOrElse(fid, null)
+      if (bytes == null) false
+      else {
+        var arr = decoded.get(fid)
+        if (arr == null) {
+          arr = RoaringDv.decodeBitmapArray(bytes)
+          decoded.put(fid, arr)
+        }
+        java.util.Arrays.binarySearch(arr, pos) >= 0
+      }
+    }
+  }
+}

@@ -670,6 +670,44 @@ object IcebergLite {
     */
   private val BroadcastDeleteRowCap = 8L * 1000 * 1000
 
+  /** Position-delete application as a broadcast per-data-file bitmap FILTER
+    * (the same [[DvMasked]] probe the Delta DV read uses): one distributed
+    * pass reads the delete parquet and groups positions per (file, delete
+    * seq), the driver applies the spec's sequence gate (delete seq >= the
+    * data file's) while unioning each data file's qualifying positions
+    * into a roaring bitmap, and the scan filters through a codegen'd
+    * probe — no join, no exchange, cost per SCANNED row instead of a hash
+    * join against one row per DELETED row (MorReadScaleBench). The driver
+    * materialization is bounded by the caller's row cap, decided from
+    * manifest record counts before any IO.
+    */
+  private def posBitmapFiltered(spark: SparkSession, snap: Snapshot,
+      delRows: DataFrame, data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // one map-only collect (no groupBy shuffle — grouping a cap-bounded
+    // set is driver work), then the sequence gate per data file
+    val collected = delRows.collect()
+    val bySeq: Map[String, Array[(Long, Long)]] = collected
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(1)))) // fid -> (seq, pos)
+      .groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2) }
+    val raw: Map[String, Array[Byte]] = snap.dataFileMeta.flatMap { case (fid, dataSeq) =>
+      bySeq.get(fid).flatMap { entries =>
+        val qual = entries.collect { case (dseq, pos) if dseq >= dataSeq => pos }
+        if (qual.isEmpty) None
+        else Some(fid -> RoaringDv.encodeBitmapArray(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(qual.distinct.sorted)))
+      }
+    }.toMap
+    if (raw.isEmpty) data
+    else {
+      val bc = spark.sparkContext.broadcast(new DvMasked.BitmapHolder(raw))
+      val bridge = org.apache.spark.sql.GraftSQLBridge
+      val expr = DvMasked(bridge.expression(data.col("__gfid")),
+        bridge.expression(data.col("__grix")), bc)
+      data.where(!bridge.column(expr))
+    }
+  }
+
   /** The schema data columns read under — the id-annotated form when the
     * table's history demands field-id resolution (also flips the session's
     * parquet field-id read switch on: harmless for every other scan, since
@@ -778,11 +816,13 @@ object IcebergLite {
         val deleteRowCount = // saturating: absent record_count reads Long.MaxValue
           if (snap.deleteFiles.exists(_.recordCount == Long.MaxValue)) Long.MaxValue
           else snap.deleteFiles.map(_.recordCount).sum
-        val delSide = if (deleteRowCount <= BroadcastDeleteRowCap) broadcast(delRows) else delRows
-        data = data.join(delSide,
-          col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos") &&
-            col("__gdseq") >= col("__gseq"),
-          "left_anti")
+        data =
+          if (deleteRowCount <= BroadcastDeleteRowCap)
+            posBitmapFiltered(spark, snap, delRows, data)
+          else data.join(delRows,
+            col("__gfid") === col("__gdfp") && col("__grix") === col("__gdpos") &&
+              col("__gdseq") >= col("__gseq"),
+            "left_anti")
       }
 
       // Equality deletes, one anti-join per distinct equality-column set

@@ -205,6 +205,18 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
             mb.putString("delta.columnMapping.physicalName", old.name)
           schema = StructType(schema.fields.updated(ix,
             old.copy(name = r.newName(), metadata = mb.build())))
+        case d: TableChange.DeleteColumn =>
+          require(mapping,
+            "DROP COLUMN needs delta.columnMapping.mode = name/id (the Delta " +
+              "protocol's own prerequisite: physical names keep the remaining " +
+              "columns resolvable and a later re-add gets a fresh physical name, " +
+              "so the dropped column's data never resurfaces)")
+          require(d.fieldNames().length == 1, "nested DROP COLUMN is not supported")
+          val n = d.fieldNames()(0)
+          require(!snap.partitionColumns.contains(n), "cannot drop a partition column")
+          require(schema.fieldNames.contains(n), s"column $n does not exist")
+          require(schema.fields.length > 1, "cannot drop the last column")
+          schema = StructType(schema.fields.filterNot(_.name == n))
         case sp: TableChange.SetProperty => config += (sp.property() -> sp.value())
         case rp: TableChange.RemoveProperty => config -= rp.property()
         case other => throw new UnsupportedOperationException(
@@ -386,6 +398,9 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1, "nested DROP COLUMN is not supported")
         LakeNativeWrite.icebergDropColumn(spark, dir, d.fieldNames()(0))
+      case t: TableChange.UpdateColumnType =>
+        require(t.fieldNames().length == 1, "nested ALTER COLUMN TYPE is not supported")
+        LakeNativeWrite.icebergWidenColumn(spark, dir, t.fieldNames()(0), t.newDataType())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported by the native Iceberg writer")
     }

@@ -1202,6 +1202,42 @@ object LakeNativeWrite {
     commitSchemaEvolution(conf, dir, m, newSchema, m.fieldIds)
   }
 
+  /** The Iceberg spec's allowed primitive type promotions (Schema
+    * Evolution: int -> long, float -> double, decimal precision widening
+    * at fixed scale). Spark's parquet reader up-converts the narrow
+    * physical type at scan time, so old files need no rewrite.
+    */
+  private def icebergWidens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision >= f.precision
+    case _ => false
+  }
+
+  /** ALTER COLUMN TYPE: widening-only (the spec's promotion set) — same
+    * field id, new schema generation; narrower data in old files reads
+    * up-converted.
+    */
+  def icebergWidenColumn(spark: SparkSession, dir: Path,
+      name: String, newType: DataType): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    require(m.schema.fieldNames.contains(name), s"column $name does not exist")
+    require(!m.partitionCols.contains(name),
+      s"cannot change the type of partition column $name")
+    val ix = m.schema.fieldIndex(name)
+    val oldType = m.schema.fields(ix).dataType
+    if (oldType == newType) return
+    require(icebergWidens(oldType, newType),
+      s"ALTER COLUMN $name TYPE: only the spec's widening promotions are allowed " +
+        s"(int->long, float->double, decimal precision growth); " +
+        s"got $oldType -> $newType")
+    val newSchema = StructType(m.schema.fields.updated(ix,
+      m.schema.fields(ix).copy(dataType = newType)))
+    commitSchemaEvolution(conf, dir, m, newSchema, m.fieldIds)
+  }
+
   /** DROP COLUMN: the field (and its id) leave the current schema; data
     * files keep the bytes but no read requests the id again — and a later
     * ADD COLUMN with the same name allocates a FRESH id, so the dropped

@@ -34,6 +34,11 @@ abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     super.beforeAll()
     spark.sparkContext.setLogLevel("WARN")
+    // re-point the shared session's catalog at THIS JVM's shared warehouse:
+    // a previously-run suite may have installed its own (PlanSuite's gate
+    // fixtures live under the verify warehouse), and suites must not
+    // depend on execution order to see their registrations
+    Graft.install(spark, warehouseDir)
   }
 
   override def afterAll(): Unit = {

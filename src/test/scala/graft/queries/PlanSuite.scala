@@ -247,7 +247,7 @@ class PlanSuite extends SparkTestBase {
   private def tmpLake(prefix: String): java.io.File =
     java.nio.file.Files.createTempDirectory(prefix).toFile
 
-  test("delta DV scan applies position deletes as a BROADCAST anti-join") {
+  test("delta DV scan applies deletes as a broadcast bitmap FILTER — no join at all") {
     val base = tmpLake("plan-dv")
     graft.Graft.sql(spark,
       s"REGISTER OR REPLACE DELTA DATASOURCE pdvp OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.pdvp")
@@ -257,15 +257,20 @@ class PlanSuite extends SparkTestBase {
     spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(100)")
     spark.sql(s"DELETE FROM $fqn WHERE id % 10 = 3")
     val dir = new org.apache.hadoop.fs.Path(base.getPath, "t")
-    val p = executed(graft.sources.lake.DeltaLite.read(spark, dir))
-    assert(p.contains("LeftAnti"), s"DV scan lost its anti-join:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      s"gate-scale DV side must broadcast (the data never shuffles):\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"DV application must not sort-merge the data side at this scale:\n$p")
+    val df = graft.sources.lake.DeltaLite.read(spark, dir)
+    assert(df.count() == 90)
+    val p = executed(df)
+    // the delta-spark-shaped application: a per-row bitmap probe in the
+    // scan's filter — one codegen stage, zero joins, zero exchanges
+    assert(p.toLowerCase.contains("dvmasked"),
+      s"DV scan must filter through the broadcast bitmap probe:\n$p")
+    assert(!p.contains("Join"), s"DV application must not need a join:\n$p")
+    assert(!p.contains("Exchange"), s"DV application must not shuffle:\n$p")
+    assert(p.contains("*(1) Filter NOT dvmasked"),
+      s"the DV filter must stay inside whole-stage codegen (the *(n) marker):\n$p")
   }
 
-  test("iceberg MoR scan: position-delete anti-join broadcasts, data side unshuffled") {
+  test("iceberg MoR scan: position deletes apply as the broadcast bitmap FILTER") {
     val base = tmpLake("plan-mor")
     graft.Graft.sql(spark,
       s"REGISTER OR REPLACE ICEBERG DATASOURCE pmor OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.pmor")
@@ -275,12 +280,13 @@ class PlanSuite extends SparkTestBase {
     spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(100)")
     spark.sql(s"DELETE FROM $fqn WHERE id % 10 = 7")
     val dir = new org.apache.hadoop.fs.Path(base.getPath, "t")
-    val p = executed(graft.sources.lake.IcebergLite.read(spark, dir))
-    assert(p.contains("LeftAnti"), s"MoR scan lost its anti-join:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      s"gate-scale delete side must broadcast:\n$p")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"the data side must not shuffle for delete application:\n$p")
+    val df = graft.sources.lake.IcebergLite.read(spark, dir)
+    assert(df.count() == 90)
+    val p = executed(df)
+    assert(p.toLowerCase.contains("dvmasked"),
+      s"MoR scan must filter through the broadcast bitmap probe:\n$p")
+    assert(!p.contains("Join"), s"position-delete application must not need a join:\n$p")
+    assert(!p.contains("Exchange"), s"position-delete application must not shuffle:\n$p")
   }
 
   test("row-level DML's matched-file scan prunes partitions (file-granular rewrite input)") {

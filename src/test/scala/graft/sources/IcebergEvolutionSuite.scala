@@ -145,6 +145,39 @@ class IcebergEvolutionSuite extends SparkTestBase {
     assert(feed == Seq((1, 11, "insert"), (2, 22, "insert")))
   }
 
+  test("ALTER COLUMN TYPE: widening promotions read old narrow files up-converted") {
+    val (fqn, dir) = mkTable("evo7")
+    spark.sql(s"INSERT INTO $fqn VALUES (1, 11, 'x')")
+    spark.sql(s"ALTER TABLE $fqn ALTER COLUMN a TYPE BIGINT")
+    spark.sql(s"INSERT INTO $fqn VALUES (2, ${Int.MaxValue.toLong + 5}, 'y')")
+    val rows = spark.sql(s"SELECT id, a FROM $fqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1, 11L), (2, Int.MaxValue.toLong + 5)),
+      "old int32 files must read up-converted; new files carry true longs")
+    // the id is unchanged and the history grew
+    val conf = spark.sparkContext.hadoopConfiguration
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      IcebergLite.readString(conf, IcebergLite.currentMetadataFile(conf, dir)))
+    val schemas = (meta \ "schemas").asInstanceOf[org.json4s.JArray].arr
+    assert(schemas.size == 2)
+    // narrowing is refused by Spark's analyzer before it reaches us
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $fqn ALTER COLUMN a TYPE INT")
+    }
+    assert(ex.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), ex.getMessage)
+    // an up-cast Spark allows but the Iceberg spec does not (long -> string)
+    // is refused by OUR guard
+    val ex2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $fqn ALTER COLUMN a TYPE STRING")
+    }
+    assert(ex2.getMessage.contains("widening"), ex2.getMessage)
+    // and widening composes with a rename (same id throughout)
+    spark.sql(s"ALTER TABLE $fqn RENAME COLUMN a TO a_wide")
+    assert(spark.sql(s"SELECT a_wide FROM $fqn WHERE id = 1").collect()
+      .map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   test("single-schema tables stay on the name path (no id metadata, no conf dependency)") {
     val (fqn, dir) = mkTable("evo6")
     spark.sql(s"INSERT INTO $fqn VALUES (1, 11, 'x')")

@@ -559,4 +559,42 @@ class LakeAlterSuite extends SparkTestBase {
     assert(renamed == Seq((1, 10), (2, 20)),
       "pre-rename files must serve their data under the renamed column")
   }
+
+  test("delta DROP COLUMN: mapping-gated, metadata-only, re-add never resurfaces data") {
+    val base = tmpDir("alter-drop")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE aldr OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.aldr")
+
+    // without column mapping the drop must reject (protocol prerequisite)
+    val plain = "graft.datasource.aldr.aldr.plain"
+    spark.sql(s"CREATE TABLE $plain (id INT, v INT)")
+    spark.sql(s"INSERT INTO $plain VALUES (1, 10)")
+    val ex = intercept[Exception] { spark.sql(s"ALTER TABLE $plain DROP COLUMN v") }
+    assert(ex.getMessage.contains("columnMapping"), ex.getMessage)
+
+    val fqn = "graft.datasource.aldr.aldr.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT, note STRING) " +
+      "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+    spark.sql(s"INSERT INTO $fqn VALUES (1, 10, 'keep-away')")
+    val dir = new Path(base.getPath, "t")
+    val filesBefore = new java.io.File(dir.toString).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+
+    spark.sql(s"ALTER TABLE $fqn DROP COLUMN note")
+    assert(spark.table(fqn).schema.fieldNames.toSeq == Seq("id", "v"))
+    // metadata-only: no data file was touched
+    val filesAfter = new java.io.File(dir.toString).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    assert(filesAfter == filesBefore, "DROP COLUMN must be a metadata-only commit")
+
+    // re-add the name: fresh physical name, the old bytes stay dead
+    spark.sql(s"ALTER TABLE $fqn ADD COLUMNS (note STRING)")
+    spark.sql(s"INSERT INTO $fqn VALUES (2, 20, 'fresh')")
+    val rows = spark.sql(s"SELECT id, v, note FROM $fqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1, 10, None), (2, 20, Some("fresh"))),
+      "re-added column must read NULL from pre-drop files, never the old bytes")
+  }
 }
