@@ -453,7 +453,7 @@ object DeltaLite {
   }
 
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "deletionVectors", "columnMapping")
+    Set("timestampNtz", "deletionVectors", "columnMapping", "typeWidening")
 
   /** Field access tolerant of schema-inferred checkpoints that omit empty
     * maps/arrays (a real writer's checkpoint always carries them).

@@ -316,12 +316,17 @@ object IcebergLite {
       }.toMap
       case _ => Map.empty
     }
+    // equality ids resolve to DOTTED paths (top-level or struct-nested);
+    // ids inside list/map elements reject — equality on collection
+    // elements has no per-row join rendering
+    val leafById: Map[Int, (String, DataType)] = schemaLeaves(schemaJson \ "fields", "")
     val eqDeleteFiles: Seq[EqDeleteFile] = allDeletes.collect { case Right(e) =>
-      val cols = e.equalityIds.map(id => topLevelById.getOrElse(id,
+      val cols = e.equalityIds.map(id => leafById.getOrElse(id,
         throw new UnsupportedOperationException(
-          s"equality delete ${e.path} references field id $id, which is not a " +
-            s"top-level column of the current schema — nested equality deletes " +
-            s"need field-id parquet resolution (use the full runtime)")))
+          s"equality delete ${e.path} references field id $id, which does not " +
+            s"resolve to a scalar column (top-level or struct-nested) of the " +
+            s"current schema — equality deletes inside list/map elements are " +
+            s"not supported"))._1)
       e.copy(columns = cols)
     }
 
@@ -374,6 +379,46 @@ object IcebergLite {
     case StringType | IntegerType | LongType | BooleanType | FloatType | DoubleType | DateType => true
     case _: DecimalType => true
     case _ => false
+  }
+
+  /** Scalar leaves reachable through struct nesting only: field id ->
+    * (dotted path, Spark type). List/map subtrees are excluded — equality
+    * deletes on collection elements have no per-row join rendering.
+    */
+  private def schemaLeaves(fields: JValue, prefix: String): Map[Int, (String, DataType)] =
+    fields match {
+      case JArray(fs) => fs.flatMap { f =>
+        ((f \ "id"), (f \ "name")) match {
+          case (JInt(id), JString(n)) =>
+            val path = prefix + n
+            (f \ "type") match {
+              case o: JObject if (o \ "type") == JString("struct") =>
+                schemaLeaves(o \ "fields", path + ".").toSeq
+              case _: JObject => Nil // list/map subtree
+              case t => Seq(id.toInt -> (path, toSparkType(t)))
+            }
+          case _ => Nil
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+
+  /** The schema pruned to the given paths (everything nullable — a delete
+    * row may carry null to null-safely match null data values), field
+    * metadata preserved so id-resolution reads keep their ids.
+    */
+  private def pruneTo(struct: StructType, paths: Seq[Seq[String]]): StructType = {
+    val byHead = paths.filter(_.nonEmpty).groupBy(_.head)
+    StructType(struct.fields.flatMap { f =>
+      byHead.get(f.name).map { sub =>
+        val rest = sub.map(_.tail).filter(_.nonEmpty)
+        f.dataType match {
+          case s: StructType if rest.nonEmpty =>
+            f.copy(dataType = pruneTo(s, rest), nullable = true)
+          case _ => f.copy(nullable = true)
+        }
+      }
+    })
   }
 
   /** (field-id, dotted-path) pairs for every field at any nesting depth of
@@ -829,27 +874,17 @@ object IcebergLite {
       // (files sharing a set read as one relation — a Flink CDC stream
       // emits hundreds of delete files over the SAME key columns, so the
       // common case is exactly one extra join regardless of file count).
+      // Columns are DOTTED paths (struct-nested keys supported); the
+      // delete read schema is the table schema PRUNED to those paths, so
+      // under field-id resolution every level keeps its id metadata and
+      // pre-rename delete files match by id exactly like the data files.
       snap.eqDeleteFiles.groupBy(_.columns).toSeq.sortBy(_._1.mkString(","))
         .foreach { case (cols0, group) =>
           val delPartSchema = StructType(Seq(StructField("__gdseq", LongType, nullable = false)))
           val delFiles = group.map(d => LakeFile(d.path, d.size, 0L, Seq(d.seq)))
           val delIndex = new LakeFileIndex(snap.tableDir, delFiles, delPartSchema)
-          // delete rows carry the equality columns under their write-time
-          // names; read them with the table's types, everything nullable (a
-          // delete row may carry null to match null data values,
-          // null-safely). Under field-id resolution the requested fields
-          // carry their equality ids, so pre-rename delete files match by
-          // id exactly like the data files.
-          val eqIdByCol: Map[String, Int] =
-            group.headOption.map(g => g.columns.zip(g.equalityIds).toMap).getOrElse(Map.empty)
-          val delSchema = StructType(cols0.map { c =>
-            val meta =
-              if (snap.idSchema.isDefined && eqIdByCol.contains(c))
-                new MetadataBuilder().putLong("parquet.field.id", eqIdByCol(c).toLong).build()
-              else Metadata.empty
-            StructField(c, snap.schema(snap.schema.fieldIndex(c)).dataType,
-              nullable = true, metadata = meta)
-          })
+          val delSchema = pruneTo(snap.idSchema.getOrElse(snap.schema),
+            cols0.map(_.split('.').toSeq))
           val renamed = cols0.zipWithIndex.map { case (c, i) => (c, s"__ge_$i") }
           val delRows = GraftLakeBridge.parquetRelation(spark, delIndex, delPartSchema, delSchema)
             .select(renamed.map { case (c, a) => col(c).as(a) } :+ col("__gdseq"): _*)

@@ -205,6 +205,39 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
             mb.putString("delta.columnMapping.physicalName", old.name)
           schema = StructType(schema.fields.updated(ix,
             old.copy(name = r.newName(), metadata = mb.build())))
+        case t: TableChange.UpdateColumnType =>
+          require(t.fieldNames().length == 1, "nested ALTER COLUMN TYPE is not supported")
+          val n = t.fieldNames()(0)
+          require(schema.fieldNames.contains(n), s"column $n does not exist")
+          require(!snap.partitionColumns.contains(n),
+            s"cannot change the type of partition column $n")
+          val ix = schema.fieldIndex(n)
+          val from = schema.fields(ix).dataType
+          def widens(f: org.apache.spark.sql.types.DataType,
+              to: org.apache.spark.sql.types.DataType): Boolean = {
+            import org.apache.spark.sql.types._
+            (f, to) match {
+              case (ByteType, ShortType | IntegerType | LongType) => true
+              case (ShortType, IntegerType | LongType) => true
+              case (IntegerType, LongType) => true
+              case (FloatType, DoubleType) => true
+              case (fd: DecimalType, td: DecimalType) =>
+                td.scale == fd.scale && td.precision >= fd.precision
+              case _ => false
+            }
+          }
+          if (from != t.newDataType()) {
+            require(widens(from, t.newDataType()),
+              s"ALTER COLUMN $n TYPE: only widening promotions are supported " +
+                s"(integral ladder, float->double, decimal precision growth); " +
+                s"got $from -> ${t.newDataType()}")
+            schema = StructType(schema.fields.updated(ix,
+              schema.fields(ix).copy(dataType = t.newDataType())))
+            // declare the gating table feature so external readers that
+            // cannot up-convert narrow physical types reject instead of
+            // misreading (impliedFeatures turns this into typeWidening)
+            config += ("delta.enableTypeWidening" -> "true")
+          }
         case d: TableChange.DeleteColumn =>
           require(mapping,
             "DROP COLUMN needs delta.columnMapping.mode = name/id (the Delta " +

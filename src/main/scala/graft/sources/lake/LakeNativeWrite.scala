@@ -239,7 +239,8 @@ object LakeNativeWrite {
     val reader = Seq(
       (config.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id"),
         "columnMapping"),
-      (on("delta.enableDeletionVectors"), "deletionVectors")
+      (on("delta.enableDeletionVectors"), "deletionVectors"),
+      (on("delta.enableTypeWidening"), "typeWidening")
     ).collect { case (true, f) => f }
     val writer = reader ++ (if (on("delta.enableChangeDataFeed")) Seq("changeDataFeed") else Nil)
     (reader, writer)

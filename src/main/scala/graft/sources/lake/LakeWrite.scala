@@ -375,7 +375,10 @@ object LakeWrite {
         case org.apache.spark.sql.types.TimestampNTZType => JString("timestamp")
         case org.apache.spark.sql.types.BinaryType => JString("binary")
         case d: org.apache.spark.sql.types.DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
-        case other => throw new UnsupportedOperationException(s"fixture type $other")
+        case other => throw new UnsupportedOperationException(
+          s"column type $other is not supported by the native Iceberg metadata " +
+            "writer (flat primitive schemas only — nested tables read fine but " +
+            "their DDL needs the full runtime)")
       }
       JObject("id" -> JInt(id), "name" -> JString(f.name),
         "required" -> JBool(!f.nullable), "type" -> t)

@@ -560,6 +560,30 @@ class LakeAlterSuite extends SparkTestBase {
       "pre-rename files must serve their data under the renamed column")
   }
 
+  test("delta ALTER COLUMN TYPE: widening reads old narrow files, declares the feature") {
+    val base = tmpDir("alter-widen")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE alwd OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.alwd")
+    val fqn = "graft.datasource.alwd.alwd.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT, f FLOAT)")
+    spark.sql(s"INSERT INTO $fqn VALUES (1, 11, CAST(1.5 AS FLOAT))")
+    spark.sql(s"ALTER TABLE $fqn ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $fqn ALTER COLUMN f TYPE DOUBLE")
+    spark.sql(s"INSERT INTO $fqn VALUES (2, ${Int.MaxValue.toLong + 7}, CAST(2.5 AS DOUBLE))")
+    val rows = spark.sql(s"SELECT id, v, f FROM $fqn ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1, 11L, 1.5), (2, Int.MaxValue.toLong + 7, 2.5)),
+      "old narrow files must read up-converted; new files carry wide values")
+    // the gating feature is declared for external readers
+    val snap = DeltaLite.snapshot(spark, new Path(base.getPath, "t"))
+    assert(snap.protocol.readerFeatures.contains("typeWidening"),
+      s"typeWidening must be declared: ${snap.protocol}")
+    // narrowing is refused (Spark analyzer); long -> string by our guard
+    intercept[Exception] { spark.sql(s"ALTER TABLE $fqn ALTER COLUMN v TYPE INT") }
+    val ex = intercept[Exception] { spark.sql(s"ALTER TABLE $fqn ALTER COLUMN v TYPE STRING") }
+    assert(ex.getMessage.contains("widening"), ex.getMessage)
+  }
+
   test("delta DROP COLUMN: mapping-gated, metadata-only, re-add never resurfaces data") {
     val base = tmpDir("alter-drop")
     graft.Graft.sql(spark,
