@@ -188,7 +188,13 @@ object IcebergLite {
   // ---- snapshot resolution ----
 
   def snapshot(spark: SparkSession, dir: Path,
-      version: Option[String] = None, timestampMs: Option[Long] = None): Snapshot = {
+      version: Option[String] = None, timestampMs: Option[Long] = None,
+      /** time travel reads with the SNAPSHOT's schema (Iceberg's own
+        * semantics: VERSION AS OF shows the columns of that time); false =
+        * always the current schema — what [[changes]] needs, since the
+        * changelog projects every snapshot's rows to one output schema
+        */
+      schemaAtSnapshot: Boolean = true): Snapshot = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaFile = currentMetadataFile(conf, dir)
     val meta = JsonMethods.parse(readString(conf, metaFile))
@@ -236,11 +242,22 @@ object IcebergLite {
     }
     val snapId = (snap \ "snapshot-id").extract[Long]
 
-    // current schema (v2: schemas + current-schema-id; v1: inline schema)
+    // schema selection (v2: schemas + current-schema-id; v1: inline): the
+    // current schema, or — for explicit time travel — the schema-id the
+    // chosen snapshot recorded (Iceberg's own travel semantics)
+    val wantSchemaId: Int = {
+      val cur = (meta \ "current-schema-id").extractOrElse[Int](0)
+      if (schemaAtSnapshot && (version.isDefined || timestampMs.isDefined))
+        (snap \ "schema-id") match {
+          case JInt(i) => i.toInt
+          case _ => cur // pre-v2 metadata without per-snapshot schema ids
+        }
+      else cur
+    }
     val schemaJson: JValue = (meta \ "schemas") match {
       case JArray(ss) =>
-        val cur = (meta \ "current-schema-id").extractOrElse[Int](0)
-        ss.find(s => (s \ "schema-id").extractOrElse[Int](0) == cur).getOrElse(ss.last)
+        ss.find(s => (s \ "schema-id").extractOrElse[Int](0) == wantSchemaId)
+          .getOrElse(ss.last)
       case _ => meta \ "schema"
     }
     val schema = toSparkType(schemaJson).asInstanceOf[StructType]
@@ -1013,7 +1030,8 @@ object IcebergLite {
 
     val cache = scala.collection.mutable.HashMap[Long, Snapshot]()
     def snapOf(id: Long): Snapshot =
-      cache.getOrElseUpdate(id, snapshot(spark, dir, version = Some(id.toString)))
+      cache.getOrElseUpdate(id, snapshot(spark, dir, version = Some(id.toString),
+        schemaAtSnapshot = false)) // the feed projects all rows to ONE schema
     def subSnap(s: Snapshot, keep: Set[String]): Snapshot = {
       val z = s.files.zip(s.dataFileMeta)
       val kept = z.filter { case (_, (fid, _)) => keep(fid) }

@@ -869,7 +869,8 @@ object LakeNativeWrite {
             case (k, JString(v)) if k != "operation" => k -> v
           }.toMap
           case _ => Map.empty
-        }))
+        },
+        schemaId = (s \ "schema-id").extractOrElse[Int](0)))
       case _ => Nil
     }
     IceMeta(metaVersion, schema, partitionCols,
@@ -948,7 +949,7 @@ object LakeNativeWrite {
     val newSnapshots = m.priorSnapshots :+
       LakeWrite.IcebergSnapshot(newSnapId, now, s"metadata/ml-$newSnapId.avro", newSeq,
         parentId = Some(m.currentId).filter(_ >= 0), operation = operation,
-        extraSummary = extraSummary)
+        extraSummary = extraSummary, schemaId = m.currentSchemaId)
     LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema, newSnapshots,
       currentSnapshotId = newSnapId,
       refs = Map("main" -> (newSnapId, "branch")),

@@ -389,7 +389,11 @@ object LakeWrite {
 
   final case class IcebergSnapshot(id: Long, timestampMs: Long, manifestListPath: String,
       sequenceNumber: Long, parentId: Option[Long] = None, operation: String = "append",
-      extraSummary: Map[String, String] = Map.empty)
+      extraSummary: Map[String, String] = Map.empty,
+      /** the schema generation current when this snapshot committed — what
+        * time travel reads with (Iceberg's own semantics)
+        */
+      schemaId: Int = 0)
 
   /** Write vN.metadata.json + version-hint.text for a hadoop-style table.
     * `specFields` = the default partition spec's field objects (e.g.
@@ -458,7 +462,7 @@ object LakeWrite {
         "manifest-list" -> (JString(s.manifestListPath): JValue),
         "summary" -> (JObject(("operation" -> (JString(s.operation): JValue)) ::
           s.extraSummary.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }): JValue),
-        "schema-id" -> (JInt(0): JValue))) : JValue).toList),
+        "schema-id" -> (JInt(s.schemaId): JValue))) : JValue).toList),
       "snapshot-log" -> JArray(snapshots.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
         "snapshot-id" -> JInt(BigInt(s.id))) : JValue).toList),

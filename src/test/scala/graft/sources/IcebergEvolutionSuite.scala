@@ -132,10 +132,12 @@ class IcebergEvolutionSuite extends SparkTestBase {
     spark.sql(s"ALTER TABLE $fqn RENAME COLUMN a TO a2")
     spark.sql(s"INSERT INTO $fqn VALUES (2, 22, 'y')")
 
-    // time travel to the pre-rename snapshot reads its files (served under
-    // the CURRENT schema, the lite reader's documented posture)
+    // time travel reads with the SNAPSHOT's schema (Iceberg's semantics):
+    // the pre-rename snapshot still shows column `a`
     val old = IcebergLite.read(spark, dir, version = Some(v1.toString))
-    assert(old.select("id", "a2").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+    assert(old.schema.fieldNames.toSeq == Seq("id", "a", "b"),
+      s"travel must use the snapshot's schema, got ${old.schema.fieldNames.toSeq}")
+    assert(old.select("id", "a").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
       Seq((1, 11)))
 
     // the changelog walks both sides of the rename
