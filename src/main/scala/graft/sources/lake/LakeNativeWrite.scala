@@ -942,8 +942,12 @@ object LakeNativeWrite {
     toMeta(tmpM, s"m-$newSnapId.avro")
     val tmpL = java.io.File.createTempFile("graft-mlist", ".avro")
     LakeWrite.icebergWriteManifestListEntries(tmpL,
-      otherManifests :+ LakeWrite.ManifestFile(s"metadata/m-$newSnapId.avro", mLen,
-        newManifestContent, newSeq, specId = newManifestSpecId),
+      otherManifests :+ {
+        val (a, e, d) = LakeWrite.manifestCounts(entries)
+        LakeWrite.ManifestFile(s"metadata/m-$newSnapId.avro", mLen,
+          newManifestContent, newSeq, specId = newManifestSpecId,
+          added = a, existing = e, deleted = d)
+      },
       newSnapId)
     toMeta(tmpL, s"ml-$newSnapId.avro")
     val newSnapshots = m.priorSnapshots :+
@@ -1042,7 +1046,7 @@ object LakeNativeWrite {
     }
     commitIceberg(conf, dir, m, dataEntries,
       existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq,
-        specId = deleteSpecId(m)),
+        specId = deleteSpecId(m), added = (1, nDel)),
       newSnapId, newSeq, newSnapId, entrySchema, operation = "overwrite",
       extraSummary = extraSummary)
   }
@@ -1086,7 +1090,7 @@ object LakeNativeWrite {
         fs.mkdirs(dTarget.getParent)
         fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
         Seq(LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq,
-          specId = deleteSpecId(m)))
+          specId = deleteSpecId(m), added = (1, nDel)))
       }
     // the rewrite side: new data files
     val aligned = withFieldIds(align(newRows, m.schema), m.schema, m.fieldIds)
@@ -1380,7 +1384,10 @@ object LakeNativeWrite {
           .getOrElse(dflt)
         buf += LakeWrite.ManifestFile(r.get("manifest_path").toString,
           num("manifest_length", 0L), num("content", 0L).toInt, num("sequence_number", 0L),
-          specId = num("partition_spec_id", 0L).toInt)
+          specId = num("partition_spec_id", 0L).toInt,
+          added = (num("added_files_count", 0L).toInt, num("added_rows_count", 0L)),
+          existing = (num("existing_files_count", 0L).toInt, num("existing_rows_count", 0L)),
+          deleted = (num("deleted_files_count", 0L).toInt, num("deleted_rows_count", 0L)))
       }
       buf.result()
     } finally reader.close()

@@ -321,7 +321,26 @@ object LakeWrite {
         * delete manifests on a partitioned table use the registered
         * UNPARTITIONED spec (global deletes), never spec 0's struct
         */
-      specId: Int = 0)
+      specId: Int = 0,
+      /** (files, rows) by entry status — external planners read these for
+        * stats, so writing zeros for a manifest that added files is wrong
+        * metadata, not a shortcut
+        */
+      added: (Int, Long) = (0, 0L),
+      existing: (Int, Long) = (0, 0L),
+      deleted: (Int, Long) = (0, 0L))
+
+  /** Counts derived from a manifest's entries (status 1=ADDED, 0=EXISTING,
+    * 2=DELETED), for the manifest-list entry that references it.
+    */
+  def manifestCounts(entries: Seq[ManifestEntry]):
+      ((Int, Long), (Int, Long), (Int, Long)) = {
+    def agg(status: Int) = {
+      val es = entries.filter(_.status == status)
+      (es.size, es.map(_.recordCount).sum)
+    }
+    (agg(1), agg(0), agg(2))
+  }
 
   def icebergWriteManifestList(file: java.io.File,
       manifests: Seq[(String, Long)], snapshotId: Long, sequenceNumber: Long): Unit =
@@ -339,12 +358,12 @@ object LakeWrite {
       r.put("sequence_number", mf.sequenceNumber)
       r.put("min_sequence_number", mf.sequenceNumber)
       r.put("added_snapshot_id", snapshotId)
-      r.put("added_files_count", 0)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", 0L)
-      r.put("existing_rows_count", 0L)
-      r.put("deleted_rows_count", 0L)
+      r.put("added_files_count", mf.added._1)
+      r.put("existing_files_count", mf.existing._1)
+      r.put("deleted_files_count", mf.deleted._1)
+      r.put("added_rows_count", mf.added._2)
+      r.put("existing_rows_count", mf.existing._2)
+      r.put("deleted_rows_count", mf.deleted._2)
       r: org.apache.avro.generic.GenericRecord
     }
     AvroLite.writeFile(file, ManifestFileSchema, records)

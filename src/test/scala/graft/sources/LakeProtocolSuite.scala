@@ -218,11 +218,13 @@ class LakeProtocolSuite extends SparkTestBase {
     val reader = org.apache.avro.file.DataFileReader.openReader(in,
       new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
     val entries = try {
-      val buf = Seq.newBuilder[(Int, Int)]
+      val buf = Seq.newBuilder[(Int, Int, Int, Long)]
       while (reader.hasNext) {
         val r = reader.next()
         buf += ((r.get("content").asInstanceOf[Number].intValue(),
-          r.get("partition_spec_id").asInstanceOf[Number].intValue()))
+          r.get("partition_spec_id").asInstanceOf[Number].intValue(),
+          r.get("added_files_count").asInstanceOf[Number].intValue(),
+          r.get("added_rows_count").asInstanceOf[Number].longValue()))
       }
       buf.result()
     } finally reader.close()
@@ -231,6 +233,12 @@ class LakeProtocolSuite extends SparkTestBase {
       s"delete manifests must reference the unpartitioned spec: $entries")
     assert(datas.nonEmpty && datas.forall(_._2 == 0),
       s"data manifests stay on the default spec: $entries")
+    // the list's count fields are real, not zero-filled — external
+    // planners read them for stats
+    assert(deletes.exists(e => e._3 > 0 && e._4 > 0),
+      s"delete manifest counts must reflect the delete file: $entries")
+    assert(datas.exists(e => e._3 + e._4 > 0),
+      s"data manifest counts must reflect the entries: $entries")
   }
 
   test("iceberg snapshot ids advance past existing ids (same-millisecond commits)") {
