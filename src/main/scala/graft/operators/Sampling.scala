@@ -142,6 +142,51 @@ object Sampling {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Token-budget mixture WITH UPSAMPLING (the Pile/Dolma multi-epoch
+    * semantics [[tokenMixture]] clamps away): a source whose share of the
+    * budget EXCEEDS its available tokens repeats — rate 2.3 keeps every
+    * document twice and a 0.3-probability third copy — so the realized
+    * token mix matches the target even for under-resourced sources.
+    * Output carries an `epoch` column (0-based copy index; downstream
+    * shuffles/packing treat copies as distinct rows).
+    *
+    * Copy selection stays deterministic and reshard-stable: full copies
+    * are unconditional, the fractional copy keeps iff the seeded-md5
+    * hash01 of the id is under the fractional part — the SAME contract as
+    * [[tokenMixture]], which this degenerates to (plus `epoch = 0`) when
+    * every rate <= 1.
+    *
+    * Scale shape: one partial-combine totals agg broadcast back, then a
+    * map-side `explode(sequence(...))` bounded by ceil(rate) per row — the
+    * corpus never shuffles, and the expansion factor is exactly the
+    * upsampling the caller asked for.
+    */
+  def tokenMixtureUpsample(df: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, shareTimesBudget: Map[String, Double],
+      seed: Long): DataFrame = {
+    require(shareTimesBudget.nonEmpty && shareTimesBudget.values.forall(_ > 0))
+    require(!df.columns.contains("epoch"),
+      "input already has an 'epoch' column (reserved for the copy index)")
+    val listed = df.where(col(sourceCol).isin(shareTimesBudget.keys.toSeq: _*))
+    val totals = listed.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).as("__tot"))
+    val budgetExpr = shareTimesBudget.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, tb)) => when(col(sourceCol) === src, lit(tb)).otherwise(acc)
+    }
+    val hash01 = bucketCol(idCol, seed, portable = true).cast("double") / 10000.0
+    listed.join(broadcast(totals), Seq(sourceCol))
+      // same null/zero-token guard as tokenMixture: nothing measurable to
+      // budget -> rate 0, keep nothing
+      .withColumn("__rate",
+        when(col("__tot") > 0, budgetExpr / col("__tot")).otherwise(lit(0.0)))
+      .withColumn("epoch",
+        explode(sequence(lit(0), greatest(ceil(col("__rate")).cast("int") - 1, lit(0)))))
+      .where(col("epoch") < floor(col("__rate")).cast("int") ||
+        (col("epoch") === floor(col("__rate")).cast("int") &&
+          hash01 < col("__rate") - floor(col("__rate"))))
+      .select((df.columns.map(col) :+ col("epoch")).toSeq: _*)
+  }
+
   /** Temperature-based source mixing (the T5/mC4 alpha-sampling step):
     * target share of source `i` is `q_i = n_i^alpha / sum_j n_j^alpha`
     * over the per-source token counts — `alpha = 1` keeps natural

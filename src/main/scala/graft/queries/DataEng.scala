@@ -153,6 +153,53 @@ object DataEng {
           / 10000.0 < rate
         GROUP BY source ORDER BY source""")),
 
+    // ---- Token-budget mixture WITH UPSAMPLING (the Pile/Dolma multi-epoch
+    // shape): src0's budget exceeds its tokens (rate > 1 -> full copies +
+    // a fractional hash01 copy), src2/src3 downsample, unlisted sources
+    // drop. The oracle computes floor(rate) full copies + the fractional
+    // keep per doc WITHOUT materializing copies — row and token totals
+    // only match if the epoch expansion is exactly rate-shaped. ----
+    QuerySpec("sample_mixture_upsample",
+      (s, dir) => {
+        import graft.functions.{TextFunctions => T}
+        val d = t(s, dir, "documents")
+          .withColumn("n_tok", T.tokenCount(col("text")).cast("long"))
+        graft.operators.Sampling.tokenMixtureUpsample(d, "doc_id", "n_tok", "source",
+            Map("src0" -> 30000.0, "src1" -> 9000.0, "src2" -> 1000.0, "src3" -> 500.0),
+            seed = 23L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("n_tok")).as("tokens_kept"),
+            max(col("epoch")).as("max_epoch"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, source, CAST(len($toksSqlDE) AS BIGINT) AS n_tok FROM documents
+        ), agg AS (
+          SELECT source, SUM(n_tok) AS tot FROM tk GROUP BY source
+        ), rated AS (
+          SELECT tk.doc_id, tk.source, tk.n_tok,
+            (CASE tk.source
+              WHEN 'src0' THEN 30000.0 WHEN 'src1' THEN 9000.0
+              WHEN 'src2' THEN 1000.0 WHEN 'src3' THEN 500.0 END) / agg.tot AS rate,
+            (('0x' || substr(md5(tk.doc_id::VARCHAR || ':23'), 1, 15))::BIGINT % 10000)
+              / 10000.0 AS h01
+          FROM tk JOIN agg USING (source)
+          WHERE tk.source IN ('src0', 'src1', 'src2', 'src3')
+        ), copies AS (
+          SELECT source, n_tok,
+            CAST(FLOOR(rate) AS BIGINT)
+              + (CASE WHEN h01 < rate - FLOOR(rate) THEN 1 ELSE 0 END) AS n_copies,
+            CASE WHEN h01 < rate - FLOOR(rate)
+              THEN CAST(CEIL(rate) AS INT) - 1
+              ELSE CAST(FLOOR(rate) AS INT) - 1 END AS max_epoch
+          FROM rated
+        )
+        SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+          CAST(SUM(n_copies * n_tok) AS BIGINT) AS tokens_kept,
+          MAX(max_epoch) AS max_epoch
+        FROM copies WHERE n_copies > 0
+        GROUP BY source ORDER BY source""")),
+
     // ---- Temperature-based source mixing (T5/mC4 alpha-sampling): target
     // share q_i = n_i^alpha / sum n_j^alpha at alpha=0.5, keep rate
     // min(1, q_i * 3000 / n_i), md5-hash01 keep. The oracle recomputes

@@ -180,6 +180,41 @@ class SamplingSuite extends SparkTestBase {
     assert(kept.get("srcG").exists(_ > 0L), s"healthy source lost all rows: $kept")
   }
 
+  test("tokenMixtureUpsample: rate>1 repeats deterministically; rate<=1 matches tokenMixture") {
+    import spark.implicits._
+    // srcU: 20 docs x 10 tokens = 200; budget 460 -> rate 2.3 (2 full
+    // copies + a 0.3 fractional). srcD: rate 0.5. srcN: null tokens.
+    val d = ((0L until 20L).map(i => (i, "srcU", java.lang.Long.valueOf(10L))) ++
+      (100L until 120L).map(i => (i, "srcD", java.lang.Long.valueOf(10L))) ++
+      (200L until 210L).map(i => (i, "srcN", null.asInstanceOf[java.lang.Long])))
+      .toDF("doc_id", "source", "n_tok")
+    val budgets = Map("srcU" -> 460.0, "srcD" -> 100.0, "srcN" -> 500.0)
+    val out = Sampling.tokenMixtureUpsample(d, "doc_id", "n_tok", "source", budgets, seed = 7L)
+    val byDoc = out.groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every srcU doc appears 2 or 3 times; total extra fraction ~0.3
+    val uCounts = byDoc.filter(_._2 == "srcU").map(_._3)
+    assert(uCounts.nonEmpty && uCounts.forall(c => c == 2L || c == 3L), uCounts.toSeq.toString)
+    val uTotal = uCounts.sum
+    assert(uTotal > 40L && uTotal < 60L, s"expected ~46 srcU rows, got $uTotal")
+    // null-token source keeps nothing; epoch is always 0 for rate <= 1
+    assert(!byDoc.exists(_._2 == "srcN"))
+    assert(out.where($"source" === "srcD").select("epoch").collect()
+      .forall(_.getInt(0) == 0))
+    // degenerate equality: for rate <= 1 sources, the kept DOC SET matches
+    // tokenMixture under the same seed
+    val up = out.where($"source" === "srcD").select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = Sampling.tokenMixture(d, "doc_id", "n_tok", "source", budgets, seed = 7L)
+      .where($"source" === "srcD").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(up == base)
+    // reshard stability: identical multiset after a repartition
+    val re = Sampling.tokenMixtureUpsample(d.repartition(13), "doc_id", "n_tok", "source",
+        budgets, seed = 7L)
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(re == byDoc.toSet)
+  }
+
   test("temperatureMixture: alpha=1 is natural proportions, alpha<1 upweights small sources") {
     import spark.implicits._
     // two sources, 9:1 token ratio; per-doc 10 tokens
