@@ -212,6 +212,27 @@ object Sampling {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** The UNCLAMPED per-source mixture rates alone — (sourceCol, __rate)
+    * with rate > 1 meaning upsampling — the broadcastable frame
+    * [[tokenMixtureUpsample]] is built on and the static side its
+    * streaming twin pins against a reference corpus
+    * ([[graft.streaming.Streaming.mixtureUpsampleStream]]). Null/zero
+    * token sums guard to rate 0, as everywhere.
+    */
+  def mixtureRates(df: DataFrame, tokenCol: String, sourceCol: String,
+      shareTimesBudget: Map[String, Double]): DataFrame = {
+    require(shareTimesBudget.nonEmpty && shareTimesBudget.values.forall(_ > 0))
+    val listed = df.where(col(sourceCol).isin(shareTimesBudget.keys.toSeq: _*))
+    val budgetExpr = shareTimesBudget.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, tb)) => when(col(sourceCol) === src, lit(tb)).otherwise(acc)
+    }
+    listed.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).as("__tot"))
+      .withColumn("__rate",
+        when(col("__tot") > 0, budgetExpr / col("__tot")).otherwise(lit(0.0)))
+      .select(col(sourceCol), col("__rate"))
+  }
+
   /** The tempered per-source keep rates alone — (sourceCol, __rate), the
     * broadcastable frame [[temperatureMixture]] joins and the static side
     * a streaming twin pins against a reference corpus

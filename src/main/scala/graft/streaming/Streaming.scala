@@ -433,6 +433,28 @@ object Streaming {
       .select(docs.columns.map(col).toSeq: _*)
   }
 
+  /** Streaming multi-epoch mixture keep: the twin of
+    * [[graft.operators.Sampling.tokenMixtureUpsample]] with the UNCLAMPED
+    * rates pinned against a static reference corpus
+    * ([[graft.operators.Sampling.mixtureRates]]). One broadcast
+    * stream-static join, then the same map-side epoch explode + keep
+    * filter — stateless and reshard-stable, so a given doc's copy set is
+    * identical to the batch operator over reference + doc. Output carries
+    * the 0-based `epoch` column.
+    */
+  def mixtureUpsampleStream(referenceRates: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String, seed: Long): DataFrame = {
+    val hash01 = graft.operators.Sampling.bucketCol(idCol, seed, portable = true)
+      .cast("double") / 10000.0
+    docs.join(broadcast(referenceRates), Seq(sourceCol))
+      .withColumn("epoch",
+        explode(sequence(lit(0), greatest(ceil(col("__rate")).cast("int") - 1, lit(0)))))
+      .where(col("epoch") < floor(col("__rate")).cast("int") ||
+        (col("epoch") === floor(col("__rate")).cast("int") &&
+          hash01 < col("__rate") - floor(col("__rate"))))
+      .select((docs.columns.map(col) :+ col("epoch")).toSeq: _*)
+  }
+
   /** foreachBatch adapter for FULL incremental ingest dedup (exact + near):
     * near-dup conviction aggregates LSH candidates per doc, which an
     * append-mode stream cannot express statelessly, so each micro-batch runs

@@ -406,4 +406,28 @@ class StreamingSuite extends SparkTestBase {
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(streamed == batch)
   }
+
+  test("streaming mixture upsampling equals the batch operator, epochs included") {
+    import graft.operators.Sampling
+    import graft.functions.{TextFunctions => T}
+    val docs = QueryPack.t(spark, sf(), "documents")
+      .withColumn("n_tok", T.tokenCount(col("text")).cast("long"))
+    val budgets = Map("src0" -> 30000.0, "src1" -> 9000.0, "src2" -> 1000.0)
+    val batch = Sampling.tokenMixtureUpsample(docs, "doc_id", "n_tok", "source",
+        budgets, seed = 23L)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(batch.exists(_._2 > 0), "fixture must actually upsample somewhere")
+    val rates = Sampling.mixtureRates(docs, "n_tok", "source", budgets)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ups").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val streamed = Streaming.runToMemory(
+        Streaming.mixtureUpsampleStream(rates,
+          Streaming.fileStream(spark, dir, docs.schema), "doc_id", "source", seed = 23L),
+        "upsample_stream")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(streamed == batch)
+  }
 }
