@@ -250,8 +250,12 @@ object LakeWrite {
     dt match {
       case IntegerType if bytes.length == 4 => Some(le.getInt)
       case LongType if bytes.length == 8 => Some(le.getLong)
+      // bounds written BEFORE a type-widening evolution keep the narrow
+      // encoding; widen on read so skipping survives the ALTER
+      case LongType if bytes.length == 4 => Some(le.getInt.toLong)
       case FloatType if bytes.length == 4 => Some(le.getFloat)
       case DoubleType if bytes.length == 8 => Some(le.getDouble)
+      case DoubleType if bytes.length == 4 => Some(le.getFloat.toDouble)
       case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
       case StringType => Some(new String(bytes, "UTF-8"))
       case _ => None
