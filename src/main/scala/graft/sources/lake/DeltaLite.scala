@@ -633,7 +633,12 @@ object DeltaLite {
   private def dvFiltered(spark: SparkSession, snap: Snapshot,
       withDv: Seq[(LakeFile, String)], data: DataFrame): Option[DataFrame] = {
     val totalBytes = withDv.iterator.map { case (_, id) => snap.dvs(id).sizeInBytes.toLong }.sum
-    if (totalBytes > DvBroadcastByteCap) None
+    // BOTH caps: encoded bytes bound the broadcast, but roaring RUN
+    // containers decode to orders of magnitude more (a few KB can encode a
+    // billion-row range delete) — the descriptors' cardinality bounds the
+    // decoded Array[Long] the probe actually holds
+    val totalCard = withDv.iterator.map { case (_, id) => snap.dvs(id).cardinality }.sum
+    if (totalBytes > DvBroadcastByteCap || totalCard > BroadcastDeleteRowCap) None
     else {
       val conf = spark.sparkContext.hadoopConfiguration
       val raw: Map[String, Array[Byte]] = withDv.map { case (_, id) =>

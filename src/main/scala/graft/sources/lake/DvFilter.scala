@@ -33,7 +33,7 @@ case class DvMasked(fid: Expression, rix: Expression,
   override def nullable: Boolean = false
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 
-  def masked(f: UTF8String, r: Long): Boolean = bitmaps.value.contains(f.toString, r)
+  def masked(f: UTF8String, r: Long): Boolean = bitmaps.value.contains(f, r)
 
   override def nullSafeEval(f: Any, r: Any): Any =
     masked(f.asInstanceOf[UTF8String], r.asInstanceOf[Long])
@@ -55,23 +55,35 @@ case class DvMasked(fid: Expression, rix: Expression,
 }
 
 object DvMasked {
-  /** Raw encoded bitmaps keyed by file id, with a decode-once cache that
-    * rides the broadcast value (one decode per executor, all tasks share).
+  /** One file's encoded bitmap with a decode-once-per-executor cache (the
+    * benign volatile race at worst decodes twice).
     */
-  final class BitmapHolder(val raw: Map[String, Array[Byte]]) extends Serializable {
-    @transient private lazy val decoded =
-      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-    def contains(fid: String, pos: Long): Boolean = {
-      val bytes = raw.getOrElse(fid, null)
-      if (bytes == null) false
-      else {
-        var arr = decoded.get(fid)
-        if (arr == null) {
-          arr = RoaringDv.decodeBitmapArray(bytes)
-          decoded.put(fid, arr)
-        }
-        java.util.Arrays.binarySearch(arr, pos) >= 0
-      }
+  private final class Slot(val bytes: Array[Byte]) extends Serializable {
+    @transient @volatile private var arr: Array[Long] = _
+    def positions: Array[Long] = {
+      var a = arr
+      if (a == null) { a = RoaringDv.decodeBitmapArray(bytes); arr = a }
+      a
+    }
+  }
+
+  /** Raw encoded bitmaps keyed by file id. The probe runs once per
+    * SCANNED row inside codegen, so it is allocation-free: the lookup map
+    * is keyed by UTF8String (built once per executor from owned copies —
+    * never the scan's possibly-reused buffers) and the decoded position
+    * arrays cache per executor.
+    */
+  final class BitmapHolder(rawByName: Map[String, Array[Byte]]) extends Serializable {
+    private val slots: Map[String, Slot] =
+      rawByName.map { case (k, v) => k -> new Slot(v) }
+    @transient private lazy val byUtf8: java.util.HashMap[UTF8String, Slot] = {
+      val m = new java.util.HashMap[UTF8String, Slot](slots.size * 2)
+      slots.foreach { case (k, s) => m.put(UTF8String.fromString(k), s) }
+      m
+    }
+    def contains(fid: UTF8String, pos: Long): Boolean = {
+      val slot = byUtf8.get(fid)
+      slot != null && java.util.Arrays.binarySearch(slot.positions, pos) >= 0
     }
   }
 }

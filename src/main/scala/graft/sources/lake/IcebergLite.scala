@@ -287,9 +287,10 @@ object IcebergLite {
       else None
 
     // the default spec's fields: (spec field name, transform, source-id)
+    val defaultSpecId = (meta \ "default-spec-id").extractOrElse[Int](0)
     val specFields: Seq[(String, String, Int)] = (meta \ "partition-specs") match {
       case JArray(specs) =>
-        val defId = (meta \ "default-spec-id").extractOrElse[Int](0)
+        val defId = defaultSpecId
         specs.find(s => (s \ "spec-id").extractOrElse[Int](0) == defId)
           .map(s => (s \ "fields") match {
             case JArray(fs) => fs.map(f => ((f \ "name").extract[String],
@@ -306,15 +307,15 @@ object IcebergLite {
 
     // manifest list (v2 / v1-with-list) or inline manifests (early v1);
     // each entry: (path, content 0=data 1=deletes, sequence number)
-    val manifestPaths: Seq[(String, Int, Long)] = (snap \ "manifest-list") match {
+    val manifestPaths: Seq[(String, Int, Long, Int)] = (snap \ "manifest-list") match {
       case JString(ml) => readManifestList(conf, resolveUri(dir, ml))
       case _ => (snap \ "manifests") match {
-        case JArray(ms) => ms.map(m => (m.extract[String], 0, 0L))
+        case JArray(ms) => ms.map(m => (m.extract[String], 0, 0L, defaultSpecId))
         case _ => throw new IllegalStateException(s"snapshot $snapId has neither manifest-list nor manifests")
       }
     }
     val (deleteManifests, dataManifests) = manifestPaths.partition(_._2 == 1)
-    val allDeletes = deleteManifests.flatMap { case (mp, _, mseq) =>
+    val allDeletes = deleteManifests.flatMap { case (mp, _, mseq, _) =>
       readDeleteManifest(conf, dir, resolveUri(dir, mp), mseq)
     }
     val deleteFiles: Seq[DeleteFile] = allDeletes.collect { case Left(d) => d }
@@ -371,8 +372,14 @@ object IcebergLite {
           IcebergTransforms.TransformField(n, tr, cn, dt)
         }
     }.flatten
-    val filesWithVals = dataManifests.flatMap { case (mp, _, mseq) =>
-      readManifest(conf, dir, resolveUri(dir, mp), idFields, mseq, fieldsById, transforms)
+    val filesWithVals = dataManifests.flatMap { case (mp, _, mseq, mSpec) =>
+      // transform values only prove anything under the spec they were
+      // WRITTEN with: a manifest from an older spec generation (e.g. a
+      // narrower bucket width under the same field name) must not be
+      // evaluated with the default spec's transforms — wrong pruning there
+      // is silently missing rows, so those manifests scan unpruned
+      readManifest(conf, dir, resolveUri(dir, mp), idFields, mseq, fieldsById,
+        if (mSpec == defaultSpecId) transforms else Nil)
     }
     val pruning = idFields.nonEmpty && filesWithVals.nonEmpty && filesWithVals.forall(_._1._2.isDefined)
     val files =
@@ -468,11 +475,11 @@ object IcebergLite {
     case _ => Nil
   }
 
-  /** manifest-list entries -> (manifest_path, content, sequence_number);
-    * content defaults to 0 (data) and sequence to 0 for v1 lists that
-    * predate the fields.
+  /** manifest-list entries -> (manifest_path, content, sequence_number,
+    * partition_spec_id); content defaults to 0 (data), sequence to 0 and
+    * spec to 0 for v1 lists that predate the fields.
     */
-  private def readManifestList(conf: Configuration, p: Path): Seq[(String, Int, Long)] =
+  private def readManifestList(conf: Configuration, p: Path): Seq[(String, Int, Long, Int)] =
     readAvroRecords(conf, p).map { r =>
       val path = r.get("manifest_path").toString
       def intField(n: String): Option[Int] = Option(r.getSchema.getField(n))
@@ -481,7 +488,7 @@ object IcebergLite {
       val seq = Option(r.getSchema.getField("sequence_number"))
         .flatMap(f => Option(r.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
         .getOrElse(0L)
-      (path, content, seq)
+      (path, content, seq, intField("partition_spec_id").getOrElse(0))
     }
 
   /** An entry's data sequence number: explicit when present, else inherited

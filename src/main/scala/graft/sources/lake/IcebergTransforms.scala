@@ -186,8 +186,12 @@ object IcebergTransforms {
         }
       }
       case TruncateRe(w) => (sourceType, tv) match {
-        case (IntegerType, v: Int) => Some((v, v + w.toInt - 1))
-        case (LongType, v: Long) => Some((v, v + w.toLong - 1))
+        // overflow drops the proof — a wrapped upper bound inverts the
+        // window and wrong pruning is silently missing rows
+        case (IntegerType, v: Int) if v <= Int.MaxValue - (w.toInt - 1) =>
+          Some((v, v + w.toInt - 1))
+        case (LongType, v: Long) if v <= Long.MaxValue - (w.toLong - 1) =>
+          Some((v, v + w.toLong - 1))
         case (StringType, v: String) if v.nonEmpty =>
           // every value has prefix v: >= v, and < v with last char bumped.
           // The inclusive upper is conservative by one exact-match string;

@@ -231,8 +231,34 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
               s"ALTER COLUMN $n TYPE: only widening promotions are supported " +
                 s"(integral ladder, float->double, decimal precision growth); " +
                 s"got $from -> ${t.newDataType()}")
+            // the protocol's typeWidening feature REQUIRES recording each
+            // change in the field's delta.typeChanges metadata — external
+            // tooling reads the history (per-file up-conversion decisions,
+            // feature-removal validation)
+            def deltaTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+              import org.apache.spark.sql.types._
+              dt match {
+                case ByteType => "byte"; case ShortType => "short"
+                case IntegerType => "integer"; case LongType => "long"
+                case FloatType => "float"; case DoubleType => "double"
+                case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+                case other => other.typeName
+              }
+            }
+            val old = schema.fields(ix)
+            val prior =
+              if (old.metadata.contains("delta.typeChanges"))
+                old.metadata.getMetadataArray("delta.typeChanges")
+              else Array.empty[org.apache.spark.sql.types.Metadata]
+            val change = new MetadataBuilder()
+              .putString("fromType", deltaTypeName(from))
+              .putString("toType", deltaTypeName(t.newDataType()))
+              .putLong("tableVersion", snap.version + 1)
+              .build()
+            val meta = new MetadataBuilder().withMetadata(old.metadata)
+              .putMetadataArray("delta.typeChanges", prior :+ change).build()
             schema = StructType(schema.fields.updated(ix,
-              schema.fields(ix).copy(dataType = t.newDataType())))
+              old.copy(dataType = t.newDataType(), metadata = meta)))
             // declare the gating table feature so external readers that
             // cannot up-convert narrow physical types reject instead of
             // misreading (impliedFeatures turns this into typeWidening)
@@ -418,13 +444,21 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange
     val dir = dirFor(spark, rest, name)
-    changes.foreach {
-      case a: TableChange.AddColumn =>
+    // ADD COLUMNS arrives as one AddColumn change per column: batch them
+    // into ONE schema-evolution commit (atomic — a duplicate name fails
+    // the whole statement with no half-applied generation)
+    val (addChanges, otherChanges) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    if (addChanges.nonEmpty) {
+      val fields = addChanges.map { case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "nested ADD COLUMN is not supported by the native lake writer")
         var f = StructField(a.fieldNames()(0), a.dataType(), a.isNullable())
         if (a.comment() != null) f = f.withComment(a.comment())
-        LakeNativeWrite.icebergAddColumns(spark, dir, Seq(f))
+        f
+      }
+      LakeNativeWrite.icebergAddColumns(spark, dir, fields)
+    }
+    otherChanges.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1, "nested RENAME COLUMN is not supported")
         LakeNativeWrite.icebergRenameColumn(spark, dir, r.fieldNames()(0), r.newName())

@@ -229,6 +229,27 @@ object LakeNativeWrite {
 
   // ---- Delta ----
 
+  /** Features the LEGACY protocol versions imply (Delta spec: upgrading a
+    * version-gated table to table-features versions must LIST everything
+    * the old minReader/minWriter granted — emitting 3/7 with only the new
+    * feature silently revokes e.g. CHECK-constraint enforcement for
+    * external writers). Only meaningful when the declared feature lists
+    * are empty (a legacy table); feature-listing tables already say what
+    * they support.
+    */
+  private def legacyImpliedFeatures(p: DeltaLite.Protocol): (Seq[String], Seq[String]) = {
+    if (p.readerFeatures.nonEmpty || p.writerFeatures.nonEmpty) return (Nil, Nil)
+    val writer = Seq(
+      (2, "appendOnly"), (2, "invariants"),
+      (3, "checkConstraints"),
+      (4, "changeDataFeed"), (4, "generatedColumns"),
+      (5, "columnMapping"),
+      (6, "identityColumns")
+    ).collect { case (v, f) if p.minWriter >= v => f }
+    val reader = Seq((2, "columnMapping")).collect { case (v, f) if p.minReader >= v => f }
+    (reader, writer)
+  }
+
   /** The reader/writer features a configuration implies — declared in the
     * protocol action so EXTERNAL readers gate correctly (our own reader
     * keys off the configuration, but a spec-conforming table must say so).
@@ -396,8 +417,11 @@ object LakeNativeWrite {
     // deltaAlter enforces applies here too)
     val newFeatures = Seq("deletionVectors") ++
       (if (snap.physSchema.isDefined) Seq("columnMapping") else Nil)
-    val readerFeatures = (snap.protocol.readerFeatures ++ newFeatures).distinct
-    val writerFeatures = (snap.protocol.writerFeatures ++ newFeatures ++
+    // a LEGACY protocol's version-implied grants must survive the jump to
+    // feature-listing versions too (spec's upgrade rule)
+    val (legacyR, legacyW) = legacyImpliedFeatures(snap.protocol)
+    val readerFeatures = (snap.protocol.readerFeatures ++ legacyR ++ newFeatures).distinct
+    val writerFeatures = (snap.protocol.writerFeatures ++ legacyW ++ newFeatures ++
       (if (snap.cdfEnabled) Seq("changeDataFeed") else Nil)).distinct
     val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
     val newAdds = appendRows.toSeq.flatMap { rows =>
@@ -429,21 +453,27 @@ object LakeNativeWrite {
     val stateFeatures =
       (if (snap.dvs.nonEmpty) Seq("deletionVectors") else Nil) ++
         (if (snap.physSchema.isDefined) Seq("columnMapping") else Nil)
-    // union with the DECLARED feature lists too — features an external
-    // writer declared (timestampNtz, invariants, ...) survive our ALTER
-    val readerAll =
-      (snap.protocol.readerFeatures ++ readerNew ++ stateFeatures).distinct
-    val writerAll =
-      (snap.protocol.writerFeatures ++ writerNew ++ stateFeatures).distinct
     // emit a protocol action only when the ALTER introduces a feature not
     // already covered (declared in the log, or implied by the pre-ALTER
-    // configuration)
+    // configuration); the decision looks at what's NEEDED, so a plain
+    // property ALTER on a legacy-versioned table never force-upgrades it
+    val needR = (readerNew ++ stateFeatures).distinct
+    val needW = (writerNew ++ stateFeatures).distinct
     val (readerOld, writerOld) = impliedFeatures(snap.configuration)
     val coveredR = snap.protocol.readerFeatures.toSet ++ readerOld ++ stateFeatures
     val coveredW = snap.protocol.writerFeatures.toSet ++ writerOld ++ stateFeatures
     val protocolUpgrade =
-      if (readerAll.forall(coveredR) && writerAll.forall(coveredW)) Nil
-      else Seq(LakeWrite.deltaProtocolFeatures(readerAll, writerAll))
+      if (needR.forall(coveredR) && needW.forall(coveredW)) Nil
+      else {
+        // the EMITTED action unions the declared lists, what a LEGACY
+        // protocol's versions implied (the spec's upgrade rule: jumping to
+        // 3/7 must list the old grants — invariants, checkConstraints, ...)
+        // and the newly needed features
+        val (legacyR, legacyW) = legacyImpliedFeatures(snap.protocol)
+        Seq(LakeWrite.deltaProtocolFeatures(
+          (snap.protocol.readerFeatures ++ legacyR ++ needR).distinct,
+          (snap.protocol.writerFeatures ++ legacyW ++ needW).distinct))
+      }
     commitDelta(conf, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now)) ++ protocolUpgrade ++ Seq(
       LakeWrite.deltaMetaData(
@@ -1184,6 +1214,8 @@ object LakeNativeWrite {
     val m = loadIceMeta(conf, dir)
     newFields.foreach(f => require(!m.schema.fieldNames.contains(f.name),
       s"column ${f.name} already exists"))
+    require(newFields.map(_.name).distinct.size == newFields.size,
+      s"duplicate names in ADD COLUMNS: ${newFields.map(_.name).mkString(", ")}")
     val newSchema = StructType(m.schema.fields ++ newFields)
     val newIds = m.fieldIds ++ newFields.indices.map(m.lastColumnId + 1 + _)
     commitSchemaEvolution(conf, dir, m, newSchema, newIds)
@@ -1256,6 +1288,17 @@ object LakeNativeWrite {
     require(m.schema.fieldNames.contains(name), s"column $name does not exist")
     require(!m.partitionCols.contains(name), s"cannot drop partition column $name")
     require(m.schema.fields.length > 1, "cannot drop the last column")
+    // a LIVE equality-delete file keyed on this column would make every
+    // subsequent read throw (its id no longer resolves): refuse, like a
+    // partition column — compact the deletes away first
+    if (m.currentId >= 0) {
+      val snap = IcebergLite.snapshot(spark, dir)
+      val dropId = m.idOf(name)
+      val referencing = snap.eqDeleteFiles.filter(_.equalityIds.contains(dropId))
+      require(referencing.isEmpty,
+        s"cannot drop column $name: ${referencing.size} live equality-delete " +
+          s"file(s) key on it (field id $dropId) — OPTIMIZE the table first")
+    }
     val ix = m.schema.fieldIndex(name)
     val newSchema = StructType(m.schema.fields.patch(ix, Nil, 1))
     val newIds = m.fieldIds.patch(ix, Nil, 1)

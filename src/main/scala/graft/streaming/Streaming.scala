@@ -444,6 +444,10 @@ object Streaming {
     */
   def mixtureUpsampleStream(referenceRates: DataFrame, docs: DataFrame,
       idCol: String, sourceCol: String, seed: Long): DataFrame = {
+    require(!docs.columns.contains("epoch"),
+      "input already has an 'epoch' column (reserved for the copy index)")
+    require(!docs.columns.contains("__rate"),
+      "input already has a '__rate' column (reserved for the rates join)")
     val hash01 = graft.operators.Sampling.bucketCol(idCol, seed, portable = true)
       .cast("double") / 10000.0
     docs.join(broadcast(referenceRates), Seq(sourceCol))

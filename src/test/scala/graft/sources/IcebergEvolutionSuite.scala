@@ -180,6 +180,21 @@ class IcebergEvolutionSuite extends SparkTestBase {
       .map(_.getLong(0)).toSeq == Seq(11L))
   }
 
+  test("DROP COLUMN refuses while live equality deletes key on it") {
+    val (fqn, dir) = mkTable("evo8")
+    spark.sql(s"INSERT INTO $fqn VALUES (1, 11, 'x'), (2, 22, 'y')")
+    import spark.implicits._
+    val batch = Seq((2, 99, "upserted"), (3, 33, "new")).toDF("id", "a", "b")
+    LakeNativeWrite.icebergEqUpsert(spark, dir, batch, Seq("a"))
+    // the eq-delete file keys on `a` (field id 2): dropping it would make
+    // every later read throw on id resolution
+    val ex = intercept[Exception] { spark.sql(s"ALTER TABLE $fqn DROP COLUMN a") }
+    assert(ex.getMessage.contains("equality-delete"), ex.getMessage)
+    // an uninvolved column still drops fine
+    spark.sql(s"ALTER TABLE $fqn DROP COLUMN b")
+    assert(spark.table(fqn).schema.fieldNames.toSeq == Seq("id", "a"))
+  }
+
   test("single-schema tables stay on the name path (no id metadata, no conf dependency)") {
     val (fqn, dir) = mkTable("evo6")
     spark.sql(s"INSERT INTO $fqn VALUES (1, 11, 'x')")

@@ -73,6 +73,76 @@ class IcebergTransformSuite extends SparkTestBase {
     // unknown transforms prove nothing
     assert(bounds("void", IntegerType, 1).isEmpty)
     assert(bounds("zorder", IntegerType, 1).isEmpty)
+    // overflowing truncate windows drop the proof (a wrapped upper bound
+    // would invert the window and wrongly prune)
+    assert(bounds("truncate[10]", IntegerType, Int.MaxValue - 2).isEmpty)
+    assert(bounds("truncate[10]", LongType, Long.MaxValue - 2L).isEmpty)
+    assert(bounds("truncate[10]", IntegerType, Int.MaxValue - 9) ==
+      Some((Int.MaxValue - 9, Int.MaxValue)))
+  }
+
+  test("manifests from a NON-default spec generation never prune on transforms") {
+    import spark.implicits._
+    import LakeWrite.{IcebergSnapshot, ManifestEntry, ManifestFile}
+    val dir = tmpDir("ice-specgen")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir.toString)
+    new java.io.File(dir, "metadata").mkdirs()
+    // pick a key whose bucket[2] and bucket[8] ordinals DIFFER, so pruning
+    // the old manifest with the new spec's transform would provably drop it
+    val key = (1 to 100).find(k =>
+      IcebergTransforms.bucketValue(k, IntegerType, 2).get !=
+        IcebergTransforms.bucketValue(k, IntegerType, 8).get).get
+    val oldBucket = IcebergTransforms.bucketValue(key, IntegerType, 2).get
+    val df = Seq((key, "five"), (key + 1, "six")).toDF("k", "s")
+    val size = LakeWrite.writeOneParquetFile(df.coalesce(1), new Path(root, "data/old.parquet"))
+    val entrySchema = LakeWrite.manifestEntrySchema(
+      """{"type":"record","name":"r102","fields":[
+        |{"name":"k_bucket","type":["null","int"],"default":null,"field-id":1000}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val mLen = LakeWrite.icebergWriteManifest(new java.io.File(dir, "metadata/m1.avro"),
+      Seq(ManifestEntry(1, "data/old.parquet", 2, size, 9001L,
+        partition = Map("k_bucket" -> oldBucket), sequenceNumber = Some(1L))), entrySchema)
+    // the manifest-list entry says SPEC 0; the table's DEFAULT spec is 1
+    // (bucket[8] under the same field name — Iceberg's names are
+    // width-independent)
+    LakeWrite.icebergWriteManifestListEntries(new java.io.File(dir, "metadata/ml1.avro"),
+      Seq(ManifestFile("metadata/m1.avro", mLen, 0, 1L, specId = 0)), 9001L)
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-0000000000aa",
+         |"location":"${root.toString}","last-sequence-number":1,
+         |"last-updated-ms":1700000000000,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"k","required":false,"type":"int"},
+         |  {"id":2,"name":"s","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[
+         |  {"spec-id":0,"fields":[{"name":"k_bucket","transform":"bucket[2]",
+         |    "source-id":1,"field-id":1000}]},
+         |  {"spec-id":1,"fields":[{"name":"k_bucket","transform":"bucket[8]",
+         |    "source-id":1,"field-id":1000}]}],
+         |"default-spec-id":1,
+         |"last-partition-id":1000,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},
+         |"current-snapshot-id":9001,
+         |"snapshots":[{"snapshot-id":9001,"sequence-number":1,
+         |  "timestamp-ms":1700000000000,"manifest-list":"metadata/ml1.avro",
+         |  "summary":{"operation":"append"},"schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[],
+         |"refs":{"main":{"snapshot-id":9001,"type":"branch"}}}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(dir, "metadata/v1.metadata.json").toPath,
+      metaJson.getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, "metadata/version-hint.text").toPath,
+      "1".getBytes("UTF-8"))
+
+    // bucket[8](key) != the stored bucket[2] ordinal: evaluating the old
+    // manifest with the DEFAULT spec's transform would wrongly prune the
+    // file — the spec-id gate must keep it, and the row must come back
+    val out = IcebergLite.read(spark, root).where(col("k") === key)
+      .select("s").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("five"),
+      "old-spec manifest pruned with the new spec's transform (missing rows)")
   }
 
   /** A hand-built transform-partitioned table: schema (k, d, s), one data

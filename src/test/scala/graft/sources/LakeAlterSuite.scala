@@ -578,6 +578,14 @@ class LakeAlterSuite extends SparkTestBase {
     val snap = DeltaLite.snapshot(spark, new Path(base.getPath, "t"))
     assert(snap.protocol.readerFeatures.contains("typeWidening"),
       s"typeWidening must be declared: ${snap.protocol}")
+    // ... and the spec-required per-field change history is recorded
+    val vMeta = snap.schema("v").metadata
+    assert(vMeta.contains("delta.typeChanges"), s"missing typeChanges: $vMeta")
+    val changes = vMeta.getMetadataArray("delta.typeChanges")
+    assert(changes.length == 1 &&
+      changes(0).getString("fromType") == "integer" &&
+      changes(0).getString("toType") == "long" &&
+      changes(0).getLong("tableVersion") > 0, changes.mkString(","))
     // narrowing is refused (Spark analyzer); long -> string by our guard
     intercept[Exception] { spark.sql(s"ALTER TABLE $fqn ALTER COLUMN v TYPE INT") }
     val ex = intercept[Exception] { spark.sql(s"ALTER TABLE $fqn ALTER COLUMN v TYPE STRING") }

@@ -82,6 +82,35 @@ class LakeProtocolSuite extends SparkTestBase {
     assert(feed == Seq((2, "delete")))
   }
 
+  test("upgrading a LEGACY-versioned protocol lists the old versions' implied features") {
+    val base = tmpDir("proto-legacy")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE plg OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.plg")
+    val fqn = "graft.datasource.plg.plg.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(4)")
+    val dir = new Path(base.getPath, "t")
+    // an external writer set a LEGACY version-gated protocol: minWriter 3
+    // grants appendOnly + invariants + checkConstraints with NO feature list
+    val snap0 = DeltaLite.snapshot(spark, dir)
+    val logDir = new java.io.File(dir.toString, "_delta_log")
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${snap0.version + 1}%020d.json").toPath,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""".getBytes("UTF-8"))
+    // enabling DVs jumps to feature-listing versions: the emitted action
+    // must LIST what minWriter 3 granted, not silently revoke it
+    spark.sql(s"ALTER TABLE $fqn SET TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+    val (_, writers) = lastProtocolAction(dir)
+    Seq("appendOnly", "invariants", "checkConstraints", "deletionVectors").foreach(f =>
+      assert(writers.contains(f),
+        s"legacy-implied feature $f revoked by the upgrade: $writers"))
+    // and the DV write path preserves them too
+    spark.sql(s"DELETE FROM $fqn WHERE id = 1")
+    val (_, writers2) = lastProtocolAction(dir)
+    Seq("appendOnly", "invariants", "checkConstraints").foreach(f =>
+      assert(writers2.contains(f), s"DV commit dropped legacy feature $f: $writers2"))
+  }
+
   test("CHECKPOINT and lastTxnVersion reconstruct through a v2 base") {
     val base = tmpDir("proto-v2cp")
     graft.Graft.sql(spark,
