@@ -23,10 +23,12 @@ import java.net.URI
   * protocol directly so offline/minimal deployments still work).
   *
   * Supported: reader protocol 1 and 2, and protocol 3 when
-  * `readerFeatures` ⊆ {timestampNtz, deletionVectors, columnMapping} —
-  * deletion vectors decode natively ([[RoaringDv]], all three storage
-  * types) and apply as a distributed anti-join on (file identity,
-  * `_metadata.row_index`); column mapping (both `name` and `id` modes)
+  * `readerFeatures` ⊆ {timestampNtz, deletionVectors, columnMapping,
+  * typeWidening} — deletion vectors decode natively ([[RoaringDv]], all
+  * three storage types) and apply as a broadcast per-file BITMAP FILTER
+  * on (file identity, `_metadata.row_index`) when the descriptors bound
+  * them small, else a distributed anti-join; column mapping (both `name`
+  * and `id` modes)
   * reads each field under its physical name — parquet data columns AND
   * add-action partitionValues keys — and restores logical names with one
   * cast+alias projection (see [[restoreLogical]]). Checkpoints replay in
@@ -587,12 +589,13 @@ object DeltaLite {
       restoreLogical(GraftLakeBridge.parquetRelation(spark, index,
         snap.physPartitionSchema, snap.physDataSchema), snap, Nil)
     } else {
-      // Deletion vectors: only files CARRYING a DV pay the anti-join — the
-      // rest scan exactly as before and union in (post-OPTIMIZE, that is
-      // almost every file at scale). The file identity rides as a synthetic
-      // partition column from log metadata; row ordinals come from
-      // `_metadata.row_index`; bitmaps decode EXECUTOR-side (one task per
-      // vector, CRC-checked) so the driver never materializes positions.
+      // Deletion vectors: only files CARRYING a DV pay the delete
+      // application — the rest scan exactly as before and union in
+      // (post-OPTIMIZE, that is almost every file at scale). The file
+      // identity rides as a synthetic partition column from log metadata;
+      // row ordinals come from `_metadata.row_index`; application is the
+      // broadcast bitmap probe when the descriptors bound it (dvFiltered),
+      // else the exploded-positions anti-join with executor-side decode.
       DvCols.filter(snap.schema.fieldNames.contains).foreach { c =>
         throw new UnsupportedOperationException(
           s"table column '$c' collides with the DV reader's internal names")

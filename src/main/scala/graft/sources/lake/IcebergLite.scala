@@ -28,13 +28,15 @@ import org.json4s.jackson.JsonMethods
   * by id, by `TIMESTAMP AS OF`, and by named ref (branch/tag), PARQUET data
   * files, and v2 merge-on-read deletes of BOTH kinds: *position* deletes
   * (delete manifests → position-delete parquet files of (file_path, pos),
-  * applied as a distributed anti-join on (file identity,
-  * `_metadata.row_index`) gated by delete seq >= data seq) and *equality*
-  * deletes (Flink-CDC-style: parquet files of the `equality_ids` columns,
-  * applied as null-safe-equality anti-joins gated by the spec's STRICT
-  * delete seq > data seq rule — see [[toDataFrame]]). Equality ids must
-  * resolve to top-level columns of the current schema; nested equality
-  * deletes are rejected with a clear error.
+  * applied — when the manifests bound the count small — as a broadcast
+  * per-file BITMAP FILTER on (file identity, `_metadata.row_index`) with
+  * the delete seq >= data seq gate folded in at bitmap build, else as a
+  * distributed anti-join) and *equality* deletes (Flink-CDC-style:
+  * parquet files of the `equality_ids` columns, applied as
+  * null-safe-equality anti-joins gated by the spec's STRICT delete seq >
+  * data seq rule — see [[toDataFrame]]). Equality ids resolve to scalar
+  * columns through struct nesting (dotted paths); ids inside list/map
+  * elements are rejected with a clear error.
   *
   * Schema evolution: renames and drop/re-adds are SUPPORTED — when the
   * schema history shows either, the scan switches from name-based to
@@ -778,9 +780,15 @@ object IcebergLite {
   }
 
   /** The schema data columns read under — the id-annotated form when the
-    * table's history demands field-id resolution (also flips the session's
-    * parquet field-id read switch on: harmless for every other scan, since
-    * the switch only acts when the requested schema carries ids).
+    * table's history demands field-id resolution. Flips the SESSION's
+    * parquet field-id read switch on (never off): Spark reads the flag
+    * from the session conf inside ParquetFileFormat, overwriting any
+    * per-relation option, so a global set is the only lever. Accepted
+    * design because the flag is semantically inert for requested schemas
+    * WITHOUT `parquet.field.id` metadata (every scan this engine builds
+    * except these), and for schemas WITH ids the flipped behavior is the
+    * correct one — with ignoreMissing left false, an id-annotated schema
+    * over id-less files fails loudly rather than null-filling either way.
     */
   private def readSchema(spark: SparkSession, snap: Snapshot): StructType =
     snap.idSchema match {
