@@ -214,7 +214,10 @@ object IcebergLite {
       val emptySchemaJson: JValue = (meta \ "schemas") match {
         case JArray(ss) =>
           val cur = (meta \ "current-schema-id").extractOrElse[Int](0)
-          ss.find(s => (s \ "schema-id").extractOrElse[Int](0) == cur).getOrElse(ss.last)
+          ss.find(s => (s \ "schema-id").extractOrElse[Int](0) == cur)
+            .getOrElse(throw new IllegalStateException(
+              s"Iceberg metadata under $dir declares current-schema-id $cur " +
+                "but no schema carries that id"))
         case _ => meta \ "schema"
       }
       return Snapshot(-1L, toSparkType(emptySchemaJson).asInstanceOf[StructType], Nil, Nil, dir)
@@ -258,8 +261,18 @@ object IcebergLite {
     }
     val schemaJson: JValue = (meta \ "schemas") match {
       case JArray(ss) =>
-        ss.find(s => (s \ "schema-id").extractOrElse[Int](0) == wantSchemaId)
-          .getOrElse(ss.last)
+        def byId(id: Int) = ss.find(s => (s \ "schema-id").extractOrElse[Int](0) == id)
+        byId(wantSchemaId).getOrElse {
+          val cur = (meta \ "current-schema-id").extractOrElse[Int](0)
+          // a travel target's schema generation may have been pruned by
+          // another engine: fall back to the CURRENT schema (never `last`,
+          // which is an arbitrary guess); a missing CURRENT schema is
+          // corrupt metadata and must be loud, not a misread
+          byId(cur).getOrElse(throw new IllegalStateException(
+            s"Iceberg metadata under $dir declares current-schema-id $cur " +
+              s"but the schemas array has ids " +
+              ss.map(s => (s \ "schema-id").extractOrElse[Int](0)).mkString(",")))
+        }
       case _ => meta \ "schema"
     }
     val schema = toSparkType(schemaJson).asInstanceOf[StructType]

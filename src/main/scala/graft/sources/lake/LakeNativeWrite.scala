@@ -863,7 +863,10 @@ object LakeNativeWrite {
     val curSchemaId = (meta \ "current-schema-id").extractOrElse[Int](0)
     val schemaJson: JValue = allSchemas
       .find(s => (s \ "schema-id").extractOrElse[Int](0) == curSchemaId)
-      .getOrElse(allSchemas.last)
+      .getOrElse(throw new IllegalStateException(
+        s"Iceberg metadata under $dir declares current-schema-id $curSchemaId " +
+          "but no schema carries that id — refusing to guess (a commit built " +
+          "on the wrong generation would corrupt the table)"))
     val schema = IcebergLite.toSparkType(schemaJson).asInstanceOf[StructType]
     val fieldIds: Seq[Int] = (schemaJson \ "fields") match {
       case JArray(fs) => fs.zipWithIndex.map { case (f, i) =>

@@ -81,6 +81,28 @@ class IcebergTransformSuite extends SparkTestBase {
       Some((Int.MaxValue - 9, Int.MaxValue)))
   }
 
+  test("garbage transform partition values degrade to unpruned, never misread") {
+    import spark.implicits._
+    val dir = tmpDir("ice-garbage")
+    // the manifest stores a STRING where the day transform expects the day
+    // ordinal: derivation must contribute nothing (file kept, rows exact)
+    val groups = Seq(
+      ("not-a-day": Any, Seq((1, java.sql.Date.valueOf("1995-01-01"), "a")).toDF("k", "d", "s")),
+      (null: Any, Seq((2, java.sql.Date.valueOf("1995-01-02"), "b")).toDF("k", "d", "s")))
+    val root = buildTable(dir,
+      org.json4s.JObject("name" -> org.json4s.JString("d_day"),
+        "transform" -> org.json4s.JString("day"),
+        "source-id" -> org.json4s.JInt(2), "field-id" -> org.json4s.JInt(1000)),
+      groups,
+      """{"type":"record","name":"r102","fields":[
+        |{"name":"d_day","type":["null","string"],"default":null,"field-id":1000}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val out = IcebergLite.read(spark, root)
+      .where(col("d") === java.sql.Date.valueOf("1995-01-02"))
+      .select("k").collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(2), "garbage transform values must not lose rows")
+  }
+
   test("manifests from a NON-default spec generation never prune on transforms") {
     import spark.implicits._
     import LakeWrite.{IcebergSnapshot, ManifestEntry, ManifestFile}

@@ -437,6 +437,22 @@ class LakeSuite extends SparkTestBase {
       Seq(0 -> 10L, 1 -> 10L, 2 -> 10L))
   }
 
+  test("iceberg metadata with a dangling current-schema-id is rejected, never guessed") {
+    val dir = tmpDir("ice-badschema")
+    buildIcebergFixture(dir)
+    val metaFile = new java.io.File(dir, "metadata/v2.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    val patched = txt.replaceAll("\"current-schema-id\"(\\s*):(\\s*)0",
+      "\"current-schema-id\"$1:$2 77")
+    assert(patched != txt)
+    java.nio.file.Files.write(metaFile.toPath, patched.getBytes("UTF-8"))
+    new java.io.File(dir, "metadata/.v2.metadata.json.crc").delete()
+    val e = intercept[IllegalStateException] {
+      IcebergLite.read(spark, new Path(dir.toString)).collect()
+    }
+    assert(e.getMessage.contains("current-schema-id"), e.getMessage)
+  }
+
   test("iceberg rename with id-less parquet files fails loudly, never null-fills") {
     val dir = tmpDir("ice-rename")
     buildIcebergFixture(dir)
