@@ -875,6 +875,29 @@ object DeltaLite {
     }
   }
 
+  /** The `_change_data/` files the given versions' commits reference —
+    * vacuum's CDF protection set: change files are reachable only through
+    * cdc ACTIONS (state replay ignores them), so an orphan walk that
+    * tracked only data + DV files would delete the feed's bytes for
+    * versions whose reads are still supported.
+    */
+  private[lake] def cdcFilePaths(conf: Configuration, dir: Path,
+      versions: Seq[Long]): Seq[String] = {
+    implicit val formats: Formats = DefaultFormats
+    val log = listLog(conf, dir)
+    val fs = new Path(dir, "_delta_log").getFileSystem(conf)
+    val want = versions.toSet
+    log.commits.filter { case (v, _) => want(v) }.flatMap { case (_, st) =>
+      readLines(fs, st).flatMap { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "cdc") match {
+          case c: JObject => Some(resolvePath(dir, (c \ "path").extract[String]))
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** The highest `txn` version committed for `appId` (the protocol's
     * idempotent-writer marker) — checkpoint txn column plus every later
     * JSON commit. None = this appId never wrote.

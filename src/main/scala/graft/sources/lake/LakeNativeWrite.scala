@@ -571,12 +571,16 @@ object LakeNativeWrite {
     val latest = DeltaLite.snapshot(spark, dir).version
     val keep = ((latest - retainVersions + 1) to latest).filter(_ >= 0)
     def qualify(p: Path): String = fs.makeQualified(p).toString
-    val referenced: Set[String] = keep.flatMap { v =>
+    val referenced: Set[String] = (keep.flatMap { v =>
       val snap = DeltaLite.snapshot(spark, dir, version = Some(v))
       snap.files.map(f => qualify(new Path(f.path))) ++
         snap.dvs.valuesIterator.flatMap(d =>
           RoaringDv.resolvePath(dir, d.storageType, d.pathOrInlineDv).map(qualify))
-    }.toSet
+    } ++
+      // CDF change files are reachable only through cdc actions (replay
+      // ignores them) — without this, vacuum deletes the feed's bytes for
+      // versions whose CDF reads are still in the retention window
+      DeltaLite.cdcFilePaths(conf, dir, keep).map(p => qualify(new Path(p)))).toSet
     var n = 0L; var bytes = 0L
     // hidden files (".crc" checksums, "_"-prefixed markers) are sidecars
     // of their data file: the FS layer manages them, vacuum never should

@@ -140,4 +140,30 @@ class LakeVacuumSuite extends SparkTestBase {
     assert(res.getLong(0) == 0L)
     assert(spark.table("graft.datasource.vac.vacg.t").count() == 1)
   }
+
+  test("delta: vacuum keeps _change_data files of retained versions (CDF stays readable)") {
+    val base = java.nio.file.Files.createTempDirectory("vac-cdf").toFile
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE vcdf OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.vcdf")
+    val fqn = "graft.datasource.vcdf.vcdf.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) TBLPROPERTIES (" +
+      "'delta.enableChangeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(6)") // v1
+    spark.sql(s"UPDATE $fqn SET v = v + 100 WHERE id < 2")     // v2: stages _change_data
+    spark.sql(s"INSERT INTO $fqn VALUES (50, 50)")             // v3
+    val dir = new org.apache.hadoop.fs.Path(base.getPath, "t")
+    val feedBefore = DeltaLite.changes(spark, dir, 2L, Some(2L))
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(feedBefore.nonEmpty)
+    // retain every version: vacuum must delete NOTHING the feed needs —
+    // _change_data files are reachable only via cdc actions, so a
+    // data+DV-only referenced set would orphan-delete them
+    spark.sql(s"VACUUM LAKE TABLE $fqn RETAIN 10 VERSIONS")
+    val feedAfter = DeltaLite.changes(spark, dir, 2L, Some(2L))
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(feedAfter == feedBefore,
+      "vacuum deleted change files of a version inside the retention window")
+  }
 }
