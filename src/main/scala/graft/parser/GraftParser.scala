@@ -33,7 +33,8 @@ object GraftParser {
       s.startsWith("OPTIMIZE LAKE ") ||
       s.startsWith("VACUUM LAKE ") ||
       s.startsWith("CONVERT TO ") ||
-      s.startsWith("CHECKPOINT LAKE ")
+      s.startsWith("CHECKPOINT LAKE ") ||
+      s.startsWith("RESTORE LAKE ")
   }
 
   private def stripLeadingComments(sql: String): String = {
@@ -131,6 +132,12 @@ private[parser] final class StatementParser(original: String) {
     case _ => fail("expected integer literal")
   }
 
+  /** 64-bit integer literal (Iceberg snapshot ids exceed Int). */
+  private def longLit(): Long = cur match {
+    case NumLit(text, _) => pos += 1; text.toLong
+    case _ => fail("expected integer literal")
+  }
+
   /** Everything after the current token's start, verbatim. */
   private def restOfInput(): String = original.substring(cur.start).trim
 
@@ -152,6 +159,14 @@ private[parser] final class StatementParser(original: String) {
     else if (peekKw("CHECKPOINT")) {
       expectKw("CHECKPOINT"); expectKw("LAKE"); expectKw("TABLE")
       graft.plans.CheckpointLakeTableCommand(qualified())
+    }
+    else if (peekKw("RESTORE")) {
+      // RESTORE LAKE TABLE fqn TO VERSION n (Delta: commit version;
+      // Iceberg: snapshot id — what SHOW LAKE HISTORY lists)
+      expectKw("RESTORE"); expectKw("LAKE"); expectKw("TABLE")
+      val t = qualified()
+      expectKw("TO"); expectKw("VERSION")
+      graft.plans.RestoreLakeTableCommand(t, longLit())
     }
     else fail("unknown graft statement")
   }

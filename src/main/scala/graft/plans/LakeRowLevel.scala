@@ -129,6 +129,12 @@ object LakeRowLevel {
       */
     def checkpoint(spark: SparkSession): (Long, Long) =
       throw new UnsupportedOperationException(s"$describe does not support CHECKPOINT")
+    /** Restore the table to an earlier version (Delta: commit version;
+      * Iceberg: snapshot id) — history intact, time travel still reaches
+      * the undone state. Returns (files re-added, files removed).
+      */
+    def restore(spark: SparkSession, version: Long): (Long, Long) =
+      throw new UnsupportedOperationException(s"$describe does not support RESTORE")
   }
 
   /** Wrapper keeping captured expressions out of TreeNode's expression
@@ -649,6 +655,32 @@ case class CheckpointLakeTableCommand(table: Seq[String]) extends LeafRunnableCo
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", org.apache.spark.sql.types.LongType)(),
     AttributeReference("state_rows", org.apache.spark.sql.types.LongType)())
+}
+
+/** RESTORE LAKE TABLE fqn TO VERSION n — roll the table back to an
+  * earlier state (Delta: commit version, one remove+re-add commit with DV
+  * state and metadata restored; Iceberg: snapshot id, a metadata-only
+  * rollback of the main ref). History stays intact: time travel still
+  * reaches the undone versions, and VACUUM is what eventually reclaims
+  * their files.
+  */
+case class RestoreLakeTableCommand(table: Seq[String], version: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tbl = GraftSQLBridge.loadV2Table(spark, table)
+    val handle = tbl match {
+      case h: HasRowLevelHandle => h.rowLevelHandle.getOrElse(
+        throw new UnsupportedOperationException(
+          s"${table.mkString(".")} does not support RESTORE"))
+      case _ => throw new UnsupportedOperationException(
+        s"${table.mkString(".")} is not a native lake table")
+    }
+    val (added, removed) = handle.restore(spark, version)
+    Seq(Row(added, removed))
+  }
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_files", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("removed_files", org.apache.spark.sql.types.LongType)())
 }
 
 /** SHOW LAKE HISTORY fqn — the commit/snapshot timeline of a native lake

@@ -1868,6 +1868,39 @@ object CatalogQueries {
     // metaData-only = ALTER, dataChange=false = OPTIMIZE, adds+removes =
     // REWRITE, adds = WRITE, removes = DELETE), so any engine's log
     // classifies consistently; the oracle pins every derived row. ----
+    // ---- RESTORE LAKE TABLE: a DELETE is undone by restoring to the
+    // pre-delete version — the readback equals the untouched source ONLY
+    // if the remove+re-add commit reproduced version 1's file set exactly
+    // (and a post-restore INSERT proves the table keeps living). ----
+    QuerySpec("lake_restore_roundtrip",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val tableDir = new java.io.File(lakeDir, "nation_restore")
+        val done = new java.io.File(lakeDir, "nation_restore.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE rst OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        val fqn = "graft.datasource.lakew.rst.nation_restore"
+        if (!done.exists()) {
+          if (tableDir.exists()) deleteRecursively(tableDir)
+          s.sql(s"CREATE TABLE $fqn (n_nationkey INT, n_name STRING, n_regionkey INT)")
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_rst_src")
+          s.sql(s"INSERT INTO $fqn SELECT CAST(n_nationkey AS INT), n_name, " +
+            "CAST(n_regionkey AS INT) FROM __nation_rst_src")                 // v1
+          s.sql(s"DELETE FROM $fqn WHERE n_regionkey = 2")                    // v2
+          s.sql(s"UPDATE $fqn SET n_name = 'gone' WHERE n_nationkey < 3")     // v3
+          Graft.sql(s, s"RESTORE LAKE TABLE $fqn TO VERSION 1")               // v4
+          s.sql(s"INSERT INTO $fqn VALUES (990, 'POSTRESTORE', 0)")           // v5
+          done.createNewFile(): Unit
+        }
+        s.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM $fqn ORDER BY n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey FROM nation
+        UNION ALL SELECT 990, 'POSTRESTORE', 0
+        ORDER BY n_nationkey""")),
+
     QuerySpec("cmd_lake_history",
       (s, dir) => {
         setup(s, dir)

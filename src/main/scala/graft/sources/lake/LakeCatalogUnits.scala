@@ -126,6 +126,8 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
         }
       override def checkpoint(s: SparkSession): (Long, Long) =
         DeltaLite.writeCheckpoint(s, dir)
+      override def restore(s: SparkSession, version: Long): (Long, Long) =
+        LakeNativeWrite.deltaRestore(s, dir, version)
       override def describe: String = s"delta table $dir"
     }
     new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),
@@ -398,6 +400,8 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def partitionColumns: Seq[String] = snap.partitionColumns
       override def vacuum(s: SparkSession, retain: Int): (Long, Long) =
         LakeNativeWrite.icebergExpire(s, dir, retain)
+      override def restore(s: SparkSession, version: Long): (Long, Long) =
+        LakeNativeWrite.icebergRollback(s, dir, version)
       override def history(s: SparkSession): Seq[(Long, Option[Long], Long, String, Option[Long], Option[Long])] = {
         val meta = org.json4s.jackson.JsonMethods.parse(IcebergLite.readString(
           s.sparkContext.hadoopConfiguration, IcebergLite.currentMetadataFile(

@@ -598,6 +598,83 @@ object LakeNativeWrite {
     (n, bytes)
   }
 
+  /** RESTORE to an earlier version (delta-spark's RESTORE TABLE): ONE
+    * commit whose removes drop every file the target version does not
+    * have and whose adds re-register the target's files — WITH their
+    * deletion-vector state at that version, partition values, and stats —
+    * plus a metaData action when the schema/configuration differed. File
+    * identity for the diff is (path, DV descriptor): a path live on both
+    * sides but under a different vector re-registers with the TARGET's.
+    * History stays intact (time travel still reaches the undone
+    * versions); the protocol is never downgraded (no protocol action).
+    * Returns (files re-added, files removed).
+    */
+  def deltaRestore(spark: SparkSession, dir: Path, version: Long): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = DeltaLite.snapshot(spark, dir)
+    require(version < cur.version,
+      s"RESTORE target $version must precede the current version ${cur.version}")
+    val tgt = DeltaLite.snapshot(spark, dir, version = Some(version))
+    val now = System.currentTimeMillis()
+    def keys(s: DeltaLite.Snapshot): Map[String, Option[DeltaLite.DvDescriptor]] =
+      s.fileIds.map(id => id -> s.dvs.get(id)).toMap
+    val curKeys = keys(cur); val tgtKeys = keys(tgt)
+    val removeIds = cur.fileIds.filter(id => tgtKeys.get(id) != Some(curKeys(id)))
+    val addIds = tgt.fileIds.filter(id => curKeys.get(id) != Some(tgtKeys(id)))
+    val physPartNames = tgt.physPartitionSchema.fieldNames
+    val byId = tgt.fileIds.zip(tgt.files).toMap
+    def rawParts(f: org.apache.spark.sql.GraftLakeBridge.LakeFile): Map[String, String] =
+      physPartNames.zip(f.partitionValues).collect {
+        case (k, v) if v != null => k -> v.toString
+      }.toMap
+    val removes = removeIds.map(LakeWrite.deltaRemove(_, now))
+    val adds = addIds.map { id =>
+      val f = byId(id)
+      tgt.dvs.get(id) match {
+        case Some(d) => LakeWrite.deltaAddDv(id, f.size, now, rawParts(f),
+          d.storageType, d.pathOrInlineDv,
+          Some(d.offset).filter(_ => d.storageType != "i"), d.sizeInBytes, d.cardinality,
+          stats = tgt.statsJson.get(id))
+        case None => LakeWrite.deltaAdd(id, f.size, now, rawParts(f),
+          stats = tgt.statsJson.get(id))
+      }
+    }
+    val metaRestore =
+      if (tgt.schema == cur.schema && tgt.configuration == cur.configuration &&
+        tgt.partitionColumns == cur.partitionColumns) Nil
+      else Seq(LakeWrite.deltaMetaData(
+        if (tgt.metaId.nonEmpty) tgt.metaId else cur.metaId,
+        tgt.schema, tgt.partitionColumns, tgt.configuration))
+    commitDelta(conf, dir, cur.version + 1,
+      Seq(LakeWrite.deltaCommitInfo(now)) ++ metaRestore ++ removes ++ adds)
+    (addIds.size.toLong, removeIds.size.toLong)
+  }
+
+  /** Iceberg rollback (`rollback_to_snapshot`): a new metadata version
+    * whose current-snapshot-id and main ref point at the target ancestor —
+    * the snapshot list, sequence numbers, and data all stay (time travel
+    * still reaches the undone snapshots; the next commit parents off the
+    * target). Returns the file-set delta vs the pre-rollback current
+    * (files re-surfaced, files hidden).
+    */
+  def icebergRollback(spark: SparkSession, dir: Path, snapshotId: Long): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    require(m.priorSnapshots.exists(_.id == snapshotId),
+      s"snapshot $snapshotId not found in $dir")
+    require(snapshotId != m.currentId, "already at the requested snapshot")
+    val before = IcebergLite.snapshot(spark, dir).dataFileMeta.map(_._1).toSet
+    LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema,
+      m.priorSnapshots, currentSnapshotId = snapshotId,
+      refs = Map("main" -> (snapshotId, "branch")),
+      specFields = specFieldsFor(m.schema, m.partitionCols, m.fieldIds),
+      properties = m.properties,
+      schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
+      lastColumnId = m.lastColumnId)
+    val after = IcebergLite.snapshot(spark, dir).dataFileMeta.map(_._1).toSet
+    ((after -- before).size.toLong, (before -- after).size.toLong)
+  }
+
   /** Snapshot expiry + orphan cleanup for Iceberg: keep the last
     * `retainSnapshots` snapshots (always including the current one), write
     * a new metadata version whose snapshot list holds only those, and
