@@ -31,11 +31,23 @@ object GraftEnv {
 
   /** Ensure the catalog is registered on this session (runtime-settable: DSv2
     * catalogs are instantiated lazily on first reference).
+    *
+    * Also turns on `spark.sql.parquet.fieldId.read.enabled` ONCE, here —
+    * a documented install-time session setting, not a mid-read mutation.
+    * Iceberg tables whose history demands field-id resolution (renames,
+    * drop/re-add) read under an id-annotated requested schema; Spark only
+    * consults this flag from the session conf inside ParquetFileFormat,
+    * so a session-level set is the only lever. The flag is semantically
+    * inert for requested schemas WITHOUT `parquet.field.id` metadata
+    * (every other scan), and for schemas WITH ids the flipped behavior is
+    * the correct one — with ignoreMissing left false, an id-annotated
+    * schema over id-less files fails loudly rather than null-filling.
     */
   def install(spark: SparkSession, warehouseDir: String,
       name: String = DefaultCatalogName): Unit = {
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouseDir)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
   }
 
   /** Strip the catalog name off a user-supplied multipart identifier. */

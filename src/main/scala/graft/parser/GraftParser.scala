@@ -158,15 +158,24 @@ private[parser] final class StatementParser(original: String) {
     else if (peekKw("CONVERT")) parseConvert()
     else if (peekKw("CHECKPOINT")) {
       expectKw("CHECKPOINT"); expectKw("LAKE"); expectKw("TABLE")
-      graft.plans.CheckpointLakeTableCommand(qualified())
+      val t = qualified()
+      // CHECKPOINT LAKE TABLE fqn [V2]: V2 writes the UUID-named
+      // manifest + sidecar form instead of a classic checkpoint
+      graft.plans.CheckpointLakeTableCommand(t, acceptKw("V2"))
     }
     else if (peekKw("RESTORE")) {
       // RESTORE LAKE TABLE fqn TO VERSION n (Delta: commit version;
       // Iceberg: snapshot id — what SHOW LAKE HISTORY lists)
+      //   | TO TIMESTAMP 'ts' (latest state at-or-before the timestamp)
       expectKw("RESTORE"); expectKw("LAKE"); expectKw("TABLE")
       val t = qualified()
-      expectKw("TO"); expectKw("VERSION")
-      graft.plans.RestoreLakeTableCommand(t, longLit())
+      expectKw("TO")
+      if (acceptKw("TIMESTAMP"))
+        graft.plans.RestoreLakeTableCommand(t, None, Some(strLit()))
+      else {
+        expectKw("VERSION")
+        graft.plans.RestoreLakeTableCommand(t, Some(longLit()))
+      }
     }
     else fail("unknown graft statement")
   }

@@ -127,13 +127,19 @@ object LakeRowLevel {
     /** Write a replay-accelerator checkpoint at the current version;
       * returns (version, state rows). Format-optional.
       */
-    def checkpoint(spark: SparkSession): (Long, Long) =
+    def checkpoint(spark: SparkSession, v2: Boolean = false): (Long, Long) =
       throw new UnsupportedOperationException(s"$describe does not support CHECKPOINT")
     /** Restore the table to an earlier version (Delta: commit version;
       * Iceberg: snapshot id) — history intact, time travel still reaches
       * the undone state. Returns (files re-added, files removed).
       */
     def restore(spark: SparkSession, version: Long): (Long, Long) =
+      throw new UnsupportedOperationException(s"$describe does not support RESTORE")
+    /** Restore to the state current at the timestamp (delta-spark's
+      * `TIMESTAMP AS OF` / Iceberg's `rollback_to_timestamp`): the latest
+      * version/snapshot at-or-before `tsMs` wins; already-current = (0, 0).
+      */
+    def restoreTimestamp(spark: SparkSession, tsMs: Long): (Long, Long) =
       throw new UnsupportedOperationException(s"$describe does not support RESTORE")
   }
 
@@ -639,7 +645,8 @@ case class ConvertToLakeCommand(path: String, format: String)
   * the current version (Delta: classic single-part checkpoint parquet +
   * `_last_checkpoint`); replay then reads one parquet + the JSON tail.
   */
-case class CheckpointLakeTableCommand(table: Seq[String]) extends LeafRunnableCommand {
+case class CheckpointLakeTableCommand(table: Seq[String], v2: Boolean = false)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val tbl = GraftSQLBridge.loadV2Table(spark, table)
     val handle = tbl match {
@@ -649,7 +656,7 @@ case class CheckpointLakeTableCommand(table: Seq[String]) extends LeafRunnableCo
       case _ => throw new UnsupportedOperationException(
         s"${table.mkString(".")} is not a native lake table")
     }
-    val (v, rows) = handle.checkpoint(spark)
+    val (v, rows) = handle.checkpoint(spark, v2)
     Seq(Row(v, rows))
   }
   override val output: Seq[Attribute] = Seq(
@@ -657,15 +664,19 @@ case class CheckpointLakeTableCommand(table: Seq[String]) extends LeafRunnableCo
     AttributeReference("state_rows", org.apache.spark.sql.types.LongType)())
 }
 
-/** RESTORE LAKE TABLE fqn TO VERSION n — roll the table back to an
-  * earlier state (Delta: commit version, one remove+re-add commit with DV
-  * state and metadata restored; Iceberg: snapshot id, a metadata-only
-  * rollback of the main ref). History stays intact: time travel still
-  * reaches the undone versions, and VACUUM is what eventually reclaims
-  * their files.
+/** RESTORE LAKE TABLE fqn TO VERSION n | TO TIMESTAMP 'ts' — roll the
+  * table back to an earlier state (Delta: commit version, one remove+re-add
+  * commit with DV state and metadata restored; Iceberg: snapshot id, a
+  * metadata-only rollback of the main ref). The timestamp form resolves
+  * the latest version/snapshot at-or-before the timestamp by the same rule
+  * time travel uses (delta-spark `RESTORE ... TIMESTAMP AS OF`, Iceberg
+  * `rollback_to_timestamp`); accepts `yyyy-MM-dd[ HH:mm:ss[.SSS]]` /
+  * ISO-8601 (UTC) or raw epoch millis. History stays intact: time travel
+  * still reaches the undone versions, and VACUUM is what eventually
+  * reclaims their files.
   */
-case class RestoreLakeTableCommand(table: Seq[String], version: Long)
-    extends LeafRunnableCommand {
+case class RestoreLakeTableCommand(table: Seq[String], version: Option[Long],
+    timestamp: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val tbl = GraftSQLBridge.loadV2Table(spark, table)
     val handle = tbl match {
@@ -675,8 +686,25 @@ case class RestoreLakeTableCommand(table: Seq[String], version: Long)
       case _ => throw new UnsupportedOperationException(
         s"${table.mkString(".")} is not a native lake table")
     }
-    val (added, removed) = handle.restore(spark, version)
+    val (added, removed) = (version, timestamp) match {
+      case (Some(v), _) => handle.restore(spark, v)
+      case (None, Some(ts)) => handle.restoreTimestamp(spark, parseTsMs(ts))
+      case _ => throw new IllegalArgumentException(
+        "RESTORE needs TO VERSION n or TO TIMESTAMP 'ts'")
+    }
     Seq(Row(added, removed))
+  }
+
+  private def parseTsMs(s: String): Long = {
+    val t = s.trim
+    if (t.matches("\\d{10,}")) t.toLong // epoch millis
+    else {
+      val norm = t.replace('T', ' ')
+      val withTime = if (norm.contains(' ')) norm else s"$norm 00:00:00"
+      java.time.LocalDateTime
+        .parse(withTime.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
   }
   override val output: Seq[Attribute] = Seq(
     AttributeReference("restored_files", org.apache.spark.sql.types.LongType)(),

@@ -1901,6 +1901,53 @@ object CatalogQueries {
         UNION ALL SELECT 990, 'POSTRESTORE', 0
         ORDER BY n_nationkey""")),
 
+    // RESTORE ... TO TIMESTAMP on both formats: Delta resolves the latest
+    // commit at-or-before the timestamp (delta-spark TIMESTAMP AS OF
+    // semantics), Iceberg resolves through the snapshot-log
+    // (rollback_to_timestamp) — the log truncation is what makes post-
+    // rollback timestamp travel land on the restored state.
+    QuerySpec("lake_restore_timestamp",
+      (s, dir) => {
+        setup(s, dir)
+        val lakeDir = new java.io.File(wh(dir), "lakew")
+        val done = new java.io.File(lakeDir, "nation_rts.done")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE DELTA DATASOURCE rts OPTIONS (path '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        Graft.sql(s,
+          s"REGISTER OR REPLACE ICEBERG DATASOURCE rti OPTIONS (warehouse '${lakeDir.getPath}') NAMESPACE graft.datasource.lakew")
+        val dFqn = "graft.datasource.lakew.rts.nation_rts"
+        val iFqn = "graft.datasource.lakew.rti.nation_rti"
+        if (!done.exists()) {
+          Seq("nation_rts", "nation_rti").foreach { n =>
+            val td = new java.io.File(lakeDir, n)
+            if (td.exists()) deleteRecursively(td)
+          }
+          QueryPack.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+            .createOrReplaceTempView("__nation_rts_src")
+          for (fqn <- Seq(dFqn, iFqn)) {
+            s.sql(s"CREATE TABLE $fqn (n_nationkey INT, n_name STRING, n_regionkey INT)")
+            s.sql(s"INSERT INTO $fqn SELECT CAST(n_nationkey AS INT), n_name, " +
+              "CAST(n_regionkey AS INT) FROM __nation_rts_src")          // v1 / snap A
+          }
+          Thread.sleep(20)
+          val mid = System.currentTimeMillis()
+          Thread.sleep(20)
+          s.sql(s"DELETE FROM $dFqn WHERE n_regionkey <> 0")             // v2
+          s.sql(s"INSERT INTO $iFqn VALUES (991, 'UNDONE', 9)")          // snap B
+          Graft.sql(s, s"RESTORE LAKE TABLE $dFqn TO TIMESTAMP '$mid'")
+          Graft.sql(s, s"RESTORE LAKE TABLE $iFqn TO TIMESTAMP '$mid'")
+          done.createNewFile(): Unit
+        }
+        s.sql(s"""SELECT 'delta' AS src, n_nationkey, n_name, n_regionkey FROM $dFqn
+          UNION ALL SELECT 'iceberg' AS src, n_nationkey, n_name, n_regionkey FROM $iFqn
+          ORDER BY src, n_nationkey""")
+      },
+      Some("""SELECT 'delta' AS src, CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey FROM nation
+        UNION ALL SELECT 'iceberg', CAST(n_nationkey AS INT), n_name,
+          CAST(n_regionkey AS INT) FROM nation
+        ORDER BY src, n_nationkey""")),
+
     QuerySpec("cmd_lake_history",
       (s, dir) => {
         setup(s, dir)

@@ -213,6 +213,165 @@ object Relational {
             WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment ORDER BY segment""")),
 
+    // ---- TPC-H Q4 shape: correlated EXISTS with a NON-EQUI correlated
+    // predicate (l_shipdate > o_orderdate + 60 days references the outer
+    // row inside the subquery) — Catalyst must decorrelate to a left-semi
+    // join carrying the extra condition. Testdata has no l_commitdate /
+    // l_receiptdate, so "late" = shipped >60 days after the order date. ----
+    QuerySpec("q4_order_priority",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("ord_q4")
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q4")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM ord_q4 o
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND EXISTS (SELECT 1 FROM li_q4 l
+          |    WHERE l.l_orderkey = o.o_orderkey
+          |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- TPC-H Q21 shape: correlated EXISTS *and* NOT EXISTS, both
+    // self-joins on the fact table with an inequality on the correlation
+    // sibling (l2.l_suppkey <> l1.l_suppkey) — the hardest decorrelation
+    // in the TPC-H suite (semi + anti join against the same relation).
+    // "Late" stands in as l_returnflag = 'R' (no receipt/commit dates in
+    // testdata): suppliers who were the ONLY returning supplier on a
+    // multi-supplier finished order. ----
+    QuerySpec("q21_waiting_supplier",
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("sup_q21")
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q21")
+        t(s, dir, "orders").createOrReplaceTempView("ord_q21")
+        t(s, dir, "nation").createOrReplaceTempView("nat_q21")
+        s.sql("""SELECT s_name, COUNT(*) AS numwait
+          |FROM sup_q21, li_q21 l1, ord_q21 o, nat_q21
+          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM li_q21 l2
+          |      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM li_q21 l3
+          |      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |        AND l3.l_returnflag = 'R')
+          |  AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders o, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+          AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
+
+    // ---- TPC-H Q18 shape: IN over a grouped-HAVING subquery on the same
+    // fact table (semi join against an aggregate), then re-aggregation of
+    // the surviving orders. Exact-decimal quantity sums on both sides keep
+    // the HAVING threshold engine-agnostic. ----
+    QuerySpec("q18_large_orders",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("cust_q18")
+        t(s, dir, "orders").createOrReplaceTempView("ord_q18")
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q18")
+        s.sql("""SELECT c_name, c_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+          |FROM cust_q18 c, ord_q18 o, li_q18 l
+          |WHERE o.o_orderkey IN (SELECT l_orderkey FROM li_q18 GROUP BY l_orderkey
+          |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+          |  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+          |GROUP BY c_name, c_custkey, o.o_orderkey, o_orderdate, o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+      },
+      Some("""SELECT c_name, c_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM customer c, orders o, lineitem l
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+          AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+        GROUP BY c_name, c_custkey, o.o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ---- TPC-H Q20 shape: nested double subquery — an IN whose subquery
+    // carries another IN (part filter) AND a correlated scalar subquery in
+    // its HAVING (per-part total referencing the outer grouping column).
+    // Without a partsupp table, "availability" is the supplier's own
+    // shipped share of a part vs the part's total across suppliers. ----
+    QuerySpec("q20_promo_suppliers",
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("sup_q20")
+        t(s, dir, "nation").createOrReplaceTempView("nat_q20")
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q20")
+        t(s, dir, "part").createOrReplaceTempView("part_q20")
+        s.sql("""SELECT s_name, s_suppkey
+          |FROM sup_q20 JOIN nat_q20 ON s_nationkey = n_nationkey
+          |WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+          |  AND s_suppkey IN (
+          |    SELECT li.l_suppkey FROM li_q20 li
+          |    WHERE li.l_partkey IN (SELECT p_partkey FROM part_q20 WHERE p_name LIKE 'small%')
+          |    GROUP BY li.l_suppkey, li.l_partkey
+          |    HAVING CAST(SUM(CAST(li.l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+          |      (SELECT 0.05 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |       FROM li_q20 l2 WHERE l2.l_partkey = li.l_partkey))
+          |ORDER BY s_name, s_suppkey""".stripMargin)
+      },
+      Some("""SELECT s_name, s_suppkey
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+          AND s_suppkey IN (
+            SELECT li.l_suppkey FROM lineitem li
+            WHERE li.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            GROUP BY li.l_suppkey, li.l_partkey
+            HAVING CAST(SUM(CAST(li.l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+              (SELECT 0.05 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               FROM lineitem l2 WHERE l2.l_partkey = li.l_partkey))
+        ORDER BY s_name, s_suppkey""")),
+
+    // ---- TPC-H Q11 shape: uncorrelated scalar subquery in HAVING (the
+    // group's value vs a fraction of the SAME aggregate over the whole
+    // filtered relation — two aggregations of one join tree). Exact
+    // decimal sums cast to double keep both engines bit-identical. ----
+    QuerySpec("q11_important_stock",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q11")
+        t(s, dir, "supplier").createOrReplaceTempView("sup_q11")
+        t(s, dir, "nation").createOrReplaceTempView("nat_q11")
+        s.sql("""SELECT l_partkey AS p_key,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+          |FROM li_q11 JOIN sup_q11 ON l_suppkey = s_suppkey
+          |  JOIN nat_q11 ON s_nationkey = n_nationkey
+          |WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+          |GROUP BY l_partkey
+          |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+          |  (SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |   FROM li_q11 JOIN sup_q11 ON l_suppkey = s_suppkey
+          |     JOIN nat_q11 ON s_nationkey = n_nationkey
+          |   WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5'))
+          |ORDER BY part_value DESC, p_key LIMIT 100""".stripMargin)
+      },
+      Some("""SELECT l_partkey AS p_key,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+          (SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5'))
+        ORDER BY part_value DESC, p_key LIMIT 100""")),
+
     // ---- PIVOT: order counts per priority pivoted by status (explicit
     // value list keeps the output schema deterministic). Oracle uses the
     // equivalent conditional aggregation. ----

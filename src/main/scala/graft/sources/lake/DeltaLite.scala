@@ -747,7 +747,7 @@ object DeltaLite {
     * values re-serialize from the typed snapshot values, exact for the
     * identity-partition types the native writers produce.
     */
-  def writeCheckpoint(spark: SparkSession, dir: Path): (Long, Long) = {
+  def writeCheckpoint(spark: SparkSession, dir: Path, v2: Boolean = false): (Long, Long) = {
     import org.apache.spark.sql.{Row => R}
     val conf = spark.sparkContext.hadoopConfiguration
     val snap = snapshot(spark, dir)
@@ -793,40 +793,80 @@ object DeltaLite {
         case (k, v) if v != null => k -> v.toString
       }.toMap
 
-    val addRows = snap.fileIds.zip(snap.files).map { case (id, f) =>
+    val addStructs = snap.fileIds.zip(snap.files).map { case (id, f) =>
       val dv = snap.dvs.get(id).map(d =>
         R(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull
-      R(null, R(id, rawParts(f), f.size, f.modificationTime, true, dv,
-        snap.statsJson.get(id).orNull), null, null)
+      R(id, rawParts(f), f.size, f.modificationTime, true, dv,
+        snap.statsJson.get(id).orNull)
     }
-    val metaRow = R(null, null,
-      R(snap.metaId, snap.schema.json, snap.partitionColumns, snap.configuration), null)
-    val protoRow = R(null, null, null,
+    val metaStruct =
+      R(snap.metaId, snap.schema.json, snap.partitionColumns, snap.configuration)
+    val protoStruct =
       R(minReader, minWriter,
         if (readerFeatures.isEmpty) null else readerFeatures,
-        if (writerFeatures.isEmpty) null else writerFeatures))
-    val txnRows = txns.toSeq.sortBy(_._1).map { case (a, v) => R(R(a, v), null, null, null) }
+        if (writerFeatures.isEmpty) null else writerFeatures)
+    val txnStructs = txns.toSeq.sortBy(_._1).map { case (a, v) => R(a, v) }
 
-    val schema = StructType.fromDDL(
-      """txn STRUCT<appId: STRING, version: BIGINT>,
-        |add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, size: BIGINT,
+    val AddDdl =
+      """add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, size: BIGINT,
         |  modificationTime: BIGINT, dataChange: BOOLEAN,
         |  deletionVector: STRUCT<storageType: STRING, pathOrInlineDv: STRING,
         |    offset: BIGINT, sizeInBytes: INT, cardinality: BIGINT>,
-        |  stats: STRING>,
-        |metaData STRUCT<id: STRING, schemaString: STRING,
-        |  partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>>,
-        |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,
-        |  readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>""".stripMargin)
-    val rows = (txnRows :+ metaRow :+ protoRow) ++ addRows
-    val df = spark.createDataFrame(
+        |  stats: STRING>""".stripMargin
+    val logDir = new Path(dir, "_delta_log")
+    def mkDf(rows: Seq[Row], schema: StructType) = spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
-    val target = new Path(new Path(dir, "_delta_log"), f"${snap.version}%020d.checkpoint.parquet")
-    LakeWrite.writeOneParquetFile(df.coalesce(1), target)
-    val last = fs.create(new Path(new Path(dir, "_delta_log"), "_last_checkpoint"), true)
-    try last.write(s"""{"version":${snap.version},"size":${rows.size}}""".getBytes("UTF-8"))
+    val stateRows =
+      if (!v2) {
+        val schema = StructType.fromDDL(
+          s"""txn STRUCT<appId: STRING, version: BIGINT>,
+            |$AddDdl,
+            |metaData STRUCT<id: STRING, schemaString: STRING,
+            |  partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>>,
+            |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,
+            |  readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>""".stripMargin)
+        val rows = (txnStructs.map(t => R(t, null, null, null)) :+
+          R(null, null, metaStruct, null) :+ R(null, null, null, protoStruct)) ++
+          addStructs.map(a => R(null, a, null, null))
+        val target = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
+        LakeWrite.writeOneParquetFile(mkDf(rows, schema).coalesce(1), target)
+        rows.size
+      } else {
+        // v2 spec (delta-io PROTOCOL.md, V2 Checkpoint Table Features):
+        // a UUID-named manifest `<v>.checkpoint.<uuid>.parquet` carrying
+        // protocol + metaData + txn + checkpointMetadata + sidecar refs,
+        // with the file actions in `_sidecars/<uuid>.parquet`. Readers
+        // that only know classic checkpoints skip UUID-named files, so
+        // this write is only chosen on request (CHECKPOINT ... V2).
+        val uuid = java.util.UUID.randomUUID().toString
+        val sidecarName = s"$uuid.parquet"
+        val sidecarPath = new Path(new Path(logDir, "_sidecars"), sidecarName)
+        val sidecarSchema = StructType.fromDDL(AddDdl)
+        LakeWrite.writeOneParquetFile(
+          mkDf(addStructs.map(a => R(a)), sidecarSchema).coalesce(1), sidecarPath)
+        val sidecarSize = sidecarPath.getFileSystem(conf).getFileStatus(sidecarPath).getLen
+        val mainSchema = StructType.fromDDL(
+          """txn STRUCT<appId: STRING, version: BIGINT>,
+            |metaData STRUCT<id: STRING, schemaString: STRING,
+            |  partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>>,
+            |protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,
+            |  readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>,
+            |checkpointMetadata STRUCT<version: BIGINT>,
+            |sidecar STRUCT<path: STRING, sizeInBytes: BIGINT, modificationTime: BIGINT>""".stripMargin)
+        val now = System.currentTimeMillis()
+        val rows = (txnStructs.map(t => R(t, null, null, null, null)) :+
+          R(null, metaStruct, null, null, null) :+
+          R(null, null, protoStruct, null, null) :+
+          R(null, null, null, R(snap.version), null) :+
+          R(null, null, null, null, R(sidecarName, sidecarSize, now)))
+        val target = new Path(logDir, f"${snap.version}%020d.checkpoint.$uuid.parquet")
+        LakeWrite.writeOneParquetFile(mkDf(rows, mainSchema).coalesce(1), target)
+        rows.size + addStructs.size
+      }
+    val last = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try last.write(s"""{"version":${snap.version},"size":$stateRows}""".getBytes("UTF-8"))
     finally last.close()
-    (snap.version, rows.size.toLong)
+    (snap.version, stateRows.toLong)
   }
 
   /** Commit history, newest first: (version, timestampMs, operation,

@@ -237,9 +237,24 @@ object IcebergLite {
         }
       case None => timestampMs match {
         case Some(ts) =>
-          val eligible = snapshots.filter(s => (s \ "timestamp-ms").extract[Long] <= ts)
-          require(eligible.nonEmpty, s"no Iceberg snapshot at or before timestamp $ts")
-          eligible.maxBy(s => (s \ "timestamp-ms").extract[Long])
+          // Iceberg semantics: timestamp travel resolves through the
+          // snapshot-log (rollbacks truncate it and append a fresh entry,
+          // so 'now' reaches the restored state, never an undone one);
+          // metadata without a log falls back to snapshot timestamps.
+          val logEntries = (meta \ "snapshot-log") match {
+            case JArray(es) => es.map(e =>
+              ((e \ "timestamp-ms").extract[Long], (e \ "snapshot-id").extract[Long]))
+            case _ => Nil
+          }
+          if (logEntries.nonEmpty) {
+            val eligible = logEntries.filter(_._1 <= ts)
+            require(eligible.nonEmpty, s"no Iceberg snapshot at or before timestamp $ts")
+            byId(eligible.maxBy(_._1)._2)
+          } else {
+            val eligible = snapshots.filter(s => (s \ "timestamp-ms").extract[Long] <= ts)
+            require(eligible.nonEmpty, s"no Iceberg snapshot at or before timestamp $ts")
+            eligible.maxBy(s => (s \ "timestamp-ms").extract[Long])
+          }
         case None =>
           val cur = (meta \ "current-snapshot-id").extract[Long]
           byId(cur)
@@ -756,32 +771,34 @@ object IcebergLite {
 
   /** Position-delete application as a broadcast per-data-file bitmap FILTER
     * (the same [[DvMasked]] probe the Delta DV read uses): one distributed
-    * pass reads the delete parquet and groups positions per (file, delete
-    * seq), the driver applies the spec's sequence gate (delete seq >= the
-    * data file's) while unioning each data file's qualifying positions
-    * into a roaring bitmap, and the scan filters through a codegen'd
-    * probe — no join, no exchange, cost per SCANNED row instead of a hash
-    * join against one row per DELETED row (MorReadScaleBench). The driver
-    * materialization is bounded by the caller's row cap, decided from
-    * manifest record counts before any IO.
+    * pass reads the delete parquet, applies the spec's sequence gate
+    * (delete seq >= the data file's) executor-side through a
+    * broadcast-joined fid -> dataSeq frame, groups + dedups + sorts the
+    * qualifying positions per data file, and encodes each file's roaring
+    * bitmap BEFORE collecting — the driver holds one row per data file
+    * (path + compact bitmap bytes), never one JVM Row per deleted row.
+    * The scan then filters through a codegen'd probe — no join against
+    * the data side, no exchange on it, cost per SCANNED row instead of a
+    * hash join against one row per DELETED row (MorReadScaleBench). The
+    * caller's row cap (decided from manifest record counts before any IO)
+    * stays the broadcast-SIZE gate; driver heap is bounded by live-file
+    * count × bitmap bytes regardless of delete cardinality.
     */
   private def posBitmapFiltered(spark: SparkSession, snap: Snapshot,
       delRows: DataFrame, data: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // one map-only collect (no groupBy shuffle — grouping a cap-bounded
-    // set is driver work), then the sequence gate per data file
-    val collected = delRows.collect()
-    val bySeq: Map[String, Array[(Long, Long)]] = collected
-      .map(r => (r.getString(0), (r.getLong(2), r.getLong(1)))) // fid -> (seq, pos)
-      .groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2) }
-    val raw: Map[String, Array[Byte]] = snap.dataFileMeta.flatMap { case (fid, dataSeq) =>
-      bySeq.get(fid).flatMap { entries =>
-        val qual = entries.collect { case (dseq, pos) if dseq >= dataSeq => pos }
-        if (qual.isEmpty) None
-        else Some(fid -> RoaringDv.encodeBitmapArray(
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(qual.distinct.sorted)))
-      }
-    }.toMap
+    val meta = spark.createDataFrame(snap.dataFileMeta.map {
+      case (fid, seq) => Tuple2(fid, seq)
+    }).toDF("__gmfp", "__gmseq")
+    val encode = udf((poss: Seq[Long]) => RoaringDv.encodeBitmapArray(poss))
+    val perFile = delRows
+      .join(broadcast(meta), col("__gdfp") === col("__gmfp") &&
+        col("__gdseq") >= col("__gmseq"))
+      .groupBy(col("__gdfp"))
+      .agg(encode(sort_array(collect_set(col("__gdpos")))).as("__gbm"))
+      .collect()
+    val raw: Map[String, Array[Byte]] =
+      perFile.map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
     if (raw.isEmpty) data
     else {
       val bc = spark.sparkContext.broadcast(new DvMasked.BitmapHolder(raw))
@@ -793,20 +810,21 @@ object IcebergLite {
   }
 
   /** The schema data columns read under — the id-annotated form when the
-    * table's history demands field-id resolution. Flips the SESSION's
-    * parquet field-id read switch on (never off): Spark reads the flag
-    * from the session conf inside ParquetFileFormat, overwriting any
-    * per-relation option, so a global set is the only lever. Accepted
-    * design because the flag is semantically inert for requested schemas
-    * WITHOUT `parquet.field.id` metadata (every scan this engine builds
-    * except these), and for schemas WITH ids the flipped behavior is the
-    * correct one — with ignoreMissing left false, an id-annotated schema
-    * over id-less files fails loudly rather than null-filling either way.
+    * table's history demands field-id resolution. Never mutates session
+    * state: `spark.sql.parquet.fieldId.read.enabled` is turned on once at
+    * [[graft.catalog.GraftEnv.install]] (Spark reads the flag from the
+    * session conf inside ParquetFileFormat, overwriting any per-relation
+    * option, so a session-level set is the only lever). If a user has
+    * explicitly disabled it since, fail loudly here — a name-resolved
+    * read of a renamed/re-added column would silently null-fill.
     */
   private def readSchema(spark: SparkSession, snap: Snapshot): StructType =
     snap.idSchema match {
       case Some(s) =>
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") == "true",
+          "this Iceberg table's schema evolution requires field-id parquet resolution; " +
+            "spark.sql.parquet.fieldId.read.enabled is off in this session — " +
+            "call graft.Graft.install (which enables it) or set the flag to true")
         s
       case None => snap.schema
     }

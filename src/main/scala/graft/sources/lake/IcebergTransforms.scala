@@ -111,7 +111,8 @@ object IcebergTransforms {
   }
 
   def bucketValue(value: Any, dt: DataType, n: Int): Option[Int] =
-    bucketHash(value, dt).map(h => (h & Integer.MAX_VALUE) % n)
+    if (n <= 0) None // corrupted spec (`bucket[0]`): no proof, keep the file
+    else bucketHash(value, dt).map(h => (h & Integer.MAX_VALUE) % n)
 
   /** Can a row with `source = lit` live in a file whose `transform(source)`
     * partition value is `tv`? Only bucket needs this equality-only form —

@@ -124,10 +124,12 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
         DeltaLite.history(s, dir).map { case (v, ts, op, a, r) =>
           (v, None, ts, op, Some(a), Some(r))
         }
-      override def checkpoint(s: SparkSession): (Long, Long) =
-        DeltaLite.writeCheckpoint(s, dir)
+      override def checkpoint(s: SparkSession, v2: Boolean = false): (Long, Long) =
+        DeltaLite.writeCheckpoint(s, dir, v2)
       override def restore(s: SparkSession, version: Long): (Long, Long) =
         LakeNativeWrite.deltaRestore(s, dir, version)
+      override def restoreTimestamp(s: SparkSession, tsMs: Long): (Long, Long) =
+        LakeNativeWrite.deltaRestoreToTimestamp(s, dir, tsMs)
       override def describe: String = s"delta table $dir"
     }
     new WritableLakeTable(name, schemaOverride.getOrElse(snap.schema),
@@ -402,6 +404,8 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
         LakeNativeWrite.icebergExpire(s, dir, retain)
       override def restore(s: SparkSession, version: Long): (Long, Long) =
         LakeNativeWrite.icebergRollback(s, dir, version)
+      override def restoreTimestamp(s: SparkSession, tsMs: Long): (Long, Long) =
+        LakeNativeWrite.icebergRollbackToTimestamp(s, dir, tsMs)
       override def history(s: SparkSession): Seq[(Long, Option[Long], Long, String, Option[Long], Option[Long])] = {
         val meta = org.json4s.jackson.JsonMethods.parse(IcebergLite.readString(
           s.sparkContext.hadoopConfiguration, IcebergLite.currentMetadataFile(

@@ -627,6 +627,23 @@ object LakeNativeWrite {
       physPartNames.zip(f.partitionValues).collect {
         case (k, v) if v != null => k -> v.toString
       }.toMap
+    // delta-spark's RESTORE validation: every file the restore re-adds
+    // (and its DV file) must still exist — a VACUUMed target version would
+    // otherwise commit adds referencing deleted files, leaving the CURRENT
+    // state unreadable. Fail before writing anything.
+    val fs = dir.getFileSystem(conf)
+    val missing = addIds.flatMap { id =>
+      val dataGone = if (fs.exists(new Path(dir, id))) Nil else Seq(id)
+      val dvGone = tgt.dvs.get(id)
+        .flatMap(d => RoaringDv.resolvePath(dir, d.storageType, d.pathOrInlineDv))
+        .filterNot(fs.exists).map(_.toString).toSeq
+      dataGone ++ dvGone
+    }
+    require(missing.isEmpty,
+      s"RESTORE to version $version needs ${missing.size} file(s) that no longer " +
+        s"exist (VACUUMed?): ${missing.take(5).mkString(", ")}" +
+        (if (missing.size > 5) ", …" else "") +
+        " — restore to a newer version or re-create the table")
     val removes = removeIds.map(LakeWrite.deltaRemove(_, now))
     val adds = addIds.map { id =>
       val f = byId(id)
@@ -650,11 +667,41 @@ object LakeNativeWrite {
     (addIds.size.toLong, removeIds.size.toLong)
   }
 
+  /** RESTORE ... TO TIMESTAMP (delta-spark's `RESTORE ... TIMESTAMP AS OF`):
+    * resolves the latest commit at-or-before the timestamp through the same
+    * rule time travel uses, then restores to that version. Restoring to
+    * the current version is a no-op (0, 0) — nothing to rewrite.
+    */
+  def deltaRestoreToTimestamp(spark: SparkSession, dir: Path, tsMs: Long): (Long, Long) = {
+    val v = DeltaLite.snapshot(spark, dir, timestampMs = Some(tsMs)).version
+    val cur = DeltaLite.snapshot(spark, dir).version
+    if (v == cur) (0L, 0L) else deltaRestore(spark, dir, v)
+  }
+
+  /** Iceberg `rollback_to_timestamp`: the target is the latest snapshot-log
+    * entry at-or-before the timestamp (the log, not the snapshot list — a
+    * prior rollback's truncation governs what a timestamp reaches). No-op
+    * (0, 0) when that entry is already current.
+    */
+  def icebergRollbackToTimestamp(spark: SparkSession, dir: Path, tsMs: Long): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    val eligible = m.snapshotLog.filter(_._1 <= tsMs)
+    require(eligible.nonEmpty, s"no Iceberg snapshot at or before timestamp $tsMs")
+    val target = eligible.maxBy(_._1)._2
+    if (target == m.currentId) (0L, 0L) else icebergRollback(spark, dir, target)
+  }
+
   /** Iceberg rollback (`rollback_to_snapshot`): a new metadata version
     * whose current-snapshot-id and main ref point at the target ancestor —
     * the snapshot list, sequence numbers, and data all stay (time travel
-    * still reaches the undone snapshots; the next commit parents off the
-    * target). Returns the file-set delta vs the pre-rollback current
+    * BY ID still reaches the undone snapshots; the next commit parents off
+    * the target). The snapshot-log follows iceberg-core's
+    * `rollback_to_snapshot`: entries newer than the rollback point are
+    * dropped (the spec's invalidated-entry rule) and a fresh
+    * (now, targetSnapshotId) entry is appended, so `TIMESTAMP AS OF` after
+    * the rollback resolves to the restored state, not the undone one.
+    * Returns the file-set delta vs the pre-rollback current
     * (files re-surfaced, files hidden).
     */
   def icebergRollback(spark: SparkSession, dir: Path, snapshotId: Long): (Long, Long) = {
@@ -664,13 +711,18 @@ object LakeNativeWrite {
       s"snapshot $snapshotId not found in $dir")
     require(snapshotId != m.currentId, "already at the requested snapshot")
     val before = IcebergLite.snapshot(spark, dir).dataFileMeta.map(_._1).toSet
+    val tgtTs = m.priorSnapshots.find(_.id == snapshotId).get.timestampMs
+    // keep the log monotone even under clock skew
+    val now = math.max(System.currentTimeMillis(),
+      (m.snapshotLog.map(_._1) :+ 0L).max)
     LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema,
       m.priorSnapshots, currentSnapshotId = snapshotId,
       refs = Map("main" -> (snapshotId, "branch")),
       specFields = specFieldsFor(m.schema, m.partitionCols, m.fieldIds),
       properties = m.properties,
       schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
-      lastColumnId = m.lastColumnId)
+      lastColumnId = m.lastColumnId,
+      snapshotLog = m.snapshotLog.filter(_._1 <= tgtTs) :+ ((now, snapshotId)))
     val after = IcebergLite.snapshot(spark, dir).dataFileMeta.map(_._1).toSet
     ((after -- before).size.toLong, (before -- after).size.toLong)
   }
@@ -735,7 +787,9 @@ object LakeNativeWrite {
       specFields = specFieldsFor(m.schema, m.partitionCols, m.fieldIds),
       properties = m.properties,
       schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
-      lastColumnId = m.lastColumnId)
+      lastColumnId = m.lastColumnId,
+      // spec: log entries whose snapshot expired are invalidated — drop them
+      snapshotLog = m.snapshotLog.filter(e => retained.exists(_.id == e._2)))
     (n, bytes)
   }
 
@@ -925,7 +979,13 @@ object LakeNativeWrite {
       /** the metadata's full schemas array, verbatim */
       schemasJson: List[JValue] = Nil,
       currentSchemaId: Int = 0,
-      lastColumnId: Int = 0) {
+      lastColumnId: Int = 0,
+      /** snapshot-log (timestampMs, snapshotId), verbatim — TIMESTAMP AS OF
+        * resolves through this, so commits append to it and rollback
+        * truncates it (never regenerate from the snapshot list: that would
+        * resurrect entries a rollback dropped)
+        */
+      snapshotLog: Seq[(Long, Long)] = Nil) {
     def idOf(col: String): Int = fieldIds(schema.fieldIndex(col))
   }
 
@@ -996,7 +1056,12 @@ object LakeNativeWrite {
       },
       fieldIds = fieldIds, schemasJson = allSchemas,
       currentSchemaId = curSchemaId, lastColumnId = math.max(lastColId,
-        fieldIds.maxOption.getOrElse(0)))
+        fieldIds.maxOption.getOrElse(0)),
+      snapshotLog = (meta \ "snapshot-log") match {
+        case JArray(es) => es.map(e =>
+          ((e \ "timestamp-ms").extract[Long], (e \ "snapshot-id").extract[Long]))
+        case _ => priorSnapshots.map(s => (s.timestampMs, s.id))
+      })
   }
 
   private def partTypeJsonFor(schema: StructType, partitionCols: Seq[String]): String =
@@ -1074,7 +1139,10 @@ object LakeNativeWrite {
       specFields = specFieldsFor(m.schema, m.partitionCols, m.fieldIds),
       properties = m.properties,
       schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
-      lastColumnId = m.lastColumnId)
+      lastColumnId = m.lastColumnId,
+      // append to the carried log (never regenerate: a prior rollback's
+      // truncation must survive subsequent commits)
+      snapshotLog = m.snapshotLog :+ ((now, newSnapId)))
     ()
   }
 
@@ -1283,7 +1351,8 @@ object LakeNativeWrite {
       specFields = specFieldsFor(newSchema, m.partitionCols, newIds),
       properties = m.properties,
       schemasJson = m.schemasJson :+ newEntry, currentSchemaId = newSchemaId,
-      lastColumnId = math.max(m.lastColumnId, newIds.maxOption.getOrElse(0)))
+      lastColumnId = math.max(m.lastColumnId, newIds.maxOption.getOrElse(0)),
+      snapshotLog = m.snapshotLog)
     ()
   }
 

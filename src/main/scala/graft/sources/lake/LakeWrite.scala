@@ -434,7 +434,15 @@ object LakeWrite {
       schemasJson: List[JValue] = Nil,
       currentSchemaId: Int = 0,
       /** highest field id ever allocated; -1 = derive from the schemas */
-      lastColumnId: Int = -1): Path = {
+      lastColumnId: Int = -1,
+      /** snapshot-log entries (timestampMs, snapshotId) to write verbatim;
+        * empty = derive one entry per snapshot in list order (correct for
+        * append-only histories, wrong after a rollback — rollback callers
+        * must pass the truncated+appended log, per the Iceberg spec's rule
+        * that invalidated log entries are dropped and a rollback appends a
+        * fresh entry at rollback time)
+        */
+      snapshotLog: Seq[(Long, Long)] = Nil): Path = {
     val metaDir = new Path(tableDir, "metadata")
     val fs = metaDir.getFileSystem(conf)
     fs.mkdirs(metaDir)
@@ -486,9 +494,13 @@ object LakeWrite {
         "summary" -> (JObject(("operation" -> (JString(s.operation): JValue)) ::
           s.extraSummary.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }): JValue),
         "schema-id" -> (JInt(s.schemaId): JValue))) : JValue).toList),
-      "snapshot-log" -> JArray(snapshots.map(s => JObject(
-        "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
-        "snapshot-id" -> JInt(BigInt(s.id))) : JValue).toList),
+      "snapshot-log" -> JArray({
+        val entries = if (snapshotLog.nonEmpty) snapshotLog
+          else snapshots.map(s => (s.timestampMs, s.id))
+        entries.map { case (ts, id) => JObject(
+          "timestamp-ms" -> JInt(BigInt(ts)),
+          "snapshot-id" -> JInt(BigInt(id))) : JValue }.toList
+      }),
       "metadata-log" -> JArray(Nil),
       "refs" -> JObject(refs.toList.map { case (n, (id, typ)) =>
         n -> (JObject("snapshot-id" -> JInt(BigInt(id)), "type" -> JString(typ)): JValue)

@@ -157,13 +157,18 @@ class GraftParserSuite extends AnyFunSuite {
   test("RESTORE LAKE TABLE parses with 64-bit snapshot ids") {
     val p = GraftParser.parse("RESTORE LAKE TABLE graft.datasource.l.d.t TO VERSION 3")
       .asInstanceOf[graft.plans.RestoreLakeTableCommand]
-    assert(p.table == Seq("graft", "datasource", "l", "d", "t") && p.version == 3L)
+    assert(p.table == Seq("graft", "datasource", "l", "d", "t") && p.version == Some(3L))
     // Iceberg snapshot ids exceed Int
     val big = GraftParser.parse(
       "RESTORE LAKE TABLE graft.datasource.l.i.t TO VERSION 7296542107840584501")
       .asInstanceOf[graft.plans.RestoreLakeTableCommand]
-    assert(big.version == 7296542107840584501L)
+    assert(big.version == Some(7296542107840584501L))
     assert(GraftParser.isGraftStatement("RESTORE LAKE TABLE a.b TO VERSION 1"))
+    // timestamp form
+    val ts = GraftParser.parse(
+      "RESTORE LAKE TABLE a.b TO TIMESTAMP '2024-05-01 12:00:00'")
+      .asInstanceOf[graft.plans.RestoreLakeTableCommand]
+    assert(ts.version.isEmpty && ts.timestamp == Some("2024-05-01 12:00:00"))
     val e = intercept[Exception](GraftParser.parse("RESTORE LAKE TABLE a.b TO 1"))
     assert(e.getMessage.toLowerCase.contains("version") ||
       e.getMessage.contains("expected"), e.getMessage)

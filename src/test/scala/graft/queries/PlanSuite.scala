@@ -126,6 +126,56 @@ class PlanSuite extends SparkTestBase {
     assert(p.contains("Join"), s"decorrelated plan needs the join:\n$p")
   }
 
+  test("q4: non-equi correlated EXISTS decorrelates to one semi join") {
+    val df = graft.SparkEntry.queries("q4_order_priority")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("exists-subquery"), s"EXISTS must decorrelate:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "q4 must not go cartesian")
+  }
+
+  test("q21: EXISTS + NOT EXISTS self-joins decorrelate to semi AND anti joins") {
+    val df = graft.SparkEntry.queries("q21_waiting_supplier")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("exists-subquery"), s"both subqueries must decorrelate:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti-join:\n$p")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "q21 must not go cartesian")
+  }
+
+  test("q18: IN over grouped HAVING decorrelates to a semi join on the aggregate") {
+    val df = graft.SparkEntry.queries("q18_large_orders")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("list-subquery") && !p.contains("in-subquery"),
+      s"IN subquery must decorrelate:\n$p")
+    assert(p.contains("LeftSemi"), s"IN must become a semi join:\n$p")
+  }
+
+  test("q20: nested IN + correlated scalar-in-HAVING fully decorrelates") {
+    val df = graft.SparkEntry.queries("q20_promo_suppliers")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("scalar-subquery") && !p.contains("in-subquery") &&
+      !p.contains("list-subquery"),
+      s"all three nested subqueries must decorrelate:\n$p")
+    assert(p.contains("LeftSemi"), s"the INs must become semi joins:\n$p")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "q20 must not go cartesian")
+  }
+
+  test("q11: uncorrelated scalar subquery in HAVING stays a one-shot subquery") {
+    val df = graft.SparkEntry.queries("q11_important_stock")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    // the global-total subquery is UNcorrelated: it must remain a single
+    // scalar-subquery execution (broadcast into the HAVING filter), not be
+    // inlined per group
+    assert(p.contains("scalar-subquery"),
+      s"global total should stay a one-shot subquery:\n$p")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "q11 must not go cartesian")
+  }
+
   test("q22: NOT EXISTS decorrelates to anti-join; global avg runs once") {
     val df = graft.SparkEntry.queries("q22_idle_balances")(spark, sf())
     val p = df.queryExecution.optimizedPlan.toString

@@ -186,6 +186,53 @@ class LakeAlterSuite extends SparkTestBase {
     assert(DeltaLite.read(spark, dir).count() == expected.size + 1L)
   }
 
+  test("CHECKPOINT V2: UUID manifest + sidecar replays with protocol/txn intact") {
+    import spark.implicits._
+    val base = tmpDir("ckpt-v2")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE ck2 OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.ckpt2")
+    val fqn = "graft.datasource.ckpt2.ck2.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT) " +
+      "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true', " +
+      "'delta.enableChangeDataFeed' = 'true')")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(10)")
+    spark.sql(s"DELETE FROM $fqn WHERE id % 2 = 0") // live DV must survive replay
+    val dir = new Path(base.getPath, "t")
+    val sink = new DeltaStreamSink(spark, dir, Map("txnAppId" -> "ck2-app"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(3L, Seq((100, 100)).toDF("id", "v"))
+    val expected = spark.sql(s"SELECT id, v FROM $fqn").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+
+    val res = graft.Graft.sql(spark, s"CHECKPOINT LAKE TABLE $fqn V2").head()
+    val ckptVersion = res.getLong(0)
+    // the v2 form: a UUID-named manifest + a _sidecars parquet, NO classic
+    val log = new java.io.File(dir.toString, "_delta_log")
+    val names = log.listFiles().map(_.getName)
+    assert(names.exists(_.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet")),
+      s"expected a UUID-named v2 manifest, got ${names.toSeq}")
+    assert(!names.exists(_.matches("\\d{20}\\.checkpoint\\.parquet")),
+      "V2 must not also write a classic checkpoint")
+    assert(new java.io.File(log, "_sidecars").listFiles().exists(_.getName.endsWith(".parquet")))
+    // delete the whole JSON tail: replay must come from the v2 checkpoint
+    log.listFiles().filter { f =>
+      f.getName.endsWith(".json") &&
+        f.getName.stripSuffix(".json").toLong <= ckptVersion
+    }.foreach(f => assert(f.delete()))
+    val replayed = DeltaLite.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(replayed == expected, "v2 replay must reproduce the state incl. DVs")
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.cdfEnabled && snap.dvs.nonEmpty,
+      "configuration and deletion-vector state must survive the v2 base")
+    assert(snap.protocol.writerFeatures.contains("deletionVectors"),
+      s"protocol features must survive: ${snap.protocol}")
+    assert(DeltaLite.lastTxnVersion(spark, dir, "ck2-app").contains(3L))
+    // the table keeps accepting writes past the v2 base
+    spark.sql(s"INSERT INTO $fqn VALUES (200, 200)")
+    assert(DeltaLite.read(spark, dir).count() == expected.size + 1L)
+  }
+
   test("deletion-vector DELETE: no file rewrites, vectors merge, CDF rides, OPTIMIZE purges") {
     val base = tmpDir("dv-dml")
     graft.Graft.sql(spark,

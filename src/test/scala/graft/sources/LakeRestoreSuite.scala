@@ -62,6 +62,79 @@ class LakeRestoreSuite extends SparkTestBase {
       .map(_.getInt(0)).toSeq == Seq(1, 3, 5, 7, 9))
   }
 
+  test("delta: RESTORE TO TIMESTAMP resolves the latest commit at-or-before") {
+    val base = tmpDir("restore-dts")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE rst OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.rst")
+    val fqn = "graft.datasource.rst.rst.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT, v INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(4)") // v1
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql(s"DELETE FROM $fqn WHERE id >= 2")               // v2
+    assert(spark.table(fqn).count() == 2)
+    // epoch-millis form between v1 and v2 -> v1 state
+    graft.Graft.sql(spark, s"RESTORE LAKE TABLE $fqn TO TIMESTAMP '$mid'")
+    assert(spark.table(fqn).count() == 4)
+    // restoring to 'now' is a no-op (already current)
+    val res = graft.Graft.sql(spark,
+      s"RESTORE LAKE TABLE $fqn TO TIMESTAMP '${System.currentTimeMillis()}'").head()
+    assert(res.getLong(0) == 0L && res.getLong(1) == 0L)
+    // a timestamp before the first commit is refused
+    val ex = intercept[Exception] {
+      graft.Graft.sql(spark, s"RESTORE LAKE TABLE $fqn TO TIMESTAMP '1999-01-01 00:00:00'")
+    }
+    assert(ex.getMessage.contains("no Delta commit"), ex.getMessage)
+  }
+
+  test("delta: RESTORE refuses when the target's files were deleted") {
+    val base = tmpDir("restore-gone")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE rsg OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.rsg")
+    val fqn = "graft.datasource.rsg.rsg.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT id FROM range(3)")          // v1
+    val dir = new Path(base.getPath, "t")
+    val v1Files = DeltaLite.snapshot(spark, dir).fileIds
+    spark.sql(s"INSERT OVERWRITE $fqn SELECT id + 10 FROM range(3)") // v2
+    // simulate a vacuumed v1: physically delete its parquet
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    v1Files.foreach(f => fs.delete(new Path(dir, f), false))
+    val ex = intercept[Exception] {
+      graft.Graft.sql(spark, s"RESTORE LAKE TABLE $fqn TO VERSION 1")
+    }
+    assert(ex.getMessage.contains("no longer exist"), ex.getMessage)
+    // nothing was committed: the table still reads its current state
+    assert(spark.sql(s"SELECT min(id) FROM $fqn").head().getInt(0) == 10)
+  }
+
+  test("iceberg: rollback-to-timestamp + snapshot-log truncation") {
+    val base = tmpDir("restore-its")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE rit OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.rit")
+    val fqn = "graft.datasource.rit.rit.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT id FROM range(3)")      // snap A
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql(s"INSERT INTO $fqn SELECT id + 10 FROM range(3)") // snap B
+    assert(spark.table(fqn).count() == 6)
+    graft.Graft.sql(spark, s"RESTORE LAKE TABLE $fqn TO TIMESTAMP '$mid'")
+    assert(spark.table(fqn).count() == 3)
+    // Iceberg semantics: after the rollback, TIMESTAMP AS OF 'now'
+    // resolves through the truncated+appended snapshot-log to the
+    // RESTORED state — never to the undone snapshot B
+    val dir = new Path(base.getPath, "t")
+    val nowRead = IcebergLite.read(spark, dir,
+      timestampMs = Some(System.currentTimeMillis() + 1000))
+    assert(nowRead.count() == 3,
+      "timestamp travel after rollback must reach the restored state")
+    // snapshot B is still reachable BY ID (metadata-only rollback)
+    assert(IcebergLite.snapshot(spark, dir).snapshotId != -1L)
+  }
+
   test("iceberg: rollback re-points main, lineage and writes continue") {
     val base = tmpDir("restore-i")
     graft.Graft.sql(spark,
