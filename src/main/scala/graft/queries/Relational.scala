@@ -260,7 +260,7 @@ object Relational {
           |  AND NOT EXISTS (SELECT 1 FROM li_q21 l3
           |      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
           |        AND l3.l_returnflag = 'R')
-          |  AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+          |  AND s_nationkey = n_nationkey AND n_nationkey IN (3, 7)
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
       },
       Some("""SELECT s_name, COUNT(*) AS numwait
@@ -272,7 +272,7 @@ object Relational {
           AND NOT EXISTS (SELECT 1 FROM lineitem l3
               WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                 AND l3.l_returnflag = 'R')
-          AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+          AND s_nationkey = n_nationkey AND n_nationkey IN (3, 7)
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
 
     // ---- TPC-H Q18 shape: IN over a grouped-HAVING subquery on the same
@@ -315,7 +315,7 @@ object Relational {
         t(s, dir, "part").createOrReplaceTempView("part_q20")
         s.sql("""SELECT s_name, s_suppkey
           |FROM sup_q20 JOIN nat_q20 ON s_nationkey = n_nationkey
-          |WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+          |WHERE n_nationkey IN (1, 2, 3, 4, 5)
           |  AND s_suppkey IN (
           |    SELECT li.l_suppkey FROM li_q20 li
           |    WHERE li.l_partkey IN (SELECT p_partkey FROM part_q20 WHERE p_name LIKE 'small%')
@@ -327,7 +327,7 @@ object Relational {
       },
       Some("""SELECT s_name, s_suppkey
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+        WHERE n_nationkey IN (1, 2, 3, 4, 5)
           AND s_suppkey IN (
             SELECT li.l_suppkey FROM lineitem li
             WHERE li.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
@@ -350,26 +350,26 @@ object Relational {
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
           |FROM li_q11 JOIN sup_q11 ON l_suppkey = s_suppkey
           |  JOIN nat_q11 ON s_nationkey = n_nationkey
-          |WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+          |WHERE n_nationkey IN (1, 2, 3, 4, 5)
           |GROUP BY l_partkey
           |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
           |  (SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
           |   FROM li_q11 JOIN sup_q11 ON l_suppkey = s_suppkey
           |     JOIN nat_q11 ON s_nationkey = n_nationkey
-          |   WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5'))
+          |   WHERE n_nationkey IN (1, 2, 3, 4, 5))
           |ORDER BY part_value DESC, p_key LIMIT 100""".stripMargin)
       },
       Some("""SELECT l_partkey AS p_key,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
-        WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+        WHERE n_nationkey IN (1, 2, 3, 4, 5)
         GROUP BY l_partkey
         HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
           (SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              JOIN nation ON s_nationkey = n_nationkey
-           WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5'))
+           WHERE n_nationkey IN (1, 2, 3, 4, 5))
         ORDER BY part_value DESC, p_key LIMIT 100""")),
 
     // ---- PIVOT: order counts per priority pivoted by status (explicit

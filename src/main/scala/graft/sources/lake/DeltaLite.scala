@@ -793,12 +793,15 @@ object DeltaLite {
         case (k, v) if v != null => k -> v.toString
       }.toMap
 
-    val addStructs = snap.fileIds.zip(snap.files).map { case (id, f) =>
-      val dv = snap.dvs.get(id).map(d =>
-        R(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull
-      R(id, rawParts(f), f.size, f.modificationTime, true, dv,
-        snap.statsJson.get(id).orNull)
-    }
+    // an ITERATOR so the v2 path can stream shards without materializing
+    // every add Row at once (the classic single-file form still must)
+    def addStructs: Iterator[Row] = snap.fileIds.iterator.zip(snap.files.iterator)
+      .map { case (id, f) =>
+        val dv = snap.dvs.get(id).map(d =>
+          R(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull
+        R(id, rawParts(f), f.size, f.modificationTime, true, dv,
+          snap.statsJson.get(id).orNull)
+      }
     val metaStruct =
       R(snap.metaId, snap.schema.json, snap.partitionColumns, snap.configuration)
     val protoStruct =
@@ -814,6 +817,7 @@ object DeltaLite {
         |    offset: BIGINT, sizeInBytes: INT, cardinality: BIGINT>,
         |  stats: STRING>""".stripMargin
     val logDir = new Path(dir, "_delta_log")
+    var lastCheckpointJson: Option[String] = None
     def mkDf(rows: Seq[Row], schema: StructType) = spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
     val stateRows =
@@ -830,7 +834,7 @@ object DeltaLite {
           addStructs.map(a => R(null, a, null, null))
         val target = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
         LakeWrite.writeOneParquetFile(mkDf(rows, schema).coalesce(1), target)
-        rows.size
+        rows.size.toLong
       } else {
         // v2 spec (delta-io PROTOCOL.md, V2 Checkpoint Table Features):
         // a UUID-named manifest `<v>.checkpoint.<uuid>.parquet` carrying
@@ -839,12 +843,21 @@ object DeltaLite {
         // that only know classic checkpoints skip UUID-named files, so
         // this write is only chosen on request (CHECKPOINT ... V2).
         val uuid = java.util.UUID.randomUUID().toString
-        val sidecarName = s"$uuid.parquet"
-        val sidecarPath = new Path(new Path(logDir, "_sidecars"), sidecarName)
         val sidecarSchema = StructType.fromDDL(AddDdl)
-        LakeWrite.writeOneParquetFile(
-          mkDf(addStructs.map(a => R(a)), sidecarSchema).coalesce(1), sidecarPath)
-        val sidecarSize = sidecarPath.getFileSystem(conf).getFileStatus(sidecarPath).getLen
+        // shard sidecars so a very large table never funnels its whole
+        // file manifest through one parquet writer (delta-spark shards
+        // the same way); 100k adds ≈ 10-30 MB per sidecar
+        val sidecarFs = new Path(logDir, "_sidecars").getFileSystem(conf)
+        val now = System.currentTimeMillis()
+        var nAdds = 0L
+        val sidecars = addStructs.grouped(100000).zipWithIndex.map { case (group, i) =>
+          nAdds += group.size
+          val name = s"$uuid-$i.parquet"
+          val p = new Path(new Path(logDir, "_sidecars"), name)
+          LakeWrite.writeOneParquetFile(
+            mkDf(group.map(a => R(a)), sidecarSchema).coalesce(1), p)
+          R(name, sidecarFs.getFileStatus(p).getLen, now)
+        }.toSeq
         val mainSchema = StructType.fromDDL(
           """txn STRUCT<appId: STRING, version: BIGINT>,
             |metaData STRUCT<id: STRING, schemaString: STRING,
@@ -853,20 +866,30 @@ object DeltaLite {
             |  readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>,
             |checkpointMetadata STRUCT<version: BIGINT>,
             |sidecar STRUCT<path: STRING, sizeInBytes: BIGINT, modificationTime: BIGINT>""".stripMargin)
-        val now = System.currentTimeMillis()
         val rows = (txnStructs.map(t => R(t, null, null, null, null)) :+
           R(null, metaStruct, null, null, null) :+
           R(null, null, protoStruct, null, null) :+
-          R(null, null, null, R(snap.version), null) :+
-          R(null, null, null, null, R(sidecarName, sidecarSize, now)))
+          R(null, null, null, R(snap.version), null)) ++
+          sidecars.map(sc => R(null, null, null, null, sc))
         val target = new Path(logDir, f"${snap.version}%020d.checkpoint.$uuid.parquet")
         LakeWrite.writeOneParquetFile(mkDf(rows, mainSchema).coalesce(1), target)
-        rows.size + addStructs.size
+        // v2 _last_checkpoint carries the discovery block delta-spark
+        // writes, so external readers that trust it need not list the dir
+        val scJson = sidecars.map(sc =>
+          s"""{"path":"${sc.getString(0)}","sizeInBytes":${sc.getLong(1)}}""")
+          .mkString("[", ",", "]")
+        lastCheckpointJson = Some(
+          s"""{"version":${snap.version},"size":${rows.size + nAdds},""" +
+          s""""numOfAddFiles":$nAdds,"v2Checkpoint":{"path":"${target.getName}",""" +
+          s""""sizeInBytes":${sidecarFs.getFileStatus(target).getLen},""" +
+          s""""nonFileActions":${rows.size},"sidecarFiles":$scJson}}""")
+        rows.size + nAdds
       }
     val last = fs.create(new Path(logDir, "_last_checkpoint"), true)
-    try last.write(s"""{"version":${snap.version},"size":$stateRows}""".getBytes("UTF-8"))
+    try last.write(lastCheckpointJson.getOrElse(
+      s"""{"version":${snap.version},"size":$stateRows}""").getBytes("UTF-8"))
     finally last.close()
-    (snap.version, stateRows.toLong)
+    (snap.version, stateRows)
   }
 
   /** Commit history, newest first: (version, timestampMs, operation,

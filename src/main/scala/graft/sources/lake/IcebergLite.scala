@@ -249,7 +249,9 @@ object IcebergLite {
           if (logEntries.nonEmpty) {
             val eligible = logEntries.filter(_._1 <= ts)
             require(eligible.nonEmpty, s"no Iceberg snapshot at or before timestamp $ts")
-            byId(eligible.maxBy(_._1)._2)
+            // same-millisecond entries: the LATER log entry wins (the log
+            // is append-ordered; maxBy alone would keep the first max)
+            byId(eligible.zipWithIndex.maxBy { case ((t, _), i) => (t, i) }._1._2)
           } else {
             val eligible = snapshots.filter(s => (s \ "timestamp-ms").extract[Long] <= ts)
             require(eligible.nonEmpty, s"no Iceberg snapshot at or before timestamp $ts")

@@ -630,14 +630,22 @@ object LakeNativeWrite {
     // delta-spark's RESTORE validation: every file the restore re-adds
     // (and its DV file) must still exist — a VACUUMed target version would
     // otherwise commit adds referencing deleted files, leaving the CURRENT
-    // state unreadable. Fail before writing anything.
+    // state unreadable. Fail before writing anything. Existence checks are
+    // BATCHED: one listStatus per distinct parent directory instead of one
+    // exists() RPC per file (a wide restore on an object store would
+    // otherwise pay per-file HEAD latency serially on the driver).
     val fs = dir.getFileSystem(conf)
-    val missing = addIds.flatMap { id =>
-      val dataGone = if (fs.exists(new Path(dir, id))) Nil else Seq(id)
-      val dvGone = tgt.dvs.get(id)
+    val toCheck: Seq[(String, Path)] = addIds.map(id => id -> new Path(dir, id)) ++
+      addIds.flatMap(id => tgt.dvs.get(id)
         .flatMap(d => RoaringDv.resolvePath(dir, d.storageType, d.pathOrInlineDv))
-        .filterNot(fs.exists).map(_.toString).toSeq
-      dataGone ++ dvGone
+        .map(p => p.toString -> p))
+    val present: Set[(String, String)] =
+      toCheck.map(_._2.getParent).distinct.flatMap { parent =>
+        try fs.listStatus(parent).map(st => parent.toString -> st.getPath.getName).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }.toSet
+    val missing = toCheck.collect {
+      case (label, p) if !present.contains((p.getParent.toString, p.getName)) => label
     }
     require(missing.isEmpty,
       s"RESTORE to version $version needs ${missing.size} file(s) that no longer " +
@@ -688,7 +696,8 @@ object LakeNativeWrite {
     val m = loadIceMeta(conf, dir)
     val eligible = m.snapshotLog.filter(_._1 <= tsMs)
     require(eligible.nonEmpty, s"no Iceberg snapshot at or before timestamp $tsMs")
-    val target = eligible.maxBy(_._1)._2
+    // same-millisecond entries: the later (append-order) entry wins
+    val target = eligible.zipWithIndex.maxBy { case ((t, _), i) => (t, i) }._1._2
     if (target == m.currentId) (0L, 0L) else icebergRollback(spark, dir, target)
   }
 
@@ -1141,8 +1150,10 @@ object LakeNativeWrite {
       schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
       lastColumnId = m.lastColumnId,
       // append to the carried log (never regenerate: a prior rollback's
-      // truncation must survive subsequent commits)
-      snapshotLog = m.snapshotLog :+ ((now, newSnapId)))
+      // truncation must survive subsequent commits); clamp to the log max
+      // so a wall clock stepping backwards never breaks log monotonicity
+      snapshotLog = m.snapshotLog :+
+        ((math.max(now, (m.snapshotLog.map(_._1) :+ 0L).max), newSnapId)))
     ()
   }
 

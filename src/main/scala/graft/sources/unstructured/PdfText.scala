@@ -42,11 +42,18 @@ import java.util.zip.Inflater
   * `/DecodeParms` predictors (TIFF-2 horizontal differencing, PNG
   * None/Sub/Up/Average/Paeth) are undone after the filter chain.
   *
+  * Per-font CMap binding IS resolved through the object graph where the
+  * document allows it ([[fontBindings]]: `/Font` resource dicts → font
+  * objects → their `/ToUnicode N G R` streams, with `Tf` operators
+  * switching the active table mid-stream); the document-wide merge above
+  * is the fallback for unbound names and text before any `Tf`.
+  *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly, so xref streams are irrelevant), no
-  * per-font CMap binding (above), no DCT/CCITT/JBIG2 (image) filters, no
-  * owner-password-based key recovery (Algorithm 2.A /OE path). When nothing
-  * decodable is found the caller falls back to the printable-ASCII heuristic.
+  * DCT/CCITT/JBIG2 filters (image codecs — they carry no text; PDFBox needs
+  * them only for rasterization), no owner-password-based key recovery
+  * (Algorithm 2.A /OE path). When nothing decodable is found the caller
+  * falls back to the printable-ASCII heuristic.
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
