@@ -372,6 +372,188 @@ object Relational {
            WHERE n_nationkey IN (1, 2, 3, 4, 5))
         ORDER BY part_value DESC, p_key LIMIT 100""")),
 
+    // ---- TPC-H Q8 shape: national market share — a 7-way join whose
+    // aggregate is a RATIO of two conditional sums (share of one supplier
+    // nation inside a customer region, by order year). Both sums are
+    // exact-decimal before the double division, so the ratio is
+    // bit-identical across engines. ----
+    QuerySpec("q8_market_share",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "supplier", "nation", "region")
+          .foreach(t0 => t(s, dir, t0).createOrReplaceTempView(s"${t0}_q8"))
+        s.sql("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+          |  CAST(SUM(CASE WHEN s_nationkey = 3
+          |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+          |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+          |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+          |FROM lineitem_q8
+          |JOIN orders_q8 ON l_orderkey = o_orderkey
+          |JOIN customer_q8 ON o_custkey = c_custkey
+          |JOIN nation_q8 n1 ON c_nationkey = n1.n_nationkey
+          |JOIN region_q8 ON n1.n_regionkey = r_regionkey
+          |JOIN supplier_q8 ON l_suppkey = s_suppkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+          CAST(SUM(CASE WHEN s_nationkey = 3
+            THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TPC-H Q10 shape: returned-item losers — 4-way join filtered to
+    // returns, top-20 customers by exact-decimal revenue. ----
+    QuerySpec("q10_returned_items",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "nation")
+          .foreach(t0 => t(s, dir, t0).createOrReplaceTempView(s"${t0}_q10"))
+        s.sql("""SELECT c_custkey, c_name,
+          |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  c_acctbal, n_name
+          |FROM customer_q10, orders_q10, lineitem_q10, nation_q10
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+          |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+          |GROUP BY c_custkey, c_name, c_acctbal, n_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join with a filter INSIDE the join condition (preserved-row
+    // semantics: customers with zero qualifying orders count as c_count=0),
+    // then an aggregation OF an aggregation. ----
+    QuerySpec("q13_customer_distribution",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("cust_q13")
+        t(s, dir, "orders").createOrReplaceTempView("ord_q13")
+        s.sql("""SELECT c_count, COUNT(*) AS custdist FROM (
+          |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          |  FROM cust_q13 LEFT OUTER JOIN ord_q13
+          |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          |  GROUP BY c_custkey) t
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- TPC-H Q14 shape: promo revenue share — single join, ratio of
+    // conditional to total exact-decimal sum over one ship month. ----
+    QuerySpec("q14_promo_revenue",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q14")
+        t(s, dir, "part").createOrReplaceTempView("part_q14")
+        s.sql("""SELECT CAST(100.00 *
+          |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+          |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+          |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+          |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+          |  AS DOUBLE) AS promo_revenue
+          |FROM li_q14 JOIN part_q14 ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin)
+      },
+      Some("""SELECT CAST(100.00 *
+          CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+          AS DOUBLE) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""")),
+
+    // ---- TPC-H Q15 shape: top supplier — a CTE referenced twice (once as
+    // the join input, once under a scalar MAX subquery). Exact-decimal
+    // revenue makes the double equality engine-safe. ----
+    QuerySpec("q15_top_supplier",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q15")
+        t(s, dir, "supplier").createOrReplaceTempView("sup_q15")
+        s.sql("""WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+          |  FROM li_q15
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM sup_q15 JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")),
+
+    // ---- TPC-H Q16 shape: supplier count per part config — NOT IN over a
+    // subquery (null-aware anti join) + COUNT DISTINCT of the fact key. ----
+    QuerySpec("q16_supplier_cnt",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q16")
+        t(s, dir, "part").createOrReplaceTempView("part_q16")
+        t(s, dir, "supplier").createOrReplaceTempView("sup_q16")
+        s.sql("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM li_q16 JOIN part_q16 ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          |  AND p_size IN (1,4,9,14,19,24,28,33,38,45)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM sup_q16 WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""".stripMargin)
+      },
+      Some("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1,4,9,14,19,24,28,33,38,45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""")),
+
+    // ---- TPC-H Q19 shape: disjunctive join — equi-join plus an OR of
+    // conjunctive range predicates spanning BOTH sides. Catalyst must keep
+    // the equi-key join and evaluate the disjunction as a post-join
+    // filter, extracting the common p_partkey = l_partkey key (a naive
+    // planner degrades to a nested loop). ----
+    QuerySpec("q19_disjunctive_revenue",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q19")
+        t(s, dir, "part").createOrReplaceTempView("part_q19")
+        s.sql("""SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM li_q19 JOIN part_q19 ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""")),
+
     // ---- PIVOT: order counts per priority pivoted by status (explicit
     // value list keeps the output schema deterministic). Oracle uses the
     // equivalent conditional aggregation. ----

@@ -176,6 +176,41 @@ class PlanSuite extends SparkTestBase {
       "q11 must not go cartesian")
   }
 
+  test("q13: filter stays inside the LEFT OUTER join (zero-order customers kept)") {
+    val df = graft.SparkEntry.queries("q13_customer_distribution")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftOuter"), s"outer join must survive optimization:\n$p")
+  }
+
+  test("q16: NOT IN becomes a null-aware anti join, not a per-row probe") {
+    val df = graft.SparkEntry.queries("q16_supplier_cnt")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("list-subquery") && !p.contains("in-subquery"),
+      s"NOT IN must decorrelate:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT IN must become an anti join:\n$p")
+  }
+
+  test("q19: disjunctive predicates keep the equi-key hash join (no nested loop)") {
+    val df = graft.SparkEntry.queries("q19_disjunctive_revenue")(spark, sf())
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"the common p_partkey = l_partkey key must be extracted:\n$exec")
+  }
+
+  test("q15: MAX over the revenue CTE stays a one-shot scalar subquery") {
+    val df = graft.SparkEntry.queries("q15_top_supplier")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("scalar-subquery"),
+      s"uncorrelated MAX should execute once, not per row:\n$p")
+  }
+
+  test("q8: seven-way market-share join broadcasts dimensions, no cartesian") {
+    val df = graft.SparkEntry.queries("q8_market_share")(spark, sf())
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"), s"no broadcast join in q8:\n$exec")
+    assert(!exec.contains("CartesianProduct"), "cartesian in q8")
+  }
+
   test("q22: NOT EXISTS decorrelates to anti-join; global avg runs once") {
     val df = graft.SparkEntry.queries("q22_idle_balances")(spark, sf())
     val p = df.queryExecution.optimizedPlan.toString
