@@ -161,6 +161,37 @@ class LakeFuzzSuite extends SparkTestBase {
     assert(DeltaLite.read(spark, dir).count() == expected.size + 1L)
   }
 
+  test("a v2 checkpoint whose sidecar vanished fails loudly, never a silent subset") {
+    val (fqn, dir) = mkDelta("fz6")
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 100)")
+    spark.sql(s"INSERT INTO $fqn VALUES (200, 200)")
+    val snap = DeltaLite.snapshot(spark, dir)
+    DeltaLite.writeCheckpoint(spark, dir, v2 = true)
+    val logDir = new java.io.File(dir.toString, "_delta_log")
+    // clean the JSON tail so replay depends entirely on the v2 base
+    logDir.listFiles().filter { f =>
+      f.getName.endsWith(".json") &&
+        f.getName.stripSuffix(".json").toLong <= snap.version
+    }.foreach(f => assert(f.delete()))
+    assert(DeltaLite.read(spark, dir).count() == 8L) // sanity: v2 replay works
+    // delete the sidecar (keep the main manifest): a reader that shrugged
+    // this off would replay protocol/metaData with ZERO files — an empty
+    // table masquerading as truth. It must throw instead.
+    val sidecars = new java.io.File(logDir, "_sidecars").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sidecars.nonEmpty)
+    sidecars.foreach { f =>
+      val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      if (crc.exists()) crc.delete()
+      assert(f.delete())
+    }
+    val ex = intercept[Exception] { DeltaLite.read(spark, dir).collect() }
+    val msg = String.valueOf(ex.getMessage).toLowerCase
+    assert(msg.contains("sidecar") || msg.contains("not exist") ||
+      msg.contains("path does not exist") || msg.contains("not found"),
+      s"sidecar loss must surface as a missing-file failure, got: ${ex.getMessage}")
+  }
+
   test("CDF checkpoint file corruption is rejected, not treated as version 0") {
     val (_, dir) = mkDelta("fz3")
     val base = new java.io.File(dir.toString).getParentFile
