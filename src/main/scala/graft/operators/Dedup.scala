@@ -356,6 +356,64 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Doc-LOCAL structural dedup (RefinedWeb/CCNet line cleanup): rewrite a
+    * text column keeping only the FIRST occurrence of each line/paragraph.
+    * Pure built-ins (split → array_distinct → array_join; Spark's
+    * array_distinct is documented first-occurrence-order-preserving), so
+    * the rewrite is one map-side codegen stage — zero shuffles at any
+    * corpus size. Complements [[graft.functions.GopherRepetition]], which
+    * MEASURES the same duplication this REMOVES.
+    */
+  def dedupElementsLocal(textCol: Column, sep: String = "\n"): Column =
+    array_join(
+      array_distinct(split(textCol, java.util.regex.Pattern.quote(sep))), sep)
+
+  /** Cross-document boilerplate paragraphs (CCNet-style): `(paragraph,
+    * doc_freq)` for non-blank paragraphs appearing in at least `minDocFreq`
+    * DISTINCT documents (within-doc repeats collapse via array_distinct
+    * before the count). The corpus text itself never shuffles — only
+    * (paragraph, partial count) pairs move, and map-side combine keeps
+    * the exchange proportional to distinct-paragraph cardinality.
+    */
+  def boilerplateParagraphs(df: DataFrame, textCol: String,
+      minDocFreq: Int, sep: String = "\n\n"): DataFrame =
+    df.select(explode(array_distinct(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))).as("paragraph"))
+      .where(length(trim(col("paragraph"))) > 0)
+      .groupBy(col("paragraph")).agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocFreq)
+
+  /** Strip cross-document boilerplate: rewrite `textCol` with every
+    * paragraph that [[boilerplateParagraphs]] flags removed (headers,
+    * footers, cookie banners — the paragraphs whose document frequency
+    * betrays them as template, not content). The flagged set is collected
+    * to the driver — bounded by `maxSetSize`, and boilerplate is small by
+    * nature (it is the HIGH-frequency tail) — then applied as a literal
+    * array inside a map-side `filter` lambda: after the one small
+    * (paragraph, count) aggregation, the corpus rewrite is exchange-free.
+    * Throws when the flagged set exceeds the cap rather than silently
+    * stripping a truncated subset (lower `minDocFreq` selectivity or raise
+    * the cap explicitly).
+    */
+  def stripBoilerplate(df: DataFrame, textCol: String, minDocFreq: Int,
+      maxSetSize: Int = 10000, sep: String = "\n\n"): DataFrame = {
+    val flagged = boilerplateParagraphs(df, textCol, minDocFreq, sep)
+      .orderBy(col("doc_freq").desc, col("paragraph"))
+      .limit(maxSetSize + 1)
+      .collect().map(_.getString(0))
+    require(flagged.length <= maxSetSize,
+      s"more than $maxSetSize boilerplate paragraphs at minDocFreq=$minDocFreq; " +
+        "raise maxSetSize or minDocFreq (refusing to strip a truncated subset)")
+    if (flagged.isEmpty) df
+    else {
+      val bpSet = lit(flagged)
+      df.withColumn(textCol, array_join(
+        filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+          p => !array_contains(bpSet, p)),
+        sep))
+    }
+  }
+
   /** Observability for the hot-bucket guard: per-bucket sizes above the cap.
     * Run on a sample (or the full corpus) before a big dedup to see which
     * buckets will degrade to star-linking.

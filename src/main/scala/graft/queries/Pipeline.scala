@@ -1054,6 +1054,73 @@ object Pipeline {
     // the javascript marker, curly braces, and doc-level lorem-ipsum
     // rejection — then hash-matches lines kept, reassembled text, and the
     // keep flag against DuckDB running the identical construction. ----
+    // ---- Doc-local line dedup REWRITE (RefinedWeb-style cleanup): drop
+    // repeated lines beyond their first occurrence. The planted input
+    // repeats 'line A' three times per doc; the rewrite is one map-side
+    // split -> array_distinct -> join stage (zero shuffles). The oracle
+    // reproduces first-occurrence order with a min(ord) group-by. ----
+    QuerySpec("text_line_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val planted = concat(col("text"), lit("\nline A\nline A\ndoc "),
+          col("doc_id").cast("string"), lit("\nline A"))
+        d.select(col("doc_id"), Dedup.dedupElementsLocal(planted).as("cleaned"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id, text || chr(10) || 'line A' || chr(10) || 'line A' || chr(10)
+            || 'doc ' || doc_id || chr(10) || 'line A' AS t
+          FROM documents),
+        exploded AS (
+          SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                 generate_subscripts(string_split(t, chr(10)), 1) AS ord
+          FROM planted),
+        firsts AS (
+          SELECT doc_id, line, MIN(ord) AS first_ord FROM exploded GROUP BY doc_id, line)
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY first_ord) AS cleaned
+        FROM firsts GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Cross-document boilerplate stripping (CCNet-style): paragraphs
+    // whose document frequency betrays them as template ('All rights
+    // reserved.' in every doc, 'Subscribe...' in half) are removed; the
+    // per-doc unique paragraph survives. The (paragraph, count) agg is the
+    // only exchange — the flagged set broadcasts as a literal into a
+    // map-side filter lambda, so the corpus text never shuffles. ----
+    QuerySpec("text_boilerplate_strip",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val planted = concat(col("text"), lit("\n\n"),
+          when(col("doc_id") % 2 === 0, lit("Subscribe to our newsletter."))
+            .otherwise(concat(lit("Unique para "), col("doc_id").cast("string"))),
+          lit("\n\nAll rights reserved."))
+        val df = d.select(col("doc_id"), planted.as("t"))
+        Dedup.stripBoilerplate(df, "t", minDocFreq = 10)
+          .select(col("doc_id"), col("t").as("cleaned"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id, text || chr(10) || chr(10) ||
+            (CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter.'
+                  ELSE 'Unique para ' || doc_id END)
+            || chr(10) || chr(10) || 'All rights reserved.' AS t
+          FROM documents),
+        paras AS (
+          SELECT doc_id, unnest(list_distinct(string_split(t, chr(10) || chr(10)))) AS p
+          FROM planted),
+        bp AS (
+          SELECT p FROM paras WHERE len(trim(p)) > 0 GROUP BY p HAVING COUNT(*) >= 10),
+        exploded AS (
+          SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS p,
+                 generate_subscripts(string_split(t, chr(10) || chr(10)), 1) AS ord
+          FROM planted),
+        kept AS (
+          SELECT doc_id, string_agg(p, chr(10) || chr(10) ORDER BY ord) AS cleaned
+          FROM exploded WHERE p NOT IN (SELECT p FROM bp)
+          GROUP BY doc_id)
+        SELECT pl.doc_id, coalesce(k.cleaned, '') AS cleaned
+        FROM planted pl LEFT JOIN kept k ON pl.doc_id = k.doc_id
+        ORDER BY pl.doc_id""")),
+
     QuerySpec("text_c4_clean",
       (s, dir) => {
         val d = t(s, dir, "documents")

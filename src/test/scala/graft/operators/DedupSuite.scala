@@ -707,4 +707,43 @@ class DedupSuite extends SparkTestBase {
     t(6) = replacement
     t.mkString(" ")
   }
+
+  // ---- structural cleanup: local line dedup + cross-doc boilerplate ----
+
+  test("dedupElementsLocal keeps first occurrences in order, handles regex-special seps") {
+    import spark.implicits._
+    val df = Seq((1, "a\nb\na\nc\nb"), (2, "x|x|y")).toDF("id", "t")
+    val lines = df.where(col("id") === 1)
+      .select(Dedup.dedupElementsLocal(col("t")).as("c")).head().getString(0)
+    assert(lines == "a\nb\nc")
+    // a separator that is a regex metacharacter must be treated literally
+    val pipes = df.where(col("id") === 2)
+      .select(Dedup.dedupElementsLocal(col("t"), sep = "|").as("c")).head().getString(0)
+    assert(pipes == "x|y")
+  }
+
+  test("stripBoilerplate removes only >= minDocFreq paragraphs; cap refuses truncation") {
+    import spark.implicits._
+    val df = (1 to 20).map { i =>
+      (i, s"content $i\n\nfooter common\n\n" + (if (i <= 10) "half footer" else s"solo $i"))
+    }.toDF("id", "t")
+    val out = Dedup.stripBoilerplate(df, "t", minDocFreq = 10)
+      .orderBy("id").collect().map(_.getString(1))
+    // 'footer common' (20 docs) and 'half footer' (10 docs) go; content + solo stay
+    assert(out(0) == "content 1")
+    assert(out(10) == "content 11\n\nsolo 11")
+    assert(!out.exists(_.contains("footer")))
+    // within-doc repeats do not inflate doc frequency past the threshold
+    val rep = (1 to 5).map(i => (i, "same para\n\nsame para")).toDF("id", "t")
+    val repOut = Dedup.stripBoilerplate(rep, "t", minDocFreq = 6)
+    assert(repOut.head().getString(1).contains("same para"),
+      "5 docs < minDocFreq 6: nothing strips even though 10 paragraph instances exist")
+    // refusing a truncated strip: flagged set larger than the cap throws
+    val many = (1 to 30).flatMap(d => Seq((d, (1 to 5).map(p => s"bp $p").mkString("\n\n"))))
+      .toDF("id", "t")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.stripBoilerplate(many, "t", minDocFreq = 2, maxSetSize = 3)
+    }
+    assert(ex.getMessage.contains("boilerplate"))
+  }
 }
