@@ -334,10 +334,14 @@ private[parser] final class StatementParser(original: String) {
   private def parseVacuumLake(): LogicalPlan = {
     expectKw("VACUUM"); expectKw("LAKE"); expectKw("TABLE")
     val table = qualified()
-    val retain =
-      if (acceptKw("RETAIN")) { val n = intLit(); expectKw("VERSIONS"); n }
-      else 1
-    graft.plans.VacuumLakeTableCommand(table, retain)
+    // RETAIN n VERSIONS (count-based) | RETAIN n HOURS (age-based,
+    // delta-spark's public form; Iceberg expire_snapshots older_than)
+    if (acceptKw("RETAIN")) {
+      val n = intLit()
+      if (acceptKw("HOURS"))
+        graft.plans.VacuumLakeTableCommand(table, 1, retainHours = Some(n))
+      else { expectKw("VERSIONS"); graft.plans.VacuumLakeTableCommand(table, n) }
+    } else graft.plans.VacuumLakeTableCommand(table, 1)
   }
 
   private def parseListDq(): LogicalPlan = {

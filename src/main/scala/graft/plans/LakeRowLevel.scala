@@ -116,6 +116,11 @@ object LakeRowLevel {
       * (files deleted, bytes deleted).
       */
     def vacuum(spark: SparkSession, retainVersions: Int): (Long, Long)
+    /** Age-based retention (delta-spark's `RETAIN n HOURS`): keep every
+      * version/snapshot committed within the window; current always stays.
+      */
+    def vacuumHours(spark: SparkSession, hours: Int): (Long, Long) =
+      throw new UnsupportedOperationException(s"$describe does not support RETAIN HOURS")
     /** Table description for error messages. */
     def describe: String
     /** Commit/snapshot history, newest first: (version, snapshotId,
@@ -746,8 +751,8 @@ case class ShowLakeHistoryCommand(table: Seq[String]) extends LeafRunnableComman
   * additionally expires the unretained snapshots from the metadata
   * (expire_snapshots + remove_orphan_files in one pass).
   */
-case class VacuumLakeTableCommand(table: Seq[String], retainVersions: Int)
-    extends LeafRunnableCommand {
+case class VacuumLakeTableCommand(table: Seq[String], retainVersions: Int,
+    retainHours: Option[Int] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val tbl = GraftSQLBridge.loadV2Table(spark, table)
     val handle = tbl match {
@@ -757,7 +762,10 @@ case class VacuumLakeTableCommand(table: Seq[String], retainVersions: Int)
       case _ => throw new UnsupportedOperationException(
         s"${table.mkString(".")} is not a native lake table")
     }
-    val (files, bytes) = handle.vacuum(spark, retainVersions)
+    val (files, bytes) = retainHours match {
+      case Some(h) => handle.vacuumHours(spark, h)
+      case None => handle.vacuum(spark, retainVersions)
+    }
     Seq(Row(files, bytes))
   }
   override val output: Seq[Attribute] = Seq(

@@ -120,6 +120,8 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def partitionColumns: Seq[String] = snap.partitionColumns
       override def vacuum(s: SparkSession, retain: Int): (Long, Long) =
         LakeNativeWrite.deltaVacuum(s, dir, retain)
+      override def vacuumHours(s: SparkSession, hours: Int): (Long, Long) =
+        LakeNativeWrite.deltaVacuumHours(s, dir, hours)
       override def history(s: SparkSession): Seq[(Long, Option[Long], Long, String, Option[Long], Option[Long])] =
         DeltaLite.history(s, dir).map { case (v, ts, op, a, r) =>
           (v, None, ts, op, Some(a), Some(r))
@@ -402,6 +404,8 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def partitionColumns: Seq[String] = snap.partitionColumns
       override def vacuum(s: SparkSession, retain: Int): (Long, Long) =
         LakeNativeWrite.icebergExpire(s, dir, retain)
+      override def vacuumHours(s: SparkSession, hours: Int): (Long, Long) =
+        LakeNativeWrite.icebergExpireHours(s, dir, hours)
       override def restore(s: SparkSession, version: Long): (Long, Long) =
         LakeNativeWrite.icebergRollback(s, dir, version)
       override def restoreTimestamp(s: SparkSession, tsMs: Long): (Long, Long) =

@@ -566,10 +566,28 @@ object LakeNativeWrite {
     */
   def deltaVacuum(spark: SparkSession, dir: Path, retainVersions: Int): (Long, Long) = {
     require(retainVersions >= 1, s"must retain at least the current version")
+    val latest = DeltaLite.snapshot(spark, dir).version
+    deltaVacuumKeep(spark, dir,
+      ((latest - retainVersions + 1) to latest).filter(_ >= 0))
+  }
+
+  /** Age-based VACUUM (delta-spark's own `RETAIN n HOURS` form): retain
+    * every version whose commit timestamp is within the window — the
+    * current version always stays even when older than the cutoff.
+    */
+  def deltaVacuumHours(spark: SparkSession, dir: Path, hours: Int): (Long, Long) = {
+    require(hours >= 0, "retention hours must be >= 0")
+    val latest = DeltaLite.snapshot(spark, dir).version
+    val cutoff = System.currentTimeMillis() - hours.toLong * 3600000L
+    val keep = DeltaLite.history(spark, dir)
+      .collect { case (v, ts, _, _, _) if ts >= cutoff => v }
+    deltaVacuumKeep(spark, dir, (keep :+ latest).distinct.sorted)
+  }
+
+  private def deltaVacuumKeep(spark: SparkSession, dir: Path,
+      keep: Seq[Long]): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
-    val latest = DeltaLite.snapshot(spark, dir).version
-    val keep = ((latest - retainVersions + 1) to latest).filter(_ >= 0)
     def qualify(p: Path): String = fs.makeQualified(p).toString
     val referenced: Set[String] = (keep.flatMap { v =>
       val snap = DeltaLite.snapshot(spark, dir, version = Some(v))
@@ -747,7 +765,6 @@ object LakeNativeWrite {
   def icebergExpire(spark: SparkSession, dir: Path, retainSnapshots: Int): (Long, Long) = {
     require(retainSnapshots >= 1, s"must retain at least the current snapshot")
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = dir.getFileSystem(conf)
     val m = loadIceMeta(conf, dir)
     require(m.currentId >= 0, s"no snapshots to expire under $dir")
     val ordered = m.priorSnapshots.sortBy(_.sequenceNumber)
@@ -755,6 +772,28 @@ object LakeNativeWrite {
     require(retained.exists(_.id == m.currentId),
       s"retention window must include the current snapshot (retain >= " +
         s"${ordered.size - ordered.indexWhere(_.id == m.currentId)})")
+    icebergExpireRetained(spark, dir, m, retained)
+  }
+
+  /** Age-based expiry (Iceberg's `expire_snapshots(older_than)` shape):
+    * retain every snapshot committed within the window; the CURRENT
+    * snapshot always stays even when older than the cutoff.
+    */
+  def icebergExpireHours(spark: SparkSession, dir: Path, hours: Int): (Long, Long) = {
+    require(hours >= 0, "retention hours must be >= 0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = loadIceMeta(conf, dir)
+    require(m.currentId >= 0, s"no snapshots to expire under $dir")
+    val cutoff = System.currentTimeMillis() - hours.toLong * 3600000L
+    val retained = m.priorSnapshots.sortBy(_.sequenceNumber)
+      .filter(sn => sn.timestampMs >= cutoff || sn.id == m.currentId)
+    icebergExpireRetained(spark, dir, m, retained)
+  }
+
+  private def icebergExpireRetained(spark: SparkSession, dir: Path,
+      m: IceMeta, retained: Seq[LakeWrite.IcebergSnapshot]): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
     def qualify(p: Path): String = fs.makeQualified(p).toString
     // every file any retained snapshot can reach: data + delete files via
     // its manifests, plus the manifest/list files themselves

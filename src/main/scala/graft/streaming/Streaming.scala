@@ -153,6 +153,36 @@ object Streaming {
       .where(col("n_tokens") >= 5 && col("lexical_diversity") >= 0.3)
   }
 
+  /** Streaming structural cleanup: the twin of the `text_line_dedup` /
+    * `text_boilerplate_strip` batch gates. Local line dedup is a stateless
+    * column rewrite (works on any stream verbatim); the boilerplate set is
+    * learned from a STATIC reference corpus (boilerplate is template — by
+    * definition stable across a stream's lifetime) and applied as the same
+    * literal map-side filter the batch operator uses. Append mode, no
+    * state store, no watermark needed.
+    */
+  def structuralCleanStream(docs: DataFrame, referenceCorpus: DataFrame,
+      textCol: String = "text", minDocFreq: Int = 10,
+      maxSetSize: Int = 10000, sep: String = "\n\n"): DataFrame = {
+    import graft.operators.Dedup
+    val flagged = Dedup.boilerplateParagraphs(referenceCorpus, textCol, minDocFreq, sep)
+      .orderBy(col("doc_freq").desc, col("paragraph"))
+      .limit(maxSetSize + 1).collect().map(_.getString(0))
+    require(flagged.length <= maxSetSize,
+      s"more than $maxSetSize boilerplate paragraphs at minDocFreq=$minDocFreq")
+    val deduped = Dedup.dedupElementsLocal(col(textCol), sep)
+    val cleaned =
+      if (flagged.isEmpty) deduped
+      else {
+        val bpSet = lit(flagged)
+        val quoted = java.util.regex.Pattern.quote(sep)
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.filter(split(deduped, quoted),
+            p => !array_contains(bpSet, p)), sep)
+      }
+    docs.withColumn(textCol, cleaned)
+  }
+
   /** Streaming benchmark decontamination: the twin of `Dedup.contaminated`.
     * The eval/benchmark corpus is STATIC (a batch frame); its distinct
     * n-gram set is pre-aggregated into one array row and broadcast, so each

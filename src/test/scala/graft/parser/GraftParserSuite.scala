@@ -154,6 +154,18 @@ class GraftParserSuite extends AnyFunSuite {
     assert(tricky == Seq("select 'a;b' as x", "select 2"))
   }
 
+  test("VACUUM RETAIN parses both VERSIONS and HOURS forms") {
+    val v = GraftParser.parse("VACUUM LAKE TABLE a.b.t RETAIN 3 VERSIONS")
+      .asInstanceOf[graft.plans.VacuumLakeTableCommand]
+    assert(v.retainVersions == 3 && v.retainHours.isEmpty)
+    val h = GraftParser.parse("VACUUM LAKE TABLE a.b.t RETAIN 168 HOURS")
+      .asInstanceOf[graft.plans.VacuumLakeTableCommand]
+    assert(h.retainHours == Some(168))
+    val d = GraftParser.parse("VACUUM LAKE TABLE a.b.t")
+      .asInstanceOf[graft.plans.VacuumLakeTableCommand]
+    assert(d.retainVersions == 1 && d.retainHours.isEmpty)
+  }
+
   test("RESTORE LAKE TABLE parses with 64-bit snapshot ids") {
     val p = GraftParser.parse("RESTORE LAKE TABLE graft.datasource.l.d.t TO VERSION 3")
       .asInstanceOf[graft.plans.RestoreLakeTableCommand]

@@ -68,6 +68,43 @@ class LakeVacuumSuite extends SparkTestBase {
       "VACUUM LAKE TABLE graft.datasource.vac.vacd.t RETAIN 1 VERSIONS").head().getLong(0) == 0L)
   }
 
+  test("delta + iceberg: RETAIN n HOURS keeps the in-window versions, 0 keeps only current") {
+    import spark.implicits._
+    val root = tmpDir("vac-hours")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE vach OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.vach")
+    spark.sql("CREATE TABLE graft.datasource.vach.vach.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.datasource.vach.vach.t SELECT id FROM range(5)")
+    spark.sql("INSERT OVERWRITE graft.datasource.vach.vach.t SELECT id + 10 FROM range(5)")
+    val dir = new Path(s"$root/t")
+    // everything committed seconds ago: a 1000-hour window deletes nothing
+    assert(spark.sql(
+      "VACUUM LAKE TABLE graft.datasource.vach.vach.t RETAIN 1000 HOURS").head().getLong(0) == 0L)
+    assert(DeltaLite.read(spark, dir, version = Some(1L)).count() == 5L)
+    // a 0-hour window keeps only the current version: v1's files go
+    assert(spark.sql(
+      "VACUUM LAKE TABLE graft.datasource.vach.vach.t RETAIN 0 HOURS").head().getLong(0) > 0L)
+    assert(spark.table("graft.datasource.vach.vach.t").count() == 5L)
+    intercept[Exception] {
+      DeltaLite.read(spark, dir, version = Some(1L)).count()
+    }
+
+    // Iceberg: same surface through expire-by-age
+    spark.sql(s"REGISTER OR REPLACE ICEBERG DATASOURCE vaci OPTIONS (warehouse '$root') " +
+      "NAMESPACE graft.datasource.vach")
+    spark.sql("CREATE TABLE graft.datasource.vach.vaci.ti (id BIGINT)")
+    spark.sql("INSERT INTO graft.datasource.vach.vaci.ti SELECT id FROM range(4)")
+    spark.sql("INSERT OVERWRITE graft.datasource.vach.vaci.ti SELECT id + 10 FROM range(4)")
+    assert(spark.sql(
+      "VACUUM LAKE TABLE graft.datasource.vach.vaci.ti RETAIN 1000 HOURS").head().getLong(0) == 0L)
+    assert(spark.sql(
+      "VACUUM LAKE TABLE graft.datasource.vach.vaci.ti RETAIN 0 HOURS").head().getLong(0) > 0L)
+    assert(spark.table("graft.datasource.vach.vaci.ti").count() == 4L)
+    val iceDir = new Path(s"$root/ti")
+    assert(IcebergLite.snapshot(spark, iceDir).snapshotId >= 0)
+  }
+
   test("delta: RETAIN window keeps history readable inside it") {
     import spark.implicits._
     val root = tmpDir("vac-delta-r")

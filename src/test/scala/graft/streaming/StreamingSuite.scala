@@ -110,6 +110,39 @@ class StreamingSuite extends SparkTestBase {
     assert(result.toSeq == batch.toSeq)
   }
 
+  test("structural cleanup stream equals its batch twin (line dedup + boilerplate)") {
+    import org.apache.spark.sql.functions.concat
+    val docs = QueryPack.t(spark, sf(), "documents")
+      // the repeated paragraph is doc-UNIQUE (carries doc_id), so it is a
+      // local-dedup target but NOT cross-doc boilerplate; the footer is
+      .select(col("doc_id"), concat(col("text"),
+        lit("\n\nrepeat "), col("doc_id").cast("string"),
+        lit("\n\nrepeat "), col("doc_id").cast("string"),
+        lit("\n\nAll rights reserved.")).as("text"))
+    // batch twin: local dedup then the boilerplate strip over the same corpus
+    val localDeduped = docs.withColumn("text",
+      graft.operators.Dedup.dedupElementsLocal(col("text"), sep = "\n\n"))
+    val batch = graft.operators.Dedup.stripBoilerplate(localDeduped, "text", minDocFreq = 10)
+      .orderBy("doc_id").collect()
+    assert(batch.nonEmpty)
+    assert(!batch.head.getString(1).contains("All rights reserved"),
+      "corpus-wide footer must strip")
+    val cleanedText = batch.head.getString(1)
+    val rep = s"repeat ${batch.head.getLong(0)}"
+    assert(cleanedText.contains(rep) &&
+      cleanedText.indexOf(rep) == cleanedText.lastIndexOf(rep),
+      "exactly the FIRST occurrence of the within-doc repeat survives local dedup")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-struct").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, docs.schema)
+    val cleaned = Streaming.structuralCleanStream(stream, referenceCorpus = docs)
+    // stateless: no aggregation anywhere in the streaming plan
+    assert(!cleaned.queryExecution.analyzed.toString.contains("Aggregate"))
+    val result = Streaming.runToMemory(cleaned, "struct_clean")
+      .orderBy("doc_id").collect()
+    assert(result.toSeq == batch.toSeq)
+  }
+
   test("streaming gopher repetition filter equals its batch twin and stays stateless") {
     import org.apache.spark.sql.functions.concat_ws
     val docs = QueryPack.t(spark, sf(), "documents")
