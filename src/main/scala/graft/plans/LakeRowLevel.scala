@@ -60,7 +60,7 @@ object LakeRowLevel {
       * columns) enter it.
       */
     def commitRewrite(spark: SparkSession, removedFileIds: Seq[String],
-        replacement: DataFrame): Unit
+        replacement: DataFrame, operation: String = "REWRITE"): Unit
     /** True when the format wants the DML commands to capture row-level
       * change rows (Delta with `delta.enableChangeDataFeed = true`) and
       * commit through [[commitRewriteWithChanges]].
@@ -71,8 +71,9 @@ object LakeRowLevel {
       * update_postimage). Formats without a change feed ignore the rows.
       */
     def commitRewriteWithChanges(spark: SparkSession, removedFileIds: Seq[String],
-        replacement: DataFrame, changeRows: DataFrame): Unit =
-      commitRewrite(spark, removedFileIds, replacement)
+        replacement: DataFrame, changeRows: DataFrame,
+        operation: String = "REWRITE"): Unit =
+      commitRewrite(spark, removedFileIds, replacement, operation)
     /** True when DELETE should commit row-level delete markers (Delta
       * deletion vectors under `delta.enableDeletionVectors = true`)
       * instead of copy-on-write rewrites.
@@ -83,7 +84,7 @@ object LakeRowLevel {
       * the format keeps a change feed.
       */
     def commitDeleteRows(spark: SparkSession, matchedRowIds: DataFrame,
-        changeRows: Option[DataFrame]): Unit =
+        changeRows: Option[DataFrame], operation: String = "DELETE"): Unit =
       throw new UnsupportedOperationException(s"$describe does not support MoR deletes")
     /** True when UPDATE should mask + append (merge-on-read) instead of
       * copy-on-write.
@@ -93,14 +94,15 @@ object LakeRowLevel {
       * (their rewritten versions) append, one atomic commit.
       */
     def commitUpdateRows(spark: SparkSession, matchedRowIds: DataFrame,
-        newRows: DataFrame, changeRows: Option[DataFrame]): Unit =
+        newRows: DataFrame, changeRows: Option[DataFrame],
+        operation: String = "UPDATE"): Unit =
       throw new UnsupportedOperationException(s"$describe does not support MoR updates")
     /** A rewrite that moves bytes, not rows (OPTIMIZE / re-clustering):
       * formats with a change feed mark it so the feed skips the commit.
       */
     def commitCompaction(spark: SparkSession, removedFileIds: Seq[String],
         replacement: DataFrame): Unit =
-      commitRewrite(spark, removedFileIds, replacement)
+      commitRewrite(spark, removedFileIds, replacement, "OPTIMIZE")
     /** (file id, size in bytes, partition-group key) of every live data
       * file — OPTIMIZE's bin-packing input, driver-held exactly like the
       * formats' own file lists. Files sharing a group key can be packed
@@ -308,8 +310,9 @@ case class LakeDeleteCommand(handle: RowLevelHandle, cond: ExprBox)
         val kept = touched.where(!coalesce(c, lit(false)))
           .select(cols.map(n => col(s"`$n`")): _*)
         changes match {
-          case Some(ch) => handle.commitRewriteWithChanges(spark, files, kept, ch)
-          case None => handle.commitRewrite(spark, files, kept)
+          case Some(ch) =>
+            handle.commitRewriteWithChanges(spark, files, kept, ch, "DELETE")
+          case None => handle.commitRewrite(spark, files, kept, "DELETE")
         }
       }
     }
@@ -353,8 +356,9 @@ case class LakeUpdateCommand(handle: RowLevelHandle,
       } else {
         val rewritten = touched.select(out: _*)
         changes match {
-          case Some(ch) => handle.commitRewriteWithChanges(spark, files, rewritten, ch)
-          case None => handle.commitRewrite(spark, files, rewritten)
+          case Some(ch) =>
+            handle.commitRewriteWithChanges(spark, files, rewritten, ch, "UPDATE")
+          case None => handle.commitRewrite(spark, files, rewritten, "UPDATE")
         }
       }
     }
@@ -529,16 +533,16 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
       val appended = (morAppend.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
       (morMask, appended) match {
         case (Some(ids), Some(app)) =>
-          handle.commitUpdateRows(spark2, ids, app, changesOpt(inserts))
+          handle.commitUpdateRows(spark2, ids, app, changesOpt(inserts), "MERGE")
         case (None, Some(app)) =>
           // inserts only: a plain append commit suffices — but keep the
           // row-id contract by masking nothing via an empty-update is not
           // expressible, so route through commitRewrite-free append:
           handle.commitUpdateRows(spark2,
             tgt.where(lit(false)).select(col(FileIdCol), col(RowIxCol)), app,
-            changesOpt(inserts))
+            changesOpt(inserts), "MERGE")
         case (Some(ids), None) =>
-          handle.commitDeleteRows(spark2, ids, changesOpt(None))
+          handle.commitDeleteRows(spark2, ids, changesOpt(None), "MERGE")
         case _ => require(emptyIds) // unreachable
       }
     } else (rewritten, inserts) match {
@@ -547,8 +551,8 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
         val replacement = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
         changesOpt(i) match {
           case Some(changes) =>
-            handle.commitRewriteWithChanges(spark, files, replacement, changes)
-          case None => handle.commitRewrite(spark, files, replacement)
+            handle.commitRewriteWithChanges(spark, files, replacement, changes, "MERGE")
+          case None => handle.commitRewrite(spark, files, replacement, "MERGE")
         }
     }
     Seq(Row(files.size.toLong))

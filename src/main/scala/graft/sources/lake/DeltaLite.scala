@@ -906,11 +906,16 @@ object DeltaLite {
     val fs = new Path(dir, "_delta_log").getFileSystem(conf)
     log.commits.sortBy(-_._1).map { case (v, st) =>
       var meta = false; var cdc = false; var dvAdds = false
+      var recorded: Option[String] = None
       var addsDc = 0L; var removesDc = 0L; var addsNoDc = 0L; var removesNoDc = 0L
       readLines(fs, st).foreach { line =>
         val j = JsonMethods.parse(line)
         if ((j \ "metaData").isInstanceOf[JObject]) meta = true
         if ((j \ "cdc").isInstanceOf[JObject]) cdc = true
+        (j \ "commitInfo" \ "operation") match {
+          case JString(o) if o.nonEmpty => recorded = Some(o)
+          case _ =>
+        }
         (j \ "add") match {
           case a: JObject =>
             if ((a \ "dataChange").extractOrElse[Boolean](true)) addsDc += 1 else addsNoDc += 1
@@ -924,7 +929,11 @@ object DeltaLite {
         }
       }
       val op =
-        if (cdc) "DML"
+        // a writer that RECORDED its operation (delta-spark always does,
+        // this engine does where the shape is ambiguous, e.g. RESTORE) is
+        // authoritative; shape derivation is the cross-engine fallback
+        if (recorded.isDefined) recorded.get
+        else if (cdc) "DML"
         else if (meta && v == 0) "CREATE TABLE"
         else if (meta && addsDc + removesDc + addsNoDc + removesNoDc == 0) "ALTER TABLE"
         else if (addsDc + removesDc == 0 && addsNoDc + removesNoDc > 0) "OPTIMIZE"

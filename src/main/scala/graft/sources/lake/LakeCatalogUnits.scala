@@ -93,26 +93,31 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def scanWithRowIds(s: SparkSession): DataFrame =
         DeltaLite.toDataFrameWithRowIds(s, snap)
       override def commitRewrite(s: SparkSession, removed: Seq[String],
-          replacement: DataFrame): Unit =
-        LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement)
+          replacement: DataFrame, operation: String): Unit =
+        LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,
+          operation = operation)
       override def wantsChangeRows: Boolean = snap.cdfEnabled
       override def deleteByRowIds: Boolean = snap.configuration
         .get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true"))
       override def commitDeleteRows(s: SparkSession, matchedRowIds: DataFrame,
-          changeRows: Option[DataFrame]): Unit =
-        LakeNativeWrite.deltaDvDelete(s, dir, snap, matchedRowIds, changeRows)
+          changeRows: Option[DataFrame], operation: String): Unit =
+        LakeNativeWrite.deltaDvDelete(s, dir, snap, matchedRowIds, changeRows,
+          operation)
       override def updateByRowIds: Boolean = deleteByRowIds
       override def commitUpdateRows(s: SparkSession, matchedRowIds: DataFrame,
-          newRows: DataFrame, changeRows: Option[DataFrame]): Unit =
-        LakeNativeWrite.deltaDvUpdate(s, dir, snap, matchedRowIds, newRows, changeRows)
+          newRows: DataFrame, changeRows: Option[DataFrame],
+          operation: String): Unit =
+        LakeNativeWrite.deltaDvUpdate(s, dir, snap, matchedRowIds, newRows, changeRows,
+          operation)
       override def commitRewriteWithChanges(s: SparkSession, removed: Seq[String],
-          replacement: DataFrame, changeRows: DataFrame): Unit =
+          replacement: DataFrame, changeRows: DataFrame,
+          operation: String): Unit =
         LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,
-          changeRows = Some(changeRows))
+          changeRows = Some(changeRows), operation = operation)
       override def commitCompaction(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =
         LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,
-          dataChange = false)
+          dataChange = false, operation = "OPTIMIZE")
       override def listFiles(s: SparkSession): Seq[(String, Long, String)] =
         snap.fileIds.zip(snap.files).map { case (id, f) =>
           (id, f.size, f.partitionValues.mkString("/"))
@@ -379,11 +384,13 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def scanWithRowIds(s: SparkSession): DataFrame =
         IcebergLite.toDataFrameWithRowIds(s, snap)
       override def commitRewrite(s: SparkSession, removed: Seq[String],
-          replacement: DataFrame): Unit =
+          replacement: DataFrame, operation: String): Unit =
+        // Iceberg records operations in the snapshot summary with the
+        // spec's fixed vocabulary; the Delta-style label is not carried
         LakeNativeWrite.icebergRewrite(s, dir, removed, replacement)
       override def deleteByRowIds: Boolean = morDelete
       override def commitDeleteRows(s: SparkSession, matchedRowIds: DataFrame,
-          changeRows: Option[DataFrame]): Unit =
+          changeRows: Option[DataFrame], operation: String): Unit =
         // no CDF concept here: the changelog derives deleted rows from the
         // delete-file delta, so change rows are not materialized
         LakeNativeWrite.icebergMorDelete(s, dir, matchedRowIds)
@@ -391,7 +398,8 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
         .icebergTableProperties(spark, dir)
         .get("write.update.mode").contains("merge-on-read")
       override def commitUpdateRows(s: SparkSession, matchedRowIds: DataFrame,
-          newRows: DataFrame, changeRows: Option[DataFrame]): Unit =
+          newRows: DataFrame, changeRows: Option[DataFrame],
+          operation: String): Unit =
         LakeNativeWrite.icebergMorUpdate(s, dir, matchedRowIds, newRows)
       override def commitCompaction(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =

@@ -341,8 +341,9 @@ object LakeNativeWrite {
     * files, not a single data-file rewrite.
     */
   def deltaDvDelete(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
-      matchedRowIds: DataFrame, changeRows: Option[DataFrame]): Unit =
-    deltaDvCommit(spark, dir, snap, matchedRowIds, None, changeRows)
+      matchedRowIds: DataFrame, changeRows: Option[DataFrame],
+      operation: String = "DELETE"): Unit =
+    deltaDvCommit(spark, dir, snap, matchedRowIds, None, changeRows, operation)
 
   /** Merge-on-read UPDATE: the matched rows mask out via deletion vectors
     * while their rewritten versions append as NEW files — one atomic
@@ -351,12 +352,12 @@ object LakeNativeWrite {
     */
   def deltaDvUpdate(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
       matchedRowIds: DataFrame, newRows: DataFrame,
-      changeRows: Option[DataFrame]): Unit =
-    deltaDvCommit(spark, dir, snap, matchedRowIds, Some(newRows), changeRows)
+      changeRows: Option[DataFrame], operation: String = "UPDATE"): Unit =
+    deltaDvCommit(spark, dir, snap, matchedRowIds, Some(newRows), changeRows, operation)
 
   private def deltaDvCommit(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
       matchedRowIds: DataFrame, appendRows: Option[DataFrame],
-      changeRows: Option[DataFrame]): Unit = {
+      changeRows: Option[DataFrame], operation: String = null): Unit = {
     import org.apache.spark.sql.GraftLakeBridge
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -431,7 +432,7 @@ object LakeNativeWrite {
           stats = f.statsJson))
     }
     commitDelta(conf, dir, snap.version + 1,
-      Seq(LakeWrite.deltaCommitInfo(now),
+      Seq(LakeWrite.deltaCommitInfo(now, operation),
         LakeWrite.deltaProtocolWithFeatures(readerFeatures, writerFeatures)) ++
         cdc ++ adds.toSeq ++ newAdds)
   }
@@ -514,7 +515,8 @@ object LakeNativeWrite {
     */
   def deltaRewrite(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
       removedIds: Seq[String], replacement: DataFrame,
-      changeRows: Option[DataFrame] = None, dataChange: Boolean = true): Unit = {
+      changeRows: Option[DataFrame] = None, dataChange: Boolean = true,
+      operation: String = null): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (physical, physParts) = toPhysical(align(replacement, snap.schema), snap)
     val now = System.currentTimeMillis()
@@ -527,7 +529,7 @@ object LakeNativeWrite {
       else LakeWrite.deltaRemoveNoDataChange(p, now))
     val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
     commitDelta(conf, dir, snap.version + 1,
-      Seq(LakeWrite.deltaCommitInfo(now)) ++ cdc ++ removes ++ adds)
+      Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ cdc ++ removes ++ adds)
   }
 
   /** Atomic commit: create `%020d.json` with overwrite=false; on collision
@@ -689,7 +691,8 @@ object LakeNativeWrite {
         if (tgt.metaId.nonEmpty) tgt.metaId else cur.metaId,
         tgt.schema, tgt.partitionColumns, tgt.configuration))
     commitDelta(conf, dir, cur.version + 1,
-      Seq(LakeWrite.deltaCommitInfo(now)) ++ metaRestore ++ removes ++ adds)
+      Seq(LakeWrite.deltaCommitInfo(now, operation = "RESTORE")) ++
+        metaRestore ++ removes ++ adds)
     (addIds.size.toLong, removeIds.size.toLong)
   }
 

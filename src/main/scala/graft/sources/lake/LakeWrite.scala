@@ -141,8 +141,10 @@ object LakeWrite {
       "version" -> JInt(BigInt(version)),
       "lastUpdated" -> JInt(BigInt(lastUpdated)))))
 
-  def deltaCommitInfo(timestamp: Long): String =
-    JsonMethods.compact(JObject("commitInfo" -> JObject("timestamp" -> JInt(timestamp))))
+  def deltaCommitInfo(timestamp: Long, operation: String = null): String =
+    JsonMethods.compact(JObject("commitInfo" -> JObject(
+      List("timestamp" -> (JInt(timestamp): JValue)) ++
+        Option(operation).map(o => "operation" -> (JString(o): JValue)).toList)))
 
   /** Write one commit file `_delta_log/%020d.json`. */
   def deltaCommit(conf: Configuration, tableDir: Path, version: Long, actions: Seq[String]): Path = {

@@ -99,7 +99,9 @@ class LakeAlterSuite extends SparkTestBase {
     val hist = graft.Graft.sql(spark, s"SHOW LAKE HISTORY $fqn")
       .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
     assert(hist.map(_._1) == Seq(2L, 1L, 0L)) // newest first
-    assert(hist.map(_._2) == Seq("REWRITE", "WRITE", "CREATE TABLE"))
+    // the DELETE statement RECORDS its operation (r9); shape alone would
+    // have said REWRITE for a copy-on-write delete with survivors
+    assert(hist.map(_._2) == Seq("DELETE", "WRITE", "CREATE TABLE"))
 
     val ibase = tmpDir("alter-hist-ice")
     graft.Graft.sql(spark,
@@ -139,7 +141,7 @@ class LakeAlterSuite extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $fqn").head().getLong(0) == 5L)
     val hist = graft.Graft.sql(spark, s"SHOW LAKE HISTORY $fqn")
       .collect().map(_.getString(3)).toSeq
-    assert(hist == Seq("REWRITE", "CREATE TABLE"))
+    assert(hist == Seq("DELETE", "CREATE TABLE"))
     val ex = intercept[Exception] {
       graft.Graft.sql(spark, s"CONVERT TO DELTA '${td.getPath}'").collect()
     }
@@ -262,10 +264,11 @@ class LakeAlterSuite extends SparkTestBase {
       .select("id", "_change_type").collect()
       .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
     assert(feed == Seq(0, 1, 2, 4, 6, 8).map(i => (i, "delete")))
-    // history classifies the DV commits as deletes (cdc present -> DML)
+    // the DV commits carry their recorded operation (delta-spark's
+    // DESCRIBE HISTORY contract); shape-derivation remains the fallback
     val ops = graft.Graft.sql(spark, s"SHOW LAKE HISTORY $fqn")
       .collect().map(_.getString(3)).toSeq
-    assert(ops == Seq("DML", "DML", "WRITE", "CREATE TABLE"))
+    assert(ops == Seq("DELETE", "DELETE", "WRITE", "CREATE TABLE"))
     // OPTIMIZE rewrites the survivors and PURGES the vectors
     graft.Graft.sql(spark, s"OPTIMIZE LAKE TABLE $fqn TARGET 1 FILES")
     val snap = DeltaLite.snapshot(spark, dir)

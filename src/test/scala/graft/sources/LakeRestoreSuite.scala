@@ -32,6 +32,10 @@ class LakeRestoreSuite extends SparkTestBase {
     // history intact: the undone state is still time-travelable
     val dir = new Path(base.getPath, "t")
     assert(DeltaLite.read(spark, dir, version = Some(2L)).count() == 4)
+    // the restore commit RECORDS its operation (shape alone would say
+    // REWRITE); external writers' recorded operations are honored the
+    // same way (delta-spark's DESCRIBE HISTORY contract)
+    assert(DeltaLite.history(spark, dir).head._3 == "RESTORE")
     // and the table keeps accepting writes
     spark.sql(s"INSERT INTO $fqn VALUES (99, 990)")
     assert(spark.table(fqn).count() == 7)
