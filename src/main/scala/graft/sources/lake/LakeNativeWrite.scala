@@ -278,7 +278,7 @@ object LakeNativeWrite {
       if (writerF.isEmpty) LakeWrite.deltaProtocol()
       else LakeWrite.deltaProtocolFeatures(readerF, writerF)
     commitDelta(conf, dir, 0L, Seq(
-      LakeWrite.deltaCommitInfo(System.currentTimeMillis()),
+      LakeWrite.deltaCommitInfo(System.currentTimeMillis(), operation = "CREATE TABLE"),
       protocol,
       LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, schema, partitionCols,
         properties)))
@@ -326,7 +326,8 @@ object LakeNativeWrite {
       }
     val txnActions = txn.toSeq.map { case (appId, v) => LakeWrite.deltaTxn(appId, v, now) }
     commitDelta(conf, dir, snap.version + 1,
-      Seq(LakeWrite.deltaCommitInfo(now)) ++ txnActions ++ cdc ++ removes ++ adds)
+      Seq(LakeWrite.deltaCommitInfo(now, operation = "WRITE")) ++
+        txnActions ++ cdc ++ removes ++ adds)
   }
 
   /** Merge-on-read DELETE for Delta: instead of rewriting the touched
@@ -922,7 +923,8 @@ object LakeNativeWrite {
     val partCols = files.head.partitionValues.keys.toSeq.sorted
     val now = System.currentTimeMillis()
     commitDelta(conf, dir, 0L,
-      Seq(LakeWrite.deltaCommitInfo(now), LakeWrite.deltaProtocol(),
+      Seq(LakeWrite.deltaCommitInfo(now, operation = "CONVERT"),
+        LakeWrite.deltaProtocol(),
         LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, df.schema, partCols)) ++
         files.map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues,
           stats = f.statsJson)))

@@ -141,7 +141,7 @@ class LakeAlterSuite extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $fqn").head().getLong(0) == 5L)
     val hist = graft.Graft.sql(spark, s"SHOW LAKE HISTORY $fqn")
       .collect().map(_.getString(3)).toSeq
-    assert(hist == Seq("DELETE", "CREATE TABLE"))
+    assert(hist == Seq("DELETE", "CONVERT"))
     val ex = intercept[Exception] {
       graft.Graft.sql(spark, s"CONVERT TO DELTA '${td.getPath}'").collect()
     }
