@@ -1015,3 +1015,65 @@ object GraftFunctions {
     }
   }
 }
+
+/** O(1) membership of a string column in a BROADCAST set — the scale form
+  * of `array_contains(lit(set), col)`, whose literal-array probe is O(set)
+  * string compares per row. The set ships once per executor (broadcast,
+  * not per-task expression serialization), hashes once per executor into
+  * a UTF8String-keyed table, and `doGenCode` keeps the probing stage
+  * inside whole-stage codegen (same shape as the lake readers' DvMasked
+  * probe). Used by `Dedup.stripBoilerplate`, where a 10k-paragraph
+  * boilerplate set over a trillion paragraphs would otherwise pay 10^4
+  * compares per paragraph.
+  */
+case class InBroadcastSet(child: Expression,
+    set: org.apache.spark.broadcast.Broadcast[InBroadcastSet.SetHolder])
+  extends UnaryExpression with Predicate {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"in_broadcast_set expects string, got $t")
+  }
+
+  def probe(s: UTF8String): Boolean = set.value.contains(s)
+
+  override def nullSafeEval(input: Any): Any = probe(input.asInstanceOf[UTF8String])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false else probe(v.asInstanceOf[UTF8String])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("inSet", this, classOf[InBroadcastSet].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.probe($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): InBroadcastSet =
+    copy(child = c)
+  override def prettyName: String = "in_broadcast_set"
+}
+
+object InBroadcastSet {
+  /** The broadcast payload: plain strings on the wire, a UTF8String-keyed
+    * hash set built once per executor (owned copies — never the scan's
+    * reused buffers).
+    */
+  final class SetHolder(strings: Array[String]) extends Serializable {
+    @transient private lazy val utf8: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](strings.length * 2)
+      strings.foreach(x => s.add(UTF8String.fromString(x)))
+      s
+    }
+    def contains(s: UTF8String): Boolean = utf8.contains(s)
+  }
+
+  /** `col IN broadcast(set)` as a Column (false for null input). */
+  def column(spark: org.apache.spark.sql.SparkSession, c: Column,
+      strings: Array[String]): Column = {
+    val bc = spark.sparkContext.broadcast(new SetHolder(strings))
+    GraftSQLBridge.column(InBroadcastSet(GraftSQLBridge.expression(c), bc))
+  }
+}

@@ -406,10 +406,14 @@ object Dedup {
         "raise maxSetSize or minDocFreq (refusing to strip a truncated subset)")
     if (flagged.isEmpty) df
     else {
-      val bpSet = lit(flagged)
+      // broadcast-set probe (O(1) per paragraph, codegen'd) — the literal
+      // array_contains alternative pays O(set) string compares per
+      // paragraph, which at the 10k cap over a large corpus is the
+      // rewrite stage's whole budget
+      val spark = df.sparkSession
       df.withColumn(textCol, array_join(
         filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
-          p => !array_contains(bpSet, p)),
+          p => !graft.functions.InBroadcastSet.column(spark, p, flagged)),
         sep))
     }
   }

@@ -882,7 +882,8 @@ object DeltaLite {
           s"""{"version":${snap.version},"size":${rows.size + nAdds},""" +
           s""""numOfAddFiles":$nAdds,"v2Checkpoint":{"path":"${target.getName}",""" +
           s""""sizeInBytes":${sidecarFs.getFileStatus(target).getLen},""" +
-          s""""nonFileActions":${rows.size},"sidecarFiles":$scJson}}""")
+          s""""nonFileActions":${rows.size},"sidecarFiles":$scJson},""" +
+          s""""checkpointSchema":${mainSchema.json}}""")
         rows.size + nAdds
       }
     val last = fs.create(new Path(logDir, "_last_checkpoint"), true)
@@ -890,6 +891,15 @@ object DeltaLite {
       s"""{"version":${snap.version},"size":$stateRows}""").getBytes("UTF-8"))
     finally last.close()
     (snap.version, stateRows)
+  }
+
+  /** (version, commit timestamp) for every JSON commit, cheap form: reads
+    * each commit's leading commitInfo line (or falls back to the file
+    * mtime) — never the full action list. What age-based retention wants.
+    */
+  def commitTimestamps(spark: SparkSession, dir: Path): Seq[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    listLog(conf, dir).commits.map { case (v, st) => (v, commitTimestamp(conf, st)) }
   }
 
   /** Commit history, newest first: (version, timestampMs, operation,

@@ -582,8 +582,10 @@ object LakeNativeWrite {
     require(hours >= 0, "retention hours must be >= 0")
     val latest = DeltaLite.snapshot(spark, dir).version
     val cutoff = System.currentTimeMillis() - hours.toLong * 3600000L
-    val keep = DeltaLite.history(spark, dir)
-      .collect { case (v, ts, _, _, _) if ts >= cutoff => v }
+    // timestamps only (leading commitInfo line / file mtime) — never the
+    // full per-commit action parse history does
+    val keep = DeltaLite.commitTimestamps(spark, dir)
+      .collect { case (v, ts) if ts >= cutoff => v }
     deltaVacuumKeep(spark, dir, (keep :+ latest).distinct.sorted)
   }
 

@@ -174,11 +174,11 @@ object Streaming {
     val cleaned =
       if (flagged.isEmpty) deduped
       else {
-        val bpSet = lit(flagged)
         val quoted = java.util.regex.Pattern.quote(sep)
+        val spark = referenceCorpus.sparkSession
         org.apache.spark.sql.functions.array_join(
           org.apache.spark.sql.functions.filter(split(deduped, quoted),
-            p => !array_contains(bpSet, p)), sep)
+            p => !graft.functions.InBroadcastSet.column(spark, p, flagged)), sep)
       }
     docs.withColumn(textCol, cleaned)
   }
