@@ -554,6 +554,76 @@ object Relational {
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""")),
 
+    // ---- TPC-H Q2 shape: minimum-cost supplier — a correlated scalar MIN
+    // subquery whose inner query repeats the outer's region-restricted join
+    // tree, equality on the (stored, arithmetic-free) double, top-100 with a
+    // total tie-break order. Without a partsupp table the supply relation is
+    // lineitem and "cost" is the stored l_extendedprice; the decorrelation
+    // shape (per-part MIN aggregate joined back on partkey + cost) is
+    // exactly Q2's. ----
+    QuerySpec("q2_min_cost_supplier",
+      (s, dir) => {
+        Seq("lineitem", "part", "supplier", "nation", "region")
+          .foreach(t0 => t(s, dir, t0).createOrReplaceTempView(s"${t0}_q2"))
+        s.sql("""SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+          |FROM part_q2, supplier_q2, lineitem_q2, nation_q2, region_q2
+          |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          |  AND p_size = 15
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'EUROPE'
+          |  AND l_extendedprice = (
+          |    SELECT MIN(l2.l_extendedprice)
+          |    FROM lineitem_q2 l2, supplier_q2 s2, nation_q2 n2, region_q2 r2
+          |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey
+          |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)
+      },
+      Some("""SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM part, supplier, lineitem, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_size = 15
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice)
+            FROM lineitem l2, supplier s2, nation n2, region r2
+            WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
+
+    // ---- TPC-H Q12 shape: shipping-priority CASE counts — one equi-join
+    // with a non-equi residual (late shipment: l_shipdate > o_orderdate,
+    // standing in for the commit/receipt dates the testdata lacks), an IN
+    // over two group values (l_returnflag for the absent l_shipmode), and
+    // the high/low priority CASE sums. ----
+    QuerySpec("q12_late_shipments",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("ord_q12")
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q12")
+        s.sql("""SELECT l_returnflag,
+          |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM ord_q12 JOIN li_q12 ON o_orderkey = l_orderkey
+          |WHERE l_returnflag IN ('A', 'R') AND l_shipdate > o_orderdate
+          |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag IN ('A', 'R') AND l_shipdate > o_orderdate
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- PIVOT: order counts per priority pivoted by status (explicit
     // value list keeps the output schema deterministic). Oracle uses the
     // equivalent conditional aggregation. ----

@@ -204,6 +204,23 @@ class PlanSuite extends SparkTestBase {
       s"uncorrelated MAX should execute once, not per row:\n$p")
   }
 
+  test("q2: correlated MIN subquery decorrelates to a per-part aggregate join") {
+    val df = graft.SparkEntry.queries("q2_min_cost_supplier")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("scalar-subquery"), s"correlated MIN must decorrelate:\n$p")
+    assert(p.contains("Join"), s"decorrelated plan needs the min-cost join:\n$p")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "q2 must not go cartesian")
+  }
+
+  test("q12: non-equi residual stays inside the equi hash join") {
+    val df = graft.SparkEntry.queries("q12_late_shipments")(spark, sf())
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"o_orderkey = l_orderkey must drive the join; the date predicate is a residual:\n$exec")
+    assert(exec.contains("partial"), s"CASE sums must pre-aggregate map-side:\n$exec")
+  }
+
   test("q8: seven-way market-share join broadcasts dimensions, no cartesian") {
     val df = graft.SparkEntry.queries("q8_market_share")(spark, sf())
     val exec = df.queryExecution.executedPlan.toString
