@@ -105,10 +105,27 @@ object IcebergLite {
     require(fs.exists(metaDir), s"not an Iceberg table (no metadata dir): $dir")
     val hint = new Path(metaDir, "version-hint.text")
     if (fs.exists(hint)) {
-      val v = readString(conf, hint).trim
-      val candidates = Seq(s"v$v.metadata.json", s"$v.metadata.json")
-        .map(new Path(metaDir, _)).filter(fs.exists)
-      if (candidates.nonEmpty) return candidates.head
+      // the hint is ADVISORY: a torn read under a concurrent hint rewrite
+      // falls back to the version-file listing scan below
+      val v = (try readString(conf, hint) catch { case _: java.io.IOException => "" }).trim
+      // the hint write is advisory and races under concurrent commits
+      // (last writer wins, possibly with a stale version) — probe FORWARD
+      // from it to the newest existing version file, exactly
+      // HadoopTableOperations.findVersion's loop
+      val numeric = v.forall(_.isDigit) && v.nonEmpty
+      val fmts = Seq((n: Long) => s"v$n.metadata.json", (n: Long) => s"$n.metadata.json")
+      val probed = if (!numeric) None else fmts.collectFirst {
+        case fmt if fs.exists(new Path(metaDir, fmt(v.toLong))) =>
+          var n = v.toLong
+          while (fs.exists(new Path(metaDir, fmt(n + 1)))) n += 1
+          new Path(metaDir, fmt(n))
+      }
+      probed.foreach(p => return p)
+      if (!numeric) {
+        val candidates = Seq(s"v$v.metadata.json", s"$v.metadata.json")
+          .map(new Path(metaDir, _)).filter(fs.exists)
+        if (candidates.nonEmpty) return candidates.head
+      }
     }
     val all = fs.listStatus(metaDir).map(_.getPath)
       .filter(_.getName.endsWith(".metadata.json"))

@@ -533,27 +533,83 @@ object LakeNativeWrite {
       Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ cdc ++ removes ++ adds)
   }
 
+  /** What a Delta commit's actions touch — the inputs to conflict
+    * checking against commits that win the version race.
+    */
+  private final case class DeltaActs(adds: Set[String], removes: Set[String],
+      meta: Boolean, protocol: Boolean, txnApps: Set[String])
+
+  private def classifyDelta(lines: Seq[String]): DeltaActs = {
+    var adds = Set.empty[String]; var removes = Set.empty[String]
+    var meta = false; var protocol = false; var txns = Set.empty[String]
+    lines.foreach { l =>
+      val j = JsonMethods.parse(l)
+      (j \ "add" \ "path") match { case JString(p) => adds += p; case _ => () }
+      (j \ "remove" \ "path") match { case JString(p) => removes += p; case _ => () }
+      if ((j \ "metaData") != JNothing) meta = true
+      if ((j \ "protocol") != JNothing) protocol = true
+      (j \ "txn" \ "appId") match { case JString(a) => txns += a; case _ => () }
+    }
+    DeltaActs(adds, removes, meta, protocol, txns)
+  }
+
+  private def readCommitLines(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   /** Atomic commit: create `%020d.json` with overwrite=false; on collision
-    * (concurrent writer won the version) retry at the next version, bounded.
+    * (a concurrent writer won the version) re-validate against the winning
+    * commit — delta-spark's ConflictChecker contract — and either retry at
+    * the next version or surface the most specific conflict:
+    *
+    *  - the winner changed protocol or metadata → always a conflict (even
+    *    for blind appends: the append was encoded under the old schema);
+    *  - the winner recorded the same txn appId → the idempotency token is
+    *    spent, replaying would double the batch;
+    *  - a blind append (no removes, no metadata) reads nothing else and
+    *    retries past any data-only winner;
+    *  - a remove-carrying commit was planned against the pre-race
+    *    snapshot: a winner deleting the same file is delete/delete, a
+    *    winner deleting a file this commit re-adds (DV rewrite) or any
+    *    file at all is delete/read, a winner adding files is
+    *    concurrent-append (conservative without read-predicate tracking —
+    *    never unsafe, delta-spark narrows by predicate).
+    *
     * Data files are content-addressed by job UUID, so a retried commit
     * re-points the SAME files — no data rewrite on contention.
     */
-  private def commitDelta(conf: Configuration, tableDir: Path, firstVersion: Long,
+  private[lake] def commitDelta(conf: Configuration, tableDir: Path, firstVersion: Long,
       actions: Seq[String]): Unit = {
     val log = new Path(tableDir, "_delta_log")
     val fs = log.getFileSystem(conf)
     fs.mkdirs(log)
+    val ours = classifyDelta(actions)
+    val blindAppend = ours.removes.isEmpty && !ours.meta && !ours.protocol
     var v = firstVersion
     var attempts = 0
     while (attempts < 10) {
       val file = new Path(log, f"$v%020d.json")
-      try {
-        val out = fs.create(file, false)
-        try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      if (LakeWrite.atomicCreate(fs, file, (actions.mkString("\n") + "\n").getBytes("UTF-8")))
         return
-      } catch {
-        case _: java.io.IOException => attempts += 1; v += 1 // version taken; advance
+      val winner = classifyDelta(readCommitLines(fs, file))
+      val t = tableDir.toString
+      if (winner.protocol) throw new LakeConcurrency.ProtocolChangedException(t, v)
+      if (winner.meta) throw new LakeConcurrency.MetadataChangedException(t, v)
+      (winner.txnApps intersect ours.txnApps).headOption.foreach(a =>
+        throw new LakeConcurrency.ConcurrentTransactionException(t, v, a))
+      if (!blindAppend) {
+        (winner.removes intersect ours.removes).headOption.foreach(p =>
+          throw new LakeConcurrency.ConcurrentDeleteDeleteException(t, v, p))
+        (winner.removes intersect ours.adds).headOption.foreach(p =>
+          throw new LakeConcurrency.ConcurrentDeleteReadException(t, v, p))
+        winner.removes.headOption.foreach(p =>
+          throw new LakeConcurrency.ConcurrentDeleteReadException(t, v, p))
+        if (winner.adds.nonEmpty)
+          throw new LakeConcurrency.ConcurrentAppendException(t, v)
       }
+      attempts += 1; v += 1
     }
     throw new java.io.IOException(s"could not commit to $log after 10 attempts")
   }
@@ -755,7 +811,8 @@ object LakeNativeWrite {
       properties = m.properties,
       schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
       lastColumnId = m.lastColumnId,
-      snapshotLog = m.snapshotLog.filter(_._1 <= tgtTs) :+ ((now, snapshotId)))
+      snapshotLog = m.snapshotLog.filter(_._1 <= tgtTs) :+ ((now, snapshotId)),
+      failIfExists = true)
     val after = IcebergLite.snapshot(spark, dir).dataFileMeta.map(_._1).toSet
     ((after -- before).size.toLong, (before -- after).size.toLong)
   }
@@ -843,7 +900,8 @@ object LakeNativeWrite {
       schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
       lastColumnId = m.lastColumnId,
       // spec: log entries whose snapshot expired are invalidated — drop them
-      snapshotLog = m.snapshotLog.filter(e => retained.exists(_.id == e._2)))
+      snapshotLog = m.snapshotLog.filter(e => retained.exists(_.id == e._2)),
+      failIfExists = true)
     (n, bytes)
   }
 
@@ -881,7 +939,8 @@ object LakeNativeWrite {
           "for this writer (values are served from manifest metadata)")
     }
     LakeWrite.icebergWriteMetadata(conf, dir, 1, schema, Nil, currentSnapshotId = -1L,
-      specFields = specFieldsFor(schema, partitionCols), properties = properties)
+      specFields = specFieldsFor(schema, partitionCols), properties = properties,
+      failIfExists = true)
     ()
   }
 
@@ -1023,7 +1082,7 @@ object LakeNativeWrite {
     * them, drops retire them), and the history is what lets readers detect
     * evolutions that need id-based parquet resolution.
     */
-  private final case class IceMeta(metaVersion: Long, schema: StructType,
+  private[lake] final case class IceMeta(metaVersion: Long, schema: StructType,
       partitionCols: Seq[String], lastSeq: Long,
       priorSnapshots: Seq[LakeWrite.IcebergSnapshot], currentId: Long,
       properties: Map[String, String] = Map.empty,
@@ -1044,7 +1103,7 @@ object LakeNativeWrite {
     def idOf(col: String): Int = fieldIds(schema.fieldIndex(col))
   }
 
-  private def loadIceMeta(conf: Configuration, dir: Path): IceMeta = {
+  private[lake] def loadIceMeta(conf: Configuration, dir: Path): IceMeta = {
     implicit val formats: Formats = DefaultFormats
     val metaFile = IcebergLite.currentMetadataFile(conf, dir)
     val meta = JsonMethods.parse(IcebergLite.readString(conf, metaFile))
@@ -1158,12 +1217,23 @@ object LakeNativeWrite {
     * write to a local temp then copy to the table FS (the Avro fixture
     * writer is java.io-based; the copy keeps any FS supported).
     */
-  private def commitIceberg(conf: Configuration, dir: Path, m: IceMeta,
-      entries: Seq[LakeWrite.ManifestEntry], otherManifests: Seq[LakeWrite.ManifestFile],
-      newSnapId: Long, newSeq: Long, now: Long,
+  /** One snapshot commit: manifest + manifest list + next metadata
+    * version, the last written create-no-overwrite. Losing the version
+    * race throws CommitFailedException; when `rebaseAppend` is set (pure
+    * appends — the only operation whose result is independent of the
+    * winner's changes) the commit reloads the winner's metadata, re-keys
+    * the new entries to a fresh snapshot id / sequence number, re-reads
+    * the now-current manifest list, and retries — Iceberg's own
+    * append-rebase contract. Every other operation surfaces the failure
+    * for an operation-level re-run against fresh state.
+    */
+  private[lake] def commitIceberg(conf: Configuration, dir: Path, m0: IceMeta,
+      entries0: Seq[LakeWrite.ManifestEntry], otherManifests0: Seq[LakeWrite.ManifestFile],
+      newSnapId0: Long, newSeq0: Long, now0: Long,
       entrySchema: org.apache.avro.Schema, operation: String = "append",
       extraSummary: Map[String, String] = Map.empty,
-      newManifestContent: Int = 0, newManifestSpecId: Int = 0): Unit = {
+      newManifestContent: Int = 0, newManifestSpecId: Int = 0,
+      rebaseAppend: Boolean = false): Unit = {
     val fs = dir.getFileSystem(conf)
     def toMeta(local: java.io.File, name: String): Long = {
       val target = new Path(new Path(dir, "metadata"), name)
@@ -1171,36 +1241,65 @@ object LakeNativeWrite {
       fs.copyFromLocalFile(true, true, new Path(local.getAbsolutePath), target)
       fs.getFileStatus(target).getLen
     }
-    val tmpM = java.io.File.createTempFile("graft-manifest", ".avro")
-    val mLen = LakeWrite.icebergWriteManifest(tmpM, entries, entrySchema)
-    toMeta(tmpM, s"m-$newSnapId.avro")
-    val tmpL = java.io.File.createTempFile("graft-mlist", ".avro")
-    LakeWrite.icebergWriteManifestListEntries(tmpL,
-      otherManifests :+ {
-        val (a, e, d) = LakeWrite.manifestCounts(entries)
-        LakeWrite.ManifestFile(s"metadata/m-$newSnapId.avro", mLen,
-          newManifestContent, newSeq, specId = newManifestSpecId,
-          added = a, existing = e, deleted = d)
-      },
-      newSnapId)
-    toMeta(tmpL, s"ml-$newSnapId.avro")
-    val newSnapshots = m.priorSnapshots :+
-      LakeWrite.IcebergSnapshot(newSnapId, now, s"metadata/ml-$newSnapId.avro", newSeq,
-        parentId = Some(m.currentId).filter(_ >= 0), operation = operation,
-        extraSummary = extraSummary, schemaId = m.currentSchemaId)
-    LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema, newSnapshots,
-      currentSnapshotId = newSnapId,
-      refs = Map("main" -> (newSnapId, "branch")),
-      specFields = specFieldsFor(m.schema, m.partitionCols, m.fieldIds),
-      properties = m.properties,
-      schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
-      lastColumnId = m.lastColumnId,
-      // append to the carried log (never regenerate: a prior rollback's
-      // truncation must survive subsequent commits); clamp to the log max
-      // so a wall clock stepping backwards never breaks log monotonicity
-      snapshotLog = m.snapshotLog :+
-        ((math.max(now, (m.snapshotLog.map(_._1) :+ 0L).max), newSnapId)))
-    ()
+    var m = m0; var entries = entries0; var otherManifests = otherManifests0
+    var newSnapId = newSnapId0; var newSeq = newSeq0; var now = now0
+    var attempts = 0
+    while (true) {
+      try {
+        // UUID-suffixed names (Iceberg's own manifest naming): two
+        // concurrent committers — or two rebase attempts — can land on
+        // the same millisecond-derived snapshot id, and a shared name
+        // would let the loser clobber the winner's COMMITTED manifests
+        val attempt = java.util.UUID.randomUUID().toString
+        val tmpM = java.io.File.createTempFile("graft-manifest", ".avro")
+        val mLen = LakeWrite.icebergWriteManifest(tmpM, entries, entrySchema)
+        toMeta(tmpM, s"m-$newSnapId-$attempt.avro")
+        val tmpL = java.io.File.createTempFile("graft-mlist", ".avro")
+        LakeWrite.icebergWriteManifestListEntries(tmpL,
+          otherManifests :+ {
+            val (a, e, d) = LakeWrite.manifestCounts(entries)
+            LakeWrite.ManifestFile(s"metadata/m-$newSnapId-$attempt.avro", mLen,
+              newManifestContent, newSeq, specId = newManifestSpecId,
+              added = a, existing = e, deleted = d)
+          },
+          newSnapId)
+        toMeta(tmpL, s"ml-$newSnapId-$attempt.avro")
+        val newSnapshots = m.priorSnapshots :+
+          LakeWrite.IcebergSnapshot(newSnapId, now, s"metadata/ml-$newSnapId-$attempt.avro", newSeq,
+            parentId = Some(m.currentId).filter(_ >= 0), operation = operation,
+            extraSummary = extraSummary, schemaId = m.currentSchemaId)
+        LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema, newSnapshots,
+          currentSnapshotId = newSnapId,
+          refs = Map("main" -> (newSnapId, "branch")),
+          specFields = specFieldsFor(m.schema, m.partitionCols, m.fieldIds),
+          properties = m.properties,
+          schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
+          lastColumnId = m.lastColumnId,
+          // append to the carried log (never regenerate: a prior rollback's
+          // truncation must survive subsequent commits); clamp to the log max
+          // so a wall clock stepping backwards never breaks log monotonicity
+          snapshotLog = m.snapshotLog :+
+            ((math.max(now, (m.snapshotLog.map(_._1) :+ 0L).max), newSnapId)),
+          failIfExists = true)
+        return
+      } catch {
+        case e: LakeConcurrency.CommitFailedException =>
+          attempts += 1
+          if (!rebaseAppend || attempts >= 5) throw e
+          val m2 = loadIceMeta(conf, dir)
+          if (m2.currentSchemaId != m0.currentSchemaId || m2.partitionCols != m0.partitionCols)
+            throw new LakeConcurrency.CommitFailedException(
+              s"concurrent schema / partition-spec change under $dir — re-run the append")
+          m = m2
+          otherManifests = m2.priorSnapshots.find(_.id == m2.currentId).map { s =>
+            readManifestFiles(conf, dir, IcebergLite.resolveUri(dir, s.manifestListPath))
+          }.getOrElse(Nil)
+          newSeq = m2.lastSeq + 1
+          newSnapId = newSnapshotId(m2)
+          now = newSnapId
+          entries = entries0.map(_.copy(snapshotId = newSnapId, sequenceNumber = Some(newSeq)))
+      }
+    }
   }
 
   def icebergInsert(spark: SparkSession, dir: Path, data: DataFrame, overwrite: Boolean,
@@ -1231,7 +1330,10 @@ object LakeNativeWrite {
       operation = if (overwrite) "overwrite" else "append",
       extraSummary = streamTxn.map { case (app, batch) =>
         Map("streaming-app-id" -> app, "streaming-batch-id" -> batch.toString)
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // a pure append composes with any winner; an overwrite planned
+      // against a stale snapshot must fail and re-plan
+      rebaseAppend = !overwrite)
   }
 
   /** Equality-delete UPSERT for Iceberg — the Flink-CDC blind-upsert
@@ -1265,12 +1367,13 @@ object LakeNativeWrite {
     val nDel = spark.read.parquet(new Path(dir, delRel).toString).count()
     val eqIds = keyCols.map(m.idOf)
     val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
+    val delAttempt = java.util.UUID.randomUUID().toString
     val tmpD = java.io.File.createTempFile("graft-eq-manifest", ".avro")
     val dLen = LakeWrite.icebergWriteManifest(tmpD,
       Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, newSnapId,
         content = 2, sequenceNumber = Some(newSeq), equalityIds = eqIds)),
       delEntrySchema)
-    val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId.avro")
+    val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId-$delAttempt.avro")
     fs.mkdirs(dTarget.getParent)
     fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
     // the insert side, same sequence number: survives its own delete
@@ -1284,7 +1387,7 @@ object LakeNativeWrite {
         lowerBounds = lo, upperBounds = hi, nullCounts = nc)
     }
     commitIceberg(conf, dir, m, dataEntries,
-      existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq,
+      existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId-$delAttempt.avro", dLen, 1, newSeq,
         specId = deleteSpecId(m), added = (1, nDel)),
       newSnapId, newSeq, newSnapId, entrySchema, operation = "overwrite",
       extraSummary = extraSummary)
@@ -1321,14 +1424,15 @@ object LakeNativeWrite {
       if (nDel == 0) { fs.delete(new Path(dir, delRel), false); Nil } // insert-only merge
       else {
         val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
+        val delAttempt = java.util.UUID.randomUUID().toString
         val tmpD = java.io.File.createTempFile("graft-del-manifest", ".avro")
         val dLen = LakeWrite.icebergWriteManifest(tmpD,
           Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, newSnapId,
             content = 1, sequenceNumber = Some(newSeq))), delEntrySchema)
-        val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId.avro")
+        val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId-$delAttempt.avro")
         fs.mkdirs(dTarget.getParent)
         fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
-        Seq(LakeWrite.ManifestFile(s"metadata/md-$newSnapId.avro", dLen, 1, newSeq,
+        Seq(LakeWrite.ManifestFile(s"metadata/md-$newSnapId-$delAttempt.avro", dLen, 1, newSeq,
           specId = deleteSpecId(m), added = (1, nDel)))
       }
     // the rewrite side: new data files
@@ -1409,7 +1513,8 @@ object LakeNativeWrite {
       properties = m.properties,
       schemasJson = m.schemasJson :+ newEntry, currentSchemaId = newSchemaId,
       lastColumnId = math.max(m.lastColumnId, newIds.maxOption.getOrElse(0)),
-      snapshotLog = m.snapshotLog)
+      snapshotLog = m.snapshotLog,
+      failIfExists = true)
     ()
   }
 
@@ -1623,7 +1728,7 @@ object LakeNativeWrite {
   /** The current manifest list re-read as writable entries (path, length,
     * content, sequence number) so an append can re-reference them.
     */
-  private def readManifestFiles(conf: Configuration, tableDir: Path,
+  private[lake] def readManifestFiles(conf: Configuration, tableDir: Path,
       listPath: Path): Seq[LakeWrite.ManifestFile] = {
     val in = new org.apache.avro.mapred.FsInput(listPath, conf)
     val reader = org.apache.avro.file.DataFileReader.openReader(in,

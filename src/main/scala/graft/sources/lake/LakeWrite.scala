@@ -146,6 +146,46 @@ object LakeWrite {
       List("timestamp" -> (JInt(timestamp): JValue)) ++
         Option(operation).map(o => "operation" -> (JString(o): JValue)).toList)))
 
+  /** Atomically publish `bytes` at `file`, failing (false) if the path is
+    * already taken — the claim primitive both commit protocols need.
+    *
+    * HDFS-like stores: `create(overwrite = false)` is an atomic namespace
+    * operation server-side, and content visibility races are tolerable
+    * there because the name is claimed first (a reader of a half-written
+    * claim is the same window delta-standalone documents). The LOCAL
+    * filesystem has neither property — `RawLocalFileSystem.create(false)`
+    * is exists-then-open (two racers both pass) and the file is visible
+    * mid-write — so file:// paths publish via hard link: write a hidden
+    * temp sibling, `Files.createLink(dst, tmp)` (O(1), atomic, EEXIST when
+    * the version is taken, and dst appears with its FULL content or not at
+    * all), then drop the temp.
+    */
+  def atomicCreate(fs: org.apache.hadoop.fs.FileSystem, file: Path,
+      bytes: Array[Byte]): Boolean = {
+    val qualified = fs.makeQualified(file).toUri
+    if (qualified.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(qualified.getPath)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      val tmp = dst.resolveSibling(s".${dst.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        java.nio.file.Files.createLink(dst, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs.create(file, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(file)) false else throw e
+      }
+    }
+  }
+
   /** Write one commit file `_delta_log/%020d.json`. */
   def deltaCommit(conf: Configuration, tableDir: Path, version: Long, actions: Seq[String]): Path = {
     val log = new Path(tableDir, "_delta_log")
@@ -444,7 +484,13 @@ object LakeWrite {
         * that invalidated log entries are dropped and a rollback appends a
         * fresh entry at rollback time)
         */
-      snapshotLog: Seq[(Long, Long)] = Nil): Path = {
+      snapshotLog: Seq[(Long, Long)] = Nil,
+      /** true = HadoopTableOperations' atomic create-no-overwrite commit:
+        * losing the version race throws CommitFailedException instead of
+        * clobbering the winner (live commit paths); false = plain
+        * overwrite (fixture/bootstrap writes with no concurrent writers)
+        */
+      failIfExists: Boolean = false): Path = {
     val metaDir = new Path(tableDir, "metadata")
     val fs = metaDir.getFileSystem(conf)
     fs.mkdirs(metaDir)
@@ -508,8 +554,16 @@ object LakeWrite {
         n -> (JObject("snapshot-id" -> JInt(BigInt(id)), "type" -> JString(typ)): JValue)
       }))
     val file = new Path(metaDir, s"v$version.metadata.json")
-    val out = fs.create(file, true)
-    try out.write(JsonMethods.pretty(JsonMethods.render(json)).getBytes("UTF-8")) finally out.close()
+    val bytes = JsonMethods.pretty(JsonMethods.render(json)).getBytes("UTF-8")
+    if (failIfExists) {
+      if (!atomicCreate(fs, file, bytes))
+        throw new LakeConcurrency.CommitFailedException(
+          s"lost the commit race for v$version under $metaDir — " +
+            "refresh the table metadata and retry the operation")
+    } else {
+      val out = fs.create(file, true)
+      try out.write(bytes) finally out.close()
+    }
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
     file
