@@ -44,6 +44,37 @@ object LakeRowLevel {
   val TargetQual = "__graft_t"
   val SourceQual = "__graft_s"
 
+  /** What a command's planning scan READ — handed to the handle so the
+    * format's optimistic-commit conflict check can scope itself the way
+    * delta-spark's ConflictChecker does: a concurrent winner's ADD only
+    * conflicts when the added file may contain rows matching `predicates`;
+    * a winner's REMOVE only when it took a file in `readFiles` or one the
+    * predicates may have matched. `readWholeTable` is the conservative
+    * everything-conflicts form (no predicate was extractable, or the
+    * statement genuinely reads the full table).
+    *
+    * At 100 TB this is the difference between a table that sustains
+    * concurrent streaming appends + row rewrites and one that aborts
+    * every rewrite under load: disjoint-partition traffic commits on
+    * retry instead of surfacing ConcurrentAppend/DeleteRead.
+    */
+  final case class ReadScope(readWholeTable: Boolean,
+      predicates: Seq[Expression], readFiles: Set[String])
+  object ReadScope {
+    /** Conservative: the transaction may have read anything. */
+    val wholeTable: ReadScope = ReadScope(readWholeTable = true, Nil, Set.empty)
+  }
+
+  /** Collapse foldable subtrees (the analyzer's `CAST(50 AS BIGINT)`
+    * around literals, constant arithmetic) to plain literals, the shape
+    * the driver-side stats evaluator matches on. Analysis-only work.
+    */
+  private[plans] def foldConstants(e: Expression): Expression = e.transformUp {
+    case f if f.foldable && !f.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Literal] =>
+      org.apache.spark.sql.catalyst.expressions.Literal.create(f.eval(), f.dataType)
+  }
+
   /** What a lake format contributes: an identity-carrying scan and an
     * atomic file-level rewrite commit. Everything else (matching, rewrite
     * dataflow, merge semantics) is format-agnostic.
@@ -60,7 +91,8 @@ object LakeRowLevel {
       * columns) enter it.
       */
     def commitRewrite(spark: SparkSession, removedFileIds: Seq[String],
-        replacement: DataFrame, operation: String = "REWRITE"): Unit
+        replacement: DataFrame, operation: String = "REWRITE",
+        scope: ReadScope = ReadScope.wholeTable): Unit
     /** True when the format wants the DML commands to capture row-level
       * change rows (Delta with `delta.enableChangeDataFeed = true`) and
       * commit through [[commitRewriteWithChanges]].
@@ -72,8 +104,9 @@ object LakeRowLevel {
       */
     def commitRewriteWithChanges(spark: SparkSession, removedFileIds: Seq[String],
         replacement: DataFrame, changeRows: DataFrame,
-        operation: String = "REWRITE"): Unit =
-      commitRewrite(spark, removedFileIds, replacement, operation)
+        operation: String = "REWRITE",
+        scope: ReadScope = ReadScope.wholeTable): Unit =
+      commitRewrite(spark, removedFileIds, replacement, operation, scope)
     /** True when DELETE should commit row-level delete markers (Delta
       * deletion vectors under `delta.enableDeletionVectors = true`)
       * instead of copy-on-write rewrites.
@@ -84,7 +117,8 @@ object LakeRowLevel {
       * the format keeps a change feed.
       */
     def commitDeleteRows(spark: SparkSession, matchedRowIds: DataFrame,
-        changeRows: Option[DataFrame], operation: String = "DELETE"): Unit =
+        changeRows: Option[DataFrame], operation: String = "DELETE",
+        scope: ReadScope = ReadScope.wholeTable): Unit =
       throw new UnsupportedOperationException(s"$describe does not support MoR deletes")
     /** True when UPDATE should mask + append (merge-on-read) instead of
       * copy-on-write.
@@ -95,14 +129,18 @@ object LakeRowLevel {
       */
     def commitUpdateRows(spark: SparkSession, matchedRowIds: DataFrame,
         newRows: DataFrame, changeRows: Option[DataFrame],
-        operation: String = "UPDATE"): Unit =
+        operation: String = "UPDATE",
+        scope: ReadScope = ReadScope.wholeTable): Unit =
       throw new UnsupportedOperationException(s"$describe does not support MoR updates")
     /** A rewrite that moves bytes, not rows (OPTIMIZE / re-clustering):
       * formats with a change feed mark it so the feed skips the commit.
       */
     def commitCompaction(spark: SparkSession, removedFileIds: Seq[String],
         replacement: DataFrame): Unit =
-      commitRewrite(spark, removedFileIds, replacement, "OPTIMIZE")
+      // byte motion only: the compaction read exactly the files it
+      // rewrites, so concurrent appends never conflict with it
+      commitRewrite(spark, removedFileIds, replacement, "OPTIMIZE",
+        ReadScope(readWholeTable = false, Nil, removedFileIds.toSet))
     /** (file id, size in bytes, partition-group key) of every live data
       * file — OPTIMIZE's bin-packing input, driver-held exactly like the
       * formats' own file lists. Files sharing a group key can be packed
@@ -281,6 +319,21 @@ sealed trait LakeRowLevelCommand extends LeafRunnableCommand {
 
   protected def internalCols: Seq[String] = Seq(FileIdCol, RowIxCol)
 
+  /** The RESOLVED conjuncts of `cond` against `df` — the read predicate
+    * the planning scan used, in the form conflict checking evaluates
+    * against a winner's file stats (one throwaway analysis pass; nothing
+    * executes). Empty when no Filter survives (e.g. a literal-true cond).
+    */
+  protected def readPredicates(df: DataFrame, cond: Column): Seq[Expression] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    df.where(cond).queryExecution.analyzed.collectFirst {
+      case f: Filter => split(f.condition).map(LakeRowLevel.foldConstants)
+    }.getOrElse(Nil)
+  }
+
   /** Logical table columns of an id-carrying scan. */
   protected def tableCols(df: DataFrame): Seq[String] =
     df.columns.filterNot(internalCols.contains).toSeq
@@ -301,9 +354,12 @@ case class LakeDeleteCommand(handle: RowLevelHandle, cond: ExprBox)
         if (!handle.wantsChangeRows) None
         else Some(hit.select(cols.map(n => col(s"`$n`")): _*)
           .withColumn(ChangeTypeCol, lit("delete")))
+      val scope = ReadScope(readWholeTable = false,
+        readPredicates(df, c), files.toSet)
       if (handle.deleteByRowIds) {
         // merge-on-read: ship (file, ordinal) markers, rewrite nothing
-        handle.commitDeleteRows(spark, hit.select(col(FileIdCol), col(RowIxCol)), changes)
+        handle.commitDeleteRows(spark, hit.select(col(FileIdCol), col(RowIxCol)),
+          changes, "DELETE", scope)
       } else {
         // rows of touched files that do NOT match survive (a null predicate
         // is not a match, so its rows are kept)
@@ -311,8 +367,8 @@ case class LakeDeleteCommand(handle: RowLevelHandle, cond: ExprBox)
           .select(cols.map(n => col(s"`$n`")): _*)
         changes match {
           case Some(ch) =>
-            handle.commitRewriteWithChanges(spark, files, kept, ch, "DELETE")
-          case None => handle.commitRewrite(spark, files, kept, "DELETE")
+            handle.commitRewriteWithChanges(spark, files, kept, ch, "DELETE", scope)
+          case None => handle.commitRewrite(spark, files, kept, "DELETE", scope)
         }
       }
     }
@@ -348,17 +404,19 @@ case class LakeUpdateCommand(handle: RowLevelHandle,
           .withColumn(ChangeTypeCol, lit("update_preimage"))
           .unionByName(hitRows.select(out: _*)
             .withColumn(ChangeTypeCol, lit("update_postimage"))))
+      val scope = ReadScope(readWholeTable = false,
+        readPredicates(df, c), files.toSet)
       if (handle.updateByRowIds) {
         // merge-on-read: matched rows mask out, rewritten versions append
         handle.commitUpdateRows(spark,
           hitRows.select(col(FileIdCol), col(RowIxCol)),
-          hitRows.select(out: _*), changes)
+          hitRows.select(out: _*), changes, "UPDATE", scope)
       } else {
         val rewritten = touched.select(out: _*)
         changes match {
           case Some(ch) =>
-            handle.commitRewriteWithChanges(spark, files, rewritten, ch, "UPDATE")
-          case None => handle.commitRewrite(spark, files, rewritten, "UPDATE")
+            handle.commitRewriteWithChanges(spark, files, rewritten, ch, "UPDATE", scope)
+          case None => handle.commitRewrite(spark, files, rewritten, "UPDATE", scope)
         }
       }
     }
@@ -405,6 +463,27 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
         matchedFiles(tgt.join(srcBase.as(SourceQual), c, "left_anti"), fires)
       }
     val files = (matchedF ++ nmbsF).distinct
+
+    // read scope for conflict checking: the target-only conjuncts of the
+    // ON condition (a row failing them cannot satisfy the full conjunction,
+    // so a concurrent add of only such rows cannot change any clause
+    // decision). NOT MATCHED BY SOURCE clauses read every target row —
+    // whole-table scope then; likewise when no target-only conjunct is
+    // extractable.
+    val scope: ReadScope = {
+      val tIds = ids(tgt.queryExecution.analyzed.output)
+      def split(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+        case other => Seq(other)
+      }
+      val conjs = tgt.join(srcBase.as(SourceQual), c, "left_semi")
+        .queryExecution.analyzed.collectFirst { case j: Join => j.condition }
+        .flatten.toSeq.flatMap(split).map(foldConstants)
+      val tgtOnly = conjs.filter(e =>
+        e.references.nonEmpty && e.references.forall(a => tIds.contains(a.exprId)))
+      if (notMatchedBySource.nonEmpty || tgtOnly.isEmpty) ReadScope.wholeTable
+      else ReadScope(readWholeTable = false, tgtOnly, files.toSet)
+    }
 
     def clauseIx(actions: Seq[BoxedAction]): Column =
       // first matching clause wins: index 1..n, 0 = no clause applies
@@ -533,16 +612,16 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
       val appended = (morAppend.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
       (morMask, appended) match {
         case (Some(ids), Some(app)) =>
-          handle.commitUpdateRows(spark2, ids, app, changesOpt(inserts), "MERGE")
+          handle.commitUpdateRows(spark2, ids, app, changesOpt(inserts), "MERGE", scope)
         case (None, Some(app)) =>
           // inserts only: a plain append commit suffices — but keep the
           // row-id contract by masking nothing via an empty-update is not
           // expressible, so route through commitRewrite-free append:
           handle.commitUpdateRows(spark2,
             tgt.where(lit(false)).select(col(FileIdCol), col(RowIxCol)), app,
-            changesOpt(inserts), "MERGE")
+            changesOpt(inserts), "MERGE", scope)
         case (Some(ids), None) =>
-          handle.commitDeleteRows(spark2, ids, changesOpt(None), "MERGE")
+          handle.commitDeleteRows(spark2, ids, changesOpt(None), "MERGE", scope)
         case _ => require(emptyIds) // unreachable
       }
     } else (rewritten, inserts) match {
@@ -551,8 +630,8 @@ case class LakeMergeCommand(handle: RowLevelHandle, source: LogicalPlan,
         val replacement = (r.toSeq ++ i.toSeq).reduce(_ unionByName _)
         changesOpt(i) match {
           case Some(changes) =>
-            handle.commitRewriteWithChanges(spark, files, replacement, changes, "MERGE")
-          case None => handle.commitRewrite(spark, files, replacement, "MERGE")
+            handle.commitRewriteWithChanges(spark, files, replacement, changes, "MERGE", scope)
+          case None => handle.commitRewrite(spark, files, replacement, "MERGE", scope)
         }
     }
     Seq(Row(files.size.toLong))
@@ -706,13 +785,21 @@ case class RestoreLakeTableCommand(table: Seq[String], version: Option[Long],
 
   private def parseTsMs(s: String): Long = {
     val t = s.trim
-    if (t.matches("\\d{10,}")) t.toLong // epoch millis
+    // epoch millis must be exactly 13 digits: a looser \d{10,} heuristic
+    // would silently read compact datetimes like '20240501120000' as an
+    // epoch and restore to a wildly wrong instant
+    if (t.matches("\\d{13}")) t.toLong
     else {
-      val norm = t.replace('T', ' ')
-      val withTime = if (norm.contains(' ')) norm else s"$norm 00:00:00"
-      java.time.LocalDateTime
-        .parse(withTime.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      val iso = t.replace(' ', 'T')
+      val withTime = if (iso.contains('T')) iso else s"${iso}T00:00:00"
+      // offset-carrying forms first ('Z', '+02:00'); only a bare local
+      // datetime falls back to the documented UTC interpretation
+      try java.time.OffsetDateTime.parse(withTime).toInstant.toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(withTime)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
     }
   }
   override val output: Seq[Attribute] = Seq(

@@ -455,7 +455,8 @@ object DeltaLite {
   }
 
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "deletionVectors", "columnMapping", "typeWidening")
+    Set("timestampNtz", "deletionVectors", "columnMapping", "typeWidening",
+      "v2Checkpoint")
 
   /** Field access tolerant of schema-inferred checkpoints that omit empty
     * maps/arrays (a real writer's checkpoint always carries them).
@@ -841,7 +842,14 @@ object DeltaLite {
         // protocol + metaData + txn + checkpointMetadata + sidecar refs,
         // with the file actions in `_sidecars/<uuid>.parquet`. Readers
         // that only know classic checkpoints skip UUID-named files, so
-        // this write is only chosen on request (CHECKPOINT ... V2).
+        // this write is only chosen on request (CHECKPOINT ... V2) — and
+        // the spec requires the table to DECLARE the gate first, else
+        // feature-conforming readers lose the table once the JSON tail is
+        // cleaned (the command path upgrades the protocol before calling)
+        require(readerFeatures.contains("v2Checkpoint"),
+          s"table $dir does not declare the v2Checkpoint reader feature; " +
+            "upgrade the protocol (CHECKPOINT ... V2 via the command does " +
+            "this) before writing a v2 checkpoint")
         val uuid = java.util.UUID.randomUUID().toString
         val sidecarSchema = StructType.fromDDL(AddDdl)
         // shard sidecars so a very large table never funnels its whole

@@ -809,12 +809,19 @@ object IcebergLite {
     val meta = spark.createDataFrame(snap.dataFileMeta.map {
       case (fid, seq) => Tuple2(fid, seq)
     }).toDF("__gmfp", "__gmseq")
-    val encode = udf((poss: Seq[Long]) => RoaringDv.encodeBitmapArray(poss))
+    // typed Aggregator building each file's roaring bitmap INCREMENTALLY:
+    // the agg buffer holds 8 KiB word blocks per touched container, never
+    // an all-positions array — a file carrying tens of millions of
+    // deleted rows costs its ordinal span in containers, not rows × 8 B
+    // plus a sort, so the caller's row cap stays purely a broadcast-SIZE
+    // gate
+    val bmAgg = udaf(new RoaringDv.BitmapAgg,
+      org.apache.spark.sql.Encoders.scalaLong)
     val perFile = delRows
       .join(broadcast(meta), col("__gdfp") === col("__gmfp") &&
         col("__gdseq") >= col("__gmseq"))
       .groupBy(col("__gdfp"))
-      .agg(encode(sort_array(collect_set(col("__gdpos")))).as("__gbm"))
+      .agg(bmAgg(col("__gdpos")).as("__gbm"))
       .collect()
     val raw: Map[String, Array[Byte]] =
       perFile.map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap

@@ -90,34 +90,58 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     val dir = dirFor(spark, rest, name)
     val snap = DeltaLite.snapshot(spark, dir)
     val handle = new LakeRowLevel.RowLevelHandle {
+      // the command's read scope, in Delta conflict-check form: the
+      // pre-race snapshot supplies per-file partition values + stats for
+      // judging winner removes; column-mapping tables mark stats
+      // untrusted (physical vs logical name mismatch → conservative)
+      private def deltaScope(sc: LakeRowLevel.ReadScope): Option[LakeNativeWrite.DeltaReadScope] = {
+        val physPartNames = snap.physPartitionSchema.fieldNames
+        Some(LakeNativeWrite.DeltaReadScope(
+          readWholeTable = sc.readWholeTable,
+          predicates = sc.predicates,
+          schema = snap.schema,
+          partitionCols = snap.partitionColumns,
+          readFiles = sc.readFiles,
+          snapshotInfo = snap.fileIds.zip(snap.files).map { case (id, f) =>
+            id -> (physPartNames.zip(f.partitionValues).collect {
+              case (k, v) if v != null => k -> v.toString
+            }.toMap, snap.statsJson.get(id))
+          }.toMap,
+          statsTrusted = snap.physSchema.isEmpty))
+      }
       override def scanWithRowIds(s: SparkSession): DataFrame =
         DeltaLite.toDataFrameWithRowIds(s, snap)
       override def commitRewrite(s: SparkSession, removed: Seq[String],
-          replacement: DataFrame, operation: String): Unit =
+          replacement: DataFrame, operation: String,
+          scope: LakeRowLevel.ReadScope): Unit =
         LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,
-          operation = operation)
+          operation = operation, readScope = deltaScope(scope))
       override def wantsChangeRows: Boolean = snap.cdfEnabled
       override def deleteByRowIds: Boolean = snap.configuration
         .get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true"))
       override def commitDeleteRows(s: SparkSession, matchedRowIds: DataFrame,
-          changeRows: Option[DataFrame], operation: String): Unit =
+          changeRows: Option[DataFrame], operation: String,
+          scope: LakeRowLevel.ReadScope): Unit =
         LakeNativeWrite.deltaDvDelete(s, dir, snap, matchedRowIds, changeRows,
-          operation)
+          operation, readScope = deltaScope(scope))
       override def updateByRowIds: Boolean = deleteByRowIds
       override def commitUpdateRows(s: SparkSession, matchedRowIds: DataFrame,
           newRows: DataFrame, changeRows: Option[DataFrame],
-          operation: String): Unit =
+          operation: String, scope: LakeRowLevel.ReadScope): Unit =
         LakeNativeWrite.deltaDvUpdate(s, dir, snap, matchedRowIds, newRows, changeRows,
-          operation)
+          operation, readScope = deltaScope(scope))
       override def commitRewriteWithChanges(s: SparkSession, removed: Seq[String],
           replacement: DataFrame, changeRows: DataFrame,
-          operation: String): Unit =
+          operation: String, scope: LakeRowLevel.ReadScope): Unit =
         LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,
-          changeRows = Some(changeRows), operation = operation)
+          changeRows = Some(changeRows), operation = operation,
+          readScope = deltaScope(scope))
       override def commitCompaction(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =
         LakeNativeWrite.deltaRewrite(s, dir, snap, removed, replacement,
-          dataChange = false, operation = "OPTIMIZE")
+          dataChange = false, operation = "OPTIMIZE",
+          readScope = deltaScope(LakeRowLevel.ReadScope(
+            readWholeTable = false, Nil, removed.toSet)))
       override def listFiles(s: SparkSession): Seq[(String, Long, String)] =
         snap.fileIds.zip(snap.files).map { case (id, f) =>
           (id, f.size, f.partitionValues.mkString("/"))
@@ -131,8 +155,14 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
         DeltaLite.history(s, dir).map { case (v, ts, op, a, r) =>
           (v, None, ts, op, Some(a), Some(r))
         }
-      override def checkpoint(s: SparkSession, v2: Boolean = false): (Long, Long) =
+      override def checkpoint(s: SparkSession, v2: Boolean = false): (Long, Long) = {
+        // v2 checkpoints are a gated table feature: declare it (one
+        // protocol+metaData commit, no-op when already declared) before
+        // writing a UUID-named checkpoint external readers would
+        // otherwise skip
+        if (v2) LakeNativeWrite.deltaEnsureV2CheckpointProtocol(s, dir)
         DeltaLite.writeCheckpoint(s, dir, v2)
+      }
       override def restore(s: SparkSession, version: Long): (Long, Long) =
         LakeNativeWrite.deltaRestore(s, dir, version)
       override def restoreTimestamp(s: SparkSession, tsMs: Long): (Long, Long) =
@@ -384,13 +414,17 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       override def scanWithRowIds(s: SparkSession): DataFrame =
         IcebergLite.toDataFrameWithRowIds(s, snap)
       override def commitRewrite(s: SparkSession, removed: Seq[String],
-          replacement: DataFrame, operation: String): Unit =
+          replacement: DataFrame, operation: String,
+          scope: LakeRowLevel.ReadScope): Unit =
         // Iceberg records operations in the snapshot summary with the
-        // spec's fixed vocabulary; the Delta-style label is not carried
+        // spec's fixed vocabulary; the Delta-style label is not carried.
+        // The read scope is unused: the Iceberg commit path rebases
+        // file-level (append rebase + CommitFailedException contract)
         LakeNativeWrite.icebergRewrite(s, dir, removed, replacement)
       override def deleteByRowIds: Boolean = morDelete
       override def commitDeleteRows(s: SparkSession, matchedRowIds: DataFrame,
-          changeRows: Option[DataFrame], operation: String): Unit =
+          changeRows: Option[DataFrame], operation: String,
+          scope: LakeRowLevel.ReadScope): Unit =
         // no CDF concept here: the changelog derives deleted rows from the
         // delete-file delta, so change rows are not materialized
         LakeNativeWrite.icebergMorDelete(s, dir, matchedRowIds)
@@ -399,7 +433,7 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
         .get("write.update.mode").contains("merge-on-read")
       override def commitUpdateRows(s: SparkSession, matchedRowIds: DataFrame,
           newRows: DataFrame, changeRows: Option[DataFrame],
-          operation: String): Unit =
+          operation: String, scope: LakeRowLevel.ReadScope): Unit =
         LakeNativeWrite.icebergMorUpdate(s, dir, matchedRowIds, newRows)
       override def commitCompaction(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =

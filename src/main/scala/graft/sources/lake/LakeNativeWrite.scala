@@ -261,10 +261,27 @@ object LakeNativeWrite {
       (config.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id"),
         "columnMapping"),
       (on("delta.enableDeletionVectors"), "deletionVectors"),
-      (on("delta.enableTypeWidening"), "typeWidening")
+      (on("delta.enableTypeWidening"), "typeWidening"),
+      (config.get("delta.checkpointPolicy").contains("v2"), "v2Checkpoint")
     ).collect { case (true, f) => f }
     val writer = reader ++ (if (on("delta.enableChangeDataFeed")) Seq("changeDataFeed") else Nil)
     (reader, writer)
+  }
+
+  /** The Delta spec gates v2 checkpoints behind the `v2Checkpoint` READER
+    * table feature + `delta.checkpointPolicy = v2`: readers that do not
+    * know the feature skip UUID-named checkpoint files entirely, so a v2
+    * checkpoint on an ungated table turns unreadable-to-them the moment
+    * the JSON tail is cleaned (while this engine reads it fine).
+    * CHECKPOINT ... V2 therefore declares the gate in ONE ordinary
+    * protocol+metaData commit before the checkpoint is written; a no-op
+    * when the table already declares the feature.
+    */
+  def deltaEnsureV2CheckpointProtocol(spark: SparkSession, dir: Path): Unit = {
+    val snap = DeltaLite.snapshot(spark, dir)
+    if (!snap.protocol.readerFeatures.contains("v2Checkpoint"))
+      deltaAlter(spark, dir, s =>
+        (s.schema, s.configuration + ("delta.checkpointPolicy" -> "v2")))
   }
 
   def deltaCreate(spark: SparkSession, dir: Path, schema: StructType,
@@ -343,8 +360,10 @@ object LakeNativeWrite {
     */
   def deltaDvDelete(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
       matchedRowIds: DataFrame, changeRows: Option[DataFrame],
-      operation: String = "DELETE"): Unit =
-    deltaDvCommit(spark, dir, snap, matchedRowIds, None, changeRows, operation)
+      operation: String = "DELETE",
+      readScope: Option[DeltaReadScope] = None): Unit =
+    deltaDvCommit(spark, dir, snap, matchedRowIds, None, changeRows, operation,
+      readScope)
 
   /** Merge-on-read UPDATE: the matched rows mask out via deletion vectors
     * while their rewritten versions append as NEW files — one atomic
@@ -353,12 +372,15 @@ object LakeNativeWrite {
     */
   def deltaDvUpdate(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
       matchedRowIds: DataFrame, newRows: DataFrame,
-      changeRows: Option[DataFrame], operation: String = "UPDATE"): Unit =
-    deltaDvCommit(spark, dir, snap, matchedRowIds, Some(newRows), changeRows, operation)
+      changeRows: Option[DataFrame], operation: String = "UPDATE",
+      readScope: Option[DeltaReadScope] = None): Unit =
+    deltaDvCommit(spark, dir, snap, matchedRowIds, Some(newRows), changeRows, operation,
+      readScope)
 
   private def deltaDvCommit(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
       matchedRowIds: DataFrame, appendRows: Option[DataFrame],
-      changeRows: Option[DataFrame], operation: String = null): Unit = {
+      changeRows: Option[DataFrame], operation: String = null,
+      readScope: Option[DeltaReadScope] = None): Unit = {
     import org.apache.spark.sql.GraftLakeBridge
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -379,19 +401,22 @@ object LakeNativeWrite {
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (fid, it) =>
-        val newPos = it.map(_._2).toArray
-        val oldPos = bcOld.value.get(fid).map { case (p, inline, off, sz) =>
+        // incremental builder: neither the new positions nor the existing
+        // vector's ever materialize as an array — the union builds in
+        // per-container word blocks and streams back out
+        val bld = new RoaringDv.BitmapBuilder
+        it.foreach(t => bld.add(t._2))
+        bcOld.value.get(fid).foreach { case (p, inline, off, sz) =>
           val bytes =
             if (p.isEmpty) inline.take(sz)
             else RoaringDv.readDvData(sconf.value, new org.apache.hadoop.fs.Path(p), off, sz)
-          RoaringDv.decodeBitmapArray(bytes)
-        }.getOrElse(Array.empty[Long])
-        val all = (oldPos ++ newPos).distinct.sorted
-        val bmp = RoaringDv.encodeBitmapArray(scala.collection.immutable.ArraySeq.unsafeWrapArray(all))
+          RoaringDv.foreachPosition(bytes)(bld.add)
+        }
+        val bmp = bld.result()
         val uuid = java.util.UUID.randomUUID()
         val (offset, size) = RoaringDv.writeDvFile(sconf.value,
           new org.apache.hadoop.fs.Path(dirStr, s"deletion_vector_$uuid.bin"), bmp)
-        (fid, RoaringDv.encodeUuid(uuid), offset, size, all.length.toLong)
+        (fid, RoaringDv.encodeUuid(uuid), offset, size, bld.cardinality)
       }
       .collect()
     require(descs.nonEmpty || appendRows.nonEmpty,
@@ -425,6 +450,15 @@ object LakeNativeWrite {
     val readerFeatures = (snap.protocol.readerFeatures ++ legacyR ++ newFeatures).distinct
     val writerFeatures = (snap.protocol.writerFeatures ++ legacyW ++ newFeatures ++
       (if (snap.cdfEnabled) Seq("changeDataFeed") else Nil)).distinct
+    // emit the protocol action ONLY when it grants something the log does
+    // not already declare: a restated-but-identical protocol would make
+    // every commit losing the version race to a routine DV DELETE fail
+    // with a spurious ProtocolChangedException (the conflict checker keys
+    // on the action's presence, as delta-spark's does)
+    val protocolActions =
+      if (readerFeatures.forall(snap.protocol.readerFeatures.contains) &&
+          writerFeatures.forall(snap.protocol.writerFeatures.contains)) Nil
+      else Seq(LakeWrite.deltaProtocolWithFeatures(readerFeatures, writerFeatures))
     val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
     val newAdds = appendRows.toSeq.flatMap { rows =>
       val (physical, physParts) = toPhysical(align(rows, snap.schema), snap)
@@ -433,9 +467,8 @@ object LakeNativeWrite {
           stats = f.statsJson))
     }
     commitDelta(conf, dir, snap.version + 1,
-      Seq(LakeWrite.deltaCommitInfo(now, operation),
-        LakeWrite.deltaProtocolWithFeatures(readerFeatures, writerFeatures)) ++
-        cdc ++ adds.toSeq ++ newAdds)
+      Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ protocolActions ++
+        cdc ++ adds.toSeq ++ newAdds, readScope)
   }
 
   /** Metadata-only ALTER commit: a new version whose metaData action
@@ -517,7 +550,8 @@ object LakeNativeWrite {
   def deltaRewrite(spark: SparkSession, dir: Path, snap: DeltaLite.Snapshot,
       removedIds: Seq[String], replacement: DataFrame,
       changeRows: Option[DataFrame] = None, dataChange: Boolean = true,
-      operation: String = null): Unit = {
+      operation: String = null,
+      readScope: Option[DeltaReadScope] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (physical, physParts) = toPhysical(align(replacement, snap.schema), snap)
     val now = System.currentTimeMillis()
@@ -530,27 +564,108 @@ object LakeNativeWrite {
       else LakeWrite.deltaRemoveNoDataChange(p, now))
     val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
     commitDelta(conf, dir, snap.version + 1,
-      Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ cdc ++ removes ++ adds)
+      Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ cdc ++ removes ++ adds,
+      readScope)
   }
+
+  /** One add action's conflict-relevant content: the path plus what
+    * predicate scoping evaluates — partition values and the stats JSON.
+    */
+  private[lake] final case class AddInfo(path: String,
+      partitionValues: Map[String, String], stats: Option[String])
 
   /** What a Delta commit's actions touch — the inputs to conflict
     * checking against commits that win the version race.
     */
-  private final case class DeltaActs(adds: Set[String], removes: Set[String],
-      meta: Boolean, protocol: Boolean, txnApps: Set[String])
+  private final case class DeltaActs(adds: Seq[AddInfo], removes: Set[String],
+      meta: Boolean, protocol: Boolean, txnApps: Set[String]) {
+    def addPaths: Set[String] = adds.map(_.path).toSet
+  }
 
   private def classifyDelta(lines: Seq[String]): DeltaActs = {
-    var adds = Set.empty[String]; var removes = Set.empty[String]
+    var adds = Vector.empty[AddInfo]; var removes = Set.empty[String]
     var meta = false; var protocol = false; var txns = Set.empty[String]
     lines.foreach { l =>
       val j = JsonMethods.parse(l)
-      (j \ "add" \ "path") match { case JString(p) => adds += p; case _ => () }
+      (j \ "add" \ "path") match {
+        case JString(p) =>
+          val parts = (j \ "add" \ "partitionValues") match {
+            case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
+          val stats = (j \ "add" \ "stats") match {
+            case JString(s) => Some(s); case _ => None
+          }
+          adds :+= AddInfo(p, parts, stats)
+        case _ => ()
+      }
       (j \ "remove" \ "path") match { case JString(p) => removes += p; case _ => () }
       if ((j \ "metaData") != JNothing) meta = true
       if ((j \ "protocol") != JNothing) protocol = true
       (j \ "txn" \ "appId") match { case JString(a) => txns += a; case _ => () }
     }
     DeltaActs(adds, removes, meta, protocol, txns)
+  }
+
+  /** Predicate-scoped read set of a Delta transaction — delta-spark
+    * ConflictChecker's narrowing of ConcurrentAppend / ConcurrentDeleteRead:
+    * a winner's ADD conflicts only when the added file MAY contain rows
+    * matching what this transaction read; a winner's REMOVE only when it
+    * took a file the transaction read exactly ([[readFiles]]) or one its
+    * predicates may have matched (judged against the pre-race snapshot's
+    * per-file partition values + stats in [[snapshotInfo]]). Evaluation is
+    * driver-side through the same [[GraftLakeBridge.StatsSkipping]]
+    * evaluator scan-time file pruning uses — `may match` (conflict)
+    * whenever anything is unknown, so the narrowing is never unsafe; on
+    * column-mapping tables stats keys are physical names while predicates
+    * carry logical ones, so [[statsTrusted]] is false and every add
+    * conservatively conflicts.
+    */
+  private[lake] final case class DeltaReadScope(
+      readWholeTable: Boolean,
+      predicates: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      schema: StructType,
+      partitionCols: Seq[String],
+      readFiles: Set[String],
+      snapshotInfo: Map[String, (Map[String, String], Option[String])],
+      statsTrusted: Boolean) {
+
+    private def mayMatch(partVals: Map[String, String],
+        statsJson: Option[String]): Boolean = {
+      if (!statsTrusted) return true
+      val base = statsJson.flatMap(DeltaLite.parseStats(_, schema)).getOrElse(
+        org.apache.spark.sql.GraftLakeBridge.FileStats(None, Map.empty, Map.empty, Map.empty))
+      // a file's partition values are exact per-column bounds: min = max =
+      // the (typed) value, null count 0 — absent (null) values contribute
+      // nothing and stay conservative
+      val partTyped: Map[String, Any] = partitionCols.flatMap { pc =>
+        for {
+          f <- schema.fields.find(_.name == pc)
+          raw <- partVals.get(pc)
+          v <- scala.util.Try(DeltaLite.parsePartitionValue(raw, f.dataType)).toOption
+        } yield pc -> v
+      }.toMap
+      val st = base.copy(
+        min = base.min ++ partTyped,
+        max = base.max ++ partTyped,
+        nullCount = base.nullCount ++ partTyped.keys.map(_ -> 0L))
+      org.apache.spark.sql.GraftLakeBridge.StatsSkipping
+        .mayMatch(predicates, Some(st), schema)
+    }
+
+    /** Would a winner's add of this file change what the transaction read? */
+    def addConflicts(a: AddInfo): Boolean =
+      readWholeTable ||
+        (predicates.nonEmpty && mayMatch(a.partitionValues, a.stats))
+
+    /** Would a winner's remove of this file change what the transaction
+      * read? Unknown paths (added after our snapshot) conflict.
+      */
+    def removeConflicts(path: String): Boolean =
+      readWholeTable || readFiles.contains(path) ||
+        (predicates.nonEmpty && snapshotInfo.get(path).forall {
+          case (pv, st) => mayMatch(pv, st)
+        })
   }
 
   private def readCommitLines(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
@@ -572,16 +687,20 @@ object LakeNativeWrite {
     *    retries past any data-only winner;
     *  - a remove-carrying commit was planned against the pre-race
     *    snapshot: a winner deleting the same file is delete/delete, a
-    *    winner deleting a file this commit re-adds (DV rewrite) or any
-    *    file at all is delete/read, a winner adding files is
-    *    concurrent-append (conservative without read-predicate tracking —
-    *    never unsafe, delta-spark narrows by predicate).
+    *    winner deleting a file this commit re-adds (DV rewrite) is
+    *    delete/read. With a [[DeltaReadScope]] the remaining checks narrow
+    *    to delta-spark's actual contract — a winner's other removes and
+    *    adds conflict only when they overlap what this transaction READ
+    *    (its matched files / its predicates judged against partition
+    *    values + stats); disjoint traffic retries and commits. Without a
+    *    scope the conservative form applies: any winner remove is
+    *    delete/read, any winner add is concurrent-append.
     *
     * Data files are content-addressed by job UUID, so a retried commit
     * re-points the SAME files — no data rewrite on contention.
     */
   private[lake] def commitDelta(conf: Configuration, tableDir: Path, firstVersion: Long,
-      actions: Seq[String]): Unit = {
+      actions: Seq[String], readScope: Option[DeltaReadScope] = None): Unit = {
     val log = new Path(tableDir, "_delta_log")
     val fs = log.getFileSystem(conf)
     fs.mkdirs(log)
@@ -602,12 +721,21 @@ object LakeNativeWrite {
       if (!blindAppend) {
         (winner.removes intersect ours.removes).headOption.foreach(p =>
           throw new LakeConcurrency.ConcurrentDeleteDeleteException(t, v, p))
-        (winner.removes intersect ours.adds).headOption.foreach(p =>
+        (winner.removes intersect ours.addPaths).headOption.foreach(p =>
           throw new LakeConcurrency.ConcurrentDeleteReadException(t, v, p))
-        winner.removes.headOption.foreach(p =>
-          throw new LakeConcurrency.ConcurrentDeleteReadException(t, v, p))
-        if (winner.adds.nonEmpty)
-          throw new LakeConcurrency.ConcurrentAppendException(t, v)
+        readScope match {
+          case None =>
+            // no read tracking: conservative (never unsafe)
+            winner.removes.headOption.foreach(p =>
+              throw new LakeConcurrency.ConcurrentDeleteReadException(t, v, p))
+            if (winner.adds.nonEmpty)
+              throw new LakeConcurrency.ConcurrentAppendException(t, v)
+          case Some(sc) =>
+            winner.removes.find(sc.removeConflicts).foreach(p =>
+              throw new LakeConcurrency.ConcurrentDeleteReadException(t, v, p))
+            if (winner.adds.exists(sc.addConflicts))
+              throw new LakeConcurrency.ConcurrentAppendException(t, v)
+        }
       }
       attempts += 1; v += 1
     }
@@ -801,6 +929,16 @@ object LakeNativeWrite {
     require(snapshotId != m.currentId, "already at the requested snapshot")
     val before = IcebergLite.snapshot(spark, dir).dataFileMeta.map(_._1).toSet
     val tgtTs = m.priorSnapshots.find(_.id == snapshotId).get.timestampMs
+    // iceberg-core truncates the snapshot-log by ENTRY POSITION (keep up
+    // to and including the target's last entry), not by timestamp: entries
+    // sharing the target's millisecond but appended after it are
+    // invalidated too, so post-rollback TIMESTAMP AS OF can never resolve
+    // to an undone snapshot. Timestamp comparison is only the fallback for
+    // a target with no log entry (e.g. imported metadata).
+    val lastIdx = m.snapshotLog.lastIndexWhere(_._2 == snapshotId)
+    val keptLog =
+      if (lastIdx >= 0) m.snapshotLog.take(lastIdx + 1)
+      else m.snapshotLog.filter(_._1 <= tgtTs)
     // keep the log monotone even under clock skew
     val now = math.max(System.currentTimeMillis(),
       (m.snapshotLog.map(_._1) :+ 0L).max)
@@ -811,7 +949,7 @@ object LakeNativeWrite {
       properties = m.properties,
       schemasJson = m.schemasJson, currentSchemaId = m.currentSchemaId,
       lastColumnId = m.lastColumnId,
-      snapshotLog = m.snapshotLog.filter(_._1 <= tgtTs) :+ ((now, snapshotId)),
+      snapshotLog = keptLog :+ ((now, snapshotId)),
       failIfExists = true)
     val after = IcebergLite.snapshot(spark, dir).dataFileMeta.map(_._1).toSet
     ((after -- before).size.toLong, (before -- after).size.toLong)

@@ -175,13 +175,24 @@ object LakeWrite {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
+      // CREATE-time and WRITE-time failures must not be conflated: once
+      // create(overwrite=false) returns, the name is OURS — a failure
+      // while writing/closing is an IO fault, and reporting it as
+      // "version taken" would leave our own torn partial at that version
+      // for commitDelta to parse as the race winner (and permanently
+      // break log replay there). Delete the partial claim and rethrow.
+      val out = try fs.create(file, false) catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case e: java.io.IOException => return (if (fs.exists(file)) false else throw e)
+      }
       try {
-        val out = fs.create(file, false)
         try out.write(bytes) finally out.close()
         true
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException => if (fs.exists(file)) false else throw e
+        case e: java.io.IOException =>
+          try fs.delete(file, false)
+          catch { case _: java.io.IOException => () } // best effort; original fault wins
+          throw e
       }
     }
   }

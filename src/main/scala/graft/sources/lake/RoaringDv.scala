@@ -103,20 +103,27 @@ object RoaringDv {
 
   /** Decode the portable RoaringBitmapArray into sorted 64-bit positions. */
   def decodeBitmapArray(bytes: Array[Byte]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    foreachPosition(bytes)(out += _)
+    out.result()
+  }
+
+  /** Visit every position of a portable RoaringBitmapArray in sorted order
+    * without materializing them — what incremental re-encoding wants.
+    */
+  def foreachPosition(bytes: Array[Byte])(f: Long => Unit): Unit = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = buf.getInt
     require(magic == MagicNumber,
       s"not a portable RoaringBitmapArray (magic $magic, want $MagicNumber)")
     val nBitmaps = buf.getLong
     require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue, s"implausible bitmap count $nBitmaps")
-    val out = Array.newBuilder[Long]
     var b = 0L
     while (b < nBitmaps) {
       val high = b << 32
-      decodeRoaring32(buf, v32 => out += (high | (v32 & 0xffffffffL)))
+      decodeRoaring32(buf, v32 => f(high | (v32 & 0xffffffffL)))
       b += 1
     }
-    out.result()
   }
 
   /** One standard portable 32-bit RoaringBitmap, advancing `buf` past it. */
@@ -217,6 +224,125 @@ object RoaringDv {
       b += 1
     }
     out.toByteArray
+  }
+
+  /** Incremental roaring-bitmap builder: positions land one at a time in
+    * per-container 8 KiB word blocks, merge is per-container OR, and
+    * [[result]] emits the same portable RoaringBitmapArray bytes
+    * [[encodeBitmapArray]] produces — WITHOUT ever materializing an
+    * all-positions array. This is the agg-buffer shape the distributed
+    * position-delete pre-aggregation wants: a single data file carrying
+    * tens of millions of deleted rows costs (touched containers × 8 KiB)
+    * of buffer, bounded by the file's row-ordinal span, instead of
+    * (positions × 8 B) plus a sort.
+    */
+  final class BitmapBuilder extends Serializable {
+    // container key = position >>> 16: bitmap index in the upper 48 bits,
+    // 16-bit container key in the low 16 — one flat map for the whole
+    // 64-bit position space
+    private val containers = new java.util.HashMap[java.lang.Long, Array[Long]]()
+
+    def add(pos: Long): Unit = {
+      require(pos >= 0, s"negative position $pos")
+      val key = java.lang.Long.valueOf(pos >>> 16)
+      var words = containers.get(key)
+      if (words == null) { words = new Array[Long](1024); containers.put(key, words) }
+      val lo = (pos & 0xffff).toInt
+      words(lo >>> 6) |= (1L << (lo & 63))
+    }
+
+    def merge(o: BitmapBuilder): BitmapBuilder = {
+      o.containers.forEach { (k, w) =>
+        val mine = containers.get(k)
+        if (mine == null) containers.put(k, w.clone())
+        else { var i = 0; while (i < 1024) { mine(i) |= w(i); i += 1 } }
+      }
+      this
+    }
+
+    def isEmpty: Boolean = containers.isEmpty
+
+    def cardinality: Long = {
+      var n = 0L
+      containers.forEach { (_, w) =>
+        var i = 0; while (i < 1024) { n += java.lang.Long.bitCount(w(i)); i += 1 }
+      }
+      n
+    }
+
+    /** Portable RoaringBitmapArray bytes — byte-identical to
+      * [[encodeBitmapArray]] over the same position set (no-run form,
+      * array containers up to 4096 values, bitmap above).
+      */
+    def result(): Array[Byte] = {
+      import scala.jdk.CollectionConverters._
+      val sorted = containers.asScala.toSeq.map { case (k, w) => (k.longValue(), w) }
+        .sortBy(_._1)
+      val byBitmap = sorted.groupBy(_._1 >>> 16)
+      val nBitmaps = if (byBitmap.isEmpty) 0L else byBitmap.keys.max + 1
+      val out = new java.io.ByteArrayOutputStream()
+      def writeIntLE(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+      }
+      def writeShortLE(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      writeIntLE(MagicNumber)
+      writeIntLE((nBitmaps & 0xffffffffL).toInt); writeIntLE((nBitmaps >>> 32).toInt)
+      var b = 0L
+      while (b < nBitmaps) {
+        val conts = byBitmap.getOrElse(b, Nil).map { case (k, w) =>
+          var card = 0
+          var i = 0; while (i < 1024) { card += java.lang.Long.bitCount(w(i)); i += 1 }
+          ((k & 0xffff).toInt, w, card)
+        }
+        writeIntLE(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+        writeIntLE(conts.size)
+        conts.foreach { case (k, _, card) => writeShortLE(k); writeShortLE(card - 1) }
+        var off = 4 + 4 + 4 * conts.size + 4 * conts.size
+        conts.foreach { case (_, _, card) =>
+          writeIntLE(off)
+          off += (if (card <= 4096) 2 * card else 8192)
+        }
+        conts.foreach { case (_, w, card) =>
+          if (card <= 4096) {
+            var i = 0
+            while (i < 1024) {
+              var word = w(i)
+              while (word != 0L) {
+                val bit = java.lang.Long.numberOfTrailingZeros(word)
+                writeShortLE(i * 64 + bit)
+                word &= word - 1
+              }
+              i += 1
+            }
+          } else {
+            w.foreach { word =>
+              var j = 0
+              while (j < 8) { out.write(((word >>> (8 * j)) & 0xff).toInt); j += 1 }
+            }
+          }
+        }
+        b += 1
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Typed aggregate building one roaring bitmap per group incrementally —
+    * the distributed form of "collect + sort + encode the positions",
+    * minus the all-positions array in the agg buffer. Register with
+    * `functions.udaf(new RoaringDv.BitmapAgg, Encoders.scalaLong)`.
+    */
+  final class BitmapAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Long, BitmapBuilder, Array[Byte]] {
+    override def zero: BitmapBuilder = new BitmapBuilder
+    override def reduce(b: BitmapBuilder, pos: Long): BitmapBuilder = { b.add(pos); b }
+    override def merge(a: BitmapBuilder, b: BitmapBuilder): BitmapBuilder = a.merge(b)
+    override def finish(b: BitmapBuilder): Array[Byte] = b.result()
+    override def bufferEncoder: org.apache.spark.sql.Encoder[BitmapBuilder] =
+      org.apache.spark.sql.Encoders.javaSerialization[BitmapBuilder]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
   }
 
   // ---- on-disk DV file framing ----

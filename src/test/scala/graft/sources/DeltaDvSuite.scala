@@ -185,4 +185,35 @@ class DeltaDvSuite extends SparkTestBase {
     }
     assert(e.getMessage.contains("storage type"))
   }
+
+  test("incremental BitmapBuilder is byte-identical to the array encoder") {
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long],
+      Seq(0L),
+      Seq(65535L, 65536L, 65537L), // container boundary
+      (0xFFFFFFF0L to 0x10000000FL), // 32-bit bitmap boundary
+      Seq.fill(6000)(rnd.nextInt(10000).toLong), // dense -> bitmap container, dups
+      Seq.fill(3000)(math.abs(rnd.nextLong()) % (1L << 40)), // sparse, multi-bitmap
+      (100000L until 101000L) ++ Seq.fill(500)(rnd.nextInt(70000).toLong))
+    for (c <- cases) {
+      val expected = RoaringDv.encodeBitmapArray(c)
+      val bld = new RoaringDv.BitmapBuilder
+      rnd.shuffle(c).foreach(bld.add) // order-insensitive
+      assert(java.util.Arrays.equals(bld.result(), expected),
+        s"builder bytes must match encodeBitmapArray for ${c.take(5)}...")
+      assert(bld.cardinality == c.distinct.size.toLong)
+      // split-and-merge (the shuffle-combine path) reaches the same bytes
+      val (l, r) = rnd.shuffle(c).splitAt(c.size / 2)
+      val a = new RoaringDv.BitmapBuilder; l.foreach(a.add)
+      val b = new RoaringDv.BitmapBuilder; r.foreach(b.add)
+      assert(java.util.Arrays.equals(a.merge(b).result(), expected))
+      // and the streaming visitor replays exactly the distinct sorted set
+      if (c.nonEmpty) {
+        val seen = Seq.newBuilder[Long]
+        RoaringDv.foreachPosition(expected)(seen += _)
+        assert(seen.result() == c.distinct.sorted)
+      }
+    }
+  }
 }

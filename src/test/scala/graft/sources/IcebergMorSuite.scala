@@ -169,6 +169,28 @@ class IcebergMorSuite extends SparkTestBase {
       currentSnapshotId = 3002L)
   }
 
+  test("one file carrying ~1M position deletes reads exactly (agg buffer stays container-bounded)") {
+    val base = tmpDir("ice-mor-1m")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE mor1m OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.mor1m")
+    val fqn = "graft.datasource.mor1m.mor1m.t"
+    spark.sql(s"CREATE TABLE $fqn (id BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    // ONE data file so all deletes land in one file's bitmap
+    spark.range(0, 1200000).coalesce(1).createOrReplaceTempView("__mor1m_src")
+    spark.sql(s"INSERT INTO $fqn SELECT id FROM __mor1m_src")
+    val dir = new Path(base.getPath, "t")
+    assert(IcebergLite.snapshot(spark, dir).files.size == 1)
+    spark.sql(s"DELETE FROM $fqn WHERE id < 1000000") // 1M position deletes
+    val t = spark.table(fqn)
+    assert(t.count() == 200000L)
+    val mm = t.agg(org.apache.spark.sql.functions.min("id"),
+      org.apache.spark.sql.functions.max("id")).head()
+    assert(mm.getLong(0) == 1000000L && mm.getLong(1) == 1199999L)
+    // the survivors are exactly the un-deleted suffix (spot the boundary)
+    assert(t.where("id IN (999999, 1000000)").count() == 1L)
+  }
+
   test("equality-delete files without equality_ids reject as spec-invalid") {
     val dir = tmpDir("ice-eqdel")
     buildMorFixture(dir)

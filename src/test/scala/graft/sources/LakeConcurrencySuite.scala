@@ -247,4 +247,172 @@ class LakeConcurrencySuite extends SparkTestBase {
     assert(IcebergLite.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L), "stale hint must not serve a stale snapshot")
   }
+
+  test("atomicCreate: a write-time fault on a claimed name cleans the torn claim, never reports 'taken'") {
+    import org.apache.hadoop.fs._
+    // an HDFS-like (non-file-scheme) FS whose create succeeds but whose
+    // stream faults mid-write — the claim exists but the content is torn
+    class TornWriteFs extends RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+      override def create(f: Path, overwrite: Boolean): FSDataOutputStream = {
+        if (!overwrite && exists(f)) throw new FileAlreadyExistsException(f.toString)
+        val real = super.create(f, overwrite)
+        new FSDataOutputStream(new java.io.OutputStream {
+          override def write(b: Int): Unit = throw new java.io.IOException("disk fault")
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            throw new java.io.IOException("disk fault")
+          override def close(): Unit = real.close()
+        }, null)
+      }
+    }
+    val fs = new TornWriteFs
+    fs.initialize(java.net.URI.create("mockfs:///"), conf)
+    val target = new Path(s"${tmpDir("torn")}/00000000000000000002.json")
+    val ex = intercept[java.io.IOException] {
+      LakeWrite.atomicCreate(fs, target, "payload".getBytes("UTF-8"))
+    }
+    assert(ex.getMessage.contains("disk fault"),
+      "the IO fault must surface, not be reported as a version collision")
+    assert(!fs.exists(target),
+      "the torn partial claim must be deleted — a later reader would parse " +
+        "it as the winning commit and break log replay at that version")
+    // while a genuine create-time collision still reports 'taken' quietly
+    val taken = new Path(s"${tmpDir("torn")}/00000000000000000003.json")
+    val pre = fs.create(taken, true); pre.close()
+    assert(!LakeWrite.atomicCreate(fs, taken, "x".getBytes("UTF-8")))
+  }
+
+  // ---- Delta: predicate-scoped conflict checking (delta-spark's actual
+  // ConflictChecker contract — disjoint traffic commits, overlap conflicts)
+
+  private def setupPart(ns: String): (String, Path) = {
+    import spark.implicits._
+    val root = tmpDir("conc-scope")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE $ns OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.cs")
+    spark.sql(s"CREATE TABLE graft.datasource.cs.$ns.t (id BIGINT, p INT) " +
+      "PARTITIONED BY (p)")
+    (0L until 12L).map(i => (i, (i % 3).toInt)).toDF("id", "p")
+      .createOrReplaceTempView(s"__cs_$ns")
+    spark.sql(s"INSERT INTO graft.datasource.cs.$ns.t SELECT * FROM __cs_$ns")
+    (s"graft.datasource.cs.$ns.t", new Path(s"$root/t"))
+  }
+
+  /** A handle whose snapshot predates the interleaved winner commits. */
+  private def staleHandle(fqn: String): graft.plans.LakeRowLevel.RowLevelHandle =
+    org.apache.spark.sql.GraftSQLBridge.loadV2Table(spark, fqn.split('.').toSeq)
+      .asInstanceOf[graft.plans.HasRowLevelHandle].rowLevelHandle.get
+
+  private def staleDelete(handle: graft.plans.LakeRowLevel.RowLevelHandle,
+      where: String): Unit =
+    graft.plans.LakeDeleteCommand(handle,
+      graft.plans.LakeRowLevel.ExprBox(org.apache.spark.sql.GraftSQLBridge
+        .expression(org.apache.spark.sql.functions.expr(where)))).run(spark)
+
+  test("delta: a disjoint-partition append and a stale row rewrite BOTH commit") {
+    val (fqn, _) = setupPart("cs1")
+    val handle = staleHandle(fqn)
+    // winner: blind append into a partition the rewrite's predicate never reads
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 9)")
+    staleDelete(handle, "p = 1") // retries past the winner instead of aborting
+    val got = spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 12L).filterNot(_ % 3 == 1) :+ 100L).sorted,
+      "both the append and the rewrite must survive")
+  }
+
+  test("delta: an append INTO the partition the rewrite read still conflicts") {
+    val (fqn, _) = setupPart("cs2")
+    val handle = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 1)")
+    intercept[LakeConcurrency.ConcurrentAppendException] {
+      staleDelete(handle, "p = 1")
+    }
+  }
+
+  test("delta: stats scope the race on unpartitioned tables — disjoint id ranges commit") {
+    import spark.implicits._
+    val root = tmpDir("conc-stats")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE cs3 OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.cs")
+    spark.sql("CREATE TABLE graft.datasource.cs.cs3.t (id BIGINT)")
+    val fqn = "graft.datasource.cs.cs3.t"
+    (0L until 10L).toDF("id").createOrReplaceTempView("__cs_cs3")
+    spark.sql(s"INSERT INTO $fqn SELECT * FROM __cs_cs3")
+    val h1 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100)") // minValues.id = 100
+    staleDelete(h1, "id < 50") // [100,100] can't match id < 50 → commits
+    assert(spark.table(fqn).count() == 1L)
+    // and an appended file whose stats DO overlap the predicate conflicts
+    spark.sql(s"INSERT INTO $fqn VALUES (20)") // a row the stale plan matches
+    val h2 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (7)") // winner: [7,7] overlaps id < 50
+    intercept[LakeConcurrency.ConcurrentAppendException] {
+      staleDelete(h2, "id < 50")
+    }
+  }
+
+  test("delta: winners removing files outside the rewrite's predicate don't conflict") {
+    val (fqn, _) = setupPart("cs4")
+    val handle = staleHandle(fqn)
+    spark.sql(s"DELETE FROM $fqn WHERE p = 2") // winner rewrites p=2 files
+    staleDelete(handle, "p = 1") // read only p=1 → no delete/read conflict
+    assert(spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 12L).filter(_ % 3 == 0))
+    // but racing rewrites of the SAME partition stay a delete/delete conflict
+    val h2 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 1)")
+    val h3 = staleHandle(fqn)
+    spark.sql(s"DELETE FROM $fqn WHERE p = 1")
+    intercept[LakeConcurrency.ConcurrentDeleteDeleteException] {
+      staleDelete(h3, "p = 1")
+    }
+    assert(h2 != null)
+  }
+
+  test("delta: OPTIMIZE reads only the files it compacts — appends never abort it") {
+    import org.apache.spark.sql.functions.col
+    val (fqn, dir) = setupPart("cs5")
+    val handle = staleHandle(fqn)
+    val p1Files = DeltaLite.snapshot(spark, dir).fileIds.filter(_.startsWith("p=1"))
+    assert(p1Files.nonEmpty)
+    val rows = handle.scanWithRowIds(spark)
+      .where(col(graft.plans.LakeRowLevel.FileIdCol).isin(p1Files: _*))
+      .select("id", "p")
+    // winner lands INSIDE the same partition — still no conflict: the
+    // compaction read exactly the files it rewrites, not the partition
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 1)")
+    handle.commitCompaction(spark, p1Files, rows)
+    val got = spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 12L) :+ 100L).sorted, "no rows lost, no conflict")
+  }
+
+  test("delta: a routine DV DELETE restates no protocol — stale blind appends retry past it") {
+    import spark.implicits._
+    val root = tmpDir("conc-dvp")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE cs6 OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.cs")
+    spark.sql("CREATE TABLE graft.datasource.cs.cs6.t (id BIGINT) " +
+      "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+    val fqn = "graft.datasource.cs.cs6.t"
+    val dir = new Path(s"$root/t")
+    (0L until 6L).toDF("id").createOrReplaceTempView("__cs_cs6")
+    spark.sql(s"INSERT INTO $fqn SELECT * FROM __cs_cs6")
+    spark.sql(s"DELETE FROM $fqn WHERE id = 1") // DV commit
+    val v = DeltaLite.latestVersion(spark, dir)
+    val dvCommit = scala.io.Source.fromFile(
+      f"$dir/_delta_log/$v%020d.json").mkString
+    assert(dvCommit.contains("deletionVector"))
+    assert(!dvCommit.contains("\"protocol\""),
+      "a DV commit on a DV-declared table must not restate the protocol")
+    // a blind append that lost the race to the DV DELETE retries, it does
+    // NOT die with a spurious ProtocolChangedException
+    LakeNativeWrite.commitDelta(conf, dir, v, Seq(
+      LakeWrite.deltaCommitInfo(9L),
+      LakeWrite.deltaAdd("ours.parquet", 10L, 9L, Map.empty)))
+    val next = new java.io.File(f"$dir/_delta_log/${v + 1}%020d.json")
+    assert(next.exists() && scala.io.Source.fromFile(next).mkString.contains("ours.parquet"))
+  }
 }

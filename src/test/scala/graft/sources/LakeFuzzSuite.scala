@@ -165,6 +165,9 @@ class LakeFuzzSuite extends SparkTestBase {
     val (fqn, dir) = mkDelta("fz6")
     spark.sql(s"INSERT INTO $fqn VALUES (100, 100)")
     spark.sql(s"INSERT INTO $fqn VALUES (200, 200)")
+    // v2 checkpoints are feature-gated: declare it first (what the
+    // CHECKPOINT ... V2 command does), then checkpoint the upgraded version
+    LakeNativeWrite.deltaEnsureV2CheckpointProtocol(spark, dir)
     val snap = DeltaLite.snapshot(spark, dir)
     DeltaLite.writeCheckpoint(spark, dir, v2 = true)
     val logDir = new java.io.File(dir.toString, "_delta_log")

@@ -308,4 +308,35 @@ class LakeProtocolSuite extends SparkTestBase {
         "same-millisecond commits would collide on metadata file names")
     assert(spark.table(fqn).count() == 5)
   }
+
+  test("CHECKPOINT V2 declares the v2Checkpoint feature gate before writing") {
+    val base = tmpDir("proto-v2cp")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE pv2 OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.pv2")
+    val fqn = "graft.datasource.pv2.pv2.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT id FROM range(5)")
+    val dir = new Path(base.getPath, "t")
+    // a direct ungated v2 write is refused (spec: readers that don't know
+    // the feature skip UUID-named checkpoints — the table would go dark
+    // for them once the JSON tail is cleaned)
+    val ex = intercept[IllegalArgumentException] {
+      DeltaLite.writeCheckpoint(spark, dir, v2 = true)
+    }
+    assert(ex.getMessage.contains("v2Checkpoint"), ex.getMessage)
+    // the command path upgrades the protocol in one commit, then writes
+    graft.Graft.sql(spark, s"CHECKPOINT LAKE TABLE $fqn V2")
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.protocol.minReader == 3 && snap.protocol.minWriter == 7)
+    assert(snap.protocol.readerFeatures.contains("v2Checkpoint"))
+    assert(snap.protocol.writerFeatures.contains("v2Checkpoint"))
+    assert(snap.configuration.get("delta.checkpointPolicy").contains("v2"))
+    // the upgrade is IDEMPOTENT: a second V2 checkpoint adds no commit
+    val v = snap.version
+    graft.Graft.sql(spark, s"CHECKPOINT LAKE TABLE $fqn V2")
+    assert(DeltaLite.snapshot(spark, dir).version == v,
+      "an already-gated table must not re-upgrade")
+    // and the gated table still reads (our own reader accepts the feature)
+    assert(spark.table(fqn).count() == 5)
+  }
 }

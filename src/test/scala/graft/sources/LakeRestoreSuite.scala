@@ -170,4 +170,82 @@ class LakeRestoreSuite extends SparkTestBase {
     }
     assert(ex.getMessage.contains("not found"), ex.getMessage)
   }
+
+  test("RESTORE TO TIMESTAMP accepts offset-carrying ISO forms, rejects ambiguous numerics") {
+    val base = tmpDir("restore-tsf")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE DELTA DATASOURCE rtf OPTIONS (path '${base.getPath}') NAMESPACE graft.datasource.rtf")
+    val fqn = "graft.datasource.rtf.rtf.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT id FROM range(4)") // v1
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql(s"DELETE FROM $fqn WHERE id >= 2")           // v2
+    assert(spark.table(fqn).count() == 2)
+    // 'Z'-suffixed ISO instant (UTC): LocalDateTime.parse alone would throw
+    val isoZ = java.time.Instant.ofEpochMilli(mid).toString
+    assert(isoZ.endsWith("Z"))
+    graft.Graft.sql(spark, s"RESTORE LAKE TABLE $fqn TO TIMESTAMP '$isoZ'")
+    assert(spark.table(fqn).count() == 4)
+    // explicit-offset form resolves through the offset, not a silent UTC read
+    spark.sql(s"DELETE FROM $fqn WHERE id >= 2")
+    val isoOff = java.time.OffsetDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(mid), java.time.ZoneOffset.ofHours(2))
+      .toString
+    graft.Graft.sql(spark, s"RESTORE LAKE TABLE $fqn TO TIMESTAMP '$isoOff'")
+    assert(spark.table(fqn).count() == 4)
+    // a 14-digit compact datetime must NOT silently parse as epoch millis
+    // (20240501120000 ms ≈ year 2611) — it is rejected, never misread
+    intercept[Exception] {
+      graft.Graft.sql(spark, s"RESTORE LAKE TABLE $fqn TO TIMESTAMP '20240501120000'")
+    }
+  }
+
+  test("iceberg: rollback truncates the snapshot-log by POSITION, not timestamp") {
+    val base = tmpDir("restore-ip")
+    graft.Graft.sql(spark,
+      s"REGISTER OR REPLACE ICEBERG DATASOURCE rip OPTIONS (warehouse '${base.getPath}') NAMESPACE graft.datasource.rip")
+    val fqn = "graft.datasource.rip.rip.t"
+    spark.sql(s"CREATE TABLE $fqn (id INT)")
+    spark.sql(s"INSERT INTO $fqn SELECT id FROM range(3)")      // snap A
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(base.getPath, "t")
+    val snapA = IcebergLite.snapshot(spark, dir).snapshotId
+    spark.sql(s"INSERT INTO $fqn SELECT id + 10 FROM range(3)") // snap B
+    val snapB = IcebergLite.snapshot(spark, dir).snapshotId
+    // forge clock collision: B's snapshot-log entry shares A's millisecond
+    val metaFile = IcebergLite.currentMetadataFile(conf, dir)
+    val json = org.json4s.jackson.JsonMethods.parse(
+      IcebergLite.readString(conf, metaFile))
+    import org.json4s._
+    val tsA = (json \ "snapshot-log") match {
+      case JArray(entries) => entries.collectFirst {
+        case e if (e \ "snapshot-id") == JInt(BigInt(snapA)) =>
+          (e \ "timestamp-ms").asInstanceOf[JInt].num.toLong
+      }.get
+      case _ => fail("no snapshot-log")
+    }
+    val forged = json.transformField { case ("snapshot-log", JArray(entries)) =>
+      "snapshot-log" -> JArray(entries.map {
+        case e if (e \ "snapshot-id") == JInt(BigInt(snapB)) =>
+          e.asInstanceOf[JObject].copy(obj = e.asInstanceOf[JObject].obj.map {
+            case ("timestamp-ms", _) => "timestamp-ms" -> (JInt(BigInt(tsA)): JValue)
+            case kv => kv
+          })
+        case e => e
+      })
+    }
+    val fs = metaFile.getFileSystem(conf)
+    val out = fs.create(metaFile, true)
+    out.write(org.json4s.jackson.JsonMethods.compact(forged).getBytes("UTF-8"))
+    out.close()
+    // rollback to A: the same-millisecond B entry sits AFTER A in the log
+    // and must drop by position — a timestamp-based truncation would keep
+    // it and timestamp travel would resurrect the undone snapshot
+    graft.Graft.sql(spark, s"RESTORE LAKE TABLE $fqn TO VERSION $snapA")
+    assert(spark.table(fqn).count() == 3)
+    assert(IcebergLite.read(spark, dir, timestampMs = Some(tsA)).count() == 3,
+      "TIMESTAMP AS OF must never resolve to the undone snapshot")
+  }
 }
