@@ -54,6 +54,17 @@ object Bench {
     pretty.append("\n  }\n}\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       pretty.toString.getBytes("UTF-8"))
+    // a compact headline artifact that survives even a truncated driver
+    // capture: totals + the 10 slowest gates, one short line each
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY_OUT",
+      "BENCH_SUMMARY.json")
+    val top10 = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"""    "$k": $v""" }.mkString(",\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
+      (s"""{\n  "metric": "total", "value": $total, "unit": "sec",\n""" +
+        s"""  "n_gates": ${results.size}, "sf": "$sfDir",\n""" +
+        s"""  "shared_prev_total": $sharedPrev,\n""" +
+        s"""  "top10_slowest": {\n$top10\n  }\n}\n""").getBytes("UTF-8"))
     spark.stop()
   }
 

@@ -72,7 +72,11 @@ object LakeRowLevel {
   private[plans] def foldConstants(e: Expression): Expression = e.transformUp {
     case f if f.foldable && !f.isInstanceOf[
         org.apache.spark.sql.catalyst.expressions.Literal] =>
-      org.apache.spark.sql.catalyst.expressions.Literal.create(f.eval(), f.dataType)
+      // `now()` & friends are foldable at analysis but Unevaluable until
+      // the optimizer substitutes them — keep such nodes as-is (the stats
+      // evaluator then stays conservative) instead of crashing the DML
+      scala.util.Try(org.apache.spark.sql.catalyst.expressions.Literal
+        .create(f.eval(), f.dataType)).getOrElse(f)
   }
 
   /** What a lake format contributes: an identity-carrying scan and an

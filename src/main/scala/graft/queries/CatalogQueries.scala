@@ -519,6 +519,56 @@ object CatalogQueries {
             repeat('x', 10 + n_nationkey) AS textcontent
         FROM nation ORDER BY n_nationkey""")),
 
+    // ---- PDF embedded-image dimensions (r10): one PDF per nation row
+    // embedding a REAL JPEG XObject (JDK encoder) of key-derived size
+    // behind /Filter /DCTDecode; the scan decodes the JPEG via
+    // javax.imageio into the `imagedims` content column. Oracle recomputes
+    // the planted dimensions from the key. ----
+    QuerySpec("unstructured_pdf_imagedims",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "pdfimgfiles")
+        if (!fixture.exists()) {
+          val staging = new java.io.File(wh(dir), s"pdfimgfiles.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          QueryPack.t(s, dir, "nation").select(col("n_nationkey")).collect().foreach { r =>
+            val key = r.getInt(0)
+            val (w, h) = (16 + key, 9 + key)
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val jb = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", jb)
+            val jpeg = jb.toByteArray
+            val bytes =
+              (s"%PDF-1.4\n5 0 obj << /Type /XObject /Subtype /Image /Width $w " +
+                s"/Height $h /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+                s"/Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n")
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ jpeg ++
+              "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(staging.toString, f"$key%05d.pdf"), bytes)
+          }
+          if (!staging.renameTo(fixture)) {
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
+          }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE PDF DATASOURCE imgsrc OPTIONS (path '$fixture') NAMESPACE graft.datasource.un")
+        s.sql("SELECT path, imagedims FROM graft.datasource.un.imgsrc.content")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.pdf$", 1).cast("int").as("n_nationkey"),
+            explode(col("imagedims")).as("img"))
+          .select(col("n_nationkey"),
+            col("img.width").as("width"), col("img.height").as("height"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+          CAST(16 + n_nationkey AS INT) AS width,
+          CAST(9 + n_nationkey AS INT) AS height
+        FROM nation ORDER BY n_nationkey""")),
+
     // ---- unstructured WRITE sink roundtrip: SQL INSERT through the
     // FileFormat sink (one file per row, distributed write), then read BOTH
     // surfaces back — metadata sizes and lazy-loaded content — and the

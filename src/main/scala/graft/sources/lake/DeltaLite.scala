@@ -955,9 +955,10 @@ object DeltaLite {
         else if (meta && v == 0) "CREATE TABLE"
         else if (meta && addsDc + removesDc + addsNoDc + removesNoDc == 0) "ALTER TABLE"
         else if (addsDc + removesDc == 0 && addsNoDc + removesNoDc > 0) "OPTIMIZE"
-        else if (addsDc > 0 && removesDc > 0) "REWRITE"
-        // re-adds carrying deletion vectors with no removes = a DV delete
+        // adds carrying deletion vectors = a DV delete (remove+add pairs
+        // in the delta-spark spelling, add-only in older logs)
         else if (addsDc > 0 && dvAdds) "DELETE"
+        else if (addsDc > 0 && removesDc > 0) "REWRITE"
         else if (addsDc > 0) "WRITE"
         else if (removesDc > 0) "DELETE"
         else "EMPTY"
@@ -1094,16 +1095,17 @@ object DeltaLite {
         require(ignoreDeletes || ignoreChanges,
           s"version $v deletes data from the streamed table; set ignoreDeletes " +
             "(or ignoreChanges) to skip delete commits")
-      if (removes > 0 && adds.nonEmpty)
-        require(ignoreChanges,
-          s"version $v updates data in the streamed table; set ignoreChanges to " +
-            "re-emit the rewritten files (downstream must tolerate duplicates)")
       // a DV-carrying add is a visibility rewrite of an existing file
-      // (deletion-vector DELETE): same posture as an update commit
+      // (deletion-vector DELETE, committed as a remove+add pair): name it
+      // specifically before the generic update error
       if (adds.exists(_._3.isDefined))
         require(ignoreChanges,
           s"version $v deletes rows via deletion vectors; set ignoreChanges to " +
             "re-emit the affected files' visible rows")
+      if (removes > 0 && adds.nonEmpty)
+        require(ignoreChanges,
+          s"version $v updates data in the streamed table; set ignoreChanges to " +
+            "re-emit the rewritten files (downstream must tolerate duplicates)")
       if (adds.nonEmpty)
         frames += toDataFrame(spark, Snapshot(v, endSnap.schema,
           endSnap.partitionColumns, adds.map(_._2), dir,
@@ -1271,6 +1273,13 @@ object DeltaLite {
       } else {
         val ins = adds.filter(_._6)
         val del = removes.filter(_._2)
+        // DV rewrites commit remove+add PAIRS for the re-vectored file
+        // (delta-spark's spelling, this engine's too as of r10) — name the
+        // shape specifically before the generic rewrite error
+        require(!ins.exists(_._5.isDefined),
+          s"version $v re-adds files under new deletion vectors " +
+            "(deletion-vector rewrite) without cdc actions; row-level changes " +
+            "cannot be derived — was delta.enableChangeDataFeed set when it committed?")
         require(ins.isEmpty || del.isEmpty,
           s"version $v rewrites rows (data-changing adds AND removes) without cdc actions; " +
             "row-level changes cannot be derived — was delta.enableChangeDataFeed set when it committed?")

@@ -466,9 +466,17 @@ object LakeNativeWrite {
         .map(f => LakeWrite.deltaAdd(f.relPath, f.size, now, f.partitionValues,
           stats = f.statsJson))
     }
+    // delta-spark's DV rewrite emits remove+add PAIRS for each re-vectored
+    // file (the protocol's read-modify-write spelling; replay is
+    // line-ordered so the re-add wins). Beyond fidelity this is what makes
+    // conflict checking sound: an add-only DV commit would classify as a
+    // BLIND append and race past a concurrent DV rewrite of the same file,
+    // silently dropping one side's deletes — with the pair, same-file
+    // DV/DV races surface as delete/delete.
+    val dvRemoves = descs.map { case (fid, _, _, _, _) => LakeWrite.deltaRemove(fid, now) }
     commitDelta(conf, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ protocolActions ++
-        cdc ++ adds.toSeq ++ newAdds, readScope)
+        cdc ++ dvRemoves.toSeq ++ adds.toSeq ++ newAdds, readScope)
   }
 
   /** Metadata-only ALTER commit: a new version whose metaData action
@@ -747,15 +755,24 @@ object LakeNativeWrite {
     * The log itself stays — exactly the real runtime's behavior, where
     * vacuumed time travel fails at data-read time, not at log-replay time.
     * Driver-side metadata work plus one FS walk, the same cost model as
-    * `VACUUM` proper. Single-writer scope: no retention-vs-in-flight-write
-    * race handling (the runtimes guard this with retention-duration
-    * checks).
+    * `VACUUM` proper.
+    *
+    * Concurrent-writer guard: a file NEWER than the newest commit in the
+    * log cannot be garbage from a retained version — it is either an
+    * in-flight writer's staged data (its commit json has not landed yet)
+    * or a racing commit's — so the walk never deletes it. This is the
+    * version-count analogue of delta-spark's retention-duration check;
+    * a writer that staged files BEFORE the last commit landed can still
+    * lose them (same residual race the runtimes close with `RETAIN n
+    * HOURS` — prefer that form under active concurrent writers).
     */
   def deltaVacuum(spark: SparkSession, dir: Path, retainVersions: Int): (Long, Long) = {
     require(retainVersions >= 1, s"must retain at least the current version")
     val latest = DeltaLite.snapshot(spark, dir).version
+    val latestTs = DeltaLite.commitTimestamps(spark, dir)
+      .map(_._2).maxOption.getOrElse(Long.MaxValue)
     deltaVacuumKeep(spark, dir,
-      ((latest - retainVersions + 1) to latest).filter(_ >= 0))
+      ((latest - retainVersions + 1) to latest).filter(_ >= 0), latestTs)
   }
 
   /** Age-based VACUUM (delta-spark's own `RETAIN n HOURS` form): retain
@@ -770,11 +787,13 @@ object LakeNativeWrite {
     // full per-commit action parse history does
     val keep = DeltaLite.commitTimestamps(spark, dir)
       .collect { case (v, ts) if ts >= cutoff => v }
-    deltaVacuumKeep(spark, dir, (keep :+ latest).distinct.sorted)
+    // delta-spark's own contract: only files OLDER than the cutoff are
+    // candidates, so an in-flight writer's freshly staged data survives
+    deltaVacuumKeep(spark, dir, (keep :+ latest).distinct.sorted, cutoff)
   }
 
   private def deltaVacuumKeep(spark: SparkSession, dir: Path,
-      keep: Seq[Long]): (Long, Long) = {
+      keep: Seq[Long], mtimeGuard: Long): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     def qualify(p: Path): String = fs.makeQualified(p).toString
@@ -796,7 +815,8 @@ object LakeNativeWrite {
     def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
       if (st.isDirectory) {
         if (st.getPath.getName != "_delta_log") walk(st.getPath)
-      } else if (!hidden(st.getPath) && !referenced.contains(qualify(st.getPath))) {
+      } else if (!hidden(st.getPath) && !referenced.contains(qualify(st.getPath)) &&
+          st.getModificationTime <= mtimeGuard) {
         n += 1; bytes += st.getLen
         fs.delete(st.getPath, false): Unit
       }
@@ -973,7 +993,10 @@ object LakeNativeWrite {
     require(retained.exists(_.id == m.currentId),
       s"retention window must include the current snapshot (retain >= " +
         s"${ordered.size - ordered.indexWhere(_.id == m.currentId)})")
-    icebergExpireRetained(spark, dir, m, retained)
+    // files newer than the newest retained snapshot cannot be expired
+    // snapshots' garbage — they are an in-flight writer's staged data
+    icebergExpireRetained(spark, dir, m, retained,
+      retained.map(_.timestampMs).maxOption.getOrElse(Long.MaxValue))
   }
 
   /** Age-based expiry (Iceberg's `expire_snapshots(older_than)` shape):
@@ -988,11 +1011,13 @@ object LakeNativeWrite {
     val cutoff = System.currentTimeMillis() - hours.toLong * 3600000L
     val retained = m.priorSnapshots.sortBy(_.sequenceNumber)
       .filter(sn => sn.timestampMs >= cutoff || sn.id == m.currentId)
-    icebergExpireRetained(spark, dir, m, retained)
+    // age-based contract: only files older than the window are candidates
+    icebergExpireRetained(spark, dir, m, retained, cutoff)
   }
 
   private def icebergExpireRetained(spark: SparkSession, dir: Path,
-      m: IceMeta, retained: Seq[LakeWrite.IcebergSnapshot]): (Long, Long) = {
+      m: IceMeta, retained: Seq[LakeWrite.IcebergSnapshot],
+      mtimeGuard: Long): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
     def qualify(p: Path): String = fs.makeQualified(p).toString
@@ -1021,14 +1046,19 @@ object LakeNativeWrite {
       p.getName.startsWith(".") || p.getName.startsWith("_")
     def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
       if (st.isDirectory) { if (st.getPath.getName != "metadata") walk(st.getPath) }
-      else if (!hidden(st.getPath) && !refData.contains(qualify(st.getPath))) drop(st)
+      else if (!hidden(st.getPath) && !refData.contains(qualify(st.getPath)) &&
+        st.getModificationTime <= mtimeGuard) drop(st)
     }
     walk(dir)
     // expired manifests / manifest lists (Avro only; metadata.json history
-    // files are tiny and version-numbered, so they stay)
+    // files are tiny and version-numbered, so they stay). The same
+    // in-flight guard applies: a racing writer stages its UUID-named
+    // manifests BEFORE publishing the metadata version that references
+    // them, so unreferenced-but-new Avro files are not garbage
     fs.listStatus(new Path(dir, "metadata")).foreach { st =>
       if (!st.isDirectory && st.getPath.getName.endsWith(".avro") &&
-        !refMeta.contains(qualify(st.getPath))) drop(st)
+        !refMeta.contains(qualify(st.getPath)) &&
+        st.getModificationTime <= mtimeGuard) drop(st)
     }
     LakeWrite.icebergWriteMetadata(conf, dir, (m.metaVersion + 1).toInt, m.schema,
       retained, currentSnapshotId = m.currentId,

@@ -48,10 +48,15 @@ import java.util.zip.Inflater
   * switching the active table mid-stream); the document-wide merge above
   * is the fallback for unbound names and text before any `Tf`.
   *
+  * DCT (JPEG) image streams decode through `javax.imageio` for the
+  * dimensions surface ([[extractImageDims]] — image-only PDFs yield
+  * width/height parity with the image scan); they carry no text, so the
+  * text walk skips them.
+  *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly, so xref streams are irrelevant), no
-  * DCT/CCITT/JBIG2 filters (image codecs — they carry no text; PDFBox needs
-  * them only for rasterization), no owner-password-based key recovery
+  * CCITT/JBIG2/JPX filters (no JDK codec; PDFBox needs them only for
+  * rasterization), no owner-password-based key recovery
   * (Algorithm 2.A /OE path). When nothing decodable is found the caller
   * falls back to the printable-ASCII heuristic.
   *
@@ -71,7 +76,8 @@ private[graft] object PdfText {
     val (streams, packed) = collectStreams(bytes, password = password)
     // ToUnicode CMap streams are font metadata, not page content: harvest
     // their code->unicode entries, then keep them out of the text walk
-    val (cmapStreams, textStreams) = streams.partition(st => isCMapStream(st.data))
+    val (cmapStreams, textStreams) =
+      streams.filter(_.imageCodec.isEmpty).partition(st => isCMapStream(st.data))
     val cmap = mergeCMaps(cmapStreams.map(st =>
       parseCMap(new String(st.data, StandardCharsets.ISO_8859_1))))
     // per-font binding: /Font resource names -> their own ToUnicode tables,
@@ -84,11 +90,36 @@ private[graft] object PdfText {
     sb.toString.trim.take(maxChars)
   }
 
+  /** (width, height) of every embedded DCT-encoded (JPEG) image stream, in
+    * document order: the JPEG bytes (any preceding filters undone, streams
+    * decrypted) decode through `javax.imageio`; when ImageIO cannot decode
+    * the payload (e.g. a CMYK JPEG on a stock JRE) the dimensions fall
+    * back to the stream dict's declared `/Width` `/Height`. This is the
+    * dimensions-parity surface the image scan has — image-only PDFs stop
+    * being opaque. CCITT/JBIG2/JPX streams remain skipped (no JDK codec).
+    */
+  def extractImageDims(bytes: Array[Byte],
+      password: Array[Byte] = Array.empty): Seq[(Int, Int)] = {
+    val (streams, _) = collectStreams(bytes, password = password)
+    def dictInt(dict: String, key: String): Option[Int] =
+      s"""\\$key\\s+(\\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    streams.filter(_.imageCodec.isDefined).flatMap { st =>
+      val decoded =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(st.data)))
+          .map(img => (img.getWidth, img.getHeight))
+        catch { case _: Exception => None }
+      decoded.orElse(for {
+        w <- dictInt(st.dict, "/Width"); h <- dictInt(st.dict, "/Height")
+      } yield (w, h))
+    }
+  }
+
   /** One decoded top-level stream: owning object number/generation (from the
     * nearest preceding `N G obj` header; -1 when absent, e.g. streams that
     * surfaced from inside an ObjStm), the stream dict text, and the bytes.
     */
-  private[graft] final case class PdfStream(num: Int, gen: Int, dict: String, data: Array[Byte])
+  private[graft] final case class PdfStream(num: Int, gen: Int, dict: String, data: Array[Byte],
+      imageCodec: Option[String] = None)
 
   /** Font NAME -> ToUnicode tables, resolved through the object graph:
     * `/Font <<...>>` resource dicts (top-level or ObjStm-packed) name the
@@ -337,11 +368,19 @@ private[graft] object PdfText {
             case None => raw0
           }
           val filters = parseFilters(dict)
-          val decoded0 = if (filters.isEmpty) Some(raw) else applyFilters(raw, filters)
-          val decoded = parsePredictor(dict) match {
-            case Some((p, cols, colors, bpc)) =>
+          // a DCT (JPEG) tail is an image payload, not undecodable garbage:
+          // undo only the PRECEDING filters and keep the JPEG bytes with
+          // the codec marked — the text walk skips it, the image-dims
+          // surface decodes it
+          val isDct = filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")
+          val (chain, codec) =
+            if (isDct) (filters.dropRight(1), filters.lastOption)
+            else (filters, None)
+          val decoded0 = if (chain.isEmpty) Some(raw) else applyFilters(raw, chain)
+          val decoded = (parsePredictor(dict), codec) match {
+            case (Some((p, cols, colors, bpc)), None) =>
               decoded0.flatMap(d => applyPredictor(d, p, cols, colors, bpc))
-            case None => decoded0
+            case _ => decoded0 // DecodeParms of an image filter belong to it
           }
           decoded.foreach { d =>
             if (dict.contains("/ObjStm")) {
@@ -353,7 +392,7 @@ private[graft] object PdfText {
               }
             } else {
               val (onum, ogen) = owningObj(s, math.max(dictStart, 0))
-              out += PdfStream(onum, ogen, dict, d)
+              out += PdfStream(onum, ogen, dict, d, codec)
             }
           }
           pos = end + "endstream".length

@@ -59,7 +59,10 @@ object Unstructured {
     case "text" => StructType(Seq(StructField("path", StringType),
       StructField("textcontent", StringType)))
     case "pdf" => StructType(Seq(StructField("path", StringType),
-      StructField("textcontent", StringType), StructField("bincontent", BinaryType)))
+      StructField("textcontent", StringType), StructField("bincontent", BinaryType),
+      StructField("imagedims", org.apache.spark.sql.types.ArrayType(
+        StructType(Seq(StructField("width", IntegerType),
+          StructField("height", IntegerType)))))))
     case "image" => StructType(Seq(StructField("path", StringType),
       StructField("imagecontent", BinaryType)))
     case _ => StructType(Seq(StructField("path", StringType),
@@ -199,7 +202,9 @@ object Unstructured {
       case "pdf" => raw.select(col("path"),
         ContentExtractor.pdfText(col("content"), ds.options.getOrElse("password", ""))
           .as("textcontent"),
-        col("content").as("bincontent"))
+        col("content").as("bincontent"),
+        ContentExtractor.pdfImageDims(col("content"),
+          ds.options.getOrElse("password", "")).as("imagedims"))
       case "image" => raw.select(col("path"), col("content").as("imagecontent"))
       case _ => raw.select(col("path"), col("content").as("bincontent"))
     }
@@ -251,6 +256,22 @@ object ContentExtractor {
       }
     }
     f(content)
+  }
+
+  /** Embedded DCT (JPEG) image dimensions of a PDF — `array<struct<width,
+    * height>>`, empty for text-only documents. The dimensions-parity
+    * surface image-only PDFs were missing ([[PdfText.extractImageDims]]).
+    */
+  def pdfImageDims(content: Column, password: String = ""): Column = {
+    val pwd = password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else try PdfText.extractImageDims(bytes, password = pwd)
+        catch { case _: Exception => Seq.empty[(Int, Int)] }
+    }
+    f(content).cast(org.apache.spark.sql.types.ArrayType(
+      StructType(Seq(StructField("width", IntegerType),
+        StructField("height", IntegerType)))))
   }
 
   def imageDims(content: Column): Column = {

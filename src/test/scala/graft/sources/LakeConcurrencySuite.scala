@@ -248,6 +248,105 @@ class LakeConcurrencySuite extends SparkTestBase {
       Seq(1L, 2L), "stale hint must not serve a stale snapshot")
   }
 
+  test("two streaming sinks + an OPTIMIZE loop into one table stay exactly-once") {
+    import spark.implicits._
+    val root = tmpDir("conc-sink")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE csnk OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.cs")
+    spark.sql("CREATE TABLE graft.datasource.cs.csnk.t (id BIGINT)")
+    val fqn = "graft.datasource.cs.csnk.t"
+    val dir = new Path(s"$root/t")
+    val batches = 5
+    val rowsPerBatch = 50
+    val barrier = new CyclicBarrier(3)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def sinkThread(appId: String, base: Long): Thread = new Thread(() => {
+      try {
+        barrier.await()
+        val sink = new DeltaStreamSink(spark, dir, Map("txnAppId" -> appId),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        (0 until batches).foreach { b =>
+          sink.addBatch(b.toLong,
+            (0 until rowsPerBatch).map(i => base + b * rowsPerBatch + i).toDF("id"))
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val optimizer = new Thread(() => {
+      try {
+        barrier.await()
+        (0 until 3).foreach { _ =>
+          // fresh handle per round, like the SQL command: compaction reads
+          // only the files it rewrites, so it never aborts the sinks
+          graft.Graft.sql(spark, s"OPTIMIZE LAKE TABLE $fqn")
+          Thread.sleep(10)
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(sinkThread("sink-a", 0L), sinkThread("sink-b", 100000L), optimizer)
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"sink/sink/optimize race must be clean: ${errs.peek()}")
+    val expected = 2L * batches * rowsPerBatch
+    assert(spark.table(fqn).count() == expected, "exactly-once: no loss, no dups")
+    assert(spark.table(fqn).select("id").distinct().count() == expected)
+    // replaying a spent batch commits nothing (the idempotency token held
+    // across the whole race)
+    val replay = new DeltaStreamSink(spark, dir, Map("txnAppId" -> "sink-a"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    replay.addBatch((batches - 1).toLong, Seq(999999L).toDF("id"))
+    assert(spark.table(fqn).count() == expected, "replayed batch must be skipped")
+    assert(DeltaLite.lastTxnVersion(spark, dir, "sink-a").contains((batches - 1).toLong))
+    assert(DeltaLite.lastTxnVersion(spark, dir, "sink-b").contains((batches - 1).toLong))
+  }
+
+  test("delta: CHECKPOINT racing concurrent appends never captures a torn version") {
+    import spark.implicits._
+    val dir = idTable("conc-ckpt")
+    val writers = 3
+    val appendsEach = 4
+    val barrier = new CyclicBarrier(writers + 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ckptVersions = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val appenders = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          (0 until appendsEach).foreach { i =>
+            LakeNativeWrite.deltaInsert(spark, dir,
+              Seq(w.toLong * 100 + i).toDF("id"), overwrite = false)
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    val checkpointer = new Thread(() => {
+      try {
+        barrier.await()
+        (0 until 4).foreach { _ =>
+          val (v, _) = DeltaLite.writeCheckpoint(spark, dir)
+          ckptVersions.add(v)
+          Thread.sleep(5)
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    (appenders :+ checkpointer).foreach(_.start())
+    (appenders :+ checkpointer).foreach(_.join())
+    assert(errs.isEmpty, s"checkpoint/append race must be clean: ${errs.peek()}")
+    // every row of every append survived — atomic commits mean a
+    // checkpoint can only ever see whole versions
+    assert(DeltaLite.read(spark, dir).count() == writers.toLong * appendsEach)
+    // each checkpoint replays to EXACTLY its version's state (delete the
+    // JSON tail at/below the newest checkpoint: replay must come from it)
+    val newest = ckptVersions.toArray(Array.empty[java.lang.Long]).map(_.longValue()).max
+    val expectAtNewest = DeltaLite.read(spark, dir, version = Some(newest)).count()
+    val logDir = new java.io.File(s"$dir/_delta_log")
+    logDir.listFiles().filter { f =>
+      f.getName.endsWith(".json") && f.getName.stripSuffix(".json").toLong <= newest
+    }.foreach(f => assert(f.delete()))
+    assert(DeltaLite.read(spark, dir).count() == writers.toLong * appendsEach,
+      "checkpoint base + JSON tail must reconstruct the full table")
+    assert(expectAtNewest <= writers.toLong * appendsEach)
+  }
+
   test("atomicCreate: a write-time fault on a claimed name cleans the torn claim, never reports 'taken'") {
     import org.apache.hadoop.fs._
     // an HDFS-like (non-file-scheme) FS whose create succeeds but whose
@@ -386,6 +485,55 @@ class LakeConcurrencySuite extends SparkTestBase {
     handle.commitCompaction(spark, p1Files, rows)
     val got = spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == ((0L until 12L) :+ 100L).sorted, "no rows lost, no conflict")
+  }
+
+  test("delta: concurrent DV rewrites of the same file conflict; disjoint ones both commit") {
+    import spark.implicits._
+    val root = tmpDir("conc-dvdv")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE cs7 OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.cs")
+    spark.sql("CREATE TABLE graft.datasource.cs.cs7.t (id BIGINT, p INT) " +
+      "PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+    val fqn = "graft.datasource.cs.cs7.t"
+    (0L until 12L).map(i => (i, (i % 3).toInt)).toDF("id", "p")
+      .coalesce(1) // ONE data file per partition, so ids co-locate
+      .createOrReplaceTempView("__cs_cs7")
+    spark.sql(s"INSERT INTO $fqn SELECT * FROM __cs_cs7")
+    // SAME file: ids 1 and 4 both live in partition p=1's single file —
+    // two read-modify-write DV rewrites of one vector must not both win
+    val h1 = staleHandle(fqn)
+    spark.sql(s"DELETE FROM $fqn WHERE id = 1") // winner re-vectors p=1
+    intercept[LakeConcurrency.ConcurrentDeleteDeleteException] {
+      staleDelete(h1, "id = 4")
+    }
+    // DISJOINT files: a stale DV delete in p=2 commits past a winner in
+    // p=0 (partition values prove the predicates disjoint), BOTH masks hold
+    val h2 = staleHandle(fqn)
+    spark.sql(s"DELETE FROM $fqn WHERE p = 0") // winner re-vectors p=0
+    staleDelete(h2, "p = 2")
+    assert(spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(4L, 7L, 10L),
+      "both partitions' deletes applied — no DV update lost")
+    // protocol fidelity: the DV commit carries remove+add PAIRS (the
+    // read-modify-write spelling conflict checking keys on)
+    val dir = new Path(s"$root/t")
+    val v = DeltaLite.latestVersion(spark, dir)
+    val lastCommit = scala.io.Source.fromFile(f"$dir/_delta_log/$v%020d.json").mkString
+    assert(lastCommit.contains("\"remove\"") && lastCommit.contains("deletionVector"),
+      "DV rewrite must emit remove+add for the re-vectored file")
+  }
+
+  test("delta: foldable-but-unevaluable predicates (now()) don't crash DML planning") {
+    val (fqn, _) = setupPart("cs8")
+    val handle = staleHandle(fqn)
+    // unix_timestamp() is foldable at analysis but unevaluable until the
+    // optimizer substitutes it — constant folding for the conflict scope
+    // must skip it, not throw
+    staleDelete(handle, "p = 1 AND id < unix_timestamp()")
+    assert(spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 12L).filterNot(_ % 3 == 1))
   }
 
   test("delta: a routine DV DELETE restates no protocol — stale blind appends retry past it") {

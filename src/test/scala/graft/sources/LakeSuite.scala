@@ -259,13 +259,14 @@ class LakeSuite extends SparkTestBase {
       """{"add":{"path":"f.parquet","partitionValues":{},"size":10,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":10,"cardinality":1}}}"""))
     assert(DeltaLite.snapshot(spark, dir1).dvs.contains("f.parquet"))
 
-    // unsupported reader feature list (v2Checkpoint stays out of scope)
+    // unsupported reader feature list (v2Checkpoint is SUPPORTED since
+    // r10 — the engine writes and replays that form; collations is not)
     val dir2 = new Path(tmpDir("delta-rf").toString)
     LakeWrite.deltaCommit(conf, dir2, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations"],"writerFeatures":["collations"]}}""",
       LakeWrite.deltaMetaData("t", StructType(Seq(StructField("id", LongType))), Nil)))
     val e2 = intercept[IllegalArgumentException] { DeltaLite.snapshot(spark, dir2) }
-    assert(e2.getMessage.contains("v2Checkpoint"))
+    assert(e2.getMessage.contains("collations"))
 
     // column mapping is SUPPORTED since round 7 (DeltaCmapSuite) — the
     // snapshot must carry the physical schema rather than reject

@@ -203,4 +203,47 @@ class LakeVacuumSuite extends SparkTestBase {
     assert(feedAfter == feedBefore,
       "vacuum deleted change files of a version inside the retention window")
   }
+
+  test("vacuum spares an in-flight writer's freshly staged files (both formats)") {
+    import spark.implicits._
+    // Delta: a racing writer has staged data but not yet landed its commit
+    // json — VACUUM must not eat the staged parquet out from under it
+    val droot = tmpDir("vac-inflight-d")
+    val ddir = new Path(s"$droot/t")
+    LakeNativeWrite.deltaCreate(spark, ddir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Nil)
+    LakeNativeWrite.deltaInsert(spark, ddir, Seq(1L, 2L).toDF("id"), overwrite = false)
+    spark.sql(s"SELECT 1").collect() // settle
+    Thread.sleep(30) // staged strictly after the last commit's timestamp
+    val staged = new java.io.File(s"$ddir/part-00000-inflight-staged.parquet")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](80, 65, 82, 49))
+    val (nd, _) = LakeNativeWrite.deltaVacuum(spark, ddir, 1)
+    assert(staged.exists(),
+      "files newer than the newest commit are in-flight staging, not garbage")
+    assert(nd == 0L, "nothing else was unreferenced")
+    assert(DeltaLite.read(spark, ddir).count() == 2)
+
+    // Iceberg: staged UUID manifest + data parquet with no metadata
+    // version published yet survive expire_snapshots + orphan cleanup
+    val iroot = tmpDir("vac-inflight-i")
+    val idir = new Path(s"$iroot/t")
+    LakeNativeWrite.icebergCreate(spark, idir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Nil)
+    LakeNativeWrite.icebergInsert(spark, idir, Seq(1L).toDF("id"), overwrite = false)
+    LakeNativeWrite.icebergInsert(spark, idir, Seq(2L).toDF("id"), overwrite = false)
+    Thread.sleep(30)
+    val stagedData = new java.io.File(s"$idir/data/inflight-staged.parquet")
+    stagedData.getParentFile.mkdirs()
+    java.nio.file.Files.write(stagedData.toPath, Array[Byte](80, 65, 82, 49))
+    val stagedManifest = new java.io.File(s"$idir/metadata/inflight-m0.avro")
+    java.nio.file.Files.write(stagedManifest.toPath, Array[Byte](79, 98, 106, 1))
+    LakeNativeWrite.icebergExpire(spark, idir, 1)
+    assert(stagedData.exists(), "in-flight staged data must survive expiry")
+    assert(stagedManifest.exists(), "in-flight staged manifests must survive expiry")
+    assert(IcebergLite.read(spark, idir).count() == 2)
+  }
 }

@@ -106,6 +106,54 @@ class UnstructuredSuite extends SparkTestBase {
     }
   }
 
+  test("pdf DCT (JPEG) image streams yield dimensions; text extraction unpolluted") {
+    import graft.sources.unstructured.PdfText
+    // a real JPEG via the JDK encoder
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 5, 0xff8040)
+    val jbaos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jbaos))
+    val jpeg = jbaos.toByteArray
+    val cs = "BT (with an image) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val pdf =
+      s"%PDF-1.4\n4 0 obj << /Length ${cs.length} >>\nstream\n"
+        .getBytes(StandardCharsets.ISO_8859_1) ++ cs ++
+      "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1) ++
+      (s"5 0 obj << /Type /XObject /Subtype /Image /Width 37 /Height 23 " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode " +
+        s"/Length ${jpeg.length} >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ jpeg ++
+      "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    // unit surface: the JPEG decodes to its true dimensions
+    assert(PdfText.extractImageDims(pdf) == Seq((37, 23)))
+    // the image bytes never pollute the text walk
+    assert(PdfText.extract(pdf) == "with an image")
+    // undecodable payload falls back to the dict's declared dimensions
+    val broken =
+      ("5 0 obj << /Subtype /Image /Width 640 /Height 480 /Filter /DCTDecode " +
+        "/Length 4 >>\nstream\nÿØzz\nendstream\nendobj\n")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extractImageDims(
+      "%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1) ++ broken) ==
+      Seq((640, 480)))
+    // SQL surface: the content sub-table carries imagedims
+    val pdfDir = Files.createTempDirectory("graft-pdf-dct").toString
+    Files.write(Paths.get(pdfDir, "img.pdf"), pdf)
+    Files.write(Paths.get(pdfDir, "textonly.pdf"),
+      minimalPdf("BT (no pictures) Tj ET", flate = false))
+    spark.sql(
+      s"REGISTER OR REPLACE PDF DATASOURCE pdfd OPTIONS (path '$pdfDir') NAMESPACE graft.datasource.un")
+    val rows = spark.sql(
+      "SELECT path, textcontent, imagedims FROM graft.datasource.un.pdfd.content ORDER BY path")
+      .collect().map(r => r.getString(0).split('/').last ->
+        (r.getString(1), r.getSeq[org.apache.spark.sql.Row](2))).toMap
+    assert(rows("img.pdf")._2.map(r => (r.getInt(0), r.getInt(1))) == Seq((37, 23)))
+    assert(rows("textonly.pdf")._2.isEmpty)
+    assert(rows("img.pdf")._1 == "with an image")
+  }
+
   test("audio scan: samplerate/duration metadata from WAV headers (beyond-ref)") {
     val audioDir = Files.createTempDirectory("graft-audio").toString
     val rate = 8000
