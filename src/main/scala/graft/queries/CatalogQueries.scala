@@ -569,6 +569,80 @@ object CatalogQueries {
           CAST(9 + n_nationkey AS INT) AS height
         FROM nation ORDER BY n_nationkey""")),
 
+    // ---- SCANNED-PDF PERCEPTUAL DEDUP (r10): the `images` content column
+    // (embedded JPEG payloads extracted standalone) feeds the perceptual
+    // image-dedup operator — the scanned-document analogue of
+    // multimodal_image_dedup. Each nation key gets a PDF embedding a
+    // block-structured JPEG (8x8 solid blocks aligned to JPEG's DCT grid,
+    // so the codec preserves them bit-deterministically); region-2 keys
+    // additionally plant a twin at key+100 whose single edited block flips
+    // <= 2 dHash gradient bits, while distinct keys' block patterns
+    // scatter ~32 bits — the banded Hamming join must surface EXACTLY the
+    // planted pairs, which the oracle states relationally. ----
+    QuerySpec("multimodal_pdf_image_dedup",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "pdfdedupfiles")
+        if (!fixture.exists()) {
+          val staging = new java.io.File(wh(dir), s"pdfdedupfiles.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          // 9x8 grid of 8x8 solid blocks (72x64 px): dHash's 9x8 sample
+          // grid reads exactly one pixel per block, and solid JPEG-aligned
+          // blocks survive compression as their DC term
+          def blockJpeg(k: Long, perturb: Boolean): Array[Byte] = {
+            val img = new java.awt.image.BufferedImage(72, 64,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (by <- 0 until 8; bx <- 0 until 9) {
+              var z = k * 0x9E3779B97F4A7C15L + bx * 0xBF58476D1CE4E5B9L +
+                by * 0x94D049BB133111EBL
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              // 14 gray levels, 16 apart: adjacent blocks rarely tie, and a
+              // 16-level gap dwarfs JPEG ringing at the sampled pixel
+              var v = 16 + 16 * ((z >>> 40) % 14).toInt
+              if (perturb && bx == 4 && by == 3) v = ((v + 112) % 224) + 16
+              for (y <- by * 8 until by * 8 + 8; x <- bx * 8 until bx * 8 + 8)
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", out)
+            out.toByteArray
+          }
+          def pdfBytes(jpeg: Array[Byte]): Array[Byte] =
+            ("%PDF-1.4\n5 0 obj << /Type /XObject /Subtype /Image /Width 72 " +
+              s"/Height 64 /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+              s"/Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n")
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ jpeg ++
+            "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          QueryPack.t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+            .collect().foreach { r =>
+              val (k, reg) = (r.get(0).toString.toLong, r.get(1).toString.toLong)
+              java.nio.file.Files.write(java.nio.file.Paths.get(
+                staging.toString, f"$k%05d.pdf"), pdfBytes(blockJpeg(k, perturb = false)))
+              if (reg == 2)
+                java.nio.file.Files.write(java.nio.file.Paths.get(
+                  staging.toString, f"${k + 100}%05d.pdf"), pdfBytes(blockJpeg(k, perturb = true)))
+            }
+          if (!staging.renameTo(fixture)) {
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
+          }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE PDF DATASOURCE scansrc OPTIONS (path '$fixture') NAMESPACE graft.datasource.un")
+        val media = s.sql("SELECT path, images FROM graft.datasource.un.scansrc.content")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.pdf$", 1).cast("long").as("id"),
+            explode(col("images")).as("bytes"))
+        graft.multimodal.Multimodal.imageNearDuplicates(media, "id", "bytes", maxDistance = 6)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id_a,
+          CAST(n_nationkey + 100 AS BIGINT) AS id_b
+        FROM nation WHERE n_regionkey = 2 ORDER BY id_a""")),
+
     // ---- unstructured WRITE sink roundtrip: SQL INSERT through the
     // FileFormat sink (one file per row, distributed write), then read BOTH
     // surfaces back — metadata sizes and lazy-loaded content — and the

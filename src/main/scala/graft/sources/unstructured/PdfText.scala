@@ -48,10 +48,12 @@ import java.util.zip.Inflater
   * switching the active table mid-stream); the document-wide merge above
   * is the fallback for unbound names and text before any `Tf`.
   *
-  * DCT (JPEG) image streams decode through `javax.imageio` for the
-  * dimensions surface ([[extractImageDims]] — image-only PDFs yield
-  * width/height parity with the image scan); they carry no text, so the
-  * text walk skips them.
+  * Embedded images carry no text, so the text walk skips them — but they
+  * have their own surfaces: [[extractImageDims]] (DCT payloads decode
+  * through `javax.imageio`; CCITT/JBIG2/JPX and raw raster streams
+  * dict-probe `/Width` `/Height`) and [[extractImages]] (DCT passes
+  * through as standalone JPEG bytes, Flate raster samples re-encode as
+  * PNG), so scanned PDFs feed perceptual dedup like any image file.
   *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly, so xref streams are irrelevant), no
@@ -90,22 +92,36 @@ private[graft] object PdfText {
     sb.toString.trim.take(maxChars)
   }
 
-  /** (width, height) of every embedded DCT-encoded (JPEG) image stream, in
-    * document order: the JPEG bytes (any preceding filters undone, streams
-    * decrypted) decode through `javax.imageio`; when ImageIO cannot decode
-    * the payload (e.g. a CMYK JPEG on a stock JRE) the dimensions fall
-    * back to the stream dict's declared `/Width` `/Height`. This is the
+  /** Filters whose output is an image codec's bitstream, not bytes a text
+    * walk could use. DCT (JPEG) additionally decodes via `javax.imageio`;
+    * the rest surface dict-declared metadata only (no JDK codec).
+    */
+  private[graft] val ImageCodecs: Set[String] =
+    Set("DCTDecode", "DCT", "CCITTFaxDecode", "CCF", "JBIG2Decode", "JPXDecode")
+
+  /** A fully-decoded raster image XObject (e.g. Flate-compressed RGB/gray
+    * samples — the lossless-image spelling): `/Subtype /Image` with no
+    * terminal image codec.
+    */
+  private def isRasterImage(st: PdfStream): Boolean =
+    st.imageCodec.isEmpty && """/Subtype\s*/Image""".r.findFirstIn(st.dict).isDefined
+
+  /** (width, height) of every embedded image stream, in document order:
+    * DCT (JPEG) payloads (any preceding filters undone, streams decrypted)
+    * decode through `javax.imageio`, falling back to the stream dict's
+    * declared `/Width` `/Height` when ImageIO cannot decode (e.g. a CMYK
+    * JPEG on a stock JRE); CCITT/JBIG2/JPX and raw raster (Flate) images
+    * surface their dict-declared dimensions directly. This is the
     * dimensions-parity surface the image scan has — image-only PDFs stop
-    * being opaque. CCITT/JBIG2/JPX streams remain skipped (no JDK codec).
+    * being opaque.
     */
   def extractImageDims(bytes: Array[Byte],
       password: Array[Byte] = Array.empty): Seq[(Int, Int)] = {
     val (streams, _) = collectStreams(bytes, password = password)
-    def dictInt(dict: String, key: String): Option[Int] =
-      s"""\\$key\\s+(\\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
-    streams.filter(_.imageCodec.isDefined).flatMap { st =>
+    streams.filter(st => st.imageCodec.isDefined || isRasterImage(st)).flatMap { st =>
       val decoded =
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(st.data)))
+        if (!st.imageCodec.exists(f => f == "DCTDecode" || f == "DCT")) None
+        else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(st.data)))
           .map(img => (img.getWidth, img.getHeight))
         catch { case _: Exception => None }
       decoded.orElse(for {
@@ -113,6 +129,66 @@ private[graft] object PdfText {
       } yield (w, h))
     }
   }
+
+  /** Every embedded image as standalone, ImageIO-readable bytes, in
+    * document order — the surface that lets scanned/image-bearing PDFs
+    * feed the perceptual-dedup and feature operators like any image file:
+    *
+    *  - DCT (JPEG) streams pass through as-is (a JPEG bitstream IS a
+    *    standalone file);
+    *  - raw raster XObjects (Flate/uncompressed 8-bit DeviceRGB or
+    *    DeviceGray samples, predictors already undone) re-encode as PNG;
+    *  - CCITT/JBIG2/JPX streams are skipped (no JDK codec — they still
+    *    appear in [[extractImageDims]] via their dict).
+    */
+  def extractImages(bytes: Array[Byte],
+      password: Array[Byte] = Array.empty): Seq[Array[Byte]] = {
+    val (streams, _) = collectStreams(bytes, password = password)
+    streams.flatMap { st =>
+      if (st.imageCodec.exists(f => f == "DCTDecode" || f == "DCT")) Some(st.data)
+      else if (isRasterImage(st)) rasterToPng(st)
+      else None
+    }
+  }
+
+  /** Raw 8-bit DeviceRGB/DeviceGray samples -> PNG; None when the sample
+    * layout is something else (unusual bit depths, indexed palettes, CMYK)
+    * or the data length contradicts the declared geometry.
+    */
+  private def rasterToPng(st: PdfStream): Option[Array[Byte]] = try {
+    for {
+      w <- dictInt(st.dict, "/Width")
+      h <- dictInt(st.dict, "/Height")
+      if dictInt(st.dict, "/BitsPerComponent").forall(_ == 8)
+      comps <- {
+        val d = st.dict
+        if (d.contains("/DeviceRGB")) Some(3)
+        else if (d.contains("/DeviceGray")) Some(1)
+        else None
+      }
+      if w > 0 && h > 0 && w.toLong * h * comps == st.data.length
+    } yield {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb =
+            if (comps == 3) ((st.data(i) & 0xFF) << 16) | ((st.data(i + 1) & 0xFF) << 8) |
+              (st.data(i + 2) & 0xFF)
+            else { val v = st.data(i) & 0xFF; (v << 16) | (v << 8) | v }
+          img.setRGB(x, y, rgb)
+          i += comps; x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  } catch { case _: Exception => None }
 
   /** One decoded top-level stream: owning object number/generation (from the
     * nearest preceding `N G obj` header; -1 when absent, e.g. streams that
@@ -368,13 +444,13 @@ private[graft] object PdfText {
             case None => raw0
           }
           val filters = parseFilters(dict)
-          // a DCT (JPEG) tail is an image payload, not undecodable garbage:
-          // undo only the PRECEDING filters and keep the JPEG bytes with
-          // the codec marked — the text walk skips it, the image-dims
-          // surface decodes it
-          val isDct = filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")
+          // an image-codec tail (JPEG/CCITT/JBIG2/JPEG2000) is an image
+          // payload, not undecodable garbage: undo only the PRECEDING
+          // filters and keep the payload with the codec marked — the text
+          // walk skips it, the image surfaces decode or dict-probe it
+          val isImageTail = filters.lastOption.exists(ImageCodecs)
           val (chain, codec) =
-            if (isDct) (filters.dropRight(1), filters.lastOption)
+            if (isImageTail) (filters.dropRight(1), filters.lastOption)
             else (filters, None)
           val decoded0 = if (chain.isEmpty) Some(raw) else applyFilters(raw, chain)
           val decoded = (parsePredictor(dict), codec) match {

@@ -62,7 +62,8 @@ object Unstructured {
       StructField("textcontent", StringType), StructField("bincontent", BinaryType),
       StructField("imagedims", org.apache.spark.sql.types.ArrayType(
         StructType(Seq(StructField("width", IntegerType),
-          StructField("height", IntegerType)))))))
+          StructField("height", IntegerType))))),
+      StructField("images", org.apache.spark.sql.types.ArrayType(BinaryType))))
     case "image" => StructType(Seq(StructField("path", StringType),
       StructField("imagecontent", BinaryType)))
     case _ => StructType(Seq(StructField("path", StringType),
@@ -204,7 +205,9 @@ object Unstructured {
           .as("textcontent"),
         col("content").as("bincontent"),
         ContentExtractor.pdfImageDims(col("content"),
-          ds.options.getOrElse("password", "")).as("imagedims"))
+          ds.options.getOrElse("password", "")).as("imagedims"),
+        ContentExtractor.pdfImages(col("content"),
+          ds.options.getOrElse("password", "")).as("images"))
       case "image" => raw.select(col("path"), col("content").as("imagecontent"))
       case _ => raw.select(col("path"), col("content").as("bincontent"))
     }
@@ -258,9 +261,9 @@ object ContentExtractor {
     f(content)
   }
 
-  /** Embedded DCT (JPEG) image dimensions of a PDF — `array<struct<width,
-    * height>>`, empty for text-only documents. The dimensions-parity
-    * surface image-only PDFs were missing ([[PdfText.extractImageDims]]).
+  /** Embedded image dimensions of a PDF — `array<struct<width, height>>`,
+    * empty for text-only documents. The dimensions-parity surface
+    * image-only PDFs were missing ([[PdfText.extractImageDims]]).
     */
   def pdfImageDims(content: Column, password: String = ""): Column = {
     val pwd = password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -272,6 +275,21 @@ object ContentExtractor {
     f(content).cast(org.apache.spark.sql.types.ArrayType(
       StructType(Seq(StructField("width", IntegerType),
         StructField("height", IntegerType)))))
+  }
+
+  /** Embedded images of a PDF as standalone ImageIO-readable bytes —
+    * `array<binary>` (JPEG payloads as-is, Flate raster samples as PNG;
+    * see [[PdfText.extractImages]]). `explode` this into the perceptual
+    * dedup / feature operators to treat scanned PDFs as image corpora.
+    */
+  def pdfImages(content: Column, password: String = ""): Column = {
+    val pwd = password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else try PdfText.extractImages(bytes, password = pwd)
+        catch { case _: Exception => Seq.empty[Array[Byte]] }
+    }
+    f(content)
   }
 
   def imageDims(content: Column): Column = {

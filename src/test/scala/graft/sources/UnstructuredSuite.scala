@@ -154,6 +154,83 @@ class UnstructuredSuite extends SparkTestBase {
     assert(rows("img.pdf")._1 == "with an image")
   }
 
+  test("pdf CCITT/raster image streams: dict dims, raster->PNG extraction roundtrip") {
+    import graft.sources.unstructured.PdfText
+    // CCITT (G4 fax) payload: no JDK codec — dims surface from the dict,
+    // text walk unpolluted, extractImages skips it
+    val ccitt =
+      ("%PDF-1.4\n7 0 obj << /Subtype /Image /Width 1728 /Height 1100 " +
+        "/BitsPerComponent 1 /Filter /CCITTFaxDecode /Length 4 >>\n" +
+        "stream\n\nendstream\nendobj\n" +
+        "trailer << /Root 1 0 R >>\n%%EOF\n")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extractImageDims(ccitt) == Seq((1728, 1100)))
+    assert(PdfText.extract(ccitt) == "")
+    assert(PdfText.extractImages(ccitt).isEmpty)
+    // Flate raster (lossless-image spelling): exact RGB samples roundtrip
+    // through the PNG re-encode — scanned pages become real image bytes
+    val (w, h) = (5, 3)
+    val samples = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(samples); d.finish()
+      val buf = new Array[Byte](1024)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    }
+    val raster =
+      (s"%PDF-1.4\n8 0 obj << /Subtype /Image /Width $w /Height $h " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode " +
+        s"/Length ${deflated.length} >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ deflated ++
+      "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extractImageDims(raster) == Seq((w, h)))
+    val pngs = PdfText.extractImages(raster)
+    assert(pngs.size == 1)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngs.head))
+    assert(decoded.getWidth == w && decoded.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      val expect = ((samples(i) & 0xFF) << 16) | ((samples(i + 1) & 0xFF) << 8) |
+        (samples(i + 2) & 0xFF)
+      assert((decoded.getRGB(x, y) & 0xFFFFFF) == expect,
+        s"pixel ($x,$y) must survive the PDF->PNG roundtrip exactly")
+    }
+    // DeviceGray single-component rasters widen to gray RGB
+    val gray = Array.tabulate(4 * 2)(i => (i * 30).toByte)
+    val grayPdf =
+      (s"%PDF-1.4\n9 0 obj << /Subtype /Image /Width 4 /Height 2 " +
+        s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${gray.length} >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ gray ++
+      "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    val gpng = PdfText.extractImages(grayPdf)
+    assert(gpng.size == 1)
+    val gimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gpng.head))
+    assert((gimg.getRGB(1, 0) & 0xFF) == 30 && ((gimg.getRGB(1, 0) >> 8) & 0xFF) == 30)
+    // geometry contradiction (truncated samples) -> no image, no throw
+    val torn =
+      (s"%PDF-1.4\n9 0 obj << /Subtype /Image /Width 40 /Height 20 " +
+        s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${gray.length} >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ gray ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extractImages(torn).isEmpty)
+    assert(PdfText.extractImageDims(torn) == Seq((40, 20)), "dims still dict-served")
+    // SQL surface: the content sub-table's `images` column carries
+    // ImageIO-decodable bytes
+    val pdfDir = Files.createTempDirectory("graft-pdf-raster").toString
+    Files.write(Paths.get(pdfDir, "scan.pdf"), raster)
+    spark.sql(
+      s"REGISTER OR REPLACE PDF DATASOURCE pdfr OPTIONS (path '$pdfDir') NAMESPACE graft.datasource.un")
+    val row = spark.sql(
+      "SELECT images FROM graft.datasource.un.pdfr.content").collect().head
+    val bytes = row.getSeq[Array[Byte]](0)
+    assert(bytes.size == 1 &&
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes.head)).getWidth == w)
+  }
+
   test("audio scan: samplerate/duration metadata from WAV headers (beyond-ref)") {
     val audioDir = Files.createTempDirectory("graft-audio").toString
     val rate = 8000
