@@ -50,14 +50,15 @@ import java.util.zip.Inflater
   *
   * Embedded images carry no text, so the text walk skips them — but they
   * have their own surfaces: [[extractImageDims]] (DCT payloads decode
-  * through `javax.imageio`; CCITT/JBIG2/JPX and raw raster streams
-  * dict-probe `/Width` `/Height`) and [[extractImages]] (DCT passes
-  * through as standalone JPEG bytes, Flate raster samples re-encode as
-  * PNG), so scanned PDFs feed perceptual dedup like any image file.
+  * through `javax.imageio`, CCITT G3/G4 through [[CcittDecode]];
+  * JBIG2/JPX and raw raster streams dict-probe `/Width` `/Height`) and
+  * [[extractImages]] (DCT passes through as standalone JPEG bytes, CCITT
+  * rasters and Flate raster samples re-encode as PNG), so scanned PDFs
+  * feed perceptual dedup like any image file.
   *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly, so xref streams are irrelevant), no
-  * CCITT/JBIG2/JPX filters (no JDK codec; PDFBox needs them only for
+  * JBIG2/JPX filters (no JDK codec; PDFBox needs them only for
   * rasterization), no owner-password-based key recovery
   * (Algorithm 2.A /OE path). When nothing decodable is found the caller
   * falls back to the printable-ASCII heuristic.
@@ -93,11 +94,48 @@ private[graft] object PdfText {
   }
 
   /** Filters whose output is an image codec's bitstream, not bytes a text
-    * walk could use. DCT (JPEG) additionally decodes via `javax.imageio`;
-    * the rest surface dict-declared metadata only (no JDK codec).
+    * walk could use. DCT (JPEG) decodes via `javax.imageio`; CCITT G3/G4
+    * fax (the scanned-document staple) decodes via [[CcittDecode]]; JBIG2
+    * and JPX surface dict-declared metadata only (no JDK codec).
     */
   private[graft] val ImageCodecs: Set[String] =
     Set("DCTDecode", "DCT", "CCITTFaxDecode", "CCF", "JBIG2Decode", "JPXDecode")
+
+  private def isDct(st: PdfStream): Boolean =
+    st.imageCodec.exists(f => f == "DCTDecode" || f == "DCT")
+
+  private def isCcitt(st: PdfStream): Boolean =
+    st.imageCodec.exists(f => f == "CCITTFaxDecode" || f == "CCF")
+
+  /** `/CCITTFaxDecode` parameters from the stream dict (defaults per ISO
+    * 32000-1 Table 11); `/Rows` absent falls back to the image `/Height`
+    * so well-formed PDF images always decode a bounded raster.
+    */
+  private def ccittParams(dict: String): CcittDecode.Params =
+    CcittDecode.Params(
+      columns = dictInt(dict, "/Columns").getOrElse(1728),
+      rows = dictInt(dict, "/Rows").orElse(dictInt(dict, "/Height")).getOrElse(0),
+      k = dictInt(dict, "/K").getOrElse(0),
+      byteAlign = """/EncodedByteAlign\s+true""".r.findFirstIn(dict).isDefined)
+
+  /** Decode a CCITT image stream to a gray `BufferedImage` of the SEMANTIC
+    * raster (black marks 0x00 on white 0xFF — `/BlackIs1` only flips the
+    * packed-bit spelling, see [[CcittDecode]]); None on malformed coding.
+    */
+  private def ccittToGray(st: PdfStream): Option[java.awt.image.BufferedImage] = {
+    val p = ccittParams(st.dict)
+    CcittDecode.decode(st.data, p).map { case (px, h) =>
+      val img = new java.awt.image.BufferedImage(p.columns, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, p.columns, h, px)
+      img
+    }
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Option[Array[Byte]] = try {
+    val out = new java.io.ByteArrayOutputStream()
+    if (javax.imageio.ImageIO.write(img, "png", out)) Some(out.toByteArray) else None
+  } catch { case _: Exception => None }
 
   /** A fully-decoded raster image XObject (e.g. Flate-compressed RGB/gray
     * samples — the lossless-image spelling): `/Subtype /Image` with no
@@ -110,7 +148,8 @@ private[graft] object PdfText {
     * DCT (JPEG) payloads (any preceding filters undone, streams decrypted)
     * decode through `javax.imageio`, falling back to the stream dict's
     * declared `/Width` `/Height` when ImageIO cannot decode (e.g. a CMYK
-    * JPEG on a stock JRE); CCITT/JBIG2/JPX and raw raster (Flate) images
+    * JPEG on a stock JRE); CCITT G3/G4 decodes through [[CcittDecode]]
+    * with the same dict fallback; JBIG2/JPX and raw raster (Flate) images
     * surface their dict-declared dimensions directly. This is the
     * dimensions-parity surface the image scan has — image-only PDFs stop
     * being opaque.
@@ -120,10 +159,12 @@ private[graft] object PdfText {
     val (streams, _) = collectStreams(bytes, password = password)
     streams.filter(st => st.imageCodec.isDefined || isRasterImage(st)).flatMap { st =>
       val decoded =
-        if (!st.imageCodec.exists(f => f == "DCTDecode" || f == "DCT")) None
-        else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(st.data)))
-          .map(img => (img.getWidth, img.getHeight))
-        catch { case _: Exception => None }
+        if (isDct(st))
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(st.data)))
+            .map(img => (img.getWidth, img.getHeight))
+          catch { case _: Exception => None }
+        else if (isCcitt(st)) ccittToGray(st).map(img => (img.getWidth, img.getHeight))
+        else None
       decoded.orElse(for {
         w <- dictInt(st.dict, "/Width"); h <- dictInt(st.dict, "/Height")
       } yield (w, h))
@@ -138,14 +179,18 @@ private[graft] object PdfText {
     *    standalone file);
     *  - raw raster XObjects (Flate/uncompressed 8-bit DeviceRGB or
     *    DeviceGray samples, predictors already undone) re-encode as PNG;
-    *  - CCITT/JBIG2/JPX streams are skipped (no JDK codec — they still
-    *    appear in [[extractImageDims]] via their dict).
+    *  - CCITT G3/G4 fax streams decode through [[CcittDecode]] and
+    *    re-encode the semantic black-on-white raster as gray PNG — scanned
+    *    pages feed perceptual dedup like any image file;
+    *  - JBIG2/JPX streams are skipped (no JDK codec — they still appear in
+    *    [[extractImageDims]] via their dict).
     */
   def extractImages(bytes: Array[Byte],
       password: Array[Byte] = Array.empty): Seq[Array[Byte]] = {
     val (streams, _) = collectStreams(bytes, password = password)
     streams.flatMap { st =>
-      if (st.imageCodec.exists(f => f == "DCTDecode" || f == "DCT")) Some(st.data)
+      if (isDct(st)) Some(st.data)
+      else if (isCcitt(st)) ccittToGray(st).flatMap(pngBytes)
       else if (isRasterImage(st)) rasterToPng(st)
       else None
     }
