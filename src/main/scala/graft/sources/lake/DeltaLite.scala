@@ -910,6 +910,14 @@ object DeltaLite {
     listLog(conf, dir).commits.map { case (v, st) => (v, commitTimestamp(conf, st)) }
   }
 
+  /** FS modification time of the newest commit json in `_delta_log` — the
+    * commit clock in the FILESYSTEM's own domain (unlike commitInfo
+    * timestamps, which carry the writing host's clock). Vacuum's
+    * in-flight-writer guard compares data-file mtimes against this.
+    */
+  private[lake] def latestCommitFileMtime(conf: Configuration, dir: Path): Option[Long] =
+    listLog(conf, dir).commits.map(_._2.getModificationTime).maxOption
+
   /** Commit history, newest first: (version, timestampMs, operation,
     * addedFiles, removedFiles). The operation derives from the commit's
     * action shape — the log itself is the source of truth, so histories

@@ -630,7 +630,7 @@ object IcebergLite {
     * [[org.apache.spark.sql.GraftLakeBridge.FileStats]], keyed by column
     * name; anything unreadable simply drops (skipping stays conservative).
     */
-  private def entryStats(df: GenericRecord,
+  private[lake] def entryStats(df: GenericRecord,
       fieldsById: Map[Int, (String, DataType)]):
       Option[org.apache.spark.sql.GraftLakeBridge.FileStats] = try {
     if (fieldsById.isEmpty) return None

@@ -92,8 +92,8 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     val handle = new LakeRowLevel.RowLevelHandle {
       // the command's read scope, in Delta conflict-check form: the
       // pre-race snapshot supplies per-file partition values + stats for
-      // judging winner removes; column-mapping tables mark stats
-      // untrusted (physical vs logical name mismatch → conservative)
+      // judging winner removes; on column-mapping tables keys carry
+      // physical names — the scope resolves them through physSchema
       private def deltaScope(sc: LakeRowLevel.ReadScope): Option[LakeNativeWrite.DeltaReadScope] = {
         val physPartNames = snap.physPartitionSchema.fieldNames
         Some(LakeNativeWrite.DeltaReadScope(
@@ -107,7 +107,7 @@ final class DeltaLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
               case (k, v) if v != null => k -> v.toString
             }.toMap, snap.statsJson.get(id))
           }.toMap,
-          statsTrusted = snap.physSchema.isEmpty))
+          physSchema = snap.physSchema))
       }
       override def scanWithRowIds(s: SparkSession): DataFrame =
         DeltaLite.toDataFrameWithRowIds(s, snap)
@@ -408,37 +408,59 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
     if (readChangelog) return loadChangelog(spark, rest, name)
     val dir = dirFor(spark, rest, name)
     val snap = IcebergLite.snapshot(spark, dir)
+    // the READ's sequence number, pinned with the snapshot: DML conflict
+    // validation judges everything committed past it (the Iceberg commit
+    // paths re-load metadata at commit time, so winners interleave without
+    // losing a version race — the scan→commit window IS the read window)
+    val baseSeq = LakeNativeWrite.loadIceMeta(
+      spark.sparkContext.hadoopConfiguration, dir).lastSeq
     val morDelete = LakeNativeWrite.icebergTableProperties(spark, dir)
       .get("write.delete.mode").contains("merge-on-read")
     val handle = new LakeRowLevel.RowLevelHandle {
+      // the command's read scope in Iceberg conflict-validation form —
+      // SnapshotProducer's conflict-detection filter: predicates judged
+      // against a winner entry's decoded bounds + identity partition values
+      private def iceScope(sc: LakeRowLevel.ReadScope): Option[LakeNativeWrite.IceReadScope] =
+        Some(LakeNativeWrite.IceReadScope(
+          readWholeTable = sc.readWholeTable,
+          predicates = sc.predicates,
+          schema = snap.schema,
+          partitionCols = snap.partitionColumns,
+          readFiles = sc.readFiles))
       override def scanWithRowIds(s: SparkSession): DataFrame =
         IcebergLite.toDataFrameWithRowIds(s, snap)
       override def commitRewrite(s: SparkSession, removed: Seq[String],
           replacement: DataFrame, operation: String,
           scope: LakeRowLevel.ReadScope): Unit =
         // Iceberg records operations in the snapshot summary with the
-        // spec's fixed vocabulary; the Delta-style label is not carried.
-        // The read scope is unused: the Iceberg commit path rebases
-        // file-level (append rebase + CommitFailedException contract)
-        LakeNativeWrite.icebergRewrite(s, dir, removed, replacement)
+        // spec's fixed vocabulary; the Delta-style label is not carried
+        LakeNativeWrite.icebergRewrite(s, dir, removed, replacement,
+          readScope = iceScope(scope), baseSeq = Some(baseSeq))
       override def deleteByRowIds: Boolean = morDelete
       override def commitDeleteRows(s: SparkSession, matchedRowIds: DataFrame,
           changeRows: Option[DataFrame], operation: String,
           scope: LakeRowLevel.ReadScope): Unit =
         // no CDF concept here: the changelog derives deleted rows from the
         // delete-file delta, so change rows are not materialized
-        LakeNativeWrite.icebergMorDelete(s, dir, matchedRowIds)
+        LakeNativeWrite.icebergMorDelete(s, dir, matchedRowIds,
+          readScope = iceScope(scope), baseSeq = Some(baseSeq))
       override def updateByRowIds: Boolean = LakeNativeWrite
         .icebergTableProperties(spark, dir)
         .get("write.update.mode").contains("merge-on-read")
       override def commitUpdateRows(s: SparkSession, matchedRowIds: DataFrame,
           newRows: DataFrame, changeRows: Option[DataFrame],
           operation: String, scope: LakeRowLevel.ReadScope): Unit =
-        LakeNativeWrite.icebergMorUpdate(s, dir, matchedRowIds, newRows)
+        LakeNativeWrite.icebergMorUpdate(s, dir, matchedRowIds, newRows,
+          readScope = iceScope(scope), baseSeq = Some(baseSeq))
       override def commitCompaction(s: SparkSession, removed: Seq[String],
           replacement: DataFrame): Unit =
-        // summary.operation=replace marks byte motion: changelog reads skip it
-        LakeNativeWrite.icebergRewrite(s, dir, removed, replacement, operation = "replace")
+        // summary.operation=replace marks byte motion: the compaction read
+        // exactly the files it rewrites (changelog reads skip it)
+        LakeNativeWrite.icebergRewrite(s, dir, removed, replacement,
+          operation = "replace",
+          readScope = iceScope(LakeRowLevel.ReadScope(
+            readWholeTable = false, Nil, removed.toSet)),
+          baseSeq = Some(baseSeq))
       override def listFiles(s: SparkSession): Seq[(String, Long, String)] =
         snap.dataFileMeta.zip(snap.files).map { case ((id, _), f) =>
           (id, f.size, f.partitionValues.mkString("/"))

@@ -577,10 +577,14 @@ object LakeNativeWrite {
   }
 
   /** One add action's conflict-relevant content: the path plus what
-    * predicate scoping evaluates — partition values and the stats JSON.
+    * predicate scoping evaluates — partition values and the stats JSON —
+    * and the action's dataChange flag (a compaction's dataChange=false
+    * re-add moves bytes, not rows, and is exempt from the concurrent-
+    * append check; its paired remove still runs removeConflicts).
     */
   private[lake] final case class AddInfo(path: String,
-      partitionValues: Map[String, String], stats: Option[String])
+      partitionValues: Map[String, String], stats: Option[String],
+      dataChange: Boolean)
 
   /** What a Delta commit's actions touch — the inputs to conflict
     * checking against commits that win the version race.
@@ -604,7 +608,10 @@ object LakeNativeWrite {
           val stats = (j \ "add" \ "stats") match {
             case JString(s) => Some(s); case _ => None
           }
-          adds :+= AddInfo(p, parts, stats)
+          val dc = (j \ "add" \ "dataChange") match {
+            case JBool(b) => b; case _ => true // absent = conservative
+          }
+          adds :+= AddInfo(p, parts, stats, dc)
         case _ => ()
       }
       (j \ "remove" \ "path") match { case JString(p) => removes += p; case _ => () }
@@ -624,10 +631,11 @@ object LakeNativeWrite {
     * per-file partition values + stats in [[snapshotInfo]]). Evaluation is
     * driver-side through the same [[GraftLakeBridge.StatsSkipping]]
     * evaluator scan-time file pruning uses — `may match` (conflict)
-    * whenever anything is unknown, so the narrowing is never unsafe; on
-    * column-mapping tables stats keys are physical names while predicates
-    * carry logical ones, so [[statsTrusted]] is false and every add
-    * conservatively conflicts.
+    * whenever anything is unknown, so the narrowing is never unsafe. On
+    * column-mapping tables stats keys and partition-value keys carry each
+    * field's PHYSICAL name while predicates carry logical ones:
+    * [[physSchema]] (field-aligned with [[schema]]) resolves the rename,
+    * so cmap tables get the same narrowing as plain ones.
     */
   private[lake] final case class DeltaReadScope(
       readWholeTable: Boolean,
@@ -636,20 +644,33 @@ object LakeNativeWrite {
       partitionCols: Seq[String],
       readFiles: Set[String],
       snapshotInfo: Map[String, (Map[String, String], Option[String])],
-      statsTrusted: Boolean) {
+      physSchema: Option[StructType]) {
+
+    // top-level physical → logical rename (identity when mapping is off);
+    // nested fields never need it — the stats evaluator only judges
+    // top-level AttributeReference predicates
+    private val physToLogical: Map[String, String] =
+      physSchema.map(_.fieldNames.zip(schema.fieldNames).toMap).getOrElse(Map.empty)
+    private val logicalToPhys: Map[String, String] = physToLogical.map(_.swap)
 
     private def mayMatch(partVals: Map[String, String],
         statsJson: Option[String]): Boolean = {
-      if (!statsTrusted) return true
-      val base = statsJson.flatMap(DeltaLite.parseStats(_, schema)).getOrElse(
-        org.apache.spark.sql.GraftLakeBridge.FileStats(None, Map.empty, Map.empty, Map.empty))
+      def logicalKeys[T](m: Map[String, T]): Map[String, T] =
+        if (physToLogical.isEmpty) m
+        else m.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+      val base0 = statsJson
+        .flatMap(DeltaLite.parseStats(_, physSchema.getOrElse(schema)))
+        .getOrElse(org.apache.spark.sql.GraftLakeBridge.FileStats(
+          None, Map.empty, Map.empty, Map.empty))
+      val base = base0.copy(min = logicalKeys(base0.min),
+        max = logicalKeys(base0.max), nullCount = logicalKeys(base0.nullCount))
       // a file's partition values are exact per-column bounds: min = max =
       // the (typed) value, null count 0 — absent (null) values contribute
       // nothing and stay conservative
       val partTyped: Map[String, Any] = partitionCols.flatMap { pc =>
         for {
           f <- schema.fields.find(_.name == pc)
-          raw <- partVals.get(pc)
+          raw <- partVals.get(logicalToPhys.getOrElse(pc, pc))
           v <- scala.util.Try(DeltaLite.parsePartitionValue(raw, f.dataType)).toOption
         } yield pc -> v
       }.toMap
@@ -661,10 +682,15 @@ object LakeNativeWrite {
         .mayMatch(predicates, Some(st), schema)
     }
 
-    /** Would a winner's add of this file change what the transaction read? */
+    /** Would a winner's add of this file change what the transaction
+      * read? dataChange=false adds (a compaction re-registering the same
+      * rows in new files) never do — delta-spark exempts them from the
+      * concurrent-append check; the compaction's paired removes still run
+      * [[removeConflicts]].
+      */
     def addConflicts(a: AddInfo): Boolean =
-      readWholeTable ||
-        (predicates.nonEmpty && mayMatch(a.partitionValues, a.stats))
+      a.dataChange && (readWholeTable ||
+        (predicates.nonEmpty && mayMatch(a.partitionValues, a.stats)))
 
     /** Would a winner's remove of this file change what the transaction
       * read? Unknown paths (added after our snapshot) conflict.
@@ -713,7 +739,14 @@ object LakeNativeWrite {
     val fs = log.getFileSystem(conf)
     fs.mkdirs(log)
     val ours = classifyDelta(actions)
-    val blindAppend = ours.removes.isEmpty && !ours.meta && !ours.protocol
+    // "blind" = writes without reading: no removes, no metadata/protocol
+    // change, AND no read tracking. A scope-carrying adds-only commit (an
+    // insert-only MERGE matched against existing rows) is NOT blind — its
+    // correctness depends on what it read, so it must still judge a
+    // winner's adds/removes against its scope (delta-spark throws
+    // ConcurrentAppendException for two same-key insert-only merges).
+    val blindAppend =
+      ours.removes.isEmpty && !ours.meta && !ours.protocol && readScope.isEmpty
     var v = firstVersion
     var attempts = 0
     while (attempts < 10) {
@@ -733,10 +766,11 @@ object LakeNativeWrite {
           throw new LakeConcurrency.ConcurrentDeleteReadException(t, v, p))
         readScope match {
           case None =>
-            // no read tracking: conservative (never unsafe)
+            // no read tracking: conservative (never unsafe); only
+            // dataChange=true adds are appends (compaction re-adds exempt)
             winner.removes.headOption.foreach(p =>
               throw new LakeConcurrency.ConcurrentDeleteReadException(t, v, p))
-            if (winner.adds.nonEmpty)
+            if (winner.adds.exists(_.dataChange))
               throw new LakeConcurrency.ConcurrentAppendException(t, v)
           case Some(sc) =>
             winner.removes.find(sc.removeConflicts).foreach(p =>
@@ -769,8 +803,14 @@ object LakeNativeWrite {
   def deltaVacuum(spark: SparkSession, dir: Path, retainVersions: Int): (Long, Long) = {
     require(retainVersions >= 1, s"must retain at least the current version")
     val latest = DeltaLite.snapshot(spark, dir).version
-    val latestTs = DeltaLite.commitTimestamps(spark, dir)
-      .map(_._2).maxOption.getOrElse(Long.MaxValue)
+    // the guard compares against data files' FS modification times, so it
+    // must come from the SAME clock domain: the newest _delta_log commit
+    // file's FS mtime — NOT commitInfo timestamps, which carry the remote
+    // writer's clock and, when running ahead of this filesystem, would
+    // silently void the in-flight-writer protection
+    val conf = spark.sparkContext.hadoopConfiguration
+    val latestTs = DeltaLite.latestCommitFileMtime(conf, dir)
+      .getOrElse(Long.MaxValue)
     deltaVacuumKeep(spark, dir,
       ((latest - retainVersions + 1) to latest).filter(_ >= 0), latestTs)
   }
@@ -1392,8 +1432,20 @@ object LakeNativeWrite {
     * winner's changes) the commit reloads the winner's metadata, re-keys
     * the new entries to a fresh snapshot id / sequence number, re-reads
     * the now-current manifest list, and retries — Iceberg's own
-    * append-rebase contract. Every other operation surfaces the failure
-    * for an operation-level re-run against fresh state.
+    * append-rebase contract.
+    *
+    * Non-append operations pass `rebase` instead — the mirror of
+    * SnapshotProducer's validate-then-retry loop (Iceberg's runtime
+    * behavior on a lost race, where HadoopTableOperations' low-level
+    * CommitFailedException is caught and the snapshot RE-VALIDATES
+    * against the winner): called with the winner's fresh metadata and the
+    * retry's new snapshot id / sequence number, it either re-plans the
+    * commit's (entries, other manifests) on top of the winner's state or
+    * throws the most specific conflict (the loser's reads overlap the
+    * winner's changes). A concurrent schema / partition-spec change
+    * always fails — the staged files were encoded under the old shape.
+    * With neither hook, the failure surfaces for an operation-level
+    * re-run against fresh state.
     */
   private[lake] def commitIceberg(conf: Configuration, dir: Path, m0: IceMeta,
       entries0: Seq[LakeWrite.ManifestEntry], otherManifests0: Seq[LakeWrite.ManifestFile],
@@ -1401,7 +1453,9 @@ object LakeNativeWrite {
       entrySchema: org.apache.avro.Schema, operation: String = "append",
       extraSummary: Map[String, String] = Map.empty,
       newManifestContent: Int = 0, newManifestSpecId: Int = 0,
-      rebaseAppend: Boolean = false): Unit = {
+      rebaseAppend: Boolean = false,
+      rebase: Option[(IceMeta, Long, Long) =>
+        (Seq[LakeWrite.ManifestEntry], Seq[LakeWrite.ManifestFile])] = None): Unit = {
     val fs = dir.getFileSystem(conf)
     def toMeta(local: java.io.File, name: String): Long = {
       val target = new Path(new Path(dir, "metadata"), name)
@@ -1453,19 +1507,26 @@ object LakeNativeWrite {
       } catch {
         case e: LakeConcurrency.CommitFailedException =>
           attempts += 1
-          if (!rebaseAppend || attempts >= 5) throw e
+          if ((!rebaseAppend && rebase.isEmpty) || attempts >= 5) throw e
           val m2 = loadIceMeta(conf, dir)
           if (m2.currentSchemaId != m0.currentSchemaId || m2.partitionCols != m0.partitionCols)
             throw new LakeConcurrency.CommitFailedException(
-              s"concurrent schema / partition-spec change under $dir — re-run the append")
+              s"concurrent schema / partition-spec change under $dir — re-run the operation")
           m = m2
-          otherManifests = m2.priorSnapshots.find(_.id == m2.currentId).map { s =>
-            readManifestFiles(conf, dir, IcebergLite.resolveUri(dir, s.manifestListPath))
-          }.getOrElse(Nil)
           newSeq = m2.lastSeq + 1
           newSnapId = newSnapshotId(m2)
           now = newSnapId
-          entries = entries0.map(_.copy(snapshotId = newSnapId, sequenceNumber = Some(newSeq)))
+          if (rebaseAppend) {
+            otherManifests = m2.priorSnapshots.find(_.id == m2.currentId).map { s =>
+              readManifestFiles(conf, dir, IcebergLite.resolveUri(dir, s.manifestListPath))
+            }.getOrElse(Nil)
+            entries = entries0.map(_.copy(snapshotId = newSnapId, sequenceNumber = Some(newSeq)))
+          } else {
+            // validate against the winner, then re-plan on top of it —
+            // throws the specific conflict when the reads overlap
+            val (es, oms) = rebase.get(m2, newSnapId, newSeq)
+            entries = es; otherManifests = oms
+          }
       }
     }
   }
@@ -1530,35 +1591,51 @@ object LakeNativeWrite {
     // their field ids so the delete file itself resolves by id post-rename
     val keyDf = aligned.select(keyCols.map(c => col(s"`$c`")): _*)
       .distinct().orderBy(keyCols.map(c => col(s"`$c`")): _*)
-    val delRel = s"data/eqdelete-$newSnapId.parquet"
+    // UUID-suffixed: two concurrent committers can land on the same
+    // millisecond-derived snapshot id, and a shared name would let one
+    // clobber the other's staged delete file
+    val delRel = s"data/eqdelete-$newSnapId-${java.util.UUID.randomUUID()}.parquet"
     val delSize = LakeWrite.writeOneParquetFile(keyDf, new Path(dir, delRel))
     val nDel = spark.read.parquet(new Path(dir, delRel).toString).count()
     val eqIds = keyCols.map(m.idOf)
     val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
-    val delAttempt = java.util.UUID.randomUUID().toString
-    val tmpD = java.io.File.createTempFile("graft-eq-manifest", ".avro")
-    val dLen = LakeWrite.icebergWriteManifest(tmpD,
-      Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, newSnapId,
-        content = 2, sequenceNumber = Some(newSeq), equalityIds = eqIds)),
-      delEntrySchema)
-    val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId-$delAttempt.avro")
-    fs.mkdirs(dTarget.getParent)
-    fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
+    def stageEqDeletes(snapId: Long, seq: Long): LakeWrite.ManifestFile = {
+      val delAttempt = java.util.UUID.randomUUID().toString
+      val tmpD = java.io.File.createTempFile("graft-eq-manifest", ".avro")
+      val dLen = LakeWrite.icebergWriteManifest(tmpD,
+        Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, snapId,
+          content = 2, sequenceNumber = Some(seq), equalityIds = eqIds)),
+        delEntrySchema)
+      val dTarget = new Path(new Path(dir, "metadata"), s"md-$snapId-$delAttempt.avro")
+      fs.mkdirs(dTarget.getParent)
+      fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
+      LakeWrite.ManifestFile(s"metadata/md-$snapId-$delAttempt.avro", dLen, 1, seq,
+        specId = deleteSpecId(m), added = (1, nDel))
+    }
     // the insert side, same sequence number: survives its own delete
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
-    val dataEntries = staged.map { f =>
+    def dataEntries(snapId: Long, seq: Long): Seq[LakeWrite.ManifestEntry] = staged.map { f =>
       val (lo, hi, nc) = entryBounds(f.statsJson, m.schema, m.fieldIds)
-      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
+      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, snapId,
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
-        sequenceNumber = Some(newSeq),
+        sequenceNumber = Some(seq),
         lowerBounds = lo, upperBounds = hi, nullCounts = nc)
     }
-    commitIceberg(conf, dir, m, dataEntries,
-      existing :+ LakeWrite.ManifestFile(s"metadata/md-$newSnapId-$delAttempt.avro", dLen, 1, newSeq,
-        specId = deleteSpecId(m), added = (1, nDel)),
+    commitIceberg(conf, dir, m, dataEntries(newSnapId, newSeq),
+      existing :+ stageEqDeletes(newSnapId, newSeq),
       newSnapId, newSeq, newSnapId, entrySchema, operation = "overwrite",
-      extraSummary = extraSummary)
+      extraSummary = extraSummary,
+      // a blind upsert reads nothing: its delete side masks strictly-older
+      // rows by key whatever the winner did, so a lost race re-reads the
+      // winner's manifests and re-keys both sides — the same composition
+      // guarantee as an append rebase (Flink CDC's RowDelta retry)
+      rebase = Some((m2: IceMeta, snapId: Long, seq: Long) => {
+        val listPath2 = m2.priorSnapshots.find(_.id == m2.currentId)
+          .map(s => IcebergLite.resolveUri(dir, s.manifestListPath))
+        val existing2 = listPath2.map(readManifestFiles(conf, dir, _)).getOrElse(Nil)
+        (dataEntries(snapId, seq), existing2 :+ stageEqDeletes(snapId, seq))
+      }))
   }
 
   /** Merge-on-read UPDATE for Iceberg (`write.update.mode =
@@ -1569,7 +1646,9 @@ object LakeNativeWrite {
     * path).
     */
   def icebergMorUpdate(spark: SparkSession, dir: Path,
-      matchedRowIds: DataFrame, newRows: DataFrame): Unit = {
+      matchedRowIds: DataFrame, newRows: DataFrame,
+      readScope: Option[IceReadScope] = None,
+      baseSeq: Option[Long] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = loadIceMeta(conf, dir)
     require(m.currentId >= 0, s"cannot update an Iceberg table with no snapshots: $dir")
@@ -1585,39 +1664,99 @@ object LakeNativeWrite {
       .select(col(graft.plans.LakeRowLevel.FileIdCol).as("file_path"),
         col(graft.plans.LakeRowLevel.RowIxCol).as("pos"))
       .orderBy("file_path", "pos")
-    val delRel = s"data/delete-$newSnapId.parquet"
+    val delRel = s"data/delete-$newSnapId-${java.util.UUID.randomUUID()}.parquet"
     val delSize = LakeWrite.writeOneParquetFile(delRows, new Path(dir, delRel))
     val nDel = spark.read.parquet(new Path(dir, delRel).toString).count()
-    val deleteManifests =
-      if (nDel == 0) { fs.delete(new Path(dir, delRel), false); Nil } // insert-only merge
+    if (nDel == 0) fs.delete(new Path(dir, delRel), false) // insert-only merge
+    // the delete manifest, keyed to the attempt's snapshot id / sequence —
+    // a rebase re-stages it (the avro embeds both)
+    def stageDeletes(snapId: Long, seq: Long): Seq[LakeWrite.ManifestFile] =
+      if (nDel == 0) Nil
       else {
         val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
         val delAttempt = java.util.UUID.randomUUID().toString
         val tmpD = java.io.File.createTempFile("graft-del-manifest", ".avro")
         val dLen = LakeWrite.icebergWriteManifest(tmpD,
-          Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, newSnapId,
-            content = 1, sequenceNumber = Some(newSeq))), delEntrySchema)
-        val dTarget = new Path(new Path(dir, "metadata"), s"md-$newSnapId-$delAttempt.avro")
+          Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, snapId,
+            content = 1, sequenceNumber = Some(seq))), delEntrySchema)
+        val dTarget = new Path(new Path(dir, "metadata"), s"md-$snapId-$delAttempt.avro")
         fs.mkdirs(dTarget.getParent)
         fs.copyFromLocalFile(true, true, new Path(tmpD.getAbsolutePath), dTarget)
-        Seq(LakeWrite.ManifestFile(s"metadata/md-$newSnapId-$delAttempt.avro", dLen, 1, newSeq,
+        Seq(LakeWrite.ManifestFile(s"metadata/md-$snapId-$delAttempt.avro", dLen, 1, seq,
           specId = deleteSpecId(m), added = (1, nDel)))
       }
     // the rewrite side: new data files
     val aligned = withFieldIds(align(newRows, m.schema), m.schema, m.fieldIds)
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
-    val dataEntries = staged.map { f =>
+    def dataEntries(snapId: Long, seq: Long): Seq[LakeWrite.ManifestEntry] = staged.map { f =>
       val (lo, hi, nc) = entryBounds(f.statsJson, m.schema, m.fieldIds)
-      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
+      LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, snapId,
         partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
-        sequenceNumber = Some(newSeq),
+        sequenceNumber = Some(seq),
         lowerBounds = lo, upperBounds = hi, nullCounts = nc)
     }
-    commitIceberg(conf, dir, m, dataEntries,
-      existing ++ deleteManifests,
-      newSnapId, newSeq, newSnapId, entrySchema, operation = "overwrite")
+    // everything past the READ's sequence number is a winner of the
+    // scan→commit window (metadata here is loaded fresh): validate it now,
+    // and again on every lost version race
+    val bSeq = baseSeq.getOrElse(m.lastSeq)
+    readScope.foreach(sc => validateRowDeltaRebase(spark, dir, bSeq, m, sc,
+      refFilesOf(spark, dir, delRel, nDel)))
+    val rebase = readScope.map { sc =>
+      (m2: IceMeta, snapId: Long, seq: Long) => {
+        val all2 = validateRowDeltaRebase(spark, dir, bSeq, m2, sc,
+          refFilesOf(spark, dir, delRel, nDel))
+        (dataEntries(snapId, seq), all2 ++ stageDeletes(snapId, seq))
+      }
+    }
+    commitIceberg(conf, dir, m, dataEntries(newSnapId, newSeq),
+      existing ++ stageDeletes(newSnapId, newSeq),
+      newSnapId, newSeq, newSnapId, entrySchema, operation = "overwrite",
+      rebase = rebase)
   }
+
+  /** SnapshotProducer-style validation for a MoR row-delta (position
+    * deletes +/- new data) against everything committed past the READ's
+    * sequence number `bSeq`: the data files the delete file references
+    * must still be live (a winner rewriting one would orphan our
+    * positions — its rows would silently resurrect), the window must
+    * carry no NEW delete files (ours may mask rows the winner also
+    * touched — delete/delete stays loud, as on the Delta side), and its
+    * new data files must not overlap what this transaction read
+    * (serializable isolation — Iceberg's validateAddedDataFiles).
+    * Returns the judged state's manifest list for the rebase.
+    */
+  private def validateRowDeltaRebase(spark: SparkSession, dir: Path,
+      bSeq: Long, m2: IceMeta, sc: IceReadScope,
+      refFiles: Set[String]): Seq[LakeWrite.ManifestFile] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val t = dir.toString
+    val listPath2 = m2.priorSnapshots.find(_.id == m2.currentId)
+      .map(s => IcebergLite.resolveUri(dir, s.manifestListPath))
+      .getOrElse(throw new LakeConcurrency.CommitFailedException(
+        s"current snapshot not in snapshot list under $dir"))
+    val all2 = readManifestFiles(conf, dir, listPath2)
+    val (live2, deleteMs2) = readLiveDataEntries(conf, dir, listPath2, fieldsByIdOf(m2))
+    val live2Paths = live2.map(e => IcebergLite.normPath(e.filePath)).toSet
+    refFiles.find(!live2Paths.contains(_)).foreach(p =>
+      throw new LakeConcurrency.ConcurrentDeleteReadException(t, m2.metaVersion, p))
+    deleteMs2.find(_.sequenceNumber > bSeq).foreach(dm =>
+      throw new LakeConcurrency.ConcurrentDeleteDeleteException(t, m2.metaVersion, dm.path))
+    live2.filter(_.seq > bSeq).find(sc.addConflicts).foreach(_ =>
+      throw new LakeConcurrency.ConcurrentAppendException(t, m2.metaVersion))
+    all2
+  }
+
+  /** The distinct data files a staged position-delete parquet references
+    * (normalized) — file-count-bounded driver state, read back from the
+    * already-written delete file so it is exact regardless of scope shape.
+    */
+  private def refFilesOf(spark: SparkSession, dir: Path, delRel: String,
+      nDel: Long): Set[String] =
+    if (nDel == 0) Set.empty
+    else spark.read.parquet(new Path(dir, delRel).toString)
+      .select("file_path").distinct().collect()
+      .map(r => IcebergLite.normPath(r.getString(0))).toSet
 
   /** Table properties from the current metadata (the `write.*` behavior
     * levers live here).
@@ -1634,7 +1773,8 @@ object LakeNativeWrite {
     * delta.
     */
   def icebergMorDelete(spark: SparkSession, dir: Path,
-      matchedRowIds: DataFrame): Unit = {
+      matchedRowIds: DataFrame, readScope: Option[IceReadScope] = None,
+      baseSeq: Option[Long] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = loadIceMeta(conf, dir)
     require(m.currentId >= 0, s"cannot delete from an Iceberg table with no snapshots: $dir")
@@ -1648,16 +1788,31 @@ object LakeNativeWrite {
       .select(col(graft.plans.LakeRowLevel.FileIdCol).as("file_path"),
         col(graft.plans.LakeRowLevel.RowIxCol).as("pos"))
       .orderBy("file_path", "pos")
-    val rel = s"data/delete-$newSnapId.parquet"
+    val rel = s"data/delete-$newSnapId-${java.util.UUID.randomUUID()}.parquet"
     val size = LakeWrite.writeOneParquetFile(rows, new Path(dir, rel))
     val nRows = spark.read.parquet(new Path(dir, rel).toString).count()
     require(nRows > 0, "MoR delete resolved no rows")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
-    val entry = LakeWrite.ManifestEntry(1, rel, nRows, size, newSnapId,
-      content = 1, sequenceNumber = Some(newSeq))
-    commitIceberg(conf, dir, m, Seq(entry), existing, newSnapId, newSeq, newSnapId,
+    def entry(snapId: Long, seq: Long) = LakeWrite.ManifestEntry(1, rel, nRows, size,
+      snapId, content = 1, sequenceNumber = Some(seq))
+    // everything past the READ's sequence number is a winner of the
+    // scan→commit window: validate it now, and again on every lost
+    // version race — the delete parquet itself is position-keyed on
+    // still-live files, so a rebase re-keys it to a fresh sequence untouched
+    val bSeq = baseSeq.getOrElse(m.lastSeq)
+    readScope.foreach(sc => validateRowDeltaRebase(spark, dir, bSeq, m, sc,
+      refFilesOf(spark, dir, rel, nRows)))
+    val rebase = readScope.map { sc =>
+      (m2: IceMeta, snapId: Long, seq: Long) => {
+        val all2 = validateRowDeltaRebase(spark, dir, bSeq, m2, sc,
+          refFilesOf(spark, dir, rel, nRows))
+        (Seq(entry(snapId, seq)), all2)
+      }
+    }
+    commitIceberg(conf, dir, m, Seq(entry(newSnapId, newSeq)), existing,
+      newSnapId, newSeq, newSnapId,
       entrySchema, operation = "delete", newManifestContent = 1,
-      newManifestSpecId = deleteSpecId(m))
+      newManifestSpecId = deleteSpecId(m), rebase = rebase)
   }
 
   /** Metadata-only schema-evolution commit: the new schema is APPENDED to
@@ -1799,16 +1954,21 @@ object LakeNativeWrite {
     batches.maxOption
   }
 
-  /** One live entry of a data manifest, with enough fidelity to re-emit it. */
-  private final case class LiveEntry(filePath: String, recordCount: Long, size: Long,
-      partition: Map[String, Any], seq: Long)
+  /** One live entry of a data manifest, with enough fidelity to re-emit it
+    * — plus its decoded column stats when `fieldsById` was supplied, the
+    * input to judging a concurrent winner's adds against a read scope.
+    */
+  private[lake] final case class LiveEntry(filePath: String, recordCount: Long, size: Long,
+      partition: Map[String, Any], seq: Long,
+      stats: Option[org.apache.spark.sql.GraftLakeBridge.FileStats] = None)
 
   /** The current snapshot's live data entries plus its delete manifests
     * (re-referenced untouched by a rewrite: position deletes for removed
     * files stop matching by file identity; surviving files keep theirs).
     */
   private def readLiveDataEntries(conf: Configuration, dir: Path,
-      listPath: Path): (Seq[LiveEntry], Seq[LakeWrite.ManifestFile]) = {
+      listPath: Path, fieldsById: Map[Int, (String, DataType)] = Map.empty):
+      (Seq[LiveEntry], Seq[LakeWrite.ManifestFile]) = {
     val manifests = readManifestFiles(conf, dir, listPath)
     val (deleteMs, dataMs) = manifests.partition(_.content == 1)
     val entries = dataMs.flatMap { mf =>
@@ -1841,13 +2001,55 @@ object LakeNativeWrite {
               Option(df.getSchema.getField("record_count"))
                 .flatMap(f => Option(df.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
                 .getOrElse(0L),
-              df.get("file_size_in_bytes").asInstanceOf[Long], part, seq)
+              df.get("file_size_in_bytes").asInstanceOf[Long], part, seq,
+              stats = if (fieldsById.isEmpty) None
+                else IcebergLite.entryStats(df, fieldsById))
           }
         }
         buf.result()
       } finally reader.close()
     }
     (entries, deleteMs)
+  }
+
+  /** Predicate-scoped read set of an Iceberg transaction — the mirror of
+    * [[DeltaReadScope]] for the Iceberg commit path, and of
+    * SnapshotProducer's conflict validation (validateAddedDataFiles
+    * against the operation's conflict-detection filter): a winner's newly
+    * added data file conflicts only when it MAY contain rows matching
+    * what this transaction read, judged from the entry's decoded column
+    * bounds plus its identity-partition values as exact min=max bounds.
+    * Anything unknown conflicts — narrowing is never unsafe.
+    */
+  private[lake] final case class IceReadScope(
+      readWholeTable: Boolean,
+      predicates: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      schema: StructType,
+      partitionCols: Seq[String],
+      readFiles: Set[String]) {
+
+    /** Would a winner's add of this file change what the transaction read? */
+    def addConflicts(e: LiveEntry): Boolean =
+      readWholeTable || (predicates.nonEmpty && {
+        val base = e.stats.getOrElse(
+          org.apache.spark.sql.GraftLakeBridge.FileStats(None, Map.empty, Map.empty, Map.empty))
+        // identity partition values are exact per-column bounds (absent /
+        // null values contribute nothing and stay conservative)
+        val partTyped: Map[String, Any] = partitionCols.flatMap { pc =>
+          for {
+            f <- schema.fields.find(_.name == pc)
+            raw <- e.partition.get(pc) if raw != null
+            v <- scala.util.Try(
+              org.apache.spark.sql.GraftLakeBridge.toCatalyst(raw, f.dataType)).toOption
+          } yield pc -> raw
+        }.toMap
+        val st = base.copy(
+          min = base.min ++ partTyped,
+          max = base.max ++ partTyped,
+          nullCount = base.nullCount ++ partTyped.keys.map(_ -> 0L))
+        org.apache.spark.sql.GraftLakeBridge.StatsSkipping
+          .mayMatch(predicates, Some(st), schema)
+      })
   }
 
   /** Row-level copy-on-write commit for Iceberg: one consolidated data
@@ -1858,39 +2060,92 @@ object LakeNativeWrite {
     * `removedFids` are normalized manifest file_paths (the scan's __gfid).
     */
   def icebergRewrite(spark: SparkSession, dir: Path, removedFids: Seq[String],
-      replacement: DataFrame, operation: String = "overwrite"): Unit = {
+      replacement: DataFrame, operation: String = "overwrite",
+      readScope: Option[IceReadScope] = None,
+      baseSeq: Option[Long] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = loadIceMeta(conf, dir)
     require(m.currentId >= 0, s"cannot rewrite an Iceberg table with no snapshots: $dir")
     val listPath = m.priorSnapshots.find(_.id == m.currentId)
       .map(s => IcebergLite.resolveUri(dir, s.manifestListPath))
       .getOrElse(throw new IllegalStateException(s"current snapshot not in snapshot list: $dir"))
-    val (live, deleteManifests) = readLiveDataEntries(conf, dir, listPath)
     val removedSet = removedFids.toSet
-    val (removed, survivors) = live.partition(e =>
+    // everything past the READ's sequence number was committed by a winner
+    // in the scan→commit window (the metadata here is loaded fresh, so a
+    // winner does not even need to race the version write to interleave);
+    // validation judges the whole window, at plan time AND on every rebase
+    val bSeq = baseSeq.getOrElse(m.lastSeq)
+    def validate(sc: IceReadScope, mW: IceMeta, liveW: Seq[LiveEntry],
+        deleteMsW: Seq[LakeWrite.ManifestFile]): Unit = {
+      val t = dir.toString
+      val liveWPaths = liveW.map(e => IcebergLite.normPath(e.filePath)).toSet
+      // a winner rewriting / removing a file this commit removes
+      removedSet.find(!liveWPaths.contains(_)).foreach(p =>
+        throw new LakeConcurrency.ConcurrentDeleteDeleteException(t, mW.metaVersion, p))
+      // a winner's new delete files may mask rows this rewrite re-materializes
+      deleteMsW.find(_.sequenceNumber > bSeq).foreach(dm =>
+        throw new LakeConcurrency.ConcurrentDeleteReadException(t, mW.metaVersion, dm.path))
+      // a winner's new data files must not overlap what this rewrite read
+      liveW.filter(_.seq > bSeq).find(sc.addConflicts).foreach(_ =>
+        throw new LakeConcurrency.ConcurrentAppendException(t, mW.metaVersion))
+    }
+    val (live, deleteManifests) = readLiveDataEntries(conf, dir, listPath,
+      if (readScope.isDefined) fieldsByIdOf(m) else Map.empty)
+    readScope.foreach(validate(_, m, live, deleteManifests))
+    val (removed0, _) = live.partition(e =>
       removedSet.contains(IcebergLite.normPath(e.filePath)))
-    require(removed.size == removedFids.size,
-      s"rewrite lost track of ${removedFids.size - removed.size} files (concurrent commit?)")
+    require(removed0.size == removedFids.size,
+      s"rewrite lost track of ${removedFids.size - removed0.size} files (concurrent commit?)")
 
     val newSeq = m.lastSeq + 1
     val newSnapId = newSnapshotId(m)
     val aligned = withFieldIds(align(replacement, m.schema), m.schema, m.fieldIds)
     val staged = writeDataFiles(aligned, dir, m.partitionCols, "data")
     val entrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, m.partitionCols))
-    val entries =
-      survivors.map(e => LakeWrite.ManifestEntry(0, e.filePath, e.recordCount, e.size,
-        newSnapId, partition = e.partition, sequenceNumber = Some(e.seq))) ++
-      removed.map(e => LakeWrite.ManifestEntry(2, e.filePath, e.recordCount, e.size,
-        newSnapId, partition = e.partition, sequenceNumber = Some(e.seq))) ++
+    // the commit's entries as a function of the base state: survivors stay
+    // EXISTING with their own sequence numbers, the removed files turn
+    // DELETED, the staged files ADD at the retry's sequence number — the
+    // same shape whether the base is our snapshot or a winner's
+    def entriesFor(base: Seq[LiveEntry], snapId: Long, seq: Long): Seq[LakeWrite.ManifestEntry] = {
+      val (rm, surv) = base.partition(e =>
+        removedSet.contains(IcebergLite.normPath(e.filePath)))
+      surv.map(e => LakeWrite.ManifestEntry(0, e.filePath, e.recordCount, e.size,
+        snapId, partition = e.partition, sequenceNumber = Some(e.seq))) ++
+      rm.map(e => LakeWrite.ManifestEntry(2, e.filePath, e.recordCount, e.size,
+        snapId, partition = e.partition, sequenceNumber = Some(e.seq))) ++
       staged.map { f =>
         val (lo, hi, nc) = entryBounds(f.statsJson, m.schema, m.fieldIds)
-        LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, newSnapId,
+        LakeWrite.ManifestEntry(1, f.relPath, f.rowCount, f.size, snapId,
           partition = typedPartVals(m.schema, m.partitionCols, f.partitionValues),
-          sequenceNumber = Some(newSeq),
+          sequenceNumber = Some(seq),
           lowerBounds = lo, upperBounds = hi, nullCounts = nc)
       }
-    commitIceberg(conf, dir, m, entries, deleteManifests, newSnapId, newSeq, newSnapId,
-      entrySchema, operation = operation)
+    }
+    // SnapshotProducer-style validate-and-rebase on a lost version race:
+    // the same window validation against the newest winner, then the
+    // commit replays on top of it instead of aborting
+    val rebase = readScope.map { sc =>
+      (m2: IceMeta, snapId: Long, seq: Long) => {
+        val listPath2 = m2.priorSnapshots.find(_.id == m2.currentId)
+          .map(s => IcebergLite.resolveUri(dir, s.manifestListPath))
+          .getOrElse(throw new LakeConcurrency.CommitFailedException(
+            s"current snapshot not in snapshot list under $dir"))
+        val (live2, deleteMs2) = readLiveDataEntries(conf, dir, listPath2,
+          fieldsByIdOf(m2))
+        validate(sc, m2, live2, deleteMs2)
+        (entriesFor(live2, snapId, seq), deleteMs2)
+      }
+    }
+    commitIceberg(conf, dir, m, entriesFor(live, newSnapId, newSeq), deleteManifests,
+      newSnapId, newSeq, newSnapId, entrySchema, operation = operation, rebase = rebase)
+  }
+
+  /** Top-level field ids keyed to (name, type) — [[IcebergLite.entryStats]]'
+    * resolution input (positional 1..n for metadata predating explicit ids).
+    */
+  private def fieldsByIdOf(m: IceMeta): Map[Int, (String, DataType)] = {
+    val ids = if (m.fieldIds.nonEmpty) m.fieldIds else m.schema.fields.indices.map(_ + 1)
+    m.schema.fields.zip(ids).map { case (f, id) => id -> ((f.name, f.dataType)) }.toMap
   }
 
   /** The current manifest list re-read as writable entries (path, length,

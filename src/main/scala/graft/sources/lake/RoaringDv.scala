@@ -226,58 +226,181 @@ object RoaringDv {
     out.toByteArray
   }
 
+  /** Growable buffer of 16-bit container values — the SPARSE container
+    * state, mirroring roaring's own array container. `Char` is the JVM's
+    * unsigned 16-bit type, so a plain sort orders values correctly.
+    * Appends may duplicate transiently (merge concatenation); encoding
+    * sorts + dedups.
+    */
+  private final class ShortBuf(var arr: Array[Char], var n: Int) {
+    def this() = this(new Array[Char](8), 0)
+    def add(v: Int): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(n) = v.toChar; n += 1
+    }
+    def copy(): ShortBuf = new ShortBuf(java.util.Arrays.copyOf(arr, n), n)
+    /** Distinct values in ascending (unsigned) order. */
+    def sortedDistinct(): Array[Char] = {
+      val a = java.util.Arrays.copyOf(arr, n)
+      java.util.Arrays.sort(a)
+      var w = 0; var i = 0
+      while (i < a.length) {
+        if (w == 0 || a(w - 1) != a(i)) { a(w) = a(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(a, w)
+    }
+    def intoWords(words: Array[Long]): Unit = {
+      var i = 0
+      while (i < n) {
+        val lo = arr(i).toInt
+        words(lo >>> 6) |= (1L << (lo & 63)); i += 1
+      }
+    }
+    def toWords(): Array[Long] = {
+      val words = new Array[Long](1024); intoWords(words); words
+    }
+  }
+
+  /** Past this many buffered values a sparse container promotes to the
+    * 8 KiB word block — roaring's own array/bitmap split point (4096
+    * values × 2 B = the break-even against 8 KiB).
+    */
+  private val ContainerPromote = 4096
+
   /** Incremental roaring-bitmap builder: positions land one at a time in
-    * per-container 8 KiB word blocks, merge is per-container OR, and
+    * per-container buffers — a sorted-array form while sparse (2 B/value,
+    * like roaring's array containers), promoted to an 8 KiB word block
+    * past [[ContainerPromote]] values — merge is per-container union, and
     * [[result]] emits the same portable RoaringBitmapArray bytes
     * [[encodeBitmapArray]] produces — WITHOUT ever materializing an
     * all-positions array. This is the agg-buffer shape the distributed
-    * position-delete pre-aggregation wants: a single data file carrying
-    * tens of millions of deleted rows costs (touched containers × 8 KiB)
-    * of buffer, bounded by the file's row-ordinal span, instead of
-    * (positions × 8 B) plus a sort.
+    * position-delete pre-aggregation wants: a dense file's buffer is
+    * bounded by its row-ordinal span (touched containers × 8 KiB) and a
+    * sparse delete set (one row per distant container) costs ~2 B/value,
+    * never the 1024× blow-up a block-only design pays. Serialization is a
+    * custom compact form (container key + state byte + payload), so the
+    * Aggregator's partial→final shuffle bytes are bitmap-sized, not
+    * Java-object-graph-sized.
     */
   final class BitmapBuilder extends Serializable {
     // container key = position >>> 16: bitmap index in the upper 48 bits,
     // 16-bit container key in the low 16 — one flat map for the whole
-    // 64-bit position space
-    private val containers = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    // 64-bit position space. Values are Array[Long](1024) (dense block)
+    // or ShortBuf (sparse); @transient + custom read/writeObject below.
+    @transient private var containers = new java.util.HashMap[java.lang.Long, AnyRef]()
 
     def add(pos: Long): Unit = {
       require(pos >= 0, s"negative position $pos")
       val key = java.lang.Long.valueOf(pos >>> 16)
-      var words = containers.get(key)
-      if (words == null) { words = new Array[Long](1024); containers.put(key, words) }
       val lo = (pos & 0xffff).toInt
-      words(lo >>> 6) |= (1L << (lo & 63))
+      containers.get(key) match {
+        case null =>
+          val b = new ShortBuf(); b.add(lo); containers.put(key, b)
+        case words: Array[Long] =>
+          words(lo >>> 6) |= (1L << (lo & 63))
+        case buf: ShortBuf =>
+          buf.add(lo)
+          if (buf.n > ContainerPromote) containers.put(key, buf.toWords())
+      }
     }
 
     def merge(o: BitmapBuilder): BitmapBuilder = {
-      o.containers.forEach { (k, w) =>
-        val mine = containers.get(k)
-        if (mine == null) containers.put(k, w.clone())
-        else { var i = 0; while (i < 1024) { mine(i) |= w(i); i += 1 } }
+      o.containers.forEach { (k, v) =>
+        (containers.get(k), v) match {
+          case (null, w: Array[Long]) => containers.put(k, w.clone())
+          case (null, b: ShortBuf) => containers.put(k, b.copy())
+          case (mine: Array[Long], w: Array[Long]) =>
+            var i = 0; while (i < 1024) { mine(i) |= w(i); i += 1 }
+          case (mine: Array[Long], b: ShortBuf) => b.intoWords(mine)
+          case (mine: ShortBuf, w: Array[Long]) =>
+            val nw = w.clone(); mine.intoWords(nw); containers.put(k, nw)
+          case (mine: ShortBuf, b: ShortBuf) =>
+            var i = 0; while (i < b.n) { mine.add(b.arr(i).toInt); i += 1 }
+            if (mine.n > ContainerPromote) containers.put(k, mine.toWords())
+          case _ => throw new IllegalStateException("unreachable container state")
+        }
       }
       this
     }
 
     def isEmpty: Boolean = containers.isEmpty
 
+    private def containerCard(v: AnyRef): Int = v match {
+      case w: Array[Long] =>
+        var c = 0; var i = 0
+        while (i < 1024) { c += java.lang.Long.bitCount(w(i)); i += 1 }
+        c
+      case b: ShortBuf => b.sortedDistinct().length
+    }
+
     def cardinality: Long = {
       var n = 0L
-      containers.forEach { (_, w) =>
-        var i = 0; while (i < 1024) { n += java.lang.Long.bitCount(w(i)); i += 1 }
-      }
+      containers.forEach { (_, v) => n += containerCard(v) }
       n
+    }
+
+    /** Compact serial form: count, then per container key + state byte +
+      * (sorted distinct values | 1024 words). Shuffle bytes track the
+      * bitmap's true size either way round.
+      */
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      out.writeInt(containers.size)
+      containers.forEach { (k, v) =>
+        out.writeLong(k.longValue())
+        v match {
+          case w: Array[Long] =>
+            out.writeByte(1)
+            var i = 0; while (i < 1024) { out.writeLong(w(i)); i += 1 }
+          case b: ShortBuf =>
+            out.writeByte(0)
+            val vals = b.sortedDistinct()
+            out.writeInt(vals.length)
+            vals.foreach(out.writeChar(_))
+        }
+      }
+    }
+
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      containers = new java.util.HashMap[java.lang.Long, AnyRef]()
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val k = java.lang.Long.valueOf(in.readLong())
+        if (in.readByte() == 1) {
+          val w = new Array[Long](1024)
+          var j = 0; while (j < 1024) { w(j) = in.readLong(); j += 1 }
+          containers.put(k, w)
+        } else {
+          val m = in.readInt()
+          val b = new ShortBuf(new Array[Char](math.max(8, m)), m)
+          var j = 0; while (j < m) { b.arr(j) = in.readChar(); j += 1 }
+          containers.put(k, b)
+        }
+        i += 1
+      }
     }
 
     /** Portable RoaringBitmapArray bytes — byte-identical to
       * [[encodeBitmapArray]] over the same position set (no-run form,
-      * array containers up to 4096 values, bitmap above).
+      * array containers up to 4096 values, bitmap above). The serialized
+      * container form is chosen by TRUE cardinality, independent of the
+      * in-memory state (a duplicate-heavy promoted block with ≤ 4096
+      * distinct values still writes the array form).
       */
     def result(): Array[Byte] = {
       import scala.jdk.CollectionConverters._
-      val sorted = containers.asScala.toSeq.map { case (k, w) => (k.longValue(), w) }
-        .sortBy(_._1)
+      // normalize each container to (card, sorted values | null, words | null)
+      val sorted = containers.asScala.toSeq.map { case (k, v) =>
+        v match {
+          case w: Array[Long] => (k.longValue(), containerCard(w), null: Array[Char], w)
+          case sb: ShortBuf =>
+            val vals = sb.sortedDistinct()
+            (k.longValue(), vals.length, vals, null: Array[Long])
+        }
+      }.sortBy(_._1)
       val byBitmap = sorted.groupBy(_._1 >>> 16)
       val nBitmaps = if (byBitmap.isEmpty) 0L else byBitmap.keys.max + 1
       val out = new java.io.ByteArrayOutputStream()
@@ -290,32 +413,34 @@ object RoaringDv {
       writeIntLE((nBitmaps & 0xffffffffL).toInt); writeIntLE((nBitmaps >>> 32).toInt)
       var b = 0L
       while (b < nBitmaps) {
-        val conts = byBitmap.getOrElse(b, Nil).map { case (k, w) =>
-          var card = 0
-          var i = 0; while (i < 1024) { card += java.lang.Long.bitCount(w(i)); i += 1 }
-          ((k & 0xffff).toInt, w, card)
+        val conts = byBitmap.getOrElse(b, Nil).map { case (k, card, vals, w) =>
+          ((k & 0xffff).toInt, card, vals, w)
         }
         writeIntLE(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
         writeIntLE(conts.size)
-        conts.foreach { case (k, _, card) => writeShortLE(k); writeShortLE(card - 1) }
+        conts.foreach { case (k, card, _, _) => writeShortLE(k); writeShortLE(card - 1) }
         var off = 4 + 4 + 4 * conts.size + 4 * conts.size
-        conts.foreach { case (_, _, card) =>
+        conts.foreach { case (_, card, _, _) =>
           writeIntLE(off)
           off += (if (card <= 4096) 2 * card else 8192)
         }
-        conts.foreach { case (_, w, card) =>
+        conts.foreach { case (_, card, vals, w) =>
           if (card <= 4096) {
-            var i = 0
-            while (i < 1024) {
-              var word = w(i)
-              while (word != 0L) {
-                val bit = java.lang.Long.numberOfTrailingZeros(word)
-                writeShortLE(i * 64 + bit)
-                word &= word - 1
+            if (vals != null) vals.foreach(c => writeShortLE(c.toInt))
+            else {
+              var i = 0
+              while (i < 1024) {
+                var word = w(i)
+                while (word != 0L) {
+                  val bit = java.lang.Long.numberOfTrailingZeros(word)
+                  writeShortLE(i * 64 + bit)
+                  word &= word - 1
+                }
+                i += 1
               }
-              i += 1
             }
           } else {
+            // card > 4096 implies the promoted word-block state
             w.foreach { word =>
               var j = 0
               while (j < 8) { out.write(((word >>> (8 * j)) & 0xff).toInt); j += 1 }

@@ -107,6 +107,65 @@ private[graft] object PdfText {
   private def isCcitt(st: PdfStream): Boolean =
     st.imageCodec.exists(f => f == "CCITTFaxDecode" || f == "CCF")
 
+  private def isJbig2(st: PdfStream): Boolean =
+    st.imageCodec.contains("JBIG2Decode")
+
+  /** Width/height read from an EMBEDDED JBIG2 bitstream's own segment
+    * headers (ISO/IEC 14492 §7.2 — embedded streams carry no file header,
+    * just a segment sequence): the page-information segment (type 48)
+    * opens its data with page width/height, and region segments
+    * (generic / refinement / text / halftone, immediate or intermediate)
+    * open with the region segment info's width/height. Full payload
+    * decode (MQ arithmetic coding) stays out of scope — this surfaces the
+    * geometry the PDF dict merely DECLARES from the bitstream itself, so
+    * the two cross-check and a lying dict no longer wins.
+    */
+  private[graft] def jbig2Dims(data: Array[Byte]): Option[(Int, Int)] = {
+    def be32(o: Int): Long =
+      ((data(o) & 0xffL) << 24) | ((data(o + 1) & 0xffL) << 16) |
+        ((data(o + 2) & 0xffL) << 8) | (data(o + 3) & 0xffL)
+    // 4/6/7 text, 20/22/23 halftone, 36/38/39 generic, 40/42/43 refinement
+    val regionTypes = Set(4, 6, 7, 20, 22, 23, 36, 38, 39, 40, 42, 43)
+    var off = 0
+    var pageDims: Option[(Int, Int)] = None
+    var regionDims: Option[(Int, Int)] = None
+    try {
+      while (off + 11 <= data.length && regionDims.isEmpty) {
+        val segNum = be32(off)
+        val flags = data(off + 4) & 0xff
+        val segType = flags & 0x3f
+        var p = off + 5
+        // referred-to segment count: short form in the top 3 bits, long
+        // form (value 7) = 4-byte count + ceil((count+1)/8) retain bytes
+        val rtByte = data(p) & 0xff
+        val rtCount =
+          if ((rtByte >>> 5) == 7) {
+            val c = (be32(p) & 0x1fffffffL).toInt
+            p += 4 + ((c + 8) / 8)
+            c
+          } else { p += 1; rtByte >>> 5 }
+        val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+        p += rtCount * refSize
+        p += (if ((flags & 0x40) != 0) 4 else 1) // page association size
+        val dataLen = be32(p); p += 4
+        if (p + 8 <= data.length) {
+          if (segType == 48 && pageDims.isEmpty) {
+            val w = be32(p); val h = be32(p + 4)
+            // height 0xffffffff = striped/unknown — keep probing regions
+            if (w > 0 && h > 0 && h < 0xffffffffL)
+              pageDims = Some((w.toInt, h.toInt))
+          } else if (regionTypes.contains(segType)) {
+            val w = be32(p); val h = be32(p + 4)
+            if (w > 0 && h > 0) regionDims = Some((w.toInt, h.toInt))
+          }
+        }
+        if (dataLen == 0xffffffffL) return pageDims.orElse(regionDims) // unknown length: stop
+        off = p + dataLen.toInt
+      }
+      pageDims.orElse(regionDims)
+    } catch { case _: Exception => pageDims.orElse(regionDims) }
+  }
+
   /** `/CCITTFaxDecode` parameters from the stream dict (defaults per ISO
     * 32000-1 Table 11); `/Rows` absent falls back to the image `/Height`
     * so well-formed PDF images always decode a bounded raster.
@@ -149,10 +208,11 @@ private[graft] object PdfText {
     * decode through `javax.imageio`, falling back to the stream dict's
     * declared `/Width` `/Height` when ImageIO cannot decode (e.g. a CMYK
     * JPEG on a stock JRE); CCITT G3/G4 decodes through [[CcittDecode]]
-    * with the same dict fallback; JBIG2/JPX and raw raster (Flate) images
-    * surface their dict-declared dimensions directly. This is the
-    * dimensions-parity surface the image scan has — image-only PDFs stop
-    * being opaque.
+    * with the same dict fallback; JBIG2 geometry parses from the
+    * bitstream's own segment headers ([[jbig2Dims]], dict fallback); JPX
+    * and raw raster (Flate) images surface their dict-declared dimensions
+    * directly. This is the dimensions-parity surface the image scan has —
+    * image-only PDFs stop being opaque.
     */
   def extractImageDims(bytes: Array[Byte],
       password: Array[Byte] = Array.empty): Seq[(Int, Int)] = {
@@ -164,6 +224,7 @@ private[graft] object PdfText {
             .map(img => (img.getWidth, img.getHeight))
           catch { case _: Exception => None }
         else if (isCcitt(st)) ccittToGray(st).map(img => (img.getWidth, img.getHeight))
+        else if (isJbig2(st)) jbig2Dims(st.data)
         else None
       decoded.orElse(for {
         w <- dictInt(st.dict, "/Width"); h <- dictInt(st.dict, "/Height")

@@ -216,4 +216,33 @@ class DeltaDvSuite extends SparkTestBase {
       }
     }
   }
+
+  test("BitmapBuilder serializes sparse sets compactly and roundtrips through Java serialization") {
+    def roundtrip(b: RoaringDv.BitmapBuilder): (RoaringDv.BitmapBuilder, Int) = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(baos); oos.writeObject(b); oos.close()
+      val in = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(baos.toByteArray))
+      (in.readObject().asInstanceOf[RoaringDv.BitmapBuilder], baos.size())
+    }
+    // worst case for a block-only design: ONE deleted row per distant
+    // container — 1000 containers. Array-container state costs ~2 B/value;
+    // the 8 KiB-block design paid 1000 × 8 KiB ≈ 8 MB here.
+    val sparse = (0 until 1000).map(i => i.toLong << 16)
+    val sb = new RoaringDv.BitmapBuilder; sparse.foreach(sb.add)
+    val (sr, sparseBytes) = roundtrip(sb)
+    assert(sparseBytes < 64 * 1024,
+      s"sparse agg buffer must serialize container-array-sized, got $sparseBytes B")
+    assert(java.util.Arrays.equals(sr.result(), RoaringDv.encodeBitmapArray(sparse)))
+    assert(sr.cardinality == 1000L)
+    // a dense (promoted) container roundtrips too, and a restored builder
+    // keeps accepting adds and merges across the two states
+    val dense = (0L until 5000L) // > 4096 in one container -> word block
+    val db = new RoaringDv.BitmapBuilder; dense.foreach(db.add)
+    val (dr, _) = roundtrip(db)
+    dr.add(70000L) // new sparse container post-restore
+    val m = dr.merge(sr)
+    assert(java.util.Arrays.equals(m.result(),
+      RoaringDv.encodeBitmapArray((dense ++ Seq(70000L) ++ sparse).distinct)))
+  }
 }

@@ -563,4 +563,264 @@ class LakeConcurrencySuite extends SparkTestBase {
     val next = new java.io.File(f"$dir/_delta_log/${v + 1}%020d.json")
     assert(next.exists() && scala.io.Source.fromFile(next).mkString.contains("ours.parquet"))
   }
+
+  test("delta: an insert-only MoR MERGE losing to a same-key append conflicts — not a blind append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.plans.LakeRowLevel
+    val root = tmpDir("conc-iom")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE cs9 OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.cs")
+    spark.sql("CREATE TABLE graft.datasource.cs.cs9.t (id BIGINT) " +
+      "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')")
+    val fqn = "graft.datasource.cs.cs9.t"
+    (0L until 6L).toDF("id").createOrReplaceTempView("__cs_cs9")
+    spark.sql(s"INSERT INTO $fqn SELECT * FROM __cs_cs9")
+    def emptyIds(h: graft.plans.LakeRowLevel.RowLevelHandle) =
+      h.scanWithRowIds(spark).where(lit(false))
+        .select(col(LakeRowLevel.FileIdCol), col(LakeRowLevel.RowIxCol))
+    // both writers plan "WHEN NOT MATCHED THEN INSERT id=100" against the
+    // same snapshot; the first lands as a plain append
+    val h = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100)") // winner
+    // the loser's commit is adds-only and restates no protocol, but it
+    // READ the table (whole-table ON-clause scope): the winner's add must
+    // conflict — misclassified as a blind append, BOTH sides would commit
+    // and duplicate the insert (delta-spark throws ConcurrentAppend here)
+    intercept[LakeConcurrency.ConcurrentAppendException] {
+      h.commitUpdateRows(spark, emptyIds(h), Seq(100L).toDF("id"), None,
+        "MERGE", LakeRowLevel.ReadScope.wholeTable)
+    }
+    // with a read scope whose predicate excludes the winner's rows, the
+    // same adds-only commit retries and commits — scoping still narrows
+    val h2 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (200)") // winner: stats [200,200]
+    val idAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("id", LongType)()
+    h2.commitUpdateRows(spark, emptyIds(h2), Seq(50L).toDF("id"), None,
+      "MERGE", LakeRowLevel.ReadScope(readWholeTable = false,
+        Seq(org.apache.spark.sql.catalyst.expressions.LessThan(idAttr,
+          org.apache.spark.sql.catalyst.expressions.Literal(100L))), Set.empty))
+    assert(spark.table(fqn).count() == 6L + 2 /* winners */ + 1 /* merge */)
+  }
+
+  test("delta: predicate scoping works on column-mapped tables (physical names resolved)") {
+    import spark.implicits._
+    val root = tmpDir("conc-cmap")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE cs11 OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.cs")
+    spark.sql("CREATE TABLE graft.datasource.cs.cs11.t (id BIGINT, p INT) " +
+      "PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+    val fqn = "graft.datasource.cs.cs11.t"
+    (0L until 12L).map(i => (i, (i % 3).toInt)).toDF("id", "p")
+      .createOrReplaceTempView("__cs_cs11")
+    spark.sql(s"INSERT INTO $fqn SELECT * FROM __cs_cs11")
+    // stats and partition values live under PHYSICAL names here — the
+    // scope must resolve them, not fall back to conflict-on-any-add
+    val h1 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 9)") // disjoint partition
+    staleDelete(h1, "p = 1") // pre-r11: aborted (stats untrusted on cmap)
+    val got = spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 12L).filterNot(_ % 3 == 1) :+ 100L).sorted,
+      "both the append and the rewrite must survive on a cmap table")
+    // overlap still fails loudly (physical partition-value keys resolved)
+    spark.sql(s"INSERT INTO $fqn VALUES (300, 1)") // repopulate p=1
+    val h2 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (200, 1)") // INTO the read partition
+    intercept[LakeConcurrency.ConcurrentAppendException] {
+      staleDelete(h2, "p = 1")
+    }
+  }
+
+  // ---- Iceberg: predicate-scoped conflict validation + rebase (the twin
+  // of the Delta matrix above — SnapshotProducer's contract, where a lost
+  // version race re-validates against the winner and commits when disjoint)
+
+  private def setupIcePart(ns: String, props: String = ""): (String, Path) = {
+    import spark.implicits._
+    val root = tmpDir("conc-ice-scope")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE ICEBERG DATASOURCE $ns OPTIONS (warehouse '$root') " +
+      "NAMESPACE graft.datasource.ics")
+    spark.sql(s"CREATE TABLE graft.datasource.ics.$ns.t (id BIGINT, p INT) " +
+      s"PARTITIONED BY (p)$props")
+    (0L until 12L).map(i => (i, (i % 3).toInt)).toDF("id", "p")
+      .createOrReplaceTempView(s"__ics_$ns")
+    spark.sql(s"INSERT INTO graft.datasource.ics.$ns.t SELECT * FROM __ics_$ns")
+    (s"graft.datasource.ics.$ns.t", new Path(s"$root/t"))
+  }
+
+  test("iceberg: a disjoint-partition append and a stale row rewrite BOTH commit") {
+    val (fqn, _) = setupIcePart("ics1")
+    val handle = staleHandle(fqn)
+    // winner: append into a partition the rewrite's predicate never reads
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 9)")
+    staleDelete(handle, "p = 1") // validates against the winner and rebases
+    val got = spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 12L).filterNot(_ % 3 == 1) :+ 100L).sorted,
+      "both the append and the rewrite must survive")
+  }
+
+  test("iceberg: an append INTO the partition the rewrite read still conflicts") {
+    val (fqn, _) = setupIcePart("ics2")
+    val handle = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 1)")
+    intercept[LakeConcurrency.ConcurrentAppendException] {
+      staleDelete(handle, "p = 1")
+    }
+  }
+
+  test("iceberg: column bounds scope the race on unpartitioned tables") {
+    import spark.implicits._
+    val root = tmpDir("conc-ice-stats")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE ICEBERG DATASOURCE ics3 OPTIONS (warehouse '$root') " +
+      "NAMESPACE graft.datasource.ics")
+    spark.sql("CREATE TABLE graft.datasource.ics.ics3.t (id BIGINT)")
+    val fqn = "graft.datasource.ics.ics3.t"
+    (0L until 10L).toDF("id").createOrReplaceTempView("__ics_ics3")
+    spark.sql(s"INSERT INTO $fqn SELECT * FROM __ics_ics3")
+    val h1 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100)") // manifest bounds [100,100]
+    staleDelete(h1, "id < 50") // [100,100] can't match id < 50 → rebases
+    assert(spark.table(fqn).count() == 1L)
+    // and an appended file whose bounds DO overlap the predicate conflicts
+    spark.sql(s"INSERT INTO $fqn VALUES (20)")
+    val h2 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (7)") // winner: [7,7] overlaps id < 50
+    intercept[LakeConcurrency.ConcurrentAppendException] {
+      staleDelete(h2, "id < 50")
+    }
+  }
+
+  test("iceberg: a winner rewriting a file the rewrite removes is delete/delete") {
+    val (fqn, _) = setupIcePart("ics4")
+    val handle = staleHandle(fqn)
+    spark.sql(s"DELETE FROM $fqn WHERE p = 1") // winner rewrites p=1's files
+    intercept[LakeConcurrency.ConcurrentDeleteDeleteException] {
+      staleDelete(handle, "id = 4") // id=4 lives in p=1 — same file
+    }
+    // disjoint partitions: winner removed p=2's files, stale delete in p=0
+    val (fqn2, _) = setupIcePart("ics5")
+    val h2 = staleHandle(fqn2)
+    spark.sql(s"DELETE FROM $fqn2 WHERE p = 2")
+    staleDelete(h2, "p = 0")
+    assert(spark.table(fqn2).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 12L).filter(_ % 3 == 1))
+  }
+
+  test("iceberg MoR: a stale row delete rebases past a disjoint append; a compacted file conflicts") {
+    val (fqn, dir) = setupIcePart("ics6",
+      " TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    val h1 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 9)") // disjoint winner
+    staleDelete(h1, "id = 4") // position delete re-keys onto the winner
+    val got = spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 12L).filterNot(_ == 4L) :+ 100L).sorted,
+      "append and MoR delete must both survive")
+    assert(IcebergLite.snapshot(spark, dir).deleteFiles.nonEmpty, "stayed merge-on-read")
+    // a winner COMPACTING the file our positions reference must conflict:
+    // position deletes key on file identity, a silent rebase would
+    // resurrect the rows
+    import org.apache.spark.sql.functions.col
+    val h2 = staleHandle(fqn)
+    val w = staleHandle(fqn)
+    val p1Files = w.scanWithRowIds(spark)
+      .where(col("p") === 1)
+      .select(graft.plans.LakeRowLevel.FileIdCol).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val rows = w.scanWithRowIds(spark)
+      .where(col(graft.plans.LakeRowLevel.FileIdCol).isin(p1Files: _*))
+      .select("id", "p")
+    w.commitCompaction(spark, p1Files, rows)
+    intercept[LakeConcurrency.ConcurrentDeleteReadException] {
+      staleDelete(h2, "id = 7") // id=7 lived in a compacted p=1 file
+    }
+  }
+
+  test("iceberg: a compaction (replace) rebases past appends it never read") {
+    import org.apache.spark.sql.functions.col
+    val (fqn, _) = setupIcePart("ics7")
+    val handle = staleHandle(fqn)
+    val p1Files = handle.scanWithRowIds(spark)
+      .where(col("p") === 1)
+      .select(graft.plans.LakeRowLevel.FileIdCol).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val rows = handle.scanWithRowIds(spark)
+      .where(col(graft.plans.LakeRowLevel.FileIdCol).isin(p1Files: _*))
+      .select("id", "p")
+    // winner lands INSIDE the same partition — still no conflict: the
+    // compaction read exactly the files it rewrites, not the partition
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 1)")
+    handle.commitCompaction(spark, p1Files, rows)
+    val got = spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 12L) :+ 100L).sorted, "no rows lost, no conflict")
+  }
+
+  test("iceberg: concurrent eq-upserts all commit — losers rebase blindly") {
+    import spark.implicits._
+    val root = tmpDir("conc-ice-equp")
+    val dir = new Path(s"$root/t")
+    LakeNativeWrite.icebergCreate(spark, dir,
+      StructType(Seq(StructField("id", LongType), StructField("v", LongType))), Nil)
+    LakeNativeWrite.icebergInsert(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), overwrite = false)
+    val threads = 3
+    val barrier = new CyclicBarrier(threads)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until threads).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          LakeNativeWrite.icebergEqUpsert(spark, dir,
+            Seq((i.toLong + 1, 100L + i)).toDF("id", "v"), Seq("id"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent eq-upserts must rebase, not fail: ${errs.peek()}")
+    val got = IcebergLite.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 100L), (2L, 101L), (3L, 102L)),
+      "every upsert's delete+insert pair must survive the race")
+  }
+
+  test("delta: a winning OPTIMIZE's dataChange=false re-adds never abort a stats-overlapping DML") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.plans.LakeRowLevel.FileIdCol
+    val root = tmpDir("conc-opt")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE DELTA DATASOURCE cs10 OPTIONS (path '$root') " +
+      "NAMESPACE graft.datasource.cs")
+    spark.sql("CREATE TABLE graft.datasource.cs.cs10.t (id BIGINT)")
+    val fqn = "graft.datasource.cs.cs10.t"
+    // three single-file commits: [0,9], [200,209], [100,109]
+    for (base <- Seq(0L, 200L, 100L)) {
+      (base until base + 10L).toDF("id").coalesce(1)
+        .createOrReplaceTempView("__cs_cs10")
+      spark.sql(s"INSERT INTO $fqn SELECT * FROM __cs_cs10")
+    }
+    val loser = staleHandle(fqn) // reads id=105 → only the [100,109] file
+    // winner: compact the OTHER two files into ONE — its re-add's stats
+    // widen to [0,209], which DOES overlap id=105, but dataChange=false
+    // re-adds move bytes, not rows: they must not count as appends
+    val w = staleHandle(fqn)
+    val fileOf = w.scanWithRowIds(spark).groupBy(col(FileIdCol))
+      .agg(org.apache.spark.sql.functions.min("id").as("mn"))
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    val pick = Seq(fileOf(0L), fileOf(200L))
+    val rows = w.scanWithRowIds(spark).where(col(FileIdCol).isin(pick: _*))
+      .select("id").coalesce(1)
+    w.commitCompaction(spark, pick, rows)
+    // pre-r11 this aborted with ConcurrentAppendException (the widened
+    // stats overlap); delta-spark exempts dataChange=false adds — so do we
+    staleDelete(loser, "id = 105")
+    assert(spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 10L) ++ (100L until 110L).filter(_ != 105L) ++ (200L until 210L)),
+      "compaction and the row delete must both survive")
+  }
 }

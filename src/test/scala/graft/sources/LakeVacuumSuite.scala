@@ -246,4 +246,33 @@ class LakeVacuumSuite extends SparkTestBase {
     assert(stagedManifest.exists(), "in-flight staged manifests must survive expiry")
     assert(IcebergLite.read(spark, idir).count() == 2)
   }
+
+  test("vacuum's in-flight guard uses the log's FS clock, not commitInfo timestamps") {
+    import spark.implicits._
+    // a remote writer's clock runs a day AHEAD: its commitInfo timestamp
+    // must not push the guard past local 'now' and void the in-flight
+    // protection for files staged on THIS filesystem
+    val root = tmpDir("vac-skew")
+    val dir = new Path(s"$root/t")
+    LakeNativeWrite.deltaCreate(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Nil)
+    LakeNativeWrite.deltaInsert(spark, dir, Seq(1L, 2L).toDF("id"), overwrite = false)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // skewed winner: an empty-add commit whose commitInfo timestamp is +1 day
+    val v = DeltaLite.latestVersion(spark, dir)
+    LakeNativeWrite.commitDelta(conf, dir, v + 1, Seq(
+      LakeWrite.deltaCommitInfo(System.currentTimeMillis() + 86400000L),
+      LakeWrite.deltaAdd("skewed-writer.parquet", 4L, 4L, Map.empty)))
+    new java.io.File(s"$dir/skewed-writer.parquet").createNewFile()
+    Thread.sleep(30)
+    // an in-flight local writer stages data AFTER the last commit landed
+    val staged = new java.io.File(s"$dir/part-00000-skew-staged.parquet")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](80, 65, 82, 49))
+    val (n, _) = LakeNativeWrite.deltaVacuum(spark, dir, 1)
+    assert(staged.exists(),
+      "a commitInfo clock a day ahead must not void the in-flight guard")
+    assert(n == 0L)
+  }
 }

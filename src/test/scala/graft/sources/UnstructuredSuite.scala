@@ -154,6 +154,48 @@ class UnstructuredSuite extends SparkTestBase {
     assert(rows("img.pdf")._1 == "with an image")
   }
 
+  test("pdf JBIG2 dims parse from segment headers; a lying dict loses to the bitstream") {
+    import graft.sources.unstructured.PdfText
+    // an EMBEDDED JBIG2 stream (no file header): page-information segment
+    // (type 48, ISO/IEC 14492 §7.4.8) + an immediate generic region (38)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def segment(num: Long, segType: Int, data: Array[Byte]): Array[Byte] =
+      be32(num) ++ Array(segType.toByte, 0.toByte /* rt count 0 */ ,
+        1.toByte /* page assoc */ ) ++ be32(data.length.toLong) ++ data
+    val pageInfo = be32(123) ++ be32(45) ++ be32(0) ++ be32(0) ++
+      Array(0.toByte) ++ Array(0.toByte, 0.toByte) // W H xres yres flags striping
+    val regionInfo = be32(123) ++ be32(45) ++ be32(0) ++ be32(0) ++
+      Array(0.toByte) ++ Array(0.toByte) // region info + generic flags stub
+    val jbig2 = segment(0, 48, pageInfo) ++ segment(1, 38, regionInfo)
+    assert(PdfText.jbig2Dims(jbig2) == Some((123, 45)))
+    // striped page (height unknown = 0xffffffff): the region's height wins
+    val striped = be32(123) ++ be32(0xffffffffL) ++ be32(0) ++ be32(0) ++
+      Array(0.toByte) ++ Array(0x80.toByte, 0.toByte)
+    assert(PdfText.jbig2Dims(segment(0, 48, striped) ++ segment(1, 38, regionInfo)) ==
+      Some((123, 45)))
+    // truncated garbage stays None (dict fallback handles it upstream)
+    assert(PdfText.jbig2Dims(Array[Byte](1, 2, 3)) == None)
+    // PDF surface: the dict DECLARES 999x999, the bitstream says 123x45 —
+    // the bitstream wins (dims parity is no longer dict-trust)
+    val pdf =
+      (s"%PDF-1.4\n5 0 obj << /Type /XObject /Subtype /Image /Width 999 " +
+        s"/Height 999 /BitsPerComponent 1 /Filter /JBIG2Decode " +
+        s"/Length ${jbig2.length} >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ jbig2 ++
+      "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extractImageDims(pdf) == Seq((123, 45)))
+    // and a JBIG2 stream whose segments are unreadable still surfaces the
+    // dict's declaration (conservative fallback, same as CMYK JPEG)
+    val optOut =
+      (s"%PDF-1.4\n5 0 obj << /Subtype /Image /Width 640 /Height 480 " +
+        s"/Filter /JBIG2Decode /Length 3 >>\nstream\nzzz\nendstream\nendobj\n")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extractImageDims(optOut) == Seq((640, 480)))
+  }
+
   test("pdf CCITT/raster image streams: dict dims, raster->PNG extraction roundtrip") {
     import graft.sources.unstructured.PdfText
     // CCITT (G4 fax) payload: no JDK codec — dims surface from the dict,
