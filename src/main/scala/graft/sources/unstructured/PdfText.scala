@@ -50,16 +50,18 @@ import java.util.zip.Inflater
   *
   * Embedded images carry no text, so the text walk skips them — but they
   * have their own surfaces: [[extractImageDims]] (DCT payloads decode
-  * through `javax.imageio`, CCITT G3/G4 through [[CcittDecode]];
-  * JBIG2/JPX and raw raster streams dict-probe `/Width` `/Height`) and
-  * [[extractImages]] (DCT passes through as standalone JPEG bytes, CCITT
-  * rasters and Flate raster samples re-encode as PNG), so scanned PDFs
-  * feed perceptual dedup like any image file.
+  * through `javax.imageio`, CCITT G3/G4 through [[CcittDecode]], JBIG2
+  * geometry from its own segment headers via [[jbig2Dims]]; JPX and raw
+  * raster streams dict-probe `/Width` `/Height`) and [[extractImages]]
+  * (DCT passes through as standalone JPEG bytes, CCITT rasters and Flate
+  * raster samples re-encode as PNG), so scanned PDFs feed perceptual
+  * dedup like any image file.
   *
   * Known limits (documented, deliberate): no cross-reference parsing (we scan
   * for `stream`..`endstream` directly, so xref streams are irrelevant), no
-  * JBIG2/JPX filters (no JDK codec; PDFBox needs them only for
-  * rasterization), no owner-password-based key recovery
+  * JBIG2/JPX PIXEL decode (no JDK codec — JBIG2 geometry still parses
+  * from segment headers; PDFBox needs the codecs only for rasterization),
+  * no owner-password-based key recovery
   * (Algorithm 2.A /OE path). When nothing decodable is found the caller
   * falls back to the printable-ASCII heuristic.
   *

@@ -30,24 +30,33 @@ object UnstructuredWrite {
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       val conf = serConf.value
       val dir = new Path(target)
-      val fs = dir.getFileSystem(conf)
-      fs.mkdirs(dir)
-      it.foreach { r =>
-        val name = r.getString(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val out = fs.create(new Path(dir, name), true)
-        try out.write(bytes) finally out.close()
-        if (thumbnails && isImageName(name)) {
-          thumbnailBytes(bytes).foreach { tb =>
-            val stem = name.lastIndexOf('.') match {
-              case -1 => name
-              case i => name.substring(0, i)
+      // one output file per row is the sink's contract, so per-create cost
+      // IS the cost model: on checksummed filesystems (local fs included)
+      // every create otherwise writes a second `.crc` sidecar file,
+      // doubling the create count. Disable client-side checksums on an
+      // UNCACHED instance so the setting never leaks into the JVM-shared
+      // cached FS other writers (the lake commit paths) use.
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(dir.toUri, conf)
+      try {
+        fs.setWriteChecksum(false)
+        fs.mkdirs(dir)
+        it.foreach { r =>
+          val name = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val out = fs.create(new Path(dir, name), true)
+          try out.write(bytes) finally out.close()
+          if (thumbnails && isImageName(name)) {
+            thumbnailBytes(bytes).foreach { tb =>
+              val stem = name.lastIndexOf('.') match {
+                case -1 => name
+                case i => name.substring(0, i)
+              }
+              val t = fs.create(new Path(dir, s"${stem}_thumbnail.png"), true)
+              try t.write(tb) finally t.close()
             }
-            val t = fs.create(new Path(dir, s"${stem}_thumbnail.png"), true)
-            try t.write(tb) finally t.close()
           }
         }
-      }
+      } finally fs.close()
     }
   }
 
@@ -64,13 +73,22 @@ object UnstructuredWrite {
       to_json(struct(tagCols.map(col): _*)).as("__tag_json"))
     json.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       val conf = serConf.value
-      it.foreach { r =>
-        val p = new Path(r.getString(0).stripPrefix("file:") + ".tag")
-        val fs = p.getFileSystem(conf)
-        val out = fs.create(p, true)
-        try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      }
+      // same per-create cost model as writeFiles: uncached instance, no
+      // client-side checksum sidecars (keyed per FS scheme — sidecar paths
+      // normally share one)
+      var fs: org.apache.hadoop.fs.FileSystem = null
+      try {
+        it.foreach { r =>
+          val p = new Path(r.getString(0).stripPrefix("file:") + ".tag")
+          if (fs == null) {
+            fs = org.apache.hadoop.fs.FileSystem.newInstance(p.toUri, conf)
+            fs.setWriteChecksum(false)
+          }
+          val out = fs.create(p, true)
+          try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      } finally if (fs != null) fs.close()
     }
   }
 

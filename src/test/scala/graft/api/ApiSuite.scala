@@ -80,6 +80,49 @@ class ApiSuite extends SparkTestBase {
     assert(pre.getHeaderField("Access-Control-Allow-Headers").contains("authorization"))
   }
 
+  test("a multi-MB result streams without driver materialization: later partitions compute only as the client drains") {
+    ApiSuite.latePartitionRan = false
+    // 2 partitions; the payload of partition 0 (~3.5 MB of JSON) dwarfs any
+    // socket buffer, so a server that streams partition-at-a-time BLOCKS
+    // mid-partition-0 until the client reads — partition 1 cannot have
+    // computed while the client holds back. A collect-then-write (driver
+    // materialization) implementation runs BOTH partitions before the
+    // first byte and fails the flag assert.
+    val df = spark.range(0L, 500000L, 1L, 2).as(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .mapPartitions { it =>
+        val buf = it.toArray
+        if (buf.nonEmpty && buf.head >= 250000L) ApiSuite.latePartitionRan = true
+        buf.iterator
+      }(org.apache.spark.sql.Encoders.scalaLong).toDF("id")
+    df.createOrReplaceTempView("__api_big")
+    val c = new URL(s"http://localhost:$port/api/q").openConnection()
+      .asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("POST")
+    c.setDoOutput(true)
+    c.getOutputStream.write("SELECT id FROM __api_big".getBytes(StandardCharsets.UTF_8))
+    c.getOutputStream.close()
+    assert(c.getResponseCode == 200)
+    val in = c.getInputStream
+    val head = new Array[Byte](256)
+    var got = 0
+    while (got < head.length) {
+      val n = in.read(head, got, head.length - got)
+      assert(n > 0, "stream ended inside the first 256 bytes"); got += n
+    }
+    assert(new String(head, StandardCharsets.UTF_8).startsWith("[{\"id\":"))
+    assert(!ApiSuite.latePartitionRan,
+      "partition 1 computed while the client had read only 256 bytes — " +
+        "the response was materialized, not streamed")
+    // drain the rest: the payload completes and partition 1 did run
+    val rest = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    assert(ApiSuite.latePartitionRan)
+    val all = new String(head, StandardCharsets.UTF_8) + rest
+    assert(all.endsWith("]"))
+    assert(all.sliding(7).count(_ == "{\"id\":4") > 0)
+    assert("\\{\"id\":".r.findAllIn(all).size == 500000, "row count mismatch")
+  }
+
   test("concurrent streaming requests all complete with full payloads") {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration._
@@ -95,4 +138,11 @@ class ApiSuite extends SparkTestBase {
       assert(code == 200 && body == expected, "streamed body mismatch under load")
     }
   }
+}
+
+/** Shared flag the streaming test's partition closure flips — local mode
+  * runs tasks in this JVM, so the test observes compute order directly.
+  */
+object ApiSuite {
+  @volatile var latePartitionRan: Boolean = false
 }
