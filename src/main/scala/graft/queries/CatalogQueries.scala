@@ -643,6 +643,82 @@ object CatalogQueries {
           CAST(n_nationkey + 100 AS BIGINT) AS id_b
         FROM nation WHERE n_regionkey = 2 ORDER BY id_a""")),
 
+    // ---- JBIG2 scanned pages feed perceptual dedup: each PDF embeds an
+    // MMR-coded generic-region JBIG2 image (the bilevel fax-scan shape) of
+    // a key-derived 9x8 block pattern; region-2 keys get a one-block-
+    // flipped twin (<= 2-bit dHash distance — JBIG2 decode is EXACT, no
+    // codec wobble). Decodes through graft's own T.88 segment walker + T.6
+    // engine (Jbig2Decode); the reference needs PDFBox + jbig2-imageio. ----
+    QuerySpec("multimodal_jbig2_scan_dedup",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "jbig2scanfiles")
+        if (!fixture.exists()) {
+          val staging = new java.io.File(wh(dir), s"jbig2scanfiles.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          def be32(v: Long): Array[Byte] = Array(
+            ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+            ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+          def segment(num: Long, segType: Int, data: Array[Byte]): Array[Byte] =
+            be32(num) ++ Array(segType.toByte, 0.toByte, 1.toByte) ++
+              be32(data.length.toLong) ++ data
+          def jbig2Bytes(k: Long, perturb: Boolean): Array[Byte] = {
+            val w = 72; val h = 64
+            val bits = new Array[Byte](w * h)
+            for (by <- 0 until 8; bx <- 0 until 9) {
+              var z = k * 0x9E3779B97F4A7C15L + bx * 0xBF58476D1CE4E5B9L +
+                by * 0x94D049BB133111EBL
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              var black = ((z >>> 40) & 1) == 1
+              if (perturb && bx == 4 && by == 3) black = !black
+              if (black)
+                for (y <- by * 8 until by * 8 + 8; x <- bx * 8 until bx * 8 + 8)
+                  bits(y * w + x) = 1
+            }
+            val gray = bits.map(b => if (b != 0) 0x00.toByte else 0xff.toByte)
+            val coded = graft.sources.unstructured.CcittDecode.encodeG4(gray, w, h)
+            val region = be32(w) ++ be32(h) ++ be32(0) ++ be32(0) ++
+              Array(0.toByte) ++ Array(1.toByte /* MMR */) ++ coded
+            val pageInfo = be32(w) ++ be32(h) ++ be32(0) ++ be32(0) ++
+              Array(0.toByte, 0.toByte, 0.toByte)
+            segment(0, 48, pageInfo) ++ segment(1, 38, region)
+          }
+          def pdfBytes(jb: Array[Byte]): Array[Byte] =
+            ("%PDF-1.4\n5 0 obj << /Type /XObject /Subtype /Image /Width 72 " +
+              s"/Height 64 /BitsPerComponent 1 /ColorSpace /DeviceGray " +
+              s"/Filter /JBIG2Decode /Length ${jb.length} >>\nstream\n")
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ jb ++
+            "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          QueryPack.t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+            .collect().foreach { r =>
+              val (k, reg) = (r.get(0).toString.toLong, r.get(1).toString.toLong)
+              java.nio.file.Files.write(java.nio.file.Paths.get(
+                staging.toString, f"$k%05d.pdf"), pdfBytes(jbig2Bytes(k, perturb = false)))
+              if (reg == 2)
+                java.nio.file.Files.write(java.nio.file.Paths.get(
+                  staging.toString, f"${k + 100}%05d.pdf"), pdfBytes(jbig2Bytes(k, perturb = true)))
+            }
+          if (!staging.renameTo(fixture)) {
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
+          }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE PDF DATASOURCE jb2src OPTIONS (path '$fixture') NAMESPACE graft.datasource.un")
+        val media = s.sql("SELECT path, images FROM graft.datasource.un.jb2src.content")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.pdf$", 1).cast("long").as("id"),
+            explode(col("images")).as("bytes"))
+        graft.multimodal.Multimodal.imageNearDuplicates(media, "id", "bytes", maxDistance = 6)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id_a,
+          CAST(n_nationkey + 100 AS BIGINT) AS id_b
+        FROM nation WHERE n_regionkey = 2 ORDER BY id_a""")),
+
     // ---- unstructured WRITE sink roundtrip: SQL INSERT through the
     // FileFormat sink (one file per row, distributed write), then read BOTH
     // surfaces back — metadata sizes and lazy-loaded content — and the

@@ -1,0 +1,335 @@
+package graft.sources.unstructured
+
+/** JBIG2 decoder (ITU-T T.88 / ISO-IEC 14492) for the GENERIC-REGION
+  * subset of embedded PDF streams — the shape generic-mode encoders (e.g.
+  * `jbig2enc -generic`) emit for scanned pages: a page-information
+  * segment plus immediate generic regions, each either MQ-arithmetic
+  * coded (templates 0-3, adaptive pixels, TPGDON typical prediction) or
+  * MMR coded (ITU-T T.6 — routed through [[CcittDecode]]'s existing G4
+  * engine). Pages using symbol/text/halftone/refinement segments return
+  * None and the caller falls back to header-derived dimensions only.
+  *
+  * The MQ decoder implements Annex E's software conventions; the context
+  * bit order is the spec figures' raster order with each adaptive pixel
+  * occupying its figure slot (A4 | 3 fixed | A3 / A2 | 5 fixed | A1 /
+  * 4 fixed for template 0), which sorted-nominal implementations
+  * reproduce. A structurally independent MQ ENCODER lives in the test
+  * suite and roundtrips all four templates, so the state machine is
+  * pinned from both sides.
+  *
+  * Reference equivalent: the reference delegates all of JBIG2 to PDFBox's
+  * jbig2-imageio (datasources/v2/pdf/PdfReaderFactory.scala:52-67).
+  */
+private[graft] object Jbig2Decode {
+
+  // ---- MQ-coder probability state machine (T.88 Table E.1) ----
+  private[unstructured] val Qe: Array[Int] = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private[unstructured] val Nmps: Array[Int] = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private[unstructured] val Nlps: Array[Int] = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private[unstructured] val SwitchFlag: Array[Int] = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** MQ arithmetic DECODER (T.88 E.3, software conventions). Context
+    * states are caller-held packed ints `(state << 1) | mps` so one
+    * array serves a whole region decode.
+    */
+  private[unstructured] final class MqDecoder(data: Array[Byte], from: Int, until: Int) {
+    private var bp = from
+    private var c = 0L
+    private var a = 0
+    private var ct = 0
+    // reads past the segment end behave as 0xFF padding (the spec's
+    // marker-terminated convention): decoding simply runs out of entropy
+    private def byteAt(i: Int): Int = if (i >= from && i < until) data(i) & 0xff else 0xff
+
+    private def byteIn(): Unit = {
+      if (byteAt(bp) == 0xff) {
+        if (byteAt(bp + 1) > 0x8f) { c += 0xff00; ct = 8 }
+        else { bp += 1; c += byteAt(bp).toLong << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp).toLong << 8; ct = 8 }
+    }
+
+    // INITDEC
+    c = byteAt(bp).toLong << 16
+    byteIn()
+    c = (c << 7) & 0xffffffffL
+    ct -= 7
+    a = 0x8000
+
+    def decode(cxs: Array[Int], label: Int): Int = {
+      var i = cxs(label) >>> 1
+      var mps = cxs(label) & 1
+      val qe = Qe(i)
+      a -= qe
+      var d = 0
+      if (((c >>> 16) & 0xffff) < qe) {
+        if (a < qe) { d = mps; i = Nmps(i) }
+        else {
+          d = 1 - mps
+          if (SwitchFlag(i) == 1) mps = 1 - mps
+          i = Nlps(i)
+        }
+        a = qe
+        do { if (ct == 0) byteIn(); a <<= 1; c = (c << 1) & 0xffffffffL; ct -= 1 }
+        while ((a & 0x8000) == 0)
+      } else {
+        c -= qe.toLong << 16
+        if ((a & 0x8000) == 0) {
+          if (a < qe) {
+            d = 1 - mps
+            if (SwitchFlag(i) == 1) mps = 1 - mps
+            i = Nlps(i)
+          } else { d = mps; i = Nmps(i) }
+          do { if (ct == 0) byteIn(); a <<= 1; c = (c << 1) & 0xffffffffL; ct -= 1 }
+          while ((a & 0x8000) == 0)
+        } else d = mps
+      }
+      cxs(label) = (i << 1) | mps
+      d
+    }
+  }
+
+  // ---- generic region templates (T.88 6.2.5.3 figures, raster order,
+  // adaptive pixels in their figure slots; MSB = first slot) ----
+
+  /** (dx, dy) slot list for a template given its adaptive pixels. */
+  private[unstructured] def templateSlots(template: Int,
+      at: Array[(Int, Int)]): Array[(Int, Int)] = template match {
+    case 0 => Array(
+      at(3), (-1, -2), (0, -2), (1, -2), at(2),
+      at(1), (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), at(0),
+      (-4, 0), (-3, 0), (-2, 0), (-1, 0))
+    case 1 => Array(
+      (-1, -2), (0, -2), (1, -2), (2, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), at(0),
+      (-3, 0), (-2, 0), (-1, 0))
+    case 2 => Array(
+      (-1, -2), (0, -2), (1, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1), at(0),
+      (-2, 0), (-1, 0))
+    case 3 => Array(
+      (-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), at(0),
+      (-4, 0), (-3, 0), (-2, 0), (-1, 0))
+    case t => throw new IllegalArgumentException(s"GBTEMPLATE $t")
+  }
+
+  /** Nominal adaptive-pixel positions per template (A1..A4). */
+  private[unstructured] def nominalAt(template: Int): Array[(Int, Int)] =
+    if (template == 0) Array((3, -1), (-3, -1), (2, -2), (-2, -2))
+    else Array((if (template == 1) 3 else 2, -1))
+
+  /** TPGDON pseudo-pixel context per template (T.88 6.2.5.7). */
+  private[unstructured] val TpgdContext: Array[Int] =
+    Array(0x9B25, 0x0795, 0x00E5, 0x0195)
+
+  /** Decode one MQ-coded generic region to one-byte-per-pixel (1 = black). */
+  private[unstructured] def decodeGenericMq(data: Array[Byte], from: Int, until: Int,
+      w: Int, h: Int, template: Int, tpgdon: Boolean,
+      at: Array[(Int, Int)]): Array[Byte] = {
+    val slots = templateSlots(template, at)
+    val dxs = slots.map(_._1)
+    val dys = slots.map(_._2)
+    val n = slots.length
+    val cxs = new Array[Int](1 << n)
+    val mq = new MqDecoder(data, from, until)
+    val out = new Array[Byte](w * h)
+    var ltp = false
+    var y = 0
+    while (y < h) {
+      if (tpgdon && mq.decode(cxs, TpgdContext(template)) == 1) ltp = !ltp
+      if (tpgdon && ltp) {
+        if (y > 0) System.arraycopy(out, (y - 1) * w, out, y * w, w)
+      } else {
+        var x = 0
+        while (x < w) {
+          var label = 0
+          var s = 0
+          while (s < n) {
+            val xx = x + dxs(s); val yy = y + dys(s)
+            val bit = if (xx < 0 || xx >= w || yy < 0) 0 else out(yy * w + xx).toInt
+            label = (label << 1) | bit
+            s += 1
+          }
+          out(y * w + x) = mq.decode(cxs, label).toByte
+          x += 1
+        }
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- segment structure (T.88 7.2; embedded = no file header) ----
+
+  private[unstructured] final case class Seg(num: Long, segType: Int,
+      dataOff: Int, dataLen: Int)
+
+  private def be32(data: Array[Byte], o: Int): Long =
+    ((data(o) & 0xffL) << 24) | ((data(o + 1) & 0xffL) << 16) |
+      ((data(o + 2) & 0xffL) << 8) | (data(o + 3) & 0xffL)
+
+  /** Walk the embedded stream's segment headers; stops cleanly at
+    * truncation or an unknown-length segment.
+    */
+  private[unstructured] def segments(data: Array[Byte]): Seq[Seg] = {
+    val out = Seq.newBuilder[Seg]
+    var off = 0
+    try {
+      var stop = false
+      while (!stop && off + 11 <= data.length) {
+        val segNum = be32(data, off)
+        val flags = data(off + 4) & 0xff
+        val segType = flags & 0x3f
+        var p = off + 5
+        val rtByte = data(p) & 0xff
+        val rtCount =
+          if ((rtByte >>> 5) == 7) {
+            val c = (be32(data, p) & 0x1fffffffL).toInt
+            p += 4 + ((c + 8) / 8)
+            c
+          } else { p += 1; rtByte >>> 5 }
+        val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+        p += rtCount * refSize
+        p += (if ((flags & 0x40) != 0) 4 else 1)
+        val dataLen = be32(data, p); p += 4
+        if (dataLen == 0xffffffffL || p + dataLen > data.length) stop = true
+        else {
+          out += Seg(segNum, segType, p, dataLen.toInt)
+          off = p + dataLen.toInt
+        }
+      }
+    } catch { case _: Exception => () }
+    out.result()
+  }
+
+  private val RegionTypes = Set(4, 6, 7, 20, 22, 23, 36, 38, 39, 40, 42, 43)
+  private val GenericRegionTypes = Set(36, 38, 39)
+
+  /** (width, height) from segment headers only — page info preferred,
+    * any region's geometry as the fallback. No payload decode.
+    */
+  def dims(data: Array[Byte]): Option[(Int, Int)] = {
+    var page: Option[(Int, Int)] = None
+    var region: Option[(Int, Int)] = None
+    segments(data).foreach { s =>
+      if (s.dataLen >= 8) {
+        val w = be32(data, s.dataOff); val h = be32(data, s.dataOff + 4)
+        if (s.segType == 48 && page.isEmpty && w > 0 && h > 0 && h < 0xffffffffL)
+          page = Some((w.toInt, h.toInt))
+        else if (RegionTypes.contains(s.segType) && region.isEmpty && w > 0 && h > 0)
+          region = Some((w.toInt, h.toInt))
+      }
+    }
+    page.orElse(region)
+  }
+
+  private val MaxPixels = 64 << 20 // 64 Mpx cap: a lying header cannot OOM
+
+  private final case class Region(x: Int, y: Int, w: Int, h: Int,
+      bits: Array[Byte], combOp: Int)
+
+  /** Decode the whole embedded stream into a gray page raster (black =
+    * 0x00, white = 0xFF) — generic regions only; None when the stream
+    * needs symbol/text/halftone/refinement decoding or is malformed.
+    */
+  def decodePage(data: Array[Byte]): Option[(Array[Byte], Int, Int)] = try {
+    val segs = segments(data)
+    if (segs.isEmpty) return None
+    var pw = -1L; var ph = -1L; var defPixel = 0
+    val regions = Seq.newBuilder[Region]
+    var nRegions = 0
+    segs.foreach { s =>
+      s.segType match {
+        case 48 if s.dataLen >= 17 => // page information (7.4.8)
+          pw = be32(data, s.dataOff)
+          ph = be32(data, s.dataOff + 4) // 0xffffffff = striped/unknown
+          defPixel = (data(s.dataOff + 16) >> 2) & 1
+        case t if GenericRegionTypes.contains(t) =>
+          // region segment info (7.4.1): W H X Y extCombOp
+          if (s.dataLen < 18) return None
+          val o = s.dataOff
+          val w = be32(data, o).toInt; val h = be32(data, o + 4).toInt
+          val x = be32(data, o + 8).toInt; val y = be32(data, o + 12).toInt
+          val combOp = data(o + 16) & 0x7
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+          // generic region segment flags (7.4.6.2)
+          val gf = data(o + 17) & 0xff
+          val mmr = (gf & 1) == 1
+          val template = (gf >> 1) & 3
+          val tpgdon = ((gf >> 3) & 1) == 1
+          var p = o + 18
+          val at: Array[(Int, Int)] =
+            if (mmr) Array.empty
+            else {
+              val nAt = if (template == 0) 4 else 1
+              val a = (0 until nAt).map(k =>
+                (data(p + 2 * k).toInt, data(p + 2 * k + 1).toInt)).toArray
+              p += 2 * nAt
+              a
+            }
+          val bits: Array[Byte] =
+            if (mmr) {
+              // T.6-coded: reuse the CCITT G4 engine (k < 0 = pure 2D)
+              val slice = java.util.Arrays.copyOfRange(data, p, s.dataOff + s.dataLen)
+              val (gray, gotH) = CcittDecode.decode(slice,
+                CcittDecode.Params(columns = w, rows = h, k = -1)).getOrElse(return None)
+              if (gotH < h) return None
+              gray.take(w * h).map(g => if (g == 0) 1.toByte else 0.toByte)
+            } else decodeGenericMq(data, p, s.dataOff + s.dataLen, w, h,
+              template, tpgdon, at)
+          regions += Region(x, y, w, h, bits, combOp)
+          nRegions += 1
+        case t if RegionTypes.contains(t) =>
+          return None // symbol/text/halftone/refinement: out of scope
+        case _ => () // page end, end-of-stripe, extensions: structural only
+      }
+    }
+    if (nRegions == 0) return None
+    val rs = regions.result()
+    val w = (if (pw > 0) pw else rs.map(r => (r.x + r.w).toLong).max).toInt
+    val h = (if (ph > 0 && ph < 0xffffffffL) ph
+      else rs.map(r => (r.y + r.h).toLong).max).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+    val page = Array.fill[Byte](w * h)(defPixel.toByte)
+    rs.foreach { r =>
+      var yy = 0
+      while (yy < r.h) {
+        val py = r.y + yy
+        if (py >= 0 && py < h) {
+          var xx = 0
+          while (xx < r.w) {
+            val px = r.x + xx
+            if (px >= 0 && px < w) {
+              val v = r.bits(yy * r.w + xx)
+              val o = py * w + px
+              page(o) = (r.combOp match {
+                case 0 => page(o) | v // OR
+                case 1 => page(o) & v // AND
+                case 2 => page(o) ^ v // XOR
+                case 3 => ((page(o) ^ v) ^ 1) & 1 // XNOR
+                case _ => v.toInt // REPLACE
+              }).toByte
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+    }
+    Some((page.map(b => if (b != 0) 0x00.toByte else 0xff.toByte), w, h))
+  } catch { case _: Exception => None }
+}

@@ -122,51 +122,20 @@ private[graft] object PdfText {
     * geometry the PDF dict merely DECLARES from the bitstream itself, so
     * the two cross-check and a lying dict no longer wins.
     */
-  private[graft] def jbig2Dims(data: Array[Byte]): Option[(Int, Int)] = {
-    def be32(o: Int): Long =
-      ((data(o) & 0xffL) << 24) | ((data(o + 1) & 0xffL) << 16) |
-        ((data(o + 2) & 0xffL) << 8) | (data(o + 3) & 0xffL)
-    // 4/6/7 text, 20/22/23 halftone, 36/38/39 generic, 40/42/43 refinement
-    val regionTypes = Set(4, 6, 7, 20, 22, 23, 36, 38, 39, 40, 42, 43)
-    var off = 0
-    var pageDims: Option[(Int, Int)] = None
-    var regionDims: Option[(Int, Int)] = None
-    try {
-      while (off + 11 <= data.length && regionDims.isEmpty) {
-        val segNum = be32(off)
-        val flags = data(off + 4) & 0xff
-        val segType = flags & 0x3f
-        var p = off + 5
-        // referred-to segment count: short form in the top 3 bits, long
-        // form (value 7) = 4-byte count + ceil((count+1)/8) retain bytes
-        val rtByte = data(p) & 0xff
-        val rtCount =
-          if ((rtByte >>> 5) == 7) {
-            val c = (be32(p) & 0x1fffffffL).toInt
-            p += 4 + ((c + 8) / 8)
-            c
-          } else { p += 1; rtByte >>> 5 }
-        val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
-        p += rtCount * refSize
-        p += (if ((flags & 0x40) != 0) 4 else 1) // page association size
-        val dataLen = be32(p); p += 4
-        if (p + 8 <= data.length) {
-          if (segType == 48 && pageDims.isEmpty) {
-            val w = be32(p); val h = be32(p + 4)
-            // height 0xffffffff = striped/unknown — keep probing regions
-            if (w > 0 && h > 0 && h < 0xffffffffL)
-              pageDims = Some((w.toInt, h.toInt))
-          } else if (regionTypes.contains(segType)) {
-            val w = be32(p); val h = be32(p + 4)
-            if (w > 0 && h > 0) regionDims = Some((w.toInt, h.toInt))
-          }
-        }
-        if (dataLen == 0xffffffffL) return pageDims.orElse(regionDims) // unknown length: stop
-        off = p + dataLen.toInt
-      }
-      pageDims.orElse(regionDims)
-    } catch { case _: Exception => pageDims.orElse(regionDims) }
-  }
+  private[graft] def jbig2Dims(data: Array[Byte]): Option[(Int, Int)] =
+    Jbig2Decode.dims(data)
+
+  /** Decode a JBIG2 image stream to a gray `BufferedImage` (black 0x00 on
+    * white 0xFF, same semantic raster as [[ccittToGray]]); None when the
+    * stream needs segment kinds beyond the generic-region subset.
+    */
+  private def jbig2ToGray(st: PdfStream): Option[java.awt.image.BufferedImage] =
+    Jbig2Decode.decodePage(st.data).map { case (px, w, h) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      img
+    }
 
   /** `/CCITTFaxDecode` parameters from the stream dict (defaults per ISO
     * 32000-1 Table 11); `/Rows` absent falls back to the image `/Height`
@@ -245,8 +214,10 @@ private[graft] object PdfText {
     *  - CCITT G3/G4 fax streams decode through [[CcittDecode]] and
     *    re-encode the semantic black-on-white raster as gray PNG — scanned
     *    pages feed perceptual dedup like any image file;
-    *  - JBIG2/JPX streams are skipped (no JDK codec — they still appear in
-    *    [[extractImageDims]] via their dict).
+    *  - JBIG2 generic-region streams (the scanned-page shape) decode
+    *    through [[Jbig2Decode]] — MQ arithmetic or MMR — and re-encode as
+    *    gray PNG; symbol/text-region JBIG2 and JPX are skipped (they still
+    *    appear in [[extractImageDims]] via segment headers / the dict).
     */
   def extractImages(bytes: Array[Byte],
       password: Array[Byte] = Array.empty): Seq[Array[Byte]] = {
@@ -254,6 +225,7 @@ private[graft] object PdfText {
     streams.flatMap { st =>
       if (isDct(st)) Some(st.data)
       else if (isCcitt(st)) ccittToGray(st).flatMap(pngBytes)
+      else if (isJbig2(st)) jbig2ToGray(st).flatMap(pngBytes)
       else if (isRasterImage(st)) rasterToPng(st)
       else None
     }

@@ -1,0 +1,249 @@
+package graft.sources.unstructured
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JBIG2 generic-region decoding, pinned by a structurally independent MQ
+  * ENCODER written from T.88 Annex E's encoder-side flowcharts (the
+  * decoder implements only the decoder-side ones): random and structured
+  * bitmaps roundtrip through every template, with and without TPGDON,
+  * with nominal and moved adaptive pixels, and through the MMR (T.6)
+  * coding option via [[CcittDecode.encodeG4]]. Page composition (origin
+  * placement, OR combination, default pixel value) is asserted on
+  * multi-segment streams.
+  */
+class Jbig2Suite extends AnyFunSuite {
+
+  // ---- test-side MQ encoder (T.88 E.3.5-E.3.9, software conventions) ----
+  private final class MqEncoder {
+    private val buf = scala.collection.mutable.ArrayBuffer[Int](0) // sentinel
+    private var bp = 0
+    private var c = 0L
+    private var a = 0x8000
+    private var ct = 12
+
+    private def append(v: Int): Unit = { buf += (v & 0xff); bp = buf.length - 1 }
+
+    private def byteOut(): Unit = {
+      if (buf(bp) == 0xff) {
+        append((c >>> 20).toInt); c &= 0xfffff; ct = 7
+      } else if (c >= 0x8000000L) {
+        buf(bp) += 1
+        if (buf(bp) == 0xff) { c &= 0x7ffffff; append((c >>> 20).toInt); c &= 0xfffff; ct = 7 }
+        else { append((c >>> 19).toInt); c &= 0x7ffff; ct = 8 }
+      } else { append((c >>> 19).toInt); c &= 0x7ffff; ct = 8 }
+    }
+
+    private def renorm(): Unit = {
+      while ({
+        if (ct == 0) byteOut()
+        a <<= 1; c = (c << 1) & 0xfffffffL; ct -= 1
+        (a & 0x8000) == 0
+      }) ()
+    }
+
+    def encode(cxs: Array[Int], label: Int, bit: Int): Unit = {
+      var i = cxs(label) >>> 1
+      var mps = cxs(label) & 1
+      val qe = Jbig2Decode.Qe(i)
+      if (bit == mps) { // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe else c += qe
+          i = Jbig2Decode.Nmps(i)
+          renorm()
+        } else c += qe
+      } else { // CODELPS
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (Jbig2Decode.SwitchFlag(i) == 1) mps = 1 - mps
+        i = Jbig2Decode.Nlps(i)
+        renorm()
+      }
+      cxs(label) = (i << 1) | mps
+    }
+
+    def flush(): Array[Byte] = {
+      // SETBITS: largest C with trailing 1s still below C + A
+      val lim = c + a
+      c |= 0xffff
+      if (c >= lim) c -= 0x8000
+      c <<= ct; byteOut()
+      c <<= ct; byteOut()
+      if (buf(bp) != 0xff) append(0xff)
+      append(0xac)
+      (if (buf.head == 0) buf.drop(1) else buf.toSeq).map(_.toByte).toArray
+    }
+  }
+
+  /** Encoder twin of [[Jbig2Decode.decodeGenericMq]] over the same slots. */
+  private def encodeGenericMq(bits: Array[Byte], w: Int, h: Int, template: Int,
+      tpgdon: Boolean, at: Array[(Int, Int)]): Array[Byte] = {
+    val slots = Jbig2Decode.templateSlots(template, at)
+    val cxs = new Array[Int](1 << slots.length)
+    val enc = new MqEncoder
+    var ltp = false
+    var y = 0
+    while (y < h) {
+      val sameAsPrev = y > 0 &&
+        (0 until w).forall(x => bits(y * w + x) == bits((y - 1) * w + x))
+      if (tpgdon) {
+        val want = sameAsPrev // copy rows whenever possible
+        val sltp = if (want != ltp) 1 else 0
+        enc.encode(cxs, Jbig2Decode.TpgdContext(template), sltp)
+        if (sltp == 1) ltp = !ltp
+      }
+      if (!(tpgdon && ltp)) {
+        var x = 0
+        while (x < w) {
+          var label = 0
+          slots.foreach { case (dx, dy) =>
+            val xx = x + dx; val yy = y + dy
+            val bit = if (xx < 0 || xx >= w || yy < 0) 0 else bits(yy * w + xx).toInt
+            label = (label << 1) | bit
+          }
+          enc.encode(cxs, label, bits(y * w + x).toInt)
+          x += 1
+        }
+      }
+      y += 1
+    }
+    enc.flush()
+  }
+
+  private def structured(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      b(y * w + x) =
+        (if ((x / 4 + y / 3) % 2 == 0 || x == y) 1 else 0).toByte
+    b
+  }
+
+  private def noisy(w: Int, h: Int, seed: Int, density: Double): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(w * h)((if (rnd.nextDouble() < density) 1 else 0).toByte)
+  }
+
+  test("MQ generic regions roundtrip: all templates, TPGDON on/off, moved AT pixels") {
+    val cases = Seq(
+      (structured(37, 23), 37, 23),
+      (noisy(64, 16, 7, 0.5), 64, 16),
+      (noisy(33, 40, 11, 0.05), 33, 40), // sparse: long MPS runs
+      (Array.fill[Byte](20 * 9)(1), 20, 9), // solid black
+      (new Array[Byte](20 * 9), 20, 9)) // solid white
+    for ((bits, w, h) <- cases; template <- 0 to 3; tpgdon <- Seq(false, true)) {
+      val at = Jbig2Decode.nominalAt(template)
+      val coded = encodeGenericMq(bits, w, h, template, tpgdon, at)
+      val got = Jbig2Decode.decodeGenericMq(coded, 0, coded.length, w, h,
+        template, tpgdon, at)
+      assert(java.util.Arrays.equals(got, bits),
+        s"roundtrip template=$template tpgdon=$tpgdon ${w}x$h")
+    }
+    // non-nominal adaptive pixels keep their figure SLOT, so both sides
+    // must agree on the label layout with moved ATs too
+    val bits = structured(31, 17)
+    val movedT0 = Array((5, -1), (-5, -1), (4, -2), (-4, -2))
+    val c0 = encodeGenericMq(bits, 31, 17, 0, false, movedT0)
+    assert(java.util.Arrays.equals(
+      Jbig2Decode.decodeGenericMq(c0, 0, c0.length, 31, 17, 0, false, movedT0), bits))
+    val movedT2 = Array((-4, -1))
+    val c2 = encodeGenericMq(bits, 31, 17, 2, true, movedT2)
+    assert(java.util.Arrays.equals(
+      Jbig2Decode.decodeGenericMq(c2, 0, c2.length, 31, 17, 2, true, movedT2), bits))
+  }
+
+  // ---- embedded-stream builders ----
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def segment(num: Long, segType: Int, data: Array[Byte]): Array[Byte] =
+    be32(num) ++ Array(segType.toByte, 0.toByte, 1.toByte) ++
+      be32(data.length.toLong) ++ data
+
+  private def pageInfo(w: Int, h: Int, defPixel: Int = 0): Array[Byte] =
+    be32(w) ++ be32(h) ++ be32(0) ++ be32(0) ++
+      Array(((defPixel & 1) << 2).toByte, 0.toByte, 0.toByte)
+
+  private def genericRegion(x: Int, y: Int, w: Int, h: Int, bits: Array[Byte],
+      template: Int = 0, tpgdon: Boolean = false, mmr: Boolean = false): Array[Byte] = {
+    val info = be32(w) ++ be32(h) ++ be32(x) ++ be32(y) ++ Array(0.toByte) // OR
+    val flags = ((if (mmr) 1 else 0) | (template << 1) |
+      (if (tpgdon) 8 else 0)).toByte
+    val at = Jbig2Decode.nominalAt(template)
+    val atBytes =
+      if (mmr) Array.empty[Byte]
+      else at.flatMap { case (dx, dy) => Array(dx.toByte, dy.toByte) }
+    val coded =
+      if (mmr) CcittDecode.encodeG4(
+        bits.map(b => if (b != 0) 0x00.toByte else 0xff.toByte), w, h)
+      else encodeGenericMq(bits, w, h, template, tpgdon, at)
+    info ++ Array(flags) ++ atBytes ++ coded
+  }
+
+  test("embedded stream: page composition with two OR'd regions at offsets") {
+    val r1 = structured(12, 8)
+    val r2 = Array.fill[Byte](6 * 5)(1)
+    val stream = segment(0, 48, pageInfo(20, 14)) ++
+      segment(1, 38, genericRegion(2, 1, 12, 8, r1)) ++
+      segment(2, 39, genericRegion(10, 7, 6, 5, r2, template = 2, tpgdon = true))
+    val (gray, w, h) = Jbig2Decode.decodePage(stream).get
+    assert(w == 20 && h == 14)
+    // r1 black pixels land at +(2,1); r2 solid block at +(10,7); elsewhere white
+    for (y <- 0 until h; x <- 0 until w) {
+      val inR1 = x >= 2 && x < 14 && y >= 1 && y < 9 && r1((y - 1) * 12 + (x - 2)) != 0
+      val inR2 = x >= 10 && x < 16 && y >= 7 && y < 12
+      val expected: Byte = if (inR1 || inR2) 0x00 else 0xff.toByte
+      assert(gray(y * w + x) == expected, s"pixel ($x,$y)")
+    }
+    // header-only dims agree with the decoded raster
+    assert(Jbig2Decode.dims(stream) == Some((20, 14)))
+  }
+
+  test("MMR-coded generic regions decode through the T.6 engine") {
+    val bits = structured(24, 10)
+    val stream = segment(0, 48, pageInfo(24, 10)) ++
+      segment(1, 38, genericRegion(0, 0, 24, 10, bits, mmr = true))
+    val (gray, w, h) = Jbig2Decode.decodePage(stream).get
+    assert(w == 24 && h == 10)
+    for (i <- bits.indices)
+      assert((gray(i) == 0x00) == (bits(i) != 0), s"pixel $i")
+  }
+
+  test("symbol/text streams and garbage stay None (dims fallback handles them upstream)") {
+    // a text-region segment (type 6) is out of the generic subset
+    val textRegion = be32(10) ++ be32(10) ++ be32(0) ++ be32(0) ++
+      Array(0.toByte) ++ Array.fill[Byte](8)(0)
+    val stream = segment(0, 48, pageInfo(10, 10)) ++ segment(1, 6, textRegion)
+    assert(Jbig2Decode.decodePage(stream).isEmpty)
+    assert(Jbig2Decode.dims(stream) == Some((10, 10))) // dims still surface
+    assert(Jbig2Decode.decodePage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Jbig2Decode.decodePage(Array.empty[Byte]).isEmpty)
+    // a lying page header cannot allocate unbounded memory
+    val lying = segment(0, 48, pageInfo(Int.MaxValue, Int.MaxValue)) ++
+      segment(1, 38, genericRegion(0, 0, 4, 4, new Array[Byte](16)))
+    assert(Jbig2Decode.decodePage(lying).isEmpty)
+  }
+
+  test("pdf surface: a JBIG2 scanned page feeds extractImages as a PNG") {
+    import java.nio.charset.StandardCharsets
+    val bits = structured(40, 30)
+    val jb = segment(0, 48, pageInfo(40, 30)) ++
+      segment(1, 38, genericRegion(0, 0, 40, 30, bits, template = 1))
+    val pdf =
+      (s"%PDF-1.4\n5 0 obj << /Type /XObject /Subtype /Image /Width 40 " +
+        s"/Height 30 /BitsPerComponent 1 /Filter /JBIG2Decode " +
+        s"/Length ${jb.length} >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ jb ++
+      "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    val imgs = PdfText.extractImages(pdf)
+    assert(imgs.size == 1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(imgs.head))
+    assert(img.getWidth == 40 && img.getHeight == 30)
+    for (y <- 0 until 30; x <- 0 until 40) {
+      val black = (img.getRGB(x, y) & 0xff) < 128
+      assert(black == (bits(y * 40 + x) != 0), s"pixel ($x,$y)")
+    }
+    assert(PdfText.extractImageDims(pdf) == Seq((40, 30)))
+  }
+}

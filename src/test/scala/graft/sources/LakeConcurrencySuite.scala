@@ -741,6 +741,34 @@ class LakeConcurrencySuite extends SparkTestBase {
     }
   }
 
+  test("iceberg MoR: a stale UPDATE rebases past a disjoint append; a winner's new delete file conflicts") {
+    import org.apache.spark.sql.functions.expr
+    def staleUpdate(h: graft.plans.LakeRowLevel.RowLevelHandle,
+        set: (String, String), where: String): Unit =
+      graft.plans.LakeUpdateCommand(h,
+        Seq(set._1 -> graft.plans.LakeRowLevel.ExprBox(
+          org.apache.spark.sql.GraftSQLBridge.expression(expr(set._2)))),
+        graft.plans.LakeRowLevel.ExprBox(
+          org.apache.spark.sql.GraftSQLBridge.expression(expr(where)))).run(spark)
+    val (fqn, dir) = setupIcePart("ics8",
+      " TBLPROPERTIES ('write.update.mode' = 'merge-on-read', " +
+        "'write.delete.mode' = 'merge-on-read')")
+    val h1 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 9)") // disjoint winner
+    staleUpdate(h1, "id" -> "id + 1000", "id = 4") // mask+append re-keys onto it
+    val got = spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 12L).filterNot(_ == 4L) ++ Seq(100L, 1004L)).sorted,
+      "append and MoR update must both survive")
+    assert(IcebergLite.snapshot(spark, dir).deleteFiles.nonEmpty, "stayed merge-on-read")
+    // a winner's NEW delete file in the scan->commit window conflicts: the
+    // update may append a version of a row the winner deleted (write skew)
+    val h2 = staleHandle(fqn)
+    spark.sql(s"DELETE FROM $fqn WHERE id = 7") // winner: new delete manifest
+    intercept[LakeConcurrency.ConcurrentDeleteDeleteException] {
+      staleUpdate(h2, "id" -> "id + 1000", "p = 1")
+    }
+  }
+
   test("iceberg: a compaction (replace) rebases past appends it never read") {
     import org.apache.spark.sql.functions.col
     val (fqn, _) = setupIcePart("ics7")
