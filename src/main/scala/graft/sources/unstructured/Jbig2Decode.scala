@@ -1,13 +1,23 @@
 package graft.sources.unstructured
 
-/** JBIG2 decoder (ITU-T T.88 / ISO-IEC 14492) for the GENERIC-REGION
-  * subset of embedded PDF streams — the shape generic-mode encoders (e.g.
-  * `jbig2enc -generic`) emit for scanned pages: a page-information
-  * segment plus immediate generic regions, each either MQ-arithmetic
-  * coded (templates 0-3, adaptive pixels, TPGDON typical prediction) or
-  * MMR coded (ITU-T T.6 — routed through [[CcittDecode]]'s existing G4
-  * engine). Pages using symbol/text/halftone/refinement segments return
-  * None and the caller falls back to header-derived dimensions only.
+/** JBIG2 decoder (ITU-T T.88 / ISO-IEC 14492) for embedded PDF streams:
+  *
+  *  - GENERIC regions — MQ-arithmetic coded (templates 0-3, adaptive
+  *    pixels, TPGDON typical prediction) or MMR coded (ITU-T T.6, routed
+  *    through [[CcittDecode]]'s existing G4 engine) — the
+  *    `jbig2enc -generic` scanned-page shape;
+  *  - SYMBOL DICTIONARIES + TEXT regions (the symbol-mode shape real
+  *    JBIG2 encoders emit by default): Annex A arithmetic integer
+  *    decoding (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT prefix trees, IAID
+  *    symbol codes), height-class symbol decoding sharing one MQ decoder
+  *    and context set per dictionary, export runs, cross-segment symbol
+  *    references, and strip-wise instance placement with all four
+  *    reference corners, transposition, and S-offset.
+  *
+  * Out of the supported subset (huffman-coded dictionaries/regions,
+  * refinement/aggregation, halftone regions, imported bitmap-coding
+  * contexts): decodePage returns None and the caller falls back to
+  * header-derived dimensions only.
   *
   * The MQ decoder implements Annex E's software conventions; the context
   * bit order is the spec figures' raster order with each adaptive pixel
@@ -136,16 +146,17 @@ private[graft] object Jbig2Decode {
   private[unstructured] val TpgdContext: Array[Int] =
     Array(0x9B25, 0x0795, 0x00E5, 0x0195)
 
-  /** Decode one MQ-coded generic region to one-byte-per-pixel (1 = black). */
-  private[unstructured] def decodeGenericMq(data: Array[Byte], from: Int, until: Int,
+  /** Decode one generic bitmap from an ALREADY-RUNNING MQ decoder with a
+    * caller-held context array — the form symbol dictionaries need, where
+    * every symbol of a dictionary shares one decoder and one context set.
+    */
+  private[unstructured] def genericInto(mq: MqDecoder, cxs: Array[Int],
       w: Int, h: Int, template: Int, tpgdon: Boolean,
       at: Array[(Int, Int)]): Array[Byte] = {
     val slots = templateSlots(template, at)
     val dxs = slots.map(_._1)
     val dys = slots.map(_._2)
     val n = slots.length
-    val cxs = new Array[Int](1 << n)
-    val mq = new MqDecoder(data, from, until)
     val out = new Array[Byte](w * h)
     var ltp = false
     var y = 0
@@ -173,10 +184,240 @@ private[graft] object Jbig2Decode {
     out
   }
 
+  /** Decode one MQ-coded generic region to one-byte-per-pixel (1 = black). */
+  private[unstructured] def decodeGenericMq(data: Array[Byte], from: Int, until: Int,
+      w: Int, h: Int, template: Int, tpgdon: Boolean,
+      at: Array[(Int, Int)]): Array[Byte] = {
+    val slots = templateSlots(template, at)
+    val cxs = new Array[Int](1 << slots.length)
+    genericInto(new MqDecoder(data, from, until), cxs, w, h, template, tpgdon, at)
+  }
+
+  // ---- arithmetic integer decoding (T.88 Annex A) ----
+
+  /** One IAx integer decoding procedure's adaptive contexts (A.2/A.3):
+    * a 512-entry prefix tree the PREV register walks.
+    */
+  private[unstructured] final class IntCtx { val cx = new Array[Int](512) }
+
+  private[unstructured] val OOB = Int.MinValue
+
+  /** A.2 IAx decode: returns the signed value, or [[OOB]]. */
+  private[unstructured] def decodeInt(mq: MqDecoder, ctx: IntCtx): Int = {
+    var prev = 1
+    def bit(): Int = {
+      val b = mq.decode(ctx.cx, prev)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+      b
+    }
+    def read(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    val s = bit()
+    val v =
+      if (bit() == 0) read(2)
+      else if (bit() == 0) read(4) + 4
+      else if (bit() == 0) read(6) + 20
+      else if (bit() == 0) read(8) + 84
+      else if (bit() == 0) read(12) + 340
+      else read(32) + 4436
+    if (s == 1 && v == 0) OOB else if (s == 1) -v else v
+  }
+
+  /** A.3 IAID decode: `codeLen` fixed bits through a prefix-tree context. */
+  private[unstructured] def decodeIaid(mq: MqDecoder, cx: Array[Int], codeLen: Int): Int = {
+    var prev = 1
+    var i = 0
+    while (i < codeLen) { prev = (prev << 1) | mq.decode(cx, prev); i += 1 }
+    prev - (1 << codeLen)
+  }
+
+  /** log2 symbol-code length: max(1, ceil(log2(n))) per the spec erratum. */
+  private[unstructured] def symCodeLen(n: Int): Int = {
+    var len = 0
+    while ((1 << len) < n) len += 1
+    math.max(1, len)
+  }
+
+  private[unstructured] final case class Bitmap(w: Int, h: Int, bits: Array[Byte])
+
+  /** Symbol dictionary decode (T.88 6.5, arithmetic, no refinement /
+    * aggregation / huffman — the `jbig2enc` symbol-mode shape). Returns
+    * the EXPORTED symbols; None when the dictionary needs an unsupported
+    * feature.
+    */
+  private[unstructured] def decodeSymbolDict(data: Array[Byte], from: Int, until: Int,
+      inputSymbols: Seq[Bitmap]): Option[Seq[Bitmap]] = {
+    if (until - from < 12) return None
+    val flags = ((data(from) & 0xff) << 8) | (data(from + 1) & 0xff)
+    val sdhuff = (flags & 1) == 1
+    val sdrefagg = ((flags >> 1) & 1) == 1
+    val ctxUsed = ((flags >> 8) & 1) == 1
+    val template = (flags >> 10) & 3
+    if (sdhuff || sdrefagg || ctxUsed) return None // out of the arithmetic subset
+    var p = from + 2
+    val nAt = if (template == 0) 4 else 1
+    val at = (0 until nAt).map(k =>
+      (data(p + 2 * k).toInt, data(p + 2 * k + 1).toInt)).toArray
+    p += 2 * nAt
+    val numEx = be32(data, p).toInt; val numNew = be32(data, p + 4).toInt
+    p += 8
+    if (numNew < 0 || numNew > (1 << 16) || numEx < 0) return None
+    val mq = new MqDecoder(data, p, until)
+    val iadh = new IntCtx; val iadw = new IntCtx
+    val iaex = new IntCtx // IAAI exists only under refinement/aggregation
+    val genCx = new Array[Int](1 << templateSlots(template, at).length)
+    val newSyms = Seq.newBuilder[Bitmap]
+    var decoded = 0
+    var hcHeight = 0
+    while (decoded < numNew) {
+      val dh = decodeInt(mq, iadh)
+      if (dh == OOB) return None
+      hcHeight += dh
+      if (hcHeight <= 0 || hcHeight > (1 << 14)) return None
+      var symWidth = 0
+      var endOfClass = false
+      // every height class reads widths UNTIL OOB — the terminator is part
+      // of the stream even when the symbol count is already reached, and
+      // skipping it would desync the shared MQ decoder before export runs
+      while (!endOfClass) {
+        val dw = decodeInt(mq, iadw)
+        if (dw == OOB) endOfClass = true
+        else {
+          if (decoded >= numNew) return None // excess symbol: malformed
+          symWidth += dw
+          if (symWidth <= 0 || symWidth > (1 << 14)) return None
+          newSyms += Bitmap(symWidth, hcHeight,
+            genericInto(mq, genCx, symWidth, hcHeight, template, tpgdon = false, at))
+          decoded += 1
+        }
+      }
+    }
+    val all = inputSymbols ++ newSyms.result()
+    // export runs (6.5.10): alternating skip/export run lengths via IAEX
+    val exported = Seq.newBuilder[Bitmap]
+    var exIndex = 0
+    var exFlag = false
+    var taken = 0
+    while (exIndex < all.size && taken < numEx) {
+      val run = decodeInt(mq, iaex)
+      if (run == OOB || run < 0) return None
+      if (exFlag) {
+        val upTo = math.min(exIndex + run, all.size)
+        (exIndex until upTo).foreach { i =>
+          if (taken < numEx) { exported += all(i); taken += 1 }
+        }
+      }
+      exIndex += run
+      exFlag = !exFlag
+    }
+    Some(exported.result())
+  }
+
+  /** Text region decode (T.88 6.4, arithmetic, no refinement / huffman /
+    * transposition constraints beyond the flag): places referred-dictionary
+    * symbols onto the region bitmap. None when unsupported features appear.
+    */
+  private[unstructured] def decodeTextRegion(data: Array[Byte], from: Int, until: Int,
+      w: Int, h: Int, symbols: Seq[Bitmap]): Option[Array[Byte]] = {
+    if (until - from < 6 || symbols.isEmpty) return None
+    val flags = ((data(from) & 0xff) << 8) | (data(from + 1) & 0xff)
+    val sbhuff = (flags & 1) == 1
+    val refine = ((flags >> 1) & 1) == 1
+    val logStrips = (flags >> 2) & 3
+    val refCorner = (flags >> 4) & 3
+    val transposed = ((flags >> 6) & 1) == 1
+    val combOp = (flags >> 7) & 3
+    val defPixel = (flags >> 9) & 1
+    var dsOffset = (flags >> 10) & 0x1f
+    if (dsOffset > 15) dsOffset -= 32 // 5-bit signed
+    if (sbhuff || refine) return None
+    val strips = 1 << logStrips
+    var p = from + 2
+    val numInstances = be32(data, p).toInt; p += 4
+    if (numInstances < 0 || numInstances > (1 << 20)) return None
+    val mq = new MqDecoder(data, p, until)
+    val iadt = new IntCtx; val iafs = new IntCtx
+    val iads = new IntCtx; val iait = new IntCtx
+    val codeLen = symCodeLen(symbols.size)
+    val iaid = new Array[Int](1 << (codeLen + 1))
+    val out = if (defPixel == 1) Array.fill[Byte](w * h)(1) else new Array[Byte](w * h)
+    def draw(bm: Bitmap, x0: Int, y0: Int): Unit = {
+      var yy = 0
+      while (yy < bm.h) {
+        val py = y0 + yy
+        if (py >= 0 && py < h) {
+          var xx = 0
+          while (xx < bm.w) {
+            val px = x0 + xx
+            if (px >= 0 && px < w) {
+              val v = bm.bits(yy * bm.w + xx)
+              val o = py * w + px
+              out(o) = (combOp match {
+                case 0 => out(o) | v
+                case 1 => out(o) & v
+                case 2 => out(o) ^ v
+                case _ => ((out(o) ^ v) ^ 1) & 1
+              }).toByte
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+    }
+    val dt0 = decodeInt(mq, iadt)
+    if (dt0 == OOB) return None
+    var stripT = -dt0 * strips
+    var firstS = 0
+    var n = 0
+    while (n < numInstances) {
+      val dt = decodeInt(mq, iadt)
+      if (dt == OOB) return None
+      stripT += dt * strips
+      var curS = 0
+      var first = true
+      var endOfStrip = false
+      while (!endOfStrip && n < numInstances) {
+        if (first) {
+          val dfs = decodeInt(mq, iafs)
+          if (dfs == OOB) return None
+          firstS += dfs; curS = firstS; first = false
+        } else {
+          val ids = decodeInt(mq, iads)
+          if (ids == OOB) endOfStrip = true
+          else curS += ids + dsOffset
+        }
+        if (!endOfStrip) {
+          val curT = if (strips == 1) 0 else {
+            val t = decodeInt(mq, iait); if (t == OOB) return None; t
+          }
+          val t = stripT + curT
+          val id = decodeIaid(mq, iaid, codeLen)
+          if (id < 0 || id >= symbols.size) return None
+          val bm = symbols(id)
+          if (!transposed) {
+            val y0 = if (refCorner == 0 || refCorner == 2) t - bm.h + 1 else t
+            draw(bm, curS, y0)
+            curS += bm.w - 1
+          } else {
+            val x0 = if (refCorner == 0 || refCorner == 1) t else t - bm.w + 1
+            draw(bm, x0, curS)
+            curS += bm.h - 1
+          }
+          n += 1
+        }
+      }
+    }
+    Some(out)
+  }
+
   // ---- segment structure (T.88 7.2; embedded = no file header) ----
 
   private[unstructured] final case class Seg(num: Long, segType: Int,
-      dataOff: Int, dataLen: Int)
+      dataOff: Int, dataLen: Int, refs: Seq[Long] = Nil)
 
   private def be32(data: Array[Byte], o: Int): Long =
     ((data(o) & 0xffL) << 24) | ((data(o + 1) & 0xffL) << 16) |
@@ -203,12 +444,20 @@ private[graft] object Jbig2Decode {
             c
           } else { p += 1; rtByte >>> 5 }
         val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+        val refs = (0 until rtCount).map { k =>
+          val o = p + k * refSize
+          refSize match {
+            case 1 => (data(o) & 0xffL)
+            case 2 => ((data(o) & 0xffL) << 8) | (data(o + 1) & 0xffL)
+            case _ => be32(data, o)
+          }
+        }
         p += rtCount * refSize
         p += (if ((flags & 0x40) != 0) 4 else 1)
         val dataLen = be32(data, p); p += 4
         if (dataLen == 0xffffffffL || p + dataLen > data.length) stop = true
         else {
-          out += Seg(segNum, segType, p, dataLen.toInt)
+          out += Seg(segNum, segType, p, dataLen.toInt, refs)
           off = p + dataLen.toInt
         }
       }
@@ -252,12 +501,31 @@ private[graft] object Jbig2Decode {
     var pw = -1L; var ph = -1L; var defPixel = 0
     val regions = Seq.newBuilder[Region]
     var nRegions = 0
+    // exported symbols per symbol-dictionary segment, consumed by text
+    // regions through their referred-segment lists
+    val symbolsBySeg = scala.collection.mutable.Map.empty[Long, Seq[Bitmap]]
     segs.foreach { s =>
       s.segType match {
         case 48 if s.dataLen >= 17 => // page information (7.4.8)
           pw = be32(data, s.dataOff)
           ph = be32(data, s.dataOff + 4) // 0xffffffff = striped/unknown
           defPixel = (data(s.dataOff + 16) >> 2) & 1
+        case 0 => // symbol dictionary (7.4.3)
+          val inputs = s.refs.flatMap(symbolsBySeg.getOrElse(_, Nil))
+          symbolsBySeg(s.num) = decodeSymbolDict(data, s.dataOff,
+            s.dataOff + s.dataLen, inputs).getOrElse(return None)
+        case 6 | 7 => // immediate (lossless) text region (7.4.4)
+          if (s.dataLen < 19) return None
+          val o = s.dataOff
+          val w = be32(data, o).toInt; val h = be32(data, o + 4).toInt
+          val x = be32(data, o + 8).toInt; val y = be32(data, o + 12).toInt
+          val combOp = data(o + 16) & 0x7
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+          val syms = s.refs.flatMap(symbolsBySeg.getOrElse(_, Nil))
+          val bits = decodeTextRegion(data, o + 17, o + s.dataLen, w, h, syms)
+            .getOrElse(return None)
+          regions += Region(x, y, w, h, bits, combOp)
+          nRegions += 1
         case t if GenericRegionTypes.contains(t) =>
           // region segment info (7.4.1): W H X Y extCombOp
           if (s.dataLen < 18) return None
@@ -294,7 +562,7 @@ private[graft] object Jbig2Decode {
           regions += Region(x, y, w, h, bits, combOp)
           nRegions += 1
         case t if RegionTypes.contains(t) =>
-          return None // symbol/text/halftone/refinement: out of scope
+          return None // intermediate-text/halftone/refinement: out of scope
         case _ => () // page end, end-of-stripe, extensions: structural only
       }
     }

@@ -75,12 +75,10 @@ class Jbig2Suite extends AnyFunSuite {
     }
   }
 
-  /** Encoder twin of [[Jbig2Decode.decodeGenericMq]] over the same slots. */
-  private def encodeGenericMq(bits: Array[Byte], w: Int, h: Int, template: Int,
-      tpgdon: Boolean, at: Array[(Int, Int)]): Array[Byte] = {
+  /** Encoder twin of [[Jbig2Decode.genericInto]]: shared encoder + contexts. */
+  private def encodeGenericInto(enc: MqEncoder, cxs: Array[Int], bits: Array[Byte],
+      w: Int, h: Int, template: Int, tpgdon: Boolean, at: Array[(Int, Int)]): Unit = {
     val slots = Jbig2Decode.templateSlots(template, at)
-    val cxs = new Array[Int](1 << slots.length)
-    val enc = new MqEncoder
     var ltp = false
     var y = 0
     while (y < h) {
@@ -107,7 +105,120 @@ class Jbig2Suite extends AnyFunSuite {
       }
       y += 1
     }
+  }
+
+  private def encodeGenericMq(bits: Array[Byte], w: Int, h: Int, template: Int,
+      tpgdon: Boolean, at: Array[(Int, Int)]): Array[Byte] = {
+    val cxs = new Array[Int](1 << Jbig2Decode.templateSlots(template, at).length)
+    val enc = new MqEncoder
+    encodeGenericInto(enc, cxs, bits, w, h, template, tpgdon, at)
     enc.flush()
+  }
+
+  // ---- encoder twins of Annex A integer / IAID decoding ----
+  private def encInt(enc: MqEncoder, ctx: Jbig2Decode.IntCtx, value: Int): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = {
+      enc.encode(ctx.cx, prev, b)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+    }
+    def write(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >>> i) & 1); i -= 1 }
+    }
+    bit(if (value < 0) 1 else 0)
+    val v = math.abs(value)
+    if (v < 4) { bit(0); write(v, 2) }
+    else if (v < 20) { bit(1); bit(0); write(v - 4, 4) }
+    else if (v < 84) { bit(1); bit(1); bit(0); write(v - 20, 6) }
+    else if (v < 340) { bit(1); bit(1); bit(1); bit(0); write(v - 84, 8) }
+    else if (v < 4436) { bit(1); bit(1); bit(1); bit(1); bit(0); write(v - 340, 12) }
+    else { (1 to 5).foreach(_ => bit(1)); write(v - 4436, 32) }
+  }
+
+  private def encOob(enc: MqEncoder, ctx: Jbig2Decode.IntCtx): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = {
+      enc.encode(ctx.cx, prev, b)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+    }
+    bit(1); bit(0); bit(0); bit(0) // S=1, 2-bit bucket, V=0 -> OOB
+  }
+
+  private def encIaid(enc: MqEncoder, cx: Array[Int], codeLen: Int, id: Int): Unit = {
+    var prev = 1
+    var i = codeLen - 1
+    val v = id | (1 << codeLen)
+    while (i >= 0) {
+      val b = (v >>> i) & 1
+      enc.encode(cx, prev, b)
+      prev = (prev << 1) | b
+      i -= 1
+    }
+  }
+
+  /** Symbol-dictionary segment DATA (arithmetic, no refinement): symbols
+    * MUST arrive sorted by ascending height; all new symbols export.
+    */
+  private def encodeSymbolDict(syms: Seq[Jbig2Decode.Bitmap], template: Int): Array[Byte] = {
+    val at = Jbig2Decode.nominalAt(template)
+    val enc = new MqEncoder
+    val iadh = new Jbig2Decode.IntCtx
+    val iadw = new Jbig2Decode.IntCtx
+    val iaex = new Jbig2Decode.IntCtx
+    val genCx = new Array[Int](1 << Jbig2Decode.templateSlots(template, at).length)
+    var hcHeight = 0
+    syms.groupBy(_.h).toSeq.sortBy(_._1).foreach { case (h, group) =>
+      encInt(enc, iadh, h - hcHeight); hcHeight = h
+      var symWidth = 0
+      group.foreach { bm =>
+        encInt(enc, iadw, bm.w - symWidth); symWidth = bm.w
+        encodeGenericInto(enc, genCx, bm.bits, bm.w, bm.h, template, tpgdon = false, at)
+      }
+      encOob(enc, iadw)
+    }
+    encInt(enc, iaex, 0) // skip-run 0
+    encInt(enc, iaex, syms.size) // export every new symbol
+    val body = enc.flush()
+    val flags = template << 10
+    val nAt = if (template == 0) 4 else 1
+    Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
+      (0 until nAt).flatMap(k => Seq(at(k)._1.toByte, at(k)._2.toByte)) ++
+      be32(syms.size.toLong) ++ be32(syms.size.toLong) ++ body
+  }
+
+  /** Text-region segment DATA (after the 17-byte region info): SBSTRIPS=1,
+    * instances = (s, t, symbol id) placed with `refCorner`, optional
+    * transposition, OR composition.
+    */
+  private def encodeTextRegion(instances: Seq[(Int, Int, Int)],
+      syms: Seq[Jbig2Decode.Bitmap], refCorner: Int,
+      transposed: Boolean = false): Array[Byte] = {
+    val enc = new MqEncoder
+    val iadt = new Jbig2Decode.IntCtx
+    val iafs = new Jbig2Decode.IntCtx
+    val iads = new Jbig2Decode.IntCtx
+    val codeLen = Jbig2Decode.symCodeLen(syms.size)
+    val iaid = new Array[Int](1 << (codeLen + 1))
+    encInt(enc, iadt, 0) // STRIPT starts at 0
+    var stripT = 0
+    var firstS = 0
+    instances.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (t, insts) =>
+      encInt(enc, iadt, t - stripT); stripT = t
+      var curS = 0
+      var first = true
+      insts.sortBy(_._1).foreach { case (s, _, id) =>
+        if (first) { encInt(enc, iafs, s - firstS); firstS = s; curS = s; first = false }
+        else { encInt(enc, iads, s - curS); curS = s }
+        encIaid(enc, iaid, codeLen, id)
+        curS += (if (transposed) syms(id).h else syms(id).w) - 1
+      }
+      encOob(enc, iads)
+    }
+    val body = enc.flush()
+    val flags = (refCorner << 4) | (if (transposed) 1 << 6 else 0)
+    Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
+      be32(instances.size.toLong) ++ body
   }
 
   private def structured(w: Int, h: Int): Array[Byte] = {
@@ -209,8 +320,9 @@ class Jbig2Suite extends AnyFunSuite {
       assert((gray(i) == 0x00) == (bits(i) != 0), s"pixel $i")
   }
 
-  test("symbol/text streams and garbage stay None (dims fallback handles them upstream)") {
-    // a text-region segment (type 6) is out of the generic subset
+  test("dictionary-less text regions and garbage stay None (dims fallback handles them upstream)") {
+    // a text-region segment (type 6) with no referred symbol dictionary is
+    // malformed — no symbols to place
     val textRegion = be32(10) ++ be32(10) ++ be32(0) ++ be32(0) ++
       Array(0.toByte) ++ Array.fill[Byte](8)(0)
     val stream = segment(0, 48, pageInfo(10, 10)) ++ segment(1, 6, textRegion)
@@ -222,6 +334,105 @@ class Jbig2Suite extends AnyFunSuite {
     val lying = segment(0, 48, pageInfo(Int.MaxValue, Int.MaxValue)) ++
       segment(1, 38, genericRegion(0, 0, 4, 4, new Array[Byte](16)))
     assert(Jbig2Decode.decodePage(lying).isEmpty)
+  }
+
+  private def segmentR(num: Long, segType: Int, refs: Seq[Long],
+      data: Array[Byte]): Array[Byte] =
+    be32(num) ++ Array(segType.toByte, ((refs.size << 5) & 0xff).toByte) ++
+      refs.map(_.toByte).toArray ++ Array(1.toByte) ++
+      be32(data.length.toLong) ++ data
+
+  private def glyph(rows: String*): Jbig2Decode.Bitmap = {
+    val h = rows.size; val w = rows.head.length
+    val bits = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) if (rows(y)(x) == '#') bits(y * w + x) = 1
+    Jbig2Decode.Bitmap(w, h, bits)
+  }
+
+  private def render(w: Int, h: Int, syms: Seq[Jbig2Decode.Bitmap],
+      insts: Seq[(Int, Int, Int)], refCorner: Int,
+      transposed: Boolean = false): Array[Byte] = {
+    val page = new Array[Byte](w * h)
+    insts.foreach { case (s, t, id) =>
+      val bm = syms(id)
+      val (x0, y0) =
+        if (!transposed) (s, if (refCorner == 0 || refCorner == 2) t - bm.h + 1 else t)
+        else (if (refCorner == 0 || refCorner == 1) t else t - bm.w + 1, s)
+      for (yy <- 0 until bm.h; xx <- 0 until bm.w; if bm.bits(yy * bm.w + xx) != 0) {
+        val px = x0 + xx; val py = y0 + yy
+        if (px >= 0 && px < w && py >= 0 && py < h) page(py * w + px) = 1
+      }
+    }
+    page
+  }
+
+  // glyphs sorted by ascending height: decode order = input order = symbol id
+  private val glyphs = Seq(
+    glyph("####",
+          "#..#",
+          "#..#",
+          "####"),
+    glyph("#....",
+          "#....",
+          "#....",
+          "#....",
+          "#....",
+          "#....",
+          "#####"),
+    glyph("#####",
+          "..#..",
+          "..#..",
+          "..#..",
+          "..#..",
+          "..#..",
+          "..#.."))
+
+  test("symbol dictionary roundtrips: height classes, width deltas, export runs") {
+    for (template <- Seq(0, 2)) {
+      val dictData = encodeSymbolDict(glyphs, template)
+      val decoded = Jbig2Decode.decodeSymbolDict(dictData, 0, dictData.length, Nil).get
+      assert(decoded.size == glyphs.size)
+      decoded.zip(glyphs).foreach { case (got, want) =>
+        assert(got.w == want.w && got.h == want.h)
+        assert(java.util.Arrays.equals(got.bits, want.bits))
+      }
+    }
+  }
+
+  test("text region places dictionary symbols: corners, transposition, strips") {
+    val insts = Seq((2, 6, 1), (9, 6, 2), (16, 9, 0), (3, 15, 2))
+    for (refCorner <- 0 to 3) {
+      val trData = encodeTextRegion(insts, glyphs, refCorner)
+      val got = Jbig2Decode.decodeTextRegion(trData, 0, trData.length, 30, 22, glyphs).get
+      assert(java.util.Arrays.equals(got, render(30, 22, glyphs, insts, refCorner)),
+        s"refCorner=$refCorner")
+    }
+    val trT = encodeTextRegion(insts, glyphs, 1, transposed = true)
+    val gotT = Jbig2Decode.decodeTextRegion(trT, 0, trT.length, 30, 25, glyphs).get
+    assert(java.util.Arrays.equals(gotT,
+      render(30, 25, glyphs, insts, 1, transposed = true)), "transposed")
+  }
+
+  test("embedded stream: symbol dict + text region compose onto the page via refs") {
+    val dictData = encodeSymbolDict(glyphs, 0)
+    val insts = Seq((2, 3, 1), (9, 3, 2), (16, 5, 0))
+    val trData = encodeTextRegion(insts, glyphs, refCorner = 1)
+    val regionInfo = be32(26) ++ be32(14) ++ be32(2) ++ be32(1) ++ Array(0.toByte)
+    val stream = segment(0, 48, pageInfo(30, 18)) ++
+      segmentR(1, 0, Nil, dictData) ++
+      segmentR(2, 6, Seq(1L), regionInfo ++ trData)
+    val (gray, w, h) = Jbig2Decode.decodePage(stream).get
+    assert(w == 30 && h == 18)
+    val region = render(26, 14, glyphs, insts, 1)
+    for (y <- 0 until h; x <- 0 until w) {
+      val inRegion = x >= 2 && x < 28 && y >= 1 && y < 15 &&
+        region((y - 1) * 26 + (x - 2)) != 0
+      assert((gray(y * w + x) == 0x00) == inRegion, s"pixel ($x,$y)")
+    }
+    // a text region whose dictionary reference is missing stays None
+    val orphan = segment(0, 48, pageInfo(30, 18)) ++
+      segmentR(2, 6, Seq(9L), regionInfo ++ trData)
+    assert(Jbig2Decode.decodePage(orphan).isEmpty)
   }
 
   test("pdf surface: a JBIG2 scanned page feeds extractImages as a PNG") {
