@@ -266,6 +266,76 @@ object Dedup {
     labels.select(col("id"), col("comp").as("group_id"))
   }
 
+  /** Connected components by the ALTERNATING large-star / small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): converges in O(log n) rounds REGARDLESS of component
+    * diameter, where [[duplicateGroups]]'s min-label propagation needs one
+    * round per diameter hop. Same output contract — (id, group_id = the
+    * component's min id) over every id appearing in `pairs`.
+    *
+    * When to pick which: near-duplicate clusters from banded MinHash are
+    * clique-shaped (diameter 2-3), so min-label's one-shuffle rounds win
+    * there — it stays the gate default. CHAIN-shaped graphs (incremental
+    * ingest linking day N's docs to day N+1's, entity-resolution paths)
+    * grow diameter with the corpus, and at 100 TB a diameter-bound loop is
+    * a non-starter: this is the scale path for those. Each round costs a
+    * large-star (neighbor-min groupBy + join) and a small-star (per-node
+    * min groupBy + join), both over the shrinking edge set.
+    *
+    * @param maxIter round bound; O(log n) suffices — 35 covers any graph
+    *                that fits in storage
+    */
+  def duplicateGroupsStar(pairs: DataFrame, maxIter: Int = 35,
+      requireConvergence: Boolean = true): DataFrame = {
+    // canonical directed form: u > v (larger endpoint first), no self loops
+    def canon(df: DataFrame): DataFrame =
+      df.where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    // large-star: every node links its strictly-larger neighbors to the
+    // minimum of its neighborhood (including itself) — long chains collapse
+    // toward minima in halving hops
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.where(col("v") > col("u")).join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m: stays canonical
+    }
+    // small-star: every node links its smaller neighbors (and itself) to
+    // their collective minimum — stars flatten to depth one
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = e.join(mins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      relinked.unionByName(mins.select(col("u"), col("m").as("v")))
+    }
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = canon(smallStar(canon(largeStar(edges)))).localCheckpoint(true)
+      // exact fixpoint check (no probabilistic checksum): same count and
+      // no edge outside the previous set
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged) {
+      val msg = s"duplicateGroupsStar did not converge within maxIter=$maxIter rounds"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    // fixpoint = forest of stars: u -> root, roots close over themselves
+    edges.select(col("u").as("id"), col("v").as("group_id"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("group_id")))
+      .distinct()
+  }
+
   /** Retention policy over near-duplicate groups: keep the single best member
     * per group — highest `quality`, min-id tiebreak — with singletons keeping
     * themselves. Composes [[minHashDuplicates]] -> [[duplicateGroups]] -> a

@@ -594,6 +594,34 @@ object Pipeline {
         )
         SELECT id, MIN(comp) AS group_id FROM reach GROUP BY id ORDER BY id""")),
 
+    // ---- Same components via the ALTERNATING large-star/small-star
+    // algorithm — the O(log n)-round scale path for chain-shaped graphs
+    // whose diameter grows with the corpus (min-label above is
+    // diameter-bound). Connected components are unique, so the identical
+    // recursive-CTE oracle pins both implementations to each other. ----
+    QuerySpec("dedup_groups_star",
+      (s, dir) => {
+        val pairs = Dedup.minHashDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.7)
+        Dedup.duplicateGroupsStar(pairs).orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+          SELECT doc_id, $shingleSql AS s
+          FROM (SELECT doc_id, $toksSql AS tk, text FROM documents)
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.7
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src WHERE r.comp < e.dst
+        )
+        SELECT id, MIN(comp) AS group_id FROM reach GROUP BY id ORDER BY id""")),
+
     // ---- PII scrubbing: emails/SSNs/IPv4s/phones replaced by typed tokens,
     // plus per-category counts. The input plants deterministic PII derived
     // from doc_id so both engines scrub the same strings with the same

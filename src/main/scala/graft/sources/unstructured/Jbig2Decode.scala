@@ -241,14 +241,14 @@ private[graft] object Jbig2Decode {
     math.max(1, len)
   }
 
-  private[unstructured] final case class Bitmap(w: Int, h: Int, bits: Array[Byte])
+  private[graft] final case class Bitmap(w: Int, h: Int, bits: Array[Byte])
 
   /** Symbol dictionary decode (T.88 6.5, arithmetic, no refinement /
     * aggregation / huffman — the `jbig2enc` symbol-mode shape). Returns
     * the EXPORTED symbols; None when the dictionary needs an unsupported
     * feature.
     */
-  private[unstructured] def decodeSymbolDict(data: Array[Byte], from: Int, until: Int,
+  private[graft] def decodeSymbolDict(data: Array[Byte], from: Int, until: Int,
       inputSymbols: Seq[Bitmap]): Option[Seq[Bitmap]] = {
     if (until - from < 12) return None
     val flags = ((data(from) & 0xff) << 8) | (data(from + 1) & 0xff)
@@ -320,7 +320,7 @@ private[graft] object Jbig2Decode {
     * transposition constraints beyond the flag): places referred-dictionary
     * symbols onto the region bitmap. None when unsupported features appear.
     */
-  private[unstructured] def decodeTextRegion(data: Array[Byte], from: Int, until: Int,
+  private[graft] def decodeTextRegion(data: Array[Byte], from: Int, until: Int,
       w: Int, h: Int, symbols: Seq[Bitmap]): Option[Array[Byte]] = {
     if (until - from < 6 || symbols.isEmpty) return None
     val flags = ((data(from) & 0xff) << 8) | (data(from + 1) & 0xff)

@@ -247,6 +247,37 @@ class DedupSuite extends SparkTestBase {
     assert(partial.count() == 6)
   }
 
+  test("duplicateGroupsStar matches min-label on random graphs and beats it on diameter") {
+    import spark.implicits._
+    // random graphs: both algorithms must produce identical components
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val pairs = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+        .toDF("id_a", "id_b")
+      val a = Dedup.duplicateGroups(pairs, maxIter = 80)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val b = Dedup.duplicateGroupsStar(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(a == b, s"trial $trial: star labels must equal min-label labels")
+    }
+    // a 300-hop chain: min-label needs ~300 rounds (diameter-bound) — 15
+    // rounds leave it partially merged; the alternating algorithm closes
+    // the whole chain in O(log n) rounds under the same budget
+    val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val starLabels = Dedup.duplicateGroupsStar(chain, maxIter = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(starLabels.length == 300 && starLabels.forall(_._2 == 0L),
+      "the whole chain must collapse to component 0 within 15 rounds")
+    val minLabelPartial = Dedup.duplicateGroups(chain, maxIter = 15)
+      .collect().map(_.getLong(1)).distinct
+    assert(minLabelPartial.length > 1,
+      "min-label at the same round budget must still be partially merged " +
+        "(otherwise the star variant buys nothing)")
+  }
+
   test("duplicateGroups resolves chains and separate components") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),

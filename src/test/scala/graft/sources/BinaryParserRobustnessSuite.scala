@@ -185,4 +185,52 @@ class BinaryParserRobustnessSuite extends AnyFunSuite {
     val valid = bw.toByteArray
     for (cut <- 0 until valid.length) FlacDecode.decode(valid.take(cut))
   }
+
+  test("jbig2 decoder never throws on garbage, truncation, or hostile headers") {
+    import graft.sources.unstructured.Jbig2Decode
+    for (seed <- 0L until 100L) {
+      val junk = rndBytes(seed, 512)
+      Jbig2Decode.decodePage(junk) // None or a decode, never a throw
+      Jbig2Decode.dims(junk)
+    }
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def seg(num: Long, t: Int, data: Array[Byte]): Array[Byte] =
+      be32(num) ++ Array(t.toByte, 0.toByte, 1.toByte) ++
+        be32(data.length.toLong) ++ data
+    // hostile region headers: giant dims, zero dims, negative-ish values
+    for (w <- Seq(0L, 0xffffffffL, 1L << 20); h <- Seq(0L, 0x7fffffffL)) {
+      val region = be32(w) ++ be32(h) ++ be32(0) ++ be32(0) ++
+        Array(0.toByte, 0.toByte) ++ rndBytes(w + h, 64)
+      val t0 = System.nanoTime()
+      Jbig2Decode.decodePage(seg(0, 48, be32(w) ++ be32(h) ++ be32(0) ++ be32(0) ++
+        Array(0.toByte, 0.toByte, 0.toByte)) ++ seg(1, 38, region))
+      assert((System.nanoTime() - t0) / 1e9 < 5.0, s"hostile ${w}x$h must not spin")
+    }
+    // symbol dictionary with hostile counts + random MQ payload, and a
+    // text region whose payload is entropy noise: bounded, no throw
+    for (seed <- 100L until 130L) {
+      val dict = Array(0.toByte, 0.toByte) ++ // flags: arithmetic template 0
+        Array.fill[Byte](8)(3) ++ // AT
+        be32(1L << 30) ++ be32(1L << 30) ++ rndBytes(seed, 128)
+      assert(Jbig2Decode.decodeSymbolDict(dict, 0, dict.length, Nil).isEmpty)
+      val tr = Array(0.toByte, 0x10.toByte) ++ be32(4) ++ rndBytes(seed, 128)
+      Jbig2Decode.decodeTextRegion(tr, 0, tr.length, 32, 32,
+        Seq(Jbig2Decode.Bitmap(2, 2, Array[Byte](1, 0, 0, 1)))) // any result, no throw
+    }
+    // truncations of a VALID stream at every byte boundary
+    val bits = Array.tabulate[Byte](24 * 10)(i => (i % 3 min 1).toByte)
+    val gray = bits.map(b => if (b != 0) 0x00.toByte else 0xff.toByte)
+    val coded = graft.sources.unstructured.CcittDecode.encodeG4(gray, 24, 10)
+    val region = be32(24) ++ be32(10) ++ be32(0) ++ be32(0) ++
+      Array(0.toByte, 1.toByte) ++ coded
+    val stream = seg(0, 48, be32(24) ++ be32(10) ++ be32(0) ++ be32(0) ++
+      Array(0.toByte, 0.toByte, 0.toByte)) ++ seg(1, 38, region)
+    assert(Jbig2Decode.decodePage(stream).isDefined)
+    for (cut <- 0 until stream.length) {
+      Jbig2Decode.decodePage(stream.take(cut))
+      Jbig2Decode.dims(stream.take(cut))
+    }
+  }
 }
