@@ -769,6 +769,41 @@ class LakeConcurrencySuite extends SparkTestBase {
     }
   }
 
+  test("iceberg MoR: an insert-only MERGE losing to a same-key append conflicts — not a blind append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.plans.LakeRowLevel
+    val (fqn, _) = setupIcePart("ics9",
+      " TBLPROPERTIES ('write.update.mode' = 'merge-on-read')")
+    def emptyIds(h: graft.plans.LakeRowLevel.RowLevelHandle) =
+      h.scanWithRowIds(spark).where(lit(false))
+        .select(col(LakeRowLevel.FileIdCol), col(LakeRowLevel.RowIxCol))
+    // both writers plan "WHEN NOT MATCHED THEN INSERT (100, 9)" against the
+    // same snapshot; the first lands as an append
+    val h = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (100, 9)") // winner
+    // the loser's commit is adds-only, but it READ the table (whole-table
+    // ON-clause scope): the winner's add conflicts — otherwise both commit
+    // and the insert duplicates (Iceberg's validateAddedDataFiles)
+    intercept[LakeConcurrency.ConcurrentAppendException] {
+      h.commitUpdateRows(spark, emptyIds(h),
+        Seq((100L, 9)).toDF("id", "p"), None, "MERGE",
+        LakeRowLevel.ReadScope.wholeTable)
+    }
+    // with a scope whose predicate excludes the winner's rows, the same
+    // adds-only commit validates clean and commits
+    val h2 = staleHandle(fqn)
+    spark.sql(s"INSERT INTO $fqn VALUES (200, 9)") // winner: partition 9
+    val pAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("p", org.apache.spark.sql.types.IntegerType)()
+    h2.commitUpdateRows(spark, emptyIds(h2),
+      Seq((50L, 1)).toDF("id", "p"), None, "MERGE",
+      LakeRowLevel.ReadScope(readWholeTable = false,
+        Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(pAttr,
+          org.apache.spark.sql.catalyst.expressions.Literal(1))), Set.empty))
+    assert(spark.table(fqn).count() == 12L + 2 /* winners */ + 1 /* merge */)
+  }
+
   test("iceberg: a compaction (replace) rebases past appends it never read") {
     import org.apache.spark.sql.functions.col
     val (fqn, _) = setupIcePart("ics7")
