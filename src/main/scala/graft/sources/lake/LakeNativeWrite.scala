@@ -1033,10 +1033,16 @@ object LakeNativeWrite {
     require(retained.exists(_.id == m.currentId),
       s"retention window must include the current snapshot (retain >= " +
         s"${ordered.size - ordered.indexWhere(_.id == m.currentId)})")
-    // files newer than the newest retained snapshot cannot be expired
-    // snapshots' garbage — they are an in-flight writer's staged data
-    icebergExpireRetained(spark, dir, m, retained,
-      retained.map(_.timestampMs).maxOption.getOrElse(Long.MaxValue))
+    // files newer than the newest COMMIT cannot be expired snapshots'
+    // garbage — they are an in-flight writer's staged data. The guard
+    // compares against data files' FS modification times, so it must come
+    // from the same clock domain: the current metadata file's FS mtime,
+    // NOT snapshot timestampMs (the remote writer's clock — running ahead
+    // of this filesystem it would silently void the protection)
+    val mtimeGuard = scala.util.Try(dir.getFileSystem(conf)
+      .getFileStatus(IcebergLite.currentMetadataFile(conf, dir))
+      .getModificationTime).getOrElse(Long.MaxValue)
+    icebergExpireRetained(spark, dir, m, retained, mtimeGuard)
   }
 
   /** Age-based expiry (Iceberg's `expire_snapshots(older_than)` shape):
@@ -1700,8 +1706,10 @@ object LakeNativeWrite {
     // scan→commit window (metadata here is loaded fresh): validate it now,
     // and again on every lost version race
     val bSeq = baseSeq.getOrElse(m.lastSeq)
-    readScope.foreach(sc => validateRowDeltaRebase(spark, dir, bSeq, m, sc,
-      refFilesOf(spark, dir, delRel, nDel)))
+    // uncontended (nothing committed since the scan): skip the validation
+    if (m.lastSeq > bSeq)
+      readScope.foreach(sc => validateRowDeltaRebase(spark, dir, bSeq, m, sc,
+        refFilesOf(spark, dir, delRel, nDel)))
     val rebase = readScope.map { sc =>
       (m2: IceMeta, snapId: Long, seq: Long) => {
         val all2 = validateRowDeltaRebase(spark, dir, bSeq, m2, sc,
@@ -1800,8 +1808,10 @@ object LakeNativeWrite {
     // version race — the delete parquet itself is position-keyed on
     // still-live files, so a rebase re-keys it to a fresh sequence untouched
     val bSeq = baseSeq.getOrElse(m.lastSeq)
-    readScope.foreach(sc => validateRowDeltaRebase(spark, dir, bSeq, m, sc,
-      refFilesOf(spark, dir, rel, nRows)))
+    // uncontended (nothing committed since the scan): skip the validation
+    if (m.lastSeq > bSeq)
+      readScope.foreach(sc => validateRowDeltaRebase(spark, dir, bSeq, m, sc,
+        refFilesOf(spark, dir, rel, nRows)))
     val rebase = readScope.map { sc =>
       (m2: IceMeta, snapId: Long, seq: Long) => {
         val all2 = validateRowDeltaRebase(spark, dir, bSeq, m2, sc,
@@ -2090,8 +2100,10 @@ object LakeNativeWrite {
         throw new LakeConcurrency.ConcurrentAppendException(t, mW.metaVersion))
     }
     val (live, deleteManifests) = readLiveDataEntries(conf, dir, listPath,
-      if (readScope.isDefined) fieldsByIdOf(m) else Map.empty)
-    readScope.foreach(validate(_, m, live, deleteManifests))
+      if (readScope.isDefined && m.lastSeq > bSeq) fieldsByIdOf(m) else Map.empty)
+    // the uncontended case (nothing committed since the scan) skips the
+    // window validation entirely — no extra metadata work per DML
+    if (m.lastSeq > bSeq) readScope.foreach(validate(_, m, live, deleteManifests))
     val (removed0, _) = live.partition(e =>
       removedSet.contains(IcebergLite.normPath(e.filePath)))
     require(removed0.size == removedFids.size,

@@ -57,13 +57,14 @@ import java.util.zip.Inflater
   * raster samples re-encode as PNG), so scanned PDFs feed perceptual
   * dedup like any image file.
   *
-  * Known limits (documented, deliberate): no cross-reference parsing (we scan
-  * for `stream`..`endstream` directly, so xref streams are irrelevant), no
-  * JBIG2/JPX PIXEL decode (no JDK codec — JBIG2 geometry still parses
-  * from segment headers; PDFBox needs the codecs only for rasterization),
-  * no owner-password-based key recovery
-  * (Algorithm 2.A /OE path). When nothing decodable is found the caller
-  * falls back to the printable-ASCII heuristic.
+  * Known limits (documented, deliberate): no cross-reference parsing (we
+  * scan for `stream`..`endstream` directly, so xref streams are
+  * irrelevant); no JPX PIXEL decode and no JBIG2 huffman / refinement /
+  * halftone decode (generic + symbol/text JBIG2 decodes natively via
+  * [[Jbig2Decode]]; JBIG2/JPX GEOMETRY always parses from the payload
+  * itself; PDFBox needs the codecs only for rasterization). When nothing
+  * decodable is found the caller falls back to the printable-ASCII
+  * heuristic.
   *
   * Reference equivalent: PdfReaderFactory.scala:52-67 (PDFBox call).
   */
@@ -124,6 +125,62 @@ private[graft] object PdfText {
     */
   private[graft] def jbig2Dims(data: Array[Byte]): Option[(Int, Int)] =
     Jbig2Decode.dims(data)
+
+  private def isJpx(st: PdfStream): Boolean =
+    st.imageCodec.contains("JPXDecode")
+
+  /** Width/height from a JPX payload's OWN structure (ISO/IEC 15444-1):
+    * a JP2 container's `jp2h`/`ihdr` box, or a raw JPEG2000 codestream's
+    * SIZ marker (Xsiz-XOsiz × Ysiz-YOsiz). Geometry parity without a
+    * pixel codec — a lying dict loses, same as JBIG2.
+    */
+  private[graft] def jpxDims(data: Array[Byte]): Option[(Int, Int)] = try {
+    def be32(o: Int): Long =
+      ((data(o) & 0xffL) << 24) | ((data(o + 1) & 0xffL) << 16) |
+        ((data(o + 2) & 0xffL) << 8) | (data(o + 3) & 0xffL)
+    if (data.length >= 12 && be32(0) == 12 && be32(4) == 0x6a502020L) {
+      // JP2 container: walk top-level boxes to jp2h, then its ihdr
+      var off = 0
+      while (off + 8 <= data.length) {
+        val len0 = be32(off); val typ = be32(off + 4)
+        val hdr = if (len0 == 1) 16 else 8 // XLBox form
+        val end: Int =
+          if (len0 == 0) data.length // box runs to EOF
+          else {
+            val l = if (len0 == 1) {
+              if (off + 16 > data.length) return None
+              (be32(off + 8) << 32) | be32(off + 12)
+            } else len0
+            if (l < hdr) return None
+            math.min(data.length.toLong, off + l).toInt
+          }
+        if (typ == 0x6a703268L) { // jp2h
+          var so = off + hdr
+          while (so + 8 <= end) {
+            val sl = be32(so); val st = be32(so + 4)
+            if (st == 0x69686472L && so + 16 <= end) { // ihdr: height, width
+              val h = be32(so + 8); val w = be32(so + 12)
+              return if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+                Some((w.toInt, h.toInt)) else None
+            }
+            if (sl < 8) return None
+            so += sl.toInt
+          }
+          return None
+        }
+        if (end <= off) return None
+        off = end
+      }
+      None
+    } else if (data.length >= 24 && (data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0x4f &&
+        (data(2) & 0xff) == 0xff && (data(3) & 0xff) == 0x51) {
+      // raw codestream: SOC, SIZ(Lsiz Rsiz Xsiz Ysiz XOsiz YOsiz ...)
+      val w = be32(8) - be32(16); val h = be32(12) - be32(20)
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some((w.toInt, h.toInt))
+      else None
+    } else None
+  } catch { case _: Exception => None }
 
   /** Decode a JBIG2 image stream to a gray `BufferedImage` (black 0x00 on
     * white 0xFF, same semantic raster as [[ccittToGray]]); None when the
@@ -196,6 +253,7 @@ private[graft] object PdfText {
           catch { case _: Exception => None }
         else if (isCcitt(st)) ccittToGray(st).map(img => (img.getWidth, img.getHeight))
         else if (isJbig2(st)) jbig2Dims(st.data)
+        else if (isJpx(st)) jpxDims(st.data)
         else None
       decoded.orElse(for {
         w <- dictInt(st.dict, "/Width"); h <- dictInt(st.dict, "/Height")

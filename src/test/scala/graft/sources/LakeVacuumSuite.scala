@@ -274,5 +274,30 @@ class LakeVacuumSuite extends SparkTestBase {
     assert(staged.exists(),
       "a commitInfo clock a day ahead must not void the in-flight guard")
     assert(n == 0L)
+
+    // Iceberg twin: snapshot timestamp-ms carries the remote writer's
+    // clock — a day-ahead value must not void the staged-file guard either
+    val iroot = tmpDir("vac-skew-i")
+    val idir = new Path(s"$iroot/t")
+    import spark.implicits._
+    LakeNativeWrite.icebergCreate(spark, idir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Nil)
+    LakeNativeWrite.icebergInsert(spark, idir, Seq(1L).toDF("id"), overwrite = false)
+    LakeNativeWrite.icebergInsert(spark, idir, Seq(2L).toDF("id"), overwrite = false)
+    val metaFile = IcebergLite.currentMetadataFile(conf, idir)
+    val metaLocal = new java.io.File(metaFile.toString.stripPrefix("file:")).toPath
+    val txt = new String(java.nio.file.Files.readAllBytes(metaLocal), "UTF-8")
+    val future = System.currentTimeMillis() + 86400000L
+    java.nio.file.Files.write(metaLocal,
+      txt.replaceAll("\"timestamp-ms\"\\s*:\\s*\\d+", s""""timestamp-ms" : $future""")
+        .getBytes("UTF-8"))
+    Thread.sleep(30)
+    val istaged = new java.io.File(s"$idir/data/skew-staged.parquet")
+    java.nio.file.Files.write(istaged.toPath, Array[Byte](80, 65, 82, 49))
+    LakeNativeWrite.icebergExpire(spark, idir, 1)
+    assert(istaged.exists(),
+      "a snapshot timestamp a day ahead must not void the in-flight guard")
   }
 }

@@ -196,6 +196,40 @@ class UnstructuredSuite extends SparkTestBase {
     assert(PdfText.extractImageDims(optOut) == Seq((640, 480)))
   }
 
+  test("pdf JPX dims parse from the payload: JP2 ihdr box and raw codestream SIZ") {
+    import graft.sources.unstructured.PdfText
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // JP2 container: signature box + ftyp + jp2h(ihdr)
+    val ihdr = be32(22) ++ "ihdr".getBytes ++ be32(77) /* height */ ++
+      be32(123) /* width */ ++ Array[Byte](0, 1, 7, 0, 0, 0)
+    val jp2h = be32(8 + ihdr.length) ++ "jp2h".getBytes ++ ihdr
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "jp2 ".getBytes ++ be32(0)
+    val jp2 = be32(12) ++ "jP  ".getBytes ++ Array[Byte](0x0d, 0x0a, 0x87.toByte, 0x0a) ++
+      ftyp ++ jp2h
+    assert(PdfText.jpxDims(jp2) == Some((123, 77)))
+    // raw codestream: SOC + SIZ with offsets (Xsiz 500, XOsiz 10 -> 490)
+    val siz = Array[Byte](0xff.toByte, 0x4f.toByte, 0xff.toByte, 0x51.toByte,
+      0, 41, 0, 0) ++ be32(500) ++ be32(300) ++ be32(10) ++ be32(20) ++
+      be32(500) ++ be32(300) ++ be32(0) ++ be32(0)
+    assert(PdfText.jpxDims(siz) == Some((490, 280)))
+    assert(PdfText.jpxDims(Array[Byte](1, 2, 3)) == None)
+    // PDF surface: the payload's geometry wins over a lying dict
+    val pdf =
+      (s"%PDF-1.4\n5 0 obj << /Subtype /Image /Width 999 /Height 999 " +
+        s"/Filter /JPXDecode /Length ${jp2.length} >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ jp2 ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extractImageDims(pdf) == Seq((123, 77)))
+    // unreadable payload still falls back to the dict
+    val bad =
+      ("%PDF-1.4\n5 0 obj << /Subtype /Image /Width 64 /Height 32 " +
+        "/Filter /JPXDecode /Length 3 >>\nstream\nzzz\nendstream\nendobj\n")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extractImageDims(bad) == Seq((64, 32)))
+  }
+
   test("pdf CCITT/raster image streams: dict dims, raster->PNG extraction roundtrip") {
     import graft.sources.unstructured.PdfText
     // CCITT (G4 fax) payload: no JDK codec — dims surface from the dict,
