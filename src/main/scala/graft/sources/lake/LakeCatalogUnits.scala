@@ -407,13 +407,16 @@ final class IcebergLiteCatalogUnit(ds: DataSourceSpec) extends CatalogUnit {
       schemaOverride: Option[StructType]): Table = {
     if (readChangelog) return loadChangelog(spark, rest, name)
     val dir = dirFor(spark, rest, name)
-    val snap = IcebergLite.snapshot(spark, dir)
-    // the READ's sequence number, pinned with the snapshot: DML conflict
-    // validation judges everything committed past it (the Iceberg commit
-    // paths re-load metadata at commit time, so winners interleave without
-    // losing a version race — the scan→commit window IS the read window)
+    // the READ's sequence baseline: DML conflict validation judges
+    // everything committed past it (the Iceberg commit paths re-load
+    // metadata at commit time, so winners interleave without losing a
+    // version race — the scan→commit window IS the read window). Captured
+    // BEFORE the scan snapshot loads: a commit landing between the two
+    // driver reads then lands INSIDE the window and over-validates
+    // (conservative), instead of escaping it
     val baseSeq = LakeNativeWrite.loadIceMeta(
       spark.sparkContext.hadoopConfiguration, dir).lastSeq
+    val snap = IcebergLite.snapshot(spark, dir)
     val morDelete = LakeNativeWrite.icebergTableProperties(spark, dir)
       .get("write.delete.mode").contains("merge-on-read")
     val handle = new LakeRowLevel.RowLevelHandle {
