@@ -435,6 +435,25 @@ class Jbig2Suite extends AnyFunSuite {
     assert(Jbig2Decode.decodePage(orphan).isEmpty)
   }
 
+  test("a fax-sized page (1728x1100) decodes in bounded time") {
+    // the per-pixel context loop must stay practical at real scan
+    // geometry: ~1.9M pixels, template 0 TPGDON (blank rows collapse)
+    val w = 1728; val h = 1100
+    val bits = new Array[Byte](w * h)
+    for (y <- 200 until 900 by 40; x <- 100 until 1600)
+      bits(y * w + x) = 1 // horizontal rules
+    for (y <- 0 until h; x <- 300 until 1400 by 90)
+      bits(y * w + x) = 1 // vertical rules
+    val at = Jbig2Decode.nominalAt(0)
+    val coded = encodeGenericMq(bits, w, h, 0, tpgdon = true, at)
+    val t0 = System.nanoTime()
+    val got = Jbig2Decode.decodeGenericMq(coded, 0, coded.length, w, h, 0,
+      tpgdon = true, at)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(java.util.Arrays.equals(got, bits))
+    assert(secs < 20.0, f"fax-page decode took $secs%.1f s — the context loop regressed")
+  }
+
   test("pdf surface: a JBIG2 scanned page feeds extractImages as a PNG") {
     import java.nio.charset.StandardCharsets
     val bits = structured(40, 30)
