@@ -365,7 +365,7 @@ object IcebergLite {
     }
     val (deleteManifests, dataManifests) = manifestPaths.partition(_._2 == 1)
     val allDeletes = deleteManifests.flatMap { case (mp, _, mseq, _) =>
-      readDeleteManifest(conf, dir, resolveUri(dir, mp), mseq)
+      readDeleteManifestEntries(conf, dir, resolveUri(dir, mp), mseq)
     }
     val deleteFiles: Seq[DeleteFile] = allDeletes.collect { case Left(d) => d }
     // Resolve equality_ids against the CURRENT schema's top-level fields.
@@ -674,7 +674,7 @@ object IcebergLite {
     * resolution to column names happens in [[snapshot]], where the current
     * schema is in scope.
     */
-  private def readDeleteManifest(conf: Configuration, tableDir: Path, p: Path,
+  private[lake] def readDeleteManifestEntries(conf: Configuration, tableDir: Path, p: Path,
       manifestSeq: Long): Seq[Either[DeleteFile, EqDeleteFile]] =
     readAvroRecords(conf, p).flatMap { entry =>
       val status = entry.get("status").asInstanceOf[Int]

@@ -1748,12 +1748,57 @@ object LakeNativeWrite {
     val live2Paths = live2.map(e => IcebergLite.normPath(e.filePath)).toSet
     refFiles.find(!live2Paths.contains(_)).foreach(p =>
       throw new LakeConcurrency.ConcurrentDeleteReadException(t, m2.metaVersion, p))
-    deleteMs2.find(_.sequenceNumber > bSeq).foreach(dm =>
-      throw new LakeConcurrency.ConcurrentDeleteDeleteException(t, m2.metaVersion, dm.path))
-    live2.filter(_.seq > bSeq).find(sc.addConflicts).foreach(_ =>
-      throw new LakeConcurrency.ConcurrentAppendException(t, m2.metaVersion))
+    val newDeleteMs = deleteMs2.filter(_.sequenceNumber > bSeq)
+    if (newDeleteMs.nonEmpty) {
+      if (refFiles.nonEmpty)
+        // both sides stage deletes in the same window: delete/delete stays
+        // loud, as on the Delta side
+        throw new LakeConcurrency.ConcurrentDeleteDeleteException(
+          t, m2.metaVersion, newDeleteMs.head.path)
+      else {
+        // insert-only commit (stages no delete file): a winner's new deletes
+        // are a READ concern, and only when they may mask rows this scope
+        // read — position deletes narrow to their referenced data files'
+        // stats; equality deletes (keyed, cross-file) stay conservative
+        val byPath = live2.map(e => IcebergLite.normPath(e.filePath) -> e).toMap
+        val winnerDeletes = newDeleteMs.flatMap(dm => IcebergLite.readDeleteManifestEntries(
+          conf, dir, IcebergLite.resolveUri(dir, dm.path), dm.sequenceNumber))
+        val overlaps = winnerDeletes.exists {
+          case Left(pd) if pd.seq > bSeq =>
+            referencedDataPaths(spark, pd.path)
+              .exists(p => byPath.get(p).forall(sc.addConflicts))
+          case Left(_) => false
+          case Right(eq) => eq.seq > bSeq
+        }
+        if (overlaps)
+          throw new LakeConcurrency.ConcurrentDeleteReadException(
+            t, m2.metaVersion, newDeleteMs.head.path)
+      }
+    }
+    // new data files must not overlap the read; replace-snapshot re-adds
+    // (compaction, no new rows) are exempt, per validateAddedDataFiles
+    val replace2 = replaceSnapshotIds(m2)
+    live2.filter(e => e.seq > bSeq && !replace2.contains(e.snapshotId))
+      .find(sc.addConflicts).foreach(_ =>
+        throw new LakeConcurrency.ConcurrentAppendException(t, m2.metaVersion))
     all2
   }
+
+  /** Snapshot ids whose summary.operation is "replace" (compaction / byte
+    * motion, no new rows) — their re-added files never carry rows a
+    * concurrent reader missed, so the concurrent-append check skips them
+    * (the Iceberg twin of the Delta dataChange=false exemption).
+    */
+  private def replaceSnapshotIds(m: IceMeta): Set[Long] =
+    m.priorSnapshots.filter(_.operation == "replace").map(_.id).toSet
+
+  /** The distinct data-file paths a position-delete parquet references,
+    * normalized — read back from the winner's own delete file to judge
+    * whether its deletes land inside this transaction's read scope.
+    */
+  private def referencedDataPaths(spark: SparkSession, deletePath: String): Seq[String] =
+    spark.read.parquet(deletePath).select("file_path").distinct()
+      .collect().map(r => IcebergLite.normPath(r.getString(0))).toSeq
 
   /** The distinct data files a staged position-delete parquet references
     * (normalized) — file-count-bounded driver state, read back from the
@@ -1970,7 +2015,13 @@ object LakeNativeWrite {
     */
   private[lake] final case class LiveEntry(filePath: String, recordCount: Long, size: Long,
       partition: Map[String, Any], seq: Long,
-      stats: Option[org.apache.spark.sql.GraftLakeBridge.FileStats] = None)
+      stats: Option[org.apache.spark.sql.GraftLakeBridge.FileStats] = None,
+      /** the snapshot that ADDED this file (entry-level snapshot_id, -1 when
+        * unreadable) — lets conflict validation exempt files re-added by a
+        * replace snapshot (compaction), mirroring Iceberg's
+        * validateAddedDataFiles operation filter
+        */
+      snapshotId: Long = -1L)
 
   /** The current snapshot's live data entries plus its delete manifests
     * (re-referenced untouched by a rewrite: position deletes for removed
@@ -2007,13 +2058,17 @@ object LakeNativeWrite {
                     }
                   }.toMap
               }.getOrElse(Map.empty)
+            val entrySnapId = Option(r.getSchema.getField("snapshot_id"))
+              .flatMap(f => Option(r.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
+              .getOrElse(-1L)
             buf += LiveEntry(df.get("file_path").toString,
               Option(df.getSchema.getField("record_count"))
                 .flatMap(f => Option(df.get(f.pos()))).map(_.asInstanceOf[Number].longValue())
                 .getOrElse(0L),
               df.get("file_size_in_bytes").asInstanceOf[Long], part, seq,
               stats = if (fieldsById.isEmpty) None
-                else IcebergLite.entryStats(df, fieldsById))
+                else IcebergLite.entryStats(df, fieldsById),
+              snapshotId = entrySnapId)
           }
         }
         buf.result()
@@ -2051,7 +2106,7 @@ object LakeNativeWrite {
             raw <- e.partition.get(pc) if raw != null
             v <- scala.util.Try(
               org.apache.spark.sql.GraftLakeBridge.toCatalyst(raw, f.dataType)).toOption
-          } yield pc -> raw
+          } yield pc -> v
         }.toMap
         val st = base.copy(
           min = base.min ++ partTyped,
@@ -2095,9 +2150,13 @@ object LakeNativeWrite {
       // a winner's new delete files may mask rows this rewrite re-materializes
       deleteMsW.find(_.sequenceNumber > bSeq).foreach(dm =>
         throw new LakeConcurrency.ConcurrentDeleteReadException(t, mW.metaVersion, dm.path))
-      // a winner's new data files must not overlap what this rewrite read
-      liveW.filter(_.seq > bSeq).find(sc.addConflicts).foreach(_ =>
-        throw new LakeConcurrency.ConcurrentAppendException(t, mW.metaVersion))
+      // a winner's new data files must not overlap what this rewrite read;
+      // files re-added by a replace snapshot (compaction — byte motion, no
+      // new rows) are exempt, per validateAddedDataFiles' operation filter
+      val replaceW = replaceSnapshotIds(mW)
+      liveW.filter(e => e.seq > bSeq && !replaceW.contains(e.snapshotId))
+        .find(sc.addConflicts).foreach(_ =>
+          throw new LakeConcurrency.ConcurrentAppendException(t, mW.metaVersion))
     }
     val (live, deleteManifests) = readLiveDataEntries(conf, dir, listPath,
       if (readScope.isDefined && m.lastSeq > bSeq) fieldsByIdOf(m) else Map.empty)

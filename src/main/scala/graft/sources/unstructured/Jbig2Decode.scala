@@ -250,7 +250,7 @@ private[graft] object Jbig2Decode {
     */
   private[graft] def decodeSymbolDict(data: Array[Byte], from: Int, until: Int,
       inputSymbols: Seq[Bitmap]): Option[Seq[Bitmap]] = {
-    if (until - from < 12) return None
+    if (until - from < 2) return None
     val flags = ((data(from) & 0xff) << 8) | (data(from + 1) & 0xff)
     val sdhuff = (flags & 1) == 1
     val sdrefagg = ((flags >> 1) & 1) == 1
@@ -259,6 +259,10 @@ private[graft] object Jbig2Decode {
     if (sdhuff || sdrefagg || ctxUsed) return None // out of the arithmetic subset
     var p = from + 2
     val nAt = if (template == 0) 4 else 1
+    // template-dependent header size: flags + AT pixels + the two 32-bit
+    // counts — a short segment must not read AT/count bytes past `until`
+    // into the next segment's data
+    if (until - from < 2 + 2 * nAt + 8) return None
     val at = (0 until nAt).map(k =>
       (data(p + 2 * k).toInt, data(p + 2 * k + 1).toInt)).toArray
     p += 2 * nAt
@@ -477,9 +481,14 @@ private[graft] object Jbig2Decode {
     segments(data).foreach { s =>
       if (s.dataLen >= 8) {
         val w = be32(data, s.dataOff); val h = be32(data, s.dataOff + 4)
-        if (s.segType == 48 && page.isEmpty && w > 0 && h > 0 && h < 0xffffffffL)
+        // both axes must fit an Int BEFORE .toInt: a hostile header with a
+        // dimension in (Int.MaxValue, 2^32) would otherwise surface as a
+        // negative width/height (decodePage has the MaxPixels guard; the
+        // header-only path needs its own bound)
+        val sane = w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue
+        if (s.segType == 48 && page.isEmpty && sane)
           page = Some((w.toInt, h.toInt))
-        else if (RegionTypes.contains(s.segType) && region.isEmpty && w > 0 && h > 0)
+        else if (RegionTypes.contains(s.segType) && region.isEmpty && sane)
           region = Some((w.toInt, h.toInt))
       }
     }

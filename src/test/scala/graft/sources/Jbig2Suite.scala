@@ -454,6 +454,27 @@ class Jbig2Suite extends AnyFunSuite {
     assert(secs < 20.0, f"fax-page decode took $secs%.1f s — the context loop regressed")
   }
 
+  test("hostile headers: >Int.MaxValue dims rejected, truncated symbol dict is None") {
+    // page-info width in (Int.MaxValue, 2^32) must not surface as a
+    // negative width through .toInt — the stream reports no geometry
+    val badPage = segment(0, 48,
+      be32(0x80000001L) ++ be32(100) ++ be32(0) ++ be32(0) ++
+        Array(0.toByte, 0.toByte, 0.toByte))
+    assert(Jbig2Decode.dims(badPage).isEmpty, "oversized page width must be rejected")
+    // the region fallback gets the same bound on height
+    val badRegion = segment(0, 38,
+      be32(100) ++ be32(0xfffffff0L) ++ be32(0) ++ be32(0) ++ Array(0.toByte))
+    assert(Jbig2Decode.dims(badRegion).isEmpty, "oversized region height must be rejected")
+    // a template-0 symbol dictionary needs 2 flags + 8 AT + 8 count bytes:
+    // truncated inside that header it must return None, never read past the
+    // segment end (AIOOBE on a short array, garbage on a full one)
+    val full = encodeSymbolDict(Seq(glyph("11", "11")), 0)
+    assert(Jbig2Decode.decodeSymbolDict(full.take(14), 0, 14, Nil).isEmpty,
+      "truncated symbol-dict header must be rejected, not read out of bounds")
+    assert(Jbig2Decode.decodeSymbolDict(full, 0, 14, Nil).isEmpty,
+      "a segment boundary inside the header must be honored even when later bytes exist")
+  }
+
   test("pdf surface: a JBIG2 scanned page feeds extractImages as a PNG") {
     import java.nio.charset.StandardCharsets
     val bits = structured(40, 30)

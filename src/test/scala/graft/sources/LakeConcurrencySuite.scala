@@ -886,4 +886,74 @@ class LakeConcurrencySuite extends SparkTestBase {
       ((0L until 10L) ++ (100L until 110L).filter(_ != 105L) ++ (200L until 210L)),
       "compaction and the row delete must both survive")
   }
+
+  test("iceberg: a winning OPTIMIZE's replace re-adds never abort a stats-overlapping DML") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.plans.LakeRowLevel.FileIdCol
+    val root = tmpDir("conc-ice-opt")
+    graft.Graft.install(spark, warehouseDir)
+    spark.sql(s"REGISTER OR REPLACE ICEBERG DATASOURCE ics11 OPTIONS (warehouse '$root') " +
+      "NAMESPACE graft.datasource.ics")
+    spark.sql("CREATE TABLE graft.datasource.ics.ics11.t (id BIGINT)")
+    val fqn = "graft.datasource.ics.ics11.t"
+    // three single-file commits: [0,9], [200,209], [100,109]
+    for (base <- Seq(0L, 200L, 100L)) {
+      (base until base + 10L).toDF("id").coalesce(1)
+        .createOrReplaceTempView("__ics_ics11")
+      spark.sql(s"INSERT INTO $fqn SELECT * FROM __ics_ics11")
+    }
+    val loser = staleHandle(fqn) // reads id=105 → only the [100,109] file
+    // winner: compact the OTHER two files into one — the re-add's column
+    // bounds widen to [0,209], overlapping id=105, but a replace snapshot
+    // moves bytes, not rows: validateAddedDataFiles exempts it (and so
+    // does the Delta twin's dataChange=false rule)
+    val w = staleHandle(fqn)
+    val fileOf = w.scanWithRowIds(spark).groupBy(col(FileIdCol))
+      .agg(org.apache.spark.sql.functions.min("id").as("mn"))
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    val pick = Seq(fileOf(0L), fileOf(200L))
+    val rows = w.scanWithRowIds(spark).where(col(FileIdCol).isin(pick: _*))
+      .select("id").coalesce(1)
+    w.commitCompaction(spark, pick, rows)
+    staleDelete(loser, "id = 105")
+    assert(spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 10L) ++ (100L until 110L).filter(_ != 105L) ++ (200L until 210L)),
+      "compaction and the row delete must both survive")
+  }
+
+  test("iceberg MoR: an insert-only MERGE vs a winner's deletes — disjoint commits, overlapping is delete/read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.plans.LakeRowLevel
+    val (fqn, _) = setupIcePart("ics12",
+      " TBLPROPERTIES ('write.update.mode' = 'merge-on-read', " +
+        "'write.delete.mode' = 'merge-on-read')")
+    def emptyIds(h: graft.plans.LakeRowLevel.RowLevelHandle) =
+      h.scanWithRowIds(spark).where(lit(false))
+        .select(col(LakeRowLevel.FileIdCol), col(LakeRowLevel.RowIxCol))
+    val pAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("p", org.apache.spark.sql.types.IntegerType)()
+    def scopeP1 = LakeRowLevel.ReadScope(readWholeTable = false,
+      Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(pAttr,
+        org.apache.spark.sql.catalyst.expressions.Literal(1))), Set.empty)
+    // the loser stages NO deletes (insert-only MERGE): a winner's new
+    // delete file landing in a partition outside the read scope is not a
+    // conflict of any kind — it used to abort as delete/delete
+    val h = staleHandle(fqn)
+    spark.sql(s"DELETE FROM $fqn WHERE id = 5") // winner: position delete in p=2
+    h.commitUpdateRows(spark, emptyIds(h),
+      Seq((50L, 1)).toDF("id", "p"), None, "MERGE", scopeP1)
+    assert(spark.table(fqn).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 12L).filterNot(_ == 5L) :+ 50L).sorted,
+      "the winner's delete and the insert-only merge must both survive")
+    // a winner's delete INSIDE the read scope is a READ conflict (the
+    // merge's not-matched decision may be stale), typed delete/read
+    val h2 = staleHandle(fqn)
+    spark.sql(s"DELETE FROM $fqn WHERE id = 4") // winner: position delete in p=1
+    intercept[LakeConcurrency.ConcurrentDeleteReadException] {
+      h2.commitUpdateRows(spark, emptyIds(h2),
+        Seq((51L, 1)).toDF("id", "p"), None, "MERGE", scopeP1)
+    }
+  }
 }
