@@ -35,6 +35,17 @@ object DedupScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_CC_SHAPES=1 switches to the connected-components
+    // graph-shape bench (chain decade + hub skew) instead of the corpus
+    // pipeline — the evidence that the star variant's round count stays
+    // O(log n) where min-label's grows with the diameter, and that the
+    // hub-skewed largeStar aggregation holds up at a million-degree minimum
+    if (sys.env.contains("SPARK_GRAFT_CC_SHAPES")) {
+      runShapes(spark)
+      spark.stop()
+      return
+    }
+
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val baseRows = base.count()
 
@@ -94,5 +105,48 @@ object DedupScaleBench {
         f""""groups":$groups,"groups_sec":$groupsSec%.3f}""")
     }
     spark.stop()
+  }
+
+  /** CC variants over adversarial graph shapes. CHAIN is the diameter
+    * stressor (path graph: min-label needs diameter rounds, star needs
+    * O(log n)); HUB is the skew stressor (one vertex of degree n-1 — the
+    * component minimum — so every largeStar round funnels the whole
+    * neighborhood through one groupBy/join key). One JSON line per run.
+    */
+  private def runShapes(spark: SparkSession): Unit = {
+    import java.util.concurrent.atomic.AtomicInteger
+    def chain(n: Long): DataFrame = spark.range(0, n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    def hub(n: Long): DataFrame = spark.range(1, n)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    def run(shape: String, n: Long, variant: String, df: DataFrame): Unit = {
+      val edges = df.localCheckpoint(true) // measure the loop, not synthesis
+      val rounds = new AtomicInteger(0)
+      val t0 = System.nanoTime()
+      val groups = variant match {
+        case "star" => Dedup.duplicateGroupsStar(edges, roundsOut = Some(rounds))
+        case "auto" => Dedup.duplicateGroups(edges, maxIter = 64,
+          requireConvergence = true, roundsOut = Some(rounds))
+        case "minLabel" => Dedup.duplicateGroups(edges, maxIter = n.toInt + 2,
+          requireConvergence = true, strategy = "minLabel", roundsOut = Some(rounds))
+      }
+      val ng = groups.agg(countDistinct(col("group_id"))).head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"shape":"$shape","n":$n,"variant":"$variant",""" +
+        f""""rounds":${rounds.get()},"groups":$ng,"sec":$sec%.3f}""")
+      require(ng == 1, s"$shape/$n/$variant: expected ONE component, got $ng")
+    }
+    // chain decade: star/auto round counts must grow ~log10 step while the
+    // per-round cost grows linearly with n
+    Seq(10000L, 100000L, 1000000L).foreach { n =>
+      Seq("star", "auto").foreach(v => run("chain", n, v, chain(n)))
+    }
+    // min-label's rounds ARE the diameter — shown at sizes where diameter
+    // rounds are still runnable (64 and 128 rounds; 1e6 would be 1e6 rounds)
+    Seq(64L, 128L).foreach(n => run("chain", n, "minLabel", chain(n)))
+    // hub: million-degree minimum
+    Seq(1000000L).foreach { n =>
+      Seq("star", "minLabel", "auto").foreach(v => run("hub", n, v, hub(n)))
+    }
   }
 }

@@ -158,20 +158,100 @@ object Dedup {
       java.util.Arrays.asList(hotRows: _*), hotAgg.schema)))
   }
 
-  /** Resolve verified duplicate PAIRS into duplicate GROUPS: connected
-    * components by iterative min-label propagation. Each iteration is one
-    * keyed shuffle (neighbor-min aggregate + join); iterations are bounded
-    * by the component diameter — near-dup clusters are dense, so real
-    * corpora converge in a handful of rounds. `localCheckpoint` truncates
-    * the growing lineage each round (on a real cluster swap in
-    * `checkpoint()` against reliable storage for fault tolerance).
-    *
-    * Output: (id, group_id) where group_id is the component's minimum id —
-    * deterministic, so oracle-comparable against a recursive-CTE ground
-    * truth. Ids absent from any pair are not emitted (singletons are
-    * implicit), matching the usual "which docs belong to a dup group" use.
+  /** Executor-local vs reliable-storage checkpointing for the iterative CC
+    * loops, plus per-round checkpoint-file cleanup in reliable mode. RDD
+    * checkpointing recomputes the lineage for the write job unless the data
+    * is cached (documented Spark behavior) — reliable mode persists around
+    * each checkpoint so every round computes its join ONCE. Spark only
+    * deletes checkpoint files under
+    * spark.cleaner.referenceTracking.cleanCheckpoints=true, and then only
+    * when the RDD is GC'd — a long run would otherwise accumulate one
+    * rdd-* directory per round in reliable storage indefinitely, so each
+    * superseded round's directory (resolved from the materialized plan — no
+    * directory-listing races with concurrent checkpoint users) is deleted
+    * as soon as the FOLLOWING round, which no longer reads it, has safely
+    * materialized.
     */
-  /** @param maxIter upper bound on propagation rounds; must be >= the
+  private final class CkptLoop(spark: org.apache.spark.sql.SparkSession,
+      reliable: Boolean) {
+    if (reliable)
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir(...) " +
+          "pointing at reliable storage (HDFS/S3) before resolving groups")
+    private var prevRound: Option[String] = None
+
+    def eager(df: DataFrame): DataFrame =
+      if (!reliable) df.localCheckpoint(true)
+      else {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint(true)
+        df.unpersist(false)
+        out
+      }
+
+    /** Lazy checkpoint: materializes at the caller's next action over the
+      * returned frame (fusing the convergence check into the materializing
+      * job); call [[release]] on the SOURCE frame after that action.
+      */
+    def lazily(df: DataFrame): DataFrame =
+      if (!reliable) df.localCheckpoint(false)
+      else {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.checkpoint(false)
+      }
+
+    def release(src: DataFrame): Unit = if (reliable) src.unpersist(false)
+
+    /** Seed the rotation with round 0's state (nothing deleted yet). */
+    def seed(materialized: DataFrame): Unit =
+      if (reliable) prevRound = checkpointFile(materialized)
+
+    /** Note `materialized` as the new current round and delete the previous
+      * round's checkpoint directory — no reader left.
+      */
+    def rotate(materialized: DataFrame): Unit = if (reliable) {
+      prevRound.foreach(delete)
+      prevRound = checkpointFile(materialized)
+    }
+
+    private def checkpointFile(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+      }.flatten
+
+    private def delete(file: String): Unit = try {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case _: Exception => () } // cleanup is best-effort by design
+  }
+
+  /** Resolve verified duplicate PAIRS into duplicate GROUPS: connected
+    * components. Output: (id, group_id) where group_id is the component's
+    * minimum id — deterministic, so oracle-comparable against a
+    * recursive-CTE ground truth. Ids absent from any pair are not emitted
+    * (singletons are implicit), matching the usual "which docs belong to a
+    * dup group" use.
+    *
+    * Strategies:
+    *  - `minLabel`: iterative min-label propagation. Each iteration is one
+    *    keyed shuffle (neighbor-min aggregate + join); iterations are
+    *    bounded by the component DIAMETER — near-dup clusters from banded
+    *    candidate generation are clique-shaped (diameter 2-3), so they
+    *    converge in a handful of the cheapest possible rounds.
+    *  - `star`: delegate to [[duplicateGroupsStar]] — O(log n) rounds at
+    *    any diameter, each round ~2x a min-label round's shuffles.
+    *  - `auto` (default): min-label for up to `autoRoundBudget` rounds —
+    *    the clique-shaped common case never pays star's premium — then, if
+    *    still unconverged, CONTRACT the graph through the partial labels
+    *    (each node is already merged with its <=budget-hop minimum) and
+    *    finish with the star algorithm on the contracted graph. Correct
+    *    because comp(m) = m for each component's true minimum m, so star's
+    *    min-id labels over contracted nodes are the true component minima;
+    *    components fully merged within budget contract to edge-less nodes
+    *    and keep their comp. Pipeline callers get diameter-robustness
+    *    without knowing the graph shape.
+    *
+    * @param maxIter upper bound on rounds; for `minLabel` must be >= the
     *                 largest component's diameter for full convergence
     * @param requireConvergence when true, throw instead of returning
     *                 partially-merged groups on maxIter exhaustion
@@ -181,57 +261,38 @@ object Dedup {
     *                 executor-local `localCheckpoint()` — survives executor
     *                 loss at the cost of a write per round. Requires
     *                 `spark.sparkContext.setCheckpointDir(...)`.
+    * @param strategy `minLabel` | `star` | `auto` (see above)
+    * @param autoRoundBudget min-label rounds `auto` spends before switching
+    * @param roundsOut when set, receives the total round count (evidence
+    *                 hook for scale benchmarks)
     */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 20,
       requireConvergence: Boolean = false,
-      reliableCheckpoint: Boolean = false): DataFrame = {
-    if (reliableCheckpoint)
-      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir(...) " +
-          "pointing at reliable storage (HDFS/S3) before resolving groups")
-    // RDD checkpointing recomputes the lineage for the write job unless the
-    // data is cached (documented Spark behavior) — persist around each
-    // reliable checkpoint so every round computes its join ONCE, and drop
-    // the cache as soon as the checkpoint files exist
-    def ckptEager(df: DataFrame): DataFrame =
-      if (!reliableCheckpoint) df.localCheckpoint(true)
-      else {
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = df.checkpoint(true)
-        df.unpersist(false)
-        out
-      }
+      reliableCheckpoint: Boolean = false,
+      strategy: String = "auto",
+      autoRoundBudget: Int = 6,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+    require(Set("minLabel", "star", "auto").contains(strategy),
+      s"unknown CC strategy '$strategy' (minLabel | star | auto)")
+    if (strategy == "star")
+      return duplicateGroupsStar(pairs, math.max(maxIter, 35), requireConvergence,
+        reliableCheckpoint, roundsOut)
+    val ck = new CkptLoop(pairs.sparkSession, reliableCheckpoint)
     // materialize the edge list once: every iteration below joins against it,
     // and without the checkpoint each job would re-run the (expensive)
-    // candidate-generation lineage that produced the pairs
-    val edges = ckptEager(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // candidate-generation lineage that produced the pairs. Kept for the
+    // loop's whole lifetime (joined every round), like the final labels
+    // checkpoint that backs the returned frame.
+    val edges = ck.eager(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct())
-    var labels = ckptEager(edges.select(col("src").as("id")).distinct()
+    var labels = ck.eager(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
-    // Reliable mode: Spark only deletes checkpoint files under
-    // spark.cleaner.referenceTracking.cleanCheckpoints=true, and then only
-    // when the RDD is GC'd — a long propagation run would otherwise
-    // accumulate one rdd-* directory per round in reliable storage
-    // indefinitely. Each round's checkpoint directory is resolved from the
-    // materialized plan (no directory-listing races with concurrent
-    // checkpoint users) and deleted as soon as the FOLLOWING round — which
-    // no longer reads it — has safely materialized. The edges and
-    // final-labels checkpoints are kept: the one is joined every round, the
-    // other backs the returned frame.
-    def roundCheckpointFile(df: DataFrame): Option[String] =
-      df.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
-      }.flatten
-    def deleteCheckpoint(file: String): Unit = try {
-      val p = new org.apache.hadoop.fs.Path(file)
-      p.getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
-    } catch { case _: Exception => () } // cleanup is best-effort by design
-    var prevRoundCkpt: Option[String] =
-      if (reliableCheckpoint) roundCheckpointFile(labels) else None
+    ck.seed(labels)
+    val budget = if (strategy == "auto") math.min(autoRoundBudget, maxIter) else maxIter
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < budget) {
       val neighborMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
       // ONE job per iteration: the convergence check is a count over the
@@ -241,21 +302,28 @@ object Dedup {
       val updatedSrc = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      val updated =
-        if (!reliableCheckpoint) updatedSrc.localCheckpoint(false)
-        else {
-          updatedSrc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          updatedSrc.checkpoint(false) // materializes at the count below
-        }
+      val updated = ck.lazily(updatedSrc)
       converged = updated.where(col("comp") < col("__old")).count() == 0
-      if (reliableCheckpoint) {
-        updatedSrc.unpersist(false)
-        prevRoundCkpt.foreach(deleteCheckpoint) // round i-1: no reader left
-        prevRoundCkpt = roundCheckpointFile(updated)
-      }
+      ck.release(updatedSrc)
+      ck.rotate(updated)
       labels = updated.select(col("id"), col("comp"))
       i += 1
     }
+    if (!converged && strategy == "auto" && budget < maxIter) {
+      // budget exhausted on a wide graph: contract and let star finish
+      val la = labels.select(col("id").as("src"), col("comp").as("__ca"))
+      val lb = labels.select(col("id").as("dst"), col("comp").as("__cb"))
+      val contracted = edges.join(la, "src").join(lb, "dst")
+        .where(col("__ca") =!= col("__cb"))
+        .select(col("__ca").as("id_a"), col("__cb").as("id_b"))
+      val starRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val starLabels = duplicateGroupsStar(contracted, math.max(maxIter, 35),
+        requireConvergence, reliableCheckpoint, Some(starRounds))
+      roundsOut.foreach(_.set(i + starRounds.get()))
+      return labels.join(starLabels.withColumnRenamed("id", "comp"), Seq("comp"), "left")
+        .select(col("id"), coalesce(col("group_id"), col("comp")).as("group_id"))
+    }
+    roundsOut.foreach(_.set(i))
     if (!converged) {
       val msg = s"duplicateGroups did not converge within maxIter=$maxIter rounds; " +
         "labels are partially merged (a component wider than maxIter hops exists — " +
@@ -284,9 +352,18 @@ object Dedup {
     *
     * @param maxIter round bound; O(log n) suffices — 35 covers any graph
     *                that fits in storage
+    * @param reliableCheckpoint same switch as [[duplicateGroups]]: per-round
+    *                `checkpoint()` against reliable storage (superseded
+    *                rounds' files deleted as the loop advances) instead of
+    *                executor-local `localCheckpoint()` — the multi-round
+    *                100-TB path must survive executor loss
+    * @param roundsOut when set, receives the round count (scale-bench hook)
     */
   def duplicateGroupsStar(pairs: DataFrame, maxIter: Int = 35,
-      requireConvergence: Boolean = true): DataFrame = {
+      requireConvergence: Boolean = true,
+      reliableCheckpoint: Boolean = false,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+    val ck = new CkptLoop(pairs.sparkSession, reliableCheckpoint)
     // canonical directed form: u > v (larger endpoint first), no self loops
     def canon(df: DataFrame): DataFrame =
       df.where(col("u") =!= col("v"))
@@ -312,19 +389,28 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       relinked.unionByName(mins.select(col("u"), col("m").as("v")))
     }
-    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
-      .localCheckpoint(true)
+    var edges = ck.eager(canon(pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
+    ck.seed(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = canon(smallStar(canon(largeStar(edges)))).localCheckpoint(true)
-      // exact fixpoint check (no probabilistic checksum): same count and
-      // no edge outside the previous set
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      val nextSrc = canon(smallStar(canon(largeStar(edges))))
+      val next = ck.lazily(nextSrc)
+      // ONE job per round: the marker outer-join count both materializes
+      // this round's checkpoint and answers EXACT set equality (both sides
+      // are canonical distinct edge sets, so an empty symmetric difference
+      // is the fixpoint — no probabilistic checksum, no second action)
+      val changed = next.withColumn("__n", lit(1))
+        .join(edges.withColumn("__o", lit(1)), Seq("u", "v"), "full_outer")
+        .where(col("__n").isNull || col("__o").isNull)
+        .count()
+      converged = changed == 0
+      ck.release(nextSrc)
+      ck.rotate(next)
       edges = next
       i += 1
     }
+    roundsOut.foreach(_.set(i))
     if (!converged) {
       val msg = s"duplicateGroupsStar did not converge within maxIter=$maxIter rounds"
       if (requireConvergence) throw new IllegalStateException(msg)
@@ -353,10 +439,10 @@ object Dedup {
   def keepBest(df: DataFrame, idCol: String, textCol: String, quality: Column,
       threshold: Double = 0.7, maxBucketSize: Int = DefaultMaxBucketSize,
       maxIter: Int = 20, requireConvergence: Boolean = false,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false, strategy: String = "auto"): DataFrame = {
     val groups = duplicateGroups(
       minHashDuplicates(df, idCol, textCol, threshold, maxBucketSize = maxBucketSize),
-      maxIter, requireConvergence, reliableCheckpoint)
+      maxIter, requireConvergence, reliableCheckpoint, strategy)
     val scored = df.select(col(idCol), quality.as("quality"))
       .join(groups.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
@@ -1070,10 +1156,10 @@ object Dedup {
       maxCellSize: Int = DefaultMaxBucketSize, probes: Int = 1,
       keepLowCentroidSim: Boolean = false,
       maxIter: Int = 20, requireConvergence: Boolean = false,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false, strategy: String = "auto"): DataFrame = {
     val centroids = Similarity.trainSphericalQuantizer(df, vecCol, nCells, sampleSize)
     val pairs = semanticPairs(df, idCol, vecCol, centroids, threshold, maxCellSize, probes)
-    val groups = duplicateGroups(pairs, maxIter, requireConvergence, reliableCheckpoint)
+    val groups = duplicateGroups(pairs, maxIter, requireConvergence, reliableCheckpoint, strategy)
     // Min-id policy shuffles only (id, group_id) into the per-group window;
     // the paper policy additionally computes each row's cosine to its own
     // cluster centroid MAP-SIDE before the shuffle (centroids ride in as one

@@ -569,8 +569,10 @@ object Pipeline {
       Some(annContractOracle)),
 
     // ---- Duplicate GROUPS from verified near-dup pairs: connected
-    // components via iterative min-label propagation, hash-matched against a
-    // DuckDB recursive-CTE ground truth over the same brute-force pair set. ----
+    // components via the default `auto` strategy (min-label rounds with a
+    // star fallback past the round budget — the clique-shaped graph here
+    // converges inside it), hash-matched against a DuckDB recursive-CTE
+    // ground truth over the same brute-force pair set. ----
     QuerySpec("dedup_groups",
       (s, dir) => {
         val pairs = Dedup.minHashDuplicates(t(s, dir, "documents"), "doc_id", "text",

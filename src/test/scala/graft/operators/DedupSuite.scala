@@ -271,11 +271,70 @@ class DedupSuite extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(starLabels.length == 300 && starLabels.forall(_._2 == 0L),
       "the whole chain must collapse to component 0 within 15 rounds")
-    val minLabelPartial = Dedup.duplicateGroups(chain, maxIter = 15)
+    val minLabelPartial = Dedup.duplicateGroups(chain, maxIter = 15, strategy = "minLabel")
       .collect().map(_.getLong(1)).distinct
     assert(minLabelPartial.length > 1,
       "min-label at the same round budget must still be partially merged " +
         "(otherwise the star variant buys nothing)")
+  }
+
+  test("auto strategy: budget rounds of min-label, then star on the contracted graph") {
+    import spark.implicits._
+    // 120-hop chain: min-label alone needs ~120 rounds; auto spends its
+    // 6-round budget, contracts through the partial labels, and star
+    // finishes in O(log n) — full convergence well under maxIter=20
+    val chain = (0L until 120L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val labels = Dedup.duplicateGroups(chain, maxIter = 20,
+      requireConvergence = true, roundsOut = Some(rounds))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 120 && labels.forall(_._2 == 0L),
+      "auto must fully collapse the chain to component 0")
+    assert(rounds.get() > 6 && rounds.get() < 20,
+      s"expected budget + O(log n) star rounds, got ${rounds.get()}")
+    // a graph that converges INSIDE the budget never pays star's premium
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val r2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cliqueLabels = Dedup.duplicateGroups(clique, roundsOut = Some(r2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r2.get() <= 3, s"clique must converge within the min-label budget, got ${r2.get()}")
+    assert(cliqueLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateGroupsStar runs one action per round") {
+    import spark.implicits._
+    val chain = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b").localCheckpoint(true) // isolate the loop's own actions
+    // count ACTIONS, not jobs — broadcast-exchange builds inside a single
+    // action submit their own jobs, so job counts measure the join
+    // strategy, not the loop structure
+    // a lazy checkpoint fires a job-less "checkpoint" event, so count only
+    // the JOB-RUNNING actions (count / isEmpty) the loop submits
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (funcName == "count" || funcName == "isEmpty") counter.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+      Dedup.duplicateGroupsStar(chain, roundsOut = Some(rounds))
+      // listener delivery is async: wait until the counter stops moving
+      var last = -1
+      var spins = 0
+      while (counter.get() != last && spins < 50) {
+        last = counter.get(); Thread.sleep(100); spins += 1
+      }
+      // the fixpoint check is fused into the checkpoint-materializing
+      // outer-join count: exactly 1 per round. The old shape (count +
+      // count + anti-join isEmpty) was 3 per round.
+      assert(counter.get() == rounds.get(),
+        s"expected 1 counting action x ${rounds.get()} rounds, got ${counter.get()}")
+    } finally spark.listenerManager.unregister(ql)
   }
 
   test("duplicateGroups resolves chains and separate components") {
@@ -586,7 +645,7 @@ class DedupSuite extends SparkTestBase {
       // the checkpoint dir would hold one rdd-* dir per round
       val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
       val groups = Dedup.duplicateGroups(pairs, maxIter = 20,
-        requireConvergence = true, reliableCheckpoint = true)
+        requireConvergence = true, reliableCheckpoint = true, strategy = "minLabel")
       assert(groups.select("group_id").distinct().count() == 1L)
       val rddDirs = java.nio.file.Files.walk(dir)
         .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
@@ -595,6 +654,19 @@ class DedupSuite extends SparkTestBase {
       assert(rddDirs == 2, s"checkpoint dirs left behind: $rddDirs")
       // the returned frame must still be readable AFTER the cleanup
       assert(groups.count() == 12L)
+      // the star variant gets the same reliable mode (it is the designated
+      // multi-round 100-TB path, so executor-loss survival matters MORE
+      // there): correct labels, superseded rounds deleted, only the final
+      // round's edge set remains on reliable storage
+      val before = java.nio.file.Files.walk(dir)
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      val starGroups = Dedup.duplicateGroupsStar(pairs, reliableCheckpoint = true)
+      assert(starGroups.collect().map(_.getLong(1)).forall(_ == 0L))
+      val afterStar = java.nio.file.Files.walk(dir)
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(afterStar == before + 1,
+        s"star must keep exactly its final round's checkpoint, got ${afterStar - before}")
+      assert(starGroups.count() == 12L, "star frame readable after cleanup")
     } finally {
       prev.foreach(spark.sparkContext.setCheckpointDir)
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
