@@ -71,7 +71,7 @@ object AnnScaleBench {
       Similarity.ivfTopK(c, q, a, b, cc, d, k, nCells, nProbe).count()
       Similarity.pqTopK(c, q, a, b, cc, d, k, 16, 16, 5 * k, 4096, true).count()
       graft.operators.Hnsw.hnswTopK(c, q, a, b, cc, d, k,
-        shards = 8, m = 8, efConstruction = 64, efSearch = 64).count()
+        shards = 0, m = 8, efConstruction = 64, efSearch = 64).count()
     }
 
     scales.foreach { n =>
@@ -101,8 +101,9 @@ object AnnScaleBench {
       // cost is shards x a ~log-n beam walk, so the QUERY time should stay
       // nearly flat while brute force grows linearly
       val (hnswIndex, hnswBuildSec) = timed {
+        // shards = 0: the r12 auto-shard heuristic picks the count
         graft.operators.Hnsw.hnswBuild(c, ia, va,
-          shards = 8, m = 8, efConstruction = 64).localCheckpoint(true)
+          shards = 0, m = 8, efConstruction = 64).localCheckpoint(true)
       }
       val hnswSec = minOf2(graft.operators.Hnsw.hnswQuery(hnswIndex, qa,
         qia, qva, k, efSearch = 64).count())

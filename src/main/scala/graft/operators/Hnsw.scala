@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** HNSW approximate nearest neighbors (Malkov & Yashunin '16), Spark-shaped
   * as SHARD-LOCAL graphs: the corpus hash-partitions into `shards`, each
@@ -189,19 +190,50 @@ object Hnsw {
     g
   }
 
+  /** Default for [[hnswBuild]]'s auto-shard heuristic: a shard's whole row
+    * set materializes in ONE build task (vectors + adjacency — ~350 B/row
+    * at 64-dim float vectors and m=8), so rows-per-shard is the executor
+    * memory bound; 250k rows ≈ 90 MB of graph per task.
+    */
+  val DefaultTargetRowsPerShard = 250000L
+
+  /** Auto-sharding never splits below this many rows per shard: a probe
+    * fans out to EVERY shard and tiny graphs have no small-world structure,
+    * so over-sharding a small corpus costs recall and probe time for no
+    * memory benefit.
+    */
+  val MinRowsPerShard = 4096L
+
   /** Build the sharded index. One hash shuffle of (id, vec), then each
     * shard builds independently; the result is a plain DataFrame
     * (shard, id, vec, level, nbrs) — write it to parquet for a serving
     * index, [[hnswQuery]] rehydrates per shard from adjacency alone.
+    *
+    * `shards = 0` (the default) auto-sizes from a corpus count: the larger
+    * of the MEMORY floor (`targetRowsPerShard` rows per build task — the
+    * reason shards exist) and the cluster-parallelism target (so a medium
+    * corpus still builds on every core), the latter capped so shards never
+    * shrink below [[MinRowsPerShard]] rows. The caller no longer has to
+    * know that shards are the memory lever to scale past a fixed default.
     */
   def hnswBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      shards: Int = 4, m: Int = 8, efConstruction: Int = 64): DataFrame = {
-    require(shards >= 1 && m >= 2 && efConstruction >= m)
+      shards: Int = 0, m: Int = 8, efConstruction: Int = 64,
+      targetRowsPerShard: Long = DefaultTargetRowsPerShard): DataFrame = {
+    require(shards >= 0 && m >= 2 && efConstruction >= m && targetRowsPerShard >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
+    val nShards =
+      if (shards > 0) shards
+      else {
+        val n = corpus.count()
+        val memoryFloor = (n + targetRowsPerShard - 1) / targetRowsPerShard
+        val parallelism = math.min(spark.sparkContext.defaultParallelism.toLong,
+          (n + MinRowsPerShard - 1) / MinRowsPerShard)
+        math.max(1L, math.max(memoryFloor, parallelism)).min(Int.MaxValue).toInt
+      }
     corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"),
-        pmod(hash(col(idCol)), lit(shards)).as("shard"))
+        pmod(hash(col(idCol)), lit(nShards)).as("shard"))
       .as[(Long, Array[Float], Int)]
       .groupByKey(_._3)
       .flatMapGroups { (shard, it) =>
@@ -222,33 +254,53 @@ object Hnsw {
     * (query_id, nn_id, cosine, rank) — the family-standard output, exact
     * cosines, (cosine desc, nn_id asc) order. `efSearch` is the level-0
     * beam width (recall knob).
+    *
+    * The query set is collected and BROADCAST — the serving-batch shape.
+    * Past `maxQueryBatch` queries the collect would hold a corpus-sized
+    * array on the driver, so the set instead streams through
+    * `toLocalIterator` in chunks of `maxQueryBatch`, one scatter-gather
+    * job per chunk. Chunking rehydrates the shard graphs once PER CHUNK:
+    * persist the index frame before a chunked call, and if the "queries"
+    * are really a second corpus, the banded/bucketed ANN family is the
+    * right tool, not a broadcast probe.
     */
   def hnswQuery(index: DataFrame, queries: DataFrame,
       qIdCol: String, qVecCol: String, k: Int, efSearch: Int = 48,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, maxQueryBatch: Int = 65536): DataFrame = {
+    require(maxQueryBatch >= 1)
     val spark = index.sparkSession
     import spark.implicits._
-    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val qb = spark.sparkContext.broadcast(qs)
+    val qds = queries.select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
     val ef = math.max(efSearch, k)
-    val perShard = index.as[IndexRow]
-      .groupByKey(_.shard)
-      .flatMapGroups { (_, it) =>
-        val g = rehydrate(it.toArray)
-        if (g.ids.isEmpty) Iterator.empty
-        else qb.value.iterator.flatMap { case (qid, qv) =>
-          val qn = dotNorm(qv)
-          var ep = g.entry
-          var l = g.levels(ep)
-          while (l > 0) { ep = g.greedy(qv, qn, ep, l); l -= 1 }
-          g.searchLayer(qv, qn, ep, ef, 0).iterator
-            .filter { case (_, i) => !excludeSelf || g.ids(i) != qid }
-            .take(k)
-            .map { case (s, i) => (qid, g.ids(i), s) }
+    def probe(qsUnsorted: Array[(Long, Array[Float])]): DataFrame = {
+      val qb = spark.sparkContext.broadcast(qsUnsorted.sortBy(_._1))
+      index.as[IndexRow]
+        .groupByKey(_.shard)
+        .flatMapGroups { (_, it) =>
+          val g = rehydrate(it.toArray)
+          if (g.ids.isEmpty) Iterator.empty
+          else qb.value.iterator.flatMap { case (qid, qv) =>
+            val qn = dotNorm(qv)
+            var ep = g.entry
+            var l = g.levels(ep)
+            while (l > 0) { ep = g.greedy(qv, qn, ep, l); l -= 1 }
+            g.searchLayer(qv, qn, ep, ef, 0).iterator
+              .filter { case (_, i) => !excludeSelf || g.ids(i) != qid }
+              .take(k)
+              .map { case (s, i) => (qid, g.ids(i), s) }
+          }
         }
-      }
-      .toDF("query_id", "nn_id", "cosine")
+        .toDF("query_id", "nn_id", "cosine")
+    }
+    // one bounded job decides the shape: a serving batch probes in one
+    // broadcast; an oversized set falls to the chunked path (queries are
+    // independent, so chunk membership cannot change any result)
+    val head = qds.limit(maxQueryBatch + 1).collect()
+    val perShard =
+      if (head.length <= maxQueryBatch) probe(head)
+      else qds.toLocalIterator().asScala.grouped(maxQueryBatch)
+        .map(c => probe(c.toArray)).reduce(_ unionByName _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nn_id").asc)
     perShard.withColumn("rank", row_number().over(w))
@@ -259,7 +311,7 @@ object Hnsw {
   /** Build + query in one call (the gate shape). */
   def hnswTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      k: Int, shards: Int = 4, m: Int = 8, efConstruction: Int = 64,
+      k: Int, shards: Int = 0, m: Int = 8, efConstruction: Int = 64,
       efSearch: Int = 48, excludeSelf: Boolean = true): DataFrame =
     hnswQuery(hnswBuild(corpus, idCol, vecCol, shards, m, efConstruction),
       queries, qIdCol, qVecCol, k, efSearch, excludeSelf)

@@ -427,10 +427,78 @@ object DeltaLite {
           .map(parsePartitionValue(_, pf.dataType)).orNull
       }, stats = rawStats.get(key).flatMap(parseStats(_, statsSchema)))
     }
-    Snapshot(target, schema, partitionCols, keyed.map(_._2), dir,
+    val snap = Snapshot(target, schema, partitionCols, keyed.map(_._2), dir,
       fileIds = keyed.map(_._1), dvs = dvByPath.toMap, physSchema = physSchema,
       configuration = configuration, metaId = metaId, statsJson = rawStats.toMap,
       protocol = declaredProtocol)
+    validateVersionChecksum(conf, dir, snap)
+    snap
+  }
+
+  /** delta-spark's version-checksum sidecar `_delta_log/<v>.crc`
+    * (VersionChecksum): one JSON line of post-commit table state. Written
+    * best-effort after every native commit; the crc is advisory — a failed
+    * write never fails the already-committed transaction — but when one IS
+    * present, replay validates against it and a mismatch fails LOUDLY
+    * (silent state drift is how table corruption propagates to readers).
+    * Reference behavior: delta-spark Checksum.scala; the reference gets it
+    * from the delta-spark jar (spark/.../delta paths in
+    * DeltaDataSourceCatalogUnit usage).
+    */
+  def writeVersionChecksum(spark: SparkSession, dir: Path, version: Long): Unit = try {
+    val snap = snapshot(spark, dir, Some(version))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val crc = new Path(new Path(dir, "_delta_log"), f"$version%020d.crc")
+    val json = JsonMethods.compact(JObject(
+      "tableSizeBytes" -> JInt(BigInt(snap.files.map(_.size).sum)),
+      "numFiles" -> JInt(BigInt(snap.files.size.toLong)),
+      "numMetadata" -> JInt(BigInt(1L)),
+      "numProtocol" -> JInt(BigInt(1L))))
+    LakeWrite.atomicCreate(crc.getFileSystem(conf), crc,
+      (json + "\n").getBytes("UTF-8")): Unit
+  } catch { case _: Exception => () } // advisory: the commit already landed
+
+  /** Validate a reconstructed snapshot against its version's `.crc`
+    * sidecar, when present. Only the state this reader reconstructs is
+    * judged (file count + total bytes); unknown fields from other writers
+    * are ignored. Mismatch = the log replay and the writer's recorded
+    * post-commit state disagree — corruption or a non-atomic log edit —
+    * and must not be served silently.
+    */
+  private def validateVersionChecksum(conf: Configuration, dir: Path,
+      snap: Snapshot): Unit = {
+    val crc = new Path(new Path(dir, "_delta_log"), f"${snap.version}%020d.crc")
+    val fs = crc.getFileSystem(conf)
+    val recorded = try {
+      if (!fs.exists(crc)) None
+      else {
+        val j = JsonMethods.parse(new String(readAllBytes(fs, crc), "UTF-8"))
+        (j \ "numFiles", j \ "tableSizeBytes") match {
+          case (JInt(nf), JInt(sz)) => Some((nf.toLong, sz.toLong))
+          case _ => None // unreadable sidecar: advisory, ignore
+        }
+      }
+    } catch { case _: Exception => None }
+    recorded.foreach { case (nf, sz) =>
+      val (gotNf, gotSz) = (snap.files.size.toLong, snap.files.map(_.size).sum)
+      if (nf != gotNf || sz != gotSz)
+        throw new IllegalStateException(
+          s"Delta version checksum mismatch at $dir version ${snap.version}: " +
+            s"$crc records numFiles=$nf tableSizeBytes=$sz but log replay " +
+            s"reconstructs numFiles=$gotNf tableSizeBytes=$gotSz — the log was " +
+            "modified non-atomically or is corrupt")
+    }
+  }
+
+  private def readAllBytes(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** One field renamed to its column-mapping physical name, recursively

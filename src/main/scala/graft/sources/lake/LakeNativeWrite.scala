@@ -294,7 +294,7 @@ object LakeNativeWrite {
     val protocol =
       if (writerF.isEmpty) LakeWrite.deltaProtocol()
       else LakeWrite.deltaProtocolFeatures(readerF, writerF)
-    commitDelta(conf, dir, 0L, Seq(
+    commitDeltaWithCrc(spark, dir, 0L, Seq(
       LakeWrite.deltaCommitInfo(System.currentTimeMillis(), operation = "CREATE TABLE"),
       protocol,
       LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, schema, partitionCols,
@@ -342,7 +342,7 @@ object LakeNativeWrite {
         stageChangeFiles(dropped.unionByName(added), dir, snap)
       }
     val txnActions = txn.toSeq.map { case (appId, v) => LakeWrite.deltaTxn(appId, v, now) }
-    commitDelta(conf, dir, snap.version + 1,
+    commitDeltaWithCrc(spark, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now, operation = "WRITE")) ++
         txnActions ++ cdc ++ removes ++ adds)
   }
@@ -474,7 +474,7 @@ object LakeNativeWrite {
     // silently dropping one side's deletes — with the pair, same-file
     // DV/DV races surface as delete/delete.
     val dvRemoves = descs.map { case (fid, _, _, _, _) => LakeWrite.deltaRemove(fid, now) }
-    commitDelta(conf, dir, snap.version + 1,
+    commitDeltaWithCrc(spark, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ protocolActions ++
         cdc ++ dvRemoves.toSeq ++ adds.toSeq ++ newAdds, readScope)
   }
@@ -517,7 +517,7 @@ object LakeNativeWrite {
           (snap.protocol.readerFeatures ++ legacyR ++ needR).distinct,
           (snap.protocol.writerFeatures ++ legacyW ++ needW).distinct))
       }
-    commitDelta(conf, dir, snap.version + 1,
+    commitDeltaWithCrc(spark, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now)) ++ protocolUpgrade ++ Seq(
       LakeWrite.deltaMetaData(
         if (snap.metaId.nonEmpty) snap.metaId else java.util.UUID.randomUUID().toString,
@@ -571,7 +571,7 @@ object LakeNativeWrite {
       if (dataChange) LakeWrite.deltaRemove(p, now)
       else LakeWrite.deltaRemoveNoDataChange(p, now))
     val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
-    commitDelta(conf, dir, snap.version + 1,
+    commitDeltaWithCrc(spark, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ cdc ++ removes ++ adds,
       readScope)
   }
@@ -733,8 +733,23 @@ object LakeNativeWrite {
     * Data files are content-addressed by job UUID, so a retried commit
     * re-points the SAME files — no data rewrite on contention.
     */
-  private[lake] def commitDelta(conf: Configuration, tableDir: Path, firstVersion: Long,
+  /** [[commitDelta]] plus the version-checksum sidecar: after the commit
+    * lands, the post-commit state (file count + total bytes at the LANDED
+    * version — retries may move it) is recorded as `<version>.crc`, the
+    * same advisory artifact delta-spark writes and validates on replay.
+    */
+  private def commitDeltaWithCrc(spark: SparkSession, dir: Path, firstVersion: Long,
       actions: Seq[String], readScope: Option[DeltaReadScope] = None): Unit = {
+    val v = commitDelta(spark.sparkContext.hadoopConfiguration, dir, firstVersion,
+      actions, readScope)
+    DeltaLite.writeVersionChecksum(spark, dir, v)
+  }
+
+  /** @return the version the commit actually landed at (>= firstVersion
+    *         after blind-append retries past winners)
+    */
+  private[lake] def commitDelta(conf: Configuration, tableDir: Path, firstVersion: Long,
+      actions: Seq[String], readScope: Option[DeltaReadScope] = None): Long = {
     val log = new Path(tableDir, "_delta_log")
     val fs = log.getFileSystem(conf)
     fs.mkdirs(log)
@@ -752,7 +767,7 @@ object LakeNativeWrite {
     while (attempts < 10) {
       val file = new Path(log, f"$v%020d.json")
       if (LakeWrite.atomicCreate(fs, file, (actions.mkString("\n") + "\n").getBytes("UTF-8")))
-        return
+        return v
       val winner = classifyDelta(readCommitLines(fs, file))
       val t = tableDir.toString
       if (winner.protocol) throw new LakeConcurrency.ProtocolChangedException(t, v)
@@ -937,7 +952,7 @@ object LakeNativeWrite {
       else Seq(LakeWrite.deltaMetaData(
         if (tgt.metaId.nonEmpty) tgt.metaId else cur.metaId,
         tgt.schema, tgt.partitionColumns, tgt.configuration))
-    commitDelta(conf, dir, cur.version + 1,
+    commitDeltaWithCrc(spark, dir, cur.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now, operation = "RESTORE")) ++
         metaRestore ++ removes ++ adds)
     (addIds.size.toLong, removeIds.size.toLong)
@@ -1197,7 +1212,7 @@ object LakeNativeWrite {
     require(files.nonEmpty, s"no parquet files under $dir")
     val partCols = files.head.partitionValues.keys.toSeq.sorted
     val now = System.currentTimeMillis()
-    commitDelta(conf, dir, 0L,
+    commitDeltaWithCrc(spark, dir, 0L,
       Seq(LakeWrite.deltaCommitInfo(now, operation = "CONVERT"),
         LakeWrite.deltaProtocol(),
         LakeWrite.deltaMetaData(java.util.UUID.randomUUID().toString, df.schema, partCols)) ++

@@ -391,4 +391,32 @@ class SimilaritySuite extends SparkTestBase {
       "vec_id", "embedding", k = 2)
     assert(none.count() == 0)
   }
+
+  test("hnsw auto-shards: memory floor past the target, one shard for a small corpus") {
+    // 500-row corpus, 100-row target: the memory floor wins — 5 shards
+    val floored = Hnsw.hnswBuild(emb, "vec_id", "embedding", shards = 0,
+      targetRowsPerShard = 100)
+    assert(floored.select("shard").distinct().count() == 5L)
+    // default target: the corpus is far below MinRowsPerShard, so the
+    // parallelism term collapses to 1 — over-sharding a tiny corpus would
+    // only cost recall and probe fan-out
+    val auto = Hnsw.hnswBuild(emb, "vec_id", "embedding")
+    assert(auto.select("shard").distinct().count() == 1L)
+    // the auto-built index still answers with full contract shape
+    val q = emb.where(col("vec_id") < 5)
+    val out = Hnsw.hnswQuery(auto, q, "vec_id", "embedding", k = 3).collect()
+    assert(out.groupBy(_.getLong(0)).values.forall(_.length == 3))
+  }
+
+  test("hnsw oversized query batches chunk through toLocalIterator, results unchanged") {
+    val q = emb.where(col("vec_id") < 40)
+    val index = Hnsw.hnswBuild(emb, "vec_id", "embedding", shards = 3)
+      .localCheckpoint(true) // chunking re-probes the index once per chunk
+    val oneShot = Hnsw.hnswQuery(index, q, "vec_id", "embedding", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val chunked = Hnsw.hnswQuery(index, q, "vec_id", "embedding", k = 5,
+      maxQueryBatch = 16) // 40 queries -> 3 chunks
+    assert(chunked.collect().map(_.toString).sorted.toSeq == oneShot,
+      "chunk membership must not change any per-query result")
+  }
 }

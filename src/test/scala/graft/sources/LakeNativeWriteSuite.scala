@@ -166,4 +166,33 @@ class LakeNativeWriteSuite extends SparkTestBase {
     }
     assert(e3.getMessage.contains("identity partition column"))
   }
+
+  test("delta: version-checksum sidecars written per commit; a mismatch fails replay loudly") {
+    import spark.implicits._
+    val dir = new Path(s"${tmpDir("dcrc")}/t")
+    LakeNativeWrite.deltaCreate(spark, dir,
+      StructType(Seq(StructField("id", LongType))), Nil)
+    LakeNativeWrite.deltaInsert(spark, dir, (0L until 5L).toDF("id"), overwrite = false)
+    LakeNativeWrite.deltaInsert(spark, dir, (5L until 8L).toDF("id"), overwrite = false)
+    val log = new java.io.File(dir.toString, "_delta_log")
+    val crcs = log.listFiles().filter(_.getName.endsWith(".crc"))
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(crcs == Seq("00000000000000000000.crc", "00000000000000000001.crc",
+      "00000000000000000002.crc"), s"one sidecar per commit, got $crcs")
+    // the recorded state matches the replay (file count + total bytes)
+    val snap = DeltaLite.snapshot(spark, dir)
+    val recorded = scala.io.Source.fromFile(new java.io.File(log, crcs.last)).mkString
+    assert(recorded.contains(s""""numFiles":${snap.files.size}"""), recorded)
+    assert(recorded.contains(s""""tableSizeBytes":${snap.files.map(_.size).sum}"""), recorded)
+    // corrupt the latest sidecar: replay must fail loudly, not serve a
+    // state that disagrees with what the committer recorded
+    val target = new java.io.File(log, crcs.last)
+    new java.io.File(log, "." + crcs.last + ".crc").delete() // hadoop checksum shadow
+    java.nio.file.Files.write(target.toPath,
+      """{"tableSizeBytes":1,"numFiles":999,"numMetadata":1,"numProtocol":1}""".getBytes)
+    val e = intercept[IllegalStateException] { DeltaLite.snapshot(spark, dir) }
+    assert(e.getMessage.contains("checksum mismatch"), e.getMessage)
+    // time travel to a version whose sidecar is intact still works
+    assert(DeltaLite.snapshot(spark, dir, Some(1L)).files.nonEmpty)
+  }
 }
