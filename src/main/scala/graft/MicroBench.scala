@@ -33,8 +33,12 @@ object MicroBench {
         // heavier r7 additions
         "text_logreg_quality", "text_kn_xent", "pipeline_curation_v3", "ann_hnsw",
         "lake_iceberg_changelog"))
-    // warmup: one full pass charges JIT/codegen before any measured run
-    names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    // warmup: one full pass charges JIT/codegen before any measured run.
+    // SPARK_GRAFT_MICRO_WARMUP=0 skips it — the sf5 steady control is a
+    // single COLD pass (multi-second gates amortize JIT; cold-vs-cold is
+    // the comparable config, and a warm pass would double a ~4 min run)
+    if (sys.env.getOrElse("SPARK_GRAFT_MICRO_WARMUP", "1") != "0")
+      names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     val results = names.map { n =>
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

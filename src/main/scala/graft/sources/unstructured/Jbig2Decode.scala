@@ -12,12 +12,20 @@ package graft.sources.unstructured
   *    symbol codes), height-class symbol decoding sharing one MQ decoder
   *    and context set per dictionary, export runs, cross-segment symbol
   *    references, and strip-wise instance placement with all four
-  *    reference corners, transposition, and S-offset.
+  *    reference corners, transposition, and S-offset;
+  *  - HUFFMAN-coded symbol dictionaries + text regions (SDHUFF/SBHUFF —
+  *    the shape older fax/scanner encoders emit): Annex B standard
+  *    tables (B.1-B.6, B.8, B.9, B.11-B.13, each pinned to exact Kraft
+  *    completeness in the suite), custom table segments (type 53, the
+  *    B.2 assembly), runcode-compressed symbol ID code tables, and
+  *    collective height-class bitmaps both MMR-coded (via the T.6
+  *    engine) and uncompressed.
   *
-  * Out of the supported subset (huffman-coded dictionaries/regions,
-  * refinement/aggregation, halftone regions, imported bitmap-coding
-  * contexts): decodePage returns None and the caller falls back to
-  * header-derived dimensions only.
+  * Out of the supported subset (refinement/aggregation, halftone
+  * regions, imported bitmap-coding contexts, the untranscribed standard
+  * tables B.7/B.10 — a custom-table stream covers those selections):
+  * decodePage returns None and the caller falls back to header-derived
+  * dimensions only.
   *
   * The MQ decoder implements Annex E's software conventions; the context
   * bit order is the spec figures' raster order with each adaptive pixel
@@ -202,6 +210,176 @@ private[graft] object Jbig2Decode {
 
   private[unstructured] val OOB = Int.MinValue
 
+  // ---- Huffman coding (T.88 Annex B) — the shape older fax/scanner
+  // encoders emit (SDHUFF/SBHUFF symbol dictionaries + text regions with
+  // Annex B standard tables or custom table segments). Generic regions
+  // never use huffman (they are MQ or MMR), so this completes the
+  // non-refinement scanned-document matrix. ----
+
+  /** MSB-first bit reader over a segment window. Throws past `until` —
+    * decodePage's catch turns malformed streams into None.
+    */
+  private[unstructured] final class BitReader(val data: Array[Byte], var pos: Int,
+      val until: Int) {
+    private var bitPos = 0
+    def bit(): Int = {
+      if (pos >= until) throw new IllegalStateException("bit read past segment end")
+      val b = (data(pos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; pos += 1 }
+      b
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def bits32(): Long = {
+      var v = 0L; var i = 0
+      while (i < 32) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def align(): Unit = if (bitPos != 0) { bitPos = 0; pos += 1 }
+  }
+
+  /** One huffman table line. `rangeLen == 32` marks the unbounded
+    * lower/upper range lines; `oob` lines carry no value.
+    */
+  private[unstructured] final case class HLine(prefLen: Int, rangeLen: Int,
+      rangeLow: Int, lower: Boolean = false, oob: Boolean = false)
+
+  /** An assembled table: canonical prefix codes per B.3 (first code of
+    * each length = (firstcode + count of previous length) << 1, assigned
+    * in table order within a length), decoded bit-serially.
+    */
+  private[unstructured] final class HTable(lines0: Seq[HLine]) {
+    private val lines: Array[HLine] = lines0.filter(_.prefLen > 0).toArray
+    private val byLenCode: Map[(Int, Int), HLine] = {
+      val maxLen = if (lines.isEmpty) 0 else lines.map(_.prefLen).max
+      val cnt = new Array[Int](maxLen + 2)
+      lines.foreach(l => cnt(l.prefLen) += 1)
+      val firstCode = new Array[Int](maxLen + 2)
+      var len = 1
+      while (len <= maxLen) {
+        firstCode(len) = (firstCode(len - 1) + cnt(len - 1)) << 1
+        len += 1
+      }
+      val next = firstCode.clone()
+      lines.iterator.map { l =>
+        val code = next(l.prefLen)
+        next(l.prefLen) += 1
+        (l.prefLen, code) -> l
+      }.toMap
+    }
+
+    /** Kraft sum numerator over 2^-32 — exactly 2^32 for a complete code.
+      * The suite pins every standard table to exact completeness, which a
+      * mis-transcribed Annex B line would almost surely break.
+      */
+    def kraftNumerator: Long =
+      lines.foldLeft(0L)((a, l) => a + (1L << (32 - l.prefLen)))
+
+    /** Decode one value; [[OOB]] for an OOB line; throws on an unassigned
+      * code or exhausted input (caller's catch → None).
+      */
+    def decode(br: BitReader): Int = {
+      var len = 0; var code = 0
+      while (len < 32) {
+        code = (code << 1) | br.bit()
+        len += 1
+        byLenCode.get((len, code)) match {
+          case Some(l) if l.oob => return OOB
+          case Some(l) if l.rangeLen == 32 =>
+            val off = br.bits32()
+            if (off > Int.MaxValue) throw new IllegalStateException("huffman offset overflow")
+            return if (l.lower) l.rangeLow - off.toInt else l.rangeLow + off.toInt
+          case Some(l) => return l.rangeLow + br.bits(l.rangeLen)
+          case None => ()
+        }
+      }
+      throw new IllegalStateException("unassigned huffman code")
+    }
+  }
+
+  /** Annex B standard tables. B.1-B.6, B.8, B.9, B.11-B.13 — every
+    * non-refinement selection except FS alternate B.7 and DS alternate
+    * B.10; those selections return None (custom table segments cover any
+    * stream that needs them). B.14/B.15 are refinement-only (RDW/RDH/
+    * RDX/RDY), out of the supported subset with refinement itself.
+    */
+  private[unstructured] val StdTables: Map[Int, HTable] = Map(
+    1 -> new HTable(Seq(HLine(1, 4, 0), HLine(2, 8, 16), HLine(3, 16, 272),
+      HLine(3, 32, 65808))),
+    2 -> new HTable(Seq(HLine(1, 0, 0), HLine(2, 0, 1), HLine(3, 0, 2),
+      HLine(4, 3, 3), HLine(5, 6, 11), HLine(6, 32, 75), HLine(6, 0, 0, oob = true))),
+    3 -> new HTable(Seq(HLine(8, 8, -256), HLine(1, 0, 0), HLine(2, 0, 1),
+      HLine(3, 0, 2), HLine(4, 3, 3), HLine(5, 6, 11),
+      HLine(8, 32, -257, lower = true), HLine(7, 32, 75), HLine(6, 0, 0, oob = true))),
+    4 -> new HTable(Seq(HLine(1, 0, 1), HLine(2, 0, 2), HLine(3, 0, 3),
+      HLine(4, 3, 4), HLine(5, 6, 12), HLine(5, 32, 76))),
+    5 -> new HTable(Seq(HLine(7, 8, -255), HLine(1, 0, 1), HLine(2, 0, 2),
+      HLine(3, 0, 3), HLine(4, 3, 4), HLine(5, 6, 12),
+      HLine(7, 32, -256, lower = true), HLine(6, 32, 76))),
+    6 -> new HTable(Seq(HLine(5, 10, -2048), HLine(4, 9, -1024), HLine(4, 8, -512),
+      HLine(4, 7, -256), HLine(5, 6, -128), HLine(5, 5, -64), HLine(4, 5, -32),
+      HLine(2, 7, 0), HLine(3, 7, 128), HLine(3, 8, 256), HLine(4, 9, 512),
+      HLine(4, 10, 1024), HLine(6, 32, -2049, lower = true), HLine(6, 32, 2048))),
+    8 -> new HTable(Seq(HLine(8, 3, -15), HLine(9, 1, -7), HLine(8, 1, -5),
+      HLine(9, 0, -3), HLine(7, 0, -2), HLine(4, 0, -1), HLine(2, 1, 0),
+      HLine(5, 0, 2), HLine(6, 0, 3), HLine(3, 4, 4), HLine(6, 1, 20),
+      HLine(4, 4, 22), HLine(4, 5, 38), HLine(5, 6, 70), HLine(5, 7, 134),
+      HLine(6, 7, 262), HLine(7, 8, 390), HLine(6, 10, 646),
+      HLine(9, 32, -16, lower = true), HLine(9, 32, 1670), HLine(2, 0, 0, oob = true))),
+    9 -> new HTable(Seq(HLine(8, 4, -31), HLine(9, 2, -15), HLine(8, 2, -11),
+      HLine(9, 1, -7), HLine(7, 1, -5), HLine(4, 1, -3), HLine(3, 1, -1),
+      HLine(3, 1, 1), HLine(5, 1, 3), HLine(6, 1, 5), HLine(3, 5, 7),
+      HLine(6, 2, 39), HLine(4, 5, 43), HLine(4, 6, 75), HLine(5, 7, 139),
+      HLine(5, 8, 267), HLine(6, 8, 523), HLine(7, 9, 779), HLine(6, 11, 1291),
+      HLine(9, 32, -32, lower = true), HLine(9, 32, 3339), HLine(2, 0, 0, oob = true))),
+    11 -> new HTable(Seq(HLine(1, 0, 1), HLine(2, 1, 2), HLine(4, 0, 4),
+      HLine(4, 1, 5), HLine(5, 1, 7), HLine(5, 2, 9), HLine(6, 2, 13),
+      HLine(7, 2, 17), HLine(7, 3, 21), HLine(7, 4, 29), HLine(7, 5, 45),
+      HLine(7, 6, 77), HLine(7, 32, 141))),
+    12 -> new HTable(Seq(HLine(1, 0, 1), HLine(2, 0, 2), HLine(3, 1, 3),
+      HLine(5, 0, 5), HLine(5, 1, 6), HLine(6, 1, 8), HLine(7, 0, 10),
+      HLine(7, 1, 11), HLine(7, 2, 13), HLine(7, 3, 17), HLine(7, 4, 25),
+      HLine(8, 5, 41), HLine(8, 32, 73))),
+    13 -> new HTable(Seq(HLine(1, 0, 1), HLine(3, 0, 2), HLine(4, 0, 3),
+      HLine(5, 0, 4), HLine(4, 1, 5), HLine(3, 3, 7), HLine(6, 1, 15),
+      HLine(6, 2, 17), HLine(6, 3, 21), HLine(6, 4, 29), HLine(6, 5, 45),
+      HLine(7, 6, 77), HLine(7, 32, 141))))
+
+  /** Custom huffman table segment (type 53, B.2 assembly): flags byte
+    * (HTOOB, HTPS-1, HTRS-1), signed HTLOW/HTHIGH, then bit-packed
+    * (PREFLEN, RANGELEN) pairs covering [HTLOW, HTHIGH), the lower/upper
+    * range prefix lengths, and the OOB prefix length when flagged.
+    */
+  private[unstructured] def parseTableSegment(data: Array[Byte], from: Int,
+      until: Int): Option[HTable] = try {
+    if (until - from < 9) return None
+    val flags = data(from) & 0xff
+    val oob = (flags & 1) == 1
+    val htps = ((flags >> 1) & 7) + 1
+    val htrs = ((flags >> 4) & 7) + 1
+    val low = be32(data, from + 1).toInt // signed by bit pattern
+    val high = be32(data, from + 5).toInt
+    if (high <= low) return None
+    val br = new BitReader(data, from + 9, until)
+    val lines = Seq.newBuilder[HLine]
+    var cur = low.toLong
+    while (cur < high) {
+      val pl = br.bits(htps)
+      val rl = br.bits(htrs)
+      if (rl > 31) return None
+      lines += HLine(pl, rl, cur.toInt)
+      cur += 1L << rl
+    }
+    lines += HLine(br.bits(htps), 32, low - 1, lower = true)
+    lines += HLine(br.bits(htps), 32, high)
+    if (oob) lines += HLine(br.bits(htps), 0, 0, oob = true)
+    Some(new HTable(lines.result()))
+  } catch { case _: Exception => None }
+
   /** A.2 IAx decode: returns the signed value, or [[OOB]]. */
   private[unstructured] def decodeInt(mq: MqDecoder, ctx: IntCtx): Int = {
     var prev = 1
@@ -243,20 +421,22 @@ private[graft] object Jbig2Decode {
 
   private[graft] final case class Bitmap(w: Int, h: Int, bits: Array[Byte])
 
-  /** Symbol dictionary decode (T.88 6.5, arithmetic, no refinement /
-    * aggregation / huffman — the `jbig2enc` symbol-mode shape). Returns
-    * the EXPORTED symbols; None when the dictionary needs an unsupported
-    * feature.
+  /** Symbol dictionary decode (T.88 6.5): arithmetic (the `jbig2enc`
+    * symbol-mode shape) or huffman-coded (SDHUFF — older fax/scanner
+    * encoders), no refinement/aggregation. Returns the EXPORTED symbols;
+    * None when the dictionary needs an unsupported feature. `tables` =
+    * the referred custom table segments, in reference order.
     */
   private[graft] def decodeSymbolDict(data: Array[Byte], from: Int, until: Int,
-      inputSymbols: Seq[Bitmap]): Option[Seq[Bitmap]] = {
+      inputSymbols: Seq[Bitmap], tables: Seq[HTable] = Nil): Option[Seq[Bitmap]] = {
     if (until - from < 2) return None
     val flags = ((data(from) & 0xff) << 8) | (data(from + 1) & 0xff)
     val sdhuff = (flags & 1) == 1
     val sdrefagg = ((flags >> 1) & 1) == 1
     val ctxUsed = ((flags >> 8) & 1) == 1
     val template = (flags >> 10) & 3
-    if (sdhuff || sdrefagg || ctxUsed) return None // out of the arithmetic subset
+    if (sdrefagg || ctxUsed) return None // out of the supported subset
+    if (sdhuff) return decodeSymbolDictHuff(data, from, until, inputSymbols, tables, flags)
     var p = from + 2
     val nAt = if (template == 0) 4 else 1
     // template-dependent header size: flags + AT pixels + the two 32-bit
@@ -320,12 +500,147 @@ private[graft] object Jbig2Decode {
     Some(exported.result())
   }
 
-  /** Text region decode (T.88 6.4, arithmetic, no refinement / huffman /
-    * transposition constraints beyond the flag): places referred-dictionary
-    * symbols onto the region bitmap. None when unsupported features appear.
+  /** Huffman symbol dictionary (6.5 with SDHUFF=1, SDREFAGG=0): height
+    * classes carry DH/DW deltas through the selected Annex B tables, and
+    * each class's symbols arrive as ONE collective bitmap — MMR-coded
+    * (BMSIZE > 0, routed through the T.6 engine) or byte-aligned
+    * uncompressed rows (BMSIZE == 0) — split by the accumulated widths.
+    * Export runs use Table B.1. Custom tables consume from `tables` in
+    * the spec's DH, DW, BMSIZE, AGG assignment order.
+    */
+  private def decodeSymbolDictHuff(data: Array[Byte], from: Int, until: Int,
+      inputSymbols: Seq[Bitmap], tables: Seq[HTable], flags: Int): Option[Seq[Bitmap]] = try {
+    val dhSel = (flags >> 2) & 3
+    val dwSel = (flags >> 4) & 3
+    val bmSel = (flags >> 6) & 1
+    val aggSel = (flags >> 7) & 1
+    var customIx = 0
+    def custom(): Option[HTable] = {
+      val t = tables.lift(customIx); customIx += 1; t
+    }
+    val dhT = dhSel match {
+      case 0 => StdTables(4); case 1 => StdTables(5)
+      case 3 => custom().getOrElse(return None); case _ => return None
+    }
+    val dwT = dwSel match {
+      case 0 => StdTables(2); case 1 => StdTables(3)
+      case 3 => custom().getOrElse(return None); case _ => return None
+    }
+    val bmT = if (bmSel == 0) StdTables(1) else custom().getOrElse(return None)
+    // AGG is only read under refinement/aggregation (off here), but a
+    // custom selection still consumes its referred table slot
+    if (aggSel == 1) custom(): Unit
+    // SDHUFF=1 has NO AT pixels: header = flags + numEx + numNew
+    if (until - from < 10) return None
+    val numEx = be32(data, from + 2).toInt
+    val numNew = be32(data, from + 6).toInt
+    if (numNew < 0 || numNew > (1 << 16) || numEx < 0) return None
+    val br = new BitReader(data, from + 10, until)
+    val newSyms = Seq.newBuilder[Bitmap]
+    var decoded = 0
+    var hcHeight = 0
+    while (decoded < numNew) {
+      val dh = dhT.decode(br)
+      if (dh == OOB) return None
+      hcHeight += dh
+      if (hcHeight <= 0 || hcHeight > (1 << 14)) return None
+      var symWidth = 0
+      var totWidth = 0L
+      val hcWidths = Seq.newBuilder[Int]
+      var endOfClass = false
+      while (!endOfClass) {
+        val dw = dwT.decode(br)
+        if (dw == OOB) endOfClass = true
+        else {
+          if (decoded >= numNew) return None // excess symbol: malformed
+          symWidth += dw
+          if (symWidth <= 0 || symWidth > (1 << 14)) return None
+          totWidth += symWidth
+          hcWidths += symWidth
+          decoded += 1
+        }
+      }
+      val widths = hcWidths.result()
+      if (widths.nonEmpty) {
+        if (totWidth * hcHeight > MaxPixels) return None
+        val tw = totWidth.toInt
+        val bmSize = bmT.decode(br)
+        if (bmSize == OOB || bmSize < 0) return None
+        br.align()
+        val coll = new Array[Byte](tw * hcHeight)
+        if (bmSize == 0) {
+          // uncompressed: hcHeight byte-aligned rows, MSB-first, 1 = black
+          val stride = (tw + 7) / 8
+          if (br.pos + hcHeight.toLong * stride > until) return None
+          var y = 0
+          while (y < hcHeight) {
+            var x = 0
+            while (x < tw) {
+              val b = data(br.pos + y * stride + (x >> 3))
+              coll(y * tw + x) = ((b >> (7 - (x & 7))) & 1).toByte
+              x += 1
+            }
+            y += 1
+          }
+          br.pos += hcHeight * stride
+        } else {
+          // MMR-coded collective bitmap through the T.6 engine
+          if (br.pos + bmSize.toLong > until) return None
+          val slice = java.util.Arrays.copyOfRange(data, br.pos, br.pos + bmSize)
+          val (gray, gotH) = CcittDecode.decode(slice,
+            CcittDecode.Params(columns = tw, rows = hcHeight, k = -1)).getOrElse(return None)
+          if (gotH < hcHeight) return None
+          var i = 0
+          while (i < tw * hcHeight) {
+            coll(i) = (if (gray(i) == 0) 1 else 0).toByte
+            i += 1
+          }
+          br.pos += bmSize
+        }
+        // split the collective bitmap into the class's symbols by width
+        var x0 = 0
+        widths.foreach { wd =>
+          val bits = new Array[Byte](wd * hcHeight)
+          var y = 0
+          while (y < hcHeight) {
+            System.arraycopy(coll, y * tw + x0, bits, y * wd, wd)
+            y += 1
+          }
+          newSyms += Bitmap(wd, hcHeight, bits)
+          x0 += wd
+        }
+      }
+    }
+    val all = inputSymbols ++ newSyms.result()
+    // export runs (6.5.10): runlengths via Table B.1 in huffman mode
+    val exT = StdTables(1)
+    val exported = Seq.newBuilder[Bitmap]
+    var exIndex = 0
+    var exFlag = false
+    var taken = 0
+    while (exIndex < all.size && taken < numEx) {
+      val run = exT.decode(br)
+      if (run == OOB || run < 0) return None
+      if (exFlag) {
+        val upTo = math.min(exIndex + run, all.size)
+        (exIndex until upTo).foreach { i =>
+          if (taken < numEx) { exported += all(i); taken += 1 }
+        }
+      }
+      exIndex += run
+      exFlag = !exFlag
+    }
+    Some(exported.result())
+  } catch { case _: Exception => None }
+
+  /** Text region decode (T.88 6.4): arithmetic or huffman-coded (SBHUFF),
+    * no refinement. Places referred-dictionary symbols onto the region
+    * bitmap; None when unsupported features appear. `tables` = referred
+    * custom table segments, in reference order.
     */
   private[graft] def decodeTextRegion(data: Array[Byte], from: Int, until: Int,
-      w: Int, h: Int, symbols: Seq[Bitmap]): Option[Array[Byte]] = {
+      w: Int, h: Int, symbols: Seq[Bitmap],
+      tables: Seq[HTable] = Nil): Option[Array[Byte]] = try {
     if (until - from < 6 || symbols.isEmpty) return None
     val flags = ((data(from) & 0xff) << 8) | (data(from + 1) & 0xff)
     val sbhuff = (flags & 1) == 1
@@ -337,16 +652,91 @@ private[graft] object Jbig2Decode {
     val defPixel = (flags >> 9) & 1
     var dsOffset = (flags >> 10) & 0x1f
     if (dsOffset > 15) dsOffset -= 32 // 5-bit signed
-    if (sbhuff || refine) return None
+    if (refine) return None
     val strips = 1 << logStrips
     var p = from + 2
-    val numInstances = be32(data, p).toInt; p += 4
-    if (numInstances < 0 || numInstances > (1 << 20)) return None
-    val mq = new MqDecoder(data, p, until)
-    val iadt = new IntCtx; val iafs = new IntCtx
-    val iads = new IntCtx; val iait = new IntCtx
-    val codeLen = symCodeLen(symbols.size)
-    val iaid = new Array[Int](1 << (codeLen + 1))
+
+    // per-coding-mode decode callbacks feeding the shared strip loop
+    var decDt: () => Int = null
+    var decFs: () => Int = null
+    var decDs: () => Int = null
+    var decIt: () => Int = null
+    var decId: () => Int = null
+    var numInstances = 0
+    if (!sbhuff) {
+      numInstances = be32(data, p).toInt; p += 4
+      if (numInstances < 0 || numInstances > (1 << 20)) return None
+      val mq = new MqDecoder(data, p, until)
+      val iadt = new IntCtx; val iafs = new IntCtx
+      val iads = new IntCtx; val iait = new IntCtx
+      val codeLen = symCodeLen(symbols.size)
+      val iaid = new Array[Int](1 << (codeLen + 1))
+      decDt = () => decodeInt(mq, iadt)
+      decFs = () => decodeInt(mq, iafs)
+      decDs = () => decodeInt(mq, iads)
+      decIt = () => if (strips == 1) 0 else decodeInt(mq, iait)
+      decId = () => decodeIaid(mq, iaid, codeLen)
+    } else {
+      // huffman flags (7.4.4.1.2): FS/DS/DT selections plus the
+      // refinement-table selections, which still consume referred custom
+      // table slots in the spec's assignment order even with REFINE off
+      if (until - p < 2) return None
+      val hf = ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff); p += 2
+      var customIx = 0
+      def custom(): Option[HTable] = {
+        val t = tables.lift(customIx); customIx += 1; t
+      }
+      val fsT = (hf & 3) match {
+        case 0 => StdTables(6)
+        case 3 => custom().getOrElse(return None)
+        case _ => return None // B.7 selection: not in the transcribed set
+      }
+      val dsT = ((hf >> 2) & 3) match {
+        case 0 => StdTables(8); case 1 => StdTables(9)
+        case 3 => custom().getOrElse(return None)
+        case _ => return None // B.10 selection: not in the transcribed set
+      }
+      val dtT = ((hf >> 4) & 3) match {
+        case 0 => StdTables(11); case 1 => StdTables(12); case 2 => StdTables(13)
+        case _ => custom().getOrElse(return None)
+      }
+      Seq((hf >> 6) & 3, (hf >> 8) & 3, (hf >> 10) & 3, (hf >> 12) & 3)
+        .foreach(sel => if (sel == 3) custom(): Unit)
+      if (((hf >> 14) & 1) == 1) custom(): Unit
+      numInstances = be32(data, p).toInt; p += 4
+      if (numInstances < 0 || numInstances > (1 << 20)) return None
+      val br = new BitReader(data, p, until)
+      // symbol ID code table (7.4.3.1.7): 35 4-bit runcode lengths, then
+      // runcode-compressed symbol code lengths, byte-aligned at the end
+      val runT = new HTable((0 until 35).map(i => HLine(br.bits(4), 0, i)))
+      val symLens = new Array[Int](symbols.size)
+      var i = 0
+      var prevLen = 0
+      while (i < symbols.size) {
+        val c = runT.decode(br)
+        if (c == OOB || c < 0 || c > 34) return None
+        if (c < 32) { symLens(i) = c; prevLen = c; i += 1 }
+        else {
+          val (rep, len) = c match {
+            case 32 => (3 + br.bits(2), prevLen)
+            case 33 => (3 + br.bits(3), 0)
+            case _ => (11 + br.bits(7), 0)
+          }
+          var j = 0
+          while (j < rep) {
+            if (i >= symbols.size) return None // run past the symbol count
+            symLens(i) = len; i += 1; j += 1
+          }
+        }
+      }
+      br.align()
+      val idT = new HTable(symLens.zipWithIndex.map { case (l, ix) => HLine(l, 0, ix) })
+      decDt = () => dtT.decode(br)
+      decFs = () => fsT.decode(br)
+      decDs = () => dsT.decode(br)
+      decIt = () => if (strips == 1) 0 else br.bits(logStrips)
+      decId = () => idT.decode(br)
+    }
     val out = if (defPixel == 1) Array.fill[Byte](w * h)(1) else new Array[Byte](w * h)
     def draw(bm: Bitmap, x0: Int, y0: Int): Unit = {
       var yy = 0
@@ -372,13 +762,13 @@ private[graft] object Jbig2Decode {
         yy += 1
       }
     }
-    val dt0 = decodeInt(mq, iadt)
+    val dt0 = decDt()
     if (dt0 == OOB) return None
     var stripT = -dt0 * strips
     var firstS = 0
     var n = 0
     while (n < numInstances) {
-      val dt = decodeInt(mq, iadt)
+      val dt = decDt()
       if (dt == OOB) return None
       stripT += dt * strips
       var curS = 0
@@ -386,20 +776,19 @@ private[graft] object Jbig2Decode {
       var endOfStrip = false
       while (!endOfStrip && n < numInstances) {
         if (first) {
-          val dfs = decodeInt(mq, iafs)
+          val dfs = decFs()
           if (dfs == OOB) return None
           firstS += dfs; curS = firstS; first = false
         } else {
-          val ids = decodeInt(mq, iads)
+          val ids = decDs()
           if (ids == OOB) endOfStrip = true
           else curS += ids + dsOffset
         }
         if (!endOfStrip) {
-          val curT = if (strips == 1) 0 else {
-            val t = decodeInt(mq, iait); if (t == OOB) return None; t
-          }
+          val curT = decIt()
+          if (curT == OOB) return None
           val t = stripT + curT
-          val id = decodeIaid(mq, iaid, codeLen)
+          val id = decId()
           if (id < 0 || id >= symbols.size) return None
           val bm = symbols(id)
           if (!transposed) {
@@ -416,7 +805,7 @@ private[graft] object Jbig2Decode {
       }
     }
     Some(out)
-  }
+  } catch { case _: Exception => None }
 
   // ---- segment structure (T.88 7.2; embedded = no file header) ----
 
@@ -513,6 +902,9 @@ private[graft] object Jbig2Decode {
     // exported symbols per symbol-dictionary segment, consumed by text
     // regions through their referred-segment lists
     val symbolsBySeg = scala.collection.mutable.Map.empty[Long, Seq[Bitmap]]
+    // custom huffman tables (type 53), consumed by huffman-coded
+    // dictionaries and text regions in referred order
+    val tablesBySeg = scala.collection.mutable.Map.empty[Long, HTable]
     segs.foreach { s =>
       s.segType match {
         case 48 if s.dataLen >= 17 => // page information (7.4.8)
@@ -522,7 +914,11 @@ private[graft] object Jbig2Decode {
         case 0 => // symbol dictionary (7.4.3)
           val inputs = s.refs.flatMap(symbolsBySeg.getOrElse(_, Nil))
           symbolsBySeg(s.num) = decodeSymbolDict(data, s.dataOff,
-            s.dataOff + s.dataLen, inputs).getOrElse(return None)
+            s.dataOff + s.dataLen, inputs,
+            s.refs.flatMap(tablesBySeg.get)).getOrElse(return None)
+        case 53 => // custom huffman table (7.4.13 / B.2)
+          tablesBySeg(s.num) = parseTableSegment(data, s.dataOff,
+            s.dataOff + s.dataLen).getOrElse(return None)
         case 6 | 7 => // immediate (lossless) text region (7.4.4)
           if (s.dataLen < 19) return None
           val o = s.dataOff
@@ -531,8 +927,8 @@ private[graft] object Jbig2Decode {
           val combOp = data(o + 16) & 0x7
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
           val syms = s.refs.flatMap(symbolsBySeg.getOrElse(_, Nil))
-          val bits = decodeTextRegion(data, o + 17, o + s.dataLen, w, h, syms)
-            .getOrElse(return None)
+          val bits = decodeTextRegion(data, o + 17, o + s.dataLen, w, h, syms,
+            s.refs.flatMap(tablesBySeg.get)).getOrElse(return None)
           regions += Region(x, y, w, h, bits, combOp)
           nRegions += 1
         case t if GenericRegionTypes.contains(t) =>

@@ -454,6 +454,247 @@ class Jbig2Suite extends AnyFunSuite {
     assert(secs < 20.0, f"fax-page decode took $secs%.1f s — the context loop regressed")
   }
 
+  // ---- huffman fixture encoder: independent Annex B transcription plus
+  // its own re-derivation of the B.3 canonical code assignment, so the
+  // decoder's tables and assignment are pinned from both sides ----
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var n = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); n += 1
+      if (n == 8) { buf += cur.toByte; cur = 0; n = 0 }
+    }
+    def bits(v: Long, w: Int): Unit = {
+      var i = w - 1
+      while (i >= 0) { bit(((v >> i) & 1).toInt); i -= 1 }
+    }
+    def align(): Unit = while (n != 0) bit(0)
+    def raw(bytes: Array[Byte]): Unit = { require(n == 0); buf ++= bytes }
+    def result(): Array[Byte] = { align(); buf.toArray }
+  }
+
+  /** kind: 0 normal, 1 lower (32-bit downward), 2 upper (32-bit), 3 OOB */
+  private case class EL(prefLen: Int, rangeLen: Int, rangeLow: Int, kind: Int = 0)
+
+  private final class HEnc(lines: Seq[EL]) {
+    val codes: Seq[Int] = { // B.3 canonical assignment, re-derived
+      val maxLen = lines.map(_.prefLen).max
+      val cnt = new Array[Int](maxLen + 1)
+      lines.foreach(l => if (l.prefLen > 0) cnt(l.prefLen) += 1)
+      val first = new Array[Int](maxLen + 1)
+      var l = 2
+      first(1) = 0
+      while (l <= maxLen) { first(l) = (first(l - 1) + cnt(l - 1)) << 1; l += 1 }
+      val next = first.clone()
+      lines.map(ln =>
+        if (ln.prefLen == 0) -1
+        else { val c = next(ln.prefLen); next(ln.prefLen) += 1; c })
+    }
+    def enc(bw: BitWriter, v: Int): Unit = {
+      val ix = lines.indexWhere(l => l.kind == 0 &&
+        v >= l.rangeLow && (v.toLong - l.rangeLow) < (1L << l.rangeLen))
+      val use = if (ix >= 0) ix else lines.indexWhere(l =>
+        (l.kind == 2 && v >= l.rangeLow) || (l.kind == 1 && v <= l.rangeLow))
+      require(use >= 0, s"no huffman line encodes $v")
+      val l = lines(use)
+      bw.bits(codes(use).toLong, l.prefLen)
+      if (l.kind == 2) bw.bits(v.toLong - l.rangeLow, 32)
+      else if (l.kind == 1) bw.bits(l.rangeLow.toLong - v, 32)
+      else bw.bits(v.toLong - l.rangeLow, l.rangeLen)
+    }
+    def encOob(bw: BitWriter): Unit = {
+      val ix = lines.indexWhere(_.kind == 3)
+      require(ix >= 0, "table has no OOB line")
+      bw.bits(codes(ix).toLong, lines(ix).prefLen)
+    }
+  }
+
+  private val B1e = new HEnc(Seq(EL(1, 4, 0), EL(2, 8, 16), EL(3, 16, 272),
+    EL(3, 32, 65808, 2)))
+  private val B2e = new HEnc(Seq(EL(1, 0, 0), EL(2, 0, 1), EL(3, 0, 2),
+    EL(4, 3, 3), EL(5, 6, 11), EL(6, 32, 75, 2), EL(6, 0, 0, 3)))
+  private val B4e = new HEnc(Seq(EL(1, 0, 1), EL(2, 0, 2), EL(3, 0, 3),
+    EL(4, 3, 4), EL(5, 6, 12), EL(5, 32, 76, 2)))
+  private val B6e = new HEnc(Seq(EL(5, 10, -2048), EL(4, 9, -1024), EL(4, 8, -512),
+    EL(4, 7, -256), EL(5, 6, -128), EL(5, 5, -64), EL(4, 5, -32), EL(2, 7, 0),
+    EL(3, 7, 128), EL(3, 8, 256), EL(4, 9, 512), EL(4, 10, 1024),
+    EL(6, 32, -2049, 1), EL(6, 32, 2048, 2)))
+  private val B8e = new HEnc(Seq(EL(8, 3, -15), EL(9, 1, -7), EL(8, 1, -5),
+    EL(9, 0, -3), EL(7, 0, -2), EL(4, 0, -1), EL(2, 1, 0), EL(5, 0, 2),
+    EL(6, 0, 3), EL(3, 4, 4), EL(6, 1, 20), EL(4, 4, 22), EL(4, 5, 38),
+    EL(5, 6, 70), EL(5, 7, 134), EL(6, 7, 262), EL(7, 8, 390), EL(6, 10, 646),
+    EL(9, 32, -16, 1), EL(9, 32, 1670, 2), EL(2, 0, 0, 3)))
+  private val B11e = new HEnc(Seq(EL(1, 0, 1), EL(2, 1, 2), EL(4, 0, 4),
+    EL(4, 1, 5), EL(5, 1, 7), EL(5, 2, 9), EL(6, 2, 13), EL(7, 2, 17),
+    EL(7, 3, 21), EL(7, 4, 29), EL(7, 5, 45), EL(7, 6, 77), EL(7, 32, 141, 2)))
+
+  /** Huffman symbol dictionary segment DATA (SDHUFF=1, standard tables
+    * unless `dhCustom`): symbols sorted by ascending height, widths
+    * non-decreasing within a class; every symbol exports. `mmr` selects
+    * the collective-bitmap coding.
+    */
+  private def encodeSymbolDictHuff(syms: Seq[Jbig2Decode.Bitmap], mmr: Boolean,
+      dhCustom: Option[HEnc] = None): Array[Byte] = {
+    val bw = new BitWriter
+    val dhT = dhCustom.getOrElse(B4e)
+    var hcHeight = 0
+    syms.groupBy(_.h).toSeq.sortBy(_._1).foreach { case (h, group) =>
+      dhT.enc(bw, h - hcHeight); hcHeight = h
+      var symWidth = 0
+      group.foreach { bm => B2e.enc(bw, bm.w - symWidth); symWidth = bm.w }
+      B2e.encOob(bw)
+      val tw = group.map(_.w).sum
+      val coll = new Array[Byte](tw * h)
+      var x0 = 0
+      group.foreach { bm =>
+        (0 until h).foreach(y =>
+          System.arraycopy(bm.bits, y * bm.w, coll, y * tw + x0, bm.w))
+        x0 += bm.w
+      }
+      if (mmr) {
+        val coded = CcittDecode.encodeG4(
+          coll.map(b => if (b != 0) 0x00.toByte else 0xff.toByte), tw, h)
+        B1e.enc(bw, coded.length)
+        bw.align()
+        bw.raw(coded)
+      } else {
+        B1e.enc(bw, 0) // uncompressed collective bitmap
+        bw.align()
+        val stride = (tw + 7) / 8
+        val rows = new Array[Byte](stride * h)
+        for (y <- 0 until h; x <- 0 until tw; if coll(y * tw + x) != 0)
+          rows(y * stride + (x >> 3)) =
+            (rows(y * stride + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+        bw.raw(rows)
+      }
+    }
+    B1e.enc(bw, 0)         // skip-run 0
+    B1e.enc(bw, syms.size) // export every new symbol
+    val flags = 1 | (if (dhCustom.isDefined) 3 << 2 else 0) // SDHUFF [+ DH custom]
+    Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
+      be32(syms.size.toLong) ++ be32(syms.size.toLong) ++ bw.result()
+  }
+
+  /** Huffman text region DATA (SBHUFF=1, SBSTRIPS=1, FS=B.6 DS=B.8
+    * DT=B.11): symbol ID codes are fixed-length, carried by a runcode
+    * table with a single 1-bit code for the literal length.
+    */
+  private def encodeTextRegionHuff(instances: Seq[(Int, Int, Int)],
+      syms: Seq[Jbig2Decode.Bitmap], refCorner: Int): Array[Byte] = {
+    val bw = new BitWriter
+    val idLen = Jbig2Decode.symCodeLen(syms.size)
+    (0 until 35).foreach(i => bw.bits(if (i == idLen) 1L else 0L, 4))
+    syms.indices.foreach(_ => bw.bit(0)) // every symbol: the 1-bit runcode
+    bw.align()
+    B11e.enc(bw, 1) // STRIPT init: -1 (B.11 has no zero)
+    var stripT = -1
+    var firstS = 0
+    instances.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (t, insts) =>
+      B11e.enc(bw, t - stripT); stripT = t
+      var curS = 0
+      var first = true
+      insts.sortBy(_._1).foreach { case (s, _, id) =>
+        if (first) { B6e.enc(bw, s - firstS); firstS = s; curS = s; first = false }
+        else { B8e.enc(bw, s - curS); curS = s }
+        bw.bits(id.toLong, idLen) // canonical fixed-length code = the id
+        curS += syms(id).w - 1
+      }
+      B8e.encOob(bw)
+    }
+    val flags = 1 | (refCorner << 4) // SBHUFF
+    Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte,
+      0.toByte, 0.toByte) ++ // huffman flags: all standard selections
+      be32(instances.size.toLong) ++ bw.result()
+  }
+
+  test("Annex B standard tables are Kraft-complete and decode hand-built codewords") {
+    Jbig2Decode.StdTables.foreach { case (n, t) =>
+      assert(t.kraftNumerator == (1L << 32),
+        s"standard table B.$n is not a complete prefix code — transcription error")
+    }
+    // B.1, value 5: length-1 code '0' + 4 offset bits 0101 -> 0b00101_000
+    val b1 = new Jbig2Decode.BitReader(Array(0x28.toByte), 0, 1)
+    assert(Jbig2Decode.StdTables(1).decode(b1) == 5)
+    // B.2 OOB: canonical '111111'
+    val b2 = new Jbig2Decode.BitReader(Array(0xfc.toByte), 0, 1)
+    assert(Jbig2Decode.StdTables(2).decode(b2) == Jbig2Decode.OOB)
+    // B.4, value 76 (upper range, code '11111' + 32-bit 0)
+    val b4 = new Jbig2Decode.BitReader(
+      Array(0xf8.toByte, 0, 0, 0, 0), 0, 5)
+    assert(Jbig2Decode.StdTables(4).decode(b4) == 76)
+    // encoder/decoder roundtrip across every supported table's range
+    for ((enc, dec, vals) <- Seq(
+      (B1e, Jbig2Decode.StdTables(1), Seq(0, 7, 16, 271, 272, 65807, 65808, 70000)),
+      (B2e, Jbig2Decode.StdTables(2), Seq(0, 1, 2, 3, 10, 11, 74, 75, 100000)),
+      (B4e, Jbig2Decode.StdTables(4), Seq(1, 2, 3, 4, 11, 12, 75, 76, 99)),
+      (B6e, Jbig2Decode.StdTables(6), Seq(-3000, -2049, -2048, -1, 0, 127, 128, 2047, 2048, 50000)),
+      (B8e, Jbig2Decode.StdTables(8), Seq(-100, -16, -15, -3, -1, 0, 1, 2, 4, 19, 22, 645, 646, 1669, 1670, 90000)),
+      (B11e, Jbig2Decode.StdTables(11), Seq(1, 2, 3, 4, 76, 77, 140, 141, 500)))) {
+      vals.foreach { v =>
+        val bw = new BitWriter
+        enc.enc(bw, v)
+        val bytes = bw.result()
+        assert(dec.decode(new Jbig2Decode.BitReader(bytes, 0, bytes.length)) == v,
+          s"value $v did not roundtrip")
+      }
+    }
+  }
+
+  test("huffman symbol dict + text region decode to the arithmetic twin's raster") {
+    val insts = Seq((2, 3, 1), (9, 3, 2), (16, 5, 0), (3, 14, 2))
+    val regionInfo = be32(26) ++ be32(16) ++ be32(2) ++ be32(1) ++ Array(0.toByte)
+    def stream(dict: Array[Byte], tr: Array[Byte]): Array[Byte] =
+      segment(0, 48, pageInfo(30, 20)) ++
+        segmentR(1, 0, Nil, dict) ++
+        segmentR(2, 6, Seq(1L), regionInfo ++ tr)
+    val arith = Jbig2Decode.decodePage(
+      stream(encodeSymbolDict(glyphs, 0), encodeTextRegion(insts, glyphs, 1))).get
+    // both collective-bitmap codings: MMR through the T.6 engine and
+    // byte-aligned uncompressed rows
+    for (mmr <- Seq(true, false)) {
+      val huff = Jbig2Decode.decodePage(
+        stream(encodeSymbolDictHuff(glyphs, mmr),
+          encodeTextRegionHuff(insts, glyphs, 1))).get
+      assert(huff._2 == arith._2 && huff._3 == arith._3)
+      assert(java.util.Arrays.equals(huff._1, arith._1),
+        s"huffman (mmr=$mmr) raster must equal the arithmetic twin")
+    }
+  }
+
+  test("custom huffman table segment (type 53) replaces a standard selection") {
+    // custom DH table: values 1..8 as 4-bit codes, 2-bit lower/upper —
+    // Kraft-complete; canonical codes: lower=00, upper=01, values 8..15
+    val custom = new HEnc(Seq(
+      EL(4, 0, 1), EL(4, 0, 2), EL(4, 0, 3), EL(4, 0, 4),
+      EL(4, 0, 5), EL(4, 0, 6), EL(4, 0, 7), EL(4, 0, 8),
+      EL(2, 32, 0, 1), EL(2, 32, 9, 2)))
+    // the segment's B.2 assembly of that table: HTPS=4 HTRS=1,
+    // HTLOW=1 HTHIGH=9, eight (preflen=4, rangelen=0) pairs, then the
+    // lower and upper prefix lengths
+    val tw = new BitWriter
+    (1 to 8).foreach { _ => tw.bits(4L, 4); tw.bits(0L, 1) }
+    tw.bits(2L, 4); tw.bits(2L, 4)
+    val tableData = Array((((4 - 1) << 1) | ((1 - 1) << 4)).toByte) ++
+      be32(1) ++ be32(9) ++ tw.result()
+    val insts = Seq((2, 3, 1), (9, 3, 2), (16, 5, 0))
+    val regionInfo = be32(26) ++ be32(14) ++ be32(2) ++ be32(1) ++ Array(0.toByte)
+    val stream = segment(0, 48, pageInfo(30, 18)) ++
+      segmentR(5, 53, Nil, tableData) ++
+      segmentR(1, 0, Seq(5L), encodeSymbolDictHuff(glyphs, mmr = false,
+        dhCustom = Some(custom))) ++
+      segmentR(2, 6, Seq(1L), regionInfo ++ encodeTextRegionHuff(insts, glyphs, 1))
+    val got = Jbig2Decode.decodePage(stream).get
+    val want = Jbig2Decode.decodePage(
+      segment(0, 48, pageInfo(30, 18)) ++
+        segmentR(1, 0, Nil, encodeSymbolDict(glyphs, 0)) ++
+        segmentR(2, 6, Seq(1L), regionInfo ++ encodeTextRegion(insts, glyphs, 1))).get
+    assert(got._2 == want._2 && got._3 == want._3)
+    assert(java.util.Arrays.equals(got._1, want._1),
+      "custom-table huffman raster must equal the arithmetic baseline")
+  }
+
   test("hostile headers: >Int.MaxValue dims rejected, truncated symbol dict is None") {
     // page-info width in (Int.MaxValue, 2^32) must not surface as a
     // negative width through .toInt — the stream reports no geometry
