@@ -39,6 +39,14 @@ object MicroBench {
     // the comparable config, and a warm pass would double a ~4 min run)
     if (sys.env.getOrElse("SPARK_GRAFT_MICRO_WARMUP", "1") != "0")
       names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    // fixture priming: gates run once UNTIMED first. One-time fixture
+    // builds (the 250k-file unstructured source / writesink INSERT at sf5,
+    // shared warehouse setup) otherwise land inside whichever measured gate
+    // touches them first, swamping the operator being pinned. Priming the
+    // fixture-writing gates makes a post-cache-wipe run converge to the
+    // same fixture-warm config every later run measures.
+    sys.env.get("SPARK_GRAFT_MICRO_PRIME").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach(n => SparkEntry.queries(n)(spark, sfDir).count()))
     val results = names.map { n =>
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -643,6 +643,69 @@ object CatalogQueries {
           CAST(n_nationkey + 100 AS BIGINT) AS id_b
         FROM nation WHERE n_regionkey = 2 ORDER BY id_a""")),
 
+    // ---- JPX (JPEG2000) scanned pages feed perceptual dedup: each PDF
+    // embeds a LOSSLESS gray JPX codestream (reversible 5/3 wavelet, so
+    // decode is bit-exact — no codec wobble) of the key-derived 9x8 block
+    // pattern; region-2 keys get a one-block-edited twin (<= 2-bit dHash
+    // distance). Pixels decode through graft's own EBCOT/MQ + 5/3 DWT
+    // engine (JpxDecode); the reference needs PDFBox + jai-imageio. ----
+    QuerySpec("multimodal_jpx_scan_dedup",
+      (s, dir) => {
+        setup(s, dir)
+        val fixture = new java.io.File(wh(dir), "jpxscanfiles")
+        if (!fixture.exists()) {
+          val staging = new java.io.File(wh(dir), s"jpxscanfiles.tmp${System.nanoTime()}")
+          staging.mkdirs()
+          def jpxBytes(k: Long, perturb: Boolean): Array[Byte] = {
+            val w = 72; val h = 64
+            val px = new Array[Int](w * h)
+            for (by <- 0 until 8; bx <- 0 until 9) {
+              var z = k * 0x9E3779B97F4A7C15L + bx * 0xBF58476D1CE4E5B9L +
+                by * 0x94D049BB133111EBL
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              var v = 16 + 16 * ((z >>> 40) % 14).toInt
+              if (perturb && bx == 4 && by == 3) v = ((v + 112) % 224) + 16
+              for (y <- by * 8 until by * 8 + 8; x <- bx * 8 until bx * 8 + 8)
+                px(y * w + x) = v
+            }
+            graft.sources.unstructured.JpxEncode.encode(Array(px), w, h, 8, 2)
+          }
+          def pdfBytes(jp: Array[Byte]): Array[Byte] =
+            ("%PDF-1.4\n5 0 obj << /Type /XObject /Subtype /Image /Width 72 " +
+              s"/Height 64 /BitsPerComponent 8 /ColorSpace /DeviceGray " +
+              s"/Filter /JPXDecode /Length ${jp.length} >>\nstream\n")
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ jp ++
+            "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          QueryPack.t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+            .collect().foreach { r =>
+              val (k, reg) = (r.get(0).toString.toLong, r.get(1).toString.toLong)
+              java.nio.file.Files.write(java.nio.file.Paths.get(
+                staging.toString, f"$k%05d.pdf"), pdfBytes(jpxBytes(k, perturb = false)))
+              if (reg == 2)
+                java.nio.file.Files.write(java.nio.file.Paths.get(
+                  staging.toString, f"${k + 100}%05d.pdf"), pdfBytes(jpxBytes(k, perturb = true)))
+            }
+          if (!staging.renameTo(fixture)) {
+            Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+            staging.delete()
+          }
+        }
+        Graft.sql(s,
+          s"REGISTER OR REPLACE PDF DATASOURCE jpxsrc OPTIONS (path '$fixture') NAMESPACE graft.datasource.un")
+        val media = s.sql("SELECT path, images FROM graft.datasource.un.jpxsrc.content")
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.pdf$", 1).cast("long").as("id"),
+            explode(col("images")).as("bytes"))
+        graft.multimodal.Multimodal.imageNearDuplicates(media, "id", "bytes", maxDistance = 6)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id_a,
+          CAST(n_nationkey + 100 AS BIGINT) AS id_b
+        FROM nation WHERE n_regionkey = 2 ORDER BY id_a""")),
+
     // ---- JBIG2 scanned pages feed perceptual dedup: each PDF embeds an
     // MMR-coded generic-region JBIG2 image (the bilevel fax-scan shape) of
     // a key-derived 9x8 block pattern; region-2 keys get a one-block-

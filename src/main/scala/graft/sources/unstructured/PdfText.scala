@@ -51,18 +51,21 @@ import java.util.zip.Inflater
   * Embedded images carry no text, so the text walk skips them — but they
   * have their own surfaces: [[extractImageDims]] (DCT payloads decode
   * through `javax.imageio`, CCITT G3/G4 through [[CcittDecode]], JBIG2
-  * geometry from its own segment headers via [[jbig2Dims]]; JPX and raw
-  * raster streams dict-probe `/Width` `/Height`) and [[extractImages]]
-  * (DCT passes through as standalone JPEG bytes, CCITT rasters and Flate
-  * raster samples re-encode as PNG), so scanned PDFs feed perceptual
-  * dedup like any image file.
+  * geometry from its own segment headers via [[jbig2Dims]], JPX geometry
+  * from ihdr/SIZ via [[jpxDims]]; raw raster streams dict-probe `/Width`
+  * `/Height`) and [[extractImages]] (DCT passes through as standalone
+  * JPEG bytes; CCITT, JBIG2, JPX rasters and Flate raster samples
+  * re-encode as PNG — JPX pixels decode natively via [[JpxDecode]]), so
+  * scanned PDFs feed perceptual dedup like any image file.
   *
   * Known limits (documented, deliberate): no cross-reference parsing (we
   * scan for `stream`..`endstream` directly, so xref streams are
-  * irrelevant); no JPX PIXEL decode and no JBIG2 huffman / refinement /
-  * halftone decode (generic + symbol/text JBIG2 decodes natively via
-  * [[Jbig2Decode]]; JBIG2/JPX GEOMETRY always parses from the payload
-  * itself; PDFBox needs the codecs only for rasterization). When nothing
+  * irrelevant); no JBIG2 refinement / halftone decode (generic MQ/MMR +
+  * symbol/text JBIG2, arithmetic AND huffman-coded, decodes natively via
+  * [[Jbig2Decode]]); JPX code-block styles with bypass/termall and POC
+  * progression fall back to geometry-only (JBIG2/JPX GEOMETRY always
+  * parses from the payload itself; PDFBox needs the codecs only for
+  * rasterization). When nothing
   * decodable is found the caller falls back to the printable-ASCII
   * heuristic.
   *
@@ -284,6 +287,7 @@ private[graft] object PdfText {
       if (isDct(st)) Some(st.data)
       else if (isCcitt(st)) ccittToGray(st).flatMap(pngBytes)
       else if (isJbig2(st)) jbig2ToGray(st).flatMap(pngBytes)
+      else if (isJpx(st)) JpxDecode.decode(st.data).flatMap(pngBytes)
       else if (isRasterImage(st)) rasterToPng(st)
       else None
     }

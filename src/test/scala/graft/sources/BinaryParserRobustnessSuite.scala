@@ -233,4 +233,24 @@ class BinaryParserRobustnessSuite extends AnyFunSuite {
       Jbig2Decode.dims(stream.take(cut))
     }
   }
+
+  test("jpx decoder never throws on garbage, truncation, or mutation") {
+    import graft.sources.unstructured.{JpxDecode, JpxEncode}
+    for (seed <- 0L until 100L) JpxDecode.decode(rndBytes(seed, 512))
+    // SOC+SIZ prefix followed by entropy noise: header parses, body is junk
+    val rnd = new scala.util.Random(7)
+    val px = Array(Array.tabulate(40 * 24)(_ => rnd.nextInt(256)))
+    val valid = JpxEncode.encode(px, 40, 24, 8, 2)
+    assert(JpxDecode.decode(valid).isDefined)
+    // truncations of a VALID codestream at every byte boundary
+    for (cut <- 0 until valid.length) JpxDecode.decode(valid.take(cut))
+    // single-byte mutations across the header and first packets: decode or
+    // None, never a throw, and bounded time (no quadratic rescan)
+    for (pos <- 0 until math.min(valid.length, 200); b <- Seq(0x00, 0xff, 0x7f)) {
+      val mut = valid.clone(); mut(pos) = b.toByte
+      val t0 = System.nanoTime()
+      JpxDecode.decode(mut)
+      assert((System.nanoTime() - t0) / 1e9 < 5.0, s"mutation at $pos must not spin")
+    }
+  }
 }
