@@ -1,7 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Host provenance for bench artifacts: wall-clock timestamps and
+  * `/proc/loadavg` before/after a run make cross-round drift attribution
+  * data instead of judge-side inference (VERDICT r12 "Next round" #8 — the
+  * +46% r12 driver-bench swing was only attributable by per-gate-ratio
+  * uniformity because no load evidence was recorded).
+  */
+private[graft] object BenchEnv {
+  def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+    catch { case _: Exception => "" }
+  def nowIso(): String = java.time.Instant.now().toString
+  /** `"host":{...}` JSON fragment capturing a run's start/end load. */
+  def hostJson(loadStart: String, tStart: String): String = {
+    s""""host":{"load_start":"$loadStart","load_end":"${loadavg()}",""" +
+      s""""t_start":"$tStart","t_end":"${nowIso()}"}"""
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
+    val loadStart = BenchEnv.loadavg(); val tStart = BenchEnv.nowIso()
     // sbt runMain loads app classes in a URLClassLoader; Spark resolves
     // extension/catalog class names via the context classloader.
     Thread.currentThread().setContextClassLoader(getClass.getClassLoader)
@@ -34,8 +55,9 @@ object Bench {
     // the total over the PREVIOUS round's gate set (shared subset) — deltas on
     // that number are apples-to-apples
     val sharedPrev = results.collect { case (k, v) if PrevRoundGates(k) => v }.sum
+    val hostJson = BenchEnv.hostJson(loadStart, tStart)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""shared_prev_total":$sharedPrev,"n_shared_prev":${results.keys.count(PrevRoundGates)},"sf":"$sfDir"}"""
+      s""""shared_prev_total":$sharedPrev,"n_shared_prev":${results.keys.count(PrevRoundGates)},"sf":"$sfDir",$hostJson}"""
     println(line)
     // the driver's log pipeline truncates long stdout lines (BENCH_r07.json
     // recovered only ~62 of 137 per-gate numbers), so ALSO write the full
@@ -47,6 +69,7 @@ object Bench {
     pretty.append(s"""  "metric": "total", "value": $total, "unit": "sec",\n""")
     pretty.append(s"""  "shared_prev_total": $sharedPrev, "n_shared_prev": ${results.keys.count(PrevRoundGates)},\n""")
     pretty.append(s"""  "n_gates": ${results.size}, "sf": "$sfDir",\n""")
+    pretty.append(s"""  $hostJson,\n""")
     pretty.append("  \"queries\": {\n")
     pretty.append(results.toSeq.sortBy(_._1).map { case (k, v) =>
       s"""    "$k": $v"""
@@ -64,6 +87,7 @@ object Bench {
       (s"""{\n  "metric": "total", "value": $total, "unit": "sec",\n""" +
         s"""  "n_gates": ${results.size}, "sf": "$sfDir",\n""" +
         s"""  "shared_prev_total": $sharedPrev,\n""" +
+        s"""  $hostJson,\n""" +
         s"""  "top10_slowest": {\n$top10\n  }\n}\n""").getBytes("UTF-8"))
     spark.stop()
   }

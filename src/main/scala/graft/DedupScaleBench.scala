@@ -46,6 +46,18 @@ object DedupScaleBench {
       return
     }
 
+    // SPARK_GRAFT_CC_AB=1: the same-JVM strategy A/B on the REAL gate
+    // graph (VERDICT r12 "Next round" #1) — attribute the sf5 dedup_groups
+    // single-run +43% by pinning minLabel / auto / star on the identical
+    // checkpointed pair set, warm-up + 2 reps each, with the candidate-gen
+    // stage and an untouched relational gate timed alongside as the drift
+    // control. One JSON line; paste into BASELINE.md.
+    if (sys.env.contains("SPARK_GRAFT_CC_AB")) {
+      runGateAb(spark, sfDir)
+      spark.stop()
+      return
+    }
+
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val baseRows = base.count()
 
@@ -105,6 +117,49 @@ object DedupScaleBench {
         f""""groups":$groups,"groups_sec":$groupsSec%.3f}""")
     }
     spark.stop()
+  }
+
+  /** Same-JVM CC-strategy A/B on the gate's own near-dup graph. Stages:
+    * q5 (untouched relational control), candidate-gen + verify (the gate's
+    * non-CC cost), then each strategy over ONE checkpointed pair set —
+    * every stage warm-up + 2, min kept, per MicroBench discipline. Also
+    * records each strategy's round count and the min-label changed-count
+    * decay curve, the input to tuning `auto`'s hand-off.
+    */
+  private def runGateAb(spark: SparkSession, sfDir: String): Unit = {
+    import java.util.concurrent.atomic.AtomicInteger
+    val loadStart = BenchEnv.loadavg(); val tStart = BenchEnv.nowIso()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def warmPlus2(f: => Unit): Seq[Double] = { f; Seq.fill(2)(timed(f)) }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint(true)
+    val q5 = warmPlus2(SparkEntry.queries("q5_revenue_by_nation")(spark, sfDir).count(): Unit)
+    val mh = warmPlus2(
+      Dedup.minHashDuplicates(docs, "doc_id", "text", threshold = 0.7).count(): Unit)
+    val pairs = Dedup.minHashDuplicates(docs, "doc_id", "text", threshold = 0.7)
+      .localCheckpoint(true)
+    val nPairs = pairs.count()
+    // decay curve once, untimed (diagnostic for the auto hand-off rule)
+    val decay = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Dedup.duplicateGroups(pairs, maxIter = 64, strategy = "minLabel",
+      changedOut = Some(decay)).count(): Unit
+    val byStrategy = Seq("minLabel", "auto", "star").map { st =>
+      val rounds = new AtomicInteger(0)
+      val ts = warmPlus2(Dedup.duplicateGroups(pairs, maxIter = 64,
+        requireConvergence = true, strategy = st,
+        roundsOut = Some(rounds)).count(): Unit)
+      (st, ts, rounds.get())
+    }
+    val stJson = byStrategy.map { case (st, ts, r) =>
+      f""""$st":{"runs":[${ts.map(t => f"$t%.3f").mkString(",")}],"min":${ts.min}%.3f,"rounds":$r}"""
+    }.mkString(",")
+    println(f"""CC_AB {"sf":"$sfDir","pairs":$nPairs,""" +
+      f""""q5_control":[${q5.map(t => f"$t%.3f").mkString(",")}],""" +
+      f""""minhash_verify":[${mh.map(t => f"$t%.3f").mkString(",")}],""" +
+      f""""minlabel_decay":[${decay.mkString(",")}],""" +
+      s"""$stJson,${BenchEnv.hostJson(loadStart, tStart)}}""")
   }
 
   /** CC variants over adversarial graph shapes. CHAIN is the diameter

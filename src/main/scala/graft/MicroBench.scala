@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object MicroBench {
   def main(args: Array[String]): Unit = {
+    val loadStart = BenchEnv.loadavg(); val tStart = BenchEnv.nowIso()
     Thread.currentThread().setContextClassLoader(getClass.getClassLoader)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,9 +64,9 @@ object MicroBench {
         f"runs=${ts.map(t => f"$t%.2f").mkString(",")}")
       n -> (ts.min, median, ts)
     }
-    val json = "{" + results.map { case (n, (mn, md, ts)) =>
+    val json = "{" + (results.map { case (n, (mn, md, ts)) =>
       f""""$n":{"min":$mn%.3f,"median":$md%.3f,"runs":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
-    }.mkString(",") + "}"
+    } :+ BenchEnv.hostJson(loadStart, tStart)).mkString(",") + "}"
     println(s"STEADY $json")
     sys.env.get("SPARK_GRAFT_STEADY_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

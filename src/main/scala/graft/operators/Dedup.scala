@@ -251,8 +251,18 @@ object Dedup {
     *    and keep their comp. Pipeline callers get diameter-robustness
     *    without knowing the graph shape.
     *
-    * @param maxIter upper bound on rounds; for `minLabel` must be >= the
-    *                 largest component's diameter for full convergence
+    * @param maxIter upper bound on rounds, honored as given for every
+    *                 strategy. For `minLabel` it must be >= the largest
+    *                 component's diameter; for `star` ~2*log2(n) suffices
+    *                 (the default 20 covers any graph that fits in storage
+    *                 — star's standalone default of 35 is just more slack).
+    *                 Under `auto` the min-label phase takes
+    *                 min(autoRoundBudget, maxIter) rounds and the star
+    *                 hand-off gets up to maxIter more, so when
+    *                 maxIter <= autoRoundBudget the hand-off NEVER engages
+    *                 and `auto` degrades to min-label truncated at maxIter
+    *                 — pass maxIter > autoRoundBudget if diameter
+    *                 robustness is wanted under a tight round budget
     * @param requireConvergence when true, throw instead of returning
     *                 partially-merged groups on maxIter exhaustion
     * @param reliableCheckpoint when true, truncate lineage with
@@ -265,17 +275,21 @@ object Dedup {
     * @param autoRoundBudget min-label rounds `auto` spends before switching
     * @param roundsOut when set, receives the total round count (evidence
     *                 hook for scale benchmarks)
+    * @param changedOut when set, receives the per-round changed-label count
+    *                 (the decay curve — diagnostic hook, zero extra jobs:
+    *                 the count is the convergence check's own result)
     */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 20,
       requireConvergence: Boolean = false,
       reliableCheckpoint: Boolean = false,
       strategy: String = "auto",
       autoRoundBudget: Int = 6,
-      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      changedOut: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
     require(Set("minLabel", "star", "auto").contains(strategy),
       s"unknown CC strategy '$strategy' (minLabel | star | auto)")
     if (strategy == "star")
-      return duplicateGroupsStar(pairs, math.max(maxIter, 35), requireConvergence,
+      return duplicateGroupsStar(pairs, maxIter, requireConvergence,
         reliableCheckpoint, roundsOut)
     val ck = new CkptLoop(pairs.sparkSession, reliableCheckpoint)
     // materialize the edge list once: every iteration below joins against it,
@@ -303,7 +317,9 @@ object Dedup {
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       val updated = ck.lazily(updatedSrc)
-      converged = updated.where(col("comp") < col("__old")).count() == 0
+      val changed = updated.where(col("comp") < col("__old")).count()
+      changedOut.foreach(_ += changed)
+      converged = changed == 0
       ck.release(updatedSrc)
       ck.rotate(updated)
       labels = updated.select(col("id"), col("comp"))
@@ -317,7 +333,7 @@ object Dedup {
         .where(col("__ca") =!= col("__cb"))
         .select(col("__ca").as("id_a"), col("__cb").as("id_b"))
       val starRounds = new java.util.concurrent.atomic.AtomicInteger(0)
-      val starLabels = duplicateGroupsStar(contracted, math.max(maxIter, 35),
+      val starLabels = duplicateGroupsStar(contracted, maxIter,
         requireConvergence, reliableCheckpoint, Some(starRounds))
       roundsOut.foreach(_.set(i + starRounds.get()))
       return labels.join(starLabels.withColumnRenamed("id", "comp"), Seq("comp"), "left")

@@ -258,11 +258,16 @@ object Hnsw {
     * The query set is collected and BROADCAST — the serving-batch shape.
     * Past `maxQueryBatch` queries the collect would hold a corpus-sized
     * array on the driver, so the set instead streams through
-    * `toLocalIterator` in chunks of `maxQueryBatch`, one scatter-gather
-    * job per chunk. Chunking rehydrates the shard graphs once PER CHUNK:
-    * persist the index frame before a chunked call, and if the "queries"
-    * are really a second corpus, the banded/bucketed ANN family is the
-    * right tool, not a broadcast probe.
+    * `toLocalIterator` in chunks of `maxQueryBatch`. Chunks execute
+    * STRICTLY SEQUENTIALLY: each chunk's top-k is materialized (an
+    * executor-local checkpoint) and its query broadcast destroyed before
+    * the next chunk's is created, so the driver holds ONE chunk's queries
+    * at a time and the final union is a scan over materialized results —
+    * not N live probe plans with N resident broadcasts. Chunking still
+    * rehydrates the shard graphs once PER CHUNK: persist the index frame
+    * before a chunked call, and if the "queries" are really a second
+    * corpus, the banded/bucketed ANN family is the right tool, not a
+    * broadcast probe.
     */
   def hnswQuery(index: DataFrame, queries: DataFrame,
       qIdCol: String, qVecCol: String, k: Int, efSearch: Int = 48,
@@ -273,8 +278,7 @@ object Hnsw {
     val qds = queries.select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
     val ef = math.max(efSearch, k)
-    def probe(qsUnsorted: Array[(Long, Array[Float])]): DataFrame = {
-      val qb = spark.sparkContext.broadcast(qsUnsorted.sortBy(_._1))
+    def probe(qb: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]): DataFrame = {
       index.as[IndexRow]
         .groupByKey(_.shard)
         .flatMapGroups { (_, it) =>
@@ -293,19 +297,33 @@ object Hnsw {
         }
         .toDF("query_id", "nn_id", "cosine")
     }
+    // chunks partition the query-id space, so the per-query rank window is
+    // exact when applied within a chunk — the global answer is the union
+    def topk(perShard: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("nn_id").asc)
+      perShard.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("query_id", "nn_id", "cosine", "rank")
+    }
     // one bounded job decides the shape: a serving batch probes in one
     // broadcast; an oversized set falls to the chunked path (queries are
     // independent, so chunk membership cannot change any result)
     val head = qds.limit(maxQueryBatch + 1).collect()
-    val perShard =
-      if (head.length <= maxQueryBatch) probe(head)
-      else qds.toLocalIterator().asScala.grouped(maxQueryBatch)
-        .map(c => probe(c.toArray)).reduce(_ unionByName _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    perShard.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "nn_id", "cosine", "rank")
+    if (head.length <= maxQueryBatch) {
+      val qb = spark.sparkContext.broadcast(head.sortBy(_._1))
+      topk(probe(qb))
+    } else {
+      qds.toLocalIterator().asScala.grouped(maxQueryBatch).map { c =>
+        val qb = spark.sparkContext.broadcast(c.toArray.sortBy(_._1))
+        // eager executor-local checkpoint runs the chunk's scatter-gather
+        // NOW; the broadcast is then destroyed before the next chunk's is
+        // built, bounding resident driver memory to one chunk
+        val out = topk(probe(qb)).localCheckpoint(true)
+        qb.destroy()
+        out
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Build + query in one call (the gate shape). */

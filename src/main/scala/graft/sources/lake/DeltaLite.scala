@@ -445,18 +445,60 @@ object DeltaLite {
     * from the delta-spark jar (spark/.../delta paths in
     * DeltaDataSourceCatalogUnit usage).
     */
-  def writeVersionChecksum(spark: SparkSession, dir: Path, version: Long): Unit = try {
-    val snap = snapshot(spark, dir, Some(version))
+  def writeVersionChecksum(spark: SparkSession, dir: Path, version: Long,
+      base: Option[Snapshot] = None, actions: Seq[String] = Nil): Unit = try {
+    val (numFiles, sizeBytes) = incrementalCrcState(base, actions, version)
+      .getOrElse {
+        val snap = snapshot(spark, dir, Some(version))
+        (snap.files.size.toLong, snap.files.map(_.size).sum)
+      }
     val conf = spark.sparkContext.hadoopConfiguration
     val crc = new Path(new Path(dir, "_delta_log"), f"$version%020d.crc")
     val json = JsonMethods.compact(JObject(
-      "tableSizeBytes" -> JInt(BigInt(snap.files.map(_.size).sum)),
-      "numFiles" -> JInt(BigInt(snap.files.size.toLong)),
+      "tableSizeBytes" -> JInt(BigInt(sizeBytes)),
+      "numFiles" -> JInt(BigInt(numFiles)),
       "numMetadata" -> JInt(BigInt(1L)),
       "numProtocol" -> JInt(BigInt(1L))))
     LakeWrite.atomicCreate(crc.getFileSystem(conf), crc,
       (json + "\n").getBytes("UTF-8")): Unit
   } catch { case _: Exception => () } // advisory: the commit already landed
+
+  /** Post-commit (numFiles, tableSizeBytes) computed INCREMENTALLY from the
+    * pre-commit snapshot plus this commit's own actions — O(actions) per
+    * commit where a fresh log replay is O(versions), which made cumulative
+    * commit cost quadratic in table history (delta-spark computes its
+    * VersionChecksum incrementally the same way). Only valid when the
+    * commit landed exactly one version past the base: a blind-append retry
+    * that slid past a concurrent winner means unseen actions apply between
+    * the base and this version, so the caller must fall back to replay
+    * (returned None).
+    */
+  private def incrementalCrcState(base: Option[Snapshot], actions: Seq[String],
+      version: Long): Option[(Long, Long)] = base match {
+    case Some(snap) if snap.version == version - 1 && actions.nonEmpty =>
+      implicit val formats: Formats = DefaultFormats
+      // replay identity is the raw add-action path (same key `applyAdd`
+      // replaces on), so a same-path re-add (DV update) nets to a size
+      // delta, not a double count
+      val sizes = scala.collection.mutable.HashMap[String, Long]()
+      snap.fileIds.iterator.zip(snap.files.iterator).foreach {
+        case (p, f) => sizes(p) = f.size
+      }
+      actions.foreach { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "add") match {
+          case a: JObject =>
+            sizes((a \ "path").extract[String]) = (a \ "size").extract[Long]
+          case _ =>
+        }
+        (j \ "remove") match {
+          case r: JObject => sizes -= (r \ "path").extract[String]
+          case _ =>
+        }
+      }
+      Some((sizes.size.toLong, sizes.valuesIterator.sum))
+    case _ => None
+  }
 
   /** Validate a reconstructed snapshot against its version's `.crc`
     * sidecar, when present. Only the state this reader reconstructs is

@@ -344,7 +344,7 @@ object LakeNativeWrite {
     val txnActions = txn.toSeq.map { case (appId, v) => LakeWrite.deltaTxn(appId, v, now) }
     commitDeltaWithCrc(spark, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now, operation = "WRITE")) ++
-        txnActions ++ cdc ++ removes ++ adds)
+        txnActions ++ cdc ++ removes ++ adds, base = Some(snap))
   }
 
   /** Merge-on-read DELETE for Delta: instead of rewriting the touched
@@ -476,7 +476,8 @@ object LakeNativeWrite {
     val dvRemoves = descs.map { case (fid, _, _, _, _) => LakeWrite.deltaRemove(fid, now) }
     commitDeltaWithCrc(spark, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ protocolActions ++
-        cdc ++ dvRemoves.toSeq ++ adds.toSeq ++ newAdds, readScope)
+        cdc ++ dvRemoves.toSeq ++ adds.toSeq ++ newAdds, readScope,
+      base = Some(snap))
   }
 
   /** Metadata-only ALTER commit: a new version whose metaData action
@@ -521,7 +522,7 @@ object LakeNativeWrite {
       Seq(LakeWrite.deltaCommitInfo(now)) ++ protocolUpgrade ++ Seq(
       LakeWrite.deltaMetaData(
         if (snap.metaId.nonEmpty) snap.metaId else java.util.UUID.randomUUID().toString,
-        newSchema, snap.partitionColumns, newConfig)))
+        newSchema, snap.partitionColumns, newConfig)), base = Some(snap))
   }
 
   /** Stage CDF change rows (table columns + `_change_type`) as
@@ -573,7 +574,7 @@ object LakeNativeWrite {
     val cdc = changeRows.toSeq.flatMap(stageChangeFiles(_, dir, snap))
     commitDeltaWithCrc(spark, dir, snap.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now, operation)) ++ cdc ++ removes ++ adds,
-      readScope)
+      readScope, base = Some(snap))
   }
 
   /** One add action's conflict-relevant content: the path plus what
@@ -739,10 +740,14 @@ object LakeNativeWrite {
     * same advisory artifact delta-spark writes and validates on replay.
     */
   private def commitDeltaWithCrc(spark: SparkSession, dir: Path, firstVersion: Long,
-      actions: Seq[String], readScope: Option[DeltaReadScope] = None): Unit = {
+      actions: Seq[String], readScope: Option[DeltaReadScope] = None,
+      base: Option[DeltaLite.Snapshot] = None): Unit = {
     val v = commitDelta(spark.sparkContext.hadoopConfiguration, dir, firstVersion,
       actions, readScope)
-    DeltaLite.writeVersionChecksum(spark, dir, v)
+    // `base` lets the crc state compute incrementally (pre-commit snapshot
+    // + this commit's actions) instead of a full log replay per commit; a
+    // retry that landed past firstVersion invalidates it → replay fallback
+    DeltaLite.writeVersionChecksum(spark, dir, v, base, actions)
   }
 
   /** @return the version the commit actually landed at (>= firstVersion
@@ -954,7 +959,7 @@ object LakeNativeWrite {
         tgt.schema, tgt.partitionColumns, tgt.configuration))
     commitDeltaWithCrc(spark, dir, cur.version + 1,
       Seq(LakeWrite.deltaCommitInfo(now, operation = "RESTORE")) ++
-        metaRestore ++ removes ++ adds)
+        metaRestore ++ removes ++ adds, base = Some(cur))
     (addIds.size.toLong, removeIds.size.toLong)
   }
 

@@ -16,9 +16,11 @@ import Jbig2Decode.MqDecoder
   *    progression orders (packet sequence materialized via sort keys);
   *    SOP/EPH markers; explicit or default precincts;
   *  - EBCOT Tier-1 with the standard three-pass schedule, run-length and
-  *    segmentation-symbol modes; code-block styles with BYPASS / RESET /
-  *    TERMALL / VCAUSAL are rejected (→ None, caller falls back to
-  *    dict-declared metadata like before);
+  *    segmentation-symbol modes, and selective arithmetic coding BYPASS
+  *    (lazy mode, style 0x01: raw SP/MR segments on the 10/2/1 schedule
+  *    with per-segment packet-header lengths); RESET / TERMALL / VCAUSAL
+  *    styles are rejected (→ None, caller falls back to dict-declared
+  *    metadata like before);
   *  - 5/3 reversible (bit-exact) and 9/7 irreversible inverse DWT;
   *    RCT / ICT; reversible no-quant and scalar derived/expounded
   *    dequantization; POC / PPM / PPT are rejected.
@@ -126,7 +128,51 @@ private[graft] object JpxDecode {
     var missing = 0
     var passes = 0
     var lblock = 3
+    /** Codeword segments in arrival order. Without BYPASS there is exactly
+      * one unbounded MQ segment; with BYPASS (T.800 D.4 lazy mode) the
+      * schedule is 10 MQ passes, then alternating raw (SP+MR, 2 passes)
+      * and MQ (cleanup, 1 pass) terminated segments.
+      */
+    val segs = scala.collection.mutable.ArrayBuffer.empty[CbSeg]
+    def nextSeg(bypass: Boolean): CbSeg = {
+      if (segs.nonEmpty && segs.last.passes < segs.last.maxPasses) segs.last
+      else {
+        val ix = segs.length
+        val s =
+          if (!bypass) new CbSeg(raw = false, Int.MaxValue)
+          else if (ix == 0) new CbSeg(raw = false, 10)
+          else if (ix % 2 == 1) new CbSeg(raw = true, 2)
+          else new CbSeg(raw = false, 1)
+        segs += s
+        s
+      }
+    }
+  }
+  private final class CbSeg(val raw: Boolean, val maxPasses: Int) {
+    var passes = 0
     val chunks = Seq.newBuilder[(Int, Int)] // (offset, len) into tile stream
+  }
+
+  /** Raw (arithmetic-bypass) bit reader for lazy-mode SP/MR passes — MSB
+    * first with the T.800 stuffing rule: a byte following 0xFF carries only
+    * 7 data bits, and a marker-range byte (> 0x8F) after 0xFF, or running
+    * off the segment, yields all-ones filler.
+    */
+  private final class RawDecoder(data: Array[Byte], from: Int, until: Int) {
+    private var bp = from
+    private var c = 0
+    private var ct = 0
+    def bit(): Int = {
+      if (ct == 0) {
+        if (c == 0xff) {
+          if (bp >= until || (data(bp) & 0xff) > 0x8f) { c = 0xff; ct = 8 }
+          else { c = data(bp) & 0xff; bp += 1; ct = 7 }
+        } else if (bp < until) { c = data(bp) & 0xff; bp += 1; ct = 8 }
+        else { c = 0xff; ct = 8 }
+      }
+      ct -= 1
+      (c >>> ct) & 1
+    }
   }
   private final class Band(val orient: Int, val x0: Int, val y0: Int,
       val x1: Int, val y1: Int, val cbExpX: Int, val cbExpY: Int) {
@@ -289,15 +335,48 @@ private[graft] object JpxDecode {
 
   /** Decodes one code block into sign-magnitude ints (NEG flag folded into
     * the returned array's sign). `mb` = Mb total bitplanes, `missing` =
-    * zero bitplanes, `passes` = coding passes present.
+    * zero bitplanes, `passes` = coding passes present. Single-MQ-segment
+    * convenience over [[t1DecodeSegs]] (the no-BYPASS shape).
     */
   private[unstructured] def t1Decode(data: Array[Byte], from: Int, until: Int,
       w: Int, h: Int, orient: Int, mb: Int, missing: Int, passes0: Int,
       segSym: Boolean): Array[Int] = {
+    val buf = java.util.Arrays.copyOfRange(data, from, until)
+    t1DecodeSegs(Array((buf, false, passes0)), w, h, orient, mb, missing,
+      passes0, segSym)
+  }
+
+  /** Segment-aware Tier-1: `segs` = (bytes, isRaw, passes) per codeword
+    * segment in pass order. MQ segments re-init the MQ decoder at their
+    * boundary while the 19 contexts persist (T.800 D.4.1); raw segments
+    * (lazy-mode SP/MR pairs) read stuffed raw bits — significance and
+    * refinement bits uncoded, sign as a plain bit with no prediction.
+    */
+  private[unstructured] def t1DecodeSegs(segs: Array[(Array[Byte], Boolean, Int)],
+      w: Int, h: Int, orient: Int, mb: Int, missing: Int, passes0: Int,
+      segSym: Boolean): Array[Int] = {
     val flags = new Array[Int](w * h)
     val mag = new Array[Int](w * h)
-    val mq = new MqDecoder(data, from, until)
     val cx = freshCtx()
+    var mq: MqDecoder = null
+    var raw: RawDecoder = null
+    var isRaw = false
+    var segIx = -1
+    var segPassLeft = 0
+    // advance to the segment holding the next pass; re-init its reader
+    def beginPass(): Unit = {
+      while (segPassLeft == 0 && segIx + 1 < segs.length) {
+        segIx += 1
+        val (buf, r, np) = segs(segIx)
+        segPassLeft = np
+        if (np > 0) {
+          isRaw = r
+          if (r) { raw = new RawDecoder(buf, 0, buf.length); mq = null }
+          else { mq = new MqDecoder(buf, 0, buf.length); raw = null }
+        }
+      }
+      segPassLeft -= 1
+    }
 
     @inline def at(x: Int, y: Int): Int =
       if (x < 0 || y < 0 || x >= w || y >= h) 0 else flags(y * w + x)
@@ -328,6 +407,7 @@ private[graft] object JpxDecode {
     var first = true
     while (left > 0 && bp >= 0) {
       val kind = if (first) 2 else pass
+      beginPass()
       kind match {
         case 0 => // significance propagation
           var k = 0
@@ -340,7 +420,13 @@ private[graft] object JpxDecode {
                 if ((flags(i) & SIG) == 0) {
                   val (hh, vv, dd) = sigN(x, y)
                   if (hh + vv + dd > 0) {
-                    if (mq.decode(cx, zcCtx(orient, hh, vv, dd)) == 1) {
+                    if (isRaw) {
+                      // lazy mode: significance then sign as plain bits
+                      if (raw.bit() == 1) {
+                        flags(i) |= SIG; mag(i) |= 1 << bp
+                        if (raw.bit() == 1) flags(i) |= NEG
+                      }
+                    } else if (mq.decode(cx, zcCtx(orient, hh, vv, dd)) == 1) {
                       flags(i) |= SIG; mag(i) |= 1 << bp; decodeSign(x, y)
                     }
                     flags(i) |= VISIT
@@ -361,11 +447,15 @@ private[graft] object JpxDecode {
               while (y < math.min(k + 4, h)) {
                 val i = y * w + x
                 if ((flags(i) & SIG) != 0 && (flags(i) & VISIT) == 0) {
-                  val c = if ((flags(i) & REF) != 0) 16 else {
-                    val (hh, vv, dd) = sigN(x, y)
-                    if (hh + vv + dd > 0) 15 else 14
+                  if (isRaw) {
+                    if (raw.bit() == 1) mag(i) |= 1 << bp
+                  } else {
+                    val c = if ((flags(i) & REF) != 0) 16 else {
+                      val (hh, vv, dd) = sigN(x, y)
+                      if (hh + vv + dd > 0) 15 else 14
+                    }
+                    if (mq.decode(cx, c) == 1) mag(i) |= 1 << bp
                   }
-                  if (mq.decode(cx, c) == 1) mag(i) |= 1 << bp
                   flags(i) |= REF
                 }
                 y += 1
@@ -706,8 +796,16 @@ private[graft] object JpxDecode {
       var xx = 0
       while (xx < iw) {
         def sample(c: Int): Int = {
-          val sx = (x0 + xx) / comps(c).dx - compX0(c)
-          val sy = (y0 + yy) / comps(c).dy - compY0(c)
+          // floor-division owner sample, clamped into the component's
+          // buffer: with a nonzero grid origin the component starts at
+          // ceilDiv(x0, dx), so the first image column's floor-mapped
+          // index can be -1 — clamp to the nearest existing sample
+          // instead of failing the whole decode (B.3 reference grid)
+          val ch = outComps(c).length / compW(c)
+          val sx = math.min(compW(c) - 1,
+            math.max(0, (x0 + xx) / comps(c).dx - compX0(c)))
+          val sy = math.min(ch - 1,
+            math.max(0, (y0 + yy) / comps(c).dy - compY0(c)))
           val v = outComps(c)(sy * compW(c) + sx)
           val d = comps(c).depth
           if (d == 8) v
@@ -745,7 +843,9 @@ private[graft] object JpxDecode {
 
     val codOf = Array.tabulate(nc)(c => if (coc(c) != null) coc(c) else cod0)
     val qcdOf = Array.tabulate(nc)(c => if (qcc(c) != null) qcc(c) else qcd0)
-    if (codOf.exists(c => (c.cbStyle & 0x0f) != 0)) return false // bypass/reset/termall/vcausal
+    // BYPASS (0x01, lazy mode) decodes natively; RESET / TERMALL / VCAUSAL
+    // (0x0e) still reject to the metadata fallback
+    if (codOf.exists(c => (c.cbStyle & 0x0e) != 0)) return false
     if (cod0.layers <= 0 || cod0.layers > 65535) return false
 
     // build resolution/band/precinct/cblk structures per component
@@ -869,6 +969,7 @@ private[graft] object JpxDecode {
     // ---- parse packets sequentially from the tile stream ----
     var pos = 0
     val segSymOf = codOf.map(cdd => (cdd.cbStyle & 0x20) != 0)
+    val bypassOf = codOf.map(cdd => (cdd.cbStyle & 0x01) != 0)
     for (pk <- ordered) {
       val cd = codOf(pk.c)
       val res = resOf(pk.c)(pk.r)
@@ -879,7 +980,7 @@ private[graft] object JpxDecode {
         }
         val hdr = new HdrReader(stream, pos, stream.length)
         val prec = res.precs(pk.p)
-        val body = Seq.newBuilder[(Cblk, Int)]
+        val body = Seq.newBuilder[(CbSeg, Int)]
         if (hdr.bit() == 1) {
           for ((band, cbs, inclT, zeroT, cols, rows) <- prec.bands if cbs.nonEmpty) {
             var j = 0
@@ -899,10 +1000,21 @@ private[graft] object JpxDecode {
                   }
                   val nnp = numPasses(hdr)
                   while (hdr.bit() == 1) cb.lblock += 1
-                  val bits = cb.lblock + (31 - Integer.numberOfLeadingZeros(nnp))
-                  val len = hdr.read(bits)
+                  // distribute the new passes over codeword segments
+                  // (T.800 B.10.7.2): one length field per segment
+                  // receiving passes in this packet, each coded with
+                  // lblock + floor(log2(passes of that segment here))
+                  var rem = nnp
+                  while (rem > 0) {
+                    val seg = cb.nextSeg(bypassOf(pk.c))
+                    val take = math.min(rem, seg.maxPasses - seg.passes)
+                    val bits = cb.lblock + (31 - Integer.numberOfLeadingZeros(take))
+                    val len = hdr.read(bits)
+                    seg.passes += take
+                    rem -= take
+                    body += ((seg, len))
+                  }
                   cb.passes += nnp
-                  body += ((cb, len))
                 }
                 i2 += 1
               }
@@ -916,9 +1028,9 @@ private[graft] object JpxDecode {
           if (pos + 2 <= stream.length && (stream(pos) & 0xff) == 0xff &&
             (stream(pos + 1) & 0xff) == 0x92) pos += 2
         }
-        for ((cb, len) <- body.result()) {
+        for ((seg, len) <- body.result()) {
           if (pos + len > stream.length) return false
-          cb.chunks += ((pos, len))
+          seg.chunks += ((pos, len))
           pos += len
         }
       }
@@ -931,6 +1043,11 @@ private[graft] object JpxDecode {
       val q = qcdOf(c)
       val comp = siz.comps(c)
       val reversible = cd.transform == 1
+      // a 5/3-reversible codestream with a scalar quantization style is
+      // malformed (A.6.4: transform 1 pairs with no-quantization only);
+      // routing its coefficients through the 9/7 synthesis would produce
+      // silently wrong pixels — reject to the metadata fallback instead
+      if (reversible && q.style != 0) return false
       val tcx0 = ceilDiv(tx0, comp.dx); val tcx1 = ceilDiv(tx1, comp.dx)
       val tcy0 = ceilDiv(ty0, comp.dy); val tcy1 = ceilDiv(ty1, comp.dy)
       val tw = tcx1 - tcx0; val thh = tcy1 - tcy0
@@ -943,13 +1060,18 @@ private[graft] object JpxDecode {
           for (band <- res.bands) band.data = new Array[Int](math.max(band.w * band.h, 0))
           for (prec <- res.precs; (band, cbs, _, _, _, _) <- prec.bands; cb <- cbs) {
             if (cb.included && cb.passes > 0) {
-              val chunks = cb.chunks.result()
-              var clen = 0
-              chunks.foreach(clen += _._2)
-              val buf = new Array[Byte](clen)
-              var bp2 = 0
-              chunks.foreach { case (off, len) =>
-                System.arraycopy(stream, off, buf, bp2, len); bp2 += len
+              // one contiguous buffer per codeword segment (a segment's
+              // bytes may arrive in chunks across layers)
+              val segBufs = cb.segs.toArray.map { s =>
+                val cs = s.chunks.result()
+                var clen = 0
+                cs.foreach(clen += _._2)
+                val b = new Array[Byte](clen)
+                var bp2 = 0
+                cs.foreach { case (off, len) =>
+                  System.arraycopy(stream, off, b, bp2, len); bp2 += len
+                }
+                (b, s.raw, s.passes)
               }
               val bandIdx = if (rr == 0) 0 else 3 * (rr - 1) + 1 + band.orient - 1
               val nbLev = if (rr == 0) cd.levels else cd.levels - rr + 1
@@ -959,7 +1081,7 @@ private[graft] object JpxDecode {
                 // nothing decodable; leave zeros
               } else {
                 val cw = cb.x1 - cb.x0; val ch = cb.y1 - cb.y0
-                val vals = t1Decode(buf, 0, buf.length, cw, ch, band.orient,
+                val vals = t1DecodeSegs(segBufs, cw, ch, band.orient,
                   mb, cb.missing, cb.passes, segSymOf(c))
                 var yy = 0
                 while (yy < ch) {

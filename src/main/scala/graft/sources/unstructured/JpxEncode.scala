@@ -103,6 +103,32 @@ private[graft] object JpxEncode {
     def bytes: Array[Byte] = out.toArray
   }
 
+  /** Raw (arithmetic-bypass) bit writer for lazy-mode SP/MR segments — MSB
+    * first, with the byte-after-0xFF-carries-7-bits stuffing rule the
+    * decoder's RawDecoder mirrors. flush() zero-pads the partial byte and
+    * detaches a trailing 0xFF (a terminated segment must not end on one).
+    */
+  private[unstructured] final class RawWriter {
+    private val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var c = 0
+    private var ct = 8
+    def bit(d: Int): Unit = {
+      ct -= 1
+      c |= (d & 1) << ct
+      if (ct == 0) {
+        out += c.toByte
+        ct = if (c == 0xff) 7 else 8
+        c = 0
+      }
+    }
+    def flush(): Array[Byte] = {
+      val fresh = if (out.nonEmpty && (out.last & 0xff) == 0xff) 7 else 8
+      if (ct < fresh) out += c.toByte
+      if (out.nonEmpty && (out.last & 0xff) == 0xff) out += 0.toByte
+      out.toArray
+    }
+  }
+
   // ---- encoder-side tag tree ----
   private[unstructured] final class TagTreeEnc(w: Int, h: Int, leaves: Array[Int]) {
     private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
@@ -221,10 +247,23 @@ private[graft] object JpxEncode {
   }
 
   /** Encodes one code block (signed coefficients) with `mb` bitplanes of
-    * which `missing` lead zeros; all 3·(mb−missing)−2 passes.
+    * which `missing` lead zeros; all 3·(mb−missing)−2 passes, one MQ
+    * codeword segment (the no-BYPASS shape).
     */
   private[unstructured] def t1Encode(vals: Array[Int], w: Int, h: Int,
-      orient: Int, mb: Int, missing: Int): Array[Byte] = {
+      orient: Int, mb: Int, missing: Int): Array[Byte] =
+    t1EncodeSegs(vals, w, h, orient, mb, missing, bypass = false).head._1
+
+  /** Segment-emitting Tier-1: returns (bytes, passes) per codeword segment.
+    * With `bypass` (T.800 D.4 lazy mode) the MQ coder terminates after the
+    * 10th pass and SP/MR pairs of every lower bit-plane emit as raw
+    * terminated segments alternating with single-cleanup MQ segments —
+    * contexts persisting across MQ segments, exactly what the decoder's
+    * 10/2/1 schedule expects.
+    */
+  private[unstructured] def t1EncodeSegs(vals: Array[Int], w: Int, h: Int,
+      orient: Int, mb: Int, missing: Int,
+      bypass: Boolean): Seq[(Array[Byte], Int)] = {
     val flags = new Array[Int](w * h)
     val mag = new Array[Int](w * h)
     var i = 0
@@ -233,7 +272,12 @@ private[graft] object JpxEncode {
       if (vals(i) < 0) flags(i) |= NEG
       i += 1
     }
-    val enc = new MqEncoder
+    var enc = new MqEncoder
+    var rawW: RawWriter = null
+    var inRaw = false
+    var segPasses = 0
+    var passIdx = 0
+    val segsOut = Seq.newBuilder[(Array[Byte], Int)]
     val cx = freshCtx()
 
     @inline def at(x: Int, y: Int): Int =
@@ -268,6 +312,13 @@ private[graft] object JpxEncode {
     var first = true
     while (left > 0 && bp >= 0) {
       val kind = if (first) 2 else pass
+      if (segPasses == 0) {
+        // new codeword segment: raw for lazy-mode SP/MR (pass 10 onward),
+        // otherwise a fresh MQ coder — contexts (cx) persist throughout
+        inRaw = bypass && passIdx >= 10 && (passIdx - 10) % 3 <= 1
+        if (inRaw) rawW = new RawWriter
+        else if (passIdx > 0) enc = new MqEncoder
+      }
       kind match {
         case 0 => // significance propagation
           var k = 0
@@ -281,8 +332,16 @@ private[graft] object JpxEncode {
                   val (hh, vv, dd) = sigN(x, y)
                   if (hh + vv + dd > 0) {
                     val bit = (mag(i2) >>> bp) & 1
-                    enc.encode(cx, JpxDecode.zcCtx(orient, hh, vv, dd), bit)
-                    if (bit == 1) { flags(i2) |= SIG; encodeSign(x, y) }
+                    if (inRaw) {
+                      rawW.bit(bit)
+                      if (bit == 1) {
+                        flags(i2) |= SIG
+                        rawW.bit(if ((flags(i2) & NEG) != 0) 1 else 0)
+                      }
+                    } else {
+                      enc.encode(cx, JpxDecode.zcCtx(orient, hh, vv, dd), bit)
+                      if (bit == 1) { flags(i2) |= SIG; encodeSign(x, y) }
+                    }
                     flags(i2) |= VISIT
                   }
                 }
@@ -301,11 +360,14 @@ private[graft] object JpxEncode {
               while (y < math.min(k + 4, h)) {
                 val i2 = y * w + x
                 if ((flags(i2) & SIG) != 0 && (flags(i2) & VISIT) == 0) {
-                  val c = if ((flags(i2) & REF) != 0) 16 else {
-                    val (hh, vv, dd) = sigN(x, y)
-                    if (hh + vv + dd > 0) 15 else 14
+                  if (inRaw) rawW.bit((mag(i2) >>> bp) & 1)
+                  else {
+                    val c = if ((flags(i2) & REF) != 0) 16 else {
+                      val (hh, vv, dd) = sigN(x, y)
+                      if (hh + vv + dd > 0) 15 else 14
+                    }
+                    enc.encode(cx, c, (mag(i2) >>> bp) & 1)
                   }
-                  enc.encode(cx, c, (mag(i2) >>> bp) & 1)
                   flags(i2) |= REF
                 }
                 y += 1
@@ -373,8 +435,20 @@ private[graft] object JpxEncode {
       else if (kind == 2) { pass = 0; bp -= 1 }
       else pass += 1
       left -= 1
+      segPasses += 1
+      // lazy-mode termination points: after the 10th pass, after every raw
+      // SP+MR pair, and after every subsequent cleanup (T.800 D.4.1)
+      val term = bypass &&
+        (passIdx == 9 || (passIdx >= 10 && (passIdx - 10) % 3 >= 1))
+      passIdx += 1
+      if (term) {
+        segsOut += ((if (inRaw) rawW.flush() else enc.flush(), segPasses))
+        segPasses = 0
+      }
     }
-    enc.flush()
+    if (segPasses > 0)
+      segsOut += ((if (inRaw) rawW.flush() else enc.flush(), segPasses))
+    segsOut.result()
   }
 
   private def numPassesBits(w: HdrWriter, n: Int): Unit = {
@@ -393,7 +467,14 @@ private[graft] object JpxEncode {
     * samples (row-major, length w·h each) as a raw lossless codestream.
     */
   def encode(comps: Array[Array[Int]], w: Int, h: Int, depth: Int,
-      levels: Int): Array[Byte] = {
+      levels: Int): Array[Byte] = encode(comps, w, h, depth, levels, bypass = false)
+
+  /** As [[encode]]; `bypass = true` emits lazy-mode (selective arithmetic
+    * coding bypass, COD code-block style 0x01) codestreams — the common
+    * "fast mode" high-resolution scanners produce.
+    */
+  def encode(comps: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int, bypass: Boolean): Array[Byte] = {
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(w > 0 && h > 0 && depth >= 1 && depth <= 15 && levels >= 0 && levels <= 10)
     val nc = comps.length
@@ -499,7 +580,7 @@ private[graft] object JpxEncode {
     u8(0); u8(0) // Scod, LRCP
     u16(1) // layers
     u8(if (nc == 3) 1 else 0) // MCT
-    u8(levels); u8(cbExp - 2); u8(cbExp - 2); u8(0); u8(1)
+    u8(levels); u8(cbExp - 2); u8(cbExp - 2); u8(if (bypass) 1 else 0); u8(1)
     // per-component QCC would be needed if ranges differ; emit QCD for c0
     // and QCC for the others
     def writeQuant(marker: Int, comp: Int): Unit = {
@@ -580,23 +661,30 @@ private[graft] object JpxEncode {
                   zeroT.encode(i2, j, e._4 + 1, hw2)
                   val np = e._5
                   numPassesBits(hw2, np)
-                  val seg = t1Encode(e._1, e._2, e._3, b.orient,
+                  val segList = t1EncodeSegs(e._1, e._2, e._3, b.orient,
                     zeroLeaves(j * cols + i2) + (32 - Integer.numberOfLeadingZeros(
                       e._1.foldLeft(0)((m, v) => math.max(m, math.abs(v))))),
-                    e._4)
-                  // Lblock signalling: bits available = lblock + floor(log2 np)
+                    e._4, bypass)
+                  // Lblock signalling: one length per codeword segment,
+                  // each coded with lblock + floor(log2(seg passes)) bits —
+                  // lblock raised until EVERY segment's length fits
                   var lblock = 3
-                  val lenBitsNeeded =
-                    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(seg.length, 1)))
-                  val autoBits = 31 - Integer.numberOfLeadingZeros(np)
                   var extra = 0
-                  while (lblock + extra + autoBits < lenBitsNeeded) extra += 1
+                  for ((sb, snp) <- segList) {
+                    val lenBitsNeeded = math.max(1,
+                      32 - Integer.numberOfLeadingZeros(math.max(sb.length, 1)))
+                    val autoBits = 31 - Integer.numberOfLeadingZeros(snp)
+                    while (lblock + extra + autoBits < lenBitsNeeded) extra += 1
+                  }
                   var k2 = 0
                   while (k2 < extra) { hw2.bit(1); k2 += 1 }
                   hw2.bit(0)
                   lblock += extra
-                  hw2.write(seg.length, lblock + autoBits)
-                  segs += seg
+                  for ((sb, snp) <- segList) {
+                    val autoBits = 31 - Integer.numberOfLeadingZeros(snp)
+                    hw2.write(sb.length, lblock + autoBits)
+                  }
+                  segList.foreach { case (sb, _) => segs += sb }
                 }
                 i2 += 1
               }

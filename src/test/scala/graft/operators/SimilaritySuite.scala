@@ -416,6 +416,15 @@ class SimilaritySuite extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     val chunked = Hnsw.hnswQuery(index, q, "vec_id", "embedding", k = 5,
       maxQueryBatch = 16) // 40 queries -> 3 chunks
+    // r13: chunks execute sequentially and arrive MATERIALIZED — the plan
+    // handed back is a union over 3 checkpointed chunk results, not 3 live
+    // probe plans each pinning its query broadcast until the final job
+    // (bounded driver memory, plan size linear in chunks but trivial)
+    val leaves = chunked.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 3 &&
+      leaves.forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"expected a union of 3 materialized chunk scans, got:\n" +
+        chunked.queryExecution.optimizedPlan)
     assert(chunked.collect().map(_.toString).sorted.toSeq == oneShot,
       "chunk membership must not change any per-query result")
   }

@@ -201,6 +201,41 @@ class JpxSuite extends AnyFunSuite {
     }
   }
 
+  test("lazy mode (arithmetic bypass): raster identical to the non-bypass twin") {
+    // r13: selective arithmetic coding bypass (COD style 0x01) — the
+    // common scanner "fast mode". Random 8-bit data forces deep bitplanes
+    // (raw SP/MR passes from pass 10 onward); geometries cover single and
+    // multi code-block tiles plus multi-level DWT
+    val r = rng(11)
+    for ((w, h, levels) <- Seq((8, 8, 0), (17, 5, 1), (64, 64, 2),
+        (130, 71, 2), (150, 90, 3))) {
+      val px = Array.fill(w * h)(r.nextInt(256))
+      val plain = JpxEncode.encode(Array(px), w, h, 8, levels)
+      val lazyCs = JpxEncode.encode(Array(px), w, h, 8, levels, bypass = true)
+      assert(!java.util.Arrays.equals(plain, lazyCs) || w * h < 16,
+        s"bypass must change the codestream w=$w h=$h")
+      val got = gray(lazyCs)
+      assert(got.isDefined, s"bypass decode failed w=$w h=$h L=$levels")
+      assert(got.get.toSeq == px.toSeq, s"bypass pixels w=$w h=$h L=$levels")
+      assert(gray(plain).get.toSeq == got.get.toSeq)
+    }
+    // RGB through RCT with bypass
+    val (w2, h2) = (37, 23)
+    val rP = Array.fill(w2 * h2)(r.nextInt(256))
+    val gP = Array.fill(w2 * h2)(r.nextInt(256))
+    val bP = Array.fill(w2 * h2)(r.nextInt(256))
+    val cs = JpxEncode.encode(Array(rP, gP, bP), w2, h2, 8, 2, bypass = true)
+    val img = JpxDecode.decode(cs)
+    assert(img.isDefined)
+    var i = 0
+    for (y <- 0 until h2; x <- 0 until w2) {
+      val rgb = img.get.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == rP(i) && ((rgb >> 8) & 0xff) == gP(i) &&
+        (rgb & 0xff) == bP(i), s"bypass RGB ($x,$y)")
+      i += 1
+    }
+  }
+
   test("lossless gray round trip, multi-code-block (>64px) and random data") {
     val r = rng(5)
     val (w, h) = (150, 90)

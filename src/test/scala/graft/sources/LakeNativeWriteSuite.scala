@@ -195,4 +195,40 @@ class LakeNativeWriteSuite extends SparkTestBase {
     // time travel to a version whose sidecar is intact still works
     assert(DeltaLite.snapshot(spark, dir, Some(1L)).files.nonEmpty)
   }
+
+  test("delta: incremental crc state equals a full replay across overwrite and restore") {
+    import spark.implicits._
+    // r13: commits compute their crc from the pre-commit snapshot + own
+    // actions (O(actions)) instead of a fresh O(versions) log replay; this
+    // drives the remove-heavy shapes (overwrite drops every live file,
+    // restore re-adds files from history) and asserts each version's
+    // sidecar agrees with what a replay reconstructs — replay itself
+    // validates loudly, so a drifted sidecar would also fail the snapshot
+    val dir = new Path(s"${tmpDir("dcrcinc")}/t")
+    LakeNativeWrite.deltaCreate(spark, dir,
+      StructType(Seq(StructField("id", LongType))), Nil)
+    LakeNativeWrite.deltaInsert(spark, dir, (0L until 10L).toDF("id"), overwrite = false)
+    LakeNativeWrite.deltaInsert(spark, dir, (10L until 14L).toDF("id"), overwrite = false)
+    LakeNativeWrite.deltaInsert(spark, dir, (20L until 23L).toDF("id"), overwrite = true)
+    LakeNativeWrite.deltaInsert(spark, dir, (30L until 34L).toDF("id"), overwrite = false)
+    LakeNativeWrite.deltaRestore(spark, dir, 2L)
+    val log = new java.io.File(dir.toString, "_delta_log")
+    val versions = log.listFiles().map(_.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).sorted.toSeq
+    assert(versions.size == 6, s"expected 6 commits, got $versions")
+    versions.foreach { v =>
+      val s = DeltaLite.snapshot(spark, dir, Some(v))
+      val crcFile = new java.io.File(log, f"$v%020d.crc")
+      assert(crcFile.exists, s"crc sidecar missing for version $v")
+      val rec = scala.io.Source.fromFile(crcFile).mkString
+      assert(rec.contains(s""""numFiles":${s.files.size}""") &&
+        rec.contains(s""""tableSizeBytes":${s.files.map(_.size).sum}"""),
+        s"v$v sidecar=$rec vs replay numFiles=${s.files.size} " +
+          s"tableSizeBytes=${s.files.map(_.size).sum}")
+    }
+    // post-restore content is the restored version's
+    assert(DeltaLite.read(spark, dir).as[Long].collect().sorted.toSeq
+      == (0L until 14L))
+  }
 }
