@@ -240,29 +240,34 @@ object Dedup {
     *    converge in a handful of the cheapest possible rounds.
     *  - `star`: delegate to [[duplicateGroupsStar]] — O(log n) rounds at
     *    any diameter, each round ~2x a min-label round's shuffles.
-    *  - `auto` (default): min-label for up to `autoRoundBudget` rounds —
-    *    the clique-shaped common case never pays star's premium — then, if
-    *    still unconverged, CONTRACT the graph through the partial labels
-    *    (each node is already merged with its <=budget-hop minimum) and
-    *    finish with the star algorithm on the contracted graph. Correct
-    *    because comp(m) = m for each component's true minimum m, so star's
-    *    min-id labels over contracted nodes are the true component minima;
-    *    components fully merged within budget contract to edge-less nodes
-    *    and keep their comp. Pipeline callers get diameter-robustness
-    *    without knowing the graph shape.
+    *  - `auto` (default): min-label while the per-round changed-label
+    *    count keeps collapsing geometrically — the clique-shaped common
+    *    case converges in 2-4 of the cheapest rounds and never pays
+    *    star's premium. Once the decay FLATTENS (a round's changed count
+    *    not below half the previous round's — the signature of labels
+    *    propagating one hop per round along paths), or after
+    *    `autoRoundBudget` rounds at the latest, CONTRACT the graph
+    *    through the partial labels (each node is already merged with its
+    *    local minimum) and finish with the star algorithm on the
+    *    contracted graph. Correct because comp(m) = m for each
+    *    component's true minimum m, so star's min-id labels over
+    *    contracted nodes are the true component minima; components fully
+    *    merged before the hand-off contract to edge-less nodes and keep
+    *    their comp. Pipeline callers get diameter-robustness without
+    *    knowing the graph shape.
     *
     * @param maxIter upper bound on rounds, honored as given for every
     *                 strategy. For `minLabel` it must be >= the largest
     *                 component's diameter; for `star` ~2*log2(n) suffices
     *                 (the default 20 covers any graph that fits in storage
     *                 — star's standalone default of 35 is just more slack).
-    *                 Under `auto` the min-label phase takes
+    *                 Under `auto` the min-label phase runs at most
     *                 min(autoRoundBudget, maxIter) rounds and the star
-    *                 hand-off gets up to maxIter more, so when
-    *                 maxIter <= autoRoundBudget the hand-off NEVER engages
-    *                 and `auto` degrades to min-label truncated at maxIter
-    *                 — pass maxIter > autoRoundBudget if diameter
-    *                 robustness is wanted under a tight round budget
+    *                 hand-off (which engages only while the min-label
+    *                 round count is still below maxIter) gets up to
+    *                 maxIter more — a maxIter at or below the rounds the
+    *                 min-label phase consumes leaves `auto` as min-label
+    *                 truncated at maxIter
     * @param requireConvergence when true, throw instead of returning
     *                 partially-merged groups on maxIter exhaustion
     * @param reliableCheckpoint when true, truncate lineage with
@@ -305,8 +310,10 @@ object Dedup {
     ck.seed(labels)
     val budget = if (strategy == "auto") math.min(autoRoundBudget, maxIter) else maxIter
     var converged = false
+    var handOff = false
+    var prevChanged = Long.MaxValue
     var i = 0
-    while (!converged && i < budget) {
+    while (!converged && !handOff && i < budget) {
       val neighborMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
       // ONE job per iteration: the convergence check is a count over the
@@ -320,13 +327,26 @@ object Dedup {
       val changed = updated.where(col("comp") < col("__old")).count()
       changedOut.foreach(_ += changed)
       converged = changed == 0
+      // ADAPTIVE hand-off (auto only): clique-shaped graphs collapse
+      // geometrically — each round's changed count a fraction of the
+      // last — while diameter-shaped graphs propagate labels one hop per
+      // round, so the count flattens. Once the decay stalls (changed not
+      // below half the previous round's, after two rounds of trend) every
+      // further min-label round buys ONE hop: contract NOW and let star
+      // close the remainder in O(log n) rounds instead of burning the rest
+      // of the fixed budget. autoRoundBudget stays the hard cap for decay
+      // curves that degrade slowly.
+      if (!converged && strategy == "auto" && i >= 1 && changed * 2 > prevChanged)
+        handOff = true
+      prevChanged = changed
       ck.release(updatedSrc)
       ck.rotate(updated)
       labels = updated.select(col("id"), col("comp"))
       i += 1
     }
-    if (!converged && strategy == "auto" && budget < maxIter) {
-      // budget exhausted on a wide graph: contract and let star finish
+    if (!converged && strategy == "auto" && i < maxIter) {
+      // decay stalled (or budget exhausted) on a wide graph: contract and
+      // let star finish
       val la = labels.select(col("id").as("src"), col("comp").as("__ca"))
       val lb = labels.select(col("id").as("dst"), col("comp").as("__cb"))
       val contracted = edges.join(la, "src").join(lb, "dst")

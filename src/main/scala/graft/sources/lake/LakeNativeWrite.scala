@@ -1779,7 +1779,9 @@ object LakeNativeWrite {
         // insert-only commit (stages no delete file): a winner's new deletes
         // are a READ concern, and only when they may mask rows this scope
         // read — position deletes narrow to their referenced data files'
-        // stats; equality deletes (keyed, cross-file) stay conservative
+        // stats; equality deletes narrow to their own KEY-VALUE bounds
+        // (every row they mask shares those key values, so read predicates
+        // that exclude the whole key range prove the deletes invisible)
         val byPath = live2.map(e => IcebergLite.normPath(e.filePath) -> e).toMap
         val winnerDeletes = newDeleteMs.flatMap(dm => IcebergLite.readDeleteManifestEntries(
           conf, dir, IcebergLite.resolveUri(dir, dm.path), dm.sequenceNumber))
@@ -1788,7 +1790,9 @@ object LakeNativeWrite {
             referencedDataPaths(spark, pd.path)
               .exists(p => byPath.get(p).forall(sc.addConflicts))
           case Left(_) => false
-          case Right(eq) => eq.seq > bSeq
+          case Right(eq) if eq.seq > bSeq =>
+            eqDeleteOverlapsScope(spark, eq, sc, fieldsByIdOf(m2))
+          case Right(_) => false
         }
         if (overlaps)
           throw new LakeConcurrency.ConcurrentDeleteReadException(
@@ -1811,6 +1815,46 @@ object LakeNativeWrite {
     */
   private def replaceSnapshotIds(m: IceMeta): Set[Long] =
     m.priorSnapshots.filter(_.operation == "replace").map(_.id).toSet
+
+  /** Could a winner's equality-delete file mask rows this read scope saw?
+    * The masked rows share the delete file's key values exactly, so the
+    * file's own min/max per equality column are EXACT bounds for every
+    * masked row on those columns. Feeding them through the same stats
+    * machinery `addConflicts` uses narrows delete/read conflicts to key
+    * ranges the read predicates can actually reach — a concurrent
+    * eq-delete on a disjoint key range no longer aborts the transaction
+    * (Iceberg's validateNoNewDeletesForDataFiles bound, applied key-wise).
+    * Unknown key shapes (dropped fields, missing columns) stay
+    * conservative.
+    */
+  private def eqDeleteOverlapsScope(spark: SparkSession,
+      eq: IcebergLite.EqDeleteFile, sc: IceReadScope,
+      fieldsById: Map[Int, (String, DataType)]): Boolean = {
+    if (sc.readWholeTable) return true
+    if (sc.predicates.isEmpty) return false // file-scoped read, as addConflicts
+    val names = eq.equalityIds.map(fieldsById.get)
+    if (names.exists(_.isEmpty)) return true // unmappable key field
+    try {
+      val df = spark.read.parquet(eq.path)
+      val cols = names.flatten.map(_._1).filter(df.columns.contains)
+      if (cols.isEmpty) return true
+      val aggs = cols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)),
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c))))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val (mins, maxs) = cols.zipWithIndex.map { case (c, i) =>
+        (c -> row.get(2 * i), c -> row.get(2 * i + 1))
+      }.unzip
+      val bounded = mins.zip(maxs).collect {
+        case ((c, mn), (_, mx)) if mn != null && mx != null => (c -> mn, c -> mx)
+      }
+      if (bounded.isEmpty) return true // all-null keys: no bound to prove with
+      val st = org.apache.spark.sql.GraftLakeBridge.FileStats(None,
+        bounded.map(_._1).toMap, bounded.map(_._2).toMap, Map.empty)
+      org.apache.spark.sql.GraftLakeBridge.StatsSkipping
+        .mayMatch(sc.predicates, Some(st), sc.schema)
+    } catch { case _: Exception => true } // unreadable delete file: conservative
+  }
 
   /** The distinct data-file paths a position-delete parquet references,
     * normalized — read back from the winner's own delete file to judge

@@ -21,11 +21,16 @@ package graft.sources.unstructured
   *    collective height-class bitmaps both MMR-coded (via the T.6
   *    engine) and uncompressed.
   *
-  * Out of the supported subset (refinement/aggregation, halftone
-  * regions, imported bitmap-coding contexts, the untranscribed standard
-  * tables B.7/B.10 — a custom-table stream covers those selections):
-  * decodePage returns None and the caller falls back to header-derived
-  * dimensions only.
+  * r13 adds generic REFINEMENT: immediate refinement regions (types
+  * 42/43, both templates, TPGRON typical rows) refining the page content
+  * in segment order, and refinement/aggregation symbol dictionaries
+  * (SDREFAGG=1 with single-instance refinement, the shape encoders emit).
+  *
+  * Out of the supported subset (multi-instance aggregation, huffman
+  * refagg, intermediate regions, halftone regions, imported bitmap-coding
+  * contexts, the untranscribed standard tables B.7/B.10 — a custom-table
+  * stream covers those selections): decodePage returns None and the
+  * caller falls back to header-derived dimensions only.
   *
   * The MQ decoder implements Annex E's software conventions; the context
   * bit order is the spec figures' raster order with each adaptive pixel
@@ -186,6 +191,87 @@ private[graft] object Jbig2Decode {
           out(y * w + x) = mq.decode(cxs, label).toByte
           x += 1
         }
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- generic REFINEMENT region templates (T.88 6.3.5.3, figures
+  // 12/13): the context mixes pixels of the bitmap being decoded with
+  // pixels of the REFERENCE bitmap shifted by (GRREFERENCEDX, DY).
+  // Template 0 is 13 bits (3 coding + A1, 8 reference + A2), template 1
+  // is 10 bits (4 coding, 6 reference); MSB = first slot, coding slots
+  // before reference slots.
+
+  private[unstructured] val RefineCoding: Array[Array[(Int, Int)]] = Array(
+    Array((0, -1), (1, -1), (-1, 0)),
+    Array((-1, -1), (0, -1), (1, -1), (-1, 0)))
+  private[unstructured] val RefineReference: Array[Array[(Int, Int)]] = Array(
+    Array((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
+    Array((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)))
+
+  /** TPGRON pseudo-pixel context per refinement template (6.3.5.6). */
+  private[unstructured] val TpgrContext: Array[Int] = Array(0x0020, 0x0008)
+
+  /** Decode one generic refinement bitmap from an already-running MQ
+    * decoder with caller-held contexts (8192 entries covers template 0).
+    * `ref` is the reference bitmap (refW x refH, one byte per pixel);
+    * reference pixel for output (x, y) offset slot (rx, ry) is
+    * (x - dx + rx, y - dy + ry), out-of-bounds reading 0. Template 0
+    * appends adaptive pixels A1 (coding side) and A2 (reference side).
+    * With TPGRON, rows flagged "typical" copy pixels whose 3x3 reference
+    * neighbourhood is uniform and decode only the rest.
+    */
+  private[unstructured] def genericRefineInto(mq: MqDecoder, cxs: Array[Int],
+      w: Int, h: Int, template: Int, tpgron: Boolean, at: Array[(Int, Int)],
+      ref: Array[Byte], refW: Int, refH: Int, dx: Int, dy: Int): Array[Byte] = {
+    val coding =
+      if (template == 0) RefineCoding(0) :+ at(0) else RefineCoding(template)
+    val reference =
+      if (template == 0) RefineReference(0) :+ at(1) else RefineReference(template)
+    val out = new Array[Byte](w * h)
+    @inline def refAt(x: Int, y: Int): Int =
+      if (x < 0 || x >= refW || y < 0 || y >= refH) 0 else ref(y * refW + x).toInt
+    @inline def outAt(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0) 0 else out(y * w + x).toInt
+    var ltp = false
+    var y = 0
+    while (y < h) {
+      if (tpgron && mq.decode(cxs, TpgrContext(template)) == 1) ltp = !ltp
+      var x = 0
+      while (x < w) {
+        var set = false
+        if (ltp) {
+          // typical prediction: a uniform 3x3 reference neighbourhood
+          // fixes the pixel without a decision (6.3.5.6)
+          val rx = x - dx; val ry = y - dy
+          var sum = 0
+          var j = -1
+          while (j <= 1) {
+            var i = -1
+            while (i <= 1) { sum += refAt(rx + i, ry + j); i += 1 }
+            j += 1
+          }
+          if (sum == 0) { out(y * w + x) = 0; set = true }
+          else if (sum == 9) { out(y * w + x) = 1; set = true }
+        }
+        if (!set) {
+          var label = 0
+          var s = 0
+          while (s < coding.length) {
+            label = (label << 1) | outAt(x + coding(s)._1, y + coding(s)._2)
+            s += 1
+          }
+          s = 0
+          while (s < reference.length) {
+            label = (label << 1) |
+              refAt(x - dx + reference(s)._1, y - dy + reference(s)._2)
+            s += 1
+          }
+          out(y * w + x) = mq.decode(cxs, label).toByte
+        }
+        x += 1
       }
       y += 1
     }
@@ -435,25 +521,38 @@ private[graft] object Jbig2Decode {
     val sdrefagg = ((flags >> 1) & 1) == 1
     val ctxUsed = ((flags >> 8) & 1) == 1
     val template = (flags >> 10) & 3
-    if (sdrefagg || ctxUsed) return None // out of the supported subset
+    val rtemplate = (flags >> 12) & 1
+    if (ctxUsed) return None // retained-context sharing: out of scope
+    if (sdhuff && sdrefagg) return None // huffman refagg: out of scope
     if (sdhuff) return decodeSymbolDictHuff(data, from, until, inputSymbols, tables, flags)
     var p = from + 2
     val nAt = if (template == 0) 4 else 1
-    // template-dependent header size: flags + AT pixels + the two 32-bit
-    // counts — a short segment must not read AT/count bytes past `until`
-    // into the next segment's data
-    if (until - from < 2 + 2 * nAt + 8) return None
+    val nRAt = if (sdrefagg && rtemplate == 0) 2 else 0
+    // template-dependent header size: flags + AT pixels (+ SDRAT under
+    // refinement with template 0) + the two 32-bit counts — a short
+    // segment must not read AT/count bytes past `until` into the next
+    // segment's data
+    if (until - from < 2 + 2 * nAt + 2 * nRAt + 8) return None
     val at = (0 until nAt).map(k =>
       (data(p + 2 * k).toInt, data(p + 2 * k + 1).toInt)).toArray
     p += 2 * nAt
+    val rAt = (0 until nRAt).map(k =>
+      (data(p + 2 * k).toInt, data(p + 2 * k + 1).toInt)).toArray
+    p += 2 * nRAt
     val numEx = be32(data, p).toInt; val numNew = be32(data, p + 4).toInt
     p += 8
     if (numNew < 0 || numNew > (1 << 16) || numEx < 0) return None
     val mq = new MqDecoder(data, p, until)
     val iadh = new IntCtx; val iadw = new IntCtx
-    val iaex = new IntCtx // IAAI exists only under refinement/aggregation
+    val iaex = new IntCtx
+    // refinement/aggregation state (6.5.8.2): instance count, reference
+    // id and offsets, plus the shared refinement contexts
+    val iaai = new IntCtx; val iardx = new IntCtx; val iardy = new IntCtx
+    val idLen = symCodeLen(inputSymbols.size + numNew)
+    val iaidCx = if (sdrefagg) new Array[Int](1 << (idLen + 1)) else null
+    val refCx = if (sdrefagg) new Array[Int](1 << 13) else null
     val genCx = new Array[Int](1 << templateSlots(template, at).length)
-    val newSyms = Seq.newBuilder[Bitmap]
+    val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
     var decoded = 0
     var hcHeight = 0
     while (decoded < numNew) {
@@ -473,13 +572,32 @@ private[graft] object Jbig2Decode {
           if (decoded >= numNew) return None // excess symbol: malformed
           symWidth += dw
           if (symWidth <= 0 || symWidth > (1 << 14)) return None
-          newSyms += Bitmap(symWidth, hcHeight,
-            genericInto(mq, genCx, symWidth, hcHeight, template, tpgdon = false, at))
+          if (!sdrefagg) {
+            newSyms += Bitmap(symWidth, hcHeight,
+              genericInto(mq, genCx, symWidth, hcHeight, template, tpgdon = false, at))
+          } else {
+            // refinement/aggregation: one instance refines a referred
+            // symbol in place (6.5.8.2.2); multi-instance aggregates (a
+            // nested text region) stay out of scope
+            val nInst = decodeInt(mq, iaai)
+            if (nInst != 1) return None
+            val id = decodeIaid(mq, iaidCx, idLen)
+            val rdx = decodeInt(mq, iardx)
+            val rdy = decodeInt(mq, iardy)
+            if (rdx == OOB || rdy == OOB) return None
+            if (id < 0 || id >= inputSymbols.size + newSyms.length) return None
+            val refSym =
+              if (id < inputSymbols.size) inputSymbols(id)
+              else newSyms(id - inputSymbols.size)
+            newSyms += Bitmap(symWidth, hcHeight,
+              genericRefineInto(mq, refCx, symWidth, hcHeight, rtemplate,
+                tpgron = false, rAt, refSym.bits, refSym.w, refSym.h, rdx, rdy))
+          }
           decoded += 1
         }
       }
     }
-    val all = inputSymbols ++ newSyms.result()
+    val all = inputSymbols ++ newSyms
     // export runs (6.5.10): alternating skip/export run lengths via IAEX
     val exported = Seq.newBuilder[Bitmap]
     var exIndex = 0
@@ -886,8 +1004,14 @@ private[graft] object Jbig2Decode {
 
   private val MaxPixels = 64 << 20 // 64 Mpx cap: a lying header cannot OOM
 
+  /** A decoded region, or (refinement) a deferred decode that needs the
+    * page content under its rectangle as the reference bitmap — composition
+    * is sequential in segment order, so the reference is exactly the page
+    * state all earlier regions produced (T.88 6.3.2).
+    */
   private final case class Region(x: Int, y: Int, w: Int, h: Int,
-      bits: Array[Byte], combOp: Int)
+      bits: Array[Byte], combOp: Int,
+      refiner: Array[Byte] => Array[Byte] = null)
 
   /** Decode the whole embedded stream into a gray page raster (black =
     * 0x00, white = 0xFF) — generic regions only; None when the stream
@@ -966,8 +1090,37 @@ private[graft] object Jbig2Decode {
               template, tpgdon, at)
           regions += Region(x, y, w, h, bits, combOp)
           nRegions += 1
+        case 42 | 43 => // immediate (lossless) generic refinement region (7.4.7)
+          if (s.dataLen < 18) return None
+          val o = s.dataOff
+          val w = be32(data, o).toInt; val h = be32(data, o + 4).toInt
+          val x = be32(data, o + 8).toInt; val y = be32(data, o + 12).toInt
+          val combOp = data(o + 16) & 0x7
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+          // refinement region segment flags (7.4.7.2)
+          val rf = data(o + 17) & 0xff
+          val template = rf & 1
+          val tpgron = ((rf >> 1) & 1) == 1
+          var p = o + 18
+          val at: Array[(Int, Int)] =
+            if (template != 0) Array.empty
+            else {
+              val a = (0 until 2).map(k =>
+                (data(p + 2 * k).toInt, data(p + 2 * k + 1).toInt)).toArray
+              p += 4
+              a
+            }
+          val dataEnd = s.dataOff + s.dataLen
+          val p0 = p
+          // deferred: the reference is the page under (x,y,w,h) at
+          // composition time (no referred intermediate region support)
+          regions += Region(x, y, w, h, null, combOp,
+            refiner = ref => genericRefineInto(new MqDecoder(data, p0, dataEnd),
+              new Array[Int](1 << 13), w, h, template, tpgron, at,
+              ref, w, h, 0, 0))
+          nRegions += 1
         case t if RegionTypes.contains(t) =>
-          return None // intermediate-text/halftone/refinement: out of scope
+          return None // intermediate-text/halftone regions: out of scope
         case _ => () // page end, end-of-stripe, extensions: structural only
       }
     }
@@ -979,6 +1132,27 @@ private[graft] object Jbig2Decode {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
     val page = Array.fill[Byte](w * h)(defPixel.toByte)
     rs.foreach { r =>
+      val bits =
+        if (r.refiner == null) r.bits
+        else {
+          // materialize the reference: current page content under the
+          // region rectangle (out-of-page reads as the default pixel)
+          val ref = new Array[Byte](r.w * r.h)
+          var yy = 0
+          while (yy < r.h) {
+            val py = r.y + yy
+            var xx = 0
+            while (xx < r.w) {
+              val px = r.x + xx
+              ref(yy * r.w + xx) =
+                if (px >= 0 && px < w && py >= 0 && py < h) page(py * w + px)
+                else defPixel.toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          r.refiner(ref)
+        }
       var yy = 0
       while (yy < r.h) {
         val py = r.y + yy
@@ -987,7 +1161,7 @@ private[graft] object Jbig2Decode {
           while (xx < r.w) {
             val px = r.x + xx
             if (px >= 0 && px < w) {
-              val v = r.bits(yy * r.w + xx)
+              val v = bits(yy * r.w + xx)
               val o = py * w + px
               page(o) = (r.combOp match {
                 case 0 => page(o) | v // OR

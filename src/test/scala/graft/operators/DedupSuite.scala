@@ -278,21 +278,27 @@ class DedupSuite extends SparkTestBase {
         "(otherwise the star variant buys nothing)")
   }
 
-  test("auto strategy: budget rounds of min-label, then star on the contracted graph") {
+  test("auto strategy: adaptive hand-off to star once the decay flattens") {
     import spark.implicits._
-    // 120-hop chain: min-label alone needs ~120 rounds; auto spends its
-    // 6-round budget, contracts through the partial labels, and star
-    // finishes in O(log n) — full convergence well under maxIter=20
+    // 120-hop chain: min-label alone needs ~120 rounds, and its changed
+    // count flattens immediately (one hop per round) — auto detects the
+    // stalled decay after 2 rounds, contracts through the partial labels,
+    // and star finishes in O(log n): full convergence well under
+    // maxIter=20, without burning the whole fixed budget first
     val chain = (0L until 120L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
     val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val decay = scala.collection.mutable.ArrayBuffer.empty[Long]
     val labels = Dedup.duplicateGroups(chain, maxIter = 20,
-      requireConvergence = true, roundsOut = Some(rounds))
+      requireConvergence = true, roundsOut = Some(rounds),
+      changedOut = Some(decay))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length == 120 && labels.forall(_._2 == 0L),
       "auto must fully collapse the chain to component 0")
-    assert(rounds.get() > 6 && rounds.get() < 20,
-      s"expected budget + O(log n) star rounds, got ${rounds.get()}")
+    assert(decay.length == 2,
+      s"flat decay must hand off after 2 min-label rounds, got $decay")
+    assert(rounds.get() > 2 && rounds.get() < 20,
+      s"expected 2 min-label + O(log n) star rounds, got ${rounds.get()}")
     // a graph that converges INSIDE the budget never pays star's premium
     val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val r2 = new java.util.concurrent.atomic.AtomicInteger(0)

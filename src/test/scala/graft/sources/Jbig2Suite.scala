@@ -435,6 +435,228 @@ class Jbig2Suite extends AnyFunSuite {
     assert(Jbig2Decode.decodePage(orphan).isEmpty)
   }
 
+  // ---- encoder twin of generic refinement (T.88 6.3.5) ----
+  private def encodeRefineInto(enc: MqEncoder, cxs: Array[Int],
+      target: Array[Byte], w: Int, h: Int, template: Int, tpgron: Boolean,
+      at: Array[(Int, Int)], ref: Array[Byte], refW: Int, refH: Int,
+      dx: Int, dy: Int): Unit = {
+    val coding =
+      if (template == 0) Jbig2Decode.RefineCoding(0) :+ at(0)
+      else Jbig2Decode.RefineCoding(template)
+    val reference =
+      if (template == 0) Jbig2Decode.RefineReference(0) :+ at(1)
+      else Jbig2Decode.RefineReference(template)
+    def refAt(x: Int, y: Int): Int =
+      if (x < 0 || x >= refW || y < 0 || y >= refH) 0 else ref(y * refW + x).toInt
+    def tgtAt(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0) 0 else target(y * w + x).toInt
+    def uniform(x: Int, y: Int): Int = { // -1 = mixed, else the value
+      var sum = 0
+      for (j <- -1 to 1; i <- -1 to 1) sum += refAt(x - dx + i, y - dy + j)
+      if (sum == 0) 0 else if (sum == 9) 1 else -1
+    }
+    var ltp = false
+    for (y <- 0 until h) {
+      if (tpgron) {
+        // a row may run "typical" only when every uniform-reference pixel
+        // already equals its neighbourhood value (the decoder forces them)
+        val want = (0 until w).forall { x =>
+          val u = uniform(x, y); u < 0 || u == target(y * w + x)
+        }
+        val sltp = if (want != ltp) 1 else 0
+        enc.encode(cxs, Jbig2Decode.TpgrContext(template), sltp)
+        if (sltp == 1) ltp = !ltp
+      }
+      for (x <- 0 until w; if !(ltp && uniform(x, y) >= 0)) {
+        var label = 0
+        coding.foreach { case (cdx, cdy) =>
+          label = (label << 1) | tgtAt(x + cdx, y + cdy)
+        }
+        reference.foreach { case (rdx2, rdy2) =>
+          label = (label << 1) | refAt(x - dx + rdx2, y - dy + rdy2)
+        }
+        enc.encode(cxs, label, target(y * w + x).toInt)
+      }
+    }
+  }
+
+  /** Immediate refinement region segment DATA (type 42): region info with
+    * REPLACE, refinement flags, GRAT for template 0, MQ body refining the
+    * page content under the rectangle into `target`.
+    */
+  private def refinementRegion(x: Int, y: Int, w: Int, h: Int,
+      target: Array[Byte], ref: Array[Byte], template: Int,
+      tpgron: Boolean): Array[Byte] = {
+    val info = be32(w) ++ be32(h) ++ be32(x) ++ be32(y) ++ Array(4.toByte)
+    val flags = (template | (if (tpgron) 2 else 0)).toByte
+    val at = Array((-1, -1), (-1, -1))
+    val atBytes =
+      if (template == 0) at.flatMap { case (a, b) => Array(a.toByte, b.toByte) }
+      else Array.empty[Byte]
+    val enc = new MqEncoder
+    encodeRefineInto(enc, new Array[Int](1 << 13), target, w, h, template,
+      tpgron, at, ref, w, h, 0, 0)
+    info ++ Array(flags) ++ atBytes ++ enc.flush()
+  }
+
+  test("immediate refinement regions refine the page: both templates, TPGRON, offset rect") {
+    val (w, h) = (22, 13)
+    val base = structured(w, h)
+    for (template <- Seq(0, 1); tpgron <- Seq(false, true)) {
+      val target = base.clone()
+      Seq((3, 2), (10, 7), (21, 12), (0, 0), (15, 4)).foreach { case (x, y) =>
+        target(y * w + x) = (1 - target(y * w + x)).toByte
+      }
+      val stream = segment(0, 48, pageInfo(w, h)) ++
+        segment(1, 38, genericRegion(0, 0, w, h, base)) ++
+        segment(2, 42, refinementRegion(0, 0, w, h, target, base, template, tpgron))
+      val (gray, gw, gh) = Jbig2Decode.decodePage(stream).get
+      assert(gw == w && gh == h)
+      assert(gray.map(g => if (g == 0x00) 1 else 0).toSeq == target.map(_.toInt).toSeq,
+        s"template=$template tpgron=$tpgron")
+    }
+    // refinement of a SUB-rectangle: the reference is the page content
+    // under (x0, y0, rw, rh) produced by the earlier region
+    val (x0, y0, rw, rh) = (5, 3, 9, 6)
+    val sub = Array.tabulate[Byte](rw * rh)(i =>
+      base((y0 + i / rw) * w + (x0 + i % rw)))
+    val subT = sub.clone()
+    Seq((0, 0), (4, 2), (8, 5)).foreach { case (x, y) =>
+      subT(y * rw + x) = (1 - subT(y * rw + x)).toByte
+    }
+    val stream2 = segment(0, 48, pageInfo(w, h)) ++
+      segment(1, 38, genericRegion(0, 0, w, h, base)) ++
+      segment(2, 43, refinementRegion(x0, y0, rw, rh, subT, sub, 0, tpgron = true))
+    val (gray2, _, _) = Jbig2Decode.decodePage(stream2).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect =
+        if (x >= x0 && x < x0 + rw && y >= y0 && y < y0 + rh)
+          subT((y - y0) * rw + (x - x0)).toInt
+        else base(y * w + x).toInt
+      assert((gray2(y * w + x) == 0x00) == (expect != 0), s"pixel ($x,$y)")
+    }
+  }
+
+  /** Refinement/aggregation symbol dictionary DATA (SDREFAGG=1,
+    * single-instance): each new symbol refines `refId` (over inputs ++
+    * earlier new symbols) at offset (rdx, rdy).
+    */
+  private def encodeSymbolDictRefAgg(inputSyms: Seq[Jbig2Decode.Bitmap],
+      newSyms: Seq[(Jbig2Decode.Bitmap, Int, Int, Int)],
+      rtemplate: Int): Array[Byte] = {
+    val template = 0
+    val at = Jbig2Decode.nominalAt(template)
+    val rAt = Array((-1, -1), (-1, -1))
+    val enc = new MqEncoder
+    val iadh = new Jbig2Decode.IntCtx
+    val iadw = new Jbig2Decode.IntCtx
+    val iaex = new Jbig2Decode.IntCtx
+    val iaai = new Jbig2Decode.IntCtx
+    val iardx = new Jbig2Decode.IntCtx
+    val iardy = new Jbig2Decode.IntCtx
+    val idLen = Jbig2Decode.symCodeLen(inputSyms.size + newSyms.size)
+    val iaidCx = new Array[Int](1 << (idLen + 1))
+    val refCx = new Array[Int](1 << 13)
+    val decodedOrder = scala.collection.mutable.ArrayBuffer.empty[Jbig2Decode.Bitmap]
+    var hcHeight = 0
+    newSyms.groupBy(_._1.h).toSeq.sortBy(_._1).foreach { case (hh, group) =>
+      encInt(enc, iadh, hh - hcHeight); hcHeight = hh
+      var symWidth = 0
+      group.foreach { case (bm, refId, rdx, rdy) =>
+        encInt(enc, iadw, bm.w - symWidth); symWidth = bm.w
+        encInt(enc, iaai, 1)
+        encIaid(enc, iaidCx, idLen, refId)
+        encInt(enc, iardx, rdx)
+        encInt(enc, iardy, rdy)
+        val ref =
+          if (refId < inputSyms.size) inputSyms(refId)
+          else decodedOrder(refId - inputSyms.size)
+        encodeRefineInto(enc, refCx, bm.bits, bm.w, bm.h, rtemplate,
+          tpgron = false, rAt, ref.bits, ref.w, ref.h, rdx, rdy)
+        decodedOrder += bm
+      }
+      encOob(enc, iadw)
+    }
+    encInt(enc, iaex, inputSyms.size) // skip the inputs
+    encInt(enc, iaex, newSyms.size) // export every refined symbol
+    val body = enc.flush()
+    val flags = (1 << 1) | (template << 10) | (rtemplate << 12)
+    Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
+      at.flatMap { case (a, b) => Array(a.toByte, b.toByte) } ++
+      (if (rtemplate == 0)
+        rAt.flatMap { case (a, b) => Array(a.toByte, b.toByte) }
+      else Array.empty[Byte]) ++
+      be32(newSyms.size.toLong) ++ be32(newSyms.size.toLong) ++ body
+  }
+
+  test("refinement-aggregation symbol dict: refined glyphs flow to the text region") {
+    // base dictionary: two glyphs; refagg dictionary: variants refined
+    // from them (one chained off an earlier NEW symbol, one sampled at a
+    // nonzero (rdx, rdy)), both refinement templates
+    val baseA = glyph(
+      "..##..",
+      ".#..#.",
+      "#....#",
+      "######",
+      "#....#",
+      "#....#")
+    val baseB = glyph(
+      "#####.",
+      "#....#",
+      "#####.",
+      "#....#",
+      "#....#",
+      "#####.")
+    def flip(bm: Jbig2Decode.Bitmap, pts: (Int, Int)*): Jbig2Decode.Bitmap = {
+      val b = bm.bits.clone()
+      pts.foreach { case (x, y) => b(y * bm.w + x) = (1 - b(y * bm.w + x)).toByte }
+      Jbig2Decode.Bitmap(bm.w, bm.h, b)
+    }
+    for (rtemplate <- Seq(0, 1)) {
+      val varA = flip(baseA, (0, 0), (5, 5))
+      val varB = flip(baseB, (2, 3))
+      val varA2 = flip(varA, (3, 1)) // refines NEW symbol varA (id = 2)
+      val refined = Seq(
+        (varA, 0, 0, 0),
+        (varB, 1, 1, -1), // nonzero reference offset
+        (varA2, 2, 0, 0))
+      val dict1 = encodeSymbolDict(Seq(baseA, baseB), 0)
+      val dict2 = encodeSymbolDictRefAgg(Seq(baseA, baseB), refined, rtemplate)
+      val syms = Seq(varA, varB, varA2)
+      val insts = Seq((1, 7, 0), (9, 7, 1), (17, 7, 2))
+      val trData = encodeTextRegion(insts, syms, refCorner = 1)
+      val regionInfo = be32(24) ++ be32(10) ++ be32(0) ++ be32(0) ++ Array(0.toByte)
+      val stream = segment(0, 48, pageInfo(24, 10)) ++
+        segmentR(1, 0, Nil, dict1) ++
+        segmentR(2, 0, Seq(1L), dict2) ++
+        segmentR(3, 6, Seq(2L), regionInfo ++ trData)
+      val (gray, w, h) = Jbig2Decode.decodePage(stream).get
+      assert(w == 24 && h == 10)
+      val expect = render(24, 10, syms, insts, 1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((gray(y * w + x) == 0x00) == (expect(y * w + x) != 0),
+          s"rtemplate=$rtemplate pixel ($x,$y)")
+    }
+    // multi-instance aggregation stays out of scope: direct decode of a
+    // dict whose IAAI says 2 must be None, not garbage — hand-build one
+    // by patching the instance count of a valid stream is not feasible
+    // here, so assert via the decoder's guard using a 2-instance encode
+    val enc = new MqEncoder
+    val iadh = new Jbig2Decode.IntCtx; val iadw = new Jbig2Decode.IntCtx
+    val iaai = new Jbig2Decode.IntCtx
+    encInt(enc, iadh, 6)
+    encInt(enc, iadw, 6)
+    encInt(enc, iaai, 2) // aggregate of two instances: unsupported
+    val body = enc.flush()
+    val flags = (1 << 1) | (0 << 10) | (1 << 12)
+    val at = Jbig2Decode.nominalAt(0)
+    val dict = Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
+      at.flatMap { case (a, b) => Array(a.toByte, b.toByte) } ++
+      be32(1L) ++ be32(1L) ++ body
+    assert(Jbig2Decode.decodeSymbolDict(dict, 0, dict.length,
+      Seq(baseA, baseB)).isEmpty)
+  }
+
   test("a fax-sized page (1728x1100) decodes in bounded time") {
     // the per-pixel context loop must stay practical at real scan
     // geometry: ~1.9M pixels, template 0 TPGDON (blank rows collapse)

@@ -956,4 +956,43 @@ class LakeConcurrencySuite extends SparkTestBase {
         Seq((51L, 1)).toDF("id", "p"), None, "MERGE", scopeP1)
     }
   }
+
+  test("iceberg MoR: an insert-only MERGE vs a winner's EQUALITY deletes — key bounds scope the race") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.plans.LakeRowLevel
+    // r13: equality deletes used to conflict UNCONDITIONALLY with any
+    // insert-only commit reading the table; they now narrow to the delete
+    // file's own key-value bounds, the same way position deletes narrow to
+    // their referenced files' stats
+    val (fqn, dir) = setupIcePart("ics13",
+      " TBLPROPERTIES ('write.update.mode' = 'merge-on-read', " +
+        "'write.delete.mode' = 'merge-on-read')")
+    def emptyIds(h: graft.plans.LakeRowLevel.RowLevelHandle) =
+      h.scanWithRowIds(spark).where(lit(false))
+        .select(col(LakeRowLevel.FileIdCol), col(LakeRowLevel.RowIxCol))
+    val idAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("id", org.apache.spark.sql.types.LongType)()
+    def scopeLowIds = LakeRowLevel.ReadScope(readWholeTable = false,
+      Seq(org.apache.spark.sql.catalyst.expressions.LessThan(idAttr,
+        org.apache.spark.sql.catalyst.expressions.Literal(6L))), Set.empty)
+    // winner: equality delete keyed id=10 — outside the loser's id < 6
+    // read scope, so both must commit
+    val h = staleHandle(fqn)
+    LakeNativeWrite.icebergEqUpsert(spark, dir,
+      Seq((10L, 7)).toDF("id", "p"), Seq("id"))
+    h.commitUpdateRows(spark, emptyIds(h),
+      Seq((52L, 1)).toDF("id", "p"), None, "MERGE", scopeLowIds)
+    assert(spark.table(fqn).where("id = 52 or id = 10").count() == 2,
+      "disjoint-key eq-delete and insert-only merge must both survive")
+    // winner: equality delete keyed id=3 — INSIDE the read scope: the
+    // merge's not-matched decision may be stale, typed delete/read
+    val h2 = staleHandle(fqn)
+    LakeNativeWrite.icebergEqUpsert(spark, dir,
+      Seq((3L, 0)).toDF("id", "p"), Seq("id"))
+    intercept[LakeConcurrency.ConcurrentDeleteReadException] {
+      h2.commitUpdateRows(spark, emptyIds(h2),
+        Seq((53L, 1)).toDF("id", "p"), None, "MERGE", scopeLowIds)
+    }
+  }
 }
