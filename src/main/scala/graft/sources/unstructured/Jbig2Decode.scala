@@ -21,16 +21,19 @@ package graft.sources.unstructured
   *    collective height-class bitmaps both MMR-coded (via the T.6
   *    engine) and uncompressed.
   *
-  * r13 adds generic REFINEMENT: immediate refinement regions (types
+  * r13 adds generic REFINEMENT — immediate refinement regions (types
   * 42/43, both templates, TPGRON typical rows) refining the page content
   * in segment order, and refinement/aggregation symbol dictionaries
-  * (SDREFAGG=1 with single-instance refinement, the shape encoders emit).
+  * (SDREFAGG=1 with single-instance refinement, the shape encoders
+  * emit) — and HALFTONE coding: pattern dictionaries (type 16) and
+  * immediate halftone regions (types 22/23) with gray-code bitplanes and
+  * sheared pattern grids, arithmetic-coded.
   *
   * Out of the supported subset (multi-instance aggregation, huffman
-  * refagg, intermediate regions, halftone regions, imported bitmap-coding
-  * contexts, the untranscribed standard tables B.7/B.10 — a custom-table
-  * stream covers those selections): decodePage returns None and the
-  * caller falls back to header-derived dimensions only.
+  * refagg, intermediate regions, MMR/skip-enabled halftones, imported
+  * bitmap-coding contexts, the untranscribed standard tables B.7/B.10 —
+  * a custom-table stream covers those selections): decodePage returns
+  * None and the caller falls back to header-derived dimensions only.
   *
   * The MQ decoder implements Annex E's software conventions; the context
   * bit order is the spec figures' raster order with each adaptive pixel
@@ -276,6 +279,123 @@ private[graft] object Jbig2Decode {
       y += 1
     }
     out
+  }
+
+  // ---- halftone coding (T.88 6.6 / 6.7): pattern dictionaries carry
+  // GRAYMAX+1 fixed-size patterns as ONE collective generic bitmap;
+  // halftone regions decode a gray-code image (one generic bitplane per
+  // bit, MSB first, XOR-chained per C.5, all planes sharing one MQ
+  // decoder and context set) and stamp pattern(gray) at each sheared
+  // grid position. Arithmetic coding only (the common emitted shape);
+  // MMR halftones and HENABLESKIP reject to the metadata fallback. ----
+
+  /** Pattern dictionary segment decode (7.4.4): returns the HNUMPATS
+    * patterns, each HDPW x HDPH, or None for unsupported/malformed.
+    */
+  private[graft] def decodePatternDict(data: Array[Byte], from: Int,
+      until: Int): Option[Seq[Bitmap]] = {
+    if (until - from < 7) return None
+    val flags = data(from) & 0xff
+    if ((flags & 1) != 0) return None // HDMMR: out of scope
+    val template = (flags >> 1) & 3
+    val hdpw = data(from + 1) & 0xff
+    val hdph = data(from + 2) & 0xff
+    val grayMax = be32(data, from + 3).toInt
+    if (hdpw <= 0 || hdph <= 0 || grayMax < 0 || grayMax > 0xffff) return None
+    val cw = (grayMax + 1) * hdpw
+    if (cw.toLong * hdph > MaxPixels) return None
+    // collective bitmap: adaptive pixels pinned by the spec (6.7.5)
+    val at = Array((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+    val coll = decodeGenericMq(data, from + 7, until, cw, hdph, template,
+      tpgdon = false, at)
+    Some((0 to grayMax).map { i =>
+      val bits = new Array[Byte](hdpw * hdph)
+      var y = 0
+      while (y < hdph) {
+        System.arraycopy(coll, y * cw + i * hdpw, bits, y * hdpw, hdpw)
+        y += 1
+      }
+      Bitmap(hdpw, hdph, bits)
+    })
+  }
+
+  /** Halftone region decode (6.6): gray-code image over the referred
+    * pattern dictionary, patterns stamped at the sheared grid positions
+    * x = (HGX + mg*HRY + ng*HRX) >> 8, y = (HGY + mg*HRX - ng*HRY) >> 8.
+    */
+  private[graft] def decodeHalftoneRegion(data: Array[Byte], from: Int,
+      until: Int, w: Int, h: Int, patterns: Seq[Bitmap]): Option[Array[Byte]] = {
+    if (until - from < 21 || patterns.isEmpty) return None
+    val flags = data(from) & 0xff
+    if ((flags & 1) != 0) return None // HMMR
+    val template = (flags >> 1) & 3
+    if (((flags >> 3) & 1) != 0) return None // HENABLESKIP
+    val combOp = (flags >> 4) & 7
+    val defPixel = (flags >> 7) & 1
+    val hgw = be32(data, from + 1).toInt
+    val hgh = be32(data, from + 5).toInt
+    val hgx = be32(data, from + 9).toInt // signed
+    val hgy = be32(data, from + 13).toInt
+    val hrx = ((data(from + 17) & 0xff) << 8) | (data(from + 18) & 0xff)
+    val hry = ((data(from + 19) & 0xff) << 8) | (data(from + 20) & 0xff)
+    if (hgw <= 0 || hgh <= 0 || hgw.toLong * hgh > MaxPixels) return None
+    val nBits = symCodeLen(patterns.size)
+    val at = Array((if (template <= 1) 3 else 2, -1), (-3, -1), (2, -2), (-2, -2))
+    val cxs = new Array[Int](1 << templateSlots(template, at).length)
+    val mq = new MqDecoder(data, from + 21, until)
+    // planes MSB first, gray-code chained (C.5): bit_j = plane_j XOR bit_{j+1}
+    val gray = new Array[Int](hgw * hgh)
+    val prev = new Array[Byte](hgw * hgh)
+    var j = nBits - 1
+    while (j >= 0) {
+      val plane = genericInto(mq, cxs, hgw, hgh, template, tpgdon = false, at)
+      var i = 0
+      while (i < plane.length) {
+        val bit = (plane(i) ^ prev(i)).toByte
+        prev(i) = bit
+        gray(i) |= bit.toInt << j
+        i += 1
+      }
+      j -= 1
+    }
+    val out = Array.fill[Byte](w * h)(defPixel.toByte)
+    val pw = patterns.head.w; val ph = patterns.head.h
+    var mg = 0
+    while (mg < hgh) {
+      var ng = 0
+      while (ng < hgw) {
+        val gi = math.min(gray(mg * hgw + ng), patterns.size - 1)
+        val pat = patterns(gi)
+        val x0 = (hgx + mg * hry + ng * hrx) >> 8
+        val y0 = (hgy + mg * hrx - ng * hry) >> 8
+        var yy = 0
+        while (yy < ph) {
+          val py = y0 + yy
+          if (py >= 0 && py < h) {
+            var xx = 0
+            while (xx < pw) {
+              val px = x0 + xx
+              if (px >= 0 && px < w) {
+                val v = pat.bits(yy * pw + xx)
+                val o = py * w + px
+                out(o) = (combOp match {
+                  case 0 => out(o) | v
+                  case 1 => out(o) & v
+                  case 2 => out(o) ^ v
+                  case 3 => ((out(o) ^ v) ^ 1) & 1
+                  case _ => v.toInt
+                }).toByte
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        ng += 1
+      }
+      mg += 1
+    }
+    Some(out)
   }
 
   /** Decode one MQ-coded generic region to one-byte-per-pixel (1 = black). */
@@ -1029,6 +1149,8 @@ private[graft] object Jbig2Decode {
     // custom huffman tables (type 53), consumed by huffman-coded
     // dictionaries and text regions in referred order
     val tablesBySeg = scala.collection.mutable.Map.empty[Long, HTable]
+    // pattern dictionaries (type 16), consumed by halftone regions
+    val patternsBySeg = scala.collection.mutable.Map.empty[Long, Seq[Bitmap]]
     segs.foreach { s =>
       s.segType match {
         case 48 if s.dataLen >= 17 => // page information (7.4.8)
@@ -1088,6 +1210,21 @@ private[graft] object Jbig2Decode {
               gray.take(w * h).map(g => if (g == 0) 1.toByte else 0.toByte)
             } else decodeGenericMq(data, p, s.dataOff + s.dataLen, w, h,
               template, tpgdon, at)
+          regions += Region(x, y, w, h, bits, combOp)
+          nRegions += 1
+        case 16 => // pattern dictionary (7.4.4)
+          patternsBySeg(s.num) = decodePatternDict(data, s.dataOff,
+            s.dataOff + s.dataLen).getOrElse(return None)
+        case 22 | 23 => // immediate (lossless) halftone region (7.4.5)
+          if (s.dataLen < 18) return None
+          val o = s.dataOff
+          val w = be32(data, o).toInt; val h = be32(data, o + 4).toInt
+          val x = be32(data, o + 8).toInt; val y = be32(data, o + 12).toInt
+          val combOp = data(o + 16) & 0x7
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+          val pats = s.refs.flatMap(patternsBySeg.getOrElse(_, Nil))
+          val bits = decodeHalftoneRegion(data, o + 17, s.dataOff + s.dataLen,
+            w, h, pats).getOrElse(return None)
           regions += Region(x, y, w, h, bits, combOp)
           nRegions += 1
         case 42 | 43 => // immediate (lossless) generic refinement region (7.4.7)

@@ -16,14 +16,17 @@ import Jbig2Decode.MqDecoder
   *    progression orders (packet sequence materialized via sort keys);
   *    SOP/EPH markers; explicit or default precincts;
   *  - EBCOT Tier-1 with the standard three-pass schedule, run-length and
-  *    segmentation-symbol modes, and selective arithmetic coding BYPASS
-  *    (lazy mode, style 0x01: raw SP/MR segments on the 10/2/1 schedule
-  *    with per-segment packet-header lengths); RESET / TERMALL / VCAUSAL
-  *    styles are rejected (→ None, caller falls back to dict-declared
-  *    metadata like before);
+  *    segmentation-symbol modes, and the FULL code-block style matrix:
+  *    selective arithmetic coding BYPASS (lazy mode, raw SP/MR segments
+  *    on the 10/2/1 schedule with per-segment packet-header lengths),
+  *    RESET (contexts re-initialized every pass), TERMALL (one terminated
+  *    segment per pass), VCAUSAL (stripe-causal context formation), and
+  *    predictable termination (decoder no-op);
   *  - 5/3 reversible (bit-exact) and 9/7 irreversible inverse DWT;
   *    RCT / ICT; reversible no-quant and scalar derived/expounded
-  *    dequantization; POC / PPM / PPT are rejected.
+  *    dequantization; multiple quality layers; PPM / PPT packed packet
+  *    headers (headers from the marker-segment stream, bodies from the
+  *    bitstream); POC is rejected.
   *
   * The MQ coder is the same T.88 engine JBIG2 uses ([[Jbig2Decode.MqDecoder]],
   * pinned from both sides in Jbig2Suite); JPEG2000 differs only in context
@@ -44,6 +47,11 @@ private[graft] object JpxDecode {
   private[unstructured] final case class Cod(progression: Int, layers: Int, mct: Int,
       levels: Int, cbw: Int, cbh: Int, cbStyle: Int, transform: Int,
       precincts: Array[Int], sop: Boolean, eph: Boolean)
+  /** One POC (progression order change) entry: packets of res [rs, re) x
+    * comp [cs, ce) x layer [0, lye) follow progression `ppoc` (A.6.6).
+    */
+  private[unstructured] final case class Poc(rs: Int, cs: Int, lye: Int,
+      re: Int, ce: Int, ppoc: Int)
   private[unstructured] final case class Qcd(style: Int, guard: Int,
       exps: Array[Int], mants: Array[Int])
 
@@ -134,12 +142,18 @@ private[graft] object JpxDecode {
       * and MQ (cleanup, 1 pass) terminated segments.
       */
     val segs = scala.collection.mutable.ArrayBuffer.empty[CbSeg]
-    def nextSeg(bypass: Boolean): CbSeg = {
+    def nextSeg(bypass: Boolean, termall: Boolean): CbSeg = {
       if (segs.nonEmpty && segs.last.passes < segs.last.maxPasses) segs.last
       else {
         val ix = segs.length
         val s =
-          if (!bypass) new CbSeg(raw = false, Int.MaxValue)
+          if (termall) {
+            // every pass its own terminated segment; raw-ness follows the
+            // lazy-mode pass schedule when BYPASS rides along
+            val assigned = segs.iterator.map(_.passes).sum
+            new CbSeg(raw = bypass && isRawPass(assigned), 1)
+          }
+          else if (!bypass) new CbSeg(raw = false, Int.MaxValue)
           else if (ix == 0) new CbSeg(raw = false, 10)
           else if (ix % 2 == 1) new CbSeg(raw = true, 2)
           else new CbSeg(raw = false, 1)
@@ -148,6 +162,12 @@ private[graft] object JpxDecode {
       }
     }
   }
+
+  /** Is absolute pass `k` (0-based) raw under lazy mode? SP/MR from the
+    * 11th pass onward (T.800 D.4: the first 10 passes stay MQ-coded).
+    */
+  private[unstructured] def isRawPass(k: Int): Boolean =
+    k >= 10 && (k - 10) % 3 <= 1
   private final class CbSeg(val raw: Boolean, val maxPasses: Int) {
     var passes = 0
     val chunks = Seq.newBuilder[(Int, Int)] // (offset, len) into tile stream
@@ -343,18 +363,25 @@ private[graft] object JpxDecode {
       segSym: Boolean): Array[Int] = {
     val buf = java.util.Arrays.copyOfRange(data, from, until)
     t1DecodeSegs(Array((buf, false, passes0)), w, h, orient, mb, missing,
-      passes0, segSym)
+      passes0, if (segSym) 0x20 else 0)
   }
 
   /** Segment-aware Tier-1: `segs` = (bytes, isRaw, passes) per codeword
-    * segment in pass order. MQ segments re-init the MQ decoder at their
-    * boundary while the 19 contexts persist (T.800 D.4.1); raw segments
+    * segment in pass order; `cbStyle` is the COD code-block style byte.
+    * MQ segments re-init the MQ decoder at their boundary while the 19
+    * contexts persist (T.800 D.4.1) — unless RESET (0x02), which
+    * re-initializes the contexts at EVERY pass boundary; raw segments
     * (lazy-mode SP/MR pairs) read stuffed raw bits — significance and
     * refinement bits uncoded, sign as a plain bit with no prediction.
+    * VCAUSAL (0x08) caps context formation at the current stripe's last
+    * row (D.6); segmentation symbols (0x20) close each cleanup pass.
     */
   private[unstructured] def t1DecodeSegs(segs: Array[(Array[Byte], Boolean, Int)],
       w: Int, h: Int, orient: Int, mb: Int, missing: Int, passes0: Int,
-      segSym: Boolean): Array[Int] = {
+      cbStyle: Int): Array[Int] = {
+    val segSym = (cbStyle & 0x20) != 0
+    val resetCtx = (cbStyle & 0x02) != 0
+    val vcausal = (cbStyle & 0x08) != 0
     val flags = new Array[Int](w * h)
     val mag = new Array[Int](w * h)
     val cx = freshCtx()
@@ -378,8 +405,12 @@ private[graft] object JpxDecode {
       segPassLeft -= 1
     }
 
+    // VCAUSAL: context formation must not reach past the current stripe's
+    // last row; the stripe loops keep this cap current
+    var causalCap = Int.MaxValue
     @inline def at(x: Int, y: Int): Int =
-      if (x < 0 || y < 0 || x >= w || y >= h) 0 else flags(y * w + x)
+      if (x < 0 || y < 0 || x >= w || y >= h || y >= causalCap) 0
+      else flags(y * w + x)
     @inline def sigN(x: Int, y: Int): (Int, Int, Int) = {
       var hh = 0; var vv = 0; var dd = 0
       if ((at(x - 1, y) & SIG) != 0) hh += 1
@@ -400,6 +431,8 @@ private[graft] object JpxDecode {
       val (c, xor) = scCtx(hc, vc)
       if ((mq.decode(cx, c) ^ xor) == 1) flags(y * w + x) |= NEG
     }
+    @inline def stripeStart(k: Int): Unit =
+      if (vcausal) causalCap = k + 4
 
     var bp = mb - 1 - missing
     var pass = 0 // 0 = cleanup (first plane), then cycles sigprop(1)/magref(2)/cleanup(0)
@@ -408,10 +441,12 @@ private[graft] object JpxDecode {
     while (left > 0 && bp >= 0) {
       val kind = if (first) 2 else pass
       beginPass()
+      if (resetCtx) System.arraycopy(freshCtx(), 0, cx, 0, cx.length)
       kind match {
         case 0 => // significance propagation
           var k = 0
           while (k < h) {
+            stripeStart(k)
             var x = 0
             while (x < w) {
               var y = k
@@ -441,6 +476,7 @@ private[graft] object JpxDecode {
         case 1 => // magnitude refinement
           var k = 0
           while (k < h) {
+            stripeStart(k)
             var x = 0
             while (x < w) {
               var y = k
@@ -467,6 +503,7 @@ private[graft] object JpxDecode {
         case 2 => // cleanup
           var k = 0
           while (k < h) {
+            stripeStart(k)
             var x = 0
             while (x < w) {
               var y = k
@@ -658,6 +695,8 @@ private[graft] object JpxDecode {
     var mainQcd: Qcd = null
     val mainCoc = new Array[Cod](nc)
     val mainQcc = new Array[Qcd](nc)
+    val ppmSegs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    val mainPoc = scala.collection.mutable.ArrayBuffer.empty[Poc]
     var marker = r.u16
     while (marker != 0xff90) { // until first SOT
       val len = r.u16
@@ -684,13 +723,34 @@ private[graft] object JpxDecode {
           mainQcc(c) = parseQcd(r, len - (if (nc < 257) 1 else 2),
             if (mainCoc(c) != null) mainCoc(c).levels
             else if (mainCod != null) mainCod.levels else 32)
-        case 0xff5f | 0xff60 | 0xff61 => return None // POC / PPM / PLM unsupported
+        case 0xff60 => // PPM: packed packet headers, main header (A.7.4)
+          val z = r.u8
+          val bytes = java.util.Arrays.copyOfRange(r.data, r.pos, segEnd)
+          ppmSegs += ((z, bytes))
+          r.pos = segEnd
+        case 0xff5f => // POC: progression order changes (A.6.6)
+          while (r.pos < segEnd) {
+            val rs = r.u8
+            val cs = if (nc < 257) r.u8 else r.u16
+            val lye = r.u16
+            val re = r.u8
+            val ce = if (nc < 257) r.u8 else r.u16
+            val pp = r.u8
+            mainPoc += Poc(rs, cs, lye, re, math.min(ce, nc), pp)
+          }
+          r.pos = segEnd
         case _ => r.pos = segEnd // COM, TLM, CRG, ...
       }
       if (r.pos != segEnd) r.pos = segEnd
       marker = r.u16
     }
     if (mainCod == null || mainQcd == null) return None
+    // PPM stream: segments concatenated by Zppm, then split per TILE-PART
+    // in codestream order as [Nppm u32][Nppm header bytes] runs
+    val ppmStream: Array[Byte] =
+      if (ppmSegs.isEmpty) null
+      else ppmSegs.sortBy(_._1).iterator.map(_._2)
+        .foldLeft(Array.empty[Byte])(_ ++ _)
 
     val ntx = ceilDiv(xsiz - xt0, xt)
     val nty = ceilDiv(ysiz - yt0, yt)
@@ -703,8 +763,11 @@ private[graft] object JpxDecode {
       val coc = mainCoc.clone()
       val qcc = mainQcc.clone()
       val chunks = Seq.newBuilder[(Int, Int)]
+      val pptSegs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      val poc = scala.collection.mutable.ArrayBuffer.empty[Poc]
     }
     val tiles = Array.fill(ntx * nty)(new TileHdr)
+    val tpOrder = Seq.newBuilder[Int] // tile index per tile-part (PPM split)
     var atMarker = marker
     while (atMarker == 0xff90) {
       val lsot = r.u16
@@ -747,17 +810,66 @@ private[graft] object JpxDecode {
                 if (th.coc(c) != null) th.coc(c).levels else th.cod.levels)
             }
             r.pos = segEnd
-          case 0xff5f | 0xff61 => return None // POC / PPT unsupported
+          case 0xff61 => // PPT: packed packet headers, tile-part (A.7.5)
+            val z = r.u8
+            th.pptSegs += ((z, java.util.Arrays.copyOfRange(r.data, r.pos, segEnd)))
+            r.pos = segEnd
+          case 0xff5f => // tile-header POC overrides the main header's
+            if (tpsot == 0) {
+              th.poc.clear()
+              while (r.pos < segEnd) {
+                val rs = r.u8
+                val cs = if (nc < 257) r.u8 else r.u16
+                val lye = r.u16
+                val re = r.u8
+                val ce = if (nc < 257) r.u8 else r.u16
+                val pp = r.u8
+                th.poc += Poc(rs, cs, lye, re, math.min(ce, nc), pp)
+              }
+            }
+            r.pos = segEnd
           case _ => r.pos = segEnd
         }
         if (r.pos != segEnd) r.pos = segEnd
         m2 = r.u16
       }
       th.chunks += ((r.pos, tpEnd - r.pos))
+      tpOrder += isot
       r.pos = tpEnd
       atMarker = if (r.remaining >= 2) r.u16 else 0xffd9
     }
     if (atMarker != 0xffd9) return None // EOC
+
+    // packed packet headers per tile: PPM (main, per-tile-part Nppm runs)
+    // wins over PPT (per-tile Zppt concatenation); null = inline headers
+    val packedOf: Array[Array[Byte]] = {
+      val out = new Array[Array[Byte]](tiles.length)
+      if (ppmStream != null) {
+        val bufs = Array.fill(tiles.length)(new java.io.ByteArrayOutputStream())
+        var p = 0
+        tpOrder.result().foreach { tIdx =>
+          if (p + 4 > ppmStream.length) return None
+          val n = (((ppmStream(p) & 0xff) << 24) | ((ppmStream(p + 1) & 0xff) << 16) |
+            ((ppmStream(p + 2) & 0xff) << 8) | (ppmStream(p + 3) & 0xff))
+          p += 4
+          if (n < 0 || p + n > ppmStream.length) return None
+          bufs(tIdx).write(ppmStream, p, n)
+          p += n
+        }
+        var i = 0
+        while (i < out.length) { out(i) = bufs(i).toByteArray; i += 1 }
+      } else {
+        var i = 0
+        while (i < out.length) {
+          val th = tiles(i)
+          if (th.pptSegs.nonEmpty)
+            out(i) = th.pptSegs.sortBy(_._1).iterator.map(_._2)
+              .foldLeft(Array.empty[Byte])(_ ++ _)
+          i += 1
+        }
+      }
+      out
+    }
 
     // image-grid output buffers per component
     val iw = xsiz - x0
@@ -780,7 +892,9 @@ private[graft] object JpxDecode {
         val ty0 = math.max(yt0 + ty * yt, y0); val ty1 = math.min(yt0 + (ty + 1) * yt, ysiz)
         if (tx1 > tx0 && ty1 > ty0) {
           if (!decodeTile(r.data, th.chunks.result(), siz, th.cod, th.qcd, th.coc, th.qcc,
-            tx0, ty0, tx1, ty1, outComps, compW, compX0, compY0)) return None
+            tx0, ty0, tx1, ty1, outComps, compW, compX0, compY0,
+            packedOf(ty * ntx + tx),
+            if (th.poc.nonEmpty) th.poc.toSeq else mainPoc.toSeq)) return None
         }
         tx += 1
       }
@@ -826,11 +940,17 @@ private[graft] object JpxDecode {
   /** Decodes one tile in place into the per-component image buffers.
     * Returns false on unsupported/malformed content.
     */
+  /** `packedHdr` (nullable): PPM/PPT packed packet headers for this tile —
+    * headers read sequentially from it while bodies stay in the tile
+    * bitstream (EPH lives in the header stream, SOP in the body stream).
+    */
   private def decodeTile(data: Array[Byte], chunks: Seq[(Int, Int)], siz: Siz,
       cod0: Cod, qcd0: Qcd, coc: Array[Cod], qcc: Array[Qcd],
       tx0: Int, ty0: Int, tx1: Int, ty1: Int,
       outComps: Array[Array[Int]], compW: Array[Int],
-      compX0: Array[Int], compY0: Array[Int]): Boolean = {
+      compX0: Array[Int], compY0: Array[Int],
+      packedHdr: Array[Byte] = null,
+      poc: Seq[Poc] = Nil): Boolean = {
     val nc = siz.comps.length
     // concatenated tile stream
     var total = 0
@@ -843,9 +963,9 @@ private[graft] object JpxDecode {
 
     val codOf = Array.tabulate(nc)(c => if (coc(c) != null) coc(c) else cod0)
     val qcdOf = Array.tabulate(nc)(c => if (qcc(c) != null) qcc(c) else qcd0)
-    // BYPASS (0x01, lazy mode) decodes natively; RESET / TERMALL / VCAUSAL
-    // (0x0e) still reject to the metadata fallback
-    if (codOf.exists(c => (c.cbStyle & 0x0e) != 0)) return false
+    // every defined code-block style decodes natively: BYPASS (0x01),
+    // RESET (0x02), TERMALL (0x04), VCAUSAL (0x08), predictable
+    // termination (0x10, a decoder no-op), segmentation symbols (0x20)
     if (cod0.layers <= 0 || cod0.layers > 65535) return false
 
     // build resolution/band/precinct/cblk structures per component
@@ -957,19 +1077,48 @@ private[graft] object JpxDecode {
       }
       c += 1
     }
-    val ordered = cod0.progression match {
-      case 0 => pks.result().sortBy(k => (k.l, k.r, k.c, k.p, k.seq)) // LRCP
-      case 1 => pks.result().sortBy(k => (k.r, k.l, k.c, k.p, k.seq)) // RLCP
-      case 2 => pks.result().sortBy(k => (k.r, k.yr, k.xr, k.c, k.l, k.seq)) // RPCL
-      case 3 => pks.result().sortBy(k => (k.yr, k.xr, k.c, k.r, k.l, k.seq)) // PCRL
-      case 4 => pks.result().sortBy(k => (k.c, k.yr, k.xr, k.r, k.l, k.seq)) // CPRL
-      case _ => return false
+    def sortByProg(ks: Seq[Pk], prog: Int): Seq[Pk] = prog match {
+      case 0 => ks.sortBy(k => (k.l, k.r, k.c, k.p, k.seq)) // LRCP
+      case 1 => ks.sortBy(k => (k.r, k.l, k.c, k.p, k.seq)) // RLCP
+      case 2 => ks.sortBy(k => (k.r, k.yr, k.xr, k.c, k.l, k.seq)) // RPCL
+      case 3 => ks.sortBy(k => (k.yr, k.xr, k.c, k.r, k.l, k.seq)) // PCRL
+      case 4 => ks.sortBy(k => (k.c, k.yr, k.xr, k.r, k.l, k.seq)) // CPRL
+      case _ => null
     }
+    val all = pks.result()
+    val ordered =
+      if (poc.isEmpty) {
+        val o = sortByProg(all, cod0.progression)
+        if (o == null) return false
+        o
+      } else {
+        // POC (A.6.6): each entry emits, in its own progression, the
+        // not-yet-emitted packets of its (res, comp, layer-bound) volume;
+        // anything a malformed list leaves over follows the COD default
+        val emitted = scala.collection.mutable.BitSet.empty
+        val out = Seq.newBuilder[Pk]
+        for (e <- poc) {
+          val vol = all.filter(k => !emitted.contains(k.seq) &&
+            k.r >= e.rs && k.r < e.re && k.c >= e.cs && k.c < e.ce &&
+            k.l < e.lye)
+          val o = sortByProg(vol, e.ppoc)
+          if (o == null) return false
+          o.foreach { k => emitted.add(k.seq); out += k }
+        }
+        val rest = all.filter(k => !emitted.contains(k.seq))
+        if (rest.nonEmpty) {
+          val o = sortByProg(rest, cod0.progression)
+          if (o == null) return false
+          out ++= o
+        }
+        out.result()
+      }
 
     // ---- parse packets sequentially from the tile stream ----
     var pos = 0
-    val segSymOf = codOf.map(cdd => (cdd.cbStyle & 0x20) != 0)
+    var hpos = 0 // position in the packed header stream, when present
     val bypassOf = codOf.map(cdd => (cdd.cbStyle & 0x01) != 0)
+    val termallOf = codOf.map(cdd => (cdd.cbStyle & 0x04) != 0)
     for (pk <- ordered) {
       val cd = codOf(pk.c)
       val res = resOf(pk.c)(pk.r)
@@ -978,7 +1127,9 @@ private[graft] object JpxDecode {
           if (pos + 6 <= stream.length && (stream(pos) & 0xff) == 0xff &&
             (stream(pos + 1) & 0xff) == 0x91) pos += 6
         }
-        val hdr = new HdrReader(stream, pos, stream.length)
+        val hdr =
+          if (packedHdr != null) new HdrReader(packedHdr, hpos, packedHdr.length)
+          else new HdrReader(stream, pos, stream.length)
         val prec = res.precs(pk.p)
         val body = Seq.newBuilder[(CbSeg, Int)]
         if (hdr.bit() == 1) {
@@ -1006,7 +1157,7 @@ private[graft] object JpxDecode {
                   // lblock + floor(log2(passes of that segment here))
                   var rem = nnp
                   while (rem > 0) {
-                    val seg = cb.nextSeg(bypassOf(pk.c))
+                    val seg = cb.nextSeg(bypassOf(pk.c), termallOf(pk.c))
                     val take = math.min(rem, seg.maxPasses - seg.passes)
                     val bits = cb.lblock + (31 - Integer.numberOfLeadingZeros(take))
                     val len = hdr.read(bits)
@@ -1023,10 +1174,18 @@ private[graft] object JpxDecode {
           }
         }
         hdr.align()
-        pos = hdr.pos
-        if (cd.eph) {
-          if (pos + 2 <= stream.length && (stream(pos) & 0xff) == 0xff &&
-            (stream(pos + 1) & 0xff) == 0x92) pos += 2
+        if (packedHdr != null) {
+          hpos = hdr.pos
+          if (cd.eph) { // EPH rides the packed header stream (A.7.4/A.7.5)
+            if (hpos + 2 <= packedHdr.length && (packedHdr(hpos) & 0xff) == 0xff &&
+              (packedHdr(hpos + 1) & 0xff) == 0x92) hpos += 2
+          }
+        } else {
+          pos = hdr.pos
+          if (cd.eph) {
+            if (pos + 2 <= stream.length && (stream(pos) & 0xff) == 0xff &&
+              (stream(pos + 1) & 0xff) == 0x92) pos += 2
+          }
         }
         for ((seg, len) <- body.result()) {
           if (pos + len > stream.length) return false
@@ -1082,7 +1241,7 @@ private[graft] object JpxDecode {
               } else {
                 val cw = cb.x1 - cb.x0; val ch = cb.y1 - cb.y0
                 val vals = t1DecodeSegs(segBufs, cw, ch, band.orient,
-                  mb, cb.missing, cb.passes, segSymOf(c))
+                  mb, cb.missing, cb.passes, cd.cbStyle)
                 var yy = 0
                 while (yy < ch) {
                   var xx = 0

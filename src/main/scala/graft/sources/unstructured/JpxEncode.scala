@@ -252,18 +252,25 @@ private[graft] object JpxEncode {
     */
   private[unstructured] def t1Encode(vals: Array[Int], w: Int, h: Int,
       orient: Int, mb: Int, missing: Int): Array[Byte] =
-    t1EncodeSegs(vals, w, h, orient, mb, missing, bypass = false).head._1
+    t1EncodeSegs(vals, w, h, orient, mb, missing, cbStyle = 0).head._1
 
-  /** Segment-emitting Tier-1: returns (bytes, passes) per codeword segment.
-    * With `bypass` (T.800 D.4 lazy mode) the MQ coder terminates after the
-    * 10th pass and SP/MR pairs of every lower bit-plane emit as raw
-    * terminated segments alternating with single-cleanup MQ segments —
-    * contexts persisting across MQ segments, exactly what the decoder's
-    * 10/2/1 schedule expects.
+  /** Segment-emitting Tier-1: returns (bytes, passes) per codeword
+    * segment, honoring the COD code-block style byte. BYPASS (0x01, lazy
+    * mode): the MQ coder terminates after the 10th pass and SP/MR pairs of
+    * every lower bit-plane emit as raw terminated segments alternating
+    * with single-cleanup MQ segments — contexts persisting across MQ
+    * segments, exactly what the decoder's 10/2/1 schedule expects. RESET
+    * (0x02): contexts re-initialize at every pass. TERMALL (0x04): every
+    * pass flushes its own terminated segment. VCAUSAL (0x08):
+    * stripe-causal context formation.
     */
   private[unstructured] def t1EncodeSegs(vals: Array[Int], w: Int, h: Int,
       orient: Int, mb: Int, missing: Int,
-      bypass: Boolean): Seq[(Array[Byte], Int)] = {
+      cbStyle: Int): Seq[(Array[Byte], Int)] = {
+    val bypass = (cbStyle & 0x01) != 0
+    val resetCtx = (cbStyle & 0x02) != 0
+    val termall = (cbStyle & 0x04) != 0
+    val vcausal = (cbStyle & 0x08) != 0
     val flags = new Array[Int](w * h)
     val mag = new Array[Int](w * h)
     var i = 0
@@ -280,8 +287,10 @@ private[graft] object JpxEncode {
     val segsOut = Seq.newBuilder[(Array[Byte], Int)]
     val cx = freshCtx()
 
+    var causalCap = Int.MaxValue // VCAUSAL: stripe loops keep this current
     @inline def at(x: Int, y: Int): Int =
-      if (x < 0 || y < 0 || x >= w || y >= h) 0 else flags(y * w + x)
+      if (x < 0 || y < 0 || x >= w || y >= h || y >= causalCap) 0
+      else flags(y * w + x)
     @inline def sigN(x: Int, y: Int): (Int, Int, Int) = {
       var hh = 0; var vv = 0; var dd = 0
       if ((at(x - 1, y) & SIG) != 0) hh += 1
@@ -294,6 +303,8 @@ private[graft] object JpxEncode {
       if ((at(x + 1, y + 1) & SIG) != 0) dd += 1
       (hh, vv, dd)
     }
+    @inline def stripeStart(k: Int): Unit =
+      if (vcausal) causalCap = k + 4
     @inline def contrib(f: Int): Int =
       if ((f & SIG) == 0) 0 else if ((f & NEG) != 0) -1 else 1
     def encodeSign(x: Int, y: Int): Unit = {
@@ -315,14 +326,17 @@ private[graft] object JpxEncode {
       if (segPasses == 0) {
         // new codeword segment: raw for lazy-mode SP/MR (pass 10 onward),
         // otherwise a fresh MQ coder — contexts (cx) persist throughout
-        inRaw = bypass && passIdx >= 10 && (passIdx - 10) % 3 <= 1
+        // (unless RESET re-initializes them each pass, below)
+        inRaw = bypass && JpxDecode.isRawPass(passIdx)
         if (inRaw) rawW = new RawWriter
         else if (passIdx > 0) enc = new MqEncoder
       }
+      if (resetCtx) System.arraycopy(freshCtx(), 0, cx, 0, cx.length)
       kind match {
         case 0 => // significance propagation
           var k = 0
           while (k < h) {
+            stripeStart(k)
             var x = 0
             while (x < w) {
               var y = k
@@ -354,6 +368,7 @@ private[graft] object JpxEncode {
         case 1 => // magnitude refinement
           var k = 0
           while (k < h) {
+            stripeStart(k)
             var x = 0
             while (x < w) {
               var y = k
@@ -379,6 +394,7 @@ private[graft] object JpxEncode {
         case 2 => // cleanup
           var k = 0
           while (k < h) {
+            stripeStart(k)
             var x = 0
             while (x < w) {
               var y = k
@@ -428,6 +444,10 @@ private[graft] object JpxEncode {
             }
             k += 4
           }
+          if ((cbStyle & 0x20) != 0) { // segmentation symbol 1010 (D.5)
+            enc.encode(cx, 18, 1); enc.encode(cx, 18, 0)
+            enc.encode(cx, 18, 1); enc.encode(cx, 18, 0)
+          }
           var i2 = 0
           while (i2 < flags.length) { flags(i2) &= ~VISIT; i2 += 1 }
       }
@@ -436,10 +456,11 @@ private[graft] object JpxEncode {
       else pass += 1
       left -= 1
       segPasses += 1
-      // lazy-mode termination points: after the 10th pass, after every raw
-      // SP+MR pair, and after every subsequent cleanup (T.800 D.4.1)
-      val term = bypass &&
-        (passIdx == 9 || (passIdx >= 10 && (passIdx - 10) % 3 >= 1))
+      // termination points: every pass under TERMALL; under lazy mode,
+      // after the 10th pass, after every raw SP+MR pair, and after every
+      // subsequent cleanup (T.800 D.4.1)
+      val term = termall || (bypass &&
+        (passIdx == 9 || (passIdx >= 10 && (passIdx - 10) % 3 >= 1)))
       passIdx += 1
       if (term) {
         segsOut += ((if (inRaw) rawW.flush() else enc.flush(), segPasses))
@@ -467,14 +488,52 @@ private[graft] object JpxEncode {
     * samples (row-major, length w·h each) as a raw lossless codestream.
     */
   def encode(comps: Array[Array[Int]], w: Int, h: Int, depth: Int,
-      levels: Int): Array[Byte] = encode(comps, w, h, depth, levels, bypass = false)
+      levels: Int): Array[Byte] = encode(comps, w, h, depth, levels, 0)
 
   /** As [[encode]]; `bypass = true` emits lazy-mode (selective arithmetic
     * coding bypass, COD code-block style 0x01) codestreams — the common
     * "fast mode" high-resolution scanners produce.
     */
   def encode(comps: Array[Array[Int]], w: Int, h: Int, depth: Int,
-      levels: Int, bypass: Boolean): Array[Byte] = {
+      levels: Int, bypass: Boolean): Array[Byte] =
+    encode(comps, w, h, depth, levels, if (bypass) 1 else 0)
+
+  /** As [[encode]] with an explicit COD code-block style byte (any
+    * combination of BYPASS 0x01 / RESET 0x02 / TERMALL 0x04 /
+    * VCAUSAL 0x08).
+    */
+  def encode(comps: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int, cbStyle: Int): Array[Byte] =
+    encode(comps, w, h, depth, levels, cbStyle, layers = 1)
+
+  /** As [[encode]] with `layers` quality layers (LRCP): each code block's
+    * passes spread over the layers it participates in, code blocks
+    * alternating their FIRST-inclusion layer so the inclusion tag trees
+    * exercise thresholds past 1, and codeword-segment bytes riding the
+    * contribution that completes the segment (earlier contributions of a
+    * spanning segment signal explicit zero lengths — decoders concatenate
+    * chunks per segment, so the split point is free).
+    */
+  def encode(comps: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int, cbStyle: Int, layers: Int): Array[Byte] =
+    encode(comps, w, h, depth, levels, cbStyle, layers, packed = 0)
+
+  /** As [[encode]]; `packed` moves the packet headers out of the
+    * bitstream: 1 = PPT marker segments in the tile-part header, 2 = a
+    * PPM marker segment in the main header (one Nppm run — single
+    * tile-part).
+    */
+  def encode(comps: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int, cbStyle: Int, layers: Int, packed: Int): Array[Byte] =
+    encode(comps, w, h, depth, levels, cbStyle, layers, packed, Nil)
+
+  /** As [[encode]]; `poc` entries (rs, cs, lye, re, ce, ppoc) emit a main-
+    * header POC marker and reorder the packets accordingly (A.6.6).
+    */
+  def encode(comps: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int, cbStyle: Int, layers: Int, packed: Int,
+      poc: Seq[(Int, Int, Int, Int, Int, Int)]): Array[Byte] = {
+    require(layers >= 1 && layers <= 65535 && packed >= 0 && packed <= 2)
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(w > 0 && h > 0 && depth >= 1 && depth <= 15 && levels >= 0 && levels <= 10)
     val nc = comps.length
@@ -578,9 +637,9 @@ private[graft] object JpxEncode {
     while (c < nc) { u8(depth - 1); u8(1); u8(1); c += 1 }
     u16(0xff52); u16(12) // COD, Scod=0
     u8(0); u8(0) // Scod, LRCP
-    u16(1) // layers
+    u16(layers)
     u8(if (nc == 3) 1 else 0) // MCT
-    u8(levels); u8(cbExp - 2); u8(cbExp - 2); u8(if (bypass) 1 else 0); u8(1)
+    u8(levels); u8(cbExp - 2); u8(cbExp - 2); u8(cbStyle & 0x3f); u8(1)
     // per-component QCC would be needed if ranges differ; emit QCD for c0
     // and QCC for the others
     def writeQuant(marker: Int, comp: Int): Unit = {
@@ -600,23 +659,35 @@ private[graft] object JpxEncode {
     writeQuant(0xff5c, 0)
     c = 1
     while (c < nc) { writeQuant(0xff5d, c); c += 1 }
+    if (poc.nonEmpty) { // POC marker (A.6.6), nc < 257 form
+      u16(0xff5f); u16(2 + 7 * poc.size)
+      poc.foreach { case (rs, cs, lye, re, ce, pp) =>
+        u8(rs); u8(cs); u16(lye); u8(re); u8(ce); u8(pp)
+      }
+    }
 
-    // ---- tile body: packets LRCP (single layer, single precinct) ----
-    val body = new java.io.ByteArrayOutputStream()
-    var r2 = 0
-    while (r2 <= levels) {
-      var c2 = 0
-      while (c2 < nc) {
+    // ---- tile body: packets LRCP (single precinct per resolution) ----
+    // per-code-block mutable state carried across layers
+    final class CbState(val segList: Seq[(Array[Byte], Int)], val missing: Int,
+        val np: Int, val passesPerLayer: Array[Int]) {
+      var included = false
+      var lblock = 3
+      var segIdx = 0
+      var segPassDone = 0
+    }
+    var cbCounter = 0
+    // precompute bands, tag trees, and per-layer pass splits once
+    val resComp = (0 to levels).map { r2 =>
+      (0 until nc).map { c2 =>
         val bands = bandsOf(c2)(r2)
-        val hw2 = new HdrWriter
-        // cblk segments gathered per band
-        val segs = Seq.newBuilder[Array[Byte]]
-        var any = false
-        val perBand = bands.zipWithIndex.map { case (b, bi) =>
+        bands.zipWithIndex.map { case (b, bi) =>
           val cols = math.max((b.w + (1 << cbExp) - 1) >> cbExp, 0)
           val rows = math.max((b.h + (1 << cbExp) - 1) >> cbExp, 0)
           val mb = epsOf(c2)(r2)(bi) + guard - 1
-          val entries = for (j <- 0 until rows; i2 <- 0 until cols) yield {
+          val states = new Array[CbState](cols * rows)
+          val inclLeaves = new Array[Int](cols * rows)
+          val zeroLeaves = new Array[Int](cols * rows)
+          for (j <- 0 until rows; i2 <- 0 until cols) {
             val x0 = i2 << cbExp; val x1 = math.min((i2 + 1) << cbExp, b.w)
             val y0 = j << cbExp; val y1 = math.min((j + 1) << cbExp, b.h)
             val cw2 = x1 - x0; val ch2 = y1 - y0
@@ -633,77 +704,180 @@ private[graft] object JpxEncode {
             var mx = 0
             vals.foreach(v => mx = math.max(mx, math.abs(v)))
             val bits = 32 - Integer.numberOfLeadingZeros(mx)
-            if (bits == 0) (vals, cw2, ch2, -1, 0) // not included
-            else {
+            if (bits == 0) { // all-zero block: never included
+              inclLeaves(j * cols + i2) = layers
+              states(j * cols + i2) = null
+            } else {
               val missing = mb - bits
-              (vals, cw2, ch2, missing, 3 * bits - 2)
-            }
-          }
-          (b, cols, rows, mb, entries)
-        }
-        if (perBand.exists(_._5.exists(_._4 >= 0))) any = true
-        hw2.bit(if (any) 1 else 0)
-        if (any) {
-          for ((b, cols, rows, _, entries) <- perBand if cols * rows > 0) {
-            val incl = entries.map(e => if (e._4 >= 0) 0 else 1).toArray
-            val zeroLeaves = entries.map(e => math.max(e._4, 0)).toArray
-            val inclT = new TagTreeEnc(cols, rows, incl)
-            val zeroT = new TagTreeEnc(cols, rows, zeroLeaves)
-            var j = 0
-            while (j < rows) {
-              var i2 = 0
-              while (i2 < cols) {
-                val e = entries(j * cols + i2)
-                inclT.encode(i2, j, 1, hw2)
-                if (e._4 >= 0) {
-                  var t = 1
-                  while (t <= e._4) { zeroT.encode(i2, j, t, hw2); t += 1 }
-                  zeroT.encode(i2, j, e._4 + 1, hw2)
-                  val np = e._5
-                  numPassesBits(hw2, np)
-                  val segList = t1EncodeSegs(e._1, e._2, e._3, b.orient,
-                    zeroLeaves(j * cols + i2) + (32 - Integer.numberOfLeadingZeros(
-                      e._1.foldLeft(0)((m, v) => math.max(m, math.abs(v))))),
-                    e._4, bypass)
-                  // Lblock signalling: one length per codeword segment,
-                  // each coded with lblock + floor(log2(seg passes)) bits —
-                  // lblock raised until EVERY segment's length fits
-                  var lblock = 3
-                  var extra = 0
-                  for ((sb, snp) <- segList) {
-                    val lenBitsNeeded = math.max(1,
-                      32 - Integer.numberOfLeadingZeros(math.max(sb.length, 1)))
-                    val autoBits = 31 - Integer.numberOfLeadingZeros(snp)
-                    while (lblock + extra + autoBits < lenBitsNeeded) extra += 1
-                  }
-                  var k2 = 0
-                  while (k2 < extra) { hw2.bit(1); k2 += 1 }
-                  hw2.bit(0)
-                  lblock += extra
-                  for ((sb, snp) <- segList) {
-                    val autoBits = 31 - Integer.numberOfLeadingZeros(snp)
-                    hw2.write(sb.length, lblock + autoBits)
-                  }
-                  segList.foreach { case (sb, _) => segs += sb }
-                }
-                i2 += 1
+              val np = 3 * bits - 2
+              val segList = t1EncodeSegs(vals, cw2, ch2, b.orient,
+                missing + bits, missing, cbStyle)
+              // alternate first-inclusion layers so multi-layer streams
+              // exercise inclusion thresholds past 1
+              val firstLayer = if (layers == 1) 0 else cbCounter % layers
+              cbCounter += 1
+              val split = new Array[Int](layers)
+              val span = layers - firstLayer
+              val base = np / span; val extra = np % span
+              var l = 0
+              while (l < span) {
+                split(firstLayer + l) = base + (if (l < extra) 1 else 0)
+                l += 1
               }
-              j += 1
+              inclLeaves(j * cols + i2) = firstLayer
+              zeroLeaves(j * cols + i2) = missing
+              states(j * cols + i2) = new CbState(segList, missing, np, split)
             }
           }
+          (b, cols, rows, new TagTreeEnc(cols, rows, inclLeaves),
+            new TagTreeEnc(cols, rows, zeroLeaves), states)
         }
-        hw2.align()
-        body.write(hw2.bytes)
-        segs.result().foreach(body.write)
-        c2 += 1
       }
-      r2 += 1
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    // packed mode: packet headers accumulate here instead of the bitstream
+    val hdrOut = new java.io.ByteArrayOutputStream()
+    // packet order: COD default (LRCP), or the POC schedule — each entry
+    // emits its not-yet-emitted (layer, res, comp) volume in its own
+    // progression, mirroring the decoder's A.6.6 walk (LRCP/RLCP only in
+    // this twin; per-(r,c) layer order stays ascending either way)
+    val defaultOrder = for (l <- 0 until layers; r2 <- 0 to levels;
+      c2 <- 0 until nc) yield (l, r2, c2)
+    val order: Seq[(Int, Int, Int)] =
+      if (poc.isEmpty) defaultOrder
+      else {
+        val emitted = scala.collection.mutable.Set.empty[(Int, Int, Int)]
+        val out = Seq.newBuilder[(Int, Int, Int)]
+        for ((rs, cs, lye, re, ce, pp) <- poc) {
+          require(pp == 0 || pp == 1, "twin supports LRCP/RLCP POC entries")
+          val vol = defaultOrder.filter { case (l, r2, c2) =>
+            !emitted.contains((l, r2, c2)) && r2 >= rs && r2 < re &&
+              c2 >= cs && c2 < ce && l < lye
+          }
+          val sorted =
+            if (pp == 0) vol.sortBy { case (l, r2, c2) => (l, r2, c2) }
+            else vol.sortBy { case (l, r2, c2) => (r2, l, c2) }
+          sorted.foreach { k => emitted += k; out += k }
+        }
+        out ++= defaultOrder.filterNot(emitted.contains)
+        out.result()
+      }
+    for ((l, r2, c2) <- order) {
+      {
+        {
+          val perBand = resComp(r2)(c2)
+          val hw2 = new HdrWriter
+          val segs = Seq.newBuilder[Array[Byte]]
+          val any = perBand.exists(_._6.exists(st =>
+            st != null && st.passesPerLayer(l) > 0))
+          hw2.bit(if (any) 1 else 0)
+          if (any) {
+            for ((_, cols, rows, inclT, zeroT, states) <- perBand if cols * rows > 0) {
+              var j = 0
+              while (j < rows) {
+                var i2 = 0
+                while (i2 < cols) {
+                  val st = states(j * cols + i2)
+                  val n = if (st == null) 0 else st.passesPerLayer(l)
+                  var emit = false
+                  if (st == null || !st.included) {
+                    inclT.encode(i2, j, l + 1, hw2)
+                    if (n > 0) {
+                      var t = 1
+                      while (t <= st.missing) { zeroT.encode(i2, j, t, hw2); t += 1 }
+                      zeroT.encode(i2, j, st.missing + 1, hw2)
+                      st.included = true
+                      emit = true
+                    }
+                  } else {
+                    hw2.bit(if (n > 0) 1 else 0)
+                    emit = n > 0
+                  }
+                  if (emit) {
+                    numPassesBits(hw2, n)
+                    // walk this contribution's segment pieces: bytes ride
+                    // the piece completing a segment; earlier pieces of a
+                    // spanning segment signal explicit zero lengths
+                    var rem = n
+                    val pieces = Seq.newBuilder[(Array[Byte], Int)]
+                    while (rem > 0) {
+                      val (sb, snp) = st.segList(st.segIdx)
+                      val take = math.min(rem, snp - st.segPassDone)
+                      st.segPassDone += take
+                      if (st.segPassDone == snp) {
+                        pieces += ((sb, take))
+                        st.segIdx += 1; st.segPassDone = 0
+                      } else pieces += ((Array.empty[Byte], take))
+                      rem -= take
+                    }
+                    val ps = pieces.result()
+                    // Lblock signalling: one length per piece, each coded
+                    // with lblock + floor(log2(piece passes)) bits —
+                    // lblock raised until EVERY piece's length fits
+                    var extra = 0
+                    for ((sb, snp) <- ps) {
+                      val lenBitsNeeded = math.max(1,
+                        32 - Integer.numberOfLeadingZeros(math.max(sb.length, 1)))
+                      val autoBits = 31 - Integer.numberOfLeadingZeros(snp)
+                      while (st.lblock + extra + autoBits < lenBitsNeeded) extra += 1
+                    }
+                    var k2 = 0
+                    while (k2 < extra) { hw2.bit(1); k2 += 1 }
+                    hw2.bit(0)
+                    st.lblock += extra
+                    for ((sb, snp) <- ps) {
+                      val autoBits = 31 - Integer.numberOfLeadingZeros(snp)
+                      hw2.write(sb.length, st.lblock + autoBits)
+                    }
+                    ps.foreach { case (sb, _) => if (sb.nonEmpty) segs += sb }
+                  }
+                  i2 += 1
+                }
+                j += 1
+              }
+            }
+          }
+          hw2.align()
+          if (packed == 0) body.write(hw2.bytes) else hdrOut.write(hw2.bytes)
+          segs.result().foreach(body.write)
+        }
+      }
     }
 
     val tileData = body.toByteArray
+    val hdrData = hdrOut.toByteArray
+    // packed headers: chunk into <= 60000-byte marker segments (Lppm/Lppt
+    // is 16-bit), index byte Z ascending — decoders concatenate by Z
+    def packedSegs(marker: Int, prefixNppm: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val payload =
+        if (!prefixNppm) hdrData
+        else {
+          val p = new java.io.ByteArrayOutputStream()
+          p.write((hdrData.length >>> 24) & 0xff); p.write((hdrData.length >>> 16) & 0xff)
+          p.write((hdrData.length >>> 8) & 0xff); p.write(hdrData.length & 0xff)
+          p.write(hdrData)
+          p.toByteArray
+        }
+      var off = 0
+      var z = 0
+      while (off < payload.length) {
+        val n = math.min(60000, payload.length - off)
+        out.write((marker >>> 8) & 0xff); out.write(marker & 0xff)
+        out.write(((3 + n) >>> 8) & 0xff); out.write((3 + n) & 0xff)
+        out.write(z)
+        out.write(payload, off, n)
+        off += n; z += 1
+      }
+      out.toByteArray
+    }
+    if (packed == 2) bo.write(packedSegs(0xff60, prefixNppm = true)) // PPM (main header)
+    val ppt = if (packed == 1) packedSegs(0xff61, prefixNppm = false)
+      else Array.empty[Byte]
     u16(0xff90); u16(10); u16(0) // SOT, tile 0
-    u32(12 + 2 + tileData.length) // Psot: SOT seg (12) + SOD marker + data
+    u32(12 + ppt.length + 2 + tileData.length) // Psot: SOT + PPT + SOD + data
     u8(0); u8(1)
+    bo.write(ppt)
     u16(0xff93) // SOD
     bo.write(tileData)
     u16(0xffd9) // EOC

@@ -657,6 +657,85 @@ class Jbig2Suite extends AnyFunSuite {
       Seq(baseA, baseB)).isEmpty)
   }
 
+  // ---- encoder twins of halftone coding (T.88 6.6 / 6.7) ----
+  private def patternDict(patterns: Seq[Jbig2Decode.Bitmap],
+      template: Int): Array[Byte] = {
+    val pw = patterns.head.w; val ph = patterns.head.h
+    val cw = patterns.size * pw
+    val coll = new Array[Byte](cw * ph)
+    for ((p, i) <- patterns.zipWithIndex; y <- 0 until ph)
+      System.arraycopy(p.bits, y * pw, coll, y * cw + i * pw, pw)
+    val at = Array((-pw, 0), (-3, -1), (2, -2), (-2, -2))
+    val coded = encodeGenericMq(coll, cw, ph, template, tpgdon = false, at)
+    Array(((template << 1) & 0xff).toByte, pw.toByte, ph.toByte) ++
+      be32((patterns.size - 1).toLong) ++ coded
+  }
+
+  /** Halftone region segment DATA: region info + flags + grid geometry +
+    * gray-code planes (MSB first, XOR-chained) in one MQ codeword.
+    */
+  private def halftoneRegion(x: Int, y: Int, w: Int, h: Int,
+      gray: Array[Int], hgw: Int, hgh: Int, nPats: Int, template: Int,
+      hgx: Int, hgy: Int, hrx: Int, hry: Int): Array[Byte] = {
+    val info = be32(w) ++ be32(h) ++ be32(x) ++ be32(y) ++ Array(0.toByte)
+    val nBits = Jbig2Decode.symCodeLen(nPats)
+    val at = Array((if (template <= 1) 3 else 2, -1), (-3, -1), (2, -2), (-2, -2))
+    val cxs = new Array[Int](1 << Jbig2Decode.templateSlots(template, at).length)
+    val enc = new MqEncoder
+    val prev = new Array[Byte](hgw * hgh)
+    for (j <- nBits - 1 to 0 by -1) {
+      val plane = new Array[Byte](hgw * hgh)
+      for (i <- plane.indices) {
+        val bit = ((gray(i) >> j) & 1).toByte
+        plane(i) = (bit ^ prev(i)).toByte
+        prev(i) = bit
+      }
+      encodeGenericInto(enc, cxs, plane, hgw, hgh, template, tpgdon = false, at)
+    }
+    val flags = ((template & 3) << 1) // OR comb op, defPixel 0, no skip
+    info ++ Array(flags.toByte) ++ be32(hgw.toLong) ++ be32(hgh.toLong) ++
+      be32(hgx.toLong & 0xffffffffL) ++ be32(hgy.toLong & 0xffffffffL) ++
+      Array(((hrx >> 8) & 0xff).toByte, (hrx & 0xff).toByte,
+        ((hry >> 8) & 0xff).toByte, (hry & 0xff).toByte) ++ enc.flush()
+  }
+
+  test("pattern dict + halftone region: gray-code planes stamp patterns on the grid") {
+    val pw = 4
+    val patterns = Seq(
+      glyph("....", "....", "....", "...."),
+      glyph("....", ".#..", "....", "...."),
+      glyph("#..#", "....", "....", "#..#"),
+      glyph("####", "####", "####", "####"))
+    val (hgw, hgh) = (7, 5)
+    val rnd = new scala.util.Random(31)
+    val gray = Array.fill(hgw * hgh)(rnd.nextInt(patterns.size))
+    val (w, h) = (hgw * pw, hgh * pw)
+    for (template <- Seq(0, 2)) {
+      val stream = segment(0, 48, pageInfo(w, h)) ++
+        segmentR(1, 16, Nil, patternDict(patterns, template)) ++
+        segmentR(2, 22, Seq(1L),
+          halftoneRegion(0, 0, w, h, gray, hgw, hgh, patterns.size, template,
+            hgx = 0, hgy = 0, hrx = pw << 8, hry = 0))
+      val got = Jbig2Decode.decodePage(stream)
+      assert(got.isDefined, s"halftone decode failed template=$template")
+      val (grayPage, gw, gh) = got.get
+      assert(gw == w && gh == h)
+      for (mg <- 0 until hgh; ng <- 0 until hgw; yy <- 0 until pw; xx <- 0 until pw) {
+        val expect = patterns(gray(mg * hgw + ng)).bits(yy * pw + xx) != 0
+        val gotPx = grayPage((mg * pw + yy) * w + (ng * pw + xx)) == 0x00
+        assert(gotPx == expect, s"template=$template grid($mg,$ng) px($xx,$yy)")
+      }
+    }
+    // unsupported halftone shapes reject to None, never garbage
+    val mmrFlags = halftoneRegion(0, 0, w, h, gray, hgw, hgh, patterns.size, 0,
+      0, 0, pw << 8, 0)
+    mmrFlags(17) = (mmrFlags(17) | 1).toByte // HMMR on
+    val bad = segment(0, 48, pageInfo(w, h)) ++
+      segmentR(1, 16, Nil, patternDict(patterns, 0)) ++
+      segmentR(2, 22, Seq(1L), mmrFlags)
+    assert(Jbig2Decode.decodePage(bad).isEmpty)
+  }
+
   test("a fax-sized page (1728x1100) decodes in bounded time") {
     // the per-pixel context loop must stay practical at real scan
     // geometry: ~1.9M pixels, template 0 TPGDON (blank rows collapse)

@@ -236,6 +236,85 @@ class JpxSuite extends AnyFunSuite {
     }
   }
 
+  test("full code-block style matrix: RESET, TERMALL, VCAUSAL, SEGSYM, and combinations") {
+    // r13: every defined COD style decodes — each style changes the
+    // codestream (proving the mode is exercised) yet round-trips to the
+    // identical raster
+    val r = rng(23)
+    val (w, h) = (100, 70)
+    val px = Array.fill(w * h)(r.nextInt(256))
+    val plain = JpxEncode.encode(Array(px), w, h, 8, 2)
+    for (style <- Seq(0x02, 0x04, 0x08, 0x20, 0x01 | 0x04, 0x02 | 0x08,
+        0x01 | 0x02 | 0x04 | 0x08 | 0x20)) {
+      val cs = JpxEncode.encode(Array(px), w, h, 8, 2, cbStyle = style)
+      assert(!java.util.Arrays.equals(plain, cs),
+        f"style 0x$style%02x must change the codestream")
+      val got = gray(cs)
+      assert(got.isDefined, f"decode failed for style 0x$style%02x")
+      assert(got.get.toSeq == px.toSeq, f"pixels differ for style 0x$style%02x")
+    }
+  }
+
+  test("multi-layer streams: passes split across quality layers, raster identical") {
+    // r13: layered LRCP packets — code blocks alternate their first-
+    // inclusion layer (tag-tree thresholds past 1), contributions split
+    // codeword segments across packets (the decoder concatenates chunks
+    // per segment), and the whole stack still reproduces the raster
+    // exactly; with BYPASS on top, raw/MQ segment pieces also span layers
+    val r = rng(37)
+    for ((layers, style) <- Seq((2, 0), (3, 0), (2, 0x01), (3, 0x01 | 0x04))) {
+      val (w, h) = (130, 71)
+      val px = Array.fill(w * h)(r.nextInt(256))
+      val one = JpxEncode.encode(Array(px), w, h, 8, 2)
+      val cs = JpxEncode.encode(Array(px), w, h, 8, 2, style, layers)
+      assert(!java.util.Arrays.equals(one, cs),
+        s"layers=$layers style=$style must change the codestream")
+      val got = gray(cs)
+      assert(got.isDefined, s"decode failed layers=$layers style=$style")
+      assert(got.get.toSeq == px.toSeq, s"pixels layers=$layers style=$style")
+    }
+  }
+
+  test("PPM / PPT packed packet headers decode identically to inline headers") {
+    // r13: headers move to marker segments (PPT in the tile-part header,
+    // PPM in the main header with its per-tile-part Nppm run) while the
+    // bodies stay in the bitstream; combined with layers + bypass to pin
+    // the header/body split across every stream shape
+    val r = rng(41)
+    val (w, h) = (130, 71)
+    val px = Array.fill(w * h)(r.nextInt(256))
+    val plain = JpxEncode.encode(Array(px), w, h, 8, 2)
+    for (packed <- Seq(1, 2); (layers, style) <- Seq((1, 0), (2, 0x01))) {
+      val cs = JpxEncode.encode(Array(px), w, h, 8, 2, style, layers, packed)
+      assert(!java.util.Arrays.equals(plain, cs))
+      val got = gray(cs)
+      assert(got.isDefined, s"decode failed packed=$packed layers=$layers style=$style")
+      assert(got.get.toSeq == px.toSeq, s"pixels packed=$packed layers=$layers style=$style")
+    }
+  }
+
+  test("POC progression order changes reorder packets, raster identical") {
+    // r13: layer 0 of every resolution first (RLCP), then the remaining
+    // layers LRCP — the classic "preview first" schedule; decoder walks
+    // the same A.6.6 volumes. Also POC over a single layer, and POC
+    // combined with packed PPT headers.
+    val r = rng(43)
+    val (w, h) = (130, 71)
+    val px = Array.fill(w * h)(r.nextInt(256))
+    val plain = JpxEncode.encode(Array(px), w, h, 8, 2)
+    val cases = Seq(
+      (3, 0, Seq((0, 0, 1, 3, 1, 1), (0, 0, 3, 3, 1, 0))),
+      (1, 0, Seq((0, 0, 1, 3, 1, 1))),
+      (2, 1, Seq((0, 0, 2, 2, 1, 1), (0, 0, 2, 3, 1, 0))))
+    for ((layers, packed, poc) <- cases) {
+      val cs = JpxEncode.encode(Array(px), w, h, 8, 2, 0, layers, packed, poc)
+      assert(!java.util.Arrays.equals(plain, cs))
+      val got = gray(cs)
+      assert(got.isDefined, s"decode failed layers=$layers packed=$packed poc=$poc")
+      assert(got.get.toSeq == px.toSeq, s"pixels layers=$layers packed=$packed poc=$poc")
+    }
+  }
+
   test("lossless gray round trip, multi-code-block (>64px) and random data") {
     val r = rng(5)
     val (w, h) = (150, 90)
