@@ -25,9 +25,10 @@ package graft.sources.unstructured
   * 42/43, both templates, TPGRON typical rows) refining the page content
   * in segment order, and refinement/aggregation symbol dictionaries
   * (SDREFAGG=1 with single-instance refinement, the shape encoders
-  * emit) — and HALFTONE coding: pattern dictionaries (type 16) and
-  * immediate halftone regions (types 22/23) with gray-code bitplanes and
-  * sheared pattern grids, arithmetic-coded.
+  * emit) — text regions with SBREFINE (per-instance refinement incl.
+  * resized instances, arithmetic) — and HALFTONE coding: pattern
+  * dictionaries (type 16) and immediate halftone regions (types 22/23)
+  * with gray-code bitplanes and sheared pattern grids, arithmetic-coded.
   *
   * Out of the supported subset (multi-instance aggregation, huffman
   * refagg, intermediate regions, MMR/skip-enabled halftones, imported
@@ -890,9 +891,19 @@ private[graft] object Jbig2Decode {
     val defPixel = (flags >> 9) & 1
     var dsOffset = (flags >> 10) & 0x1f
     if (dsOffset > 15) dsOffset -= 32 // 5-bit signed
-    if (refine) return None
+    val rtemplate = (flags >> 15) & 1
+    if (refine && sbhuff) return None // huffman-coded refinement: out of scope
     val strips = 1 << logStrips
     var p = from + 2
+    // SBRAT rides between the flags and the instance count (7.4.4.1.4)
+    val rAt: Array[(Int, Int)] =
+      if (refine && rtemplate == 0) {
+        if (until - p < 4) return None
+        val a = Array((data(p).toInt, data(p + 1).toInt),
+          (data(p + 2).toInt, data(p + 3).toInt))
+        p += 4
+        a
+      } else Array.empty
 
     // per-coding-mode decode callbacks feeding the shared strip loop
     var decDt: () => Int = null
@@ -900,6 +911,12 @@ private[graft] object Jbig2Decode {
     var decDs: () => Int = null
     var decIt: () => Int = null
     var decId: () => Int = null
+    // refinement (SBREFINE, arithmetic only): per-instance RI flag and
+    // RDW/RDH/RDX/RDY through the shared MQ decoder, plus the refinement
+    // contexts shared across instances
+    var decRi: () => Int = null
+    var decRd: Array[() => Int] = null
+    var refineInst: (Bitmap, Int, Int, Int, Int) => Bitmap = null
     var numInstances = 0
     if (!sbhuff) {
       numInstances = be32(data, p).toInt; p += 4
@@ -914,6 +931,21 @@ private[graft] object Jbig2Decode {
       decDs = () => decodeInt(mq, iads)
       decIt = () => if (strips == 1) 0 else decodeInt(mq, iait)
       decId = () => decodeIaid(mq, iaid, codeLen)
+      if (refine) {
+        val iari = new IntCtx
+        val iardw = new IntCtx; val iardh = new IntCtx
+        val iardx = new IntCtx; val iardy = new IntCtx
+        val refCx = new Array[Int](1 << 13)
+        decRi = () => decodeInt(mq, iari)
+        decRd = Array(() => decodeInt(mq, iardw), () => decodeInt(mq, iardh),
+          () => decodeInt(mq, iardx), () => decodeInt(mq, iardy))
+        refineInst = (ref, rdw, rdh, rdx, rdy) => {
+          val wi = ref.w + rdw; val hi = ref.h + rdh
+          Bitmap(wi, hi, genericRefineInto(mq, refCx, wi, hi, rtemplate,
+            tpgron = false, rAt, ref.bits, ref.w, ref.h,
+            (rdw >> 1) + rdx, (rdh >> 1) + rdy))
+        }
+      }
     } else {
       // huffman flags (7.4.4.1.2): FS/DS/DT selections plus the
       // refinement-table selections, which still consume referred custom
@@ -1028,7 +1060,26 @@ private[graft] object Jbig2Decode {
           val t = stripT + curT
           val id = decId()
           if (id < 0 || id >= symbols.size) return None
-          val bm = symbols(id)
+          val sym = symbols(id)
+          // SBREFINE: an instance may arrive as a refinement of its
+          // dictionary symbol, possibly resized (6.4.11) — placement and
+          // the S advance then use the INSTANCE dimensions
+          val bm =
+            if (!refine) sym
+            else {
+              val ri = decRi()
+              if (ri == OOB) return None
+              if (ri == 0) sym
+              else {
+                val rdw = decRd(0)(); val rdh = decRd(1)()
+                val rdx = decRd(2)(); val rdy = decRd(3)()
+                if (rdw == OOB || rdh == OOB || rdx == OOB || rdy == OOB)
+                  return None
+                val wi = sym.w.toLong + rdw; val hi = sym.h.toLong + rdh
+                if (wi <= 0 || hi <= 0 || wi * hi > MaxPixels) return None
+                refineInst(sym, rdw, rdh, rdx, rdy)
+              }
+            }
           if (!transposed) {
             val y0 = if (refCorner == 0 || refCorner == 2) t - bm.h + 1 else t
             draw(bm, curS, y0)

@@ -657,6 +657,99 @@ class Jbig2Suite extends AnyFunSuite {
       Seq(baseA, baseB)).isEmpty)
   }
 
+  /** Text-region DATA with SBREFINE (arithmetic): instances
+    * (s, t, id, refined) where refined = Some((instanceBitmap, rdx, rdy))
+    * replaces symbol `id` by a refinement (size delta = bitmap vs symbol).
+    */
+  private def encodeTextRegionRefine(
+      instances: Seq[(Int, Int, Int, Option[(Jbig2Decode.Bitmap, Int, Int)])],
+      syms: Seq[Jbig2Decode.Bitmap], refCorner: Int,
+      rtemplate: Int): Array[Byte] = {
+    val enc = new MqEncoder
+    val iadt = new Jbig2Decode.IntCtx
+    val iafs = new Jbig2Decode.IntCtx
+    val iads = new Jbig2Decode.IntCtx
+    val iari = new Jbig2Decode.IntCtx
+    val iardw = new Jbig2Decode.IntCtx
+    val iardh = new Jbig2Decode.IntCtx
+    val iardx = new Jbig2Decode.IntCtx
+    val iardy = new Jbig2Decode.IntCtx
+    val refCx = new Array[Int](1 << 13)
+    val rAt = Array((-1, -1), (-1, -1))
+    val codeLen = Jbig2Decode.symCodeLen(syms.size)
+    val iaid = new Array[Int](1 << (codeLen + 1))
+    encInt(enc, iadt, 0)
+    var stripT = 0
+    var firstS = 0
+    instances.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (t, insts) =>
+      encInt(enc, iadt, t - stripT); stripT = t
+      var curS = 0
+      var first = true
+      insts.sortBy(_._1).foreach { case (s, _, id, refOpt) =>
+        if (first) { encInt(enc, iafs, s - firstS); firstS = s; curS = s; first = false }
+        else { encInt(enc, iads, s - curS); curS = s }
+        encIaid(enc, iaid, codeLen, id)
+        val bm = refOpt match {
+          case None => encInt(enc, iari, 0); syms(id)
+          case Some((inst, rdx, rdy)) =>
+            encInt(enc, iari, 1)
+            val rdw = inst.w - syms(id).w; val rdh = inst.h - syms(id).h
+            encInt(enc, iardw, rdw); encInt(enc, iardh, rdh)
+            encInt(enc, iardx, rdx); encInt(enc, iardy, rdy)
+            encodeRefineInto(enc, refCx, inst.bits, inst.w, inst.h, rtemplate,
+              tpgron = false, rAt, syms(id).bits, syms(id).w, syms(id).h,
+              (rdw >> 1) + rdx, (rdh >> 1) + rdy)
+            inst
+        }
+        curS += bm.w - 1
+      }
+      encOob(enc, iads)
+    }
+    val body = enc.flush()
+    val flags = (1 << 1) | (refCorner << 4) | (rtemplate << 15)
+    Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
+      (if (rtemplate == 0)
+        rAt.flatMap { case (a, b) => Array(a.toByte, b.toByte) }
+      else Array.empty[Byte]) ++
+      be32(instances.size.toLong) ++ body
+  }
+
+  test("SBREFINE text region: refined instances place with their own geometry") {
+    // one plain instance, one same-size refinement (pixels flipped), one
+    // RESIZED refinement (+1 wider, +1 taller), one with nonzero rdx/rdy —
+    // both refinement templates
+    def flip(bm: Jbig2Decode.Bitmap, pts: (Int, Int)*): Jbig2Decode.Bitmap = {
+      val b = bm.bits.clone()
+      pts.foreach { case (x, y) => b(y * bm.w + x) = (1 - b(y * bm.w + x)).toByte }
+      Jbig2Decode.Bitmap(bm.w, bm.h, b)
+    }
+    val g0 = glyph("..##..", ".#..#.", "#....#", "######", "#....#", "#....#")
+    val g1 = glyph("#####.", "#....#", "#####.", "#....#", "#....#", "#####.")
+    val syms = Seq(g0, g1)
+    // resized variant of g1: 7x7 with the original in the top-left
+    val big = {
+      val b = new Array[Byte](7 * 7)
+      for (y <- 0 until 6; x <- 0 until 6) b(y * 7 + x) = g1.bits(y * 6 + x)
+      b(6 * 7 + 6) = 1
+      Jbig2Decode.Bitmap(7, 7, b)
+    }
+    for (rtemplate <- Seq(0, 1)) {
+      val insts = Seq(
+        (1, 7, 0, None),
+        (9, 7, 1, Some((flip(g1, (0, 0), (5, 5)), 0, 0))),
+        (17, 8, 1, Some((big, 0, 0))),
+        (26, 7, 0, Some((flip(g0, (3, 3)), 1, -1))))
+      val trData = encodeTextRegionRefine(insts, syms, refCorner = 1, rtemplate)
+      val got = Jbig2Decode.decodeTextRegion(trData, 0, trData.length, 36, 18, syms)
+      assert(got.isDefined, s"SBREFINE decode failed rtemplate=$rtemplate")
+      // expected: render each instance's EFFECTIVE bitmap
+      val effSyms = insts.map { case (_, _, id, r) => r.map(_._1).getOrElse(syms(id)) }
+      val effInsts = insts.zipWithIndex.map { case ((s, t, _, _), ix) => (s, t, ix) }
+      val expect = render(36, 18, effSyms, effInsts, refCorner = 1)
+      assert(java.util.Arrays.equals(got.get, expect), s"raster rtemplate=$rtemplate")
+    }
+  }
+
   // ---- encoder twins of halftone coding (T.88 6.6 / 6.7) ----
   private def patternDict(patterns: Seq[Jbig2Decode.Bitmap],
       template: Int): Array[Byte] = {
