@@ -672,6 +672,10 @@ private[graft] object Jbig2Decode {
     val idLen = symCodeLen(inputSymbols.size + numNew)
     val iaidCx = if (sdrefagg) new Array[Int](1 << (idLen + 1)) else null
     val refCx = if (sdrefagg) new Array[Int](1 << 13) else null
+    // aggregate (REFAGGNINST > 1) text-region contexts, shared across the
+    // dictionary's aggregates like every other context here (6.5.8.2.1)
+    val aggCtx: Array[IntCtx] =
+      if (sdrefagg) Array.fill(6)(new IntCtx) else null
     val genCx = new Array[Int](1 << templateSlots(template, at).length)
     val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
     var decoded = 0
@@ -697,22 +701,31 @@ private[graft] object Jbig2Decode {
             newSyms += Bitmap(symWidth, hcHeight,
               genericInto(mq, genCx, symWidth, hcHeight, template, tpgdon = false, at))
           } else {
-            // refinement/aggregation: one instance refines a referred
-            // symbol in place (6.5.8.2.2); multi-instance aggregates (a
-            // nested text region) stay out of scope
+            // refinement/aggregation (6.5.8.2): one instance refines a
+            // referred symbol in place; several instances decode as a
+            // nested SBSTRIPS=1 TOPLEFT text region over the symbols so
+            // far, sharing this dictionary's decoder and contexts
             val nInst = decodeInt(mq, iaai)
-            if (nInst != 1) return None
-            val id = decodeIaid(mq, iaidCx, idLen)
-            val rdx = decodeInt(mq, iardx)
-            val rdy = decodeInt(mq, iardy)
-            if (rdx == OOB || rdy == OOB) return None
-            if (id < 0 || id >= inputSymbols.size + newSyms.length) return None
-            val refSym =
-              if (id < inputSymbols.size) inputSymbols(id)
-              else newSyms(id - inputSymbols.size)
-            newSyms += Bitmap(symWidth, hcHeight,
-              genericRefineInto(mq, refCx, symWidth, hcHeight, rtemplate,
-                tpgron = false, rAt, refSym.bits, refSym.w, refSym.h, rdx, rdy))
+            if (nInst == OOB || nInst <= 0 || nInst > (1 << 10)) return None
+            if (nInst == 1) {
+              val id = decodeIaid(mq, iaidCx, idLen)
+              val rdx = decodeInt(mq, iardx)
+              val rdy = decodeInt(mq, iardy)
+              if (rdx == OOB || rdy == OOB) return None
+              if (id < 0 || id >= inputSymbols.size + newSyms.length) return None
+              val refSym =
+                if (id < inputSymbols.size) inputSymbols(id)
+                else newSyms(id - inputSymbols.size)
+              newSyms += Bitmap(symWidth, hcHeight,
+                genericRefineInto(mq, refCx, symWidth, hcHeight, rtemplate,
+                  tpgron = false, rAt, refSym.bits, refSym.w, refSym.h, rdx, rdy))
+            } else {
+              val all = (inputSymbols ++ newSyms).toIndexedSeq
+              val bits = aggregateText(mq, symWidth, hcHeight, nInst, all,
+                idLen, iaidCx, aggCtx, iardx, iardy, rtemplate, rAt, refCx)
+                .getOrElse(return None)
+              newSyms += Bitmap(symWidth, hcHeight, bits)
+            }
           }
           decoded += 1
         }
@@ -737,6 +750,85 @@ private[graft] object Jbig2Decode {
       exFlag = !exFlag
     }
     Some(exported.result())
+  }
+
+  /** The symbol dictionary's multi-instance aggregate (6.5.8.2.1): a
+    * minimal text region — SBSTRIPS=1, TOPLEFT corner, no transposition,
+    * zero DS offset, OR composition, SBREFINE=1 — decoded from the
+    * dictionary's OWN running MQ decoder with per-dictionary contexts
+    * (`aggCtx` = IADT, IAFS, IADS, IARI, IARDW, IARDH; IAID/IARDX/IARDY
+    * and the refinement contexts are the dictionary-wide ones).
+    */
+  private def aggregateText(mq: MqDecoder, w: Int, h: Int, nInst: Int,
+      syms: IndexedSeq[Bitmap], idLen: Int, iaidCx: Array[Int],
+      aggCtx: Array[IntCtx], iardx: IntCtx, iardy: IntCtx,
+      rtemplate: Int, rAt: Array[(Int, Int)],
+      refCx: Array[Int]): Option[Array[Byte]] = {
+    val Array(iadt, iafs, iads, iari, iardw, iardh) = aggCtx
+    val out = new Array[Byte](w * h)
+    def draw(bm: Bitmap, x0: Int, y0: Int): Unit = {
+      var yy = 0
+      while (yy < bm.h) {
+        val py = y0 + yy
+        if (py >= 0 && py < h) {
+          var xx = 0
+          while (xx < bm.w) {
+            val px = x0 + xx
+            if (px >= 0 && px < w)
+              out(py * w + px) = (out(py * w + px) | bm.bits(yy * bm.w + xx)).toByte
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+    }
+    val dt0 = decodeInt(mq, iadt)
+    if (dt0 == OOB) return None
+    var stripT = -dt0
+    var firstS = 0
+    var n = 0
+    while (n < nInst) {
+      val dt = decodeInt(mq, iadt)
+      if (dt == OOB) return None
+      stripT += dt
+      var curS = 0
+      var first = true
+      var end = false
+      while (!end && n < nInst) {
+        if (first) {
+          val dfs = decodeInt(mq, iafs)
+          if (dfs == OOB) return None
+          firstS += dfs; curS = firstS; first = false
+        } else {
+          val ids = decodeInt(mq, iads)
+          if (ids == OOB) end = true else curS += ids
+        }
+        if (!end) {
+          val id = decodeIaid(mq, iaidCx, idLen)
+          if (id < 0 || id >= syms.size) return None
+          val sym = syms(id)
+          val ri = decodeInt(mq, iari)
+          if (ri == OOB) return None
+          val bm =
+            if (ri == 0) sym
+            else {
+              val rdw = decodeInt(mq, iardw); val rdh = decodeInt(mq, iardh)
+              val rdx = decodeInt(mq, iardx); val rdy = decodeInt(mq, iardy)
+              if (rdw == OOB || rdh == OOB || rdx == OOB || rdy == OOB)
+                return None
+              val wi = sym.w.toLong + rdw; val hi = sym.h.toLong + rdh
+              if (wi <= 0 || hi <= 0 || wi * hi > MaxPixels) return None
+              Bitmap(wi.toInt, hi.toInt, genericRefineInto(mq, refCx,
+                wi.toInt, hi.toInt, rtemplate, tpgron = false, rAt,
+                sym.bits, sym.w, sym.h, (rdw >> 1) + rdx, (rdh >> 1) + rdy))
+            }
+          draw(bm, curS, stripT) // TOPLEFT, non-transposed
+          curS += bm.w - 1
+          n += 1
+        }
+      }
+    }
+    Some(out)
   }
 
   /** Huffman symbol dictionary (6.5 with SDHUFF=1, SDREFAGG=0): height

@@ -637,24 +637,107 @@ class Jbig2Suite extends AnyFunSuite {
         assert((gray(y * w + x) == 0x00) == (expect(y * w + x) != 0),
           s"rtemplate=$rtemplate pixel ($x,$y)")
     }
-    // multi-instance aggregation stays out of scope: direct decode of a
-    // dict whose IAAI says 2 must be None, not garbage — hand-build one
-    // by patching the instance count of a valid stream is not feasible
-    // here, so assert via the decoder's guard using a 2-instance encode
+  }
+
+  /** Refagg dictionary DATA whose single new symbol is a MULTI-INSTANCE
+    * aggregate (w x h, SBSTRIPS=1 TOPLEFT nested text region): instances
+    * (s, t, id, refinedOpt) over `inputSyms`. The final strip's OOB is NOT
+    * emitted — the decoder stops at the instance count, and the shared MQ
+    * stream continues with the height-class OOB and export runs.
+    */
+  private def encodeSymbolDictAggregate(inputSyms: Seq[Jbig2Decode.Bitmap],
+      w: Int, h: Int,
+      insts: Seq[(Int, Int, Int, Option[(Jbig2Decode.Bitmap, Int, Int)])],
+      rtemplate: Int): Array[Byte] = {
+    val template = 0
+    val at = Jbig2Decode.nominalAt(template)
+    val rAt = Array((-1, -1), (-1, -1))
     val enc = new MqEncoder
-    val iadh = new Jbig2Decode.IntCtx; val iadw = new Jbig2Decode.IntCtx
+    val iadh = new Jbig2Decode.IntCtx
+    val iadw = new Jbig2Decode.IntCtx
+    val iaex = new Jbig2Decode.IntCtx
     val iaai = new Jbig2Decode.IntCtx
-    encInt(enc, iadh, 6)
-    encInt(enc, iadw, 6)
-    encInt(enc, iaai, 2) // aggregate of two instances: unsupported
+    val iardx = new Jbig2Decode.IntCtx
+    val iardy = new Jbig2Decode.IntCtx
+    val idLen = Jbig2Decode.symCodeLen(inputSyms.size + 1)
+    val iaidCx = new Array[Int](1 << (idLen + 1))
+    val refCx = new Array[Int](1 << 13)
+    val aggIadt = new Jbig2Decode.IntCtx
+    val aggIafs = new Jbig2Decode.IntCtx
+    val aggIads = new Jbig2Decode.IntCtx
+    val aggIari = new Jbig2Decode.IntCtx
+    val aggIardw = new Jbig2Decode.IntCtx
+    val aggIardh = new Jbig2Decode.IntCtx
+    encInt(enc, iadh, h)
+    encInt(enc, iadw, w)
+    encInt(enc, iaai, insts.size)
+    encInt(enc, aggIadt, 0)
+    var stripT = 0
+    var firstS = 0
+    var emitted = 0
+    val groups = insts.groupBy(_._2).toSeq.sortBy(_._1)
+    groups.foreach { case (t, group) =>
+      encInt(enc, aggIadt, t - stripT); stripT = t
+      var curS = 0
+      var first = true
+      group.sortBy(_._1).foreach { case (s, _, id, refOpt) =>
+        if (first) { encInt(enc, aggIafs, s - firstS); firstS = s; curS = s; first = false }
+        else { encInt(enc, aggIads, s - curS); curS = s }
+        encIaid(enc, iaidCx, idLen, id)
+        val bm = refOpt match {
+          case None => encInt(enc, aggIari, 0); inputSyms(id)
+          case Some((inst, rdx, rdy)) =>
+            encInt(enc, aggIari, 1)
+            val rdw = inst.w - inputSyms(id).w; val rdh = inst.h - inputSyms(id).h
+            encInt(enc, aggIardw, rdw); encInt(enc, aggIardh, rdh)
+            encInt(enc, iardx, rdx); encInt(enc, iardy, rdy)
+            encodeRefineInto(enc, refCx, inst.bits, inst.w, inst.h, rtemplate,
+              tpgron = false, rAt, inputSyms(id).bits, inputSyms(id).w,
+              inputSyms(id).h, (rdw >> 1) + rdx, (rdh >> 1) + rdy)
+            inst
+        }
+        curS += bm.w - 1
+        emitted += 1
+      }
+      if (emitted < insts.size) encOob(enc, aggIads)
+    }
+    encOob(enc, iadw) // end of the height class
+    encInt(enc, iaex, inputSyms.size)
+    encInt(enc, iaex, 1)
     val body = enc.flush()
-    val flags = (1 << 1) | (0 << 10) | (1 << 12)
-    val at = Jbig2Decode.nominalAt(0)
-    val dict = Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
+    val flags = (1 << 1) | (template << 10) | (rtemplate << 12)
+    Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
       at.flatMap { case (a, b) => Array(a.toByte, b.toByte) } ++
+      (if (rtemplate == 0)
+        rAt.flatMap { case (a, b) => Array(a.toByte, b.toByte) }
+      else Array.empty[Byte]) ++
       be32(1L) ++ be32(1L) ++ body
-    assert(Jbig2Decode.decodeSymbolDict(dict, 0, dict.length,
-      Seq(baseA, baseB)).isEmpty)
+  }
+
+  test("multi-instance refagg: an aggregate symbol composes instances, then serves a text region") {
+    def flip(bm: Jbig2Decode.Bitmap, pts: (Int, Int)*): Jbig2Decode.Bitmap = {
+      val b = bm.bits.clone()
+      pts.foreach { case (x, y) => b(y * bm.w + x) = (1 - b(y * bm.w + x)).toByte }
+      Jbig2Decode.Bitmap(bm.w, bm.h, b)
+    }
+    val baseA = glyph("..##..", ".#..#.", "#....#", "######", "#....#", "#....#")
+    val baseB = glyph("#####.", "#....#", "#####.", "#....#", "#....#", "#####.")
+    for (rtemplate <- Seq(0, 1)) {
+      // the aggregate: 14x6 "AB" ligature, B refined with flipped pixels
+      val insts = Seq(
+        (0, 0, 0, None),
+        (7, 0, 1, Some((flip(baseB, (2, 3)), 0, 0))))
+      val dict = encodeSymbolDictAggregate(Seq(baseA, baseB), 14, 6, insts, rtemplate)
+      val got = Jbig2Decode.decodeSymbolDict(dict, 0, dict.length, Seq(baseA, baseB))
+      assert(got.isDefined && got.get.size == 1,
+        s"aggregate dict must export one symbol, rtemplate=$rtemplate")
+      val agg = got.get.head
+      assert(agg.w == 14 && agg.h == 6)
+      val expect = render(14, 6,
+        Seq(baseA, flip(baseB, (2, 3))), Seq((0, 0, 0), (7, 0, 1)), refCorner = 1)
+      assert(java.util.Arrays.equals(agg.bits, expect),
+        s"aggregate raster rtemplate=$rtemplate")
+    }
   }
 
   /** Text-region DATA with SBREFINE (arithmetic): instances
