@@ -21,20 +21,22 @@ package graft.sources.unstructured
   *    collective height-class bitmaps both MMR-coded (via the T.6
   *    engine) and uncompressed.
   *
-  * r13 adds generic REFINEMENT — immediate refinement regions (types
-  * 42/43, both templates, TPGRON typical rows) refining the page content
-  * in segment order, and refinement/aggregation symbol dictionaries
-  * (SDREFAGG=1 with single-instance refinement, the shape encoders
-  * emit) — text regions with SBREFINE (per-instance refinement incl.
-  * resized instances, arithmetic) — and HALFTONE coding: pattern
-  * dictionaries (type 16) and immediate halftone regions (types 22/23)
-  * with gray-code bitplanes and sheared pattern grids, arithmetic-coded.
+  * r13 adds generic REFINEMENT — refinement regions (types 40/42/43,
+  * both templates, TPGRON typical rows) refining the page content or a
+  * referred INTERMEDIATE generic/refinement region (types 36/40, stored
+  * as references, never composited) — refinement/aggregation symbol
+  * dictionaries (SDREFAGG=1, single-instance refinement AND
+  * multi-instance aggregates as nested text regions) — text regions with
+  * SBREFINE (per-instance refinement incl. resized instances,
+  * arithmetic) — and HALFTONE coding: pattern dictionaries (type 16) and
+  * immediate halftone regions (types 22/23) with gray-code bitplanes and
+  * sheared pattern grids, arithmetic-coded.
   *
-  * Out of the supported subset (multi-instance aggregation, huffman
-  * refagg, intermediate regions, MMR/skip-enabled halftones, imported
-  * bitmap-coding contexts, the untranscribed standard tables B.7/B.10 —
-  * a custom-table stream covers those selections): decodePage returns
-  * None and the caller falls back to header-derived dimensions only.
+  * Out of the supported subset (huffman refagg, intermediate TEXT and
+  * halftone regions, MMR/skip-enabled halftones, imported bitmap-coding
+  * contexts, the untranscribed standard tables B.7/B.10 — a custom-table
+  * stream covers those selections): decodePage returns None and the
+  * caller falls back to header-derived dimensions only.
   *
   * The MQ decoder implements Annex E's software conventions; the context
   * bit order is the spec figures' raster order with each adaptive pixel
@@ -1294,6 +1296,8 @@ private[graft] object Jbig2Decode {
     val tablesBySeg = scala.collection.mutable.Map.empty[Long, HTable]
     // pattern dictionaries (type 16), consumed by halftone regions
     val patternsBySeg = scala.collection.mutable.Map.empty[Long, Seq[Bitmap]]
+    // intermediate regions (type 36/40), consumed as refinement references
+    val intermediateBySeg = scala.collection.mutable.Map.empty[Long, Bitmap]
     segs.foreach { s =>
       s.segType match {
         case 48 if s.dataLen >= 17 => // page information (7.4.8)
@@ -1353,8 +1357,14 @@ private[graft] object Jbig2Decode {
               gray.take(w * h).map(g => if (g == 0) 1.toByte else 0.toByte)
             } else decodeGenericMq(data, p, s.dataOff + s.dataLen, w, h,
               template, tpgdon, at)
-          regions += Region(x, y, w, h, bits, combOp)
-          nRegions += 1
+          if (s.segType == 36) {
+            // INTERMEDIATE region (6.8.1): not composited — it exists only
+            // as a reference for a later refinement region
+            intermediateBySeg(s.num) = Bitmap(w, h, bits)
+          } else {
+            regions += Region(x, y, w, h, bits, combOp)
+            nRegions += 1
+          }
         case 16 => // pattern dictionary (7.4.4)
           patternsBySeg(s.num) = decodePatternDict(data, s.dataOff,
             s.dataOff + s.dataLen).getOrElse(return None)
@@ -1370,7 +1380,7 @@ private[graft] object Jbig2Decode {
             w, h, pats).getOrElse(return None)
           regions += Region(x, y, w, h, bits, combOp)
           nRegions += 1
-        case 42 | 43 => // immediate (lossless) generic refinement region (7.4.7)
+        case 40 | 42 | 43 => // generic refinement region (7.4.7)
           if (s.dataLen < 18) return None
           val o = s.dataOff
           val w = be32(data, o).toInt; val h = be32(data, o + 4).toInt
@@ -1392,15 +1402,32 @@ private[graft] object Jbig2Decode {
             }
           val dataEnd = s.dataOff + s.dataLen
           val p0 = p
-          // deferred: the reference is the page under (x,y,w,h) at
-          // composition time (no referred intermediate region support)
-          regions += Region(x, y, w, h, null, combOp,
-            refiner = ref => genericRefineInto(new MqDecoder(data, p0, dataEnd),
+          def refineNow(ref: Bitmap): Array[Byte] =
+            genericRefineInto(new MqDecoder(data, p0, dataEnd),
               new Array[Int](1 << 13), w, h, template, tpgron, at,
-              ref, w, h, 0, 0))
-          nRegions += 1
+              ref.bits, ref.w, ref.h, 0, 0)
+          // a referred INTERMEDIATE region is the reference (6.3.2);
+          // without one, the reference is the page under (x,y,w,h) at
+          // composition time (deferred through Region.refiner)
+          val interRef = s.refs.flatMap(intermediateBySeg.get).headOption
+          if (s.segType == 40) { // intermediate: store, never composite
+            val ref = interRef.getOrElse(return None)
+            intermediateBySeg(s.num) = Bitmap(w, h, refineNow(ref))
+          } else {
+            interRef match {
+              case Some(ref) =>
+                regions += Region(x, y, w, h, refineNow(ref), combOp)
+              case None =>
+                regions += Region(x, y, w, h, null, combOp,
+                  refiner = pageRef => genericRefineInto(
+                    new MqDecoder(data, p0, dataEnd),
+                    new Array[Int](1 << 13), w, h, template, tpgron, at,
+                    pageRef, w, h, 0, 0))
+            }
+            nRegions += 1
+          }
         case t if RegionTypes.contains(t) =>
-          return None // intermediate-text/halftone regions: out of scope
+          return None // intermediate text/halftone regions: out of scope
         case _ => () // page end, end-of-stripe, extensions: structural only
       }
     }

@@ -537,6 +537,33 @@ class Jbig2Suite extends AnyFunSuite {
     }
   }
 
+  test("intermediate regions chain as refinement references, never composite directly") {
+    val (w, h) = (18, 11)
+    val base = structured(w, h)
+    def flip(bits: Array[Byte], pts: (Int, Int)*): Array[Byte] = {
+      val b = bits.clone()
+      pts.foreach { case (x, y) => b(y * w + x) = (1 - b(y * w + x)).toByte }
+      b
+    }
+    val step1 = flip(base, (2, 2), (9, 9))
+    val step2 = flip(step1, (0, 0), (17, 10))
+    // seg1: INTERMEDIATE generic (36) = base — must NOT reach the page;
+    // seg2: INTERMEDIATE refinement (40) refs seg1 → step1, stored only;
+    // seg3: immediate refinement (42) refs seg2 → step2, composited
+    val stream = segment(0, 48, pageInfo(w, h)) ++
+      segmentR(1, 36, Nil, genericRegion(0, 0, w, h, base)) ++
+      segmentR(2, 40, Seq(1L),
+        refinementRegion(0, 0, w, h, step1, base, 0, tpgron = false)) ++
+      segmentR(3, 42, Seq(2L),
+        refinementRegion(0, 0, w, h, step2, step1, 1, tpgron = true))
+    val got = Jbig2Decode.decodePage(stream)
+    assert(got.isDefined, "intermediate-region chain must decode")
+    val (gray, gw, gh) = got.get
+    assert(gw == w && gh == h)
+    assert(gray.map(g => if (g == 0x00) 1 else 0).toSeq == step2.map(_.toInt).toSeq,
+      "page must show ONLY the final refinement result")
+  }
+
   /** Refinement/aggregation symbol dictionary DATA (SDREFAGG=1,
     * single-instance): each new symbol refines `refId` (over inputs ++
     * earlier new symbols) at offset (rdx, rdy).
