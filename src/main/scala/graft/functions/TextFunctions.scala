@@ -19,6 +19,20 @@ object TextFunctions {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normText(text), " ")
 
+  /** The token column of `name` in `df`: pass-through when the column is
+    * already `array<string>` — the shared-tokenization convention that lets
+    * a multi-stage pipeline (e.g. KN-train → KN-score → LR-train →
+    * LR-score) tokenize the corpus ONCE into a checkpointed projection and
+    * feed every stage, instead of paying a scan-and-tokenize pass per
+    * stage — otherwise [[tokens]] of the (string) column.
+    */
+  def tokensOf(df: org.apache.spark.sql.DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        col(name)
+      case _ => tokens(col(name))
+    }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count approximation: word-pieces of <=4 chars. A word of

@@ -135,21 +135,26 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 /** 64-bit SimHash (Charikar '02) of an array<string> column. Map-side only.
   *
+  * `doGenCode` keeps the kernel inside whole-stage codegen (the expression
+  * rides along as a reference object and the generated code calls
+  * [[computeHash]] — one JIT-compiled monomorphic call per row, the
+  * [[InBroadcastSet]] pattern), so the corpus-wide simhash stage no longer
+  * breaks the codegen span with an interpreted fallback.
+  *
   * @param portable when true, tokens are hashed with [[HashFamily.md5Long]]
   *                 (md5-derived, engine-portable) instead of xxhash64 — the
   *                 variant the hash-exact DuckDB oracle of the dedup_simhash
   *                 gate reproduces bit-for-bit. Default stays xxhash64 (fast).
   */
 case class SimHash64(child: Expression, portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"simhash expects array<string>, got $t")
   }
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def computeHash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val acc = new Array[Int](64)
     var i = 0
@@ -170,6 +175,11 @@ case class SimHash64(child: Expression, portable: Boolean = false)
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+  override def nullSafeEval(input: Any): Any = computeHash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeHash($c);")
   }
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   override def prettyName: String = "simhash64"
@@ -212,6 +222,142 @@ case class WordShingles(child: Expression, n: Int)
   }
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** FUSED shingle→MinHash kernel: bit-identical to
+  * `MinHashSignature(WordShingles(tokens, n), numHashes)` with ZERO
+  * per-shingle allocation. The r13 same-JVM A/B proved candidate
+  * generation is ~90% of the sf5 dedup gates, and the composed pipeline's
+  * hot loop was an allocation storm — one UTF8String + byte copy per
+  * shingle per row ([[WordShingles]]) plus the intermediate array.
+  *
+  * The fusion rests on one structural fact: shingles are SPACE-JOINED runs
+  * of consecutive words, so every shingle is a CONTIGUOUS BYTE SLICE of
+  * the space-joined token buffer. One pass builds that buffer in a
+  * thread-local scratch (grown geometrically, zero steady-state
+  * allocation) with the word start offsets; each shingle hash is then
+  * `XXH64.hashUnsafeBytes` over a slice — the identical bytes the composed
+  * pipeline hashed, hence identical signatures (gates stay hash-exact).
+  * The k affine "permutations" fold into the same loop, so per row the
+  * kernel allocates exactly the output signature array.
+  *
+  * Codegen: the expression rides along as a reference object and the
+  * generated code calls [[computeRaw]] — a monomorphic JIT-compiled call,
+  * keeping the whole scan stage inside whole-stage codegen (no
+  * CodegenFallback in the signature stage).
+  *
+  * [[WordShingles]] stays as the standalone set-producing function for the
+  * exact-Jaccard verify stage, which genuinely needs the shingle sets.
+  */
+case class ShingleMinHash(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(n >= 1 && numHashes >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_minhash expects array<string>, got $t")
+  }
+  private lazy val coeffA: Array[Long] = Array.tabulate(numHashes)(HashFamily.affine(_)._1)
+  private lazy val coeffB: Array[Long] = Array.tabulate(numHashes)(HashFamily.affine(_)._2)
+
+  def computeRaw(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (len == 0) return new GenericArrayData(sig) // no shingles (WordShingles parity)
+    val scratch = ShingleMinHash.scratch.get()
+    val words = scratch.words(len)
+    var total = 0L
+    var i = 0
+    while (i < len) {
+      val w = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      words(i) = w
+      total += w.numBytes()
+      i += 1
+    }
+    total += len - 1 // single-space separators, empty words kept (concatWs parity)
+    if (total > Int.MaxValue - 16)
+      // absurd row (>2 GB of tokens): fall back to semantics-equivalent slow
+      // path rather than overflowing the scratch index
+      return new GenericArrayData(
+        MinHashSignature(child, numHashes).nullSafeEval(
+          WordShingles(child, n).nullSafeEval(arr).asInstanceOf[ArrayData])
+          .asInstanceOf[GenericArrayData].toLongArray())
+    val tot = total.toInt
+    val buf = scratch.bytes(tot)
+    // starts has len+1 entries; starts(len) points one PAST a phantom
+    // trailing separator, so shingle s always spans
+    // [starts(s), starts(s+n) - 1) — no special case for the last window
+    val starts = scratch.starts(len + 1)
+    var pos = 0
+    i = 0
+    while (i < len) {
+      starts(i) = pos
+      val w = words(i)
+      w.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += w.numBytes()
+      if (i < len - 1) { buf(pos) = ' '; pos += 1 }
+      words(i) = null // release the row's refs (scratch outlives the row)
+      i += 1
+    }
+    starts(len) = tot + 1
+    val nShingles = if (len <= n) 1 else len - n + 1
+    val step = if (len <= n) len else n // short arrays: one whole-join shingle
+    var s = 0
+    while (s < nShingles) {
+      val off = starts(s)
+      val sliceLen = starts(s + step) - 1 - off
+      val h = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, sliceLen,
+        HashFamily.BaseSeed)
+      var j = 0
+      while (j < numHashes) {
+        val v = coeffA(j) * h + coeffB(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any = computeRaw(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleMinhash", this, classOf[ShingleMinHash].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeRaw($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleMinHash = copy(child = c)
+  override def prettyName: String = "shingle_minhash"
+}
+
+object ShingleMinHash {
+  /** Per-thread growable buffers: whole-stage codegen shares reference
+    * objects across partitions/threads, so the reusable scratch must be
+    * thread-confined. Geometric growth; steady state is zero allocation
+    * per row beyond the output signature.
+    */
+  private final class Scratch {
+    private var buf = new Array[Byte](8192)
+    private var off = new Array[Int](256)
+    private var ws = new Array[UTF8String](256)
+    def bytes(min: Int): Array[Byte] = {
+      if (buf.length < min) buf = new Array[Byte](java.lang.Integer.highestOneBit(min - 1) * 2)
+      buf
+    }
+    def starts(min: Int): Array[Int] = {
+      if (off.length < min) off = new Array[Int](java.lang.Integer.highestOneBit(min - 1) * 2)
+      off
+    }
+    def words(min: Int): Array[UTF8String] = {
+      if (ws.length < min) ws = new Array[UTF8String](java.lang.Integer.highestOneBit(min - 1) * 2)
+      ws
+    }
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
 }
 
 /** Cosine similarity of two float/double vectors with whole-stage codegen.
@@ -938,6 +1084,8 @@ object GraftFunctions {
   def simhash64(c: Column, portable: Boolean = false): Column =
     col(SimHash64(expr(c), portable))
   def word_shingles(c: Column, n: Int): Column = col(WordShingles(expr(c), n))
+  def shingle_minhash(c: Column, n: Int, numHashes: Int = 128): Column =
+    col(ShingleMinHash(expr(c), n, numHashes))
   def cosine_similarity(a: Column, b: Column): Column =
     col(CosineSimilarity(expr(a), expr(b)))
   def lsh_bucket(c: Column, bits: Int = 8, planeOffset: Int = 0): Column =
@@ -979,6 +1127,8 @@ object GraftFunctions {
     "simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)),
     "word_shingles" -> ((es: Seq[Expression]) =>
       WordShingles(es.head, intArg(es, 1, 3))),
+    "shingle_minhash" -> ((es: Seq[Expression]) =>
+      ShingleMinHash(es.head, intArg(es, 1, 3), intArg(es, 2, 128))),
     "cosine_similarity" -> ((es: Seq[Expression]) => CosineSimilarity(es.head, es(1))),
     "lsh_bucket" -> ((es: Seq[Expression]) =>
       HyperplaneLshBucket(es.head, intArg(es, 1, 8), intArg(es, 2, 0))),

@@ -141,7 +141,7 @@ object Classify {
     import spark.implicits._
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(labelCol).cast(PDec).as("y"),
-        T.tokens(col(textCol)).as("__toks"))
+        T.tokensOf(df, textCol).as("__toks"))
     val feats = base.select(col("id"), explode(col("__toks")).as("__w"))
       .select(col("id"), bucketOf(col("__w"), buckets).as("bucket"))
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))
@@ -199,7 +199,7 @@ object Classify {
   def logregScore(weights: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, buckets: Int = 16): DataFrame = {
     val base = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"), T.tokensOf(docs, textCol).as("__toks"))
     val feats = base.select(col("id"), explode(col("__toks")).as("__w"))
       .select(col("id"), bucketOf(col("__w"), buckets).as("bucket"))
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))

@@ -59,7 +59,7 @@ object CorpusStats {
     */
   private def bigramRows(df: DataFrame, textCol: String,
       keep: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val tk = T.tokens(col(textCol))
+    val tk = T.tokensOf(df, textCol)
     df.select(keep :+ explode(zip_with(
         slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
         slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
@@ -138,7 +138,7 @@ object CorpusStats {
     val contexts = bigrams.groupBy(col("w1"))
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
     val continuations = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
-    val vocab = df.select(explode(T.tokens(col(textCol))).as("w"))
+    val vocab = df.select(explode(T.tokensOf(df, textCol)).as("w"))
       .agg(countDistinct(col("w")).as("__v"))
     val stats = bigrams.agg(
         count(lit(1)).as("__b"),

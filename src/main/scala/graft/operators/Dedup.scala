@@ -691,7 +691,10 @@ object Dedup {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     df.select(col(idCol).as("id"),
-        F.minhash_signature(F.word_shingles(T.tokens(col(textCol)), shingleSize), numHashes).as("sig"))
+        // fused shingle->signature kernel: bit-identical to
+        // minhash_signature(word_shingles(...)) with zero per-shingle
+        // allocation — the measured hot loop of the sf5 dedup gates
+        F.shingle_minhash(T.tokens(col(textCol)), shingleSize, numHashes).as("sig"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))), b))

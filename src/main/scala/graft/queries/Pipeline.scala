@@ -1250,16 +1250,26 @@ object Pipeline {
       (s, dir) => {
         import graft.operators.{Classify, CorpusStats, Dedup}
         val d = t(s, dir, "documents")
-        val batch = d.where(col("doc_id") % 5 === 0)
-        val lm = CorpusStats.knTrain(d.where(col("doc_id") % 5 =!= 0), "text")
-        val fluent = CorpusStats.knScore(lm, batch, "doc_id", "text")
+        // ONE tokenized projection feeds every trained stage (KN train, KN
+        // score, LR train, LR score, final token counts): tokenizing is the
+        // pipeline's repeated map-side cost, and without the checkpoint each
+        // stage would re-run scan+normalize+split over its slice of the
+        // corpus. The operators' tokensOf convention passes array<string>
+        // columns through untouched, so values — and the gate hash — are
+        // identical to per-stage tokenization.
+        val dTok = d.select(col("doc_id"), col("source"), col("text"),
+            T.tokens(col("text")).as("__toks"))
+          .localCheckpoint()
+        val batch = dTok.where(col("doc_id") % 5 === 0)
+        val lm = CorpusStats.knTrain(dTok.where(col("doc_id") % 5 =!= 0), "__toks")
+        val fluent = CorpusStats.knScore(lm, batch, "doc_id", "__toks")
           .where(col("xent_bits") <= 5.0).select(col("id").as("doc_id"))
         val routed = batch.join(fluent, "doc_id")
-        val labeled = d.withColumn("y",
+        val labeled = dTok.withColumn("y",
           col("source").isin("src0", "src1", "src2", "src3", "src4").cast("int"))
         val wts = Classify.logregTrain(labeled.where(col("doc_id") % 4 =!= 0),
-          "doc_id", "y", "text", buckets = 16, iters = 3, lrate = 0.5)
-        val kept = Classify.logregScore(wts, routed, "doc_id", "text", buckets = 16)
+          "doc_id", "y", "__toks", buckets = 16, iters = 3, lrate = 0.5)
+        val kept = Classify.logregScore(wts, routed, "doc_id", "__toks", buckets = 16)
           .where(col("prob") >= 0.997).select(col("id").as("doc_id"))
         val pool = routed.join(kept, "doc_id")
         val winners = Dedup.exactDuplicates(pool, "doc_id", "text")
@@ -1267,7 +1277,7 @@ object Pipeline {
         pool.join(winners, "doc_id")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
+            sum(size(col("__toks")).cast("long")).as("n_tokens"))
           .orderBy(col("source"))
       },
       Some(s"""WITH tk AS (

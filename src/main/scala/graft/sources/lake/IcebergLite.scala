@@ -89,7 +89,9 @@ object IcebergLite {
     * resolved to the current schema's top-level column names.
     */
   final case class EqDeleteFile(path: String, size: Long, seq: Long, recordCount: Long,
-      equalityIds: Seq[Int], columns: Seq[String])
+      equalityIds: Seq[Int], columns: Seq[String],
+      loBounds: Map[Int, Array[Byte]] = Map.empty,
+      hiBounds: Map[Int, Array[Byte]] = Map.empty)
 
   def isIcebergTable(conf: Configuration, dir: Path): Boolean = {
     val meta = new Path(dir, "metadata")
@@ -668,6 +670,29 @@ object IcebergLite {
     else Some(org.apache.spark.sql.GraftLakeBridge.FileStats(n, lo, hi, nulls))
   } catch { case _: Exception => None }
 
+  /** A manifest entry's lower/upper_bounds kv list as raw field-id-keyed
+    * bytes — decoded lazily against whatever schema is in scope at use time
+    * ([[LakeWrite.icebergBoundValue]]); unreadable shapes drop to empty
+    * (consumers stay conservative without bounds).
+    */
+  private def rawBoundBytes(df: GenericRecord, fieldName: String): Map[Int, Array[Byte]] = try {
+    Option(df.getSchema.getField(fieldName)).map(f => df.get(f.pos())) match {
+      case Some(arr: java.util.Collection[_]) =>
+        arr.toArray.flatMap {
+          case r: GenericRecord =>
+            val bytes = r.get("value") match {
+              case bb: java.nio.ByteBuffer =>
+                val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); Some(b)
+              case b: Array[Byte] => Some(b)
+              case _ => None
+            }
+            bytes.map(r.get("key").asInstanceOf[Int] -> _)
+          case _ => None
+        }.toMap
+      case _ => Map.empty
+    }
+  } catch { case _: Exception => Map.empty }
+
   /** One delete manifest's live delete files: position deletes (content=1)
     * on the Left, equality deletes (content=2) on the Right. Equality
     * delete files name their match columns by field id (`equality_ids`);
@@ -707,7 +732,12 @@ object IcebergLite {
               .getOrElse(throw new IllegalStateException(
                 s"equality delete file without equality_ids in $p (invalid per spec)"))
             require(ids.nonEmpty, s"equality delete file with empty equality_ids in $p")
-            Some(Right(EqDeleteFile(path, size, entrySeq(entry, manifestSeq), rows, ids, Nil)))
+            // the manifest's own per-key bounds: for an eq-delete file they
+            // are EXACT bounds on every masked row's key values, so the
+            // conflict validator can judge overlap without re-reading the
+            // delete parquet on every commit retry
+            Some(Right(EqDeleteFile(path, size, entrySeq(entry, manifestSeq), rows, ids, Nil,
+              rawBoundBytes(df, "lower_bounds"), rawBoundBytes(df, "upper_bounds"))))
           case c => throw new UnsupportedOperationException(
             s"data file with content=$c in a delete manifest is invalid ($p)")
         }

@@ -3,7 +3,7 @@ package graft.sources.lake
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -1622,15 +1622,28 @@ object LakeNativeWrite {
     // clobber the other's staged delete file
     val delRel = s"data/eqdelete-$newSnapId-${java.util.UUID.randomUUID()}.parquet"
     val delSize = LakeWrite.writeOneParquetFile(keyDf, new Path(dir, delRel))
-    val nDel = spark.read.parquet(new Path(dir, delRel).toString).count()
     val eqIds = keyCols.map(m.idOf)
+    // count + per-key min/max in ONE read-back: the bounds ride in the
+    // delete manifest entry (exact bounds on every masked row's key), so
+    // concurrent committers judge eq-delete/read overlap from the manifest
+    // instead of re-reading this parquet on every conflict-validation retry
+    val statRow = spark.read.parquet(new Path(dir, delRel).toString)
+      .agg(count(lit(1)),
+        keyCols.flatMap(c => Seq(min(col(s"`$c`")), max(col(s"`$c`")))): _*).head()
+    val nDel = statRow.getLong(0)
+    val (eqLo, eqHi) = keyCols.indices.map { i =>
+      val lo = Option(statRow.get(1 + 2 * i)).flatMap(LakeWrite.icebergBoundBytes)
+      val hi = Option(statRow.get(2 + 2 * i)).flatMap(LakeWrite.icebergBoundBytes)
+      (lo.map(eqIds(i) -> _), hi.map(eqIds(i) -> _))
+    }.unzip match { case (los, his) => (los.flatten.toMap, his.flatten.toMap) }
     val delEntrySchema = LakeWrite.manifestEntrySchema(partTypeJsonFor(m.schema, Nil))
     def stageEqDeletes(snapId: Long, seq: Long): LakeWrite.ManifestFile = {
       val delAttempt = java.util.UUID.randomUUID().toString
       val tmpD = java.io.File.createTempFile("graft-eq-manifest", ".avro")
       val dLen = LakeWrite.icebergWriteManifest(tmpD,
         Seq(LakeWrite.ManifestEntry(1, delRel, nDel, delSize, snapId,
-          content = 2, sequenceNumber = Some(seq), equalityIds = eqIds)),
+          content = 2, sequenceNumber = Some(seq), equalityIds = eqIds,
+          lowerBounds = eqLo, upperBounds = eqHi)),
         delEntrySchema)
       val dTarget = new Path(new Path(dir, "metadata"), s"md-$snapId-$delAttempt.avro")
       fs.mkdirs(dTarget.getParent)
@@ -1834,6 +1847,29 @@ object LakeNativeWrite {
     if (sc.predicates.isEmpty) return false // file-scoped read, as addConflicts
     val names = eq.equalityIds.map(fieldsById.get)
     if (names.exists(_.isEmpty)) return true // unmappable key field
+    // FAST PATH: the delete manifest's own lower/upper_bounds. When every
+    // equality column decodes both bounds there, they bound the masked key
+    // range exactly and the (per-retry) parquet read below is skipped —
+    // the conflict-validation loop stays metadata-only for writers that
+    // stamp key bounds (ours does since r14).
+    val manifestStats: Option[org.apache.spark.sql.GraftLakeBridge.FileStats] = {
+      val decoded = eq.equalityIds.map { id =>
+        fieldsById.get(id).flatMap { case (name, dt) =>
+          for {
+            loB <- eq.loBounds.get(id); hiB <- eq.hiBounds.get(id)
+            lo <- LakeWrite.icebergBoundValue(dt, loB)
+            hi <- LakeWrite.icebergBoundValue(dt, hiB)
+          } yield (name -> lo, name -> hi)
+        }
+      }
+      if (decoded.exists(_.isEmpty)) None
+      else Some(org.apache.spark.sql.GraftLakeBridge.FileStats(None,
+        decoded.flatten.map(_._1).toMap, decoded.flatten.map(_._2).toMap, Map.empty))
+    }
+    manifestStats.foreach { st =>
+      return org.apache.spark.sql.GraftLakeBridge.StatsSkipping
+        .mayMatch(sc.predicates, Some(st), sc.schema)
+    }
     try {
       val df = spark.read.parquet(eq.path)
       val cols = names.flatten.map(_._1).filter(df.columns.contains)

@@ -1395,6 +1395,10 @@ private[graft] object Jbig2Decode {
           val at: Array[(Int, Int)] =
             if (template != 0) Array.empty
             else {
+              // template 0 carries 4 GRAT bytes after the flags (7.4.7.3):
+              // reject short segments instead of consuming the next
+              // segment's bytes (same guard as the symbol-dict header)
+              if (s.dataLen < 22) return None
               val a = (0 until 2).map(k =>
                 (data(p + 2 * k).toInt, data(p + 2 * k + 1).toInt)).toArray
               p += 4

@@ -26,7 +26,12 @@ import Jbig2Decode.MqDecoder
   *    RCT / ICT; reversible no-quant and scalar derived/expounded
   *    dequantization; multiple quality layers; PPM / PPT packed packet
   *    headers (headers from the marker-segment stream, bodies from the
-  *    bitstream); POC is rejected.
+  *    bitstream); POC progression-order changes (packet sequence follows
+  *    the POC entry list, A.6.6).
+  *
+  * Remaining residue is Part-2 (ISO/IEC 15444-2) extensions only
+  * (arbitrary MCT, non-standard wavelets), which mainstream PDF encoders
+  * do not emit; such codestreams reject to None (metadata fallback).
   *
   * The MQ coder is the same T.88 engine JBIG2 uses ([[Jbig2Decode.MqDecoder]],
   * pinned from both sides in Jbig2Suite); JPEG2000 differs only in context

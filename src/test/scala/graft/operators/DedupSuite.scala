@@ -308,6 +308,37 @@ class DedupSuite extends SparkTestBase {
     assert(cliqueLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("auto strategy: adversarial ~halving decay (balanced binary tree) stays bounded") {
+    import spark.implicits._
+    // A balanced binary tree is the adversarial decay curve for the
+    // hand-off rule: its changed count decays by roughly HALF each round,
+    // which is exactly the boundary the rule tests (`changed * 2 >
+    // prevChanged` => hand off) — so min-label may legitimately ride to
+    // the budget cap without ever tripping the stall detector. This pin
+    // holds the CONTRACT the rule must keep on that curve: the budget cap
+    // (autoRoundBudget, default 6) stays a hard bound on min-label rounds,
+    // the post-budget contraction + star pass closes the rest, total
+    // rounds stay well under a diameter-bound loop (depth-9 tree =>
+    // min-label alone would need ~9+ rounds), and the labels are exact.
+    // If a future tuning change lets near-halving curves burn past the
+    // budget (or break convergence), this fails loudly.
+    val n = 1023 // depth 9, component min = 0
+    val tree = (1 until n).map(i => ((i - 1) / 2).toLong -> i.toLong)
+      .toDF("id_a", "id_b")
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val decay = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val labels = Dedup.duplicateGroups(tree, maxIter = 20,
+      requireConvergence = true, roundsOut = Some(rounds),
+      changedOut = Some(decay))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == n && labels.forall(_._2 == 0L),
+      "tree must fully collapse to component 0")
+    assert(decay.length <= 6,
+      s"min-label rounds must respect the auto budget on a halving decay curve, got $decay")
+    assert(rounds.get() < 20,
+      s"budget + star must close a depth-9 tree well under maxIter, got ${rounds.get()}")
+  }
+
   test("duplicateGroupsStar runs one action per round") {
     import spark.implicits._
     val chain = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
