@@ -434,7 +434,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * this avoids materializing a dense random matrix on the driver).
   */
 case class HyperplaneLshBucket(child: Expression, bits: Int, planeOffset: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bits >= 1 && bits <= 32)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
@@ -443,24 +443,45 @@ case class HyperplaneLshBucket(child: Expression, bits: Int, planeOffset: Int = 
     case t => TypeCheckResult.TypeCheckFailure(s"lsh_bucket expects array<float|double>, got $t")
   }
   private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  // the (plane, dim) sign derivation is row-INVARIANT: hoist it out of the
+  // per-row loop into a grow-on-demand cached matrix instead of paying
+  // bits*dim splitmix64 rounds per corpus row (the embedding-dedup and
+  // ann_lsh bucket assignment is a full-corpus map stage)
+  @transient private var signs: Array[Array[Double]] = _
+  private def signsFor(dim: Int): Array[Array[Double]] = {
+    var s = signs
+    if (s == null || s(0).length < dim) {
+      s = Array.tabulate(bits, math.max(dim, 64)) { (p, i) =>
+        if ((HashFamily.splitmix64((p.toLong + planeOffset) << 32 | i.toLong) & 1L) == 0L) 1.0
+        else -1.0
+      }
+      signs = s
+    }
+    s
+  }
+  def computeBucket(a: ArrayData): Int = {
     val n = a.numElements()
+    val s = signsFor(n)
     var bucket = 0
     var p = 0
     while (p < bits) {
+      val sp = s(p)
       var dot = 0.0
       var i = 0
       while (i < n) {
-        val sign = if ((HashFamily.splitmix64((p.toLong + planeOffset) << 32 | i.toLong) & 1L) == 0L) 1.0 else -1.0
         val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        dot += sign * v
+        dot += sp(i) * v
         i += 1
       }
       if (dot >= 0) bucket |= (1 << p)
       p += 1
     }
     bucket
+  }
+  override def nullSafeEval(input: Any): Any = computeBucket(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBucket", this, classOf[HyperplaneLshBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeBucket($c);")
   }
   override protected def withNewChildInternal(c: Expression): HyperplaneLshBucket = copy(child = c)
   override def prettyName: String = "lsh_bucket"

@@ -675,7 +675,12 @@ object Dedup {
       threshold: Double = 0.7, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // checkpointed: the verify stage consumes the candidate frame TWICE
+    // (pair sides + the semi-join that restricts shingle building to
+    // candidate docs) — without the checkpoint the banding/bucket-join
+    // lineage would run once per consumer (the union-lineage lesson)
     val cand = minHashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands, maxBucketSize)
+      .localCheckpoint(true)
     val jac = ngramJaccard(cand, df, idCol, textCol, shingleSize)
     jac.where(col("jaccard") >= threshold)
   }
@@ -686,6 +691,14 @@ object Dedup {
     * signature/banding expressions [[minHashCandidatePairs]] uses, factored
     * so the asymmetric ingest join bands each side independently.
     */
+  /** Bench hook: the banded LSH frame alone (signature + band hash +
+    * explode), so stage-attribution harnesses ([[graft.SigBench]]) can time
+    * candidate generation's first half without the bucket join.
+    */
+  def minHashBandedForBench(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame =
+    minHashBanded(df, idCol, textCol, shingleSize, numHashes, bands)
+
   private[operators] def minHashBanded(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
@@ -967,27 +980,41 @@ object Dedup {
 
   /** Exact n-gram Jaccard for given candidate pairs (id_a, id_b).
     *
-    * Shuffle budget: the shingle table (the HEAVY side — ~3x the text bytes)
-    * is shuffled exactly ONCE. Pairs explode into (pair, side, id) rows, one
-    * join on id attaches shingles, and a pair-keyed aggregate reunites the
-    * two sides — that second shuffle carries only candidate docs, a small
-    * fraction of the corpus. The naive two-join shape would shuffle the full
-    * shingle table twice.
+    * Shuffle budget: shingle sets are built and shuffled ONLY for docs that
+    * appear in a candidate pair — a left-semi join restricts the corpus
+    * BEFORE the (heavy, ~3x the text bytes) shingle expression evaluates,
+    * so verify cost scales with the candidate set, not the corpus (the r14
+    * stage attribution measured the old build-shingles-for-everyone shape
+    * as the single biggest slice of the sf5 minhash gate). Pairs explode
+    * into (pair, side, id) rows, one join on id attaches shingles, and a
+    * pair-keyed aggregate reunites the two sides.
+    *
+    * Join shape: two id-keyed joins, attaching each side's set directly.
+    * The old explode-sides + pair-keyed reunite shape shuffled BOTH sides'
+    * sets once per pair (2 x pairs sets through the reunite exchange); the
+    * two-join shape moves pairs-with-one-set through one exchange plus the
+    * (small) per-doc set table twice — ~half the set bytes when pairs
+    * outnumber docs, which is exactly the clique-heavy regime banding
+    * produces on duplicate-rich corpora (r14 stage attribution: 54
+    * pairs/doc on the bench corpus made verify the gate's biggest slice).
+    *
+    * NOTE: `pairs` is consumed twice (the join input + the semi-join id
+    * set) — callers whose pair frame has an expensive lineage must
+    * checkpoint it first, as [[minHashDuplicates]] does. The per-doc set
+    * table is checkpointed here (it is consumed once per side).
     */
   def ngramJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(F.word_shingles(T.tokens(col(textCol)), shingleSize)).as("sh"))
-    val sides = pairs.select(col("id_a"), col("id_b"), explode(array(
-        struct(col("id_a").as("id"), lit("a").as("side")),
-        struct(col("id_b").as("id"), lit("b").as("side")))).as("s"))
-      .select(col("id_a"), col("id_b"), col("s.id").as("id"), col("s.side").as("side"))
-    sides.join(sh, "id")
-      .groupBy("id_a", "id_b")
-      .agg(
-        first(when(col("side") === "a", col("sh")), ignoreNulls = true).as("sh_a"),
-        first(when(col("side") === "b", col("sh")), ignoreNulls = true).as("sh_b"))
-      .where(col("sh_a").isNotNull && col("sh_b").isNotNull) // both ids resolved
+    val needed = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sh = df.select(col(idCol).as("id"), col(textCol))
+      .join(needed, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(F.word_shingles(T.tokens(col(textCol)), shingleSize)).as("sh"))
+      .where(col("sh").isNotNull) // null-text docs drop, as the old reunite shape did
+      .localCheckpoint(true)
+    pairs
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
