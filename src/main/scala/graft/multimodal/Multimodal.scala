@@ -17,6 +17,20 @@ import org.apache.spark.sql.types._
   * the schema contract, the mapPartitions batching shape (the Scala
   * equivalent of Python's `mapInPandas` — batch in, batch out, no per-row
   * overhead), partition sizing, and the explode of per-frame rows.
+  *
+  * Why MP3 stays a stub although a Layer III decoder is pure-JVM-feasible:
+  * unlike the codecs built natively here (FLAC/JBIG2/JPX/CCITT — whose
+  * tables are small, derivable, or cross-pinned from two independent code
+  * paths), MPEG-1 Layer III correctness hinges on ~2k entries of arbitrary
+  * spec table data (34 Huffman code tables, the 512-tap synthesis window,
+  * per-rate scalefactor bands) with NO ground truth available offline: no
+  * reference decoder, encoder, or known-good fixture exists in this
+  * environment, and a same-codebase encoder twin would round-trip cleanly
+  * even with mis-transcribed tables — exactly the shared-misreading
+  * circularity the round-trip-fixture caveat warns about. A decoder that
+  * cannot be validated decodes garbage with confidence; the honest stub
+  * (header/duration parsing IS real — frame headers, Xing/VBRI) stays
+  * until a validated fixture source is available.
   */
 object Multimodal {
 

@@ -11,6 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * invariants the published T.800 filter tables imply (DC and Nyquist
   * responses) plus analysis↔synthesis inversion — the strongest checks
   * available with no JPEG2000 tooling in the container.
+  *
+  * KNOWN LIMIT of the round-trip methodology (on record since r13 review):
+  * encoder and decoder share one codebase, so a shared spec misreading
+  * (context bit order, pass schedule, header layout) would round-trip
+  * cleanly and only fail on real-world streams. The container has no
+  * reference codec (no OpenJPEG/jbig2dec, no image libs beyond ImageIO) to
+  * produce independent fixtures, so the mitigations are structural:
+  * cross-pinning shared engines from two standards' directions (the MQ
+  * coder runs under both T.88 and T.800 tests), spec-table invariants
+  * checked independently of the twin (filter gains, tag-tree identities),
+  * and rejecting unsupported shapes to None rather than guessing. Pin
+  * externally-produced byte fixtures here the moment a reference codec is
+  * available to generate them.
   */
 class JpxSuite extends AnyFunSuite {
 
