@@ -19,9 +19,20 @@ object MicroBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_MICRO_REPS", "5").toInt
+    // partitions default to the thread count but scale runs override them:
+    // at sf25 a 32-partition shuffle puts 5x-sf5 partitions in each task's
+    // buffers and exhausts execution memory — the same sizing rule a real
+    // cluster applies (partitions sized to the data, threads to the cores)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
+      // scale runs (sf25) accumulate shuffle files across back-to-back gate
+      // executions in one JVM faster than the default 30min cleaner GC
+      // reclaims them — on a bounded local disk that is an ENOSPC, so the
+      // periodic GC that drives shuffle-file cleanup runs much tighter here
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_GC_INTERVAL", "30min"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = sys.env.get("SPARK_GRAFT_MICRO").map(_.split(",").toSeq)

@@ -808,9 +808,11 @@ object Dedup {
     */
   private def verifyCrossPairs(cand: DataFrame, corpus: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    // 64-bit hashed shingle sets, as in ngramJaccard — ~3x fewer verify
+    // bytes per pair-side (see the representation note there)
     def shingled(df: DataFrame, as: String, shAs: String) =
-      df.select(col(idCol).as(as),
-        array_distinct(F.word_shingles(T.tokens(col(textCol)), shingleSize)).as(shAs))
+      df.select(col(idCol).as(as), array_distinct(transform(
+        F.word_shingles(T.tokens(col(textCol)), shingleSize), s => xxhash64(s))).as(shAs))
     val corpusNeeded = corpus.join(
       cand.select(col("id_corpus").as(idCol)).distinct(), Seq(idCol), "left_semi")
     cand.join(shingled(newDocs, "id_new", "__sh_n"), "id_new")
@@ -998,6 +1000,19 @@ object Dedup {
     * produces on duplicate-rich corpora (r14 stage attribution: 54
     * pairs/doc on the bench corpus made verify the gate's biggest slice).
     *
+    * Set representation: the reunited sets are 64-BIT SHINGLE HASHES
+    * (xxhash64), not shingle strings. Rationale measured at sf25: the
+    * verify joins move one set per pair-side, and on clique-heavy corpora
+    * (27 pairs per doc on the bench data) string sets made that exchange
+    * ~3 KB/pair-side — a single sf25 gate spilled past the machine's free
+    * disk. Hashed sets are ~1 KB/side (8 B/shingle) and compare as
+    * primitive longs. Intersection/union cardinalities equal the string
+    * sets' unless two DISTINCT shingles of the same doc pair collide in 64
+    * bits (probability ~2^-64 per shingle pair, ~1e-12 per pair at typical
+    * set sizes — and the DuckDB oracle still computes STRING jaccard, so
+    * the gate would catch a collision loudly rather than mask it). MinHash
+    * candidate generation already lives on exactly this reduction.
+    *
     * NOTE: `pairs` is consumed twice (the join input + the semi-join id
     * set) — callers whose pair frame has an expensive lineage must
     * checkpoint it first, as [[minHashDuplicates]] does. The per-doc set
@@ -1005,17 +1020,50 @@ object Dedup {
     */
   def ngramJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
-    val needed = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val sh = df.select(col(idCol).as("id"), col(textCol))
-      .join(needed, Seq("id"), "left_semi")
-      .select(col("id"),
-        array_distinct(F.word_shingles(T.tokens(col(textCol)), shingleSize)).as("sh"))
-      .where(col("sh").isNotNull) // null-text docs drop, as the old reunite shape did
-      .localCheckpoint(true)
+    val sh = hashedShingleSets(pairs, df, idCol, textCol, shingleSize)
     pairs
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** The checkpointed (id, array<long> shingle-hash set) table for every
+    * doc that appears in `pairs` — the shared verify-side build of
+    * [[ngramJaccard]] / [[ngramContainment]]. Distinct is taken over the
+    * hashes (equal cardinality to distinct strings w.h.p., see
+    * [[ngramJaccard]]'s representation note).
+    */
+  private def hashedShingleSets(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame = {
+    val needed = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    df.select(col(idCol).as("id"), col(textCol))
+      .join(needed, Seq("id"), "left_semi")
+      .select(col("id"), array_distinct(transform(
+        F.word_shingles(T.tokens(col(textCol)), shingleSize), s => xxhash64(s))).as("sh"))
+      .where(col("sh").isNotNull) // null-text docs drop, as the old reunite shape did
+      .localCheckpoint(true)
+  }
+
+  /** Exact n-gram CONTAINMENT for given candidate pairs: |A ∩ B| / |A|,
+    * where A is the id_a side's shingle set — the asymmetric overlap score
+    * fuzzy decontamination uses (a small eval doc fully contained in a huge
+    * training doc scores ~1.0 where Jaccard dilutes toward 0). Same verified
+    * join shape and shuffle budget as [[ngramJaccard]]: candidate-scoped
+    * shingle builds, checkpointed set table, id-keyed attach joins; `pairs`
+    * is consumed twice, so expensive lineages should be checkpointed by the
+    * caller. Emits jaccard alongside so one pass serves both scores.
+    */
+  def ngramContainment(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sh = hashedShingleSets(pairs, df, idCol, textCol, shingleSize)
+    pairs
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(col("sh_a")).cast("double")).as("containment"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
@@ -1063,8 +1111,11 @@ object Dedup {
     cappedBucketPairs(df, mkBanded, Seq("band", "bucket"), Seq("sim"), maxBucketSize)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is pair-determined, so the result is
+      // identical and the cross-band pair-dedup exchange carries only
+      // verified pairs instead of every candidate
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup pairs: cosine >= threshold via LSH bucketing (same

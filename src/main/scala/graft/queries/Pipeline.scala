@@ -190,6 +190,29 @@ object Pipeline {
           len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) AS jaccard
         FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""")),
 
+    // ---- Exact n-gram CONTAINMENT (|A∩B| / |A|) on the same fixed pair
+    // set — the asymmetric overlap score fuzzy decontamination uses: a
+    // short eval doc fully inside a long training doc scores ~1.0 where
+    // Jaccard dilutes toward 0. Same verified-join machinery as the
+    // jaccard gate (candidate-scoped shingles, id-keyed attach joins). ----
+    QuerySpec("dedup_containment",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val ids = d.select(col("doc_id").as("id_a")).where(col("id_a") < 30)
+        val pairs = ids.crossJoin(d.select(col("doc_id").as("id_b")).where(col("id_b") < 30))
+          .where(col("id_a") < col("id_b"))
+        Dedup.ngramContainment(pairs, d, "doc_id", "text")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, $shingleSql AS s
+          FROM (SELECT doc_id, $toksSql AS tk, text FROM documents) WHERE doc_id < 30
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS containment,
+          len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) AS jaccard
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""")),
+
     // ---- SimHash near-dup (Hamming-LSH, maxHamming+1 bit-blocks => complete
     // candidate generation; DedupSuite asserts equality with brute-force
     // all-pairs Hamming). distance 4 = 5 bands of 12-13 bits: buckets stay

@@ -308,6 +308,25 @@ class DedupSuite extends SparkTestBase {
     assert(cliqueLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("ngramContainment: asymmetric overlap — a contained doc scores 1.0 where jaccard dilutes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                                  // short doc
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // superset of 1
+      (3L, "completely different words entirely here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val rows = Dedup.ngramContainment(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val (c12, j12) = rows((1L, 2L))
+    assert(c12 == 1.0, s"doc 1's shingles are all inside doc 2: containment must be 1.0, got $c12")
+    assert(j12 < 0.5, s"jaccard must dilute on the asymmetric pair, got $j12")
+    val (c13, _) = rows((1L, 3L))
+    assert(c13 == 0.0, "disjoint docs contain nothing")
+    // containment >= jaccard always (same numerator, |A| <= |A u B|)
+    rows.values.foreach { case (c, j) => assert(c >= j) }
+  }
+
   test("auto strategy: adversarial ~halving decay (balanced binary tree) stays bounded") {
     import spark.implicits._
     // A balanced binary tree is the adversarial decay curve for the

@@ -995,4 +995,60 @@ class LakeConcurrencySuite extends SparkTestBase {
         Seq((53L, 1)).toDF("id", "p"), None, "MERGE", scopeLowIds)
     }
   }
+
+  test("iceberg MoR: eq-delete conflict validation resolves from MANIFEST bounds — no delete-file read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.plans.LakeRowLevel
+    // r14: the upsert writer stamps per-key lower/upper bounds into the
+    // delete manifest entry, and the conflict validator prefers them over
+    // re-reading the delete parquet on every commit retry. Pin: with the
+    // winner's eq-delete PARQUET REMOVED from disk, a disjoint-key
+    // insert-only commit still succeeds (bounds prove the deletes
+    // invisible; the old path's read would fail and fall back to a
+    // conservative abort) — proof the fast path is live and file-free.
+    val (fqn, dir) = setupIcePart("ics14",
+      " TBLPROPERTIES ('write.update.mode' = 'merge-on-read', " +
+        "'write.delete.mode' = 'merge-on-read')")
+    // a LITERAL empty row-id frame: the scan-derived one would plan over
+    // the (deliberately removed) delete parquet and fail for the wrong
+    // reason — this test must exercise only the conflict validator
+    def emptyIds(h: graft.plans.LakeRowLevel.RowLevelHandle) =
+      Seq.empty[(String, Long)].toDF(LakeRowLevel.FileIdCol, LakeRowLevel.RowIxCol)
+    val idAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("id", org.apache.spark.sql.types.LongType)()
+    def scopeLowIds = LakeRowLevel.ReadScope(readWholeTable = false,
+      Seq(org.apache.spark.sql.catalyst.expressions.LessThan(idAttr,
+        org.apache.spark.sql.catalyst.expressions.Literal(6L))), Set.empty)
+    val h = staleHandle(fqn)
+    LakeNativeWrite.icebergEqUpsert(spark, dir,
+      Seq((20L, 7), (25L, 7)).toDF("id", "p"), Seq("id")) // keys 20..25, disjoint from id < 6
+    // remove the winner's delete parquet (and the local-FS .crc sidecar)
+    val dataDir = new java.io.File(new java.net.URI(dir.toUri.toString).getPath, "data")
+    val removed = dataDir.listFiles().filter(_.getName.startsWith("eqdelete-"))
+    assert(removed.nonEmpty, "expected a staged eqdelete parquet")
+    removed.foreach { f =>
+      assert(f.delete())
+      val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      if (crc.exists()) crc.delete()
+    }
+    // bounds [20, 25] vs read scope id < 6: provably disjoint WITHOUT the
+    // file — the commit must succeed
+    h.commitUpdateRows(spark, emptyIds(h),
+      Seq((54L, 1)).toDF("id", "p"), None, "MERGE", scopeLowIds)
+    // and an in-scope key must still conflict, also from bounds alone
+    val h2 = staleHandle(fqn)
+    LakeNativeWrite.icebergEqUpsert(spark, dir,
+      Seq((2L, 0)).toDF("id", "p"), Seq("id"))
+    new java.io.File(dataDir.getPath).listFiles()
+      .filter(_.getName.startsWith("eqdelete-")).foreach { f =>
+        f.delete()
+        val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete()
+      }
+    intercept[LakeConcurrency.ConcurrentDeleteReadException] {
+      h2.commitUpdateRows(spark, emptyIds(h2),
+        Seq((55L, 1)).toDF("id", "p"), None, "MERGE", scopeLowIds)
+    }
+  }
 }
