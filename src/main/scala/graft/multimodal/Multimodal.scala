@@ -10,27 +10,23 @@ import org.apache.spark.sql.types._
   * resize / frame-sample as BATCHED partition-local transforms.
   *
   * REAL decode paths (pure-JVM, no native libs): images via ImageIO, WAV
-  * PCM-16 via byte parsing, FLAC via the dependency-free [[FlacDecode]].
-  * Only the codecs that genuinely need native bindings (ffmpeg-class video,
-  * MP3/Opus payload decode) are STUBBED with deterministic byte-hash-derived
-  * outputs, clearly marked below. Everything Spark-side is real and tested:
+  * PCM-16 via byte parsing, FLAC via the dependency-free [[FlacDecode]],
+  * MP3 via [[Mp3Decode]]. Only the codecs that genuinely need native
+  * bindings (ffmpeg-class video, Opus) are STUBBED with deterministic
+  * byte-hash-derived outputs, clearly marked below. Everything Spark-side is real and tested:
   * the schema contract, the mapPartitions batching shape (the Scala
   * equivalent of Python's `mapInPandas` — batch in, batch out, no per-row
   * overhead), partition sizing, and the explode of per-frame rows.
   *
-  * Why MP3 stays a stub although a Layer III decoder is pure-JVM-feasible:
-  * unlike the codecs built natively here (FLAC/JBIG2/JPX/CCITT — whose
-  * tables are small, derivable, or cross-pinned from two independent code
-  * paths), MPEG-1 Layer III correctness hinges on ~2k entries of arbitrary
-  * spec table data (34 Huffman code tables, the 512-tap synthesis window,
-  * per-rate scalefactor bands) with NO ground truth available offline: no
-  * reference decoder, encoder, or known-good fixture exists in this
-  * environment, and a same-codebase encoder twin would round-trip cleanly
-  * even with mis-transcribed tables — exactly the shared-misreading
-  * circularity the round-trip-fixture caveat warns about. A decoder that
-  * cannot be validated decodes garbage with confidence; the honest stub
-  * (header/duration parsing IS real — frame headers, Xing/VBRI) stays
-  * until a validated fixture source is available.
+  * MP3 decodes for REAL since r14 ([[Mp3Decode]]): MPEG-1/2 Layer III with
+  * a VALIDATED-SUBSET posture — only Huffman tables whose transcription
+  * passes Kraft+prefix structural validation ship; frames selecting the
+  * unvalidatable ESC families reject cleanly rather than decode wrong.
+  * The r13 refusal rationale that stood here (no offline ground truth)
+  * was superseded by three validation legs that do not require one: the
+  * structural table checks, the per-granule bit-exact part2_3_length
+  * landing, and one real LAME stream found in the container — see the
+  * Mp3Decode header for the full argument and the documented residue.
   */
 object Multimodal {
 
@@ -178,14 +174,23 @@ object Multimodal {
       rmsWindows(pcm.samples.length, s => pcm.samples(s) / scale)
     }
 
+  /** REAL audio decode for MP3 payloads via [[Mp3Decode]] (MPEG-1/2 Layer
+    * III; see that file's validation posture) — same RMS windowing over the
+    * decoded 16-bit-range PCM. None for non-MP3 / undecodable bytes.
+    */
+  private[graft] def mp3Features(bytes: Array[Byte]): Option[Array[Float]] =
+    Mp3Decode.decode(bytes).filter(_.samples.nonEmpty).map { pcm =>
+      rmsWindows(pcm.samples.length, s => pcm.samples(s) / 32768.0)
+    }
+
   /** Batched feature extraction over the binary column: mapPartitions with an
     * explicit batch size — rows are decoded `batchSize` at a time (matching
     * how a native decoder amortizes setup), output is one feature vector per
     * row. The iterator never materializes the partition. Image rows decode
     * for REAL (ImageIO luminance grid), audio rows for REAL when they are
-    * RIFF/WAVE PCM-16 or FLAC ([[FlacDecode]]; RMS energy windows either
-    * way); video and other payloads fall back to the deterministic stub
-    * kernel (those codecs aren't in this container).
+    * RIFF/WAVE PCM-16, FLAC ([[FlacDecode]]) or MP3 ([[Mp3Decode]]; RMS
+    * energy windows either way); video and other payloads fall back to the
+    * deterministic stub kernel (those codecs aren't in this container).
     */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val outSchema = media.schema
@@ -201,6 +206,7 @@ object Multimodal {
             else r.getAs[String]("modality") match {
               case "image" => imageFeatures(bytes).getOrElse(fakeDecodeBatch(bytes))
               case "audio" => wavFeatures(bytes).orElse(flacFeatures(bytes))
+                .orElse(mp3Features(bytes))
                 .getOrElse(fakeDecodeBatch(bytes))
               case _ => fakeDecodeBatch(bytes)
             }
@@ -525,7 +531,9 @@ object Multimodal {
       case None => FlacDecode.decode(bytes).flatMap { pcm =>
         val scale = (1L << (pcm.bits - 1)).toDouble
         contour(pcm.samples.length, s => pcm.samples(s) / scale)
-      }
+      }.orElse(Mp3Decode.decode(bytes).flatMap { pcm =>
+        contour(pcm.samples.length, s => pcm.samples(s) / 32768.0)
+      })
     }
   }
 

@@ -489,6 +489,59 @@ object Pipeline {
           CAST(n_nationkey + 100 AS BIGINT) AS id_b
         FROM nation WHERE n_regionkey = 1 ORDER BY id_a""")),
 
+    // ---- PERCEPTUAL AUDIO DEDUP over REAL MP3 payloads: the same planted-
+    // pair design as multimodal_audio_dedup, but every payload is a Layer
+    // III stream ([[graft.multimodal.Mp3Encode]]) decoded for real by
+    // [[graft.multimodal.Mp3Decode]] inside the fingerprint path. MP3 is
+    // LOSSY, so the fixture is designed for margin: envelope amplitudes
+    // come from 4 discrete levels with adjacent contour windows forced to
+    // different levels (min energy ratio 1.86x), far above the combined
+    // per-granule global_gain grid wobble (2^±1/4) + |is|<=5 quantization
+    // noise (<=~1.7x worst case); the codec delay shifts both pair members
+    // identically, so the contour comparison bits still align. Gain
+    // invariance survives the codec because the quantizer scales step with
+    // the signal (same `is` values, shifted global_gain). ----
+    QuerySpec("multimodal_audio_mp3_dedup",
+      (s, dir) => {
+        def toneMp3(k: Long, gain: Double, glitch: Boolean): Array[Byte] = {
+          val rate = 32000; val n = rate // 1 s
+          val levels = Array(0.15, 0.35, 0.55, 0.75)
+          val lvl = new Array[Int](65)
+          var prevLvl = -1
+          for (w <- 0 until 65) {
+            var z = k * 0x9E3779B97F4A7C15L + w * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            var li = ((z >>> 40) & 3).toInt
+            if (li == prevLvl) li = (li + 1) & 3 // adjacent windows differ
+            lvl(w) = li; prevLvl = li
+          }
+          val pcm = new Array[Double](n)
+          for (i <- 0 until n) {
+            val w = i * 65 / n
+            val amp = if (glitch && w == 30) 0.0 else levels(lvl(w)) * gain
+            pcm(i) = amp * math.sin(2 * math.Pi * 440 * i / rate)
+          }
+          graft.multimodal.Mp3Encode.encode(Array(pcm), 32000)
+        }
+        val keys = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+          .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong))
+        val rows = keys.map { case (k, _) =>
+          org.apache.spark.sql.Row(k, toneMp3(k, 1.0, glitch = false)) } ++
+          keys.collect { case (k, r) if r == 1 =>
+            org.apache.spark.sql.Row(k + 100L, toneMp3(k, 0.6, glitch = true)) }
+        val media = s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.BinaryType))))
+        graft.multimodal.Multimodal.audioNearDuplicates(media, "id", "bytes", maxDistance = 4)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id_a,
+          CAST(n_nationkey + 100 AS BIGINT) AS id_b
+        FROM nation WHERE n_regionkey = 1 ORDER BY id_a""")),
+
     // ---- ANN: brute-force exact top-5 cosine neighbors for 20 query vectors.
     // Corpus never shuffles: queries broadcast, scoring is map-side codegen,
     // only k*|queries| rows reach the window. ----
