@@ -466,7 +466,8 @@ object Dedup {
 
   /** Retention policy over near-duplicate groups: keep the single best member
     * per group — highest `quality`, min-id tiebreak — with singletons keeping
-    * themselves. Composes [[minHashDuplicates]] -> [[duplicateGroups]] -> a
+    * themselves. Composes [[minHashDuplicateGroups]] (the exact-collapsed
+    * fused path — pair semantics identical, no quadratic clique pairs) -> a
     * per-group top-1 window, and is the pipeline-level entry point that
     * carries the cluster-deployment switches (`requireConvergence`,
     * `reliableCheckpoint`) down into the group resolver so deployments opt
@@ -482,9 +483,10 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = DefaultMaxBucketSize,
       maxIter: Int = 20, requireConvergence: Boolean = false,
       reliableCheckpoint: Boolean = false, strategy: String = "auto"): DataFrame = {
-    val groups = duplicateGroups(
-      minHashDuplicates(df, idCol, textCol, threshold, maxBucketSize = maxBucketSize),
-      maxIter, requireConvergence, reliableCheckpoint, strategy)
+    val groups = minHashDuplicateGroups(df, idCol, textCol, threshold,
+      maxBucketSize = maxBucketSize, maxIter = maxIter,
+      requireConvergence = requireConvergence,
+      reliableCheckpoint = reliableCheckpoint, strategy = strategy)
     val scored = df.select(col(idCol), quality.as("quality"))
       .join(groups.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
@@ -675,14 +677,111 @@ object Dedup {
       threshold: Double = 0.7, shingleSize: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val c = collapsedMinHash(df, idCol, textCol, threshold, shingleSize,
+      numHashes, bands, maxBucketSize)
+    // cross pairs: a rep-level pair expands to every member combination;
+    // the score carries EXACTLY (equal normText ⟹ equal shingle sets)
+    val withHashes = c.repPairs
+      .join(c.repHash.select(col("__rid").as("id_a"), col("__rh").as("__rha")), Seq("id_a"))
+      .join(c.repHash.select(col("__rid").as("id_b"), col("__rh").as("__rhb")), Seq("id_b"))
+    val cross = withHashes
+      .join(c.members.select(col("__rh").as("__rha"), col("__mid").as("__ma")), Seq("__rha"))
+      .join(c.members.select(col("__rh").as("__rhb"), col("__mid").as("__mb")), Seq("__rhb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    // intra pairs: members of one exact group verify to jaccard exactly 1.0
+    // (intersect/union of identical arrays), so they pass any threshold <= 1
+    if (threshold > 1.0) cross
+    else cross.unionByName(
+      c.members.select(col("__rh"), col("__mid").as("id_a"))
+        .join(c.members.select(col("__rh"), col("__mid").as("id_b")), Seq("__rh"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard")))
+  }
+
+  /** The exact-collapse core of [[minHashDuplicates]] /
+    * [[minHashDuplicateGroups]]: docs sharing one normalized text
+    * ([[normTextHash]] — the key every exact-dedup surface uses) share the
+    * SAME tokens, hence the same MinHash signature, band buckets, and
+    * shingle set, so the LSH + verify pipeline runs once per DISTINCT text
+    * and its result applies to every member verbatim. Without this, a
+    * corpus with large exact-duplicate cliques (boilerplate pages — the
+    * normal shape of a crawled corpus, and what key-shifted testdata
+    * replication produces at high SF) pays candidate generation and exact
+    * verification QUADRATIC in clique size: measured on the sf25 bench
+    * corpus (250-member cliques, ~155M candidate pairs), the uncollapsed
+    * dedup_groups warm-up ran 45+ minutes where sf5 took 35 s. Collapsed,
+    * the expensive stages run at distinct-text scale and only the final
+    * pair expansion — linear in the OUTPUT — touches member ids.
+    *
+    * Bucket-cap nuance, documented deliberately: the [[cappedBucketPairs]]
+    * hot-bucket guard now applies at REP level, where exact-dup piles no
+    * longer inflate buckets. A corpus whose MEMBER-level buckets would
+    * have tripped the cap (dropping pairs to star links) gets the complete
+    * pair set instead — strictly more complete output in a regime the old
+    * path had already degraded.
+    */
+  private case class CollapsedMinHash(repPairs: DataFrame, members: DataFrame,
+      repHash: DataFrame)
+
+  private def collapsedMinHash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int, numHashes: Int, bands: Int,
+      maxBucketSize: Int): CollapsedMinHash = {
+    // (hash, member id): 40 B/row — the only corpus-sized thing this path
+    // materializes. Null-text docs carry a null hash and fall out of every
+    // equi-join below, matching the old path (null shingles never paired).
+    val members = df
+      .select(normTextHash(textCol).as("__rh"), col(idCol).as("__mid"))
+      .localCheckpoint(true)
+    // one representative (min id) + its text per distinct normText; the
+    // partial aggregate dedups per partition first, so under a high dup
+    // rate the exchange carries far fewer texts than rows
+    val reps = df.groupBy(normTextHash(textCol).as("__rh"))
+      .agg(min(col(idCol)).as("__rid"),
+        min_by(col(textCol), col(idCol)).as("__rtext"))
+      .localCheckpoint(true)
+    val repDocs = reps.select(col("__rid").as(idCol), col("__rtext").as(textCol))
     // checkpointed: the verify stage consumes the candidate frame TWICE
     // (pair sides + the semi-join that restricts shingle building to
     // candidate docs) — without the checkpoint the banding/bucket-join
     // lineage would run once per consumer (the union-lineage lesson)
-    val cand = minHashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands, maxBucketSize)
-      .localCheckpoint(true)
-    val jac = ngramJaccard(cand, df, idCol, textCol, shingleSize)
-    jac.where(col("jaccard") >= threshold)
+    val cand = minHashCandidatePairs(repDocs, idCol, textCol, shingleSize,
+      numHashes, bands, maxBucketSize).localCheckpoint(true)
+    val repPairs = ngramJaccard(cand, repDocs, idCol, textCol, shingleSize)
+      .where(col("jaccard") >= threshold)
+    CollapsedMinHash(repPairs, members, reps.select(col("__rid"), col("__rh")))
+  }
+
+  /** Near-duplicate groups without materializing the quadratic pair set:
+    * connected components over rep-level pairs plus rep→member star edges.
+    * Output is IDENTICAL to
+    * `duplicateGroups(minHashDuplicates(df, ...), ...)` — every full-graph
+    * edge (x, y) is the path x–rep(x)–rep(y)–y in the collapsed graph and
+    * vice versa, so components (and their min-id labels, and the node set:
+    * every doc appearing in some qualifying pair) coincide — but the edge
+    * frame is |repPairs| + |members of non-singleton groups| instead of
+    * quadratic in clique sizes. This is the composition [[keepBest]] and
+    * the dedup_groups gates run at scale.
+    */
+  def minHashDuplicateGroups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleSize: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      maxIter: Int = 20, requireConvergence: Boolean = false,
+      reliableCheckpoint: Boolean = false, strategy: String = "auto"): DataFrame = {
+    val c = collapsedMinHash(df, idCol, textCol, threshold, shingleSize,
+      numHashes, bands, maxBucketSize)
+    // rep -> member star edges for multi-member exact groups (rep is the
+    // group's min id, so id_a = rep keeps the (id_a < id_b) pair contract)
+    val starEdges = c.members
+      .join(c.repHash, Seq("__rh"))
+      .where(col("__mid") =!= col("__rid"))
+      .select(col("__rid").as("id_a"), col("__mid").as("id_b"))
+    val edges = c.repPairs.select(col("id_a"), col("id_b")).unionByName(starEdges)
+    if (strategy == "star")
+      duplicateGroupsStar(edges, maxIter, requireConvergence, reliableCheckpoint)
+    else
+      duplicateGroups(edges, maxIter, requireConvergence, reliableCheckpoint, strategy)
   }
 
   // ---- Incremental ingest dedup: a NEW batch against an EXISTING corpus ----

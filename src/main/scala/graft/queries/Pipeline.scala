@@ -650,11 +650,9 @@ object Pipeline {
     // converges inside it), hash-matched against a DuckDB recursive-CTE
     // ground truth over the same brute-force pair set. ----
     QuerySpec("dedup_groups",
-      (s, dir) => {
-        val pairs = Dedup.minHashDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.7)
-        Dedup.duplicateGroups(pairs).orderBy(col("id"))
-      },
+      (s, dir) => Dedup.minHashDuplicateGroups(t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.7)
+        .orderBy(col("id")),
       Some(s"""WITH RECURSIVE sh AS (
           SELECT doc_id, $shingleSql AS s
           FROM (SELECT doc_id, $toksSql AS tk, text FROM documents)
@@ -678,11 +676,9 @@ object Pipeline {
     // diameter-bound). Connected components are unique, so the identical
     // recursive-CTE oracle pins both implementations to each other. ----
     QuerySpec("dedup_groups_star",
-      (s, dir) => {
-        val pairs = Dedup.minHashDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.7)
-        Dedup.duplicateGroupsStar(pairs).orderBy(col("id"))
-      },
+      (s, dir) => Dedup.minHashDuplicateGroups(t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.7, strategy = "star", maxIter = 35)
+        .orderBy(col("id")),
       Some(s"""WITH RECURSIVE sh AS (
           SELECT doc_id, $shingleSql AS s
           FROM (SELECT doc_id, $toksSql AS tk, text FROM documents)

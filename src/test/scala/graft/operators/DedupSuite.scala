@@ -449,6 +449,48 @@ class DedupSuite extends SparkTestBase {
     }
   }
 
+  test("exact-collapse: pairs and groups identical to the uncollapsed composition on a cliquey corpus") {
+    // Replicate the documents corpus 4x with key-shifted ids but VERBATIM
+    // text — the high-SF bench shape whose exact-dup cliques made the
+    // uncollapsed pipeline quadratic. The collapsed minHashDuplicates /
+    // minHashDuplicateGroups must reproduce the uncollapsed outputs
+    // EXACTLY (pair set, scores, group labels).
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 120)
+    val off = 100000L
+    val cliquey = (0 until 4).map(k =>
+      base.select((col("doc_id") + lit(k * off)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+
+    // uncollapsed reference: candidate pairs + verify, straight composition
+    val cand = Dedup.minHashCandidatePairs(cliquey, "doc_id", "text")
+      .localCheckpoint(true)
+    val refPairs = Dedup.ngramJaccard(cand, cliquey, "doc_id", "text")
+      .where(col("jaccard") >= 0.7)
+    val refSet = refPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+
+    val gotPairs = Dedup.minHashDuplicates(cliquey, "doc_id", "text", threshold = 0.7)
+    val gotSet = gotPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(gotSet == refSet,
+      s"collapsed pairs diverge: got=${gotSet.size} ref=${refSet.size} " +
+        s"onlyGot=${(gotSet -- refSet).take(3)} onlyRef=${(refSet -- gotSet).take(3)}")
+
+    val refGroups = Dedup.duplicateGroups(refPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotGroups = Dedup.minHashDuplicateGroups(cliquey, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotGroups == refGroups,
+      s"collapsed groups diverge: got=${gotGroups.size} ref=${refGroups.size}")
+
+    // star strategy too (the wide-graph scale path)
+    val gotStar = Dedup.minHashDuplicateGroups(cliquey, "doc_id", "text",
+      threshold = 0.7, strategy = "star", maxIter = 35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotStar == refGroups, "star-strategy fused groups diverge")
+  }
+
   test("duplicateGroups resolves chains and separate components") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
