@@ -203,5 +203,17 @@ object DedupScaleBench {
     Seq(1000000L).foreach { n =>
       Seq("star", "minLabel", "auto").foreach(v => run("hub", n, v, hub(n)))
     }
+    // balanced binary tree: the ADVERSARIAL decay curve for the auto rule —
+    // each min-label round roughly halves the changed count, so the
+    // "below half = still converging" test never fires and auto rides
+    // min-label to its round budget before star closes the remainder
+    // (suite twin: DedupSuite "adversarial ~halving decay"). Diameter
+    // 2*log2(n), so rounds stay bounded either way; the row exists so a
+    // future decay-rule tuning can't silently regress this shape.
+    def tree(n: Long): DataFrame = spark.range(1, n)
+      .select(((col("id") - 1) / lit(2)).cast("long").as("id_a"), col("id").as("id_b"))
+    Seq(10000L, 1000000L).foreach { n =>
+      Seq("star", "auto").foreach(v => run("tree", n, v, tree(n)))
+    }
   }
 }
