@@ -296,6 +296,31 @@ class Mp3Suite extends AnyFunSuite {
     assert(snr > 12.0, f"short-block SNR $snr%.1f dB")
   }
 
+  test("fuzz: random and truncated bytes never throw, hang, or emit bogus PCM") {
+    val rnd = new scala.util.Random(42)
+    // pure noise — must return None (no sync) or decode nothing
+    for (_ <- 0 until 20) {
+      val junk = Array.fill(rnd.nextInt(4000) + 16)(rnd.nextInt(256).toByte)
+      Mp3Decode.decode(junk) // must not throw
+    }
+    // a valid twin stream truncated at every byte boundary near frame edges
+    val x = Array.tabulate(576 * 4)(t => 0.5 * math.sin(2 * math.Pi * 440.0 / 48000.0 * t))
+    val good = encode(Array(x))
+    for (cut <- Seq(1, 3, 963, 959, good.length - 1, good.length - 400)) {
+      val t = java.util.Arrays.copyOf(good, cut)
+      Mp3Decode.decode(t) // must not throw; partial decode is fine
+    }
+    // bit-flip storm over a valid stream: decoder must survive every variant
+    for (_ <- 0 until 30) {
+      val mut = good.clone()
+      for (_ <- 0 until 8) {
+        val p = rnd.nextInt(mut.length)
+        mut(p) = (mut(p) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      Mp3Decode.decode(mut) // corrupt granules skip; never an exception
+    }
+  }
+
   test("rejects Layer II, free-format, and unvalidated-table frames cleanly") {
     // Layer II header
     val l2 = Array[Byte](0xFF.toByte, 0xFD.toByte, 0xE4.toByte, 0xC0.toByte) ++
