@@ -296,6 +296,36 @@ class Mp3Suite extends AnyFunSuite {
     assert(snr > 12.0, f"short-block SNR $snr%.1f dB")
   }
 
+  test("MPEG-1 intensity stereo: tampered mode_ext decodes, conserves energy, never throws") {
+    // No encoder twin emits intensity, so this pins the DECODE path only:
+    // rewrite the twin's joint-stereo frames from mode_ext=MS (2) to
+    // MS+intensity (3). Bands below the right channel's rzero decode as
+    // before; bands above it pan by is_pos — with zero scalefactors every
+    // is_pos is 0 (ratio tan(0)=0), a legal stream whose output must stay
+    // finite and roughly energy-conserving vs the MS decode.
+    val n = 576 * 6
+    val l = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 440.0 / 48000.0 * t))
+    val r = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 554.37 / 48000.0 * t))
+    val ms = encode(Array(l, r), ms = true)
+    val tampered = ms.clone()
+    var i = 0
+    while (i + 4 <= tampered.length) {
+      if ((tampered(i) & 0xff) == 0xff && (tampered(i + 1) & 0xe0) == 0xe0) {
+        // byte 3: mode(2) modeExt(2) copy orig emph — set modeExt bit 0
+        tampered(i + 3) = (tampered(i + 3) | 0x10).toByte
+        i += 960 // fixed 320 kbps @ 48 kHz twin frames
+      } else i += 1
+    }
+    val pcm = Mp3Decode.decode(tampered)
+    assert(pcm.isDefined && pcm.get.channels == 2, "intensity stream must decode")
+    val msPcm = Mp3Decode.decode(ms).get
+    def energy(p: Mp3Decode.Pcm): Double =
+      p.samples.map(v => (v / 32768.0) * (v / 32768.0)).sum
+    val eI = energy(pcm.get); val eM = energy(msPcm)
+    assert(eI.isFinite && eI > 0, "intensity decode must be finite, nonzero")
+    assert(eI < eM * 4 && eI > eM / 4, f"energy off: intensity=$eI%.1f ms=$eM%.1f")
+  }
+
   test("fuzz: random and truncated bytes never throw, hang, or emit bogus PCM") {
     val rnd = new scala.util.Random(42)
     // pure noise — must return None (no sync) or decode nothing
