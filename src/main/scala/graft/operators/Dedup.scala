@@ -679,24 +679,53 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val c = collapsedMinHash(df, idCol, textCol, threshold, shingleSize,
       numHashes, bands, maxBucketSize)
-    // cross pairs: a rep-level pair expands to every member combination;
-    // the score carries EXACTLY (equal normText ⟹ equal shingle sets)
+    // Oversized-clique guard: the pre-collapse path bounded pair OUTPUT via
+    // the member-level bucket cap (hot buckets degraded to star links); the
+    // collapsed path must reapply that bound at EXPANSION or one
+    // boilerplate clique of m identical texts re-inflates the output to
+    // O(m^2) — the exact shape the collapse exists for. Exact groups larger
+    // than maxBucketSize therefore expand through their representative
+    // only: cross pairs carry the rep (one row per counterpart member),
+    // intra pairs degrade to rep->member star links — O(m) output, with
+    // duplicate-group connectivity preserved exactly (rep links every
+    // member at jaccard 1.0). Groups within the cap expand in full.
+    val sized = c.members.join(
+      c.repHash.select(col("__rh"), col("__rid"), col("__rn")), Seq("__rh"))
+    val expandMembers =
+      if (maxBucketSize == Int.MaxValue) c.members
+      else sized.where(col("__rn") <= maxBucketSize || col("__mid") === col("__rid"))
+        .select(col("__rh"), col("__mid"))
+    // cross pairs: a rep-level pair expands to every (surviving) member
+    // combination; the score carries EXACTLY (equal normText ⟹ equal
+    // shingle sets)
     val withHashes = c.repPairs
       .join(c.repHash.select(col("__rid").as("id_a"), col("__rh").as("__rha")), Seq("id_a"))
       .join(c.repHash.select(col("__rid").as("id_b"), col("__rh").as("__rhb")), Seq("id_b"))
     val cross = withHashes
-      .join(c.members.select(col("__rh").as("__rha"), col("__mid").as("__ma")), Seq("__rha"))
-      .join(c.members.select(col("__rh").as("__rhb"), col("__mid").as("__mb")), Seq("__rhb"))
+      .join(expandMembers.select(col("__rh").as("__rha"), col("__mid").as("__ma")), Seq("__rha"))
+      .join(expandMembers.select(col("__rh").as("__rhb"), col("__mid").as("__mb")), Seq("__rhb"))
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
     // intra pairs: members of one exact group verify to jaccard exactly 1.0
     // (intersect/union of identical arrays), so they pass any threshold <= 1
     if (threshold > 1.0) cross
-    else cross.unionByName(
-      c.members.select(col("__rh"), col("__mid").as("id_a"))
-        .join(c.members.select(col("__rh"), col("__mid").as("id_b")), Seq("__rh"))
+    else {
+      val smallMembers =
+        if (maxBucketSize == Int.MaxValue) c.members
+        else sized.where(col("__rn") <= maxBucketSize)
+          .select(col("__rh"), col("__mid"))
+      val intraFull = smallMembers.select(col("__rh"), col("__mid").as("id_a"))
+        .join(smallMembers.select(col("__rh"), col("__mid").as("id_b")), Seq("__rh"))
         .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard")))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      val intra =
+        if (maxBucketSize == Int.MaxValue) intraFull
+        else intraFull.unionByName(
+          sized.where(col("__rn") > maxBucketSize && col("__mid") =!= col("__rid"))
+            .select(col("__rid").as("id_a"), col("__mid").as("id_b"),
+              lit(1.0).as("jaccard")))
+      cross.unionByName(intra)
+    }
   }
 
   /** The exact-collapse core of [[minHashDuplicates]] /
@@ -714,19 +743,32 @@ object Dedup {
     * the expensive stages run at distinct-text scale and only the final
     * pair expansion — linear in the OUTPUT — touches member ids.
     *
-    * Bucket-cap nuance, documented deliberately: the [[cappedBucketPairs]]
-    * hot-bucket guard now applies at REP level, where exact-dup piles no
-    * longer inflate buckets. A corpus whose MEMBER-level buckets would
-    * have tripped the cap (dropping pairs to star links) gets the complete
-    * pair set instead — strictly more complete output in a regime the old
-    * path had already degraded.
+    * Bucket-cap nuance: the [[cappedBucketPairs]] hot-bucket guard applies
+    * at REP level (exact-dup piles no longer inflate buckets), and
+    * `maxBucketSize` is REAPPLIED at pair expansion — exact groups larger
+    * than the cap expand through their representative as star links (see
+    * [[minHashDuplicates]]), so the cap bounds pair OUTPUT exactly as the
+    * old member-level guard did. A corpus whose member-level buckets would
+    * have tripped the cap only through DISTINCT near-dup texts (not exact
+    * piles) gets the complete pair set — strictly more complete output in
+    * a regime the old path had already degraded.
     */
   private case class CollapsedMinHash(repPairs: DataFrame, members: DataFrame,
       repHash: DataFrame)
 
-  private def collapsedMinHash(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleSize: Int, numHashes: Int, bands: Int,
-      maxBucketSize: Int): CollapsedMinHash = {
+  /** The exact-collapse substrate shared by the MinHash and SimHash group
+    * paths: per-document (normTextHash, id) member rows plus one
+    * representative (min id, its text, and the group SIZE) per distinct
+    * normalized text. Both frames are checkpointed — every consumer joins
+    * them at least twice.
+    */
+  private case class ExactCollapse(members: DataFrame, reps: DataFrame) {
+    /** Representative documents, shaped like the caller's input. */
+    def repDocs(idCol: String, textCol: String): DataFrame =
+      reps.select(col("__rid").as(idCol), col("__rtext").as(textCol))
+  }
+
+  private def exactCollapse(df: DataFrame, idCol: String, textCol: String): ExactCollapse = {
     // (hash, member id): 40 B/row — the only corpus-sized thing this path
     // materializes. Null-text docs carry a null hash and fall out of every
     // equi-join below, matching the old path (null shingles never paired).
@@ -735,12 +777,24 @@ object Dedup {
       .localCheckpoint(true)
     // one representative (min id) + its text per distinct normText; the
     // partial aggregate dedups per partition first, so under a high dup
-    // rate the exchange carries far fewer texts than rows
+    // rate the exchange carries far fewer texts than rows. The member count
+    // rides the same aggregate for free — it is what the oversized-clique
+    // guard in the pair-expansion stages keys on.
     val reps = df.groupBy(normTextHash(textCol).as("__rh"))
       .agg(min(col(idCol)).as("__rid"),
-        min_by(col(textCol), col(idCol)).as("__rtext"))
+        min_by(col(textCol), col(idCol)).as("__rtext"),
+        count(lit(1)).as("__rn"))
       .localCheckpoint(true)
-    val repDocs = reps.select(col("__rid").as(idCol), col("__rtext").as(textCol))
+    ExactCollapse(members, reps)
+  }
+
+  private def collapsedMinHash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int, numHashes: Int, bands: Int,
+      maxBucketSize: Int): CollapsedMinHash = {
+    val ec = exactCollapse(df, idCol, textCol)
+    val members = ec.members
+    val reps = ec.reps
+    val repDocs = ec.repDocs(idCol, textCol)
     // checkpointed: the verify stage consumes the candidate frame TWICE
     // (pair sides + the semi-join that restricts shingle building to
     // candidate docs) — without the checkpoint the banding/bucket-join
@@ -749,7 +803,8 @@ object Dedup {
       numHashes, bands, maxBucketSize).localCheckpoint(true)
     val repPairs = ngramJaccard(cand, repDocs, idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
-    CollapsedMinHash(repPairs, members, reps.select(col("__rid"), col("__rh")))
+    CollapsedMinHash(repPairs, members,
+      reps.select(col("__rid"), col("__rh"), col("__rn")))
   }
 
   /** Near-duplicate groups without materializing the quadratic pair set:
@@ -778,11 +833,25 @@ object Dedup {
       .where(col("__mid") =!= col("__rid"))
       .select(col("__rid").as("id_a"), col("__mid").as("id_b"))
     val edges = c.repPairs.select(col("id_a"), col("id_b")).unionByName(starEdges)
+    dispatchGroups(edges, maxIter, requireConvergence, reliableCheckpoint, strategy)
+  }
+
+  /** Strategy dispatch shared by the collapsed group paths.
+    * `strategy = "star"` ALWAYS runs under [[duplicateGroupsStar]]'s
+    * converge-or-throw contract (its own default), regardless of
+    * `requireConvergence` — a non-converged star run silently returning
+    * partially merged groups is the failure mode the contract exists to
+    * surface; call [[duplicateGroupsStar]] directly to opt out.
+    * `requireConvergence` governs the minLabel/auto paths as before.
+    */
+  private def dispatchGroups(edges: DataFrame, maxIter: Int,
+      requireConvergence: Boolean, reliableCheckpoint: Boolean,
+      strategy: String): DataFrame =
     if (strategy == "star")
-      duplicateGroupsStar(edges, maxIter, requireConvergence, reliableCheckpoint)
+      duplicateGroupsStar(edges, maxIter, requireConvergence = true,
+        reliableCheckpoint)
     else
       duplicateGroups(edges, maxIter, requireConvergence, reliableCheckpoint, strategy)
-  }
 
   // ---- Incremental ingest dedup: a NEW batch against an EXISTING corpus ----
 
@@ -1189,6 +1258,15 @@ object Dedup {
     *                  oracle can recompute the simhashes bit-for-bit; the
     *                  banding stays complete either way (pigeonhole — it does
     *                  not depend on the hash function)
+    *
+    * OUTPUT-SIZE CONTRACT: this operator MATERIALIZES every near-dup pair,
+    * and exact duplicates are Hamming distance 0, so a boilerplate clique of
+    * m identical texts contributes m*(m-1)/2 rows — quadratic in clique
+    * size BY CONTRACT (each pair costs an O(1) popcount, but the output
+    * itself detonates on crawled corpora at scale). Consumers that want
+    * GROUPS — the usual reason to enumerate pairs — must use
+    * [[simHashDuplicateGroups]], which exact-collapses first and never
+    * materializes intra-clique pairs.
     */
   def simHashDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
@@ -1215,6 +1293,38 @@ object Dedup {
       // verified pairs instead of every candidate
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** SimHash near-duplicate GROUPS without materializing the quadratic pair
+    * set — the exact-collapse composition [[collapsedMinHash]] pioneered,
+    * applied to the Hamming path. SimHash is a function of the token
+    * multiset, and equal normalized text ([[normTextHash]]) ⟹ equal tokens
+    * ⟹ equal simhash ⟹ Hamming distance 0 ≤ any `maxHamming`, so every
+    * intra-clique edge of the full graph is subsumed by rep→member star
+    * edges and every cross-clique edge (x, y) has the same Hamming distance
+    * as (rep(x), rep(y)). Components — and their min-id labels, and the
+    * node set (every doc appearing in some qualifying pair) — therefore
+    * EQUAL `duplicateGroups(simHashDuplicates(df, ...))` (suite-pinned),
+    * but banding, bucket self-join, and popcount verification run at
+    * DISTINCT-text scale and the edge frame is |repPairs| + |members of
+    * non-singleton exact groups| instead of quadratic in clique sizes.
+    */
+  def simHashDuplicateGroups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
+      portable: Boolean = false,
+      maxIter: Int = 20, requireConvergence: Boolean = false,
+      reliableCheckpoint: Boolean = false, strategy: String = "auto"): DataFrame = {
+    val ec = exactCollapse(df, idCol, textCol)
+    val repPairs = simHashDuplicates(ec.repDocs(idCol, textCol), idCol, textCol,
+      maxHamming, maxBucketSize, portable)
+    // rep -> member star edges for multi-member exact groups (rep is the
+    // group's min id, so id_a = rep keeps the (id_a < id_b) pair contract)
+    val starEdges = ec.members
+      .join(ec.reps.select(col("__rh"), col("__rid")), Seq("__rh"))
+      .where(col("__mid") =!= col("__rid"))
+      .select(col("__rid").as("id_a"), col("__mid").as("id_b"))
+    val edges = repPairs.select(col("id_a"), col("id_b")).unionByName(starEdges)
+    dispatchGroups(edges, maxIter, requireConvergence, reliableCheckpoint, strategy)
   }
 
   /** Embedding near-dup pairs: cosine >= threshold via LSH bucketing (same

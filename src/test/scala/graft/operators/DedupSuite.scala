@@ -491,6 +491,65 @@ class DedupSuite extends SparkTestBase {
     assert(gotStar == refGroups, "star-strategy fused groups diverge")
   }
 
+  test("simhash exact-collapse: groups identical to the uncollapsed composition on a cliquey corpus") {
+    // Same cliquey shape as the minhash collapse pin: 4x verbatim-replicated
+    // docs. simHashDuplicateGroups (collapse-first) must equal
+    // duplicateGroups(simHashDuplicates(...)) exactly — simhash is a
+    // function of the token multiset, so exact dups share a simhash.
+    val base = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 120)
+    val off = 100000L
+    val cliquey = (0 until 4).map(k =>
+      base.select((col("doc_id") + lit(k * off)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val refGroups = Dedup.duplicateGroups(
+        Dedup.simHashDuplicates(cliquey, "doc_id", "text", maxHamming = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotGroups = Dedup.simHashDuplicateGroups(cliquey, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotGroups == refGroups,
+      s"collapsed simhash groups diverge: got=${gotGroups.size} ref=${refGroups.size}")
+    // star strategy too
+    val gotStar = Dedup.simHashDuplicateGroups(cliquey, "doc_id", "text",
+      maxHamming = 4, strategy = "star", maxIter = 35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotStar == refGroups, "star-strategy collapsed simhash groups diverge")
+  }
+
+  test("minHashDuplicates caps oversized exact cliques to star pairs (bounded output, same groups)") {
+    import spark.implicits._
+    // one exact clique of 12 identical texts (over the cap of 5), one small
+    // clique of 3 (under the cap), and a near-dup partner of the big clique
+    val bigText = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val nearText = "the quick brown fox jumps over the lazy dog again and again today"
+    val smallText = "an entirely different document about spark shuffles and partitions"
+    val rows = (1L to 12L).map(i => (i, bigText)) ++
+      Seq((50L, nearText)) ++ (60L to 62L).map(i => (i, smallText))
+    val df = rows.toDF("doc_id", "text")
+    val capped = Dedup.minHashDuplicates(df, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // intra pairs of the 12-clique degrade to rep(1) -> member star links
+    val bigIntra = capped.filter { case (a, b) => a <= 12 && b <= 12 }
+    assert(bigIntra == (2L to 12L).map(m => (1L, m)).toSet,
+      s"oversized clique must star-link through its rep: $bigIntra")
+    // cross pairs to the near-dup partner ride the rep only
+    val cross = capped.filter { case (a, b) => b == 50L || a == 50L }
+    assert(cross == Set((1L, 50L)), s"cross pairs must carry the rep only: $cross")
+    // the under-cap clique keeps its full expansion
+    val smallIntra = capped.filter { case (a, b) => a >= 60 && b >= 60 }
+    assert(smallIntra == Set((60L, 61L), (60L, 62L), (61L, 62L)))
+    // connectivity is preserved exactly: groups equal the uncapped answer
+    val refGroups = Dedup.duplicateGroups(
+        Dedup.minHashDuplicates(df, "doc_id", "text", threshold = 0.5,
+          maxBucketSize = Int.MaxValue).select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotGroups = Dedup.minHashDuplicateGroups(df, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotGroups == refGroups,
+      s"capped groups diverge: got=$gotGroups ref=$refGroups")
+  }
+
   test("duplicateGroups resolves chains and separate components") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
