@@ -1,10 +1,11 @@
 package graft.multimodal
 
 /** Dependency-free MPEG audio Layer III (MP3) decoder for the multimodal
-  * feature path: MPEG-1 (ISO/IEC 11172-3) and MPEG-2 LSF (ISO/IEC 13818-3)
-  * Layer III, mono and stereo (LR / MS / MPEG-1 intensity), long, short,
-  * start/stop and MPEG-1 mixed blocks, with the bit reservoir honored
-  * across frames.
+  * feature path: MPEG-1 (ISO/IEC 11172-3), MPEG-2 LSF (ISO/IEC 13818-3),
+  * and MPEG-2.5 (the Fraunhofer de-facto low-rate extension: header
+  * version bits 00, sample rates 11025/12000/8000) Layer III, mono and
+  * stereo (LR / MS / MPEG-1 intensity), long, short, start/stop and MPEG-1
+  * mixed blocks, with the bit reservoir honored across frames.
   *
   * VALIDATION POSTURE (the honest version of the r13 "MP3 stays a stub"
   * doc, which this file supersedes): the container has no reference MP3
@@ -48,9 +49,25 @@ package graft.multimodal
   * this magnitude. Swap in the ISO table if a validated source appears.
   *
   * Residue (all reject to None / frame skip, never wrong samples):
-  * Layer I/II, free-format streams, MPEG-2.5, LSF intensity stereo,
-  * LSF mixed blocks, and frames selecting the unvalidated Huffman tables
-  * listed above.
+  * Layer I/II, free-format streams, LSF intensity stereo, LSF mixed
+  * blocks, MPEG-1 intensity on short blocks, and frames selecting the
+  * unvalidated Huffman tables listed above.
+  *
+  * Why the ESC/high-energy Huffman tables stay out (the honest blocker,
+  * recorded after an exhaustive container search): tables 8, 10-15 and the
+  * ESC families 16-31 are 36-to-256-entry committee data with NO offline
+  * source in this environment — no decoder source tree, no conformance
+  * stream, and the one external fixture (a LAME LSF silence stream) never
+  * selects them. The structural checks (Kraft equality, prefix-freeness)
+  * can validate that a transcription IS a prefix code but cannot
+  * distinguish the ISO assignment from a permuted one, and for tables this
+  * size a from-memory transcription would be guesswork that the encoder
+  * twin — built from the same guess — could not falsify. A wrong-but-valid
+  * table whose codeword LENGTHS match the spec decodes real streams to
+  * confidently wrong PCM with clean bit-landings, which is exactly the
+  * failure mode this file's contract forbids. They ship the day a
+  * validated source (spec text, reference decoder, or a conformance
+  * bitstream to constraint-solve against) is available.
   *
   * Reference parity note: zetaris/lightning-metastore reads audio through
   * external jars; this path has no reference counterpart (same posture as
@@ -158,14 +175,28 @@ object Mp3Decode {
     cum(Array(4,4,4,4,6,6,10,12,14,16,20,26,66)),
     cum(Array(4,4,4,4,6,8,12,16,20,26,34,42,12)))
   // MPEG-2 LSF: 0=22050, 1=24000, 2=16000 (16 kHz shares the 22.05 table)
+  /** LSF scalefactor bands, rows 0-2 = MPEG-2 22050/24000/16000
+    * (ISO 13818-3). Rows 3-5 = MPEG-2.5 11025/12000/8000 — MPEG-2.5 is the
+    * Fraunhofer de-facto extension (no ISO text); its band tables are the
+    * implementation-consensus assignment: 11025 and 12000 share the 22050
+    * table, 8000 has its own (every width doubled up to band 16, then five
+    * 2-wide tail bands). All six rows pass the suite's structural check
+    * (monotone, sum exactly 576).
+    */
   private[multimodal] val sfbLongM2: Array[Array[Int]] = Array(
     cum(Array(6,6,6,6,6,6,8,10,12,14,16,20,24,28,32,38,46,52,60,68,58,54)),
     cum(Array(6,6,6,6,6,6,8,10,12,14,16,18,22,26,32,38,46,54,62,70,76,36)),
-    cum(Array(6,6,6,6,6,6,8,10,12,14,16,20,24,28,32,38,46,52,60,68,58,54)))
+    cum(Array(6,6,6,6,6,6,8,10,12,14,16,20,24,28,32,38,46,52,60,68,58,54)),
+    cum(Array(6,6,6,6,6,6,8,10,12,14,16,20,24,28,32,38,46,52,60,68,58,54)),
+    cum(Array(6,6,6,6,6,6,8,10,12,14,16,20,24,28,32,38,46,52,60,68,58,54)),
+    cum(Array(12,12,12,12,12,12,16,20,24,28,32,40,48,56,64,76,90,2,2,2,2,2)))
   private[multimodal] val sfbShortM2: Array[Array[Int]] = Array(
     cum(Array(4,4,4,6,6,8,10,14,18,26,32,42,18)),
     cum(Array(4,4,4,6,8,10,12,14,18,24,32,44,12)),
-    cum(Array(4,4,4,6,8,10,12,14,18,24,30,40,18)))
+    cum(Array(4,4,4,6,8,10,12,14,18,24,30,40,18)),
+    cum(Array(4,4,4,6,6,8,10,14,18,26,32,42,18)),
+    cum(Array(4,4,4,6,6,8,10,14,18,26,32,42,18)),
+    cum(Array(8,8,8,12,16,20,24,28,36,2,2,2,26)))
 
   /** MPEG-1 scalefac_compress -> (slen1, slen2) (Table B.6). */
   private val slenM1: Array[(Int, Int)] = Array(
@@ -288,11 +319,14 @@ object Mp3Decode {
     preflag: Boolean, scalefacScale: Int, count1Table: Int)
 
   private final case class FrameInfo(
-    mpeg1: Boolean, srIdx: Int, sampleRate: Int, channels: Int,
+    mpeg1: Boolean,
+    srIdx: Int, // sfb-TABLE index: header srIdx, +3 for MPEG-2.5 (rows 3-5)
+    sampleRate: Int, channels: Int,
     mode: Int, modeExt: Int, mainDataBegin: Int,
     scfsi: Array[Array[Int]], // [ch][4], MPEG-1 only
     granules: Array[Array[GranuleChannel]], // [gr][ch]
-    mainData: Array[Byte])
+    mainData: Array[Byte],
+    preLen: Int) // header + CRC + side-info bytes (frame offset of mainData)
 
   private def parseSideInfo(br: BitReader, mpeg1: Boolean, channels: Int): Option[(Int, Array[Array[Int]], Array[Array[GranuleChannel]])] = {
     val mainDataBegin = br.u(if (mpeg1) 9 else 8)
@@ -371,10 +405,14 @@ object Mp3Decode {
         val prot = h1 & 1
         val brIdx = (h2 >> 4) & 0xf; val srIdx = (h2 >> 2) & 3; val pad = (h2 >> 1) & 1
         val mode = (h3 >> 6) & 3; val modeExt = (h3 >> 4) & 3
-        // MPEG-1 (3) or MPEG-2 LSF (2) Layer III (1) only; no free-format
-        if ((verBits == 3 || verBits == 2) && layerBits == 1 && brIdx != 0 && brIdx != 15 && srIdx != 3) {
+        // MPEG-1 (3), MPEG-2 LSF (2), or MPEG-2.5 (0) Layer III (1) only;
+        // verBits == 1 is reserved; no free-format
+        if (verBits != 1 && layerBits == 1 && brIdx != 0 && brIdx != 15 && srIdx != 3) {
           val mpeg1 = verBits == 3
-          val rate = (if (mpeg1) Array(44100, 48000, 32000) else Array(22050, 24000, 16000))(srIdx)
+          val mpeg25 = verBits == 0
+          val rate = (if (mpeg1) Array(44100, 48000, 32000)
+                      else if (mpeg25) Array(11025, 12000, 8000)
+                      else Array(22050, 24000, 16000))(srIdx)
           val kbps = (if (mpeg1) Array(0,32,40,48,56,64,80,96,112,128,160,192,224,256,320)
                       else Array(0,8,16,24,32,40,48,56,64,80,96,112,128,144,160))(brIdx)
           val frameLen = (if (mpeg1) 144 else 72) * kbps * 1000 / rate + pad
@@ -388,8 +426,9 @@ object Mp3Decode {
               case Some((mdb, scfsi, grs)) =>
                 val mdOff = i + 4 + crcLen + sideLen
                 val md = java.util.Arrays.copyOfRange(bytes, mdOff, i + frameLen)
-                out += FrameInfo(mpeg1, srIdx, rate, channels, mode, modeExt,
-                  mdb, scfsi, grs, md)
+                out += FrameInfo(mpeg1, srIdx + (if (mpeg25) 3 else 0), rate,
+                  channels, mode, modeExt, mdb, scfsi, grs, md,
+                  4 + crcLen + sideLen)
                 i += frameLen
               case None =>
                 i += 1
@@ -745,18 +784,37 @@ object Mp3Decode {
     }
   }
 
-  /** MPEG-1 intensity stereo (ISO 2.4.3.4.9.3): bands above the right
-    * channel's rzero get panned from the left channel by is_pos.
+  /** MPEG-1 intensity stereo (ISO 2.4.3.4.9.3): bands at/above the right
+    * channel's rzero (rounded up to an sfb boundary) pan from the left
+    * channel by is_pos; bands BELOW that boundary decode as MS when
+    * mode_ext = 3 (MS+intensity) or plain LR when mode_ext = 1. Returns
+    * false for intensity+short frames — the per-window band structure is
+    * documented residue, and the contract is reject, never wrong samples.
     */
   private def applyIntensityM1(g1: GranuleChannel, sfRight: Array[Int],
       sfShortRight: Array[Array[Int]], srIdx: Int, msAlso: Boolean,
-      left: Array[Double], right: Array[Double]): Unit = {
+      left: Array[Double], right: Array[Double]): Boolean = {
     val sfbLong = sfbLongM1(srIdx)
     // rzero boundary of the right channel
     var rzero = 576
     while (rzero > 0 && right(rzero - 1) == 0.0) rzero -= 1
     val isShort = g1.windowSwitching && g1.blockType == 2
-    if (isShort) return // intensity+short: rare; keep MS/LR result as-is
+    if (isShort) return false // intensity+short: documented residue
+    if (msAlso) {
+      // MS applies below the intensity region's first band (mode_ext = 3)
+      var bound = 576
+      var b = 0
+      while (b < 22) {
+        if (sfbLong(b) >= rzero) { bound = sfbLong(b); b = 22 } else b += 1
+      }
+      var i = 0
+      while (i < bound) {
+        val m = left(i); val s = right(i)
+        left(i) = (m + s) * invSqrt2
+        right(i) = (m - s) * invSqrt2
+        i += 1
+      }
+    }
     var band = 0
     while (band < 22) {
       val start = sfbLong(band); val end = sfbLong(band + 1)
@@ -782,6 +840,7 @@ object Mp3Decode {
       }
       band += 1
     }
+    true
   }
 
   // ------------------------------------------------------------------
@@ -799,12 +858,16 @@ object Mp3Decode {
       // spurious granule of silence)
       val frames = frames0 match {
         case head +: rest =>
-          // Xing/Info sits at main-data offset 0; VBRI at frame offset 36
-          // (a few bytes into main data depending on side-info size) —
-          // scanning the head is simpler and catches both
-          val head40 = new String(head.mainData.take(40).toArray, "ISO-8859-1")
-          if (head40.startsWith("Xing") || head40.startsWith("Info") ||
-              head40.contains("VBRI")) rest
+          // exact spec offsets only — a real audio frame whose compressed
+          // bytes happen to contain these ASCII sequences must NOT drop:
+          // Xing/Info sits at main-data offset 0, VBRI at FRAME offset 36
+          // (i.e. main-data offset 36 - header/CRC/side-info length)
+          val md = head.mainData
+          def tagAt(off: Int, s: String): Boolean =
+            off >= 0 && off + s.length <= md.length &&
+              (0 until s.length).forall(k => (md(off + k) & 0xff) == s.charAt(k).toInt)
+          if (tagAt(0, "Xing") || tagAt(0, "Info") ||
+              tagAt(36 - head.preLen, "VBRI")) rest
           else frames0
         case _ => frames0
       }
@@ -873,18 +936,21 @@ object Mp3Decode {
                         if (channels == 2) {
                           val ms = (f.mode == 1) && (f.modeExt & 2) == 2
                           val intens = (f.mode == 1) && (f.modeExt & 1) == 1
-                          if (intens && f.mpeg1)
-                            applyIntensityM1(f.granules(gr)(1), sfLong, sfShort,
-                              f.srIdx, ms, xrCh(0), xrCh(1))
-                          else if (ms) applyMs(xrCh(0), xrCh(1))
+                          if (intens && f.mpeg1) {
+                            if (!applyIntensityM1(f.granules(gr)(1), sfLong, sfShort,
+                                f.srIdx, ms, xrCh(0), xrCh(1)))
+                              frameOk = false // intensity+short: reject frame
+                          } else if (ms) applyMs(xrCh(0), xrCh(1))
                         }
-                        var c = 0
-                        while (c < channels) {
-                          val gc = f.granules(gr)(c)
-                          aliasReduce(gc, xrCh(c))
-                          imdctGranule(gc, xrCh(c), overlap(c), grOut)
-                          frameSamples += grOut.clone()
-                          c += 1
+                        if (frameOk) {
+                          var c = 0
+                          while (c < channels) {
+                            val gc = f.granules(gr)(c)
+                            aliasReduce(gc, xrCh(c))
+                            imdctGranule(gc, xrCh(c), overlap(c), grOut)
+                            frameSamples += grOut.clone()
+                            c += 1
+                          }
                         }
                       }
                     }

@@ -1,20 +1,21 @@
 package graft.multimodal
 
-/** Minimal MPEG-1 Layer III encoder — the fixture twin of [[Mp3Decode]],
+/** Minimal Layer III encoder — the fixture twin of [[Mp3Decode]],
   * existing for the same reason `JpxEncode` does: verify-gate fixtures
   * plant MP3 payloads whose dedup outcome has a relational oracle, and
   * Mp3Suite pins encoder -> decoder round trips (SNR-bounded — Layer III
   * is lossy) plus the bit-exact part2_3_length landing the decoder
   * enforces per granule.
   *
-  * Scope: MPEG-1 only, 48 kHz or 32 kHz (the rates where 320 kbps divides
-  * into whole-byte frames — 960 / 1440 bytes, no padding logic), mono or
-  * stereo (optionally MS), long blocks or all-short blocks, zero
-  * scalefactors, no bit reservoir (main_data_begin = 0), and only the
-  * VALIDATED Huffman table subset (big values via table 9, |is| <= 5;
-  * count1 tails via the fixed table B). Every choice is a legal stream a
-  * conforming decoder accepts; the restrictions exist because only the
-  * validated tables may be exercised (see Mp3Decode's header).
+  * Scope: MPEG-1 at 48/32 kHz (320 kbps), MPEG-2 LSF at 24/16 kHz and
+  * MPEG-2.5 at 12/8 kHz (144 kbps, one granule per frame) — the
+  * rate/bitrate pairs where frames divide into whole bytes (no padding
+  * logic); mono or stereo (optionally MS), long blocks or all-short
+  * blocks, zero scalefactors, no bit reservoir (main_data_begin = 0), and
+  * only the VALIDATED Huffman table subset (big values via table 9,
+  * |is| <= 5; count1 tails via the fixed table B). Every choice is a legal
+  * stream a conforming decoder accepts; the restrictions exist because
+  * only the validated tables may be exercised (see Mp3Decode's header).
   */
 private[graft] object Mp3Encode {
 
@@ -122,24 +123,49 @@ private[graft] object Mp3Encode {
     }
   }
 
+  /** Twin rates: MPEG-1 at 320 kbps, LSF/MPEG-2.5 at 144 kbps — the
+    * combinations where the frame divides into whole bytes (no padding
+    * logic). 11025 Hz never divides (rate has a factor 49), but it shares
+    * its band tables with 12000, so the 12000 twin covers them.
+    */
+  private def rateInfo(sampleRate: Int): (Boolean, Boolean, Int, Int) =
+    sampleRate match {
+      //          (mpeg1, mpeg25, srBits, frameLen)
+      case 48000 => (true,  false, 1, 960)
+      case 32000 => (true,  false, 2, 1440)
+      case 24000 => (false, false, 1, 432)
+      case 16000 => (false, false, 2, 648)
+      case 12000 => (false, true,  1, 864)
+      case 8000  => (false, true,  2, 1296)
+      case r => throw new IllegalArgumentException(s"unsupported twin rate $r")
+    }
+
+  /** sfb-table row in Mp3Decode's (M1 | M2) arrays for a twin rate. */
+  private[multimodal] def sfbIdx(sampleRate: Int): Int = sampleRate match {
+    case 48000 => 1; case 32000 => 2         // sfbLongM1 rows
+    case 24000 => 1; case 16000 => 2         // sfbLongM2 LSF rows
+    case 12000 => 4; case 8000  => 5         // sfbLongM2 MPEG-2.5 rows
+    case r => throw new IllegalArgumentException(s"unsupported twin rate $r")
+  }
+
   private def frame(sampleRate: Int, mono: Boolean, modeExt: Int,
       grs: Array[Array[EncGranule]]): Array[Byte] = {
     val channels = if (mono) 1 else 2
-    val (srBits, frameLen) = sampleRate match {
-      case 48000 => (1, 960)
-      case 32000 => (2, 1440)
-      case r => throw new IllegalArgumentException(s"unsupported twin rate $r")
-    }
+    val (mpeg1, mpeg25, srBits, frameLen) = rateInfo(sampleRate)
     val out = new java.io.ByteArrayOutputStream()
-    out.write(0xFF); out.write(0xFB) // MPEG-1 Layer III, no CRC
-    out.write(0xE0 | (srBits << 2))  // 320 kbps (idx 14), no padding
+    // header: sync(3) ver(2: 11 M1, 10 LSF, 00 2.5) layer(01) prot(1)
+    out.write(0xFF)
+    out.write(if (mpeg1) 0xFB else if (mpeg25) 0xE3 else 0xF3)
+    // bitrate idx 14 = 320 kbps (M1) / idx 13 = 144 kbps (LSF/2.5)
+    out.write((if (mpeg1) 0xE0 else 0xD0) | (srBits << 2))
     out.write(if (mono) 0xC0 else 0x40 | (modeExt << 4))
     val side = new BitWriter
-    side.w(0, 9)
-    side.w(0, if (mono) 5 else 3)
-    for (_ <- 0 until channels * 4) side.w(0, 1) // scfsi
+    side.w(0, if (mpeg1) 9 else 8) // main_data_begin: no reservoir
+    side.w(0, if (mpeg1) { if (mono) 5 else 3 } else { if (mono) 1 else 2 })
+    if (mpeg1) for (_ <- 0 until channels * 4) side.w(0, 1) // scfsi
+    val nGr = if (mpeg1) 2 else 1
     val main = new BitWriter
-    for (gr <- 0 until 2; ch <- 0 until channels) {
+    for (gr <- 0 until nGr; ch <- 0 until channels) {
       val g = grs(gr)(ch)
       val before = main.bits
       packGranule(main, g)
@@ -147,7 +173,9 @@ private[graft] object Mp3Encode {
       side.w(part23, 12)
       side.w(g.bigValues, 9)
       side.w(g.globalGain, 8)
-      side.w(0, 4) // scalefac_compress 0 -> slen (0,0): zero scalefactors
+      // scalefac_compress 0: M1 slen (0,0), LSF slen (0,0,0,0) — zero
+      // scalefactors either way (and LSF preflag = sfc >= 500 stays off)
+      side.w(0, if (mpeg1) 4 else 9)
       if (g.blockType == 2) {
         side.w(1, 1); side.w(2, 2); side.w(0, 1) // switching, short, not mixed
         side.w(g.tableSel, 5); side.w(g.tableSel, 5)
@@ -157,11 +185,13 @@ private[graft] object Mp3Encode {
         side.w(g.tableSel, 5); side.w(g.tableSel, 5); side.w(g.tableSel, 5)
         side.w(7, 4); side.w(7, 3) // region counts
       }
-      side.w(0, 1); side.w(0, 1) // preflag, scalefac_scale
+      if (mpeg1) side.w(0, 1) // preflag (side-info bit in MPEG-1 only)
+      side.w(0, 1) // scalefac_scale
       side.w(1, 1) // count1 table B
     }
     val sideBytes = side.bytes
-    require(sideBytes.length == (if (mono) 17 else 32))
+    require(sideBytes.length == (if (mpeg1) { if (mono) 17 else 32 }
+                                 else { if (mono) 9 else 17 }))
     out.write(sideBytes)
     val mainBytes = main.bytes
     val room = frameLen - 4 - sideBytes.length
@@ -179,6 +209,8 @@ private[graft] object Mp3Encode {
       shortBlocks: Boolean = false, ms: Boolean = false,
       count1Tail: Int = 0): Array[Byte] = {
     val channels = pcm.length
+    val (isMpeg1, _, _, _) = rateInfo(sampleRate)
+    val gPerFrame = if (isMpeg1) 2 else 1 // LSF/2.5 frames carry one granule
     val nGranules = pcm(0).length / 576
     val analysis = Array.fill(channels)(new Analysis)
     val sub = Array.ofDim[Double](channels, nGranules, 32, 18)
@@ -191,12 +223,12 @@ private[graft] object Mp3Encode {
          t <- 0 until 18 if (t & 1) == 1)
       sub(c)(g)(sb)(t) = -sub(c)(g)(sb)(t)
     val prev = Array.ofDim[Double](channels, 32, 18)
-    val xrStash = Array.ofDim[Array[Double]](2, channels)
+    val xrStash = Array.ofDim[Array[Double]](gPerFrame, channels)
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var g = 0
-    while (g + 1 < nGranules) {
-      val encGrs = Array.ofDim[EncGranule](2, channels)
-      for (fg <- 0 until 2; c <- 0 until channels) {
+    while (g + gPerFrame <= nGranules) {
+      val encGrs = Array.ofDim[EncGranule](gPerFrame, channels)
+      for (fg <- 0 until gPerFrame; c <- 0 until channels) {
         val xr = new Array[Double](576)
         for (sb <- 0 until 32) {
           val z = new Array[Double](36)
@@ -231,7 +263,7 @@ private[graft] object Mp3Encode {
         }
         xrStash(fg)(c) = xr
       }
-      for (fg <- 0 until 2) {
+      for (fg <- 0 until gPerFrame) {
         if (ms && channels == 2) {
           val l = xrStash(fg)(0); val r = xrStash(fg)(1)
           var i = 0
@@ -247,9 +279,9 @@ private[graft] object Mp3Encode {
           val coded = if (!shortBlocks) is else {
             // inverse of the decoder's reorderShort: (subband, window, line)
             // natural order back to coded (band, window, line-in-band)
-            val sfbShort = Mp3Decode.sfbShortM1(sampleRate match {
-              case 48000 => 1; case 32000 => 2; case _ => 0
-            })
+            val sfbShort =
+              if (isMpeg1) Mp3Decode.sfbShortM1(sfbIdx(sampleRate))
+              else Mp3Decode.sfbShortM2(sfbIdx(sampleRate))
             val outv = new Array[Int](576)
             for (band <- 0 until 13; win <- 0 until 3) {
               val s0 = sfbShort(band)
@@ -282,7 +314,7 @@ private[graft] object Mp3Encode {
         }
       }
       frames += frame(sampleRate, channels == 1, if (ms) 2 else 0, encGrs)
-      g += 2
+      g += gPerFrame
     }
     frames.flatten.toArray
   }

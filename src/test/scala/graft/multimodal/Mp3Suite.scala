@@ -299,10 +299,11 @@ class Mp3Suite extends AnyFunSuite {
   test("MPEG-1 intensity stereo: tampered mode_ext decodes, conserves energy, never throws") {
     // No encoder twin emits intensity, so this pins the DECODE path only:
     // rewrite the twin's joint-stereo frames from mode_ext=MS (2) to
-    // MS+intensity (3). Bands below the right channel's rzero decode as
-    // before; bands above it pan by is_pos — with zero scalefactors every
-    // is_pos is 0 (ratio tan(0)=0), a legal stream whose output must stay
-    // finite and roughly energy-conserving vs the MS decode.
+    // MS+intensity (3). Bands BELOW the intensity boundary must decode as
+    // MS (the mode_ext=3 contract); bands above it pan by is_pos — with
+    // zero scalefactors every is_pos is 0 (ratio tan(0)=0), a legal stream
+    // whose output must stay finite and roughly energy-conserving vs the
+    // MS decode.
     val n = 576 * 6
     val l = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 440.0 / 48000.0 * t))
     val r = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 554.37 / 48000.0 * t))
@@ -324,6 +325,80 @@ class Mp3Suite extends AnyFunSuite {
     val eI = energy(pcm.get); val eM = energy(msPcm)
     assert(eI.isFinite && eI > 0, "intensity decode must be finite, nonzero")
     assert(eI < eM * 4 && eI > eM / 4, f"energy off: intensity=$eI%.1f ms=$eM%.1f")
+    // both test tones live well inside the coded range, so the intensity
+    // region above rzero carries (near-)zero energy and the tampered decode
+    // must TRACK the MS decode sample-for-sample — pre-fix, bands below the
+    // boundary were emitted as raw mid/side (~3 dB divergence)
+    val a = pcm.get.samples; val b = msPcm.samples
+    var se = 0.0; var ref = 0.0
+    var i2 = 0
+    val n2 = math.min(a.length, b.length)
+    while (i2 < n2) {
+      val d = (a(i2) - b(i2)) / 32768.0; se += d * d
+      val r0 = b(i2) / 32768.0; ref += r0 * r0
+      i2 += 1
+    }
+    val track = 10.0 * math.log10(ref / math.max(se, 1e-300))
+    assert(track > 25.0,
+      f"MS+intensity must apply MS below the boundary: tracks MS at $track%.1f dB")
+  }
+
+  test("MPEG-1 intensity on short blocks rejects the frame (never wrong samples)") {
+    // per-window intensity band structure is documented residue: a
+    // short-block stream tampered to mode_ext=3 must reject every frame
+    // and decode to None rather than emit raw mid/side PCM
+    val n = 576 * 6
+    val l = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 440.0 / 48000.0 * t))
+    val r = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 554.37 / 48000.0 * t))
+    val ms = encode(Array(l, r), shortBlocks = true, ms = true)
+    val tampered = ms.clone()
+    var i = 0
+    while (i + 4 <= tampered.length) {
+      if ((tampered(i) & 0xff) == 0xff && (tampered(i + 1) & 0xe0) == 0xe0) {
+        tampered(i + 3) = (tampered(i + 3) | 0x10).toByte
+        i += 960
+      } else i += 1
+    }
+    assert(Mp3Decode.decode(tampered).isEmpty,
+      "short-block intensity frames must reject, not decode wrong")
+  }
+
+  // ------------------------------------------------------------------
+  // LSF (MPEG-2) and MPEG-2.5 twin round trips — one granule per frame,
+  // 144 kbps, the de-facto 2.5 band tables (12 kHz shares 22.05's row,
+  // 8 kHz has its own doubled-width row)
+  // ------------------------------------------------------------------
+
+  for (rate <- Seq(24000, 16000, 12000, 8000)) {
+    test(s"twin round-trip at $rate Hz (${if (rate >= 16000) "LSF" else "MPEG-2.5"}): mono long blocks") {
+      val n = 576 * 8
+      val x = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 440.0 / rate * t))
+      val bytes = Mp3Encode.encode(Array(x), sampleRate = rate)
+      val pcm = Mp3Decode.decode(bytes)
+      assert(pcm.isDefined, s"$rate Hz twin stream must decode")
+      assert(pcm.get.sampleRate == rate && pcm.get.channels == 1)
+      val snr = snrOf(x, pcm.get, 0)
+      assert(snr > 15.0, f"$rate Hz long-block SNR $snr%.1f dB")
+    }
+  }
+
+  test("twin round-trip LSF 16 kHz: stereo MS long blocks") {
+    val n = 576 * 8
+    val l = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 440.0 / 16000.0 * t))
+    val r = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 554.37 / 16000.0 * t))
+    val pcm = Mp3Decode.decode(Mp3Encode.encode(Array(l, r), sampleRate = 16000, ms = true))
+    assert(pcm.isDefined && pcm.get.channels == 2 && pcm.get.sampleRate == 16000)
+    val snrL = snrOf(l, pcm.get, 0); val snrR = snrOf(r, pcm.get, 1)
+    assert(snrL > 13.0 && snrR > 13.0, f"LSF MS SNR L=$snrL%.1f R=$snrR%.1f dB")
+  }
+
+  test("twin round-trip MPEG-2.5 8 kHz: short blocks (2.5-specific short band table)") {
+    val n = 576 * 8
+    val x = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 300.0 / 8000.0 * t))
+    val pcm = Mp3Decode.decode(Mp3Encode.encode(Array(x), sampleRate = 8000, shortBlocks = true))
+    assert(pcm.isDefined && pcm.get.sampleRate == 8000)
+    val snr = snrOf(x, pcm.get, 0)
+    assert(snr > 10.0, f"2.5 short-block SNR $snr%.1f dB")
   }
 
   test("fuzz: random and truncated bytes never throw, hang, or emit bogus PCM") {
