@@ -1051,4 +1051,101 @@ class LakeConcurrencySuite extends SparkTestBase {
         Seq((55L, 1)).toDF("id", "p"), None, "MERGE", scopeLowIds)
     }
   }
+
+  /** Strip the per-key lower/upper bounds from every equality-delete entry
+    * in the table's manifests — simulating a FOREIGN writer that stamps
+    * equality_ids but no bounds (they are optional per the Iceberg spec).
+    * Rewrites each touched manifest avro in place and drops the local-FS
+    * .crc sidecar (rawWrite lesson: stale checksums fail the re-read).
+    */
+  private def stripEqDeleteBounds(dir: Path): Int = {
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val metaDir = new java.io.File(new java.net.URI(dir.toUri.toString).getPath, "metadata")
+    var stripped = 0
+    metaDir.listFiles().filter(_.getName.endsWith(".avro")).foreach { f =>
+      val rdr = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+      val schema = rdr.getSchema
+      // manifest lists have no data_file field — skip them
+      if (schema.getField("data_file") != null) {
+        val recs = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+        var touched = false
+        while (rdr.hasNext) {
+          val r = rdr.next()
+          val df = r.get("data_file").asInstanceOf[GenericRecord]
+          val isEq = Option(df.getSchema.getField("content"))
+            .exists(fd => df.get(fd.pos()) == 2)
+          if (isEq && (df.get("lower_bounds") != null || df.get("upper_bounds") != null)) {
+            df.put("lower_bounds", null)
+            df.put("upper_bounds", null)
+            touched = true
+            stripped += 1
+          }
+          recs += r
+        }
+        rdr.close()
+        if (touched) {
+          val tmp = new java.io.File(f.getParentFile, f.getName + ".strip")
+          val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+          w.setMeta("content", "deletes")
+          w.create(schema, tmp)
+          recs.foreach(w.append)
+          w.close()
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+          if (crc.exists()) crc.delete()
+        }
+      } else rdr.close()
+    }
+    stripped
+  }
+
+  test("iceberg MoR: a FOREIGN eq-delete without manifest bounds falls back to the file read — never silently passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.plans.LakeRowLevel
+    // r14's fast path judges eq-delete conflicts from manifest key bounds;
+    // interop tables written by engines that omit the (spec-optional)
+    // bounds must take the parquet-read fallback, and when THAT is
+    // impossible too, abort conservatively — bounds absence may never
+    // widen what commits.
+    val (fqn, dir) = setupIcePart("ics15",
+      " TBLPROPERTIES ('write.update.mode' = 'merge-on-read', " +
+        "'write.delete.mode' = 'merge-on-read')")
+    def emptyIds = Seq.empty[(String, Long)]
+      .toDF(LakeRowLevel.FileIdCol, LakeRowLevel.RowIxCol)
+    val idAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("id", org.apache.spark.sql.types.LongType)()
+    def scopeLowIds = LakeRowLevel.ReadScope(readWholeTable = false,
+      Seq(org.apache.spark.sql.catalyst.expressions.LessThan(idAttr,
+        org.apache.spark.sql.catalyst.expressions.Literal(6L))), Set.empty)
+    // direction 1: bounds stripped, delete parquet PRESENT — the fallback
+    // read recovers the true key range [30, 35], provably disjoint from
+    // id < 6, and the insert-only commit succeeds
+    val h = staleHandle(fqn)
+    LakeNativeWrite.icebergEqUpsert(spark, dir,
+      Seq((30L, 7), (35L, 7)).toDF("id", "p"), Seq("id"))
+    assert(stripEqDeleteBounds(dir) > 0, "expected bounds to strip")
+    h.commitUpdateRows(spark, emptyIds,
+      Seq((56L, 1)).toDF("id", "p"), None, "MERGE", scopeLowIds)
+    assert(spark.table(fqn).where("id = 56").count() == 1)
+    // direction 2: bounds stripped AND the delete parquet removed — a
+    // truly disjoint key (40) must still CONFLICT: with no bounds and no
+    // file there is nothing to prove disjointness with
+    val h2 = staleHandle(fqn)
+    LakeNativeWrite.icebergEqUpsert(spark, dir,
+      Seq((40L, 7)).toDF("id", "p"), Seq("id"))
+    assert(stripEqDeleteBounds(dir) > 0, "expected the new entry's bounds to strip")
+    val dataDir = new java.io.File(new java.net.URI(dir.toUri.toString).getPath, "data")
+    dataDir.listFiles().filter(_.getName.startsWith("eqdelete-")).foreach { f =>
+      f.delete()
+      val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      if (crc.exists()) crc.delete()
+    }
+    intercept[LakeConcurrency.ConcurrentDeleteReadException] {
+      h2.commitUpdateRows(spark, emptyIds,
+        Seq((57L, 1)).toDF("id", "p"), None, "MERGE", scopeLowIds)
+    }
+  }
 }
