@@ -985,9 +985,13 @@ object Dedup {
       cand.select(col("id_corpus").as(idCol)).distinct(), Seq(idCol), "left_semi")
     cand.join(shingled(newDocs, "id_new", "__sh_n"), "id_new")
       .join(shingled(corpusNeeded, "id_corpus", "__sh_c"), "id_corpus")
+      // union via |A|+|B|−|A∩B| — see ngramJaccard's identity note
       .select(col("id_new"), col("id_corpus"),
-        (size(array_intersect(col("__sh_n"), col("__sh_c"))).cast("double") /
-         size(array_union(col("__sh_n"), col("__sh_c"))).cast("double")).as("jaccard"))
+        size(array_intersect(col("__sh_n"), col("__sh_c"))).as("__i"),
+        size(col("__sh_n")).as("__sa"), size(col("__sh_c")).as("__sb"))
+      .select(col("id_new"), col("id_corpus"),
+        (col("__i").cast("double") /
+         (col("__sa") + col("__sb") - col("__i")).cast("double")).as("jaccard"))
   }
 
   /** New-batch rows surviving ingest dedup against the existing corpus:
@@ -997,17 +1001,52 @@ object Dedup {
     * duplicates are NOT resolved here — run [[exactDedup]] /
     * [[minHashDuplicates]] on the batch itself for that.
     */
+  /** Exact-collapse note (r15, measurement-driven — `graft.IncBench` on the
+    * verbatim sf25 fixture attributed the gate's 43 s as: exact stage 3 s,
+    * candidate generation 25 s, verify ~15 s, with member-level corpus
+    * banding at 5.5 s vs 1.4 s over distinct texts): near-dup membership is
+    * a function of TEXT alone and this surface returns only batch-side ids,
+    * so the whole near stage runs between one representative per DISTINCT
+    * corpus text and one per distinct surviving batch text; flagged batch
+    * reps expand back to every member sharing their normalized text. The
+    * result set is EXACTLY the uncollapsed one (suite-pinned): a member m
+    * with rep r and any corpus doc c with rep cr satisfy
+    * J(m, c) = J(r, cr). Exact-dup cliques on either side no longer
+    * multiply banding, bucket-join, or verify work.
+    */
   def incrementalDedup(corpus: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val corpusHashes = corpus.select(normTextHash(textCol).as("__h")).distinct()
+    // one groupBy yields both the exact-stage hash set and the corpus reps
+    val corpusAgg = corpus.groupBy(normTextHash(textCol).as("__h"))
+      .agg(min(col(idCol)).as("__rid"),
+        min_by(col(textCol), col(idCol)).as("__rtext"))
+      .localCheckpoint(true)
+    // checkpointed: consumed by the member map, the rep aggregate, and the
+    // final anti-join — without it each consumer re-runs the batch scan +
+    // hash + anti-join lineage
     val exactSurvivors = newDocs.withColumn("__h", normTextHash(textCol))
-      .join(corpusHashes, Seq("__h"), "left_anti")
+      .join(corpusAgg.select(col("__h")), Seq("__h"), "left_anti")
       .drop("__h")
-    val nearDups = incrementalMinHash(corpus, exactSurvivors, idCol, textCol,
-        threshold, shingleSize, numHashes, bands, maxBucketSize)
-      .select(col("id_new").as(idCol)).distinct()
+      .localCheckpoint(true)
+    // batch-side collapse: (hash, member id) map + one rep doc per text
+    val batchMembers = exactSurvivors
+      .select(normTextHash(textCol).as("__bh"), col(idCol).as("__mid"))
+    val batchReps = exactSurvivors.groupBy(normTextHash(textCol).as("__bh"))
+      .agg(min(col(idCol)).as("__bid"),
+        min_by(col(textCol), col(idCol)).as("__btext"))
+      .localCheckpoint(true)
+    val corpusReps = corpusAgg.select(col("__rid").as(idCol), col("__rtext").as(textCol))
+    val flaggedRepIds = incrementalMinHash(corpusReps,
+        batchReps.select(col("__bid").as(idCol), col("__btext").as(textCol)),
+        idCol, textCol, threshold, shingleSize, numHashes, bands, maxBucketSize)
+      .select(col("id_new").as("__bid")).distinct()
+    // flagged rep -> every batch member sharing its normalized text
+    val nearDups = batchMembers
+      .join(batchReps.join(flaggedRepIds, Seq("__bid"), "left_semi")
+        .select(col("__bh")), Seq("__bh"), "left_semi")
+      .select(col("__mid").as(idCol))
     exactSurvivors.join(nearDups, Seq(idCol), "left_anti")
   }
 
@@ -1192,9 +1231,17 @@ object Dedup {
     pairs
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      // |A∪B| = |A|+|B|−|A∩B| exactly (both sides are array_distinct'ed
+      // sets), so the union ARRAY never materializes — at tens of millions
+      // of verify pairs the union allocation was as expensive as the
+      // intersection itself; same int operands ⟹ bit-identical jaccard
+      // doubles, gates stay hash-exact
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("__i"),
+        size(col("sh_a")).as("__sa"), size(col("sh_b")).as("__sb"))
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") /
+         (col("__sa") + col("__sb") - col("__i")).cast("double")).as("jaccard"))
   }
 
   /** The checkpointed (id, array<long> shingle-hash set) table for every
@@ -1229,11 +1276,14 @@ object Dedup {
     pairs
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      // union via |A|+|B|−|A∩B| — see ngramJaccard's identity note
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(col("sh_a")).cast("double")).as("containment"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("__i"),
+        size(col("sh_a")).as("__sa"), size(col("sh_b")).as("__sb"))
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") / col("__sa").cast("double")).as("containment"),
+        (col("__i").cast("double") /
+         (col("__sa") + col("__sb") - col("__i")).cast("double")).as("jaccard"))
   }
 
   /** All-pairs n-gram Jaccard above a threshold via LSH candidates. */

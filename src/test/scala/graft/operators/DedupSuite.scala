@@ -515,6 +515,31 @@ class DedupSuite extends SparkTestBase {
     assert(gotStar == refGroups, "star-strategy collapsed simhash groups diverge")
   }
 
+  test("incremental ingest exact-collapse: identical to the uncollapsed composition on a cliquey corpus") {
+    // both sides carry verbatim exact-dup cliques (the high-SF bench shape);
+    // the collapsed incrementalDedup must return EXACTLY the id set of the
+    // uncollapsed composition (hash anti-join + member-level near stage)
+    val base = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 200)
+    val off = 100000L // even offset: copies keep parity, like the sf fixtures
+    val cliquey = (0 until 4).map(k =>
+      base.select((col("doc_id") + lit(k * off)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val corpus = cliquey.where(col("doc_id") % 2 === 0)
+    val batch = cliquey.where(col("doc_id") % 2 === 1)
+    val corpusHashes = corpus.select(Dedup.normTextHash("text").as("__h")).distinct()
+    val survivors = batch.withColumn("__h", Dedup.normTextHash("text"))
+      .join(corpusHashes, Seq("__h"), "left_anti").drop("__h")
+    val near = Dedup.incrementalMinHash(corpus, survivors, "doc_id", "text",
+        threshold = 0.7).select(col("id_new").as("doc_id")).distinct()
+    val ref = survivors.join(near, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == ref,
+      s"collapsed ingest diverges: got=${got.size} ref=${ref.size} " +
+        s"onlyGot=${(got -- ref).take(3)} onlyRef=${(ref -- got).take(3)}")
+  }
+
   test("minHashDuplicates caps oversized exact cliques to star pairs (bounded output, same groups)") {
     import spark.implicits._
     // one exact clique of 12 identical texts (over the cap of 5), one small
