@@ -49,9 +49,14 @@ package graft.multimodal
   * this magnitude. Swap in the ISO table if a validated source appears.
   *
   * Residue (all reject to None / frame skip, never wrong samples):
-  * Layer I/II, free-format streams, LSF intensity stereo, LSF mixed
-  * blocks, MPEG-1 intensity on short blocks, and frames selecting the
-  * unvalidated Huffman tables listed above.
+  * Layer I/II, free-format streams, LSF mixed blocks, intensity stereo on
+  * short blocks (any layer), and frames selecting the unvalidated Huffman
+  * tables listed above. LSF/2.5 intensity on long blocks decodes
+  * (ISO 13818-3 is_pos semantics with per-band illegal positions; the io
+  * polarity — 2^(-1/2) when intensity_scale is set, 2^(-1/4) otherwise —
+  * follows the common open-implementation reading of the spec and is
+  * twin-validated; a swapped polarity would be a bounded per-band gain
+  * error, within the feature-grade contract documented in EXAMPLES.md).
   *
   * Why the ESC/high-energy Huffman tables stay out (the honest blocker,
   * recorded after an exhaustive container search): tables 8, 10-15 and the
@@ -530,6 +535,47 @@ object Mp3Decode {
     Some((long, short))
   }
 
+  /** LSF/MPEG-2.5 scalefactors for the INTENSITY channel (right of an
+    * intensity pair; ISO 13818-3 2.4.3.2): int_scalefac_compress =
+    * scalefac_compress >> 1 selects its OWN slen/partition tables
+    * (partition counts sum to 21 long bands, structurally checked in
+    * Mp3Suite), and the decoded values double as is_pos in the intensity
+    * region. Returns (values[22], slenPerBand[22]) — the per-band slen
+    * bounds the ILLEGAL is_pos, (1 << slen) - 1 (a band whose slen is 0
+    * can transmit no position, so it never pans). Long blocks only:
+    * short/mixed intensity layouts are documented residue (reject, never
+    * wrong samples).
+    */
+  private def scalefacsM2Intensity(br: BitReader,
+      g: GranuleChannel): Option[(Array[Int], Array[Int])] = {
+    if (g.windowSwitching && (g.blockType == 2 || g.mixed)) return None
+    val isfc = g.scalefacCompress >> 1
+    val (slen, nsfb) =
+      if (isfc < 180)
+        (Array(isfc / 36, (isfc % 36) / 6, isfc % 6, 0), Array(7, 7, 7, 0))
+      else if (isfc < 244)
+        (Array(((isfc - 180) >> 4) & 3, ((isfc - 180) >> 2) & 3, (isfc - 180) & 3, 0),
+         Array(6, 6, 6, 3))
+      else if (isfc < 255)
+        (Array((isfc - 244) / 3, (isfc - 244) % 3, 0, 0), Array(8, 8, 5, 0))
+      else return None
+    val long = new Array[Int](22)
+    val slens = new Array[Int](22)
+    var slot = 0
+    var part = 0
+    while (part < 4) {
+      var k = 0
+      while (k < nsfb(part)) {
+        long(slot) = if (slen(part) == 0) 0 else br.u(slen(part))
+        slens(slot) = slen(part)
+        slot += 1
+        k += 1
+      }
+      part += 1
+    }
+    Some((long, slens))
+  }
+
   /** Huffman-decode the spectral lines for one granule/channel into is[576].
     * Returns false when the frame must reject (unsupported table, bad code,
     * or a landing failure on part2_3_length).
@@ -843,6 +889,73 @@ object Mp3Decode {
     true
   }
 
+  private val invRoot4 = math.pow(2.0, -0.25)
+
+  /** LSF/MPEG-2.5 intensity stereo (ISO 13818-3 2.4.3.2): bands at/above
+    * the right channel's rzero pan by is_pos with
+    * k = io^((is_pos+1)/2) — io = 2^(-1/2) when intensity_scale
+    * (scalefac_compress bit 0) is set, 2^(-1/4) otherwise; odd is_pos
+    * scales LEFT, even scales RIGHT, is_pos 0 copies to both. A band whose
+    * is_pos equals its field's maximum ((1 << slen) - 1, incl. slen 0)
+    * does not pan: MS when mode_ext = 3, untouched otherwise. Bands below
+    * the boundary decode as MS/LR exactly as in [[applyIntensityM1]].
+    * Short-block intensity is documented residue → false (reject).
+    */
+  private def applyIntensityLsf(g1: GranuleChannel, isPos: Array[Int],
+      slens: Array[Int], srIdx: Int, msAlso: Boolean,
+      left: Array[Double], right: Array[Double]): Boolean = {
+    val sfbLong = sfbLongM2(srIdx)
+    var rzero = 576
+    while (rzero > 0 && right(rzero - 1) == 0.0) rzero -= 1
+    if (g1.windowSwitching && g1.blockType == 2) return false
+    val io = if ((g1.scalefacCompress & 1) == 1) invSqrt2 else invRoot4
+    if (msAlso) {
+      var bound = 576
+      var b = 0
+      while (b < 22) {
+        if (sfbLong(b) >= rzero) { bound = sfbLong(b); b = 22 } else b += 1
+      }
+      var i = 0
+      while (i < bound) {
+        val m = left(i); val s = right(i)
+        left(i) = (m + s) * invSqrt2
+        right(i) = (m - s) * invSqrt2
+        i += 1
+      }
+    }
+    var band = 0
+    while (band < 22) {
+      val start = sfbLong(band); val end = sfbLong(band + 1)
+      if (start >= rzero) {
+        val idx = math.min(band, 21)
+        val sl = slens(idx); val pos = isPos(idx)
+        if (sl == 0 || pos == (1 << sl) - 1) {
+          if (msAlso) {
+            var l = start
+            while (l < end && l < 576) {
+              val m = left(l); val s = right(l)
+              left(l) = (m + s) * invSqrt2; right(l) = (m - s) * invSqrt2
+              l += 1
+            }
+          }
+        } else {
+          val (kl, kr) =
+            if ((pos & 1) == 1) (math.pow(io, (pos + 1) / 2), 1.0)
+            else (1.0, math.pow(io, pos / 2))
+          var l = start
+          while (l < end && l < 576) {
+            val v = left(l)
+            left(l) = v * kl
+            right(l) = v * kr
+            l += 1
+          }
+        }
+      }
+      band += 1
+    }
+    true
+  }
+
   // ------------------------------------------------------------------
   // Decode driver
   // ------------------------------------------------------------------
@@ -880,6 +993,7 @@ object Mp3Decode {
       val overlap = Array.fill(channels)(Array.ofDim[Double](32, 18))
       val synth = Array.fill(channels)(new Synth)
       val prevSfLong = Array.fill(channels)(new Array[Int](22))
+      val isSlenR = new Array[Int](22) // LSF intensity: ch1 per-band slen
       val is = new Array[Int](576)
       val xrCh = Array.ofDim[Double](channels, 576)
       val grOut = new Array[Double](576)
@@ -907,17 +1021,21 @@ object Mp3Decode {
             var ch = 0
             while (ch < channels && frameOk) {
               val g = f.granules(gr)(ch)
-              // LSF intensity channel (right of an intensity pair) uses a
-              // different scalefactor scheme: documented residue
-              if (!f.mpeg1 && f.mode == 1 && (f.modeExt & 1) == 1 && ch == 1)
-                frameOk = false // LSF intensity channel: documented residue
-              else {
+              locally {
                 val grStart = br.pos
                 val sfs =
                   if (f.mpeg1)
                     Some(scalefacsM1(br, g,
                       if (gr == 1) f.scfsi(ch) else Array(0, 0, 0, 0),
                       prevSfLong(ch)))
+                  else if (f.mode == 1 && (f.modeExt & 1) == 1 && ch == 1)
+                    // LSF intensity channel: its own scalefactor layout,
+                    // values double as is_pos (slens stashed for the
+                    // illegal-position check in the stereo stage)
+                    scalefacsM2Intensity(br, g).map { case (long, slens) =>
+                      System.arraycopy(slens, 0, isSlenR, 0, 22)
+                      (long, Array.ofDim[Int](3, 13))
+                    }
                   else scalefacsM2(br, g)
                 sfs match {
                   case None => frameOk = false
@@ -939,6 +1057,11 @@ object Mp3Decode {
                           if (intens && f.mpeg1) {
                             if (!applyIntensityM1(f.granules(gr)(1), sfLong, sfShort,
                                 f.srIdx, ms, xrCh(0), xrCh(1)))
+                              frameOk = false // intensity+short: reject frame
+                          } else if (intens) {
+                            // sfLong here is the ch1 read above = is_pos
+                            if (!applyIntensityLsf(f.granules(gr)(1), sfLong,
+                                isSlenR, f.srIdx, ms, xrCh(0), xrCh(1)))
                               frameOk = false // intensity+short: reject frame
                           } else if (ms) applyMs(xrCh(0), xrCh(1))
                         }

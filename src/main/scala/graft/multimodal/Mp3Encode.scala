@@ -79,7 +79,8 @@ private[graft] object Mp3Encode {
   }
 
   private case class EncGranule(is: Array[Int], globalGain: Int,
-      bigValues: Int, tableSel: Int, count1Lines: Int, blockType: Int)
+      bigValues: Int, tableSel: Int, count1Lines: Int, blockType: Int,
+      sfc: Int = 0, sfBits: Seq[(Int, Int)] = Nil) // (value, width) part2 bits
 
   /** global_gain keeping |is| <= cap (validated tables carry at most 5). */
   private def quantize(xr: Array[Double], cap: Int): (Array[Int], Int) = {
@@ -168,14 +169,17 @@ private[graft] object Mp3Encode {
     for (gr <- 0 until nGr; ch <- 0 until channels) {
       val g = grs(gr)(ch)
       val before = main.bits
+      g.sfBits.foreach { case (v, w) => main.w(v, w) } // part2: scalefactors
       packGranule(main, g)
       val part23 = (main.bits - before).toInt
       side.w(part23, 12)
       side.w(g.bigValues, 9)
       side.w(g.globalGain, 8)
-      // scalefac_compress 0: M1 slen (0,0), LSF slen (0,0,0,0) — zero
-      // scalefactors either way (and LSF preflag = sfc >= 500 stays off)
-      side.w(0, if (mpeg1) 4 else 9)
+      // scalefac_compress 0 (the default): M1 slen (0,0), LSF slen
+      // (0,0,0,0) — zero scalefactors either way (and LSF preflag =
+      // sfc >= 500 stays off). The LSF intensity channel carries its own
+      // sfc + explicit is_pos bits via sfBits.
+      side.w(g.sfc, if (mpeg1) 4 else 9)
       if (g.blockType == 2) {
         side.w(1, 1); side.w(2, 2); side.w(0, 1) // switching, short, not mixed
         side.w(g.tableSel, 5); side.w(g.tableSel, 5)
@@ -205,11 +209,22 @@ private[graft] object Mp3Encode {
   /** PCM (per-channel arrays, [-1,1] doubles) -> Layer III bytes.
     * Trailing samples that do not fill a whole frame (2 granules) drop.
     */
+  /** @param intensity LSF/MPEG-2.5 only, mono input: emit a joint-stereo
+    *                   INTENSITY frame — ch0 carries the spectrum, ch1 is
+    *                   an is_pos-only stub (sfc = 86·2+scale → slens 2,2,2;
+    *                   zero spectrum, so rzero = 0 and every band pans).
+    *                   `isPos` 0-2 are legal positions, 3 is the ILLEGAL
+    *                   marker for 2-bit fields (no panning).
+    */
   def encode(pcm: Array[Array[Double]], sampleRate: Int = 48000,
       shortBlocks: Boolean = false, ms: Boolean = false,
-      count1Tail: Int = 0): Array[Byte] = {
+      count1Tail: Int = 0, intensity: Boolean = false,
+      isPos: Int = 1, intensityScale: Int = 0): Array[Byte] = {
     val channels = pcm.length
     val (isMpeg1, _, _, _) = rateInfo(sampleRate)
+    require(!intensity || (!isMpeg1 && channels == 1 && !ms && !shortBlocks),
+      "intensity twin: LSF/2.5 rate, mono source, long blocks")
+    require(isPos >= 0 && isPos <= 3, s"is_pos out of the 2-bit field: $isPos")
     val gPerFrame = if (isMpeg1) 2 else 1 // LSF/2.5 frames carry one granule
     val nGranules = pcm(0).length / 576
     val analysis = Array.fill(channels)(new Analysis)
@@ -227,7 +242,7 @@ private[graft] object Mp3Encode {
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var g = 0
     while (g + gPerFrame <= nGranules) {
-      val encGrs = Array.ofDim[EncGranule](gPerFrame, channels)
+      val encGrs = Array.ofDim[EncGranule](gPerFrame, if (intensity) 2 else channels)
       for (fg <- 0 until gPerFrame; c <- 0 until channels) {
         val xr = new Array[Double](576)
         for (sb <- 0 until 32) {
@@ -313,7 +328,16 @@ private[graft] object Mp3Encode {
             count1Lines, if (shortBlocks) 2 else 0)
         }
       }
-      frames += frame(sampleRate, channels == 1, if (ms) 2 else 0, encGrs)
+      if (intensity) {
+        // ch1: intensity stub — no spectrum (rzero = 0 at decode), is_pos
+        // per band in the isfc=86 layout (3 partitions x 7 bands, slen 2)
+        for (fg <- 0 until gPerFrame)
+          encGrs(fg)(1) = EncGranule(new Array[Int](576), 210, 0, 9, 0, 0,
+            sfc = (86 << 1) | (intensityScale & 1),
+            sfBits = Seq.fill(21)((isPos, 2)))
+      }
+      frames += frame(sampleRate, channels == 1 && !intensity,
+        if (intensity) 1 else if (ms) 2 else 0, encGrs)
       g += gPerFrame
     }
     frames.flatten.toArray

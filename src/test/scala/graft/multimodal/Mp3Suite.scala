@@ -392,6 +392,46 @@ class Mp3Suite extends AnyFunSuite {
     assert(snrL > 13.0 && snrR > 13.0, f"LSF MS SNR L=$snrL%.1f R=$snrR%.1f dB")
   }
 
+  test("LSF intensity stereo: is_pos panning, both io polarities, illegal marker") {
+    // twin emits a joint-stereo intensity frame: ch0 = spectrum, ch1 = an
+    // is_pos-only stub with zero spectrum, so rzero = 0 and EVERY band
+    // pans. Odd is_pos scales LEFT by io^((pos+1)/2), right stays full.
+    val n = 576 * 8
+    val x = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 440.0 / 16000.0 * t))
+    def energies(isPos: Int, scale: Int): (Double, Double, Mp3Decode.Pcm) = {
+      val pcm = Mp3Decode.decode(Mp3Encode.encode(Array(x), sampleRate = 16000,
+        intensity = true, isPos = isPos, intensityScale = scale))
+      assert(pcm.isDefined && pcm.get.channels == 2, s"isPos=$isPos must decode")
+      val s = pcm.get.samples
+      var eL = 0.0; var eR = 0.0
+      var i = 0
+      while (i + 1 < s.length) {
+        eL += (s(i) / 32768.0) * (s(i) / 32768.0)
+        eR += (s(i + 1) / 32768.0) * (s(i + 1) / 32768.0)
+        i += 2
+      }
+      (eL, eR, pcm.get)
+    }
+    // is_pos = 0 (even): both channels carry the full spectrum
+    val (l0, r0, _) = energies(0, 0)
+    assert(math.abs(l0 / r0 - 1.0) < 0.05, f"is_pos=0 must copy L=R: ${l0 / r0}%.3f")
+    // is_pos = 1 (odd): L = io * v — energy ratio io^2, per polarity
+    val (l1a, r1a, pcmA) = energies(1, 0) // io = 2^(-1/4) -> ratio 2^(-1/2)
+    val ratioA = l1a / r1a
+    assert(math.abs(ratioA - math.pow(2.0, -0.5)) < 0.05,
+      f"intensity_scale=0 ratio $ratioA%.3f != 2^-1/2")
+    val (l1b, r1b, _) = energies(1, 1) // io = 2^(-1/2) -> ratio 2^(-1)
+    val ratioB = l1b / r1b
+    assert(math.abs(ratioB - 0.5) < 0.04, f"intensity_scale=1 ratio $ratioB%.3f != 0.5")
+    // the unscaled RIGHT channel still round-trips the source
+    val snrR = snrOf(x, pcmA, 1)
+    assert(snrR > 13.0, f"intensity right-channel SNR $snrR%.1f dB")
+    // is_pos = 3 = (1 << slen) - 1: ILLEGAL marker — no panning at all,
+    // right stays silent (zero spectrum), left carries the source
+    val (l3, r3, _) = energies(3, 0)
+    assert(r3 < l3 * 1e-4, f"illegal is_pos must not pan: eR=$r3%.3f eL=$l3%.3f")
+  }
+
   test("twin round-trip MPEG-2.5 8 kHz: short blocks (2.5-specific short band table)") {
     val n = 576 * 8
     val x = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 300.0 / 8000.0 * t))
