@@ -556,9 +556,8 @@ object Mp3Decode {
       else if (isfc < 244)
         (Array(((isfc - 180) >> 4) & 3, ((isfc - 180) >> 2) & 3, (isfc - 180) & 3, 0),
          Array(6, 6, 6, 3))
-      else if (isfc < 255)
+      else // isfc is sfc >> 1 with sfc 9 bits, so 244..255 — all legal
         (Array((isfc - 244) / 3, (isfc - 244) % 3, 0, 0), Array(8, 8, 5, 0))
-      else return None
     val long = new Array[Int](22)
     val slens = new Array[Int](22)
     var slot = 0
@@ -927,7 +926,9 @@ object Mp3Decode {
     while (band < 22) {
       val start = sfbLong(band); val end = sfbLong(band + 1)
       if (start >= rzero) {
-        val idx = math.min(band, 21)
+        // 21 is_pos values are transmitted (slots 0..20); the top band
+        // extends the last one, as in the M1 path
+        val idx = math.min(band, 20)
         val sl = slens(idx); val pos = isPos(idx)
         if (sl == 0 || pos == (1 << sl) - 1) {
           if (msAlso) {

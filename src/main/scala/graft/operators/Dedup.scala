@@ -689,8 +689,12 @@ object Dedup {
     // intra pairs degrade to rep->member star links — O(m) output, with
     // duplicate-group connectivity preserved exactly (rep links every
     // member at jaccard 1.0). Groups within the cap expand in full.
-    val sized = c.members.join(
+    // checkpointed (lazily — the uncapped fast path never builds it): the
+    // guard consumes this corpus-member-sized join up to four times (both
+    // cross sides, the small-group self-join, the star-link union)
+    lazy val sized = c.members.join(
       c.repHash.select(col("__rh"), col("__rid"), col("__rn")), Seq("__rh"))
+      .localCheckpoint(true)
     val expandMembers =
       if (maxBucketSize == Int.MaxValue) c.members
       else sized.where(col("__rn") <= maxBucketSize || col("__mid") === col("__rid"))
@@ -753,8 +757,10 @@ object Dedup {
     * piles) gets the complete pair set — strictly more complete output in
     * a regime the old path had already degraded.
     */
-  private case class CollapsedMinHash(repPairs: DataFrame, members: DataFrame,
-      repHash: DataFrame)
+  private case class CollapsedMinHash(repPairs: DataFrame, ec: ExactCollapse) {
+    def members: DataFrame = ec.members
+    def repHash: DataFrame = ec.reps.select(col("__rid"), col("__rh"), col("__rn"))
+  }
 
   /** The exact-collapse substrate shared by the MinHash and SimHash group
     * paths: per-document (normTextHash, id) member rows plus one
@@ -766,6 +772,16 @@ object Dedup {
     /** Representative documents, shaped like the caller's input. */
     def repDocs(idCol: String, textCol: String): DataFrame =
       reps.select(col("__rid").as(idCol), col("__rtext").as(textCol))
+
+    /** rep -> member star edges for multi-member exact groups (rep is the
+      * group's min id, so id_a = rep keeps the (id_a < id_b) pair
+      * contract) — the ONE construction both group paths' "components
+      * equal the uncollapsed composition" pins depend on.
+      */
+    def starEdges: DataFrame = members
+      .join(reps.select(col("__rh"), col("__rid")), Seq("__rh"))
+      .where(col("__mid") =!= col("__rid"))
+      .select(col("__rid").as("id_a"), col("__mid").as("id_b"))
   }
 
   private def exactCollapse(df: DataFrame, idCol: String, textCol: String): ExactCollapse = {
@@ -803,8 +819,7 @@ object Dedup {
       numHashes, bands, maxBucketSize).localCheckpoint(true)
     val repPairs = ngramJaccard(cand, repDocs, idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
-    CollapsedMinHash(repPairs, members,
-      reps.select(col("__rid"), col("__rh"), col("__rn")))
+    CollapsedMinHash(repPairs, ec)
   }
 
   /** Near-duplicate groups without materializing the quadratic pair set:
@@ -817,6 +832,10 @@ object Dedup {
     * frame is |repPairs| + |members of non-singleton groups| instead of
     * quadratic in clique sizes. This is the composition [[keepBest]] and
     * the dedup_groups gates run at scale.
+    *
+    * NOTE: `strategy = "star"` always enforces converge-or-throw —
+    * `requireConvergence` is honored only by the minLabel/auto paths (see
+    * [[dispatchGroups]]; call [[duplicateGroupsStar]] directly to opt out).
     */
   def minHashDuplicateGroups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
@@ -826,13 +845,8 @@ object Dedup {
       reliableCheckpoint: Boolean = false, strategy: String = "auto"): DataFrame = {
     val c = collapsedMinHash(df, idCol, textCol, threshold, shingleSize,
       numHashes, bands, maxBucketSize)
-    // rep -> member star edges for multi-member exact groups (rep is the
-    // group's min id, so id_a = rep keeps the (id_a < id_b) pair contract)
-    val starEdges = c.members
-      .join(c.repHash, Seq("__rh"))
-      .where(col("__mid") =!= col("__rid"))
-      .select(col("__rid").as("id_a"), col("__mid").as("id_b"))
-    val edges = c.repPairs.select(col("id_a"), col("id_b")).unionByName(starEdges)
+    val edges = c.repPairs.select(col("id_a"), col("id_b"))
+      .unionByName(c.ec.starEdges)
     dispatchGroups(edges, maxIter, requireConvergence, reliableCheckpoint, strategy)
   }
 
@@ -1018,7 +1032,10 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.7,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    // one groupBy yields both the exact-stage hash set and the corpus reps
+    // one groupBy yields both the exact-stage hash set and the corpus reps.
+    // Deliberately NOT exactCollapse: that helper eagerly checkpoints a
+    // corpus-member-sized (hash, id) frame this path never consumes — the
+    // ingest surface needs only reps on the corpus side
     val corpusAgg = corpus.groupBy(normTextHash(textCol).as("__h"))
       .agg(min(col(idCol)).as("__rid"),
         min_by(col(textCol), col(idCol)).as("__rtext"))
@@ -1358,6 +1375,10 @@ object Dedup {
     * but banding, bucket self-join, and popcount verification run at
     * DISTINCT-text scale and the edge frame is |repPairs| + |members of
     * non-singleton exact groups| instead of quadratic in clique sizes.
+    *
+    * NOTE: `strategy = "star"` always enforces converge-or-throw —
+    * `requireConvergence` is honored only by the minLabel/auto paths (see
+    * [[dispatchGroups]]; call [[duplicateGroupsStar]] directly to opt out).
     */
   def simHashDuplicateGroups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
@@ -1367,13 +1388,8 @@ object Dedup {
     val ec = exactCollapse(df, idCol, textCol)
     val repPairs = simHashDuplicates(ec.repDocs(idCol, textCol), idCol, textCol,
       maxHamming, maxBucketSize, portable)
-    // rep -> member star edges for multi-member exact groups (rep is the
-    // group's min id, so id_a = rep keeps the (id_a < id_b) pair contract)
-    val starEdges = ec.members
-      .join(ec.reps.select(col("__rh"), col("__rid")), Seq("__rh"))
-      .where(col("__mid") =!= col("__rid"))
-      .select(col("__rid").as("id_a"), col("__mid").as("id_b"))
-    val edges = repPairs.select(col("id_a"), col("id_b")).unionByName(starEdges)
+    val edges = repPairs.select(col("id_a"), col("id_b"))
+      .unionByName(ec.starEdges)
     dispatchGroups(edges, maxIter, requireConvergence, reliableCheckpoint, strategy)
   }
 
