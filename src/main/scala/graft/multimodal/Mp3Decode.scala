@@ -1021,7 +1021,18 @@ object Mp3Decode {
             // per-channel spectra for this granule
             var ch = 0
             while (ch < channels && frameOk) {
-              val g = f.granules(gr)(ch)
+              val lsfIntensityCh = !f.mpeg1 &&
+                f.mode == 1 && (f.modeExt & 1) == 1 && ch == 1
+              // LSF derives preflag from sfc >= 500, but on the intensity
+              // channel sfc is reinterpreted as isfc = sfc >> 1 — preflag
+              // does not exist there (libmad sets it only in the
+              // non-intensity LSF branch). Without this, an intensity
+              // channel with sfc in 500..511 would add pretab emphasis to
+              // is_pos values during requantization: wrong samples.
+              val g = {
+                val g0 = f.granules(gr)(ch)
+                if (lsfIntensityCh && g0.preflag) g0.copy(preflag = false) else g0
+              }
               locally {
                 val grStart = br.pos
                 val sfs =
@@ -1029,7 +1040,7 @@ object Mp3Decode {
                     Some(scalefacsM1(br, g,
                       if (gr == 1) f.scfsi(ch) else Array(0, 0, 0, 0),
                       prevSfLong(ch)))
-                  else if (f.mode == 1 && (f.modeExt & 1) == 1 && ch == 1)
+                  else if (lsfIntensityCh)
                     // LSF intensity channel: its own scalefactor layout,
                     // values double as is_pos (slens stashed for the
                     // illegal-position check in the stereo stage)

@@ -22,6 +22,8 @@ import graft.functions.{GraftFunctions => F, TextFunctions => T}
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Default cap on LSH bucket size before candidate generation degrades from
     * the full within-bucket self-join (quadratic in bucket size) to
     * star-linking against the bucket's min-id representative (linear).
@@ -689,14 +691,25 @@ object Dedup {
     // intra pairs degrade to rep->member star links — O(m) output, with
     // duplicate-group connectivity preserved exactly (rep links every
     // member at jaccard 1.0). Groups within the cap expand in full.
-    // checkpointed (lazily — the uncapped fast path never builds it): the
-    // guard consumes this corpus-member-sized join up to four times (both
-    // cross sides, the small-group self-join, the star-link union)
+    //
+    // Pay-only-when-armed: whether ANY exact group exceeds the cap is one
+    // tiny max() over the already-checkpointed reps frame (distinct-text
+    // scale). A corpus with no over-cap clique — the common case — routes
+    // straight to c.members and never builds the members×reps sizing join,
+    // whose localCheckpoint was a measured +13-25% constant on the sf0.1
+    // dedup medians (r15 steady pins) despite guarding nothing there.
+    val capArmed = maxBucketSize != Int.MaxValue && {
+      val m = c.repHash.agg(max(col("__rn"))).head()
+      !m.isNullAt(0) && m.getLong(0) > maxBucketSize
+    }
+    // checkpointed (lazily — built only when the cap is armed): the guard
+    // consumes this corpus-member-sized join up to four times (both cross
+    // sides, the small-group self-join, the star-link union)
     lazy val sized = c.members.join(
       c.repHash.select(col("__rh"), col("__rid"), col("__rn")), Seq("__rh"))
       .localCheckpoint(true)
     val expandMembers =
-      if (maxBucketSize == Int.MaxValue) c.members
+      if (!capArmed) c.members
       else sized.where(col("__rn") <= maxBucketSize || col("__mid") === col("__rid"))
         .select(col("__rh"), col("__mid"))
     // cross pairs: a rep-level pair expands to every (surviving) member
@@ -715,7 +728,7 @@ object Dedup {
     if (threshold > 1.0) cross
     else {
       val smallMembers =
-        if (maxBucketSize == Int.MaxValue) c.members
+        if (!capArmed) c.members
         else sized.where(col("__rn") <= maxBucketSize)
           .select(col("__rh"), col("__mid"))
       val intraFull = smallMembers.select(col("__rh"), col("__mid").as("id_a"))
@@ -723,7 +736,7 @@ object Dedup {
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
       val intra =
-        if (maxBucketSize == Int.MaxValue) intraFull
+        if (!capArmed) intraFull
         else intraFull.unionByName(
           sized.where(col("__rn") > maxBucketSize && col("__mid") =!= col("__rid"))
             .select(col("__rid").as("id_a"), col("__mid").as("id_b"),
@@ -861,10 +874,16 @@ object Dedup {
   private def dispatchGroups(edges: DataFrame, maxIter: Int,
       requireConvergence: Boolean, reliableCheckpoint: Boolean,
       strategy: String): DataFrame =
-    if (strategy == "star")
+    if (strategy == "star") {
+      // visible override (not just scaladoc): callers that explicitly
+      // tolerated non-convergence in r14 now throw on a non-converged run
+      if (!requireConvergence)
+        log.warn("dispatchGroups: strategy=\"star\" overrides requireConvergence=false " +
+          "to true (non-converged star runs silently return partially merged groups); " +
+          "call duplicateGroupsStar directly to opt out")
       duplicateGroupsStar(edges, maxIter, requireConvergence = true,
         reliableCheckpoint)
-    else
+    } else
       duplicateGroups(edges, maxIter, requireConvergence, reliableCheckpoint, strategy)
 
   // ---- Incremental ingest dedup: a NEW batch against an EXISTING corpus ----
@@ -1023,10 +1042,15 @@ object Dedup {
     * so the whole near stage runs between one representative per DISTINCT
     * corpus text and one per distinct surviving batch text; flagged batch
     * reps expand back to every member sharing their normalized text. The
-    * result set is EXACTLY the uncollapsed one (suite-pinned): a member m
-    * with rep r and any corpus doc c with rep cr satisfy
-    * J(m, c) = J(r, cr). Exact-dup cliques on either side no longer
-    * multiply banding, bucket-join, or verify work.
+    * result set is EXACTLY the uncollapsed one (suite-pinned) modulo the
+    * bucket-cap degradation regime, as in [[collapsedMinHash]]: a member m
+    * with rep r and any corpus doc c with rep cr satisfy J(m, c) = J(r, cr),
+    * but when `maxBucketSize` trips, the hot-bucket guard now applies at
+    * REP level, so the flagged id set in cap-trip regimes can differ from
+    * the old member-level path (both are documented degradations, and the
+    * rep-level one is strictly less lossy — exact piles no longer inflate
+    * buckets). Exact-dup cliques on either side no longer multiply banding,
+    * bucket-join, or verify work.
     */
   def incrementalDedup(corpus: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.7,
