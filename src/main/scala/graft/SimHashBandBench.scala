@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Candidate-pressure A/B for the SimHash banding schemes at an aggressive
+  * Hamming distance: single-table (maxHamming+1 contiguous blocks — at
+  * d=8 that's 9 bands of ~7-bit keys) vs the Manku '07 multi-table
+  * block-combination scheme (blocks=10 keyed on 2-block subsets → 45
+  * tables of ~12.8-bit keys). Both are complete for the distance, so the
+  * VERIFIED output is identical (DedupSuite pins it); what differs is the
+  * candidate mass the bucket self-join must materialize and the verify
+  * stage must popcount. Prints one JSON line with distinct-candidate
+  * counts, raw (pre-distinct) pair counts, and wall times per scheme.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_MAXHAM (default 8).
+  */
+object SimHashBandBench {
+  def main(args: Array[String]): Unit = {
+    Thread.currentThread().setContextClassLoader(getClass.getClassLoader)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val maxHam = sys.env.getOrElse("SPARK_GRAFT_MAXHAM", "8").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = queries.QueryPack.t(spark, sfDir, "documents").localCheckpoint(true)
+    val nDocs = docs.count()
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // single-table candidates: same banding simHashDuplicates runs, with the
+    // verify filter removed so the candidate mass itself is observable
+    def singleCand = Dedup.simHashMultiTableCandidates(
+      // blocks = maxHam+1 keyed on 1-block subsets IS the single-table
+      // scheme (C(d+1, d) = d+1 tables of one block each)
+      docs, "doc_id", "text", maxHam, maxHam + 1, Dedup.DefaultMaxBucketSize, false)
+    def multiCand = Dedup.simHashMultiTableCandidates(
+      docs, "doc_id", "text", maxHam, 10, Dedup.DefaultMaxBucketSize, false)
+
+    val (singleRaw, tSingleRaw) = timed(singleCand.count())
+    val (singleDistinct, _) =
+      timed(singleCand.select("id_a", "id_b").distinct().count())
+    val (multiRaw, tMultiRaw) = timed(multiCand.count())
+    val (multiDistinct, _) =
+      timed(multiCand.select("id_a", "id_b").distinct().count())
+    val (verifiedMulti, tMultiFull) = timed(Dedup.simHashDuplicatesMultiTable(
+      docs, "doc_id", "text", maxHam, 10).count())
+    val (verifiedSingle, tSingleFull) = timed(Dedup.simHashDuplicates(
+      docs, "doc_id", "text", maxHam).count())
+
+    // Ground truth, driver-side brute force over the collected signatures
+    // (n^2/2 popcounts — fine at bench corpus sizes). Both schemes verify
+    // with exact popcount, so their outputs are SUBSETS of this; a shortfall
+    // is the hot-bucket cap's star-link degradation, and the interesting
+    // number is how much less of it the wider multi-table keys suffer
+    // UNDER THE SAME CAP.
+    // SPARK_GRAFT_BRUTE=0 skips it at corpus sizes where n^2/2 popcounts
+    // stop being free (recall fields then read against -1)
+    import graft.functions.{GraftFunctions => BF, TextFunctions => BT}
+    val truePairs: Long =
+      if (sys.env.get("SPARK_GRAFT_BRUTE").contains("0")) -1L
+      else {
+        val sigs = docs.select(col("doc_id"),
+            BF.simhash64(BT.tokens(col("text")), portable = false).as("sim"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        var n = 0L
+        var i = 0
+        while (i < sigs.length) {
+          var j = i + 1
+          while (j < sigs.length) {
+            if (java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= maxHam) n += 1
+            j += 1
+          }
+          i += 1
+        }
+        n
+      }
+
+    val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+    println(s"""{"bench":"simhash_banding","sf_dir":"$sfDir","docs":$nDocs,""" +
+      s""""max_hamming":$maxHam,"true_pairs":$truePairs,""" +
+      s""""single":{"tables":${maxHam + 1},"raw_candidates":$singleRaw,""" +
+      s""""distinct_candidates":$singleDistinct,"verified":$verifiedSingle,""" +
+      s""""recall":${verifiedSingle.toDouble / truePairs},""" +
+      s""""cand_sec":$tSingleRaw,"full_sec":$tSingleFull},""" +
+      s""""multi":{"blocks":10,"tables":45,"raw_candidates":$multiRaw,""" +
+      s""""distinct_candidates":$multiDistinct,"verified":$verifiedMulti,""" +
+      s""""recall":${verifiedMulti.toDouble / truePairs},""" +
+      s""""cand_sec":$tMultiRaw,"full_sec":$tMultiFull},""" +
+      s""""load_end":$load}""")
+    spark.stop()
+  }
+}

@@ -1364,17 +1364,12 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val bands = maxHamming + 1
     require(bands >= 1 && bands <= 64, s"maxHamming must be in [0, 63], got $maxHamming")
-    val base = 64 / bands
-    val rem = 64 % bands
-    val widths = Array.tabulate(bands)(i => if (i < rem) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
+    val (widths, offsets) = simHashBlockSpec(bands)
     def mkBanded(rows: DataFrame): DataFrame = rows
       .select(col(idCol).as("id"), F.simhash64(T.tokens(col(textCol)), portable).as("sim"))
       .select(col("id"), col("sim"), posexplode(
-        array((0 until bands).map { b =>
-          val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
-          shiftright(col("sim"), offsets(b)).bitwiseAND(lit(mask))
-        }: _*)
+        array((0 until bands).map(b =>
+          simHashBlockVal(col("sim"), widths, offsets, b)): _*)
       ).as(Seq("band", "bucket")))
     cappedBucketPairs(df, mkBanded, Seq("band", "bucket"), Seq("sim"), maxBucketSize)
       .select(col("id_a"), col("id_b"),
@@ -1384,6 +1379,94 @@ object Dedup {
       // verified pairs instead of every candidate
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Contiguous 64-bit block layout: `blocks` blocks with widths as even as
+    * possible (the first 64 % blocks blocks take the extra bit).
+    */
+  private def simHashBlockSpec(blocks: Int): (Array[Int], Array[Int]) = {
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    val widths = Array.tabulate(blocks)(i => if (i < rem) base + 1 else base)
+    (widths, widths.scanLeft(0)(_ + _))
+  }
+
+  private def simHashBlockVal(sim: Column, widths: Array[Int],
+      offsets: Array[Int], b: Int): Column = {
+    val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+    shiftright(sim, offsets(b)).bitwiseAND(lit(mask))
+  }
+
+  /** Multi-table SimHash banding (Manku, Jain & Das Sarma '07, §3) for
+    * AGGRESSIVE Hamming distances — the extension point
+    * [[simHashDuplicates]]'s scale note promises. The single-table scheme
+    * keys each of `maxHamming + 1` contiguous blocks alone, so at
+    * maxHamming = 8 the bucket key is 64/9 ≈ 7 bits: 128 distinct buckets
+    * per band, and candidate pressure ~ n²/128 per band regardless of
+    * corpus. This variant splits the 64 bits into `blocks` contiguous
+    * blocks and builds one table per (blocks − maxHamming)-subset of them,
+    * keyed on the CONCATENATION of the subset's block values: a pair within
+    * Hamming distance d differs in at most d blocks, hence agrees on at
+    * least blocks − d, hence agrees on every block of at least one table
+    * key (any (blocks−d)-subset of the agreeing blocks — all are tables).
+    * Candidate generation is therefore COMPLETE for the requested distance
+    * (pigeonhole, hash-independent) and exact popcount verification makes
+    * the result EQUAL brute-force all-pairs Hamming — the same contract as
+    * [[simHashDuplicates]], asserted against it in DedupSuite.
+    *
+    * The trade: C(blocks, maxHamming) tables instead of maxHamming + 1
+    * bands, but each key is (blocks − maxHamming) blocks wide. At
+    * maxHamming = 8 with blocks = 10: 45 tables of ~12.8-bit keys vs 9
+    * bands of ~7-bit keys — per-table collision mass drops 2^6 ≈ 64× while
+    * table count grows 5×, a net ~13× candidate-pressure relief on
+    * uniform hashes (and more on real corpora, where 7-bit buckets saturate
+    * long before 13-bit ones; measured relief is recorded in BASELINE.md).
+    * Banded-row volume grows tables/bands ×, so this is the right scheme
+    * when the bucket self-join dominates banding — exactly the aggressive-
+    * distance regime.
+    *
+    * @param blocks number of contiguous blocks (> maxHamming; key width =
+    *               (blocks − maxHamming) · 64/blocks bits). The table count
+    *               C(blocks, maxHamming) is capped at 512 — past that the
+    *               banded-row volume dwarfs any self-join relief.
+    */
+  def simHashDuplicatesMultiTable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8, blocks: Int = 10,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      portable: Boolean = false): DataFrame =
+    simHashMultiTableCandidates(df, idCol, textCol, maxHamming, blocks,
+        maxBucketSize, portable)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      // filter BEFORE distinct — see simHashDuplicates
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** Raw capped bucket pairs of the multi-table scheme (pre-verify, may
+    * contain cross-table duplicates) — shared with the candidate-pressure
+    * bench ([[graft.SimHashBandBench]]).
+    */
+  private[graft] def simHashMultiTableCandidates(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int, blocks: Int,
+      maxBucketSize: Int, portable: Boolean): DataFrame = {
+    require(blocks > maxHamming && blocks <= 64,
+      s"blocks must be in (maxHamming, 64], got $blocks for maxHamming=$maxHamming")
+    val keyBlocks = blocks - maxHamming
+    val subsets = (0 until blocks).combinations(keyBlocks).toArray
+    require(subsets.length <= 512,
+      s"C($blocks, $maxHamming) = ${subsets.length} tables exceeds 512; " +
+        "use fewer blocks (coarser keys) or the single-table scheme")
+    val (widths, offsets) = simHashBlockSpec(blocks)
+    def mkBanded(rows: DataFrame): DataFrame = rows
+      .select(col(idCol).as("id"), F.simhash64(T.tokens(col(textCol)), portable).as("sim"))
+      .select(col("id"), col("sim"), posexplode(
+        array(subsets.map { ss =>
+          // table key = hash of the subset's block values; the table index
+          // (posexplode pos) joins alongside, so buckets need not be
+          // unique across tables
+          xxhash64(ss.map(b => simHashBlockVal(col("sim"), widths, offsets, b)): _*)
+        }: _*)).as(Seq("table", "bucket")))
+    cappedBucketPairs(df, mkBanded, Seq("table", "bucket"), Seq("sim"), maxBucketSize)
   }
 
   /** SimHash near-duplicate GROUPS without materializing the quadratic pair

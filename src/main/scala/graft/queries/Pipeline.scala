@@ -242,6 +242,33 @@ object Pipeline {
         )
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b""")),
 
+    // ---- Multi-table SimHash banding (Manku '07 block combinations): the
+    // aggressive-distance scheme — blocks=6 keyed on 2-block subsets gives
+    // 15 tables of ~21-bit keys. Candidate generation is complete by
+    // pigeonhole at maxHamming=4 exactly like the single-table scheme, so
+    // the SAME brute-force all-pairs Hamming oracle applies hash-exact;
+    // DedupSuite pins full-row parity with simHashDuplicates and with
+    // brute force at maxHamming=8 (the distance the scheme exists for). ----
+    QuerySpec("dedup_simhash_multitable",
+      (s, dir) => Dedup.simHashDuplicatesMultiTable(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 4, blocks = 6, portable = true)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH th AS (
+          SELECT doc_id, ('0x' || substr(md5(u.t), 1, 16))::UBIGINT AS h
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents), UNNEST(tk) AS u(t)
+        ), bits AS (
+          SELECT doc_id, g.b AS b,
+            (SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) > 0) AS bit
+          FROM th, generate_series(0, 63) AS g(b)
+          GROUP BY doc_id, g.b
+        ), ham AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+          FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b""")),
+
     // ---- SimHash duplicate GROUPS via the exact-collapse path: banding +
     // popcount verify run once per DISTINCT normalized text, members rejoin
     // through rep->member star edges (simhash is a function of the token

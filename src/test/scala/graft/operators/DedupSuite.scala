@@ -50,6 +50,46 @@ class DedupSuite extends SparkTestBase {
     assert(lsh == exact, s"simhash maxHamming=8 must be exact: lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("multi-table simhash equals exact all-pairs Hamming at distance <= 8") {
+    // Manku '07 block-combination tables: blocks=10, key on 2 blocks,
+    // C(10,2)=45 tables. Complete by pigeonhole (a pair within distance 8
+    // agrees on >= 2 blocks, and every 2-subset is a table), so with exact
+    // popcount verify the result EQUALS brute force — and hence EQUALS the
+    // single-table scheme at the same distance.
+    val sh = docs.select(col("doc_id"), F.simhash64(T.tokens(col("text"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 8
+    } yield (ia, ib)).toSet
+    val mt = Dedup.simHashDuplicatesMultiTable(docs, "doc_id", "text",
+        maxHamming = 8, blocks = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mt == exact, s"multi-table maxHamming=8 must be exact: mt=${mt.size} exact=${exact.size}")
+  }
+
+  test("multi-table simhash: hamming column exact, uneven blocks, distance 4 parity") {
+    // blocks=6 at maxHamming=4 (the gate config): uneven widths (11/11/11/11/10/10),
+    // key on 2 blocks, 15 tables. Full-row parity with the single-table
+    // scheme — (id_a, id_b, hamming) triples identical.
+    val single = Dedup.simHashDuplicates(docs, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val mt = Dedup.simHashDuplicatesMultiTable(docs, "doc_id", "text",
+        maxHamming = 4, blocks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(mt == single, s"multi-table must match single-table rows: mt=${mt.size} single=${single.size}")
+  }
+
+  test("multi-table simhash rejects degenerate configs") {
+    intercept[IllegalArgumentException] {
+      Dedup.simHashDuplicatesMultiTable(docs, "doc_id", "text", maxHamming = 8, blocks = 8)
+    }
+    intercept[IllegalArgumentException] {
+      // C(20, 8) = 125970 tables — far past the 512 cap
+      Dedup.simHashDuplicatesMultiTable(docs, "doc_id", "text", maxHamming = 8, blocks = 20)
+    }
+  }
+
   test("GATE CONFIG: portable simhash equals brute-force Hamming on the gate corpus") {
     // the dedup_simhash gate: sf0.01 documents, maxHamming=4, portable
     // md5-derived token hash. Equality with brute force here is what makes
