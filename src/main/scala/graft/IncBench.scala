@@ -65,6 +65,20 @@ object IncBench {
     time("corpus_banding_distinct") {
       Dedup.minHashBandedForBench(corpusReps, "doc_id", "text", 3, 128, 32).count()
     }
+    // r16 queue #3: does the persisted-index BUILD pay the clique tax?
+    // index_build is the shipped member-level ingestIndexBuild (banding +
+    // exact hot-bucket aggregate + witness reduction); index_build_reps is
+    // the same build over one representative per distinct corpus text —
+    // what a rep-level index would pay (plus a cheap (hash, id) side table
+    // for consumers that need member ids).
+    time("index_build") {
+      val ix = Dedup.ingestIndexBuild(corpus, "doc_id", "text")
+      ix.banded.count() + ix.hashes.count()
+    }
+    time("index_build_reps") {
+      val ix = Dedup.ingestIndexBuild(corpusReps, "doc_id", "text")
+      ix.banded.count() + ix.hashes.count()
+    }
     time("candidates") {
       Dedup.incrementalCandidatePairs(corpus, survivors, "doc_id", "text").count()
     }

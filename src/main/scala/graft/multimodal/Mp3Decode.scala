@@ -583,7 +583,9 @@ object Mp3Decode {
     * caller already consumed — the Huffman region's exact bit budget.
     */
   private def huffmanDecode(br: BitReader, g: GranuleChannel, mpeg1: Boolean,
-      srIdx: Int, huffBits: Int, is: Array[Int]): Boolean = {
+      srIdx: Int, huffBits: Int, is: Array[Int],
+      bigDec: Map[Int, HuffDecoder] = bigDecoders,
+      linbitsOf: Int => Int = _ => 0): Boolean = {
     if (huffBits < 0) return false
     java.util.Arrays.fill(is, 0)
     val part2Start = br.pos
@@ -608,14 +610,19 @@ object Mp3Decode {
         is(line) = 0; is(line + 1) = 0
         line += 2
       } else {
-        val dec = bigDecoders.getOrElse(tSel, null)
+        val dec = bigDec.getOrElse(tSel, null)
         if (dec == null) return false // unvalidated table: documented residue
         val packed = dec.next(br)
         if (packed < 0) return false
         var x = packed >> 4
         var y = packed & 15
-        // shipped tables have no linbits (ESC families not in the set)
+        // shipped tables have no linbits (ESC families not in the set);
+        // candidate ESC transcriptions under validation supply theirs via
+        // linbitsOf (ISO read order: x linbits, x sign, y linbits, y sign)
+        val lb = linbitsOf(tSel)
+        if (lb > 0 && x == 15) x += br.u(lb)
         if (x != 0 && br.u1() == 1) x = -x
+        if (lb > 0 && y == 15) y += br.u(lb)
         if (y != 0 && br.u1() == 1) y = -y
         is(line) = x; is(line + 1) = y
         line += 2
@@ -965,6 +972,22 @@ object Mp3Decode {
     * not a decodable stream (or every frame hits documented residue).
     */
   def decode(bytes: Array[Byte], maxSamples: Int = 1 << 24): Option[Pcm] =
+    decodeWith(bytes, maxSamples, Map.empty)
+
+  /** [[decode]] with candidate Huffman-table transcriptions spliced over
+    * (or added to) the validated set — the [[Mp3TableValidator]] hook, NOT
+    * a public decode surface: a candidate table is only trusted after the
+    * validator accepts it against a conformance stream. `overrides` maps
+    * tableId -> (entries as in [[bigValueTables]], linbits) — linbits > 0
+    * enables the ESC escape read (x/y == 15 extends by linbits bits) the
+    * shipped tables never use.
+    */
+  private[multimodal] def decodeWith(bytes: Array[Byte], maxSamples: Int,
+      overrides: Map[Int, (Map[Int, (Int, Int)], Int)]): Option[Pcm] = {
+    val bigDec =
+      if (overrides.isEmpty) bigDecoders
+      else bigDecoders ++ overrides.map { case (id, (e, _)) => id -> new HuffDecoder(e) }
+    val linbitsOf: Int => Int = id => overrides.get(id).map(_._2).getOrElse(0)
     try {
       val frames0 = collectFrames(bytes)
       // drop a leading Xing/Info/VBRI tag frame (LAME/Fraunhofer metadata,
@@ -1054,7 +1077,8 @@ object Mp3Decode {
                   case Some((sfLong, sfShort)) =>
                     System.arraycopy(sfLong, 0, prevSfLong(ch), 0, 22)
                     val huffBits = g.part23 - (br.pos - grStart).toInt
-                    if (!huffmanDecode(br, g, f.mpeg1, f.srIdx, huffBits, is))
+                    if (!huffmanDecode(br, g, f.mpeg1, f.srIdx, huffBits, is,
+                        bigDec, linbitsOf))
                       frameOk = false
                     else {
                       java.util.Arrays.fill(xrCh(ch), 0.0)
@@ -1145,4 +1169,30 @@ object Mp3Decode {
       if (!decodedAny) None
       else Some(Pcm(f0.sampleRate, channels, sink.result()))
     } catch { case _: Exception => None }
+  }
+
+  /** How often each big-value table id is SELECTED by a stream's side info
+    * (granule × channel × region triples with a nonzero big-value span) —
+    * the validator's evidence check: a candidate table a conformance stream
+    * never selects is not validated by that stream decoding cleanly.
+    */
+  private[multimodal] def tableSelections(bytes: Array[Byte]): Map[Int, Int] = {
+    val counts = scala.collection.mutable.Map.empty[Int, Int]
+    try {
+      collectFrames(bytes).foreach { f =>
+        f.granules.foreach(_.foreach { g =>
+          if (g != null && g.bigValues > 0) {
+            val regions = if (g.windowSwitching) 2 else 3
+            var r = 0
+            while (r < regions) {
+              if (g.tableSelect(r) != 0)
+                counts(g.tableSelect(r)) = counts.getOrElse(g.tableSelect(r), 0) + 1
+              r += 1
+            }
+          }
+        })
+      }
+    } catch { case _: Exception => }
+    counts.toMap
+  }
 }

@@ -498,4 +498,109 @@ class Mp3Suite extends AnyFunSuite {
     // frame 0 rejects; later frames still decode (their tables are valid)
     assert(decoded.forall(_.samples.length < n), "tampered frame must not decode")
   }
+
+  // ------------------------------------------------------------------
+  // leg 6: the table-validation harness (Mp3TableValidator) — the hook
+  // that makes shipping a future validated-source table cheap, and the
+  // demonstration that it rejects the adversary structural checks cannot
+  // see: a permuted-but-valid transcription.
+  // ------------------------------------------------------------------
+
+  import Mp3TableValidator.CandidateTable
+
+  /** Swap the codes of two equal-length entries: still a complete prefix
+    * code with the same lengths (clean bit-landings everywhere), but a
+    * WRONG assignment — the exact from-memory-transcription failure mode.
+    */
+  private def permuted(entries: Map[Int, (Int, Int)]): Map[Int, (Int, Int)] = {
+    // rotate codes within every group sharing (length, x==0, y==0): same
+    // codeword lengths AND same sign-bit consumption per codeword, so the
+    // permuted table decodes every stream with byte-identical bit landings
+    // — only the VALUES are wrong. This is the exact adversary a
+    // from-memory transcription produces and structural checks cannot see.
+    val rotated = entries.toSeq
+      .groupBy { case (k, (l, _)) => (l, (k >> 4) == 0, (k & 15) == 0) }
+      .values.flatMap { grp =>
+        if (grp.size < 2) grp
+        else {
+          val keys = grp.map(_._1).sorted
+          val vals = grp.sortBy(_._1).map(_._2)
+          keys.zip(vals.tail :+ vals.head)
+        }
+      }
+    rotated.toMap
+  }
+
+  test("validator accepts the true table 9 transcription on a twin conformance pair") {
+    val n = 576 * 8
+    val x = Array.tabulate(n)(t => 0.6 * math.sin(2 * math.Pi * 440.0 / 48000.0 * t))
+    val bytes = encode(Array(x))
+    val expected = Mp3Decode.decode(bytes).get.samples
+    val truth = CandidateTable(9, Mp3Decode.bigValueTables(9))
+    val r = Mp3TableValidator.validate(bytes, expected, Seq(truth)).head
+    assert(r.structurallyValid && r.evidenced && r.decoded && r.accepted, r.reason)
+    assert(r.maxAbsDiff == 0)
+  }
+
+  test("validator rejects a permuted-but-valid table 9: clean landings, wrong PCM") {
+    val n = 576 * 8
+    val x = Array.tabulate(n)(t => 0.6 * math.sin(2 * math.Pi * 440.0 / 48000.0 * t))
+    val bytes = encode(Array(x))
+    val expected = Mp3Decode.decode(bytes).get.samples
+    val perm = CandidateTable(9, permuted(Mp3Decode.bigValueTables(9)))
+    // the permutation passes every structural bar the shipped tables pass
+    assert(Mp3TableValidator.structuralCheck(perm).isEmpty,
+      "permutation must remain a complete prefix code")
+    val r = Mp3TableValidator.validate(bytes, expected, Seq(perm)).head
+    assert(r.structurallyValid && r.evidenced, r.reason)
+    assert(!r.accepted, "permuted table must be rejected")
+    // the discriminator is the CONFORMANCE PCM, not the landings: when the
+    // stream still decodes (it may — same codeword lengths), the samples
+    // must differ
+    if (r.decoded) assert(r.maxAbsDiff > 0, "decoded but identical would mean no rejection signal")
+  }
+
+  test("validator rejects structural breakage and unevidenced candidates") {
+    val n = 576 * 4
+    val x = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 330.0 / 48000.0 * t))
+    val bytes = encode(Array(x))
+    val expected = Mp3Decode.decode(bytes).get.samples
+    val t9 = Mp3Decode.bigValueTables(9)
+    // domain hole
+    val holed = CandidateTable(9, t9 - ((2 << 4) | 3))
+    // Kraft violation: lengthen one code
+    val (hk, (hl, hc)) = t9.head
+    val unkraft = CandidateTable(9, t9 + (hk -> (hl + 1, hc)))
+    // structurally fine but the twin stream never selects table 7
+    val unseen = CandidateTable(7, Mp3Decode.bigValueTables(7))
+    val rs = Mp3TableValidator.validate(bytes, expected, Seq(holed, unkraft, unseen))
+    assert(!rs(0).structurallyValid && rs(0).reason.contains("domain hole"), rs(0).reason)
+    assert(!rs(1).structurallyValid, rs(1).reason)
+    assert(rs(2).structurallyValid && !rs(2).evidenced && !rs(2).accepted, rs(2).reason)
+    assert(rs.forall(!_.accepted))
+  }
+
+  test("validator on the external LAME fixture: permutations of its tables reject") {
+    assume(java.nio.file.Files.exists(lamePath), "container fixture absent")
+    val bytes = java.nio.file.Files.readAllBytes(lamePath)
+    val selections = Mp3Decode.tableSelections(bytes)
+      .filter { case (id, _) => Mp3Decode.bigValueTables.contains(id) }
+    assume(selections.nonEmpty, "fixture selects no validated big-value table")
+    val expected = Mp3Decode.decode(bytes).get.samples
+    selections.keys.foreach { id =>
+      val entries = Mp3Decode.bigValueTables(id)
+      val truthR = Mp3TableValidator.validate(bytes, expected,
+        Seq(CandidateTable(id, entries))).head
+      val permR = Mp3TableValidator.validate(bytes, expected,
+        Seq(CandidateTable(id, permuted(entries)))).head
+      if (truthR.evidenced) {
+        assert(truthR.accepted, s"table $id truth: ${truthR.reason}")
+        assert(!permR.accepted, s"table $id permutation must reject: ${permR.reason}")
+      } else {
+        // selected but never read (e.g. empty regions in a silence stream):
+        // the harness must refuse to validate on no evidence either way
+        assert(!truthR.accepted && !permR.accepted, "no-evidence must not accept")
+      }
+    }
+  }
 }
