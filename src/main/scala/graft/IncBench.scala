@@ -66,11 +66,11 @@ object IncBench {
       Dedup.minHashBandedForBench(corpusReps, "doc_id", "text", 3, 128, 32).count()
     }
     // r16 queue #3: does the persisted-index BUILD pay the clique tax?
-    // index_build is the shipped member-level ingestIndexBuild (banding +
-    // exact hot-bucket aggregate + witness reduction); index_build_reps is
-    // the same build over one representative per distinct corpus text —
-    // what a rep-level index would pay (plus a cheap (hash, id) side table
-    // for consumers that need member ids).
+    // index_build is the shipped ingestIndexBuild; index_build_reps is the
+    // build over one representative per distinct corpus text. BEFORE the
+    // r16 collapse these differed (member-level vs rep-level banding — the
+    // decision measurement, recorded in BASELINE.md); AFTER it the shipped
+    // build collapses internally, so the two rows now pin each other.
     time("index_build") {
       val ix = Dedup.ingestIndexBuild(corpus, "doc_id", "text")
       ix.banded.count() + ix.hashes.count()

@@ -1106,11 +1106,31 @@ object Dedup {
   final case class IngestIndex(shingleSize: Int, numHashes: Int, bands: Int,
       hashes: DataFrame, banded: DataFrame)
 
+  /** r16 exact-collapse (measurement: `graft.IncBench` index_build vs
+    * index_build_reps — on the verbatim sf25 corpus member-level banding
+    * was the build's dominant cost, paid once per exact-dup clique member
+    * for identical banded keys): the index bands ONE representative (min
+    * id) per DISTINCT normalized text. Near-dup candidacy is a function of
+    * text alone, and [[incrementalDedup]](index, ...) uses banded ids only
+    * to look up candidate TEXTS (J(batch, member) = J(batch, rep)), so the
+    * rep-level index convicts exactly the same batch ids — and the r15
+    * ad-hoc path already collapsed its corpus side, so this also removes
+    * the last member-level banding between the two ingest surfaces.
+    * Consumers that need MEMBER-level corpus ids rejoin through
+    * [[normTextHash]] (`corpus.withColumn("__h", normTextHash(textCol))`
+    * against the flagged reps' hashes) — the same O(members) map the old
+    * build burned into every persisted index whether or not any consumer
+    * wanted it. Build-time hot-bucket stats are exact at REP granularity,
+    * matching the collapsed query paths' cap semantics.
+    */
   def ingestIndexBuild(corpus: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): IngestIndex = {
-    val hashes = corpus.select(normTextHash(textCol).as("__h")).distinct()
-    val full = minHashBanded(corpus, idCol, textCol, shingleSize, numHashes, bands)
+    val reps = corpus.groupBy(normTextHash(textCol).as("__h"))
+      .agg(min(col(idCol)).as(idCol), min_by(col(textCol), col(idCol)).as(textCol))
+      .localCheckpoint(true) // feeds both the hash set and the banding scan
+    val hashes = reps.select(col("__h"))
+    val full = minHashBanded(reps.drop("__h"), idCol, textCol, shingleSize, numHashes, bands)
     val banded =
       if (maxBucketSize == Int.MaxValue) full
       else {
@@ -1491,10 +1511,20 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
       portable: Boolean = false,
       maxIter: Int = 20, requireConvergence: Boolean = false,
-      reliableCheckpoint: Boolean = false, strategy: String = "auto"): DataFrame = {
+      reliableCheckpoint: Boolean = false, strategy: String = "auto",
+      blocks: Int = 0): DataFrame = {
     val ec = exactCollapse(df, idCol, textCol)
-    val repPairs = simHashDuplicates(ec.repDocs(idCol, textCol), idCol, textCol,
-      maxHamming, maxBucketSize, portable)
+    val repDocs = ec.repDocs(idCol, textCol)
+    // blocks > 0 routes the rep-level pair stage through the Manku
+    // multi-table scheme — same verified pair set where the cap never
+    // trips, and the CORRECT one at aggressive distances where the
+    // single-table buckets would cap-degrade (see simHashDuplicatesMultiTable)
+    val repPairs =
+      if (blocks > 0)
+        simHashDuplicatesMultiTable(repDocs, idCol, textCol, maxHamming,
+          blocks, maxBucketSize, portable)
+      else
+        simHashDuplicates(repDocs, idCol, textCol, maxHamming, maxBucketSize, portable)
     val edges = repPairs.select(col("id_a"), col("id_b"))
       .unionByName(ec.starEdges)
     dispatchGroups(edges, maxIter, requireConvergence, reliableCheckpoint, strategy)
@@ -1614,6 +1644,14 @@ object Dedup {
       .where(col("cosine") >= threshold)
     if (probes <= 1) pairs else pairs.distinct()
   }
+
+  /** Bench hook ([[graft.SemBench]] stage attribution): the quantizer fit
+    * alone, so the driver-local k-means cost is observable separately from
+    * the distributed stages.
+    */
+  def semanticQuantizerForBench(df: DataFrame, vecCol: String,
+      nCells: Int, sampleSize: Int): Array[Array[Double]] =
+    Similarity.trainSphericalQuantizer(df, vecCol, nCells, sampleSize)
 
   /** The candidate pairs SemDeDup scores before cosine verification — the
     * scaling-evidence twin of [[Similarity.lshScoredPairs]]: proves the

@@ -80,6 +80,15 @@ class DedupSuite extends SparkTestBase {
     assert(mt == single, s"multi-table must match single-table rows: mt=${mt.size} single=${single.size}")
   }
 
+  test("simHashDuplicateGroups via multi-table banding equals the single-table groups") {
+    val single = Dedup.simHashDuplicateGroups(docs, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Dedup.simHashDuplicateGroups(docs, "doc_id", "text", maxHamming = 4,
+        blocks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi == single, s"groups must agree: multi=${multi.size} single=${single.size}")
+  }
+
   test("multi-table simhash rejects degenerate configs") {
     intercept[IllegalArgumentException] {
       Dedup.simHashDuplicatesMultiTable(docs, "doc_id", "text", maxHamming = 8, blocks = 8)
@@ -871,20 +880,46 @@ class DedupSuite extends SparkTestBase {
       survivors.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
-  test("ingest index reduces hot buckets exactly at build time, witnesses still convict") {
+  test("ingest index exact-collapses cliques at build; batch convictions unchanged") {
     import spark.implicits._
     def window(from: Int, n: Int) = (from until from + n).map(i => s"tok$i").mkString(" ")
+    // 300 IDENTICAL docs: r16 bands one rep per distinct text, so the
+    // banded table holds exactly ONE row per (band, bucket) — the exact
+    // clique never reaches the hot-bucket machinery at all (strictly less
+    // index than the old member-level witnesses), and a near-dup batch doc
+    // is still convicted through the rep's text
     val corpus = (0L until 300L).map(i => (i, window(1, 30))).toDF("doc_id", "text")
     val index = Dedup.ingestIndexBuild(corpus, "doc_id", "text", maxBucketSize = 100)
-    // 300 identical docs: every (band, bucket) is over cap, so the banded
-    // table holds exactly the HotBucketWitnesses smallest-id rows per bucket
     val perBucket = index.banded.groupBy("band", "bucket").count()
       .agg(max("count")).head().getLong(0)
-    assert(perBucket == Dedup.HotBucketWitnesses.toLong,
-      s"hot buckets not reduced to witnesses: max rows/bucket = $perBucket")
-    assert(index.banded.groupBy("band", "bucket")
-      .agg(max("id").as("m")).agg(max("m")).head().getLong(0) ==
-      Dedup.HotBucketWitnesses - 1L, "witnesses must be the smallest ids")
+    assert(perBucket == 1L, s"exact clique must collapse to one rep: $perBucket rows/bucket")
+    assert(index.banded.agg(max("id")).head().getLong(0) == 0L,
+      "the rep must be the min id")
+    val fresh = Seq((1001L, window(2, 30)), (1002L, window(500, 30))).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(index, corpus, fresh, "doc_id", "text", 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1002L), s"survivors: $out")
+  }
+
+  test("ingest index reduces DISTINCT-text hot buckets to witnesses, witnesses convict") {
+    import spark.implicits._
+    def window(from: Int, n: Int) = (from until from + n).map(i => s"tok$i").mkString(" ")
+    // 300 DISTINCT texts sharing a 30-token window (one unique trailing
+    // token each): ~28 of 29 shingles shared, so most bands' min-hash comes
+    // from the shared set and the bucket holds most of the corpus — hot
+    // through genuinely distinct texts, the regime the build-time witness
+    // reduction exists for post-collapse
+    val corpus = (0L until 300L).map(i => (i, window(1, 30) + s" uniq$i"))
+      .toDF("doc_id", "text")
+    val index = Dedup.ingestIndexBuild(corpus, "doc_id", "text", maxBucketSize = 100)
+    val counts = index.banded.groupBy("band", "bucket").count()
+      .select("count").collect().map(_.getLong(0))
+    assert(counts.max == Dedup.HotBucketWitnesses.toLong,
+      s"hot buckets not reduced to witnesses: max rows/bucket = ${counts.max}")
+    assert(counts.count(_ == Dedup.HotBucketWitnesses.toLong) >= 16,
+      "most bands should carry one reduced hot bucket on this corpus")
+    // a batch doc overlapping the shared window is convicted by a witness;
+    // an unrelated doc survives
     val fresh = Seq((1001L, window(2, 30)), (1002L, window(500, 30))).toDF("doc_id", "text")
     val out = Dedup.incrementalDedup(index, corpus, fresh, "doc_id", "text", 0.7)
       .select("doc_id").collect().map(_.getLong(0)).toSet
