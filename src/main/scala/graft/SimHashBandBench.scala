@@ -37,6 +37,21 @@ object SimHashBandBench {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // SPARK_GRAFT_ONLY_GROUPS=1: skip the candidate-mass A/B (at sf-decade
+    // corpora the d=8 raw candidate counts are themselves hours of work)
+    // and time just the collapse-first multi-table GROUPS path — the
+    // consumer shape that is supposed to make d=8 viable at scale.
+    if (sys.env.get("SPARK_GRAFT_ONLY_GROUPS").contains("1")) {
+      val (rows, sec) = timed(Dedup.simHashDuplicateGroups(
+        docs, "doc_id", "text", maxHam, blocks = 10).count())
+      val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      println(s"""{"bench":"simhash_mt_groups","sf_dir":"$sfDir","docs":$nDocs,""" +
+        s""""max_hamming":$maxHam,"blocks":10,"group_rows":$rows,"sec":$sec,""" +
+        s""""load_end":$load}""")
+      spark.stop()
+      return
+    }
+
     // single-table candidates: same banding simHashDuplicates runs, with the
     // verify filter removed so the candidate mass itself is observable
     def singleCand = Dedup.simHashMultiTableCandidates(
@@ -56,6 +71,14 @@ object SimHashBandBench {
       docs, "doc_id", "text", maxHam, 10).count())
     val (verifiedSingle, tSingleFull) = timed(Dedup.simHashDuplicates(
       docs, "doc_id", "text", maxHam).count())
+    // SPARK_GRAFT_GROUPS_MT=1: also time the collapse-first GROUPS path
+    // routed through the multi-table scheme (blocks=10) — the consumer
+    // shape that avoids materializing the quadratic pair set at d=8
+    val (mtGroupRows, tMtGroups) =
+      if (sys.env.get("SPARK_GRAFT_GROUPS_MT").contains("1"))
+        timed(Dedup.simHashDuplicateGroups(docs, "doc_id", "text", maxHam,
+          blocks = 10).count())
+      else (-1L, -1.0)
 
     // Ground truth, driver-side brute force over the collected signatures
     // (n^2/2 popcounts — fine at bench corpus sizes). Both schemes verify
@@ -96,6 +119,7 @@ object SimHashBandBench {
       s""""distinct_candidates":$multiDistinct,"verified":$verifiedMulti,""" +
       s""""recall":${verifiedMulti.toDouble / truePairs},""" +
       s""""cand_sec":$tMultiRaw,"full_sec":$tMultiFull},""" +
+      s""""mt_groups":{"rows":$mtGroupRows,"sec":$tMtGroups},""" +
       s""""load_end":$load}""")
     spark.stop()
   }
