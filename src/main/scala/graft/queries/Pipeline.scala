@@ -303,6 +303,39 @@ object Pipeline {
         )
         SELECT id, MIN(comp) AS group_id FROM reach GROUP BY id ORDER BY id""")),
 
+    // ---- SimHash GROUPS routed through the multi-table banding (r16,
+    // blocks=6 at d=4): pins the blocks>0 path of simHashDuplicateGroups —
+    // exact-collapse + Manku block-combination tables + star edges + CC —
+    // against the same uncollapsed recursive-CTE ground truth as
+    // dedup_simhash_groups (completeness is pigeonhole either way, so the
+    // components must be identical). ----
+    QuerySpec("dedup_simhash_groups_mt",
+      (s, dir) => Dedup.simHashDuplicateGroups(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 4, portable = true, blocks = 6)
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE th AS (
+          SELECT doc_id, ('0x' || substr(md5(u.t), 1, 16))::UBIGINT AS h
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents), UNNEST(tk) AS u(t)
+        ), bits AS (
+          SELECT doc_id, g.b AS b,
+            (SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) > 0) AS bit
+          FROM th, generate_series(0, 63) AS g(b)
+          GROUP BY doc_id, g.b
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 4
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src WHERE r.comp < e.dst
+        )
+        SELECT id, MIN(comp) AS group_id FROM reach GROUP BY id ORDER BY id""")),
+
     // ---- Embedding near-dup via hyperplane LSH + exact cosine verify.
     // bits=5 x tables=20 is the measured-complete config at this corpus +
     // threshold: every exact-cosine pair >= 0.45 collides in >= 1 table
