@@ -580,6 +580,35 @@ class Mp3Suite extends AnyFunSuite {
     assert(rs.forall(!_.accepted))
   }
 
+  test("validator: linbits plumbing is inert below the escape value; ESC-shaped structural checks") {
+    // linbits only applies at x/y == 15; table 9 tops out at 5, so splicing
+    // it back in WITH linbits declared must decode bit-identically (the
+    // escape read never triggers) — pins that the plumbing can't corrupt a
+    // non-ESC decode
+    val n = 576 * 4
+    val x = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 330.0 / 48000.0 * t))
+    val bytes = encode(Array(x))
+    val plain = Mp3Decode.decode(bytes).get.samples
+    val withLinbits = Mp3Decode.decodeWith(bytes, 1 << 24,
+      Map(9 -> (Mp3Decode.bigValueTables(9), 13))).get.samples
+    assert(java.util.Arrays.equals(plain, withLinbits),
+      "linbits on a table whose values never reach 15 must not change the decode")
+    // an ESC-shaped candidate (16x16 domain) passes the structural bar when
+    // complete + prefix-free: canonical Huffman over 256 symbols
+    val lens = Array.fill(256)(8) // flat 8-bit code: Kraft-complete, prefix-free
+    var code = 0
+    val esc = (for (x0 <- 0 to 15; y0 <- 0 to 15) yield {
+      val e = ((x0 << 4) | y0) -> (8, code); code += 1; e
+    }).toMap
+    assert(lens.length == esc.size)
+    assert(Mp3TableValidator.structuralCheck(CandidateTable(16, esc, linbits = 13)).isEmpty,
+      "a complete 16x16 prefix code must pass the structural bar")
+    // the same table with one codeword lengthened fails Kraft
+    val (bk, (bl, bc)) = esc.head
+    assert(Mp3TableValidator.structuralCheck(
+      CandidateTable(16, esc + (bk -> (bl + 1, bc)), linbits = 13)).isDefined)
+  }
+
   test("validator on the external LAME fixture: permutations of its tables reject") {
     assume(java.nio.file.Files.exists(lamePath), "container fixture absent")
     val bytes = java.nio.file.Files.readAllBytes(lamePath)
