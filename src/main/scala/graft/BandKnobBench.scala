@@ -48,14 +48,16 @@ object BandKnobBench {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // candidate generation over distinct texts — the collapsed frame the
+    // shipped operators actually band (collapse-first, like the gates);
+    // bands-independent, so built + checkpointed ONCE outside the loop
+    val reps = docs.groupBy(Dedup.normTextHash("text").as("__rh"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
+      .select("doc_id", "text").localCheckpoint(true)
+    val nReps = reps.count()
+
     bandsList.foreach { bands =>
       val loadStart = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
-      // candidate generation over distinct texts — the collapsed frame the
-      // shipped operators actually band (collapse-first, like the gates)
-      val reps = docs.groupBy(Dedup.normTextHash("text").as("__rh"))
-        .agg(min(col("doc_id")).as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
-        .select("doc_id", "text").localCheckpoint(true)
-      val nReps = reps.count()
       val (nCand, tCand) = timed(
         Dedup.minHashCandidatePairs(reps, "doc_id", "text", bands = bands).count())
       val (nPairs, tPairs) = timed(

@@ -53,18 +53,21 @@ object SimHashBandBench {
     }
 
     // single-table candidates: same banding simHashDuplicates runs, with the
-    // verify filter removed so the candidate mass itself is observable
-    def singleCand = Dedup.simHashMultiTableCandidates(
+    // verify filter removed so the candidate mass itself is observable.
+    // Each frame is checkpointed once so the distinct-count does not rerun
+    // the banding + bucket self-join (the dominant cost at sf decades).
+    val (singleCand, tSingleRaw) = timed(Dedup.simHashMultiTableCandidates(
       // blocks = maxHam+1 keyed on 1-block subsets IS the single-table
       // scheme (C(d+1, d) = d+1 tables of one block each)
       docs, "doc_id", "text", maxHam, maxHam + 1, Dedup.DefaultMaxBucketSize, false)
-    def multiCand = Dedup.simHashMultiTableCandidates(
-      docs, "doc_id", "text", maxHam, 10, Dedup.DefaultMaxBucketSize, false)
-
-    val (singleRaw, tSingleRaw) = timed(singleCand.count())
+      .localCheckpoint(true))
+    val singleRaw = singleCand.count()
     val (singleDistinct, _) =
       timed(singleCand.select("id_a", "id_b").distinct().count())
-    val (multiRaw, tMultiRaw) = timed(multiCand.count())
+    val (multiCand, tMultiRaw) = timed(Dedup.simHashMultiTableCandidates(
+      docs, "doc_id", "text", maxHam, 10, Dedup.DefaultMaxBucketSize, false)
+      .localCheckpoint(true))
+    val multiRaw = multiCand.count()
     val (multiDistinct, _) =
       timed(multiCand.select("id_a", "id_b").distinct().count())
     val (verifiedMulti, tMultiFull) = timed(Dedup.simHashDuplicatesMultiTable(
@@ -108,16 +111,21 @@ object SimHashBandBench {
         n
       }
 
+    // recall against the brute-force oracle; -1 when the oracle was skipped
+    // (BRUTE=0) or found zero pairs (0/0 would print NaN — invalid JSON)
+    def recallOf(verified: Long): Double =
+      if (truePairs > 0) verified.toDouble / truePairs else -1.0
+
     val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
     println(s"""{"bench":"simhash_banding","sf_dir":"$sfDir","docs":$nDocs,""" +
       s""""max_hamming":$maxHam,"true_pairs":$truePairs,""" +
       s""""single":{"tables":${maxHam + 1},"raw_candidates":$singleRaw,""" +
       s""""distinct_candidates":$singleDistinct,"verified":$verifiedSingle,""" +
-      s""""recall":${verifiedSingle.toDouble / truePairs},""" +
+      s""""recall":${recallOf(verifiedSingle)},""" +
       s""""cand_sec":$tSingleRaw,"full_sec":$tSingleFull},""" +
       s""""multi":{"blocks":10,"tables":45,"raw_candidates":$multiRaw,""" +
       s""""distinct_candidates":$multiDistinct,"verified":$verifiedMulti,""" +
-      s""""recall":${verifiedMulti.toDouble / truePairs},""" +
+      s""""recall":${recallOf(verifiedMulti)},""" +
       s""""cand_sec":$tMultiRaw,"full_sec":$tMultiFull},""" +
       s""""mt_groups":{"rows":$mtGroupRows,"sec":$tMtGroups},""" +
       s""""load_end":$load}""")

@@ -136,20 +136,28 @@ object Mp3Decode {
     (1,1),(4,5),(4,4),(5,5),(4,6),(6,5),(5,4),(6,4),
     (4,7),(5,3),(5,6),(6,0),(5,7),(6,3),(6,2),(6,1))
 
-  /** Decode LUT: (hlen<<16 | hcod) -> packed value, built per table. */
+  /** Decode LUT: (hlen, hcod) packed into a LONG key -> packed value, built
+    * per table. The key must be long: ISO big-value codeword lengths reach
+    * 19 bits (ESC tables 16-23), so an int (len<<16 | code) key would alias
+    * any code wider than 16 bits — a correct 17-19-bit candidate
+    * transcription under [[Mp3TableValidator]] would misdecode and be
+    * falsely rejected.
+    */
   private final class HuffDecoder(pairs: Iterable[(Int, (Int, Int))]) {
-    private val m = new java.util.HashMap[Int, Integer]()
+    private val m = new java.util.HashMap[java.lang.Long, Integer]()
     var maxLen = 0
     pairs.foreach { case (v, (l, c)) =>
-      m.put((l << 16) | c, Integer.valueOf(v)); if (l > maxLen) maxLen = l
+      m.put(java.lang.Long.valueOf((l.toLong << 32) | (c.toLong & 0xffffffffL)),
+        Integer.valueOf(v))
+      if (l > maxLen) maxLen = l
     }
     /** Read one codeword from `br`; -1 when no code matches (invalid). */
     def next(br: BitReader): Int = {
-      var code = 0; var len = 0
+      var code = 0L; var len = 0
       while (len < maxLen) {
         code = (code << 1) | br.u1()
         len += 1
-        val hit = m.get((len << 16) | code)
+        val hit = m.get(java.lang.Long.valueOf((len.toLong << 32) | code))
         if (hit != null) return hit.intValue()
       }
       -1

@@ -99,16 +99,35 @@ object Mp3TableValidator {
             "stream side info never selects this table: no evidence")
         case None =>
           val withCand = Mp3Decode.decodeWith(bytes, 1 << 24, overrides)
-          // evidence: removing the table must change the output — an empty
-          // override makes every frame that actually READS it reject
+          // evidence: the table must demonstrably be READ. An empty
+          // override makes every frame that reads it reject, so comparing
+          // against (a) the shipped decode and (b) the candidate decode
+          // catches both cases: overriding a shipped table (plain differs
+          // from without) and adding a new id (withCand differs from
+          // without). A candidate so wrong that it rejects every frame that
+          // reads a NEW id is indistinguishable from the id never being
+          // read — reported as the ambiguity it is, never as acceptance.
           val without = Mp3Decode.decodeWith(bytes, 1 << 24,
             Map(c.id -> (Map.empty[Int, (Int, Int)], 0)))
-          val evidenced = withCand.map(_.samples.toSeq) != without.map(_.samples.toSeq)
+          def samplesOf(p: Option[Mp3Decode.Pcm]) = p.map(_.samples.toSeq)
+          val plain = Mp3Decode.decode(bytes)
+          val evidenced = samplesOf(plain) != samplesOf(without) ||
+            samplesOf(withCand) != samplesOf(without)
           withCand match {
+            case None if evidenced =>
+              // the table is load-bearing (removing it changes the shipped
+              // decode) and the candidate breaks the decode outright
+              Report(c.id, structurallyValid = true, evidenced = true,
+                decoded = false, -1, accepted = false,
+                "stream does not decode with candidate spliced in")
             case _ if !evidenced =>
               Report(c.id, structurallyValid = true, evidenced = false,
                 decoded = withCand.isDefined, -1, accepted = false,
-                "selected but never read (empty regions): no evidence")
+                if (withCand.isEmpty)
+                  "no decodable frames beyond the shipped baseline: table never " +
+                    "read, or the transcription breaks every frame that reads it " +
+                    "— no evidence either way"
+                else "selected but never read (empty regions): no evidence")
             case None =>
               Report(c.id, structurallyValid = true, evidenced = true,
                 decoded = false, -1, accepted = false,
