@@ -72,8 +72,11 @@ object SimHashBandBench {
       timed(multiCand.select("id_a", "id_b").distinct().count())
     val (verifiedMulti, tMultiFull) = timed(Dedup.simHashDuplicatesMultiTable(
       docs, "doc_id", "text", maxHam, 10).count())
+    // blocks = SimHashSingleTable forces the degraded arm: since r17 the
+    // public surface AUTO-routes d >= 6 to multi-table, which would make
+    // this A/B silently measure multi vs multi
     val (verifiedSingle, tSingleFull) = timed(Dedup.simHashDuplicates(
-      docs, "doc_id", "text", maxHam).count())
+      docs, "doc_id", "text", maxHam, blocks = Dedup.SimHashSingleTable).count())
     // SPARK_GRAFT_GROUPS_MT=1: also time the collapse-first GROUPS path
     // routed through the multi-table scheme (blocks=10) — the consumer
     // shape that avoids materializing the quadratic pair set at d=8

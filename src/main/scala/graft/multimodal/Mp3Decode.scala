@@ -136,29 +136,40 @@ object Mp3Decode {
     (1,1),(4,5),(4,4),(5,5),(4,6),(6,5),(5,4),(6,4),
     (4,7),(5,3),(5,6),(6,0),(5,7),(6,3),(6,2),(6,1))
 
-  /** Decode LUT: (hlen, hcod) packed into a LONG key -> packed value, built
-    * per table. The key must be long: ISO big-value codeword lengths reach
-    * 19 bits (ESC tables 16-23), so an int (len<<16 | code) key would alias
-    * any code wider than 16 bits — a correct 17-19-bit candidate
-    * transcription under [[Mp3TableValidator]] would misdecode and be
-    * falsely rejected.
+  /** Decode LUT: a two-level array indexed by codeword length then code
+    * value, -1 = no code at that (len, code). Keeps the innermost decode
+    * loop allocation-free — the previous boxed-Long HashMap allocated a
+    * java.lang.Long on every bit step of every codeword (Long.valueOf
+    * caches only -128..127). Full code width is addressable: ISO big-value
+    * lengths reach 19 bits (ESC tables 16-23), so a 17-19-bit candidate
+    * transcription under [[Mp3TableValidator]] still decodes exactly (a
+    * 19-bit level costs a transient 2 MB; the shipped tables top out at 13
+    * bits, ~32 KB total per table).
     */
   private final class HuffDecoder(pairs: Iterable[(Int, (Int, Int))]) {
-    private val m = new java.util.HashMap[java.lang.Long, Integer]()
     var maxLen = 0
+    pairs.foreach { case (_, (l, _)) => if (l >= 1 && l <= 30 && l > maxLen) maxLen = l }
+    private val byLen: Array[Array[Int]] = new Array[Array[Int]](maxLen + 1)
     pairs.foreach { case (v, (l, c)) =>
-      m.put(java.lang.Long.valueOf((l.toLong << 32) | (c.toLong & 0xffffffffL)),
-        Integer.valueOf(v))
-      if (l > maxLen) maxLen = l
+      // out-of-range entries are skipped, preserving the old map's semantics
+      // (a 0-length or over-wide code could never win the shortest-match
+      // scan below); packed values are non-negative, so -1 is a free sentinel
+      if (l >= 1 && l <= maxLen && c >= 0 && c < (1 << l)) {
+        if (byLen(l) == null) byLen(l) = Array.fill(1 << l)(-1)
+        byLen(l)(c) = v
+      }
     }
     /** Read one codeword from `br`; -1 when no code matches (invalid). */
     def next(br: BitReader): Int = {
-      var code = 0L; var len = 0
+      var code = 0; var len = 0
       while (len < maxLen) {
         code = (code << 1) | br.u1()
         len += 1
-        val hit = m.get(java.lang.Long.valueOf((len.toLong << 32) | code))
-        if (hit != null) return hit.intValue()
+        val tab = byLen(len)
+        if (tab != null) {
+          val hit = tab(code)
+          if (hit >= 0) return hit
+        }
       }
       -1
     }

@@ -87,6 +87,11 @@ object Mp3TableValidator {
   def validate(bytes: Array[Byte], expected: Array[Int],
       candidates: Seq[CandidateTable], tolerance: Int = 0): Seq[Report] = {
     val selections = Mp3Decode.tableSelections(bytes)
+    def samplesOf(p: Option[Mp3Decode.Pcm]) = p.map(_.samples.toSeq)
+    // candidate-independent: the shipped-decode evidence baseline runs once
+    // per conformance stream, not once per candidate (lazy — skipped when
+    // every candidate fails structurally or is never selected)
+    lazy val plainSamples = samplesOf(Mp3Decode.decode(bytes))
     candidates.map { c =>
       val overrides = Map(c.id -> (c.entries, c.linbits))
       structuralCheck(c) match {
@@ -107,28 +112,21 @@ object Mp3TableValidator {
           // without). A candidate so wrong that it rejects every frame that
           // reads a NEW id is indistinguishable from the id never being
           // read — reported as the ambiguity it is, never as acceptance.
-          val without = Mp3Decode.decodeWith(bytes, 1 << 24,
-            Map(c.id -> (Map.empty[Int, (Int, Int)], 0)))
-          def samplesOf(p: Option[Mp3Decode.Pcm]) = p.map(_.samples.toSeq)
-          val plain = Mp3Decode.decode(bytes)
-          val evidenced = samplesOf(plain) != samplesOf(without) ||
-            samplesOf(withCand) != samplesOf(without)
-          withCand match {
-            case None if evidenced =>
+          val without = samplesOf(Mp3Decode.decodeWith(bytes, 1 << 24,
+            Map(c.id -> (Map.empty[Int, (Int, Int)], 0))))
+          val evidenced = plainSamples != without || samplesOf(withCand) != without
+          if (!evidenced)
+            Report(c.id, structurallyValid = true, evidenced = false,
+              decoded = withCand.isDefined, -1, accepted = false,
+              if (withCand.isEmpty)
+                "no decodable frames beyond the shipped baseline: table never " +
+                  "read, or the transcription breaks every frame that reads it " +
+                  "— no evidence either way"
+              else "selected but never read (empty regions): no evidence")
+          else withCand match {
+            case None =>
               // the table is load-bearing (removing it changes the shipped
               // decode) and the candidate breaks the decode outright
-              Report(c.id, structurallyValid = true, evidenced = true,
-                decoded = false, -1, accepted = false,
-                "stream does not decode with candidate spliced in")
-            case _ if !evidenced =>
-              Report(c.id, structurallyValid = true, evidenced = false,
-                decoded = withCand.isDefined, -1, accepted = false,
-                if (withCand.isEmpty)
-                  "no decodable frames beyond the shipped baseline: table never " +
-                    "read, or the transcription breaks every frame that reads it " +
-                    "— no evidence either way"
-                else "selected but never read (empty regions): no evidence")
-            case None =>
               Report(c.id, structurallyValid = true, evidenced = true,
                 decoded = false, -1, accepted = false,
                 "stream does not decode with candidate spliced in")

@@ -674,6 +674,21 @@ object Dedup {
 
   /** Candidate pairs verified with exact Jaccard over shingle sets
     * (array_intersect/array_union are codegen'd built-ins).
+    *
+    * @param bands LSH band count; rows per band r = numHashes/bands. A pair
+    *   at Jaccard J is DETECTED (lands in some shared bucket, hence gets
+    *   verified) with probability 1 − (1 − J^r)^bands — at the defaults
+    *   (numHashes=128, bands=32, r=4) that is ~99.98% at J=0.7 and ~87% at
+    *   J=0.5; precision is 1.0 regardless (exact-Jaccard verify). Halving to
+    *   bands=16 (r=8) drops the theoretical floor at exactly J=0.7 to ~61%,
+    *   but the MEASURED trade on a real skewed-J corpus (mutated sf25m,
+    *   BASELINE.md r16 "BandKnobBench") is much milder: candidates −81%,
+    *   pair-path wall −56%, verified pairs at J ≥ 0.7 93.9% kept, group
+    *   nodes 98.3% kept — the loss concentrates in the J ∈ [0.7, 0.8)
+    *   detection tail. bands=16 is therefore the documented escape hatch
+    *   when the materialized pair path exceeds local disk (it completed the
+    *   sf50m corpus whose bands=32 run aborted); state the recall trade
+    *   when you take it.
     */
   def minHashDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
@@ -698,8 +713,12 @@ object Dedup {
     // straight to c.members and never builds the members×reps sizing join,
     // whose localCheckpoint was a measured +13-25% constant on the sf0.1
     // dedup medians (r15 steady pins) despite guarding nothing there.
+    // null-hash rows (null/empty-normalizing texts) drop from every equi-join
+    // below, so a large null group can never re-inflate output — exclude it
+    // from the probe or a corpus of mostly-null texts arms the guard (and
+    // pays the sizing-join checkpoint) for nothing
     val capArmed = maxBucketSize != Int.MaxValue && {
-      val m = c.repHash.agg(max(col("__rn"))).head()
+      val m = c.repHash.where(col("__rh").isNotNull).agg(max(col("__rn"))).head()
       !m.isNullAt(0) && m.getLong(0) > maxBucketSize
     }
     // checkpointed (lazily — built only when the cap is armed): the guard
@@ -817,6 +836,12 @@ object Dedup {
     ExactCollapse(members, reps)
   }
 
+  /** `bands` carries the detection-probability contract documented at
+    * [[minHashDuplicates]] (1 − (1 − J^r)^bands; measured 32→16 trade in
+    * BASELINE.md r16 "BandKnobBench") — it only scales the rep-level
+    * candidate stage here; exact-dup members are detected at probability 1
+    * by the collapse regardless of banding.
+    */
   private def collapsedMinHash(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int, numHashes: Int, bands: Int,
       maxBucketSize: Int): CollapsedMinHash = {
@@ -1116,12 +1141,12 @@ object Dedup {
     * rep-level index convicts exactly the same batch ids — and the r15
     * ad-hoc path already collapsed its corpus side, so this also removes
     * the last member-level banding between the two ingest surfaces.
-    * Consumers that need MEMBER-level corpus ids rejoin through
-    * [[normTextHash]] (`corpus.withColumn("__h", normTextHash(textCol))`
-    * against the flagged reps' hashes) — the same O(members) map the old
-    * build burned into every persisted index whether or not any consumer
-    * wanted it. Build-time hot-bucket stats are exact at REP granularity,
-    * matching the collapsed query paths' cap semantics.
+    * Consumers that need MEMBER-level corpus ids call [[memberIds]] (one
+    * rejoin through [[normTextHash]], suite-pinned against the member-level
+    * ground truth) — the same O(members) map the old build burned into every
+    * persisted index whether or not any consumer wanted it. Build-time
+    * hot-bucket stats are exact at REP granularity, matching the collapsed
+    * query paths' cap semantics.
     */
   def ingestIndexBuild(corpus: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
@@ -1155,6 +1180,38 @@ object Dedup {
       hashes: DataFrame, banded: DataFrame): IngestIndex =
     IngestIndex(shingleSize, numHashes, bands,
       hashes.select(col("__h")), banded.select(col("band"), col("bucket"), col("id")))
+
+  /** Member-level corpus ids for REP-level flags — the one-call rejoin the
+    * rep-level surfaces ([[ingestIndexBuild]]'s banded ids,
+    * [[incrementalMinHash]]'s `id_corpus` against a rep-level index)
+    * otherwise require consumers to hand-roll. The join key is
+    * [[normTextHash]] — the single normalized-content hash every exact-dedup
+    * surface uses — NOT the id column: joining flagged rep ids straight
+    * against corpus ids silently returns only the reps themselves and drops
+    * every other clique member.
+    *
+    * Shuffle budget: `repIds` is typically flag-bounded (≪ corpus), so the
+    * first semi-join broadcasts it and cuts the corpus map-side; the flagged
+    * hash set is equally small, so the expansion semi-join broadcasts too —
+    * the corpus is scanned twice but never shuffled, and only (id, 16-byte
+    * hash) pairs move.
+    *
+    * @param repIds any frame bearing `repCol` with corpus rep ids (duplicates
+    *               fine — e.g. the raw `id_corpus` column of verified ingest
+    *               pairs)
+    * @param repCol the rep-id column in `repIds`; defaults to `idCol`
+    * @return one column `idCol`: every corpus id whose normalized text equals
+    *         some named rep's text (the reps themselves included)
+    */
+  def memberIds(corpus: DataFrame, repIds: DataFrame, idCol: String,
+      textCol: String, repCol: String = ""): DataFrame = {
+    val rc = if (repCol.isEmpty) idCol else repCol
+    val withH = corpus.select(col(idCol), normTextHash(textCol).as("__h"))
+    val flaggedHashes = withH
+      .join(repIds.select(col(rc).as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col("__h")).where(col("__h").isNotNull).distinct()
+    withH.join(flaggedHashes, Seq("__h"), "left_semi").select(col(idCol))
+  }
 
   /** Serialized Bloom filter over an [[IngestIndex]]'s corpus hashes — the
     * map-side prefilter for the ingest exact stage. Sizing (optimal-k
@@ -1352,6 +1409,33 @@ object Dedup {
       threshold: Double, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     minHashDuplicates(df, idCol, textCol, threshold, maxBucketSize = maxBucketSize)
 
+  /** `blocks` sentinel for [[simHashDuplicates]] / [[simHashDuplicateGroups]]:
+    * force the single-table banding scheme regardless of distance. Exists for
+    * scheme A/B measurement ([[graft.SimHashBandBench]]); production callers
+    * should leave `blocks = 0` and let the auto-route pick — at maxHamming >=
+    * 6 the forced single-table scheme silently cap-degrades at corpus scale
+    * (see [[simHashAutoBlocks]]).
+    */
+  val SimHashSingleTable: Int = -1
+
+  /** Auto-routing rule between the banding schemes (r16 measurement,
+    * BASELINE.md "SimHash banding scheme A/B"): the single-table scheme keys
+    * single 64/(maxHamming+1)-bit blocks, and below ~10 bits per key the
+    * buckets saturate the hot-bucket cap at corpus scale — the verified
+    * output then silently loses most true pairs (measured: ~96% of true
+    * pairs lost at maxHamming=8 on 625k docs; every 7-bit bucket tripped the
+    * cap and degraded to star links). 64/(d+1) >= 10 ⟺ d <= 5, so AUTO
+    * routes maxHamming >= 6 to the Manku multi-table scheme with
+    * blocks = maxHamming + 2 — two-block keys of ~2·64/(d+2) bits,
+    * C(d+2, 2) tables (45 at d=8), within the 512-table cap through d=30.
+    * For d >= 31 no multi-table config fits the cap (C(d+2, 2) > 512 and
+    * wider keys only grow the count), so AUTO stays single-table there —
+    * with half the bits free to differ, Hamming banding itself has stopped
+    * discriminating and the cap guard is the only defense either way.
+    */
+  private[graft] def simHashAutoBlocks(maxHamming: Int): Option[Int] =
+    if (maxHamming >= 6 && maxHamming <= 30) Some(maxHamming + 2) else None
+
   /** SimHash near-dup candidates: 64-bit simhash split into `maxHamming + 1`
     * bit-blocks (Manku et al. '07). A pair within Hamming distance d differs
     * in at most d blocks, so with d+1 blocks at least one block is intact —
@@ -1360,15 +1444,23 @@ object Dedup {
     * brute-force all-pairs Hamming (asserted in DedupSuite).
     *
     * Scale note: larger maxHamming means narrower blocks, hence coarser
-    * buckets and bigger bucket sizes; the hot-bucket guard bounds the blowup,
-    * and for aggressive distances at 100 TB the Manku multi-table permuted
-    * variant (wider blocks, several tables) is the extension point.
+    * buckets and bigger bucket sizes — past the [[simHashAutoBlocks]] floor
+    * that is a CORRECTNESS cliff (the cap guard star-links saturated
+    * buckets), so aggressive distances auto-route to the Manku multi-table
+    * scheme; `blocks` overrides the route.
     */
   /** @param portable hash tokens with the md5-derived engine-portable hash
     *                  (see [[graft.functions.SimHash64]]) so an external SQL
     *                  oracle can recompute the simhashes bit-for-bit; the
     *                  banding stays complete either way (pigeonhole — it does
     *                  not depend on the hash function)
+    * @param blocks 0 (default) = AUTO: route to the multi-table scheme with
+    *               blocks = maxHamming + 2 when the single-table key width
+    *               64/(maxHamming+1) falls below the ~10-bit usefulness
+    *               floor (maxHamming in [6, 30] — see [[simHashAutoBlocks]]);
+    *               > 0 = explicit multi-table with that block count;
+    *               [[SimHashSingleTable]] (−1) = force single-table (A/B
+    *               benches only — WRONG at aggressive distances).
     *
     * OUTPUT-SIZE CONTRACT: this operator MATERIALIZES every near-dup pair,
     * and exact duplicates are Hamming distance 0, so a boilerplate clique of
@@ -1381,7 +1473,30 @@ object Dedup {
     */
   def simHashDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, blocks: Int = 0): DataFrame = {
+    require(blocks >= SimHashSingleTable,
+      s"blocks must be -1 (force single-table), 0 (auto), or > maxHamming; got $blocks")
+    val routed =
+      if (blocks == 0) simHashAutoBlocks(maxHamming)
+      else if (blocks > 0) Some(blocks)
+      else None // SimHashSingleTable: forced single-table (A/B benches)
+    routed match {
+      case Some(b) =>
+        simHashDuplicatesMultiTable(df, idCol, textCol, maxHamming, b,
+          maxBucketSize, portable)
+      case None =>
+        simHashSingleTableDuplicates(df, idCol, textCol, maxHamming,
+          maxBucketSize, portable)
+    }
+  }
+
+  /** The single-table banding body of [[simHashDuplicates]] — correct and
+    * cheapest at maxHamming <= 5 (keys >= ~10.7 bits); cap-degrades at
+    * aggressive distances (the reason the public surface auto-routes).
+    */
+  private def simHashSingleTableDuplicates(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int, maxBucketSize: Int,
+      portable: Boolean): DataFrame = {
     val bands = maxHamming + 1
     require(bands >= 1 && bands <= 64, s"maxHamming must be in [0, 63], got $maxHamming")
     val (widths, offsets) = simHashBlockSpec(bands)
@@ -1506,6 +1621,13 @@ object Dedup {
     * NOTE: `strategy = "star"` always enforces converge-or-throw —
     * `requireConvergence` is honored only by the minLabel/auto paths (see
     * [[dispatchGroups]]; call [[duplicateGroupsStar]] directly to opt out).
+    *
+    * @param blocks banding-scheme route for the rep-level pair stage, same
+    *               semantics as [[simHashDuplicates]]: 0 (default) = AUTO
+    *               (multi-table when maxHamming in [6, 30] — the regime
+    *               where single-table buckets cap-degrade, see
+    *               [[simHashAutoBlocks]]); > 0 = explicit multi-table;
+    *               [[SimHashSingleTable]] = force single-table.
     */
   def simHashDuplicateGroups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
@@ -1515,16 +1637,12 @@ object Dedup {
       blocks: Int = 0): DataFrame = {
     val ec = exactCollapse(df, idCol, textCol)
     val repDocs = ec.repDocs(idCol, textCol)
-    // blocks > 0 routes the rep-level pair stage through the Manku
-    // multi-table scheme — same verified pair set where the cap never
-    // trips, and the CORRECT one at aggressive distances where the
-    // single-table buckets would cap-degrade (see simHashDuplicatesMultiTable)
-    val repPairs =
-      if (blocks > 0)
-        simHashDuplicatesMultiTable(repDocs, idCol, textCol, maxHamming,
-          blocks, maxBucketSize, portable)
-      else
-        simHashDuplicates(repDocs, idCol, textCol, maxHamming, maxBucketSize, portable)
+    // the routed pair surface picks the banding scheme: multi-table when
+    // `blocks` says so or AUTO decides the single-table keys are too narrow
+    // (the aggressive-distance regime where they cap-degrade — see
+    // simHashAutoBlocks), single-table otherwise
+    val repPairs = simHashDuplicates(repDocs, idCol, textCol, maxHamming,
+      maxBucketSize, portable, blocks)
     val edges = repPairs.select(col("id_a"), col("id_b"))
       .unionByName(ec.starEdges)
     dispatchGroups(edges, maxIter, requireConvergence, reliableCheckpoint, strategy)

@@ -36,18 +36,54 @@ class DedupSuite extends SparkTestBase {
   }
 
   test("simhash candidates equal exact all-pairs Hamming at distance <= 8") {
-    // Adaptive banding: maxHamming+1 bit-blocks, so candidate generation is
-    // complete at ANY requested distance and (with exact popcount verify) the
-    // result equals brute force.
+    // Since r17 the default surface AUTO-routes d=8 to the multi-table
+    // scheme (single-table keys below the 10-bit floor) — both schemes are
+    // complete, so AUTO, the forced single-table arm, and brute force must
+    // all coincide on a corpus where the bucket cap stays unarmed.
     val sh = docs.select(col("doc_id"), F.simhash64(T.tokens(col("text"))).as("sim"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val exact = (for {
       (ia, sa) <- sh; (ib, sb) <- sh
       if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 8
     } yield (ia, ib)).toSet
-    val lsh = Dedup.simHashDuplicates(docs, "doc_id", "text", maxHamming = 8)
+    val auto = Dedup.simHashDuplicates(docs, "doc_id", "text", maxHamming = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh == exact, s"simhash maxHamming=8 must be exact: lsh=${lsh.size} exact=${exact.size}")
+    assert(auto == exact, s"simhash maxHamming=8 must be exact: auto=${auto.size} exact=${exact.size}")
+    val forcedSingle = Dedup.simHashDuplicates(docs, "doc_id", "text",
+        maxHamming = 8, blocks = Dedup.SimHashSingleTable)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(forcedSingle == exact, "forced single-table must also be exact here (cap unarmed)")
+  }
+
+  test("AUTO banding route: floor at maxHamming=6, blocks=d+2, ceiling at d=30") {
+    // the routing rule itself — 64/(d+1) >= 10 bits keeps single-table
+    // (d <= 5); d in [6, 30] routes to multi-table with blocks = d + 2
+    // (C(d+2, 2) tables <= 512 through d=30); past that no multi-table
+    // config fits the table cap, so AUTO stays single-table
+    for (d <- 0 to 5) assert(Dedup.simHashAutoBlocks(d).isEmpty, s"d=$d must stay single-table")
+    for (d <- 6 to 30) assert(Dedup.simHashAutoBlocks(d).contains(d + 2), s"d=$d must route to ${d + 2} blocks")
+    for (d <- Seq(31, 40, 63)) assert(Dedup.simHashAutoBlocks(d).isEmpty, s"d=$d exceeds the table-cap ceiling")
+    // auto-route config at the ceiling is actually runnable: C(32, 30) = 496 <= 512
+    assert((31 to 32).product / 2 == 496)
+    intercept[IllegalArgumentException] {
+      Dedup.simHashDuplicates(docs, "doc_id", "text", maxHamming = 8, blocks = -2)
+    }
+  }
+
+  test("AUTO groups at d=8 equal the explicit multi-table route and the forced single route") {
+    // the r17 default-correctness pin: a user passing only maxHamming=8 gets
+    // the multi-table scheme (the one that stays complete at corpus scale)
+    // without knowing blocks exists
+    val auto = Dedup.simHashDuplicateGroups(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.simHashDuplicateGroups(docs, "doc_id", "text", maxHamming = 8,
+        blocks = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit, s"auto=${auto.size} explicit=${explicit.size}")
+    val single = Dedup.simHashDuplicateGroups(docs, "doc_id", "text", maxHamming = 8,
+        blocks = Dedup.SimHashSingleTable)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == single, "all three routes must agree where the cap is unarmed")
   }
 
   test("multi-table simhash equals exact all-pairs Hamming at distance <= 8") {
@@ -924,6 +960,43 @@ class DedupSuite extends SparkTestBase {
     val out = Dedup.incrementalDedup(index, corpus, fresh, "doc_id", "text", 0.7)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out == Set(1002L), s"survivors: $out")
+  }
+
+  test("memberIds: rep-level flags expand to the member-level conviction set on a cap-trip corpus") {
+    import spark.implicits._
+    def window(from: Int, n: Int) = (from until from + n).map(i => s"tok$i").mkString(" ")
+    // 300-member exact clique (member-level banding would trip any cap
+    // <= 300) + 40 unrelated distinct docs; the batch doc near-dups the
+    // clique text, so the MEMBER-level flag set is the whole clique
+    val corpus = ((0L until 300L).map(i => (i, window(1, 30))) ++
+      (300L until 340L).map(i => (i, window(1000 + 40 * i.toInt, 30)))).toDF("doc_id", "text")
+    val batch = Seq((9001L, window(2, 30))).toDF("doc_id", "text")
+    // rep-level flags, as the rep-level index surfaces produce them: verified
+    // ingest pairs against one rep per distinct text name only rep ids
+    val reps = Dedup.exactDedup(corpus, "doc_id", "text")
+    val flagged = Dedup.incrementalMinHash(reps, batch, "doc_id", "text",
+      threshold = 0.7, maxBucketSize = 100)
+    assert(flagged.select("id_corpus").collect().map(_.getLong(0)).toSet == Set(0L),
+      "rep-level pairs must name only the clique rep")
+    // the helper recovers the full member-level set through normTextHash
+    val got = Dedup.memberIds(corpus, flagged, "doc_id", "text", repCol = "id_corpus")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 300L).toSet, s"got ${got.size} members")
+    // and the wrong-key join the helper replaces would return just the rep
+    assert(corpus.join(flagged.select(col("id_corpus").as("doc_id")), Seq("doc_id"), "left_semi")
+      .count() == 1L)
+  }
+
+  test("memberIds tolerates duplicate rep ids, a custom rep column, and null texts") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val flags = Seq(1L, 1L, 4L).toDF("rid") // dup flag + a null-text rep
+    val got = Dedup.memberIds(corpus, flags, "doc_id", "text", repCol = "rid")
+      .collect().map(_.getLong(0)).toSet
+    // null-hash reps expand to nothing (null never equi-joins) — matching
+    // every dedup surface's null-text semantics
+    assert(got == Set(1L, 2L))
   }
 
   test("lshBucketStats surfaces oversized buckets") {
