@@ -95,6 +95,38 @@ object Pipeline {
         FROM (SELECT doc_id, $normSql AS norm FROM documents)
         GROUP BY norm ORDER BY keep_id""")),
 
+    // ---- Member-level expansion of rep-level flags (r17 memberIds): the
+    // rejoin consumers of the rep-level ingest index need, gated as a
+    // first-class operator. Flags here are the reps of over-1-copy exact
+    // cliques (the shape a rep-level surface emits); memberIds recovers
+    // every clique member through normTextHash. Null-normalizing texts
+    // expand to nothing on both sides (equi-join vs SQL IN null semantics
+    // agree). ----
+    QuerySpec("dedup_member_expand",
+      (s, dir) => {
+        // the gate corpus has no exact cliques, so build them the ScaleData
+        // way: a key-shifted verbatim copy of the first 100 docs (cliques of
+        // 2). Flag a SUBSET of clique reps (rep % 5 == 0) so the gate proves
+        // selective expansion, not just group recovery.
+        val d = t(s, dir, "documents")
+        val corpus = d.select(col("doc_id"), col("text")).unionByName(
+          d.where(col("doc_id") < 100)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val flagged = Dedup.exactDuplicates(corpus, "doc_id", "text")
+          .where(col("n_copies") > 1 && col("keep_id") % 5 === 0)
+          .select(col("keep_id").as("doc_id"))
+        Dedup.memberIds(corpus, flagged, "doc_id", "text").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+        ), nh AS (SELECT doc_id, $normSql AS nrm FROM corpus),
+        flagged AS (
+          SELECT nrm FROM nh GROUP BY nrm HAVING COUNT(*) > 1 AND MIN(doc_id) % 5 = 0
+        )
+        SELECT doc_id FROM nh WHERE nrm IN (SELECT nrm FROM flagged)
+        ORDER BY doc_id""")),
+
     // ---- MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
     // Oracle is the brute-force all-pairs Jaccard: at threshold 0.7 the LSH
     // (128 hashes / 32 bands; miss prob (1-s^4)^32 ~ 1e-4 at s=0.7) finds
