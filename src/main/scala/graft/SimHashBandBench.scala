@@ -37,6 +37,26 @@ object SimHashBandBench {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // SPARK_GRAFT_ONLY_PAIRS=1 (r17): count the rep-level VERIFIED pair set
+    // of the multi-table scheme (the pair stage simHashDuplicateGroups runs
+    // after exact-collapse) plus the rep count — the slope attribution for
+    // the grouping wall: on mutated fixtures near-dup cluster sizes grow
+    // with copies, so rep pairs grow ~quadratically per corpus doubling
+    // while members only double.
+    if (sys.env.get("SPARK_GRAFT_ONLY_PAIRS").contains("1")) {
+      import graft.operators.{Dedup => D}
+      val reps = D.exactDedup(docs, "doc_id", "text").localCheckpoint(true)
+      val nReps = reps.count()
+      val (pairRows, sec) = timed(Dedup.simHashDuplicatesMultiTable(
+        reps, "doc_id", "text", maxHam, blocks = 10).count())
+      val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      println(s"""{"bench":"simhash_mt_pairs","sf_dir":"$sfDir","docs":$nDocs,""" +
+        s""""reps":$nReps,"max_hamming":$maxHam,"blocks":10,""" +
+        s""""verified_pairs":$pairRows,"sec":$sec,"load_end":$load}""")
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_ONLY_GROUPS=1: skip the candidate-mass A/B (at sf-decade
     // corpora the d=8 raw candidate counts are themselves hours of work)
     // and time just the collapse-first multi-table GROUPS path — the
