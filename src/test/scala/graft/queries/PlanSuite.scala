@@ -277,6 +277,31 @@ class PlanSuite extends SparkTestBase {
       s"exact-stage join fell back to a shuffle join:\n${hashJoins.mkString("\n")}")
   }
 
+  test("memberIds resolves with broadcast semi-joins (flag-bounded sides, hash-only payload)") {
+    // both stages must broadcast: the rep-id cut (repIds is flag-bounded)
+    // and the hash expansion (the flagged hash set is equally small) — the
+    // corpus is scanned twice but never shuffled, and only (id, hash)
+    // columns ride the joins
+    import org.apache.spark.sql.functions.col
+    val d = QueryPack.t(spark, sf(), "documents")
+    val flagged = d.where(col("doc_id") < 10).select(col("doc_id"))
+    val out = graft.operators.Dedup.memberIds(d, flagged, "doc_id", "text")
+    val p = out.queryExecution.executedPlan.toString
+    val semis = p.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semis.size >= 2, s"expected the id-cut + hash-expansion semi-joins:\n$p")
+    assert(semis.forall(_.contains("BroadcastHashJoin")),
+      s"memberIds semi-join fell back to a shuffle join:\n${semis.mkString("\n")}")
+    // the only exchanges in this plan are the flag-bounded distinct
+    // aggregates feeding each BroadcastExchange (id set, then hash set) —
+    // the corpus side itself must never shuffle, which the broadcast
+    // semi-joins above already pin (a shuffled corpus side would plan as
+    // SortMergeJoin); additionally pin that no exchange carries the text
+    // column (hash-only payload)
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("text#")),
+      s"memberIds shuffled document text:\n$p")
+  }
+
   test("pq top-k truncates map-side before the window exchange (WindowGroupLimit)") {
     val df = graft.SparkEntry.queries("ann_pq")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
