@@ -43,15 +43,25 @@ object SimHashBandBench {
     // the grouping wall: on mutated fixtures near-dup cluster sizes grow
     // with copies, so rep pairs grow ~quadratically per corpus doubling
     // while members only double.
+    // SPARK_GRAFT_BLOCKS (r17): override the multi-table block count in the
+    // ONLY_PAIRS / ONLY_GROUPS modes — the key-width knob. At d=8:
+    // blocks=10 → C(10,2)=45 tables of ~12.8-bit keys; 11 → 165 × ~17.5
+    // bits; 12 → 495 × ~21.3 bits. Completeness is pigeonhole at ANY valid
+    // blocks, so verified_pairs must be IDENTICAL across settings — only
+    // the candidate mass (per-table collision pressure vs table count)
+    // moves. The A/B decides whether bucket saturation at corpus scale
+    // justifies a corpus-size-aware blocks choice.
+    val mtBlocks = sys.env.getOrElse("SPARK_GRAFT_BLOCKS", "10").toInt
+
     if (sys.env.get("SPARK_GRAFT_ONLY_PAIRS").contains("1")) {
       import graft.operators.{Dedup => D}
       val reps = D.exactDedup(docs, "doc_id", "text").localCheckpoint(true)
       val nReps = reps.count()
       val (pairRows, sec) = timed(Dedup.simHashDuplicatesMultiTable(
-        reps, "doc_id", "text", maxHam, blocks = 10).count())
+        reps, "doc_id", "text", maxHam, blocks = mtBlocks).count())
       val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       println(s"""{"bench":"simhash_mt_pairs","sf_dir":"$sfDir","docs":$nDocs,""" +
-        s""""reps":$nReps,"max_hamming":$maxHam,"blocks":10,""" +
+        s""""reps":$nReps,"max_hamming":$maxHam,"blocks":$mtBlocks,""" +
         s""""verified_pairs":$pairRows,"sec":$sec,"load_end":$load}""")
       spark.stop()
       return
@@ -62,12 +72,17 @@ object SimHashBandBench {
     // and time just the collapse-first multi-table GROUPS path — the
     // consumer shape that is supposed to make d=8 viable at scale.
     if (sys.env.get("SPARK_GRAFT_ONLY_GROUPS").contains("1")) {
+      // SPARK_GRAFT_CC_STRATEGY (r17): auto | minLabel | star — A/B the
+      // connected-components strategy at the aggressive-distance frontier,
+      // where the CC tail owns most of the wall (BASELINE r17 slope note)
+      val strategy = sys.env.getOrElse("SPARK_GRAFT_CC_STRATEGY", "auto")
       val (rows, sec) = timed(Dedup.simHashDuplicateGroups(
-        docs, "doc_id", "text", maxHam, blocks = 10).count())
+        docs, "doc_id", "text", maxHam, blocks = mtBlocks, strategy = strategy,
+        maxIter = 40).count())
       val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       println(s"""{"bench":"simhash_mt_groups","sf_dir":"$sfDir","docs":$nDocs,""" +
-        s""""max_hamming":$maxHam,"blocks":10,"group_rows":$rows,"sec":$sec,""" +
-        s""""load_end":$load}""")
+        s""""max_hamming":$maxHam,"blocks":$mtBlocks,"strategy":"$strategy",""" +
+        s""""group_rows":$rows,"sec":$sec,"load_end":$load}""")
       spark.stop()
       return
     }

@@ -42,6 +42,16 @@ object Dedup {
     */
   val HotBucketWitnesses = 8
 
+  /** CANONICAL edge count (direction-collapsed, distinct) past which
+    * [[duplicateGroups]]' auto strategy routes to the star algorithm from
+    * round one instead of starting with min-label rounds (r17 measurement,
+    * BASELINE r17 "CC strategy A/B": forced star 236 s vs the
+    * minLabel-prefix + mid-run handoff 429 s on a 90.6M-canonical-edge
+    * graph, identical outputs). Gate/verbatim-scale graphs run < 1M
+    * canonical edges and keep the minLabel-first path that wins there.
+    */
+  val AutoStarCanonicalEdges = 25L * 1000 * 1000
+
   /** Hot-bucket-guarded LSH bucket self-join.
     *
     * A degenerate bucket (boilerplate near-identical docs, zero vectors)
@@ -256,7 +266,18 @@ object Dedup {
     *    contracted nodes are the true component minima; components fully
     *    merged before the hand-off contract to edge-less nodes and keep
     *    their comp. Pipeline callers get diameter-robustness without
-    *    knowing the graph shape.
+    *    knowing the graph shape. On HUGE graphs (canonical edge count
+    *    above `autoStarEdgeThreshold`, default
+    *    [[AutoStarCanonicalEdges]]) auto skips the min-label prefix
+    *    entirely and runs star from round one on the same canonical
+    *    checkpoint forced star would build — a min-label round's cost is
+    *    proportional to the edge frame, and the stall detector cannot
+    *    fire before paying two of them (r17 measurement: 236 s star-first
+    *    vs 429 s prefix+handoff on a 90.6M-edge graph, identical
+    *    outputs). One caveat of the star route: ids appearing ONLY in
+    *    self-pairs (id_a == id_b) are dropped, matching `star`'s contract
+    *    (min-label emits them as singleton groups; dedup pair generators
+    *    never produce self-pairs).
     *
     * @param maxIter upper bound on rounds, honored as given for every
     *                 strategy. For `minLabel` it must be >= the largest
@@ -285,6 +306,9 @@ object Dedup {
     * @param changedOut when set, receives the per-round changed-label count
     *                 (the decay curve — diagnostic hook, zero extra jobs:
     *                 the count is the convergence check's own result)
+    * @param autoStarEdgeThreshold canonical (direction-collapsed, distinct)
+    *                 edge count past which `auto` routes star-first — see
+    *                 [[AutoStarCanonicalEdges]] for the measured default
     */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 20,
       requireConvergence: Boolean = false,
@@ -292,27 +316,61 @@ object Dedup {
       strategy: String = "auto",
       autoRoundBudget: Int = 6,
       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
-      changedOut: Option[scala.collection.mutable.Buffer[Long]] = None): DataFrame = {
+      changedOut: Option[scala.collection.mutable.Buffer[Long]] = None,
+      autoStarEdgeThreshold: Long = AutoStarCanonicalEdges): DataFrame = {
     require(Set("minLabel", "star", "auto").contains(strategy),
       s"unknown CC strategy '$strategy' (minLabel | star | auto)")
     if (strategy == "star")
       return duplicateGroupsStar(pairs, maxIter, requireConvergence,
         reliableCheckpoint, roundsOut)
     val ck = new CkptLoop(pairs.sparkSession, reliableCheckpoint)
-    // materialize the edge list once: every iteration below joins against it,
-    // and without the checkpoint each job would re-run the (expensive)
-    // candidate-generation lineage that produced the pairs. Kept for the
-    // loop's whole lifetime (joined every round), like the final labels
-    // checkpoint that backs the returned frame. The symmetric closure
-    // EXPLODES each pair into both directions in one pass — a union of two
-    // projections of the same lazy frame would run the whole candidate
-    // lineage TWICE inside this single checkpoint job (measured ~20 s of
-    // the sf5 gate before r13).
-    val edges = ck.eager(pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // materialize the edge list once, in CANONICAL form — (hi, lo) with
+    // duplicates and reversed repeats collapsed, self-pairs kept as (x, x):
+    // one pass over the (expensive) candidate-generation lineage, shuffling
+    // |pairs| rows. Every shape downstream derives from this checkpoint:
+    // the star route seeds on it DIRECTLY (canonical IS star's native edge
+    // form, so routing adds zero materialization over forced star — the r17
+    // lesson: the first cut of this routing built the 2x symmetric closure
+    // before probing and paid ~4 min of redundant shuffle+checkpoint at the
+    // d=8/sf25m frontier), and min-label's symmetric closure is a NARROW
+    // explode of it (both directions of a distinct canonical set are
+    // automatically distinct — no second shuffle, half the checkpoint bytes
+    // of the pre-r17 2x-closure checkpoint).
+    val canonEdges = ck.eager(pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
       .distinct())
+    // r17, measured ("CC strategy A/B", BASELINE r17): on the aggressive-
+    // distance frontier graph (90.6M verified pairs, mutated sf25m at d=8)
+    // forced star runs 236 s where the minLabel prefix + mid-run handoff
+    // runs 429 s — identical outputs. minLabel's per-round cost IS the
+    // edge-frame size, and the stall detector below can only fire after
+    // paying at least two such rounds, so on HUGE frames auto routes
+    // star-FIRST. The decision reads one count off the just-checkpointed
+    // canonical frame (milliseconds on gate graphs). Small graphs keep
+    // minLabel-first, which beats star there (sf0.1 gates: dedup_groups
+    // 2.7 s vs dedup_groups_star 3.5 s); the 25M default threshold sits
+    // more than an order of magnitude above every gate / verbatim-scale
+    // graph (< 1M canonical edges) and safely inside the measured star-win
+    // regime (90.6M).
+    if (strategy == "auto" && canonEdges.count() > autoStarEdgeThreshold) {
+      val starRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+      // drop self-pairs (star's canonical form excludes them, same as the
+      // forced-star path) — a narrow filter over the checkpoint, not a job
+      val out = starLoop(ck, canonEdges.where(col("u") =!= col("v")),
+        maxIter, requireConvergence, Some(starRounds))
+      roundsOut.foreach(_.set(starRounds.get()))
+      return out
+    }
+    // symmetric closure for min-label: both directions of each canonical
+    // edge, self-pairs once. Narrow (per-round re-read of the checkpoint +
+    // explode — same IO as the pre-r17 2x-row closure checkpoint).
+    val edges = canonEdges.select(explode(
+        when(col("u") =!= col("v"), array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst"))))
+        .otherwise(array(struct(col("u").as("src"), col("v").as("dst"))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     var labels = ck.eager(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     ck.seed(labels)
@@ -408,12 +466,29 @@ object Dedup {
       reliableCheckpoint: Boolean = false,
       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     val ck = new CkptLoop(pairs.sparkSession, reliableCheckpoint)
-    // canonical directed form: u > v (larger endpoint first), no self loops
-    def canon(df: DataFrame): DataFrame =
-      df.where(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .distinct()
+    val edges = ck.eager(canonEdgeForm(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
+    starLoop(ck, edges, maxIter, requireConvergence, roundsOut)
+  }
+
+  /** Canonical directed edge form: u > v (larger endpoint first), no self
+    * loops, distinct. The native edge representation of [[starLoop]].
+    */
+  private def canonEdgeForm(df: DataFrame): DataFrame =
+    df.where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** The alternating large-star / small-star round loop shared by
+    * [[duplicateGroupsStar]] and [[duplicateGroups]]' auto star-first route.
+    * `edges0` must be an ALREADY-CHECKPOINTED frame in [[canonEdgeForm]]
+    * (or a narrow transform of one — the auto route passes a self-pair
+    * filter over its canonical checkpoint); `ck` owns the round rotation.
+    */
+  private def starLoop(ck: CkptLoop, edges0: DataFrame, maxIter: Int,
+      requireConvergence: Boolean,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger]): DataFrame = {
     // large-star: every node links its strictly-larger neighbors to the
     // minimum of its neighborhood (including itself) — long chains collapse
     // toward minima in halving hops
@@ -433,12 +508,12 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       relinked.unionByName(mins.select(col("u"), col("m").as("v")))
     }
-    var edges = ck.eager(canon(pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
+    var edges = edges0
     ck.seed(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nextSrc = canon(smallStar(canon(largeStar(edges))))
+      val nextSrc = canonEdgeForm(smallStar(canonEdgeForm(largeStar(edges))))
       val next = ck.lazily(nextSrc)
       // ONE job per round: the marker outer-join count both materializes
       // this round's checkpoint and answers EXACT set equality (both sides

@@ -962,6 +962,31 @@ class DedupSuite extends SparkTestBase {
     assert(out == Set(1002L), s"survivors: $out")
   }
 
+  test("auto CC routes star-first past the edge threshold; labels identical either way") {
+    import spark.implicits._
+    // chain + clique + singleton-pair mix; symmetric closure = 2x pairs
+    val pairs = (0L until 50L).map(i => (i, i + 1)) ++ // 51-node chain
+      (for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)) ++ // clique
+      Seq((200L, 201L))
+    val pdf = pairs.toDF("id_a", "id_b")
+    val minLabel = Dedup.duplicateGroups(pdf, maxIter = 60, strategy = "minLabel")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // threshold 1: the 61-canonical-edge frame exceeds it, so auto must
+    // route star-first — O(log n) rounds instead of ~50 label-propagation
+    // hops
+    val starFirst = Dedup.duplicateGroups(pdf, maxIter = 60, strategy = "auto",
+        roundsOut = Some(rounds), autoStarEdgeThreshold = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starFirst == minLabel, s"star-first labels diverged")
+    assert(rounds.get() > 0 && rounds.get() < 12,
+      s"expected O(log n) star rounds, got ${rounds.get()} — did the route not take?")
+    // default threshold: this tiny graph stays minLabel-first and converges
+    val auto = Dedup.duplicateGroups(pdf, maxIter = 60, strategy = "auto")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == minLabel)
+  }
+
   test("memberIds: rep-level flags expand to the member-level conviction set on a cap-trip corpus") {
     import spark.implicits._
     def window(from: Int, n: Int) = (from until from + n).map(i => s"tok$i").mkString(" ")
@@ -985,6 +1010,33 @@ class DedupSuite extends SparkTestBase {
     // and the wrong-key join the helper replaces would return just the rep
     assert(corpus.join(flagged.select(col("id_corpus").as("doc_id")), Seq("doc_id"), "left_semi")
       .count() == 1L)
+  }
+
+  test("memberIds equals the hand-rolled normalized-text join on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4217)
+    val words = Vector("alpha", "beta", "Gamma", "delta ", " epsilon", "zeta")
+    for (trial <- 1 to 3) {
+      // random corpus with engineered collisions: texts drawn from a small
+      // word pool so whitespace/case-normalizing cliques arise by chance
+      val corpus = (0L until 120L).map { i =>
+        val n = 1 + rnd.nextInt(4)
+        (i, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString("  "))
+      }
+      val flags = (0 until 15).map(_ => rnd.nextLong().abs % 120L)
+      val cdf = corpus.toDF("doc_id", "text")
+      val got = Dedup.memberIds(cdf, flags.toDF("doc_id"), "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      // oracle: normalize driver-side exactly like T.normText (trim,
+      // lowercase, whitespace collapse), expand flags through text equality
+      def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+      val byNorm = corpus.groupBy { case (_, t) => norm(t) }
+      val flaggedNorms = corpus.filter { case (id, _) => flags.contains(id) }
+        .map { case (_, t) => norm(t) }.toSet
+      val expected = byNorm.filter { case (n, _) => flaggedNorms.contains(n) }
+        .values.flatten.map(_._1).toSet
+      assert(got == expected, s"trial $trial: got ${got.size} expected ${expected.size}")
+    }
   }
 
   test("memberIds tolerates duplicate rep ids, a custom rep column, and null texts") {
