@@ -46,11 +46,12 @@ object SimHashBandBench {
     // SPARK_GRAFT_BLOCKS (r17): override the multi-table block count in the
     // ONLY_PAIRS / ONLY_GROUPS modes — the key-width knob. At d=8:
     // blocks=10 → C(10,2)=45 tables of ~12.8-bit keys; 11 → 165 × ~17.5
-    // bits; 12 → 495 × ~21.3 bits. Completeness is pigeonhole at ANY valid
-    // blocks, so verified_pairs must be IDENTICAL across settings — only
-    // the candidate mass (per-table collision pressure vs table count)
-    // moves. The A/B decides whether bucket saturation at corpus scale
-    // justifies a corpus-size-aware blocks choice.
+    // bits; 12 → 495 × ~21.3 bits. Completeness is pigeonhole at any valid
+    // blocks ONLY cap-free: under the hot-bucket cap, narrow keys saturate
+    // and star-link, so a verified_pairs DELTA between settings MEASURES
+    // the narrower config's silent cap degradation (r17 at sf50m/d=8:
+    // blocks=10 reported 148.6M pairs where blocks=11 finds 981.7M — the
+    // measurement that made simHashAutoBlocks corpus-sized).
     val mtBlocks = sys.env.getOrElse("SPARK_GRAFT_BLOCKS", "10").toInt
 
     if (sys.env.get("SPARK_GRAFT_ONLY_PAIRS").contains("1")) {

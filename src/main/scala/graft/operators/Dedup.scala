@@ -1487,29 +1487,77 @@ object Dedup {
   /** `blocks` sentinel for [[simHashDuplicates]] / [[simHashDuplicateGroups]]:
     * force the single-table banding scheme regardless of distance. Exists for
     * scheme A/B measurement ([[graft.SimHashBandBench]]); production callers
-    * should leave `blocks = 0` and let the auto-route pick — at maxHamming >=
-    * 6 the forced single-table scheme silently cap-degrades at corpus scale
+    * should leave `blocks = 0` and let the auto-route pick — a forced scheme
+    * whose bucket keys are too narrow for the corpus silently cap-degrades
     * (see [[simHashAutoBlocks]]).
     */
   val SimHashSingleTable: Int = -1
 
-  /** Auto-routing rule between the banding schemes (r16 measurement,
-    * BASELINE.md "SimHash banding scheme A/B"): the single-table scheme keys
-    * single 64/(maxHamming+1)-bit blocks, and below ~10 bits per key the
-    * buckets saturate the hot-bucket cap at corpus scale — the verified
-    * output then silently loses most true pairs (measured: ~96% of true
-    * pairs lost at maxHamming=8 on 625k docs; every 7-bit bucket tripped the
-    * cap and degraded to star links). 64/(d+1) >= 10 ⟺ d <= 5, so AUTO
-    * routes maxHamming >= 6 to the Manku multi-table scheme with
-    * blocks = maxHamming + 2 — two-block keys of ~2·64/(d+2) bits,
-    * C(d+2, 2) tables (45 at d=8), within the 512-table cap through d=30.
-    * For d >= 31 no multi-table config fits the cap (C(d+2, 2) > 512 and
-    * wider keys only grow the count), so AUTO stays single-table there —
-    * with half the bits free to differ, Hamming banding itself has stopped
-    * discriminating and the cap guard is the only defense either way.
+  /** Skew margin for [[simHashAutoBlocks]]' occupancy rule: a banding
+    * scheme is considered cap-safe when its EXPECTED bucket occupancy
+    * (nRows / 2^keyBits, worst-case floor key width) stays under
+    * maxBucketSize / this factor — simhashes of templated/near-dup corpora
+    * cluster far above uniform, so the average must sit well below the cap
+    * for the hot tail to clear it. Calibrated r17 (BASELINE r17 "blocks
+    * knob"): at d=8 on 1.5M mutated-sf50m reps, blocks=10 (expected
+    * occupancy ~366 — above cap/10) silently cap-dropped ~85% of true
+    * pairs, while blocks=11 (occupancy ~46 — under) recovered them.
     */
-  private[graft] def simHashAutoBlocks(maxHamming: Int): Option[Int] =
-    if (maxHamming >= 6 && maxHamming <= 30) Some(maxHamming + 2) else None
+  val SimHashOccupancySkewMargin = 10
+
+  /** Auto-routing rule between the banding schemes — now a function of the
+    * DISTANCE and the CORPUS SIZE (r16 + r17 measurements, BASELINE.md
+    * "SimHash banding scheme A/B" and "blocks knob at sf50m").
+    *
+    * The failure mode both measurements hit is the same: when a scheme's
+    * bucket keys are too narrow for the corpus, buckets saturate the
+    * hot-bucket cap and the verified output silently loses most true pairs
+    * (r16: single-table d=8 lost ~96% at 625k docs; r17: multi-table
+    * blocks=10 lost ~85% at 1.5M reps). Narrow keys are a function of BOTH
+    * knobs, so the route probes expected occupancy = nRows / 2^keyBits
+    * (floor key width — the narrowest table) against
+    * maxBucketSize / [[SimHashOccupancySkewMargin]]:
+    *
+    *  - single-table (maxHamming + 1 bands of 64/(d+1)-bit keys) is kept
+    *    when d <= 5 AND its occupancy clears the target — the cheap scheme
+    *    where it is safe (all sf0.1 gates, verbatim-scale reps).
+    *  - otherwise the smallest blocks b >= d + 2 whose C(b, b−d) table
+    *    count fits the 512 cap AND whose (b−d)-block keys clear the
+    *    occupancy target; wider keys cost combinatorially more tables, so
+    *    smallest-passing is cheapest-correct. If no feasible b clears the
+    *    target, the WIDEST feasible b is returned (closest to complete;
+    *    the cap guard remains the backstop).
+    *  - d = 0 stays single-table (one 64-bit exact key — no wider key
+    *    exists), and d >= 31 stays single-table (C(d+2, 2) > 512 already,
+    *    and with half the bits free to differ Hamming banding has stopped
+    *    discriminating — the cap guard is the only defense either way).
+    *
+    * The probe costs one `count()` of the banding input at the call site —
+    * milliseconds against the checkpointed reps frame on the groups path,
+    * one input scan on the raw pairs surface (documented there).
+    */
+  private[graft] def simHashAutoBlocks(maxHamming: Int, nRows: Long,
+      maxBucketSize: Int = DefaultMaxBucketSize): Option[Int] = {
+    if (maxHamming < 1 || maxHamming > 30) return None
+    val target = math.max(1.0, maxBucketSize.toDouble / SimHashOccupancySkewMargin)
+    def occupancy(keyBits: Int): Double =
+      nRows.toDouble / math.pow(2.0, math.min(keyBits, 62))
+    val singleKeyBits = 64 / (maxHamming + 1)
+    if (maxHamming <= 5 && occupancy(singleKeyBits) <= target) return None
+    def tables(b: Int): Long = {
+      // C(b, b - d) with overflow-safe early exit past the 512 cap
+      val k = math.min(b - maxHamming, maxHamming)
+      var c = 1L
+      for (i <- 1 to k) { c = c * (b - k + i) / i; if (c > 4096) return c }
+      c
+    }
+    val feasible = (maxHamming + 2 to 64).iterator
+      .takeWhile(b => tables(b) <= 512).toVector
+    if (feasible.isEmpty) return None // unreachable for d <= 30 (C(d+2,2) <= 512)
+    Some(feasible
+      .find(b => occupancy((b - maxHamming) * (64 / b)) <= target)
+      .getOrElse(feasible.last))
+  }
 
   /** SimHash near-dup candidates: 64-bit simhash split into `maxHamming + 1`
     * bit-blocks (Manku et al. '07). A pair within Hamming distance d differs
@@ -1529,10 +1577,15 @@ object Dedup {
     *                  oracle can recompute the simhashes bit-for-bit; the
     *                  banding stays complete either way (pigeonhole — it does
     *                  not depend on the hash function)
-    * @param blocks 0 (default) = AUTO: route to the multi-table scheme with
-    *               blocks = maxHamming + 2 when the single-table key width
-    *               64/(maxHamming+1) falls below the ~10-bit usefulness
-    *               floor (maxHamming in [6, 30] — see [[simHashAutoBlocks]]);
+    * @param blocks 0 (default) = AUTO: probe the input size (one `count()`
+    *               of `df` at call time) and pick the cheapest scheme whose
+    *               expected bucket occupancy clears the hot-bucket cap —
+    *               single-table when d <= 5 and the corpus is small enough,
+    *               else the smallest multi-table block count that is
+    *               cap-safe at this scale (see [[simHashAutoBlocks]]; r17
+    *               measured blocks = d + 2 itself silently cap-dropping
+    *               ~85% of true pairs at 1.5M reps/d=8 — the blocks choice
+    *               is corpus-sized, not distance-sized);
     *               > 0 = explicit multi-table with that block count;
     *               [[SimHashSingleTable]] (−1) = force single-table (A/B
     *               benches only — WRONG at aggressive distances).
@@ -1552,7 +1605,10 @@ object Dedup {
     require(blocks >= SimHashSingleTable,
       s"blocks must be -1 (force single-table), 0 (auto), or > maxHamming; got $blocks")
     val routed =
-      if (blocks == 0) simHashAutoBlocks(maxHamming)
+      // AUTO probes the input size (one count — the occupancy rule needs
+      // the corpus scale, see simHashAutoBlocks; groups-path callers pass
+      // the checkpointed reps frame, so the probe is a metadata-cheap job)
+      if (blocks == 0) simHashAutoBlocks(maxHamming, df.count(), maxBucketSize)
       else if (blocks > 0) Some(blocks)
       else None // SimHashSingleTable: forced single-table (A/B benches)
     routed match {
@@ -1566,8 +1622,9 @@ object Dedup {
   }
 
   /** The single-table banding body of [[simHashDuplicates]] — correct and
-    * cheapest at maxHamming <= 5 (keys >= ~10.7 bits); cap-degrades at
-    * aggressive distances (the reason the public surface auto-routes).
+    * cheapest where its 64/(maxHamming+1)-bit keys are wide enough for the
+    * corpus; cap-degrades past that (the reason the public surface
+    * auto-routes on (distance, corpus size) — see [[simHashAutoBlocks]]).
     */
   private def simHashSingleTableDuplicates(df: DataFrame, idCol: String,
       textCol: String, maxHamming: Int, maxBucketSize: Int,
@@ -1698,11 +1755,12 @@ object Dedup {
     * [[dispatchGroups]]; call [[duplicateGroupsStar]] directly to opt out).
     *
     * @param blocks banding-scheme route for the rep-level pair stage, same
-    *               semantics as [[simHashDuplicates]]: 0 (default) = AUTO
-    *               (multi-table when maxHamming in [6, 30] — the regime
-    *               where single-table buckets cap-degrade, see
-    *               [[simHashAutoBlocks]]); > 0 = explicit multi-table;
-    *               [[SimHashSingleTable]] = force single-table.
+    *               semantics as [[simHashDuplicates]]: 0 (default) = AUTO —
+    *               the occupancy rule probes the DISTINCT-text rep count
+    *               (a metadata-cheap count of the collapse checkpoint) and
+    *               picks the cheapest cap-safe scheme for (maxHamming,
+    *               corpus scale), see [[simHashAutoBlocks]]; > 0 = explicit
+    *               multi-table; [[SimHashSingleTable]] = force single-table.
     */
   def simHashDuplicateGroups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,

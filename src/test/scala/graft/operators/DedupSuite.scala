@@ -56,18 +56,48 @@ class DedupSuite extends SparkTestBase {
   }
 
   test("AUTO banding route: floor at maxHamming=6, blocks=d+2, ceiling at d=30") {
-    // the routing rule itself — 64/(d+1) >= 10 bits keeps single-table
-    // (d <= 5); d in [6, 30] routes to multi-table with blocks = d + 2
-    // (C(d+2, 2) tables <= 512 through d=30); past that no multi-table
-    // config fits the table cap, so AUTO stays single-table
-    for (d <- 0 to 5) assert(Dedup.simHashAutoBlocks(d).isEmpty, s"d=$d must stay single-table")
-    for (d <- 6 to 30) assert(Dedup.simHashAutoBlocks(d).contains(d + 2), s"d=$d must route to ${d + 2} blocks")
-    for (d <- Seq(31, 40, 63)) assert(Dedup.simHashAutoBlocks(d).isEmpty, s"d=$d exceeds the table-cap ceiling")
+    // the routing rule at gate-scale corpora (small n keeps every scheme's
+    // occupancy under the target, so only the distance routes): d <= 5
+    // keeps single-table; d in [6, 30] routes to multi-table with
+    // blocks = d + 2 (C(d+2, 2) tables <= 512 through d=30); past that no
+    // multi-table config fits the table cap, so AUTO stays single-table
+    val n = 1000L
+    for (d <- 0 to 5) assert(Dedup.simHashAutoBlocks(d, n).isEmpty, s"d=$d must stay single-table")
+    for (d <- 6 to 30) assert(Dedup.simHashAutoBlocks(d, n).contains(d + 2), s"d=$d must route to ${d + 2} blocks")
+    for (d <- Seq(31, 40, 63)) assert(Dedup.simHashAutoBlocks(d, n).isEmpty, s"d=$d exceeds the table-cap ceiling")
     // auto-route config at the ceiling is actually runnable: C(32, 30) = 496 <= 512
     assert((31 to 32).product / 2 == 496)
     intercept[IllegalArgumentException] {
       Dedup.simHashDuplicates(docs, "doc_id", "text", maxHamming = 8, blocks = -2)
     }
+  }
+
+  test("AUTO banding route is corpus-sized: occupancy promotes blocks and the distance floor") {
+    // r17 calibration (BASELINE r17 "blocks knob at sf50m"): at d=8 on
+    // 1.5M reps, blocks=10 (2x6-bit floor keys, expected occupancy ~366 vs
+    // target 100) silently cap-dropped ~85% of true pairs; blocks=11
+    // (3x5-bit keys, occupancy ~46) recovered them. The rule must pick 11
+    // there, and must keep picking the cheapest cap-safe scheme elsewhere.
+    assert(Dedup.simHashAutoBlocks(8, 1500000L).contains(11),
+      "d=8 at 1.5M reps must widen to blocks=11")
+    assert(Dedup.simHashAutoBlocks(8, 100000L).contains(10),
+      "d=8 at 100k reps keeps the cheapest complete config")
+    // the same cliff exists below the d>=6 distance floor: d=4 single-table
+    // keys are 12 bits, so a 1e9-rep corpus (occupancy ~244k) must promote
+    // to multi-table — smallest cap-safe is blocks=7 (3x9-bit keys)
+    assert(Dedup.simHashAutoBlocks(4, 1000000000L).contains(7),
+      "d=4 at 1e9 reps must leave single-table")
+    assert(Dedup.simHashAutoBlocks(4, 1000L).isEmpty,
+      "d=4 small corpus stays single-table")
+    // when no feasible config clears the target, the widest feasible wins
+    // (closest to complete; the cap guard is the backstop): d=30 has only
+    // blocks=32 (C(32,2)=496) and a huge corpus cannot clear 2x2-bit keys
+    assert(Dedup.simHashAutoBlocks(30, 1000000000L).contains(32),
+      "d=30 huge corpus returns the widest feasible config")
+    // the occupancy target scales with the caller's cap: a tiny cap makes
+    // even a small corpus promote
+    assert(Dedup.simHashAutoBlocks(4, 5000L, maxBucketSize = 10).isDefined,
+      "a 10-doc cap must route a 5k corpus off 12-bit single-table keys")
   }
 
   test("AUTO groups at d=8 equal the explicit multi-table route and the forced single route") {
