@@ -163,12 +163,20 @@ object Classify {
       // partitioning; the single transcendental (sigmoid) rounds to 9
       val z = feats.join(broadcast(wDf), "bucket")
         .groupBy(col("id")).agg(sum(col("wv") * col("c")).as("__zw"))
+      // materialized once per iteration: BOTH gradient aggregates below (the
+      // per-bucket update and the bias update) consume this frame, and
+      // without the checkpoint each would re-run the z-join + sigmoid
+      // lineage — two evaluations of the iteration's whole compute (guide
+      // §2.4: consumers of one subtree should share one materialization).
+      // The frame is train-doc-sized (id, y, err), far below the feature
+      // table this function already checkpoints.
       val scored = ydf.join(z, Seq("id"), "left")
         .select(col("id"), col("y"),
           (coalesce(col("__zw"), lit(0).cast(WDec)) +
             lit(bias).cast(WDec)).cast("double").as("__z"))
         .withColumn("__p", round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 9).cast(PDec))
         .withColumn("__err", col("__p") - col("y"))
+        .localCheckpoint()
       // per-bucket update, rounded to 12 decimals INSIDE the query so both
       // engines round the identical double
       val upd = scored.join(feats, "id")

@@ -897,7 +897,9 @@ object Dedup {
     // equi-join below, matching the old path (null shingles never paired).
     val members = df
       .select(normTextHash(textCol).as("__rh"), col(idCol).as("__mid"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: materializes inside the first consuming
+      // job instead of as its own serial action (r17 JobProfile: the sf0.1
+      // dedup gates are job-COUNT-bound — 84 serial jobs, max 0.11 s each)
     // one representative (min id) + its text per distinct normText; the
     // partial aggregate dedups per partition first, so under a high dup
     // rate the exchange carries far fewer texts than rows. The member count
@@ -907,7 +909,7 @@ object Dedup {
       .agg(min(col(idCol)).as("__rid"),
         min_by(col(textCol), col(idCol)).as("__rtext"),
         count(lit(1)).as("__rn"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy — see the members note
     ExactCollapse(members, reps)
   }
 
@@ -929,7 +931,7 @@ object Dedup {
     // candidate docs) — without the checkpoint the banding/bucket-join
     // lineage would run once per consumer (the union-lineage lesson)
     val cand = minHashCandidatePairs(repDocs, idCol, textCol, shingleSize,
-      numHashes, bands, maxBucketSize).localCheckpoint(true)
+      numHashes, bands, maxBucketSize).localCheckpoint(false) // lazy reuse
     val repPairs = ngramJaccard(cand, repDocs, idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
     CollapsedMinHash(repPairs, ec)
@@ -1093,7 +1095,7 @@ object Dedup {
     // full candidate-generation lineage — a corpus scan plus signatures —
     // would execute twice
     val cand = incrementalCandidatePairs(corpus, newDocs, idCol, textCol,
-      shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true)
+      shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(false) // lazy reuse
     verifyCrossPairs(cand, corpus, newDocs, idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
   }
@@ -1451,7 +1453,7 @@ object Dedup {
       .select(col("id"), array_distinct(transform(
         F.word_shingles(T.tokens(col(textCol)), shingleSize), s => xxhash64(s))).as("sh"))
       .where(col("sh").isNotNull) // null-text docs drop, as the old reunite shape did
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy reuse — both side-joins read it in one action
   }
 
   /** Exact n-gram CONTAINMENT for given candidate pairs: |A ∩ B| / |A|,

@@ -1459,17 +1459,31 @@ object Pipeline {
             T.tokens(col("text")).as("__toks"))
           .localCheckpoint()
         val batch = dTok.where(col("doc_id") % 5 === 0)
-        val lm = CorpusStats.knTrain(dTok.where(col("doc_id") % 5 =!= 0), "__toks")
+        // Materialize the trained bigram table once (model-sized, not
+        // corpus-sized): inside this pipeline the KN model is consumed by
+        // four separate broadcast subtrees (score join, contexts,
+        // continuations, stats) that AQE does NOT reuse across broadcast
+        // exchanges — measured r17: v3 5.0 → 3.8 s with this one
+        // checkpoint. The one-shot text_kn_xent gate deliberately does NOT
+        // do this (the barrier costs more than the reuse there).
+        val lm0 = CorpusStats.knTrain(dTok.where(col("doc_id") % 5 =!= 0), "__toks")
+        val lm = lm0.copy(bigrams = lm0.bigrams.localCheckpoint())
         val fluent = CorpusStats.knScore(lm, batch, "doc_id", "__toks")
           .where(col("xent_bits") <= 5.0).select(col("id").as("doc_id"))
-        val routed = batch.join(fluent, "doc_id")
+        // routed's lineage is the whole KN score (bigram explode + three
+        // model joins + per-doc aggregate); it feeds BOTH the LR scoring
+        // pass and the final pool join — checkpoint so the KN stage runs
+        // once (guide §2.4), like dTok above. Values unchanged.
+        val routed = batch.join(fluent, "doc_id").localCheckpoint()
         val labeled = dTok.withColumn("y",
           col("source").isin("src0", "src1", "src2", "src3", "src4").cast("int"))
         val wts = Classify.logregTrain(labeled.where(col("doc_id") % 4 =!= 0),
           "doc_id", "y", "__toks", buckets = 16, iters = 3, lrate = 0.5)
         val kept = Classify.logregScore(wts, routed, "doc_id", "__toks", buckets = 16)
           .where(col("prob") >= 0.997).select(col("id").as("doc_id"))
-        val pool = routed.join(kept, "doc_id")
+        // pool feeds the exact-dup winner aggregate AND the final join —
+        // checkpoint for the same one-materialization reason as routed
+        val pool = routed.join(kept, "doc_id").localCheckpoint()
         val winners = Dedup.exactDuplicates(pool, "doc_id", "text")
           .select(col("keep_id").as("doc_id"))
         pool.join(winners, "doc_id")
@@ -1616,12 +1630,18 @@ object Pipeline {
       (s, dir) => {
         val d = t(s, dir, "documents")
         val batch = d.where(col("doc_id") % 5 === 0)
-        val lm = graft.operators.CorpusStats.bigramTrain(
+        // model-table materialization at the call site — same rationale
+        // (and measurement) as pipeline_curation_v3's knTrain checkpoint
+        val lm0 = graft.operators.CorpusStats.bigramTrain(
           d.where(col("doc_id") % 5 =!= 0), "text")
+        val lm = lm0.copy(bigrams = lm0.bigrams.localCheckpoint())
         val fluent = graft.operators.CorpusStats.bigramScore(lm, batch, "doc_id", "text")
           .where(col("xent_bits") <= 4.95)
           .select(col("id").as("doc_id"))
-        val routed = batch.join(fluent, "doc_id")
+        // routed's lineage is the whole bigram-LM score; it feeds the NB
+        // prediction, the exact-dup winner aggregate AND the final join —
+        // checkpoint so the LM stage runs once (guide §2.4)
+        val routed = batch.join(fluent, "doc_id").localCheckpoint()
         val nb = graft.operators.Classify.nbTrain(
           d.where(col("doc_id") % 4 =!= 0), "source", "text")
         val labeled = graft.operators.Classify.nbPredict(nb, routed, "doc_id", "text")
