@@ -930,8 +930,13 @@ object Dedup {
     // (pair sides + the semi-join that restricts shingle building to
     // candidate docs) — without the checkpoint the banding/bucket-join
     // lineage would run once per consumer (the union-lineage lesson)
+    // EAGER on purpose: the materialized size feeds the planner — the
+    // verify stage's semi-join cut and attach joins broadcast the
+    // candidate-bounded side only because this frame's true (small) size is
+    // known; a lazy checkpoint plans them as sort-merge from default stats
+    // (caught by PlanSuite's broadcast pins, r17)
     val cand = minHashCandidatePairs(repDocs, idCol, textCol, shingleSize,
-      numHashes, bands, maxBucketSize).localCheckpoint(false) // lazy reuse
+      numHashes, bands, maxBucketSize).localCheckpoint(true)
     val repPairs = ngramJaccard(cand, repDocs, idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
     CollapsedMinHash(repPairs, ec)
@@ -1095,7 +1100,8 @@ object Dedup {
     // full candidate-generation lineage — a corpus scan plus signatures —
     // would execute twice
     val cand = incrementalCandidatePairs(corpus, newDocs, idCol, textCol,
-      shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(false) // lazy reuse
+      shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true) // eager:
+      // the materialized (batch-bounded) size drives the broadcast cut
     verifyCrossPairs(cand, corpus, newDocs, idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
   }
@@ -1165,21 +1171,21 @@ object Dedup {
     val corpusAgg = corpus.groupBy(normTextHash(textCol).as("__h"))
       .agg(min(col(idCol)).as("__rid"),
         min_by(col(textCol), col(idCol)).as("__rtext"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy — materializes in the first consumer (r17)
     // checkpointed: consumed by the member map, the rep aggregate, and the
     // final anti-join — without it each consumer re-runs the batch scan +
     // hash + anti-join lineage
     val exactSurvivors = newDocs.withColumn("__h", normTextHash(textCol))
       .join(corpusAgg.select(col("__h")), Seq("__h"), "left_anti")
       .drop("__h")
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy — see corpusAgg note
     // batch-side collapse: (hash, member id) map + one rep doc per text
     val batchMembers = exactSurvivors
       .select(normTextHash(textCol).as("__bh"), col(idCol).as("__mid"))
     val batchReps = exactSurvivors.groupBy(normTextHash(textCol).as("__bh"))
       .agg(min(col(idCol)).as("__bid"),
         min_by(col(textCol), col(idCol)).as("__btext"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy — see corpusAgg note
     val corpusReps = corpusAgg.select(col("__rid").as(idCol), col("__rtext").as(textCol))
     val flaggedRepIds = incrementalMinHash(corpusReps,
         batchReps.select(col("__bid").as(idCol), col("__btext").as(textCol)),
@@ -1230,7 +1236,7 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): IngestIndex = {
     val reps = corpus.groupBy(normTextHash(textCol).as("__h"))
       .agg(min(col(idCol)).as(idCol), min_by(col(textCol), col(idCol)).as(textCol))
-      .localCheckpoint(true) // feeds both the hash set and the banding scan
+      .localCheckpoint(false) // lazy — feeds both the hash set and the banding scan
     val hashes = reps.select(col("__h"))
     val full = minHashBanded(reps.drop("__h"), idCol, textCol, shingleSize, numHashes, bands)
     val banded =
@@ -1365,6 +1371,12 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double,
       bloom: Option[Array[Byte]]): DataFrame = {
     val withH = newDocs.withColumn("__h", normTextHash(textCol))
+    // deliberately NOT checkpointed (r17 optimization pass): the three
+    // consumers (banding, verify shingle build, final anti-join) re-run the
+    // batch-sized exact-stage lineage, but a checkpoint here severs the
+    // exact stage from the executed plan — hiding the zero-exchange
+    // broadcast shape PlanSuite pins — and the stage is batch-bounded
+    // map-side work, far below the candidate/verify cost IncBench measured
     val exactSurvivors = (bloom match {
       case Some(b) => bloomExactSurvivors(index.hashes, withH, b)
       case None => withH.join(index.hashes, Seq("__h"), "left_anti")
@@ -1374,7 +1386,9 @@ object Dedup {
       .withColumnRenamed("id", "id_new")
     val cand = index.banded.join(newBanded, Seq("band", "bucket"))
       .select(col("id_new"), col("id").as("id_corpus")).distinct()
-      .localCheckpoint(true) // feeds the semi-join cut AND the verify join
+      // EAGER on purpose — the known materialized size is what lets the
+      // exact-stage and verify joins broadcast (see collapsedMinHash note)
+      .localCheckpoint(true)
     val convicted = verifyCrossPairs(cand, corpus, exactSurvivors, idCol, textCol,
         index.shingleSize)
       .where(col("jaccard") >= threshold)

@@ -327,12 +327,18 @@ object Similarity {
     require(m >= 1 && m <= d, s"m=$m must be in [1, dim=$d]")
     // ragged split: subspace i covers [i*d/m, (i+1)*d/m)
     val bounds = (0 to m).map(i => i * d / m).toArray
-    Array.tabulate(m) { i =>
+    // the m subspace fits are independent deterministic functions of
+    // (sample, i) — run them on parallel driver threads (the PQ codebook
+    // training was most of ann_pq/ann_ivfpq's driver-side serial gap);
+    // output array order is by subspace index, as before
+    val out = new Array[Array[Array[Double]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { i =>
       val lo = bounds(i); val hi = bounds(i + 1)
       val sub = samplePts.map(p =>
         Array.tabulate(hi - lo)(j => if (lo + j < p.length) p(lo + j) else 0.0))
-      KMeansLite.fit(sub, ks, iters = 25, seed = 42L + i)
+      out(i) = KMeansLite.fit(sub, ks, iters = 25, seed = 42L + i)
     }
+    out
   }
 
   /** Rehydrate a PQ index from persisted codes (columns nn_id, codes) and
@@ -596,10 +602,15 @@ object Similarity {
     def fit(points: Array[Array[Double]], k: Int, iters: Int, seed: Long,
         restarts: Int = 5, spherical: Boolean = false): Array[Array[Double]] = {
       if (points.isEmpty) return Array(Array(0.0))
-      var best: Array[Array[Double]] = null
-      var bestCost = Double.MaxValue
-      var r = 0
-      while (r < restarts) {
+      // restarts are independent (each fully determined by its own seed), so
+      // they run on parallel driver threads — the quantizer fit was the
+      // measured driver-side serial gap of the ANN gates (r17 JobProfile:
+      // ann_ivfpq wall 2.4 s, of which only 0.56 s was Spark jobs). The
+      // winner is selected by (cost, restart index), which is EXACTLY the
+      // sequential loop's first-lowest-cost rule — bit-identical output.
+      val costs = new Array[Double](restarts)
+      val fits = new Array[Array[Array[Double]]](restarts)
+      java.util.stream.IntStream.range(0, restarts).parallel().forEach { r =>
         val c = fitOnce(points, k, iters, seed + r * 7919L, spherical)
         var cost = 0.0
         var i = 0
@@ -608,10 +619,12 @@ object Similarity {
           while (cc < c.length) { val d = sqdist(points(i), c(cc)); if (d < bd) bd = d; cc += 1 }
           cost += bd; i += 1
         }
-        if (cost < bestCost) { bestCost = cost; best = c }
-        r += 1
+        costs(r) = cost; fits(r) = c
       }
-      best
+      var best = 0
+      var r = 1
+      while (r < restarts) { if (costs(r) < costs(best)) best = r; r += 1 }
+      fits(best)
     }
 
     private def fitOnce(points: Array[Array[Double]], k: Int, iters: Int, seed: Long,
@@ -638,7 +651,8 @@ object Similarity {
       }
       val dim = points(0).length
       var it = 0
-      while (it < iters) {
+      var converged = false
+      while (it < iters && !converged) {
         val sums = Array.fill(kk)(new Array[Double](dim))
         val counts = new Array[Int](kk)
         var i = 0
@@ -654,12 +668,22 @@ object Similarity {
           counts(best) += 1
           i += 1
         }
+        // Lloyd early exit: the update is a deterministic function of the
+        // assignments, and assignments of the EXACT same centers repeat —
+        // once no center moves a single bit, every remaining iteration is
+        // an identical no-op, so breaking returns bit-identical centers
+        // (the fixed `iters` stays the determinism bound for callers)
+        converged = true
         var cc = 0
         while (cc < kk) {
           if (counts(cc) > 0) {
+            val updated = new Array[Double](dim)
             var j = 0
-            while (j < dim) { centers(cc)(j) = sums(cc)(j) / counts(cc); j += 1 }
-            if (spherical) centers(cc) = normalized(centers(cc))
+            while (j < dim) { updated(j) = sums(cc)(j) / counts(cc); j += 1 }
+            val next = if (spherical) normalized(updated) else updated
+            if (converged && !java.util.Arrays.equals(next, centers(cc)))
+              converged = false
+            centers(cc) = next
           }
           cc += 1
         }
