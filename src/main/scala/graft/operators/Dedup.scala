@@ -1236,7 +1236,7 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): IngestIndex = {
     val reps = corpus.groupBy(normTextHash(textCol).as("__h"))
       .agg(min(col(idCol)).as(idCol), min_by(col(textCol), col(idCol)).as(textCol))
-      .localCheckpoint(false) // lazy — feeds both the hash set and the banding scan
+      .localCheckpoint(true) // eager: feeds both the hash set and the banding scan
     val hashes = reps.select(col("__h"))
     val full = minHashBanded(reps.drop("__h"), idCol, textCol, shingleSize, numHashes, bands)
     val banded =
