@@ -332,7 +332,7 @@ object Similarity {
     // training was most of ann_pq/ann_ivfpq's driver-side serial gap);
     // output array order is by subspace index, as before
     val out = new Array[Array[Array[Double]]](m)
-    java.util.stream.IntStream.range(0, m).parallel().forEach { i =>
+    KMeansLite.parEach(m) { i =>
       val lo = bounds(i); val hi = bounds(i + 1)
       val sub = samplePts.map(p =>
         Array.tabulate(hi - lo)(j => if (lo + j < p.length) p(lo + j) else 0.0))
@@ -570,6 +570,28 @@ object Similarity {
     * are the cell assignment and scoring, not the tiny quantizer fit.
     */
   private[operators] object KMeansLite {
+    /** Run `n` independent tasks on driver threads, bounded by the SESSION's
+      * declared parallelism (local[k] ⇒ k) — NOT the host's core count: the
+      * bench contract measures scaling against the configured core count,
+      * and the JVM common pool would silently use every host core at any
+      * local[k]. Falls back to the host count with no active session.
+      */
+    private[operators] def parEach(n: Int)(body: Int => Unit): Unit = {
+      val bound = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.defaultParallelism)
+        .getOrElse(Runtime.getRuntime.availableProcessors())
+      val width = math.max(1, math.min(n, bound))
+      if (width == 1) { var i = 0; while (i < n) { body(i); i += 1 } }
+      else {
+        val pool = new java.util.concurrent.ForkJoinPool(width)
+        try pool.submit(new Runnable {
+          def run(): Unit =
+            java.util.stream.IntStream.range(0, n).parallel().forEach(i => body(i))
+        }).get()
+        finally pool.shutdown()
+      }
+    }
+
     private def sqdist(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -610,7 +632,7 @@ object Similarity {
       // sequential loop's first-lowest-cost rule — bit-identical output.
       val costs = new Array[Double](restarts)
       val fits = new Array[Array[Array[Double]]](restarts)
-      java.util.stream.IntStream.range(0, restarts).parallel().forEach { r =>
+      parEach(restarts) { r =>
         val c = fitOnce(points, k, iters, seed + r * 7919L, spherical)
         var cost = 0.0
         var i = 0

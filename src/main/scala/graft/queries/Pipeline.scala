@@ -1630,11 +1630,8 @@ object Pipeline {
       (s, dir) => {
         val d = t(s, dir, "documents")
         val batch = d.where(col("doc_id") % 5 === 0)
-        // model-table materialization at the call site — same rationale
-        // (and measurement) as pipeline_curation_v3's knTrain checkpoint
-        val lm0 = graft.operators.CorpusStats.bigramTrain(
+        val lm = graft.operators.CorpusStats.bigramTrain(
           d.where(col("doc_id") % 5 =!= 0), "text")
-        val lm = lm0.copy(bigrams = lm0.bigrams.localCheckpoint())
         val fluent = graft.operators.CorpusStats.bigramScore(lm, batch, "doc_id", "text")
           .where(col("xent_bits") <= 4.95)
           .select(col("id").as("doc_id"))
