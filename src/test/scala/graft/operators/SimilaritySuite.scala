@@ -428,4 +428,27 @@ class SimilaritySuite extends SparkTestBase {
     assert(chunked.collect().map(_.toString).sorted.toSeq == oneShot,
       "chunk membership must not change any per-query result")
   }
+
+  test("parallel KMeansLite fits are deterministic and Lloyd early-exit is iteration-invariant") {
+    // r17 optimization pins: the restarts run on parallel driver threads
+    // with the sequential first-lowest-cost selection rule, and Lloyd
+    // breaks once no center moves a bit. Both must be invisible:
+    // (1) repeated fits at one seed return bit-identical centers (a wrong
+    //     parallel selection rule — e.g. first-finished-wins — would make
+    //     this flaky), and
+    // (2) raising the iteration cap past convergence changes nothing
+    //     (early exit ⟺ the remaining iterations were no-ops).
+    val rnd = new java.util.Random(7)
+    val pts = Array.fill(500)(Similarity.KMeansLite.normalized(Array.fill(16)(rnd.nextGaussian())))
+    val a = Similarity.KMeansLite.fit(pts, k = 8, iters = 25, seed = 42L, spherical = true)
+    val b = Similarity.KMeansLite.fit(pts, k = 8, iters = 25, seed = 42L, spherical = true)
+    assert(a.length == b.length &&
+      a.indices.forall(i => java.util.Arrays.equals(a(i), b(i))),
+      "repeated parallel fits diverged — the restart selection rule is nondeterministic")
+    val c = Similarity.KMeansLite.fit(pts, k = 8, iters = 200, seed = 42L, spherical = true)
+    val d = Similarity.KMeansLite.fit(pts, k = 8, iters = 201, seed = 42L, spherical = true)
+    assert(c.indices.forall(i => java.util.Arrays.equals(c(i), d(i))),
+      "iters=200 vs 201 differ — either Lloyd still moving at 200 " +
+        "(raise the bound) or the early exit broke the fixpoint")
+  }
 }
