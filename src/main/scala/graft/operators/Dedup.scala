@@ -52,6 +52,16 @@ object Dedup {
     */
   val AutoStarCanonicalEdges = 25L * 1000 * 1000
 
+  /** Canonical edge count from which [[duplicateGroups]]' min-label loop
+    * materializes its symmetric closure pre-partitioned on src instead of
+    * re-deriving (and re-exchanging) it inside every round's join — the
+    * sort-merge regime where the per-round label side is far past any
+    * broadcast estimate. Below it the rounds plan as broadcast joins whose
+    * edge side never shuffles, and the extra checkpoint is pure cost
+    * (r18 A/B at both regimes; see the shape comment in duplicateGroups).
+    */
+  val MinLabelPrePartitionEdges = 1L * 1000 * 1000
+
   /** Hot-bucket-guarded LSH bucket self-join.
     *
     * A degenerate bucket (boilerplate near-identical docs, zero vectors)
@@ -218,6 +228,15 @@ object Dedup {
     def seed(materialized: DataFrame): Unit =
       if (reliable) prevRound = checkpointFile(materialized)
 
+    /** Delete a materialized checkpoint that is fully superseded OUTSIDE the
+      * round rotation (the canonical edge frame once the pre-partitioned
+      * symmetric closure has been materialized from it — nothing reads it
+      * again, and a loop must not leave two corpus-sized edge checkpoints
+      * on reliable storage when one is garbage).
+      */
+    def drop(materialized: DataFrame): Unit =
+      if (reliable) checkpointFile(materialized).foreach(delete)
+
     /** Note `materialized` as the new current round and delete the previous
       * round's checkpoint directory — no reader left.
       */
@@ -353,7 +372,8 @@ object Dedup {
     // more than an order of magnitude above every gate / verbatim-scale
     // graph (< 1M canonical edges) and safely inside the measured star-win
     // regime (90.6M).
-    if (strategy == "auto" && canonEdges.count() > autoStarEdgeThreshold) {
+    val canonCount = canonEdges.count()
+    if (strategy == "auto" && canonCount > autoStarEdgeThreshold) {
       val starRounds = new java.util.concurrent.atomic.AtomicInteger(0)
       // drop self-pairs (star's canonical form excludes them, same as the
       // forced-star path) — a narrow filter over the checkpoint, not a job
@@ -363,14 +383,40 @@ object Dedup {
       return out
     }
     // symmetric closure for min-label: both directions of each canonical
-    // edge, self-pairs once. Narrow (per-round re-read of the checkpoint +
-    // explode — same IO as the pre-r17 2x-row closure checkpoint).
-    val edges = canonEdges.select(explode(
+    // edge, self-pairs once. TWO shapes, picked off the probed edge count
+    // (r18, guide §2.4 "remove shuffles outright" — measured both ways):
+    //  - SMALL graphs (gate/verbatim scale): a NARROW per-round explode of
+    //    the canonical checkpoint. Here the labels side is model-sized, AQE
+    //    re-plans every round's neighbor-min join as a BROADCAST of labels,
+    //    and the edge side therefore never shuffles at all — a
+    //    pre-partitioned closure checkpoint only ADDS its own shuffle +
+    //    materialization (r18 same-slot A/B: dedup_groups 2.96 → 3.33 s
+    //    median with the unconditional closure checkpoint; reverted).
+    //  - MID-regime graphs (labels far past any broadcast threshold, the
+    //    per-round join a sort-merge): materialize the closure ONCE,
+    //    PRE-PARTITIONED on src. The checkpoint preserves the repartition's
+    //    outputPartitioning into the LogicalRDD, so the loop's heaviest
+    //    side (2|E| rows) crosses the network exactly once for the whole
+    //    loop instead of once per round. The labels init rides the same
+    //    partitioning (distinct on id = src). Threshold 1M canonical edges:
+    //    >= 1M edges means >= ~1M distinct node labels, an order of
+    //    magnitude past the 10 MB auto-broadcast estimate at 16 B/row —
+    //    safely inside the sort-merge regime; every gate graph (< 100k
+    //    canonical edges) keeps the broadcast-round shape that wins there.
+    //    (Huge graphs never reach here — auto routes them star-first.)
+    val closureSrc = canonEdges.select(explode(
         when(col("u") =!= col("v"), array(
           struct(col("u").as("src"), col("v").as("dst")),
           struct(col("v").as("src"), col("u").as("dst"))))
         .otherwise(array(struct(col("u").as("src"), col("v").as("dst"))))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val prePartition = canonCount >= MinLabelPrePartitionEdges
+    val edges =
+      if (prePartition) ck.eager(closureSrc.repartition(col("src")))
+      else closureSrc
+    // the canonical checkpoint is fully superseded by a materialized
+    // closure (nothing on that path reads it again) — reclaim it
+    if (prePartition) ck.drop(canonEdges)
     var labels = ck.eager(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     ck.seed(labels)
@@ -515,15 +561,28 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nextSrc = canonEdgeForm(smallStar(canonEdgeForm(largeStar(edges))))
       val next = ck.lazily(nextSrc)
-      // ONE job per round: the marker outer-join count both materializes
-      // this round's checkpoint and answers EXACT set equality (both sides
-      // are canonical distinct edge sets, so an empty symmetric difference
-      // is the fixpoint — no probabilistic checksum, no second action)
-      val changed = next.withColumn("__n", lit(1))
-        .join(edges.withColumn("__o", lit(1)), Seq("u", "v"), "full_outer")
-        .where(col("__n").isNull || col("__o").isNull)
+      // ONE job per round: a STRUCTURAL fixpoint test that both materializes
+      // this round's checkpoint and answers "is this a star forest" on the
+      // round's OWN output. The loop's fixpoints are exactly the star
+      // forests (largeStar relinks any u with two parents or any
+      // parent-of-a-parent; a canonical depth-1 forest maps to itself), and
+      // a canonical (u > v) edge set is a star forest iff no child has two
+      // parents (u repeated) and no parent is itself a child (a node both u
+      // and v). Detecting that structurally converges one whole round
+      // EARLIER than the r13–r17 set-equality marker join, which could only
+      // observe a fixpoint by paying the NEXT round's full transform to
+      // compare against — and it reads one frame where the outer join read
+      // two (r18, guide §1/§2.4: the CC gates are serial-job-bound). Exact,
+      // no probabilistic checksum: one narrow explode + one aggregate.
+      val violations = next.select(explode(array(
+          struct(col("u").as("n"), lit(1L).as("cu"), lit(0L).as("cv")),
+          struct(col("v").as("n"), lit(0L).as("cu"), lit(1L).as("cv")))).as("e"))
+        .select(col("e.n").as("n"), col("e.cu").as("cu"), col("e.cv").as("cv"))
+        .groupBy(col("n"))
+        .agg(sum(col("cu")).as("nu"), sum(col("cv")).as("nv"))
+        .where(col("nu") > 1 || (col("nu") > 0 && col("nv") > 0))
         .count()
-      converged = changed == 0
+      converged = violations == 0
       ck.release(nextSrc)
       ck.rotate(next)
       edges = next

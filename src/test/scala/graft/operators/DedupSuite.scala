@@ -508,17 +508,28 @@ class DedupSuite extends SparkTestBase {
     } finally spark.listenerManager.unregister(ql)
   }
 
-  test("star fixpoint marker join reuses round partitioning across the checkpoint boundary") {
+  test("star fixpoint check is structural: join-free, one exchange, detected on the producing round") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    // r13 (VERDICT r12 #6): both sides of the per-round marker full-outer
-    // join arrive .distinct()-partitioned on (u, v), and Spark's
-    // localCheckpoint preserves outputPartitioning into the LogicalRDD —
-    // so the join must introduce ZERO additional exchanges: the round's
-    // only shuffles are the star steps' own aggregations, and the fixpoint
-    // check rides the checkpointed partitioning for free. This pins that
-    // the checkpoint boundary keeps the partitioning (a LogicalRDD that
-    // dropped it would re-shuffle BOTH sides every round).
+    // r18 (guide §1/§2.4 — the CC gates are serial-job-bound): the per-round
+    // fixpoint test is STRUCTURAL star-forest detection on the round's own
+    // output (no child with two parents, no parent that is itself a child),
+    // replacing the r13–r17 set-equality marker join. Two properties pinned:
+    //  (a) convergence is detected on the round that PRODUCES the star
+    //      forest — the marker join could only observe a fixpoint by paying
+    //      the NEXT round's full transform to compare against. A 3-node path
+    //      becomes a star forest in one transform, so exactly 1 round.
+    //  (b) the per-round counting plan is JOIN-FREE and carries at most ONE
+    //      wide exchange (the node-aggregate's); the old shape read both the
+    //      new and the previous checkpoint through a full-outer join.
+    val path3 = Seq((1L, 0L), (2L, 1L)).toDF("id_a", "id_b").localCheckpoint(true)
+    val r1 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val labels = Dedup.duplicateGroupsStar(path3, roundsOut = Some(r1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    assert(r1.get() == 1,
+      s"structural check must converge on the producing round (1 for a 3-node path), got ${r1.get()}")
+
     val chain = (0L until 48L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b").localCheckpoint(true)
     val plans = java.util.Collections.synchronizedList(
@@ -530,7 +541,7 @@ class DedupSuite extends SparkTestBase {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
-    // AQE re-plans stages and hides the static exchange count; the reuse
+    // AQE re-plans stages and hides the static exchange count; the shape
     // property under test is the static planner's
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -542,21 +553,25 @@ class DedupSuite extends SparkTestBase {
       while (plans.size() != last && spins < 50) {
         last = plans.size(); Thread.sleep(100); spins += 1
       }
-      val marker = plans.asScala.filter(_.toString.contains("FullOuter"))
-      assert(marker.nonEmpty, "no marker-join count plan captured")
-      marker.foreach { p =>
-        // the count's own SinglePartition collapse is inherent to any
-        // global aggregate; what must NOT appear is a hash repartition of
-        // either join side (that would mean the checkpoint boundary
-        // dropped the (u,v) partitioning and the round re-shuffles O(E))
+      val rounds = plans.asScala.filter(_.toString.contains("Generate explode"))
+      assert(rounds.nonEmpty, "no structural fixpoint-check count plan captured")
+      rounds.foreach { p =>
+        val joins = p.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }
+        assert(joins.isEmpty,
+          s"the structural fixpoint check must be join-free — found ${joins.size} join(s) in:\n$p")
+        // the count's own SinglePartition collapse is inherent to any global
+        // aggregate; beyond it only the node-aggregate's single exchange may
+        // appear (a second wide exchange would mean the check re-shuffles)
         val ex = p.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
               if !e.outputPartitioning
                 .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.SinglePartition.type] => e
         }
-        assert(ex.isEmpty,
-          s"marker join must reuse both checkpointed sides' (u,v) " +
-            s"partitioning — found ${ex.size} wide exchange(s) in:\n$p")
+        assert(ex.size <= 1,
+          s"structural fixpoint check must shuffle only the node aggregate — " +
+            s"found ${ex.size} wide exchange(s) in:\n$p")
       }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
