@@ -80,19 +80,44 @@ object Classify {
           .cast(dec).as("__prior"))
     // null-text docs carry no tokens and are not scored (explode drops
     // them) — mirror nbTrain's treatment rather than inventing a prior-only
-    // score for them
+    // score for them. Tokens COLLAPSE to (id, w, c) before the label
+    // fan-out (r18, guide §2.3 "aggregate before you shuffle"): a token
+    // occurring c times in a doc contributes c identical rounded terms, so
+    // summing c * __t is value-exact vs summing the term c times — and the
+    // |classes|-way fan-out, the model join, and the per-(doc, label)
+    // aggregate all run at distinct-(doc, token) volume instead of
+    // occurrence volume. The collapse itself is MAP-SIDE (array_distinct +
+    // per-token run count over the doc's own token array) — a
+    // groupBy(id, w) collapse was measured to ADD an occurrence-volume
+    // exchange that costs more than the fan-out it saves whenever the
+    // model join broadcasts (sf0.1 A/B +15%), while the map-side form
+    // never shuffles occurrences at all.
     val docToks = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), explode(T.tokens(col(textCol))).as("w"))
-    // every (doc token, label) pair: bounded fan-out of |classes|
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(expr(
+        "transform(array_distinct(__toks), " +
+          "w -> struct(w AS w, size(filter(__toks, t -> t = w)) AS c))")).as("e"))
+      .select(col("id"), col("e.w").as("w"), col("e.c").cast("long").as("c"))
+    // every (distinct doc token, label) pair: bounded fan-out of |classes|
     val perLabel = docToks.crossJoin(broadcast(priors))
       .join(model.tokenCounts, Seq("label", "w"), "left")
       .select(col("id"), col("label"), col("__prior"),
         round(log(2.0,
           (coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
             (col("n_tokens") + col("__v") + lit(1)).cast("double")), 9)
-          .cast(dec).as("__t"))
+          .cast(dec).as("__t"), col("c"))
+    // precision plan for the weighted sum: __t is decimal(20,9) with
+    // |__t| <= log2(n_tokens + V + 1) < 64; c is a per-doc token count, so
+    // |__t * c| stays far inside decimal(26,9) (would need a 1.5e15-token
+    // doc to overflow). The product is an exact integer multiple of a
+    // scale-9 decimal (exact), sum(decimal(26,9)) widens to decimal(36,9)
+    // (no precision cap hit), and adding the decimal(20,9) prior lands at
+    // decimal(37,9) — still inside Spark's 38-digit ceiling, so no silent
+    // scale-shearing anywhere (the same overflow discipline as `dec`).
     val scored = perLabel.groupBy(col("id"), col("label"))
-      .agg((first(col("__prior")) + sum(col("__t"))).as("__score"))
+      .agg((first(col("__prior")) +
+        sum((col("__t") * col("c").cast("decimal(16,0)")).cast("decimal(26,9)")))
+        .as("__score"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("__score").desc, col("label").asc)
     scored.withColumn("__rk", row_number().over(w))
