@@ -245,10 +245,18 @@ object Sampling {
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(tokenCol)).cast("double").as("__tot"))
       .where(col("__tot") > 0)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    totals
       .withColumn("__pa", pow(col("__tot"), lit(alpha)))
-      .withColumn("__z", sum(col("__pa")).over(w))
+    // the share normalizer Z = sum_j n_j^alpha is a SCALAR over the (tiny,
+    // source-count-sized) totals frame. r18: computed as an aggregate +
+    // broadcast cross join instead of a sum().over(Window.partitionBy(lit(1)))
+    // — Catalyst folds the literal partition key away, leaving an EMPTY
+    // window spec that WindowExec executes by moving the frame to a single
+    // partition (the "No Partition Defined" warning every Verify run
+    // logged; guide §2.4). The aggregate keeps partial map-side combining
+    // and never single-partitions anything, and the totals frame stays
+    // bounded by the distinct source count at any corpus scale.
+    totals
+      .crossJoin(broadcast(totals.agg(sum(col("__pa")).as("__z"))))
       .withColumn("__rate",
         least(lit(1.0), col("__pa") / col("__z") * lit(budgetTokens) / col("__tot")))
       .select(col(sourceCol), col("__rate"))

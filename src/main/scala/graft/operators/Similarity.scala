@@ -570,16 +570,21 @@ object Similarity {
     * are the cell assignment and scoring, not the tiny quantizer fit.
     */
   private[operators] object KMeansLite {
-    /** Run `n` independent tasks on driver threads, bounded by the SESSION's
-      * declared parallelism (local[k] ⇒ k) — NOT the host's core count: the
-      * bench contract measures scaling against the configured core count,
-      * and the JVM common pool would silently use every host core at any
-      * local[k]. Falls back to the host count with no active session.
+    /** Run `n` independent tasks on driver threads, bounded by BOTH the
+      * SESSION's declared parallelism (local[k] ⇒ k — the bench contract
+      * measures scaling against the configured core count, and the JVM
+      * common pool would silently use every host core at any local[k]) AND
+      * the driver host's core count: these are DRIVER threads, and on a
+      * cluster `defaultParallelism` is the total executor core count (r18,
+      * VERDICT r17 #3 — a 400-core cluster must not spawn a 400-wide
+      * driver pool for a 16-core driver).
       */
     private[operators] def parEach(n: Int)(body: Int => Unit): Unit = {
-      val bound = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sparkContext.defaultParallelism)
-        .getOrElse(Runtime.getRuntime.availableProcessors())
+      val bound = math.min(
+        Runtime.getRuntime.availableProcessors(),
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.defaultParallelism)
+          .getOrElse(Int.MaxValue))
       val width = math.max(1, math.min(n, bound))
       if (width == 1) { var i = 0; while (i < n) { body(i); i += 1 } }
       else {

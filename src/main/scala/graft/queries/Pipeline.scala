@@ -87,17 +87,21 @@ object Pipeline {
   /** Parallel driver-side media-fixture synthesis, bounded by the SESSION's
     * declared parallelism (local[k] ⇒ k — same honesty rule as the
     * KMeansLite fits: the bench's core-count scaling must not be inflated
-    * by unbounded host threads). The multimodal gates synthesize ~30
-    * independent deterministic payloads per run, and serial synthesis was
-    * their measured driver gap (r17 JobProfile: the mp3 gate spent 1.55 s
-    * of its 2.9 s wall between jobs). Output order — hence the gate rows —
-    * is identical to the serial map.
+    * by unbounded host threads) AND the driver host's core count — these
+    * are DRIVER threads, and on a cluster `defaultParallelism` is the
+    * total executor core count, not anything about the driver (r18,
+    * VERDICT r17 #3). The multimodal gates synthesize ~30 independent
+    * deterministic payloads per run, and serial synthesis was their
+    * measured driver gap (r17 JobProfile: the mp3 gate spent 1.55 s of its
+    * 2.9 s wall between jobs). Output order — hence the gate rows — is
+    * identical to the serial map.
     */
   private def parRows[T](spark: org.apache.spark.sql.SparkSession,
       specs: IndexedSeq[T])(f: T => org.apache.spark.sql.Row): Seq[org.apache.spark.sql.Row] = {
     val out = new Array[org.apache.spark.sql.Row](specs.length)
-    val bound = math.max(1,
-      math.min(specs.length, spark.sparkContext.defaultParallelism))
+    val bound = math.max(1, math.min(specs.length, math.min(
+      Runtime.getRuntime.availableProcessors(),
+      spark.sparkContext.defaultParallelism)))
     if (bound == 1) specs.indices.foreach(i => out(i) = f(specs(i)))
     else {
       val pool = new java.util.concurrent.ForkJoinPool(bound)
