@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
+import graft.operators.Ckpt.Ops
 
 /** Multinomial Naive Bayes text classification — the closed-form stand-in
   * for the fastText-style quality/domain classifiers a curation pipeline
@@ -170,8 +171,8 @@ object Classify {
     val feats = base.select(col("id"), explode(col("__toks")).as("__w"))
       .select(col("id"), bucketOf(col("__w"), buckets).as("bucket"))
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val ydf = base.select(col("id"), col("y")).localCheckpoint()
+      .cut()
+    val ydf = base.select(col("id"), col("y")).cut()
     val n = ydf.count()
     require(n > 0, "logregTrain: no training documents with text")
 
@@ -201,7 +202,7 @@ object Classify {
             lit(bias).cast(WDec)).cast("double").as("__z"))
         .withColumn("__p", round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 9).cast(PDec))
         .withColumn("__err", col("__p") - col("y"))
-        .localCheckpoint()
+        .cut()
       // per-bucket update, rounded to 12 decimals INSIDE the query so both
       // engines round the identical double
       val upd = scored.join(feats, "id")

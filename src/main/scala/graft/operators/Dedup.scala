@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => F, TextFunctions => T}
+import graft.operators.Ckpt.Ops
 
 /** Deduplication operators for web-scale corpora.
   *
@@ -860,7 +861,7 @@ object Dedup {
     // sides, the small-group self-join, the star-link union)
     lazy val sized = c.members.join(
       c.repHash.select(col("__rh"), col("__rid"), col("__rn")), Seq("__rh"))
-      .localCheckpoint(true)
+      .cut(true)
     val expandMembers =
       if (!capArmed) c.members
       else sized.where(col("__rn") <= maxBucketSize || col("__mid") === col("__rid"))
@@ -956,7 +957,7 @@ object Dedup {
     // equi-join below, matching the old path (null shingles never paired).
     val members = df
       .select(normTextHash(textCol).as("__rh"), col(idCol).as("__mid"))
-      .localCheckpoint(false) // lazy: materializes inside the first consuming
+      .cut(false) // lazy: materializes inside the first consuming
       // job instead of as its own serial action (r17 JobProfile: the sf0.1
       // dedup gates are job-COUNT-bound — 84 serial jobs, max 0.11 s each)
     // one representative (min id) + its text per distinct normText; the
@@ -968,7 +969,7 @@ object Dedup {
       .agg(min(col(idCol)).as("__rid"),
         min_by(col(textCol), col(idCol)).as("__rtext"),
         count(lit(1)).as("__rn"))
-      .localCheckpoint(false) // lazy — see the members note
+      .cut(false) // lazy — see the members note
     ExactCollapse(members, reps)
   }
 
@@ -995,7 +996,7 @@ object Dedup {
     // known; a lazy checkpoint plans them as sort-merge from default stats
     // (caught by PlanSuite's broadcast pins, r17)
     val cand = minHashCandidatePairs(repDocs, idCol, textCol, shingleSize,
-      numHashes, bands, maxBucketSize).localCheckpoint(true)
+      numHashes, bands, maxBucketSize).cut(true)
     val repPairs = ngramJaccard(cand, repDocs, idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
     CollapsedMinHash(repPairs, ec)
@@ -1159,7 +1160,7 @@ object Dedup {
     // full candidate-generation lineage — a corpus scan plus signatures —
     // would execute twice
     val cand = incrementalCandidatePairs(corpus, newDocs, idCol, textCol,
-      shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true) // eager:
+      shingleSize, numHashes, bands, maxBucketSize).cut(true) // eager:
       // the materialized (batch-bounded) size drives the broadcast cut
     verifyCrossPairs(cand, corpus, newDocs, idCol, textCol, shingleSize)
       .where(col("jaccard") >= threshold)
@@ -1230,21 +1231,21 @@ object Dedup {
     val corpusAgg = corpus.groupBy(normTextHash(textCol).as("__h"))
       .agg(min(col(idCol)).as("__rid"),
         min_by(col(textCol), col(idCol)).as("__rtext"))
-      .localCheckpoint(false) // lazy — materializes in the first consumer (r17)
+      .cut(false) // lazy — materializes in the first consumer (r17)
     // checkpointed: consumed by the member map, the rep aggregate, and the
     // final anti-join — without it each consumer re-runs the batch scan +
     // hash + anti-join lineage
     val exactSurvivors = newDocs.withColumn("__h", normTextHash(textCol))
       .join(corpusAgg.select(col("__h")), Seq("__h"), "left_anti")
       .drop("__h")
-      .localCheckpoint(false) // lazy — see corpusAgg note
+      .cut(false) // lazy — see corpusAgg note
     // batch-side collapse: (hash, member id) map + one rep doc per text
     val batchMembers = exactSurvivors
       .select(normTextHash(textCol).as("__bh"), col(idCol).as("__mid"))
     val batchReps = exactSurvivors.groupBy(normTextHash(textCol).as("__bh"))
       .agg(min(col(idCol)).as("__bid"),
         min_by(col(textCol), col(idCol)).as("__btext"))
-      .localCheckpoint(false) // lazy — see corpusAgg note
+      .cut(false) // lazy — see corpusAgg note
     val corpusReps = corpusAgg.select(col("__rid").as(idCol), col("__rtext").as(textCol))
     val flaggedRepIds = incrementalMinHash(corpusReps,
         batchReps.select(col("__bid").as(idCol), col("__btext").as(textCol)),
@@ -1295,7 +1296,7 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): IngestIndex = {
     val reps = corpus.groupBy(normTextHash(textCol).as("__h"))
       .agg(min(col(idCol)).as(idCol), min_by(col(textCol), col(idCol)).as(textCol))
-      .localCheckpoint(true) // eager: feeds both the hash set and the banding scan
+      .cut(true) // eager: feeds both the hash set and the banding scan
     val hashes = reps.select(col("__h"))
     val full = minHashBanded(reps.drop("__h"), idCol, textCol, shingleSize, numHashes, bands)
     val banded =
@@ -1447,7 +1448,7 @@ object Dedup {
       .select(col("id_new"), col("id").as("id_corpus")).distinct()
       // EAGER on purpose — the known materialized size is what lets the
       // exact-stage and verify joins broadcast (see collapsedMinHash note)
-      .localCheckpoint(true)
+      .cut(true)
     val convicted = verifyCrossPairs(cand, corpus, exactSurvivors, idCol, textCol,
         index.shingleSize)
       .where(col("jaccard") >= threshold)
@@ -1526,7 +1527,7 @@ object Dedup {
       .select(col("id"), array_distinct(transform(
         F.word_shingles(T.tokens(col(textCol)), shingleSize), s => xxhash64(s))).as("sh"))
       .where(col("sh").isNotNull) // null-text docs drop, as the old reunite shape did
-      .localCheckpoint(false) // lazy reuse — both side-joins read it in one action
+      .cut(false) // lazy reuse — both side-joins read it in one action
   }
 
   /** Exact n-gram CONTAINMENT for given candidate pairs: |A ∩ B| / |A|,

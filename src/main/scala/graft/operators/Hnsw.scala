@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt.Ops
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
@@ -319,7 +320,7 @@ object Hnsw {
         // eager executor-local checkpoint runs the chunk's scatter-gather
         // NOW; the broadcast is then destroyed before the next chunk's is
         // built, bounding resident driver memory to one chunk
-        val out = topk(probe(qb)).localCheckpoint(true)
+        val out = topk(probe(qb)).cut(true)
         qb.destroy()
         out
       }.reduce(_ unionByName _)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => F}
+import graft.operators.Ckpt.Ops
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -384,7 +385,7 @@ object Similarity {
   private def pinQueries(queries: DataFrame, qIdCol: String,
       qVecCol: String): DataFrame =
     queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("__qv"))
-      .localCheckpoint(true)
+      .cut(true)
 
   /** Per-query ADC lookup tables from the pinned query frame:
     * luts(qid)(m)(code) = dot(query subvector m, codeword `code`).

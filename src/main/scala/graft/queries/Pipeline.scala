@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions => F, TextFunctions => T}
 import graft.operators.{Dedup, Similarity}
+import graft.operators.Ckpt.Ops
 import QueryPack.t
 
 /** Training-data-pipeline operator coverage: dedup (exact / MinHash-LSH /
@@ -1491,7 +1492,7 @@ object Pipeline {
         // identical to per-stage tokenization.
         val dTok = d.select(col("doc_id"), col("source"), col("text"),
             T.tokens(col("text")).as("__toks"))
-          .localCheckpoint()
+          .cut()
         val batch = dTok.where(col("doc_id") % 5 === 0)
         // Materialize the trained bigram table once (model-sized, not
         // corpus-sized): inside this pipeline the KN model is consumed by
@@ -1501,14 +1502,14 @@ object Pipeline {
         // checkpoint. The one-shot text_kn_xent gate deliberately does NOT
         // do this (the barrier costs more than the reuse there).
         val lm0 = CorpusStats.knTrain(dTok.where(col("doc_id") % 5 =!= 0), "__toks")
-        val lm = lm0.copy(bigrams = lm0.bigrams.localCheckpoint())
+        val lm = lm0.copy(bigrams = lm0.bigrams.cut())
         val fluent = CorpusStats.knScore(lm, batch, "doc_id", "__toks")
           .where(col("xent_bits") <= 5.0).select(col("id").as("doc_id"))
         // routed's lineage is the whole KN score (bigram explode + three
         // model joins + per-doc aggregate); it feeds BOTH the LR scoring
         // pass and the final pool join — checkpoint so the KN stage runs
         // once (guide §2.4), like dTok above. Values unchanged.
-        val routed = batch.join(fluent, "doc_id").localCheckpoint()
+        val routed = batch.join(fluent, "doc_id").cut()
         val labeled = dTok.withColumn("y",
           col("source").isin("src0", "src1", "src2", "src3", "src4").cast("int"))
         val wts = Classify.logregTrain(labeled.where(col("doc_id") % 4 =!= 0),
@@ -1517,7 +1518,7 @@ object Pipeline {
           .where(col("prob") >= 0.997).select(col("id").as("doc_id"))
         // pool feeds the exact-dup winner aggregate AND the final join —
         // checkpoint for the same one-materialization reason as routed
-        val pool = routed.join(kept, "doc_id").localCheckpoint()
+        val pool = routed.join(kept, "doc_id").cut()
         val winners = Dedup.exactDuplicates(pool, "doc_id", "text")
           .select(col("keep_id").as("doc_id"))
         pool.join(winners, "doc_id")
@@ -1672,7 +1673,7 @@ object Pipeline {
         // routed's lineage is the whole bigram-LM score; it feeds the NB
         // prediction, the exact-dup winner aggregate AND the final join —
         // checkpoint so the LM stage runs once (guide §2.4)
-        val routed = batch.join(fluent, "doc_id").localCheckpoint()
+        val routed = batch.join(fluent, "doc_id").cut()
         val nb = graft.operators.Classify.nbTrain(
           d.where(col("doc_id") % 4 =!= 0), "source", "text")
         val labeled = graft.operators.Classify.nbPredict(nb, routed, "doc_id", "text")

@@ -1118,6 +1118,36 @@ class DedupSuite extends SparkTestBase {
     assert(out == expected)
   }
 
+  test("spark.graft.checkpoint.reliable routes one-shot lineage cuts to reliable storage, values identical") {
+    // r18 (VERDICT r17 #2): the library's one-shot localCheckpoint sites
+    // (exact-collapse frames, candidate pairs, trained-pipeline
+    // intermediates) all route through Ckpt.cut, whose reliable mode writes
+    // checkpoint() files a cluster can recover from after executor loss.
+    // Exercise a path that crosses several such sites (collapse members +
+    // reps, eager candidate frame, CC loop) and pin value identity.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-oneshot")
+    val prev = spark.sparkContext.getCheckpointDir
+    val localOut = Dedup.keepBest(chainDocs, "doc_id", "text", col("q"), threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(Ckpt.ReliableConf, "true")
+    try {
+      val reliableOut = Dedup.keepBest(chainDocs, "doc_id", "text", col("q"),
+          threshold = 0.7, reliableCheckpoint = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(reliableOut == localOut,
+        "reliable-mode lineage cuts must not change values")
+      val rddDirs = java.nio.file.Files.walk(dir)
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(rddDirs > 0,
+        "reliable mode must actually write checkpoint files for the one-shot cuts")
+    } finally {
+      spark.conf.set(Ckpt.ReliableConf, "false")
+      prev.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("reliable checkpointing deletes superseded per-round files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-clean")
     val prev = spark.sparkContext.getCheckpointDir
