@@ -31,7 +31,19 @@ object JobProfile {
           .filter(_.nonEmpty)
           .getOrElse(js.stageInfos.map(si => si.name.takeWhile(_ != '\n').take(60))
             .mkString(" | ").take(180))
-        jobs.put(js.jobId, (site, js.time))
+        // SPARK_GRAFT_PROFILE_STAGES=1: append the deepest graft frame from
+        // the first stage's callsite details — AQE stage jobs all report
+        // withThreadLocalCaptured as their short site, which attributes
+        // nothing (r18)
+        val deep =
+          if (!sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")) ""
+          else js.stageInfos.headOption.map(_.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("JobProfile"))
+            .getOrElse("")).getOrElse("") match {
+            case "" => ""
+            case f => " @ " + f.trim.take(90)
+          }
+        jobs.put(js.jobId, (site + deep, js.time))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(je.jobId)).foreach { case (site, t0) =>

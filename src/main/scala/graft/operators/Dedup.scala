@@ -63,6 +63,18 @@ object Dedup {
     */
   val MinLabelPrePartitionEdges = 1L * 1000 * 1000
 
+  /** Canonical edge count up to which [[duplicateGroups]] runs its
+    * min-label rounds on the driver instead of as Spark jobs. 500k edges
+    * collect to ~8 MB of longs — broadcast-class, the same order as one
+    * auto-broadcast join side or the [[MaxHotBuckets]] metadata collect —
+    * while each avoided distributed round is 3-4 serial AQE stage-jobs
+    * (r18 JobProfile: the sf0.1 CC gates are job-count-bound). The driver
+    * loop is bit-exact vs the distributed one (same rounds, budget, stall
+    * detector, maxIter/requireConvergence contract) and defers to it for
+    * the contract-and-star hand-off regime.
+    */
+  val DriverCcMaxCanonicalEdges = 500L * 1000
+
   /** Hot-bucket-guarded LSH bucket self-join.
     *
     * A degenerate bucket (boilerplate near-identical docs, zero vectors)
@@ -383,6 +395,30 @@ object Dedup {
       roundsOut.foreach(_.set(starRounds.get()))
       return out
     }
+    // TINY graphs run the min-label rounds ON THE DRIVER (r18, guide §1/§5:
+    // JobProfile showed the sf0.1 CC gates serial-JOB-bound — 40-80 AQE
+    // stage-jobs of < 0.1 s each — and every distributed round here is
+    // 3-4 such jobs over a few thousand edges). The bound is broadcast-class
+    // by design: 500k canonical edges collect to ~8 MB of longs, the same
+    // order as one auto-broadcast join side or the sampledHotBuckets
+    // collect, nothing corpus-scale rides through the driver, and at 100 TB
+    // the rep-level dup graph blows past the bound and keeps the
+    // distributed loop. Bit-exact by construction — the driver loop runs
+    // the SAME synchronous rounds, budget, stall detector, convergence
+    // check, and maxIter/requireConvergence contract as the distributed
+    // loop below, and FALLS BACK to the distributed path the moment it
+    // would enter the contract-and-star-handoff regime (so that regime has
+    // exactly one implementation). Hooks (roundsOut/changedOut) flush only
+    // from whichever path produced the returned labels.
+    val driverCcMax = pairs.sparkSession.conf
+      .get("spark.graft.cc.driverMaxEdges", DriverCcMaxCanonicalEdges.toString).toLong
+    if (canonCount <= driverCcMax) {
+      driverMinLabel(canonEdges, strategy, maxIter, autoRoundBudget,
+          requireConvergence, roundsOut, changedOut) match {
+        case Some(out) => return out
+        case None => () // stall/hand-off regime: distributed path below
+      }
+    }
     // symmetric closure for min-label: both directions of each canonical
     // edge, self-pairs once. TWO shapes, picked off the probed edge count
     // (r18, guide §2.4 "remove shuffles outright" — measured both ways):
@@ -483,6 +519,219 @@ object Dedup {
     labels.select(col("id"), col("comp").as("group_id"))
   }
 
+  /** The driver-side twin of [[duplicateGroups]]' min-label loop for
+    * sub-[[DriverCcMaxCanonicalEdges]] canonical edge frames — synchronous
+    * min-label rounds over adjacency arrays, replicating the distributed
+    * loop's update rule, round budget, stall detector, and
+    * maxIter/requireConvergence contract EXACTLY, so the returned labels
+    * (and the roundsOut/changedOut hook values) are bit-identical to the
+    * distributed loop's for every converged-or-truncated path. Returns
+    * None — with hooks untouched — the moment the run would enter the
+    * auto contract-and-star hand-off regime, which stays distributed-only.
+    */
+  private def driverMinLabel(canonEdges: DataFrame, strategy: String,
+      maxIter: Int, autoRoundBudget: Int, requireConvergence: Boolean,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger],
+      changedOut: Option[scala.collection.mutable.Buffer[Long]]): Option[DataFrame] = {
+    val spark = canonEdges.sparkSession
+    val idType = canonEdges.schema("u").dataType
+    val asLong: (org.apache.spark.sql.Row, Int) => Long = idType match {
+      case org.apache.spark.sql.types.LongType => (r, i) => r.getLong(i)
+      case org.apache.spark.sql.types.IntegerType => (r, i) => r.getInt(i).toLong
+      case _ => return None // exotic id type: keep the distributed loop
+    }
+    val rows = canonEdges.collect()
+    // node table + symmetric adjacency in index space (self-pairs keep
+    // their node but contribute no useful neighbor, same as the closure)
+    val index = new java.util.HashMap[java.lang.Long, java.lang.Integer](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]
+    def idx(id: Long): Int = {
+      val got = index.get(id)
+      if (got != null) got.intValue()
+      else { val i = ids.length; index.put(id, i); ids += id; i }
+    }
+    val degree = new scala.collection.mutable.ArrayBuffer[Int]
+    val us = new Array[Int](rows.length)
+    val vs = new Array[Int](rows.length)
+    var r = 0
+    while (r < rows.length) {
+      val u = idx(asLong(rows(r), 0)); val v = idx(asLong(rows(r), 1))
+      us(r) = u; vs(r) = v
+      while (degree.length < ids.length) degree += 0
+      if (u != v) { degree(u) += 1; degree(v) += 1 }
+      r += 1
+    }
+    val n = ids.length
+    val offsets = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { offsets(i + 1) = offsets(i) + degree(i); i += 1 }
+    val nbrs = new Array[Int](offsets(n))
+    val fill = offsets.clone()
+    r = 0
+    while (r < rows.length) {
+      val u = us(r); val v = vs(r)
+      if (u != v) { nbrs(fill(u)) = v; fill(u) += 1; nbrs(fill(v)) = u; fill(v) += 1 }
+      r += 1
+    }
+    var comp = Array.tabulate(n)(k => ids(k))
+    val decay = new scala.collection.mutable.ArrayBuffer[Long]
+    val budget = if (strategy == "auto") math.min(autoRoundBudget, maxIter) else maxIter
+    var converged = false
+    var handOff = false
+    var prevChanged = Long.MaxValue
+    var it = 0
+    while (!converged && !handOff && it < budget) {
+      val next = new Array[Long](n)
+      var changed = 0L
+      i = 0
+      while (i < n) {
+        var m = comp(i)
+        var e = offsets(i)
+        while (e < offsets(i + 1)) {
+          val c = comp(nbrs(e)); if (c < m) m = c; e += 1
+        }
+        next(i) = m
+        if (m < comp(i)) changed += 1
+        i += 1
+      }
+      decay += changed
+      converged = changed == 0
+      if (!converged && strategy == "auto" && it >= 1 && changed * 2 > prevChanged)
+        handOff = true
+      prevChanged = changed
+      comp = next
+      it += 1
+    }
+    if (handOff || (!converged && strategy == "auto" && it < maxIter)) {
+      // the contract-and-star hand-off regime, on the driver: contract the
+      // graph through the partial labels and close with the SAME
+      // alternating-star rounds the distributed hand-off runs — identical
+      // set evolution, identical round count, identical
+      // converge-or-throw/warn contract (see the distributed block below)
+      val contracted = new scala.collection.mutable.HashSet[(Long, Long)]
+      r = 0
+      while (r < rows.length) {
+        val cu = comp(us(r)); val cv = comp(vs(r))
+        if (cu != cv) contracted += ((math.max(cu, cv), math.min(cu, cv)))
+        r += 1
+      }
+      val (starEdges, starRounds, starConverged) =
+        driverStarRounds(contracted, maxIter)
+      roundsOut.foreach(_.set(it + starRounds))
+      changedOut.foreach(_ ++= decay)
+      if (!starConverged) {
+        val msg = s"duplicateGroupsStar did not converge within maxIter=$maxIter rounds"
+        if (requireConvergence) throw new IllegalStateException(msg)
+        log.warn(msg)
+      }
+      // star fixpoint labels over contracted comps; comps fully merged
+      // before the hand-off (no surviving edge) keep their comp — the same
+      // left-join + coalesce as the distributed hand-off, including the
+      // multi-row corner of a non-converged star edge set
+      val starLabels = new scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[Long]]
+      starEdges.foreach { case (u, v) =>
+        starLabels.getOrElseUpdate(u, new scala.collection.mutable.ArrayBuffer[Long]) += v
+        starLabels.getOrElseUpdate(v, new scala.collection.mutable.ArrayBuffer[Long]) += v
+      }
+      val outPairs = new scala.collection.mutable.HashSet[(Long, Long)]
+      i = 0
+      while (i < n) {
+        starLabels.get(comp(i)) match {
+          case Some(gs) => gs.foreach(g => outPairs += ((ids(i), g)))
+          case None => outPairs += ((ids(i), comp(i)))
+        }
+        i += 1
+      }
+      return Some(localLabels(spark, idType, outPairs))
+    }
+    roundsOut.foreach(_.set(it))
+    changedOut.foreach(_ ++= decay)
+    if (!converged) {
+      val msg = s"duplicateGroups did not converge within maxIter=$maxIter rounds; " +
+        "labels are partially merged (a component wider than maxIter hops exists — " +
+        "raise maxIter above the largest component's diameter)"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
+    val outPairs = new scala.collection.mutable.HashSet[(Long, Long)]
+    i = 0
+    while (i < n) { outPairs += ((ids(i), comp(i))); i += 1 }
+    Some(localLabels(spark, idType, outPairs))
+  }
+
+  /** Build the (id, group_id) local relation for the driver CC paths, in
+    * the caller's id type.
+    */
+  private def localLabels(spark: org.apache.spark.sql.SparkSession,
+      idType: org.apache.spark.sql.types.DataType,
+      pairs: Iterable[(Long, Long)]): DataFrame = {
+    val rows = pairs.toSeq.sorted.map { case (id, g) =>
+      if (idType == org.apache.spark.sql.types.LongType)
+        org.apache.spark.sql.Row(id, g)
+      else org.apache.spark.sql.Row(id.toInt, g.toInt)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("group_id", idType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+
+  /** Driver-side twin of [[starLoop]]'s round evolution over an in-memory
+    * canonical edge set: alternating large-star / small-star with the same
+    * structural star-forest convergence test, so round counts and the final
+    * edge set are identical to the distributed loop's for the same input.
+    * Returns (final edge set, rounds, converged).
+    */
+  private def driverStarRounds(edges0: scala.collection.Set[(Long, Long)],
+      maxIter: Int): (scala.collection.Set[(Long, Long)], Int, Boolean) = {
+    var edges: scala.collection.Set[(Long, Long)] = edges0
+    // match starLoop exactly: the test runs on round OUTPUT only, so even a
+    // star-forest input pays one (idempotent) round before it is detected
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // largeStar: m(x) = min(neighborhood(x) ∪ {x}); every directed
+      // neighbor pair (a, b) with b > a emits (b, m(a)) — for a canonical
+      // edge (u, v) with u > v that is exactly (u, m(v))
+      val minNbr = new scala.collection.mutable.HashMap[Long, Long]
+      edges.foreach { case (u, v) =>
+        if (v < minNbr.getOrElse(u, Long.MaxValue)) minNbr(u) = v
+        if (u < minNbr.getOrElse(v, Long.MaxValue)) minNbr(v) = u
+      }
+      def m(x: Long): Long = math.min(x, minNbr.getOrElse(x, x))
+      val ls = new scala.collection.mutable.HashSet[(Long, Long)]
+      edges.foreach { case (u, v) => ls += ((u, m(v))) } // m(v) <= v < u: canonical
+      // smallStar over the canonical large-star output: m2(u) = min parent;
+      // relink (u, v): v != m2(u) → (v, m2(u)); plus (u, m2(u)) per child
+      val m2 = new scala.collection.mutable.HashMap[Long, Long]
+      ls.foreach { case (u, v) => if (v < m2.getOrElse(u, Long.MaxValue)) m2(u) = v }
+      val ss = new scala.collection.mutable.HashSet[(Long, Long)]
+      ls.foreach { case (u, v) =>
+        val mu = m2(u)
+        if (v != mu) ss += ((v, mu)) // mu = min of u's parents < v: canonical
+        ss += ((u, mu))
+      }
+      edges = ss
+      converged = isStarForest(edges)
+      i += 1
+    }
+    (edges, i, converged)
+  }
+
+  /** Canonical edge set is a depth-1 star forest: no child has two parents,
+    * no parent is itself a child — the same structural test [[starLoop]]
+    * counts violations of.
+    */
+  private def isStarForest(edges: scala.collection.Set[(Long, Long)]): Boolean = {
+    val asU = new scala.collection.mutable.HashSet[Long]
+    val asV = new scala.collection.mutable.HashSet[Long]
+    edges.foreach { case (u, v) => if (!asU.add(u)) return false; asV += v }
+    asU.forall(u => !asV.contains(u))
+  }
+
   /** Connected components by the ALTERNATING large-star / small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
     * Beyond"): converges in O(log n) rounds REGARDLESS of component
@@ -515,6 +764,39 @@ object Dedup {
     val ck = new CkptLoop(pairs.sparkSession, reliableCheckpoint)
     val edges = ck.eager(canonEdgeForm(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
+    // TINY graphs run the alternating-star rounds ON THE DRIVER — the same
+    // broadcast-class bound, round evolution, and structural convergence
+    // test as [[duplicateGroups]]' min-label hatch (see
+    // [[DriverCcMaxCanonicalEdges]]); each avoided distributed round is
+    // ~5 serial AQE stage-jobs. The probe count reads the just-materialized
+    // checkpoint (cheap at gate scale; at 100 TB the bound never engages
+    // and the count is one scan of the frame the loop was about to join
+    // every round anyway). spark.graft.cc.driverMaxEdges=0 pins the
+    // distributed rounds (tests, scale A/Bs).
+    val driverMax = pairs.sparkSession.conf
+      .get("spark.graft.cc.driverMaxEdges", DriverCcMaxCanonicalEdges.toString).toLong
+    if (driverMax > 0 && edges.count() <= driverMax) {
+      val idType = edges.schema("u").dataType
+      val isLong = idType == org.apache.spark.sql.types.LongType
+      if (isLong || idType == org.apache.spark.sql.types.IntegerType) {
+        val collected = new scala.collection.mutable.HashSet[(Long, Long)]
+        edges.collect().foreach { r0 =>
+          if (isLong) collected += ((r0.getLong(0), r0.getLong(1)))
+          else collected += ((r0.getInt(0).toLong, r0.getInt(1).toLong))
+        }
+        val (fix, rounds, converged) = driverStarRounds(collected, maxIter)
+        roundsOut.foreach(_.set(rounds))
+        if (!converged) {
+          val msg = s"duplicateGroupsStar did not converge within maxIter=$maxIter rounds"
+          if (requireConvergence) throw new IllegalStateException(msg)
+          log.warn(msg)
+        }
+        // fixpoint = forest of stars: u -> root, roots close over themselves
+        val outPairs = new scala.collection.mutable.HashSet[(Long, Long)]
+        fix.foreach { case (u, v) => outPairs += ((u, v)); outPairs += ((v, v)) }
+        return localLabels(pairs.sparkSession, idType, outPairs)
+      }
+    }
     starLoop(ck, edges, maxIter, requireConvergence, roundsOut)
   }
 

@@ -491,6 +491,9 @@ class DedupSuite extends SparkTestBase {
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
     spark.listenerManager.register(ql)
+    // this pins the DISTRIBUTED loop structure — a 64-edge graph would
+    // otherwise take the driver star hatch and submit no counting actions
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
     try {
       val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
       Dedup.duplicateGroupsStar(chain, roundsOut = Some(rounds))
@@ -501,11 +504,14 @@ class DedupSuite extends SparkTestBase {
         last = counter.get(); Thread.sleep(100); spins += 1
       }
       // the fixpoint check is fused into the checkpoint-materializing
-      // outer-join count: exactly 1 per round. The old shape (count +
+      // structural count: exactly 1 per round. The old shape (count +
       // count + anti-join isEmpty) was 3 per round.
       assert(counter.get() == rounds.get(),
         s"expected 1 counting action x ${rounds.get()} rounds, got ${counter.get()}")
-    } finally spark.listenerManager.unregister(ql)
+    } finally {
+      spark.conf.unset("spark.graft.cc.driverMaxEdges")
+      spark.listenerManager.unregister(ql)
+    }
   }
 
   test("star fixpoint check is structural: join-free, one exchange, detected on the producing round") {
@@ -522,6 +528,9 @@ class DedupSuite extends SparkTestBase {
     //  (b) the per-round counting plan is JOIN-FREE and carries at most ONE
     //      wide exchange (the node-aggregate's); the old shape read both the
     //      new and the previous checkpoint through a full-outer join.
+    // pin the DISTRIBUTED loop (tiny graphs otherwise take the driver star
+    // hatch, whose equivalence has its own pin below)
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
     val path3 = Seq((1L, 0L), (2L, 1L)).toDF("id_a", "id_b").localCheckpoint(true)
     val r1 = new java.util.concurrent.atomic.AtomicInteger(0)
     val labels = Dedup.duplicateGroupsStar(path3, roundsOut = Some(r1))
@@ -529,6 +538,14 @@ class DedupSuite extends SparkTestBase {
     assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
     assert(r1.get() == 1,
       s"structural check must converge on the producing round (1 for a 3-node path), got ${r1.get()}")
+    // the driver star hatch must agree on labels AND round count
+    spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    val rh = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hatchLabels = Dedup.duplicateGroupsStar(path3, roundsOut = Some(rh))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hatchLabels == labels && rh.get() == r1.get(),
+      s"driver star hatch diverged: labels=$hatchLabels rounds=${rh.get()}")
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
 
     val chain = (0L until 48L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b").localCheckpoint(true)
@@ -574,6 +591,7 @@ class DedupSuite extends SparkTestBase {
             s"found ${ex.size} wide exchange(s) in:\n$p")
       }
     } finally {
+      spark.conf.unset("spark.graft.cc.driverMaxEdges")
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.listenerManager.unregister(ql)
     }
@@ -1118,6 +1136,45 @@ class DedupSuite extends SparkTestBase {
     assert(out == expected)
   }
 
+  test("driver min-label hatch: labels, hooks, and truncation contract bit-identical to the distributed loop") {
+    import spark.implicits._
+    // converging mix (two cliques sharing a node + a separate pair) and a
+    // truncation case (chain wider than maxIter hops, forced minLabel) —
+    // each run both through the driver hatch (default) and the distributed
+    // loop (hatch disabled), comparing labels AND the diagnostic hooks
+    def runBoth(pairs: org.apache.spark.sql.DataFrame, maxIter: Int, strategy: String) = {
+      def once() = {
+        val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+        val decay = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val labels = Dedup.duplicateGroups(pairs, maxIter = maxIter,
+            strategy = strategy, roundsOut = Some(rounds), changedOut = Some(decay))
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        (labels, rounds.get(), decay.toSeq)
+      }
+      val hatch = once()
+      spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+      try { (hatch, once()) }
+      finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    }
+    val mix = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 7L), (7L, 9L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val (h1, d1) = runBoth(mix, maxIter = 20, strategy = "auto")
+    assert(h1 == d1, s"hatch=$h1 distributed=$d1")
+    // truncation: a 40-hop chain at maxIter=5 must return the SAME partial
+    // labels (and per-round changed counts) from both implementations
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val (h2, d2) = runBoth(chain, maxIter = 5, strategy = "minLabel")
+    assert(h2 == d2, s"partial labels diverge: hatch=${h2._2}/${h2._3} dist=${d2._2}/${d2._3}")
+    // stall → contract-and-star hand-off: a 120-hop chain flattens the
+    // decay after 2 rounds; the driver hatch must reproduce the distributed
+    // hand-off's labels, total rounds, AND decay curve
+    val chain120 = (0L until 120L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val (h3, d3) = runBoth(chain120, maxIter = 20, strategy = "auto")
+    assert(h3 == d3, s"hand-off diverges: hatch=${h3._2}/${h3._3} dist=${d3._2}/${d3._3}")
+  }
+
   test("spark.graft.checkpoint.reliable routes one-shot lineage cuts to reliable storage, values identical") {
     // r18 (VERDICT r17 #2): the library's one-shot localCheckpoint sites
     // (exact-collapse frames, candidate pairs, trained-pipeline
@@ -1152,6 +1209,9 @@ class DedupSuite extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-clean")
     val prev = spark.sparkContext.getCheckpointDir
     spark.sparkContext.setCheckpointDir(dir.toString)
+    // pin the DISTRIBUTED rounds (the rotation under test): a 12-edge graph
+    // would otherwise take the driver min-label hatch and checkpoint nothing
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
     try {
       import spark.implicits._
       // a 12-node chain needs several propagation rounds, so without cleanup
@@ -1181,6 +1241,7 @@ class DedupSuite extends SparkTestBase {
         s"star must keep exactly its final round's checkpoint, got ${afterStar - before}")
       assert(starGroups.count() == 12L, "star frame readable after cleanup")
     } finally {
+      spark.conf.unset("spark.graft.cc.driverMaxEdges")
       prev.foreach(spark.sparkContext.setCheckpointDir)
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
