@@ -39,11 +39,29 @@ object Classify {
     val docs = df.where(col(textCol).isNotNull)
     val toks = docs.select(col(labelCol).as("label"),
       explode(T.tokens(col(textCol))).as("w"))
-    val tokenCounts = toks.groupBy(col("label"), col("w")).agg(count(lit(1)).as("cnt"))
-    val classTotals = docs.select(col(labelCol).as("label"), size(T.tokens(col(textCol))).as("__n"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
-    val vocab = toks.agg(countDistinct(col("w")).as("__v"))
+    // ONE tokenize pass over the training corpus (r18, guide §2.4):
+    // [[nbPredict]] consumes the three model tables through four separate
+    // subtrees (the tokenCounts join, classTotals twice inside the priors
+    // broadcast, vocab once), and without a barrier EACH re-ran the full
+    // corpus-scan + tokenize + aggregate lineage — four passes per scoring
+    // query (measured: the dominant jobs of pipeline_curation_v2). The
+    // (label, w, cnt) table is checkpointed — model-sized, |vocab| x
+    // |classes| rows, never corpus-sized — and the other two tables DERIVE
+    // from it: n_tokens = sum(cnt) per label (the same long sum), vocab =
+    // countDistinct(w) over its keys (the same distinct token set); only
+    // n_docs needs the corpus again, as a label-only count whose scan
+    // prunes the text column entirely. Values are identical by
+    // construction (oracle-pinned on all three NB gates).
+    val tokenCounts = toks.groupBy(col("label"), col("w"))
+      .agg(count(lit(1)).as("cnt")).cut(true)
+    val nDocs = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val classTotals = nDocs.join(
+        tokenCounts.groupBy(col("label")).agg(sum(col("cnt")).as("__nt")),
+        Seq("label"), "left")
+      .select(col("label"), col("n_docs"),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"))
+    val vocab = tokenCounts.agg(countDistinct(col("w")).as("__v"))
     NaiveBayesModel(tokenCounts, classTotals, vocab)
   }
 
@@ -175,6 +193,14 @@ object Classify {
     val ydf = base.select(col("id"), col("y")).cut()
     val n = ydf.count()
     require(n > 0, "logregTrain: no training documents with text")
+    // features plus one synthetic bucket -1 row per training doc (c = 1):
+    // the bias gradient is then just another group of the per-bucket
+    // aggregate — sum(__err * 1) is decimal-exact-identical to the separate
+    // sum(__err) action it replaces, so each iteration runs ONE gradient
+    // job instead of two (r18, guide §1/§2.4 — the LR loop is
+    // serial-action-bound at gate scale). Narrow union of two checkpoints.
+    val featsB = feats.unionByName(
+      ydf.select(col("id"), lit(-1L).as("bucket"), lit(1L).as("c")))
 
     val zero = java.math.BigDecimal.ZERO.setScale(12)
     var weights: Map[Long, java.math.BigDecimal] =
@@ -203,17 +229,14 @@ object Classify {
         .withColumn("__p", round(lit(1.0) / (lit(1.0) + exp(-col("__z"))), 9).cast(PDec))
         .withColumn("__err", col("__p") - col("y"))
         .cut()
-      // per-bucket update, rounded to 12 decimals INSIDE the query so both
-      // engines round the identical double
-      val upd = scored.join(feats, "id")
+      // per-bucket update (bucket -1 = bias, see featsB), rounded to 12
+      // decimals INSIDE the query so both engines round the identical double
+      val upd = scored.join(featsB, "id")
         .groupBy(col("bucket"))
         .agg(round(lit(lrate) * sum(col("__err") * col("c")).cast("double") /
           lit(n.toDouble), 12).cast(WDec).as("u"))
         .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
-      val biasUpd = scored
-        .agg(round(lit(lrate) * sum(col("__err")).cast("double") /
-          lit(n.toDouble), 12).cast(WDec).as("u"))
-        .head().getDecimal(0)
+      val biasUpd = upd(-1L)
       weights = weights.map { case (b, w) =>
         b -> upd.get(b).map(u => w.subtract(u.setScale(12))).getOrElse(w)
       }
